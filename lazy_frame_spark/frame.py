@@ -1,0 +1,404 @@
+"""LazyFrame — the engine's core abstraction.
+
+A thin facade over ``pyspark.sql.DataFrame`` implementing the reference's
+lazy dataframe algebra (``R/lazy.frame.R``, ``src/lazy.frame.c``) with
+Spark-native execution:
+
+==============================  =============================================
+reference                        here
+==============================  =============================================
+lazy.frame promise env           ``LazyFrame`` wrapping a lazy DataFrame plan
+newline byte index               ``__row_id__`` column (lazy_frame_spark.rowid)
+``x[j, k]`` RANGE/LINES          ``row_range`` / ``rows`` (pushdown filters)
+``x[, k] op scalar`` WHICH       ``filter`` / ``which`` (typed_compare)
+``head``/``tail``                ``head`` / ``tail`` (TakeOrderedAndProject)
+``column_attr``                  ``ColumnAttrs`` applied at ``to_pandas``
+``[<-`` write denial             ``__setitem__`` raises (read-only contract)
+``str``/``print``                ``describe_str`` / ``show``
+``summary`` (unimplemented!)     ``summary`` — implemented via df.summary()
+==============================  =============================================
+
+Scale notes (100 TB design):
+- No driver-side per-row state anywhere; row ids are data (LongType).
+- Positional ops compile to ``__row_id__`` range/set predicates, which
+  Parquet row-group statistics prune at scan time — the distributed
+  analogue of the reference's O(1) byte-offset seek.
+- ``which()`` returns a DataFrame of ids, not a collected vector; the
+  reference's own "return a giant index vector to the driver" pattern is
+  the anti-scale path and is opt-in only (``collect=True``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lazy_frame_spark.functions.compare import OPS, typed_compare
+from lazy_frame_spark.metadata import ColumnAttrs
+from lazy_frame_spark.rowid import ROW_ID, with_row_ids
+
+READ_ONLY_MSG = "File frames are read-only."  # R/lazy.frame.R:123
+
+
+def _qcol(name: str) -> Column:
+    """Column by exact name — backtick-quoted so dotted names (e.g. the
+    reference's canonical ``Sepal.Length``) resolve literally."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+class LazyFrame:
+    """A read-only, lazily evaluated, positionally addressable frame."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        attrs: ColumnAttrs | None = None,
+        order_by: Sequence[str] | None = None,
+    ):
+        self._df = df
+        self._attrs = attrs or ColumnAttrs()
+        self._order_by = list(order_by) if order_by else None
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        format: str | None = None,
+        order_by: Sequence[str] | None = None,
+        **options: Any,
+    ) -> "LazyFrame":
+        """Open a file as a LazyFrame without reading data (S1 parity,
+        ``R/lazy.frame.R:37-87``). Format inferred from the extension when
+        not given. CSV goes through the engine's schema-infer-once reader
+        (sources.csv) supporting sep/header-autodetect/skip/gzip.
+        """
+        fmt = format or _infer_format(path)
+        if fmt == "csv":
+            from lazy_frame_spark.sources.csv import open_csv
+
+            df = open_csv(spark, path, **options)
+        elif fmt == "parquet":
+            df = spark.read.options(**{k: str(v) for k, v in options.items()}).parquet(path)
+        elif fmt == "json":
+            df = spark.read.options(**{k: str(v) for k, v in options.items()}).json(path)
+        elif fmt == "orc":
+            df = spark.read.options(**{k: str(v) for k, v in options.items()}).orc(path)
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+        return cls(df, order_by=order_by)
+
+    @classmethod
+    def from_df(
+        cls, df: DataFrame, order_by: Sequence[str] | None = None
+    ) -> "LazyFrame":
+        return cls(df, order_by=order_by)
+
+    # ------------------------------------------------------------------ #
+    # row ids (lazy attach — open() must stay a no-I/O promise)
+    # ------------------------------------------------------------------ #
+
+    def _with_ids(self) -> DataFrame:
+        if ROW_ID in self._df.columns:
+            return self._df
+        df = with_row_ids(self._df, order_by=self._order_by)
+        self._df = df  # cache: id assignment is deterministic & reusable
+        return df
+
+    # ------------------------------------------------------------------ #
+    # shape & names (M2/M3 parity)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if c != ROW_ID]
+
+    def names(self) -> list[str]:
+        return self.columns
+
+    def rename(self, names: Sequence[str] | dict[str, str]) -> "LazyFrame":
+        """``names<-`` parity (``R/lazy.frame.R:217-226``)."""
+        cols = self.columns
+        if isinstance(names, dict):
+            mapping = dict(names)
+        else:
+            names = list(names)
+            if len(names) != len(cols):
+                raise ValueError(f"expected {len(cols)} names, got {len(names)}")
+            mapping = dict(zip(cols, names))
+        df = self._df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        return LazyFrame(df, self._attrs.renamed(mapping), self._order_by)
+
+    def nrow(self) -> int:
+        return self._df.count()
+
+    def ncol(self) -> int:
+        return len(self.columns)
+
+    def dim(self) -> tuple[int, int]:
+        return (self.nrow(), self.ncol())
+
+    # ------------------------------------------------------------------ #
+    # projection (P3 parity)
+    # ------------------------------------------------------------------ #
+
+    def select(self, cols: str | int | Sequence[str | int]) -> "LazyFrame":
+        """Project by name or 1-based positive index; out-of-range indices
+        are silently dropped (``R/lazy.frame.R:145-147``)."""
+        names = self._resolve_cols(cols)
+        keep = [c for c in self._df.columns if c == ROW_ID] + names
+        return LazyFrame(
+            self._df.select(*[_qcol(c) for c in keep]),
+            self._attrs.restrict(names),
+            self._order_by,
+        )
+
+    def _resolve_cols(self, cols: str | int | Sequence[str | int]) -> list[str]:
+        if isinstance(cols, (str, int)):
+            cols = [cols]
+        all_cols = self.columns
+        out: list[str] = []
+        for c in cols:
+            if isinstance(c, bool):
+                raise TypeError("boolean column selectors are not supported")
+            if isinstance(c, int):
+                if c < 1:
+                    raise IndexError(
+                        "only positive 1-based column indices are supported"
+                    )
+                if c <= len(all_cols):  # OOB silently dropped (parity)
+                    out.append(all_cols[c - 1])
+            elif isinstance(c, str):
+                if c in all_cols:  # unknown names silently dropped (parity)
+                    out.append(c)
+            else:
+                raise TypeError(f"bad column selector {c!r}")
+        return out
+
+    # ------------------------------------------------------------------ #
+    # positional selection (P1/P2 parity)
+    # ------------------------------------------------------------------ #
+
+    def row_range(self, lo: int, hi: int) -> "LazyFrame":
+        """Rows ``lo..hi`` inclusive, 1-based (RANGE, src/lazy.frame.c:189-216).
+
+        Compiles to a ``__row_id__ BETWEEN`` predicate — Parquet row-group
+        stats prune non-matching groups, the distributed analogue of the
+        reference's single seek+read between newline offsets.
+        """
+        df = self._with_ids()
+        return LazyFrame(
+            df.filter(F.col(ROW_ID).between(int(lo), int(hi))),
+            self._attrs.copy(),
+            self._order_by,
+        )
+
+    def rows(self, indices: Iterable[int]) -> "LazyFrame":
+        """Arbitrary row set, 1-based (LINES, src/lazy.frame.c:219-245).
+
+        Set semantics in ``__row_id__`` order — the reference's dominant
+        behavior (its contiguity shortcut already ignores request order,
+        ``R/lazy.frame.R:152``, documented in SURVEY.md §2.1). Small sets
+        become an ``isin`` (pushed to the scan); large sets become a
+        broadcast semi-join against an id DataFrame so the predicate never
+        bloats the plan.
+        """
+        ids = sorted({int(i) for i in indices})
+        if any(i < 1 for i in ids):
+            raise IndexError("row indices are 1-based and must be positive")
+        df = self._with_ids()
+        if not ids:
+            return LazyFrame(df.filter(F.lit(False)), self._attrs.copy(), self._order_by)
+        if len(ids) == ids[-1] - ids[0] + 1:  # contiguous → range pruning
+            pred = F.col(ROW_ID).between(ids[0], ids[-1])
+            return LazyFrame(df.filter(pred), self._attrs.copy(), self._order_by)
+        if len(ids) <= 10_000:
+            pred = F.col(ROW_ID).isin(ids)
+            return LazyFrame(df.filter(pred), self._attrs.copy(), self._order_by)
+        lookup = df.sparkSession.createDataFrame(
+            [(i,) for i in ids], schema=f"{ROW_ID} long"
+        )
+        joined = df.join(F.broadcast(lookup), on=ROW_ID, how="left_semi")
+        return LazyFrame(joined, self._attrs.copy(), self._order_by)
+
+    def head(self, n: int = 6) -> "LazyFrame":
+        """First n rows in positional order (L1, ``R/lazy.frame.R:234-239``)."""
+        df = self._with_ids()
+        return LazyFrame(
+            df.orderBy(ROW_ID).limit(int(n)), self._attrs.copy(), self._order_by
+        )
+
+    def tail(self, n: int = 6) -> "LazyFrame":
+        """Last n rows in positional order (L2, ``R/lazy.frame.R:241-244``)."""
+        df = self._with_ids()
+        last = df.orderBy(F.col(ROW_ID).desc()).limit(int(n)).orderBy(ROW_ID)
+        return LazyFrame(last, self._attrs.copy(), self._order_by)
+
+    # ------------------------------------------------------------------ #
+    # predicates (F1/F2/F3 parity)
+    # ------------------------------------------------------------------ #
+
+    def col(self, col: str | int) -> Column:
+        """First-class column expression — replaces the reference's mutable
+        ``which``-staging (``R/lazy.frame.R:132-140``): ``col()`` is already
+        an unevaluated expression, no handle mutation needed."""
+        names = self._resolve_cols(col)
+        if len(names) != 1:
+            raise KeyError(f"no such column: {col!r}")
+        return _qcol(names[0])
+
+    def filter(self, col: str | int | Column, op: str | None = None, value: Any = None) -> "LazyFrame":
+        """``x[x[,k] op v, ]`` in one Catalyst plan (F3). Either a Column
+        predicate, or (col, op, scalar) in the reference's RHS-typed
+        domain (F2)."""
+        if isinstance(col, Column):
+            pred = col
+        else:
+            if op is None:
+                raise ValueError("filter(col, op, value) requires op and value")
+            pred = typed_compare(self.col(col), op, value)
+        return LazyFrame(self._df.filter(pred), self._attrs.copy(), self._order_by)
+
+    def which(
+        self, col: str | int | Column, op: str | None = None, value: Any = None,
+        collect: bool = False,
+    ):
+        """Matching 1-based row indices (WHICH, ``src/lazy.frame.c:507-773``;
+        1-based via ``R/lazy.frame.R:203``). Returns a DataFrame of ids in
+        ascending order; ``collect=True`` opts into a driver-side list —
+        the reference's own anti-scale pattern, off by default."""
+        self._with_ids()
+        filtered = self.filter(col, op, value)
+        ids = filtered._df.select(ROW_ID).orderBy(ROW_ID)
+        if collect:
+            return [r[ROW_ID] for r in ids.collect()]
+        return ids.withColumnRenamed(ROW_ID, "row_id")
+
+    # ------------------------------------------------------------------ #
+    # R-flavored indexing sugar
+    # ------------------------------------------------------------------ #
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.col(key)
+        if isinstance(key, Column):
+            return self.filter(key)
+        if isinstance(key, tuple) and len(key) == 2:
+            j, k = key
+            out = self
+            if j is not None:
+                if isinstance(j, Column):
+                    out = out.filter(j)
+                elif isinstance(j, slice):
+                    lo = 1 if j.start is None else j.start
+                    hi = out.nrow() if j.stop is None else j.stop
+                    out = out.row_range(lo, hi)
+                elif isinstance(j, int):
+                    out = out.rows([j])
+                else:
+                    out = out.rows(j)
+            if k is not None:
+                out = out.select(k)
+            return out
+        if isinstance(key, (list, range)):
+            return self.rows(key)
+        raise TypeError(f"unsupported index {key!r}")
+
+    def __setitem__(self, key, value):  # M6 parity (R/lazy.frame.R:121-124)
+        raise TypeError(READ_ONLY_MSG)
+
+    # ------------------------------------------------------------------ #
+    # column metadata (M1 parity)
+    # ------------------------------------------------------------------ #
+
+    def column_attr(self, col: str | int, which: str | None = None):
+        names = self._resolve_cols(col)
+        if len(names) != 1:
+            raise KeyError(f"no such column: {col!r}")
+        return self._attrs.get(names[0], which)
+
+    def set_column_attr(self, col: str | int, which: str, value: Any) -> "LazyFrame":
+        names = self._resolve_cols(col)
+        if len(names) != 1:
+            raise KeyError(f"no such column: {col!r}")
+        self._attrs.set(names[0], which, value)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # materialization & introspection
+    # ------------------------------------------------------------------ #
+
+    def to_df(self, with_row_id: bool = False) -> DataFrame:
+        """The underlying (lazy) DataFrame, data columns only by default."""
+        if with_row_id:
+            return self._with_ids()
+        return self._df.select(*[_qcol(c) for c in self.columns])
+
+    def to_pandas(self):
+        """Materialize via Arrow; re-apply column attributes here — the
+        materialization boundary, exactly where the reference re-applies
+        them (R/lazy.frame.R:167-178)."""
+        pdf = self.to_df().toPandas()
+        return self._attrs.apply_to_pandas(pdf)
+
+    def collect(self):
+        return self.to_df().collect()
+
+    def show(self, n: int = 6, truncate: bool = True) -> None:
+        """print parity (R/lazy.frame.R:252-261)."""
+        total = self.nrow()
+        self.to_df().show(n, truncate=truncate)
+        if total > n:
+            print(f"({total - n} more rows not displayed)")
+
+    def describe_str(self) -> str:
+        """str parity (R/lazy.frame.R:246-250)."""
+        fields = ", ".join(f"{f.name}:{f.dataType.simpleString()}" for f in self.schema)
+        return f"LazyFrame [{self.nrow()} x {self.ncol()}] ({fields})"
+
+    def summary(self) -> DataFrame:
+        """The reference warns 'Not yet supported' (R/lazy.frame.R:115-119);
+        here it is a distributed aggregate for free. (Dotted column names
+        are aliased around Spark's StatFunctions quoting bug and restored
+        in the output.)"""
+        cols = self.columns
+        safe = [c.replace(".", "__dot__") for c in cols]
+        out = self.to_df().toDF(*safe).summary()
+        return out.toDF("summary", *cols)
+
+    @property
+    def schema(self):
+        return self.to_df().schema
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode=mode)
+
+    def register(self, path: str, order_by: Sequence[str] | None = None) -> "LazyFrame":
+        """Persist with materialized row ids to Parquet — makes positional
+        numbering repeatable across sessions (the reference's same-file ⇒
+        same-numbering contract) and gets row-group pruning on
+        ``__row_id__`` predicates for free."""
+        df = LazyFrame(self._df, self._attrs, order_by or self._order_by)._with_ids()
+        df.write.mode("overwrite").parquet(path)
+        spark = df.sparkSession
+        return LazyFrame(spark.read.parquet(path), self._attrs.copy(), self._order_by)
+
+
+def _infer_format(path: str) -> str:
+    p = path.lower()
+    if p.endswith(".gz"):
+        p = p[: -len(".gz")]
+    for ext, fmt in ((".csv", "csv"), (".tsv", "csv"), (".txt", "csv"),
+                     (".parquet", "parquet"), (".json", "json"), (".orc", "orc")):
+        if p.endswith(ext):
+            return fmt
+    return "parquet" if "." not in p.rsplit("/", 1)[-1] else "csv"

@@ -1,0 +1,54 @@
+"""SparkSession bootstrap tuned for this engine.
+
+Local testing runs ``local[N]``; the same configuration is what we would
+ship to a 1000-executor cluster — AQE on (runtime re-planning, skew-join
+handling, partition coalescing), UTC session timezone (oracle parity with
+DuckDB, whose timestamps are UTC-naive), Arrow-based Python interop for the
+few Pandas-UDF operators, and shuffle partitions sized to the local core
+count (on a real cluster AQE coalescing makes the static number far less
+critical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "lazy_frame_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard config."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable knobs to an externally created
+    session (the verify driver builds its own ``SparkSession``).
+
+    Only touches conf that is safe to set post-startup.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+    except Exception:  # pragma: no cover - conf may be fixed by the driver
+        pass
+    return spark

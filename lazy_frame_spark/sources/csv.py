@@ -1,0 +1,227 @@
+"""Delimited-text source — S1 parity (``R/lazy.frame.R:37-87``) rebuilt
+Spark-native.
+
+The reference opens a file, scans it once to index newlines, samples ≤5
+lines through ``read.table`` to learn column count/names, and auto-detects
+a header row (``R/lazy.frame.R:67-84``). Crucially it re-infers column
+*types* per extracted subset — a semantic hazard (same column, different
+types across subsets) that SURVEY.md §1.2 directs us NOT to replicate:
+here the schema is inferred **once** at open and bound to the plan.
+
+Two read paths:
+
+``skip == 0``
+    plain ``spark.read.csv`` with Spark's splittable text reader —
+    header/quote/escape/compression handled natively, inferSchema for the
+    infer-once pass, CSV column pruning + pushdown stay available.
+
+``skip > 0``
+    Spark CSV has no skip-lines option. Spark-first reconstruction: read
+    as ``text``, attach file-order row ids (lazy_frame_spark.rowid), drop
+    the first ``skip`` (+header) lines with a row-id predicate, then parse
+    each line JVM-side with ``from_csv`` against the once-inferred schema.
+    Fully distributed, no Python in the row path.
+
+Header auto-detection mirrors the reference's sample heuristic
+(``R/lazy.frame.R:76-79``): sample the first ≤5 data lines; a first row
+that is non-numeric in a position where the following rows are numeric is
+a header.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lazy_frame_spark.rowid import ROW_ID, with_row_ids
+
+SAMPLE_LINES = 5  # the reference samples at most 5 rows (R/lazy.frame.R:67-70)
+
+
+def open_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool | str = "auto",
+    skip: int = 0,
+    schema: T.StructType | str | None = None,
+    quote: str = '"',
+    escape: str = '"',
+    null_value: str = "",
+    row_names: int | None = None,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """Open a delimited text file (plain or gzip) as a lazy DataFrame."""
+    sample = _sample_lines(spark, path, skip, SAMPLE_LINES + 1)
+    if not sample:
+        raise ValueError(f"empty input: {path}")
+    parsed = _parse_lines(sample, sep, quote)
+    has_header = _detect_header(parsed) if header == "auto" else bool(header)
+
+    names: list[str] | None = None
+    if has_header and parsed:
+        names = _make_names(parsed[0])
+
+    if skip == 0:
+        reader = (
+            spark.read.option("sep", sep)
+            .option("header", str(has_header).lower())
+            .option("quote", quote)
+            .option("escape", escape)
+            .option("nullValue", null_value)
+            .option("mode", "PERMISSIVE")
+        )
+        if schema is not None:
+            df = reader.schema(schema).csv(path)
+        elif infer_schema:
+            df = reader.option("inferSchema", "true").csv(path)
+        else:
+            df = reader.csv(path)
+        if not has_header and names is None:
+            df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
+    else:
+        df = _open_with_skip(
+            spark, path, sep, has_header, skip, schema, quote, escape,
+            null_value, parsed, names,
+        )
+
+    if row_names is not None:
+        cols = df.columns
+        if not (1 <= row_names <= len(cols)):
+            raise IndexError(f"row_names column {row_names} out of range")
+        df = df.withColumnRenamed(cols[row_names - 1], "__row_name__")
+    return df
+
+
+def _open_with_skip(
+    spark: SparkSession,
+    path: str,
+    sep: str,
+    has_header: bool,
+    skip: int,
+    schema: T.StructType | str | None,
+    quote: str,
+    escape: str,
+    null_value: str,
+    parsed_sample: list[list[str]],
+    names: list[str] | None,
+) -> DataFrame:
+    data_rows = parsed_sample[1:] if has_header else parsed_sample
+    if schema is None:
+        schema = _infer_schema_from_sample(data_rows, names)
+    elif isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
+    text = with_row_ids(spark.read.text(path))
+    drop = skip + (1 if has_header else 0)
+    body = text.filter(F.col(ROW_ID) > drop)
+    opts = {"sep": sep, "quote": quote, "escape": escape, "nullValue": null_value,
+            "mode": "PERMISSIVE"}
+    parsed = body.select(
+        F.col(ROW_ID),
+        F.from_csv(F.col("value"), schema.simpleString(), opts).alias("__rec__"),
+    )
+    out = parsed.select(ROW_ID, "__rec__.*")
+    # re-base ids so logical row 1 is the first data row (internalskip parity,
+    # R/lazy.frame.R:65,153)
+    return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop))
+
+
+def _sample_lines(spark: SparkSession, path: str, skip: int, n: int) -> list[str]:
+    """First ``n`` lines after ``skip`` — a driver-side peek at the head of
+    the file (the reference extracts rows 1..5 to a temp file); reads only
+    the first split, never the whole file."""
+    taken = spark.sparkContext.textFile(path).take(skip + n)
+    return taken[skip:]
+
+
+def _parse_lines(lines: list[str], sep: str, quote: str) -> list[list[str]]:
+    out = []
+    for ln in lines:
+        r = _csv.reader(io.StringIO(ln), delimiter=sep, quotechar=quote)
+        row = next(r, [])
+        out.append(row)
+    return out
+
+
+def _is_numeric(s: str) -> bool:
+    if s is None or s == "":
+        return False
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _detect_header(parsed: list[list[str]]) -> bool:
+    """First row non-numeric where subsequent rows are numeric → header."""
+    if len(parsed) < 2:
+        return False
+    first, rest = parsed[0], parsed[1:]
+    ncol = max(len(r) for r in parsed)
+    for i in range(ncol):
+        head_val = first[i] if i < len(first) else ""
+        col_vals = [r[i] for r in rest if i < len(r) and r[i] != ""]
+        if col_vals and all(_is_numeric(v) for v in col_vals) and not _is_numeric(head_val):
+            return True
+    return False
+
+
+def _make_names(raw: list[str]) -> list[str]:
+    """Sanitize header names (make.names parity, R/lazy.frame.R:221)."""
+    out, seen = [], set()
+    for i, name in enumerate(raw):
+        n = name.strip() or f"V{i + 1}"
+        n = "".join(ch if (ch.isalnum() or ch in "._") else "." for ch in n)
+        if n[0].isdigit():
+            n = "X" + n
+        base, k = n, 1
+        while n in seen:
+            n = f"{base}.{k}"
+            k += 1
+        seen.add(n)
+        out.append(n)
+    return out
+
+
+def _infer_field_type(values: list[str]) -> T.DataType:
+    """Infer one column's type from sample values — infer-once, bound to
+    the plan (deliberate divergence from per-subset inference,
+    SURVEY.md §1.2)."""
+    vals = [v for v in values if v not in ("", None)]
+    if not vals:
+        return T.StringType()
+    if all(v.lower() in ("true", "false") for v in vals):
+        return T.BooleanType()
+
+    def is_int(v: str) -> bool:
+        try:
+            int(v)
+            return True
+        except ValueError:
+            return False
+
+    if all(is_int(v) for v in vals):
+        return T.LongType()
+    if all(_is_numeric(v) for v in vals):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _infer_schema_from_sample(
+    rows: list[list[str]], names: list[str] | None
+) -> T.StructType:
+    ncol = max(len(r) for r in rows) if rows else 0
+    if names is None:
+        names = [f"V{i + 1}" for i in range(ncol)]
+    fields = []
+    for i in range(ncol):
+        col_vals = [r[i] for r in rows if i < len(r)]
+        fields.append(T.StructField(names[i], _infer_field_type(col_vals), True))
+    return T.StructType(fields)

@@ -1,0 +1,47 @@
+"""Parquet sink/source helpers — the engine's registered (indexed) form.
+
+The reference is strictly read-only (``R/lazy.frame.R:121-124``); sinks are
+a capability its users got by materializing to R and writing from there.
+Here writing is first-class and scale-aware: partitioned parquet with
+optional bucketing for co-located joins (bucket both sides of a hot join
+key once, join shuffle-free forever after).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table: joins/aggregations on the bucket
+    key skip the shuffle entirely (Catalyst sees the bucketing and plans a
+    shuffle-free sort-merge join)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table, format="parquet")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

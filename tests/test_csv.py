@@ -1,0 +1,112 @@
+"""CSV source semantics (SURVEY.md §2.1 fine print + FIXTURES.md F4):
+header auto-detect, skip, gzip, quoting, malformed numerics."""
+
+import gzip
+
+import pytest
+
+from lazy_frame_spark import LazyFrame
+from lazy_frame_spark.sources.csv import open_csv
+
+CONTENT = """id,qty,price,label
+1,10,1.5,alpha
+2,-3,1e3,beta
+3,,3.14,"a,b"
+4,7,abc,"x""y"
+5,2,,gamma
+"""
+
+
+@pytest.fixture(scope="module")
+def plain_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "edge.csv"
+    p.write_text(CONTENT)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def gz_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "edge.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(CONTENT)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def noheader_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "nohdr.csv"
+    p.write_text("1,2.5,x\n2,3.5,y\n3,4.5,z\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def skip_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "skip.csv"
+    p.write_text("# junk line 1\n# junk line 2\nid,val\n1,10.5\n2,20.5\n3,30.5\n")
+    return str(p)
+
+
+def test_header_autodetect_on(spark, plain_csv):
+    df = open_csv(spark, plain_csv)  # header="auto"
+    assert df.columns == ["id", "qty", "price", "label"]
+    assert df.count() == 5
+
+
+def test_header_autodetect_off(spark, noheader_csv):
+    df = open_csv(spark, noheader_csv)
+    assert df.columns == ["V1", "V2", "V3"]
+    assert df.count() == 3
+
+
+def test_gzip_transparent(spark, gz_csv, plain_csv):
+    a = open_csv(spark, gz_csv).toPandas().sort_values("id").reset_index(drop=True)
+    b = open_csv(spark, plain_csv).toPandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_quoted_fields(spark, plain_csv):
+    pdf = open_csv(spark, plain_csv).toPandas().sort_values("id")
+    assert pdf["label"].tolist() == ["alpha", "beta", "a,b", 'x"y', "gamma"]
+
+
+def test_empty_fields_dont_shift_columns(spark, plain_csv):
+    # the reference's strtok collapses empty fields (src/lazy.frame.c:300-313)
+    # — a bug we fix (SURVEY.md §2.1)
+    pdf = open_csv(spark, plain_csv).toPandas().sort_values("id").set_index("id")
+    # price infers as string (the 'abc' row) — value must still be in the
+    # right column despite row 3's empty qty field
+    assert float(pdf.loc[3, "price"]) == 3.14
+
+
+def test_malformed_numeric_compare_false(spark, plain_csv):
+    # price 'abc' (row 4) → NULL under try_cast → compare-false
+    lf = LazyFrame.from_df(open_csv(spark, plain_csv), order_by=["id"])
+    assert lf.which("price", ">", 0.0, collect=True) == [1, 2, 3]
+
+
+def test_skip_lines(spark, skip_csv):
+    df = open_csv(spark, skip_csv, skip=2)
+    assert df.columns == ["__row_id__", "id", "val"]
+    pdf = df.toPandas().sort_values("id")
+    assert pdf["id"].tolist() == [1, 2, 3]
+    assert pdf["val"].tolist() == [10.5, 20.5, 30.5]
+    assert pdf["__row_id__"].tolist() == [1, 2, 3]
+
+
+def test_skip_schema_inferred_once(spark, skip_csv):
+    df = open_csv(spark, skip_csv, skip=2)
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    assert types["id"] == "bigint"
+    assert types["val"] == "double"
+
+
+def test_tsv_sep(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "t.tsv"
+    p.write_text("a\t1\nb\t2\n")
+    df = open_csv(spark, str(p), sep="\t")
+    assert df.count() == 2 and len(df.columns) == 2
+
+
+def test_explicit_header_false_keeps_first_row(spark, plain_csv):
+    df = open_csv(spark, plain_csv, header=False)
+    assert df.count() == 6
