@@ -1,0 +1,139 @@
+"""Join operators.
+
+The reference has no joins (SURVEY.md §2.2) — its users materialized
+subsets into R and merged there. Here joins are native and scale-aware:
+
+- equi-joins go through ``df.join`` and Catalyst picks broadcast-hash /
+  shuffled-hash / sort-merge (AQE re-plans at runtime and handles skew);
+- ``broadcast_dim_join`` pins the small side so a 100 TB fact scan never
+  shuffles just to pick up dimension attributes;
+- ``range_join`` expresses interval predicates as non-equi join conditions,
+  with an optional equi "bucket" pre-key to keep it out of
+  broadcast-nested-loop territory at scale;
+- ``asof_join`` is the one genuinely missing primitive: implemented as
+  union + single window pass (one shuffle on the key), NOT a
+  per-row correlated lookup — the only formulation that survives 100×
+  scale-up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ small dimension with an explicit broadcast hint: the fact side
+    keeps its partitioning, no shuffle."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    return left.join(right, on=on, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition,
+    equi_on: str | Sequence[str] | None = None,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval/range join: ``condition`` is a non-equi Column predicate
+    (e.g. ``l.ts BETWEEN r.lo AND r.hi``).
+
+    Scale notes: a pure non-equi join plans as broadcast-nested-loop —
+    fine when the right side is small (bands, calendars); for two large
+    sides pass ``equi_on`` (a shared bucket key, e.g. a coarsened time
+    bucket) so the plan becomes a shuffled equi-join with the range
+    predicate as a post-filter.
+    """
+    r = F.broadcast(right) if broadcast_right and equi_on is None else right
+    if equi_on is not None:
+        equi = [equi_on] if isinstance(equi_on, str) else list(equi_on)
+        cond = condition
+        for k in equi:
+            cond = (left[k] == r[k]) & cond
+        return left.join(r, on=cond)
+    return left.join(r, on=condition)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_time <= left_time`` (direction='backward'; 'forward' takes the
+    next one) sharing the key ``on``.
+
+    Implementation: tag and union both inputs, then one window pass per
+    key ordered by time — ``last(value, ignorenulls=True)`` carries the
+    latest right-side values forward onto left rows. Exactly one shuffle
+    (hash by key), no row explosion, no correlated subquery; this is the
+    formulation that holds at 1000 executors. Ties (equal timestamps)
+    resolve to the right row (right sorts before left at equal time).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    t = "__asof_t__"
+    side = "__asof_side__"  # 0 = right (sorts first at equal time), 1 = left
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        F.col(left_time).alias(t),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in value_cols],
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_time).alias(t),
+        F.lit(0).alias(side),
+        *[F.col(c).alias(f"__r_{c}__") for c in value_cols],
+    ).select(*lcols, t, side, *[f"__r_{c}__" for c in value_cols])
+
+    unioned = tagged_left.unionByName(tagged_right)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(t).asc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(f"__asof_{c}__")
+            for c in value_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(t).desc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(f"__asof_{c}__")
+            for c in value_cols
+        ]
+
+    out = unioned.select(*lcols, F.col(side), *carried).filter(F.col(side) == 1)
+    renames = {f"__asof_{c}__": c for c in value_cols}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.drop(side)

@@ -1,0 +1,114 @@
+"""Relational operators: as-of join semantics, range join, sampling,
+top-k determinism."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazy_frame_spark.operators.joins import anti_join, asof_join, range_join, semi_join
+from lazy_frame_spark.operators.sampling import deterministic_sample, stratified_sample
+from lazy_frame_spark.operators.sorts import top_k
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:00:03"), 100.0),
+            ("A", ts("2024-01-01 10:00:00"), 99.0),
+            ("B", ts("2024-01-01 10:00:01"), 50.0),
+            ("C", ts("2024-01-01 10:00:05"), 7.0),  # no quote for C
+        ],
+        "sym string, t timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 09:59:59"), 98.5),
+            ("A", ts("2024-01-01 10:00:02"), 99.5),
+            ("A", ts("2024-01-01 10:00:03"), 99.9),  # tie with trade 1
+            ("B", ts("2024-01-01 10:00:04"), 49.0),  # after B's trade
+        ],
+        "sym string, qt timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        value_cols=["bid"],
+    ).toPandas().set_index(["sym", "px"])
+    # trade at 10:00:03 ties with quote at 10:00:03 → takes it (<= semantics)
+    assert out.loc[("A", 100.0), "bid"] == 99.9
+    assert out.loc[("A", 99.0), "bid"] == 98.5
+    # B's only quote is later → no match
+    assert out.loc[("B", 50.0), "bid"] != out.loc[("B", 50.0), "bid"] or \
+        out.loc[("B", 50.0), "bid"] is None or str(out.loc[("B", 50.0), "bid"]) == "nan"
+    assert str(out.loc[("C", 7.0), "bid"]) == "nan"
+
+
+def test_asof_forward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        value_cols=["bid"], direction="forward",
+    ).toPandas().set_index(["sym", "px"])
+    assert out.loc[("B", 50.0), "bid"] == 49.0  # next quote after the trade
+    assert out.loc[("A", 99.0), "bid"] == 99.5  # next at/after 10:00:00 is 10:00:02
+
+
+def test_asof_row_count_preserved(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="sym", left_time="t", right_time="qt",
+                    value_cols=["bid"])
+    assert out.count() == trades.count()
+
+
+def test_range_join(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 50.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 40.0)], "band string, lo double, hi double"
+    )
+    out = range_join(
+        pts, bands, condition=(pts["v"] >= bands["lo"]) & (pts["v"] < bands["hi"])
+    ).select("id", "band").toPandas().set_index("id")
+    assert out.loc[1, "band"] == "lo"
+    assert out.loc[2, "band"] == "hi"
+    assert 3 not in out.index  # outside all bands → dropped (inner)
+
+
+def test_semi_anti_partition(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = semi_join(c, o, on="c_custkey").count()
+    without = anti_join(c, o, on="c_custkey").count()
+    assert with_orders + without == c.count()
+
+
+def test_deterministic_sample_is_stable(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = deterministic_sample(o, "o_orderkey", 10).count()
+    b = deterministic_sample(o, "o_orderkey", 10).count()
+    assert a == b > 0
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = stratified_sample(li, "l_returnflag", {"R": 0.5, "A": 0.0, "N": 0.0}, seed=1)
+    flags = {r[0] for r in out.select("l_returnflag").distinct().collect()}
+    assert flags == {"R"}
+
+
+def test_topk_deterministic(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5).collect()
+    b = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5).collect()
+    assert a == b and len(a) == 5
