@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors, all designed so the candidate-generation step is a shuffle
+on a *sketch key* (hash bucket), never an all-pairs comparison:
+
+- ``exact_dedup``: hash-groupBy on content (or normalized fingerprint);
+  the winner per group is the min id — deterministic across engines.
+- ``minhash_*``: word-shingle MinHash signatures + banded LSH. Candidate
+  pairs come from an equi-join on (band, bucket) — the only formulation
+  that scales: at 100 TB the join key is uniformly-distributed hash
+  buckets, and AQE handles residual skew. Signatures use md5-derived
+  token hashes and fixed affine permutations, so the DuckDB oracle can
+  reproduce them value-for-value.
+- ``simhash_*``: 32-bit SimHash with per-bit majority vote; near-dup =
+  hamming distance ≤ k via ``bit_count(a XOR b)``.
+- ``ngram_jaccard_pairs``: exact token-set Jaccard via explode +
+  equi-join on token (document-frequency pruning keeps the hot tokens
+  from exploding the join at scale).
+- embedding near-dup lives in operators/similarity.py (cosine path).
+
+Reference parity note: the reference has no dedup at all (SURVEY.md
+§2.2) — this module is north-star scope.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lazy_frame_spark.operators.text import normalized_fingerprint, tokens, word_shingles
+
+#: MinHash modulus: prime just above 2^32. Token hashes are reduced mod P
+#: first so a*h + b stays < 2^62 — no BIGINT overflow in either engine.
+MINHASH_P = 4_294_967_311
+
+#: fixed affine permutation parameters (seeded, hardcoded at import so the
+#: SQL oracle renders the same constants)
+_rng = random.Random(20240813)
+N_PERM = 12
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30)) for _ in range(N_PERM)
+]
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+SIMHASH_BITS = 32
+
+
+def token_hash(token: Column) -> Column:
+    """Portable 60-bit integer hash: md5 hex prefix → bigint. Identical in
+    Spark (conv) and DuckDB ('0x'||…)::BIGINT — the cross-engine anchor."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------- #
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Keep one row per distinct content: the one with the minimal id
+    (deterministic winner, unlike dropDuplicates' arbitrary first).
+    One hash aggregation; partial aggregation makes the shuffle carry one
+    row per distinct key per task."""
+    if normalize and len(content_cols) == 1:
+        key = normalized_fingerprint(F.col(content_cols[0])).alias("__key__")
+    else:
+        key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols])).alias("__key__")
+    winners = (
+        df.select(key, F.col(id_col))
+        .groupBy("__key__")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------- #
+# MinHash + banded LSH
+# --------------------------------------------------------------------- #
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """One row per document with columns m0..m{N_PERM-1} (the signature).
+
+    Shingles explode to one row each; each permutation's min aggregates in
+    one pass (partial agg → tiny shuffle: one row per doc)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("__sh__")
+    )
+    h = sh.select(id_col, (token_hash(F.col("__sh__")) % MINHASH_P).alias("__h__"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each signature into (band, bucket) rows: bucket = md5 of the
+    band's signature slice."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with
+    the estimated Jaccard = fraction of agreeing signature components."""
+    sig = minhash_signatures(df, text_col, id_col, shingle_n)
+    bb = lsh_band_buckets(sig, id_col)
+    a, b = bb.alias("a"), bb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERM)
+    )
+    return est.select(
+        "doc_a", "doc_b",
+        F.round(agree.cast("double") / N_PERM, 4).alias("est_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over distinct word tokens: per-bit majority vote of
+    md5-derived token hashes. One explode + one aggregation."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__t__")
+    )
+    h = tok.select(id_col, (token_hash(F.col("__t__")) % F.lit(1 << 32)).alias("__h__"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("__h__"), b) % 2 * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation bands the 32 bits into 4 chunks (pigeonhole: any
+    pair within hamming 4 shares at least one exact 8-bit chunk at
+    hamming ≤ 3... for strictness we verify the full distance after the
+    banded equi-join), so the join is equi on (chunk_idx, chunk_value) —
+    no cross join at scale."""
+    sh = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                (F.shiftright(F.col("simhash"), i * 8) % 256).alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------- #
+# exact n-gram Jaccard
+# --------------------------------------------------------------------- #
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard over all pairs sharing ≥1 token.
+
+    Candidates come from an equi-join on token. ``max_token_df`` drops
+    tokens appearing in more than that many documents (document-frequency
+    pruning) — at scale the stop-token join blowup, not the similarity
+    math, is what kills you."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tokn")
+    )
+    if max_token_df is not None:
+        keep = tok.groupBy("tokn").count().filter(F.col("count") <= max_token_df).select("tokn")
+        tok = tok.join(F.broadcast(keep), "tokn")
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.tokn") == F.col("b.tokn")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    j = common.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return j.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.round(jac, 4) >= threshold)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs both:
+
+- ``cosine_topk``: brute-force exact top-k against a query vector. The
+  dot product is a JVM-side ``aggregate``/``zip_with`` expression (no
+  Python, no shuffle until the final TakeOrderedAndProject) — the
+  correctness baseline and perfectly adequate for ≤10^7 vectors/executor.
+- ``RandomHyperplaneLSH``: sign-sketch bucketing for approximate search.
+  Hyperplane components are md5-derived (deterministic, seedable, no
+  stored model), so sketches are reproducible across runs and engines.
+  Candidates come from an equi-join on (table, bucket) — the scale path.
+- ``embedding_near_dup_pairs``: cosine near-duplicate pairs via the LSH
+  buckets (exact verify after banded candidate generation).
+
+The reference has nothing in this space; north-star scope (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. The query is
+    a plan literal (broadcast with the task binaries); similarity is
+    computed in whole-stage codegen; the limit plans as
+    TakeOrderedAndProject so only k rows per partition move."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec]).cast("array<double>")
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-sketch LSH: ``n_planes`` pseudo-random hyperplanes; bucket =
+    the sign bit-string. Planes are derived from md5(seed, plane, dim) —
+    deterministic, no fitted model to ship."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 7):
+        self.dim = dim
+        self.n_planes = n_planes
+        self.seed = seed
+
+    def _plane_component(self, p: int, d: int) -> float:
+        import hashlib
+
+        h = hashlib.md5(f"{self.seed}:{p}:{d}".encode()).hexdigest()
+        # uniform in [-1, 1) from the top 12 hex digits
+        return int(h[:12], 16) / float(1 << 48) * 2.0 - 1.0
+
+    def bucket_col(self, vec_col: str = "embedding") -> Column:
+        """The bucket id as a string of sign bits — pure JVM expression."""
+        bits = []
+        v = F.col(vec_col)
+        for p in range(self.n_planes):
+            plane = F.array(
+                *[F.lit(self._plane_component(p, d)) for d in range(self.dim)]
+            )
+            s = dot(v.cast("array<double>"), plane)
+            bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        return df.withColumn("__lsh_bucket__", self.bucket_col(vec_col))
+
+    def topk(
+        self,
+        df: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        probe_hamming: int = 2,
+    ) -> DataFrame:
+        """Approximate top-k: score only vectors whose bucket is within
+        ``probe_hamming`` sign flips of the query's bucket (multi-probe).
+        The bucket filter prunes the scan before any similarity math."""
+        qbits = ""
+        for p in range(self.n_planes):
+            s = sum(
+                self._plane_component(p, d) * float(query_vec[d]) for d in range(self.dim)
+            )
+            qbits += "1" if s >= 0 else "0"
+        bucketed = self.with_buckets(df, vec_col)
+        qlit = F.lit(qbits)
+        bcol = F.col("__lsh_bucket__")
+        # hamming distance between the two fixed-length bit strings
+        ham = sum(
+            (F.substring(bcol, i + 1, 1) != F.substring(qlit, i + 1, 1)).cast("int")
+            for i in range(self.n_planes)
+        )
+        cand = bucketed.filter(ham <= probe_hamming)
+        q = F.array(*[F.lit(float(v)) for v in query_vec]).cast("array<double>")
+        sim = cosine(F.col(vec_col).cast("array<double>"), q)
+        return (
+            cand.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(int(k))
+        )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lsh: RandomHyperplaneLSH | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold).
+
+    With ``lsh`` given, candidates are bucket-mates only (equi-join on the
+    sketch — the scale path: near-identical vectors agree on all sign
+    bits with high probability). Without it, an all-pairs join (only for
+    small/verification runs)."""
+    v = df.select(F.col(id_col), F.col(vec_col))
+    if lsh is not None:
+        b = lsh.with_buckets(v, vec_col)
+        a2, b2 = b.alias("a"), b.alias("b")
+        cand = a2.join(
+            b2,
+            (F.col("a.__lsh_bucket__") == F.col("b.__lsh_bucket__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+    else:
+        a2, b2 = v.alias("a"), v.alias("b")
+        cand = a2.join(b2, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    sim = cosine(
+        F.col(f"a.{vec_col}").cast("array<double>"),
+        F.col(f"b.{vec_col}").cast("array<double>"),
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

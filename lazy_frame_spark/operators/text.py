@@ -1,0 +1,152 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not in the reference (its only string op is strcmp predicate compare,
+``src/lazy.frame.c:377-406``) — these are the north-star extensions for a
+100 TB document pipeline. Everything here is pure JVM expression
+(``pyspark.sql.functions``): no Python in the row path, whole-stage
+codegen applies, and every op is embarrassingly parallel (no shuffle).
+
+Cross-engine determinism: token hashing is md5-based (``conv(substr(
+md5(x),1,15),16,10)``) — identical in Spark and DuckDB, so the oracle can
+verify fingerprints and sketches value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+#: tiny per-language function-word lexicons for the n-gram/stopword
+#: language-ID heuristic; deliberately small + deterministic
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que"],
+    "it": ["il", "la", "che", "e", "di", "un", "per", "non"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty text → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: punctuation split out as its own tokens
+    (a cheap, deterministic stand-in for BPE tokenizer counts)."""
+    spaced = F.regexp_replace(text, r"([^a-zA-Z0-9\s])", r" $1 ")
+    parts = F.split(F.trim(spaced), TOKEN_SPLIT_RE)
+    return F.size(F.filter(parts, lambda x: x != ""))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Consecutive n-word shingles (for MinHash/fingerprinting). Documents
+    shorter than n words contribute their full token string as one
+    shingle, so no document vanishes from the sketch."""
+    ws = tokens(text)
+    joined = F.array_join(ws, " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(ws) >= n, sh).otherwise(F.array(joined))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword quality signals + a composite score.
+
+    All ratios are exact integer basis points (``(x*10000) DIV total``) —
+    floating-point rounding at half-boundaries differs between engines
+    (Spark rounds via BigDecimal HALF_UP on the shortest decimal
+    representation, DuckDB on the raw double), so reproducible pipeline
+    thresholds demand integer arithmetic end-to-end.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tok = token_count(t).cast("bigint")
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("bigint")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?'\"()]", ""))).cast("bigint")
+    stop_re = r"\b(" + "|".join(LANG_LEXICONS["en"]) + r")\b"
+    stop_hits = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_re), 0)).cast("bigint")
+
+    # floor(int/int) in double is exact here: the gap between distinct
+    # rationals with these denominators (≥1e-4) dwarfs double error, and
+    # exact-integer quotients divide exactly under IEEE — in both engines.
+    alpha_bp = F.when(n_chars > 0, F.floor(alpha * 10000 / n_chars).cast("bigint")).otherwise(F.lit(0))
+    punct_bp = F.when(n_chars > 0, F.floor(punct * 10000 / n_chars).cast("bigint")).otherwise(F.lit(0))
+    stop_bp = F.when(n_tok > 0, F.floor(stop_hits * 10000 / n_tok).cast("bigint")).otherwise(F.lit(0))
+    mean_tok_len_x100 = F.when(n_tok > 0, F.floor(alpha * 100 / n_tok).cast("bigint")).otherwise(F.lit(0))
+    tok_bp = F.least(F.lit(10000).cast("bigint"), n_tok * 100)
+    score_bp = F.floor(
+        (
+            tok_bp * 4
+            + alpha_bp * 3
+            + F.least(F.lit(10000).cast("bigint"), stop_bp * 5) * 2
+            + (10000 - F.least(F.lit(10000).cast("bigint"), punct_bp * 10))
+        )
+        / 10
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_calc"),
+        mean_tok_len_x100.alias("mean_token_len_x100"),
+        alpha_bp.alias("alpha_bp"),
+        punct_bp.alias("punct_bp"),
+        stop_bp.alias("stopword_bp"),
+        score_bp.alias("quality_score_bp"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lexicon-hit language ID: count function-word matches per language,
+    argmax with deterministic tiebreak (higher count wins; ties break by
+    language code order); no hits → 'und'."""
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(words) + r")\b"), 0)
+        )
+        for lang, words in LANG_LEXICONS.items()
+    }
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pick = F.lit("und")
+    for lang in reversed(langs):  # earlier lang wins ties → apply in reverse
+        pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best > 0, pick).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pick.alias("lang_pred"),
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def kmin_shingle_fingerprint(text: Column, n: int = 3, k: int = 8) -> Column:
+    """Near-dup document fingerprint: the k smallest md5-derived shingle
+    hashes (a k-min sketch — the rolling-hash/winnowing family), hashed
+    again into one token. Two documents share the fingerprint iff their
+    k minimal shingles agree."""
+    sh = word_shingles(text, n)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    kmin = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+    return F.md5(F.array_join(F.transform(kmin, lambda h: h.cast("string")), ","))

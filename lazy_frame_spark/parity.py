@@ -763,3 +763,397 @@ def sample_stratified(spark, sf_dir):
     return stratified_sample(
         li, "l_returnflag", {"R": 0.02, "A": 0.02, "N": 0.005}, seed=7
     )
+
+
+# ===================================================================== #
+# M4 — training-data pipeline operators (north-star scope; BASELINE.json)
+# Dedup, similarity search, text analysis, multimodal plumbing.
+# ===================================================================== #
+
+from lazy_frame_spark.operators import dedup as _dd  # noqa: E402
+from lazy_frame_spark.operators import multimodal as _mm  # noqa: E402
+from lazy_frame_spark.operators import similarity as _sim  # noqa: E402
+from lazy_frame_spark.operators import text as _tx  # noqa: E402
+
+# ---- shared SQL fragments (rendered from the same constants the Spark
+# implementations use, so both engines compute identical sketches) ------ #
+
+_SQL_TOKENS = (
+    "SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t "
+    "FROM documents"
+)
+
+_SQL_SHINGLES = """
+SELECT doc_id, unnest(list_distinct(
+  CASE WHEN len(ws) >= 3
+    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]
+    ELSE [array_to_string(ws, ' ')] END)) AS sh
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+"""
+
+_SQL_TOKEN_HASH = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min(({a}::BIGINT * h + {b}) % {_dd.MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_dd.MINHASH_PERMS)
+    )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, {_SQL_TOKEN_HASH.format(v='sh')} % {_dd.MINHASH_P} AS h FROM sh)
+    SELECT doc_id, {mins} FROM h GROUP BY doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(((hv >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_dd.SIMHASH_BITS)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)::BIGINT"
+        for b in range(_dd.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS ({_SQL_TOKENS}),
+    h AS (SELECT doc_id, {_SQL_TOKEN_HASH.format(v='t')} % 4294967296 AS hv FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, {recon} AS simhash FROM bits
+    """
+
+
+# --------------------------------------------------------------------- #
+# Text analysis
+# --------------------------------------------------------------------- #
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _tx.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "text_quality_features",
+    # integer basis points (FLOOR(x*10000/total)) — exact in both engines;
+    # float ROUND at half-boundaries is NOT portable (Spark BigDecimal
+    # HALF_UP vs DuckDB raw-double rounding)
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha,
+             (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))::BIGINT AS punct,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b'))::BIGINT AS stop_hits
+      FROM documents),
+    g AS (
+      SELECT doc_id, n_tok, n_chars,
+             CASE WHEN n_tok > 0 THEN FLOOR(alpha * 100 / n_tok)::BIGINT ELSE 0 END AS mean_token_len_x100,
+             CASE WHEN n_chars > 0 THEN FLOOR(alpha * 10000 / n_chars)::BIGINT ELSE 0 END AS alpha_bp,
+             CASE WHEN n_chars > 0 THEN FLOOR(punct * 10000 / n_chars)::BIGINT ELSE 0 END AS punct_bp,
+             CASE WHEN n_tok > 0 THEN FLOOR(stop_hits * 10000 / n_tok)::BIGINT ELSE 0 END AS stopword_bp,
+             least(10000::BIGINT, n_tok * 100) AS tok_bp
+      FROM f)
+    SELECT doc_id, n_tok AS n_tokens, n_chars AS n_chars_calc,
+           mean_token_len_x100, alpha_bp, punct_bp, stopword_bp,
+           FLOOR((tok_bp * 4 + alpha_bp * 3
+                  + least(10000::BIGINT, stopword_bp * 5) * 2
+                  + (10000 - least(10000::BIGINT, punct_bp * 10))) / 10)::BIGINT
+             AS quality_score_bp
+    FROM g
+    """,
+)
+def text_quality_features(spark, sf_dir):
+    return _tx.quality_features(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS score_de,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b')) AS score_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|en|que)\b')) AS score_es,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que)\b')) AS score_fr,
+        len(regexp_extract_all(lower(text), '\b(il|la|che|e|di|un|per|non)\b')) AS score_it
+      FROM documents)
+    SELECT doc_id, score_de, score_en, score_es, score_fr, score_it,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_it) = 0 THEN 'und'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'es'
+                WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'fr'
+                ELSE 'it' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    return _tx.lang_id(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _tx.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "text_kmin_fingerprint",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    h AS (SELECT doc_id, {_SQL_TOKEN_HASH.format(v='sh')} AS hv FROM sh)
+    SELECT doc_id,
+           md5(array_to_string(list_transform(list_sort(list(DISTINCT hv))[1:8],
+                x -> x::VARCHAR), ',')) AS kmin_fp
+    FROM h GROUP BY doc_id
+    """,
+)
+def text_kmin_fingerprint(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _tx.kmin_shingle_fingerprint(F.col("text"), n=3, k=8).alias("kmin_fp"),
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(
+             regexp_replace(text, '([^a-zA-Z0-9\s])', ' \1 ', 'g')), '\s+'),
+             x -> x != '')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Deduplication
+# --------------------------------------------------------------------- #
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT d.* FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) w
+      ON d.doc_id = w.doc_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return _dd.exact_dedup(_table(spark, sf_dir, "documents"), ["text"])
+
+
+@query("dedup_minhash_signatures", oracle=_minhash_sig_sql())
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures themselves are oracle-checked value-for-value —
+    the strongest possible cross-engine guarantee for the sketch."""
+    return _dd.minhash_signatures(_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_pairs", oracle=None)  # LSH banding checked rows-only;
+def dedup_minhash_pairs(spark, sf_dir):     # signatures above are value-checked
+    return _dd.minhash_candidate_pairs(_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    return _dd.simhash(_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash_pairs", oracle=None)  # banded candidates → rows-only
+def dedup_simhash_pairs(spark, sf_dir):
+    return _dd.simhash_pairs(_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tokn
+      FROM documents WHERE doc_id % 5 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM tok a JOIN tok b ON a.tokn = b.tokn AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return _dd.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+# --------------------------------------------------------------------- #
+# Similarity search
+# --------------------------------------------------------------------- #
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = (
+        _table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "ann_pairs_top15",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 15
+    """,
+)
+def ann_pairs_top15(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a, b = e.alias("a"), e.alias("b")
+    sim = _sim.cosine(
+        F.col("a.embedding").cast("array<double>"),
+        F.col("b.embedding").cast("array<double>"),
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(15)
+    )
+
+
+@query("ann_lsh_topk", oracle=None)  # hyperplane sketch is engine-specific
+def ann_lsh_topk(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir))
+    lsh = _sim.RandomHyperplaneLSH(dim=dim, n_planes=12, seed=7)
+    return lsh.topk(e, _query_vec(spark, sf_dir), k=10, probe_hamming=3)
+
+
+@query("embedding_near_dup", oracle=None)  # LSH-bucketed near-dup, rows-only
+def embedding_near_dup(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir))
+    lsh = _sim.RandomHyperplaneLSH(dim=dim, n_planes=8, seed=11)
+    return _sim.embedding_near_dup_pairs(e, threshold=0.8, lsh=lsh)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        F.round(_sim.norm(F.col("embedding").cast("array<double>")), 4).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing
+# --------------------------------------------------------------------- #
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(hex(encode(text))) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    p = _mm.attach_binary_payload(d)
+    return p.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@query("multimodal_decode_features", oracle=None)  # Pandas-UDF path, rows-only
+def multimodal_decode_features(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return _mm.decode_image_features(_mm.attach_binary_payload(d))
+
+
+# --------------------------------------------------------------------- #
+# JSON scalar surface (events.props)
+# --------------------------------------------------------------------- #
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    e = _table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )

@@ -1,0 +1,156 @@
+"""Training-data pipeline operators: dedup finds planted near-dups,
+similarity search recalls true neighbors, multimodal plumbing round-trips."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazy_frame_spark.operators import dedup as dd
+from lazy_frame_spark.operators import multimodal as mm
+from lazy_frame_spark.operators import similarity as sim
+from lazy_frame_spark.operators import text as tx
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the tall mountains and the river flows gently through the valley "
+    "carrying leaves and small branches toward the distant sea"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """10 distinct docs + planted near-dups of doc 0 (one word changed) and
+    an exact dup of doc 1."""
+    rows = [(0, BASE)]
+    rows.append((1, "completely different content about spark engines and data"))
+    rows.append((2, BASE.replace("quick", "rapid")))  # near-dup of 0
+    rows.append((3, "completely different content about spark engines and data"))  # exact dup of 1
+    for i in range(4, 10):
+        rows.append((i, f"unique document number {i} with its own words "
+                        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dd.exact_dedup(docs, ["text"])
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 1 in ids and 3 not in ids  # duplicate loses to min id
+    assert len(ids) == 9
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = dd.minhash_candidate_pairs(docs).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert (0, 2) in found, f"expected (0,2) in {found}"
+    assert found[(0, 2)] >= 0.5
+    assert (1, 3) in found and found[(1, 3)] == 1.0  # exact dup → full agreement
+
+
+def test_minhash_signature_determinism(docs):
+    a = dd.minhash_signatures(docs).orderBy("doc_id").collect()
+    b = dd.minhash_signatures(docs).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    ham_02 = bin(out[0] ^ out[2]).count("1")
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    assert ham_13 == 0  # exact dup → identical simhash
+    assert ham_02 <= 6  # one-word change → few bits flip
+    # distinct docs should be far apart
+    ham_04 = bin(out[0] ^ out[4]).count("1")
+    assert ham_04 > ham_02
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 3)] == 1.0
+    assert (0, 2) in found and 0.8 <= found[(0, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """32-dim vectors: vec 100 ≈ vec 0 (tiny perturbation), others random."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    base = [rng.uniform(-1, 1) for _ in range(32)]
+    rows.append((0, [float(x) for x in base]))
+    rows.append((100, [float(x + 0.001) for x in base]))  # near-dup
+    for i in range(1, 50):
+        rows.append((i, [float(rng.uniform(-1, 1)) for _ in range(32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    base = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = sim.cosine_topk(vectors, [float(x) for x in base], k=3).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] == 1.0
+    assert out[1]["vec_id"] == 100 and out[1]["cos_sim"] > 0.999
+
+
+def test_lsh_topk_recalls_near_dup(vectors):
+    base = vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = [float(x) for x in base]
+    lsh = sim.RandomHyperplaneLSH(dim=32, n_planes=12, seed=7)
+    out = lsh.topk(vectors, q, k=3, probe_hamming=2).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 0 and 100 in ids  # the planted near-dup must be found
+
+
+def test_lsh_bucket_deterministic(vectors):
+    lsh = sim.RandomHyperplaneLSH(dim=32, n_planes=8, seed=3)
+    a = lsh.with_buckets(vectors).select("vec_id", "__lsh_bucket__").collect()
+    b = lsh.with_buckets(vectors).select("vec_id", "__lsh_bucket__").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_near_dup_pairs(vectors):
+    lsh = sim.RandomHyperplaneLSH(dim=32, n_planes=8, seed=11)
+    pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.99, lsh=lsh).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 100)}
+
+
+def test_multimodal_roundtrip(docs):
+    payload = mm.attach_binary_payload(docs)
+    feats = mm.decode_image_features(payload)
+    pdf = feats.toPandas().set_index("doc_id")
+    assert len(pdf) == 10
+    assert (pdf["n_bytes"] > 0).all()
+    assert pdf["feature"].map(len).eq(8).all()
+    # deterministic: same payload → same feature
+    feats2 = mm.decode_image_features(payload).toPandas().set_index("doc_id")
+    assert pdf["sha1_8"].equals(feats2["sha1_8"])
+
+
+def test_multimodal_real_decoder_is_stubbed(docs):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.decode_image_features(mm.attach_binary_payload(docs), real_decoder=True)
+
+
+def test_lang_id_on_real_phrases(spark):
+    rows = [
+        (1, "the cat and the dog went to the market in a hurry"),
+        (2, "der hund und die katze sind nicht zu hause"),
+        (3, "le chat et le chien sont dans la maison"),
+        (4, "el perro y el gato es una familia en la casa"),
+        (5, "xqz pqr zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "  a  b   c "), (3, "don't stop, ever!")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", tx.token_count(F.col("text")).alias("n"),
+                    tx.bpe_ish_token_count(F.col("text")).alias("b")).collect()
+    vals = {r["doc_id"]: (r["n"], r["b"]) for r in out}
+    assert vals[1] == (2, 2)
+    assert vals[2][0] == 3
+    assert vals[3] == (3, 7)  # don ' t stop , ever !
