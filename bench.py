@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1}
+
+Timing method: each query materializes fully through the noop sink
+(``format("noop")``) so column pruning can't hide work, with the session
+warmed by one tiny query first (JVM/codegen warmup is startup cost, not
+query cost — the reference's baseline likewise separates open() from scan
+time, BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lazy_frame_spark.parity import REGISTRY  # noqa: E402
+from lazy_frame_spark.session import get_spark  # noqa: E402
+
+#: headline set: reference parity (scan/filter/positional) + relational +
+#: pipeline extensions — the mix a real user of the engine runs all day
+BENCH_QUERIES = [
+    "lf_open_enumerate",        # one-time positional-index build (≙ reference open())
+    "lf_filter_project",        # the reference's flagship filter scan
+    "lf_which",                 # WHICH predicate scan → index set
+    "lf_row_range",             # positional range extraction
+    "lf_head",                  # top-of-file peek
+    "agg_q1_pricing_summary",   # TPC-H Q1 shape
+    "agg_rollup",
+    "join_q3_revenue",          # multi-join + agg + top-k
+    "join_asof_last_order",     # as-of window join
+    "window_top3_per_customer",
+    "sort_topk_orders",
+    "scalar_functions",
+    "dedup_exact",
+    "dedup_minhash_pairs",      # MinHash LSH end-to-end
+    "dedup_simhash",
+    "text_quality_features",
+    "text_lang_id",
+    "ann_cosine_topk",
+    "embedding_norms",
+    "stream_tumbling_window",
+    "stream_session_window",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("lazy_frame_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer cache on a trivial plan
+    materialize(REGISTRY["lf_dim"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

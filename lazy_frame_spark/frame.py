@@ -108,9 +108,22 @@ class LazyFrame:
     def _with_ids(self) -> DataFrame:
         if ROW_ID in self._df.columns:
             return self._df
-        df = with_row_ids(self._df, order_by=self._order_by)
-        self._df = df  # cache: id assignment is deterministic & reusable
+        # persist the enumerated frame: the reference pays its newline-index
+        # scan once at open (src/lazy.frame.c:252-298) and every positional
+        # query reuses it — persisting here is the same one-time cost. At
+        # cluster scale, prefer register() (ids persisted to Parquet, with
+        # row-group pruning on __row_id__) over in-memory caching.
+        df = with_row_ids(self._df, order_by=self._order_by).persist()
+        self._df = df
         return df
+
+    def close(self) -> None:
+        """Release any persisted state (M7 finalizer parity,
+        R/lazy.frame.R:12-15)."""
+        try:
+            self._df.unpersist()
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------ #
     # shape & names (M2/M3 parity)

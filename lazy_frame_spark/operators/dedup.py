@@ -30,7 +30,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lazy_frame_spark.operators.text import normalized_fingerprint, tokens, word_shingles
+from lazy_frame_spark.operators.text import (
+    exploded_shingles,
+    normalized_fingerprint,
+    tokens,
+)
 
 #: MinHash modulus: prime just above 2^32. Token hashes are reduced mod P
 #: first so a*h + b stays < 2^62 — no BIGINT overflow in either engine.
@@ -93,10 +97,8 @@ def minhash_signatures(
 
     Shingles explode to one row each; each permutation's min aggregates in
     one pass (partial agg → tiny shuffle: one row per doc)."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("__sh__")
-    )
-    h = sh.select(id_col, (token_hash(F.col("__sh__")) % MINHASH_P).alias("__h__"))
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    h = sh.select(id_col, (token_hash(F.col("shingle")) % MINHASH_P).alias("__h__"))
     aggs = [
         F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -122,8 +124,14 @@ def minhash_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with
-    the estimated Jaccard = fraction of agreeing signature components."""
-    sig = minhash_signatures(df, text_col, id_col, shingle_n)
+    the estimated Jaccard = fraction of agreeing signature components.
+
+    The signature frame is persisted: it feeds the band join twice (both
+    sides) and the estimation join twice more — recomputing the
+    explode+aggregate pipeline 4-5× dominated the runtime before. One row
+    per document (12 longs), so caching it is cheap at any scale; a
+    100 TB pipeline would persist signatures to a table anyway."""
+    sig = minhash_signatures(df, text_col, id_col, shingle_n).persist()
     bb = lsh_band_buckets(sig, id_col)
     a, b = bb.alias("a"), bb.alias("b")
     pairs = (
@@ -196,7 +204,7 @@ def simhash_pairs(
             for i in range(4)
         ]
     )
-    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+    banded = sh.persist().select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -50,8 +50,20 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_LF_CACHE: dict[tuple[str, str], LazyFrame] = {}
+
+
 def _lf(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
-    return LazyFrame.from_df(_table(spark, sf_dir, name), order_by=TABLE_KEYS[name])
+    """Memoized per (sf_dir, table): the reference opens a file ONCE
+    (building its newline index) and runs many queries against the handle
+    — the parity equivalent is one enumerated, persisted LazyFrame reused
+    across all positional queries."""
+    key = (sf_dir, name)
+    if key not in _LF_CACHE:
+        _LF_CACHE[key] = LazyFrame.from_df(
+            _table(spark, sf_dir, name), order_by=TABLE_KEYS[name]
+        )
+    return _LF_CACHE[key]
 
 
 LINEITEM_RID = (
@@ -932,10 +944,7 @@ def text_fingerprint(spark, sf_dir):
 )
 def text_kmin_fingerprint(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        _tx.kmin_shingle_fingerprint(F.col("text"), n=3, k=8).alias("kmin_fp"),
-    )
+    return _tx.kmin_shingle_fingerprint(d, n=3, k=8)
 
 
 @query(
@@ -1157,3 +1166,100 @@ def json_extract_props(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+# ===================================================================== #
+# M5 — streaming extension (Structured Streaming over events).
+# These run the SAME window functions in batch mode so the DuckDB oracle
+# can verify them; tests/test_streaming.py runs the readStream pipeline
+# and asserts stream == batch.
+# ===================================================================== #
+
+from lazy_frame_spark.streaming import (  # noqa: E402
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    return tumbling_window_agg(_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Each event lands in duration/slide = 2 windows; the oracle unions
+    the two epoch-aligned bucket variants (verified identical alignment
+    to Spark's window())."""
+    return sliding_window_agg(_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    y AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """session_window (gap-merged in the state store when streaming) vs
+    the classic gaps-and-islands batch formulation in the oracle."""
+    return session_window_agg(_table(spark, sf_dir, "events"), "5 minutes")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT event_type, user_id, MIN(event_id) AS event_id
+    FROM events GROUP BY event_type, user_id
+    """,
+)
+def stream_dedup_keys(spark, sf_dir):
+    """Batch shape of streaming dedup: one winner per key (min event_id —
+    deterministic; the streaming variant keeps the first arrival within
+    the watermark horizon)."""
+    e = _table(spark, sf_dir, "events")
+    return e.groupBy("event_type", "user_id").agg(F.min("event_id").alias("event_id"))
+
+
+@query(
+    "lf_open_enumerate",
+    oracle="SELECT COUNT(*) AS max_row_id FROM lineitem",
+)
+def lf_open_enumerate(spark, sf_dir):
+    """The engine's 'open' cost, reported the way the reference reports
+    its newline-index build (BASELINE.md: 4.39 s for 2 GB, separate from
+    query time): enumerate + persist positional ids, return max id."""
+    lf = _lf(spark, sf_dir, "lineitem")
+    df = lf._with_ids()
+    return df.agg(F.max(ROW_ID).alias("max_row_id"))

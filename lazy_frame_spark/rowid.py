@@ -2,24 +2,30 @@
 reference's newline byte index (``src/lazy.frame.c:252-298``).
 
 The reference scans the file once at open and records every newline offset
-so row *i* is an O(1) seek. On Spark, positional semantics are instead
-carried by an explicit ``__row_id__`` column (1-based, mirroring the R/
-``which()`` contract at ``R/lazy.frame.R:203``). Two assignment strategies:
+so row *i* is an O(1) seek. On Spark, positional semantics are carried by
+an explicit ``__row_id__`` column (1-based, mirroring the R/``which()``
+contract at ``R/lazy.frame.R:203``). Two assignment strategies:
 
-``order_by`` given
-    ``row_number()`` over a global ordering on the given key columns.
-    Deterministic across engines (this is what the DuckDB oracle can
-    reproduce) but requires a global sort — use for keyed tables.
+``order_by`` given — value-bucketed rank
+    A bare ``row_number() OVER (ORDER BY …)`` funnels every row through
+    one task (would not survive 100×). Instead: approximate quantiles of
+    the leading key split the data into B value-range buckets (the
+    boundaries are collected once and embedded as plan literals), each
+    bucket ranks in parallel (``row_number`` partitioned by bucket), and
+    bucket offsets (a tiny count-per-bucket cumsum) are broadcast back.
+    Every step is a deterministic function of DATA VALUES — nothing
+    depends on physical partition ids, which are NOT stable across plan
+    branches once a shuffle is involved (AQE may coalesce the same reused
+    exchange differently per consumer — observed corrupting ids).
 
-file order (default)
-    Scalable zipWithIndex without leaving the DataFrame API and without a
-    global shuffle: ``monotonically_increasing_id()`` is consecutive within
-    each partition, so ``mid - min(mid per partition)`` is the in-partition
-    sequence; per-partition counts (a tiny aggregate job) give cumulative
-    offsets, broadcast-joined back. Cost: one extra pass over the data for
-    the counts — the exact analogue of the reference's one-time newline
-    scan at open. At 100 TB this is ~O(#partitions) driver state (a few
-    hundred thousand rows), never per-row driver state.
+file order (default) — partition-offset enumeration
+    Scalable zipWithIndex: ``monotonically_increasing_id()`` is
+    consecutive within each scan partition, so ``mid - min(mid)`` is the
+    in-partition sequence; per-partition counts give offsets via a tiny
+    window, broadcast-joined back, all inside one plan (no driver
+    round-trip, the frame stays a pure lazy promise). Safe here because
+    file-scan partitioning (no shuffle) is deterministic and AQE never
+    re-reads a scan differently.
 
 For repeatable positional queries across sessions, register the frame once
 (``LazyFrame.register``) — ids are persisted to Parquet, mirroring the
@@ -32,14 +38,22 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ROW_ID = "__row_id__"
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+    T.DateType, T.TimestampType,
+)
 
 
 def with_row_ids(
     df: DataFrame,
     order_by: Sequence[str] | None = None,
     col: str = ROW_ID,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Attach a 1-based positional id column.
 
@@ -49,32 +63,72 @@ def with_row_ids(
     line numbering.
     """
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(col, F.row_number().over(w).cast("bigint"))
-    return _with_file_order_ids(df, col)
+        return _with_ordered_ids(df, list(order_by), col, num_buckets)
+    return _with_partition_offset_ids(df, col)
 
 
-def _with_file_order_ids(df: DataFrame, col: str) -> DataFrame:
+def _with_ordered_ids(
+    df: DataFrame, keys: list[str], col: str, num_buckets: int | None
+) -> DataFrame:
+    spark = df.sparkSession
+    b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    lead = keys[0]
+    lead_type = df.schema[lead].dataType
+
+    if isinstance(lead_type, _NUMERIC_TYPES) and b > 1:
+        probs = [i / b for i in range(1, b)]
+        qrow = df.select(
+            F.percentile_approx(
+                F.col(lead).cast("double"), F.array(*[F.lit(p) for p in probs]), 10_000
+            ).alias("q")
+        ).collect()[0]["q"]
+        bounds = sorted(set(qrow or []))
+    else:
+        # non-numeric leading key (or trivial bucket count): single bucket —
+        # correct, but ranks on one task; callers with string keys at scale
+        # should pre-map to a numeric surrogate
+        bounds = []
+
+    lead_d = F.col(lead).cast("double")
+    bkt = F.lit(0)
+    for bound in bounds:  # monotone: equal values always share a bucket
+        bkt = bkt + F.when(lead_d > F.lit(float(bound)), 1).otherwise(0)
+    base = df.withColumn("__bkt__", bkt)
+
+    w_rank = Window.partitionBy("__bkt__").orderBy(*[F.col(k) for k in keys])
+    ranked = base.withColumn("__rn__", F.row_number().over(w_rank))
+
+    counts = base.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).alias("__off__")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), on="__bkt__", how="inner")
+        .withColumn(col, (F.col("__off__") + F.col("__rn__")).cast("bigint"))
+        .drop("__bkt__", "__rn__", "__off__")
+    )
+
+
+def _with_partition_offset_ids(df: DataFrame, col: str) -> DataFrame:
     mid, pid = "__lfs_mid__", "__lfs_pid__"
     base = df.withColumn(mid, F.monotonically_increasing_id()).withColumn(
         pid, F.spark_partition_id()
     )
-    stats = (
-        base.groupBy(pid)
-        .agg(F.count(F.lit(1)).alias("__cnt__"), F.min(mid).alias("__mn__"))
-        .collect()
+    stats = base.groupBy(pid).agg(
+        F.count(F.lit(1)).alias("__cnt__"), F.min(mid).alias("__mn__")
     )
-    rows, acc = [], 0
-    for r in sorted(stats, key=lambda r: r[pid]):
-        rows.append((r[pid], r["__mn__"], acc))
-        acc += r["__cnt__"]
-    if not rows:  # empty input
-        return df.withColumn(col, F.lit(None).cast("bigint"))
-    spark = df.sparkSession
-    offsets = spark.createDataFrame(rows, schema=f"{pid} int, __mn__ long, __off__ long")
-    out = (
+    w = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        F.col(pid),
+        F.col("__mn__"),
+        F.coalesce(F.sum("__cnt__").over(w), F.lit(0)).alias("__off__"),
+    )
+    return (
         base.join(F.broadcast(offsets), on=pid, how="inner")
-        .withColumn(col, (F.col("__off__") + (F.col(mid) - F.col("__mn__")) + F.lit(1)).cast("bigint"))
+        .withColumn(
+            col,
+            (F.col("__off__") + (F.col(mid) - F.col("__mn__")) + F.lit(1)).cast("bigint"),
+        )
         .drop(mid, pid, "__mn__", "__off__")
     )
-    return out

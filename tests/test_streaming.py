@@ -1,0 +1,77 @@
+"""Structured Streaming integration: the readStream pipeline must produce
+exactly the batch results (availableNow trigger, memory sink), watermarks
+must bound state, and streaming dedup must drop in-horizon duplicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazy_frame_spark.sources.registry import load_table
+from lazy_frame_spark.streaming import (
+    session_window_agg,
+    stream_events,
+    tumbling_window_agg,
+)
+from lazy_frame_spark.streaming.windows import dedup_within_watermark, run_stream_to_memory
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Re-shard the events table into several files so the file-source
+    stream has multiple micro-batches to chew through."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_stream_tumbling_equals_batch(spark, events_stream_dir):
+    batch = tumbling_window_agg(_batch_events(spark, events_stream_dir), "1 hour")
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = stream_events(spark, events_stream_dir, schema, max_files_per_trigger=1)
+    result = tumbling_window_agg(stream, "1 hour", watermark="10 minutes")
+    run_stream_to_memory(result, "t_tumble", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_tumble").toPandas()
+    want = batch.toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n", "sum_value"]].equals(want[key + ["n", "sum_value"]])
+
+
+def test_stream_session_equals_batch(spark, events_stream_dir):
+    batch = session_window_agg(_batch_events(spark, events_stream_dir), "5 minutes")
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = stream_events(spark, events_stream_dir, schema)
+    result = session_window_agg(stream, "5 minutes", watermark="30 minutes")
+    run_stream_to_memory(result, "t_session", output_mode="complete")
+    got = spark.sql("SELECT count(*) AS c, sum(n) AS s FROM t_session").collect()[0]
+    want = batch.agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("s")).collect()[0]
+    assert (got["c"], got["s"]) == (want["c"], want["s"])
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dup_events"))
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:00:30", "click"),  # duplicate id within horizon
+        (2, "2024-01-01 10:01:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string") \
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = stream_events(spark, d, spark.read.parquet(d).schema)
+    result = dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+    run_stream_to_memory(result, "t_dedup", output_mode="append")
+    got = spark.sql("SELECT event_id FROM t_dedup ORDER BY event_id").toPandas()
+    assert got["event_id"].tolist() == [1, 2]
+
+
+def test_streaming_plan_is_incremental(spark, events_stream_dir):
+    schema = _batch_events(spark, events_stream_dir).schema
+    stream = stream_events(spark, events_stream_dir, schema)
+    assert stream.isStreaming
+    agg = tumbling_window_agg(stream, "1 hour", watermark="10 minutes")
+    assert agg.isStreaming
