@@ -1263,3 +1263,274 @@ def lf_open_enumerate(spark, sf_dir):
     lf = _lf(spark, sf_dir, "lineitem")
     df = lf._with_ids()
     return df.agg(F.max(ROW_ID).alias("max_row_id"))
+
+
+# ===================================================================== #
+# UDF / UDAF / UDTF surface — the Python escape hatch, oracle-verified
+# to match pure SQL (functions/udfs.py).
+# ===================================================================== #
+
+from lazy_frame_spark.functions import udfs as _udfs  # noqa: E402
+
+
+@query(
+    "udf_token_count_vectorized",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_token_count_vectorized(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _udfs.token_count_vectorized(F.col("text")).alias("n_tokens")
+    )
+
+
+@query(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            _udfs.weighted_avg_price(F.col("l_extendedprice"), F.col("l_quantity")), 2
+        ).alias("w_avg_price")
+    )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(FLOOR(1000 * (o_totalprice - AVG(o_totalprice) OVER w)
+                      / STDDEV_SAMP(o_totalprice) OVER w) AS BIGINT) AS zscore_x1000
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+)
+def udf_grouped_map_zscore(spark, sf_dir):
+    return _udfs.zscore_per_group(_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "udtf_bigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents WHERE doc_id % 20 = 0),
+    e AS (SELECT doc_id,
+                 unnest([{'pos': i, 'bigram': ws[i] || ' ' || ws[i+1]}
+                         for i in generate_series(1, len(ws) - 1)]) AS u
+          FROM t)
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.bigram FROM e
+    """,
+)
+def udtf_bigrams(spark, sf_dir):
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return _udfs.bigrams(spark, d)
+
+
+# ===================================================================== #
+# Extended SQL surface: pivot, percentiles, string/date batteries,
+# subqueries, union-by-name, cast semantics.
+# ===================================================================== #
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont, both linear type-7 interpolation)."""
+    o = _table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 2).alias("p75"),
+        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL sketches are engine-specific
+def agg_approx_distinct(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_nationkey)), ',') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    n = _table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("n_nationkey")), ","
+        ).alias("nations")
+    )
+
+
+@query(
+    "scalar_string_battery",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           lpad(p_brand, 12, '_') AS brand_padded,
+           replace(p_type, ' ', '_') AS type_snake,
+           split_part(p_type, ' ', 1) AS type_head,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_mfgr_code, 2) AS code2,
+           strpos(p_name, 'a') AS first_a,
+           ascii(p_brand) AS brand_ascii,
+           left(p_name, 5) AS name5,
+           translate(p_brand, '#', 'N') AS brand_tr
+    FROM (SELECT *, substr(p_brand, 1, 1) AS p_mfgr_code FROM part)
+    """,
+)
+def scalar_string_battery(spark, sf_dir):
+    p = _table(spark, sf_dir, "part").withColumn(
+        "p_mfgr_code", F.substring("p_brand", 1, 1)
+    )
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_mfgr_code", 2).alias("code2"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.ascii("p_brand").alias("brand_ascii"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name5"),
+        F.translate("p_brand", "#", "N").alias("brand_tr"),
+    )
+
+
+@query(
+    "scalar_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS days_to_2025,
+           isodow(o_orderdate) - 1 AS weekday_mon0,
+           quarter(o_orderdate) AS qtr,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def scalar_date_battery(spark, sf_dir):
+    o = _table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2025"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "subquery_scalar_and_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def subquery_scalar_and_in(spark, sf_dir):
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT nationkey, kind FROM (
+      SELECT c_nationkey AS nationkey, 'cust' AS kind FROM customer
+      UNION ALL BY NAME
+      SELECT 'supp' AS kind, s_nationkey AS nationkey FROM supplier)
+    """,
+)
+def set_union_by_name(spark, sf_dir):
+    c = _table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("cust").alias("kind")
+    )
+    s = _table(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "cast_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS prio_num,
+           TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_roundtrip,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_trunc,
+           CAST(o_orderkey AS VARCHAR) AS key_str
+    FROM orders
+    """,
+    # NB: Spark double→bigint TRUNCATES, DuckDB ROUNDS — the oracle floors
+    # explicitly (values are positive, floor == truncate)
+)
+def cast_semantics(spark, sf_dir):
+    """try_cast NULL-on-malformed semantics (the engine's documented
+    NaN→NULL divergence from the reference, SURVEY.md §2.1)."""
+    o = _table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("double").alias("prio_num"),
+        F.col("o_totalprice").cast("string").try_cast("double").alias("price_roundtrip"),
+        F.col("o_totalprice").cast("bigint").alias("price_trunc"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )

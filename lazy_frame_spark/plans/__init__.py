@@ -1,0 +1,17 @@
+from lazy_frame_spark.plans.audit import (
+    executed_plan,
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    has_take_ordered,
+    read_schema_columns,
+    whole_stage_codegen_spans,
+)
+
+__all__ = [
+    "executed_plan",
+    "has_pushed_filters",
+    "has_broadcast_hash_join",
+    "has_take_ordered",
+    "read_schema_columns",
+    "whole_stage_codegen_spans",
+]

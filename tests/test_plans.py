@@ -1,0 +1,76 @@
+"""Plan-shape invariants: pushdown, pruning, broadcast, top-k, codegen.
+These are the 100 TB guarantees — a regression here is a performance bug
+even when results stay correct."""
+
+import pyspark.sql.functions as F
+
+from lazy_frame_spark import LazyFrame
+from lazy_frame_spark.operators.joins import broadcast_dim_join
+from lazy_frame_spark.operators.sorts import top_k
+from lazy_frame_spark.plans import (
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    has_take_ordered,
+    read_schema_columns,
+    whole_stage_codegen_spans,
+)
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") < 4.5).select("l_orderkey", "l_quantity")
+    assert has_pushed_filters(q, "l_quantity")
+
+
+def test_typed_compare_still_pushes_down(spark, sf_dir):
+    # the RHS-typed filter goes through try_cast — double RHS on a double
+    # column must not defeat pushdown
+    lf = LazyFrame.from_df(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    q = lf.filter("l_quantity", "<", 4.5).to_df()
+    assert has_pushed_filters(q, "l_quantity")
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = df.select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_lazyframe_select_prunes(spark, sf_dir):
+    lf = LazyFrame.from_df(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    q = lf.select(["l_returnflag"]).to_df()
+    assert read_schema_columns(q) == ["l_returnflag"]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = broadcast_dim_join(o, c, on=o["o_custkey"] == c["c_custkey"])
+    assert has_broadcast_hash_join(q)
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+    assert has_take_ordered(q)
+
+
+def test_filters_run_in_codegen(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") < 4.5).select("l_orderkey")
+    assert whole_stage_codegen_spans(q) >= 1
+
+
+def test_row_range_prunes_on_registered_table(spark, sf_dir, tmp_path):
+    """After register(), positional range predicates hit the persisted
+    __row_id__ column and are pushed into the parquet scan — the
+    distributed analogue of the reference's O(1) newline-offset seek."""
+    lf = LazyFrame.from_df(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        order_by=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_shipdate"],
+    )
+    reg = lf.register(str(tmp_path / "lineitem_registered"))
+    q = reg.row_range(100, 200)._df
+    assert has_pushed_filters(q, "__row_id__")
