@@ -1534,3 +1534,68 @@ def cast_semantics(spark, sf_dir):
         F.col("o_totalprice").cast("bigint").alias("price_trunc"),
         F.col("o_orderkey").cast("string").alias("key_str"),
     )
+
+
+# ===================================================================== #
+# Array / map / struct function surface (nested types — absent from the
+# reference entirely, SURVEY.md §1.2 "no nested types ... exist anywhere")
+# ===================================================================== #
+
+@query(
+    "array_functions",
+    # float→double widening is exact and IEEE ops are deterministic, so
+    # floor(x*1000) is engine-portable without ROUND
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS first_x1000,
+           CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1000) AS BIGINT) AS max_x1000,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           CAST(FLOOR(list_reduce(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+                                  (a, b) -> a + b) * 100) AS BIGINT) AS sum4_x100
+    FROM embeddings
+    """,
+)
+def array_functions(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.floor(F.element_at(emb, 1).cast("double") * 1000).cast("bigint").alias("first_x1000"),
+        F.floor(F.array_max(emb).cast("double") * 1000).cast("bigint").alias("max_x1000"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.floor(
+            F.aggregate(
+                F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            * 100
+        ).cast("bigint").alias("sum4_x100"),
+    )
+
+
+@query(
+    "map_struct_functions",
+    oracle="""
+    SELECT n_nationkey,
+           map(['name', 'region'], [n_name, n_regionkey::VARCHAR])['name'][1] AS m_name,
+           {'key': n_nationkey, 'nm': n_name}.nm AS s_name,
+           {'key': n_nationkey, 'nm': n_name}.key AS s_key
+    FROM nation
+    """,
+)
+def map_struct_functions(spark, sf_dir):
+    n = _table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    s = F.named_struct(F.lit("key"), F.col("n_nationkey"), F.lit("nm"), F.col("n_name"))
+    return n.select(
+        "n_nationkey",
+        m["name"].alias("m_name"),
+        s["nm"].alias("s_name"),
+        s["key"].alias("s_key"),
+    )

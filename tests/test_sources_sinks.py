@@ -1,0 +1,119 @@
+"""Sources & sinks: write round-trips, partitioned writes with partition
+pruning, bucketed tables joining shuffle-free, CSV gz+skip combo,
+row-names column, large point-set extraction path."""
+
+import gzip
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazy_frame_spark import LazyFrame
+from lazy_frame_spark.plans import executed_plan
+from lazy_frame_spark.sources.csv import open_csv
+from lazy_frame_spark.sources.parquet import write_bucketed_table, write_parquet
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_parquet(df, str(tmp_path / "c"))
+    back = spark.read.parquet(str(tmp_path / "c"))
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+
+
+def test_csv_write_roundtrip(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_csv")
+    df.write.option("header", "true").csv(out)
+    back = open_csv(spark, out, header=True)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "li_part")
+    write_parquet(df, out, partition_by=["l_returnflag"])
+    q = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = executed_plan(q)
+    # partition pruning shows the filter under PartitionFilters, not as a
+    # row-level filter over all partitions
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], 4, sort_by=["o_orderkey"])
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", ["o_orderkey"], 4, sort_by=["o_orderkey"],
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "o_orderkey")
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing removed the shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_gz_with_skip(spark, tmp_path):
+    p = tmp_path / "s.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("# preamble\nid,val\n1,10.5\n2,20.5\n")
+    df = open_csv(spark, str(p), skip=1)
+    pdf = df.toPandas().sort_values("id")
+    assert pdf["id"].tolist() == [1, 2]
+    assert pdf["val"].tolist() == [10.5, 20.5]
+
+
+def test_row_names_column(spark, tmp_path):
+    # R/lazy.frame.R:53-58 — one file column supplies row names
+    p = tmp_path / "rn.csv"
+    p.write_text("r1,10,a\nr2,20,b\nr3,30,c\n")
+    df = open_csv(spark, str(p), header=False, row_names=1)
+    assert "__row_name__" in df.columns
+    names = sorted(r["__row_name__"] for r in df.select("__row_name__").collect())
+    assert names == ["r1", "r2", "r3"]
+
+
+def test_large_point_set_uses_join_path(spark, sf_dir):
+    # >10k ids flips rows() from isin-predicate to broadcast semi-join
+    lf = LazyFrame.from_df(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        order_by=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_shipdate"],
+    )
+    wanted = list(range(2, 24002, 2))  # 12000 even ids... sf0.001 has 6000 rows
+    got = lf.rows(wanted)
+    n = got.nrow()
+    assert n == 3000  # even ids within 1..6000
+    ids = got.to_df(with_row_id=True).agg(
+        F.min("__row_id__"), F.max("__row_id__")
+    ).collect()[0]
+    assert (ids[0], ids[1]) == (2, 6000)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = str(tmp_path / "region_orc")
+    df.write.orc(out)
+    lf = LazyFrame.open(spark, out, format="orc")
+    assert lf.nrow() == df.count()
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_json")
+    df.write.json(out)
+    lf = LazyFrame.open(spark, out, format="json")
+    assert lf.nrow() == df.count()
+    assert set(lf.names()) == set(df.columns)
