@@ -60,5 +60,15 @@ def typed_compare(column: Column, op: str, value: Any) -> Column:
     if op not in OPS:
         raise ValueError(f"unknown comparator {op!r}; one of {sorted(OPS)}")
     domain = typed_literal_domain(value)
-    lhs = column.cast("string") if domain is None else column.try_cast(domain)
+    if domain is None:
+        lhs = column.cast("string")
+    elif domain == "bigint":
+        # atoi parity (src/lazy.frame.c:543-548) requires "4.5" → 4 even on
+        # string-typed columns; a direct string→bigint try_cast NULLs
+        # decimal strings, so truncate via double. Magnitudes beyond
+        # bigint → NULL → compare-false (saner than atoi's garbage;
+        # documented divergence).
+        lhs = column.try_cast("double").try_cast("bigint")
+    else:
+        lhs = column.try_cast(domain)
     return OPS[op](lhs, F.lit(value))

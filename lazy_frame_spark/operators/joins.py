@@ -70,6 +70,34 @@ def range_join(
     return left.join(r, on=condition)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (skewed) side gets a random salt
+    in [0, salt_buckets); the right side is replicated across all salts.
+    The hot key's rows then spread over ``salt_buckets`` reducers instead
+    of one. AQE's skew-join handles moderate skew automatically — reach
+    for explicit salting when a single key exceeds what one task can hold
+    even after AQE splitting (the 10^9-rows-for-one-user case).
+
+    Cost: right side × salt_buckets rows through the shuffle — use on a
+    pre-aggregated/narrow right side.
+    """
+    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    lsalted = left.withColumn("__salt__", salt)
+    rsalted = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt__"))
+        )
+    )
+    out = lsalted.join(rsalted, on=[on, "__salt__"], how=how)
+    return out.drop("__salt__")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -128,6 +128,83 @@ class RandomHyperplaneLSH:
         )
 
 
+class IVFIndex:
+    """IVF-style ANN: coarse quantization into k cells, search probes only
+    the nearest cells — the classic inverted-file layout, Spark-first.
+
+    Centroids are picked deterministically from the data (every
+    ``n/k``-th vector by id — no iterative k-means fit, no model state;
+    at 100 TB swap in KMeans|| centroids without changing the query
+    path). Cell assignment is a JVM-side argmax over k literal centroid
+    arrays; the cell id becomes a partition-prunable column when the
+    index is persisted (``partitionBy("__ivf_cell__")``)."""
+
+    def __init__(self, centroids: list[list[float]]):
+        self.centroids = [[float(x) for x in c] for c in centroids]
+
+    @classmethod
+    def fit_deterministic(
+        cls, df: DataFrame, k: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> "IVFIndex":
+        n = df.count()
+        step = max(1, n // k)
+        rows = (
+            df.filter((F.col(id_col) % step == 0))
+            .orderBy(id_col)
+            .limit(k)
+            .select(vec_col)
+            .collect()
+        )
+        return cls([list(r[vec_col]) for r in rows])
+
+    def _cell_expr(self, vec_col: str):
+        v = F.col(vec_col).cast("array<double>")
+        best_cell, best_sim = None, None
+        for i, c in enumerate(self.centroids):
+            carr = F.array(*[F.lit(x) for x in c])
+            sim = dot(v, carr) / (norm(v) * norm(carr))
+            if best_cell is None:
+                best_cell, best_sim = F.lit(i), sim
+            else:
+                cond = sim > best_sim
+                best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
+                best_sim = F.when(cond, sim).otherwise(best_sim)
+        return best_cell
+
+    def with_cells(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        return df.withColumn("__ivf_cell__", self._cell_expr(vec_col))
+
+    def topk(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 2,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Search the n_probe cells nearest to the query, exact rank
+        within them."""
+        import math
+
+        qn = math.sqrt(sum(x * x for x in query_vec))
+
+        def cos(c):
+            cn = math.sqrt(sum(x * x for x in c))
+            d = sum(a * b for a, b in zip(query_vec, c))
+            return d / (qn * cn) if qn and cn else 0.0
+
+        probe = sorted(range(len(self.centroids)), key=lambda i: -cos(self.centroids[i]))[:n_probe]
+        cells = self.with_cells(df, vec_col).filter(F.col("__ivf_cell__").isin(probe))
+        q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+        sim = cosine(F.col(vec_col).cast("array<double>"), q)
+        return (
+            cells.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(int(k))
+        )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1599,3 +1599,75 @@ def map_struct_functions(spark, sf_dir):
         s["nm"].alias("s_name"),
         s["key"].alias("s_key"),
     )
+
+
+@query(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_profile(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) executed as a REAL
+    stream (availableNow → memory sink); final per-user state must equal
+    the batch aggregation the oracle runs."""
+    import hashlib
+
+    from lazy_frame_spark.streaming import stream_events
+    from lazy_frame_spark.streaming.stateful import running_user_profile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/lfs_stateful_events_{tag}"
+    events = _table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = stream_events(spark, d, spark.read.parquet(d).schema)
+    prof = running_user_profile(stream)
+    qname = f"t_stateful_{tag}"
+    q = (
+        prof.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode may emit per batch; keep the final (max-count) emission
+    return spark.sql(
+        f"""
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM {qname}) WHERE rn = 1
+        """
+    )
+
+
+@query("ann_ivf_topk", oracle=None)  # IVF cells are engine-specific (rows-only)
+def ann_ivf_topk(spark, sf_dir):
+    e = _table(spark, sf_dir, "embeddings")
+    ivf = _sim.IVFIndex.fit_deterministic(e, k=8)
+    return ivf.topk(e, _query_vec(spark, sf_dir), k=10, n_probe=3)
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o.o_custkey, COUNT(*) AS n, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Salted skew join produces identical results to the plain join."""
+    from lazy_frame_spark.operators.joins import salted_join
+
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    j = salted_join(o, c, on="o_custkey", salt_buckets=8)
+    return j.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

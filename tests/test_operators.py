@@ -112,3 +112,29 @@ def test_topk_deterministic(spark, sf_dir):
     a = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5).collect()
     b = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5).collect()
     assert a == b and len(a) == 5
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from lazy_frame_spark.operators.joins import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, on="o_custkey", salt_buckets=4).count()
+    assert salted == plain
+
+
+def test_ivf_topk_matches_bruteforce_head(spark, sf_dir):
+    from lazy_frame_spark.operators.similarity import IVFIndex, cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    ivf = IVFIndex.fit_deterministic(e, k=8)
+    approx = ivf.topk(e, q, k=5, n_probe=8)  # probing ALL cells == exact
+    exact = cosine_topk(e, q, k=5)
+    assert [r["vec_id"] for r in approx.collect()] == [r["vec_id"] for r in exact.collect()]
+    # partial probe still finds the self-match first
+    part = ivf.topk(e, q, k=3, n_probe=2).collect()
+    assert part[0]["vec_id"] == 3 and part[0]["cos_sim"] == 1.0

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): the typed predicate engine matches a
+Python reference model of the reference's semantics, and positional
+selection is set-semantics over 1..n for arbitrary index requests.
+
+One shared fixture table; low example counts (every example is a Spark
+action)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lazy_frame_spark import LazyFrame
+from lazy_frame_spark.functions.compare import OPS, typed_compare
+
+CELLS = [
+    "0", "1", "-3", "4.5", "-4.5", "7", "42", "1e2", "1e300", "abc", "",
+    "0.1", "  12  ", "3.14159", "-0.0", "nan", "99999999999999999999",
+]
+
+
+@pytest.fixture(scope="module")
+def strings_df(spark):
+    return spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(CELLS)], "rid long, s string"
+    )
+
+
+def _atoi_model(s: str):
+    """What the engine promises for int-RHS comparisons on raw text:
+    float-parse then truncate toward zero; unparseable/overflow → None."""
+    try:
+        f = float(s)
+    except ValueError:
+        return None
+    if math.isnan(f) or abs(f) > 2**63 - 1:
+        return None
+    return int(f)  # trunc toward zero
+
+
+def _strtod_model(s: str):
+    try:
+        f = float(s)
+    except ValueError:
+        return None
+    return None if math.isnan(f) and s.strip().lower() != "nan" else f
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    op=st.sampled_from(sorted(OPS)),
+    value=st.integers(min_value=-50, max_value=150),
+)
+def test_int_rhs_matches_atoi_model(strings_df, op, value):
+    got = sorted(
+        r["rid"]
+        for r in strings_df.filter(typed_compare(F.col("s"), op, value)).collect()
+    )
+    import operator as _op
+
+    pyop = {"==": _op.eq, "!=": _op.ne, ">=": _op.ge, "<=": _op.le,
+            ">": _op.gt, "<": _op.lt}[op]
+    want = []
+    for i, s in enumerate(CELLS):
+        m = _atoi_model(s)
+        if m is not None and pyop(m, value):
+            want.append(i + 1)
+    assert got == want, (op, value, got, want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    op=st.sampled_from(sorted(OPS)),
+    value=st.floats(min_value=-10, max_value=110, allow_nan=False, width=16),
+)
+def test_double_rhs_matches_strtod_model(strings_df, op, value):
+    value = float(value)
+    got = sorted(
+        r["rid"]
+        for r in strings_df.filter(typed_compare(F.col("s"), op, value)).collect()
+    )
+    import operator as _op
+
+    pyop = {"==": _op.eq, "!=": _op.ne, ">=": _op.ge, "<=": _op.le,
+            ">": _op.gt, "<": _op.lt}[op]
+    want = []
+    for i, s in enumerate(CELLS):
+        try:
+            f = float(s)
+        except ValueError:
+            continue
+        if math.isnan(f):
+            # a parseable literal 'nan' follows Spark SQL NaN ordering:
+            # NaN is greater than every value and equal to itself —
+            # vs RHS non-NaN: >, >=, != are true; ==, <, <= false
+            if op in (">", ">=", "!="):
+                want.append(i + 1)
+            continue
+        if pyop(f, value):
+            want.append(i + 1)
+    assert got == want, (op, value, got, want)
+
+
+@pytest.fixture(scope="module")
+def small_lf(spark):
+    df = spark.range(1, 41).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    return LazyFrame.from_df(df, order_by=["k"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    idx=st.lists(st.integers(min_value=1, max_value=60), min_size=0, max_size=25)
+)
+def test_rows_is_set_semantics_in_order(small_lf, idx):
+    got = [
+        r["__row_id__"]
+        for r in small_lf.rows(idx)
+        .to_df(with_row_id=True)
+        .orderBy("__row_id__")
+        .collect()
+    ]
+    want = sorted({i for i in idx if 1 <= i <= 40})
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lo=st.integers(min_value=1, max_value=40),
+    span=st.integers(min_value=0, max_value=39),
+)
+def test_row_range_inclusive(small_lf, lo, span):
+    hi = min(lo + span, 40)
+    n = small_lf.row_range(lo, hi).nrow()
+    assert n == hi - lo + 1
