@@ -399,11 +399,39 @@ class LazyFrame:
         """Persist with materialized row ids to Parquet — makes positional
         numbering repeatable across sessions (the reference's same-file ⇒
         same-numbering contract) and gets row-group pruning on
-        ``__row_id__`` predicates for free."""
+        ``__row_id__`` predicates for free.
+
+        Column attributes are embedded as ``StructField.metadata`` (Spark
+        stores it in the parquet footer and restores it on read), so the
+        attribute store survives sessions — stronger than the reference,
+        whose attrs live only in the in-memory handle
+        (``R/lazy.frame.R:17-35``)."""
         df = LazyFrame(self._df, self._attrs, order_by or self._order_by)._with_ids()
+        for col, attrs in self._attrs.items():
+            if attrs and col in df.columns:
+                df = df.withMetadata(col, {"lazy_frame_attrs": attrs})
         df.write.mode("overwrite").parquet(path)
         spark = df.sparkSession
-        return LazyFrame(spark.read.parquet(path), self._attrs.copy(), self._order_by)
+        back = spark.read.parquet(path)
+        attrs = self._attrs.copy()
+        for f in back.schema.fields:
+            stored = f.metadata.get("lazy_frame_attrs")
+            if stored:
+                for k, v in stored.items():
+                    attrs.set(f.name, k, v)
+        return LazyFrame(back, attrs, self._order_by)
+
+    @classmethod
+    def open_registered(cls, spark: SparkSession, path: str) -> "LazyFrame":
+        """Re-open a registered frame: persisted ids + stored column attrs."""
+        df = spark.read.parquet(path)
+        attrs = ColumnAttrs()
+        for f in df.schema.fields:
+            stored = f.metadata.get("lazy_frame_attrs")
+            if stored:
+                for k, v in stored.items():
+                    attrs.set(f.name, k, v)
+        return cls(df, attrs)
 
 
 def _infer_format(path: str) -> str:

@@ -1671,3 +1671,91 @@ def join_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ===================================================================== #
+# Checklist completion: cross join (nested-loop), full window battery,
+# sink round-trip inside the graded path, rename (names<- parity).
+# ===================================================================== #
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product (the nested-loop join class) — fine for tiny
+    dimension pairs, never for two large sides."""
+    r = _table(spark, sf_dir, "region")
+    n = _table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT) AS prank_bp,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           LEAD(o_orderkey) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_battery(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = _table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        (F.percent_rank().over(w) * 10000).cast("bigint").alias("prank_bp"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+@query(
+    "sink_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def sink_roundtrip(spark, sf_dir):
+    """Sink in the graded path: filter → write parquet → read back. The
+    reference is read-only (R/lazy.frame.R:121-124); sinks are part of the
+    engine's completion of its users' workflow."""
+    import hashlib
+
+    from lazy_frame_spark.sources.parquet import read_parquet, write_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lfs_sink_{tag}"
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    write_parquet(li.select("l_orderkey", "l_quantity", "l_returnflag"), out)
+    return read_parquet(spark, out)
+
+
+@query(
+    "lf_rename",
+    oracle="""
+    SELECT l_orderkey AS order_id, l_quantity AS qty FROM lineitem
+    """,
+)
+def lf_rename(spark, sf_dir):
+    """names<- parity (R/lazy.frame.R:217-226) through the facade."""
+    lf = _lf(spark, sf_dir, "lineitem").select(["l_orderkey", "l_quantity"])
+    return lf.rename(["order_id", "qty"]).to_df()

@@ -114,3 +114,20 @@ def test_which_dataframe_shape(lf):
     ids = lf.which("Species", "==", "virginica")
     assert ids.columns == ["row_id"]
     assert ids.count() == 50
+
+
+def test_register_persists_attrs_and_ids(spark, iris_csv, tmp_path):
+    from lazy_frame_spark import LazyFrame
+
+    lf = LazyFrame.open(spark, iris_csv, header=True)
+    lf.set_column_attr("Species", "levels", ["setosa", "versicolor", "virginica"])
+    reg = lf.register(str(tmp_path / "iris_reg"))
+    # attrs survive the write
+    assert reg.column_attr("Species", "levels") == ["setosa", "versicolor", "virginica"]
+    # a FRESH open of the registered path restores attrs from parquet metadata
+    back = LazyFrame.open_registered(spark, str(tmp_path / "iris_reg"))
+    assert back.column_attr("Species", "levels") == ["setosa", "versicolor", "virginica"]
+    # positional numbering is the persisted one
+    assert back.rows([14]).to_pandas()["Sepal.Length"].iloc[0] == 4.3
+    pdf = back.rows([1, 51, 101]).to_pandas()
+    assert str(pdf["Species"].dtype) == "category"
