@@ -266,3 +266,62 @@ def ngram_jaccard_pairs(
     return j.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.round(jac, 4) >= threshold)
+
+
+# --------------------------------------------------------------------- #
+# duplicate clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------- #
+
+def duplicate_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation; cluster id = the
+    minimal doc id in the component (the canonical survivor).
+
+    ``nodes``: one row per document id; ``pairs``: (doc_a, doc_b) edges.
+
+    Scale notes: each iteration is one join + one aggregation (label
+    frontier shrinks fast — O(log n) iterations for real duplicate
+    graphs, whose components are tiny). ``localCheckpoint`` every
+    iteration truncates the lineage so the plan doesn't grow
+    exponentially — the standard Spark iterative-algorithm discipline.
+    At web scale swap in the alternating large-star/small-star algorithm;
+    the contract (doc_id → cluster_id) is unchanged.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("n"), F.col(id_col).cast("bigint").alias("lbl")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["s"] == labels["n"])
+            .groupBy("d")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["n"] == neighbor_min["d"], "left")
+            .select(
+                "n",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), F.col("a.n") == F.col("b.n"))
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster_id"))

@@ -50,15 +50,17 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_LF_CACHE: dict[tuple[str, str], LazyFrame] = {}
+_LF_CACHE: dict[tuple[int, str, str], LazyFrame] = {}
 
 
 def _lf(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
-    """Memoized per (sf_dir, table): the reference opens a file ONCE
-    (building its newline index) and runs many queries against the handle
-    — the parity equivalent is one enumerated, persisted LazyFrame reused
-    across all positional queries."""
-    key = (sf_dir, name)
+    """Memoized per (session, sf_dir, table): the reference opens a file
+    ONCE (building its newline index) and runs many queries against the
+    handle — the parity equivalent is one enumerated, persisted LazyFrame
+    reused across all positional queries. Keyed by the session identity so
+    a driver that recreates its SparkSession never sees frames bound to a
+    dead session."""
+    key = (id(spark), sf_dir, name)
     if key not in _LF_CACHE:
         _LF_CACHE[key] = LazyFrame.from_df(
             _table(spark, sf_dir, name), order_by=TABLE_KEYS[name]
@@ -1759,3 +1761,44 @@ def lf_rename(spark, sf_dir):
     """names<- parity (R/lazy.frame.R:217-226) through the facade."""
     lf = _lf(spark, sf_dir, "lineitem").select(["l_orderkey", "l_quantity"])
     return lf.rename(["order_id", "qty"]).to_df()
+
+
+_JACCARD_PAIRS_SQL = """
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tokn
+      FROM documents WHERE doc_id % 5 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM tok a JOIN tok b ON a.tokn = b.tokn AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.5)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_SQL},
+    nodes AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(n, m) AS (
+      SELECT doc_id, doc_id::BIGINT FROM nodes
+      UNION
+      SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.n)
+    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters (connected components, min-id
+    canonical). Oracle: recursive-CTE transitive closure over the same
+    exact-Jaccard pairs."""
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = _dd.ngram_jaccard_pairs(d, threshold=0.5)
+    return _dd.duplicate_clusters(d.select("doc_id"), pairs)

@@ -154,3 +154,26 @@ def test_token_counts(spark):
     assert vals[1] == (2, 2)
     assert vals[2][0] == 3
     assert vals[3] == (3, 7)  # don ' t stop , ever !
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B and B~C (but not A~C directly) must land in ONE cluster."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dd.duplicate_clusters(nodes, pairs).collect()}
+    assert out[1] == out[2] == out[3] == 1   # transitive closure, min-id label
+    assert out[5] == out[6] == 5
+    assert out[4] == 4 and out[7] == 7       # singletons keep their own id
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    """A long chain needs label propagation over many hops."""
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    out = dd.duplicate_clusters(nodes, pairs, max_iter=40)
+    assert out.select("cluster_id").distinct().count() == 1
