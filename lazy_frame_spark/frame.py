@@ -160,6 +160,12 @@ class LazyFrame:
     def dim(self) -> tuple[int, int]:
         return (self.nrow(), self.ncol())
 
+    def dimnames(self) -> tuple[None, list[str]]:
+        """dimnames parity: (NULL row names, column names)
+        (R/lazy.frame.R:84,227-232). A row-names column, when configured,
+        is the ordinary ``__row_name__`` column."""
+        return (None, self.columns)
+
     # ------------------------------------------------------------------ #
     # projection (P3 parity)
     # ------------------------------------------------------------------ #
