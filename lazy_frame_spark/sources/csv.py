@@ -78,6 +78,16 @@ def open_csv(
         )
         if schema is not None:
             df = reader.schema(schema).csv(path)
+        elif infer_schema == "sample":
+            # reference-style inference from the ≤5-line head sample
+            # (R/lazy.frame.R:67-84): open touches only the first split —
+            # a full inferSchema pass over a 100 TB input is a whole extra
+            # scan. Trade-off (same as the reference's): a type that only
+            # reveals itself later in the file is mis-inferred; pass an
+            # explicit schema when that matters.
+            data_rows = parsed[1:] if has_header else parsed
+            sampled = _infer_schema_from_sample(data_rows, names)
+            df = reader.schema(sampled).csv(path)
         elif infer_schema:
             df = reader.option("inferSchema", "true").csv(path)
         else:

@@ -110,3 +110,13 @@ def test_tsv_sep(spark, tmp_path_factory):
 def test_explicit_header_false_keeps_first_row(spark, plain_csv):
     df = open_csv(spark, plain_csv, header=False)
     assert df.count() == 6
+
+
+def test_sample_inference_skips_full_scan(spark, plain_csv):
+    df = open_csv(spark, plain_csv, infer_schema="sample")
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    assert types["id"] == "bigint"
+    # price looks numeric in the 5-row sample head ('1.5','1e3','3.14','abc','')
+    # — 'abc' IS within the sample here so it stays string
+    assert types["price"] == "string"
+    assert df.count() == 5
