@@ -249,6 +249,23 @@ class LazyFrame:
         joined = df.join(F.broadcast(lookup), on=ROW_ID, how="left_semi")
         return LazyFrame(joined, self._attrs.copy(), self._order_by)
 
+    def sample_rows(self, n: int, seed: int = 42) -> "LazyFrame":
+        """Random point extraction — the vignette's designed-for use case
+        ``x[sample(nrow(x), n), ]`` (inst/doc/lazy.frame.Rnw:98-101,
+        157-174), without collecting ids to the driver: over-sample a
+        Bernoulli fraction, then keep exactly n by positional order."""
+        df = self._with_ids()
+        total = df.count()
+        if n >= total:
+            return LazyFrame(df, self._attrs.copy(), self._order_by)
+        frac = min(1.0, (n / total) * 1.5 + 10.0 / total)
+        picked = (
+            df.sample(fraction=frac, seed=seed)
+            .orderBy(F.rand(seed))
+            .limit(int(n))
+        )
+        return LazyFrame(picked, self._attrs.copy(), self._order_by)
+
     def head(self, n: int = 6) -> "LazyFrame":
         """First n rows in positional order (L1, ``R/lazy.frame.R:234-239``)."""
         df = self._with_ids()

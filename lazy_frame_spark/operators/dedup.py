@@ -325,3 +325,51 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------- #
+# incremental dedup (streaming-ingest pattern)
+# --------------------------------------------------------------------- #
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    existing_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Match a NEW batch of documents against an existing corpus WITHOUT
+    touching the old corpus text: only its persisted MinHash signature
+    table is needed (12 longs/doc — the SCALE.md ingest pattern).
+
+    Returns (new_id, old_id, est_jaccard) for candidate pairs whose
+    signature agreement ≥ min_est_jaccard. New-corpus signatures can then
+    be appended to the signature table; rows with no match are novel.
+    """
+    new_sig = minhash_signatures(new_docs, text_col, id_col).persist()
+    nb = lsh_band_buckets(new_sig, id_col)
+    ob = lsh_band_buckets(existing_signatures, id_col)
+    cand = (
+        nb.alias("n")
+        .join(
+            ob.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )
+    sn = new_sig.select(
+        F.col(id_col).alias("new_id"), *[F.col(f"m{i}").alias(f"n{i}") for i in range(N_PERM)]
+    )
+    so = existing_signatures.select(
+        F.col(id_col).alias("old_id"), *[F.col(f"m{i}").alias(f"o{i}") for i in range(N_PERM)]
+    )
+    est = cand.join(sn, "new_id").join(so, "old_id")
+    agree = sum((F.col(f"n{i}") == F.col(f"o{i}")).cast("int") for i in range(N_PERM))
+    return est.select(
+        "new_id", "old_id",
+        F.round(agree.cast("double") / N_PERM, 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)

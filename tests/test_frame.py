@@ -131,3 +131,16 @@ def test_register_persists_attrs_and_ids(spark, iris_csv, tmp_path):
     assert back.rows([14]).to_pandas()["Sepal.Length"].iloc[0] == 4.3
     pdf = back.rows([1, 51, 101]).to_pandas()
     assert str(pdf["Species"].dtype) == "category"
+
+
+def test_sample_rows(lf):
+    # vignette idiom: x[sample(nrow(x), 5), ]
+    s = lf.sample_rows(5, seed=1)
+    assert s.nrow() == 5
+    assert s.names() == lf.names()
+    # deterministic for a fixed seed
+    a = sorted(lf.sample_rows(5, seed=2).to_pandas()["Sepal.Length"])
+    b = sorted(lf.sample_rows(5, seed=2).to_pandas()["Sepal.Length"])
+    assert a == b
+    # n >= nrow returns everything
+    assert lf.sample_rows(10_000).nrow() == 150

@@ -177,3 +177,17 @@ def test_duplicate_clusters_chain_converges(spark):
     )
     out = dd.duplicate_clusters(nodes, pairs, max_iter=40)
     assert out.select("cluster_id").distinct().count() == 1
+
+
+def test_incremental_near_dups(spark, docs):
+    """New batch matched against the OLD corpus's signature table only."""
+    old_sigs = dd.minhash_signatures(docs)
+    new_batch = spark.createDataFrame(
+        [(100, BASE.replace("fox", "wolf")),            # near-dup of old doc 0
+         (101, "entirely novel content nothing alike xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    hits = dd.incremental_near_dups(new_batch, old_sigs).collect()
+    matched = {(r["new_id"], r["old_id"]) for r in hits}
+    assert (100, 0) in matched
+    assert all(n != 101 for n, _ in matched)  # novel doc matches nothing
