@@ -223,7 +223,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
     return cand.select(
         "doc_a", "doc_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

@@ -989,8 +989,36 @@ def dedup_minhash_signatures(spark, sf_dir):
     return _dd.minhash_signatures(_table(spark, sf_dir, "documents"))
 
 
-@query("dedup_minhash_pairs", oracle=None)  # LSH banding checked rows-only;
-def dedup_minhash_pairs(spark, sf_dir):     # signatures above are value-checked
+def _minhash_pairs_sql() -> str:
+    band_selects = []
+    for b in range(_dd.N_BANDS):
+        cols = ", ".join(
+            f"m{b * _dd.ROWS_PER_BAND + r}::VARCHAR" for r in range(_dd.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    agree = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(_dd.N_PERM))
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(({agree})::DOUBLE / {_dd.N_PERM}, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_pairs_sql())
+def dedup_minhash_pairs(spark, sf_dir):
+    """Full LSH pipeline oracle-checked: band buckets, candidate join, and
+    estimated Jaccard all reproduced in SQL from the same constants."""
     return _dd.minhash_candidate_pairs(_table(spark, sf_dir, "documents"))
 
 
@@ -999,7 +1027,23 @@ def dedup_simhash(spark, sf_dir):
     return _dd.simhash(_table(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash_pairs", oracle=None)  # banded candidates → rows-only
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    return f"""
+    WITH sim AS ({_simhash_sql()}),
+    chunks AS (
+      SELECT doc_id, simhash, g.i AS ci, (simhash >> (g.i * 8)) & 255 AS cv
+      FROM sim, generate_series(0, 3) AS g(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sha, b.simhash AS shb
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sha, shb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_sql(8))
 def dedup_simhash_pairs(spark, sf_dir):
     return _dd.simhash_pairs(_table(spark, sf_dir, "documents"), max_hamming=8)
 
