@@ -1846,3 +1846,29 @@ def dedup_clusters(spark, sf_dir):
     d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     pairs = _dd.ngram_jaccard_pairs(d, threshold=0.5)
     return _dd.duplicate_clusters(d.select("doc_id"), pairs)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Time-bounded stream-stream join shape, batch-verified (the real
+    two-stream execution is tested in tests/test_streaming.py)."""
+    from lazy_frame_spark.streaming.windows import stream_stream_time_join
+
+    e = _table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    j = stream_stream_time_join(p, c, on="user_id")
+    return j.select("purchase_id", "click_id", p["user_id"].alias("user_id"))

@@ -54,10 +54,19 @@ def open_csv(
     escape: str = '"',
     null_value: str = "",
     row_names: int | None = None,
-    infer_schema: bool = True,
+    infer_schema: bool | str = True,
+    comment: str | None = None,
+    encoding: str | None = None,
 ) -> DataFrame:
-    """Open a delimited text file (plain or gzip) as a lazy DataFrame."""
-    sample = _sample_lines(spark, path, skip, SAMPLE_LINES + 1)
+    """Open a delimited text file (plain or gzip) as a lazy DataFrame.
+
+    ``comment``: single char — lines starting with it are skipped anywhere
+    in the file (Spark-native, splittable; prefer over ``skip=`` when the
+    preamble is comment-prefixed). ``encoding``: charset name (e.g.
+    'ISO-8859-1'). ``infer_schema``: True (full pass), "sample" (≤5-line
+    head, reference-style), or False (all strings).
+    """
+    sample = _sample_lines(spark, path, skip, SAMPLE_LINES + 1, comment=comment)
     if not sample:
         raise ValueError(f"empty input: {path}")
     parsed = _parse_lines(sample, sep, quote)
@@ -76,6 +85,10 @@ def open_csv(
             .option("nullValue", null_value)
             .option("mode", "PERMISSIVE")
         )
+        if comment is not None:
+            reader = reader.option("comment", comment)
+        if encoding is not None:
+            reader = reader.option("encoding", encoding)
         if schema is not None:
             df = reader.schema(schema).csv(path)
         elif infer_schema == "sample":
@@ -142,12 +155,16 @@ def _open_with_skip(
     return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop))
 
 
-def _sample_lines(spark: SparkSession, path: str, skip: int, n: int) -> list[str]:
+def _sample_lines(
+    spark: SparkSession, path: str, skip: int, n: int, comment: str | None = None
+) -> list[str]:
     """First ``n`` lines after ``skip`` — a driver-side peek at the head of
     the file (the reference extracts rows 1..5 to a temp file); reads only
     the first split, never the whole file."""
-    taken = spark.sparkContext.textFile(path).take(skip + n)
-    return taken[skip:]
+    taken = spark.sparkContext.textFile(path).take(skip + n + 32)
+    if comment is not None:
+        taken = [ln for ln in taken if not ln.startswith(comment)]
+    return taken[skip : skip + n]
 
 
 def _parse_lines(lines: list[str], sep: str, quote: str) -> list[list[str]]:

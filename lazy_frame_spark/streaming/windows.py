@@ -117,6 +117,33 @@ def stream_events(
     return reader.parquet(events_dir)
 
 
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "l_ts",
+    right_time: str = "r_ts",
+    watermark: str = "1 hour",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Time-bounded stream-stream inner join: right events within
+    ``[left_time - max_lag, left_time]`` for the same key.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions — that pair of constraints is what lets the state
+    store evict rows (an unbounded stream-stream join would buffer
+    forever). The same plan runs in batch mode for the oracle.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_time] >= F.expr(f"{left_time} - INTERVAL {max_lag}"))
+        & (rw[right_time] <= lw[left_time])
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

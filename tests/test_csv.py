@@ -120,3 +120,12 @@ def test_sample_inference_skips_full_scan(spark, plain_csv):
     # — 'abc' IS within the sample here so it stays string
     assert types["price"] == "string"
     assert df.count() == 5
+
+
+def test_comment_lines_skipped(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "comm.csv"
+    p.write_text("# generated file\n# by a tool\nid,val\n1,10.5\n# mid-file note\n2,20.5\n")
+    df = open_csv(spark, str(p), comment="#")
+    pdf = df.toPandas().sort_values("id")
+    assert df.columns == ["id", "val"]
+    assert pdf["id"].tolist() == [1, 2]

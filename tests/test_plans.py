@@ -74,3 +74,18 @@ def test_row_range_prunes_on_registered_table(spark, sf_dir, tmp_path):
     reg = lf.register(str(tmp_path / "lineitem_registered"))
     q = reg.row_range(100, 200)._df
     assert has_pushed_filters(q, "__row_id__")
+
+
+def test_registered_projection_prunes_to_selected_plus_id(spark, sf_dir, tmp_path):
+    """On a registered table (persisted ids) a projection + positional
+    range must read ONLY the selected columns + __row_id__ — not the full
+    11-column schema."""
+    lf = LazyFrame.from_df(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        order_by=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_shipdate"],
+    )
+    reg = lf.register(str(tmp_path / "li_reg2"))
+    q = reg.row_range(10, 50).select(["l_quantity"]).to_df(with_row_id=True)
+    cols = set(read_schema_columns(q))
+    assert cols == {"__row_id__", "l_quantity"}, cols

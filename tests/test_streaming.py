@@ -75,3 +75,41 @@ def test_streaming_plan_is_incremental(spark, events_stream_dir):
     assert stream.isStreaming
     agg = tumbling_window_agg(stream, "1 hour", watermark="10 minutes")
     assert agg.isStreaming
+
+
+def test_stream_stream_time_join(spark, events_stream_dir):
+    """Purchases joined to same-user clicks within the prior hour: the
+    streaming join (both sides streams, watermarked, time-bounded) must
+    equal the batch join."""
+    from lazy_frame_spark.streaming.windows import stream_stream_time_join
+
+    batch = spark.read.parquet(events_stream_dir)
+    purchases_b = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks_b = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withColumnRenamed("c_user", "user_id")
+
+    want = stream_stream_time_join(
+        purchases_b, clicks_b.withColumnRenamed("user_id", "user_id"), on="user_id"
+    ).count()
+
+    schema = batch.schema
+    s = stream_events(spark, events_stream_dir, schema)
+    purchases_s = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("purchase_id")
+    )
+    s2 = stream_events(spark, events_stream_dir, schema)
+    clicks_s = s2.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = stream_stream_time_join(purchases_s, clicks_s, on="user_id")
+    q = (
+        joined.writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) FROM t_ssj").collect()[0][0]
+    assert got == want > 0
