@@ -31,8 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lazy_frame_spark.parity import REGISTRY
+    from lazy_frame_spark.session import tune_session
 
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # pin UTC + AQE even if the driver never called entry() first —
+            # timestamp comparisons against DuckDB require a UTC session
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
