@@ -1,13 +1,55 @@
-from lazy_frame_spark.operators.joins import asof_join, broadcast_dim_join, range_join
-from lazy_frame_spark.operators.sampling import deterministic_sample, sample, stratified_sample
+from lazy_frame_spark.operators.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    incremental_near_dups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from lazy_frame_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_dim_join,
+    range_join,
+    salted_join,
+    semi_join,
+)
+from lazy_frame_spark.operators.sampling import (
+    deterministic_sample,
+    sample,
+    stratified_sample,
+)
+from lazy_frame_spark.operators.similarity import (
+    IVFIndex,
+    RandomHyperplaneLSH,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
 from lazy_frame_spark.operators.sorts import top_k
+from lazy_frame_spark.operators.text import (
+    kmin_shingle_fingerprint,
+    lang_id,
+    normalized_fingerprint,
+    quality_features,
+    token_count,
+)
 
 __all__ = [
-    "asof_join",
-    "broadcast_dim_join",
-    "range_join",
-    "top_k",
-    "sample",
-    "stratified_sample",
-    "deterministic_sample",
+    # joins
+    "asof_join", "broadcast_dim_join", "range_join", "salted_join",
+    "semi_join", "anti_join",
+    # sorts & sampling
+    "top_k", "sample", "stratified_sample", "deterministic_sample",
+    # dedup
+    "exact_dedup", "minhash_signatures", "minhash_candidate_pairs",
+    "simhash", "simhash_pairs", "ngram_jaccard_pairs",
+    "duplicate_clusters", "incremental_near_dups",
+    # similarity
+    "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
+    "embedding_near_dup_pairs",
+    # text
+    "token_count", "quality_features", "lang_id",
+    "normalized_fingerprint", "kmin_shingle_fingerprint",
 ]

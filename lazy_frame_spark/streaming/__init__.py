@@ -1,7 +1,11 @@
+from lazy_frame_spark.streaming.stateful import running_user_profile
 from lazy_frame_spark.streaming.windows import (
+    dedup_within_watermark,
+    run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
     stream_events,
+    stream_stream_time_join,
     tumbling_window_agg,
 )
 
@@ -10,4 +14,8 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "stream_events",
+    "stream_stream_time_join",
+    "dedup_within_watermark",
+    "run_stream_to_memory",
+    "running_user_profile",
 ]

@@ -1,0 +1,100 @@
+"""Head-to-head with the reference's airline benchmark (BASELINE.md /
+inst/doc/lazy.frame.Rnw:487-637):
+
+  dataset: ASA on-time shape — ~120M rows x 29 cols CSV, ~12 GB
+  open   : reference 6.68 s (newline index, data on tmpfs)
+  filter : Year == 2000 -> 5,683,047 rows; reference 119.21 s (2 threads)
+  (SQLite comparison points: import 19m54s; indexed Year=2000 33.6 s)
+
+Synthesizes the 29-column ontime schema (FIXTURES.md F3) with Year
+distributed so Year==2000 selects ~4.7% of rows, then times the engine's
+open and WHICH-scan equivalents.
+
+Usage: python tools/bench_airline.py [n_rows]   (default 120_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from lazy_frame_spark import LazyFrame  # noqa: E402
+from lazy_frame_spark.session import get_spark  # noqa: E402
+
+CSV_DIR = "/tmp/lfs_airline_csv"
+
+INT_COLS = [
+    "Month", "DayofMonth", "DayOfWeek", "DepTime", "CRSDepTime", "ArrTime",
+    "CRSArrTime", "FlightNum", "ActualElapsedTime", "CRSElapsedTime",
+    "AirTime", "ArrDelay", "DepDelay", "Distance", "TaxiIn", "TaxiOut",
+    "Cancelled", "CarrierDelay", "WeatherDelay", "NASDelay",
+    "SecurityDelay", "LateAircraftDelay",
+]
+
+
+def generate(spark, n_rows: int) -> None:
+    if os.path.exists(os.path.join(CSV_DIR, "_SUCCESS")):
+        return
+    df = spark.range(0, n_rows, 1, 128)
+    # Year 1988..2008 (21 years) roughly uniform → Year==2000 ≈ 4.76%
+    cols = [(1988 + (F.col("id") % 21)).cast("int").alias("Year")]
+    for i, c in enumerate(INT_COLS):
+        cols.append(((F.col("id") * (i + 3)) % 1000).cast("int").alias(c))
+    cols.insert(5, F.concat(F.lit("C"), (F.col("id") % 20).cast("string")).alias("UniqueCarrier"))
+    cols.insert(7, F.concat(F.lit("N"), (F.col("id") % 9999).cast("string")).alias("TailNum"))
+    cols.append(F.concat(F.lit("A"), (F.col("id") % 300).cast("string")).alias("Origin"))
+    cols.append(F.concat(F.lit("B"), (F.col("id") % 300).cast("string")).alias("Dest"))
+    cols.append(F.when(F.col("id") % 50 == 0, "A").otherwise("").alias("CancellationCode"))
+    cols.append(F.when(F.col("id") % 40 == 0, "1").otherwise("0").alias("Diverted"))
+    df.select(*cols).write.mode("overwrite").option("header", "false").csv(CSV_DIR)
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000_000
+    spark = get_spark("bench-airline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    generate(spark, n_rows)
+    gen_s = round(time.perf_counter() - t0, 1)
+    size_gb = round(
+        sum(os.path.getsize(os.path.join(CSV_DIR, f))
+            for f in os.listdir(CSV_DIR) if f.endswith(".csv")) / 1e9, 2)
+
+    t0 = time.perf_counter()
+    lf = LazyFrame.open(spark, CSV_DIR, format="csv", header=False,
+                        infer_schema="sample")
+    ncol = lf.ncol()
+    open_s = round(time.perf_counter() - t0, 2)
+
+    # the reference's benchmark: Year == 2000L (int RHS, first column)
+    t0 = time.perf_counter()
+    n_match = lf.filter(1, "==", 2000).to_df().count()
+    filter_s = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    lf.filter(1, "==", 2000).to_df().count()
+    filter_warm_s = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps({
+        "metric": "airline_filter_sec",
+        "value": filter_s,
+        "unit": "sec",
+        "n_rows": n_rows, "ncol": ncol, "csv_gb": size_gb, "gen_sec": gen_s,
+        "open_sec": open_s, "filter_matches": n_match,
+        "filter_warm_sec": filter_warm_s,
+        "reference": {"open_sec": 6.68, "filter_sec_2threads": 119.21,
+                      "filter_matches": 5_683_047,
+                      "sqlite_indexed_sec": 33.6},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
