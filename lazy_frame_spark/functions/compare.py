@@ -8,10 +8,19 @@ dequoted raw field. Six comparators (op codes 1-6, ``R/lazy.frame.R:189-194``).
 Spark-native translation: pick a cast domain from the Python literal's type
 and apply ``try_cast`` to the column — malformed values become NULL, and
 NULL comparisons are false under SQL three-valued logic when used in a
-filter. The one documented divergence from the reference: NaN → NULL
-(SURVEY.md §2.1). Integer RHS casts the column to ``bigint`` — for double
-columns Spark's double→bigint cast truncates toward zero, matching the
-reference's ``atoi`` semantics on the raw text.
+filter. Documented divergences from the reference (SURVEY.md §2.1, all
+fuzz-verified against a Python model in tests/test_properties.py):
+
+- malformed → NULL, not NaN (so ``!=`` on malformed is false, where C
+  IEEE would say true);
+- strict parse, not prefix parse: C ``strtod("1_000")`` stops at ``_``
+  and yields 1.0; SQL rejects the whole token → NULL;
+- int domain saturates: doubles at exactly ±2^63 convert to Long
+  min/max (strtol-like), anything beyond → NULL (atoi would be garbage).
+
+Integer RHS casts the column via double then ``bigint`` — truncation
+toward zero on both numeric and string columns matches the reference's
+``atoi`` (``"4.5" == 4``).
 
 Everything here stays JVM-side (whole-stage codegen); no Python UDFs.
 """

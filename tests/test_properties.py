@@ -18,7 +18,23 @@ from lazy_frame_spark.functions.compare import OPS, typed_compare
 CELLS = [
     "0", "1", "-3", "4.5", "-4.5", "7", "42", "1e2", "1e300", "abc", "",
     "0.1", "  12  ", "3.14159", "-0.0", "nan", "99999999999999999999",
+    # boundary & parser-divergence cells (found by grid fuzzing):
+    "9223372036854775807",   # double rounds to 2^63 → saturates to int64max
+    "-9223372036854775808",  # exactly -2^63 → int64min
+    "1_000",                 # Python float() accepts; SQL try_cast rejects
+    "inf", "-inf", "+7", ".5", "5.",
 ]
+
+
+def _sql_float(s: str):
+    """SQL try_cast-to-double model: like Python float() MINUS the
+    Python-only underscore-digit-grouping extension."""
+    if "_" in s:
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return None
 
 
 @pytest.fixture(scope="module")
@@ -30,22 +46,21 @@ def strings_df(spark):
 
 def _atoi_model(s: str):
     """What the engine promises for int-RHS comparisons on raw text:
-    float-parse then truncate toward zero; unparseable/overflow → None."""
-    try:
-        f = float(s)
-    except ValueError:
+    SQL float-parse then truncate toward zero; NaN/out-of-range → None;
+    doubles at exactly ±2^63 saturate to Long min/max (Spark's
+    double→long conversion, strtol-like — fuzz-verified)."""
+    f = _sql_float(s)
+    if f is None or math.isnan(f):
         return None
-    if math.isnan(f) or abs(f) > 2**63 - 1:
+    if f >= 2**63:
+        return 2**63 - 1 if f == 2**63 else None
+    if f < -(2**63):
         return None
-    return int(f)  # trunc toward zero
+    return int(f)  # trunc toward zero; exactly -2^63 is in range
 
 
 def _strtod_model(s: str):
-    try:
-        f = float(s)
-    except ValueError:
-        return None
-    return None if math.isnan(f) and s.strip().lower() != "nan" else f
+    return _sql_float(s)
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
@@ -87,9 +102,8 @@ def test_double_rhs_matches_strtod_model(strings_df, op, value):
             ">": _op.gt, "<": _op.lt}[op]
     want = []
     for i, s in enumerate(CELLS):
-        try:
-            f = float(s)
-        except ValueError:
+        f = _sql_float(s)
+        if f is None:
             continue
         if math.isnan(f):
             # a parseable literal 'nan' follows Spark SQL NaN ordering:

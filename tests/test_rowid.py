@@ -34,3 +34,34 @@ def test_multipartition_ids(spark):
     out = with_row_ids(df)
     assert out.select(ROW_ID).distinct().count() == 100_000
     assert out.agg(F.max(ROW_ID)).collect()[0][0] == 100_000
+
+
+def test_ordered_ids_invariant_to_bucket_count(spark, sf_dir):
+    """Ids are the global sort rank — the quantile bucket count is an
+    execution detail and must never change the numbering."""
+    from lazy_frame_spark.sources.registry import TABLE_KEYS
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = TABLE_KEYS["lineitem"]
+    base = None
+    for b in (1, 4, 32):
+        out = (
+            with_row_ids(df, order_by=keys, num_buckets=b)
+            .select(ROW_ID, *keys)
+            .orderBy(ROW_ID)
+            .toPandas()
+        )
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base), f"bucket count {b} changed ids"
+
+
+def test_ordered_ids_with_null_leading_key(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (2, "b"), (1, "c"), (None, "d")], "k int, v string"
+    )
+    out = with_row_ids(df, order_by=["k", "v"]).orderBy(ROW_ID).collect()
+    # Spark sorts NULLs first ascending; ids must be total and contiguous
+    assert [r[ROW_ID] for r in out] == [1, 2, 3, 4]
+    assert [r["v"] for r in out] == ["a", "d", "c", "b"]
