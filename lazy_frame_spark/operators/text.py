@@ -139,7 +139,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     scores = {
         lang: F.size(
             F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(words) + r")\b"), 0)
-        )
+        ).cast("bigint")
         for lang, words in LANG_LEXICONS.items()
     }
     langs = sorted(scores)

@@ -243,7 +243,7 @@ def lf_dim(spark, sf_dir):
     lf = _lf(spark, sf_dir, "lineitem")
     nrow, ncol = lf.dim()
     return spark.range(1).select(
-        F.lit(nrow).alias("nrow"), F.lit(ncol).cast("int").alias("ncol")
+        F.lit(nrow).cast("bigint").alias("nrow"), F.lit(ncol).cast("int").alias("ncol")
     )
 
 
@@ -583,7 +583,7 @@ def window_top3_per_customer(spark, sf_dir):
     return (
         o.select(
             "o_custkey", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         ).filter(F.col("rn") <= 3)
     )
 
@@ -731,13 +731,13 @@ def scalar_functions(spark, sf_dir):
     o = _table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dy"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
         F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
         F.upper("o_orderstatus").alias("status_u"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.round(F.col("o_totalprice") * 0.07, 2).alias("tax"),
         F.abs(F.col("o_totalprice") - 100000.0).alias("dist_100k"),
@@ -853,8 +853,8 @@ def text_token_count(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        _tx.token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars_calc"),
+        _tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
     )
 
 
@@ -962,7 +962,7 @@ def text_kmin_fingerprint(spark, sf_dir):
 def text_bpe_token_count(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", _tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+        "doc_id", _tx.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens")
     )
 
 
@@ -1184,7 +1184,7 @@ def multimodal_metadata(spark, sf_dir):
     p = _mm.attach_binary_payload(d)
     return p.select(
         "doc_id",
-        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
     )
 
@@ -1482,7 +1482,7 @@ def scalar_string_battery(spark, sf_dir):
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
         F.reverse("p_brand").alias("brand_rev"),
         F.repeat("p_mfgr_code", 2).alias("code2"),
-        F.instr("p_name", "a").alias("first_a"),
+        F.instr("p_name", "a").cast("bigint").alias("first_a"),
         F.ascii("p_brand").alias("brand_ascii"),
         F.left(F.col("p_name"), F.lit(5)).alias("name5"),
         F.translate("p_brand", "#", "N").alias("brand_tr"),
@@ -1509,9 +1509,9 @@ def scalar_date_battery(spark, sf_dir):
         "o_orderkey",
         F.trunc("o_orderdate", "month").alias("month_start"),
         F.last_day("o_orderdate").alias("month_end"),
-        F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2025"),
-        F.weekday("o_orderdate").alias("weekday_mon0"),
-        F.quarter("o_orderdate").alias("qtr"),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")).cast("bigint").alias("days_to_2025"),
+        F.weekday("o_orderdate").cast("bigint").alias("weekday_mon0"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
         F.add_months("o_orderdate", 3).alias("plus3m"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
@@ -1607,10 +1607,10 @@ def array_functions(spark, sf_dir):
     emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.size(emb).alias("n_dims"),
+        F.size(emb).cast("bigint").alias("n_dims"),
         F.floor(F.element_at(emb, 1).cast("double") * 1000).cast("bigint").alias("first_x1000"),
         F.floor(F.array_max(emb).cast("double") * 1000).cast("bigint").alias("max_x1000"),
-        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
         F.floor(
             F.aggregate(
                 F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double")),
@@ -1764,9 +1764,9 @@ def window_rank_battery(spark, sf_dir):
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey", "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         (F.percent_rank().over(w) * 10000).cast("bigint").alias("prank_bp"),
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w_full).alias("last_key"),
