@@ -129,9 +129,14 @@ class LazyFrame:
     # shape & names (M2/M3 parity)
     # ------------------------------------------------------------------ #
 
+    #: internal columns excluded from the user-visible surface: positional
+    #: ids, and the row-names column (the reference transparently skips the
+    #: row-name file column in column numbering, src/lazy.frame.c:528-530)
+    _INTERNAL = (ROW_ID, "__row_name__")
+
     @property
     def columns(self) -> list[str]:
-        return [c for c in self._df.columns if c != ROW_ID]
+        return [c for c in self._df.columns if c not in self._INTERNAL]
 
     def names(self) -> list[str]:
         return self.columns
@@ -382,8 +387,15 @@ class LazyFrame:
     def to_pandas(self):
         """Materialize via Arrow; re-apply column attributes here — the
         materialization boundary, exactly where the reference re-applies
-        them (R/lazy.frame.R:167-178)."""
-        pdf = self.to_df().toPandas()
+        them (R/lazy.frame.R:167-178). A configured row-names column
+        becomes the pandas index (R row.names semantics)."""
+        cols = self.columns
+        if "__row_name__" in self._df.columns:
+            pdf = self._df.select("__row_name__", *[_qcol(c) for c in cols]).toPandas()
+            pdf = pdf.set_index("__row_name__")
+            pdf.index.name = None
+        else:
+            pdf = self.to_df().toPandas()
         return self._attrs.apply_to_pandas(pdf)
 
     def collect(self):

@@ -83,6 +83,14 @@ def test_row_names_column(spark, tmp_path):
     assert "__row_name__" in df.columns
     names = sorted(r["__row_name__"] for r in df.select("__row_name__").collect())
     assert names == ["r1", "r2", "r3"]
+    # through the facade: row-name column excluded from numbering
+    # (src/lazy.frame.c:528-530) and becomes the pandas index
+    lf = LazyFrame.from_df(df, order_by=["V2"])
+    assert lf.names() == ["V2", "V3"]      # column 1 is V2, not the names
+    assert lf.select([1]).names() == ["V2"]
+    pdf = lf.to_pandas()
+    assert sorted(pdf.index.tolist()) == ["r1", "r2", "r3"]
+    assert list(pdf.columns) == ["V2", "V3"]
 
 
 def test_large_point_set_uses_join_path(spark, sf_dir):
