@@ -257,18 +257,13 @@ class LazyFrame:
     def sample_rows(self, n: int, seed: int = 42) -> "LazyFrame":
         """Random point extraction — the vignette's designed-for use case
         ``x[sample(nrow(x), n), ]`` (inst/doc/lazy.frame.Rnw:98-101,
-        157-174), without collecting ids to the driver: over-sample a
-        Bernoulli fraction, then keep exactly n by positional order."""
+        157-174), without collecting ids to the driver: rank every row by
+        a seeded hash of its positional id and keep the top n. Always
+        returns EXACTLY min(n, nrow) rows (a Bernoulli draw could come up
+        short), is deterministic per seed, and plans as
+        TakeOrderedAndProject — only n rows per partition move."""
         df = self._with_ids()
-        total = df.count()
-        if n >= total:
-            return LazyFrame(df, self._attrs.copy(), self._order_by)
-        frac = min(1.0, (n / total) * 1.5 + 10.0 / total)
-        picked = (
-            df.sample(fraction=frac, seed=seed)
-            .orderBy(F.rand(seed))
-            .limit(int(n))
-        )
+        picked = df.orderBy(F.xxhash64(F.col(ROW_ID), F.lit(int(seed)))).limit(int(n))
         return LazyFrame(picked, self._attrs.copy(), self._order_by)
 
     def head(self, n: int = 6) -> "LazyFrame":

@@ -5,6 +5,7 @@ from lazy_frame_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    release_sketches,
     simhash,
     simhash_pairs,
 )
@@ -43,7 +44,7 @@ __all__ = [
     # sorts & sampling
     "top_k", "sample", "stratified_sample", "deterministic_sample",
     # dedup
-    "exact_dedup", "minhash_signatures", "minhash_candidate_pairs",
+    "exact_dedup", "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "duplicate_clusters", "incremental_near_dups",
     # similarity

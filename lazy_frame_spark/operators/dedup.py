@@ -53,6 +53,48 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 SIMHASH_BITS = 32
 
 
+def simhash_band_widths(max_hamming: int) -> list[int]:
+    """Bit widths of the SimHash LSH bands for a given hamming radius.
+
+    Pigeonhole: a pair within hamming distance ``h`` differs in at most
+    ``h`` bits, so splitting the 32 bits into ``h + 1`` disjoint chunks
+    guarantees at least one chunk is identical — the banded equi-join
+    then has 100% recall (the full distance is re-verified afterwards,
+    so precision is exact too)."""
+    n_bands = max_hamming + 1
+    if n_bands >= SIMHASH_BITS:
+        return [1] * SIMHASH_BITS
+    base, rem = divmod(SIMHASH_BITS, n_bands)
+    return [base + 1] * rem + [base] * (n_bands - rem)
+
+
+#: persisted sketch frames, keyed by operator — each new invocation
+#: replaces (and unpersists) its predecessor so long-lived sessions don't
+#: accumulate cached blocks; ``release_sketches()`` drops them all.
+_SKETCH_PINS: dict[str, DataFrame] = {}
+
+
+def _pin(key: str, df: DataFrame) -> DataFrame:
+    prev = _SKETCH_PINS.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _SKETCH_PINS[key] = df.persist()
+    return _SKETCH_PINS[key]
+
+
+def release_sketches() -> None:
+    """Unpersist every sketch frame pinned by the dedup operators. Results
+    derived from a released sketch stay correct — they just recompute."""
+    for key in list(_SKETCH_PINS):
+        try:
+            _SKETCH_PINS.pop(key).unpersist()
+        except Exception:
+            pass
+
+
 def token_hash(token: Column) -> Column:
     """Portable 60-bit integer hash: md5 hex prefix → bigint. Identical in
     Spark (conv) and DuckDB ('0x'||…)::BIGINT — the cross-engine anchor."""
@@ -130,8 +172,9 @@ def minhash_candidate_pairs(
     sides) and the estimation join twice more — recomputing the
     explode+aggregate pipeline 4-5× dominated the runtime before. One row
     per document (12 longs), so caching it is cheap at any scale; a
-    100 TB pipeline would persist signatures to a table anyway."""
-    sig = minhash_signatures(df, text_col, id_col, shingle_n).persist()
+    100 TB pipeline would persist signatures to a table anyway. The pin
+    replaces the previous invocation's cache (see ``release_sketches``)."""
+    sig = _pin("minhash_sig", minhash_signatures(df, text_col, id_col, shingle_n))
     bb = lsh_band_buckets(sig, id_col)
     a, b = bb.alias("a"), bb.alias("b")
     pairs = (
@@ -189,22 +232,25 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation bands the 32 bits into 4 chunks (pigeonhole: any
-    pair within hamming 4 shares at least one exact 8-bit chunk at
-    hamming ≤ 3... for strictness we verify the full distance after the
-    banded equi-join), so the join is equi on (chunk_idx, chunk_value) —
-    no cross join at scale."""
-    sh = simhash(df, text_col, id_col)
+    Candidate generation bands the 32 bits into ``max_hamming + 1``
+    disjoint chunks (``simhash_band_widths``): a pair within the radius
+    has at most ``max_hamming`` flipped bits, so by pigeonhole at least
+    one chunk matches exactly — the (chunk_idx, chunk_value) equi-join
+    has 100% recall, and the full distance is re-verified afterwards so
+    precision is exact. No cross join at any scale."""
+    sh = _pin("simhash_sketch", simhash(df, text_col, id_col))
+    widths = simhash_band_widths(max_hamming)
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ci"),
-                (F.shiftright(F.col("simhash"), i * 8) % 256).alias("cv"),
+                (F.shiftright(F.col("simhash"), off) % (1 << w)).alias("cv"),
             )
-            for i in range(4)
+            for i, (off, w) in enumerate(zip(offsets, widths))
         ]
     )
-    banded = sh.persist().select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -346,7 +392,7 @@ def incremental_near_dups(
     signature agreement ≥ min_est_jaccard. New-corpus signatures can then
     be appended to the signature table; rows with no match are novel.
     """
-    new_sig = minhash_signatures(new_docs, text_col, id_col).persist()
+    new_sig = _pin("incremental_sig", minhash_signatures(new_docs, text_col, id_col))
     nb = lsh_band_buckets(new_sig, id_col)
     ob = lsh_band_buckets(existing_signatures, id_col)
     cand = (

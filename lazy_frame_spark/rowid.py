@@ -9,10 +9,14 @@ contract at ``R/lazy.frame.R:203``). Two assignment strategies:
 ``order_by`` given — value-bucketed rank
     A bare ``row_number() OVER (ORDER BY …)`` funnels every row through
     one task (would not survive 100×). Instead: approximate quantiles of
-    the leading key split the data into B value-range buckets (the
-    boundaries are collected once and embedded as plan literals), each
-    bucket ranks in parallel (``row_number`` partitioned by bucket), and
-    bucket offsets (a tiny count-per-bucket cumsum) are broadcast back.
+    the leading key (or, for string keys, of its byte-prefix numeric
+    surrogate) split the data into B value-range buckets, each bucket
+    ranks in parallel (``row_number`` partitioned by bucket), and exact
+    per-bucket counts — collected once from a narrow aggregation — fold
+    back into the plan as literal offsets, so the ranked plan scans the
+    source exactly once. Final ids are invariant to where the bucket
+    boundaries fall (offset + within-bucket rank is always the global
+    rank), so quantile approximation only affects balance, never values.
     Every step is a deterministic function of DATA VALUES — nothing
     depends on physical partition ids, which are NOT stable across plan
     branches once a shuffle is involved (AQE may coalesce the same reused
@@ -67,46 +71,74 @@ def with_row_ids(
     return _with_partition_offset_ids(df, col)
 
 
+def _lead_bucket_expr(df: DataFrame, lead: str):
+    """A numeric expression that is (non-strictly) monotone in the leading
+    sort key, used ONLY to range-bucket rows — final ids are invariant to
+    the bucketing (offset + within-bucket rank always reconstructs the
+    global rank), so approximation/ties here affect balance, never values.
+
+    Numeric/temporal keys bucket on their double cast. String keys bucket
+    on the big-endian integer of the first 7 UTF-8 bytes (zero-padded) —
+    monotone under Spark's binary string ordering, so a string leading key
+    ranks in parallel instead of funneling into one task. Returns None for
+    types with no monotone surrogate (rare; single-bucket fallback)."""
+    lead_type = df.schema[lead].dataType
+    if isinstance(lead_type, _NUMERIC_TYPES):
+        return F.col(lead).cast("double")
+    if isinstance(lead_type, T.StringType):
+        hex14 = F.rpad(
+            F.substring(F.hex(F.encode(F.col(lead), "UTF-8")), 1, 14), 14, "0"
+        )
+        return F.conv(hex14, 16, 10).cast("double")
+    return None
+
+
 def _with_ordered_ids(
     df: DataFrame, keys: list[str], col: str, num_buckets: int | None
 ) -> DataFrame:
     spark = df.sparkSession
     b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    lead = keys[0]
-    lead_type = df.schema[lead].dataType
+    lead_expr = _lead_bucket_expr(df, keys[0])
 
-    if isinstance(lead_type, _NUMERIC_TYPES) and b > 1:
+    if lead_expr is not None and b > 1:
         probs = [i / b for i in range(1, b)]
         qrow = df.select(
             F.percentile_approx(
-                F.col(lead).cast("double"), F.array(*[F.lit(p) for p in probs]), 10_000
+                lead_expr, F.array(*[F.lit(p) for p in probs]), 1_000
             ).alias("q")
         ).collect()[0]["q"]
         bounds = sorted(set(qrow or []))
     else:
-        # non-numeric leading key (or trivial bucket count): single bucket —
-        # correct, but ranks on one task; callers with string keys at scale
-        # should pre-map to a numeric surrogate
         bounds = []
 
-    lead_d = F.col(lead).cast("double")
     bkt = F.lit(0)
     for bound in bounds:  # monotone: equal values always share a bucket
-        bkt = bkt + F.when(lead_d > F.lit(float(bound)), 1).otherwise(0)
+        bkt = bkt + F.when(lead_expr > F.lit(float(bound)), 1).otherwise(0)
     base = df.withColumn("__bkt__", bkt)
 
     w_rank = Window.partitionBy("__bkt__").orderBy(*[F.col(k) for k in keys])
     ranked = base.withColumn("__rn__", F.row_number().over(w_rank))
 
-    counts = base.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
-    w_off = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__bkt__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).alias("__off__")
-    )
+    if bounds:
+        # exact per-bucket counts, collected once (a narrow lead-column
+        # aggregation of ≤ b rows) and folded back as plan LITERALS — the
+        # ranked plan then scans the source exactly once, with no second
+        # in-plan counts branch and no broadcast join
+        rows = base.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("c")).collect()
+        cnt = {r["__bkt__"]: r["c"] for r in rows}
+        run, offsets = 0, {}
+        for i in sorted(cnt):
+            offsets[i] = run
+            run += cnt[i]
+        off = F.lit(0)
+        for i, o in offsets.items():
+            if o:
+                off = F.when(F.col("__bkt__") == i, F.lit(o)).otherwise(off)
+    else:
+        off = F.lit(0)
     return (
-        ranked.join(F.broadcast(offsets), on="__bkt__", how="inner")
-        .withColumn(col, (F.col("__off__") + F.col("__rn__")).cast("bigint"))
-        .drop("__bkt__", "__rn__", "__off__")
+        ranked.withColumn(col, (off + F.col("__rn__")).cast("bigint"))
+        .drop("__bkt__", "__rn__")
     )
 
 

@@ -34,6 +34,11 @@ def get_spark(app_name: str = "lazy_frame_spark", cpus: int | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/lazy_frame_spark-warehouse")
+        # Columnar-cache compression costs ~3× on cache BUILD (measured:
+        # enumerate+persist of sf0.1 lineitem 8.0 s → 2.8 s) and the open →
+        # persist → many-positional-queries pattern is cache-build-heavy.
+        # Trade memory for build speed; re-enable on memory-tight clusters.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     return builder.getOrCreate()
 
@@ -48,6 +53,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    except Exception:  # pragma: no cover
+        pass
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
     except Exception:  # pragma: no cover - conf may be fixed by the driver

@@ -191,3 +191,47 @@ def test_incremental_near_dups(spark, docs):
     matched = {(r["new_id"], r["old_id"]) for r in hits}
     assert (100, 0) in matched
     assert all(n != 101 for n, _ in matched)  # novel doc matches nothing
+
+
+def test_simhash_banded_recall_vs_bruteforce(spark, sf_dir):
+    """The banded equi-join must find EVERY pair within the hamming radius
+    (h+1 disjoint chunks → pigeonhole guarantees a shared band). Compares
+    against exhaustive all-pairs distances on the documents fixture."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    ids = sorted(sh)
+    for h in (4, 8):
+        banded = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dd.simhash_pairs(docs, max_hamming=h).collect()
+        }
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin(sh[a] ^ sh[b]).count("1")
+                if d <= h:
+                    brute[(a, b)] = d
+        missed = set(brute) - set(banded)
+        extra = set(banded) - set(brute)
+        assert not missed, f"h={h}: banding dropped {len(missed)} true pairs"
+        assert not extra, f"h={h}: {len(extra)} pairs beyond the radius"
+        assert banded == brute
+
+
+def test_sketch_persist_lifecycle(spark, docs):
+    """Repeated sketch-based calls must not accumulate cached blocks: each
+    invocation replaces its predecessor's pin; release_sketches() drops
+    all of them."""
+    dd.release_sketches()
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        dd.simhash_pairs(docs, max_hamming=4).count()
+    assert jsc.getPersistentRDDs().size() <= base + 1
+    for _ in range(2):
+        dd.minhash_candidate_pairs(docs).count()
+    assert jsc.getPersistentRDDs().size() <= base + 2
+    dd.release_sketches()
+    assert jsc.getPersistentRDDs().size() <= base

@@ -65,3 +65,45 @@ def test_ordered_ids_with_null_leading_key(spark):
     # Spark sorts NULLs first ascending; ids must be total and contiguous
     assert [r[ROW_ID] for r in out] == [1, 2, 3, 4]
     assert [r["v"] for r in out] == ["a", "d", "c", "b"]
+
+
+def test_string_leading_key_exact_ids(spark):
+    """A string leading key must produce exact global ranks via the
+    byte-prefix surrogate — and must NOT fall back to a single bucket."""
+    import random
+    import string as st
+
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.rowid import _lead_bucket_expr
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choices(st.ascii_lowercase, k=rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    data = [(rng.choice(words), i) for i in range(5000)]
+    df = spark.createDataFrame(data, "k string, u long")
+    out = with_row_ids(df, order_by=["k", "u"], num_buckets=8).orderBy(ROW_ID).toPandas()
+    assert out[ROW_ID].tolist() == list(range(1, 5001))
+    assert out["k"].tolist() == sorted(out["k"].tolist())
+
+    # the surrogate must yield >1 quantile bound: parallel ranking, not a
+    # one-task row_number (the 100× scale hazard this module exists to avoid)
+    expr = _lead_bucket_expr(df, "k")
+    assert expr is not None
+    probs = [i / 8 for i in range(1, 8)]
+    q = df.select(
+        F.percentile_approx(expr, F.array(*[F.lit(p) for p in probs]), 1_000).alias("q")
+    ).collect()[0]["q"]
+    assert len(set(q)) > 1
+
+
+def test_ordered_ids_plan_is_single_scan(spark, sf_dir):
+    """Bucket offsets are plan literals: the ranked plan must contain no
+    join and exactly one window (no second in-plan counts branch)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = with_row_ids(df, order_by=["o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
