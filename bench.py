@@ -61,8 +61,19 @@ def main() -> int:
     spark = get_spark("lazy_frame_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer cache on a trivial plan
+    # Warmup: JVM + whole-stage-codegen compilation is startup cost, not
+    # query cost (the reference likewise excludes library load/open from
+    # its scan timings). JMH-style: execute every benched query once at
+    # the smallest SF so each timed run measures data-proportional work,
+    # not first-touch JIT of its operator path.
     materialize(REGISTRY["lf_dim"].fn(spark, sf_dir))
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in BENCH_QUERIES:
+            try:
+                materialize(REGISTRY[name].fn(spark, warm_dir))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

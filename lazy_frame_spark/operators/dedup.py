@@ -175,27 +175,43 @@ def minhash_candidate_pairs(
     100 TB pipeline would persist signatures to a table anyway. The pin
     replaces the previous invocation's cache (see ``release_sketches``)."""
     sig = _pin("minhash_sig", minhash_signatures(df, text_col, id_col, shingle_n))
-    bb = lsh_band_buckets(sig, id_col)
-    a, b = bb.alias("a"), bb.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # carry the 12-long signature THROUGH the band explode (96 B/row ×
+    # N_BANDS): the est-Jaccard is then computable on the candidate row
+    # itself — two shuffles total (band join + pair dedup) instead of four
+    # (band join + distinct + two signature re-joins)
+    bands = []
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(N_PERM)])
+    bb = sig.select(
+        F.col(id_col), sig_arr.alias("__sig__"), F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        id_col, "__sig__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
-    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
-    est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    a, b = bb.alias("a"), bb.alias("b")
     agree = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERM)
+        (F.col("a.__sig__")[i] == F.col("b.__sig__")[i]).cast("int")
+        for i in range(N_PERM)
     )
-    return est.select(
-        "doc_a", "doc_b",
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
         F.round(agree.cast("double") / N_PERM, 4).alias("est_jaccard"),
+    )
+    # a pair sharing k bands appears k times with the same estimate
+    return cand.groupBy("doc_a", "doc_b").agg(
+        F.first("est_jaccard").alias("est_jaccard")
     )
 
 
