@@ -148,18 +148,44 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Explode each signature into (band, bucket) rows: bucket = md5 of the
-    band's signature slice."""
+def _band_structs() -> Column:
     bands = []
     for b in range(N_BANDS):
         cols = [F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
         bands.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
         )
+    return F.array(*bands)
+
+
+def lsh_band_buckets(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each signature into (band, bucket) rows: bucket = md5 of the
+    band's signature slice."""
     return sig.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+        F.col(id_col), F.explode(_band_structs()).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _banded_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, __sig__, band, bucket) rows: the band explode CARRYING the full
+    signature array (96 B × N_BANDS per doc), so downstream estimates need
+    no signature re-join — the two-shuffle formulation."""
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(N_PERM)])
+    return sig.select(
+        F.col(id_col), sig_arr.alias("__sig__"), F.explode(_band_structs()).alias("bb")
+    ).select(
+        id_col, "__sig__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _sig_agreement() -> Column:
+    """Fraction of agreeing components between the two carried signature
+    arrays of a candidate row (aliased sides a/b)."""
+    agree = sum(
+        (F.col("a.__sig__")[i] == F.col("b.__sig__")[i]).cast("int")
+        for i in range(N_PERM)
+    )
+    return F.round(agree.cast("double") / N_PERM, 4)
 
 
 def minhash_candidate_pairs(
@@ -175,30 +201,11 @@ def minhash_candidate_pairs(
     100 TB pipeline would persist signatures to a table anyway. The pin
     replaces the previous invocation's cache (see ``release_sketches``)."""
     sig = _pin("minhash_sig", minhash_signatures(df, text_col, id_col, shingle_n))
-    # carry the 12-long signature THROUGH the band explode (96 B/row ×
-    # N_BANDS): the est-Jaccard is then computable on the candidate row
-    # itself — two shuffles total (band join + pair dedup) instead of four
-    # (band join + distinct + two signature re-joins)
-    bands = []
-    for b in range(N_BANDS):
-        cols = [
-            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-            for r in range(ROWS_PER_BAND)
-        ]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
-        )
-    sig_arr = F.array(*[F.col(f"m{i}") for i in range(N_PERM)])
-    bb = sig.select(
-        F.col(id_col), sig_arr.alias("__sig__"), F.explode(F.array(*bands)).alias("bb")
-    ).select(
-        id_col, "__sig__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    # carry the signature THROUGH the band explode: the est-Jaccard is
+    # computable on the candidate row itself — two shuffles total (band
+    # join + pair dedup) instead of four (join + distinct + two re-joins)
+    bb = _banded_signatures(sig, id_col)
     a, b = bb.alias("a"), bb.alias("b")
-    agree = sum(
-        (F.col("a.__sig__")[i] == F.col("b.__sig__")[i]).cast("int")
-        for i in range(N_PERM)
-    )
     cand = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -207,7 +214,7 @@ def minhash_candidate_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
-        F.round(agree.cast("double") / N_PERM, 4).alias("est_jaccard"),
+        _sig_agreement().alias("est_jaccard"),
     )
     # a pair sharing k bands appears k times with the same estimate
     return cand.groupBy("doc_a", "doc_b").agg(
@@ -409,29 +416,18 @@ def incremental_near_dups(
     be appended to the signature table; rows with no match are novel.
     """
     new_sig = _pin("incremental_sig", minhash_signatures(new_docs, text_col, id_col))
-    nb = lsh_band_buckets(new_sig, id_col)
-    ob = lsh_band_buckets(existing_signatures, id_col)
-    cand = (
-        nb.alias("n")
-        .join(
-            ob.alias("o"),
-            (F.col("n.band") == F.col("o.band")) & (F.col("n.bucket") == F.col("o.bucket")),
-        )
-        .select(
-            F.col(f"n.{id_col}").alias("new_id"),
-            F.col(f"o.{id_col}").alias("old_id"),
-        )
-        .distinct()
+    a = _banded_signatures(new_sig, id_col).alias("a")
+    b = _banded_signatures(existing_signatures, id_col).alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),
+    ).select(
+        F.col(f"a.{id_col}").alias("new_id"),
+        F.col(f"b.{id_col}").alias("old_id"),
+        _sig_agreement().alias("est_jaccard"),
     )
-    sn = new_sig.select(
-        F.col(id_col).alias("new_id"), *[F.col(f"m{i}").alias(f"n{i}") for i in range(N_PERM)]
+    return (
+        cand.groupBy("new_id", "old_id")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
-    so = existing_signatures.select(
-        F.col(id_col).alias("old_id"), *[F.col(f"m{i}").alias(f"o{i}") for i in range(N_PERM)]
-    )
-    est = cand.join(sn, "new_id").join(so, "old_id")
-    agree = sum((F.col(f"n{i}") == F.col(f"o{i}")).cast("int") for i in range(N_PERM))
-    return est.select(
-        "new_id", "old_id",
-        F.round(agree.cast("double") / N_PERM, 4).alias("est_jaccard"),
-    ).filter(F.col("est_jaccard") >= min_est_jaccard)
