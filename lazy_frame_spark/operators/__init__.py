@@ -1,4 +1,5 @@
 from lazy_frame_spark.operators.dedup import (
+    connected_components_star,
     duplicate_clusters,
     exact_dedup,
     incremental_near_dups,
@@ -46,7 +47,7 @@ __all__ = [
     # dedup
     "exact_dedup", "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
-    "duplicate_clusters", "incremental_near_dups",
+    "connected_components_star", "duplicate_clusters", "incremental_near_dups",
     # similarity
     "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "embedding_near_dup_pairs",

@@ -358,8 +358,9 @@ def duplicate_clusters(
     graphs, whose components are tiny). ``localCheckpoint`` every
     iteration truncates the lineage so the plan doesn't grow
     exponentially — the standard Spark iterative-algorithm discipline.
-    At web scale swap in the alternating large-star/small-star algorithm;
-    the contract (doc_id → cluster_id) is unchanged.
+    For adversarial graphs (long paths) whose diameter makes label
+    propagation slow, use ``connected_components_star`` — same contract
+    (doc_id → cluster_id), O(log² n) rounds independent of diameter.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
@@ -394,6 +395,98 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node's strictly-LARGER neighbors attach
+    to the minimum of its closed neighborhood. Input/output: undirected
+    edge set as (u, v) rows, both orientations present."""
+    m = edges.groupBy("u").agg(F.min(F.least(F.col("v"), F.col("u"))).alias("m"))
+    return (
+        edges.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge high→low; every node's
+    smaller neighbors (and itself) attach to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).distinct()
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        oriented.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+    return nbr.union(self_edge).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm). Same contract as ``duplicate_clusters``:
+    (doc_id, cluster_id = min id in the component).
+
+    Why it exists alongside min-label propagation: label propagation
+    needs O(diameter) rounds — fine for near-dup graphs (tiny, dense
+    components), pathological for long chains. Star rounds contract
+    every component toward its minimum in O(log² n) rounds regardless
+    of diameter, each round being one groupBy + one join on the edge
+    set, which also SHRINKS every round (edges re-point at component
+    minima). Convergence = the small-star output is a fixed point
+    (checked with a cheap count+checksum aggregate, not a full diff).
+    """
+    ids = F.col(id_col).cast("bigint")
+    edges = (
+        pairs.select(F.col("doc_a").cast("bigint").alias("u"), F.col("doc_b").cast("bigint").alias("v"))
+        .union(pairs.select(F.col("doc_b").cast("bigint").alias("u"), F.col("doc_a").cast("bigint").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-insensitive and cannot overflow (ANSI)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        # symmetrize for large-star (it reasons over full neighborhoods)
+        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        big = _large_star(und)
+        sym = big.union(big.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        edges = _small_star(sym).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # after convergence every edge points node → component minimum
+    membership = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    return (
+        nodes.select(ids.alias("n"))
+        .join(membership, F.col("n") == F.col("u"), "left")
+        .select(
+            F.col("n").alias(id_col),
+            F.coalesce(F.col("lbl"), F.col("n")).alias("cluster_id"),
+        )
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -1873,9 +1873,7 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
     {_JACCARD_PAIRS_SQL},
     nodes AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
@@ -1886,8 +1884,10 @@ _JACCARD_PAIRS_SQL = """
       UNION
       SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.n)
     SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate clusters (connected components, min-id
     canonical). Oracle: recursive-CTE transitive closure over the same
@@ -1895,6 +1895,17 @@ def dedup_clusters(spark, sf_dir):
     d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     pairs = _dd.ngram_jaccard_pairs(d, threshold=0.5)
     return _dd.duplicate_clusters(d.select("doc_id"), pairs)
+
+
+@query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark, sf_dir):
+    """Same clustering contract via alternating large-star/small-star
+    (Kiveris et al., SoCC'14): O(log² n) rounds independent of graph
+    diameter — the web-scale path. Checked against the identical
+    recursive-CTE oracle as the label-propagation variant."""
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = _dd.ngram_jaccard_pairs(d, threshold=0.5)
+    return _dd.connected_components_star(d.select("doc_id"), pairs)
 
 
 @query(

@@ -179,6 +179,38 @@ def test_duplicate_clusters_chain_converges(spark):
     assert out.select("cluster_id").distinct().count() == 1
 
 
+def test_star_cc_matches_label_propagation(spark):
+    """Large-star/small-star must produce the identical (doc_id, cluster_id)
+    mapping as min-label propagation on a multi-component graph."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10)], "doc_a long, doc_b long"
+    )
+    lp = sorted(tuple(r) for r in dd.duplicate_clusters(nodes, pairs).collect())
+    star = sorted(tuple(r) for r in dd.connected_components_star(nodes, pairs).collect())
+    assert star == lp
+
+
+def test_star_cc_long_chain_beats_diameter(spark):
+    """A 60-node chain has diameter 59: label propagation would need ~59
+    rounds, star contraction must finish within 10."""
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    out = dd.connected_components_star(nodes, pairs, max_iter=10).collect()
+    assert {r["cluster_id"] for r in out} == {1}
+    assert len(out) == n
+
+
+def test_star_cc_isolated_and_empty_edges(spark):
+    nodes = spark.createDataFrame([(i,) for i in (4, 8, 15)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dd.connected_components_star(nodes, pairs).collect()}
+    assert out == {4: 4, 8: 8, 15: 15}
+
+
 def test_incremental_near_dups(spark, docs):
     """New batch matched against the OLD corpus's signature table only."""
     old_sigs = dd.minhash_signatures(docs)
