@@ -57,6 +57,7 @@ def open_csv(
     infer_schema: bool | str = True,
     comment: str | None = None,
     encoding: str | None = None,
+    multiline: bool = False,
 ) -> DataFrame:
     """Open a delimited text file (plain or gzip) as a lazy DataFrame.
 
@@ -64,8 +65,14 @@ def open_csv(
     in the file (Spark-native, splittable; prefer over ``skip=`` when the
     preamble is comment-prefixed). ``encoding``: charset name (e.g.
     'ISO-8859-1'). ``infer_schema``: True (full pass), "sample" (≤5-line
-    head, reference-style), or False (all strings).
+    head, reference-style), or False (all strings). ``multiline``: allow
+    quoted fields to span newlines — SCALE WARNING: a multiLine CSV is not
+    line-splittable, so Spark reads each FILE as one task; at 100 TB keep
+    multiline inputs as many moderate files, or convert to parquet at
+    ingest. Incompatible with ``skip`` (the skip path parses per-line).
     """
+    if multiline and skip:
+        raise ValueError("multiline=True cannot be combined with skip>0")
     sample = _sample_lines(spark, path, skip, SAMPLE_LINES + 1, comment=comment)
     if not sample:
         raise ValueError(f"empty input: {path}")
@@ -89,6 +96,8 @@ def open_csv(
             reader = reader.option("comment", comment)
         if encoding is not None:
             reader = reader.option("encoding", encoding)
+        if multiline:
+            reader = reader.option("multiLine", "true")
         if schema is not None:
             df = reader.schema(schema).csv(path)
         elif infer_schema == "sample":

@@ -122,6 +122,48 @@ def test_sample_inference_skips_full_scan(spark, plain_csv):
     assert df.count() == 5
 
 
+def test_multiline_quoted_newlines(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "ml.csv"
+    p.write_text('id,note\n1,"first line\nsecond line"\n2,plain\n')
+    df = open_csv(spark, str(p), multiline=True, header=True)
+    pdf = df.toPandas().sort_values("id")
+    assert pdf["note"].tolist() == ["first line\nsecond line", "plain"]
+
+
+def test_multiline_rejects_skip(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "mlskip.csv"
+    p.write_text("x\n1\n")
+    with pytest.raises(ValueError, match="multiline"):
+        open_csv(spark, str(p), multiline=True, skip=2)
+
+
+def test_custom_escape_char(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "esc.csv"
+    p.write_text('id,txt\n1,"say \\"hi\\""\n2,plain\n')
+    df = open_csv(spark, str(p), escape="\\", header=True)
+    pdf = df.toPandas().sort_values("id")
+    assert pdf["txt"].tolist() == ['say "hi"', "plain"]
+
+
+def test_latin1_encoding(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "latin1.csv"
+    p.write_bytes("id,name\n1,café\n2,naïve\n".encode("iso-8859-1"))
+    df = open_csv(spark, str(p), encoding="ISO-8859-1", header=True)
+    pdf = df.toPandas().sort_values("id")
+    assert pdf["name"].tolist() == ["café", "naïve"]
+
+
+def test_csv_scan_prunes_columns(spark, plain_csv):
+    """A 2-column projection must reach the CSV scan as a 2-column
+    ReadSchema — not a full-width read."""
+    df = open_csv(spark, plain_csv).select("id", "label")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "id" in read_schema[0] and "label" in read_schema[0]
+    assert "price" not in read_schema[0] and "qty" not in read_schema[0]
+
+
 def test_comment_lines_skipped(spark, tmp_path_factory):
     p = tmp_path_factory.mktemp("csv") / "comm.csv"
     p.write_text("# generated file\n# by a tool\nid,val\n1,10.5\n# mid-file note\n2,20.5\n")
