@@ -1,3 +1,8 @@
+from lazy_frame_spark.streaming.sinks import (
+    ParquetUpsertSink,
+    kafka_message_frame,
+    kafka_sink_writer,
+)
 from lazy_frame_spark.streaming.stateful import running_user_profile
 from lazy_frame_spark.streaming.windows import (
     dedup_within_watermark,
@@ -18,4 +23,7 @@ __all__ = [
     "dedup_within_watermark",
     "run_stream_to_memory",
     "running_user_profile",
+    "ParquetUpsertSink",
+    "kafka_message_frame",
+    "kafka_sink_writer",
 ]

@@ -1,0 +1,141 @@
+"""Streaming sinks: keyed upsert via foreachBatch, and a Kafka-shaped
+message sink.
+
+The reference has no streaming (SURVEY.md §2.2) — north-star scope. The
+upsert sink demonstrates the canonical Structured Streaming pattern for
+exactly-once keyed output over a plain-parquet table: ``foreachBatch``
+gives a batch DataFrame + a monotonically increasing ``batch_id``, and the
+sink (a) skips batch ids it has already committed (idempotent under
+micro-batch replay after failure) and (b) versions the table directory,
+atomically publishing via a pointer file.
+
+Scale note: at 100 TB you would point the same ``foreachBatch`` body at a
+table format with a real MERGE (Delta/Iceberg) instead of
+read-union-rewrite — the streaming side (idempotence, batch ids,
+checkpointing) is identical; only the merge implementation narrows to the
+touched partitions. The pointer-file scheme here is the minimal honest
+stand-in that still gets atomic publish + replay safety right.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class ParquetUpsertSink:
+    """Keyed upsert into a versioned parquet table, driven by foreachBatch.
+
+    ``keys``: upsert identity — a batch row replaces the stored row with
+    the same key. Within a batch, the row with the greatest ``seq_col``
+    wins (ties broken arbitrarily but deterministically by the window
+    sort). Readers open ``current_path()``.
+    """
+
+    def __init__(self, table_dir: str, keys: list[str], seq_col: str):
+        self.table_dir = table_dir
+        self.keys = keys
+        self.seq_col = seq_col
+        os.makedirs(table_dir, exist_ok=True)
+
+    # -- pointer management ------------------------------------------- #
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.table_dir, "_CURRENT")
+
+    def _read_pointer(self) -> tuple[int, int]:
+        """(last committed batch_id, current version) or (-1, -1)."""
+        try:
+            with open(self._pointer, encoding="utf-8") as f:
+                bid, ver = f.read().split(",")
+                return int(bid), int(ver)
+        except FileNotFoundError:
+            return -1, -1
+
+    def current_path(self) -> str | None:
+        _, ver = self._read_pointer()
+        return None if ver < 0 else os.path.join(self.table_dir, f"v{ver}")
+
+    def read_current(self, spark: SparkSession) -> DataFrame | None:
+        p = self.current_path()
+        return None if p is None else spark.read.parquet(p)
+
+    # -- the foreachBatch body ---------------------------------------- #
+    def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
+        last_bid, ver = self._read_pointer()
+        if batch_id <= last_bid:
+            return  # replayed micro-batch after recovery — already merged
+        spark = batch.sparkSession
+        # latest row per key within the incoming batch
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col(self.seq_col).desc(), *[F.col(k) for k in self.keys]
+        )
+        latest = (
+            batch.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        current = self.read_current(spark)
+        if current is None:
+            merged = latest
+        else:
+            survivors = current.join(
+                F.broadcast(latest.select(*self.keys).distinct()),
+                on=self.keys,
+                how="left_anti",
+            )
+            merged = survivors.unionByName(latest)
+        new_ver = ver + 1
+        out = os.path.join(self.table_dir, f"v{new_ver}")
+        merged.write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{batch_id},{new_ver}")
+        os.replace(tmp, self._pointer)  # atomic publish
+
+    def write_stream(self, result: DataFrame, checkpoint_dir: str):
+        """Attach the sink to a streaming result; availableNow trigger so
+        tests (and backfills) process everything then stop."""
+        return (
+            result.writeStream.foreachBatch(self.upsert_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def kafka_message_frame(
+    df: DataFrame, key_cols: list[str], value_cols: list[str] | None = None
+) -> DataFrame:
+    """Shape a result for a Kafka sink: (key, value) string columns — key
+    = concat of key cols, value = JSON of the payload. Works identically
+    on batch and streaming frames; the actual broker write is
+    ``kafka_sink_writer``."""
+    payload = value_cols or [c for c in df.columns]
+    return df.select(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols]).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in payload])).alias("value"),
+    )
+
+
+def kafka_sink_writer(
+    result: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+):
+    """Configured (NOT started) Kafka writeStream. The kafka connector jar
+    is not present in this container, so callers ``.start()`` only in an
+    environment that ships ``spark-sql-kafka``; tests validate the message
+    framing via ``kafka_message_frame`` and this writer's options."""
+    return (
+        result.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -113,3 +113,71 @@ def test_stream_stream_time_join(spark, events_stream_dir):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) FROM t_ssj").collect()[0][0]
     assert got == want > 0
+
+
+def test_foreach_batch_upsert_sink(spark, events_stream_dir, tmp_path_factory):
+    """Streamed keyed upsert: the published table holds exactly one row per
+    user, each matching a real source row; replaying a committed batch id
+    is a no-op (exactly-once under micro-batch replay)."""
+    from lazy_frame_spark.streaming.sinks import ParquetUpsertSink
+
+    table = str(tmp_path_factory.mktemp("upsert_table"))
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    batch = spark.read.parquet(events_stream_dir)
+    schema = batch.schema
+
+    sink = ParquetUpsertSink(table, keys=["user_id"], seq_col="ts")
+    src = stream_events(spark, events_stream_dir, schema, max_files_per_trigger=1)
+    q = sink.write_stream(src.select("user_id", "ts", "event_id", "value"), ckpt)
+    q.awaitTermination()
+
+    stored = sink.read_current(spark)
+    n_users = batch.select("user_id").distinct().count()
+    assert stored.count() == n_users
+    assert stored.select("user_id").distinct().count() == n_users
+    # every stored row is a real source row
+    assert (
+        stored.join(
+            batch.select("user_id", "ts", "event_id", "value"),
+            on=["user_id", "ts", "event_id", "value"],
+            how="left_anti",
+        ).count()
+        == 0
+    )
+
+    # replaying an already-committed batch id must not bump the version
+    before = sink.current_path()
+    sink.upsert_batch(batch.select("user_id", "ts", "event_id", "value").limit(5), 0)
+    assert sink.current_path() == before
+
+
+def test_upsert_batch_within_batch_latest_wins(spark, tmp_path_factory):
+    from lazy_frame_spark.streaming.sinks import ParquetUpsertSink
+
+    table = str(tmp_path_factory.mktemp("upsert_small"))
+    sink = ParquetUpsertSink(table, keys=["k"], seq_col="seq")
+    b0 = spark.createDataFrame([("a", 1, "old"), ("a", 2, "new"), ("b", 1, "b0")],
+                               "k string, seq long, payload string")
+    sink.upsert_batch(b0, 0)
+    b1 = spark.createDataFrame([("b", 5, "b1"), ("c", 1, "c0")],
+                               "k string, seq long, payload string")
+    sink.upsert_batch(b1, 1)
+    got = {r["k"]: r["payload"] for r in sink.read_current(spark).collect()}
+    assert got == {"a": "new", "b": "b1", "c": "c0"}
+
+
+def test_kafka_message_framing(spark):
+    from lazy_frame_spark.streaming.sinks import kafka_message_frame, kafka_sink_writer
+
+    df = spark.createDataFrame([(1, "click", 2.5)], "user_id long, et string, v double")
+    msg = kafka_message_frame(df, key_cols=["user_id", "et"], value_cols=["v"])
+    row = msg.collect()[0]
+    assert row["key"] == "1|click"
+    assert row["value"] == '{"v":2.5}'
+
+    stream = spark.readStream.format("rate").load()
+    w = kafka_sink_writer(
+        kafka_message_frame(stream, ["value"]), "events", "broker:9092", "/tmp/ck"
+    )
+    # configured but not started — the connector jar isn't in this container
+    assert w is not None
