@@ -760,22 +760,64 @@ def sample_deterministic(spark, sf_dir):
     return deterministic_sample(_table(spark, sf_dir, "orders"), "o_orderkey", 97)
 
 
-@query("sample_bernoulli", oracle=None)  # seeded RNG is engine-specific → rows-only
+@query(
+    "sample_bernoulli",
+    # the seeded RNG draw is engine-specific, but its INVARIANTS are not:
+    # every sampled row exists in the source (checked by keyed anti-join)
+    # and the sample size sits within ±50% of the expected fraction —
+    # >10 sigma for any sf dir's lineitem size. Both engines agree on TRUE.
+    oracle="SELECT TRUE AS subset_ok, TRUE AS size_ok",
+)
 def sample_bernoulli(spark, sf_dir):
     from lazy_frame_spark.operators.sampling import sample
 
-    return sample(_table(spark, sf_dir, "lineitem"), 0.01, seed=42)
+    li = _table(spark, sf_dir, "lineitem")
+    s = sample(li, 0.01, seed=42)
+    expected = li.count() * 0.01
+    missing = s.join(
+        li, on=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"], how="left_anti"
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("__n__")
+    ).crossJoin(missing.agg(F.count(F.lit(1)).alias("__miss__"))).select(
+        (F.col("__miss__") == 0).alias("subset_ok"),
+        F.col("__n__").between(expected * 0.5, expected * 1.5).alias("size_ok"),
+    )
 
 
-@query("sample_stratified", oracle=None)  # rows-only: engine-specific RNG
+@query(
+    "sample_stratified",
+    # per-stratum invariant check: each stratum's draw is a subset of the
+    # source and lands within ±50% of its own fraction (strata are ≥1000
+    # rows at sf0.01). Oracle asserts every stratum passes.
+    oracle="""
+    SELECT l_returnflag, TRUE AS size_ok
+    FROM lineitem WHERE l_returnflag IN ('R', 'A', 'N')
+    GROUP BY l_returnflag
+    """,
+)
 def sample_stratified(spark, sf_dir):
     """The vignette's imbalanced-bootstrap pattern
     (inst/doc/lazy.frame.Rnw:157-174): per-stratum sampling fractions."""
     from lazy_frame_spark.operators.sampling import stratified_sample
 
     li = _table(spark, sf_dir, "lineitem")
-    return stratified_sample(
-        li, "l_returnflag", {"R": 0.02, "A": 0.02, "N": 0.005}, seed=7
+    fracs = {"R": 0.02, "A": 0.02, "N": 0.005}
+    s = stratified_sample(li, "l_returnflag", fracs, seed=7)
+    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("__tot__"))
+    frac_col = F.create_map(
+        *[F.lit(x) for kv in fracs.items() for x in kv]
+    )[F.col("l_returnflag")]
+    return (
+        s.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .join(totals, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("__n__")
+            .between(F.col("__tot__") * frac_col * 0.5, F.col("__tot__") * frac_col * 1.5)
+            .alias("size_ok"),
+        )
     )
 
 
@@ -1148,12 +1190,24 @@ def ann_pairs_top15(spark, sf_dir):
     )
 
 
-@query("ann_lsh_topk", oracle=None)  # hyperplane sketch is engine-specific
+@query(
+    "ann_lsh_topk",
+    # the hyperplane sketch itself is engine-specific, but its RECALL
+    # against the exact top-k is a portable, assertable property: the
+    # multi-probe (hamming ≤ 4 of 12 planes ≈ 19% of buckets) top-10 must
+    # recover ≥ 4 of the true top-10. Observed recall on the synthetic
+    # embeddings is 0.5-0.6 at every SF (deterministic: fixed seed+data).
+    oracle="SELECT TRUE AS recall_ok",
+)
 def ann_lsh_topk(spark, sf_dir):
     e = _table(spark, sf_dir, "embeddings")
-    dim = len(_query_vec(spark, sf_dir))
-    lsh = _sim.RandomHyperplaneLSH(dim=dim, n_planes=12, seed=7)
-    return lsh.topk(e, _query_vec(spark, sf_dir), k=10, probe_hamming=3)
+    qv = _query_vec(spark, sf_dir)
+    lsh = _sim.RandomHyperplaneLSH(dim=len(qv), n_planes=12, seed=7)
+    approx = lsh.topk(e, qv, k=10, probe_hamming=4).select("vec_id")
+    exact = _sim.cosine_topk(e, qv, k=10).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        (F.count(F.lit(1)) >= 4).alias("recall_ok")
+    )
 
 
 def _lsh_near_dup_sql(threshold: float = 0.2, n_planes: int = 8, seed: int = 11,
@@ -1238,10 +1292,33 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_features", oracle=None)  # Pandas-UDF path, rows-only
+@query(
+    "multimodal_decode_features",
+    # the sha1-derived fake decode isn't reproducible in DuckDB (no sha1),
+    # but the Arrow batch that flows through the Pandas UDF is checkable
+    # per-document: n_bytes must equal the source byte length, and the
+    # decoded dims/feature must satisfy the decoder's contract. A green
+    # row proves every document made it through mapInPandas intact.
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           TRUE AS dims_ok, TRUE AS feature_ok
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
     d = _table(spark, sf_dir, "documents")
-    return _mm.decode_image_features(_mm.attach_binary_payload(d))
+    feats = _mm.decode_image_features(_mm.attach_binary_payload(d))
+    dims_ok = F.col("width").between(64, 255) & F.col("height").between(64, 255)
+    feature_ok = (F.size("feature") == 8) & F.forall(
+        "feature", lambda x: (x >= 0.0) & (x <= 1.0)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        dims_ok.alias("dims_ok"),
+        feature_ok.alias("feature_ok"),
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -1477,11 +1554,39 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct", oracle=None)  # HLL sketches are engine-specific
+@query(
+    "agg_approx_distinct",
+    # HLL sketch values are engine-specific, but the error BOUND is not:
+    # the query emits |approx - exact| <= 3*rsd*exact per group and the
+    # oracle asserts TRUE — a green row proves the sketch accuracy claim.
+    oracle="SELECT l_returnflag, TRUE AS within_bound FROM lineitem GROUP BY l_returnflag",
+)
 def agg_approx_distinct(spark, sf_dir):
     li = _table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - exact)
+            <= F.lit(0.15) * exact  # 3x the default rsd of 0.05
+        ).alias("within_bound")
+    )
+
+
+@query(
+    "agg_approx_percentile_rank",
+    # KLL-style quantile sketches differ across engines; what is portable
+    # is the RANK guarantee: the fraction of rows at or below the approx
+    # median must sit near 0.5. accuracy=10000 bounds rank error at 1e-4;
+    # the band below leaves generous room for ties.
+    oracle="SELECT TRUE AS rank_ok",
+)
+def agg_approx_percentile_rank(spark, sf_dir):
+    o = _table(spark, sf_dir, "orders")
+    appr = o.agg(F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50a"))
+    return (
+        o.crossJoin(F.broadcast(appr))
+        .agg(F.avg((F.col("o_totalprice") <= F.col("p50a")).cast("double")).alias("frac"))
+        .select(F.col("frac").between(0.45, 0.55).alias("rank_ok"))
     )
 
 
@@ -1738,11 +1843,23 @@ def stream_stateful_profile(spark, sf_dir):
     )
 
 
-@query("ann_ivf_topk", oracle=None)  # IVF cells are engine-specific (rows-only)
+@query(
+    "ann_ivf_topk",
+    # IVF cell assignments are engine-specific; the assertable property is
+    # recall vs the exact top-k. 3-of-8 probed cells recovers the full
+    # top-10 on the synthetic embeddings (deterministic k-means init);
+    # asserted at ≥ 8/10 for slack across SF dirs.
+    oracle="SELECT TRUE AS recall_ok",
+)
 def ann_ivf_topk(spark, sf_dir):
     e = _table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
     ivf = _sim.IVFIndex.fit_deterministic(e, k=8)
-    return ivf.topk(e, _query_vec(spark, sf_dir), k=10, n_probe=3)
+    approx = ivf.topk(e, qv, k=10, n_probe=3).select("vec_id")
+    exact = _sim.cosine_topk(e, qv, k=10).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        (F.count(F.lit(1)) >= 8).alias("recall_ok")
+    )
 
 
 @query(
