@@ -1,11 +1,16 @@
-"""Skew-join measurement: one hot key owning 50% of a 4M-row fact side,
-joined to a 200k-key dimension. Compares three plans:
+"""Skewed-join microbenchmark: AQE skew-split vs explicit salting vs a
+plain sort-merge join, on a synthetic workload where ONE key owns half of
+the fact rows (the adversarial shape for a shuffled equi-join).
 
-  aqe_off : plain sort-merge join, no AQE — the straggler baseline
-  aqe     : AQE skew-join splitting (spark.sql.adaptive.skewJoin)
-  salted  : explicit salting (operators.joins.salted_join)
+Usage: python tools/bench_skew.py [n_fact_rows] [n_keys]
 
-Prints one JSON line; feeds the SCALE.md skew section.
+Generated in-memory via spark.range (no files): fact rows 0..n/2 all carry
+key 0, the rest spread uniformly over n_keys; the dim has one row per key
+with a payload column. Broadcast is disabled so the join actually shuffles
+— at 100 TB the dim side of a skewed join is rarely broadcastable, which
+is exactly when skew hurts. The query is join + per-key aggregate.
+
+Prints one JSON line per strategy; SCALE.md records representative numbers.
 """
 
 from __future__ import annotations
@@ -17,62 +22,83 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import functions as F
 
-from lazy_frame_spark.operators.joins import salted_join  # noqa: E402
-from lazy_frame_spark.session import get_spark  # noqa: E402
-
-N_FACT = 4_000_000
-N_KEYS = 200_000
+from lazy_frame_spark.session import get_spark
 
 
-def build(spark):
-    fact = spark.range(0, N_FACT, 1, 64).select(
-        F.when(F.col("id") % 2 == 0, F.lit(0))  # 50% of rows on key 0
-        .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS)))
+def build(spark, n_fact: int, n_keys: int):
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") < n_fact // 2, F.lit(0))
+        .otherwise((F.xxhash64("id") % n_keys))
+        .cast("bigint")
         .alias("k"),
-        (F.rand(5) * 100).alias("v"),
+        (F.col("id") % 1000).cast("double").alias("v"),
     )
-    dim = spark.range(0, N_KEYS).select(
-        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
     )
     return fact, dim
 
 
-def run(df) -> float:
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 2)
+def run_join(fact, dim, strategy: str, agg_col: str):
+    from lazy_frame_spark.operators.joins import salted_join
+
+    if strategy == "salted":
+        j = salted_join(fact, dim, on="k", salt_buckets=32)
+    else:
+        j = fact.join(dim, "k")
+    return j.groupBy(agg_col).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sv")
+    )
 
 
-def main() -> int:
-    spark = get_spark("bench-skew")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle joins
-    fact, dim = build(spark)
-    fact.persist().count()
-    dim.persist().count()
+def main() -> None:
+    n_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    spark = get_spark()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    def agg(j):
-        return j.groupBy("label").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    configs = [
+        # (label, AQE on, skewJoin on, strategy)
+        ("smj_no_aqe", "false", "false", "plain"),
+        ("smj_aqe_skew", "true", "true", "plain"),
+        ("salted", "true", "false", "salted"),
+    ]
+    # inputs persisted once so the timings isolate the JOIN stage (the
+    # skewed shuffle + reduce), not the row generation both plans share
+    fact, dim = build(spark, n_fact, n_keys)
+    fact = fact.persist()
+    dim = dim.persist()
+    fact.count(), dim.count()
 
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t_plain = run(agg(fact.join(dim, "k")))
-
+    results = {}
+    # two downstream shapes: aggregating by the JOIN key means a split of
+    # the skewed partition must re-shuffle for the agg (AQE skips the
+    # split unless forced); aggregating by a dim column needs its own
+    # shuffle regardless, so the split is free to fire.
+    for agg_col in ("k", "payload"):
+        for label, aqe, skew, strategy in configs:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew)
+            # force skew detection at bench scale (defaults target GB-size
+            # partitions; the 10 MB threshold keeps the DEMONSTRATION
+            # honest — at real scale the default threshold fires the same)
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10m"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", skew)
+            out = run_join(fact, dim, strategy, agg_col)
+            out.count()  # warm the codegen path once
+            t0 = time.monotonic()
+            out.count()
+            results[f"{label}_by_{agg_col}"] = round(time.monotonic() - t0, 3)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    t_aqe = run(agg(fact.join(dim, "k")))
-
-    t_salted = run(agg(salted_join(fact, dim, on="k", salt_buckets=32)))
-
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    print(json.dumps({
-        "metric": "skew_join_sec",
-        "n_fact": N_FACT, "hot_key_share": 0.5,
-        "plain_smj_sec": t_plain, "aqe_skew_sec": t_aqe, "salted_sec": t_salted,
-    }))
-    return 0
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    print(json.dumps({"n_fact": n_fact, "n_keys": n_keys, "sec": results}))
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
