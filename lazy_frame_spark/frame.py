@@ -38,9 +38,17 @@ from pyspark.sql import functions as F
 
 from lazy_frame_spark.functions.compare import OPS, typed_compare
 from lazy_frame_spark.metadata import ColumnAttrs
-from lazy_frame_spark.rowid import ROW_ID, with_row_ids
+from lazy_frame_spark.rowid import (
+    ROW_ID,
+    enumerate_rows,
+    parquet_footer_bounds,
+)
 
 READ_ONLY_MSG = "File frames are read-only."  # R/lazy.frame.R:123
+
+
+def _default_buckets(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
 def _qcol(name: str) -> Column:
@@ -61,6 +69,7 @@ class LazyFrame:
         self._df = df
         self._attrs = attrs or ColumnAttrs()
         self._order_by = list(order_by) if order_by else None
+        self._cache_handle: DataFrame | None = None
 
     # ------------------------------------------------------------------ #
     # construction
@@ -108,12 +117,23 @@ class LazyFrame:
     def _with_ids(self) -> DataFrame:
         if ROW_ID in self._df.columns:
             return self._df
-        # persist the enumerated frame: the reference pays its newline-index
-        # scan once at open (src/lazy.frame.c:252-298) and every positional
-        # query reuses it — persisting here is the same one-time cost. At
-        # cluster scale, prefer register() (ids persisted to Parquet, with
-        # row-group pruning on __row_id__) over in-memory caching.
-        df = with_row_ids(self._df, order_by=self._order_by).persist()
+        # enumerate + persist: the reference pays its newline-index scan
+        # once at open (src/lazy.frame.c:252-298) and every positional
+        # query reuses it — same one-time cost here, held to ONE source
+        # scan: bucket bounds come from parquet footer stats when the
+        # frame is a parquet scan (metadata only, no job), and the cache
+        # is built by the same job that reads the per-bucket counts. At
+        # cluster scale, prefer register() (ids persisted to Parquet,
+        # with row-group pruning on __row_id__) over in-memory caching.
+        bounds = None
+        if self._order_by:
+            bounds = parquet_footer_bounds(
+                self._df, self._order_by[0], _default_buckets(self._df)
+            )
+        df, handle = enumerate_rows(
+            self._df, order_by=self._order_by, bounds=bounds, cache=True
+        )
+        self._cache_handle = handle
         self._df = df
         return df
 
@@ -121,9 +141,10 @@ class LazyFrame:
         """Release any persisted state (M7 finalizer parity,
         R/lazy.frame.R:12-15)."""
         try:
-            self._df.unpersist()
+            (self._cache_handle or self._df).unpersist()
         except Exception:
             pass
+        self._cache_handle = None
 
     # ------------------------------------------------------------------ #
     # shape & names (M2/M3 parity)
@@ -436,11 +457,13 @@ class LazyFrame:
         attribute store survives sessions — stronger than the reference,
         whose attrs live only in the in-memory handle
         (``R/lazy.frame.R:17-35``)."""
-        df = LazyFrame(self._df, self._attrs, order_by or self._order_by)._with_ids()
+        tmp = LazyFrame(self._df, self._attrs, order_by or self._order_by)
+        df = tmp._with_ids()
         for col, attrs in self._attrs.items():
             if attrs and col in df.columns:
                 df = df.withMetadata(col, {"lazy_frame_attrs": attrs})
         df.write.mode("overwrite").parquet(path)
+        tmp.close()  # the registered parquet supersedes the in-memory cache
         spark = df.sparkSession
         back = spark.read.parquet(path)
         attrs = self._attrs.copy()

@@ -8,19 +8,27 @@ contract at ``R/lazy.frame.R:203``). Two assignment strategies:
 
 ``order_by`` given — value-bucketed rank
     A bare ``row_number() OVER (ORDER BY …)`` funnels every row through
-    one task (would not survive 100×). Instead: approximate quantiles of
-    the leading key (or, for string keys, of its byte-prefix numeric
-    surrogate) split the data into B value-range buckets, each bucket
-    ranks in parallel (``row_number`` partitioned by bucket), and exact
-    per-bucket counts — collected once from a narrow aggregation — fold
-    back into the plan as literal offsets, so the ranked plan scans the
-    source exactly once. Final ids are invariant to where the bucket
-    boundaries fall (offset + within-bucket rank is always the global
-    rank), so quantile approximation only affects balance, never values.
-    Every step is a deterministic function of DATA VALUES — nothing
-    depends on physical partition ids, which are NOT stable across plan
-    branches once a shuffle is involved (AQE may coalesce the same reused
-    exchange differently per consumer — observed corrupting ids).
+    one task (would not survive 100×). Instead: value-range bounds on the
+    leading key (or, for string keys, on its byte-prefix numeric
+    surrogate) split the data into B buckets, each bucket ranks in
+    parallel (``row_number`` partitioned by bucket), and exact per-bucket
+    counts fold back into the plan as literal offsets. Final ids are
+    invariant to where the bucket boundaries fall (offset + within-bucket
+    rank is always the global rank), so bound approximation only affects
+    balance, never values. Every step is a deterministic function of DATA
+    VALUES — nothing depends on physical partition ids, which are NOT
+    stable across plan branches once a shuffle is involved (AQE may
+    coalesce the same reused exchange differently per consumer — observed
+    corrupting ids).
+
+    Bounds come, in preference order, from (a) caller-supplied values,
+    (b) parquet footer row-group min/max statistics — a pure metadata
+    read, no data scan (``parquet_footer_bounds``), or (c) one
+    ``percentile_approx`` job. With ``cache=True`` the bucketed+ranked
+    frame is persisted and the per-bucket counts are read through that
+    cache, so the whole enumeration costs exactly ONE scan of the source
+    — the same floor as the reference's newline-index pass
+    (``src/lazy.frame.c:252-298``).
 
 file order (default) — partition-offset enumeration
     Scalable zipWithIndex: ``monotonically_increasing_id()`` is
@@ -49,7 +57,6 @@ ROW_ID = "__row_id__"
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
-    T.DateType, T.TimestampType,
 )
 
 
@@ -58,17 +65,41 @@ def with_row_ids(
     order_by: Sequence[str] | None = None,
     col: str = ROW_ID,
     num_buckets: int | None = None,
+    bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Attach a 1-based positional id column.
 
     ``order_by``: columns forming a deterministic total order (unique key
     recommended). When omitted, ids follow the source's partition/file
     order — deterministic for a fixed file layout, like the reference's
-    line numbering.
+    line numbering. ``bounds``: optional precomputed bucket bounds in the
+    leading key's surrogate domain (balance-only — see module docstring).
     """
+    return enumerate_rows(df, order_by, col=col, num_buckets=num_buckets,
+                          bounds=bounds)[0]
+
+
+def enumerate_rows(
+    df: DataFrame,
+    order_by: Sequence[str] | None = None,
+    col: str = ROW_ID,
+    num_buckets: int | None = None,
+    bounds: Sequence[float] | None = None,
+    cache: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``with_row_ids`` plus cache control: with ``cache=True`` the
+    scan-heavy intermediate (bucketed + ranked) is persisted and
+    materialized by the same tiny job that reads the per-bucket counts,
+    so the source is scanned exactly once and every later positional
+    query hits the cache. Returns ``(frame, persisted_handle)`` —
+    unpersist the handle to release storage (``LazyFrame.close``)."""
     if order_by:
-        return _with_ordered_ids(df, list(order_by), col, num_buckets)
-    return _with_partition_offset_ids(df, col)
+        return _with_ordered_ids(df, list(order_by), col, num_buckets, bounds, cache)
+    out = _with_partition_offset_ids(df, col)
+    if cache:
+        out = out.persist()
+        return out, out
+    return out, None
 
 
 def _lead_bucket_expr(df: DataFrame, lead: str):
@@ -77,14 +108,20 @@ def _lead_bucket_expr(df: DataFrame, lead: str):
     the bucketing (offset + within-bucket rank always reconstructs the
     global rank), so approximation/ties here affect balance, never values.
 
-    Numeric/temporal keys bucket on their double cast. String keys bucket
-    on the big-endian integer of the first 7 UTF-8 bytes (zero-padded) —
-    monotone under Spark's binary string ordering, so a string leading key
-    ranks in parallel instead of funneling into one task. Returns None for
-    types with no monotone surrogate (rare; single-bucket fallback)."""
+    Numeric keys bucket on their double cast; dates on epoch days and
+    timestamps on epoch micros (Spark 4 forbids direct date→double
+    casts). String keys bucket on the big-endian integer of the first 7
+    UTF-8 bytes (zero-padded) — monotone under Spark's binary string
+    ordering, so a string leading key ranks in parallel instead of
+    funneling into one task. Returns None for types with no monotone
+    surrogate (rare; single-bucket fallback)."""
     lead_type = df.schema[lead].dataType
     if isinstance(lead_type, _NUMERIC_TYPES):
         return F.col(lead).cast("double")
+    if isinstance(lead_type, T.DateType):
+        return F.unix_date(F.col(lead)).cast("double")
+    if isinstance(lead_type, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(lead).cast("timestamp")).cast("double")
     if isinstance(lead_type, T.StringType):
         hex14 = F.rpad(
             F.substring(F.hex(F.encode(F.col(lead), "UTF-8")), 1, 14), 14, "0"
@@ -94,13 +131,22 @@ def _lead_bucket_expr(df: DataFrame, lead: str):
 
 
 def _with_ordered_ids(
-    df: DataFrame, keys: list[str], col: str, num_buckets: int | None
-) -> DataFrame:
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    num_buckets: int | None,
+    bounds: Sequence[float] | None,
+    cache: bool,
+) -> tuple[DataFrame, DataFrame | None]:
     spark = df.sparkSession
     b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lead_expr = _lead_bucket_expr(df, keys[0])
 
-    if lead_expr is not None and b > 1:
+    if lead_expr is None or b <= 1:
+        bounds = []
+    elif bounds is not None:
+        bounds = sorted({float(x) for x in bounds})
+    else:
         probs = [i / b for i in range(1, b)]
         qrow = df.select(
             F.percentile_approx(
@@ -108,8 +154,6 @@ def _with_ordered_ids(
             ).alias("q")
         ).collect()[0]["q"]
         bounds = sorted(set(qrow or []))
-    else:
-        bounds = []
 
     bkt = F.lit(0)
     for bound in bounds:  # monotone: equal values always share a bucket
@@ -118,13 +162,20 @@ def _with_ordered_ids(
 
     w_rank = Window.partitionBy("__bkt__").orderBy(*[F.col(k) for k in keys])
     ranked = base.withColumn("__rn__", F.row_number().over(w_rank))
+    handle = None
+    if cache:
+        # persist BEFORE the counts job: that job's scan both populates
+        # the cache and returns the counts — one source scan total
+        ranked = ranked.persist()
+        handle = ranked
 
-    if bounds:
-        # exact per-bucket counts, collected once (a narrow lead-column
-        # aggregation of ≤ b rows) and folded back as plan LITERALS — the
-        # ranked plan then scans the source exactly once, with no second
-        # in-plan counts branch and no broadcast join
-        rows = base.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("c")).collect()
+    if bounds or cache:
+        # exact per-bucket counts, collected once (≤ b rows; a narrow
+        # aggregation when uncached, a cache-building scan when cached)
+        # and folded back as plan LITERALS — no second in-plan counts
+        # branch, no broadcast join
+        counts_src = ranked if cache else base
+        rows = counts_src.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("c")).collect()
         cnt = {r["__bkt__"]: r["c"] for r in rows}
         run, offsets = 0, {}
         for i in sorted(cnt):
@@ -136,10 +187,128 @@ def _with_ordered_ids(
                 off = F.when(F.col("__bkt__") == i, F.lit(o)).otherwise(off)
     else:
         off = F.lit(0)
-    return (
+    out = (
         ranked.withColumn(col, (off + F.col("__rn__")).cast("bigint"))
         .drop("__bkt__", "__rn__")
     )
+    return out, handle
+
+
+def _surrogate_value(v, dtype) -> float | None:
+    """Python-side mirror of ``_lead_bucket_expr``: map a footer-stat
+    min/max value into the same numeric domain the bucketing expression
+    evaluates to. Returns None for values it cannot map (caller falls
+    back to the quantile job)."""
+    import calendar
+    import datetime
+    import decimal
+
+    if isinstance(dtype, _NUMERIC_TYPES):
+        if isinstance(v, (int, float, decimal.Decimal)) and not isinstance(v, bool):
+            return float(v)
+        return None
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            return float((v - datetime.date(1970, 1, 1)).days)
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, datetime.datetime):
+            # interpret naive stats values as UTC instants (the session
+            # pins spark.sql.session.timeZone=UTC; see session.py)
+            if v.tzinfo is not None:
+                return v.timestamp() * 1e6 + 0.0
+            return calendar.timegm(v.timetuple()) * 1e6 + v.microsecond
+        return None
+    if isinstance(dtype, T.StringType):
+        if isinstance(v, bytes):
+            raw = v
+        elif isinstance(v, str):
+            raw = v.encode("utf-8")
+        else:
+            return None
+        return float(int.from_bytes(raw[:7].ljust(7, b"\x00"), "big"))
+    return None
+
+
+def parquet_footer_bounds(
+    df: DataFrame, lead: str, num_buckets: int, max_files: int = 256
+) -> list[float] | None:
+    """Bucket bounds for the ordered-id path derived from parquet footer
+    row-group statistics — a pure metadata read, NO data scan. Each row
+    group contributes a (min, max, rows) interval; a piecewise-uniform
+    CDF over those intervals is inverted at the i/B quantiles.
+
+    This is balance-only machinery: ids are invariant to the bounds, so
+    skew inside a row group (or truncated string stats) can only make
+    buckets uneven, never wrong. Returns None — caller falls back to one
+    ``percentile_approx`` job — when the plan is not a parquet file scan,
+    the lead column is absent from the footer, any row group lacks
+    min/max, or values don't map into the surrogate domain. With many
+    files only an evenly-spaced sample of ``max_files`` footers is read
+    (at 100 TB ≈ 100k files, reading every footer on the driver would
+    itself be a bottleneck; a sample estimates balance just as well)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    dtype = df.schema[lead].dataType
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    files = [f for f in files if not f.rsplit("/", 1)[-1].startswith("_")]
+    if not files or not all(f.endswith((".parquet", ".parq")) for f in files):
+        return None
+    if len(files) > max_files:
+        step = len(files) / max_files
+        files = [files[int(i * step)] for i in range(max_files)]
+
+    intervals: list[tuple[float, float, int]] = []
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        if lead not in names:
+            return None
+        ci = names[lead]
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo, hi = _surrogate_value(st.min, dtype), _surrogate_value(st.max, dtype)
+            if lo is None or hi is None or not (lo <= hi):
+                return None
+            n = rg.num_rows - (st.null_count if st.has_null_count else 0)
+            if n > 0:
+                intervals.append((lo, hi, n))
+    if not intervals:
+        return None
+
+    # invert the piecewise-uniform CDF via weighted synthetic points
+    pts: list[tuple[float, float]] = []
+    for lo, hi, n in intervals:
+        if hi <= lo:
+            pts.append((lo, float(n)))
+            continue
+        k = 64
+        step = (hi - lo) / k
+        pts.extend((lo + (j + 0.5) * step, n / k) for j in range(k))
+    pts.sort()
+    total = sum(w for _, w in pts)
+    targets = [q * total / num_buckets for q in range(1, num_buckets)]
+    bounds, cum, ti = [], 0.0, 0
+    for v, w in pts:
+        cum += w
+        while ti < len(targets) and cum >= targets[ti]:
+            bounds.append(v)
+            ti += 1
+        if ti >= len(targets):
+            break
+    return sorted(set(bounds))
 
 
 def _with_partition_offset_ids(df: DataFrame, col: str) -> DataFrame:

@@ -107,3 +107,73 @@ def test_ordered_ids_plan_is_single_scan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_footer_bounds_ids_identical_to_quantile_path(spark, sf_dir):
+    """Parquet footer-stat bounds are a balance-only optimization: the ids
+    they produce must be byte-identical to the quantile-job path."""
+    from lazy_frame_spark.rowid import parquet_footer_bounds
+    from lazy_frame_spark.sources.registry import TABLE_KEYS
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = TABLE_KEYS["lineitem"]
+    bounds = parquet_footer_bounds(df, keys[0], 32)
+    assert bounds, "parquet scan with stats must yield footer bounds"
+    a = with_row_ids(df, order_by=keys).select(ROW_ID, *keys).orderBy(ROW_ID).toPandas()
+    b = (
+        with_row_ids(df, order_by=keys, bounds=bounds)
+        .select(ROW_ID, *keys).orderBy(ROW_ID).toPandas()
+    )
+    assert a.equals(b)
+
+
+def test_footer_bounds_none_for_non_parquet(spark):
+    from lazy_frame_spark.rowid import parquet_footer_bounds
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert parquet_footer_bounds(df, "k", 8) is None
+
+
+def test_date_leading_key(spark):
+    """Spark 4 forbids date→double casts — the date surrogate must go via
+    unix_date (regression: this crashed with DATATYPE_MISMATCH)."""
+    import datetime
+
+    rows = [(datetime.date(2020, 1, 1) + datetime.timedelta(days=int(i * 7 % 365)), i)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "d date, u long")
+    out = with_row_ids(df, order_by=["d", "u"], num_buckets=8).orderBy(ROW_ID).toPandas()
+    assert out[ROW_ID].tolist() == list(range(1, 2001))
+    assert out["d"].tolist() == sorted(out["d"].tolist())
+
+
+def test_enumerate_cache_single_handle_lifecycle(spark, sf_dir):
+    """cache=True persists exactly one intermediate and the handle
+    releases it (the open-cost contract: one scan, one cached frame)."""
+    from lazy_frame_spark.rowid import enumerate_rows
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out, handle = enumerate_rows(df, order_by=["o_orderkey"], cache=True)
+    assert handle is not None
+    assert out.agg(F.max(ROW_ID)).collect()[0][0] == df.count()
+    assert jsc.getPersistentRDDs().size() == base + 1
+    handle.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == base
+
+
+def test_string_surrogate_python_matches_sql(spark):
+    """The Python-side footer-stat surrogate must agree with the SQL
+    bucketing expression, or footer bounds for string keys would land in
+    the wrong domain (balance-only, but pin it anyway)."""
+    from pyspark.sql import types as T
+
+    from lazy_frame_spark.rowid import _lead_bucket_expr, _surrogate_value
+
+    vals = ["", "a", "zebra", "müller", "exactly7", "longer-than-seven-bytes", "ÿĀ"]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = df.select(_lead_bucket_expr(df, "k").alias("s")).collect()
+    sql_side = [r["s"] for r in got]
+    py_side = [_surrogate_value(v, T.StringType()) for v in vals]
+    assert sql_side == py_side
