@@ -29,6 +29,14 @@ from lazy_frame_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
 )
+from lazy_frame_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_audio_features,
+    decode_image_features,
+    decode_pixels,
+    decode_wav,
+    probe_media,
+)
 from lazy_frame_spark.operators.sorts import top_k
 from lazy_frame_spark.operators.text import (
     kmin_shingle_fingerprint,
@@ -54,4 +62,7 @@ __all__ = [
     # text
     "token_count", "quality_features", "lang_id",
     "normalized_fingerprint", "kmin_shingle_fingerprint",
+    # multimodal
+    "attach_binary_payload", "probe_media", "decode_pixels", "decode_wav",
+    "decode_image_features", "decode_audio_features",
 ]

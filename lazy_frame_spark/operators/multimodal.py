@@ -1,12 +1,18 @@
 """Multimodal column support: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(clearly marked): ``decode_image_features`` raises NotImplementedError on
-the real path and ships a deterministic fake featureizer that exercises
-the full Spark plumbing — schema, partition-preserving ``mapInPandas``,
-Arrow batch shapes — so swapping in a real decoder (PIL/librosa/ffmpeg)
-is a one-function change.
+Decode is REAL for every container format parseable with stdlib+numpy:
+- WAV (RIFF PCM 8/16/32-bit + float): sample-accurate numpy decode —
+  rate, channels, duration, RMS, peak (``decode_audio_features``).
+- netpbm P5/P6 and uncompressed 24/32-bit BMP: full pixel decode
+  (``decode_pixels``).
+- PNG / JPEG / GIF / WEBP(VP8X) / WAV: container sniffing + dimensions
+  from headers without decompressing (``probe_media``) — the cheap path
+  a 100 TB triage pass should take before any pixel work.
+Compressed *pixel* decode (PNG inflate+unfilter, JPEG DCT) goes through
+PIL when importable; in containers without codecs it raises
+NotImplementedError with the plumbing unchanged (the deterministic fake
+featureizer still exercises schema/batching end-to-end).
 
 Design for 100 TB of media:
 - payloads stay ``BinaryType`` end-to-end (Arrow zero-copy into the UDF);
@@ -19,6 +25,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -53,6 +60,208 @@ def attach_binary_payload(
     return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
 
 
+# ------------------------------------------------------------------- #
+# real container parsing (stdlib only — no codec libraries)
+# ------------------------------------------------------------------- #
+
+def probe_media(blob: bytes) -> tuple[str, int | None, int | None]:
+    """Sniff (mime, width, height) from container headers WITHOUT
+    decompressing the payload. Real parsing, not a fake: PNG IHDR, JPEG
+    SOFn markers, GIF logical screen, BMP BITMAPINFOHEADER, netpbm P5/P6,
+    WEBP VP8X, and RIFF/WAVE (dims None for audio). Unknown containers
+    return ``application/octet-stream``."""
+    if blob.startswith(b"\x89PNG\r\n\x1a\n") and len(blob) >= 24:
+        w, h = struct.unpack(">II", blob[16:24])
+        return "image/png", w, h
+    if blob.startswith(b"\xff\xd8"):
+        i = 2
+        while i + 9 < len(blob):
+            if blob[i] != 0xFF:
+                i += 1
+                continue
+            marker = blob[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg = struct.unpack(">H", blob[i + 2:i + 4])[0]
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", blob[i + 5:i + 9])
+                return "image/jpeg", w, h
+            i += 2 + seg
+        return "image/jpeg", None, None
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        w, h = struct.unpack("<HH", blob[6:10])
+        return "image/gif", w, h
+    if blob.startswith(b"BM") and len(blob) >= 26:
+        w, h = struct.unpack("<ii", blob[18:26])
+        return "image/bmp", w, abs(h)
+    if blob[:2] in (b"P5", b"P6"):
+        try:
+            fields = blob[2:64].split()
+            return (
+                "image/x-portable-pixmap" if blob[:2] == b"P6"
+                else "image/x-portable-graymap",
+                int(fields[0]), int(fields[1]),
+            )
+        except (ValueError, IndexError):
+            pass
+    if blob.startswith(b"RIFF") and blob[8:12] == b"WEBP":
+        if blob[12:16] == b"VP8X" and len(blob) >= 30:
+            w = int.from_bytes(blob[24:27], "little") + 1
+            h = int.from_bytes(blob[27:30], "little") + 1
+            return "image/webp", w, h
+        return "image/webp", None, None
+    if blob.startswith(b"RIFF") and blob[8:12] == b"WAVE":
+        return "audio/wav", None, None
+    return "application/octet-stream", None, None
+
+
+def decode_wav(blob: bytes):
+    """Sample-accurate PCM decode of a RIFF/WAVE payload with numpy —
+    returns ``(samples ndarray [n, channels] float32 in [-1, 1], rate)``.
+    Supports PCM 8/16/32-bit and IEEE float chunks; compressed WAV
+    raises ValueError."""
+    import numpy as np
+
+    if not (blob.startswith(b"RIFF") and blob[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype("float32") / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, "u1").astype("float32") - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype("float32") / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype("float32")
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}-bit")
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), rate
+
+
+def decode_pixels(blob: bytes):
+    """Real pixel decode → HxWxC uint8 ndarray. Pure numpy for netpbm
+    P5/P6 and uncompressed 24/32-bit BMP; PIL (when importable) for
+    compressed formats; NotImplementedError when neither applies —
+    callers see exactly where a codec container would plug in."""
+    import numpy as np
+
+    if blob[:2] in (b"P5", b"P6"):
+        depth = 3 if blob[:2] == b"P6" else 1
+        # header = magic, width, height, maxval as whitespace-separated
+        # ASCII tokens (comments unsupported — synthetic corpora don't
+        # emit them); pixel data starts after the single byte following
+        # the maxval token
+        tokens, i, tok = [], 2, b""
+        while len(tokens) < 3 and i < len(blob):
+            c = blob[i:i + 1]
+            if c.isspace():
+                if tok:
+                    tokens.append(int(tok))
+                    tok = b""
+            else:
+                tok += c
+            i += 1
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        px = np.frombuffer(blob, "u1", count=w * h * depth, offset=i)
+        return px.reshape(h, w, depth)
+    if blob.startswith(b"BM"):
+        off = struct.unpack("<I", blob[10:14])[0]
+        w, h = struct.unpack("<ii", blob[18:26])
+        planes, bits = struct.unpack("<HH", blob[26:30])
+        comp = struct.unpack("<I", blob[30:34])[0]
+        if comp != 0 or bits not in (24, 32):
+            raise NotImplementedError(f"compressed/{bits}-bit BMP not supported")
+        c = bits // 8
+        stride = (w * c + 3) & ~3
+        rows = np.frombuffer(blob, "u1", count=stride * abs(h), offset=off)
+        rows = rows.reshape(abs(h), stride)[:, : w * c].reshape(abs(h), w, c)
+        if h > 0:  # positive height = bottom-up storage
+            rows = rows[::-1]
+        return rows[..., [2, 1, 0]] if c == 3 else rows[..., [2, 1, 0, 3]]
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401 — absent in this container
+    except ImportError as exc:
+        raise NotImplementedError(
+            "compressed image decode requires PIL, not present here; "
+            "netpbm/BMP/WAV payloads decode natively"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+
+
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor resize with pure numpy index arithmetic — the
+    thumbnail/normalize step of a media pipeline, vectorized per image."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_bp", T.LongType()),
+        T.StructField("peak_bp", T.LongType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real WAV decode over ``mapInPandas``: rate/channels/duration plus
+    RMS and peak amplitude in integer basis points (deterministic across
+    engines — the same portability rule as operators/text.py)."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, rate = decode_wav(bytes(payload))
+                mono = x.mean(axis=1)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "rate": rate,
+                        "channels": x.shape[1],
+                        "n_samples": x.shape[0],
+                        "duration_ms": int(x.shape[0] * 1000 // rate),
+                        "rms_bp": int(round(float(np.sqrt((mono ** 2).mean())) * 1e4)),
+                        "peak_bp": int(round(float(np.abs(x).max()) * 1e4)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for image decoding: derives a fake (width,
     height) and an 8-dim feature from the payload digest."""
@@ -71,15 +280,32 @@ def decode_image_features(
 ) -> DataFrame:
     """Extract per-image features with a partition-parallel Pandas UDF.
 
-    ``real_decoder=True`` is the production path — NOT IMPLEMENTED in
-    this container (no PIL/cv2); it documents exactly where a real decode
-    plugs in. The default path runs the deterministic fake end-to-end.
-    """
-    if real_decoder:
-        raise NotImplementedError(
-            "real image decoding requires PIL/cv2, not present in this "
-            "container; the Spark plumbing below is identical either way"
-        )
+    ``real_decoder=True`` decodes pixels for real: netpbm/uncompressed
+    BMP natively (numpy), compressed formats via PIL when importable
+    (NotImplementedError per-payload otherwise — raised at task time,
+    where a production job would route to a dead-letter sink). The
+    feature is 8-dim: per-channel means + a 2×2 grayscale grid, each in
+    [0, 1]. The default fake path keeps the plumbing testable on
+    arbitrary payloads."""
+
+    def real_decode(blob: bytes) -> tuple[int, int, list[float]]:
+        import numpy as np
+
+        px = decode_pixels(blob)
+        h, w = px.shape[:2]
+        chans = [round(float(px[..., c].mean()) / 255.0, 6) for c in range(px.shape[2])]
+        chans = (chans + [0.0] * 4)[:4]
+        gray = px.mean(axis=2) if px.shape[2] > 1 else px[..., 0].astype("float64")
+        h2, w2 = max(1, h // 2), max(1, w // 2)
+        quads = [
+            round(float(seg.mean()) / 255.0, 6) if seg.size else 0.0
+            for seg in (
+                gray[:h2, :w2], gray[:h2, w2:], gray[h2:, :w2], gray[h2:, w2:]
+            )
+        ]
+        return w, h, chans + quads
+
+    decode = real_decode if real_decoder else _fake_decode
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -88,7 +314,7 @@ def decode_image_features(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 blob = bytes(payload)
-                width, height, feature = _fake_decode(blob)
+                width, height, feature = decode(blob)
                 rows.append(
                     {
                         "doc_id": int(doc_id),

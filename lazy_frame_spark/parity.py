@@ -1321,6 +1321,65 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_audio_decode",
+    # payloads are REAL RIFF/WAVE files synthesized per doc_id with a
+    # constant amplitude of ((doc_id % 7)+1)*4096 over 800+(doc_id % 5)*80
+    # frames at 8 kHz mono — so every decoded feature has a closed form
+    # the oracle can state exactly: amp*1e4/32768 = 1250*(doc_id%7+1)
+    # basis points (integer because amp is a multiple of 4096).
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST((800 + (doc_id % 5) * 80) // 8 AS BIGINT) AS duration_ms,
+           CAST(1250 * ((doc_id % 7) + 1) AS BIGINT) AS rms_bp,
+           CAST(1250 * ((doc_id % 7) + 1) AS BIGINT) AS peak_bp
+    FROM documents
+    """,
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """Real audio decode, end-to-end: a mapInPandas stage WRITES wav
+    containers (stdlib ``wave``), a second mapInPandas stage parses them
+    back sample-accurately (operators/multimodal.decode_wav) — proving
+    the binary-payload plumbing carries real media bytes both ways."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    d = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            amp = ((doc_id % 7) + 1) * 4096
+            n = 800 + (doc_id % 5) * 80
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(amp.to_bytes(2, "little", signed=True) * n)
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(make)}
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    feats = _mm.decode_audio_features(payloads)
+    return feats.select(
+        "doc_id",
+        F.col("rate").cast("bigint").alias("rate"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("rms_bp").cast("bigint").alias("rms_bp"),
+        F.col("peak_bp").cast("bigint").alias("peak_bp"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # JSON scalar surface (events.props)
 # --------------------------------------------------------------------- #

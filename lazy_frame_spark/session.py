@@ -12,10 +12,47 @@ critical).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: application ids this process has already shipped the package to
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``lazy_frame_spark`` importable on executors regardless of the
+    driver's working directory.
+
+    Module-level ``pandas_udf`` / ``mapInPandas`` functions are
+    cloudpickled BY REFERENCE (module + qualname), so the worker must be
+    able to ``import lazy_frame_spark`` — true in this repo's tests (cwd
+    is the repo) but NOT when a harness imports ``__spark_entry__`` via a
+    ``sys.path`` entry from elsewhere (observed:
+    ``ModuleNotFoundError: lazy_frame_spark`` in the Python worker).
+    ``addPyFile`` ships a zip of the package with every task and prepends
+    it to the worker's ``sys.path`` — the same mechanism ``spark-submit
+    --py-files`` uses on a real cluster."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"lazy_frame_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(sc.applicationId)
 
 
 def get_spark(app_name: str = "lazy_frame_spark", cpus: int | None = None) -> SparkSession:
@@ -61,4 +98,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
     except Exception:  # pragma: no cover - conf may be fixed by the driver
         pass
+    ship_package(spark)
     return spark

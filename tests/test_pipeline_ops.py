@@ -125,9 +125,126 @@ def test_multimodal_roundtrip(docs):
     assert pdf["sha1_8"].equals(feats2["sha1_8"])
 
 
-def test_multimodal_real_decoder_is_stubbed(docs):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        mm.decode_image_features(mm.attach_binary_payload(docs), real_decoder=True)
+def _ppm(w, h, px_bytes):
+    return b"P6\n%d %d\n255\n" % (w, h) + px_bytes
+
+
+def _bmp24(w, h, rows_rgb):
+    """Minimal bottom-up 24-bit BMP from [[(r,g,b)...] per row, top-first]."""
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        body += line + b"\x00" * (stride - len(line))
+    header = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return header + body
+
+
+def test_probe_media_headers():
+    import struct as st
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + st.pack(">II", 640, 480)
+    assert mm.probe_media(png) == ("image/png", 640, 480)
+    jpeg = (b"\xff\xd8\xff\xe0" + st.pack(">H", 16) + b"JFIF" + b"\x00" * 12
+            + b"\xff\xc0" + st.pack(">H", 17) + b"\x08" + st.pack(">HH", 300, 200)
+            + b"\x00" * 10)
+    assert mm.probe_media(jpeg) == ("image/jpeg", 200, 300)
+    gif = b"GIF89a" + st.pack("<HH", 12, 34)
+    assert mm.probe_media(gif) == ("image/gif", 12, 34)
+    assert mm.probe_media(_ppm(5, 7, b"\x00" * 105)) == ("image/x-portable-pixmap", 5, 7)
+    assert mm.probe_media(b"RIFF\x24\x00\x00\x00WAVE") == ("audio/wav", None, None)
+    assert mm.probe_media(b"garbage")[0] == "application/octet-stream"
+
+
+def test_decode_pixels_ppm_and_bmp_exact():
+    import numpy as np
+
+    # 2x2 PPM: red, green / blue, white
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    got = mm.decode_pixels(_ppm(2, 2, px))
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0] and got[1, 1].tolist() == [255, 255, 255]
+
+    rows = [[(255, 0, 0), (0, 255, 0), (9, 9, 9)], [(0, 0, 255), (10, 20, 30), (1, 2, 3)]]
+    got = mm.decode_pixels(_bmp24(3, 2, rows))
+    assert got.shape == (2, 3, 3)
+    assert got.tolist() == [[list(p) for p in r] for r in rows]
+    assert np.issubdtype(got.dtype, np.unsignedinteger)
+
+
+def test_decode_wav_sample_accurate(tmp_path):
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    rate, n = 8000, 800
+    samples = [int(10000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples))
+    x, got_rate = mm.decode_wav(buf.getvalue())
+    assert got_rate == rate and x.shape == (n, 1)
+    assert np.allclose(x[:, 0], np.array(samples) / 32768.0, atol=1e-6)
+
+
+def test_audio_features_distributed(spark):
+    import io
+    import wave
+
+    def make_wav(amp):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            frames = b"".join(
+                int(amp).to_bytes(2, "little", signed=True) * 2 for _ in range(1600)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(3277))), (2, bytearray(make_wav(16384)))],
+        "doc_id long, payload binary",
+    )
+    out = mm.decode_audio_features(df).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "duration_ms"] == 100 and out.loc[1, "rate"] == 16000
+    assert out.loc[1, "channels"] == 2 and out.loc[1, "n_samples"] == 1600
+    # constant-amplitude signal: rms == peak == amp/32768 in basis points
+    assert out.loc[1, "rms_bp"] == out.loc[1, "peak_bp"] == 1000
+    assert out.loc[2, "peak_bp"] == 5000
+
+
+def test_real_image_decoder_distributed(spark):
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    df = spark.createDataFrame(
+        [(7, bytearray(_ppm(2, 2, px)))], "doc_id long, payload binary"
+    )
+    out = mm.decode_image_features(df, real_decoder=True).toPandas()
+    assert out.loc[0, "width"] == 2 and out.loc[0, "height"] == 2
+    feat = out.loc[0, "feature"]
+    # channel means: R=(255+255)/4? no — mean over 4 px per channel
+    assert abs(feat[0] - (255 + 0 + 0 + 255) / 4 / 255) < 1e-4
+    assert len(feat) == 8
+
+
+def test_real_decoder_rejects_opaque_payloads(docs):
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        mm.decode_image_features(
+            mm.attach_binary_payload(docs), real_decoder=True
+        ).collect()
 
 
 def test_lang_id_on_real_phrases(spark):
@@ -267,3 +384,28 @@ def test_sketch_persist_lifecycle(spark, docs):
     assert jsc.getPersistentRDDs().size() <= base + 2
     dd.release_sketches()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_udfs_work_with_off_repo_cwd():
+    """Module-level pandas UDFs are cloudpickled by reference — workers
+    must import lazy_frame_spark WITHOUT the repo on their cwd/path.
+    tune_session ships the package via addPyFile (regression:
+    ModuleNotFoundError in the Python worker when a harness imports
+    __spark_entry__ from another directory)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from lazy_frame_spark.session import get_spark, tune_session\n"
+        "spark = tune_session(get_spark(cpus=4))\n"
+        "import __spark_entry__ as m\n"
+        "n = m.queries()['udf_token_count_vectorized'](spark, '/root/testdata/sf0.001').count()\n"
+        "print('OFFREPO_OK', n)\n"
+    )
+    env = {k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", env=env,
+        capture_output=True, text=True, timeout=240,
+    )
+    assert "OFFREPO_OK 500" in out.stdout, out.stderr[-2000:]
