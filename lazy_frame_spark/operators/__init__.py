@@ -42,7 +42,9 @@ from lazy_frame_spark.operators.text import (
     kmin_shingle_fingerprint,
     lang_id,
     normalized_fingerprint,
+    pii_scrub,
     quality_features,
+    repetition_features,
     token_count,
 )
 
@@ -62,6 +64,7 @@ __all__ = [
     # text
     "token_count", "quality_features", "lang_id",
     "normalized_fingerprint", "kmin_shingle_fingerprint",
+    "repetition_features", "pii_scrub",
     # multimodal
     "attach_binary_payload", "probe_media", "decode_pixels", "decode_wav",
     "decode_image_features", "decode_audio_features",

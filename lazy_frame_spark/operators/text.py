@@ -155,6 +155,105 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText rule
+    family: duplicate-word fraction, most-common-word fraction,
+    most-common-bigram fraction) — the standard pre-training filter for
+    boilerplate and keyword-stuffed pages.
+
+    Entirely shuffle-free: token and bigram arrays are projected ONCE per
+    row, and the mode count comes from an ``aggregate`` fold over the
+    sorted array (max run length) — pure JVM expressions, embarrassingly
+    parallel, so the operator costs a map pass even at 100 TB where an
+    explode+groupBy formulation would shuffle one row per token.
+    Fractions are integer basis points (cross-engine portability rule)."""
+    t = F.col(text_col)
+    out = df.withColumn("__toks__", tokens(F.lower(t)))
+    n = F.size("__toks__").cast("bigint")
+    nd = F.size(F.array_distinct("__toks__")).cast("bigint")
+    out = out.withColumn(
+        "__bigrams__",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.expr("slice(__toks__, 1, size(__toks__) - 1)"),
+                F.expr("slice(__toks__, 2, size(__toks__) - 1)"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+    def mode_count(arr_col: str) -> Column:
+        # max run length in the sorted array == count of the most
+        # frequent element; a single fold, no shuffle
+        zero = F.lit(0).cast("bigint")
+        init = F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        )
+        fold = F.aggregate(
+            F.array_sort(F.col(arr_col)),
+            init,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
+                ).alias("best"),
+            ),
+        )
+        return fold.getField("best")
+
+    top_w = mode_count("__toks__")
+    top_b = mode_count("__bigrams__")
+    nb = F.size("__bigrams__").cast("bigint")
+    bp = lambda num, den: F.when(den > 0, F.floor(num * 10000 / den).cast("bigint")).otherwise(F.lit(0).cast("bigint"))  # noqa: E731
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bp(n - nd, n).alias("dup_word_bp"),
+        bp(top_w, n).alias("top_word_bp"),
+        bp(top_b, nb).alias("top_bigram_bp"),
+    )
+
+
+#: PII patterns restricted to syntax with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{9,14}\b"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers (the CCNet/Dolma-style scrub pass), reporting per-document
+    hit counts. Email first — ``1.2.3.4@mail.com`` must become one
+    ``<EMAIL>``, not an ``<IP>`` splicing the address (numeric-only
+    domains like ``a@1.2.3.4`` fall through to the IP pass). Pure JVM
+    ``regexp_replace``/``regexp_extract_all``: map-only at any scale."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("bigint")
+    scrub = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(scrub, F.lit(PII_IPV4_RE), 0)).cast("bigint")
+    scrub = F.regexp_replace(scrub, PII_IPV4_RE, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(scrub, F.lit(PII_PHONE_RE), 0)).cast("bigint")
+    scrub = F.regexp_replace(scrub, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        scrub.alias(out_col),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+    )
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of lowercased, whitespace-collapsed text."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

@@ -1008,6 +1008,101 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
+@query(
+    "text_repetition_features",
+    # the Spark side computes mode counts with a shuffle-free aggregate
+    # fold over sorted arrays; the oracle states the same quantities the
+    # classical way (unnest → group → max) — agreement proves the fold
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+      FROM t
+    ),
+    wtop AS (
+      SELECT doc_id, MAX(c) AS topw FROM (
+        SELECT doc_id, tok, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS tok FROM t
+        ) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, big FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS big
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    btop AS (
+      SELECT doc_id, MAX(c) AS topb, CAST(SUM(c) AS BIGINT) AS nb FROM (
+        SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_tokens,
+           CASE WHEN b.n > 0 THEN (b.n - b.nd) * 10000 // b.n
+                ELSE CAST(0 AS BIGINT) END AS dup_word_bp,
+           CASE WHEN b.n > 0 THEN wtop.topw * 10000 // b.n
+                ELSE CAST(0 AS BIGINT) END AS top_word_bp,
+           CASE WHEN COALESCE(btop.nb, 0) > 0 THEN btop.topb * 10000 // btop.nb
+                ELSE CAST(0 AS BIGINT) END AS top_bigram_bp
+    FROM b LEFT JOIN wtop USING (doc_id) LEFT JOIN btop USING (doc_id)
+    """,
+)
+def text_repetition_features(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (dup-word, top-word,
+    top-bigram fractions) as a map-only pass."""
+    return _tx.repetition_features(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_pii_scrub",
+    # plant one email, one IPv4, one phone per document (deterministic
+    # from doc_id), then scrub — proving redaction on known positives
+    # with string-identical output across engines
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{9,14}\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(1 AS BIGINT) AS n_emails,
+           CAST(1 AS BIGINT) AS n_ips,
+           CAST(1 AS BIGINT) AS n_phones
+    FROM p
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """CCNet/Dolma-style PII redaction, verified on planted positives."""
+    d = _table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1555"), F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    return _tx.pii_scrub(planted)
+
+
 # --------------------------------------------------------------------- #
 # Deduplication
 # --------------------------------------------------------------------- #
@@ -2229,8 +2324,10 @@ DRIVER_WINDOW: list[str] = [
     # subqueries, sampling
     "subquery_scalar_and_in",
     "sample_deterministic",
-    # text analysis
-    "text_token_count",
+    # text analysis (token counting is value-checked in-window by
+    # udf_token_count_vectorized; the repetition filters carry more of
+    # the training-pipeline story)
+    "text_repetition_features",
     "text_quality_features",
     "text_lang_id",
     # dedup suite

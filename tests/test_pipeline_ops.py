@@ -409,3 +409,44 @@ def test_udfs_work_with_off_repo_cwd():
         capture_output=True, text=True, timeout=240,
     )
     assert "OFFREPO_OK 500" in out.stdout, out.stderr[-2000:]
+
+
+def test_repetition_features_exact(spark):
+    rows = [
+        (1, "a a a b"),            # top word 'a'×3; bigrams: a a, a a, a b → top 2/3
+        (2, "x y x y x y"),        # dup heavy; bigram 'x y'×3 of 5
+        (3, "all unique words here"),
+        (4, ""),
+    ]
+    out = (
+        tx.repetition_features(spark.createDataFrame(rows, "doc_id long, text string"))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "dup_word_bp"] == (4 - 2) * 10000 // 4
+    assert out.loc[1, "top_word_bp"] == 3 * 10000 // 4
+    assert out.loc[1, "top_bigram_bp"] == 2 * 10000 // 3
+    assert out.loc[2, "top_bigram_bp"] == 3 * 10000 // 5
+    assert out.loc[3, "dup_word_bp"] == 0 and out.loc[3, "top_word_bp"] == 2500
+    assert out.loc[4].tolist() == [0, 0, 0, 0]
+
+
+def test_pii_scrub_known_positives(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.1.254 port 80"),
+        (3, "call +4915123456789 today"),
+        (4, "from 1.2.3.4@mail.com today"),   # IP-shaped local part: email wins
+        (5, "clean text with no identifiers"),
+    ]
+    out = (
+        tx.pii_scrub(spark.createDataFrame(rows, "doc_id long, text string"))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "scrubbed"] == "mail <EMAIL> now" and out.loc[1, "n_emails"] == 1
+    assert out.loc[2, "scrubbed"] == "server at <IP> port 80" and out.loc[2, "n_ips"] == 1
+    assert out.loc[3, "scrubbed"] == "call <PHONE> today" and out.loc[3, "n_phones"] == 1
+    assert out.loc[4, "scrubbed"] == "from <EMAIL> today"
+    assert out.loc[4, "n_ips"] == 0
+    assert out.loc[5, "scrubbed"] == rows[4][1]
+    assert out.loc[5, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 0, 0]
