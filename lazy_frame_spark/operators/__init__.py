@@ -37,6 +37,7 @@ from lazy_frame_spark.operators.multimodal import (
     decode_wav,
     probe_media,
 )
+from lazy_frame_spark.operators.packing import bin_stats, pack_sequences
 from lazy_frame_spark.operators.sorts import top_k
 from lazy_frame_spark.operators.text import (
     kmin_shingle_fingerprint,
@@ -44,6 +45,7 @@ from lazy_frame_spark.operators.text import (
     normalized_fingerprint,
     pii_scrub,
     quality_features,
+    quality_gate,
     repetition_features,
     token_count,
 )
@@ -64,7 +66,9 @@ __all__ = [
     # text
     "token_count", "quality_features", "lang_id",
     "normalized_fingerprint", "kmin_shingle_fingerprint",
-    "repetition_features", "pii_scrub",
+    "repetition_features", "pii_scrub", "quality_gate",
+    # packing
+    "pack_sequences", "bin_stats",
     # multimodal
     "attach_binary_payload", "probe_media", "decode_pixels", "decode_wav",
     "decode_image_features", "decode_audio_features",

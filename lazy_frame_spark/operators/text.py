@@ -131,27 +131,37 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Lexicon-hit language ID: count function-word matches per language,
-    argmax with deterministic tiebreak (higher count wins; ties break by
-    language code order); no hits → 'und'."""
-    t = F.lower(F.col(text_col))
-    scores = {
+def _lang_scores(lowered: Column) -> dict[str, Column]:
+    return {
         lang: F.size(
-            F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(words) + r")\b"), 0)
+            F.regexp_extract_all(lowered, F.lit(r"\b(" + "|".join(words) + r")\b"), 0)
         ).cast("bigint")
         for lang, words in LANG_LEXICONS.items()
     }
+
+
+def lang_pred_expr(lowered: Column) -> Column:
+    """Argmax language with deterministic tiebreak (higher count wins;
+    ties break by language code order); no hits → 'und'."""
+    scores = _lang_scores(lowered)
     langs = sorted(scores)
     best = F.greatest(*[scores[lang] for lang in langs])
     pick = F.lit("und")
     for lang in reversed(langs):  # earlier lang wins ties → apply in reverse
         pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
-    pick = F.when(best > 0, pick).otherwise(F.lit("und"))
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Lexicon-hit language ID: count function-word matches per language,
+    plus the tie-broken argmax (``lang_pred_expr``)."""
+    t = F.lower(F.col(text_col))
+    scores = _lang_scores(t)
+    langs = sorted(scores)
     return df.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        pick.alias("lang_pred"),
+        lang_pred_expr(t).alias("lang_pred"),
     )
 
 
@@ -169,14 +179,27 @@ def repetition_features(
     parallel, so the operator costs a map pass even at 100 TB where an
     explode+groupBy formulation would shuffle one row per token.
     Fractions are integer basis points (cross-engine portability rule)."""
-    t = F.col(text_col)
-    out = df.withColumn("__toks__", tokens(F.lower(t)))
+    out = _with_token_projections(df, text_col)
     n = F.size("__toks__").cast("bigint")
     nd = F.size(F.array_distinct("__toks__")).cast("bigint")
-    out = out.withColumn(
+    nb = F.size("__bigrams__").cast("bigint")
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        _bp(n - nd, n).alias("dup_word_bp"),
+        _bp(_mode_count("__toks__"), n).alias("top_word_bp"),
+        _bp(_mode_count("__bigrams__"), nb).alias("top_bigram_bp"),
+    )
+
+
+def _with_token_projections(df: DataFrame, text_col: str) -> DataFrame:
+    """Project lowercased token and bigram arrays ONCE per row (inlining
+    them into higher-order lambdas re-evaluates the split per element)."""
+    out = df.withColumn("__toks__", tokens(F.lower(F.col(text_col))))
+    return out.withColumn(
         "__bigrams__",
         F.when(
-            n >= 2,
+            F.size("__toks__") >= 2,
             F.zip_with(
                 F.expr("slice(__toks__, 1, size(__toks__) - 1)"),
                 F.expr("slice(__toks__, 2, size(__toks__) - 1)"),
@@ -185,37 +208,84 @@ def repetition_features(
         ).otherwise(F.array().cast("array<string>")),
     )
 
-    def mode_count(arr_col: str) -> Column:
-        # max run length in the sorted array == count of the most
-        # frequent element; a single fold, no shuffle
-        zero = F.lit(0).cast("bigint")
-        init = F.struct(
-            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
-        )
-        fold = F.aggregate(
-            F.array_sort(F.col(arr_col)),
-            init,
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
-                F.greatest(
-                    acc.best,
-                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
-                ).alias("best"),
-            ),
-        )
-        return fold.getField("best")
 
-    top_w = mode_count("__toks__")
-    top_b = mode_count("__bigrams__")
+def _mode_count(arr_col: str) -> Column:
+    """Count of the most frequent element == max run length in the sorted
+    array; a single fold, no shuffle."""
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best"))
+    fold = F.aggregate(
+        F.array_sort(F.col(arr_col)),
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+    )
+    return fold.getField("best")
+
+
+def _bp(num: Column, den: Column) -> Column:
+    """Integer basis points ``floor(num*10000/den)``, 0 when den == 0."""
+    return F.when(den > 0, F.floor(num * 10000 / den).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_alpha_bp: int = 2500,
+    max_dup_word_bp: int = 9000,
+    max_top_bigram_bp: int = 2000,
+    langs: tuple[str, ...] = ("en", "und"),
+) -> DataFrame:
+    """The C4/Gopher-style keep/drop gate, composed as ONE map-only
+    select: length bounds, alphabetic-character ratio, repetition caps
+    (dup-word / top-bigram), and language allowlist. Emits the signals,
+    a ``keep`` flag, and the FIRST failing rule as ``reason`` (fixed
+    evaluation order, so the verdict is deterministic and auditable).
+    At 100 TB this is the shape a filter pass must have — every rule an
+    expression over one scan, no joins between feature frames."""
+    out = _with_token_projections(df, text_col)
+    t = F.col(text_col)
+    n = F.size("__toks__").cast("bigint")
+    nd = F.size(F.array_distinct("__toks__")).cast("bigint")
     nb = F.size("__bigrams__").cast("bigint")
-    bp = lambda num, den: F.when(den > 0, F.floor(num * 10000 / den).cast("bigint")).otherwise(F.lit(0).cast("bigint"))  # noqa: E731
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("bigint")
+    n_chars = F.length(t).cast("bigint")
+    dup_word_bp = _bp(n - nd, n)
+    top_bigram_bp = _bp(_mode_count("__bigrams__"), nb)
+    alpha_bp = _bp(alpha, n_chars)
+    lang = lang_pred_expr(F.lower(t))
+
+    rules = [
+        ("too_short", n < min_tokens),
+        ("too_long", n > max_tokens),
+        ("low_alpha", alpha_bp < min_alpha_bp),
+        ("dup_words", dup_word_bp > max_dup_word_bp),
+        ("rep_bigrams", top_bigram_bp > max_top_bigram_bp),
+        ("lang", ~lang.isin(*langs)),
+    ]
+    reason = F.lit("keep")
+    for name, bad in reversed(rules):  # first failing rule wins → apply in reverse
+        reason = F.when(bad, F.lit(name)).otherwise(reason)
     return out.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        bp(n - nd, n).alias("dup_word_bp"),
-        bp(top_w, n).alias("top_word_bp"),
-        bp(top_b, nb).alias("top_bigram_bp"),
+        alpha_bp.alias("alpha_bp"),
+        dup_word_bp.alias("dup_word_bp"),
+        top_bigram_bp.alias("top_bigram_bp"),
+        lang.alias("lang_pred"),
+        (reason == "keep").alias("keep"),
+        reason.alias("reason"),
     )
 
 

@@ -1103,6 +1103,116 @@ def text_pii_scrub(spark, sf_dir):
     return _tx.pii_scrub(planted)
 
 
+@query(
+    "text_quality_gate",
+    # the full C4/Gopher keep/drop pipeline restated in SQL: every signal,
+    # the flag, and the first-failing-rule audit string must agree exactly
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, big FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS big
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    btop AS (
+      SELECT doc_id, MAX(c) AS topb, CAST(SUM(c) AS BIGINT) AS nb FROM (
+        SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big
+      ) GROUP BY doc_id
+    ),
+    f AS (
+      SELECT t.doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+             length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b'))::BIGINT AS score_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b'))::BIGINT AS score_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|en|que)\b'))::BIGINT AS score_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que)\b'))::BIGINT AS score_fr,
+             len(regexp_extract_all(lower(text), '\b(il|la|che|e|di|un|per|non)\b'))::BIGINT AS score_it,
+             COALESCE(btop.topb, 0) AS topb, COALESCE(btop.nb, 0) AS nb
+      FROM t LEFT JOIN btop USING (doc_id)
+    ),
+    g AS (
+      SELECT doc_id, n,
+             CASE WHEN n_chars > 0 THEN alpha * 10000 // n_chars ELSE CAST(0 AS BIGINT) END AS alpha_bp,
+             CASE WHEN n > 0 THEN (n - nd) * 10000 // n ELSE CAST(0 AS BIGINT) END AS dup_word_bp,
+             CASE WHEN nb > 0 THEN topb * 10000 // nb ELSE CAST(0 AS BIGINT) END AS top_bigram_bp,
+             CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_it) = 0 THEN 'und'
+                  WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'de'
+                  WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'en'
+                  WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'es'
+                  WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'fr'
+                  ELSE 'it' END AS lang_pred
+      FROM f
+    )
+    SELECT doc_id, n AS n_tokens, alpha_bp, dup_word_bp, top_bigram_bp, lang_pred,
+           CASE WHEN n < 20 THEN 'too_short'
+                WHEN n > 100000 THEN 'too_long'
+                WHEN alpha_bp < 2500 THEN 'low_alpha'
+                WHEN dup_word_bp > 6000 THEN 'dup_words'
+                WHEN top_bigram_bp > 1000 THEN 'rep_bigrams'
+                WHEN lang_pred NOT IN ('en', 'und') THEN 'lang'
+                ELSE 'keep' END = 'keep' AS keep,
+           CASE WHEN n < 20 THEN 'too_short'
+                WHEN n > 100000 THEN 'too_long'
+                WHEN alpha_bp < 2500 THEN 'low_alpha'
+                WHEN dup_word_bp > 6000 THEN 'dup_words'
+                WHEN top_bigram_bp > 1000 THEN 'rep_bigrams'
+                WHEN lang_pred NOT IN ('en', 'und') THEN 'lang'
+                ELSE 'keep' END AS reason
+    FROM g
+    """,
+)
+def text_quality_gate(spark, sf_dir):
+    """The composite C4/Gopher filter as one map-only select; thresholds
+    tightened so every rule fires on part of the synthetic corpus (an
+    all-keep verdict would verify nothing)."""
+    return _tx.quality_gate(
+        _table(spark, sf_dir, "documents"),
+        min_tokens=20, max_dup_word_bp=6000, max_top_bigram_bp=1000,
+    )
+
+
+@query(
+    "pack_sequences",
+    # concat-and-chunk packing: the oracle's single-task ORDER BY window
+    # is fine for verification; the engine computes the same prefix sums
+    # with value-bucketed parallel cumsums + literal offsets (rowid.
+    # with_prefix_sum) — agreement proves the distributed decomposition
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(run - n AS BIGINT) AS start_offset,
+           CAST((run - n) // 2048 AS BIGINT) AS bin_id
+    FROM p
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/packing.py) — bin ids
+    from a scale-safe distributed prefix sum."""
+    from lazy_frame_spark.operators.packing import pack_sequences as _pack
+
+    return _pack(_table(spark, sf_dir, "documents"), budget_tokens=2048)
+
+
 # --------------------------------------------------------------------- #
 # Deduplication
 # --------------------------------------------------------------------- #

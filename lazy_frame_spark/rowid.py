@@ -130,6 +130,29 @@ def _lead_bucket_expr(df: DataFrame, lead: str):
     return None
 
 
+def _resolve_bounds(
+    df: DataFrame, lead_expr, b: int, bounds: Sequence[float] | None
+) -> list[float]:
+    if lead_expr is None or b <= 1:
+        return []
+    if bounds is not None:
+        return sorted({float(x) for x in bounds})
+    probs = [i / b for i in range(1, b)]
+    qrow = df.select(
+        F.percentile_approx(
+            lead_expr, F.array(*[F.lit(p) for p in probs]), 1_000
+        ).alias("q")
+    ).collect()[0]["q"]
+    return sorted(set(qrow or []))
+
+
+def _bucketed(df: DataFrame, lead_expr, bounds: list[float]) -> DataFrame:
+    bkt = F.lit(0)
+    for bound in bounds:  # monotone: equal values always share a bucket
+        bkt = bkt + F.when(lead_expr > F.lit(float(bound)), 1).otherwise(0)
+    return df.withColumn("__bkt__", bkt)
+
+
 def _with_ordered_ids(
     df: DataFrame,
     keys: list[str],
@@ -141,24 +164,8 @@ def _with_ordered_ids(
     spark = df.sparkSession
     b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lead_expr = _lead_bucket_expr(df, keys[0])
-
-    if lead_expr is None or b <= 1:
-        bounds = []
-    elif bounds is not None:
-        bounds = sorted({float(x) for x in bounds})
-    else:
-        probs = [i / b for i in range(1, b)]
-        qrow = df.select(
-            F.percentile_approx(
-                lead_expr, F.array(*[F.lit(p) for p in probs]), 1_000
-            ).alias("q")
-        ).collect()[0]["q"]
-        bounds = sorted(set(qrow or []))
-
-    bkt = F.lit(0)
-    for bound in bounds:  # monotone: equal values always share a bucket
-        bkt = bkt + F.when(lead_expr > F.lit(float(bound)), 1).otherwise(0)
-    base = df.withColumn("__bkt__", bkt)
+    bounds = _resolve_bounds(df, lead_expr, b, bounds)
+    base = _bucketed(df, lead_expr, bounds)
 
     w_rank = Window.partitionBy("__bkt__").orderBy(*[F.col(k) for k in keys])
     ranked = base.withColumn("__rn__", F.row_number().over(w_rank))
@@ -192,6 +199,47 @@ def _with_ordered_ids(
         .drop("__bkt__", "__rn__")
     )
     return out, handle
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    val_col: str,
+    order_by: Sequence[str],
+    col: str = "__running__",
+    num_buckets: int | None = None,
+    bounds: Sequence[float] | None = None,
+) -> DataFrame:
+    """Inclusive running total of ``val_col`` over a global order WITHOUT
+    a single-task window: the same value-bucketing as ordered row ids —
+    each bucket computes its partial cumsum in parallel, per-bucket
+    totals collect once (≤ B rows) and fold back as literal offsets. The
+    result is invariant to where the bounds fall, by the identical
+    offset-plus-within-bucket argument."""
+    keys = list(order_by)
+    spark = df.sparkSession
+    b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    lead_expr = _lead_bucket_expr(df, keys[0])
+    bounds = _resolve_bounds(df, lead_expr, b, bounds)
+    base = _bucketed(df, lead_expr, bounds)
+
+    w = (
+        Window.partitionBy("__bkt__")
+        .orderBy(*[F.col(k) for k in keys])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(val_col)).over(w)
+    off = F.lit(0).cast("bigint")
+    if bounds:
+        rows = base.groupBy("__bkt__").agg(F.sum(F.col(val_col)).alias("t")).collect()
+        tot = {r["__bkt__"]: r["t"] or 0 for r in rows}
+        cum, offsets = 0, {}
+        for i in sorted(tot):
+            offsets[i] = cum
+            cum += tot[i]
+        for i, o in offsets.items():
+            if o:
+                off = F.when(F.col("__bkt__") == i, F.lit(o)).otherwise(off)
+    return base.withColumn(col, (off + run).cast("bigint")).drop("__bkt__")
 
 
 def _surrogate_value(v, dtype) -> float | None:

@@ -450,3 +450,64 @@ def test_pii_scrub_known_positives(spark):
     assert out.loc[4, "n_ips"] == 0
     assert out.loc[5, "scrubbed"] == rows[4][1]
     assert out.loc[5, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 0, 0]
+
+
+def test_quality_gate_rules_fire_in_order(spark):
+    rows = [
+        (1, "one two"),                                         # too_short
+        (2, "!!! ??? ... " * 8),                                # low_alpha (and short tokens ok: 24 tokens)
+        (3, "spam spam spam spam spam spam spam spam spam spam spam x"),  # dup_words
+        (4, "the cat sat on the mat with a dog and a bird near the house today fine"),  # keep
+        (5, "der hund und die katze sind nicht ein haus aber wir gehen heute"),  # lang=de
+    ]
+    out = (
+        tx.quality_gate(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_tokens=5, max_dup_word_bp=5000, max_top_bigram_bp=6000,
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "reason"] == "too_short" and not out.loc[1, "keep"]
+    assert out.loc[2, "reason"] == "low_alpha"
+    assert out.loc[3, "reason"] == "dup_words"
+    assert out.loc[4, "reason"] == "keep" and bool(out.loc[4, "keep"])
+    assert out.loc[5, "reason"] == "lang" and out.loc[5, "lang_pred"] == "de"
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    from lazy_frame_spark.operators.packing import bin_stats, pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (10 + i % 13))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(df, budget_tokens=100)
+    pdf = packed.toPandas().sort_values("doc_id")
+    # offsets are the exclusive prefix sum in doc_id order
+    import numpy as np
+
+    toks = pdf["n_tokens"].to_numpy()
+    assert (pdf["start_offset"].to_numpy() == np.concatenate([[0], toks.cumsum()[:-1]])).all()
+    assert (pdf["bin_id"].to_numpy() == pdf["start_offset"].to_numpy() // 100).all()
+    # bins are contiguous doc ranges and fill to budget + <1 doc overflow
+    stats = bin_stats(packed, budget_tokens=100).toPandas()
+    assert (stats["n_tokens"] <= 100 + toks.max()).all()
+    full = stats[stats["bin_id"] < stats["bin_id"].max()]
+    assert (full["n_tokens"] >= 100 - toks.max() + 1).all()
+
+
+def test_prefix_sum_invariant_to_buckets(spark, sf_dir):
+    from lazy_frame_spark.rowid import with_prefix_sum
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("v", (F.col("o_totalprice") * 100).cast("bigint"))
+    base = None
+    for b in (1, 7, 32):
+        out = (
+            with_prefix_sum(df, "v", ["o_orderkey"], col="run", num_buckets=b)
+            .select("o_orderkey", "run").orderBy("o_orderkey").toPandas()
+        )
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base), f"bucket count {b} changed prefix sums"
+    assert base["run"].iloc[-1] == df.agg(F.sum("v")).collect()[0][0]
