@@ -246,12 +246,15 @@ def quality_gate(
     max_dup_word_bp: int = 9000,
     max_top_bigram_bp: int = 2000,
     langs: tuple[str, ...] = ("en", "und"),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4/Gopher-style keep/drop gate, composed as ONE map-only
     select: length bounds, alphabetic-character ratio, repetition caps
     (dup-word / top-bigram), and language allowlist. Emits the signals,
     a ``keep`` flag, and the FIRST failing rule as ``reason`` (fixed
     evaluation order, so the verdict is deterministic and auditable).
+    ``carry_cols`` pass through source columns so downstream stages
+    (e.g. packing the survivors) never re-join against the source.
     At 100 TB this is the shape a filter pass must have — every rule an
     expression over one scan, no joins between feature frames."""
     out = _with_token_projections(df, text_col)
@@ -279,6 +282,7 @@ def quality_gate(
         reason = F.when(bad, F.lit(name)).otherwise(reason)
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         n.alias("n_tokens"),
         alpha_bp.alias("alpha_bp"),
         dup_word_bp.alias("dup_word_bp"),

@@ -1213,6 +1213,86 @@ def pack_sequences(spark, sf_dir):
     return _pack(_table(spark, sf_dir, "documents"), budget_tokens=2048)
 
 
+@query(
+    "pipeline_curate",
+    # the full curation pipeline: gate → keep-filter → pack survivors.
+    # One scan end-to-end on the Spark side (carry_cols threads text
+    # through the gate, prefix sums come from the bucketed cumsum); the
+    # oracle restates gate + window-cumsum packing over the kept set.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, big FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS big
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    btop AS (
+      SELECT doc_id, MAX(c) AS topb, CAST(SUM(c) AS BIGINT) AS nb FROM (
+        SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big
+      ) GROUP BY doc_id
+    ),
+    f AS (
+      SELECT t.doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+             length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b'))::BIGINT AS score_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b'))::BIGINT AS score_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|una|en|que)\b'))::BIGINT AS score_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que)\b'))::BIGINT AS score_fr,
+             len(regexp_extract_all(lower(text), '\b(il|la|che|e|di|un|per|non)\b'))::BIGINT AS score_it,
+             COALESCE(btop.topb, 0) AS topb, COALESCE(btop.nb, 0) AS nb
+      FROM t LEFT JOIN btop USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id, n FROM f
+      WHERE n >= 20
+        AND n <= 100000
+        AND (CASE WHEN n_chars > 0 THEN alpha * 10000 // n_chars ELSE 0 END) >= 2500
+        AND (CASE WHEN n > 0 THEN (n - nd) * 10000 // n ELSE 0 END) <= 6000
+        AND (CASE WHEN nb > 0 THEN topb * 10000 // nb ELSE 0 END) <= 1000
+        AND (CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_it) = 0 THEN 'und'
+                  WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'de'
+                  WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'en'
+                  WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'es'
+                  WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'fr'
+                  ELSE 'it' END) IN ('en', 'und')
+    ),
+    p AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM kept
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(run - n AS BIGINT) AS start_offset,
+           CAST((run - n) // 2048 AS BIGINT) AS bin_id
+    FROM p
+    """,
+)
+def pipeline_curate(spark, sf_dir):
+    """End-to-end curation: quality-gate the corpus, drop failures, pack
+    survivors into token-budget bins — gate and token counts in one map
+    pass (carry_cols), packing via the distributed prefix sum."""
+    from lazy_frame_spark.operators.packing import pack_sequences as _pack
+
+    d = _table(spark, sf_dir, "documents")
+    gated = _tx.quality_gate(
+        d, min_tokens=20, max_dup_word_bp=6000, max_top_bigram_bp=1000,
+        carry_cols=("text",),
+    )
+    survivors = gated.filter(F.col("keep")).select("doc_id", "text")
+    return _pack(survivors, budget_tokens=2048)
+
+
 # --------------------------------------------------------------------- #
 # Deduplication
 # --------------------------------------------------------------------- #
