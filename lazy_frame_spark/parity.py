@@ -1665,6 +1665,85 @@ def multimodal_audio_decode(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_png_roundtrip",
+    # payloads are REAL zlib-compressed PNGs synthesized per doc_id: an
+    # 8x8 RGB gradient pixel[y][x][c] = base_c + x + y with
+    # base_r = doc_id % 200, base_g = doc_id*7 % 200, base_b =
+    # doc_id*13 % 200 (max 199+14 = 213, so no uint8 wraparound), rows
+    # encoded cycling ALL FIVE scanline filters. The decoded channel
+    # means then have exact closed forms: mean(x)+mean(y) = 7, so
+    # mean_c = base_c + 7 — the oracle states them without touching
+    # bytes. A green row proves compressed pixel decode (inflate +
+    # None/Sub/Up/Average/Paeth unfilter) is value-correct end-to-end.
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(doc_id % 200 + 7 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7) % 200 + 7 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 200 + 7 AS BIGINT) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """Media sink + source in one pipeline: a mapInPandas stage WRITES
+    real PNG files (operators/multimodal.encode_png — zlib deflate,
+    filters cycled per scanline), a second stage decodes them back
+    pixel-exactly (decode_png: inflate + unfilter) and emits integer
+    channel means. Mirrors the reference's opaque-payload model
+    (src/lazy.frame.c treats cell bytes as uninterpreted) with the
+    decode made real."""
+    from collections.abc import Iterator
+
+    d = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            grid = np.arange(8)[:, None] + np.arange(8)[None, :]  # x + y
+            px = np.stack(
+                [grid + (doc_id * k) % 200 for k in (1, 7, 13)], axis=2
+            ).astype(np.uint8)
+            return _mm.encode_png(px, cycle_filters=True)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(make)}
+            )
+
+    def means(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _mm.decode_pixels(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_r": int(round(float(px[..., 0].mean()))),
+                        "mean_g": int(round(float(px[..., 1].mean()))),
+                        "mean_b": int(round(float(px[..., 2].mean()))),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    schema = (
+        "doc_id long, width long, height long, "
+        "mean_r long, mean_g long, mean_b long"
+    )
+    return payloads.mapInPandas(means, schema)
+
+
 # --------------------------------------------------------------------- #
 # JSON scalar surface (events.props)
 # --------------------------------------------------------------------- #
@@ -2529,9 +2608,11 @@ DRIVER_WINDOW: list[str] = [
     # similarity search (exact top-k + LSH-bucketed pairs)
     "ann_cosine_topk",
     "embedding_near_dup",
-    # sinks, multimodal
+    # sinks, multimodal (the PNG round-trip is the strongest decode
+    # evidence: real zlib compression and all five scanline filters,
+    # value-checked against closed-form channel means)
     "sink_roundtrip",
-    "multimodal_metadata",
+    "multimodal_png_roundtrip",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

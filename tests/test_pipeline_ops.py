@@ -179,6 +179,65 @@ def test_decode_pixels_ppm_and_bmp_exact():
     assert np.issubdtype(got.dtype, np.unsignedinteger)
 
 
+def test_png_roundtrip_all_filters_and_color_types():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for shape in [(7, 5, 3), (9, 4, 4), (6, 8), (11, 3, 2)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        want = px if px.ndim == 3 else px[:, :, None]
+        for cycle in (True, False):
+            blob = mm.encode_png(px, cycle_filters=cycle)
+            got = mm.decode_pixels(blob)
+            assert got.shape == want.shape
+            assert (got == want).all()
+        mime, w, h = mm.probe_media(mm.encode_png(px))
+        assert mime == "image/png" and (w, h) == (want.shape[1], want.shape[0])
+
+
+def test_png_palette_decode():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    # hand-built 2x2 color-type-3 PNG: palette [red, green, blue]
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + ctype + body + st.pack(">I", crc)
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 1, 2, 0])  # rows: [red, green]; Sub-filtered [blue, blue]
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    got = mm.decode_png(blob)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(
+        got, [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [0, 0, 255]]]
+    )
+
+
+def test_png_unsupported_raises():
+    import struct as st
+    import zlib
+
+    import pytest as pt
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + ctype + body + st.pack(">I", crc)
+
+    sixteen = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
+    with pt.raises(NotImplementedError):
+        mm.decode_png(sixteen)
+    with pt.raises(ValueError):
+        mm.decode_png(b"not a png")
+
+
 def test_decode_wav_sample_accurate(tmp_path):
     import io
     import math
