@@ -1,3 +1,8 @@
+from lazy_frame_spark.operators.decontam import (
+    contamination,
+    decontaminate,
+    eval_ngrams,
+)
 from lazy_frame_spark.operators.dedup import (
     connected_components_star,
     duplicate_clusters,
@@ -56,6 +61,8 @@ __all__ = [
     "semi_join", "anti_join",
     # sorts & sampling
     "top_k", "sample", "stratified_sample", "deterministic_sample",
+    # decontamination
+    "contamination", "decontaminate", "eval_ngrams",
     # dedup
     "exact_dedup", "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",

@@ -826,6 +826,7 @@ def sample_stratified(spark, sf_dir):
 # Dedup, similarity search, text analysis, multimodal plumbing.
 # ===================================================================== #
 
+from lazy_frame_spark.operators import decontam as _dc  # noqa: E402
 from lazy_frame_spark.operators import dedup as _dd  # noqa: E402
 from lazy_frame_spark.operators import multimodal as _mm  # noqa: E402
 from lazy_frame_spark.operators import similarity as _sim  # noqa: E402
@@ -1411,6 +1412,75 @@ def dedup_ngram_jaccard(spark, sf_dir):
     DF cap in its keep CTE."""
     d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return _dd.ngram_jaccard_pairs(d, threshold=0.5, max_token_df=80)
+
+
+# --------------------------------------------------------------------- #
+# Benchmark decontamination: train docs vs an eval corpus's n-gram set
+# (eval = doc_id % 17 == 0, train = the rest — disjoint by construction)
+# --------------------------------------------------------------------- #
+
+def _shingles_where_sql(where: str) -> str:
+    """The _SQL_SHINGLES CTE body restricted to a WHERE clause — shared
+    by the decontamination oracles so both corpus sides shingle exactly
+    like operators/text.exploded_shingles."""
+    return f"""
+SELECT doc_id, unnest(list_distinct(
+  CASE WHEN len(ws) >= 3
+    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]
+    ELSE [array_to_string(ws, ' ')] END)) AS sh
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE {where})
+"""
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT sh FROM ({_shingles_where_sql("doc_id % 17 = 0")})),
+    tr AS ({_shingles_where_sql("doc_id % 17 <> 0")})
+    SELECT tr.doc_id,
+           count(*) AS n_shingles,
+           CAST(coalesce(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_overlap,
+           coalesce(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 END), 0) >= 2
+             AS contaminated
+    FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Per-training-doc contamination stats vs the eval corpus's n-gram
+    set (operators/decontam.contamination): one explode, one BROADCAST
+    left join against the distinct eval shingles, one partial agg — the
+    published n-gram-overlap decontamination rule, with the eval side
+    small enough to ship to every executor at any training scale."""
+    d = _table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return _dc.contamination(tr, ev, min_overlap=2)
+
+
+@query(
+    "decontam_drop",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT sh FROM ({_shingles_where_sql("doc_id % 17 = 0")})),
+    tr AS ({_shingles_where_sql("doc_id % 17 <> 0")}),
+    bad AS (
+      SELECT tr.doc_id FROM tr JOIN ev ON tr.sh = ev.sh
+      GROUP BY tr.doc_id HAVING count(*) >= 2)
+    SELECT d.* FROM documents d
+    WHERE d.doc_id % 17 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontam_drop(spark, sf_dir):
+    """The decontaminated training corpus itself: contaminated ids are
+    aggregated (one bigint per bad doc) and removed with a left anti
+    join — full training rows never shuffle."""
+    d = _table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return _dc.decontaminate(tr, ev, min_overlap=2)
 
 
 # --------------------------------------------------------------------- #

@@ -4,6 +4,7 @@ similarity search recalls true neighbors, multimodal plumbing round-trips."""
 import pyspark.sql.functions as F
 import pytest
 
+from lazy_frame_spark.operators import decontam as dc
 from lazy_frame_spark.operators import dedup as dd
 from lazy_frame_spark.operators import multimodal as mm
 from lazy_frame_spark.operators import similarity as sim
@@ -35,6 +36,34 @@ def test_exact_dedup_keeps_min_id(docs):
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert 1 in ids and 3 not in ids  # duplicate loses to min id
     assert len(ids) == 9
+
+
+def test_decontaminate_drops_overlapping_docs(spark, docs):
+    # eval corpus = doc 0's text verbatim; docs 0 and 2 (near-dup of 0)
+    # share its 3-gram shingles, the rest share none
+    ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    stats = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in dc.contamination(docs, ev).collect()
+    }
+    assert stats[0][1] and stats[0][0] > 0
+    assert stats[2][1]  # near-dup still shares most shingles
+    assert not stats[1][1] and stats[1][0] == 0
+    clean = sorted(
+        r["doc_id"] for r in dc.decontaminate(docs, ev).select("doc_id").collect()
+    )
+    assert 0 not in clean and 2 not in clean
+    assert set(clean) == {1, 3, 4, 5, 6, 7, 8, 9}
+
+
+def test_decontamination_join_is_broadcast(docs, spark):
+    ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    plan = (
+        dc.contamination(docs, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_minhash_finds_planted_near_dup(docs):
