@@ -3,6 +3,12 @@ from lazy_frame_spark.operators.decontam import (
     decontaminate,
     eval_ngrams,
 )
+from lazy_frame_spark.operators.mixing import (
+    epoch_shuffle,
+    mix_corpora,
+    rates_for_target_mix,
+    sample_by_rates,
+)
 from lazy_frame_spark.operators.dedup import (
     connected_components_star,
     duplicate_clusters,
@@ -63,6 +69,8 @@ __all__ = [
     "top_k", "sample", "stratified_sample", "deterministic_sample",
     # decontamination
     "contamination", "decontaminate", "eval_ngrams",
+    # mixing & training order
+    "epoch_shuffle", "mix_corpora", "rates_for_target_mix", "sample_by_rates",
     # dedup
     "exact_dedup", "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",

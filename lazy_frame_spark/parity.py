@@ -828,6 +828,7 @@ def sample_stratified(spark, sf_dir):
 
 from lazy_frame_spark.operators import decontam as _dc  # noqa: E402
 from lazy_frame_spark.operators import dedup as _dd  # noqa: E402
+from lazy_frame_spark.operators import mixing as _mx  # noqa: E402
 from lazy_frame_spark.operators import multimodal as _mm  # noqa: E402
 from lazy_frame_spark.operators import similarity as _sim  # noqa: E402
 from lazy_frame_spark.operators import text as _tx  # noqa: E402
@@ -1481,6 +1482,89 @@ def decontam_drop(spark, sf_dir):
     ev = d.filter(F.col("doc_id") % 17 == 0)
     tr = d.filter(F.col("doc_id") % 17 != 0)
     return _dc.decontaminate(tr, ev, min_overlap=2)
+
+
+# --------------------------------------------------------------------- #
+# Corpus mixing & training order (operators/mixing.py)
+# --------------------------------------------------------------------- #
+
+@query(
+    "mix_shuffle_order",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY md5('7:' || o_orderkey)) AS shuffle_rank
+    FROM orders
+    """,
+)
+def mix_shuffle_order(spark, sf_dir):
+    """Reproducible epoch shuffle with a materialized global position:
+    the seeded md5 key fixes the order, and the rank comes from the
+    value-bucketed parallel ranking (rowid.py) — a string key buckets on
+    its byte prefix, so no single-task window anywhere in the plan."""
+    o = _table(spark, sf_dir, "orders").select("o_orderkey")
+    out = _mx.epoch_shuffle(o, ["o_orderkey"], seed=7, rank_col="shuffle_rank")
+    return out.select("o_orderkey", "shuffle_rank")
+
+
+@query(
+    "mix_domain_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('11:' || doc_id), 1, 15))::BIGINT % 10000
+               AS draw_bp
+      FROM documents)
+    SELECT doc_id, source, draw_bp FROM u
+    WHERE draw_bp < CASE source
+      WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+      WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END
+    """,
+)
+def mix_domain_sample(spark, sf_dir):
+    """Domain-conditional Bernoulli downsampling as a pure map-side
+    filter: the deterministic basis-point draw (md5-derived, engine
+    portable) is compared to each source's acceptance rate — no RNG
+    state, no shuffle, exact resume semantics."""
+    d = _table(spark, sf_dir, "documents")
+    rates = {"src0": 10000, "src1": 7500, "src2": 5000, "src3": 2500}
+    out = _mx.sample_by_rates(
+        d, "source", rates, id_cols=["doc_id"], seed=11, default_bp=1000
+    )
+    return out.select(
+        "doc_id", "source", _mx.uniform_bp(11, ["doc_id"]).alias("draw_bp")
+    )
+
+
+@query(
+    "mix_target_proportions",
+    # sources have exactly equal counts in the synthetic corpus and the
+    # target weights are powers of two, so the driver-computed acceptance
+    # rates are exact constants: t = c/0.5 ⇒ rates 10000/5000/2500/2500.
+    oracle="""
+    SELECT source, count(*) AS kept
+    FROM (
+      SELECT source,
+             ('0x' || substr(md5('13:' || doc_id), 1, 15))::BIGINT % 10000
+               AS draw_bp
+      FROM documents)
+    WHERE draw_bp < CASE source
+      WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+      WHEN 'src2' THEN 2500 WHEN 'src3' THEN 2500 ELSE 0 END
+    GROUP BY source
+    """,
+)
+def mix_target_proportions(spark, sf_dir):
+    """End-to-end mixing to a target recipe {src0: ½, src1: ¼, src2: ⅛,
+    src3: ⅛}: one k-row count aggregation derives the per-domain rates
+    (downsample-only — the scarcest domain relative to its share caps
+    the corpus), then the map-side filter applies them. The output
+    reports kept-per-domain so the oracle pins the whole chain."""
+    d = _table(spark, sf_dir, "documents")
+    out = _mx.mix_corpora(
+        d, "source", {"src0": 4, "src1": 2, "src2": 1, "src3": 1},
+        id_cols=["doc_id"], seed=13,
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("kept"))
 
 
 # --------------------------------------------------------------------- #

@@ -5,6 +5,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from lazy_frame_spark.operators import decontam as dc
+from lazy_frame_spark.operators import mixing as mx
 from lazy_frame_spark.operators import dedup as dd
 from lazy_frame_spark.operators import multimodal as mm
 from lazy_frame_spark.operators import similarity as sim
@@ -64,6 +65,50 @@ def test_decontamination_join_is_broadcast(docs, spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    r7a = {r["k"]: r["rank"] for r in
+           mx.epoch_shuffle(df, ["k"], seed=7, rank_col="rank").collect()}
+    r7b = {r["k"]: r["rank"] for r in
+           mx.epoch_shuffle(df, ["k"], seed=7, rank_col="rank").collect()}
+    r8 = {r["k"]: r["rank"] for r in
+          mx.epoch_shuffle(df, ["k"], seed=8, rank_col="rank").collect()}
+    assert sorted(r7a.values()) == list(range(1, 501))  # true permutation
+    assert r7a == r7b  # same seed → identical order (epoch resume)
+    assert r7a != r8  # different seed → different order
+    assert r7a != {k: k + 1 for k in range(500)}  # actually shuffled
+
+
+def test_rates_for_target_mix_scarcest_domain_caps():
+    # web is abundant, code is scarce relative to its 25% share:
+    # T = min(9000/.75, 500/.25) = 2000 → keep 1500 web (16.7%), 500 code (100%)
+    rates = mx.rates_for_target_mix(
+        {"web": 9000, "code": 500}, {"web": 3, "code": 1}
+    )
+    assert rates["code"] == 10000
+    assert rates["web"] == 1666  # floor(1500/9000 * 10000)
+
+
+def test_sample_by_rates_deterministic_and_bounded(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 2).cast("string")).alias("dom"),
+    )
+    out = mx.sample_by_rates(
+        df, "dom", {"d0": 10000, "d1": 0}, id_cols=["doc_id"], seed=3
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == set(range(0, 2000, 2))  # rate 10000 keeps all, rate 0 none
+    half = mx.sample_by_rates(
+        df, "dom", {"d0": 5000, "d1": 5000}, id_cols=["doc_id"], seed=3
+    ).count()
+    assert 800 < half < 1200  # ~50% acceptance within sampling noise
+    again = mx.sample_by_rates(
+        df, "dom", {"d0": 5000, "d1": 5000}, id_cols=["doc_id"], seed=3
+    ).count()
+    assert half == again
 
 
 def test_minhash_finds_planted_near_dup(docs):
