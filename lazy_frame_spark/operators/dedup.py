@@ -235,8 +235,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     aggregation, so the shuffle carries ONE combined row per document
     (not a row per token), while a higher-order ``aggregate`` fold runs
     interpreted per token (measured 2× slower) and serializes on
-    low-split sources. The explode shape is optimal in both regimes."""
-    tok = df.select(
+    low-split sources. The explode shape is optimal in both regimes.
+    Low-split sources repartition first (gated no-op otherwise) so the
+    token hashing itself runs on every core."""
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    tok = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__t__")
     )
     h = tok.select(id_col, (token_hash(F.col("__t__")) % F.lit(1 << 32)).alias("__h__"))
@@ -322,7 +326,9 @@ def ngram_jaccard_pairs(
     tokens appearing in more than that many documents (document-frequency
     pruning) — at scale the stop-token join blowup, not the similarity
     math, is what kills you."""
-    tok = df.select(
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    tok = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tokn")
     )
     if max_token_df is not None:

@@ -404,7 +404,11 @@ def decode_audio_features(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
 
-    return df.select(id_col, payload_col).mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
+        extract, AUDIO_FEATURE_SCHEMA
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
@@ -472,7 +476,11 @@ def decode_image_features(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA])
 
-    return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
+        extract, IMAGE_FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(

@@ -77,8 +77,15 @@ def exploded_shingles(
     df: "DataFrame", text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> "DataFrame":
     """(id, shingle) rows with the token array projected exactly once —
-    the shared front end of MinHash and k-min fingerprinting."""
-    ws = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__ws__"))
+    the shared front end of MinHash, k-min fingerprinting, and
+    decontamination. Low-split sources repartition first so shingle
+    generation fans out across the session's cores (a gated no-op on
+    well-split sources — plans/parallel.py)."""
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    ws = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws__")
+    )
     return ws.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_from_words(F.col("__ws__"), n))).alias("shingle"),

@@ -1850,7 +1850,11 @@ def multimodal_png_roundtrip(spark, sf_dir):
     decode made real."""
     from collections.abc import Iterator
 
-    d = _table(spark, sf_dir, "documents").select("doc_id")
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    # the codec stages are compute-bound: fan the id frame out so
+    # encode/decode run on every core even from a one-split source
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np

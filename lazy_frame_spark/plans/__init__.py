@@ -1,3 +1,4 @@
+from lazy_frame_spark.plans.parallel import ensure_min_partitions, fan_out
 from lazy_frame_spark.plans.audit import (
     executed_plan,
     has_broadcast_hash_join,
@@ -8,6 +9,8 @@ from lazy_frame_spark.plans.audit import (
 )
 
 __all__ = [
+    "ensure_min_partitions",
+    "fan_out",
     "executed_plan",
     "has_pushed_filters",
     "has_broadcast_hash_join",

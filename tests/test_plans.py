@@ -89,3 +89,26 @@ def test_registered_projection_prunes_to_selected_plus_id(spark, sf_dir, tmp_pat
     q = reg.row_range(10, 50).select(["l_quantity"]).to_df(with_row_id=True)
     cols = set(read_schema_columns(q))
     assert cols == {"__row_id__", "l_quantity"}, cols
+
+
+def test_parallelism_gates(spark, sf_dir):
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions, fan_out
+
+    want = spark.sparkContext.defaultParallelism
+    one = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert one.rdd.getNumPartitions() < want
+
+    # data-gated entry point: small source fails the byte floor -> no-op;
+    # lowering the floor lets the split-count condition fire
+    assert ensure_min_partitions(one) is one
+    assert ensure_min_partitions(
+        one, min_bytes_per_partition=1
+    ).rdd.getNumPartitions() == want
+
+    # compute-gated entry point: fans out regardless of input bytes
+    assert fan_out(one).rdd.getNumPartitions() == want
+
+    # already well-split: both are provably untouched (same plan object)
+    wide = spark.range(0, 10_000, numPartitions=want)
+    assert ensure_min_partitions(wide) is wide
+    assert fan_out(wide) is wide
