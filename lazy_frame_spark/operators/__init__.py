@@ -48,7 +48,7 @@ from lazy_frame_spark.operators.multimodal import (
     decode_wav,
     probe_media,
 )
-from lazy_frame_spark.operators.packing import bin_stats, pack_sequences
+from lazy_frame_spark.operators.packing import bin_stats, chunk_documents, pack_sequences
 from lazy_frame_spark.operators.sorts import top_k
 from lazy_frame_spark.operators.text import (
     kmin_shingle_fingerprint,
@@ -59,6 +59,7 @@ from lazy_frame_spark.operators.text import (
     quality_gate,
     repetition_features,
     token_count,
+    vocabulary,
 )
 
 __all__ = [
@@ -83,7 +84,7 @@ __all__ = [
     "normalized_fingerprint", "kmin_shingle_fingerprint",
     "repetition_features", "pii_scrub", "quality_gate",
     # packing
-    "pack_sequences", "bin_stats",
+    "pack_sequences", "bin_stats", "chunk_documents", "vocabulary",
     # multimodal
     "attach_binary_payload", "probe_media", "decode_pixels", "decode_wav",
     "decode_image_features", "decode_audio_features",

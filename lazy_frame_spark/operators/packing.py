@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lazy_frame_spark.operators.text import token_count
+from lazy_frame_spark.operators.text import token_count, tokens
 from lazy_frame_spark.rowid import with_prefix_sum
 
 
@@ -43,6 +43,43 @@ def pack_sequences(
         F.col("__n_tok__").alias("n_tokens"),
         start.alias("start_offset"),
         F.floor(start / budget_tokens).cast("bigint").alias("bin_id"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into fixed-size token chunks with optional
+    overlap — the long-document preprocessing step upstream of packing
+    (a context-window's worth of tokens per training example, with
+    ``stride < chunk_tokens`` giving sliding-window overlap).
+
+    Pure JVM array expressions: tokenize once, ``posexplode`` a
+    ``sequence`` of chunk starts, slice and re-join. Map-only — no
+    shuffle, no UDF, whole-stage codegen end-to-end — so at 100 TB it
+    scales exactly like the scan itself. Each output row carries
+    ``(id, chunk_id, n_chunk_tokens, chunk_text)``; a document shorter
+    than one chunk yields exactly one chunk."""
+    step = stride or chunk_tokens
+    ws = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__ws__"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__ws__") - 1, F.lit(0)), F.lit(step)
+    )
+    ex = ws.select(
+        F.col(id_col),
+        F.col("__ws__"),
+        F.posexplode(starts).alias("chunk_id", "__start__"),
+    )
+    chunk = F.slice(F.col("__ws__"), F.col("__start__") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )
 
 

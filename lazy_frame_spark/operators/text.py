@@ -361,3 +361,51 @@ def kmin_shingle_fingerprint(
     kmin = F.slice(F.array_sort(F.collect_set("__hv__")), 1, k)
     fp = F.md5(F.array_join(F.transform(kmin, lambda x: x.cast("string")), ","))
     return h.groupBy(id_col).agg(fp.alias(out_col))
+
+
+def vocabulary(
+    df: "DataFrame",
+    text_col: str = "text",
+    top_k: int = 1000,
+    min_count: int = 1,
+) -> "DataFrame":
+    """Corpus token-frequency table: the ``top_k`` most frequent tokens
+    with occurrence counts, a deterministic rank (count desc, token asc),
+    and cumulative corpus coverage in integer basis points — vocabulary
+    construction and coverage analysis over the whole corpus.
+
+    Scale shape: one explode + hash aggregation (partial agg → one row
+    per distinct token shuffles), then ``TakeOrderedAndProject`` cuts to
+    ``top_k`` BEFORE the ranking window — the only single-task step
+    touches exactly ``top_k`` rows, never the full vocabulary. The
+    coverage denominator (total corpus tokens) reuses the counts frame
+    as a scalar aggregate, not a second corpus scan."""
+    from pyspark.sql import Window
+
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    tok = ensure_min_partitions(df).select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    counts = counts.persist()
+    total = counts.select(F.sum("n_occurrences")).collect()[0][0] or 0
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    out = top.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        _bp(
+            F.sum("n_occurrences").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(total).cast("bigint"),
+        ).alias("coverage_bp"),
+    )
+    counts.unpersist()
+    return out

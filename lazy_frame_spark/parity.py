@@ -1485,6 +1485,64 @@ def decontam_drop(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Long-document chunking and vocabulary (operators/packing.py, text.py)
+# --------------------------------------------------------------------- #
+
+@query(
+    "chunk_documents",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    st AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, greatest(len(w) - 1, 0), 12)) AS s
+      FROM ws)
+    SELECT doc_id,
+           (s // 12)::BIGINT AS chunk_id,
+           len(w[s + 1 : s + 24])::BIGINT AS n_chunk_tokens,
+           array_to_string(w[s + 1 : s + 24], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Sliding-window token chunking (24-token chunks, stride 12 — 50%
+    overlap): tokenize once, posexplode the chunk starts, slice + re-join
+    — map-only JVM array expressions, no shuffle anywhere, so the op
+    scales exactly like the scan (operators/packing.chunk_documents)."""
+    from lazy_frame_spark.operators.packing import chunk_documents
+
+    d = _table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=24, stride=12)
+
+
+@query(
+    "text_vocabulary",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+    tot AS (SELECT sum(n_occurrences) AS s FROM c),
+    top AS (
+      SELECT token, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+      FROM c ORDER BY n_occurrences DESC, token LIMIT 50)
+    SELECT token, n_occurrences, rank::BIGINT AS rank,
+           (FLOOR(sum(n_occurrences) OVER (ORDER BY rank) * 10000
+                  / (SELECT s FROM tot)))::BIGINT AS coverage_bp
+    FROM top
+    """,
+)
+def text_vocabulary(spark, sf_dir):
+    """Top-50 corpus vocabulary with deterministic ranks and cumulative
+    coverage basis points: explode + partial-agg counts, then
+    TakeOrderedAndProject cuts to k rows BEFORE the single-task ranking
+    window — bounded by k, never by vocabulary size."""
+    d = _table(spark, sf_dir, "documents")
+    return _tx.vocabulary(d, top_k=50)
+
+
+# --------------------------------------------------------------------- #
 # Corpus mixing & training order (operators/mixing.py)
 # --------------------------------------------------------------------- #
 

@@ -644,3 +644,42 @@ def test_prefix_sum_invariant_to_buckets(spark, sf_dir):
         else:
             assert out.equals(base), f"bucket count {b} changed prefix sums"
     assert base["run"].iloc[-1] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from lazy_frame_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "just three words")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=10, stride=5)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 0,5,10,15,20 -> 5 chunks; last has 5 tokens
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3, 4]
+    assert rows[(1, 0)]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert rows[(1, 1)]["chunk_text"].split() == [f"w{i}" for i in range(5, 15)]
+    assert rows[(1, 4)]["n_chunk_tokens"] == 5
+    # short doc -> exactly one whole-doc chunk
+    assert sorted(c for d, c in rows if d == 2) == [0]
+    assert rows[(2, 0)]["chunk_text"] == "just three words"
+    # every token of doc 1 is covered by the non-overlap positions
+    covered = [
+        t for c in range(0, 5)
+        for t in rows[(1, c)]["chunk_text"].split()[: 5 if c < 4 else 10]
+    ]
+    assert covered == [f"w{i}" for i in range(25)]
+
+
+def test_vocabulary_ranks_and_coverage(spark):
+    from lazy_frame_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string"
+    )
+    out = vocabulary(df, top_k=3).collect()
+    assert [r["token"] for r in out] == ["a", "b", "c"]  # c before z: tie by token
+    assert [r["n_occurrences"] for r in out] == [4, 3, 1]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # coverage over 9 total tokens: 4/9, 7/9, 8/9 in floor basis points
+    assert [r["coverage_bp"] for r in out] == [4444, 7777, 8888]
