@@ -2,10 +2,13 @@
 plain sort-merge join, on a synthetic workload where ONE key owns half of
 the fact rows (the adversarial shape for a shuffled equi-join).
 
-Usage: python tools/bench_skew.py [n_fact_rows] [n_keys]
+Usage: python tools/bench_skew.py [n_fact_rows] [n_keys] [skew_frac]
 
-Generated in-memory via spark.range (no files): fact rows 0..n/2 all carry
-key 0, the rest spread uniformly over n_keys; the dim has one row per key
+Generated in-memory via spark.range (no files): the first ``skew_frac``
+(default 0.5) of fact rows all carry key 0 — pass 0.9 for the
+pathological regime where one key owns 90% of the shuffle and a plain
+SMJ degenerates to a single straggler task — the rest spread uniformly
+over n_keys; the dim has one row per key
 with a payload column. Broadcast is disabled so the join actually shuffles
 — at 100 TB the dim side of a skewed join is rarely broadcastable, which
 is exactly when skew hurts. The query is join + per-key aggregate.
@@ -27,9 +30,9 @@ from pyspark.sql import functions as F
 from lazy_frame_spark.session import get_spark
 
 
-def build(spark, n_fact: int, n_keys: int):
+def build(spark, n_fact: int, n_keys: int, skew_frac: float = 0.5):
     fact = spark.range(n_fact).select(
-        F.when(F.col("id") < n_fact // 2, F.lit(0))
+        F.when(F.col("id") < int(n_fact * skew_frac), F.lit(0))
         .otherwise((F.xxhash64("id") % n_keys))
         .cast("bigint")
         .alias("k"),
@@ -56,6 +59,7 @@ def run_join(fact, dim, strategy: str, agg_col: str):
 def main() -> None:
     n_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    skew_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
     spark = get_spark()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
@@ -67,7 +71,7 @@ def main() -> None:
     ]
     # inputs persisted once so the timings isolate the JOIN stage (the
     # skewed shuffle + reduce), not the row generation both plans share
-    fact, dim = build(spark, n_fact, n_keys)
+    fact, dim = build(spark, n_fact, n_keys, skew_frac)
     fact = fact.persist()
     dim = dim.persist()
     fact.count(), dim.count()
@@ -97,7 +101,9 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    print(json.dumps({"n_fact": n_fact, "n_keys": n_keys, "sec": results}))
+    print(json.dumps(
+        {"n_fact": n_fact, "n_keys": n_keys, "skew_frac": skew_frac, "sec": results}
+    ))
 
 
 if __name__ == "__main__":
