@@ -2784,10 +2784,10 @@ DRIVER_WINDOW: list[str] = [
     "lf_which",
     "lf_filter_eq_str",
     "lf_reopen_row_range",
-    # aggregation: partial+final, grouping-set family, pivot, percentiles
+    # aggregation: partial+final, grouping-set family, percentiles
+    # (pivot sits past the cap, still locally checked)
     "agg_q1_pricing_summary",
     "agg_rollup",
-    "agg_pivot",
     "agg_percentiles",
     # joins: broadcast, semi, anti, range, as-of, shuffled multi-join
     "join_broadcast_dims",
@@ -2796,9 +2796,8 @@ DRIVER_WINDOW: list[str] = [
     "join_range_bands",
     "join_asof_last_order",
     "join_q3_revenue",
-    # windows, sort/top-k, set ops
+    # windows, sort/top-k, set ops (the rank battery sits past the cap)
     "window_top3_per_customer",
-    "window_rank_battery",
     "sort_topk_orders",
     "set_union",
     # scalar surface: dates, casts, arrays, JSON
@@ -2815,12 +2814,16 @@ DRIVER_WINDOW: list[str] = [
     "text_repetition_features",
     "text_quality_features",
     "text_lang_id",
-    # dedup suite
+    # dedup suite + decontamination + corpus mixing (the newest
+    # training-pipeline capabilities earn driver rows; the slots come
+    # from within-category redundancy, never from a category's only rep)
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "decontam_ngram_overlap",
+    "mix_target_proportions",
     # similarity search (exact top-k + LSH-bucketed pairs)
     "ann_cosine_topk",
     "embedding_near_dup",

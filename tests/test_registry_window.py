@@ -17,8 +17,8 @@ def test_driver_window_spans_every_category():
     prefixes = [
         "lf_", "agg_", "join_", "window_", "sort_", "set_", "scalar_",
         "cast_", "array_", "json_", "subquery_", "sample_", "text_",
-        "dedup_", "ann_", "embedding_", "sink_", "multimodal_", "stream_",
-        "udf_", "udaf_", "udtf_",
+        "dedup_", "decontam_", "mix_", "ann_", "embedding_", "sink_",
+        "multimodal_", "stream_", "udf_", "udaf_", "udtf_",
     ]
     for p in prefixes:
         assert any(n.startswith(p) for n in DRIVER_WINDOW), f"no {p} in window"
