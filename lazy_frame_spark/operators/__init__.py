@@ -1,6 +1,7 @@
 from lazy_frame_spark.operators.decontam import (
     contamination,
     decontaminate,
+    decontaminate_stream,
     eval_ngrams,
 )
 from lazy_frame_spark.operators.mixing import (
@@ -69,7 +70,7 @@ __all__ = [
     # sorts & sampling
     "top_k", "sample", "stratified_sample", "deterministic_sample",
     # decontamination
-    "contamination", "decontaminate", "eval_ngrams",
+    "contamination", "decontaminate", "decontaminate_stream", "eval_ngrams",
     # mixing & training order
     "epoch_shuffle", "mix_corpora", "rates_for_target_mix", "sample_by_rates",
     # dedup

@@ -21,6 +21,7 @@ corpus operations at all (SURVEY.md §2.2) — north-star scope.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,6 +76,69 @@ def contamination(
     )
     return per_doc.withColumn(
         "contaminated", F.col("n_overlap") >= F.lit(min_overlap)
+    )
+
+
+def contamination_udf(df: DataFrame, eval_shingles, text_col: str = "text", n: int = 3):
+    """A stateless per-row overlap counter against a driver-broadcast
+    shingle set: the STREAMING formulation of decontamination.
+
+    The batch path (``contamination``) needs an explode + per-doc
+    aggregation — in a stream that would demand stateful aggregation
+    semantics it doesn't actually need. This variant instead ships the
+    eval shingle set via ``SparkContext.broadcast`` (eval corpora are
+    small by definition) and counts the intersection inside an
+    Arrow-batched pandas UDF — stateless, so it runs in append mode
+    with no watermark and composes with any micro-batch plan. Token and
+    shingle semantics mirror operators/text.tokens / shingles_from_words
+    exactly (short documents contribute their whole text as one
+    shingle), so batch and stream agree value-for-value.
+
+    ``eval_shingles`` is a DataFrame from :func:`eval_ngrams` (collected
+    here — one driver round-trip) or any iterable of shingle strings.
+    Returns the overlap-count Column for ``df[text_col]``."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(eval_shingles, DataFrame):
+        eval_shingles = [r["shingle"] for r in eval_shingles.collect()]
+    bc = df.sparkSession.sparkContext.broadcast(frozenset(eval_shingles))
+    ws_re = re.compile(r"\s+")
+
+    @pandas_udf("long")
+    def overlap(texts: pd.Series) -> pd.Series:
+        ev = bc.value
+
+        def count(t: str) -> int:
+            ws = ws_re.split(t.strip()) if t and t.strip() else []
+            if len(ws) >= n:
+                sh = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+            else:
+                sh = {" ".join(ws)}
+            return len(sh & ev)
+
+        return texts.map(count)
+
+    return overlap(F.col(text_col))
+
+
+def decontaminate_stream(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Streaming decontamination: keep rows whose eval-corpus n-gram
+    overlap stays below ``min_overlap``. A pure map-side filter
+    (broadcast set + stateless UDF), so the result is an append-mode
+    stream with zero state; the identical call works on a batch frame,
+    which is how the parity oracle checks it."""
+    ev = eval_ngrams(eval_df, text_col=text_col, n=n)
+    return stream_df.filter(
+        contamination_udf(stream_df, ev, text_col=text_col, n=n)
+        < F.lit(int(min_overlap))
     )
 
 

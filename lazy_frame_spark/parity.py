@@ -1484,6 +1484,35 @@ def decontam_drop(spark, sf_dir):
     return _dc.decontaminate(tr, ev, min_overlap=2)
 
 
+@query(
+    "decontam_stream_filter",
+    # identical oracle to decontam_drop: the stateless broadcast-set UDF
+    # formulation must agree value-for-value with the explode+join batch
+    # formulation (and with SQL) — the property that makes it safe to
+    # run the SAME decontamination in a streaming micro-batch plan.
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT sh FROM ({_shingles_where_sql("doc_id % 17 = 0")})),
+    tr AS ({_shingles_where_sql("doc_id % 17 <> 0")}),
+    bad AS (
+      SELECT tr.doc_id FROM tr JOIN ev ON tr.sh = ev.sh
+      GROUP BY tr.doc_id HAVING count(*) >= 2)
+    SELECT d.* FROM documents d
+    WHERE d.doc_id % 17 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontam_stream_filter(spark, sf_dir):
+    """The streaming decontamination path run in batch mode (the plans
+    are identical — a stateless map filter): broadcast eval shingle set,
+    Arrow-batched membership count, append-mode-safe with zero state.
+    tests/test_streaming.py drives the same filter through a real
+    readStream micro-batch pipeline."""
+    d = _table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return _dc.decontaminate_stream(tr, ev, min_overlap=2)
+
+
 # --------------------------------------------------------------------- #
 # Long-document chunking and vocabulary (operators/packing.py, text.py)
 # --------------------------------------------------------------------- #

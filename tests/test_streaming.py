@@ -181,3 +181,32 @@ def test_kafka_message_framing(spark):
     )
     # configured but not started — the connector jar isn't in this container
     assert w is not None
+
+
+def test_stream_decontamination_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless decontamination filter runs in a real append-mode
+    micro-batch stream with zero state and drops exactly the documents
+    the batch path drops."""
+    from lazy_frame_spark.operators import decontam as dc
+    from lazy_frame_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    want = sorted(
+        r["doc_id"]
+        for r in dc.decontaminate(tr, ev, min_overlap=2).select("doc_id").collect()
+    )
+
+    d = str(tmp_path_factory.mktemp("decontam_stream"))
+    tr.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    clean = dc.decontaminate_stream(stream, ev, min_overlap=2)
+    assert clean.isStreaming
+    run_stream_to_memory(clean.select("doc_id"), "t_decontam", output_mode="append")
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM t_decontam").collect())
+    assert got == want
