@@ -70,11 +70,41 @@ def range_join(
     return left.join(r, on=condition)
 
 
+def suggest_salt_buckets(
+    df: DataFrame,
+    on: str,
+    sample_fraction: float = 0.01,
+    target_rows_per_task: int = 5_000_000,
+    max_buckets: int = 256,
+) -> int:
+    """Heavy-hitter-aware salt sizing: estimate the hottest key's row
+    count from a Bernoulli sample (ONE narrow count-by-key aggregation
+    over the sample — the only job this runs), then size the salt so
+    that key splits into ~``target_rows_per_task`` chunks.
+
+    Returns 1 when no key needs splitting — at which point
+    ``salted_join`` degrades to a plain join and the salt machinery
+    costs nothing. The estimate only needs the right order of magnitude:
+    a 2× error in the hot count changes task sizes 2×, not correctness,
+    and ``max_buckets`` bounds the right-side replication factor."""
+    import math
+
+    hot = (
+        df.sample(fraction=sample_fraction, seed=7)
+        .groupBy(on)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    est_hot = hot / sample_fraction
+    return max(1, min(max_buckets, math.ceil(est_hot / target_rows_per_task)))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: str,
-    salt_buckets: int = 16,
+    salt_buckets: int | str = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join: the left (skewed) side gets a random salt
@@ -85,8 +115,14 @@ def salted_join(
     even after AQE splitting (the 10^9-rows-for-one-user case).
 
     Cost: right side × salt_buckets rows through the shuffle — use on a
-    pre-aggregated/narrow right side.
+    pre-aggregated/narrow right side. ``salt_buckets="auto"`` sizes the
+    salt from a sampled heavy-hitter estimate (``suggest_salt_buckets``);
+    a plain join falls out when nothing is hot.
     """
+    if salt_buckets == "auto":
+        salt_buckets = suggest_salt_buckets(left, on)
+    if salt_buckets <= 1:
+        return left.join(right, on=on, how=how)
     salt = (F.rand(seed=7) * salt_buckets).cast("int")
     lsalted = left.withColumn("__salt__", salt)
     rsalted = right.join(

@@ -126,6 +126,28 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_join_auto_sizing(spark, sf_dir):
+    from lazy_frame_spark.operators.joins import salted_join, suggest_salt_buckets
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    # sf0.001 orders: no key approaches the per-task target → plain join path
+    assert suggest_salt_buckets(o, "o_custkey", sample_fraction=1.0) == 1
+    auto = salted_join(o, c, on="o_custkey", salt_buckets="auto")
+    assert "__salt__" not in auto.columns
+    assert auto.count() == o.join(c, "o_custkey").count()
+    # a genuinely hot key (every row the same) sized against a tiny target
+    hot = o.select(F.lit(1).alias("k"))
+    n = suggest_salt_buckets(hot, "k", sample_fraction=1.0, target_rows_per_task=100)
+    assert 1 < n <= 256
+    # sizing is an estimate: full-sample count/target, ceil'd, capped
+    import math
+
+    assert n == min(256, math.ceil(hot.count() / 100))
+
+
 def test_ivf_topk_matches_bruteforce_head(spark, sf_dir):
     from lazy_frame_spark.operators.similarity import IVFIndex, cosine_topk
 
