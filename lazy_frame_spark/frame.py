@@ -65,10 +65,12 @@ class LazyFrame:
         df: DataFrame,
         attrs: ColumnAttrs | None = None,
         order_by: Sequence[str] | None = None,
+        cache: bool = True,
     ):
         self._df = df
         self._attrs = attrs or ColumnAttrs()
         self._order_by = list(order_by) if order_by else None
+        self._cache = cache
         self._cache_handle: DataFrame | None = None
 
     # ------------------------------------------------------------------ #
@@ -82,12 +84,19 @@ class LazyFrame:
         path: str,
         format: str | None = None,
         order_by: Sequence[str] | None = None,
+        cache: bool = True,
         **options: Any,
     ) -> "LazyFrame":
         """Open a file as a LazyFrame without reading data (S1 parity,
         ``R/lazy.frame.R:37-87``). Format inferred from the extension when
         not given. CSV goes through the engine's schema-infer-once reader
         (sources.csv) supporting sep/header-autodetect/skip/gzip.
+
+        ``cache=False`` skips persisting the enumerated frame: the right
+        mode for ONE-shot positional queries (open → slice → done), where
+        building an in-memory cache nobody re-reads only costs executor
+        storage. Repeated positional access should keep the default, or
+        better, ``register()`` the frame once.
         """
         fmt = format or _infer_format(path)
         if fmt == "csv":
@@ -102,13 +111,16 @@ class LazyFrame:
             df = spark.read.options(**{k: str(v) for k, v in options.items()}).orc(path)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
-        return cls(df, order_by=order_by)
+        return cls(df, order_by=order_by, cache=cache)
 
     @classmethod
     def from_df(
-        cls, df: DataFrame, order_by: Sequence[str] | None = None
+        cls,
+        df: DataFrame,
+        order_by: Sequence[str] | None = None,
+        cache: bool = True,
     ) -> "LazyFrame":
-        return cls(df, order_by=order_by)
+        return cls(df, order_by=order_by, cache=cache)
 
     # ------------------------------------------------------------------ #
     # row ids (lazy attach — open() must stay a no-I/O promise)
@@ -131,7 +143,7 @@ class LazyFrame:
                 self._df, self._order_by[0], _default_buckets(self._df)
             )
         df, handle = enumerate_rows(
-            self._df, order_by=self._order_by, bounds=bounds, cache=True
+            self._df, order_by=self._order_by, bounds=bounds, cache=self._cache
         )
         self._cache_handle = handle
         self._df = df

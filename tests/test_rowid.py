@@ -163,6 +163,28 @@ def test_enumerate_cache_single_handle_lifecycle(spark, sf_dir):
     assert jsc.getPersistentRDDs().size() == base
 
 
+def test_open_cache_false_skips_persist(spark, sf_dir):
+    """cache=False open mode: positional queries still produce correct
+    ids but NO cached blocks are left behind — the one-shot-query path
+    (open → slice → done) must not spend executor storage."""
+    from lazy_frame_spark.frame import LazyFrame
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    lf = LazyFrame.open(
+        spark, f"{sf_dir}/orders.parquet", order_by=["o_orderkey"], cache=False
+    )
+    head = lf.head(5)
+    assert [r["o_orderkey"] for r in head.collect()] == [0, 1, 2, 3, 4]
+    assert jsc.getPersistentRDDs().size() == base
+    # default mode on the same source does cache (and close releases it)
+    lf2 = LazyFrame.open(spark, f"{sf_dir}/orders.parquet", order_by=["o_orderkey"])
+    assert len(lf2.head(5).collect()) == 5
+    assert jsc.getPersistentRDDs().size() == base + 1
+    lf2.close()
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_string_surrogate_python_matches_sql(spark):
     """The Python-side footer-stat surrogate must agree with the SQL
     bucketing expression, or footer bounds for string keys would land in
