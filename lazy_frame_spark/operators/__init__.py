@@ -41,12 +41,15 @@ from lazy_frame_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
 )
+from lazy_frame_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from lazy_frame_spark.operators.multimodal import (
     attach_binary_payload,
     decode_audio_features,
     decode_image_features,
     decode_pixels,
+    decode_png,
     decode_wav,
+    encode_png,
     probe_media,
 )
 from lazy_frame_spark.operators.packing import bin_stats, chunk_documents, pack_sequences
@@ -89,4 +92,5 @@ __all__ = [
     # multimodal
     "attach_binary_payload", "probe_media", "decode_pixels", "decode_wav",
     "decode_image_features", "decode_audio_features",
+    "encode_png", "decode_png", "encode_jpeg", "decode_jpeg",
 ]

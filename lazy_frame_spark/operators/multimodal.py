@@ -9,11 +9,14 @@ Decode is REAL for every container format parseable with stdlib+numpy:
 - PNG, 8-bit non-interlaced: full inflate + unfilter decode AND a
   matching encoder, stdlib zlib + numpy only (``decode_png`` /
   ``encode_png``) — every color type, all five scanline filters.
+- Baseline JPEG (SOF0/SOF1): full DCT codec — encoder (4:4:4) and
+  decoder (any sampling factors, restart intervals) with the T.81
+  Annex K tables, numpy + stdlib only (``operators/jpeg.py``).
 - PNG / JPEG / GIF / WEBP(VP8X) / WAV: container sniffing + dimensions
   from headers without decompressing (``probe_media``) — the cheap path
   a 100 TB triage pass should take before any pixel work.
-Remaining compressed formats (JPEG DCT, 16-bit/interlaced PNG) go
-through PIL when importable; in containers without codecs they raise
+Remaining compressed formats (progressive JPEG, 16-bit/interlaced PNG)
+go through PIL when importable; in containers without codecs they raise
 NotImplementedError with the plumbing unchanged (the deterministic fake
 featureizer still exercises schema/batching end-to-end).
 
@@ -303,6 +306,10 @@ def decode_pixels(blob: bytes):
 
     if blob.startswith(b"\x89PNG\r\n\x1a\n"):
         return decode_png(blob)
+    if blob.startswith(b"\xff\xd8"):
+        from lazy_frame_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
 
     if blob[:2] in (b"P5", b"P6"):
         depth = 3 if blob[:2] == b"P6" else 1

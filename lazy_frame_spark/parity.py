@@ -1989,6 +1989,81 @@ def multimodal_png_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(means, schema)
 
 
+@query(
+    "multimodal_jpeg_roundtrip",
+    # payloads are REAL baseline JPEGs (operators/jpeg.py: DCT +
+    # Annex K quant/Huffman tables): an 8x8 CONSTANT gray image with
+    # value v = 50 + doc_id % 156, encoded at quality 75. At that
+    # quality the luminance DC quantizer is 8, which exactly divides
+    # the DC scale factor 8, so dequantization is the identity on the
+    # DC path and the constant image round-trips EXACTLY (pinned by
+    # test_jpeg_constant_block_exact_at_q75) — the oracle states the
+    # decoded mean in closed form without touching bytes. A green row
+    # proves the full marker/Huffman/DCT pipeline is value-correct
+    # through Spark end-to-end.
+    oracle="""
+    SELECT doc_id,
+           'image/jpeg' AS mime,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(50 + doc_id % 156 AS BIGINT) AS mean_gray
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Lossy-codec sink + source in one pipeline: a mapInPandas stage
+    WRITES real baseline JPEGs (operators/jpeg.encode_jpeg), a second
+    stage sniffs the container (probe_media) and decodes the pixels
+    back (decode_jpeg via decode_pixels). Mirrors the reference's
+    opaque-payload model (src/lazy.frame.c) with the codec made real."""
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from lazy_frame_spark.operators.jpeg import encode_jpeg
+
+        def make(doc_id: int) -> bytes:
+            v = 50 + doc_id % 156
+            return encode_jpeg(np.full((8, 8), v, np.uint8), quality=75)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(make)}
+            )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                mime, _, _ = _mm.probe_media(blob)
+                px = _mm.decode_pixels(blob)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "mime": mime,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_gray": int(round(float(px.mean()))),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "width", "height", "mean_gray"]
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id long, payload binary")
+    schema = "doc_id long, mime string, width long, height long, mean_gray long"
+    return payloads.mapInPandas(stats, schema)
+
+
 # --------------------------------------------------------------------- #
 # JSON scalar surface (events.props)
 # --------------------------------------------------------------------- #

@@ -312,6 +312,125 @@ def test_png_unsupported_raises():
         mm.decode_png(b"not a png")
 
 
+def test_jpeg_roundtrip_smooth_images():
+    import numpy as np
+
+    from lazy_frame_spark.operators import jpeg as J
+
+    # gray gradient, dims not multiples of 8
+    y, x = np.mgrid[0:21, 0:13]
+    px = (64 + 3 * x + 2 * y).clip(0, 255).astype(np.uint8)
+    got = mm.decode_pixels(J.encode_jpeg(px, quality=90))
+    assert got.shape == (21, 13, 1)
+    err = np.abs(got[:, :, 0].astype(int) - px.astype(int))
+    assert err.max() <= 4
+
+    # RGB smooth field through decode_pixels dispatch + probe_media dims
+    yy, xx = np.mgrid[0:24, 0:32]
+    rgb = np.stack(
+        [(30 + 5 * xx) % 200, (60 + 4 * yy) % 200, (90 + 2 * xx + 3 * yy) % 200],
+        axis=2,
+    ).astype(np.uint8)
+    blob = J.encode_jpeg(rgb, quality=90)
+    assert mm.probe_media(blob) == ("image/jpeg", 32, 24)
+    got = mm.decode_pixels(blob)
+    assert got.shape == (24, 32, 3)
+    err = np.abs(got.astype(int) - rgb.astype(int))
+    assert err.mean() < 6 and err.max() < 48
+
+
+def test_jpeg_constant_block_exact_at_q75():
+    """Quality 75 ⇒ luminance DC quantizer 8 divides the DC scale 8, so
+    a constant image round-trips EXACTLY — the closed form the
+    multimodal_jpeg_roundtrip parity oracle relies on."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import jpeg as J
+
+    assert J._scale_quant(J._QUANT_LUM, 75)[0, 0] == 8
+    for v in (50, 77, 128, 205):
+        out = J.decode_jpeg(J.encode_jpeg(np.full((8, 8), v, np.uint8), quality=75))
+        assert (out[:, :, 0] == v).all()
+
+
+def test_jpeg_nonbaseline_rejected():
+    import numpy as np
+    import pytest as pt
+
+    from lazy_frame_spark.operators import jpeg as J
+
+    blob = J.encode_jpeg(np.full((8, 8), 99, np.uint8))
+    i = blob.index(b"\xff\xc0")
+    with pt.raises(NotImplementedError):  # progressive (SOF2)
+        J.decode_jpeg(blob[:i] + b"\xff\xc2" + blob[i + 2:])
+    with pt.raises(ValueError):
+        J.decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_subsampled_and_restart_decode():
+    """Hand-built 4:2:0 stream with a restart interval — decoder paths
+    the 4:4:4 encoder never emits: multi-block MCU assembly, chroma
+    upsampling, DC predictor reset at RSTn."""
+    import struct as st
+
+    import numpy as np
+
+    from lazy_frame_spark.operators import jpeg as J
+
+    v = 173  # constant gray in RGB: Y = v, Cb = Cr = 128 exactly
+    h, w = 16, 32  # 2 MCUs of 16x16 at 2x2 luma sampling
+    qlum, qchr = J._scale_quant(J._QUANT_LUM, 75), J._scale_quant(J._QUANT_CHROM, 75)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ((0, qlum), (1, qchr)):
+        out += (b"\xff\xdb" + st.pack(">H", 67) + bytes([tid])
+                + bytes(int(x) for x in q.reshape(-1)[J._ZZ]))
+    sof = st.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in (
+        (0, 0, J._DC_LUM), (1, 0, J._AC_LUM), (0, 1, J._DC_CHROM), (1, 1, J._AC_CHROM)
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + st.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xdd" + st.pack(">HH", 4, 1)  # DRI: restart every MCU
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+
+    dc_l, ac_l = J._build_codes(*J._DC_LUM), J._build_codes(*J._AC_LUM)
+    dc_c, ac_c = J._build_codes(*J._DC_CHROM), J._build_codes(*J._AC_CHROM)
+
+    def mcu(bw):
+        pred = 0
+        for blk in range(4):  # four Y blocks per MCU
+            s, lo = J._magnitude((v - 128) - pred)
+            pred = v - 128
+            c, ln = dc_l[s]
+            bw.write(c, ln)
+            bw.write(lo, s)
+            c, ln = ac_l[0x00]
+            bw.write(c, ln)  # EOB
+        for _ in range(2):  # Cb, Cr: DC diff 0
+            c, ln = dc_c[0]
+            bw.write(c, ln)
+            c, ln = ac_c[0x00]
+            bw.write(c, ln)
+    bw = J._BitWriter()
+    mcu(bw)
+    bw.flush()
+    out += bw.out + b"\xff\xd0"
+    bw = J._BitWriter()
+    mcu(bw)  # predictors reset after RST0 — same bits again
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+
+    got = J.decode_jpeg(bytes(out))
+    assert got.shape == (h, w, 3)
+    assert (got == v).all(), (got.min(), got.max())
+    assert mm.probe_media(bytes(out)) == ("image/jpeg", w, h)
+
+
 def test_decode_wav_sample_accurate(tmp_path):
     import io
     import math
