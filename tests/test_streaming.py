@@ -210,3 +210,47 @@ def test_stream_decontamination_equals_batch(spark, sf_dir, tmp_path_factory):
     run_stream_to_memory(clean.select("doc_id"), "t_decontam", output_mode="append")
     got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM t_decontam").collect())
     assert got == want
+
+
+def test_stream_media_decode_equals_batch(spark, tmp_path_factory):
+    """Real codec featureization (PNG + JPEG decode via decode_pixels)
+    is a stateless mapInPandas stage, so it runs unchanged in an
+    append-mode micro-batch stream — the plumbing a 100 TB media ingest
+    pipeline would use for continuously-arriving image files."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import multimodal as mm
+    from lazy_frame_spark.operators.jpeg import encode_jpeg
+
+    def payload(i: int) -> bytes:
+        v = 60 + i % 120
+        px = np.full((8, 8), v, np.uint8)
+        # even ids → PNG (lossless), odd → baseline JPEG (exact at q75
+        # for constant blocks) — both decode through the same dispatch
+        return mm.encode_png(px) if i % 2 == 0 else encode_jpeg(px, quality=75)
+
+    rows = [(i, payload(i)) for i in range(40)]
+    batch = spark.createDataFrame(rows, "doc_id long, payload binary")
+    want = sorted(
+        (r["doc_id"], r["width"], r["height"], r["feature"][0])
+        for r in mm.decode_image_features(batch, real_decoder=True).collect()
+    )
+
+    d = str(tmp_path_factory.mktemp("media_stream"))
+    batch.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    feats = mm.decode_image_features(stream, real_decoder=True)
+    assert feats.isStreaming
+    run_stream_to_memory(
+        feats.select("doc_id", "width", "height", "feature"),
+        "t_media", output_mode="append",
+    )
+    got = sorted(
+        (r["doc_id"], r["width"], r["height"], r["feature"][0])
+        for r in spark.sql("SELECT * FROM t_media").collect()
+    )
+    assert got == want and len(got) == 40
