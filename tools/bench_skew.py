@@ -49,6 +49,10 @@ def run_join(fact, dim, strategy: str, agg_col: str):
 
     if strategy == "salted":
         j = salted_join(fact, dim, on="k", salt_buckets=32)
+    elif strategy == "salted_auto":
+        # heavy-hitter-sampled sizing: one tiny sample job, then the same
+        # salted plan with a data-derived bucket count
+        j = salted_join(fact, dim, on="k", salt_buckets="auto")
     else:
         j = fact.join(dim, "k")
     return j.groupBy(agg_col).agg(
@@ -68,6 +72,7 @@ def main() -> None:
         ("smj_no_aqe", "false", "false", "plain"),
         ("smj_aqe_skew", "true", "true", "plain"),
         ("salted", "true", "false", "salted"),
+        ("salted_auto", "true", "false", "salted_auto"),
     ]
     # inputs persisted once so the timings isolate the JOIN stage (the
     # skewed shuffle + reduce), not the row generation both plans share
