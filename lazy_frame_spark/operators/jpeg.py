@@ -374,24 +374,36 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(blob: bytes):
-    """Decode a baseline JPEG to an HxWxC uint8 array (C=1 grayscale,
-    C=3 RGB). Supports arbitrary sampling factors (chroma planes
-    upsampled nearest-neighbor), restart intervals, and multi-table
-    DQT/DHT segments. Progressive and the other non-baseline SOF
-    processes raise NotImplementedError."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to an
+    HxWxC uint8 array (C=1 grayscale, C=3 RGB). Supports arbitrary
+    sampling factors (chroma planes upsampled nearest-neighbor),
+    restart intervals, multi-table DQT/DHT segments, multi-scan
+    baseline files, and full progressive refinement (spectral selection
+    AND successive approximation, T.81 G.2). Lossless/hierarchical/
+    arithmetic-coded processes raise NotImplementedError.
+
+    Every scan Huffman-decodes into per-component ZIGZAG-indexed
+    coefficient arrays; dequantization + batched IDCT happen once at
+    the end — the architecture progressive decoding forces, which the
+    single-scan baseline path shares for free."""
     if not blob.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps: list[dict] | None = None
-    h = w = 0
+    state: list[np.ndarray] | None = None
+    h = w = hmax = vmax = 0
+    progressive = False
     restart_interval = 0
+    saw_scan = False
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("bad marker segment")
         marker = blob[pos + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
         seg = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
@@ -418,89 +430,229 @@ def decode_jpeg(blob: bytes):
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline + extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", body[1:5])
             comps = []
             for ci in range(body[5]):
                 cid, sf, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 15, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            state = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"non-baseline JPEG (SOF{marker - 0xC0})")
+            raise NotImplementedError(f"unsupported JPEG process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
-            if comps is None:
+        elif marker == 0xDA:  # SOS — entropy-coded data follows the header
+            if comps is None or state is None:
                 raise ValueError("SOS before SOF")
-            scan = []
-            for i in range(body[0]):
+            ns = body[0]
+            spec = []
+            for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cs, tt >> 4, tt & 15))
-            return _decode_scan(
-                blob, pos + 2 + seg, comps, scan, qt, huff, h, w, restart_interval
+                spec.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if progressive:
+                if (ss == 0) != (se == 0) or se > 63:
+                    raise ValueError("invalid progressive spectral band")
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+            else:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                blob, pos + 2 + seg, comps, spec, huff, state,
+                hmax, vmax, w, h, restart_interval,
+                ss, se, ah, al, progressive,
             )
+            saw_scan = True
+            continue
         pos += 2 + seg
-    raise ValueError("no SOS marker found")
+    if not saw_scan:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(comps, state, qt, hmax, vmax, w, h)
 
 
-def _decode_scan(blob, start, comps, scan, qt, huff, h, w, restart_interval):
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[cs] for cs, _, _ in scan]
-    tids = {cs: (td, ta) for cs, td, ta in scan}
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"])) for c in order
-    ]
-    pred = [0] * len(order)
+def _decode_scan(blob, start, comps, spec, huff, state,
+                 hmax, vmax, w, h, restart_interval,
+                 ss, se, ah, al, progressive):
+    """Huffman-decode ONE scan into the coefficient state; returns the
+    stream position of the marker that terminated the scan. Interleaved
+    scans walk the MCU grid; single-component scans (progressive AC
+    bands, multi-scan baseline) walk that component's own block grid in
+    raster order (T.81 A.2.2)."""
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = [(by_id[cs], td, ta) for cs, td, ta in spec]
+    pred = {ci: 0 for ci, _, _ in order}
+    eobrun = [0]
     br = _BitReader(blob, start)
-    idct = _C.T
-    for my in range(mcuy):
-        for mx in range(mcux):
-            mcu = my * mcux + mx
+
+    def block(ci, td, ta, by, bx):
+        blk = state[ci][by, bx]
+        if not progressive:
+            _block_baseline(br, huff[(0, td)], huff[(1, ta)], blk, pred, ci)
+        elif ss == 0:
+            if ah == 0:
+                s = br.decode(huff[(0, td)])
+                pred[ci] += _extend(br.bits(s), s)
+                blk[0] = pred[ci] << al
+            elif br.bit():  # DC refinement: one bit per block
+                blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:
+            _ac_first(br, huff[(1, ta)], blk, ss, se, al, eobrun)
+        else:
+            _ac_refine(br, huff[(1, ta)], blk, ss, se, al, eobrun)
+
+    def restart():
+        br.restart()
+        for k in pred:
+            pred[k] = 0
+        eobrun[0] = 0
+
+    if len(order) == 1:
+        ci, td, ta = order[0]
+        comp = comps[ci]
+        bw = -(-(-(-w * comp["h"] // hmax)) // 8)
+        bh = -(-(-(-h * comp["v"] // vmax)) // 8)
+        for n, (by, bx) in enumerate((y, x) for y in range(bh) for x in range(bw)):
+            if restart_interval and n and n % restart_interval == 0:
+                restart()
+            block(ci, td, ta, by, bx)
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for mcu in range(mcuy * mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                br.restart()
-                pred = [0] * len(order)
-            for k, comp in enumerate(order):
-                td, ta = tids[comp["id"]]
-                dq = qt[comp["tq"]]
+                restart()
+            my, mx = divmod(mcu, mcux)
+            for ci, td, ta in order:
+                comp = comps[ci]
                 for v in range(comp["v"]):
                     for hz in range(comp["h"]):
-                        zz = np.zeros(64, np.int64)
-                        s = br.decode(huff[(0, td)])
-                        pred[k] += _extend(br.bits(s), s)
-                        zz[0] = pred[k]
-                        ki = 1
-                        while ki < 64:
-                            rs = br.decode(huff[(1, ta)])
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    ki += 16
-                                    continue
-                                break  # EOB
-                            ki += run
-                            if ki > 63:
-                                raise ValueError("AC index overrun")
-                            zz[ki] = _extend(br.bits(size), size)
-                            ki += 1
-                        block = np.zeros(64, np.float64)
-                        block[_ZZ] = zz * dq.reshape(-1)[_ZZ]
-                        pxb = idct @ block.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * comp["v"] + v) * 8
-                        x0 = (mx * comp["h"] + hz) * 8
-                        planes[k][y0:y0 + 8, x0:x0 + 8] = pxb
+                        block(ci, td, ta, my * comp["v"] + v, mx * comp["h"] + hz)
+    # the reader stops ON the terminating marker; re-sync to its 0xFF
+    p = br.p
+    while p < len(blob) and blob[p] != 0xFF:
+        p += 1
+    return p
+
+
+def _block_baseline(br, dc_table, ac_table, blk, pred, ci):
+    s = br.decode(dc_table)
+    pred[ci] += _extend(br.bits(s), s)
+    blk[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = br.decode(ac_table)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC index overrun")
+        blk[k] = _extend(br.bits(size), size)
+        k += 1
+
+
+def _ac_first(br, table, blk, ss, se, al, eobrun):
+    """Progressive AC, first pass for this band (Ah=0): values arrive at
+    precision Al; EOB symbols carry run lengths of all-zero bands."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode(table)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run < 15:  # EOBn: 2^run - 1 more all-zero bands
+                eobrun[0] = (1 << run) - 1
+                if run:
+                    eobrun[0] += br.bits(run)
+                return
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC band overrun")
+        blk[k] = _extend(br.bits(size), size) << al
+        k += 1
+
+
+def _ac_refine(br, table, blk, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah>0, T.81 G.1.2.3): each
+    already-nonzero coefficient passed receives a correction bit; new
+    coefficients arrive as ±1<<Al after a run of zero-HISTORY positions;
+    EOB runs still carry correction bits for nonzero history."""
+    p1 = 1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if c and br.bit() and not (abs(c) & p1):
+            blk[k] = c + (p1 if c > 0 else -p1)
+
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = br.decode(table)
+            run, size = rs >> 4, rs & 15
+            newval = 0
+            if size == 0:
+                if run < 15:  # EOBn — includes the rest of this band
+                    eobrun[0] = 1 << run
+                    if run:
+                        eobrun[0] += br.bits(run)
+                    break
+                # ZRL: advance 16 zero-history positions, no insertion
+            else:
+                newval = p1 if br.bit() else -p1
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if int(blk[k]) != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _reconstruct(comps, state, qt, hmax, vmax, w, h):
+    """Dequantize + batched IDCT every component plane, upsample
+    subsampled chroma, convert to RGB/grayscale uint8."""
     full = []
-    for k, comp in enumerate(order):
-        p = planes[k]
+    for comp, coefs in zip(comps, state):
+        dqzz = qt[comp["tq"]].reshape(-1)[_ZZ].astype(np.float64)
+        bh, bw = coefs.shape[:2]
+        nat = np.zeros((bh, bw, 64))
+        nat[:, :, _ZZ] = coefs * dqzz
+        px = _C.T @ nat.reshape(bh, bw, 8, 8) @ _C + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if comp["h"] < hmax or comp["v"] < vmax:
-            p = np.repeat(np.repeat(p, vmax // comp["v"], 0), hmax // comp["h"], 1)
-        full.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // comp["v"], 0), hmax // comp["h"], 1
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
-        out = np.round(full[0])
-        return np.clip(out, 0, 255).astype(np.uint8)[:, :, None]
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

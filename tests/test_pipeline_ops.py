@@ -361,7 +361,9 @@ def test_jpeg_nonbaseline_rejected():
 
     blob = J.encode_jpeg(np.full((8, 8), 99, np.uint8))
     i = blob.index(b"\xff\xc0")
-    with pt.raises(NotImplementedError):  # progressive (SOF2)
+    with pt.raises(NotImplementedError):  # lossless (SOF3)
+        J.decode_jpeg(blob[:i] + b"\xff\xc3" + blob[i + 2:])
+    with pt.raises(ValueError):  # SOF2 with a baseline full-band scan header
         J.decode_jpeg(blob[:i] + b"\xff\xc2" + blob[i + 2:])
     with pt.raises(ValueError):
         J.decode_jpeg(b"not a jpeg")
