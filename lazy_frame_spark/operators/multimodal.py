@@ -9,14 +9,16 @@ Decode is REAL for every container format parseable with stdlib+numpy:
 - PNG, 8-bit non-interlaced: full inflate + unfilter decode AND a
   matching encoder, stdlib zlib + numpy only (``decode_png`` /
   ``encode_png``) — every color type, all five scanline filters.
-- Baseline JPEG (SOF0/SOF1): full DCT codec — encoder (4:4:4) and
-  decoder (any sampling factors, restart intervals) with the T.81
-  Annex K tables, numpy + stdlib only (``operators/jpeg.py``).
+- JPEG: full DCT codec — encoder (4:4:4 baseline) and decoder for
+  baseline (SOF0/SOF1, any sampling factors, restart intervals) AND
+  progressive (SOF2: spectral selection, successive approximation,
+  EOB runs) with the T.81 Annex K tables, numpy + stdlib only
+  (``operators/jpeg.py``).
 - PNG / JPEG / GIF / WEBP(VP8X) / WAV: container sniffing + dimensions
   from headers without decompressing (``probe_media``) — the cheap path
   a 100 TB triage pass should take before any pixel work.
-Remaining compressed formats (progressive JPEG, 16-bit/interlaced PNG)
-go through PIL when importable; in containers without codecs they raise
+Remaining compressed formats (16-bit/interlaced PNG, arithmetic-coded
+JPEG) go through PIL when importable; in containers without codecs they raise
 NotImplementedError with the plumbing unchanged (the deterministic fake
 featureizer still exercises schema/batching end-to-end).
 
@@ -296,11 +298,12 @@ def decode_png(blob: bytes):
 
 
 def decode_pixels(blob: bytes):
-    """Real pixel decode → HxWxC uint8 ndarray. Pure numpy+zlib for
-    netpbm P5/P6, uncompressed 24/32-bit BMP, and 8-bit non-interlaced
-    PNG (all color types, all five filters — ``decode_png``); PIL (when
-    importable) for the remaining compressed formats; NotImplementedError
-    when neither applies — callers see exactly where a codec container
+    """Real pixel decode → HxWxC uint8 ndarray. Pure numpy+stdlib for
+    netpbm P5/P6, uncompressed 24/32-bit BMP, 8-bit non-interlaced PNG
+    (all color types, all five filters — ``decode_png``), and JPEG —
+    baseline AND progressive (``decode_jpeg``); PIL (when importable)
+    for the remaining compressed formats; NotImplementedError when
+    neither applies — callers see exactly where a codec container
     would plug in."""
     import numpy as np
 

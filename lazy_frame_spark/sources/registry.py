@@ -40,17 +40,27 @@ TABLE_KEYS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table. The events table is written with nanosecond
-    timestamps, which Spark's parquet reader rejects; read them as longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert JVM-side to a
-    microsecond timestamp (integer DIV — double math would lose precision
-    above 2^53 ns)."""
+    """Load one test table, normalizing the events ``ts`` column to
+    TimestampType (LTZ) whatever the generator wrote:
+
+    - nanosecond int64 (older generators): Spark's parquet reader rejects
+      nanos, so read as long (``spark.sql.legacy.parquet.nanosAsLong``)
+      and convert JVM-side with integer DIV (double math would lose
+      precision above 2^53 ns);
+    - ``isAdjustedToUTC=false`` microseconds (current generator): Spark 4
+      infers TIMESTAMP_NTZ, which watermarks/event-time ops reject
+      ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) — cast to TimestampType;
+      the session pins UTC (session.py), so the instant is unchanged and
+      matches DuckDB's naive-UTC reading of the same file."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -24,12 +24,17 @@ def _trunc(v: int, al: int) -> int:
 
 def _ac_table_with_eobn(base):
     """Annex K AC tables lack the EOBn (n>0) symbols progressive scans
-    need — append them as 16-bit codes (canonically valid; asserted)."""
-    bits, vals = list(base[0]), list(base[1])
+    need — and their canonical code space has exactly ONE free 16-bit
+    slot, so appending 14 symbols there is impossible. Build a flat
+    8-bit canonical table over the same symbol set plus EOB1..EOB14
+    (176 symbols <= 256, Kraft sum 176/256 < 1 — valid, just not
+    compact; compression ratio is irrelevant to a round-trip test)."""
+    vals = list(base[1])
     for sym in range(0x10, 0xF0, 0x10):  # EOB1..EOB14
         if sym not in vals:
-            bits[15] += 1
             vals.append(sym)
+    bits = [0] * 16
+    bits[7] = len(vals)
     codes = J._build_codes(bits, vals)
     assert len(codes) == len(vals)
     assert all(code < (1 << ln) for code, ln in codes.values())
