@@ -205,10 +205,11 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, v if v > 0 else v + (1 << s) - 1
 
 
-def encode_jpeg(px, quality: int = 75) -> bytes:
-    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
-    baseline JFIF JPEG at the given quality. 4:4:4 — every component at
-    full resolution, one MCU per 8x8 tile."""
+def _quantize_planes(px, quality: int):
+    """Shared encoder front half: color-convert, pad to 8x8 tiles by edge
+    replication, DCT, quantize. Returns ``(quantized, quants, gray, h, w)``
+    with ``quantized[ci]`` a (bh, bw, 64) int64 array in NATURAL (row-major
+    frequency) order — index with ``[..., _ZZ]`` for zigzag."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -229,9 +230,7 @@ def encode_jpeg(px, quality: int = 75) -> bytes:
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
         quants = [qlum, qchr, qchr]
-    ncomp = len(planes)
 
-    # pad to 8x8 tiles by edge replication (minimizes ringing at borders)
     hh, ww = -(-h // 8) * 8, -(-w // 8) * 8
     quantized = []
     for p, q in zip(planes, quants):
@@ -243,6 +242,17 @@ def encode_jpeg(px, quality: int = 75) -> bytes:
         coefs = _C @ blocks @ _C.T  # batched over (by, bx)
         qz = np.round(coefs / q).astype(np.int64)
         quantized.append(qz.reshape(hh // 8, ww // 8, 64))
+    return quantized, quants, gray, h, w
+
+
+def encode_jpeg(px, quality: int = 75) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    baseline JFIF JPEG at the given quality. 4:4:4 — every component at
+    full resolution, one MCU per 8x8 tile."""
+    quantized, quants, gray, h, w = _quantize_planes(px, quality)
+    qlum, qchr = quants[0], (quants[1] if not gray else None)
+    ncomp = len(quantized)
+    hh, ww = quantized[0].shape[0] * 8, quantized[0].shape[1] * 8
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (  # APP0 / JFIF 1.1, no thumbnail
@@ -308,6 +318,277 @@ def encode_jpeg(px, quality: int = 75) -> bytes:
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _ac_table_with_eobn(base) -> tuple[list[int], list[int]]:
+    """AC Huffman table for progressive scans: the Annex K symbol set
+    plus EOB1..EOB14 (T.81 G.1.2.2 end-of-band runs). Annex K's own
+    canonical code space has exactly ONE free 16-bit slot, so the extra
+    symbols cannot be appended there; a flat 8-bit canonical table
+    (176 symbols <= 256, Kraft sum < 1) is valid and trivially decodable
+    — compactness is not the point of this encoder."""
+    vals = list(base[1])
+    for sym in range(0x10, 0xF0, 0x10):  # EOB1..EOB14
+        if sym not in vals:
+            vals.append(sym)
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bits, vals
+
+
+def _ac_point_transform(v: int, al: int) -> int:
+    """AC point transform: sign(v) * (|v| >> Al) (T.81 G.1.2.1)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _prog_dc_first(zz_list, al: int) -> bytes:
+    """DC first scan (interleaved over components), successive
+    approximation Al: encode diffs of (DC >> Al) — arithmetic shift,
+    which Python's ``>>`` on ints already is."""
+    codes = [
+        _build_codes(*(_DC_LUM if ci == 0 else _DC_CHROM))
+        for ci in range(len(zz_list))
+    ]
+    bw = _BitWriter()
+    preds = [0] * len(zz_list)
+    bh, bwid = zz_list[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, zz in enumerate(zz_list):
+                v = int(zz[by, bx, 0]) >> al
+                s, lo = _magnitude(v - preds[ci])
+                preds[ci] = v
+                c, ln = codes[ci][s]
+                bw.write(c, ln)
+                bw.write(lo, s)
+    bw.flush()
+    return bw.out
+
+
+def _prog_dc_refine(zz_list, al: int) -> bytes:
+    """DC refinement scan: one raw bit per block per component."""
+    bw = _BitWriter()
+    bh, bwid = zz_list[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            for zz in zz_list:
+                bw.write((int(zz[by, bx, 0]) >> al) & 1, 1)
+    bw.flush()
+    return bw.out
+
+
+def _prog_ac_first(zz, ss: int, se: int, al: int, table) -> bytes:
+    """AC first scan for one component's band [Ss, Se] at approximation
+    Al (T.81 G.1.2.2): run/size coding of the point-transformed band
+    with EOBn run accumulation across all-zero bands."""
+    codes = _build_codes(*table)
+    bw = _BitWriter()
+    eobs = 0  # bands (incl. the one carrying the symbol) ended by EOB
+
+    def flush_eob():
+        nonlocal eobs
+        run = eobs.bit_length() - 1
+        c, ln = codes[run << 4]
+        bw.write(c, ln)
+        if run:
+            bw.write(eobs - (1 << run), run)
+        eobs = 0
+
+    bh, bwid = zz.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            band = [_ac_point_transform(int(v), al) for v in zz[by, bx, ss:se + 1]]
+            nz = [(i, v) for i, v in enumerate(band) if v]
+            if not nz:
+                eobs += 1
+                if eobs == 0x7FFF:  # EOB14 ceiling (T.81 G.1.2.2)
+                    flush_eob()
+                continue
+            if eobs:
+                flush_eob()
+            prev = -1
+            for i, v in nz:
+                r = i - prev - 1
+                while r > 15:
+                    c, ln = codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    r -= 16
+                s, lo = _magnitude(v)
+                c, ln = codes[(r << 4) | s]
+                bw.write(c, ln)
+                bw.write(lo, s)
+                prev = i
+            if prev < se - ss:
+                eobs = 1  # trailing zeros: EOB owed in this band
+    if eobs:
+        flush_eob()
+    bw.flush()
+    return bw.out
+
+
+def _prog_ac_refine(zz, ss: int, se: int, al: int, table) -> bytes:
+    """AC refinement scan (T.81 G.1.2.3, the structure of libjpeg's
+    encode_mcu_AC_refine): newly-nonzero coefficients emit
+    (zero-history-run, 1) + a sign bit; history coefficients contribute
+    buffered correction bits flushed after the next symbol; bands with
+    no new nonzeros fold into EOB runs with their corrections pending."""
+    codes = _build_codes(*table)
+    bw = _BitWriter()
+    eobs = 0
+    pend: list[int] = []  # correction bits owed to the pending EOB run
+
+    def flush_eob():
+        nonlocal eobs, pend
+        run = eobs.bit_length() - 1
+        c, ln = codes[run << 4]
+        bw.write(c, ln)
+        if run:
+            bw.write(eobs - (1 << run), run)
+        for b in pend:
+            bw.write(b, 1)
+        eobs, pend = 0, []
+
+    bh, bwid = zz.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            band = [int(v) for v in zz[by, bx, ss:se + 1]]
+            temp = [abs(v) >> al for v in band]
+            news = [i for i, t in enumerate(temp) if t == 1]
+            if not news:  # correction-only band → EOB run
+                eobs += 1
+                pend += [t & 1 for t in temp if t > 1]
+                if eobs == 0x7FFF:
+                    flush_eob()
+                continue
+            if eobs:
+                flush_eob()
+            last_new = news[-1]
+            corr: list[int] = []
+            r = 0
+            for i, t in enumerate(temp):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= last_new:
+                    c, ln = codes[0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                    for b in corr:
+                        bw.write(b, 1)
+                    corr = []
+                if t > 1:  # nonzero history → buffer correction bit
+                    corr.append(t & 1)
+                    continue
+                c, ln = codes[(r << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if band[i] >= 0 else 0, 1)
+                for b in corr:
+                    bw.write(b, 1)
+                corr, r = [], 0
+            if r or corr:  # trailing zero-history / corrections → EOB run
+                eobs = 1
+                pend = corr
+    if eobs:
+        flush_eob()
+    bw.flush()
+    return bw.out
+
+
+def encode_jpeg_progressive(px, quality: int = 75) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    PROGRESSIVE (SOF2) JPEG carrying the same quantized coefficients as
+    ``encode_jpeg``'s baseline stream — by construction the two decode
+    to identical pixels (progressive scans re-order the entropy layer,
+    they do not change the image; pinned in tests).
+
+    Scan script (a successive-approximation spectral script in the
+    shape of libjpeg's default simple progression):
+
+    1. DC first, all components interleaved, Al=1
+    2. per component: AC 1..5 first at Al=1, then AC 6..63 first at Al=1
+    3. DC refinement to Al=0
+    4. per component: AC refinements of both bands to Al=0
+    """
+    quantized, quants, gray, h, w = _quantize_planes(px, quality)
+    zz_list = [qz[..., _ZZ] for qz in quantized]
+    ncomp = len(zz_list)
+    ac_tabs = [_ac_table_with_eobn(_AC_LUM)]
+    if not gray:
+        ac_tabs.append(_ac_table_with_eobn(_AC_CHROM))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in [(0, quants[0])] + ([(1, quants[1])] if not gray else []):
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+            + bytes(int(v) for v in q.reshape(-1)[_ZZ])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    tables = [(0, 0, _DC_LUM), (1, 0, ac_tabs[0])]
+    if not gray:
+        tables += [(0, 1, _DC_CHROM), (1, 1, ac_tabs[1])]
+    for tc, th, (bits, vals) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(spec, ss, se, ah, al):
+        body = bytes([len(spec)])
+        for cs, td, ta in spec:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_comps = [
+        (ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1) for ci in range(ncomp)
+    ]
+    bands = ((1, 5), (6, 63))
+
+    out += sos(all_comps, 0, 0, 0, 1) + _prog_dc_first(zz_list, 1)
+    for ci in range(ncomp):
+        tab = ac_tabs[0] if ci == 0 else ac_tabs[1]
+        ta = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += sos([(ci + 1, 0, ta)], ss, se, 0, 1)
+            out += _prog_ac_first(zz_list[ci], ss, se, 1, tab)
+    out += sos(all_comps, 0, 0, 1, 0) + _prog_dc_refine(zz_list, 0)
+    for ci in range(ncomp):
+        tab = ac_tabs[0] if ci == 0 else ac_tabs[1]
+        ta = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += sos([(ci + 1, 0, ta)], ss, se, 1, 0)
+            out += _prog_ac_refine(zz_list[ci], ss, se, 0, tab)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def probe_jpeg_mode(blob: bytes) -> str:
+    """Marker-walk a JPEG header (no entropy decode) and report its
+    coding process: 'baseline' (SOF0/1), 'progressive' (SOF2), or the
+    numeric SOFn for anything else. Raises ValueError on non-JPEG."""
+    if not blob.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xC0, 0xC1):
+            return "baseline"
+        if marker == 0xC2:
+            return "progressive"
+        if 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return f"sof{marker - 0xC0}"
+        seg = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            raise ValueError("SOS before SOF")
+        pos += 2 + seg
+    raise ValueError("no SOF marker found")
 
 
 class _BitReader:

@@ -2064,6 +2064,94 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     return payloads.mapInPandas(stats, schema)
 
 
+@query(
+    "multimodal_jpeg_progressive",
+    # INVARIANT oracle (same pattern as the sketch/ANN queries):
+    # progressive scans re-order the entropy layer of the SAME quantized
+    # coefficients, so encode_jpeg_progressive(px) and encode_jpeg(px)
+    # must decode to IDENTICAL pixels for ANY image — no closed-form
+    # pixel value needed, the equality itself is the assertable property.
+    # The Spark side decodes both streams per document (real SOF2
+    # spectral-selection + successive-approximation scans through
+    # decode_jpeg) and emits the comparison; the oracle states it must
+    # hold for every doc. A green row proves the full progressive path
+    # (banded AC first scans, DC/AC refinement, EOB runs, interleaved DC)
+    # end-to-end through Spark on varied AC-rich images.
+    oracle="""
+    SELECT doc_id,
+           'image/jpeg' AS mime,
+           'progressive' AS mode,
+           CAST(1 AS BIGINT) AS pixels_match
+    FROM documents
+    """,
+)
+def multimodal_jpeg_progressive(spark, sf_dir):
+    """Progressive-JPEG codec parity: a mapInPandas stage writes each
+    document's deterministic AC-rich 8x16 gradient as BOTH a baseline
+    and a progressive (SOF2) stream (operators/jpeg.py), a second stage
+    sniffs the coding process (probe_jpeg_mode) and decodes both,
+    asserting pixel equality. Extends the reference's opaque-payload
+    model (src/lazy.frame.c) with a real two-mode codec."""
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from lazy_frame_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        def make(doc_id: int) -> tuple[bytes, bytes]:
+            i, j = np.mgrid[0:8, 0:16]
+            px = ((doc_id * 7 + i * 13 + j * 5) % 256).astype(np.uint8)
+            return encode_jpeg(px, quality=75), encode_jpeg_progressive(px, quality=75)
+
+        for pdf in batches:
+            pairs = pdf["doc_id"].map(make)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "baseline": pairs.map(lambda t: t[0]),
+                    "progressive": pairs.map(lambda t: t[1]),
+                }
+            )
+
+    def compare(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from lazy_frame_spark.operators.jpeg import decode_jpeg, probe_jpeg_mode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, base, prog in zip(
+                pdf["doc_id"], pdf["baseline"], pdf["progressive"]
+            ):
+                base, prog = bytes(base), bytes(prog)
+                mime, _, _ = _mm.probe_media(prog)
+                eq = np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "mime": mime,
+                        "mode": probe_jpeg_mode(prog),
+                        "pixels_match": int(eq),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "mode", "pixels_match"])
+
+    payloads = d.mapInPandas(synth, "doc_id long, baseline binary, progressive binary")
+    return payloads.mapInPandas(
+        compare, "doc_id long, mime string, mode string, pixels_match long"
+    )
+
+
 # --------------------------------------------------------------------- #
 # JSON scalar surface (events.props)
 # --------------------------------------------------------------------- #

@@ -378,6 +378,47 @@ def test_progressive_eob_runs_across_blocks():
     assert np.array_equal(got, want)
 
 
+def test_encode_jpeg_progressive_matches_baseline():
+    """The library's own progressive ENCODER (scan script: banded AC
+    first at Al=1 + DC/AC refinement) must agree with the hand-built
+    streams above: same quantized coefficients → same pixels as the
+    baseline stream, across shapes, parities, and qualities."""
+    cases = [
+        _smooth_gray(24, 17, 11),
+        _smooth_rgb(16, 24, 12),
+        _smooth_gray(1, 1, 13),
+        _smooth_rgb(19, 21, 14),
+    ]
+    for px in cases:
+        for q in (50, 75, 95):
+            prog = J.encode_jpeg_progressive(px, quality=q)
+            assert J.probe_jpeg_mode(prog) == "progressive"
+            got = J.decode_jpeg(prog)
+            want = _baseline_pixels(px, q)
+            assert np.array_equal(got, want), (px.shape, q)
+
+
+def test_probe_jpeg_mode():
+    px = _smooth_gray(8, 8, 15)
+    assert J.probe_jpeg_mode(J.encode_jpeg(px)) == "baseline"
+    assert J.probe_jpeg_mode(J.encode_jpeg_progressive(px)) == "progressive"
+    import pytest
+
+    with pytest.raises(ValueError):
+        J.probe_jpeg_mode(b"\x89PNG\r\n\x1a\nnot a jpeg")
+    with pytest.raises(ValueError):
+        J.probe_jpeg_mode(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_progressive_encoder_long_eob_runs():
+    """A flat image through the package encoder: EOBn accumulation across
+    many all-zero bands, including the banded (1,5)/(6,63) split."""
+    px = np.full((64, 64), 200, np.uint8)
+    px[30:34, 30:34] = 60
+    prog = J.encode_jpeg_progressive(px, quality=75)
+    assert np.array_equal(J.decode_jpeg(prog), _baseline_pixels(px, 75))
+
+
 def test_progressive_decode_pixels_dispatch():
     """decode_pixels routes progressive payloads through decode_jpeg."""
     from lazy_frame_spark.operators import multimodal as mm
