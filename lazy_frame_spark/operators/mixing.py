@@ -108,12 +108,16 @@ def rates_for_target_mix(
     by downsampling only: the achievable corpus size is limited by the
     domain that is scarcest relative to its target share
     (``T = min(count_d / w_d)``), and every domain keeps ``T * w_d`` of
-    its rows. Domains absent from ``target_weights`` get rate 0."""
+    its rows. Domains absent from ``target_weights`` get rate 0; a
+    target domain absent from the corpus forces T = 0 (the empty corpus
+    is the only one achieving that mix by downsampling alone) rather
+    than raising."""
     total_w = sum(target_weights.values())
     norm = {d: w / total_w for d, w in target_weights.items() if w > 0}
-    t = min(counts[d] / w for d, w in norm.items())
+    t = min(counts.get(d, 0) / w for d, w in norm.items())
     return {
-        d: min(BP, int(t * w / counts[d] * BP)) for d, w in norm.items()
+        d: min(BP, int(t * w / counts[d] * BP)) if counts.get(d) else 0
+        for d, w in norm.items()
     }
 
 

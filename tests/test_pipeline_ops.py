@@ -91,6 +91,14 @@ def test_rates_for_target_mix_scarcest_domain_caps():
     assert rates["web"] == 1666  # floor(1500/9000 * 10000)
 
 
+def test_rates_for_target_mix_absent_domain_yields_empty():
+    # a target domain with zero corpus rows forces T=0: the empty corpus
+    # is the only downsample achieving the requested mix — no KeyError,
+    # no ZeroDivisionError
+    rates = mx.rates_for_target_mix({"web": 9000}, {"web": 3, "code": 1})
+    assert rates == {"web": 0, "code": 0}
+
+
 def test_sample_by_rates_deterministic_and_bounded(spark):
     df = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"),
