@@ -1514,6 +1514,57 @@ def decontam_stream_filter(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# CCNet-style bigram-LM perplexity scoring (operators/lm.py): train on
+# the doc_id%3==0 partition, score the rest; add-alpha smoothing makes
+# the score closed-form so DuckDB verifies it value-for-value
+# --------------------------------------------------------------------- #
+
+_LM_BIGRAMS = (
+    "SELECT {keep} unnest([w[i] || ' ' || w[i+1] for i in"
+    " generate_series(1, len(w)-1)]) AS bigram"
+    " FROM ws WHERE {where} AND len(w) >= 2"
+)
+
+
+@query(
+    "lm_perplexity",
+    oracle=rf"""
+    WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE length(trim(text)) > 0),
+    refbg AS ({_LM_BIGRAMS.format(keep="", where="doc_id % 3 = 0")}),
+    c12 AS (SELECT bigram, count(*) AS c12 FROM refbg GROUP BY 1),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM
+              (SELECT unnest(w) AS tok FROM ws WHERE doc_id % 3 = 0)),
+    docbg AS ({_LM_BIGRAMS.format(keep="doc_id,", where="doc_id % 3 <> 0")})
+    SELECT doc_id, count(*) AS n_bigrams,
+           ROUND(avg(-log10((coalesce(c12.c12, 0) + 0.5)
+                            / (coalesce(c1.c1, 0) + 0.5 * vocab.v))), 3)
+             AS avg_nlp
+    FROM docbg CROSS JOIN vocab
+    LEFT JOIN c12 USING (bigram)
+    LEFT JOIN c1 ON split_part(docbg.bigram, ' ', 1) = c1.w1
+    GROUP BY doc_id
+    """,
+)
+def lm_perplexity(spark, sf_dir):
+    """Per-doc average negative log10-prob under a reference bigram LM
+    (operators/lm.perplexity_scores): LM training is one shuffle on the
+    bigram key (left-word totals derived from the bigram counts — one
+    corpus scan); scoring broadcasts the LM tables, so the exploded
+    candidate side never shuffles — the dominant term at 100 TB. The
+    published CCNet head/middle/tail quality cut runs off this score."""
+    from lazy_frame_spark.operators import lm as _lm
+
+    d = _table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    rest = d.filter(F.col("doc_id") % 3 != 0)
+    return _lm.perplexity_scores(rest, ref)
+
+
+# --------------------------------------------------------------------- #
 # Long-document chunking and vocabulary (operators/packing.py, text.py)
 # --------------------------------------------------------------------- #
 

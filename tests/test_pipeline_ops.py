@@ -812,3 +812,59 @@ def test_vocabulary_ranks_and_coverage(spark):
     assert [r["rank"] for r in out] == [1, 2, 3]
     # coverage over 9 total tokens: 4/9, 7/9, 8/9 in floor basis points
     assert [r["coverage_bp"] for r in out] == [4444, 7777, 8888]
+
+
+def test_bigram_lm_counts_and_vocab(spark):
+    from lazy_frame_spark.operators.lm import bigram_lm
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    c12, c1, vocab = bigram_lm(ref)
+    counts = {r["bigram"]: r["c12"] for r in c12.collect()}
+    # "solo" has one token -> contributes no bigrams
+    assert counts == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+    lefts = {r["w1"]: r["c1"] for r in c1.collect()}
+    assert lefts == {"the": 2, "cat": 2}
+    assert vocab.collect()[0]["v"] == 5  # the cat sat ran solo
+
+
+def test_perplexity_scores_closed_form(spark):
+    import math
+
+    from lazy_frame_spark.operators.lm import perplexity_scores
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat"), (11, "dog house"), (12, "one")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in perplexity_scores(docs, ref).collect()}
+    # V=4 (the cat sat ran), alpha=0.5
+    # doc 10: bigram "the cat": c12=2, c1("the")=2 -> P=(2.5)/(2+2)=0.625
+    assert out[10]["n_bigrams"] == 1
+    assert out[10]["avg_nlp"] == round(-math.log10(2.5 / 4.0), 3)
+    # doc 11: unseen bigram, unseen left word -> P = 0.5/(0.5*4) = 1/4
+    assert out[11]["avg_nlp"] == round(-math.log10(0.5 / 2.0), 3)
+    # doc 12: single token -> no bigrams, excluded
+    assert 12 not in out
+
+
+def test_perplexity_filter_and_broadcast_plan(spark):
+    from lazy_frame_spark.operators.lm import perplexity_filter, perplexity_scores
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat"), (11, "zz yy xx ww")], "doc_id long, text string"
+    )
+    kept = perplexity_filter(docs, ref, max_avg_nlp=0.3).collect()
+    assert [r["doc_id"] for r in kept] == [10]  # gibberish doc dropped
+    # the scoring joins must be broadcast: the exploded candidate side
+    # never shuffles when broadcast_lm=True (the 100 TB-dominant term)
+    plan = perplexity_scores(docs, ref)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
