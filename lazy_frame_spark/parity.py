@@ -1565,6 +1565,60 @@ def lm_perplexity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Blocked fuzzy record linkage (operators/linkage.py): planted-corruption
+# design — every customer name gets one character corrupted at a
+# key-dependent position, then the dirty records are linked back to the
+# clean table by nationkey-blocked candidate join + levenshtein <= 1
+# --------------------------------------------------------------------- #
+
+#: one corrupted char at digit position (c_custkey % 9) of the 9-digit
+#: suffix — substr/concat formulation shared verbatim by both engines
+_DIRTY_NAME = (
+    "concat(substr(c_name, 1, 9 + c_custkey % 9), 'X',"
+    " substr(c_name, 11 + c_custkey % 9))"
+)
+
+
+@query(
+    "link_fuzzy_pairs",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT c_custkey AS b_custkey, c_nationkey,
+             {_DIRTY_NAME} AS b_name
+      FROM customer)
+    SELECT a.c_custkey AS a_custkey, d.b_custkey,
+           CAST(levenshtein(a.c_name, d.b_name) AS INT) AS distance
+    FROM customer a JOIN dirty d ON a.c_nationkey = d.c_nationkey
+    WHERE levenshtein(a.c_name, d.b_name) <= 1
+    """,
+)
+def link_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy linkage (operators/linkage.blocked_fuzzy_pairs):
+    candidates come from an EQUI-join on the blocking key (nationkey) —
+    never a cross join — and the verify step is Spark's banded
+    levenshtein (early-exit at the threshold). Every corrupted record
+    must link back to its clean original (distance exactly 1), plus the
+    deterministic near-collisions the oracle also finds."""
+    from lazy_frame_spark.operators import linkage as _lk
+
+    cust = _table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_custkey"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("block"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.expr(_DIRTY_NAME).alias("b_name"),
+        F.col("c_nationkey").alias("block"),
+    )
+    return _lk.blocked_fuzzy_pairs(
+        a, b, block_on="block", text=("a_name", "b_name"),
+        ids=("a_custkey", "b_custkey"), max_distance=1,
+    )
+
+
+# --------------------------------------------------------------------- #
 # Long-document chunking and vocabulary (operators/packing.py, text.py)
 # --------------------------------------------------------------------- #
 

@@ -868,3 +868,48 @@ def test_perplexity_filter_and_broadcast_plan(spark):
     # never shuffles when broadcast_lm=True (the 100 TB-dominant term)
     plan = perplexity_scores(docs, ref)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocked_fuzzy_pairs_recall_and_plan(spark):
+    from lazy_frame_spark.operators.linkage import blocked_fuzzy_pairs
+
+    a = spark.createDataFrame(
+        [(1, "alpha", 0), (2, "bravo", 0), (3, "delta", 1)],
+        "a_id long, a_name string, block long",
+    )
+    b = spark.createDataFrame(
+        [(10, "alphx", 0), (20, "bravo", 0), (30, "omega", 1)],
+        "b_id long, b_name string, block long",
+    )
+    out = blocked_fuzzy_pairs(
+        a, b, "block", text=("a_name", "b_name"), ids=("a_id", "b_id")
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["distance"] for r in out.collect()}
+    assert pairs == {(1, 10): 1, (2, 20): 0}  # omega too far from delta
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_pass_blocking_recovers_cross_block_pair(spark):
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.operators.linkage import multi_pass_pairs
+
+    # "smith" vs "smitt": same prefix block but DIFFERENT suffix block —
+    # a suffix-only pass misses it, prefix+suffix passes together find it
+    mk = lambda rows, pre: spark.createDataFrame(  # noqa: E731
+        rows, f"{pre}_id long, {pre}_name string"
+    ).select(
+        "*",
+        F.substring(f"{pre}_name", 1, 2).alias("pre2"),
+        F.substring(f"{pre}_name", -2, 2).alias("suf2"),
+    )
+    a = mk([(1, "smith")], "a")
+    b = mk([(9, "smitt")], "b")
+    one = multi_pass_pairs(a, b, ["suf2"], ("a_name", "b_name"), ("a_id", "b_id"))
+    assert one.count() == 0
+    both = multi_pass_pairs(
+        a, b, ["suf2", "pre2"], ("a_name", "b_name"), ("a_id", "b_id")
+    )
+    assert [(r["a_id"], r["b_id"], r["distance"]) for r in both.collect()] == [(1, 9, 1)]
