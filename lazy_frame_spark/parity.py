@@ -1619,6 +1619,109 @@ def link_fuzzy_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# PageRank on the supplier->customer trade graph (operators/graph.py):
+# K=3 power iterations; the oracle unrolls the identical iterations as
+# a generated CTE chain, so ranks are verified value-for-value
+# --------------------------------------------------------------------- #
+
+def _pagerank_sql(iters: int, d: float = 0.85) -> str:
+    steps, prev = [], "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             (1 - {d}) / nn.n + {d} * (coalesce(c.contrib, 0) + dg.dang / nn.n) AS r
+      FROM nodes n
+      CROSS JOIN nn
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM {prev}
+                  WHERE node NOT IN (SELECT src FROM outw)) dg
+      LEFT JOIN (SELECT e.dst AS node, sum(p.r * e.w / o.wout) AS contrib
+                 FROM edges e JOIN {prev} p ON e.src = p.node
+                 JOIN outw o ON o.src = e.src
+                 GROUP BY e.dst) c USING (node))""")
+        prev = f"r{k}"
+    return f"""
+    WITH edges AS (
+      SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+             'C' || CAST(o_custkey AS VARCHAR) AS dst,
+             count(*)::DOUBLE AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT node, ROUND(r, 6) AS rank FROM {prev}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_sql(3))
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the bipartite supplier->customer graph
+    (edge weight = lineitem count). Customers have no out-edges, so the
+    dangling-mass redistribution path is exercised on every iteration.
+    Each iteration is one edge-table equi-join + one hash agg — linear
+    at any scale — and all K iterations stay ONE lazy Catalyst plan
+    (node count and dangling mass are 1-row broadcast frames, never
+    driver collects). Link-graph importance scores like these are a
+    published web-corpus quality-filtering feature."""
+    from lazy_frame_spark.operators.graph import pagerank
+
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(e, weight="w", iters=3, round_to=6)
+
+
+# --------------------------------------------------------------------- #
+# SCD2 / CDC history build (operators/cdc.py): orders as a change
+# stream of per-customer order status — run-collapse into validity
+# intervals, verified value-for-value via window functions
+# --------------------------------------------------------------------- #
+
+@query(
+    "cdc_scd2_intervals",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             row_number() OVER w AS rn,
+             lag(o_orderstatus) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    ch AS (SELECT * FROM s WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus)
+    SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM ch
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def cdc_scd2_intervals(spark, sf_dir):
+    """SCD2 build (operators/cdc.scd2_from_changes): each customer's
+    order-status change stream collapses to validity intervals. Both
+    window passes share one hashpartitioning exchange on the entity key
+    — no joins, no collects; per-key history length, not table size,
+    bounds the window state at 100 TB."""
+    from lazy_frame_spark.operators.cdc import scd2_from_changes
+
+    o = _table(spark, sf_dir, "orders")
+    return scd2_from_changes(
+        o,
+        key="o_custkey",
+        attrs=["o_orderstatus"],
+        order_by=["o_orderdate", "o_orderkey"],
+    )
+
+
+# --------------------------------------------------------------------- #
 # Long-document chunking and vocabulary (operators/packing.py, text.py)
 # --------------------------------------------------------------------- #
 

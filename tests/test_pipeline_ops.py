@@ -913,3 +913,84 @@ def test_multi_pass_blocking_recovers_cross_block_pair(spark):
         a, b, ["suf2", "pre2"], ("a_name", "b_name"), ("a_id", "b_id")
     )
     assert [(r["a_id"], r["b_id"], r["distance"]) for r in both.collect()] == [(1, 9, 1)]
+
+
+def test_pagerank_hand_computed_and_mass_conserved(spark):
+    from lazy_frame_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C")], "src string, dst string"
+    )
+    # one iteration, hand-computed (C dangling, N=3, d=0.85):
+    # r1(A)=.05+.85*(1/3+1/9), r1(B)=r1(C)=.05+.85*(1/6+1/9)
+    r1 = {r["node"]: r["rank"] for r in pagerank(e, iters=1, round_to=6).collect()}
+    assert r1 == {"A": 0.427778, "B": 0.286111, "C": 0.286111}
+    # weighted, more iterations (checkpointed): mass still sums to 1
+    ew = spark.createDataFrame(
+        [("A", "B", 3.0), ("B", "A", 1.0), ("A", "C", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = pagerank(ew, weight="w", iters=4, checkpoint_every=2).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+    # weighted split: A sends 3/4 of its mass to B, 1/4 to C
+    r1w = {r["node"]: r["rank"] for r in pagerank(ew, weight="w", iters=1).collect()}
+    assert abs(r1w["B"] - (0.05 + 0.85 * (0.25 + 1 / 9))) < 1e-9
+    assert r1w["B"] > r1w["C"]
+
+
+def test_scd2_from_changes_runs_and_intervals(spark):
+    from lazy_frame_spark.operators.cdc import scd2_from_changes
+
+    ch = spark.createDataFrame(
+        [
+            (1, "O", 1, 101), (1, "O", 2, 102), (1, "F", 3, 103), (1, "O", 5, 104),
+            (2, "F", 4, 201),
+        ],
+        "k long, status string, day long, seq long",
+    )
+    out = scd2_from_changes(ch, "k", ["status"], order_by=["day", "seq"])
+    rows = sorted(
+        ((r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, "F", 3, 5, False),   # middle run closed by the next change
+        (1, "O", 1, 3, False),   # consecutive duplicate day2 collapsed
+        (1, "O", 5, None, True),  # same status can reopen a new run later
+        (2, "F", 4, None, True),
+    ]
+    # both windows share one exchange on the entity key (AQE's string
+    # repeats the pre-adaptive plan under "Initial Plan" — count only
+    # the final section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_apply_batch_touches_only_affected_keys(spark):
+    from lazy_frame_spark.operators.cdc import scd2_apply_batch, scd2_from_changes
+
+    hist = scd2_from_changes(
+        spark.createDataFrame(
+            [(1, "O", 1), (1, "F", 3), (2, "O", 2)], "k long, status string, day long"
+        ),
+        "k", ["status"], order_by=["day"],
+    )
+    batch = spark.createDataFrame(
+        [(1, "X", 7), (3, "O", 6)], "k long, status string, day long"
+    )
+    out = scd2_apply_batch(hist, batch, "k", ["status"], order_by=["day"])
+    rows = sorted(
+        ((r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, "F", 3, 7, False),    # open interval closed by the batch
+        (1, "O", 1, 3, False),
+        (1, "X", 7, None, True),  # new current run
+        (2, "O", 2, None, True),  # untouched key passes through
+        (3, "O", 6, None, True),  # brand-new key
+    ]
+    # idempotent: replaying the same batch changes nothing
+    again = scd2_apply_batch(out, batch, "k", ["status"], order_by=["day"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
