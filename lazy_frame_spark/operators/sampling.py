@@ -13,6 +13,8 @@ Three flavors:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,3 +33,36 @@ def deterministic_sample(df: DataFrame, key_col: str, modulus: int, bucket: int 
     """Keep rows where ``key % modulus == bucket`` — engine-independent,
     repeatable, and pushdown-friendly (pure JVM expression)."""
     return df.filter(F.pmod(F.col(key_col), F.lit(modulus)) == F.lit(bucket))
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic k-row-per-group sample — the distributed equivalent
+    of per-stratum reservoir sampling: rank each group's rows by the
+    seeded md5 hash of their id columns and keep the ``k`` smallest.
+    Because the hash is a pure function of (seed, ids), the selected set
+    is a uniform-without-replacement draw that is IDENTICAL across
+    engines, partitionings, and reruns — resumable pipelines get the
+    same sample every time, and a SQL oracle can verify it row-for-row
+    (unlike RNG-based ``sampleBy``).
+
+    Scale: ONE shuffle on the group key; each group ranks independently.
+    A pathologically hot group serializes on one task — the usual
+    window-skew bound — but the output is at most ``k`` rows per group,
+    so downstream stays tiny regardless of input skew."""
+    from pyspark.sql import Window
+
+    from lazy_frame_spark.operators.mixing import shuffle_key
+
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(shuffle_key(seed, list(id_cols)))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -761,6 +761,37 @@ def sample_deterministic(spark, sf_dir):
 
 
 @query(
+    "sample_reservoir_group",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey, o_orderpriority,
+             md5('11:' || CAST(o_orderkey AS VARCHAR)) AS hk
+      FROM orders),
+    r AS (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY hk)
+               AS sample_rank
+      FROM h)
+    SELECT o_orderkey, o_orderpriority, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 7
+    """,
+)
+def sample_reservoir_group(spark, sf_dir):
+    """Deterministic per-stratum reservoir sample (sampling.
+    reservoir_per_group): 7 orders per priority class, selected by
+    seeded-hash rank — a uniform without-replacement draw that both
+    engines reproduce row-for-row (no RNG, no rows-only weakening).
+    One shuffle on the stratum key; output is bounded at k rows per
+    stratum whatever the input skew."""
+    from lazy_frame_spark.operators.sampling import reservoir_per_group
+
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return reservoir_per_group(
+        o, "o_orderpriority", k=7, id_cols=["o_orderkey"], seed=11
+    )
+
+
+@query(
     "sample_bernoulli",
     # the seeded RNG draw is engine-specific, but its INVARIANTS are not:
     # every sampled row exists in the source (checked by keyed anti-join)
@@ -1718,6 +1749,50 @@ def cdc_scd2_intervals(spark, sf_dir):
         key="o_custkey",
         attrs=["o_orderstatus"],
         order_by=["o_orderdate", "o_orderkey"],
+    )
+
+
+# --------------------------------------------------------------------- #
+# Z-order layout (operators/layout.py): Morton interleave verified
+# bit-for-bit; the clustering effect itself is pinned by
+# tests/test_pipeline_ops.py footer-statistics assertions
+# --------------------------------------------------------------------- #
+
+def _zvalue_sql(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    return " + ".join(
+        f"((({c} >> {i}) & 1) << {i * n + ci})"
+        for i in range(bits)
+        for ci, c in enumerate(cols)
+    )
+
+
+@query(
+    "layout_zvalue",
+    oracle=f"""
+    SELECT event_id,
+           CAST({_zvalue_sql(['(event_id % 1024)', '(user_id % 1024)'], 10)}
+                AS BIGINT) AS zval
+    FROM events
+    """,
+)
+def layout_zvalue(spark, sf_dir):
+    """Morton z-values over (event_id, user_id) buckets — the
+    space-filling-curve key behind multi-dimension file clustering
+    (operators/layout.zorder_layout): one range exchange at write time
+    buys min-max pruning on EVERY interleaved dimension for all later
+    scans. Pure shift/and bit arithmetic in whole-stage codegen; the
+    oracle recomputes the interleave bit-for-bit."""
+    from lazy_frame_spark.operators.layout import z_value
+
+    e = _table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        z_value(
+            [F.pmod(F.col("event_id"), F.lit(1024)),
+             F.pmod(F.col("user_id"), F.lit(1024))],
+            bits=10,
+        ).cast("bigint").alias("zval"),
     )
 
 

@@ -994,3 +994,71 @@ def test_scd2_apply_batch_touches_only_affected_keys(spark):
     # idempotent: replaying the same batch changes nothing
     again = scd2_apply_batch(out, batch, "k", ["status"], order_by=["day"])
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_reservoir_per_group_deterministic_k_rows(spark):
+    from lazy_frame_spark.operators.sampling import reservoir_per_group
+
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("g")
+    )
+    a = reservoir_per_group(df, "g", k=5, id_cols=["id"], seed=1)
+    rows = a.collect()
+    assert len(rows) == 15
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert all(len(v) == 5 for v in by_g.values())
+    assert all(r["id"] % 3 == r["g"] for r in rows)  # sample ⊆ its stratum
+    # same seed → identical sample; different seed → different sample
+    b = {tuple(sorted(r["id"] for r in reservoir_per_group(
+        df, "g", k=5, id_cols=["id"], seed=s).collect())) for s in (1, 1, 2)}
+    assert len(b) == 2
+
+
+def test_z_value_matches_python_interleave(spark):
+    from lazy_frame_spark.operators.layout import z_value
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 700, 1023) for y in (0, 3, 512, 1023)],
+        "x long, y long",
+    )
+    out = df.select("x", "y", z_value(["x", "y"], bits=10).alias("z")).collect()
+
+    def morton(x, y):
+        return sum(((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+                   for i in range(10))
+
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lazy_frame_spark.operators.layout import zorder_layout
+
+    # 64x64 grid of points, written z-ordered into 8 files: every file
+    # must cover a SMALL span in BOTH dims (single-column sorting gives
+    # full-span ~63 on the other dim for every file)
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zorder")
+    zorder_layout(df, ["x", "y"], bits=6, num_partitions=8).write.parquet(path)
+
+    import glob
+
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        lo = {c: min(md.row_group(g).column(names[c]).statistics.min
+                     for g in range(md.num_row_groups)) for c in ("x", "y")}
+        hi = {c: max(md.row_group(g).column(names[c]).statistics.max
+                     for g in range(md.num_row_groups)) for c in ("x", "y")}
+        spans.append(((hi["x"] - lo["x"] + 1) * (hi["y"] - lo["y"] + 1)))
+    assert len(spans) == 8
+    # total covered area across files ≈ the grid, not 8 full copies of it:
+    # allow 2x for boundary-straddling files vs 8x4096 for unclustered
+    assert sum(spans) <= 2 * 4096, spans
