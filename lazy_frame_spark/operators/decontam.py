@@ -142,6 +142,118 @@ def decontaminate_stream(
     )
 
 
+def bloom_bitset(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> bytes:
+    """A Bloom-filter bitset over the eval corpus's distinct n-gram
+    shingles.
+
+    Why: ``contamination`` broadcasts the eval shingle set VERBATIM.
+    That is right while eval corpora are thousands of documents, but a
+    consolidated decontamination list (every benchmark ever published,
+    ~1e9 shingles) stops fitting in an executor broadcast. A Bloom
+    filter compresses membership to ``m_bits`` (128 KiB at the default
+    2^20) at the price of false POSITIVES only — exactly the safe
+    direction for a prefilter, because a false positive just sends one
+    extra candidate to the exact verify join, while false negatives
+    (which a Bloom filter cannot produce) would silently leak
+    contamination.
+
+    Hash positions are computed JVM-side (``xxhash64(shingle, seed)``,
+    one seed per hash function) and only the tiny position set makes the
+    driver round-trip; the bitset is assembled in numpy.
+    """
+    import numpy as np
+
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
+        for i in range(k_hashes)
+    ]
+    pos = (
+        eval_ngrams(eval_df, text_col=text_col, id_col=id_col, n=n)
+        .select(pos_cols)
+        .toPandas()
+    )
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for i in range(k_hashes):
+        idx = pos[f"p{i}"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Two-phase decontamination: Bloom prefilter → exact verify.
+
+    Phase 1 streams every training shingle past the broadcast bitset:
+    positions are computed JVM-side (``xxhash64`` columns), and the only
+    Python in the path is a vectorized numpy bit-lookup over the
+    Arrow-delivered position arrays — no hashing, no string handling in
+    Python. Survivors (true overlaps + Bloom false positives, a tiny
+    fraction of the corpus) proceed to phase 2, the exact broadcast join
+    of ``contamination`` — so the RESULT is byte-identical to the exact
+    path (``(id, n_overlap, contaminated)`` for flagged docs), which is
+    what lets the DuckDB oracle value-check this query with plain
+    overlap SQL. No false negatives by construction: every true overlap
+    passes the Bloom test.
+
+    Returns ``(id_col, n_overlap)`` for documents with
+    ``n_overlap >= min_overlap``.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bits_np = np.frombuffer(
+        bloom_bitset(
+            eval_df, text_col=text_col, id_col=id_col, n=n,
+            m_bits=m_bits, k_hashes=k_hashes,
+        ),
+        dtype=np.uint8,
+    )
+    bc = train_df.sparkSession.sparkContext.broadcast(bits_np)
+
+    @pandas_udf("boolean")
+    def maybe_member(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        idx = np.stack(pos.to_numpy())  # (batch, k) int64 positions
+        hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    tr = exploded_shingles(train_df, text_col=text_col, id_col=id_col, n=n)
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    candidates = tr.filter(maybe_member(positions))
+
+    # exact verify: candidates are few, the eval set broadcast is the
+    # same build side the exact path uses
+    ev = F.broadcast(
+        eval_ngrams(eval_df, text_col=text_col, id_col=id_col, n=n)
+    )
+    return (
+        candidates.join(ev, on="shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= F.lit(int(min_overlap)))
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,

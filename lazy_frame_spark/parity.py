@@ -3237,6 +3237,38 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Bloom-prefiltered decontamination (operators/decontam.py)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "decontam_bloom",
+    # plain exact-overlap SQL: the Bloom filter is a PREFILTER whose
+    # false positives are removed by the exact verify join, so the final
+    # result must be value-identical to exact overlap — that equality is
+    # precisely what this oracle checks (the no-false-negative property
+    # itself is pinned by tests/test_pipeline_ops.py).
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT sh FROM ({_shingles_where_sql("doc_id % 17 = 0")})),
+    tr AS ({_shingles_where_sql("doc_id % 17 <> 0")})
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM tr JOIN ev ON tr.sh = ev.sh
+    GROUP BY tr.doc_id HAVING count(*) >= 2
+    """,
+)
+def decontam_bloom(spark, sf_dir):
+    """Bloom-prefilter + exact-verify decontamination (operators/decontam
+    .bloom_contamination): the scale path when the consolidated eval
+    shingle set outgrows a raw broadcast — membership compresses to a
+    2^20-bit filter, positions hash JVM-side (xxhash64), Python only does
+    a vectorized numpy bit-lookup, and survivors hit the exact join."""
+    d = _table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return _dc.bloom_contamination(tr, ev, min_overlap=2)
+
+
+# --------------------------------------------------------------------- #
 # ranked retrieval (operators/retrieval.py)
 # --------------------------------------------------------------------- #
 

@@ -67,6 +67,52 @@ def test_decontamination_join_is_broadcast(docs, spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bloom_contamination_agrees_with_exact(spark, docs):
+    """The Bloom path must equal the exact path value-for-value: the
+    prefilter can only add candidates (false positives), and the exact
+    verify join removes every one of them. No false negatives is
+    structural — every true overlap passes the Bloom membership test."""
+    ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dc.contamination(docs, ev, min_overlap=1).collect()
+        if r["n_overlap"] >= 1
+    }
+    bloom = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dc.bloom_contamination(docs, ev, min_overlap=1).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_contamination_tiny_filter_still_exact(spark, docs):
+    """Degenerate 256-bit filter: nearly everything collides, so the
+    prefilter passes almost every shingle — the verify join must still
+    reduce the result to the exact overlap set."""
+    ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dc.contamination(docs, ev, min_overlap=1).collect()
+        if r["n_overlap"] >= 1
+    }
+    bloom = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dc.bloom_contamination(
+            docs, ev, min_overlap=1, m_bits=256, k_hashes=2
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_bitset_deterministic_and_sized(spark):
+    ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    b1 = dc.bloom_bitset(ev, m_bits=1 << 12, k_hashes=3)
+    b2 = dc.bloom_bitset(ev, m_bits=1 << 12, k_hashes=3)
+    assert b1 == b2
+    assert len(b1) == (1 << 12) // 8
+    assert any(b1)  # not empty
+
+
 def test_epoch_shuffle_is_seeded_permutation(spark):
     df = spark.range(0, 500).withColumnRenamed("id", "k")
     r7a = {r["k"]: r["rank"] for r in
