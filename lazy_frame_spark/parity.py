@@ -3237,6 +3237,54 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# deterministic corpus splitting (operators/splits.py)
+# --------------------------------------------------------------------- #
+
+_SPLIT_BP_SQL = "('0x' || substr(md5('5:' || doc_id), 1, 15))::BIGINT % 10000"
+
+
+@query(
+    "split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_BP_SQL} < 8000 THEN 'train'
+                WHEN {_SPLIT_BP_SQL} < 9000 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Per-document train/valid/test assignment (operators/splits
+    .assign_split): a pure map expression over the seeded md5 basis-point
+    draw — no RNG state, no shuffle, stable under repartitioning and
+    incremental corpus growth, identical bits in both engines."""
+    from lazy_frame_spark.operators import splits as _sp
+
+    d = _table(spark, sf_dir, "documents")
+    return _sp.assign_split(d, ["doc_id"], seed=5).select("doc_id", "split")
+
+
+@query(
+    "split_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_SPLIT_BP_SQL} < 8000 THEN 'train'
+                WHEN {_SPLIT_BP_SQL} < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def split_counts(spark, sf_dir):
+    """The pre-training split audit: per-split row and size totals from
+    one partial aggregation (operators/splits.split_counts)."""
+    from lazy_frame_spark.operators import splits as _sp
+
+    d = _table(spark, sf_dir, "documents")
+    return _sp.split_counts(d, ["doc_id"], seed=5, size_col="n_chars")
+
+
+# --------------------------------------------------------------------- #
 # Bloom-prefiltered decontamination (operators/decontam.py)
 # --------------------------------------------------------------------- #
 
