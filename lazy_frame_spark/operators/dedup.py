@@ -537,3 +537,98 @@ def incremental_near_dups(
         .agg(F.first("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+def positional_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, hv): every n-token gram with its 0-based token position
+    and portable md5-derived hash — the front end of substring-level
+    span detection. Documents shorter than n tokens contribute nothing
+    (an n-token span cannot exist in them)."""
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    ws = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ws__")
+    ).filter(F.size("__ws__") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__ws__") - n),
+        lambda i: F.array_join(F.slice(F.col("__ws__"), i + 1, n), " "),
+    )
+    return ws.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(F.col(id_col), "pos", token_hash(F.col("gram")).alias("hv"))
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_span_tokens: int = 12,
+    max_gram_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal shared token spans between document pairs — the
+    substring-level dedup signal (the published exact-substring
+    training-data dedup uses suffix arrays; the distributed equivalent is
+    positional n-gram matching: any shared span of ≥ n tokens is a run
+    of consecutive shared n-grams on one (pos_a - pos_b) diagonal).
+
+    Plan shape, and why it survives 100 TB:
+
+    - candidate generation is an EQUI-JOIN on the gram hash — only
+      positions sharing an exact n-gram ever meet, never all-pairs;
+    - ``max_gram_df`` prunes boilerplate grams (license headers, nav
+      chrome) whose document frequency exceeds the cap — the same
+      stop-token guard as ``ngram_jaccard_pairs``, because a gram in
+      100k documents would otherwise contribute 100k² join rows;
+      grams in only ONE document are dropped unconditionally (they
+      cannot pair — pure win, no semantic change);
+    - span assembly is gaps-and-islands per (a, b, diagonal): one window
+      ``row_number`` keyed by the pair — uniform keys, tiny groups.
+
+    Returns ``(doc_a, doc_b, start_a, start_b, span_tokens)`` for
+    maximal spans of at least ``min_span_tokens`` tokens, positions
+    0-based.
+    """
+    from pyspark.sql.window import Window
+
+    g = positional_ngrams(df, n=n, text_col=text_col, id_col=id_col)
+
+    dfreq = g.groupBy("hv").agg(
+        F.count_distinct(F.col(id_col)).alias("__df__")
+    )
+    cap = F.col("__df__") <= F.lit(int(max_gram_df)) if max_gram_df else F.lit(True)
+    keep = dfreq.filter((F.col("__df__") >= 2) & cap).select("hv")
+    g = g.join(keep, on="hv")
+
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.hv") == F.col("b.hv"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.select("doc_a", "doc_b", "pa", "pb", diag).withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= F.lit(int(min_span_tokens)))
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

@@ -3237,6 +3237,56 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# substring-level duplicate spans (operators/dedup.duplicate_ngram_spans)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "dedup_ngram_spans",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    idx AS (
+      SELECT doc_id, ws, unnest(generate_series(0, len(ws)-8)) AS pos
+      FROM ws WHERE len(ws) >= 8),
+    g AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(ws[pos+1:pos+8], ' ')), 1, 15))::BIGINT AS hv
+      FROM idx),
+    keep AS (
+      SELECT hv FROM g GROUP BY hv
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+    gk AS (SELECT g.* FROM g JOIN keep USING (hv)),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM gk a JOIN gk b ON a.hv = b.hv AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM p)
+    SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+           CAST(count(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    HAVING count(*) + 7 >= 12
+    """,
+)
+def dedup_ngram_spans(spark, sf_dir):
+    """Maximal shared 8-token spans between document pairs (operators/
+    dedup.duplicate_ngram_spans) — the distributed stand-in for
+    suffix-array exact-substring dedup: candidates from an equi-join on
+    the positional gram hash (df-pruned at 50, singleton grams dropped),
+    spans assembled with one gaps-and-islands window per (pair,
+    diagonal). Never all-pairs, never a global sort."""
+    return _dd.duplicate_ngram_spans(
+        _table(spark, sf_dir, "documents"),
+        n=8,
+        min_span_tokens=12,
+        max_gram_df=50,
+    )
+
+
+# --------------------------------------------------------------------- #
 # deterministic corpus splitting (operators/splits.py)
 # --------------------------------------------------------------------- #
 

@@ -67,6 +67,49 @@ def test_decontamination_join_is_broadcast(docs, spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_duplicate_ngram_spans_exact_boundaries(spark):
+    """Plant a known 20-token shared run at different offsets in two
+    otherwise-distinct docs; the maximal span and both start positions
+    must come back exactly."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = "a0 a1 a2 " + shared + " a3 a4"            # shared starts at pos 3
+    b = "b0 " + shared + " b1 b2 b3 b4 b5"         # shared starts at pos 1
+    c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"    # no overlap
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    rows = dd.duplicate_ngram_spans(docs, n=8, min_span_tokens=12).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (3, 1, 20)
+
+
+def test_duplicate_ngram_spans_min_length_filter(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token run: 3 grams
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 " + shared), (2, shared + " y1 y2")],
+        "doc_id long, text string",
+    )
+    assert dd.duplicate_ngram_spans(docs, n=8, min_span_tokens=12).count() == 0
+    got = dd.duplicate_ngram_spans(docs, n=8, min_span_tokens=10).collect()
+    assert len(got) == 1 and got[0]["span_tokens"] == 10
+
+
+def test_duplicate_ngram_spans_df_pruning_drops_boilerplate(spark):
+    """A gram present in every doc (license header) is pruned by the df
+    cap; the distinctive shared run still surfaces."""
+    header = " ".join(f"h{i}" for i in range(8))
+    shared = " ".join(f"s{i}" for i in range(15))
+    rows = [(i, header + f" filler{i} fillertoo{i}") for i in range(10)]
+    rows += [(100, header + " " + shared), (101, shared + " tail0 tail1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dd.duplicate_ngram_spans(
+        docs, n=8, min_span_tokens=12, max_gram_df=3
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in spans} == {(100, 101)}
+
+
 def test_bloom_contamination_agrees_with_exact(spark, docs):
     """The Bloom path must equal the exact path value-for-value: the
     prefilter can only add candidates (false positives), and the exact
