@@ -3237,6 +3237,48 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# funnel analysis (operators/funnel.py)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id)
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """view → click → purchase conversion funnel with a 1-day per-step
+    window (operators/funnel.funnel_counts): each stage is a pushdown-
+    filtered event slice equi-joined to the previous stage's per-user
+    frame; counts come from ONE aggregation row unpivoted with explode
+    — no per-stage jobs, no self-cross of the log."""
+    from lazy_frame_spark.operators import funnel as _fn
+
+    return _fn.funnel_counts(
+        _table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap="1 DAY",
+    )
+
+
+# --------------------------------------------------------------------- #
 # substring-level duplicate spans (operators/dedup.duplicate_ngram_spans)
 # --------------------------------------------------------------------- #
 
