@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "embedding_norms",
     "stream_tumbling_window",
     "stream_session_window",
+    "search_bm25_topk",          # ranked retrieval (inverted-index plan)
+    "events_funnel",             # ordered-sequence funnel
+    "dedup_ngram_spans",         # substring-level duplicate spans
 ]
 
 

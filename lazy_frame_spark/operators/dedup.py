@@ -596,7 +596,16 @@ def duplicate_ngram_spans(
     """
     from pyspark.sql.window import Window
 
-    g = positional_ngrams(df, n=n, text_col=text_col, id_col=id_col)
+    # The gram stream feeds FOUR consumers (df counts, the prune probe,
+    # and both sides of the self-join); without a pin each one re-runs
+    # scan+explode+md5 — measured 4 FileScans and ~4× the runtime. Pinned
+    # under the sketch-lifecycle registry (release_sketches() frees it;
+    # a repeat call replaces it), spillable MEMORY_AND_DISK, so the
+    # tokenize/hash pass runs exactly once.
+    g = _pin(
+        "ngram_span_grams",
+        positional_ngrams(df, n=n, text_col=text_col, id_col=id_col),
+    )
 
     dfreq = g.groupBy("hv").agg(
         F.count_distinct(F.col(id_col)).alias("__df__")

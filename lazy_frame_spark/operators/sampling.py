@@ -66,3 +66,40 @@ def reservoir_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 0,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from its seeded md5
+    hash and ranks by ``ln(u) / w`` — the k largest keys are a
+    without-replacement draw with inclusion probability proportional to
+    weight. The md5-derived u makes the draw a pure function of
+    (seed, ids): identical across engines, partitionings, and reruns,
+    so an SQL oracle can verify the SELECTED SET row-for-row — the same
+    property the uniform samplers here trade RNG for.
+
+    Scale: one map pass to compute keys, then ``ORDER BY key LIMIT k``
+    → TakeOrderedAndProject (per-partition heaps, k-row driver merge,
+    no global sort). Rows with non-positive weight are excluded (their
+    inclusion probability is zero).
+    """
+    from lazy_frame_spark.operators.mixing import shuffle_key
+
+    h = F.conv(F.substring(shuffle_key(seed, list(id_cols)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.desc(key_col), *[F.col(c) for c in id_cols])
+        .limit(k)
+    )

@@ -3237,6 +3237,72 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# rolling time-range window + weighted sampling
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "window_rolling_range",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_range(spark, sf_dir):
+    """Per-user rolling 1-hour event count and value sum via a RANGE
+    frame over epoch microseconds — the time-series rolling aggregate
+    (rate limiting, burst detection, activity features). One shuffle on
+    user_id; the frame is peer-inclusive at equal timestamps in both
+    engines, so the result is deterministic without a unique-key
+    tie-break."""
+    from pyspark.sql.window import Window
+
+    e = _table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5('9:' || doc_id), 1, 15))::BIGINT + 0.5)
+                / 1152921504606846976.0) / n_chars AS sample_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Size-weighted sampling without replacement (operators/sampling
+    .weighted_sample_topk, Efraimidis–Spirakis A-ES with md5-derived
+    draws): longer documents are proportionally likelier, the selected
+    set is a pure function of (seed, doc_id) — verified row-for-row by
+    the oracle — and the plan is a map pass plus
+    TakeOrderedAndProject."""
+    from lazy_frame_spark.operators import sampling as _smp
+
+    d = _table(spark, sf_dir, "documents")
+    out = _smp.weighted_sample_topk(
+        d, weight_col="n_chars", k=50, id_cols=["doc_id"], seed=9
+    )
+    return out.select("doc_id", "n_chars", "sample_key")
+
+
+# --------------------------------------------------------------------- #
 # funnel analysis (operators/funnel.py)
 # --------------------------------------------------------------------- #
 

@@ -160,3 +160,77 @@ def test_ivf_topk_matches_bruteforce_head(spark, sf_dir):
     # partial probe still finds the self-match first
     part = ivf.topk(e, q, k=3, n_probe=2).collect()
     assert part[0]["vec_id"] == 3 and part[0]["cos_sim"] == 1.0
+
+
+def test_weighted_sample_deterministic_and_positive_weights(spark):
+    from lazy_frame_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) if i % 11 else 0.0) for i in range(1, 500)],
+        "id long, w double",
+    )
+    a = [r["id"] for r in weighted_sample_topk(df, "w", 20, ["id"], seed=3).collect()]
+    b = [r["id"] for r in weighted_sample_topk(df, "w", 20, ["id"], seed=3).collect()]
+    assert a == b and len(a) == 20
+    zero_w = {r["id"] for r in df.filter("w <= 0").collect()}
+    assert not zero_w & set(a)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Across seeds, a row with 50x the weight must be included far more
+    often than a light row (A-ES inclusion is weight-proportional)."""
+    from lazy_frame_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 50.0 if i <= 10 else 1.0) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy_hits = light_hits = 0
+    for seed in range(8):
+        picked = {
+            r["id"] for r in weighted_sample_topk(df, "w", 30, ["id"], seed=seed).collect()
+        }
+        heavy_hits += len(picked & set(range(1, 11)))
+        light_hits += len(picked - set(range(1, 11)))
+    # 10 heavy rows (w=50) vs 190 light (w=1): heavy rows should be
+    # almost always selected (expected ~10/seed), lights fill the rest
+    assert heavy_hits >= 8 * 8  # ≥80% of heavy slots taken
+    assert heavy_hits / 10 > light_hits / 190  # per-row inclusion rate
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    from lazy_frame_spark.operators.sampling import weighted_sample_topk
+    from lazy_frame_spark.plans import audit
+
+    df = spark.range(1, 1000).select(
+        F.col("id"), (F.col("id") % 5 + 1).cast("double").alias("w")
+    )
+    assert audit.has_take_ordered(weighted_sample_topk(df, "w", 10, ["id"]))
+
+
+def test_rolling_range_window_values(spark):
+    """Hand-checked rolling 1-hour frame: events at 0, 30, 90, 200 min."""
+    from pyspark.sql.window import Window
+
+    base = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, base, 1, 1.0),
+        (2, datetime(2024, 1, 1, 0, 30), 1, 2.0),
+        (3, datetime(2024, 1, 1, 1, 30), 1, 4.0),
+        (4, datetime(2024, 1, 1, 3, 20), 1, 8.0),
+        (5, base, 2, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    got = {
+        r["event_id"]: (r["n"], r["s"])
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("value").over(w).alias("s"),
+        ).collect()
+    }
+    # event 3 at 90min sees event 2 (30min, within 1h) but not event 1
+    assert got == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 4: (1, 8.0), 5: (1, 16.0)}
