@@ -3237,6 +3237,73 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# bucketed co-located join + embedding centroids
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """The amortized-shuffle join: both sides persisted ONCE as bucketed
+    tables on the join key (sources/parquet.write_bucketed_table), after
+    which every join on that key is a shuffle-free sort-merge join —
+    tests/test_sources_sinks.py asserts the plan has no Exchange. This is
+    the 100 TB answer for a fact-fact join that runs every day: pay the
+    bucketing write once, never shuffle either side again."""
+    import hashlib
+
+    from lazy_frame_spark.sources.parquet import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to, tl = f"t_lfs_orders_{tag}", f"t_lfs_lineitem_{tag}"
+    write_bucketed_table(
+        _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        to, ["o_orderkey"], 8, sort_by=["o_orderkey"],
+    )
+    write_bucketed_table(
+        _table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        tl, ["o_orderkey"], 8, sort_by=["o_orderkey"],
+    )
+    j = spark.table(to).join(spark.table(tl), "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS pos, embedding
+      FROM embeddings)
+    SELECT label, pos - 1 AS dim, ROUND(AVG(embedding[pos]), 5) AS centroid
+    FROM x GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column, long format
+    (label, dim, centroid): posexplode + partial-aggregated avg keyed by
+    (label, dim) — map-side combine collapses the shuffle to
+    labels × dims × partitions rows regardless of corpus size. The
+    centroid table is the build input for IVF cells and drift monitoring."""
+    e = _table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 5).alias("centroid"))
+    )
+
+
+# --------------------------------------------------------------------- #
 # rolling time-range window + weighted sampling
 # --------------------------------------------------------------------- #
 

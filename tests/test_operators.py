@@ -234,3 +234,23 @@ def test_rolling_range_window_values(spark):
     }
     # event 3 at 90min sees event 2 (30min, within 1h) but not event 1
     assert got == {1: (1, 1.0), 2: (2, 3.0), 3: (2, 6.0), 4: (1, 8.0), 5: (1, 16.0)}
+
+
+def test_embedding_centroids_match_numpy(spark):
+    import numpy as np
+
+    rows = [(i, [float(i), float(i * 2), 1.0], i % 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {}
+    out = (
+        df.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .collect()
+    )
+    for r in out:
+        got.setdefault(r["label"], {})[r["dim"]] = r["c"]
+    for lbl in (0, 1):
+        exp = np.mean([r[1] for r in rows if r[2] == lbl], axis=0)
+        for d in range(3):
+            assert abs(got[lbl][d] - exp[d]) < 1e-9
