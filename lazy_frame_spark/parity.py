@@ -3237,6 +3237,52 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# distribution statistics (operators/stats.py)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           ROUND(CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0, 4) AS lo_edge,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width price histogram (operators/stats.histogram_fixed):
+    one partial-aggregated groupBy on a derived integer bin — map-side
+    combine collapses each partition to ≤ #bins rows pre-shuffle."""
+    from lazy_frame_spark.operators import stats as _st
+
+    return _st.histogram_fixed(
+        _table(spark, sf_dir, "orders"), "o_totalprice", lo=0.0, width=25000.0
+    )
+
+
+@query(
+    "agg_freq_items",
+    oracle="""
+    SELECT user_id AS item, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    HAVING count(*) >= 0.008 * (SELECT count(*) FROM events)
+    """,
+)
+def agg_freq_items(spark, sf_dir):
+    """Exact heavy hitters by sketch-then-verify (operators/stats
+    .frequent_items_exact): the one-pass freqItems sketch (no false
+    negatives) bounds the candidate set at 1/support, then an isin-
+    pushdown exact count drops the false positives — the full-
+    cardinality groupBy never runs."""
+    from lazy_frame_spark.operators import stats as _st
+
+    return _st.frequent_items_exact(
+        _table(spark, sf_dir, "events"), "user_id", support=0.008
+    )
+
+
+# --------------------------------------------------------------------- #
 # bucketed co-located join + embedding centroids
 # --------------------------------------------------------------------- #
 

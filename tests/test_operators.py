@@ -254,3 +254,35 @@ def test_embedding_centroids_match_numpy(spark):
         exp = np.mean([r[1] for r in rows if r[2] == lbl], axis=0)
         for d in range(3):
             assert abs(got[lbl][d] - exp[d]) < 1e-9
+
+
+def test_histogram_fixed_bins_and_clamp(spark):
+    from lazy_frame_spark.operators.stats import histogram_fixed
+
+    df = spark.createDataFrame([(float(v),) for v in [0, 1, 9.9, 10, 25, 99]], "x double")
+    got = {r["bin"]: r["n"] for r in histogram_fixed(df, "x", lo=0.0, width=10.0).collect()}
+    assert got == {0: 3, 1: 1, 2: 1, 9: 1}
+    clamped = {r["bin"]: r["n"] for r in histogram_fixed(df, "x", 0.0, 10.0, clamp_bins=3).collect()}
+    assert clamped == {0: 3, 1: 1, 2: 2}
+
+
+def test_frequent_items_exact_matches_bruteforce(spark):
+    from lazy_frame_spark.operators.stats import frequent_items_exact
+
+    # 1000 rows: item 1 x400, item 2 x300, items 3..32 x10 each
+    vals = [1] * 400 + [2] * 300 + [i for i in range(3, 33) for _ in range(10)]
+    df = spark.createDataFrame([(v,) for v in vals], "k int")
+    got = {r["item"]: r["n"] for r in frequent_items_exact(df, "k", support=0.25).collect()}
+    assert got == {1: 400, 2: 300}
+    # lighter support keeps the 1%-ers too
+    got2 = {r["item"]: r["n"] for r in frequent_items_exact(df, "k", support=0.01).collect()}
+    assert got2[1] == 400 and got2[2] == 300 and got2[5] == 10 and len(got2) == 32
+
+
+def test_frequent_items_bad_support(spark):
+    from lazy_frame_spark.operators.stats import frequent_items_exact
+
+    df = spark.createDataFrame([(1,)], "k int")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        frequent_items_exact(df, "k", support=0.0)
