@@ -36,7 +36,23 @@ def write_bucketed_table(
 ) -> None:
     """Persist as a bucketed managed table: joins/aggregations on the bucket
     key skip the shuffle entirely (Catalyst sees the bucketing and plans a
-    shuffle-free sort-merge join)."""
+    shuffle-free sort-merge join).
+
+    Overwrite is made safe across sessions: the default in-memory catalog
+    dies with the session but the warehouse directory does not, so a fresh
+    session's ``saveAsTable(mode="overwrite")`` hits LOCATION_ALREADY_EXISTS
+    on a location its catalog has never heard of. Drop the table if
+    registered, then clear any orphaned location under the warehouse dir."""
+    spark = df.sparkSession
+    if mode == "overwrite" and "." not in table:
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh:
+            import re
+            import shutil
+
+            loc = re.sub("^/+", "/", wh[5:]) if wh.startswith("file:") else wh
+            shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}", ignore_errors=True)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
