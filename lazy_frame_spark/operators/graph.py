@@ -92,3 +92,64 @@ def pagerank(
     if round_to is not None:
         out = out.select("node", F.round(F.col("rank"), round_to).alias("rank"))
     return out
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the undirected graph, degree-oriented.
+
+    The naive 3-way self-join is cubic on hub nodes; the standard fix
+    (node-iterator with degree orientation) orients every edge from the
+    (degree, id)-smaller endpoint to the larger, which bounds every
+    node's OUT-degree by O(sqrt(m)) regardless of in-degree — so the
+    wedge join is m^1.5 worst-case instead of sum(deg²), the difference
+    between hours and forever on a power-law web graph.
+
+    Plan: canonical-dedup the edge list, one degree aggregation, two
+    broadcast-or-shuffle equi-joins to attach endpoint degrees, the
+    wedge self-join on the oriented source, and one closing equi-join.
+    Every join key is a node id — uniform after orientation, AQE handles
+    residual skew. Wedge endpoints are ordered by the SAME (degree, id)
+    tuple as the orientation, so the closing edge of wedge (x, y) can
+    only be the oriented edge s=x, t=y — a pure equi-join, each triangle
+    counted exactly once.
+
+    Returns a 1-row frame ``(n_triangles)``.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, on="u").join(dv, on="v")
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (
+            F.struct(F.col("a.dt"), F.col("a.t"))
+            < F.struct(F.col("b.dt"), F.col("b.t"))
+        ),
+    ).select(F.col("a.t").alias("x"), F.col("b.t").alias("y"))
+    closed = wedges.join(
+        o, (F.col("x") == F.col("s")) & (F.col("y") == F.col("t"))
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

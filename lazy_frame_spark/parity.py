@@ -3237,6 +3237,150 @@ def lf_reopen_row_range(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# triangle counting (operators/graph.triangle_count)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+    w AS (
+      SELECT o1.t AS x, o2.t AS y FROM o o1 JOIN o o2
+      ON o1.s = o2.s AND (o1.dt, o1.t) < (o2.dt, o2.t))
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM w JOIN o ON w.x = o.s AND w.y = o.t
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Exact triangle count of the part co-purchase graph (parts joined
+    when they share an order; restricted to partkey % 4 = 0 to keep the
+    parity graph small), via degree orientation (operators/graph
+    .triangle_count): out-degree bounded by O(sqrt(m)), wedge join
+    m^1.5 worst case, every join an equi-join. Triangle density is a
+    published community-structure / spam signal for web-graph corpus
+    filtering."""
+    from lazy_frame_spark.operators.graph import triangle_count
+
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(edges)
+
+
+# --------------------------------------------------------------------- #
+# TPC-H-shaped multi-join plans: Q5 (6-table star) and Q10 (top-k debt)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "join_q5_local_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_q5_local_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the 6-table star. Region/nation/supplier/customer
+    are broadcast (each orders of magnitude under the fact side at any
+    scale — dimension tables grow with the business, not the event
+    volume); the only shuffles are fact-side joins on o_orderkey and the
+    final tiny n_name agg. The local-supplier predicate
+    (c_nationkey = s_nationkey) applies as a post-join filter exactly as
+    TPC-H defines it."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "join_q10_returned_topk",
+    oracle="""
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name)
+    SELECT * FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def join_q10_returned_topk(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Returnflag + date filters push to the scans, customer/nation
+    broadcast, one fact shuffle on o_orderkey, one agg keyed by
+    customer, TakeOrderedAndProject for the cut (ranked on the ROUNDED
+    revenue with a c_custkey tie-break so the k-row cut is deterministic
+    in both engines)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.col("c_custkey")).limit(20)
+
+
+# --------------------------------------------------------------------- #
 # distribution statistics (operators/stats.py)
 # --------------------------------------------------------------------- #
 

@@ -286,3 +286,22 @@ def test_frequent_items_bad_support(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         frequent_items_exact(df, "k", support=0.0)
+
+
+def test_triangle_count_known_graphs(spark):
+    from lazy_frame_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: 4 triangles; input has duplicate + reversed + self edges to
+    # exercise canonicalization
+    k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 4), (1, 1)]
+    assert tri(k4) == 4
+    # square + one diagonal: 2 triangles
+    assert tri([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]) == 2
+    # path: 0 triangles
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0
+    # star (hub): 0 triangles despite high hub degree
+    assert tri([(0, i) for i in range(1, 20)]) == 0
