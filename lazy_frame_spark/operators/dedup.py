@@ -641,3 +641,23 @@ def duplicate_ngram_spans(
         .filter(F.col("span_tokens") >= F.lit(int(min_span_tokens)))
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    star: bool = False,
+) -> DataFrame:
+    """The deduplicated corpus itself: cluster the near-dup pairs, keep
+    each cluster's canonical (min-id) representative, anti-join the rest
+    away. The flagging side reduces to one bigint per dropped document
+    before it ever meets the corpus, so full document rows never shuffle
+    — the same discipline as ``decontam.decontaminate``. ``star=True``
+    clusters via large-star/small-star instead of label propagation
+    (diameter-independent rounds)."""
+    nodes = docs.select(id_col)
+    cluster_fn = connected_components_star if star else duplicate_clusters
+    clusters = cluster_fn(nodes, pairs, id_col=id_col)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(losers, on=id_col, how="left_anti")

@@ -3120,6 +3120,34 @@ _CLUSTERS_ORACLE = f"""
     """
 
 
+_DROP_NEAR_ORACLE = f"""
+    WITH RECURSIVE
+    {_JACCARD_PAIRS_SQL},
+    nodes AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(n, m) AS (
+      SELECT doc_id, doc_id::BIGINT FROM nodes
+      UNION
+      SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.n),
+    clusters AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT d.* FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE d.doc_id = c.cluster_id
+    """
+
+
+@query("dedup_drop_near", oracle=_DROP_NEAR_ORACLE)
+def dedup_drop_near(spark, sf_dir):
+    """The deduplicated corpus itself (operators/dedup
+    .drop_near_duplicates): near-dup pairs → connected components →
+    keep each cluster's min-id representative, anti-join the rest away.
+    The flagging side reduces to one bigint per dropped doc before
+    touching the corpus, so full rows never shuffle."""
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = _dd.ngram_jaccard_pairs(d, threshold=0.5)
+    return _dd.drop_near_duplicates(d, pairs)
+
+
 @query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate clusters (connected components, min-id

@@ -110,6 +110,21 @@ def test_duplicate_ngram_spans_df_pruning_drops_boilerplate(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in spans} == {(100, 101)}
 
 
+def test_drop_near_duplicates_keeps_min_id_reps(docs):
+    """Planted near-dup of doc 0 (doc 2) and exact dup of doc 1 (doc 3):
+    the dedup'd corpus keeps the min-id representative of each cluster
+    and every singleton, for both clustering backends."""
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    for star in (False, True):
+        kept = sorted(
+            r["doc_id"]
+            for r in dd.drop_near_duplicates(docs, pairs, star=star).collect()
+        )
+        assert 0 in kept and 1 in kept
+        assert 2 not in kept and 3 not in kept
+        assert set(kept) >= set(range(4, 10))
+
+
 def test_bloom_contamination_agrees_with_exact(spark, docs):
     """The Bloom path must equal the exact path value-for-value: the
     prefilter can only add candidates (false positives), and the exact
