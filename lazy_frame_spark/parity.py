@@ -3264,6 +3264,30 @@ def lf_reopen_row_range(spark, sf_dir):
     return _with_rid(reopened.row_range(51, 120))
 
 
+@query(
+    "agg_distinct_two_phase",
+    oracle="""
+    SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_two_phase(spark, sf_dir):
+    """Exact distinct-count for skewed group keys, two-phase: dedup on
+    (group, value) first — a shuffle whose key includes the
+    high-cardinality value, so a hot group spreads across tasks — then
+    count per group. Equivalent to count(DISTINCT) (the oracle) but
+    never funnels a hot group's whole value set through one task's
+    hash set; the shape Spark's own DISTINCT rewrite uses, made
+    explicit so it survives any planner."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # triangle counting (operators/graph.triangle_count)
 # --------------------------------------------------------------------- #
