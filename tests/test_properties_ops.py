@@ -1,0 +1,189 @@
+"""Property-based tests for the round-3 pipeline operators: each Spark
+implementation is checked against an independent brute-force Python model
+on randomized inputs (hypothesis; low example counts — every example is
+a Spark action)."""
+
+import hashlib
+import itertools
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------------------------- #
+# triangle counting vs brute force
+# --------------------------------------------------------------------- #
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=0, max_size=40
+)
+
+
+@SETTINGS
+@given(edges=edges_strategy)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from lazy_frame_spark.operators.graph import triangle_count
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {a, b} in und and {a, c} in und and {b, c} in und
+    )
+    if edges:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = triangle_count(df).collect()[0]["n_triangles"]
+        assert got == expected
+
+
+# --------------------------------------------------------------------- #
+# duplicate n-gram spans vs brute force
+# --------------------------------------------------------------------- #
+
+def _brute_spans(docs, n, min_span):
+    """All maximal shared diagonal runs of n-grams between doc pairs."""
+    grams = {}
+    for i, text in docs:
+        ws = text.split()
+        grams[i] = [" ".join(ws[p:p + n]) for p in range(len(ws) - n + 1)]
+    out = set()
+    ids = sorted(grams)
+    for a, b in itertools.combinations(ids, 2):
+        matches = {
+            (pa, pb)
+            for pa, ga in enumerate(grams[a])
+            for pb, gb in enumerate(grams[b])
+            if ga == gb
+        }
+        by_diag = {}
+        for pa, pb in matches:
+            by_diag.setdefault(pa - pb, []).append(pa)
+        for diag, pas in by_diag.items():
+            pas = sorted(pas)
+            run = [pas[0]]
+            for p in pas[1:]:
+                if p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if len(run) + n - 1 >= min_span:
+                        out.add((a, b, run[0], run[0] - diag, len(run) + n - 1))
+                    run = [p]
+            if len(run) + n - 1 >= min_span:
+                out.add((a, b, run[0], run[0] - diag, len(run) + n - 1))
+    return out
+
+
+words = st.sampled_from(["w%d" % i for i in range(6)])
+doc_strategy = st.lists(words, min_size=0, max_size=20).map(" ".join)
+
+
+@SETTINGS
+@given(texts=st.lists(doc_strategy, min_size=2, max_size=4))
+def test_ngram_spans_match_bruteforce(spark, texts):
+    from lazy_frame_spark.operators import dedup as dd
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in dd.duplicate_ngram_spans(df, n=3, min_span_tokens=4).collect()
+    }
+    assert got == _brute_spans(docs, n=3, min_span=4)
+
+
+# --------------------------------------------------------------------- #
+# weighted sampling vs exact Python replication of the A-ES keys
+# --------------------------------------------------------------------- #
+
+def _py_aes_topk(rows, k, seed):
+    keyed = []
+    for rid, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(f"{seed}:{rid}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        keyed.append((math.log(u) / w, -rid))
+    keyed.sort(reverse=True)
+    return [-r for _, r in keyed[:k]]
+
+
+@SETTINGS
+@given(
+    weights=st.lists(st.floats(0.0, 100.0, allow_nan=False), min_size=1, max_size=30),
+    seed=st.integers(0, 5),
+)
+def test_weighted_sample_matches_python_keys(spark, weights, seed):
+    from lazy_frame_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i + 1, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "rid long, w double")
+    got = [
+        r["rid"]
+        for r in weighted_sample_topk(df, "w", 5, ["rid"], seed=seed).collect()
+    ]
+    assert got == _py_aes_topk(rows, 5, seed)
+
+
+# --------------------------------------------------------------------- #
+# funnel vs brute-force simulation
+# --------------------------------------------------------------------- #
+
+event_strategy = st.tuples(
+    st.integers(1, 4),                       # user
+    st.integers(0, 50),                      # minute offset
+    st.sampled_from(["view", "click", "buy"]),
+)
+
+
+def _brute_funnel(events, stages):
+    per_user = {}
+    for u, minute, typ in events:
+        per_user.setdefault(u, []).append((minute, typ))
+    counts = [0] * len(stages)
+    for u, evs in per_user.items():
+        t_prev = None
+        for i, stage in enumerate(stages):
+            cands = [
+                m for m, typ in evs
+                if typ == stage and (t_prev is None if i == 0 else m > t_prev)
+            ]
+            if not cands:
+                break
+            t_prev = min(cands)
+            counts[i] += 1
+    return counts
+
+
+@SETTINGS
+@given(events=st.lists(event_strategy, min_size=0, max_size=30))
+def test_funnel_matches_bruteforce(spark, events):
+    from datetime import datetime, timedelta
+
+    from lazy_frame_spark.operators import funnel as fn
+
+    stages = ["view", "click", "buy"]
+    expected = _brute_funnel(events, stages)
+    if not events:
+        return
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=m), u, typ)
+        for i, (u, m, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in fn.funnel_counts(df, stages).collect()
+    }
+    assert [got[i + 1] for i in range(3)] == expected
