@@ -3432,6 +3432,43 @@ def join_q10_returned_topk(spark, sf_dir):
     return rev.orderBy(F.desc("revenue"), F.col("c_custkey")).limit(20)
 
 
+@query(
+    "join_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    SELECT c_custkey, o.o_orderkey, ROUND(o_totalprice, 2) AS total, sum_qty
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: the HAVING-aggregate semi-reduction — the fact
+    table aggregates to order grain FIRST (partial agg, one row per
+    order), the >150 filter cuts that tiny frame, and only then do
+    orders/customer join in. The expensive table is reduced before any
+    join touches it; customer broadcasts."""
+    li = _table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("total"),
+            "sum_qty",
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # distribution statistics (operators/stats.py)
 # --------------------------------------------------------------------- #
