@@ -661,3 +661,56 @@ def drop_near_duplicates(
     clusters = cluster_fn(nodes, pairs, id_col=id_col)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/CCNet-style chunk-grain global deduplication: every repeated
+    text chunk keeps only its globally-FIRST occurrence (min doc id,
+    then min chunk position) and every other occurrence is cut out of
+    its document; surviving chunks re-join in order, so document
+    structure is preserved minus the boilerplate. This is the published
+    line/paragraph dedup used on web corpora (nav chrome, license
+    blocks, repeated headers) — a different operation from whole-doc
+    near-dup removal, and complementary to it.
+
+    Plan: map-only chunking (operators/packing.chunk_documents), one
+    groupBy on the chunk hash to pick winners (partial agg — the shuffle
+    carries one row per distinct chunk per task), a semi-join-shaped
+    filter, and one groupBy per doc to reassemble. Winner selection uses
+    a packed (doc, pos) bigint so the oracle's MIN matches Spark's
+    bit-for-bit.
+
+    Returns ``(id_col, text)`` with the deduplicated text ('' when every
+    chunk was a repeat).
+    """
+    from lazy_frame_spark.operators.packing import chunk_documents
+
+    ch = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
+    )
+    packed = (F.col(id_col) * 100_000 + F.col("chunk_id")).alias("__pk__")
+    h = ch.select(
+        F.col(id_col), "chunk_id", "chunk_text",
+        token_hash(F.col("chunk_text")).alias("__hv__"), packed,
+    )
+    winners = h.groupBy("__hv__").agg(F.min("__pk__").alias("__win__"))
+    kept = h.join(winners, on="__hv__").filter(F.col("__pk__") == F.col("__win__"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("__text__")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce("__text__", F.lit("")).alias(text_col))
+    )

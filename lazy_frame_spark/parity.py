@@ -3120,6 +3120,43 @@ _CLUSTERS_ORACLE = f"""
     """
 
 
+@query(
+    "dedup_chunk_lines",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    st AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0, greatest(len(ws) - 1, 0), 20)) AS s
+      FROM ws),
+    ch AS (
+      SELECT doc_id, s // 20 AS chunk_id,
+             array_to_string(ws[s + 1 : s + 20], ' ') AS chunk_text
+      FROM st),
+    h AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS hv,
+             doc_id * 100000 + chunk_id AS pk
+      FROM ch),
+    w AS (SELECT hv, MIN(pk) AS win FROM h GROUP BY hv),
+    kept AS (SELECT h.* FROM h JOIN w ON h.hv = w.hv AND h.pk = w.win),
+    rebuilt AS (
+      SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS t
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(r.t, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def dedup_chunk_lines(spark, sf_dir):
+    """C4/CCNet-style chunk-grain global dedup (operators/dedup
+    .chunk_dedup): repeated 20-token chunks keep only their globally
+    first occurrence, survivors re-join in order — the published
+    line/paragraph boilerplate-removal pass, complementary to whole-doc
+    near-dup removal. Winner selection packs (doc, pos) into one bigint
+    so MIN agrees bit-for-bit across engines."""
+    return _dd.chunk_dedup(_table(spark, sf_dir, "documents"), chunk_tokens=20)
+
+
 _DROP_NEAR_ORACLE = f"""
     WITH RECURSIVE
     {_JACCARD_PAIRS_SQL},

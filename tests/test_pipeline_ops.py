@@ -110,6 +110,35 @@ def test_duplicate_ngram_spans_df_pruning_drops_boilerplate(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in spans} == {(100, 101)}
 
 
+def test_chunk_dedup_removes_repeated_chunk_keeps_first(spark):
+    """A 5-token chunk repeated across (and within) docs survives only at
+    its globally-first position; unique chunks are untouched."""
+    boiler = "b0 b1 b2 b3 b4"
+    rows = [
+        (1, boiler + " u0 u1 u2 u3 u4"),
+        (2, boiler + " v0 v1 v2 v3 v4"),          # leading boiler repeated
+        (3, "w0 w1 w2 w3 w4 " + boiler),          # boiler at chunk 1
+        (4, boiler),                               # whole doc is the boiler
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dd.chunk_dedup(df, chunk_tokens=5).collect()}
+    assert got[1] == boiler + " u0 u1 u2 u3 u4"   # first occurrence kept
+    assert got[2] == "v0 v1 v2 v3 v4"             # repeat cut, tail kept
+    assert got[3] == "w0 w1 w2 w3 w4"
+    assert got[4] == ""                           # all chunks were repeats
+
+
+def test_chunk_dedup_order_preserved(spark):
+    """Surviving chunks re-join in original chunk order."""
+    df = spark.createDataFrame(
+        [(1, "a0 a1 b0 b1 c0 c1"), (2, "z0 z1 b0 b1 y0 y1")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dd.chunk_dedup(df, chunk_tokens=2).collect()}
+    assert got[1] == "a0 a1 b0 b1 c0 c1"
+    assert got[2] == "z0 z1 y0 y1"
+
+
 def test_drop_near_duplicates_keeps_min_id_reps(docs):
     """Planted near-dup of doc 0 (doc 2) and exact dup of doc 1 (doc 3):
     the dedup'd corpus keeps the min-id representative of each cluster
