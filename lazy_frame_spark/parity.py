@@ -3121,6 +3121,34 @@ _CLUSTERS_ORACLE = f"""
 
 
 @query(
+    "lf_summary",
+    oracle="""
+    SELECT 'count' AS summary, CAST(count(l_quantity) AS DOUBLE) AS l_quantity,
+           CAST(count(l_extendedprice) AS DOUBLE) AS l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT 'min', CAST(min(l_quantity) AS DOUBLE), min(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'max', CAST(max(l_quantity) AS DOUBLE), max(l_extendedprice) FROM lineitem
+    """,
+)
+def lf_summary(spark, sf_dir):
+    """M5 summary() parity (the reference STUBS this — R/lazy.frame.R:
+    115-119 warns 'Not yet supported'; here it is a distributed aggregate
+    for free). The driver row checks the EXACT statistics (count/min/max
+    — mean/stddev/percentiles are approximate or float-formatted in
+    Spark's summary and are unit-tested instead), cast to double on both
+    sides."""
+    lf = _lf(spark, sf_dir, "lineitem").select(["l_quantity", "l_extendedprice"])
+    s = lf.summary().filter(F.col("summary").isin("count", "min", "max"))
+    return s.select(
+        "summary",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+
+
+@query(
     "dedup_chunk_lines",
     oracle="""
     WITH ws AS (
@@ -3963,7 +3991,7 @@ DRIVER_WINDOW: list[str] = [
     # (pivot sits past the cap, still locally checked)
     "agg_q1_pricing_summary",
     "agg_rollup",
-    "agg_percentiles",
+    "search_bm25_topk",
     # joins: broadcast, semi, anti, range, as-of, shuffled multi-join
     "join_broadcast_dims",
     "join_semi",
@@ -3982,11 +4010,11 @@ DRIVER_WINDOW: list[str] = [
     "json_extract_props",
     # subqueries, sampling
     "subquery_scalar_and_in",
-    "sample_deterministic",
+    "sample_weighted",
     # text analysis (token counting is value-checked in-window by
     # udf_token_count_vectorized; the repetition filters carry more of
     # the training-pipeline story)
-    "text_repetition_features",
+    "events_funnel",
     "text_quality_features",
     "text_lang_id",
     # dedup suite + decontamination + corpus mixing (the newest
