@@ -242,3 +242,54 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually teach a metric model something.
+
+    Scale shape: the anchor set is a training batch (hundreds), so it
+    BROADCASTS and the corpus streams past it exactly once — cosine in
+    whole-stage codegen, label-mismatch filter before any ranking, then
+    one window keyed by anchor id (uniform, |anchors| groups) cuts to k.
+    Never an all-pairs corpus self-join. Similarities round to 4
+    decimals BEFORE ranking so the cut is engine-reproducible.
+
+    Returns ``(anchor_id, neg_id, neg_label, cos_sim)``.
+    """
+    from pyspark.sql import Window
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).cast("array<double>").alias("__av__"),
+            F.col(label_col).alias("__al__"),
+        )
+    )
+    c = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+        F.col(label_col).alias("neg_label"),
+    )
+    sim = F.round(cosine(F.col("__av__"), F.col("__cv__")), 4)
+    scored = (
+        c.crossJoin(a)
+        .filter(F.col("neg_label") != F.col("__al__"))
+        .select("anchor_id", "neg_id", "neg_label", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= int(k))
+        .drop("__rn__")
+    )

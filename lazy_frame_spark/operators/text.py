@@ -409,3 +409,65 @@ def vocabulary(
     )
     counts.unpersist()
     return out
+
+
+def merge_candidates(
+    df: "DataFrame",
+    text_col: str = "text",
+    top_k: int = 20,
+    min_pair_count: int = 2,
+) -> "DataFrame":
+    """WordPiece-style merge scoring — the candidate-selection step of
+    subword-vocabulary training: every ADJACENT token pair is scored by
+    ``score = pair_count / (count(left) * count(right))`` (the WordPiece
+    likelihood criterion; BPE's plain pair_count is the numerator), and
+    the ``top_k`` highest-scoring pairs are the next merges. One pass:
+    the same exploded token stream feeds the unigram aggregation and —
+    zipped with its neighbor via ``slice``/``arrays_zip`` — the pair
+    aggregation; both are partial-aggregated hash joins on uniform keys,
+    then two broadcast joins attach the unigram counts (the pair frame
+    is already ≤ distinct-pair cardinality, and the ranked cut is
+    TakeOrderedAndProject).
+
+    Scores are exact integer-ratio basis points scaled by 1e8
+    (``floor(pair * 1e8 / (left * right))``) so ranking is
+    reproducible across engines. Returns ``(lhs, rhs, pair_count,
+    score_x1e8)`` ordered by (score desc, lhs, rhs).
+    """
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    ws = ensure_min_partitions(df).select(tokens(F.col(text_col)).alias("__ws__"))
+    uni = (
+        ws.select(F.explode("__ws__").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    zipped = ws.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__ws__"), 1, F.greatest(F.size("__ws__") - 1, F.lit(0))).alias("lhs"),
+                F.slice(F.col("__ws__"), 2, F.greatest(F.size("__ws__") - 1, F.lit(0))).alias("rhs"),
+            )
+        ).alias("p")
+    )
+    pairs = (
+        zipped.select(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_pair_count))
+    )
+    ul = uni.select(F.col("token").alias("lhs"), F.col("n").alias("__nl__"))
+    ur = uni.select(F.col("token").alias("rhs"), F.col("n").alias("__nr__"))
+    scored = (
+        pairs.join(F.broadcast(ul), on="lhs")
+        .join(F.broadcast(ur), on="rhs")
+        .select(
+            "lhs", "rhs", "pair_count",
+            F.floor(
+                F.col("pair_count") * F.lit(100_000_000) / (F.col("__nl__") * F.col("__nr__"))
+            ).cast("bigint").alias("score_x1e8"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_x1e8"), F.asc("lhs"), F.asc("rhs")
+    ).limit(top_k)

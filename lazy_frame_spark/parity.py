@@ -3854,6 +3854,73 @@ def split_counts(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# subword merge scoring + contrastive hard negatives
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "vocab_merge_candidates",
+    oracle="""
+    WITH ws AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    uni AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(ws) AS token FROM ws) GROUP BY token),
+    st AS (
+      SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      FROM ws WHERE len(ws) >= 2),
+    p AS (
+      SELECT ws[i] AS lhs, ws[i+1] AS rhs, CAST(count(*) AS BIGINT) AS pair_count
+      FROM st GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT lhs, rhs, pair_count,
+           CAST(floor(pair_count * 100000000 / (ul.n * ur.n)) AS BIGINT)
+             AS score_x1e8
+    FROM p JOIN uni ul ON p.lhs = ul.token JOIN uni ur ON p.rhs = ur.token
+    ORDER BY score_x1e8 DESC, lhs, rhs LIMIT 20
+    """,
+)
+def vocab_merge_candidates(spark, sf_dir):
+    """WordPiece merge scoring — the candidate-selection step of subword
+    vocabulary training (operators/text.merge_candidates): adjacent-pair
+    counts over the corpus scored by pair/(left·right), exact
+    integer-ratio scores so the ranked cut reproduces bit-for-bit.
+    One corpus pass feeds both the unigram and pair aggregations."""
+    from lazy_frame_spark.operators import text as _txops
+
+    return _txops.merge_candidates(
+        _table(spark, sf_dir, "documents"), top_k=20, min_pair_count=2
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS al
+      FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], av::DOUBLE[])
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(av::DOUBLE[], av::DOUBLE[]))), 4)
+               AS cos_sim
+      FROM embeddings e, a WHERE e.label <> a.al)
+    SELECT anchor_id, neg_id, neg_label, cos_sim FROM s
+    QUALIFY row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos_sim DESC, neg_id) <= 2
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity
+    .hard_negatives): per anchor, the 2 most-similar vectors with a
+    different label — broadcast anchors, one corpus stream, cosine in
+    codegen, one anchor-keyed window; never a corpus self-join."""
+    e = _table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 10)
+    return _sim.hard_negatives(e, anchors, k=2)
+
+
+# --------------------------------------------------------------------- #
 # Bloom-prefiltered decontamination (operators/decontam.py)
 # --------------------------------------------------------------------- #
 

@@ -1195,3 +1195,55 @@ def test_zorder_layout_clusters_both_dims(spark, tmp_path):
     # total covered area across files ≈ the grid, not 8 full copies of it:
     # allow 2x for boundary-straddling files vs 8x4096 for unclustered
     assert sum(spans) <= 2 * 4096, spans
+
+
+def test_merge_candidates_wordpiece_scores(spark):
+    """Hand-computed WordPiece scores: 'new york' appears 3x with
+    count(new)=3, count(york)=3 -> 3/(3*3); 'the cat' 2x with
+    count(the)=3, count(cat)=2 -> 2/(3*2)."""
+    rows = [
+        (1, "new york new york the cat"),
+        (2, "new york the cat the dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["lhs"], r["rhs"]): (r["pair_count"], r["score_x1e8"])
+        for r in tx.merge_candidates(df, top_k=50, min_pair_count=2).collect()
+    }
+    assert got[("new", "york")] == (3, int(3 * 1e8 / 9))
+    assert got[("the", "cat")] == (2, int(2 * 1e8 / 6))
+    # singleton pairs pruned by min_pair_count
+    assert ("the", "dog") not in got
+
+
+def test_merge_candidates_ranking_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c d c d")], "doc_id long, text string"
+    )
+    rows = tx.merge_candidates(df, top_k=10, min_pair_count=1).collect()
+    scores = [r["score_x1e8"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hard_negatives_picks_closest_other_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),     # anchor, label 0
+        (1, [0.99, 0.1], 0),    # same label: excluded however close
+        (2, [0.9, 0.2], 1),     # closest different-label
+        (3, [0.0, 1.0], 1),     # orthogonal
+        (4, [-1.0, 0.0], 2),    # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = [r["neg_id"] for r in sorted(got, key=lambda r: -r["cos_sim"])]
+    assert ids == [2, 3]
+    assert all(r["neg_label"] != 0 for r in got)
+
+
+def test_hard_negatives_plan_broadcasts_anchors(spark):
+    rows = [(i, [float(i), 1.0], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.hard_negatives(df, df.filter("vec_id < 3"), k=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
