@@ -254,3 +254,51 @@ def test_stream_media_decode_equals_batch(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM t_media").collect()
     )
     assert got == want and len(got) == 40
+
+
+def test_watermark_drops_late_events(spark, tmp_path_factory):
+    """True late-data semantics, pinned: an event older than the
+    watermark arriving in a LATER micro-batch must be excluded from its
+    (already finalized) window. Three sequential files because the
+    late-events filter uses the PREVIOUS batch's watermark (Spark's
+    two-watermark model, SPARK-39931): batch 1 sets event time, batch 2
+    advances the filter watermark past the window, batch 3 delivers the
+    late row. File order is forced by maxFilesPerTrigger=1 + distinct
+    mtimes."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from lazy_frame_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+        tumbling_window_agg,
+    )
+
+    d = str(tmp_path_factory.mktemp("late_events"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batches = [
+        [(1, datetime(2024, 1, 1, 8, 30), 1, "click", 1.0),
+         (2, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0)],
+        [(3, datetime(2024, 1, 1, 10, 10), 1, "click", 1.0)],
+        [(4, datetime(2024, 1, 1, 8, 40), 1, "click", 1.0),   # late: wm 10:00
+         (5, datetime(2024, 1, 1, 10, 30), 1, "click", 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/b{i}")
+        for f in os.listdir(f"{d}/b{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/b{i}/{f}", f"{d}/b{i}_data.parquet")
+        _time.sleep(1.1)  # distinct mtime -> deterministic pickup order
+
+    stream = stream_events(spark, d, schema, max_files_per_trigger=1)
+    result = tumbling_window_agg(stream, "1 hour", watermark="10 minutes")
+    run_stream_to_memory(result, "t_late", output_mode="append")
+    rows = [
+        (r["window_start"], r["n"])
+        for r in spark.sql("SELECT * FROM t_late").collect()
+        if r["window_start"] == datetime(2024, 1, 1, 8, 0)
+    ]
+    # the 08:00 window finalized with ONE event, emitted exactly once;
+    # the late 08:40 arrival neither joined it nor resurrected it
+    assert rows == [(datetime(2024, 1, 1, 8, 0), 1)]
