@@ -3498,6 +3498,43 @@ def join_q10_returned_topk(spark, sf_dir):
 
 
 @query(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           ROUND(l_quantity, 2) AS value
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Wide→long unpivot (DataFrame.unpivot / melt): three measure
+    columns rotate into (metric, value) rows — the reshape every metrics
+    pipeline needs before a generic per-metric aggregation. Map-only
+    (each input row expands to 3 output rows in place), no shuffle."""
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("l_discount", 2).alias("l_discount"),
+            F.round("l_tax", 2).alias("l_tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@query(
     "join_q18_large_orders",
     oracle="""
     WITH big AS (
