@@ -112,3 +112,22 @@ def test_parallelism_gates(spark, sf_dir):
     wide = spark.range(0, 10_000, numPartitions=want)
     assert ensure_min_partitions(wide) is wide
     assert fan_out(wide) is wide
+
+
+def test_round3_operator_plans_are_scale_safe(spark, sf_dir):
+    """The new operators' physical plans must keep their scale story:
+    no cartesian products or nested-loop joins anywhere, and the
+    top-k cuts plan as TakeOrderedAndProject."""
+    from lazy_frame_spark.parity import REGISTRY
+    from lazy_frame_spark.plans import audit
+
+    for name in ["dedup_ngram_spans", "events_funnel", "decontam_bloom",
+                 "graph_triangles", "vocab_merge_candidates",
+                 "dedup_chunk_lines", "agg_freq_items"]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = audit.executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ["search_bm25_topk", "sample_weighted"]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert audit.has_take_ordered(df), name

@@ -302,3 +302,32 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
     # the 08:00 window finalized with ONE event, emitted exactly once;
     # the late 08:40 arrival neither joined it nor resurrected it
     assert rows == [(datetime(2024, 1, 1, 8, 0), 1)]
+
+
+def test_stream_quality_gate_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The composite quality gate is a pure map-only select, so the SAME
+    call runs unchanged on an append-mode stream and keeps exactly the
+    documents the batch path keeps — streaming ingest can gate at the
+    edge with zero state."""
+    from lazy_frame_spark.operators import text as tx
+    from lazy_frame_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want_df = tx.quality_gate(docs)
+    keep_col = next(c for c in want_df.columns if "keep" in c or "pass" in c)
+    want = sorted(
+        r["doc_id"] for r in want_df.filter(F.col(keep_col)).select("doc_id").collect()
+    )
+
+    d = str(tmp_path_factory.mktemp("gate_stream"))
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    gated = tx.quality_gate(stream).filter(F.col(keep_col))
+    assert gated.isStreaming
+    run_stream_to_memory(gated.select("doc_id"), "t_gate", output_mode="append")
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM t_gate").collect())
+    assert got == want
