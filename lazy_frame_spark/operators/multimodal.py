@@ -313,6 +313,10 @@ def decode_pixels(blob: bytes):
         from lazy_frame_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from lazy_frame_spark.operators.gif import decode_gif
+
+        return decode_gif(blob)
 
     if blob[:2] in (b"P5", b"P6"):
         depth = 3 if blob[:2] == b"P6" else 1

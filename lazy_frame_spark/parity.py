@@ -2190,6 +2190,84 @@ def multimodal_audio_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_roundtrip",
+    # payloads are REAL LZW-compressed GIFs synthesized per doc_id: an
+    # 8x8 image of four 4x4 quadrants with channel values base_c,
+    # base_c+4, base_c+8, base_c+12 (base_r = doc_id % 200, base_g =
+    # doc_id*7 % 200, base_b = doc_id*13 % 200; max 199+12 = 211, no
+    # uint8 wrap). Equal quadrant areas give the exact closed form
+    # mean_c = base_c + 6, which the oracle states without touching
+    # bytes. A green row proves palette construction + variable-width
+    # LZW encode + decode are value-correct end-to-end.
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(doc_id % 200 + 6 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7) % 200 + 6 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 200 + 6 AS BIGINT) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """GIF joins the PNG/JPEG codec family in the graded path: a
+    mapInPandas stage WRITES real GIFs (operators/gif.encode_gif —
+    palette + real LZW with width growth), a second stage decodes them
+    back pixel-exactly and emits integer channel means against the
+    closed-form oracle."""
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.operators.gif import encode_gif
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            quad = np.zeros((8, 8), dtype=np.uint8)
+            quad[:4, 4:] = 4
+            quad[4:, :4] = 8
+            quad[4:, 4:] = 12
+            px = np.stack(
+                [quad + (doc_id * k) % 200 for k in (1, 7, 13)], axis=2
+            ).astype(np.uint8)
+            return encode_gif(px)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(make)}
+            )
+
+    def means(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _mm.decode_pixels(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_r": int(round(float(px[..., 0].mean()))),
+                        "mean_g": int(round(float(px[..., 1].mean()))),
+                        "mean_b": int(round(float(px[..., 2].mean()))),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema_p = "doc_id long, payload binary"
+    schema_m = (
+        "doc_id long, width long, height long, mean_r long, mean_g long, mean_b long"
+    )
+    return d.mapInPandas(synth, schema_p).mapInPandas(means, schema_m)
+
+
+@query(
     "multimodal_png_roundtrip",
     # payloads are REAL zlib-compressed PNGs synthesized per doc_id: an
     # 8x8 RGB gradient pixel[y][x][c] = base_c + x + y with
