@@ -506,3 +506,53 @@ def frame_sample_plan(
     id (a real pipeline samples frames inside the decode UDF; the
     *selection* logic stays a pushdown-friendly JVM predicate)."""
     return df.filter(F.pmod(F.col(id_col), F.lit(every_n)) == 0)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.LongType()),
+        T.StructField("dominant_hz", T.LongType()),
+        T.StructField("centroid_hz10", T.LongType()),
+    ]
+)
+
+
+def audio_spectral_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """FFT feature extraction over decoded WAV payloads: the dominant
+    frequency (argmax rFFT bin, exact for bin-aligned tones) and the
+    spectral centroid rounded to 10 Hz (the magnitude-weighted mean
+    frequency — the standard audio-quality / content feature). DC is
+    excluded from both so constant offsets don't masquerade as signal.
+
+    numpy's rfft inside ``mapInPandas`` — compute-bound per payload,
+    parallel across Arrow batches, no shuffle."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, rate = decode_wav(bytes(payload))
+                mono = x.mean(axis=1)
+                mag = np.abs(np.fft.rfft(mono))
+                mag[0] = 0.0  # drop DC
+                freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+                dom = int(round(freqs[int(mag.argmax())]))
+                total = float(mag.sum())
+                cen = float((freqs * mag).sum() / total) if total > 0 else 0.0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "rate": int(rate),
+                        "dominant_hz": dom,
+                        "centroid_hz10": int((cen + 5.0) // 10.0) * 10,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SPECTRAL_SCHEMA])
+
+    return df.mapInPandas(extract, SPECTRAL_SCHEMA)

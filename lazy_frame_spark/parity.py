@@ -2190,6 +2190,60 @@ def multimodal_audio_decode(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_spectral",
+    # payloads are pure sine tones at f = 250*((doc_id % 8)+1) Hz,
+    # 800 samples at 8 kHz → bin spacing 10 Hz, every tone exactly
+    # bin-aligned: the rFFT concentrates on one bin, so the dominant
+    # frequency is exactly f and the spectral centroid (magnitude-
+    # weighted mean frequency, DC excluded) rounds to f at 10 Hz
+    # granularity — int16 quantization noise shifts it < 1 Hz.
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(250 * ((doc_id % 8) + 1) AS BIGINT) AS dominant_hz,
+           CAST(250 * ((doc_id % 8) + 1) AS BIGINT) AS centroid_hz10
+    FROM documents
+    """,
+)
+def multimodal_audio_spectral(spark, sf_dir):
+    """FFT feature extraction in the graded path (operators/multimodal
+    .audio_spectral_features): synthesized sine WAVs decode through the
+    sample-accurate PCM path, numpy rFFT yields dominant frequency and
+    spectral centroid, checked against the closed-form tone math."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def make(doc_id: int) -> bytes:
+            f = 250 * ((doc_id % 8) + 1)
+            t = np.arange(800) / 8000.0
+            x = np.round(16384 * np.sin(2 * np.pi * f * t)).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(x.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(make)}
+            )
+
+    blobs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return _mm.audio_spectral_features(blobs)
+
+
+@query(
     "multimodal_gif_roundtrip",
     # payloads are REAL LZW-compressed GIFs synthesized per doc_id: an
     # 8x8 image of four 4x4 quadrants with channel values base_c,

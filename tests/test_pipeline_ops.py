@@ -1247,3 +1247,32 @@ def test_hard_negatives_plan_broadcasts_anchors(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_spectral_features_pure_and_mixed_tones(spark):
+    """A bin-aligned pure tone's dominant bin is exact; a two-tone mix's
+    centroid lands between the tones, weighted by amplitude."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_of(x):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.round(x).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    t = np.arange(800) / 8000.0
+    pure = wav_of(16384 * np.sin(2 * np.pi * 500 * t))
+    # 1000 Hz at 3x the amplitude of 2000 Hz -> centroid = 1250 Hz
+    mix = wav_of(12000 * np.sin(2 * np.pi * 1000 * t) + 4000 * np.sin(2 * np.pi * 2000 * t))
+    df = spark.createDataFrame([(1, pure), (2, mix)], "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.audio_spectral_features(df).collect()}
+    assert got[1]["dominant_hz"] == 500
+    assert got[1]["centroid_hz10"] == 500
+    assert got[2]["dominant_hz"] == 1000
+    assert got[2]["centroid_hz10"] == 1250
