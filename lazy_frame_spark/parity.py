@@ -3630,6 +3630,82 @@ def join_q10_returned_topk(spark, sf_dir):
 
 
 @query(
+    "join_q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def join_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional (CASE-in-SUM) aggregation over a
+    fact join — both branch counts come out of ONE partial-aggregated
+    pass, the date filter pushes to the lineitem scan, and orders joins
+    on the fact key."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_SINK_ORACLE_SQL = """
+    SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'N'
+    """
+
+
+@query("sink_roundtrip_orc", oracle=_SINK_ORACLE_SQL)
+def sink_roundtrip_orc(spark, sf_dir):
+    """ORC sink + source round-trip — same contract as the parquet
+    sink_roundtrip, through the ORC writer/reader pair."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lfs_sink_orc_{tag}"
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+        "overwrite"
+    ).orc(out)
+    return spark.read.orc(out)
+
+
+@query("sink_roundtrip_csv_gz", oracle=_SINK_ORACLE_SQL)
+def sink_roundtrip_csv_gz(spark, sf_dir):
+    """Gzip CSV sink + source round-trip: write compressed CSV with a
+    header, read back through the engine's CSV source with explicit
+    schema — values survive the text round-trip exactly (l_quantity is
+    integral-valued in the synthetic data)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lfs_sink_csvgz_{tag}"
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+        "overwrite"
+    ).option("header", True).option("compression", "gzip").csv(out)
+    return (
+        spark.read.option("header", True)
+        .schema("l_orderkey long, l_quantity double, l_returnflag string")
+        .csv(out)
+    )
+
+
+@query(
     "agg_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
