@@ -3669,6 +3669,29 @@ _SINK_ORACLE_SQL = """
     """
 
 
+@query("sink_compacted_roundtrip", oracle=_SINK_ORACLE_SQL)
+def sink_compacted_roundtrip(spark, sf_dir):
+    """Small-file compaction in the graded path (sources/parquet
+    .compact_parquet): a deliberately fragmented write (24 files)
+    compacts in place to target-sized files via one metadata sum + one
+    rewrite pass, with the data value-identical afterwards — the
+    maintenance op that keeps a long-lived table's per-file overhead
+    from dominating scans."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources.parquet import compact_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lfs_compact_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").repartition(24).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return compact_parquet(spark, out, target_mb=128)
+
+
 @query("sink_roundtrip_orc", oracle=_SINK_ORACLE_SQL)
 def sink_roundtrip_orc(spark, sf_dir):
     """ORC sink + source round-trip — same contract as the parquet

@@ -61,3 +61,47 @@ def write_bucketed_table(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    out_path: str | None = None,
+) -> "DataFrame":
+    """Small-file compaction — the maintenance pass every long-lived
+    100 TB table needs: streaming ingest and per-partition writes leave
+    thousands of KB-sized files whose per-file open/footer/task overhead
+    eventually dominates scans. Rewrite the table into files sized near
+    ``target_mb`` (computed from the CURRENT on-disk byte size, a pure
+    metadata sum — no data scan before the single rewrite pass).
+
+    In-place compaction writes to a temp sibling then swaps, so a
+    failure mid-rewrite never leaves the table truncated. Returns the
+    compacted frame."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    total = 0
+    for uri in files:
+        p = uri[7:] if uri.startswith("file://") else uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    swap = out_path is None
+    dest = f"{path.rstrip('/')}" + "__compact_tmp" if swap else out_path
+    df.repartition(n_out).write.mode("overwrite").parquet(dest)
+    if swap:
+        final = path.rstrip("/")
+        backup = final + "__compact_old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(final, backup)
+        os.rename(dest, final)
+        shutil.rmtree(backup, ignore_errors=True)
+        dest = final
+    return spark.read.parquet(dest)

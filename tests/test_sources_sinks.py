@@ -125,3 +125,63 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     lf = LazyFrame.open(spark, out, format="json")
     assert lf.nrow() == df.count()
     assert set(lf.names()) == set(df.columns)
+
+
+def test_compact_parquet_in_place_preserves_data(spark, sf_dir, tmp_path):
+    from lazy_frame_spark.sources.parquet import compact_parquet
+
+    out = str(tmp_path / "frag")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.repartition(37).write.parquet(out)
+    import os
+
+    before_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(before_files) == 37
+    want = li.groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+
+    got_df = compact_parquet(spark, out, target_mb=128)
+    after_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(after_files) == 1  # tiny table compacts to one file
+    got = got_df.groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+    # no temp/backup residue
+    parent = os.path.dirname(out)
+    assert not [d for d in os.listdir(parent) if "compact" in d]
+
+
+def test_compact_parquet_to_out_path(spark, sf_dir, tmp_path):
+    from lazy_frame_spark.sources.parquet import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500)
+    li.repartition(11).write.parquet(src)
+    got = compact_parquet(spark, src, target_mb=64, out_path=dst)
+    assert got.count() == 500
+    import os
+
+    assert os.path.isdir(src) and os.path.isdir(dst)
+
+
+def test_merge_schema_read_unions_columns(spark, tmp_path):
+    """Schema evolution on read: two parquet batches with different
+    columns union under mergeSchema; the missing column is null."""
+    d = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(f"{d}/b1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.parquet(f"{d}/b2")
+    got = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(d)
+    )
+    assert set(got.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
