@@ -3692,6 +3692,84 @@ def sink_compacted_roundtrip(spark, sf_dir):
     return compact_parquet(spark, out, target_mb=128)
 
 
+@query("sink_roundtrip_jsonl", oracle=_SINK_ORACLE_SQL)
+def sink_roundtrip_jsonl(spark, sf_dir):
+    """JSON-lines sink + source round-trip: the interchange format every
+    corpus pipeline ingests from; values survive the text round-trip
+    exactly (longs, integral doubles, strings)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lfs_sink_jsonl_{tag}"
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+        "overwrite"
+    ).json(out)
+    return spark.read.schema(
+        "l_orderkey long, l_quantity double, l_returnflag string"
+    ).json(out)
+
+
+@query(
+    "agg_robust_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 2) AS median_price,
+           ROUND(median(abs(l_extendedprice - m)), 2) AS mad_price
+    FROM lineitem JOIN (
+      SELECT l_returnflag AS rf, median(l_extendedprice) AS m
+      FROM lineitem GROUP BY 1) ON l_returnflag = rf
+    GROUP BY l_returnflag
+    """,
+)
+def agg_robust_stats(spark, sf_dir):
+    """Robust per-group statistics: exact median and median absolute
+    deviation — two grouped exact-percentile passes with the per-group
+    median broadcast back between them (the MAD needs |x − median| per
+    row, so one re-scan is irreducible; both aggregations are partial-
+    combined)."""
+    li = _table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), li["l_returnflag"] == med["rf"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 2
+            ).alias("mad_price"),
+        )
+    )
+
+
+@query(
+    "agg_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_on_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_correlation(spark, sf_dir):
+    """Bivariate aggregates per group: Pearson correlation, sample
+    covariance, and the OLS slope — single-pass partial-combined
+    moments, no per-row Python."""
+    li = _table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 2
+        ).alias("slope_price_on_qty"),
+    )
+
+
 @query("sink_roundtrip_orc", oracle=_SINK_ORACLE_SQL)
 def sink_roundtrip_orc(spark, sf_dir):
     """ORC sink + source round-trip — same contract as the parquet
