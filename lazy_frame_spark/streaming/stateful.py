@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -94,5 +95,88 @@ def running_user_profile(events: DataFrame, idle_timeout_ms: int | None = None) 
                 if idle_timeout_ms is not None
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful streaming funnel: per user, the furthest stage reached
+    under STRICT ordering (each stage's event must be later than the
+    user's previous stage time), updated every micro-batch.
+
+    State per user is one tuple (stage_idx, t_prev_micros) — bounded by
+    user cardinality, not stream length. Within a batch the group's rows
+    sort by event time; across batches the operator is exact when
+    micro-batches arrive in event-time order (the Kafka-partition-per-
+    key deployment), and otherwise degrades exactly like any
+    order-sensitive stateful stream op would.
+
+    Output (update mode): ``(user, stage_idx, stage, t_stage)`` — the
+    user's current funnel position after the batch. Batch equivalence
+    (tests): the final row per user equals operators/funnel
+    .funnel_stage_times' deepest non-null stage.
+    """
+    n_stages = len(stages)
+    if n_stages == 0:
+        raise ValueError("stages must be non-empty")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage_idx", LongType()),
+            StructField("stage", StringType()),
+            StructField("t_stage", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("stage_idx", LongType()),
+            StructField("t_prev", LongType()),
+        ]
+    )
+
+    def update_funnel(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        idx, t_prev = state.get if state.exists else (0, -1)
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            for ts, typ in zip(
+                pdf[ts_col].astype("int64"), pdf[type_col]
+            ):
+                if idx < n_stages and typ == stages[idx] and ts > t_prev:
+                    idx += 1
+                    t_prev = int(ts)
+        state.update((idx, t_prev))
+        if idx > 0:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "stage_idx": [idx],
+                    "stage": [stages[idx - 1]],
+                    "t_stage": [t_prev],
+                }
+            )
+
+    return (
+        events.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update_funnel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

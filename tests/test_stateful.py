@@ -42,3 +42,66 @@ def test_stateful_running_profile_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got["n_events"].equals(want["n_events"])
     assert (got["total_value"] - want["total_value"]).abs().max() < 0.01
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path_factory):
+    """The stateful streaming funnel's final per-user position equals the
+    batch funnel's deepest non-null stage when micro-batches arrive in
+    event-time order (time-partitioned files, maxFilesPerTrigger=1)."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import funnel as fn
+    from lazy_frame_spark.streaming.stateful import streaming_funnel
+    from lazy_frame_spark.streaming.windows import run_stream_to_memory
+
+    stages = ["view", "click", "purchase"]
+    rows = [
+        # user 1 completes across batches
+        (1, datetime(2024, 1, 1, 9, 0), 1, "view", 0.0),
+        (2, datetime(2024, 1, 1, 9, 5), 2, "click", 0.0),   # click before view
+        (3, datetime(2024, 1, 1, 10, 0), 1, "click", 0.0),
+        (4, datetime(2024, 1, 1, 10, 5), 2, "view", 0.0),
+        (5, datetime(2024, 1, 1, 11, 0), 1, "purchase", 0.0),
+        (6, datetime(2024, 1, 1, 11, 5), 2, "purchase", 0.0),  # no click after view: stuck at stage 1
+        (7, datetime(2024, 1, 1, 11, 10), 3, "view", 0.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+
+    d = str(tmp_path_factory.mktemp("funnel_stream"))
+    import time as _time
+
+    for i, window in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        spark.createDataFrame(window, schema).coalesce(1).write.parquet(f"{d}/b{i}")
+        import os
+
+        for f in os.listdir(f"{d}/b{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/b{i}/{f}", f"{d}/b{i}_data.parquet")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    out = streaming_funnel(stream, stages)
+    assert out.isStreaming
+    run_stream_to_memory(out, "t_funnel", output_mode="update")
+    # update mode: keep each user's LAST emitted position
+    final = {
+        r["user_id"]: r["stage_idx"]
+        for r in spark.sql(
+            """SELECT user_id, stage_idx FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY t_stage DESC, stage_idx DESC) rn FROM t_funnel)
+               WHERE rn = 1"""
+        ).collect()
+    }
+    wide = fn.funnel_stage_times(batch_df, stages)
+    want = {}
+    for r in wide.collect():
+        depth = sum(1 for i in range(1, 4) if r[f"t{i}"] is not None)
+        want[r["user_id"]] = depth
+    assert final == {u: d for u, d in want.items() if d > 0}
+    assert final[1] == 3 and final[2] == 1 and final[3] == 1
