@@ -68,3 +68,96 @@ def zorder_layout(
         else out.repartitionByRange(z_col)
     )
     return out.sortWithinPartitions(z_col).drop(z_col)
+
+
+def hilbert_xy2d(x: int, y: int, bits: int) -> int:
+    """Reference Hilbert index (pure Python): canonical iterative xy→d
+    with per-level masking. Used by tests and documentation; the
+    distributed path is :func:`with_hilbert`."""
+    d = 0
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x &= s - 1
+        y &= s - 1
+    return d
+
+
+def with_hilbert(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    out_col: str = "hval",
+) -> DataFrame:
+    """Hilbert curve index over two bucketed dimensions — the
+    better-locality alternative to the Morton z-value: consecutive
+    Hilbert indices are always GRID-ADJACENT cells (no Z-shape jumps),
+    so range-partitioning files by ``hval`` gives tighter per-file
+    min-max spans on both dimensions than z-ordering at the same bits.
+
+    The canonical iterative algorithm is sequential in (x, y) state, so
+    it unrolls into ``bits`` chained projections (one ``withColumn``
+    layer per level — named columns, no expression-tree blowup); every
+    operation is shift/and/xor/arithmetic in whole-stage codegen. The
+    same unrolled form renders to SQL for the oracle
+    (parity._hilbert_sql). Caller contract matches ``z_value``:
+    non-negative ints masked to ``bits`` bits.
+    """
+    if 2 * bits > 62:
+        raise ValueError("2 x bits must fit a signed 64-bit Hilbert value")
+    mask = (1 << bits) - 1
+    out = df.withColumn(
+        "__hx__", F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask))
+    ).withColumn(
+        "__hy__", F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask))
+    ).withColumn(out_col, F.lit(0).cast("bigint"))
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = F.shiftright(F.col("__hx__"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy__"), i).bitwiseAND(F.lit(1))
+        out = out.withColumn("__rx__", rx).withColumn("__ry__", ry)
+        out = out.withColumn(
+            out_col,
+            F.col(out_col)
+            + F.lit(s * s) * (F.col("__rx__") * 3).bitwiseXOR(F.col("__ry__")),
+        )
+        flip_x = F.when(
+            F.col("__rx__") == 1, F.lit(s - 1) - F.col("__hx__")
+        ).otherwise(F.col("__hx__"))
+        flip_y = F.when(
+            F.col("__rx__") == 1, F.lit(s - 1) - F.col("__hy__")
+        ).otherwise(F.col("__hy__"))
+        new_x = F.when(F.col("__ry__") == 0, flip_y).otherwise(F.col("__hx__"))
+        new_y = F.when(F.col("__ry__") == 0, flip_x).otherwise(F.col("__hy__"))
+        out = out.withColumn("__hx2__", new_x).withColumn("__hy2__", new_y)
+        out = out.withColumn(
+            "__hx__", F.col("__hx2__").bitwiseAND(F.lit(s - 1))
+        ).withColumn("__hy__", F.col("__hy2__").bitwiseAND(F.lit(s - 1)))
+    return out.drop("__hx__", "__hy__", "__hx2__", "__hy2__", "__rx__", "__ry__")
+
+
+def hilbert_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition + sort by the Hilbert index of two bucketed
+    dimensions — same write-time contract as ``zorder_layout`` with
+    strictly better locality per file."""
+    out = with_hilbert(df, x_col, y_col, bits=bits, out_col="__h__")
+    out = (
+        out.repartitionByRange(num_partitions, "__h__")
+        if num_partitions
+        else out.repartitionByRange("__h__")
+    )
+    return out.sortWithinPartitions("__h__").drop("__h__")

@@ -1767,6 +1767,64 @@ def _zvalue_sql(cols: list[str], bits: int) -> str:
     )
 
 
+def _hilbert_sql(xe: str, ye: str, bits: int) -> tuple[str, str]:
+    """Render operators/layout.with_hilbert's unrolled iteration as a
+    DuckDB lateral-alias SELECT list; returns (select_list, final_col).
+    Identical per-level ops (shift/and/xor/flip/swap/mask), so the oracle
+    checks the Hilbert index bit-for-bit."""
+    mask = (1 << bits) - 1
+    items = [
+        f"(({xe}) & {mask}) AS hx0",
+        f"(({ye}) & {mask}) AS hy0",
+        "0 AS hd0",
+    ]
+    lvl = 0
+    for i in reversed(range(bits)):
+        s = 1 << i
+        p, q = lvl, lvl + 1
+        items += [
+            f"((hx{p} >> {i}) & 1) AS rx{q}",
+            f"((hy{p} >> {i}) & 1) AS ry{q}",
+            f"(hd{p} + {s * s} * xor(rx{q} * 3, ry{q})) AS hd{q}",
+            f"((CASE WHEN ry{q} = 0 THEN (CASE WHEN rx{q} = 1 "
+            f"THEN {s - 1} - hy{p} ELSE hy{p} END) ELSE hx{p} END) & {s - 1}) AS hx{q}",
+            f"((CASE WHEN ry{q} = 0 THEN (CASE WHEN rx{q} = 1 "
+            f"THEN {s - 1} - hx{p} ELSE hx{p} END) ELSE hy{p} END) & {s - 1}) AS hy{q}",
+        ]
+        lvl += 1
+    return ", ".join(items), f"hd{lvl}"
+
+
+_HILBERT_LIST, _HILBERT_FINAL = _hilbert_sql("event_id % 256", "user_id % 256", 8)
+
+
+@query(
+    "layout_hilbert",
+    oracle=f"""
+    SELECT event_id, CAST({_HILBERT_FINAL} AS BIGINT) AS hval
+    FROM (SELECT event_id, {_HILBERT_LIST} FROM events)
+    """,
+)
+def layout_hilbert(spark, sf_dir):
+    """Hilbert index over (event_id, user_id) buckets (operators/layout
+    .with_hilbert) — the better-locality alternative to the Morton
+    z-value: consecutive indices are always grid-adjacent cells (full-
+    grid permutation + unit-step adjacency proven in tests), so
+    range-partitioning by hval gives tighter per-file min-max spans than
+    z-order at the same bits. The canonical sequential xy→d iteration
+    unrolls into chained named projections, all shift/and/xor codegen."""
+    from lazy_frame_spark.operators.layout import with_hilbert
+
+    e = _table(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("event_id"), F.lit(256)).alias("__x__"),
+        F.pmod(F.col("user_id"), F.lit(256)).alias("__y__"),
+    )
+    return with_hilbert(e, "__x__", "__y__", bits=8, out_col="hval").select(
+        "event_id", "hval"
+    )
+
+
 @query(
     "layout_zvalue",
     oracle=f"""

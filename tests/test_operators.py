@@ -305,3 +305,71 @@ def test_triangle_count_known_graphs(spark):
     assert tri([(1, 2), (2, 3), (3, 4)]) == 0
     # star (hub): 0 triangles despite high hub degree
     assert tri([(0, i) for i in range(1, 20)]) == 0
+
+
+def test_hilbert_reference_full_grid_permutation_and_adjacency():
+    """bits=4 complete proof: all 256 cells map to a permutation of
+    0..255 and consecutive indices are Manhattan-adjacent cells — the
+    defining properties of a Hilbert curve (z-order fails the second)."""
+    from lazy_frame_spark.operators.layout import hilbert_xy2d
+
+    n = 16
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            d = hilbert_xy2d(x, y, 4)
+            assert 0 <= d < n * n and d not in seen
+            seen[d] = (x, y)
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = seen[d - 1], seen[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_matches_reference(spark):
+    import random
+
+    from lazy_frame_spark.operators.layout import hilbert_xy2d, with_hilbert
+
+    rng = random.Random(41)
+    rows = [(i, rng.randrange(256), rng.randrange(256)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["hval"]
+        for r in with_hilbert(df, "x", "y", bits=8).select("id", "hval").collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == hilbert_xy2d(x, y, 8)
+
+
+def test_hilbert_layout_tightens_file_spans(spark):
+    """Range-partitioning by the Hilbert index gives each partition a
+    bounded span in BOTH dimensions (the pruning property), unlike a
+    single-column sort which leaves the other dimension full-range."""
+    import random
+
+    from lazy_frame_spark.operators.layout import hilbert_layout
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    parts = (
+        hilbert_layout(df, "x", "y", bits=8, num_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    avg_span = sum((r["sx"] + r["sy"]) / 2 for r in parts) / len(parts)
+    assert avg_span < 128  # each dim's span well under the full 256 range
+
+
+def test_hilbert_bits_bound():
+    import pytest as _pt
+
+    from lazy_frame_spark.operators.layout import with_hilbert
+
+    with _pt.raises(ValueError):
+        with_hilbert(None, "x", "y", bits=32)
