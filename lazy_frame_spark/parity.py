@@ -4052,6 +4052,96 @@ def embedding_centroids(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# cohort retention + RFM segmentation
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, cohort_week,
+             datediff('week', cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN firstw USING (user_id))
+    SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention — the activation/retention matrix every
+    event pipeline reports: each user's cohort is their first active
+    week, activity dedups to (user, week-offset), and the matrix is one
+    count per (cohort, offset). Two user-keyed aggregations plus one
+    broadcast-scale join of the per-user cohort frame; offsets computed
+    with the same Monday-anchored week truncation in both engines."""
+    e = _table(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    act = (
+        e.join(F.broadcast(firstw), on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@query(
+    "customers_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_quartile
+    FROM base
+    """,
+)
+def customers_rfm(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles — one partial-aggregated pass to customer grain, then
+    THREE PARALLEL ntiles (operators/sorts.parallel_ntile): a bare
+    ``ntile() OVER (ORDER BY …)`` moves the whole customer frame through
+    one task, so each quartile instead comes from the value-bucketed
+    parallel rank plus the closed-form ntile formula — exact NTILE
+    semantics (oracle uses plain ntile), no single-task window at any
+    customer cardinality. Each ordering tie-breaks on custkey so
+    assignment is deterministic in both engines."""
+    from lazy_frame_spark.operators.sorts import parallel_ntile
+
+    o = _table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    out = parallel_ntile(base, 4, ["last_order", "o_custkey"], "r_quartile")
+    out = parallel_ntile(out, 4, ["frequency", "o_custkey"], "f_quartile")
+    out = parallel_ntile(out, 4, ["monetary", "o_custkey"], "m_quartile")
+    return out.select(
+        "o_custkey", "frequency", "monetary",
+        "r_quartile", "f_quartile", "m_quartile",
+    )
+
+
+# --------------------------------------------------------------------- #
 # rolling time-range window + weighted sampling
 # --------------------------------------------------------------------- #
 

@@ -373,3 +373,27 @@ def test_hilbert_bits_bound():
 
     with _pt.raises(ValueError):
         with_hilbert(None, "x", "y", bits=32)
+
+
+def test_parallel_ntile_matches_sql_ntile(spark):
+    """Exact NTILE semantics from the closed-form rank formula, across
+    sizes with remainders and the degenerate n < tiles case."""
+    from pyspark.sql.window import Window
+
+    from lazy_frame_spark.operators.sorts import parallel_ntile
+
+    for n, tiles in [(1500, 4), (1001, 4), (7, 3), (2, 5), (100, 7)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 37 % 1000).alias("v")
+        )
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(tiles).over(Window.orderBy("v", "id")).alias("t")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in parallel_ntile(df, tiles, ["v", "id"], "t").collect()
+        }
+        assert got == want, (n, tiles)
