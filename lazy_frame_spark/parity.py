@@ -4051,6 +4051,41 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@query(
+    "lf_footer_stats",
+    # the oracle computes the same three numbers by SCANNING the data;
+    # the engine answers from parquet footer metadata alone (no job) —
+    # a green row proves the metadata path tells the truth.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    """,
+)
+def lf_footer_stats(spark, sf_dir):
+    """Metadata-only table stats (rowid.parquet_footer_stats): row count
+    and key min/max read from parquet footers driver-side — zero data
+    scan, zero Spark jobs. The instant answer to the reference's
+    'open then dim()' question, and the same footer machinery that
+    seeds the positional-id bucket bounds. Falls back to a real scan on
+    non-parquet sources (exercised in tests)."""
+    from lazy_frame_spark.rowid import parquet_footer_stats
+
+    li = _table(spark, sf_dir, "lineitem")
+    stats = parquet_footer_stats(li, "l_orderkey")
+    if stats is None:  # non-parquet fallback: one aggregation scan
+        return li.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("min_key"),
+            F.max("l_orderkey").cast("bigint").alias("max_key"),
+        )
+    n, lo, hi = stats
+    return spark.createDataFrame(
+        [(int(n), int(lo), int(hi))], "n_rows long, min_key long, max_key long"
+    )
+
+
 # --------------------------------------------------------------------- #
 # cohort retention + RFM segmentation
 # --------------------------------------------------------------------- #

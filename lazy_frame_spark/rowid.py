@@ -381,3 +381,49 @@ def _with_partition_offset_ids(df: DataFrame, col: str) -> DataFrame:
         )
         .drop(mid, pid, "__mn__", "__off__")
     )
+
+
+def parquet_footer_stats(df: DataFrame, col: str):
+    """(n_rows, min, max) of a parquet-backed frame from FOOTER METADATA
+    ONLY — no data scan, no job: every row group contributes its row
+    count and column min/max statistics, read driver-side with pyarrow.
+    The metadata answer to "how big is this table and what's the key
+    range", the same question the reference answers by maintaining its
+    newline index (``src/lazy.frame.c``) — here it is free because the
+    format already carries it.
+
+    Returns None when the frame is not a clean parquet scan or any row
+    group lacks statistics (caller falls back to a data scan). Raw
+    min/max values are returned as stored (int/float/date/bytes), NOT
+    the bucketing surrogate."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    files = [f for f in files if not f.rsplit("/", 1)[-1].startswith("_")]
+    if not files or not all(f.endswith((".parquet", ".parq")) for f in files):
+        return None
+    n_rows, lo, hi = 0, None, None
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        if col not in names:
+            return None
+        ci = names[col]
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            n_rows += rg.num_rows
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+    return n_rows, lo, hi

@@ -199,3 +199,25 @@ def test_string_surrogate_python_matches_sql(spark):
     sql_side = [r["s"] for r in got]
     py_side = [_surrogate_value(v, T.StringType()) for v in vals]
     assert sql_side == py_side
+
+
+def test_parquet_footer_stats_match_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.rowid import parquet_footer_stats
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n, lo, hi = parquet_footer_stats(df, "o_orderkey")
+    want = df.agg(
+        F.count("*").alias("n"), F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    assert (n, lo, hi) == (want["n"], want["lo"], want["hi"])
+
+
+def test_parquet_footer_stats_none_for_non_parquet(spark, tmp_path):
+    from lazy_frame_spark.rowid import parquet_footer_stats
+
+    p = tmp_path / "x.csv"
+    p.write_text("a\n1\n2\n")
+    df = spark.read.option("header", True).csv(str(p))
+    assert parquet_footer_stats(df, "a") is None
