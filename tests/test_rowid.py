@@ -100,13 +100,28 @@ def test_string_leading_key_exact_ids(spark):
 
 
 def test_ordered_ids_plan_is_single_scan(spark, sf_dir):
-    """Bucket offsets are plan literals: the ranked plan must contain no
-    join and exactly one window (no second in-plan counts branch)."""
-    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    out = with_row_ids(df, order_by=["o_orderkey"])
+    """Bucket offsets are plan literals: the RANK path's plan must
+    contain no join and exactly one window (no second in-plan counts
+    branch). Uses lineitem — unsorted in the synthetic data, so the
+    sorted fast path declines and the rank path is what plans."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_shipdate"]
+    out = with_row_ids(df, order_by=keys)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_sorted_table_plans_zero_shuffle_ids(spark, sf_dir):
+    """orders IS key-sorted in the synthetic data: the enumeration takes
+    the sorted fast path — NO window, NO exchange of the data (only the
+    tiny per-partition stats agg + broadcast join)."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = with_row_ids(df, order_by=["o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "__lfs_mid__" in plan  # partition-offset enumeration
 
 
 def test_footer_bounds_ids_identical_to_quantile_path(spark, sf_dir):
@@ -221,3 +236,78 @@ def test_parquet_footer_stats_none_for_non_parquet(spark, tmp_path):
     p.write_text("a\n1\n2\n")
     df = spark.read.option("header", True).csv(str(p))
     assert parquet_footer_stats(df, "a") is None
+
+
+def test_sorted_fast_path_ids_match_rank_path(spark, sf_dir, tmp_path):
+    """A key-sorted parquet table takes the zero-shuffle fast path and
+    yields EXACTLY the ids the rank path yields."""
+    from lazy_frame_spark import rowid as R
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = str(tmp_path / "sorted_orders")
+    src.orderBy("o_orderkey").coalesce(4).write.parquet(p)
+    # re-split into several files while preserving global order
+    d = spark.read.parquet(p)
+    assert R.footer_sorted_candidate(d, "o_orderkey") in (True, False)
+    fast = R.sorted_fast_path_ids(d, ["o_orderkey"])
+    assert fast is not None, "sorted table must take the fast path"
+    slow, _ = R.enumerate_rows(d, order_by=["o_orderkey"], cache=False)
+    import pyspark.sql.functions as F
+
+    joined = fast.withColumnRenamed(R.ROW_ID, "fast_id").join(
+        slow.withColumnRenamed(R.ROW_ID, "slow_id").select("o_orderkey", "slow_id"),
+        on="o_orderkey",
+    )
+    assert joined.filter(F.col("fast_id") != F.col("slow_id")).count() == 0
+    assert fast.count() == d.count()
+
+
+def test_unsorted_table_rejected(spark, sf_dir, tmp_path):
+    """Multi-file random data fails the FREE footer pre-check (zero
+    scans); a single-row-group random table passes it vacuously but the
+    verify scan still declines — either way, no wrong ids."""
+    from lazy_frame_spark import rowid as R
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = str(tmp_path / "unsorted_multi")
+    src.repartition(4).write.parquet(p)  # 4 overlapping-range files
+    assert R.footer_sorted_candidate(spark.read.parquet(p), "l_orderkey") is False
+    # single-row-group source: pre-check is vacuous, verify scan rejects
+    assert R.sorted_fast_path_ids(src, ["l_orderkey", "l_linenumber",
+                                        "l_partkey", "l_suppkey",
+                                        "l_extendedprice", "l_shipdate"]) is None
+
+
+def test_duplicate_keys_force_fallback(spark, tmp_path):
+    """Strictness: duplicated composite keys make in-tie rank assignment
+    arbitrary, so the fast path must decline."""
+    from lazy_frame_spark import rowid as R
+
+    p = str(tmp_path / "dups")
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "k long"
+    ).coalesce(1).write.parquet(p)
+    d = spark.read.parquet(p)
+    assert R.sorted_fast_path_ids(d, ["k"]) is None
+
+
+def test_enumerate_rows_via_fast_path_end_to_end(spark, sf_dir, tmp_path):
+    """enumerate_rows transparently takes the fast path on sorted input:
+    max id == row count and ids are 1..n dense."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark import rowid as R
+
+    p = str(tmp_path / "sorted_li")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy(
+        "o_orderkey"
+    ).coalesce(3).write.parquet(p)
+    d = spark.read.parquet(p)
+    out, handle = R.enumerate_rows(d, order_by=["o_orderkey"], cache=True)
+    n = d.count()
+    agg = out.agg(
+        F.max(R.ROW_ID).alias("mx"), F.count_distinct(R.ROW_ID).alias("nd")
+    ).collect()[0]
+    assert (agg["mx"], agg["nd"]) == (n, n)
+    if handle is not None:
+        handle.unpersist()
