@@ -4051,6 +4051,51 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+_SORTED_OPEN_HANDLE: dict = {}
+
+
+@query(
+    "lf_open_enumerate_sorted",
+    oracle="SELECT COUNT(*) AS max_row_id FROM lineitem",
+)
+def lf_open_enumerate_sorted(spark, sf_dir):
+    """The open/index-build cost on a KEY-SORTED table — the sorted-input
+    fast path (rowid.sorted_fast_path_ids): footer pre-check + head
+    gate + one narrow verify pass, then zero-shuffle partition-offset
+    ids. The sorted copy is written once per sf_dir (ingest cost, not
+    open cost — the reference's benchmark likewise excludes file
+    creation); the timed work is verify + enumerate + cache."""
+    import hashlib
+    import os
+
+    from lazy_frame_spark.rowid import enumerate_rows
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/lfs_sorted_li_{tag}"
+    if not os.path.isdir(path):
+        (
+            _table(spark, sf_dir, "lineitem")
+            .orderBy(*TABLE_KEYS["lineitem"])
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    d = spark.read.parquet(path)
+    df, handle = enumerate_rows(
+        d, order_by=list(TABLE_KEYS["lineitem"]), cache=True
+    )
+    # replace (and release) the previous run's cache so repeated calls
+    # measure a fresh build instead of accumulating persisted frames
+    prev = _SORTED_OPEN_HANDLE.pop("h", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    if handle is not None:
+        _SORTED_OPEN_HANDLE["h"] = handle
+    return df.agg(F.max(ROW_ID).alias("max_row_id"))
+
+
 @query(
     "lf_footer_stats",
     # the oracle computes the same three numbers by SCANNING the data;
