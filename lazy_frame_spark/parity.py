@@ -4051,6 +4051,89 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH c AS (
+      SELECT * FROM (VALUES
+        ('spring', TIMESTAMP '1996-03-01', TIMESTAMP '1996-05-01'),
+        ('summer', TIMESTAMP '1996-06-01', TIMESTAMP '1996-09-01'),
+        ('fall',   TIMESTAMP '1996-08-15', TIMESTAMP '1996-11-01'),
+        ('winter', TIMESTAMP '1996-12-01', TIMESTAMP '1997-02-01'))
+        AS t(campaign, c_start, c_end))
+    SELECT campaign, CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN c
+      ON o_orderdate < c_end AND o_orderdate + INTERVAL 7 DAY > c_start
+    GROUP BY campaign
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join: each order's 7-day fulfillment window
+    [orderdate, orderdate+7d) against overlapping campaign windows —
+    the interval×interval predicate (start < other_end AND end >
+    other_start), distinct from the point-in-band range join. The
+    campaign side is a literal broadcast frame, so the non-equi
+    condition evaluates map-side against every order exactly once per
+    campaign — no shuffle of the fact table, no nested loop over
+    anything bigger than the 4-row build side."""
+    campaigns = spark.createDataFrame(
+        [
+            ("spring", "1996-03-01", "1996-05-01"),
+            ("summer", "1996-06-01", "1996-09-01"),
+            ("fall", "1996-08-15", "1996-11-01"),
+            ("winter", "1996-12-01", "1997-02-01"),
+        ],
+        "campaign string, c_start string, c_end string",
+    ).select(
+        "campaign",
+        F.col("c_start").cast("timestamp").alias("c_start"),
+        F.col("c_end").cast("timestamp").alias("c_end"),
+    )
+    o = _table(spark, sf_dir, "orders")
+    cond = (F.col("o_orderdate") < F.col("c_end")) & (
+        F.col("o_orderdate") + F.expr("INTERVAL 7 DAY") > F.col("c_start")
+    )
+    return (
+        o.join(F.broadcast(campaigns), cond)
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "scalar_bitwise_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS band,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS x,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt,
+           CAST(o_orderkey | 4096 AS BIGINT) AS orr
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_bitwise_battery(spark, sf_dir):
+    """Bitwise scalar surface — and/or/xor/shifts/popcount, the exact
+    primitives the SimHash, Bloom, Z-order, and Hilbert operators are
+    built from, value-checked directly."""
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("x"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.bit_count(k).cast("bigint").alias("popcnt"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("orr"),
+    )
+
+
 _SORTED_OPEN_HANDLE: dict = {}
 
 
