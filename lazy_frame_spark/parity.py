@@ -3770,14 +3770,22 @@ def sink_roundtrip_jsonl(spark, sf_dir):
 
 @query(
     "agg_robust_stats",
+    # exact-integer domain: prices are integral cents, so the median of
+    # an even-count group lands on a half-cent — reported ×2 so every
+    # value is an exact integer in BOTH engines (raw-double rounding at
+    # .xx5 boundaries is the one documented Spark/DuckDB divergence;
+    # see the cross-engine conventions note at the end of this file).
     oracle="""
-    SELECT l_returnflag,
-           ROUND(median(l_extendedprice), 2) AS median_price,
-           ROUND(median(abs(l_extendedprice - m)), 2) AS mad_price
-    FROM lineitem JOIN (
-      SELECT l_returnflag AS rf, median(l_extendedprice) AS m
-      FROM lineitem GROUP BY 1) ON l_returnflag = rf
-    GROUP BY l_returnflag
+    WITH c AS (
+      SELECT l_returnflag, round(l_extendedprice * 100) AS cents FROM lineitem),
+    m AS (
+      SELECT l_returnflag, CAST(round(2 * median(cents)) AS BIGINT) AS med_cents_x2
+      FROM c GROUP BY l_returnflag)
+    SELECT c.l_returnflag, med_cents_x2,
+           CAST(round(2 * median(abs(2 * cents - med_cents_x2))) AS BIGINT)
+             AS mad_cents_x4
+    FROM c JOIN m ON c.l_returnflag = m.l_returnflag
+    GROUP BY c.l_returnflag, med_cents_x2
     """,
 )
 def agg_robust_stats(spark, sf_dir):
@@ -3785,20 +3793,27 @@ def agg_robust_stats(spark, sf_dir):
     deviation — two grouped exact-percentile passes with the per-group
     median broadcast back between them (the MAD needs |x − median| per
     row, so one re-scan is irreducible; both aggregations are partial-
-    combined)."""
-    li = _table(spark, sf_dir, "lineitem")
+    combined). Values are exact integers (cents ×2 / ×4): even-count
+    medians interpolate to half-cents, and the doubled domain keeps the
+    result engine-exact instead of rounding a raw double at a .xx5
+    boundary."""
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100).alias("cents")
+    )
     med = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+        F.round(2 * F.expr("percentile(cents, 0.5)"))
+        .cast("bigint")
+        .alias("med_cents_x2")
     )
     return (
         li.join(F.broadcast(med), li["l_returnflag"] == med["rf"])
-        .groupBy("l_returnflag")
+        .groupBy("l_returnflag", "med_cents_x2")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
             F.round(
-                F.expr("percentile(abs(l_extendedprice - m), 0.5)"), 2
-            ).alias("mad_price"),
+                2 * F.expr("percentile(abs(2 * cents - med_cents_x2), 0.5)")
+            ).cast("bigint").alias("mad_cents_x4")
         )
+        .select("l_returnflag", "med_cents_x2", "mad_cents_x4")
     )
 
 
