@@ -187,3 +187,47 @@ def test_funnel_matches_bruteforce(spark, events):
         for r in fn.funnel_counts(df, stages).collect()
     }
     assert [got[i + 1] for i in range(3)] == expected
+
+
+# --------------------------------------------------------------------- #
+# chunk-grain dedup vs brute force
+# --------------------------------------------------------------------- #
+
+def _brute_chunk_dedup(docs, k):
+    seen = {}
+    for doc_id, text in sorted(docs):
+        ws = text.split()
+        starts = range(0, max(len(ws), 1), k)
+        for ci, s0 in enumerate(starts):
+            chunk = " ".join(ws[s0:s0 + k])
+            key = chunk
+            pk = doc_id * 100000 + ci
+            if key not in seen or pk < seen[key]:
+                seen[key] = pk
+    out = {}
+    for doc_id, text in docs:
+        ws = text.split()
+        kept = []
+        for ci, s0 in enumerate(range(0, max(len(ws), 1), k)):
+            chunk = " ".join(ws[s0:s0 + k])
+            if seen.get(chunk) == doc_id * 100000 + ci:
+                kept.append(chunk)
+        out[doc_id] = " ".join(kept)
+    return out
+
+
+chunk_words = st.sampled_from(["a", "b", "c"])
+chunk_doc = st.lists(chunk_words, min_size=1, max_size=12).map(" ".join)
+
+
+@SETTINGS
+@given(texts=st.lists(chunk_doc, min_size=1, max_size=4))
+def test_chunk_dedup_matches_bruteforce(spark, texts):
+    from lazy_frame_spark.operators import dedup as dd
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"] for r in dd.chunk_dedup(df, chunk_tokens=3).collect()
+    }
+    assert got == _brute_chunk_dedup(docs, 3)
