@@ -1,0 +1,143 @@
+"""Mergeable sketch columns: HyperLogLog, theta, and KLL sketches as
+first-class binary columns.
+
+The pattern that makes 100 TB incremental analytics tractable: aggregate
+each ingest grain (day / file / partition) ONCE into a tiny mergeable
+sketch, store the sketches, and answer rollup queries by merging
+sketches — never rescanning raw data. A year of per-day per-key HLL
+sketches is megabytes; the raw events they summarize are terabytes.
+Spark 4 ships Apache DataSketches-backed aggregates for all three
+families, entirely JVM-side (no Python in the loop):
+
+- **HLL** (``hll_sketch_agg`` / ``hll_union_agg``): distinct counts.
+  Register-wise union is lossless — merging partials yields bit-for-bit
+  the sketch of the union, so partial-then-merge ≡ one-shot.
+- **Theta** (``theta_sketch_agg`` + ``theta_union`` / ``_intersection``
+  / ``_difference``): distinct counts under SET ALGEBRA — the only
+  sketch family here that answers "how many users did A AND B" from
+  per-segment partials. Exact below ~4096 retained hashes (exact mode),
+  tightly bounded above.
+- **KLL** (``kll_sketch_agg_double`` + pairwise ``kll_sketch_merge``):
+  mergeable quantiles with a ~1.65 % normalized rank-error guarantee at
+  the default k=200.
+
+Reference parity note: north-star scope — the reference
+(bwlewis/lazy.frame) computes no statistics at all (``summary()`` is
+stubbed, ``R/lazy.frame.R:186-190``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_SKETCH = "hll_sketch"
+THETA_SKETCH = "theta_sketch"
+KLL_SKETCH = "kll_sketch"
+
+
+def hll_partials(
+    df: DataFrame,
+    grain: Sequence[str],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """One HLL sketch per ``grain`` group over ``col`` — the ingest-time
+    aggregate. Map-side partial aggregation collapses every partition to
+    ≤ |grain| sketch rows (each 2^lgk registers ≈ KBs) before the
+    shuffle, so the output is sized by group count, not row count."""
+    return df.groupBy(*grain).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(int(lgk))).alias(HLL_SKETCH)
+    )
+
+
+def hll_rollup(
+    partials: DataFrame,
+    keys: Sequence[str],
+    out: str = "distinct_est",
+) -> DataFrame:
+    """Merge stored partials up to ``keys`` grain and estimate. The
+    union is register-wise max — associative, commutative, lossless —
+    so any rollup hierarchy (day→month→year) gives identical estimates
+    to a one-shot sketch of the same rows."""
+    merged = partials.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(HLL_SKETCH)).alias(HLL_SKETCH)
+    )
+    return merged.withColumn(out, F.hll_sketch_estimate(F.col(HLL_SKETCH)))
+
+
+def theta_partials(
+    df: DataFrame,
+    grain: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """One theta sketch per ``grain`` group over ``col``. Unlike HLL,
+    theta partials compose under union AND intersection AND difference
+    — segment-overlap questions ("users in click ∩ view") come straight
+    from the stored partials."""
+    return df.groupBy(*grain).agg(
+        F.theta_sketch_agg(F.col(col)).alias(THETA_SKETCH)
+    )
+
+
+def theta_setops(a: Column, b: Column) -> tuple[Column, Column, Column]:
+    """(union, intersection, difference a∖b) estimate columns for two
+    theta sketch columns. Exact while both sketches are in exact mode
+    (≤ ~4096 retained hashes); bounded-error above."""
+    return (
+        F.theta_sketch_estimate(F.theta_union(a, b)),
+        F.theta_sketch_estimate(F.theta_intersection(a, b)),
+        F.theta_sketch_estimate(F.theta_difference(a, b)),
+    )
+
+
+def kll_partials(
+    df: DataFrame,
+    grain: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """One KLL(double) quantile sketch per ``grain`` group over
+    ``col``."""
+    return df.groupBy(*grain).agg(
+        F.kll_sketch_agg_double(F.col(col)).alias(KLL_SKETCH)
+    )
+
+
+def kll_merge(partials: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Merge KLL partials to ``keys`` grain (global when None). Spark
+    exposes KLL merge as a PAIRWISE scalar, not an aggregate, so the
+    rollup folds a collected sketch array: collect_list is bounded by
+    the number of PARTIALS per output group (the ingest grain count —
+    e.g. 365 day-sketches/year, KBs each), never by raw row count, so
+    the fold stays executor-side and small. Groups with one partial
+    skip the fold entirely."""
+    gb = partials.groupBy(*keys) if keys else partials.groupBy()
+    arr = gb.agg(F.collect_list(KLL_SKETCH).alias("_ks"))
+    merged = F.when(F.size("_ks") == 1, F.element_at("_ks", 1)).otherwise(
+        F.expr(
+            "aggregate(slice(_ks, 2, size(_ks) - 1), _ks[0], "
+            "(acc, x) -> kll_sketch_merge_double(acc, x))"
+        )
+    )
+    return arr.withColumn(KLL_SKETCH, merged).drop("_ks")
+
+
+def kll_quantiles(
+    merged: DataFrame,
+    probs: Sequence[float],
+    prefix: str = "q",
+) -> DataFrame:
+    """Quantile estimates (one column per prob) plus the exact stream
+    count ``n`` — KLL tracks n exactly, so ``n`` is value-checkable
+    even though the quantiles are approximate."""
+    out = merged.withColumn(
+        "n", F.kll_sketch_get_n_double(F.col(KLL_SKETCH)).cast("bigint")
+    )
+    for p in probs:
+        out = out.withColumn(
+            f"{prefix}{int(round(p * 100))}",
+            F.kll_sketch_get_quantile_double(F.col(KLL_SKETCH), F.lit(float(p))),
+        )
+    return out.drop(KLL_SKETCH)

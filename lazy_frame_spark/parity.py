@@ -5256,6 +5256,139 @@ def search_tfidf_topk(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# mergeable sketches (operators/sketches.py) — partial-then-merge
+# incremental analytics: HLL distinct rollup, theta set algebra, KLL
+# quantiles. Estimates are engine-specific, so each query value-checks
+# what IS exact (counts, exact-mode theta estimates) and reduces the
+# approximate part to an error-bound boolean mirrored as TRUE in the
+# oracle.
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "sketch_hll_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_rollup(spark, sf_dir):
+    """Incremental distinct users per event type: per-(type, day) HLL
+    partials — the stored ingest grain — merged up to type grain
+    (operators/sketches.hll_partials/hll_rollup). The estimate is
+    checked in-engine against the exact distinct count (≤ 2 % — far
+    inside HLL lgk=12 bounds); the driver value-checks the exact count
+    and the bound flag. At 100 TB the exact branch disappears and only
+    the sketch merge runs — per-day partials make the nightly rollup a
+    KB-scale job."""
+    from lazy_frame_spark.operators import sketches as _sk
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    parts = _sk.hll_partials(ev, ["event_type", "day"], "user_id")
+    est = _sk.hll_rollup(parts, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .withColumn(
+            "est_ok",
+            (
+                F.abs(F.col("distinct_est") - F.col("n_users"))
+                <= 0.02 * F.col("n_users")
+            ),
+        )
+        .select("event_type", "n_users", "est_ok")
+    )
+
+
+@query(
+    "sketch_theta_setops",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' AND value > 80
+                                    THEN user_id END) AS BIGINT) AS n_click,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' AND value > 80
+                                    THEN user_id END) AS BIGINT) AS n_view,
+           CAST(COUNT(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                    AND value > 80
+                                    THEN user_id END) AS BIGINT) AS n_union,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' AND value > 80
+                                    THEN user_id END)
+                + COUNT(DISTINCT CASE WHEN event_type = 'view' AND value > 80
+                                      THEN user_id END)
+                - COUNT(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                      AND value > 80
+                                      THEN user_id END) AS BIGINT) AS n_intersect
+    FROM events
+    """,
+)
+def sketch_theta_setops(spark, sf_dir):
+    """Set algebra on stored sketches: high-value (value > 80) click
+    users vs view users. ONE pass builds a theta partial per segment
+    (operators/sketches.theta_partials); union AND intersection
+    estimates then come from the two stored sketches with no rescan —
+    the question HLL cannot answer. In exact mode (≤ ~4096 retained
+    hashes) theta estimates are exact, so all four counts value-check
+    against DuckDB's distinct counts; at scale they degrade to tightly
+    bounded estimates while the plan stays one scan + sketch algebra."""
+    from lazy_frame_spark.operators import sketches as _sk
+
+    ev = _table(spark, sf_dir, "events").filter(
+        (F.col("value") > 80) & F.col("event_type").isin("click", "view")
+    )
+    parts = _sk.theta_partials(ev, ["event_type"], "user_id")
+    wide = parts.groupBy().pivot("event_type", ["click", "view"]).agg(
+        F.first(_sk.THETA_SKETCH)
+    )
+    uni, inter, _diff = _sk.theta_setops(F.col("click"), F.col("view"))
+    return wide.select(
+        F.theta_sketch_estimate(F.col("click")).cast("bigint").alias("n_click"),
+        F.theta_sketch_estimate(F.col("view")).cast("bigint").alias("n_view"),
+        uni.cast("bigint").alias("n_union"),
+        inter.cast("bigint").alias("n_intersect"),
+    )
+
+
+@query(
+    "sketch_kll_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events
+    """,
+)
+def sketch_kll_quantiles(spark, sf_dir):
+    """Mergeable quantiles: per-event-type KLL partials of ``value``
+    folded into one global sketch (operators/sketches.kll_partials/
+    kll_merge). KLL guarantees ~1.65 % normalized rank error at k=200;
+    the query verifies in-engine that the EXACT rank of each estimated
+    quantile lands within ±3 % of its target and value-checks the exact
+    stream count n (which KLL tracks exactly). This is the distributed
+    percentile plan for 100 TB: per-shard sketches, KB-sized merge, no
+    global sort."""
+    from lazy_frame_spark.operators import sketches as _sk
+
+    ev = _table(spark, sf_dir, "events")
+    parts = _sk.kll_partials(ev, ["event_type"], "value")
+    q = _sk.kll_quantiles(_sk.kll_merge(parts), [0.5, 0.9]).select(
+        "n", "q50", "q90"
+    )
+    total = ev.count()
+    ranks = ev.join(F.broadcast(q)).agg(
+        (F.sum((F.col("value") <= F.col("q50")).cast("long")) / total).alias("r50"),
+        (F.sum((F.col("value") <= F.col("q90")).cast("long")) / total).alias("r90"),
+        F.first("n").alias("n"),
+    )
+    return ranks.select(
+        "n",
+        (F.abs(F.col("r50") - 0.5) <= 0.03).alias("p50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.03).alias("p90_ok"),
+    )
+
+
 # ===================================================================== #
 # Registry ordering — the driver value-checks the FIRST 50 entries of
 # queries(), so the window below is curated to span every SURVEY.md §2.2

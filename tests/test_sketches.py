@@ -1,0 +1,107 @@
+"""Mergeable-sketch invariants (operators/sketches.py): partial-then-
+merge must agree with one-shot sketching, theta set algebra must be
+exact in exact mode, and KLL must track n exactly with quantiles inside
+the published rank-error bound."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from lazy_frame_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_hll_partial_merge_equals_one_shot(events):
+    """HLL union is register-wise max — lossless — so merging per-day
+    partials must give the IDENTICAL estimate to sketching all rows at
+    once (not merely a close one)."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    rolled = sk.hll_rollup(sk.hll_partials(ev, ["event_type", "day"], "user_id"),
+                           ["event_type"])
+    one_shot = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    )
+    j = rolled.join(one_shot, "event_type").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["distinct_est"] == r["est"]
+
+
+def test_hll_estimate_within_bound(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in sk.hll_rollup(
+            sk.hll_partials(events, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= 0.02 * n
+
+
+def test_theta_setops_exact_mode(events):
+    """Below ~4096 retained hashes theta sketches are exact, so the
+    set-op estimates must EQUAL the true distinct counts."""
+    ev = events.filter(
+        (F.col("value") > 80) & F.col("event_type").isin("click", "view")
+    )
+    a = [r["user_id"] for r in ev.filter(F.col("event_type") == "click")
+         .select("user_id").distinct().collect()]
+    b = [r["user_id"] for r in ev.filter(F.col("event_type") == "view")
+         .select("user_id").distinct().collect()]
+    sa, sb = set(a), set(b)
+    parts = sk.theta_partials(ev, ["event_type"], "user_id")
+    wide = parts.groupBy().pivot("event_type", ["click", "view"]).agg(
+        F.first(sk.THETA_SKETCH)
+    )
+    uni, inter, diff = sk.theta_setops(F.col("click"), F.col("view"))
+    row = wide.select(
+        uni.cast("bigint").alias("u"),
+        inter.cast("bigint").alias("i"),
+        diff.cast("bigint").alias("d"),
+    ).first()
+    assert row["u"] == len(sa | sb)
+    assert row["i"] == len(sa & sb)
+    assert row["d"] == len(sa - sb)
+
+
+def test_kll_merge_tracks_n_exactly_and_bounds_rank(events):
+    parts = sk.kll_partials(events, ["event_type"], "value")
+    q = sk.kll_quantiles(sk.kll_merge(parts), [0.5, 0.9]).first()
+    total = events.count()
+    assert q["n"] == total
+    for prob, col in [(0.5, "q50"), (0.9, "q90")]:
+        rank = events.filter(F.col("value") <= q[col]).count() / total
+        assert abs(rank - prob) <= 0.03
+
+
+def test_kll_merge_single_group_passthrough(events):
+    """kll_merge with a single partial must skip the fold and still
+    report the right n."""
+    parts = sk.kll_partials(events.filter(F.col("event_type") == "click"),
+                            ["event_type"], "value")
+    n_click = events.filter(F.col("event_type") == "click").count()
+    q = sk.kll_quantiles(sk.kll_merge(parts), [0.5]).first()
+    assert q["n"] == n_click
+
+
+def test_kll_keyed_rollup(events):
+    """Keyed merge: fold day-grain partials up to event_type and check
+    per-type n is exact."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    parts = sk.kll_partials(ev, ["event_type", "day"], "value")
+    rolled = sk.kll_quantiles(sk.kll_merge(parts, ["event_type"]), [0.5])
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rolled.collect():
+        assert r["n"] == exact[r["event_type"]]
