@@ -5256,6 +5256,57 @@ def search_tfidf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "stream_topk_state",
+    oracle="""
+    SELECT event_type, rn AS rank, event_id, ROUND(value, 2) AS value
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """,
+)
+def stream_topk_state(spark, sf_dir):
+    """Stateful streaming top-k (streaming/stateful.running_topk)
+    executed as a REAL stream — multiple micro-batches
+    (maxFilesPerTrigger=2 over 4 files) so cross-batch state merge is
+    exercised — then reduced to the final leaderboard. Per-rank values
+    are monotone non-decreasing across batches with smaller-id ties
+    winning, so the (value desc, id asc) best emission per (key, rank)
+    IS the final state; the oracle is the batch window ranking."""
+    import hashlib
+
+    from lazy_frame_spark.streaming import stream_events
+    from lazy_frame_spark.streaming.stateful import running_topk
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/lfs_topk_events_{tag}"
+    _table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = stream_events(
+        spark, d, spark.read.parquet(d).schema, max_files_per_trigger=2
+    )
+    qname = f"t_topk_{tag}"
+    q = (
+        running_topk(stream, k=3)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, rank
+                                       ORDER BY value DESC, event_id) rn
+          FROM {qname}) WHERE rn = 1
+        """
+    )
+
+
 # --------------------------------------------------------------------- #
 # mergeable sketches (operators/sketches.py) — partial-then-merge
 # incremental analytics: HLL distinct rollup, theta set algebra, KLL

@@ -3,7 +3,11 @@ from lazy_frame_spark.streaming.sinks import (
     kafka_message_frame,
     kafka_sink_writer,
 )
-from lazy_frame_spark.streaming.stateful import running_user_profile
+from lazy_frame_spark.streaming.stateful import (
+    running_topk,
+    running_topk_tws,
+    running_user_profile,
+)
 from lazy_frame_spark.streaming.windows import (
     dedup_within_watermark,
     run_stream_to_memory,
@@ -23,6 +27,8 @@ __all__ = [
     "dedup_within_watermark",
     "run_stream_to_memory",
     "running_user_profile",
+    "running_topk",
+    "running_topk_tws",
     "ParquetUpsertSink",
     "kafka_message_frame",
     "kafka_sink_writer",

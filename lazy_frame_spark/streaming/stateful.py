@@ -99,6 +99,173 @@ def running_user_profile(events: DataFrame, idle_timeout_ms: int | None = None) 
     )
 
 
+def _topk_merge(
+    pairs: list[tuple[int, float]], k: int
+) -> list[tuple[int, float]]:
+    """Keep the k largest (value desc, id asc tie-break — deterministic
+    across engines and batch orders)."""
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    return [(int(i), float(v)) for i, v in pairs[:k]]
+
+
+def running_topk(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key running top-k leaderboard, updated every micro-batch.
+
+    State per key is at most k (id, value) pairs — bounded by k × key
+    cardinality regardless of stream length, which is what keeps an
+    unbounded "biggest events ever seen" tracker viable. Each batch
+    merges its rows with the retained k, keeps the k largest (value
+    desc, id asc tie-break), writes them back, and emits the key's
+    refreshed leaderboard (update mode).
+
+    Batch equivalent (the oracle): ``row_number() OVER (PARTITION BY key
+    ORDER BY value DESC, id)`` ≤ k. See ``running_topk_tws`` for the
+    same operator on Spark 4's successor API.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("rank", LongType()),
+            StructField(id_col, LongType()),
+            StructField(val_col, DoubleType()),
+        ]
+    )
+    from pyspark.sql.types import ArrayType
+
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update_topk(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (key_val,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, vals = state.get if state.exists else ([], [])
+        pairs = list(zip((int(i) for i in ids), (float(v) for v in vals)))
+        for pdf in batches:
+            pairs.extend(
+                zip(pdf[id_col].astype("int64"), pdf[val_col].astype("float64"))
+            )
+        top = _topk_merge(pairs, k)
+        state.update(([i for i, _ in top], [v for _, v in top]))
+        yield _pd.DataFrame(
+            {
+                key_col: [key_val] * len(top),
+                "rank": [r + 1 for r in range(len(top))],
+                id_col: [i for i, _ in top],
+                val_col: [round(v, 2) for _, v in top],
+            }
+        )
+
+    return (
+        events.select(key_col, id_col, val_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_topk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_topk_tws(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """``running_topk`` on ``transformWithStateInPandas`` — the Spark 4
+    arbitrary-state successor API (typed state handles, timers,
+    state-level TTL; requires the RocksDB state store provider). State
+    is a ListState of at most k (id, value) rows instead of the packed
+    tuple ``applyInPandasWithState`` forces.
+
+    The runtime's state-server protocol needs the ``protobuf`` package
+    on the PYTHON side; environments without it (this container) get a
+    clear ImportError here instead of an opaque worker crash mid-query.
+    Semantics are pinned to ``running_topk`` by the test suite wherever
+    protobuf IS available.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "for its state-server protocol; use running_topk "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("rank", LongType()),
+            StructField(id_col, LongType()),
+            StructField(val_col, DoubleType()),
+        ]
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._topk = handle.getListState(
+                "topk", f"{id_col} long, {val_col} double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            (key_val,) = key
+            pairs = [(int(i), float(v)) for i, v in self._topk.get()]
+            for pdf in rows:
+                pairs.extend(
+                    zip(pdf[id_col].astype("int64"), pdf[val_col].astype("float64"))
+                )
+            top = _topk_merge(pairs, k)
+            self._topk.put(top)
+            yield _pd.DataFrame(
+                {
+                    key_col: [key_val] * len(top),
+                    "rank": [r + 1 for r in range(len(top))],
+                    id_col: [i for i, _ in top],
+                    val_col: [round(v, 2) for _, v in top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key_col, id_col, val_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            TopKProcessor(),
+            outputStructType=out_schema,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
 def streaming_funnel(
     events: DataFrame,
     stages: list[str],

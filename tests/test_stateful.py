@@ -105,3 +105,107 @@ def test_streaming_funnel_matches_batch(spark, tmp_path_factory):
         want[r["user_id"]] = depth
     assert final == {u: d for u, d in want.items() if d > 0}
     assert final[1] == 3 and final[2] == 1 and final[3] == 1
+
+
+def test_running_topk_matches_batch(spark, sf_dir, tmp_path):
+    """Running top-k (applyInPandasWithState): after draining the
+    stream (2 files per trigger -> multiple batches, so cross-batch
+    state merge is exercised), the final per-key leaderboard equals
+    the batch window ranking."""
+    from lazy_frame_spark.streaming.stateful import running_topk
+
+    d = str(tmp_path / "ev_topk")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+
+    from lazy_frame_spark.streaming import stream_events
+
+    stream = stream_events(spark, d, spark.read.parquet(d).schema,
+                           max_files_per_trigger=2)
+    top = running_topk(stream, k=3)
+    q = (
+        top.writeStream.format("memory")
+        .queryName("t_topk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode emits a full leaderboard per key per batch; per-rank
+    # values are monotone non-decreasing (ties broken by smaller id,
+    # which also wins in the final merged order), so the final
+    # leaderboard row per (key, rank) is the (value desc, id asc) best.
+    got = spark.sql(
+        """
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, rank
+                                       ORDER BY value DESC, event_id) rn
+          FROM t_topk) WHERE rn = 1
+        """
+    ).toPandas().sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+    want = (
+        spark.read.parquet(d)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("event_type")
+                .orderBy(F.desc("value"), F.asc("event_id"))
+            ).cast("long"),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+        .toPandas().sort_values(["event_type", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_running_topk_tws_requires_protobuf_or_matches(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas variant either runs (protobuf
+    present: semantics must match the applyInPandasWithState one) or
+    fails fast with a clear ImportError (this container)."""
+    from lazy_frame_spark.streaming.stateful import running_topk_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        import pytest
+
+        d = str(tmp_path / "ev_tws")
+        load_table(spark, sf_dir, "events").limit(10).write.parquet(d)
+        stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+        with pytest.raises(ImportError, match="protobuf"):
+            running_topk_tws(stream, k=3)
+        return
+
+    from lazy_frame_spark.streaming import stream_events
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    d = str(tmp_path / "ev_tws")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(d)
+    stream = stream_events(spark, d, spark.read.parquet(d).schema,
+                           max_files_per_trigger=2)
+    q = (
+        running_topk_tws(stream, k=3)
+        .writeStream.format("memory").queryName("t_topk_tws")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        """
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, rank
+                                       ORDER BY value DESC, event_id) rn
+          FROM t_topk_tws) WHERE rn = 1
+        """
+    ).count()
+    assert got > 0
