@@ -37,7 +37,9 @@ def has_pushed_filters(df: DataFrame, *needles: str) -> bool:
     """True if the scan advertises pushed filters (optionally containing
     every given needle, e.g. a column name)."""
     plan = executed_plan(df)
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    # plan toString elides long filter lists as "[A, B, C..." with NO
+    # closing bracket — accept either terminator
+    m = re.search(r"PushedFilters: \[([^\r\n]*?)(?:\]|\.\.\.)", plan)
     if not m or not m.group(1).strip():
         return False
     return all(n in m.group(1) for n in needles)
