@@ -714,3 +714,57 @@ def chunk_dedup(
         .join(rebuilt, on=id_col, how="left")
         .select(F.col(id_col), F.coalesce("__text__", F.lit("")).alias(text_col))
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-grain global deduplication: split on blank lines
+    (``\\n{2,}``), keep each repeated paragraph's globally-FIRST
+    occurrence (min doc id, then min paragraph position), reassemble
+    survivors in order with ``\\n\\n``. The blank-line variant of
+    ``chunk_dedup`` — natural paragraph boundaries make it both cheaper
+    (no token re-chunking; one regex split) and better aligned with how
+    web boilerplate actually repeats (nav blocks, footers, license
+    text repeat as WHOLE paragraphs, not arbitrary 20-token windows).
+
+    Plan shape is identical to chunk_dedup and scales the same way: a
+    map-only split, one partial-aggregated groupBy on the paragraph
+    hash, a semi-join-shaped winner filter, one per-doc rebuild groupBy.
+    Whitespace-only paragraphs are dropped on both engines before
+    hashing so leading/trailing blank runs can't manufacture winners.
+
+    Returns ``(id_col, text)`` ('' when every paragraph was a repeat).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias(
+                "para_id", "para_text"
+            ),
+        )
+        .filter(F.trim(F.col("para_text")) != "")
+    )
+    packed = (F.col(id_col) * 100_000 + F.col("para_id")).alias("__pk__")
+    h = paras.select(
+        F.col(id_col), "para_id", "para_text",
+        token_hash(F.col("para_text")).alias("__hv__"), packed,
+    )
+    winners = h.groupBy("__hv__").agg(F.min("__pk__").alias("__win__"))
+    kept = h.join(winners, on="__hv__").filter(F.col("__pk__") == F.col("__win__"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_id", "para_text"))),
+                lambda s: s["para_text"],
+            ),
+            "\n\n",
+        ).alias("__text__")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce("__text__", F.lit("")).alias(text_col))
+    )

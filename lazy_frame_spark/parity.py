@@ -5257,6 +5257,48 @@ def search_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "dedup_paragraphs",
+    oracle="""
+    WITH d2 AS (
+      SELECT doc_id, replace(text, ' the ', chr(10) || chr(10)) AS text
+      FROM documents),
+    sp AS (
+      SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM d2),
+    ix AS (
+      SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM sp),
+    para AS (
+      SELECT doc_id, i - 1 AS para_id, ps[i] AS para_text
+      FROM ix WHERE trim(ps[i]) <> ''),
+    h AS (
+      SELECT doc_id, para_id, para_text,
+             ('0x' || substr(md5(para_text), 1, 15))::BIGINT AS hv,
+             doc_id * 100000 + para_id AS pk
+      FROM para),
+    w AS (SELECT hv, MIN(pk) AS win FROM h GROUP BY hv),
+    kept AS (SELECT h.* FROM h JOIN w ON h.hv = w.hv AND h.pk = w.win),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(para_text, chr(10) || chr(10) ORDER BY para_id) AS t
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(r.t, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-grain global dedup (operators/dedup.paragraph_dedup):
+    repeated paragraphs keep only their globally-first occurrence,
+    survivors reassemble in order. The synthetic corpus has no
+    blank-line structure, so BOTH engines first derive identical
+    paragraph boundaries deterministically (every literal ' the '
+    becomes a paragraph break) — the dedup itself then runs on real
+    multi-paragraph documents with cross-document repeats."""
+    d2 = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n\n")).alias("text")
+    )
+    return _dd.paragraph_dedup(d2)
+
+
+@query(
     "stream_topk_state",
     oracle="""
     SELECT event_type, rn AS rank, event_id, ROUND(value, 2) AS value

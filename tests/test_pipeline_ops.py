@@ -1276,3 +1276,33 @@ def test_audio_spectral_features_pure_and_mixed_tones(spark):
     assert got[1]["centroid_hz10"] == 500
     assert got[2]["dominant_hz"] == 1000
     assert got[2]["centroid_hz10"] == 1250
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """A paragraph repeated across (and within) docs survives only at its
+    globally-first position; whitespace-only paragraphs never hash."""
+    footer = "all rights reserved"
+    rows = [
+        (1, "intro one\n\n" + footer + "\n\nbody one"),
+        (2, footer + "\n\nbody two"),              # leading repeat cut
+        (3, "body three\n\n\n\n" + footer),        # multi-blank split, repeat cut
+        (4, footer),                               # whole doc is the repeat
+        (5, "  \n\nunique five"),                  # blank para dropped, text kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dd.paragraph_dedup(df).collect()}
+    assert got[1] == "intro one\n\n" + footer + "\n\nbody one"
+    assert got[2] == "body two"
+    assert got[3] == "body three"
+    assert got[4] == ""
+    assert got[5] == "unique five"
+
+
+def test_paragraph_dedup_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "pa\n\npb\n\npc"), (2, "px\n\npb\n\npy")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dd.paragraph_dedup(df).collect()}
+    assert got[1] == "pa\n\npb\n\npc"
+    assert got[2] == "px\n\npy"
