@@ -5536,7 +5536,10 @@ DRIVER_WINDOW: list[str] = [
     # the training-pipeline story)
     "events_funnel",
     "text_quality_features",
-    "text_lang_id",
+    # mergeable sketches (theta set algebra — all four counts value-
+    # checked exactly in exact mode; lang-id moved past the cap, still
+    # locally checked)
+    "sketch_theta_setops",
     # dedup suite + decontamination + corpus mixing (the newest
     # training-pipeline capabilities earn driver rows; the slots come
     # from within-category redundancy, never from a category's only rep)

@@ -18,7 +18,7 @@ def test_driver_window_spans_every_category():
         "lf_", "agg_", "join_", "window_", "sort_", "set_", "scalar_",
         "cast_", "array_", "json_", "subquery_", "sample_", "text_",
         "dedup_", "decontam_", "mix_", "ann_", "embedding_", "sink_",
-        "multimodal_", "stream_", "udf_", "udaf_", "udtf_",
+        "multimodal_", "stream_", "udf_", "udaf_", "udtf_", "sketch_",
     ]
     for p in prefixes:
         assert any(n.startswith(p) for n in DRIVER_WINDOW), f"no {p} in window"
