@@ -5256,6 +5256,74 @@ def search_tfidf_topk(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# time-series regularization (operators/timeseries.py)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM o GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+          FROM s),
+    j AS (SELECT g.user_id, g.bucket, o.value
+          FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket = o.bucket)
+    SELECT user_id, bucket,
+           ROUND(last_value(value IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS v_ffill
+    FROM j
+    """,
+)
+def ts_resample_ffill(spark, sf_dir):
+    """Resample each user's event stream onto a daily grid with forward
+    fill (operators/timeseries.resample_ffill): per-bucket last
+    observation picked deterministically by (ts desc, id desc), per-key
+    grid from sequence()+explode (no shuffle), gaps carried forward by a
+    key-partitioned ignorenulls window. Every step parallelizes by user
+    — no global sort anywhere."""
+    from lazy_frame_spark.operators import timeseries as _ts
+
+    out = _ts.resample_ffill(_table(spark, sf_dir, "events"), every="1 day")
+    return out.withColumn("v_ffill", F.round("v_ffill", 2))
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    pairs AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           CAST(FLOOR(n * 10000 / SUM(n) OVER (PARTITION BY src)) AS BIGINT)
+             AS p_bp
+    FROM pairs
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order event-type transition matrix
+    (operators/timeseries.transition_matrix): per-user lead() sequence,
+    pair-grain partial agg, row-normalized probabilities as exact
+    integer basis points. The matrix itself is #types² rows — the final
+    normalization window is negligible at any scale."""
+    from lazy_frame_spark.operators import timeseries as _ts
+
+    return _ts.transition_matrix(_table(spark, sf_dir, "events"))
+
+
 @query(
     "dedup_paragraphs",
     oracle="""

@@ -1,0 +1,73 @@
+"""Time-series regularization (operators/timeseries.py): grid bounds,
+per-bucket last-wins determinism, forward fill, and transition counts
+pinned on handcrafted streams."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from lazy_frame_spark.operators import timeseries as ts
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def test_resample_ffill_fills_gaps_per_key(spark):
+    rows = [
+        # user 1: day 1 and day 4 observed -> days 2,3 forward-filled
+        (1, datetime(2024, 1, 1, 5), 1, 10.0),
+        (2, datetime(2024, 1, 4, 5), 1, 40.0),
+        # user 2: a single day -> one-row grid, no fill needed
+        (3, datetime(2024, 1, 2, 9), 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["user_id"], r["bucket"].day): r["v_ffill"]
+        for r in ts.resample_ffill(df, every="1 day").collect()
+    }
+    assert got == {
+        (1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 40.0,
+        (2, 2): 7.0,
+    }
+
+
+def test_resample_last_observation_wins_with_id_tiebreak(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 3), 1, 1.0),
+        (2, datetime(2024, 1, 1, 9), 1, 2.0),   # later ts wins the bucket
+        (4, datetime(2024, 1, 1, 9), 1, 4.0),   # same ts: larger id wins
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = ts.resample_ffill(df, every="1 day").collect()
+    assert len(out) == 1 and out[0]["v_ffill"] == 4.0
+
+
+def test_transition_matrix_counts_and_bp(spark):
+    sch = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 1, "a"),
+        (2, datetime(2024, 1, 1, 2), 1, "b"),
+        (3, datetime(2024, 1, 1, 3), 1, "a"),
+        (4, datetime(2024, 1, 1, 4), 1, "c"),
+        (5, datetime(2024, 1, 1, 1), 2, "a"),
+        (6, datetime(2024, 1, 1, 2), 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p_bp"])
+        for r in ts.transition_matrix(df).collect()
+    }
+    # a -> b twice, a -> c once (row a total 3); b -> a once (row b total 1)
+    assert got[("a", "b")] == (2, 6666)
+    assert got[("a", "c")] == (1, 3333)
+    assert got[("b", "a")] == (1, 10000)
+    assert ("c", "a") not in got  # last event of its user: no successor
+
+
+def test_transition_matrix_probabilities_sum_to_near_1(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ts.transition_matrix(df).groupBy("src").agg(
+        F.sum("p_bp").alias("s"), F.count("*").alias("k")
+    ).collect()
+    for r in rows:
+        # FLOOR loses at most 1bp per cell
+        assert 10000 - r["k"] <= r["s"] <= 10000
