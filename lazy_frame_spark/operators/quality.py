@@ -1,0 +1,154 @@
+"""Data-quality operators: one-pass column profiling and declarative
+expectation checks — the validation gate a pipeline runs before
+publishing a table (and the first thing run when ingesting 100 TB of
+unknown parquet).
+
+Reference parity note: north-star scope; the closest reference surface
+is the stubbed ``summary()`` (``R/lazy.frame.R:186-190``).
+
+Scale notes: ``profile_columns`` is ONE aggregation job over the table
+regardless of column count — all per-column aggregates ride the same
+partial-agg pass, so profiling 50 columns costs one scan, not 50.
+Exact distinct counts are per-column expand-style aggregates; pass
+``approx=True`` to swap in HLL-backed ``approx_count_distinct`` when
+billion-cardinality columns make exact counting the bottleneck.
+``check_expectations`` evaluates every row-local rule in the same
+single pass (conditional sums); only set-level rules (uniqueness,
+referential integrity) add their own shuffles — each a partial-agg
+groupBy or a broadcast/shuffle anti-join, never a sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column profile in ONE scan: row count, null count, distinct
+    count, min/max (stringified so every type shares one output schema).
+    Returns ``(column, n, n_null, n_distinct, min_str, max_str)`` — long
+    format, one row per profiled column."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}__"),
+            distinct.alias(f"__nd_{c}__"),
+            F.min(c).cast("string").alias(f"__min_{c}__"),
+            F.max(c).cast("string").alias(f"__max_{c}__"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n__").alias("n"),
+            F.col(f"__null_{c}__").alias("n_null"),
+            F.col(f"__nd_{c}__").alias("n_distinct"),
+            F.col(f"__min_{c}__").alias("min_str"),
+            F.col(f"__max_{c}__").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def expect_not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null({col})", F.col(col).isNull())
+
+
+def expect_in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
+    return (
+        f"in_range({col},{lo},{hi})",
+        F.col(col).isNull() | (F.col(col) < lo) | (F.col(col) > hi),
+    )
+
+
+def expect_in_set(col: str, allowed: Sequence[str]) -> tuple[str, Column]:
+    return (
+        f"in_set({col})",
+        F.col(col).isNull() | ~F.col(col).isin(*allowed),
+    )
+
+
+def expect_matches(col: str, pattern: str) -> tuple[str, Column]:
+    """Violation when the value does NOT fully match ``pattern``
+    (Java-regex ∩ RE2 subset for cross-engine portability)."""
+    return (
+        f"matches({col})",
+        # rlike is find-anywhere; anchor for full-match semantics (the
+        # DuckDB mirror is regexp_full_match)
+        F.col(col).isNull() | ~F.col(col).rlike(f"^(?:{pattern})$"),
+    )
+
+
+def check_expectations(
+    df: DataFrame,
+    row_rules: Sequence[tuple[str, Column]] = (),
+    unique: Sequence[Sequence[str]] = (),
+    references: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Violation counts per declared expectation, as ``(rule,
+    n_violations)`` — 0 means the expectation holds.
+
+    - ``row_rules``: (name, violation-predicate Column) pairs from the
+      ``expect_*`` helpers — ALL evaluated in one conditional-sum pass.
+    - ``unique``: key column lists; violations = rows beyond the first
+      per duplicated key (partial-agg groupBy, count>1 tail).
+    - ``references``: (fk_col, dim_df, pk_col) — violations = rows whose
+      fk has no match (anti-join; Spark broadcasts small dims
+      automatically, and AQE handles the rest).
+    """
+    parts: list[DataFrame] = []
+    if row_rules:
+        wide = df.agg(
+            *[
+                F.sum(pred.cast("long")).alias(f"__r{i}__")
+                for i, (_, pred) in enumerate(row_rules)
+            ]
+        )
+        rows = [
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.coalesce(F.col(f"__r{i}__"), F.lit(0)).alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(row_rules)
+        ]
+        parts.append(
+            wide.select(F.explode(F.array(*rows)).alias("v")).select("v.*")
+        )
+    for key in unique:
+        key = list(key)
+        name = f"unique({','.join(key)})"
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__c__") > 1, F.col("__c__") - 1)), F.lit(0)
+                ).alias("n_violations")
+            )
+        )
+        parts.append(dup.select(F.lit(name).alias("rule"), "n_violations"))
+    for fk, dim, pk in references:
+        name = f"ref({fk}->{pk})"
+        miss = (
+            df.select(F.col(fk))
+            .join(dim.select(F.col(pk)), df[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        parts.append(miss.select(F.lit(name).alias("rule"), "n_violations"))
+    if not parts:
+        raise ValueError("no expectations declared")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

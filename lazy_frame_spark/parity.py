@@ -5257,6 +5257,109 @@ def search_tfidf_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# data quality (operators/quality.py)
+# --------------------------------------------------------------------- #
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark, sf_dir):
+    """One-pass column profiling (operators/quality.profile_columns):
+    nulls, exact distinct, stringified min/max for three orders columns
+    — all aggregates ride ONE partial-agg scan regardless of column
+    count. min/max stringify so every type shares one output schema
+    (the doubles column is excluded here because float→string rendering
+    differs across engines; numeric min/max parity is covered by
+    agg_stats)."""
+    from lazy_frame_spark.operators import quality as _dq
+
+    return _dq.profile_columns(
+        _table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_custkey"],
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'not_null(o_orderkey)' AS rule,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0.0,100000.0)',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                         OR o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                         OR NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'ref(o_custkey->c_custkey)',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE NOT EXISTS
+      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Declarative expectation suite (operators/quality
+    .check_expectations): four row-local rules folded into ONE
+    conditional-sum pass, a uniqueness check (partial-agg groupBy, count
+    of rows beyond the first per key), and referential integrity
+    (anti-join, broadcast-eligible dim). The clean synthetic data means
+    every count is 0 except the range rule, which is deliberately
+    violated so the query proves violations are actually counted."""
+    from lazy_frame_spark.operators import quality as _dq
+
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return _dq.check_expectations(
+        o,
+        row_rules=[
+            _dq.expect_not_null("o_orderkey"),
+            _dq.expect_in_range("o_totalprice", 0.0, 100000.0),
+            _dq.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            _dq.expect_matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+        ],
+        unique=[["o_orderkey"]],
+        references=[("o_custkey", c, "c_custkey")],
+    )
+
+
+# --------------------------------------------------------------------- #
 # time-series regularization (operators/timeseries.py)
 # --------------------------------------------------------------------- #
 
