@@ -293,3 +293,54 @@ def hard_negatives(
         .filter(F.col("__rn__") <= int(k))
         .drop("__rn__")
     )
+
+
+def label_outliers(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding outliers: the k vectors farthest (squared L2)
+    from their OWN label's centroid — the standard first pass for
+    mislabeled-example and drift detection in a training corpus.
+
+    Plan: centroids via posexplode + (label, dim)-keyed partial agg
+    (labels × dims rows — small at any corpus size since labels and
+    dims grow sub-linearly), re-packed to one array per label and
+    BROADCAST; each vector then computes its distance in a single
+    codegen zip_with/aggregate expression — the corpus is scanned once,
+    never exploded against the centroid join, and the only shuffle is
+    the per-label top-k window (partitioned by label, k rows kept per
+    partition).
+
+    Returns ``(id_col, label_col, dist2)`` with ``dist2`` rounded to 5
+    decimals; ranking uses the raw distance with an id tie-break.
+    """
+    from pyspark.sql import Window
+
+    cent = (
+        emb.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(label_col, "dim")
+        .agg(F.avg("v").alias("mu"))
+    )
+    cent_arr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("__mu_vec__")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("__mu_vec__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(cent_arr), on=label_col).select(
+        id_col, label_col, d2.alias("__d2__")
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("__d2__"), F.col(id_col))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= int(k))
+        .select(id_col, label_col, F.round("__d2__", 5).alias("dist2"))
+    )

@@ -5256,6 +5256,39 @@ def search_tfidf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS pos,
+             embedding
+      FROM embeddings),
+    c AS (
+      SELECT label, pos, AVG(embedding[pos]) AS mu FROM x GROUP BY 1, 2),
+    d AS (
+      SELECT x.vec_id, x.label,
+             SUM((x.embedding[x.pos] - c.mu) * (x.embedding[x.pos] - c.mu)) AS d2
+      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      GROUP BY 1, 2)
+    SELECT vec_id, label, ROUND(d2, 5) AS dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY d2 DESC, vec_id) AS rn
+      FROM d) WHERE rn <= 5
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (operators/similarity
+    .label_outliers): the 5 vectors farthest from their own label
+    centroid — mislabel/drift detection. Spark computes distances via a
+    BROADCAST centroid-array join + codegen zip_with (one corpus scan,
+    no explode-join); the oracle recomputes through the exploded join.
+    Ranking is on the raw double with a vec_id tie-break; random
+    embeddings keep adjacent distances far outside float-jitter range."""
+    from lazy_frame_spark.operators.similarity import label_outliers
+
+    return label_outliers(_table(spark, sf_dir, "embeddings"), k=5)
+
+
 # --------------------------------------------------------------------- #
 # data quality (operators/quality.py)
 # --------------------------------------------------------------------- #

@@ -397,3 +397,26 @@ def test_parallel_ntile_matches_sql_ntile(spark):
             for r in parallel_ntile(df, tiles, ["v", "id"], "t").collect()
         }
         assert got == want, (n, tiles)
+
+
+def test_label_outliers_matches_numpy(spark, sf_dir):
+    """Top-k farthest-from-centroid per label agrees with a numpy
+    brute-force model (same squared-L2, same id tie-break)."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.similarity import label_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    want = set()
+    for lab, grp in pdf.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        mu = mat.mean(axis=0)
+        d2 = ((mat - mu) ** 2).sum(axis=1)
+        order = sorted(zip(-d2, grp["vec_id"].to_numpy()))[:4]
+        want |= {(int(v), int(lab)) for _, v in order}
+    got = {
+        (r["vec_id"], r["label"])
+        for r in label_outliers(emb, k=4).collect()
+    }
+    assert got == want

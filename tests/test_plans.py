@@ -199,3 +199,14 @@ def test_sketch_rollup_is_two_level_agg(spark, sf_dir):
     )
     plan = executed_plan(rolled)
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_label_outliers_broadcasts_centroids(spark, sf_dir):
+    """Distance computation must ride a broadcast centroid-array join —
+    the corpus is never explode-joined against the centroid table."""
+    from lazy_frame_spark.operators.similarity import label_outliers
+
+    q = label_outliers(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=3)
+    plan = executed_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
