@@ -5257,6 +5257,48 @@ def search_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "scalar_url_battery",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop.example.com/o/' || CAST(o_orderkey AS VARCHAR)
+             || '?c=' || CAST(o_custkey AS VARCHAR)
+             || '&s=' || o_orderstatus AS url
+      FROM orders)
+    SELECT o_orderkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]c=([^&]*)', 1) AS c_param,
+           regexp_extract(url, '[?&]s=([^&]*)', 1) AS s_param
+    FROM u
+    """,
+)
+def scalar_url_battery(spark, sf_dir):
+    """URL decomposition battery: Spark's JVM-side ``parse_url``
+    (HOST / PATH / QUERY / per-key QUERY extraction) over URLs built
+    from order columns, value-checked against a regex decomposition in
+    DuckDB. Pure codegen expressions — the log-parsing scalar path."""
+    o = _table(spark, sf_dir, "orders")
+    u = F.concat(
+        F.lit("https://shop.example.com/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?c="),
+        F.col("o_custkey").cast("string"),
+        F.lit("&s="),
+        F.col("o_orderstatus"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        F.parse_url(u, F.lit("PATH")).alias("path"),
+        F.parse_url(u, F.lit("QUERY")).alias("query"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("c")).alias("c_param"),
+        F.parse_url(u, F.lit("QUERY"), F.lit("s")).alias("s_param"),
+    )
+
+
+@query(
     "embedding_outliers",
     oracle="""
     WITH x AS (

@@ -231,3 +231,40 @@ def test_chunk_dedup_matches_bruteforce(spark, texts):
         r["doc_id"]: r["text"] for r in dd.chunk_dedup(df, chunk_tokens=3).collect()
     }
     assert got == _brute_chunk_dedup(docs, 3)
+
+
+def _brute_paragraph_dedup(docs):
+    import re
+
+    seen = {}
+    for doc_id, text in docs:
+        for pi, p in enumerate(re.split(r"\n{2,}", text)):
+            if p.strip() == "":
+                continue
+            pk = doc_id * 100000 + pi
+            if p not in seen or pk < seen[p]:
+                seen[p] = pk
+    out = {}
+    for doc_id, text in docs:
+        kept = [
+            p
+            for pi, p in enumerate(re.split(r"\n{2,}", text))
+            if p.strip() != "" and seen.get(p) == doc_id * 100000 + pi
+        ]
+        out[doc_id] = "\n\n".join(kept)
+    return out
+
+
+para_piece = st.sampled_from(["pa", "pb", "pc", " ", ""])
+para_doc = st.lists(para_piece, min_size=1, max_size=6).map("\n\n".join)
+
+
+@SETTINGS
+@given(texts=st.lists(para_doc, min_size=1, max_size=4))
+def test_paragraph_dedup_matches_bruteforce(spark, texts):
+    from lazy_frame_spark.operators import dedup as dd
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dd.paragraph_dedup(df).collect()}
+    assert got == _brute_paragraph_dedup(docs)
