@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "search_bm25_topk",          # ranked retrieval (inverted-index plan)
     "events_funnel",             # ordered-sequence funnel
     "dedup_ngram_spans",         # substring-level duplicate spans
+    "agg_q6_forecast_revenue",   # TPC-H Q6: the pushdown benchmark
+    "sketch_hll_rollup",         # mergeable-sketch incremental distinct
+    "ts_resample_ffill",         # grid resample + forward fill
 ]
 
 
