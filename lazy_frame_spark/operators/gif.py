@@ -239,3 +239,137 @@ def encode_gif(px) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3B"
     return bytes(out)
+
+
+# --------------------------------------------------------------------- #
+# animation: multi-frame GIF89a — the stdlib-only "video" container
+# --------------------------------------------------------------------- #
+
+def decode_gif_frames(blob: bytes):
+    """ALL frames of a GIF → list of HxWx3 uint8 RGB arrays.
+
+    Frames are decoded independently (each image block with its own —
+    or the global — color table); disposal/compositing is out of scope:
+    the encoder below always writes full-size replacement frames, which
+    is also how training pipelines treat sampled video frames. Shares
+    the single-frame decoder's LZW core, interlace handling, and
+    sub-block framing."""
+    import numpy as np
+
+    if blob[:6] not in (_HDR87, _HDR89):
+        raise ValueError("not a GIF payload")
+    pos = 13
+    packed = blob[10]
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob[pos:pos + 3 * n], "u1").reshape(-1, 3)
+        pos += 3 * n
+
+    frames = []
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x21:
+            pos += 2
+            while blob[pos]:
+                pos += blob[pos] + 1
+            pos += 1
+        elif b == 0x2C:
+            _left, _top, iw, ih = struct.unpack("<HHHH", blob[pos + 1:pos + 9])
+            ipacked = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(blob[pos:pos + 3 * n], "u1").reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos]:
+                ln = blob[pos]
+                data += blob[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code_size, iw * ih), dtype=np.int64
+            ).reshape(ih, iw)
+            if ipacked & 0x40:
+                order = _deinterlace_order(ih)
+                rows = np.empty_like(idx)
+                rows[order] = idx
+                idx = rows
+            frames.append(ct[idx])
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def _frame_block(px) -> bytes:
+    """One full-size image block (descriptor + LOCAL color table + LZW
+    data) for an animation frame."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors exceed GIF's 256-color limit")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    pad = np.zeros((table_n - len(palette), 3), dtype=np.uint8)
+    ct = np.concatenate([palette, pad])
+
+    out = bytearray()
+    # local color table flag + size in the image descriptor's packed byte
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x80 | ((bits - 1) & 0x07)])
+    out += ct.tobytes()
+    min_code_size = max(2, bits)
+    out += bytes([min_code_size])
+    data = _lzw_encode(idx.tolist(), min_code_size)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def encode_gif_animation(frames, delay_cs: int = 10) -> bytes:
+    """List of same-shape HxWx3 uint8 arrays → animated GIF89a: NETSCAPE
+    loop extension, then per frame a graphic-control extension (the
+    ``delay_cs`` centisecond delay) + a full-size image block with its
+    own LOCAL color table — no global palette to build, every frame
+    palettes independently (and the decoder composites nothing)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("no frames")
+    shaped = []
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.ndim == 2:
+            f = np.stack([f] * 3, axis=-1)
+        shaped.append(f)
+    h, w, _ = shaped[0].shape
+    if any(f.shape != (h, w, 3) for f in shaped):
+        raise ValueError("all frames must share one shape")
+
+    out = bytearray()
+    out += _HDR89
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x00, 0, 0])  # no global color table
+    # NETSCAPE 2.0 loop-forever extension
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in shaped:
+        out += b"\x21\xF9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += _frame_block(f)
+    out += b"\x3B"
+    return bytes(out)

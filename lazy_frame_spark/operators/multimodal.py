@@ -556,3 +556,54 @@ def audio_spectral_features(
             yield pd.DataFrame(rows, columns=[f.name for f in SPECTRAL_SCHEMA])
 
     return df.mapInPandas(extract, SPECTRAL_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("mean_r", T.LongType()),
+        T.StructField("mean_g", T.LongType()),
+        T.StructField("mean_b", T.LongType()),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    stride: int = 2,
+) -> DataFrame:
+    """Frame-sampled features from multi-frame (animated-GIF) video
+    payloads: decode ALL frames (operators/gif.decode_gif_frames — real
+    variable-width LZW), keep every ``stride``-th frame, emit integer
+    per-channel means per kept frame. One Arrow mapInPandas stage; the
+    binary payload stays BinaryType into the batch (zero-copy), frames
+    never leave the worker — only the (id, frame_idx, means) rows come
+    back. The same shape holds for real video: swap the decoder, keep
+    the sampling + feature emission."""
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.operators.gif import decode_gif_frames
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_gif_frames(bytes(blob))
+                for fi in range(0, len(frames), stride):
+                    m = frames[fi].reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (int(doc_id), fi, int(m[0]), int(m[1]), int(m[2]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
+        extract, schema=VIDEO_FRAME_SCHEMA
+    )

@@ -5257,6 +5257,79 @@ def search_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_frames",
+    # payloads are REAL animated GIFs (4 full-size frames, per-frame
+    # LOCAL palettes, NETSCAPE loop ext): frame f uses the quadrant
+    # pattern base+{0,4,8,12} with base_c = (doc_id*k + f*17) % 200
+    # (k = 1/7/13 per channel; max 199+12=211, no uint8 wrap), so the
+    # exact mean of frame f is base_c + 6. Sampling stride 2 keeps
+    # frames 0 and 2; the oracle states the closed form per kept frame.
+    oracle="""
+    SELECT doc_id, f AS frame_idx,
+           CAST((doc_id + f * 17) % 200 + 6 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7 + f * 17) % 200 + 6 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13 + f * 17) % 200 + 6 AS BIGINT) AS mean_b
+    FROM documents, (SELECT unnest([0, 2]) AS f)
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Video-as-frames in the graded path: one mapInPandas stage WRITES
+    real animated GIFs (operators/gif.encode_gif_animation), a second
+    decodes every frame, samples stride-2, and emits integer channel
+    means (operators/multimodal.video_frame_features) against the
+    closed-form oracle. A green row proves the multi-frame container
+    round-trips value-exactly AND the sampling plumbing keeps frames
+    worker-side."""
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.operators.gif import encode_gif_animation
+    from lazy_frame_spark.operators.multimodal import video_frame_features
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        quad = np.zeros((8, 8), dtype=np.uint8)
+        quad[:4, 4:] = 4
+        quad[4:, :4] = 8
+        quad[4:, 4:] = 12
+
+        def make(doc_id: int) -> bytes:
+            frames = []
+            for f in range(4):
+                px = np.stack(
+                    [quad + (doc_id * k + f * 17) % 200 for k in (1, 7, 13)],
+                    axis=2,
+                ).astype(np.uint8)
+                frames.append(px)
+            return encode_gif_animation(frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    import pyspark.sql.types as T
+
+    payloads = d.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return video_frame_features(payloads, stride=2)
+
+
+@query(
     "scalar_url_battery",
     oracle="""
     WITH u AS (

@@ -126,3 +126,55 @@ def test_gif_truncated_rejected():
         decode_gif(b"NOTAGIF" + blob[7:])
     with pytest.raises(Exception):
         decode_gif(blob[: len(blob) // 3])
+
+
+def test_animation_round_trip_multiframe():
+    """Animated GIF: per-frame local palettes, full-size replacement
+    frames — every frame must round-trip pixel-exactly, and the
+    single-frame decoder must still return frame 0."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (12, 9, 3)).astype("uint8") for _ in range(5)]
+    blob = encode_gif_animation(frames, delay_cs=3)
+    back = decode_gif_frames(blob)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    assert (decode_gif(blob) == frames[0]).all()
+
+
+def test_animation_rejects_mixed_shapes():
+    import numpy as np
+    import pytest
+
+    from lazy_frame_spark.operators.gif import encode_gif_animation
+
+    with pytest.raises(ValueError, match="share one shape"):
+        encode_gif_animation(
+            [np.zeros((4, 4, 3), "uint8"), np.zeros((5, 4, 3), "uint8")]
+        )
+
+
+def test_video_frame_features_stride(spark):
+    """Stride-3 sampling over a 7-frame animation keeps frames 0, 3, 6
+    with exact constant-frame means."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.gif import encode_gif_animation
+    from lazy_frame_spark.operators.multimodal import video_frame_features
+
+    frames = [np.full((4, 4, 3), 10 * (f + 1), dtype=np.uint8) for f in range(7)]
+    blob = encode_gif_animation(frames)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, payload binary")
+    got = {
+        r["frame_idx"]: (r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in video_frame_features(df, stride=3).collect()
+    }
+    assert got == {0: (10, 10, 10), 3: (40, 40, 40), 6: (70, 70, 70)}
