@@ -210,3 +210,41 @@ def test_label_outliers_broadcasts_centroids(spark, sf_dir):
     plan = executed_plan(q)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
+    """Sweep EVERY registry plan (side-effecting stream/sink/multimodal
+    and positional-cache lf_ queries excluded): CartesianProduct must
+    appear nowhere, and BroadcastNestedLoopJoin only where the build
+    side is bounded by construction — a newcomer outside the allowlist
+    is a 100 TB regression even if its results are correct."""
+    from lazy_frame_spark.parity import REGISTRY
+
+    # every entry here broadcasts a bounded side: 1-row aggregates
+    # (corpus stats, scalar avg/max, total counts), literal band/anchor
+    # tables, or a deliberate cross-join demonstration
+    allowed_bnlj = {
+        "search_bm25_topk", "search_tfidf_topk",   # 1-row corpus stats
+        "lm_perplexity",                            # 1-row vocabulary size
+        "graph_pagerank",                           # 1-row dangling mass
+        "agg_approx_percentile_rank",               # 1-row totals
+        "sample_bernoulli",                         # 1-row expected-count
+        "sketch_kll_quantiles",                     # 1-row merged sketch
+        "join_q22_dormant_customers",               # 1-row scalar AVG
+        "join_range_bands", "join_interval_overlap",  # literal band tables
+        "join_salted",                              # literal salt range
+        "ann_hard_negatives",                       # bounded anchor batch
+        "join_cross",                               # deliberate cross join
+        "ann_pairs_top15",                          # all-pairs verification harness (past the driver window)
+    }
+    skip = ("stream_", "sink_", "multimodal_", "lf_")
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith(skip):
+            continue
+        plan = executed_plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
