@@ -141,3 +141,31 @@ def kll_quantiles(
             F.kll_sketch_get_quantile_double(F.col(KLL_SKETCH), F.lit(float(p))),
         )
     return out.drop(KLL_SKETCH)
+
+
+def hll_incremental_update(
+    stored: DataFrame,
+    new_batch: DataFrame,
+    grain: Sequence[str],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Merge a new ingest batch into a stored partial-sketch table —
+    incremental materialized-view maintenance for distinct counts. The
+    batch sketches at the same grain, unions with the stored partials
+    (a KB-scale frame), and re-merges per grain key; the STORED DATA IS
+    NEVER RESCANNED. Writing the result back over the sketch table
+    keeps the view current at per-batch cost, which is the entire point
+    of mergeable sketches at 100 TB.
+
+    The union requires both sides at the same lgk (register-wise union
+    is only defined over equal register arrays); Spark's hll_union_agg
+    raises otherwise rather than degrading silently.
+    """
+    fresh = hll_partials(new_batch, grain, col, lgk=lgk)
+    return (
+        stored.select(*grain, HLL_SKETCH)
+        .unionByName(fresh)
+        .groupBy(*grain)
+        .agg(F.hll_union_agg(F.col(HLL_SKETCH)).alias(HLL_SKETCH))
+    )

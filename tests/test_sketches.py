@@ -105,3 +105,26 @@ def test_kll_keyed_rollup(events):
     }
     for r in rolled.collect():
         assert r["n"] == exact[r["event_type"]]
+
+
+def test_hll_incremental_update_equals_full_rebuild(events):
+    """Folding day-31+ batches into a stored partial table must give the
+    same estimates as sketching the whole stream at once — without
+    rescanning the stored days."""
+    early = events.filter(F.dayofmonth("ts") <= 15)
+    late = events.filter(F.dayofmonth("ts") > 15)
+    stored = sk.hll_partials(early, ["event_type"], "user_id")
+    updated = sk.hll_incremental_update(stored, late, ["event_type"], "user_id")
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in updated.withColumn(
+            "distinct_est", F.hll_sketch_estimate(F.col(sk.HLL_SKETCH))
+        ).collect()
+    }
+    full = {
+        r["event_type"]: r["est"]
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert est == full
