@@ -68,3 +68,17 @@ def test_expectations_clean_table_all_zero(spark, sf_dir):
         ).collect()
     }
     assert all(v == 0 for v in got.values())
+
+
+def test_expect_matches_requires_full_match(spark):
+    """Pins the anchoring fix: a value that merely CONTAINS a match must
+    still count as a violation (Spark's rlike is find-anywhere; the rule
+    demands full-match like the DuckDB mirror)."""
+    df = spark.createDataFrame([("ab",), ("xabx",), ("b",)], "v string")
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in dq.check_expectations(
+            df, row_rules=[dq.expect_matches("v", "a+b")]
+        ).collect()
+    }
+    assert got["matches(v)"] == 2  # 'xabx' (partial) and 'b' (no match)

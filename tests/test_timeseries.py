@@ -71,3 +71,20 @@ def test_transition_matrix_probabilities_sum_to_near_1(spark, sf_dir):
     for r in rows:
         # FLOOR loses at most 1bp per cell
         assert 10000 - r["k"] <= r["s"] <= 10000
+
+
+def test_resample_subdaily_grid_alignment(spark):
+    """6-hour buckets align to epoch boundaries (00/06/12/18h) and the
+    grid steps by exactly the bucket width."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 1, 5.0),    # 00h bucket
+        (2, datetime(2024, 1, 1, 19), 1, 9.0),   # 18h bucket
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["bucket"].hour, r["v_ffill"])
+        for r in ts.resample_ffill(df, every="6 hours").collect()
+    )
+    assert got == [(0, 5.0), (6, 5.0), (12, 5.0), (18, 9.0)]
