@@ -11,6 +11,7 @@ from lazy_frame_spark.operators.mixing import (
     sample_by_rates,
 )
 from lazy_frame_spark.operators.dedup import (
+    chunk_dedup,
     connected_components_star,
     duplicate_clusters,
     exact_dedup,
@@ -18,6 +19,7 @@ from lazy_frame_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     release_sketches,
     simhash,
     simhash_pairs,
@@ -40,6 +42,7 @@ from lazy_frame_spark.operators.similarity import (
     RandomHyperplaneLSH,
     cosine_topk,
     embedding_near_dup_pairs,
+    label_outliers,
 )
 from lazy_frame_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from lazy_frame_spark.operators.multimodal import (
@@ -53,6 +56,18 @@ from lazy_frame_spark.operators.multimodal import (
     probe_media,
 )
 from lazy_frame_spark.operators.packing import bin_stats, chunk_documents, pack_sequences
+from lazy_frame_spark.operators.quality import check_expectations, profile_columns
+from lazy_frame_spark.operators.sketches import (
+    hll_incremental_update,
+    hll_partials,
+    hll_rollup,
+    kll_merge,
+    kll_partials,
+    kll_quantiles,
+    theta_partials,
+    theta_setops,
+)
+from lazy_frame_spark.operators.timeseries import resample_ffill, transition_matrix
 from lazy_frame_spark.operators.sorts import top_k
 from lazy_frame_spark.operators.text import (
     kmin_shingle_fingerprint,
@@ -93,4 +108,16 @@ __all__ = [
     "attach_binary_payload", "probe_media", "decode_pixels", "decode_wav",
     "decode_image_features", "decode_audio_features",
     "encode_png", "decode_png", "encode_jpeg", "decode_jpeg",
+    # chunk/paragraph dedup
+    "chunk_dedup", "paragraph_dedup",
+    # sketches
+    "hll_partials", "hll_rollup", "hll_incremental_update",
+    "theta_partials", "theta_setops",
+    "kll_partials", "kll_merge", "kll_quantiles",
+    # data quality
+    "profile_columns", "check_expectations",
+    # time series
+    "resample_ffill", "transition_matrix",
+    # embedding analytics
+    "label_outliers",
 ]
