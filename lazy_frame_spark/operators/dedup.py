@@ -663,6 +663,54 @@ def drop_near_duplicates(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def _first_occurrence_dedup(
+    docs: DataFrame,
+    parts: DataFrame,
+    pos_col: str,
+    part_text_col: str,
+    sep: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared winner/rebuild core for chunk- and paragraph-grain dedup:
+    hash each part, keep the globally-first (min doc id, then min
+    position) occurrence per hash, reassemble survivors in order.
+
+    Winner selection packs (doc, pos) into ONE bigint —
+    ``id * 2^32 + pos`` — so a single MIN agrees bit-for-bit with the
+    DuckDB oracle's MIN. The packing is injective for
+    ``0 <= id < 2^31`` and ``0 <= pos < 2^32`` (enforced below for the
+    position; ids outside the domain raise at the caller's first
+    action rather than silently mis-deduping).
+    """
+    packed = (F.col(id_col) * F.lit(1 << 32) + F.col(pos_col)).alias("__pk__")
+    guard = F.when(
+        (F.col(id_col) < 0) | (F.col(id_col) >= (1 << 31)) | (F.col(pos_col) >= (1 << 32)),
+        F.raise_error(F.lit("first-occurrence packing domain: 0 <= id < 2^31, pos < 2^32")),
+    )
+    h = parts.select(
+        F.col(id_col), F.col(pos_col), F.col(part_text_col),
+        token_hash(F.col(part_text_col)).alias("__hv__"), packed,
+        guard.alias("__guard__"),
+    ).drop("__guard__")
+    winners = h.groupBy("__hv__").agg(F.min("__pk__").alias("__win__"))
+    kept = h.join(winners, on="__hv__").filter(F.col("__pk__") == F.col("__win__"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, part_text_col))),
+                lambda s: s[part_text_col],
+            ),
+            sep,
+        ).alias("__text__")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce("__text__", F.lit("")).alias(text_col))
+    )
+
+
 def chunk_dedup(
     docs: DataFrame,
     chunk_tokens: int = 20,
@@ -681,9 +729,9 @@ def chunk_dedup(
     Plan: map-only chunking (operators/packing.chunk_documents), one
     groupBy on the chunk hash to pick winners (partial agg — the shuffle
     carries one row per distinct chunk per task), a semi-join-shaped
-    filter, and one groupBy per doc to reassemble. Winner selection uses
-    a packed (doc, pos) bigint so the oracle's MIN matches Spark's
-    bit-for-bit.
+    filter, and one groupBy per doc to reassemble (shared core:
+    ``_first_occurrence_dedup`` — injective ``id*2^32 + pos`` packing so
+    the oracle's MIN matches Spark's bit-for-bit).
 
     Returns ``(id_col, text)`` with the deduplicated text ('' when every
     chunk was a repeat).
@@ -693,26 +741,8 @@ def chunk_dedup(
     ch = chunk_documents(
         docs, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
     )
-    packed = (F.col(id_col) * 100_000 + F.col("chunk_id")).alias("__pk__")
-    h = ch.select(
-        F.col(id_col), "chunk_id", "chunk_text",
-        token_hash(F.col("chunk_text")).alias("__hv__"), packed,
-    )
-    winners = h.groupBy("__hv__").agg(F.min("__pk__").alias("__win__"))
-    kept = h.join(winners, on="__hv__").filter(F.col("__pk__") == F.col("__win__"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("__text__")
-    )
-    return (
-        docs.select(id_col)
-        .join(rebuilt, on=id_col, how="left")
-        .select(F.col(id_col), F.coalesce("__text__", F.lit("")).alias(text_col))
+    return _first_occurrence_dedup(
+        docs, ch, "chunk_id", "chunk_text", " ", text_col, id_col
     )
 
 
@@ -747,24 +777,6 @@ def paragraph_dedup(
         )
         .filter(F.trim(F.col("para_text")) != "")
     )
-    packed = (F.col(id_col) * 100_000 + F.col("para_id")).alias("__pk__")
-    h = paras.select(
-        F.col(id_col), "para_id", "para_text",
-        token_hash(F.col("para_text")).alias("__hv__"), packed,
-    )
-    winners = h.groupBy("__hv__").agg(F.min("__pk__").alias("__win__"))
-    kept = h.join(winners, on="__hv__").filter(F.col("__pk__") == F.col("__win__"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("para_id", "para_text"))),
-                lambda s: s["para_text"],
-            ),
-            "\n\n",
-        ).alias("__text__")
-    )
-    return (
-        docs.select(id_col)
-        .join(rebuilt, on=id_col, how="left")
-        .select(F.col(id_col), F.coalesce("__text__", F.lit("")).alias(text_col))
+    return _first_occurrence_dedup(
+        docs, paras, "para_id", "para_text", "\n\n", text_col, id_col
     )

@@ -558,15 +558,20 @@ def audio_spectral_features(
     return df.mapInPandas(extract, SPECTRAL_SCHEMA)
 
 
-VIDEO_FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.LongType()),
-        T.StructField("mean_r", T.LongType()),
-        T.StructField("mean_g", T.LongType()),
-        T.StructField("mean_b", T.LongType()),
-    ]
-)
+def _video_frame_schema(id_col: str) -> "T.StructType":
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("mean_r", T.LongType()),
+            T.StructField("mean_g", T.LongType()),
+            T.StructField("mean_b", T.LongType()),
+        ]
+    )
+
+
+#: the default-id-column instance, kept for callers that reference it
+VIDEO_FRAME_SCHEMA = _video_frame_schema("doc_id")
 
 
 def video_frame_features(
@@ -601,9 +606,9 @@ def video_frame_features(
                         (int(doc_id), fi, int(m[0]), int(m[1]), int(m[2]))
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "mean_r", "mean_g", "mean_b"]
+                rows, columns=[id_col, "frame_idx", "mean_r", "mean_g", "mean_b"]
             )
 
     return fan_out(df.select(id_col, payload_col)).mapInPandas(
-        extract, schema=VIDEO_FRAME_SCHEMA
+        extract, schema=_video_frame_schema(id_col)
     )

@@ -114,7 +114,11 @@ def kll_merge(partials: DataFrame, keys: Sequence[str] | None = None) -> DataFra
     the fold stays executor-side and small. Groups with one partial
     skip the fold entirely."""
     gb = partials.groupBy(*keys) if keys else partials.groupBy()
-    arr = gb.agg(F.collect_list(KLL_SKETCH).alias("_ks"))
+    # the filter also covers the empty-input global merge: groupBy() on
+    # zero rows still yields one row with an empty list, and the fold's
+    # slice(..., size-1) would throw on length -1 — drop it (no data →
+    # no row) instead of crashing
+    arr = gb.agg(F.collect_list(KLL_SKETCH).alias("_ks")).filter(F.size("_ks") > 0)
     merged = F.when(F.size("_ks") == 1, F.element_at("_ks", 1)).otherwise(
         F.expr(
             "aggregate(slice(_ks, 2, size(_ks) - 1), _ks[0], "
@@ -132,6 +136,11 @@ def kll_quantiles(
     """Quantile estimates (one column per prob) plus the exact stream
     count ``n`` — KLL tracks n exactly, so ``n`` is value-checkable
     even though the quantiles are approximate."""
+    names = [f"{prefix}{int(round(p * 100))}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"probs {list(probs)} collide after percent rounding: {names}"
+        )
     out = merged.withColumn(
         "n", F.kll_sketch_get_n_double(F.col(KLL_SKETCH)).cast("bigint")
     )

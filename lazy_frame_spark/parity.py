@@ -3354,7 +3354,7 @@ def lf_summary(spark, sf_dir):
     h AS (
       SELECT doc_id, chunk_id, chunk_text,
              ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS hv,
-             doc_id * 100000 + chunk_id AS pk
+             doc_id * 4294967296 + chunk_id AS pk
       FROM ch),
     w AS (SELECT hv, MIN(pk) AS win FROM h GROUP BY hv),
     kept AS (SELECT h.* FROM h JOIN w ON h.hv = w.hv AND h.pk = w.win),
@@ -5591,7 +5591,7 @@ def events_transition_matrix(spark, sf_dir):
     h AS (
       SELECT doc_id, para_id, para_text,
              ('0x' || substr(md5(para_text), 1, 15))::BIGINT AS hv,
-             doc_id * 100000 + para_id AS pk
+             doc_id * 4294967296 + para_id AS pk
       FROM para),
     w AS (SELECT hv, MIN(pk) AS win FROM h GROUP BY hv),
     kept AS (SELECT h.* FROM h JOIN w ON h.hv = w.hv AND h.pk = w.win),
@@ -5788,10 +5788,10 @@ def sketch_kll_quantiles(spark, sf_dir):
     q = _sk.kll_quantiles(_sk.kll_merge(parts), [0.5, 0.9]).select(
         "n", "q50", "q90"
     )
-    total = ev.count()
+    # the sketch's exact n IS the stream count — no extra eager scan
     ranks = ev.join(F.broadcast(q)).agg(
-        (F.sum((F.col("value") <= F.col("q50")).cast("long")) / total).alias("r50"),
-        (F.sum((F.col("value") <= F.col("q90")).cast("long")) / total).alias("r90"),
+        (F.sum((F.col("value") <= F.col("q50")).cast("long")) / F.first("n")).alias("r50"),
+        (F.sum((F.col("value") <= F.col("q90")).cast("long")) / F.first("n")).alias("r90"),
         F.first("n").alias("n"),
     )
     return ranks.select(

@@ -130,9 +130,9 @@ def running_topk(
     """
     out_schema = StructType(
         [
-            StructField(key_col, StringType()),
+            StructField(key_col, events.schema[key_col].dataType),
             StructField("rank", LongType()),
-            StructField(id_col, LongType()),
+            StructField(id_col, events.schema[id_col].dataType),
             StructField(val_col, DoubleType()),
         ]
     )
@@ -218,9 +218,9 @@ def running_topk_tws(
 
     out_schema = StructType(
         [
-            StructField(key_col, StringType()),
+            StructField(key_col, events.schema[key_col].dataType),
             StructField("rank", LongType()),
-            StructField(id_col, LongType()),
+            StructField(id_col, events.schema[id_col].dataType),
             StructField(val_col, DoubleType()),
         ]
     )

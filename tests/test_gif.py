@@ -178,3 +178,16 @@ def test_video_frame_features_stride(spark):
         for r in video_frame_features(df, stride=3).collect()
     }
     assert got == {0: (10, 10, 10), 3: (40, 40, 40), 6: (70, 70, 70)}
+
+
+def test_video_frame_features_honors_id_col(spark):
+    import numpy as np
+
+    from lazy_frame_spark.operators.gif import encode_gif_animation
+    from lazy_frame_spark.operators.multimodal import video_frame_features
+
+    blob = encode_gif_animation([np.full((2, 2, 3), 9, dtype=np.uint8)])
+    df = spark.createDataFrame([(7, bytearray(blob))], "image_id long, payload binary")
+    out = video_frame_features(df, id_col="image_id", stride=1)
+    assert out.columns[0] == "image_id"
+    assert out.first()["image_id"] == 7

@@ -201,7 +201,7 @@ def _brute_chunk_dedup(docs, k):
         for ci, s0 in enumerate(starts):
             chunk = " ".join(ws[s0:s0 + k])
             key = chunk
-            pk = doc_id * 100000 + ci
+            pk = doc_id * (1 << 32) + ci
             if key not in seen or pk < seen[key]:
                 seen[key] = pk
     out = {}
@@ -210,7 +210,7 @@ def _brute_chunk_dedup(docs, k):
         kept = []
         for ci, s0 in enumerate(range(0, max(len(ws), 1), k)):
             chunk = " ".join(ws[s0:s0 + k])
-            if seen.get(chunk) == doc_id * 100000 + ci:
+            if seen.get(chunk) == doc_id * (1 << 32) + ci:
                 kept.append(chunk)
         out[doc_id] = " ".join(kept)
     return out
@@ -241,7 +241,7 @@ def _brute_paragraph_dedup(docs):
         for pi, p in enumerate(re.split(r"\n{2,}", text)):
             if p.strip() == "":
                 continue
-            pk = doc_id * 100000 + pi
+            pk = doc_id * (1 << 32) + pi
             if p not in seen or pk < seen[p]:
                 seen[p] = pk
     out = {}
@@ -249,7 +249,7 @@ def _brute_paragraph_dedup(docs):
         kept = [
             p
             for pi, p in enumerate(re.split(r"\n{2,}", text))
-            if p.strip() != "" and seen.get(p) == doc_id * 100000 + pi
+            if p.strip() != "" and seen.get(p) == doc_id * (1 << 32) + pi
         ]
         out[doc_id] = "\n\n".join(kept)
     return out

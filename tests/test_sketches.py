@@ -128,3 +128,19 @@ def test_hll_incremental_update_equals_full_rebuild(events):
         .collect()
     }
     assert est == full
+
+
+def test_kll_merge_empty_input_yields_empty_frame(events):
+    """No partials → no row (not a slice-length crash)."""
+    parts = sk.kll_partials(events.filter(F.col("value") > 1e12),
+                            ["event_type"], "value")
+    assert sk.kll_merge(parts).count() == 0
+
+
+def test_kll_quantiles_rejects_colliding_prob_names(events):
+    import pytest
+
+    parts = sk.kll_partials(events, ["event_type"], "value")
+    merged = sk.kll_merge(parts)
+    with pytest.raises(ValueError, match="collide"):
+        sk.kll_quantiles(merged, [0.249, 0.251])
