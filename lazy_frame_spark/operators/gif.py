@@ -150,94 +150,29 @@ def _deinterlace_order(h: int) -> list[int]:
 
 
 def decode_gif(blob: bytes):
-    """First frame of a GIF → HxWx3 uint8 RGB array."""
-    import numpy as np
-
-    if blob[:6] not in (_HDR87, _HDR89):
-        raise ValueError("not a GIF payload")
-    sw, sh = struct.unpack("<HH", blob[6:10])
-    packed = blob[10]
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = np.frombuffer(blob[pos:pos + 3 * n], "u1").reshape(-1, 3)
-        pos += 3 * n
-
-    while pos < len(blob):
-        b = blob[pos]
-        if b == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while blob[pos]:
-                pos += blob[pos] + 1
-            pos += 1
-        elif b == 0x2C:  # image descriptor
-            _left, _top, iw, ih = struct.unpack("<HHHH", blob[pos + 1:pos + 9])
-            ipacked = blob[pos + 9]
-            pos += 10
-            ct = gct
-            if ipacked & 0x80:
-                n = 2 << (ipacked & 0x07)
-                ct = np.frombuffer(blob[pos:pos + 3 * n], "u1").reshape(-1, 3)
-                pos += 3 * n
-            if ct is None:
-                raise ValueError("GIF image without a color table")
-            min_code_size = blob[pos]
-            pos += 1
-            data = bytearray()
-            while blob[pos]:
-                ln = blob[pos]
-                data += blob[pos + 1:pos + 1 + ln]
-                pos += ln + 1
-            pos += 1
-            idx = np.array(
-                _lzw_decode(bytes(data), min_code_size, iw * ih), dtype=np.int64
-            ).reshape(ih, iw)
-            if ipacked & 0x40:  # interlaced: rows arrive in 4-pass order
-                order = _deinterlace_order(ih)
-                rows = np.empty_like(idx)
-                rows[order] = idx
-                idx = rows
-            return ct[idx]
-        elif b == 0x3B:  # trailer
-            break
-        else:
-            raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("GIF contains no image data")
+    """First frame of a GIF → HxWx3 uint8 RGB array (the poster-frame
+    fingerprint path). Delegates to the multi-frame walker with
+    ``limit=1`` so the container walk exists exactly once."""
+    return decode_gif_frames(blob, limit=1)[0]
 
 
 def encode_gif(px) -> bytes:
-    """HxWx3 uint8 array → non-interlaced GIF89a with a global color
-    table built from the image's unique colors (≤256)."""
+    """HxWx3 uint8 array → non-interlaced single-frame GIF89a. Shares
+    ``_frame_block`` with the animation encoder (one palette/LZW/
+    sub-block emission path), so the frame carries a LOCAL color table
+    and the logical screen declares none."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
     h, w, _ = px.shape
-    flat = px.reshape(-1, 3)
-    palette, idx = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise ValueError(f"{len(palette)} colors exceed GIF's 256-color limit")
-    # color-table size: power of two ≥ len(palette), minimum 2
-    bits = max(1, int(len(palette) - 1).bit_length())
-    table_n = 1 << bits
-    pad = np.zeros((table_n - len(palette), 3), dtype=np.uint8)
-    ct = np.concatenate([palette, pad])
-
     out = bytearray()
     out += _HDR89
     out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])  # GCT flag + size
-    out += ct.tobytes()
-    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-    min_code_size = max(2, bits)
-    out += bytes([min_code_size])
-    data = _lzw_encode(idx.tolist(), min_code_size)
-    for i in range(0, len(data), 255):
-        chunk = data[i:i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3B"
+    out += bytes([0x00, 0, 0])  # no global color table
+    out += _frame_block(px)
+    out += b"\x3B"
     return bytes(out)
 
 
@@ -245,8 +180,9 @@ def encode_gif(px) -> bytes:
 # animation: multi-frame GIF89a — the stdlib-only "video" container
 # --------------------------------------------------------------------- #
 
-def decode_gif_frames(blob: bytes):
-    """ALL frames of a GIF → list of HxWx3 uint8 RGB arrays.
+def decode_gif_frames(blob: bytes, limit: int | None = None):
+    """ALL frames of a GIF (or the first ``limit``) → list of HxWx3
+    uint8 RGB arrays.
 
     Frames are decoded independently (each image block with its own —
     or the global — color table); disposal/compositing is out of scope:
@@ -302,6 +238,8 @@ def decode_gif_frames(blob: bytes):
                 rows[order] = idx
                 idx = rows
             frames.append(ct[idx])
+            if limit is not None and len(frames) >= limit:
+                return frames
         elif b == 0x3B:
             break
         else:

@@ -61,9 +61,9 @@ def test_gif_interlaced_decode():
     img = _rand_img(rng, 13, 7, 8)  # odd height exercises pass boundaries
     order = _deinterlace_order(13)
     blob = bytearray(encode_gif(img[order]))
-    # image descriptor starts after 6+7 header/LSD + GCT
-    bits = blob[10] & 0x07
-    idesc = 13 + 3 * (2 << bits)
+    # encode_gif writes no GCT: the image descriptor starts right after
+    # the 6+7 header/LSD bytes (the frame carries a LOCAL color table)
+    idesc = 13
     assert blob[idesc] == 0x2C
     blob[idesc + 9] |= 0x40  # interlace flag
     assert (decode_gif(bytes(blob)) == img).all()
@@ -74,8 +74,8 @@ def test_gif_89a_extensions_skipped():
     rng = np.random.default_rng(17)
     img = _rand_img(rng, 9, 9, 4)
     blob = bytearray(encode_gif(img))
-    bits = blob[10] & 0x07
-    idesc = 13 + 3 * (2 << bits)
+    idesc = 13  # no GCT: descriptor immediately follows header/LSD
+    assert blob[idesc] == 0x2C
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     comment = b"\x21\xfe\x05hello\x00"
     patched = bytes(blob[:idesc]) + gce + comment + bytes(blob[idesc:])
