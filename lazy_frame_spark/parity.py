@@ -5257,6 +5257,44 @@ def search_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "source_fixed_width_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    """,
+)
+def source_fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width text source (sources/fixed_width.py): orders
+    serializes to fixed byte-range lines and parses back through pure
+    substring/try_cast codegen — no delimiter, no Python. The oracle is
+    the ORIGINAL table, so a green row proves writer padding + reader
+    slicing + numeric parsing are jointly lossless for in-width
+    values."""
+    import hashlib
+
+    from lazy_frame_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    layout = [
+        ("o_orderkey", 12, "bigint"),
+        ("o_custkey", 12, "bigint"),
+        ("o_orderstatus", 2, "string"),
+        ("o_totalprice", 14, "double"),
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/lfs_fwf_orders_{tag}"
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    write_fixed_width(o, path, layout)
+    return read_fixed_width(spark, path, layout)
+
+
+@query(
     "multimodal_video_frames",
     # payloads are REAL animated GIFs (4 full-size frames, per-frame
     # LOCAL palettes, NETSCAPE loop ext): frame f uses the quadrant

@@ -1,0 +1,78 @@
+"""Fixed-width text source — the legacy-format sibling of the CSV
+source (the reference's R userbase reads these with ``read.fwf``;
+mainframe/regulatory extracts still ship this way).
+
+A fixed-width file has no delimiter to split on: each column IS a byte
+range. The reader maps a ``(name, width, type)`` layout onto
+``substring`` slices over ``spark.read.text`` lines — pure codegen
+expressions, so parsing runs JVM-side at scan throughput with column
+pruning intact (unreferenced columns are dropped by Catalyst before
+the substring ever evaluates). No Python row path, no UDFs.
+
+Numeric fields parse through ``try_cast`` after trim: malformed cells
+become NULL (the same documented divergence-from-C the CSV source's
+typed comparisons follow). The writer right-pads/truncates to the
+declared widths, so write→read round-trips exactly whenever values fit
+their columns — and the round-trip IS the oracle check in parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: layout entry: (column name, byte width, spark type name)
+Layout = Sequence[tuple[str, int, str]]
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    layout: Layout,
+    skip_rows: int = 0,
+) -> DataFrame:
+    """Parse a fixed-width file per ``layout``. 1-based substring starts
+    accumulate across the declared widths; ``skip_rows`` drops leading
+    header/banner lines by position (monotonic id over file order —
+    valid per input file, matching the CSV source's skip semantics)."""
+    lines = spark.read.text(path)
+    if skip_rows:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.monotonically_increasing_id())
+        lines = (
+            lines.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") > skip_rows)
+            .drop("__rn__")
+        )
+    cols = []
+    start = 1
+    for name, width, typ in layout:
+        raw = F.substring(F.col("value"), start, width)
+        if typ in ("string",):
+            cols.append(F.rtrim(raw).alias(name))
+        else:
+            cols.append(F.trim(raw).try_cast(typ).alias(name))
+        start += width
+    return lines.select(*cols)
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    layout: Layout,
+    mode: str = "overwrite",
+) -> None:
+    """Serialize ``df`` to fixed-width lines: every value stringifies,
+    right-pads with spaces to its declared width, and truncates beyond
+    it (the format's own contract — pick widths that fit). One codegen
+    concat per row; written via the text sink."""
+    parts = [
+        F.rpad(
+            F.coalesce(F.col(name).cast("string"), F.lit("")), int(width), " "
+        ).substr(1, int(width))
+        for name, width, _ in layout
+    ]
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

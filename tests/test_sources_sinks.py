@@ -185,3 +185,45 @@ def test_merge_schema_read_unions_columns(spark, tmp_path):
     assert set(got.columns) == {"id", "s", "score"}
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_fixed_width_roundtrip_and_malformed(spark, tmp_path):
+    """Fixed-width: padding/truncation on write, slicing + try_cast on
+    read; malformed numeric cells become NULL, strings rtrim."""
+    from lazy_frame_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    layout = [("id", 5, "bigint"), ("name", 8, "string"), ("amt", 10, "double")]
+    df = spark.createDataFrame(
+        [(1, "alpha", 12.5), (22, "bee", -0.25), (333, "sea side", 1e6)],
+        "id long, name string, amt double",
+    )
+    d = str(tmp_path / "fwf")
+    write_fixed_width(df, d, layout)
+    got = {r["id"]: r for r in read_fixed_width(spark, d, layout).collect()}
+    assert got[1]["name"] == "alpha" and got[1]["amt"] == 12.5
+    assert got[22]["amt"] == -0.25
+    assert got[333]["name"] == "sea side" and got[333]["amt"] == 1e6
+
+    # hand-written file: malformed numeric -> NULL; skip_rows drops banner
+    p = tmp_path / "raw.txt"
+    p.write_text("HEADER BANNER LINE\n  7  x       12.5      \n  z  y       oops      \n")
+    out = read_fixed_width(spark, str(p), layout, skip_rows=1).collect()
+    rows = {r["name"]: r for r in out}
+    assert rows["x"]["id"] == 7 and rows["x"]["amt"] == 12.5
+    assert rows["y"]["id"] is None and rows["y"]["amt"] is None
+
+
+def test_fixed_width_truncates_overwide_values(spark, tmp_path):
+    from lazy_frame_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    layout = [("name", 4, "string")]
+    df = spark.createDataFrame([("abcdefgh",)], "name string")
+    d = str(tmp_path / "fwf2")
+    write_fixed_width(df, d, layout)
+    assert read_fixed_width(spark, d, layout).first()["name"] == "abcd"
