@@ -39,13 +39,15 @@ def read_fixed_width(
     valid per input file, matching the CSV source's skip semantics)."""
     lines = spark.read.text(path)
     if skip_rows:
-        from pyspark.sql.window import Window
+        # same mechanism as the CSV source's skip: parallel partition-
+        # offset row ids (rowid.with_row_ids) + a pushable predicate —
+        # never a single-task global-order window
+        from lazy_frame_spark.rowid import ROW_ID, with_row_ids
 
-        w = Window.orderBy(F.monotonically_increasing_id())
         lines = (
-            lines.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") > skip_rows)
-            .drop("__rn__")
+            with_row_ids(lines)
+            .filter(F.col(ROW_ID) > skip_rows)
+            .drop(ROW_ID)
         )
     cols = []
     start = 1
