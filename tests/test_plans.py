@@ -248,3 +248,19 @@ def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """The partitioned round-trip's scan must carry the status predicate
+    as a PartitionFilter (directory pruning), not a data filter."""
+    from lazy_frame_spark.sources.parquet import read_parquet, write_parquet
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    d = str(tmp_path / "part_orders")
+    write_parquet(o, d, partition_by=["o_orderstatus"])
+    q = read_parquet(spark, d).filter(F.col("o_orderstatus") == "F")
+    plan = executed_plan(q)
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1][:200]
