@@ -28,9 +28,11 @@ from lazy_frame_spark.operators.joins import (
     anti_join,
     asof_join,
     broadcast_dim_join,
+    merge_join,
     range_join,
     salted_join,
     semi_join,
+    shuffle_hash_join,
 )
 from lazy_frame_spark.operators.sampling import (
     deterministic_sample,
@@ -84,7 +86,7 @@ from lazy_frame_spark.operators.text import (
 __all__ = [
     # joins
     "asof_join", "broadcast_dim_join", "range_join", "salted_join",
-    "semi_join", "anti_join",
+    "semi_join", "anti_join", "shuffle_hash_join", "merge_join",
     # sorts & sampling
     "top_k", "sample", "stratified_sample", "deterministic_sample",
     # decontamination

@@ -201,3 +201,32 @@ def asof_join(
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out.drop(side)
+
+
+def shuffle_hash_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join pinned to SHUFFLED HASH via a join hint. The knob to
+    reach for when the build side fits per-task memory but exceeds the
+    broadcast threshold, and sorted output buys nothing: SMJ pays two
+    full sorts; shuffle-hash pays one hash table per task. At 100 TB
+    this is routinely the fastest strategy for mid-size × huge equi-
+    joins — but it CANNOT spill the build side gracefully, hence a knob
+    and not a default."""
+    return left.join(right.hint("shuffle_hash"), on, how)
+
+
+def merge_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join pinned to SORT-MERGE. The safe default for huge × huge
+    (both sides spill cleanly); pin it explicitly when AQE statistics
+    would otherwise flip a borderline plan build-side into memory
+    pressure, or when downstream consumers exploit the sorted output."""
+    return left.join(right.hint("merge"), on, how)

