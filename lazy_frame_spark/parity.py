@@ -5257,6 +5257,47 @@ def search_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "source_python_datasource",
+    oracle="""
+    WITH v(j, w) AS (VALUES
+      (0, 'alpha'), (1, 'bridge'), (2, 'copper'), (3, 'delta'),
+      (4, 'ember'), (5, 'forge'), (6, 'granite'), (7, 'harbor')),
+    ids AS (SELECT unnest(generate_series(100, 299)) AS doc_id),
+    tok AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 20 + 4)) AS i
+      FROM ids),
+    wtok AS (
+      SELECT t.doc_id, t.i, v.w
+      FROM tok t JOIN v ON (t.doc_id * 7 + t.i) % 8 = v.j)
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+             AS lang,
+           CAST(doc_id % 20 + 5 AS INTEGER) AS n_tokens,
+           string_agg(w, ' ' ORDER BY i) AS text
+    FROM wtok GROUP BY doc_id
+    """,
+)
+def source_python_datasource(spark, sf_dir):
+    """Spark 4 Python Data Source API (sources/pydatasource.py): the
+    lfs_docgen format generates a deterministic corpus partition-
+    parallel, and the doc_id range predicate PUSHES into the reader
+    (pushFilters) so excluded ids are never generated. Generation is
+    closed-form, so the oracle rebuilds every column — including the
+    full text — in SQL; a green row value-checks the whole connector
+    path: schema, partitioning, pushdown, and row emission."""
+    from lazy_frame_spark.sources.pydatasource import register_docgen
+
+    register_docgen(spark)
+    df = (
+        spark.read.format("lfs_docgen")
+        .option("n_docs", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+
+
+@query(
     "sink_partitioned_pruned",
     oracle="""
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,

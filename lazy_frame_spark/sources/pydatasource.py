@@ -1,0 +1,117 @@
+"""Python Data Source (Spark 4 `pyspark.sql.datasource` API): a
+deterministic synthetic-corpus generator, `lfs_docgen`.
+
+This exercises the NEWEST extension surface Spark offers — a data
+source implemented entirely in Python that still participates in
+planning: it reports partitions (so scans parallelize across
+executors) and implements `pushFilters` (so `doc_id` range predicates
+narrow the generated range BEFORE any row exists, the Python-source
+analogue of parquet row-group pruning).
+
+Generation is closed-form per doc_id — word i of document d is
+``VOCAB[(7·d + i) % 8]`` and the token count is ``d % 20 + 5`` — so a
+SQL oracle can rebuild every column (including the full text) without
+running this code: the parity check is value-for-value, not rows-only.
+
+A real connector (REST API, message queue, proprietary format) slots
+into exactly this shape: schema() + partitions() + read(partition) +
+pushFilters(); the generator stands in where this container has no
+external system to call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+#: fixed 8-word vocabulary; word lengths deliberately differ so n_chars
+#: is a nontrivial closed form
+VOCAB = ["alpha", "bridge", "copper", "delta", "ember", "forge", "granite", "harbor"]
+LANGS = ["en", "de", "fr"]
+
+DOCGEN_SCHEMA = "doc_id bigint, lang string, n_tokens int, text string"
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class DocGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.lo = 0
+        self.hi = int(options.get("n_docs", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def pushFilters(self, filters):
+        """Absorb doc_id range/point predicates into [lo, hi); everything
+        else flows back to Spark. Fully-pushed filters are still safe to
+        re-apply, so absorbed ones are NOT yielded — the scan simply
+        never generates the excluded ids."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",) and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, min(self.n_parts, hi - lo)) if hi > lo else 1
+        step, rem = divmod(hi - lo, n)
+        parts, start = [], lo
+        for i in range(n):
+            end = start + step + (1 if i < rem else 0)
+            parts.append(_Range(start, end))
+            start = end
+        return parts
+
+    def read(self, partition: _Range):
+        for d in range(partition.start, partition.end):
+            n = d % 20 + 5
+            words = [VOCAB[(7 * d + i) % 8] for i in range(n)]
+            yield (d, LANGS[d % 3], n, " ".join(words))
+
+
+class DocGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lfs_docgen"
+
+    def schema(self) -> str:
+        return DOCGEN_SCHEMA
+
+    def reader(self, schema) -> DocGenReader:
+        return DocGenReader(self.options)
+
+
+def register_docgen(spark) -> None:
+    """Idempotent registration of the lfs_docgen format. Python-source
+    filter pushdown ships behind a flag in Spark 4.1 — enable it so
+    pushFilters participates in planning (without it the reader's mere
+    presence of pushFilters raises at plan time)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DocGenDataSource)
