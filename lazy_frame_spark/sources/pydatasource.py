@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 #: fixed 8-word vocabulary; word lengths deliberately differ so n_chars
@@ -107,6 +108,9 @@ class DocGenDataSource(DataSource):
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "DocGenStreamReader":
+        return DocGenStreamReader(self.options)
+
 
 def register_docgen(spark) -> None:
     """Idempotent registration of the lfs_docgen format. Python-source
@@ -115,3 +119,37 @@ def register_docgen(spark) -> None:
     presence of pushFilters raises at plan time)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocGenDataSource)
+
+
+class DocGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch docgen stream: offsets are document positions, each
+    read() emits the next ``batch_size`` docs and advances the offset —
+    the Python-source shape of a Kafka-like cursor (initialOffset /
+    read / readBetweenOffsets for replay / commit for cleanup). Bounded
+    by ``n_docs`` so availableNow triggers terminate."""
+
+    def __init__(self, options: dict):
+        self.n_docs = int(options.get("n_docs", 100))
+        self.batch_size = int(options.get("batch_size", 25))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        for d in range(start, end):
+            n = d % 20 + 5
+            words = [VOCAB[(7 * d + i) % 8] for i in range(n)]
+            yield (d, LANGS[d % 3], n, " ".join(words))
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_size, self.n_docs)
+        # a LIST, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator for replay
+        return iter(list(self._rows(lo, hi))), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["pos"]), int(end["pos"]))))
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -62,3 +62,31 @@ def test_end_to_end_matches_direct_generation(spark):
         for r in df.filter((F.col("doc_id") >= 10) & (F.col("doc_id") <= 13)).collect()
     )
     assert got == [10, 11, 12, 13]
+
+
+def test_stream_reader_drains_in_micro_batches(spark):
+    """The simpleStreamReader emits offset-cursored micro-batches; after
+    processAllAvailable the sink holds every doc exactly once, proving
+    offset advance + replay framing (lists, not generators) work."""
+    register_docgen(spark)
+    stream = (
+        spark.readStream.format("lfs_docgen")
+        .option("n_docs", 100)
+        .option("batch_size", 30)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_docgen_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    r = spark.sql(
+        "SELECT count(*) n, count(DISTINCT doc_id) d, min(doc_id) lo, "
+        "max(doc_id) hi FROM t_docgen_stream"
+    ).first()
+    assert (r["n"], r["d"], r["lo"], r["hi"]) == (100, 100, 0, 99)
