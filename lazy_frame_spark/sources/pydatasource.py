@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
+from pyspark.sql.datasource import DataSourceWriter
 
 #: fixed 8-word vocabulary; word lengths deliberately differ so n_chars
 #: is a nontrivial closed form
@@ -111,6 +113,9 @@ class DocGenDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "DocGenStreamReader":
         return DocGenStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, overwrite)
+
 
 def register_docgen(spark) -> None:
     """Idempotent registration of the lfs_docgen format. Python-source
@@ -153,3 +158,58 @@ class DocGenStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    """Two-phase-commit JSONL writer: each task streams its rows to a
+    UNIQUELY-NAMED temp file and returns a commit message; only the
+    driver's commit() renames the complete set into place (and abort()
+    removes strays), so partial/failed task output is never visible —
+    the same staging discipline every production sink (parquet included)
+    follows, demonstrated at the Python-connector layer."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartFile:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+        tmp = os.path.join(self.path, "_temporary", f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(path=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is not None:
+                os.replace(m.path, os.path.join(self.path, os.path.basename(m.path)))
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)

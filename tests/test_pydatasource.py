@@ -90,3 +90,37 @@ def test_stream_reader_drains_in_micro_batches(spark):
         "max(doc_id) hi FROM t_docgen_stream"
     ).first()
     assert (r["n"], r["d"], r["lo"], r["hi"]) == (100, 100, 0, 99)
+
+
+def test_python_writer_two_phase_commit(spark, tmp_path):
+    """The JSONL writer stages per-task files under _temporary and only
+    commit() publishes them; overwrite mode clears previous output; the
+    staging dir never survives."""
+    import glob
+    import json
+    import os
+
+    register_docgen(spark)
+    d = str(tmp_path / "out")
+    df = spark.range(40).selectExpr(
+        "id AS doc_id", "'en' AS lang", "5 AS n_tokens", "'x' AS text"
+    )
+    df.repartition(4).write.format("lfs_docgen").option("path", d).mode(
+        "append"
+    ).save()
+    files = glob.glob(d + "/*.jsonl")
+    rows = [json.loads(line) for f in files for line in open(f)]
+    assert len(files) == 4
+    assert sorted(r["doc_id"] for r in rows) == list(range(40))
+    assert not os.path.exists(os.path.join(d, "_temporary"))
+
+    # overwrite replaces the previous 40 rows with 10
+    spark.range(10).selectExpr(
+        "id AS doc_id", "'de' AS lang", "3 AS n_tokens", "'y' AS text"
+    ).coalesce(1).write.format("lfs_docgen").option("path", d).mode(
+        "overwrite"
+    ).save()
+    rows2 = [
+        json.loads(line) for f in glob.glob(d + "/*.jsonl") for line in open(f)
+    ]
+    assert sorted(r["doc_id"] for r in rows2) == list(range(10))
