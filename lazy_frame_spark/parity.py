@@ -5935,18 +5935,25 @@ DRIVER_WINDOW: list[str] = [
     "lf_which",
     "lf_filter_eq_str",
     "lf_reopen_row_range",
-    # aggregation: partial+final, grouping-set family, percentiles
-    # (pivot sits past the cap, still locally checked)
+    # M5 summary — implemented where the reference stubs it; the driver
+    # row closes the one §2.1 op previously verified only locally
+    "lf_summary",
+    # aggregation: partial+final (rollup/cube/grouping-set variants sit
+    # past the cap, still locally checked)
     "agg_q1_pricing_summary",
-    "agg_rollup",
     "search_bm25_topk",
-    # joins: broadcast, semi, anti, range, as-of, shuffled multi-join
+    # joins: broadcast, semi, range, as-of, shuffled multi-join (anti
+    # sits past the cap; the anti shape is also driver-exercised inside
+    # join_q22's NOT-EXISTS path and the dedup drop queries)
     "join_broadcast_dims",
     "join_semi",
-    "join_anti",
     "join_range_bands",
     "join_asof_last_order",
     "join_q3_revenue",
+    # data quality + time series — the validation/regularization passes
+    # a pipeline runs before anything else
+    "dq_expectations",
+    "ts_resample_ffill",
     # windows, sort/top-k, set ops (the rank battery sits past the cap)
     "window_top3_per_customer",
     "sort_topk_orders",
@@ -5971,7 +5978,6 @@ DRIVER_WINDOW: list[str] = [
     # dedup suite + decontamination + corpus mixing (the newest
     # training-pipeline capabilities earn driver rows; the slots come
     # from within-category redundancy, never from a category's only rep)
-    "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
