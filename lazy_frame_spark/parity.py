@@ -461,15 +461,22 @@ def join_semi(spark, sf_dir):
 
 @query(
     "join_anti",
+    # every customer has SOME order in the synthetic data (the
+    # unrestricted anti-join is empty — weak evidence), so the probe
+    # side is restricted to recent orders: customers with none survive
     oracle="""
     SELECT * FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     """,
 )
 def join_anti(spark, sf_dir):
     c = _table(spark, sf_dir, "customer")
-    o = _table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    o = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return anti_join(c, o, on="c_custkey")
 
