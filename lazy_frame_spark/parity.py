@@ -697,15 +697,22 @@ def set_intersect(spark, sf_dir):
 
 @query(
     "set_except",
+    # both tables cover all 25 nations, so the unrestricted EXCEPT was
+    # empty (a green row proving nothing); restricting the subtracted
+    # side to high-balance suppliers leaves the uncovered nations
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
     """,
 )
 def set_except(spark, sf_dir):
     c = _table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        _table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)  # EXCEPT (set semantics); exceptAll would be bag-diff
 
 
