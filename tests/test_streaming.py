@@ -331,3 +331,43 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir, tmp_path_factory):
     run_stream_to_memory(gated.select("doc_id"), "t_gate", output_mode="append")
     got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM t_gate").collect())
     assert got == want
+
+
+def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """Sequential availableNow runs over one checkpoint must be
+    exactly-once: run 2 with no new files appends NOTHING to a parquet
+    sink; after a new file lands, run 3 appends exactly its rows."""
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    n1 = drain()
+    assert n1 == 300
+    assert drain() == 300  # same files: nothing reprocessed
+
+    # a new file lands; only its rows append
+    extra = str(tmp_path / "extra")
+    load_table(spark, sf_dir, "events").limit(350).subtract(ev).limit(50)\
+        .coalesce(1).write.parquet(extra)
+    for f in glob.glob(extra + "/part-*.parquet"):
+        shutil.copy(f, src + "/late-" + f.rsplit("/", 1)[1])
+    assert drain() == 350
