@@ -66,6 +66,7 @@ from lazy_frame_spark.operators.sketches import (
     kll_merge,
     kll_partials,
     kll_quantiles,
+    theta_incremental_update,
     theta_partials,
     theta_setops,
 )
@@ -114,7 +115,7 @@ __all__ = [
     "chunk_dedup", "paragraph_dedup",
     # sketches
     "hll_partials", "hll_rollup", "hll_incremental_update",
-    "theta_partials", "theta_setops",
+    "theta_partials", "theta_setops", "theta_incremental_update",
     "kll_partials", "kll_merge", "kll_quantiles",
     # data quality
     "profile_columns", "check_expectations",

@@ -178,3 +178,23 @@ def hll_incremental_update(
         .groupBy(*grain)
         .agg(F.hll_union_agg(F.col(HLL_SKETCH)).alias(HLL_SKETCH))
     )
+
+
+def theta_incremental_update(
+    stored: DataFrame,
+    new_batch: DataFrame,
+    grain: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Theta twin of ``hll_incremental_update``: fold a new batch's
+    partials into the stored sketch table without rescanning stored
+    data. Kept separate (not parameterized over the sketch family)
+    because the union aggregate differs and theta's exact-mode
+    guarantees are part of its contract."""
+    fresh = theta_partials(new_batch, grain, col)
+    return (
+        stored.select(*grain, THETA_SKETCH)
+        .unionByName(fresh)
+        .groupBy(*grain)
+        .agg(F.theta_union_agg(F.col(THETA_SKETCH)).alias(THETA_SKETCH))
+    )

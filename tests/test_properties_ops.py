@@ -268,3 +268,55 @@ def test_paragraph_dedup_matches_bruteforce(spark, texts):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["text"] for r in dd.paragraph_dedup(df).collect()}
     assert got == _brute_paragraph_dedup(docs)
+
+
+def _brute_resample_ffill(rows, width_s=3600):
+    """Model: per user, bucket to width_s-second epochs, last (ts, id)
+    observation wins the bucket, grid spans [min,max] bucket, ffill."""
+    from collections import defaultdict
+
+    by_user = defaultdict(dict)
+    for eid, ts, uid, val in rows:
+        b = (int(ts.timestamp()) // width_s) * width_s
+        cur = by_user[uid].get(b)
+        if cur is None or (ts, eid) > (cur[0], cur[1]):
+            by_user[uid][b] = (ts, eid, val)
+    out = {}
+    for uid, buckets in by_user.items():
+        lo, hi = min(buckets), max(buckets)
+        last = None
+        for b in range(lo, hi + width_s, width_s):
+            if b in buckets:
+                last = buckets[b][2]
+            out[(uid, b)] = last
+    return out
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 99),                       # event_id
+            st.integers(0, 72).map(
+                lambda h: __import__("datetime").datetime(2024, 1, 1)
+                + __import__("datetime").timedelta(hours=h, minutes=h % 7)
+            ),
+            st.integers(1, 3),                        # user_id
+            st.floats(0, 100, allow_nan=False).map(lambda v: round(v, 2)),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_resample_ffill_matches_bruteforce(spark, rows):
+    from lazy_frame_spark.operators import timeseries as ts
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], int(r["bucket"].timestamp())): r["v_ffill"]
+        for r in ts.resample_ffill(df, every="1 hour").collect()
+    }
+    assert got == _brute_resample_ffill(rows)

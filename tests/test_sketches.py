@@ -144,3 +144,26 @@ def test_kll_quantiles_rejects_colliding_prob_names(events):
     merged = sk.kll_merge(parts)
     with pytest.raises(ValueError, match="collide"):
         sk.kll_quantiles(merged, [0.249, 0.251])
+
+
+def test_theta_incremental_update_exact_mode(events):
+    """Incremental theta maintenance stays exact below the retained-hash
+    bound: folded estimate equals the true distinct count."""
+    early = events.filter(F.dayofmonth("ts") <= 15)
+    late = events.filter(F.dayofmonth("ts") > 15)
+    stored = sk.theta_partials(early, ["event_type"], "user_id")
+    updated = sk.theta_incremental_update(stored, late, ["event_type"], "user_id")
+    est = {
+        r["event_type"]: int(r["est"])
+        for r in updated.select(
+            "event_type",
+            F.theta_sketch_estimate(F.col(sk.THETA_SKETCH)).alias("est"),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est == exact
