@@ -209,13 +209,14 @@ def shuffle_hash_join(
     on,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join pinned to SHUFFLED HASH via a join hint. The knob to
-    reach for when the build side fits per-task memory but exceeds the
-    broadcast threshold, and sorted output buys nothing: SMJ pays two
-    full sorts; shuffle-hash pays one hash table per task. At 100 TB
-    this is routinely the fastest strategy for mid-size × huge equi-
-    joins — but it CANNOT spill the build side gracefully, hence a knob
-    and not a default."""
+    """Equi-join pinned to SHUFFLED HASH via a join hint. **``right`` is
+    the build side** (the hint is attached to it): pass the SMALLER
+    input as ``right`` — it must fit per-task memory, because the build
+    side cannot spill gracefully. The knob to reach for when that side
+    exceeds the broadcast threshold and sorted output buys nothing: SMJ
+    pays two full sorts; shuffle-hash pays one hash table per task. At
+    100 TB this is routinely the fastest strategy for mid-size × huge
+    equi-joins — hence a knob and not a default."""
     return left.join(right.hint("shuffle_hash"), on, how)
 
 

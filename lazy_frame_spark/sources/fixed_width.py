@@ -12,8 +12,17 @@ the substring ever evaluates). No Python row path, no UDFs.
 Numeric fields parse through ``try_cast`` after trim: malformed cells
 become NULL (the same documented divergence-from-C the CSV source's
 typed comparisons follow). The writer right-pads/truncates to the
-declared widths, so write→read round-trips exactly whenever values fit
-their columns — and the round-trip IS the oracle check in parity.
+declared widths, so write→read round-trips exactly for values the
+format CAN represent — and the round-trip IS the oracle check in
+parity. Two representation limits are inherent to fixed-width and
+documented rather than papered over: (1) NULL and '' both serialize as
+an all-space field and read back as '' (strings) / NULL (numerics) —
+the format has no NULL marker; (2) trailing spaces inside string
+values are indistinguishable from padding and are rtrimmed away on
+read. Widths are CHARACTER counts (Spark ``substring`` semantics): for
+single-byte encodings char ranges ARE byte ranges; a multi-byte UTF-8
+legacy file declared in bytes needs a byte-level pre-decode, which is
+out of scope here.
 """
 
 from __future__ import annotations
@@ -33,7 +42,9 @@ def read_fixed_width(
     layout: Layout,
     skip_rows: int = 0,
 ) -> DataFrame:
-    """Parse a fixed-width file per ``layout``. 1-based substring starts
+    """Parse a fixed-width file per ``layout`` (widths in CHARACTERS —
+    see the module docstring for the byte-vs-char caveat and the
+    NULL/trailing-space representation limits). 1-based substring starts
     accumulate across the declared widths; ``skip_rows`` drops leading
     header/banner lines by position (monotonic id over file order —
     valid per input file, matching the CSV source's skip semantics)."""
@@ -69,12 +80,14 @@ def write_fixed_width(
 ) -> None:
     """Serialize ``df`` to fixed-width lines: every value stringifies,
     right-pads with spaces to its declared width, and truncates beyond
-    it (the format's own contract — pick widths that fit). One codegen
-    concat per row; written via the text sink."""
+    it (the format's own contract — pick widths that fit; NULLs become
+    empty fields). One codegen concat per row; written via the text
+    sink."""
+    # rpad both pads AND truncates to the target length — one expression
+    # enforces the whole width contract (NULL writes as an empty field;
+    # the format cannot distinguish it from '')
     parts = [
-        F.rpad(
-            F.coalesce(F.col(name).cast("string"), F.lit("")), int(width), " "
-        ).substr(1, int(width))
+        F.rpad(F.coalesce(F.col(name).cast("string"), F.lit("")), int(width), " ")
         for name, width, _ in layout
     ]
     df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

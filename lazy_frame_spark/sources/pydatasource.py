@@ -45,6 +45,17 @@ LANGS = ["en", "de", "fr"]
 DOCGEN_SCHEMA = "doc_id bigint, lang string, n_tokens int, text string"
 
 
+def _gen_rows(start: int, end: int):
+    """THE closed-form generator — the single source of truth shared by
+    the batch reader, the stream reader, and (as SQL) the parity
+    oracle: word i of doc d is VOCAB[(7d+i) % 8], token count d%20+5,
+    lang d%3."""
+    for d in range(start, end):
+        n = d % 20 + 5
+        words = [VOCAB[(7 * d + i) % 8] for i in range(n)]
+        yield (d, LANGS[d % 3], n, " ".join(words))
+
+
 @dataclass
 class _Range(InputPartition):
     start: int
@@ -93,10 +104,7 @@ class DocGenReader(DataSourceReader):
         return parts
 
     def read(self, partition: _Range):
-        for d in range(partition.start, partition.end):
-            n = d % 20 + 5
-            words = [VOCAB[(7 * d + i) % 8] for i in range(n)]
-            yield (d, LANGS[d % 3], n, " ".join(words))
+        return _gen_rows(partition.start, partition.end)
 
 
 class DocGenDataSource(DataSource):
@@ -140,21 +148,15 @@ class DocGenStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    def _rows(self, start: int, end: int):
-        for d in range(start, end):
-            n = d % 20 + 5
-            words = [VOCAB[(7 * d + i) % 8] for i in range(n)]
-            yield (d, LANGS[d % 3], n, " ".join(words))
-
     def read(self, start: dict):
         lo = int(start["pos"])
         hi = min(lo + self.batch_size, self.n_docs)
         # a LIST, not a generator: the engine's prefetch cache
         # copy.copy()s the returned iterator for replay
-        return iter(list(self._rows(lo, hi))), {"pos": hi}
+        return iter(list(_gen_rows(lo, hi))), {"pos": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows(int(start["pos"]), int(end["pos"]))))
+        return iter(list(_gen_rows(int(start["pos"]), int(end["pos"]))))
 
     def commit(self, end: dict) -> None:
         pass
@@ -192,7 +194,7 @@ class JsonlWriter(DataSourceWriter):
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
         return _PartFile(path=tmp, rows=n)
 
