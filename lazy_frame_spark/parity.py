@@ -5312,6 +5312,37 @@ def source_python_datasource(spark, sf_dir):
 
 
 @query(
+    "sink_merge_upsert",
+    # the oracle restates the MERGE: region rows minus updated keys,
+    # union the updates (two changed rows + one insert)
+    oracle="""
+    SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (0, 2)
+    UNION ALL
+    SELECT * FROM (VALUES (0, 'AFRICA-RENAMED'), (2, 'ASIA-RENAMED'),
+                          (99, 'ATLANTIS')) AS u(r_regionkey, r_name)
+    """,
+)
+def sink_merge_upsert(spark, sf_dir):
+    """Batch MERGE INTO emulation (sources/parquet.merge_upsert):
+    latest-wins upsert of two updates and one insert into a parquet
+    region copy, rewritten with the temp-sibling atomic swap. The
+    oracle restates the merge relationally over the ORIGINAL table, so
+    the anti-join + union + swap path is value-checked end to end."""
+    import hashlib
+
+    from lazy_frame_spark.sources.parquet import merge_upsert, write_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/lfs_merge_region_{tag}"
+    write_parquet(_table(spark, sf_dir, "region"), path)
+    updates = spark.createDataFrame(
+        [(0, "AFRICA-RENAMED"), (2, "ASIA-RENAMED"), (99, "ATLANTIS")],
+        "r_regionkey int, r_name string",
+    )
+    return merge_upsert(spark, path, updates, key="r_regionkey")
+
+
+@query(
     "sink_partitioned_pruned",
     oracle="""
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,

@@ -105,3 +105,43 @@ def compact_parquet(
         shutil.rmtree(backup, ignore_errors=True)
         dest = final
     return spark.read.parquet(dest)
+
+
+def merge_upsert(
+    spark: "SparkSession",
+    path: str,
+    updates: "DataFrame",
+    key: str | list[str],
+) -> "DataFrame":
+    """Batch MERGE (SCD type 1, latest-wins) into a parquet table
+    without a table format: matched keys take the update row, unmatched
+    target rows survive, unmatched update rows insert — i.e.
+    ``MERGE INTO t USING u ON key WHEN MATCHED THEN UPDATE *
+    WHEN NOT MATCHED THEN INSERT *``, emulated exactly as a left-anti
+    join (target minus updated keys) unioned with the updates.
+
+    The rewrite uses the same temp-sibling-then-swap discipline as
+    ``compact_parquet``: a failure mid-write never leaves the table
+    truncated. One shuffle (the anti-join on the key; the update side
+    broadcasts when small). For partial-partition rewrites at 100 TB
+    you'd scope the anti-join to affected partitions first — this
+    whole-table variant is the correctness core that such an optimizer
+    wraps. Returns the merged frame re-read from disk.
+    """
+    import os
+    import shutil
+
+    keys = [key] if isinstance(key, str) else list(key)
+    target = spark.read.parquet(path)
+    merged = target.join(updates.select(*keys), on=keys, how="left_anti").unionByName(
+        updates
+    )
+    dest = path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(dest)
+    final = path.rstrip("/")
+    backup = final + "__merge_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(final, backup)
+    os.rename(dest, final)
+    shutil.rmtree(backup, ignore_errors=True)
+    return spark.read.parquet(final)

@@ -227,3 +227,27 @@ def test_fixed_width_truncates_overwide_values(spark, tmp_path):
     d = str(tmp_path / "fwf2")
     write_fixed_width(df, d, layout)
     assert read_fixed_width(spark, d, layout).first()["name"] == "abcd"
+
+
+def test_merge_upsert_latest_wins_and_idempotent(spark, sf_dir, tmp_path):
+    from lazy_frame_spark.sources.parquet import merge_upsert, write_parquet
+
+    path = str(tmp_path / "region_merge")
+    write_parquet(spark.read.parquet(f"{sf_dir}/region.parquet"), path)
+    updates = spark.createDataFrame(
+        [(1, "EUROPA"), (42, "NEW-WORLD")], "r_regionkey int, r_name string"
+    )
+    merged = {r["r_regionkey"]: r["r_name"]
+              for r in merge_upsert(spark, path, updates, "r_regionkey").collect()}
+    assert merged[1] == "EUROPA" and merged[42] == "NEW-WORLD"
+    assert len(merged) == 6  # 5 originals, 1 replaced, 1 inserted
+
+    # re-applying the same updates is a no-op (latest-wins semantics)
+    again = {r["r_regionkey"]: r["r_name"]
+             for r in merge_upsert(spark, path, updates, "r_regionkey").collect()}
+    assert again == merged
+    # no temp/backup siblings survive
+    import os
+
+    assert not os.path.exists(path + "__merge_tmp")
+    assert not os.path.exists(path + "__merge_old")
