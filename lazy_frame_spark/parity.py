@@ -5312,6 +5312,42 @@ def source_python_datasource(spark, sf_dir):
 
 
 @query(
+    "sketch_kll_by_group",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_kll_by_group(spark, sf_dir):
+    """KEYED quantile rollup: per-(type, day) KLL partials folded up to
+    event_type (operators/sketches.kll_merge with keys) — the stored-
+    partials shape for per-segment latency/size percentiles at 100 TB.
+    Per group, the exact n value-checks and the p50 estimate's true
+    rank must land within ±3 % (KLL k=200 guarantees ~1.65 %)."""
+    from lazy_frame_spark.operators import sketches as _sk
+
+    ev = _table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    parts = _sk.kll_partials(ev, ["event_type", "day"], "value")
+    q = _sk.kll_quantiles(_sk.kll_merge(parts, ["event_type"]), [0.5])
+    ranks = (
+        ev.join(q.select("event_type", "n", "q50"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            (
+                F.abs(
+                    F.sum((F.col("value") <= F.col("q50")).cast("long"))
+                    / F.first("n")
+                    - 0.5
+                )
+                <= 0.03
+            ).alias("p50_ok"),
+        )
+    )
+    return ranks
+
+
+@query(
     "sink_merge_upsert",
     # the oracle restates the MERGE: region rows minus updated keys,
     # union the updates (two changed rows + one insert)
