@@ -5312,6 +5312,55 @@ def source_python_datasource(spark, sf_dir):
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           'SEG_' || CAST(user_id % 4 AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment executed as a REAL stream: events
+    micro-batches broadcast-join a STATIC user→segment dim (no join
+    state, no watermark — the standard telemetry-enrichment pattern),
+    then tumble-aggregate per segment. Complete output mode; the final
+    table equals the batch aggregation the oracle runs."""
+    import hashlib
+
+    from lazy_frame_spark.streaming import stream_events
+    from lazy_frame_spark.streaming.windows import (
+        stream_static_enrich as _enrich,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/lfs_enrich_events_{tag}"
+    ev = _table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment", F.concat(F.lit("SEG_"), (F.col("user_id") % 4).cast("string"))
+        )
+    )
+    stream = stream_events(spark, d, spark.read.parquet(d).schema,
+                           max_files_per_trigger=2)
+    qname = f"t_enrich_{tag}"
+    q = (
+        _enrich(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT window_start, segment, n, sum_value FROM {qname}")
+
+
+@query(
     "sketch_kll_by_group",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_ok

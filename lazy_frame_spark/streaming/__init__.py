@@ -14,6 +14,7 @@ from lazy_frame_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
     stream_events,
+    stream_static_enrich,
     stream_stream_time_join,
     tumbling_window_agg,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "session_window_agg",
     "stream_events",
     "stream_stream_time_join",
+    "stream_static_enrich",
     "dedup_within_watermark",
     "run_stream_to_memory",
     "running_user_profile",
