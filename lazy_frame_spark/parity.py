@@ -5312,6 +5312,83 @@ def source_python_datasource(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize_pipeline",
+    # same quadrant construction as the PNG/GIF round-trips: 8x8 image,
+    # quadrant channel values base+{0,4,8,12}. Nearest-neighbor resize
+    # to 2x2 samples pixels (0,0) (0,4) (4,0) (4,4) — exactly the four
+    # quadrant bases — so the resized mean is base + 6, closed-form.
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS height, CAST(2 AS BIGINT) AS width,
+           CAST(doc_id % 200 + 6 AS BIGINT) AS mean_r,
+           CAST((doc_id * 7) % 200 + 6 AS BIGINT) AS mean_g,
+           CAST((doc_id * 13) % 200 + 6 AS BIGINT) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_resize_pipeline(spark, sf_dir):
+    """decode → resize → feature-extract, the thumbnail/normalize step
+    of a media pipeline: real PNGs (zlib + scanline filters) decode,
+    resize_nearest to 2×2, and emit integer channel means — all inside
+    ONE Arrow mapInPandas stage, pixels never leave the worker. The
+    nearest-neighbor index math is value-checked by the closed-form
+    oracle (the 2×2 sample lands exactly on the quadrant bases)."""
+    from collections.abc import Iterator
+
+    from lazy_frame_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+    from lazy_frame_spark.plans.parallel import fan_out
+
+    d = fan_out(_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        quad = np.zeros((8, 8), dtype=np.uint8)
+        quad[:4, 4:] = 4
+        quad[4:, :4] = 8
+        quad[4:, 4:] = 12
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                px = np.stack(
+                    [quad + (doc_id * k) % 200 for k in (1, 7, 13)], axis=2
+                ).astype(np.uint8)
+                small = resize_nearest(decode_png(encode_png(px)), 2, 2)
+                m = small.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (doc_id, small.shape[0], small.shape[1],
+                     int(m[0]), int(m[1]), int(m[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "height", "width", "mean_r", "mean_g", "mean_b"],
+            )
+            rows = []
+
+    import pyspark.sql.types as T
+
+    return d.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("height", T.LongType()),
+                T.StructField("width", T.LongType()),
+                T.StructField("mean_r", T.LongType()),
+                T.StructField("mean_g", T.LongType()),
+                T.StructField("mean_b", T.LongType()),
+            ]
+        ),
+    )
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
