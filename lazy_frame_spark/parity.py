@@ -5312,6 +5312,60 @@ def source_python_datasource(spark, sf_dir):
 
 
 @query(
+    "stream_python_source",
+    oracle="""
+    WITH v(j, w) AS (VALUES
+      (0, 'alpha'), (1, 'bridge'), (2, 'copper'), (3, 'delta'),
+      (4, 'ember'), (5, 'forge'), (6, 'granite'), (7, 'harbor')),
+    ids AS (SELECT unnest(generate_series(0, 199)) AS doc_id),
+    tok AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 20 + 4)) AS i
+      FROM ids),
+    wtok AS (
+      SELECT t.doc_id, t.i, v.w
+      FROM tok t JOIN v ON (t.doc_id * 7 + t.i) % 8 = v.j)
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+             AS lang,
+           CAST(doc_id % 20 + 5 AS INTEGER) AS n_tokens,
+           string_agg(w, ' ' ORDER BY i) AS text
+    FROM wtok GROUP BY doc_id
+    """,
+)
+def stream_python_source(spark, sf_dir):
+    """The Python connector's STREAM reader in the graded path: the
+    offset-cursored micro-batch source drains 200 docs in 64-doc
+    batches into a memory sink (processAllAvailable — the bounded
+    source reports no-new-data once the cursor reaches n_docs); every
+    emitted row must match the same closed form the batch reader and
+    oracle share."""
+    import hashlib
+
+    from lazy_frame_spark.sources.pydatasource import register_docgen
+
+    register_docgen(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    qname = f"t_pystream_{tag}"
+    stream = (
+        spark.readStream.format("lfs_docgen")
+        .option("n_docs", 200)
+        .option("batch_size", 64)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT doc_id, lang, n_tokens, text FROM {qname}")
+
+
+@query(
     "multimodal_resize_pipeline",
     # same quadrant construction as the PNG/GIF round-trips: 8x8 image,
     # quadrant channel values base+{0,4,8,12}. Nearest-neighbor resize
