@@ -14,6 +14,52 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Detect a hive partition layout on disk: nested ``name=value``
+    directory levels under ``path`` (pure listdir walk, no data read).
+    Returns the partition column names outermost-first, [] when flat."""
+    import os
+
+    cols: list[str] = []
+    cur = path
+    while True:
+        try:
+            subdirs = [
+                d for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            ]
+        except OSError:
+            break
+        if not subdirs:
+            break
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+    return cols
+
+
+def _swap_in_place(final: str, dest: str, old_suffix: str) -> None:
+    """Two-rename swap shared by compact_parquet and merge_upsert: move
+    the live table aside, promote the freshly written sibling, drop the
+    backup. If promoting fails, the backup rolls back so readers see
+    the ORIGINAL table. A hard process kill exactly between the two
+    renames can still strand the table at ``<final><old_suffix>`` —
+    single-filesystem renames cannot be made jointly atomic without a
+    manifest layer (what table formats add); the backup location is
+    deterministic, so recovery is one rename."""
+    import os
+    import shutil
+
+    backup = final + old_suffix
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(final, backup)
+    try:
+        os.rename(dest, final)
+    except Exception:
+        os.rename(backup, final)  # roll back: original table intact
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -98,11 +144,7 @@ def compact_parquet(
     df.repartition(n_out).write.mode("overwrite").parquet(dest)
     if swap:
         final = path.rstrip("/")
-        backup = final + "__compact_old"
-        shutil.rmtree(backup, ignore_errors=True)
-        os.rename(final, backup)
-        os.rename(dest, final)
-        shutil.rmtree(backup, ignore_errors=True)
+        _swap_in_place(final, dest, "__compact_old")
         dest = final
     return spark.read.parquet(dest)
 
@@ -113,35 +155,55 @@ def merge_upsert(
     updates: "DataFrame",
     key: str | list[str],
 ) -> "DataFrame":
-    """Batch MERGE (SCD type 1, latest-wins) into a parquet table
-    without a table format: matched keys take the update row, unmatched
-    target rows survive, unmatched update rows insert — i.e.
+    """Batch MERGE (SCD type 1) into a parquet table without a table
+    format: matched keys take the update row, unmatched target rows
+    survive, unmatched update rows insert — i.e.
     ``MERGE INTO t USING u ON key WHEN MATCHED THEN UPDATE *
     WHEN NOT MATCHED THEN INSERT *``, emulated exactly as a left-anti
     join (target minus updated keys) unioned with the updates.
 
-    The rewrite uses the same temp-sibling-then-swap discipline as
-    ``compact_parquet``: a failure mid-write never leaves the table
-    truncated. One shuffle (the anti-join on the key; the update side
-    broadcasts when small). For partial-partition rewrites at 100 TB
-    you'd scope the anti-join to affected partitions first — this
-    whole-table variant is the correctness core that such an optimizer
-    wraps. Returns the merged frame re-read from disk.
+    Contract guards: ``updates`` must be key-unique — like real
+    MERGE INTO, multiple source matches per key raise (there is no
+    ordering in a batch frame to pick a "latest" from). A hive
+    partition layout on the target is detected from the directory
+    names and REPLAYED on the rewrite, so partition pruning survives
+    the merge.
+
+    The rewrite goes through the shared temp-sibling swap
+    (``_swap_in_place``): an error while promoting rolls back to the
+    original table; see that helper for the narrow hard-kill window a
+    manifest-less format cannot close. One shuffle (the anti-join on
+    the key; the update side broadcasts when small). For
+    partial-partition rewrites at 100 TB you'd scope the anti-join to
+    affected partitions first — this whole-table variant is the
+    correctness core such an optimizer wraps. Returns the merged frame
+    re-read from disk.
     """
-    import os
-    import shutil
+    from pyspark.sql import functions as F
 
     keys = [key] if isinstance(key, str) else list(key)
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates frame has multiple rows for key {dict(zip(keys, [dup[0][k] for k in keys]))}; "
+            "MERGE requires a key-unique source"
+        )
+    part_cols = _partition_columns(path.rstrip("/"))
     target = spark.read.parquet(path)
     merged = target.join(updates.select(*keys), on=keys, how="left_anti").unionByName(
         updates
     )
     dest = path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(dest)
+    w = merged.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(dest)
     final = path.rstrip("/")
-    backup = final + "__merge_old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(final, backup)
-    os.rename(dest, final)
-    shutil.rmtree(backup, ignore_errors=True)
+    _swap_in_place(final, dest, "__merge_old")
     return spark.read.parquet(final)

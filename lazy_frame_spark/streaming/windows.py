@@ -164,26 +164,29 @@ def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
     on: str,
+    dim_col: str = "segment",
+    value_col: str = "value",
     window_duration: str = "1 hour",
     ts_col: str = "ts",
 ) -> DataFrame:
     """Stream-static enrichment: join each event against a STATIC dim
     frame (no watermark, no join state — the dim is just broadcast into
     every micro-batch, and dim updates are picked up at the next batch
-    for file-backed dims), then a tumbling windowed aggregate per dim
-    attribute. The workhorse pattern for enriching telemetry with
-    account/segment tables; identical plan in batch mode, which is what
-    the oracle checks."""
+    for file-backed dims), then a tumbling windowed aggregate per the
+    dim's ``dim_col`` attribute over the stream's ``value_col``. The
+    workhorse pattern for enriching telemetry with account/segment
+    tables; identical plan in batch mode, which is what the oracle
+    checks."""
     enriched = stream.join(F.broadcast(dim), on=on)
     return (
         enriched.groupBy(
             F.window(F.col(ts_col), window_duration).getField("start").alias(
                 "window_start"
             ),
-            "segment",
+            dim_col,
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
         )
     )

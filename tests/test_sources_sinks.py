@@ -251,3 +251,38 @@ def test_merge_upsert_latest_wins_and_idempotent(spark, sf_dir, tmp_path):
 
     assert not os.path.exists(path + "__merge_tmp")
     assert not os.path.exists(path + "__merge_old")
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, sf_dir, tmp_path):
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import merge_upsert, write_parquet
+
+    path = str(tmp_path / "region_dupmerge")
+    write_parquet(spark.read.parquet(f"{sf_dir}/region.parquet"), path)
+    dup_updates = spark.createDataFrame(
+        [(1, "A"), (1, "B")], "r_regionkey int, r_name string"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_upsert(spark, path, dup_updates, "r_regionkey")
+    # target untouched by the rejected merge
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_merge_upsert_preserves_partition_layout(spark, sf_dir, tmp_path):
+    import os
+
+    from lazy_frame_spark.sources.parquet import merge_upsert, write_parquet
+
+    path = str(tmp_path / "orders_part_merge")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_parquet(o, path, partition_by=["o_orderstatus"])
+    updates = spark.createDataFrame(
+        [(1, 123.45, "F")], "o_orderkey long, o_totalprice double, o_orderstatus string"
+    )
+    merged = merge_upsert(spark, path, updates, "o_orderkey")
+    assert merged.count() == o.count()  # 1 replaced, 0 inserted
+    # hive layout survives the rewrite
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))

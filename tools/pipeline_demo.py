@@ -60,7 +60,9 @@ def main() -> int:
     )
 
     pairs = ngram_jaccard_pairs(para, threshold=0.9, max_token_df=200)
-    deduped = drop_near_duplicates(para, pairs)
+    # pin the expensive LSH + connected-components result: every later
+    # stage (and each count) reuses it instead of recomputing lineage
+    deduped = drop_near_duplicates(para, pairs).cache()
     counts["after_near_dup_drop"] = deduped.count()
 
     # 5. benchmark decontamination: Bloom prefilter + exact verify
@@ -77,7 +79,7 @@ def main() -> int:
     # 6. deterministic splits (stable under repartitioning and growth)
     from lazy_frame_spark.operators.splits import assign_split
 
-    split = assign_split(clean, id_cols=["doc_id"], seed=42)
+    split = assign_split(clean, id_cols=["doc_id"], seed=42).cache()
     counts["train"] = split.filter(F.col("split") == "train").count()
 
     # 7. sequence packing: token-budget bins over a distributed cumsum
@@ -98,6 +100,8 @@ def main() -> int:
     sketches = hll_partials(split, ["split"], "doc_id")
     counts["sketch_rows"] = sketches.count()
     counts["published"] = spark.read.parquet(out).count()
+    deduped.unpersist()
+    split.unpersist()
 
     print(json.dumps(counts))
     return 0
