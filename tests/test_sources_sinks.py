@@ -286,3 +286,34 @@ def test_merge_upsert_preserves_partition_layout(spark, sf_dir, tmp_path):
     assert merged.count() == o.count()  # 1 replaced, 0 inserted
     # hive layout survives the rewrite
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+
+
+def test_merge_upsert_preserves_nested_partition_layout(spark, sf_dir, tmp_path):
+    """Two-level hive layout (status, then priority) must survive the
+    merge rewrite with both levels intact."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import (
+        _partition_columns,
+        merge_upsert,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "orders_nested_merge")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    write_parquet(o, path, partition_by=["o_orderstatus", "o_orderpriority"])
+    assert _partition_columns(path) == ["o_orderstatus", "o_orderpriority"]
+    updates = spark.createDataFrame(
+        [(999999, 1.0, "F", "1-URGENT")],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, o_orderpriority string",
+    )
+    merged = merge_upsert(spark, path, updates, "o_orderkey")
+    assert merged.count() == o.count() + 1  # pure insert
+    assert _partition_columns(path) == ["o_orderstatus", "o_orderpriority"]
+    status_dir = next(d for d in os.listdir(path) if d.startswith("o_orderstatus="))
+    assert any(
+        d.startswith("o_orderpriority=")
+        for d in os.listdir(os.path.join(path, status_dir))
+    )
