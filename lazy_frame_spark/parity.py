@@ -5312,6 +5312,31 @@ def source_python_datasource(spark, sf_dir):
 
 
 @query(
+    "lf_columnar_range",
+    oracle=f"""
+    SELECT * FROM (SELECT {LINEITEM_RID} AS row_id, * FROM lineitem)
+    WHERE row_id BETWEEN 501 AND 620
+    """,
+)
+def lf_columnar_range(spark, sf_dir):
+    """Positional range through the LATE-MATERIALIZATION index
+    (rowid.ColumnarPositionalIndex): only (row_id, keys) is cached —
+    a few longs per row instead of the wide table — and the wide source
+    is scanned per read with the selection's key span pushed down. Ids
+    and rows must be identical to the full-cache path (the oracle is
+    the same global-rank SQL lf_row_range checks)."""
+    from lazy_frame_spark.rowid import ROW_ID, ColumnarPositionalIndex
+
+    idx = ColumnarPositionalIndex(
+        _table(spark, sf_dir, "lineitem"), TABLE_KEYS["lineitem"]
+    )
+    try:
+        return idx.row_range(501, 620).withColumnRenamed(ROW_ID, "row_id")
+    finally:
+        idx.close()
+
+
+@query(
     "stream_python_source",
     oracle="""
     WITH v(j, w) AS (VALUES

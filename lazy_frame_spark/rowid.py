@@ -649,3 +649,81 @@ def footer_sorted_candidate(df: DataFrame, lead: str) -> bool:
         return True
     spans.sort()
     return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+class ColumnarPositionalIndex:
+    """Late-materialization positional index: the NARROW alternative to
+    caching the full id'd table (NEXT.md round-3 item — the remaining
+    open-cost lever for UNSORTED tables).
+
+    ``enumerate_rows(cache=True)`` pins id + EVERY column; for a wide
+    table that is the whole table in executor memory. This index pins
+    only ``(row_id, *order_by keys)`` — a few longs per row — and
+    answers positional reads in two steps:
+
+    1. the narrow cache filters to the requested id range/points and
+       yields the LEADING-KEY span of the selection;
+    2. the WIDE source scans with that span pushed down as a key-range
+       predicate (row-group pruning on sorted-ish data — the slice, not
+       the table), then inner-joins the selection on the full unique
+       key to attach ids and drop non-selected rows inside the span.
+
+    Ids are identical to ``enumerate_rows`` by construction (the rank
+    depends only on the key columns, which the narrow frame carries).
+    Wide-row cost is paid per positional READ, proportional to the
+    selection's key span — the right trade when a 100 TB table serves
+    occasional point/range lookups and caching the wide table is not an
+    option. ``which()``-style index queries never touch the wide table
+    at all.
+    """
+
+    def __init__(self, df: DataFrame, order_by: Sequence[str], col: str = ROW_ID):
+        if not order_by:
+            raise ValueError("columnar index requires order_by keys")
+        self._src = df
+        self._keys = list(order_by)
+        self._col = col
+        narrow, handle = enumerate_rows(
+            df.select(*self._keys), order_by=self._keys, col=col, cache=True
+        )
+        self._narrow = narrow
+        self._handle = handle
+
+    def close(self) -> None:
+        if self._handle is not None:
+            try:
+                self._handle.unpersist()
+            except Exception:
+                pass
+            self._handle = None
+
+    def _fetch(self, sel: DataFrame) -> DataFrame:
+        lead = self._keys[0]
+        span = sel.agg(
+            F.min(lead).alias("__lo__"), F.max(lead).alias("__hi__")
+        ).first()
+        if span["__lo__"] is None:
+            empty = self._src.withColumn(self._col, F.lit(None).cast("bigint"))
+            return empty.filter(F.lit(False))
+        sliced = self._src.filter(
+            (F.col(lead) >= F.lit(span["__lo__"]))
+            & (F.col(lead) <= F.lit(span["__hi__"]))
+        )
+        return sliced.join(F.broadcast(sel), on=self._keys, how="inner")
+
+    def row_range(self, lo: int, hi: int) -> DataFrame:
+        """Wide rows with ids for 1-based positions [lo, hi]."""
+        sel = self._narrow.filter(
+            (F.col(self._col) >= int(lo)) & (F.col(self._col) <= int(hi))
+        )
+        return self._fetch(sel)
+
+    def rows(self, points: Sequence[int]) -> DataFrame:
+        """Wide rows with ids for scattered 1-based positions."""
+        sel = self._narrow.filter(F.col(self._col).isin([int(p) for p in points]))
+        return self._fetch(sel)
+
+    def which(self, predicate) -> DataFrame:
+        """Matching row ids for a KEY-COLUMN predicate — narrow cache
+        only, the wide table is never touched."""
+        return self._narrow.filter(predicate).select(self._col)

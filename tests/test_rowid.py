@@ -311,3 +311,52 @@ def test_enumerate_rows_via_fast_path_end_to_end(spark, sf_dir, tmp_path):
     assert (agg["mx"], agg["nd"]) == (n, n)
     if handle is not None:
         handle.unpersist()
+
+
+def test_columnar_index_matches_full_enumeration(spark, sf_dir):
+    """The late-materialization index must return byte-identical rows and
+    ids to the full-cache path for ranges and scattered points."""
+    from lazy_frame_spark.rowid import ROW_ID, ColumnarPositionalIndex, enumerate_rows
+    from lazy_frame_spark.sources.registry import TABLE_KEYS, load_table
+
+    df = load_table(spark, sf_dir, "lineitem")
+    keys = TABLE_KEYS["lineitem"]
+    full, handle = enumerate_rows(df, order_by=keys, cache=False)
+    idx = ColumnarPositionalIndex(df, keys)
+    try:
+        want = {
+            r[ROW_ID]: r
+            for r in full.filter((full[ROW_ID] >= 101) & (full[ROW_ID] <= 150)).collect()
+        }
+        got = {r[ROW_ID]: r for r in idx.row_range(101, 150).collect()}
+        assert set(got) == set(want)
+        for rid, row in got.items():
+            assert row["l_orderkey"] == want[rid]["l_orderkey"]
+            assert row["l_extendedprice"] == want[rid]["l_extendedprice"]
+
+        pts = [5, 999, 3000, 1]
+        gp = {r[ROW_ID] for r in idx.rows(pts).collect()}
+        wp = {r[ROW_ID] for r in full.filter(full[ROW_ID].isin(pts)).collect()}
+        assert gp == wp
+
+        import pyspark.sql.functions as F
+
+        # which() never touches the wide table: only key predicates
+        n_narrow = idx.which(F.col("l_orderkey") <= 100).count()
+        n_full = full.filter(F.col("l_orderkey") <= 100).count()
+        assert n_narrow == n_full
+    finally:
+        idx.close()
+
+
+def test_columnar_index_empty_selection(spark, sf_dir):
+    from lazy_frame_spark.rowid import ColumnarPositionalIndex
+    from lazy_frame_spark.sources.registry import TABLE_KEYS, load_table
+
+    idx = ColumnarPositionalIndex(
+        load_table(spark, sf_dir, "orders"), TABLE_KEYS["orders"]
+    )
+    try:
+        assert idx.row_range(10**9, 10**9 + 5).count() == 0
+    finally:
+        idx.close()
