@@ -683,16 +683,38 @@ def _first_occurrence_dedup(
     position; ids outside the domain raise at the caller's first
     action rather than silently mis-deduping).
     """
-    packed = (F.col(id_col) * F.lit(1 << 32) + F.col(pos_col)).alias("__pk__")
-    guard = F.when(
-        (F.col(id_col) < 0) | (F.col(id_col) >= (1 << 31)) | (F.col(pos_col) >= (1 << 32)),
-        F.raise_error(F.lit("first-occurrence packing domain: 0 <= id < 2^31, pos < 2^32")),
+    # Domain guard folded INTO the consumed expression: a projected-then-
+    # dropped guard column is pruned by Catalyst as unused (it raised
+    # nothing), so __pk__ itself raises on out-of-domain ids — the MIN
+    # aggregate consumes it, so the branch always evaluates.
+    violation = (
+        (F.col(id_col) < 0)
+        | (F.col(id_col) >= (1 << 31))
+        | (F.col(pos_col) < 0)
+        | (F.col(pos_col) >= (1 << 32))
+    )
+    packed = (
+        F.when(
+            violation,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "first-occurrence packing domain: 0 <= id < 2^31, "
+                        "0 <= pos < 2^32; got id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(" pos="),
+                    F.col(pos_col).cast("string"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col(id_col) * F.lit(1 << 32) + F.col(pos_col))
+        .alias("__pk__")
     )
     h = parts.select(
         F.col(id_col), F.col(pos_col), F.col(part_text_col),
         token_hash(F.col(part_text_col)).alias("__hv__"), packed,
-        guard.alias("__guard__"),
-    ).drop("__guard__")
+    )
     winners = h.groupBy("__hv__").agg(F.min("__pk__").alias("__win__"))
     kept = h.join(winners, on="__hv__").filter(F.col("__pk__") == F.col("__win__"))
     rebuilt = kept.groupBy(id_col).agg(

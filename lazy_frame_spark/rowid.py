@@ -480,16 +480,26 @@ def _partition_key_layout(df: DataFrame, keys: list[str]):
 
         def strictly_increasing(pdf):
             """Vectorized lexicographic strict-increase check between
-            consecutive rows (no Python row loop)."""
+            consecutive rows (no Python row loop). A NULL anywhere in a
+            key column means "treat as unsorted" — comparing None on an
+            object array raises TypeError, and the driver's fallback
+            handlers never see a worker-side crash, so nulls must be
+            decided HERE (the rank path sorts NULLS FIRST; file order
+            can't be proven to agree, so the fast path just declines)."""
+            if pdf.isna().any().any():
+                return False
             if len(pdf) < 2:
                 return True
             gt = np.zeros(len(pdf) - 1, dtype=bool)
             eq = np.ones(len(pdf) - 1, dtype=bool)
-            for c in pdf.columns:
-                col = pdf[c].to_numpy()
-                a, b = col[:-1], col[1:]
-                gt |= eq & (b > a)
-                eq &= b == a
+            try:
+                for c in pdf.columns:
+                    col = pdf[c].to_numpy()
+                    a, b = col[:-1], col[1:]
+                    gt |= eq & (b > a)
+                    eq &= b == a
+            except TypeError:
+                return False
             return bool(gt.all()) and not bool(eq.any())
 
         first = last = None

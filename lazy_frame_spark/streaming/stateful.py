@@ -99,13 +99,13 @@ def running_user_profile(events: DataFrame, idle_timeout_ms: int | None = None) 
     )
 
 
-def _topk_merge(
-    pairs: list[tuple[int, float]], k: int
-) -> list[tuple[int, float]]:
+def _topk_merge(pairs: list[tuple], k: int) -> list[tuple]:
     """Keep the k largest (value desc, id asc tie-break — deterministic
-    across engines and batch orders)."""
-    pairs.sort(key=lambda p: (-p[1], p[0]))
-    return [(int(i), float(v)) for i, v in pairs[:k]]
+    across engines and batch orders). Ids stay in their native type
+    (int, str, ...) — only the value is coerced to float."""
+    pairs.sort(key=lambda p: (p[1], p[0]))
+    pairs.sort(key=lambda p: p[1], reverse=True)
+    return [(i, float(v)) for i, v in pairs[:k]]
 
 
 def running_topk(
@@ -128,19 +128,31 @@ def running_topk(
     ORDER BY value DESC, id)`` ≤ k. See ``running_topk_tws`` for the
     same operator on Spark 4's successor API.
     """
+    from pyspark.sql.types import ArrayType, NumericType
+
+    id_dt = events.schema[id_col].dataType
+    val_dt = events.schema[val_col].dataType
+    if not isinstance(val_dt, NumericType):
+        raise TypeError(
+            f"running_topk: val_col {val_col!r} must be numeric, got {val_dt}"
+        )
+    # state types DERIVED from the input schema: integral ids persist as
+    # long, everything else (string, ...) in its own type — a string id
+    # no longer crashes the executor on astype('int64')
+    integral_id = isinstance(id_dt, NumericType)
+    state_id_dt = LongType() if isinstance(id_dt, LongType) else id_dt
+
     out_schema = StructType(
         [
             StructField(key_col, events.schema[key_col].dataType),
             StructField("rank", LongType()),
-            StructField(id_col, events.schema[id_col].dataType),
+            StructField(id_col, id_dt),
             StructField(val_col, DoubleType()),
         ]
     )
-    from pyspark.sql.types import ArrayType
-
     state_schema = StructType(
         [
-            StructField("ids", ArrayType(LongType())),
+            StructField("ids", ArrayType(state_id_dt)),
             StructField("vals", ArrayType(DoubleType())),
         ]
     )
@@ -155,18 +167,22 @@ def running_topk(
             state.remove()
             return
         ids, vals = state.get if state.exists else ([], [])
-        pairs = list(zip((int(i) for i in ids), (float(v) for v in vals)))
+        pairs = list(zip(ids, (float(v) for v in vals)))
         for pdf in batches:
-            pairs.extend(
-                zip(pdf[id_col].astype("int64"), pdf[val_col].astype("float64"))
+            id_vals = (
+                pdf[id_col].astype("int64")
+                if integral_id
+                else pdf[id_col]
             )
+            pairs.extend(zip(id_vals, pdf[val_col].astype("float64")))
         top = _topk_merge(pairs, k)
-        state.update(([i for i, _ in top], [v for _, v in top]))
+        top_ids = [i.item() if hasattr(i, "item") else i for i, _ in top]
+        state.update((top_ids, [v for _, v in top]))
         yield _pd.DataFrame(
             {
                 key_col: [key_val] * len(top),
                 "rank": [r + 1 for r in range(len(top))],
-                id_col: [i for i, _ in top],
+                id_col: top_ids,
                 val_col: [round(v, 2) for _, v in top],
             }
         )

@@ -1306,3 +1306,24 @@ def test_paragraph_dedup_order_preserved(spark):
     got = {r["doc_id"]: r["text"] for r in dd.paragraph_dedup(df).collect()}
     assert got[1] == "pa\n\npb\n\npc"
     assert got[2] == "px\n\npy"
+
+
+def test_chunk_dedup_packing_guard_fires(spark):
+    """The id*2^32+pos packing-domain guard must actually RAISE for
+    out-of-domain ids (it is folded into the consumed __pk__ expression;
+    a projected-then-dropped guard column gets pruned by Catalyst and
+    raises nothing)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(-1, "a0 a1 a2 a3 a4")], "doc_id long, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="packing domain"):
+        dd.chunk_dedup(df, chunk_tokens=5).collect()
+
+    big = spark.createDataFrame(
+        [(1 << 31, "b0 b1 b2 b3 b4")], "doc_id long, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="packing domain"):
+        dd.chunk_dedup(big, chunk_tokens=5).collect()

@@ -360,3 +360,22 @@ def test_columnar_index_empty_selection(spark, sf_dir):
         assert idx.row_range(10**9, 10**9 + 5).count() == 0
     finally:
         idx.close()
+
+
+def test_null_key_past_head_sample_declines_not_crashes(spark, tmp_path):
+    """A NULL in a string sort key BEYOND the 2048-row head sample must
+    make the fast path decline (file order vs NULLS FIRST rank order is
+    unprovable) — not raise TypeError inside the mapInPandas worker."""
+    from lazy_frame_spark import rowid as R
+
+    p = str(tmp_path / "null_tail")
+    rows = [(f"k{i:05d}",) for i in range(3000)]
+    rows[2500] = (None,)
+    spark.createDataFrame(rows, "k string").coalesce(1).write.parquet(p)
+    d = spark.read.parquet(p)
+    assert R.sorted_fast_path_ids(d, ["k"]) is None
+    # and the full enumeration still works via the rank fallback
+    ids, handle = R.enumerate_rows(d, order_by=["k"])
+    assert ids.count() == 3000
+    if handle is not None:
+        handle.unpersist()

@@ -209,3 +209,64 @@ def test_running_topk_tws_requires_protobuf_or_matches(spark, sf_dir, tmp_path):
         """
     ).count()
     assert got > 0
+
+
+def test_topk_merge_string_ids_tiebreak():
+    """_topk_merge keeps ids in their native type and tie-breaks equal
+    values by id ascending for ANY comparable id type (the two-pass
+    stable sort avoids negating non-numeric ids)."""
+    from lazy_frame_spark.streaming.stateful import _topk_merge
+
+    pairs = [("b", 2.0), ("a", 2.0), ("z", 5.0), ("m", 1.0)]
+    assert _topk_merge(pairs, 3) == [("z", 5.0), ("a", 2.0), ("b", 2.0)]
+    assert _topk_merge([(7, 1.0), (3, 1.0)], 2) == [(3, 1.0), (7, 1.0)]
+
+
+def test_running_topk_string_id(spark, tmp_path):
+    """State types are derived from the input schema: a STRING id column
+    runs end-to-end (previously crashed in the executor on a hardcoded
+    astype('int64') / ArrayType(LongType) state)."""
+    from lazy_frame_spark.streaming.stateful import running_topk
+
+    d = str(tmp_path / "ev_strid")
+    rows = [
+        ("click", "e-05", 3.0), ("click", "e-02", 9.0), ("click", "e-09", 9.0),
+        ("click", "e-01", 1.0), ("view", "e-03", 4.0), ("view", "e-08", 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, event_id string, value double"
+    ).repartition(2).write.mode("overwrite").parquet(d)
+    stream = stream_events(spark, d, spark.read.parquet(d).schema,
+                           max_files_per_trigger=1)
+    q = (
+        running_topk(stream, k=2)
+        .writeStream.format("memory").queryName("t_topk_str")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    final = spark.sql(
+        """
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, rank
+                                       ORDER BY value DESC, event_id) rn
+          FROM t_topk_str) WHERE rn = 1
+        """
+    ).collect()
+    got = {(r["event_type"], r["rank"]): (r["event_id"], r["value"]) for r in final}
+    assert got[("click", 1)] == ("e-02", 9.0)   # tie at 9.0 -> min id wins
+    assert got[("click", 2)] == ("e-09", 9.0)
+    assert got[("view", 1)] == ("e-03", 4.0)
+    assert got[("view", 2)] == ("e-08", 2.0)
+
+
+def test_running_topk_rejects_non_numeric_value(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "ev_badval")
+    spark.createDataFrame(
+        [("a", 1, "oops")], "event_type string, event_id long, value string"
+    ).write.parquet(d)
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    with pytest.raises(TypeError, match="must be numeric"):
+        from lazy_frame_spark.streaming.stateful import running_topk
+        running_topk(stream, k=2)
