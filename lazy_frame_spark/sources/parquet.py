@@ -37,26 +37,106 @@ def _partition_columns(path: str) -> list[str]:
     return cols
 
 
-def _swap_in_place(final: str, dest: str, old_suffix: str) -> None:
-    """Two-rename swap shared by compact_parquet and merge_upsert: move
-    the live table aside, promote the freshly written sibling, drop the
-    backup. If promoting fails, the backup rolls back so readers see
-    the ORIGINAL table. A hard process kill exactly between the two
-    renames can still strand the table at ``<final><old_suffix>`` —
-    single-filesystem renames cannot be made jointly atomic without a
-    manifest layer (what table formats add); the backup location is
-    deterministic, so recovery is one rename."""
+class _SimulatedCrash(BaseException):
+    """Test-only stand-in for a hard process kill. Derives from
+    BaseException ON PURPOSE: the ``except Exception`` rollback in
+    ``_swap_in_place`` must NOT catch it — a real SIGKILL runs no
+    rollback code either — so crash-injection tests exercise the exact
+    on-disk states a kill leaves behind."""
+
+
+def _journal_path(final: str) -> str:
+    return final + ".__commit__"
+
+
+def _write_journal(final: str, dest: str, backup: str) -> None:
+    """Atomically publish a commit journal NEXT TO the table directory
+    (not inside it — readers of the parquet dir never see it). The
+    journal names the fully-written tmp sibling and the backup slot, so
+    recovery after any kill is deterministic."""
+    import json
+    import os
+
+    tmp = _journal_path(final) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"tmp": dest, "backup": backup}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _journal_path(final))  # atomic publish
+
+
+def recover_table(path: str) -> bool:
+    """Complete or roll back an interrupted in-place swap, making the
+    table at ``path`` readable again after a hard kill at ANY point of
+    ``_swap_in_place``. Idempotent (a crash during recovery re-enters
+    cleanly). Returns True when a journal was found and resolved.
+
+    Invariant the journal buys: it is written only AFTER the tmp
+    sibling is fully written, so whenever the tmp still exists the swap
+    ROLLS FORWARD (promote the new data); the original is only restored
+    when the new data has already been promoted-and-consumed or is
+    gone. Single-filesystem contract — object stores without atomic
+    rename need a real table format (Iceberg/Delta) instead."""
+    import json
+    import os
+    import shutil
+
+    final = path.rstrip("/")
+    jp = _journal_path(final)
+    if not os.path.exists(jp):
+        return False
+    with open(jp, encoding="utf-8") as f:
+        j = json.load(f)
+    dest, backup = j["tmp"], j["backup"]
+    if os.path.exists(dest):
+        # tmp sibling intact -> roll forward (it was complete before the
+        # journal existed); re-do whichever renames the kill skipped
+        if os.path.exists(final) and not os.path.exists(backup):
+            os.rename(final, backup)
+        if not os.path.exists(final):
+            os.rename(dest, final)
+    elif not os.path.exists(final) and os.path.exists(backup):
+        os.rename(backup, final)  # tmp vanished mid-promote: roll back
+    os.remove(jp)
+    shutil.rmtree(backup, ignore_errors=True)
+    return True
+
+
+def _swap_in_place(
+    final: str, dest: str, old_suffix: str, _crash: str | None = None
+) -> None:
+    """Journaled two-rename swap shared by compact_parquet and
+    merge_upsert: publish a commit journal, move the live table aside,
+    promote the freshly written sibling, drop journal then backup. A
+    soft error while promoting rolls back in-process; a HARD KILL at
+    any point leaves the journal behind and ``recover_table`` (run
+    automatically by ``read_parquet`` / ``compact_parquet`` /
+    ``merge_upsert``) restores a readable table — this closes the
+    crash-between-renames window a manifest-less format otherwise has.
+
+    ``_crash`` is test-only: raise ``_SimulatedCrash`` at the named
+    point ('after_journal' | 'between_renames' | 'before_cleanup') so
+    crash-injection tests reproduce each kill state exactly."""
     import os
     import shutil
 
     backup = final + old_suffix
     shutil.rmtree(backup, ignore_errors=True)
+    _write_journal(final, dest, backup)
+    if _crash == "after_journal":
+        raise _SimulatedCrash(_crash)
     os.rename(final, backup)
+    if _crash == "between_renames":
+        raise _SimulatedCrash(_crash)
     try:
         os.rename(dest, final)
     except Exception:
         os.rename(backup, final)  # roll back: original table intact
+        os.remove(_journal_path(final))
         raise
+    if _crash == "before_cleanup":
+        raise _SimulatedCrash(_crash)
+    os.remove(_journal_path(final))
     shutil.rmtree(backup, ignore_errors=True)
 
 
@@ -106,6 +186,7 @@ def write_bucketed_table(
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    recover_table(path)  # heal any interrupted swap before reading
     return spark.read.parquet(path)
 
 
@@ -127,8 +208,8 @@ def compact_parquet(
     compacted frame."""
     import math
     import os
-    import shutil
 
+    recover_table(path)
     df = spark.read.parquet(path)
     files = df.inputFiles()
     total = 0
@@ -169,10 +250,11 @@ def merge_upsert(
     names and REPLAYED on the rewrite, so partition pruning survives
     the merge.
 
-    The rewrite goes through the shared temp-sibling swap
+    The rewrite goes through the shared journaled temp-sibling swap
     (``_swap_in_place``): an error while promoting rolls back to the
-    original table; see that helper for the narrow hard-kill window a
-    manifest-less format cannot close. One shuffle (the anti-join on
+    original table, and a hard kill at any point leaves a commit
+    journal that ``recover_table`` (run automatically on the next
+    read/compact/merge) resolves. One shuffle (the anti-join on
     the key; the update side broadcasts when small). For
     partial-partition rewrites at 100 TB you'd scope the anti-join to
     affected partitions first — this whole-table variant is the
@@ -181,6 +263,7 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    recover_table(path)
     keys = [key] if isinstance(key, str) else list(key)
     dup = (
         updates.groupBy(*keys)

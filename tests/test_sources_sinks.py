@@ -317,3 +317,113 @@ def test_merge_upsert_preserves_nested_partition_layout(spark, sf_dir, tmp_path)
         d.startswith("o_orderpriority=")
         for d in os.listdir(os.path.join(path, status_dir))
     )
+
+
+# ---------------------------------------------------------------- #
+# journaled swap: crash injection at every kill point              #
+# ---------------------------------------------------------------- #
+
+def _crash_fixture(spark, tmp_path, name):
+    """A live table (v1) plus a fully-written tmp sibling (v2), the
+    exact state _swap_in_place starts from."""
+    import pytest  # noqa: F401
+
+    final = str(tmp_path / name)
+    dest = final + "__tmp"
+    spark.createDataFrame([(1, "old")], "k long, v string").coalesce(1).write.parquet(final)
+    spark.createDataFrame([(1, "new"), (2, "new2")], "k long, v string").coalesce(
+        1
+    ).write.parquet(dest)
+    return final, dest
+
+
+def _assert_recovered_to_v2(spark, final):
+    import os
+
+    from lazy_frame_spark.sources.parquet import read_parquet
+
+    got = {(r["k"], r["v"]) for r in read_parquet(spark, final).collect()}
+    assert got == {(1, "new"), (2, "new2")}
+    assert not os.path.exists(final + ".__commit__")
+    assert not os.path.exists(final + "__old")
+    assert not os.path.exists(final + "__tmp")
+
+
+def test_swap_crash_after_journal_rolls_forward(spark, tmp_path):
+    """Kill after the journal is published but before any rename: the
+    tmp sibling is complete, so recovery promotes it (roll forward)."""
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import _SimulatedCrash, _swap_in_place
+
+    final, dest = _crash_fixture(spark, tmp_path, "t_aj")
+    with pytest.raises(_SimulatedCrash):
+        _swap_in_place(final, dest, "__old", _crash="after_journal")
+    _assert_recovered_to_v2(spark, final)
+
+
+def test_swap_crash_between_renames_recovers(spark, tmp_path):
+    """THE window the round-3 verdict flagged: killed after the live
+    table moved aside, before the sibling was promoted — previously the
+    table simply vanished. Recovery completes the promote."""
+    import os
+
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import _SimulatedCrash, _swap_in_place
+
+    final, dest = _crash_fixture(spark, tmp_path, "t_br")
+    with pytest.raises(_SimulatedCrash):
+        _swap_in_place(final, dest, "__old", _crash="between_renames")
+    assert not os.path.exists(final)  # the stranded state, as advertised
+    _assert_recovered_to_v2(spark, final)
+
+
+def test_swap_crash_before_cleanup_recovers(spark, tmp_path):
+    """Killed after promoting but before journal/backup cleanup:
+    recovery just clears the leftovers; data already new."""
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import _SimulatedCrash, _swap_in_place
+
+    final, dest = _crash_fixture(spark, tmp_path, "t_bc")
+    with pytest.raises(_SimulatedCrash):
+        _swap_in_place(final, dest, "__old", _crash="before_cleanup")
+    _assert_recovered_to_v2(spark, final)
+
+
+def test_recover_is_idempotent_and_noop_without_journal(spark, tmp_path):
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import (
+        _SimulatedCrash,
+        _swap_in_place,
+        recover_table,
+    )
+
+    final, dest = _crash_fixture(spark, tmp_path, "t_idem")
+    assert recover_table(final) is False  # no journal -> no-op
+    with pytest.raises(_SimulatedCrash):
+        _swap_in_place(final, dest, "__old", _crash="between_renames")
+    assert recover_table(final) is True
+    assert recover_table(final) is False  # second call: nothing left to do
+    _assert_recovered_to_v2(spark, final)
+
+
+def test_merge_upsert_heals_prior_crash_then_merges(spark, tmp_path):
+    """merge_upsert on a table stranded by a previous run's kill first
+    recovers it, then merges on top of the RECOVERED (v2) contents."""
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import (
+        _SimulatedCrash,
+        _swap_in_place,
+        merge_upsert,
+    )
+
+    final, dest = _crash_fixture(spark, tmp_path, "t_merge")
+    with pytest.raises(_SimulatedCrash):
+        _swap_in_place(final, dest, "__old", _crash="between_renames")
+    updates = spark.createDataFrame([(2, "upd"), (3, "ins")], "k long, v string")
+    got = {(r["k"], r["v"]) for r in merge_upsert(spark, final, updates, "k").collect()}
+    assert got == {(1, "new"), (2, "upd"), (3, "ins")}
