@@ -420,3 +420,32 @@ def test_label_outliers_matches_numpy(spark, sf_dir):
         for r in label_outliers(emb, k=4).collect()
     }
     assert got == want
+
+
+def test_partsupp_fixture_invariants(spark, sf_dir):
+    """The derived partsupp: exactly 4 key-unique (partkey, suppkey)
+    rows per part, every suppkey a real supplier, values in their
+    documented domains — deterministic across runs (same frame twice
+    hashes identically)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.parity import _partsupp
+
+    ps = _partsupp(spark, sf_dir)
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert ps.count() == 4 * n_part
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 4 * n_part
+    skeys = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+    assert (
+        ps.join(skeys, ps["ps_suppkey"] == skeys["s_suppkey"], "left_anti").count()
+        == 0
+    )
+    stats = ps.agg(
+        F.min("ps_availqty"), F.max("ps_availqty"),
+        F.min("ps_supplycost"), F.max("ps_supplycost"),
+    ).first()
+    assert stats[0] >= 1 and stats[1] <= 9999
+    assert stats[2] >= 1.0 and stats[3] <= 9990.0
+    a = sorted(map(tuple, _partsupp(spark, sf_dir).collect()))
+    b = sorted(map(tuple, _partsupp(spark, sf_dir).collect()))
+    assert a == b

@@ -231,6 +231,12 @@ def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
         "sample_bernoulli",                         # 1-row expected-count
         "sketch_kll_quantiles",                     # 1-row merged sketch
         "join_q22_dormant_customers",               # 1-row scalar AVG
+        # partsupp derivation: 1-row supplier count x 4-row quarter
+        # frame, both broadcast (see parity._partsupp); Q11 adds a
+        # 1-row total-value threshold
+        "join_q2_min_cost_supplier",
+        "join_q11_important_stock",
+        "join_q20_excess_stock",
         "join_range_bands", "join_interval_overlap",  # literal band tables
         "join_salted",                              # literal salt range
         "ann_hard_negatives",                       # bounded anchor batch
