@@ -146,6 +146,22 @@ def _resolve_bounds(
     return sorted(set(qrow or []))
 
 
+def _offset_lookup(offsets: dict[int, int], idx):
+    """Constant-time offset lookup as ONE flat literal-array
+    ``element_at`` instead of a B-deep nested CASE WHEN chain. The
+    nested chain JIT-compiled ~0.3 s per distinct literal set (the
+    entire lf_row_range/lf_head "regression" in BENCH_r03 — warmup at
+    another SF compiles different literals, so the first positional
+    read at the target SF paid fresh codegen). Constant folding turns
+    the array into a single ArrayType literal, so per-row cost is one
+    bounds-checked load."""
+    if not offsets or not any(offsets.values()):
+        return F.lit(0).cast("bigint")
+    n = max(offsets) + 1
+    arr = F.array(*[F.lit(int(offsets.get(i, 0))).cast("bigint") for i in range(n)])
+    return F.element_at(arr, idx.cast("int") + F.lit(1))
+
+
 def _bucketed(df: DataFrame, lead_expr, bounds: list[float]) -> DataFrame:
     bkt = F.lit(0)
     for bound in bounds:  # monotone: equal values always share a bucket
@@ -202,10 +218,7 @@ def _with_ordered_ids(
         for i in sorted(cnt):
             offsets[i] = run
             run += cnt[i]
-        off = F.lit(0)
-        for i, o in offsets.items():
-            if o:
-                off = F.when(F.col("__bkt__") == i, F.lit(o)).otherwise(off)
+        off = _offset_lookup(offsets, F.col("__bkt__"))
     else:
         off = F.lit(0)
     out = (
@@ -250,9 +263,7 @@ def with_prefix_sum(
         for i in sorted(tot):
             offsets[i] = cum
             cum += tot[i]
-        for i, o in offsets.items():
-            if o:
-                off = F.when(F.col("__bkt__") == i, F.lit(o)).otherwise(off)
+        off = _offset_lookup(offsets, F.col("__bkt__"))
     return base.withColumn(col, (off + run).cast("bigint")).drop("__bkt__")
 
 
@@ -540,10 +551,7 @@ def _with_partition_offset_ids_custom(
         pid, F.spark_partition_id()
     )
     stats = base.groupBy(pid).agg(F.min(mid).alias("__mn__"))
-    off = F.lit(0).cast("bigint")
-    for i, o in offsets.items():
-        if o:
-            off = F.when(F.col(pid) == i, F.lit(int(o))).otherwise(off)
+    off = _offset_lookup(offsets, F.col(pid))
     return (
         base.join(F.broadcast(stats), on=pid, how="inner")
         .withColumn(

@@ -284,3 +284,21 @@ def test_join_strategy_hints_materialize(spark, sf_dir):
     )
     assert "ShuffledHashJoin" in executed_plan(shuffle_hash_join(li, o, "o_orderkey"))
     assert "SortMergeJoin" in executed_plan(merge_join(li, o, "o_orderkey"))
+
+
+def test_positional_read_hits_cache_with_flat_offset_lookup(spark, sf_dir):
+    """Positional reads on an opened frame must (a) scan the in-memory
+    positional cache, not the source, and (b) reconstruct row ids via
+    the flat element_at(array-literal) offset lookup — the nested CASE
+    WHEN chain it replaced cost ~0.3 s of whole-stage-codegen JIT on
+    the FIRST read at each new literal set (the BENCH_r03 lf_row_range/
+    lf_head regression)."""
+    from lazy_frame_spark.parity import REGISTRY, _lf
+
+    _lf(spark, sf_dir, "lineitem")  # build the positional cache
+    for name in ("lf_row_range", "lf_head"):
+        plan = executed_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "InMemoryTableScan" in plan, name
+        filt = plan.split("InMemoryTableScan")[0]  # ops ABOVE the cache
+        assert "element_at" in filt, name
+        assert "CASE WHEN" not in filt, name
