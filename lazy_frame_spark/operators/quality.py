@@ -30,19 +30,38 @@ def profile_columns(
     df: DataFrame,
     cols: Sequence[str],
     approx: bool = False,
+    single_scan_exact: bool = False,
 ) -> DataFrame:
-    """Per-column profile in ONE scan: row count, null count, distinct
-    count, min/max (stringified so every type shares one output schema).
+    """Per-column profile: row count, null count, distinct count,
+    min/max (stringified so every type shares one output schema).
     Returns ``(column, n, n_null, n_distinct, min_str, max_str)`` — long
-    format, one row per profiled column."""
+    format, one row per profiled column.
+
+    Distinct-count strategy (the scale lever):
+
+    - default (exact): null/min/max ride ONE scan; each exact distinct
+      runs as its own NARROW two-phase aggregate (partial dedup on the
+      single pruned column, then count) joined back broadcast on the
+      column name. No ``Expand`` — the multi-count_distinct single-agg
+      plan replicates every row once PER PROFILED COLUMN before the
+      partial agg, which is what made the exact profile grow 2.7x at
+      100x data in the round-3 SCALE sweep. k extra single-column scans
+      cost about one full-width scan in total IO and stay memory-flat.
+    - ``approx=True``: HLL ``approx_count_distinct`` inside the single
+      scan — the right default at billion-cardinality.
+    - ``single_scan_exact=True``: the old exact-in-one-scan expand
+      plan, for when scan cost dominates and the table is narrow.
+    """
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+    fused_distinct = approx or single_scan_exact
     for c in cols:
-        distinct = (
-            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
-        )
+        if fused_distinct:
+            distinct = (
+                F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+            )
+            aggs.append(distinct.alias(f"__nd_{c}__"))
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}__"),
-            distinct.alias(f"__nd_{c}__"),
             F.min(c).cast("string").alias(f"__min_{c}__"),
             F.max(c).cast("string").alias(f"__max_{c}__"),
         ]
@@ -52,13 +71,29 @@ def profile_columns(
             F.lit(c).alias("column"),
             F.col("__n__").alias("n"),
             F.col(f"__null_{c}__").alias("n_null"),
-            F.col(f"__nd_{c}__").alias("n_distinct"),
+            *(
+                [F.col(f"__nd_{c}__").cast("long").alias("n_distinct")]
+                if fused_distinct
+                else []
+            ),
             F.col(f"__min_{c}__").alias("min_str"),
             F.col(f"__max_{c}__").alias("max_str"),
         )
         for c in cols
     ]
-    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    long = wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    if fused_distinct:
+        return long.select("column", "n", "n_null", "n_distinct", "min_str", "max_str")
+    nd = None
+    for c in cols:
+        one = df.agg(F.count_distinct(F.col(c)).alias("n_distinct")).select(
+            F.lit(c).alias("__ndcol__"), "n_distinct"
+        )
+        nd = one if nd is None else nd.unionByName(one)
+    return (
+        long.join(F.broadcast(nd), long["column"] == nd["__ndcol__"])
+        .select("column", "n", "n_null", "n_distinct", "min_str", "max_str")
+    )
 
 
 def expect_not_null(col: str) -> tuple[str, Column]:

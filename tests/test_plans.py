@@ -302,3 +302,21 @@ def test_positional_read_hits_cache_with_flat_offset_lookup(spark, sf_dir):
         filt = plan.split("InMemoryTableScan")[0]  # ops ABOVE the cache
         assert "element_at" in filt, name
         assert "CASE WHEN" not in filt, name
+
+
+def test_profile_exact_distinct_avoids_expand(spark, sf_dir):
+    """Default exact profiling must NOT plan the multi-count_distinct
+    Expand (which replicates every row once per profiled column — the
+    2.7x-at-100x SCALE row in round 3): narrow per-column two-phase
+    distinct aggregates, broadcast-hash-joined back on the column name."""
+    from lazy_frame_spark.operators.quality import profile_columns
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = profile_columns(df, ["o_orderkey", "o_orderstatus", "o_custkey"])
+    plan = executed_plan(q)
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the fused single-scan variants still exist behind flags
+    q2 = profile_columns(df, ["o_orderkey", "o_custkey"], single_scan_exact=True)
+    assert "Expand" in executed_plan(q2)
