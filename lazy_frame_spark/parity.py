@@ -6439,10 +6439,7 @@ DRIVER_WINDOW: list[str] = [
     "lf_row_range",
     "lf_row_points",
     "lf_head",
-    "lf_tail",
     "lf_which",
-    "lf_filter_eq_str",
-    "lf_reopen_row_range",
     # M5 summary — implemented where the reference stubs it; the driver
     # row closes the one §2.1 op previously verified only locally
     "lf_summary",
@@ -6497,8 +6494,15 @@ DRIVER_WINDOW: list[str] = [
     "embedding_near_dup",
     # sinks, multimodal (the PNG round-trip is the strongest decode
     # evidence: real zlib compression and all five scanline filters,
-    # value-checked against closed-form channel means)
+    # value-checked against closed-form channel means). Round-4
+    # rotation: the journaled MERGE sink, the Hilbert layout index and
+    # PageRank earn driver rows now that the redundant per-comparator /
+    # reopen / tail slots are provably green (still registered and
+    # locally checked past the window).
     "sink_roundtrip",
+    "sink_merge_upsert",
+    "layout_hilbert",
+    "graph_pagerank",
     "multimodal_png_roundtrip",
     # streaming
     "stream_tumbling_window",

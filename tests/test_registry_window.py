@@ -19,7 +19,7 @@ def test_driver_window_spans_every_category():
         "cast_", "array_", "json_", "subquery_", "sample_", "text_",
         "dedup_", "decontam_", "mix_", "ann_", "embedding_", "sink_",
         "multimodal_", "stream_", "udf_", "udaf_", "udtf_", "sketch_",
-        "dq_", "ts_",
+        "dq_", "ts_", "layout_", "graph_",
     ]
     for p in prefixes:
         assert any(n.startswith(p) for n in DRIVER_WINDOW), f"no {p} in window"
