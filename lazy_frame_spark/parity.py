@@ -52,20 +52,54 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _LF_CACHE: dict[tuple[int, str, str], LazyFrame] = {}
 
+#: storage backstop: at most this many enumerated frames stay persisted;
+#: opening an (MAX+1)th table evicts (closes) the least-recently-used one.
+#: Results derived from an evicted frame stay correct — they recompute.
+_LF_CACHE_MAX = 8
+
 
 def _lf(spark: SparkSession, sf_dir: str, name: str) -> LazyFrame:
     """Memoized per (session, sf_dir, table): the reference opens a file
     ONCE (building its newline index) and runs many queries against the
     handle — the parity equivalent is one enumerated, persisted LazyFrame
-    reused across all positional queries. Keyed by the session identity so
-    a driver that recreates its SparkSession never sees frames bound to a
-    dead session."""
+    reused across all positional queries. Keyed by the LIVE session's
+    identity — entries for any other (dead or replaced) session are
+    closed on sight, so a driver that recreates its SparkSession can
+    never collide with a GC'd-then-reallocated id() nor leak persisted
+    frames bound to a dead session. LRU-bounded at ``_LF_CACHE_MAX``;
+    ``release_frames()`` drops everything explicitly."""
+    for k in [k for k in _LF_CACHE if k[0] != id(spark)]:
+        lf = _LF_CACHE.pop(k)
+        try:
+            lf.close()
+        except Exception:
+            pass
     key = (id(spark), sf_dir, name)
-    if key not in _LF_CACHE:
-        _LF_CACHE[key] = LazyFrame.from_df(
-            _table(spark, sf_dir, name), order_by=TABLE_KEYS[name]
-        )
+    if key in _LF_CACHE:
+        lf = _LF_CACHE.pop(key)  # re-insert: move to MRU position
+        _LF_CACHE[key] = lf
+        return lf
+    while len(_LF_CACHE) >= _LF_CACHE_MAX:
+        oldest = _LF_CACHE.pop(next(iter(_LF_CACHE)))
+        try:
+            oldest.close()
+        except Exception:
+            pass
+    _LF_CACHE[key] = LazyFrame.from_df(
+        _table(spark, sf_dir, name), order_by=TABLE_KEYS[name]
+    )
     return _LF_CACHE[key]
+
+
+def release_frames() -> None:
+    """Unpersist every frame pinned by the parity registry (the mirror
+    of ``operators.dedup.release_sketches``) — the explicit lifecycle
+    hook for long sessions that are done with positional queries."""
+    for key in list(_LF_CACHE):
+        try:
+            _LF_CACHE.pop(key).close()
+        except Exception:
+            pass
 
 
 LINEITEM_RID = (

@@ -32,3 +32,34 @@ def test_lsh_near_dup_plan_has_no_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lf_cache_is_bounded_and_releasable(spark, sf_dir):
+    """Repeated positional-query rounds must leave storage memory flat:
+    the per-session frame cache is LRU-bounded, reuses entries (no
+    duplicate persists for the same table), and release_frames() drops
+    everything it pinned."""
+    from lazy_frame_spark import parity as P
+
+    jsc = spark.sparkContext._jsc.sc()
+    P.release_frames()
+    base = jsc.getPersistentRDDs().size()
+
+    a = P._lf(spark, sf_dir, "lineitem")
+    a._with_ids()
+    after_one = jsc.getPersistentRDDs().size()
+    for _ in range(5):  # repeated runs: same handle, nothing new pinned
+        assert P._lf(spark, sf_dir, "lineitem") is a
+        P._lf(spark, sf_dir, "lineitem")._with_ids()
+    assert jsc.getPersistentRDDs().size() == after_one
+
+    # LRU bound: opening more tables than the cap evicts (and closes)
+    # the oldest instead of growing without bound
+    for t in ["orders", "customer", "part", "supplier", "nation", "region",
+              "events", "documents"]:
+        P._lf(spark, sf_dir, t)
+    assert len(P._LF_CACHE) <= P._LF_CACHE_MAX
+
+    P.release_frames()
+    assert len(P._LF_CACHE) == 0
+    assert jsc.getPersistentRDDs().size() <= base
