@@ -142,6 +142,7 @@ def asof_join(
     right_time: str,
     value_cols: Sequence[str],
     direction: str = "backward",
+    time_buckets: int | str = 1,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_time <= left_time`` (direction='backward'; 'forward' takes the
@@ -153,28 +154,33 @@ def asof_join(
     (hash by key), no row explosion, no correlated subquery; this is the
     formulation that holds at 1000 executors. Ties (equal timestamps)
     resolve to the right row (right sorts before left at equal time).
+
+    Skew hardening — ``time_buckets``: a per-key window puts EVERY row
+    of a key in one task, so a 10^9-event hot key stalls the stage no
+    matter how many executors exist (AQE cannot split a window
+    partition). ``time_buckets=N`` pre-splits each key into N uniform
+    time ranges and runs the carry in two bounded steps: the within-
+    bucket window partitions by (key, bucket) — ~1/N of the hot key per
+    task — and the cross-bucket carry-in rolls over BUCKET-GRAIN
+    summaries (≤ N rows per key, one tiny window), joined back on
+    (key, bucket) and coalesced under the within-bucket carry. Results
+    are provably identical to the plain path (pinned by tests);
+    ``time_buckets="auto"`` samples the hottest key and enables the
+    pre-split only when it exceeds ~5M rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if time_buckets == "auto":
+        time_buckets = suggest_salt_buckets(left, on)
+    if int(time_buckets) > 1:
+        return _asof_join_time_bucketed(
+            left, right, on, left_time, right_time, value_cols,
+            direction, int(time_buckets),
+        )
 
-    t = "__asof_t__"
-    side = "__asof_side__"  # 0 = right (sorts first at equal time), 1 = left
-    lcols = left.columns
-    tagged_left = left.select(
-        *lcols,
-        F.col(left_time).alias(t),
-        F.lit(1).alias(side),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in value_cols],
+    unioned, lcols, t, side = _asof_tagged_union(
+        left, right, on, left_time, right_time, value_cols
     )
-    tagged_right = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
-        F.col(on),
-        F.col(right_time).alias(t),
-        F.lit(0).alias(side),
-        *[F.col(c).alias(f"__r_{c}__") for c in value_cols],
-    ).select(*lcols, t, side, *[f"__r_{c}__" for c in value_cols])
-
-    unioned = tagged_left.unionByName(tagged_right)
     if direction == "backward":
         w = (
             Window.partitionBy(on)
@@ -201,6 +207,152 @@ def asof_join(
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out.drop(side)
+
+
+def _asof_tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+):
+    """Shared as-of plumbing: tag both inputs (side 0 = right, sorting
+    first at equal times), null-pad each side's missing columns, union.
+    Returns (unioned, left_cols, time_col, side_col)."""
+    t = "__asof_t__"
+    side = "__asof_side__"
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        F.col(left_time).alias(t),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in value_cols],
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_time).alias(t),
+        F.lit(0).alias(side),
+        *[F.col(c).alias(f"__r_{c}__") for c in value_cols],
+    ).select(*lcols, t, side, *[f"__r_{c}__" for c in value_cols])
+    return tagged_left.unionByName(tagged_right), lcols, t, side
+
+
+def _asof_join_time_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    direction: str,
+    n_buckets: int,
+) -> DataFrame:
+    """The (key, time-bucket) pre-split as-of carry — identical results
+    to the single-window path, but no task ever holds more than ~1/N of
+    a key:
+
+    1. bucket every unioned row into N uniform time ranges (bounds from
+       one 1-row min/max agg);
+    2. ONE window pass partitioned by (key, bucket) computes BOTH the
+       running within-bucket carry and the bucket's final carry value
+       (same partitioning+ordering, two frames -> one Window operator);
+    3. per-key carry-ins roll over bucket-grain summaries — at most N
+       rows per key, a trivially small window;
+    4. carry-ins join back on (key, bucket) and fill where the
+       within-bucket carry hasn't seen a right row yet.
+
+    Total: the same single wide shuffle as the plain path (now on
+    (key, bucket)) + a bucket-grain shuffle of #keys x N rows.
+    """
+    from pyspark.sql import types as T
+
+    unioned, lcols, t, side = _asof_tagged_union(
+        left, right, on, left_time, right_time, value_cols
+    )
+    bkt = "__asof_bkt__"
+    tdt = unioned.schema[t].dataType
+    if isinstance(tdt, (T.TimestampType, T.TimestampNTZType)):
+        tnum = F.unix_micros(F.col(t)).cast("double")
+    elif isinstance(tdt, T.DateType):
+        tnum = F.unix_date(F.col(t)).cast("double")
+    else:
+        tnum = F.col(t).cast("double")
+    b = unioned.agg(F.min(tnum).alias("lo"), F.max(tnum).alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    if lo is None or hi is None or hi <= lo:
+        return asof_join(
+            left, right, on, left_time, right_time, value_cols, direction
+        )
+    width = (hi - lo) / n_buckets
+    u = unioned.withColumn(
+        bkt,
+        F.least(
+            F.lit(n_buckets - 1), F.floor((tnum - F.lit(lo)) / F.lit(width))
+        ).cast("int"),
+    )
+
+    asc = direction == "backward"
+    order_in = [F.col(t).asc() if asc else F.col(t).desc(), F.col(side).asc()]
+    w_run = (
+        Window.partitionBy(on, bkt)
+        .orderBy(*order_in)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(on, bkt)
+        .orderBy(*order_in)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    u2 = u.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w_run).alias(f"__in_{c}__")
+            for c in value_cols
+        ],
+        *[
+            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w_all).alias(f"__bf_{c}__")
+            for c in value_cols
+        ],
+    )
+
+    # bucket-grain summaries: every row of a (key, bucket) carries the
+    # same __bf_ value, so first() is deterministic; the groupBy keys
+    # match the window partitioning, so no extra wide shuffle
+    summ = u2.groupBy(on, bkt).agg(
+        *[F.first(f"__bf_{c}__", ignorenulls=True).alias(f"__s_{c}__") for c in value_cols]
+    )
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy(F.col(bkt).asc() if asc else F.col(bkt).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.select(
+        F.col(on).alias("__ck__"),
+        F.col(bkt).alias("__cb__"),
+        *[
+            F.last(F.col(f"__s_{c}__"), ignorenulls=True).over(w_carry).alias(f"__carry_{c}__")
+            for c in value_cols
+        ],
+    )
+
+    out = (
+        u2.join(
+            carry,
+            (u2[on] == carry["__ck__"]) & (u2[bkt] == carry["__cb__"]),
+            "left",
+        )
+        .filter(F.col(side) == 1)
+        .select(
+            *lcols,
+            *[
+                F.coalesce(F.col(f"__in_{c}__"), F.col(f"__carry_{c}__")).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    return out
 
 
 def shuffle_hash_join(

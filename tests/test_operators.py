@@ -449,3 +449,54 @@ def test_partsupp_fixture_invariants(spark, sf_dir):
     a = sorted(map(tuple, _partsupp(spark, sf_dir).collect()))
     b = sorted(map(tuple, _partsupp(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_asof_time_bucketed_matches_plain(spark, trades_quotes):
+    """The (key, time-bucket) pre-split path must produce EXACTLY the
+    plain single-window result, both directions, including the
+    tie-at-equal-time and no-match rows."""
+    trades, quotes = trades_quotes
+    for direction in ("backward", "forward"):
+        plain = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            value_cols=["bid"], direction=direction,
+        )
+        bucketed = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="qt",
+            value_cols=["bid"], direction=direction, time_buckets=4,
+        )
+        key = lambda r: (r["sym"], r["t"], r["px"])  # noqa: E731
+        a = sorted(((key(r), r["bid"]) for r in plain.collect()))
+        b = sorted(((key(r), r["bid"]) for r in bucketed.collect()))
+        assert a == b, direction
+
+
+def test_asof_time_bucketed_hot_key(spark):
+    """Synthetic hot key: one user holds 50k of 51k events. The bucketed
+    path must agree with the plain path row-for-row, and its wide window
+    must partition on (key, bucket) — the hot key spreads over N tasks
+    instead of stalling one."""
+    import pyspark.sql.functions as F
+
+    hot = spark.range(50_000).select(
+        F.lit(1).alias("uid"), F.col("id").alias("t"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+    cold = spark.range(1_000).select(
+        (2 + F.col("id") % 50).alias("uid"),
+        (F.col("id") * 37 % 50_000).alias("t"),
+        F.lit(-1.0).alias("x"),
+    )
+    left = hot.unionByName(cold)
+    right = spark.range(500).select(
+        (F.when(F.col("id") < 450, 1).otherwise(2 + F.col("id") % 50)).alias("uid"),
+        (F.col("id") * 101 % 50_000).alias("rt"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    plain = asof_join(left, right, "uid", "t", "rt", ["v"])
+    bucketed = asof_join(left, right, "uid", "t", "rt", ["v"], time_buckets=16)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_bkt__" in plan.split("Window")[1]  # wide window keyed by bucket
