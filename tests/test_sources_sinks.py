@@ -427,3 +427,53 @@ def test_merge_upsert_heals_prior_crash_then_merges(spark, tmp_path):
     updates = spark.createDataFrame([(2, "upd"), (3, "ins")], "k long, v string")
     got = {(r["k"], r["v"]) for r in merge_upsert(spark, final, updates, "k").collect()}
     assert got == {(1, "new"), (2, "upd"), (3, "ins")}
+
+
+def test_ingest_gzip_csv_resharded_and_identical(spark, sf_dir, tmp_path):
+    """A .gz CSV (one-task, unsplittable) ingested via ingest_gzip
+    becomes a multi-file zstd parquet table with identical rows —
+    the pay-the-single-threaded-read-once lever."""
+    import gzip
+    import os
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1200).collect()
+    src = str(tmp_path / "orders.csv.gz")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    with gzip.open(src, "wt") as f:
+        f.write(",".join(cols) + "\n")
+        for r in rows:
+            f.write(f"{r['o_orderkey']},{r['o_custkey']},{r['o_totalprice']}\n")
+
+    from lazy_frame_spark.sources import ingest_gzip
+
+    out = str(tmp_path / "orders_tbl")
+    got = ingest_gzip(spark, src, out)
+    assert got.count() == len(rows)
+    files = [p for p in os.listdir(out) if p.endswith(".parquet")]
+    assert len(files) >= spark.sparkContext.defaultParallelism // 2
+    want = sorted((r["o_orderkey"], r["o_custkey"], float(r["o_totalprice"]))
+                  for r in rows)
+    have = sorted((r["o_orderkey"], r["o_custkey"], float(r["o_totalprice"]))
+                  for r in got.collect())
+    assert have == want
+    # zstd actually used (parquet footer records the codec)
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(out, files[0])).metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_ingest_gzip_infers_tsv_and_rejects_unknown(spark, tmp_path):
+    import gzip
+
+    import pytest
+
+    src = str(tmp_path / "d.tsv.gz")
+    with gzip.open(src, "wt") as f:
+        f.write("a\tb\n1\tx\n2\ty\n")
+    from lazy_frame_spark.sources import ingest_gzip
+
+    got = ingest_gzip(spark, src, str(tmp_path / "d_tbl"))
+    assert {(r["a"], r["b"]) for r in got.collect()} == {(1, "x"), (2, "y")}
+    with pytest.raises(ValueError, match="cannot infer format"):
+        ingest_gzip(spark, str(tmp_path / "wat.bin.gz"), str(tmp_path / "x"))
