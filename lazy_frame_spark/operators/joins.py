@@ -274,7 +274,9 @@ def _asof_join_time_bucketed(
     bkt = "__asof_bkt__"
     tdt = unioned.schema[t].dataType
     if isinstance(tdt, (T.TimestampType, T.TimestampNTZType)):
-        tnum = F.unix_micros(F.col(t)).cast("double")
+        # unix_micros rejects TIMESTAMP_NTZ; the session is pinned UTC,
+        # so the NTZ->TZ cast is drift-free
+        tnum = F.unix_micros(F.col(t).cast("timestamp")).cast("double")
     elif isinstance(tdt, T.DateType):
         tnum = F.unix_date(F.col(t)).cast("double")
     else:

@@ -6159,8 +6159,50 @@ def dq_expectations(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
-# time-series regularization (operators/timeseries.py)
+# time-series regularization (operators/timeseries.py, sessions.py)
 # --------------------------------------------------------------------- #
+
+
+@query(
+    "ts_sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 1 HOUR
+                  THEN ts END AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    assigned AS (
+      SELECT user_id, ts,
+             MAX(s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_start
+      FROM flagged)
+    SELECT user_id, session_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS DOUBLE), 2)
+             AS duration_sec
+    FROM assigned GROUP BY user_id, session_start
+    """,
+)
+def ts_sessionize_batch(spark, sf_dir):
+    """Batch sessionization (operators/sessions.sessionize): every event
+    gets its session's first-event timestamp (1-hour gap), then one
+    per-session rollup. The oracle is the classic gaps-and-islands SQL.
+    The graded path is the plain per-key window; the skew-safe
+    (key, time-bucket) pre-split variant is pinned equivalent by
+    tests/test_timeseries.py and benched in tools/bench_asof_skew.py."""
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    ev = _table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap=3600.0)
+    return s.groupBy("user_id", "session_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000.0),
+            2,
+        ).alias("duration_sec"),
+    )
 
 
 @query(

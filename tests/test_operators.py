@@ -500,3 +500,18 @@ def test_asof_time_bucketed_hot_key(spark):
     assert a == b
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "__asof_bkt__" in plan.split("Window")[1]  # wide window keyed by bucket
+
+
+def test_asof_time_bucketed_ntz_timestamps(spark, trades_quotes):
+    """TIMESTAMP_NTZ time columns work in the bucketed path (unix_micros
+    rejects NTZ; the epoch surrogate casts via the UTC session)."""
+    import pyspark.sql.functions as F
+
+    trades, quotes = trades_quotes
+    tn = trades.withColumn("t", F.col("t").cast("timestamp_ntz"))
+    qn = quotes.withColumn("qt", F.col("qt").cast("timestamp_ntz"))
+    plain = asof_join(tn, qn, "sym", "t", "qt", ["bid"])
+    bucketed = asof_join(tn, qn, "sym", "t", "qt", ["bid"], time_buckets=3)
+    a = sorted((r["sym"], r["t"], r["px"], r["bid"]) for r in plain.collect())
+    b = sorted((r["sym"], r["t"], r["px"], r["bid"]) for r in bucketed.collect())
+    assert a == b

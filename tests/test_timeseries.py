@@ -88,3 +88,82 @@ def test_resample_subdaily_grid_alignment(spark):
         for r in ts.resample_ffill(df, every="6 hours").collect()
     )
     assert got == [(0, 5.0), (6, 5.0), (12, 5.0), (18, 9.0)]
+
+
+def test_sessionize_plain_matches_gaps_and_islands(spark, sf_dir):
+    """Per-event session assignment equals a brute-force per-key pass."""
+    from collections import defaultdict
+
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_start"])
+        for r in sessionize(ev, "user_id", "ts", gap=3600.0).collect()
+    }
+    rows = defaultdict(list)
+    for r in ev.collect():
+        rows[r["user_id"]].append(r)
+    want = {}
+    for uid, rs in rows.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        start = None
+        prev = None
+        for r in rs:
+            if prev is None or (r["ts"] - prev).total_seconds() > 3600.0:
+                start = r["ts"]
+            want[r["event_id"]] = (uid, start)
+            prev = r["ts"]
+    assert got == want
+
+
+def test_sessionize_bucketed_matches_plain(spark, sf_dir):
+    """The (key, time-bucket) pre-split must produce the identical
+    per-event assignment — including sessions that SPAN bucket edges."""
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    plain = {
+        (r["event_id"]): (r["user_id"], r["session_start"])
+        for r in sessionize(ev, "user_id", "ts", gap=3600.0).collect()
+    }
+    for n in (4, 16, 64):
+        bucketed = {
+            (r["event_id"]): (r["user_id"], r["session_start"])
+            for r in sessionize(
+                ev, "user_id", "ts", gap=3600.0, time_buckets=n
+            ).collect()
+        }
+        assert bucketed == plain, n
+
+
+def test_sessionize_bucketed_hot_key_cross_bucket_chain(spark):
+    """Adversarial: ONE key whose events form a single unbroken session
+    spanning every bucket (each inter-event gap below the threshold) —
+    the carry must chain through N-1 bucket edges; plus a cold key with
+    genuine breaks."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    hot = spark.range(10_000).select(
+        F.col("id").alias("event_id"), F.lit(1).alias("user_id"),
+        (F.col("id") * 5.0).alias("ts"),  # gap 5 < 100 everywhere
+    )
+    cold = spark.range(10).select(
+        (100_000 + F.col("id")).alias("event_id"), F.lit(2).alias("user_id"),
+        (F.col("id") * 1000.0).alias("ts"),  # every gap breaks
+    )
+    ev = hot.unionByName(cold)
+    plain = sorted(map(tuple, sessionize(ev, "user_id", "ts", gap=100.0).collect()))
+    bucketed = sorted(
+        map(tuple, sessionize(ev, "user_id", "ts", gap=100.0, time_buckets=32).collect())
+    )
+    assert bucketed == plain
+    hot_rows = [r for r in bucketed if r[1] == 1]
+    assert {r[3] for r in hot_rows} == {0.0}  # one session, carried through
+    assert len({r[3] for r in bucketed if r[1] == 2}) == 10
