@@ -49,34 +49,58 @@ def _journal_path(final: str) -> str:
     return final + ".__commit__"
 
 
-def _write_journal(final: str, dest: str, backup: str) -> None:
+def _write_journal(
+    table_final: str, swaps: list[dict], cleanup: list[str] | None = None
+) -> None:
     """Atomically publish a commit journal NEXT TO the table directory
     (not inside it — readers of the parquet dir never see it). The
-    journal names the fully-written tmp sibling and the backup slot, so
-    recovery after any kill is deterministic."""
+    journal lists every pending directory swap ({final, tmp, backup}),
+    so recovery after any kill is deterministic. Written only AFTER
+    every tmp directory is fully written."""
     import json
     import os
 
-    tmp = _journal_path(final) + ".tmp"
+    tmp = _journal_path(table_final) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"tmp": dest, "backup": backup}, f)
+        json.dump({"swaps": swaps, "cleanup": cleanup or []}, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, _journal_path(final))  # atomic publish
+    os.replace(tmp, _journal_path(table_final))  # atomic publish
+
+
+def _resolve_swap(sw: dict) -> None:
+    """Roll one journaled swap forward (or back when the tmp is gone).
+    Idempotent — safe to re-enter after a crash during recovery."""
+    import os
+    import shutil
+
+    final, dest, backup = sw["final"], sw["tmp"], sw["backup"]
+    if os.path.exists(dest):
+        # tmp intact -> roll forward (it was complete before the journal
+        # existed); re-do whichever renames the kill skipped
+        if os.path.exists(final) and not os.path.exists(backup):
+            os.makedirs(os.path.dirname(backup), exist_ok=True)
+            os.rename(final, backup)
+        if not os.path.exists(final):
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(dest, final)
+    elif not os.path.exists(final) and os.path.exists(backup):
+        os.rename(backup, final)  # tmp vanished mid-promote: roll back
+    shutil.rmtree(backup, ignore_errors=True)
 
 
 def recover_table(path: str) -> bool:
-    """Complete or roll back an interrupted in-place swap, making the
-    table at ``path`` readable again after a hard kill at ANY point of
-    ``_swap_in_place``. Idempotent (a crash during recovery re-enters
-    cleanly). Returns True when a journal was found and resolved.
+    """Complete or roll back an interrupted in-place swap (whole-table
+    or partition-scoped), making the table at ``path`` readable again
+    after a hard kill at ANY point of the commit. Idempotent. Returns
+    True when a journal was found and resolved.
 
-    Invariant the journal buys: it is written only AFTER the tmp
-    sibling is fully written, so whenever the tmp still exists the swap
+    Invariant the journal buys: it is written only AFTER every tmp
+    directory is fully written, so whenever a tmp still exists its swap
     ROLLS FORWARD (promote the new data); the original is only restored
-    when the new data has already been promoted-and-consumed or is
-    gone. Single-filesystem contract — object stores without atomic
-    rename need a real table format (Iceberg/Delta) instead."""
+    when the new data is gone. Single-filesystem contract — object
+    stores without atomic rename need a real table format
+    (Iceberg/Delta) instead."""
     import json
     import os
     import shutil
@@ -87,18 +111,11 @@ def recover_table(path: str) -> bool:
         return False
     with open(jp, encoding="utf-8") as f:
         j = json.load(f)
-    dest, backup = j["tmp"], j["backup"]
-    if os.path.exists(dest):
-        # tmp sibling intact -> roll forward (it was complete before the
-        # journal existed); re-do whichever renames the kill skipped
-        if os.path.exists(final) and not os.path.exists(backup):
-            os.rename(final, backup)
-        if not os.path.exists(final):
-            os.rename(dest, final)
-    elif not os.path.exists(final) and os.path.exists(backup):
-        os.rename(backup, final)  # tmp vanished mid-promote: roll back
+    for sw in j["swaps"]:
+        _resolve_swap(sw)
     os.remove(jp)
-    shutil.rmtree(backup, ignore_errors=True)
+    for d in j.get("cleanup", []):
+        shutil.rmtree(d, ignore_errors=True)
     return True
 
 
@@ -122,7 +139,7 @@ def _swap_in_place(
 
     backup = final + old_suffix
     shutil.rmtree(backup, ignore_errors=True)
-    _write_journal(final, dest, backup)
+    _write_journal(final, [{"final": final, "tmp": dest, "backup": backup}])
     if _crash == "after_journal":
         raise _SimulatedCrash(_crash)
     os.rename(final, backup)
@@ -138,6 +155,61 @@ def _swap_in_place(
         raise _SimulatedCrash(_crash)
     os.remove(_journal_path(final))
     shutil.rmtree(backup, ignore_errors=True)
+
+
+def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+    """Relative paths of the ``name=value`` directories exactly
+    ``depth`` levels under ``root`` (pure listdir walk)."""
+    import os
+
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            d = os.path.join(root, rel) if rel else root
+            for name in os.listdir(d):
+                if "=" in name and os.path.isdir(os.path.join(d, name)):
+                    nxt.append(os.path.join(rel, name) if rel else name)
+        rels = nxt
+    return rels
+
+
+def _swap_partitions(
+    final: str, dest: str, pdirs: list[str], _crash: str | None = None
+) -> None:
+    """Journaled promotion of SELECTED partition directories: each
+    ``<pdir>`` under ``dest`` replaces (or creates) ``final/<pdir>``;
+    untouched partitions are never listed, never moved, never at risk.
+    Backups live OUTSIDE the table root (``<final>__backup/<pdir>``) so
+    a crash window can't pollute partition discovery with ``col=v__old``
+    phantom partitions. One journal covers the whole batch; a kill at
+    any point (including between partition swaps — ``_crash=
+    'mid_swaps'`` simulates it) is rolled FORWARD by recover_table,
+    because every tmp dir was complete before the journal existed."""
+    import os
+    import shutil
+
+    backup_root = final + "__backup"
+    shutil.rmtree(backup_root, ignore_errors=True)
+    os.makedirs(backup_root, exist_ok=True)
+    swaps = [
+        {
+            "final": os.path.join(final, p),
+            "tmp": os.path.join(dest, p),
+            "backup": os.path.join(backup_root, p),
+        }
+        for p in pdirs
+    ]
+    _write_journal(final, swaps, cleanup=[backup_root, dest])
+    for i, sw in enumerate(swaps):
+        if _crash == "mid_swaps" and i == len(swaps) // 2:
+            raise _SimulatedCrash(_crash)
+        _resolve_swap(sw)
+    if _crash == "before_cleanup":
+        raise _SimulatedCrash(_crash)
+    os.remove(_journal_path(final))
+    shutil.rmtree(backup_root, ignore_errors=True)
+    shutil.rmtree(dest, ignore_errors=True)
 
 
 def write_parquet(
@@ -235,6 +307,7 @@ def merge_upsert(
     path: str,
     updates: "DataFrame",
     key: str | list[str],
+    scope_to_partitions: bool = False,
 ) -> "DataFrame":
     """Batch MERGE (SCD type 1) into a parquet table without a table
     format: matched keys take the update row, unmatched target rows
@@ -256,10 +329,17 @@ def merge_upsert(
     journal that ``recover_table`` (run automatically on the next
     read/compact/merge) resolves. One shuffle (the anti-join on
     the key; the update side broadcasts when small). For
-    partial-partition rewrites at 100 TB you'd scope the anti-join to
-    affected partitions first — this whole-table variant is the
-    correctness core such an optimizer wraps. Returns the merged frame
-    re-read from disk.
+    ``scope_to_partitions=True`` is the 100 TB lever: when the hive
+    partition columns are a SUBSET of the merge key (so a matched
+    target row provably lives in the same partition as its update row),
+    only the partitions present in ``updates`` are read, anti-joined,
+    rewritten and atomically swapped — a 3-row update against a
+    10k-partition table touches 1 directory, and partition pruning
+    keeps the scan proportional to the update, not the table. Requires
+    the subset condition (raises otherwise — with partition-mobile keys
+    a matched row could hide in any partition and the whole-table path
+    is the only correct one). Returns the merged frame re-read from
+    disk.
     """
     from pyspark.sql import functions as F
 
@@ -278,15 +358,56 @@ def merge_upsert(
             "MERGE requires a key-unique source"
         )
     part_cols = _partition_columns(path.rstrip("/"))
+    final = path.rstrip("/")
     target = spark.read.parquet(path)
+
+    if scope_to_partitions:
+        if not part_cols:
+            raise ValueError(
+                "scope_to_partitions requires a hive-partitioned target"
+            )
+        if not set(part_cols) <= set(keys):
+            raise ValueError(
+                f"scope_to_partitions requires partition columns {part_cols} "
+                f"to be a subset of the merge key {keys}: with partition-"
+                "mobile keys a matched row can live in any partition"
+            )
+        import os
+
+        # affected partitions, from the update side only — bounded by
+        # the number of partitions the update touches
+        touched = updates.select(*part_cols).distinct().collect()
+        pred = None
+        for r in touched:
+            one = F.lit(True)
+            for c in part_cols:
+                one = one & (F.col(c) == F.lit(r[c]))
+            pred = one if pred is None else (pred | one)
+        # partition pruning: the disjunction of partition-column
+        # equalities prunes the scan to the touched directories
+        scoped = target.filter(pred)
+        merged = scoped.join(
+            updates.select(*keys), on=keys, how="left_anti"
+        ).unionByName(updates)
+        dest = final + "__merge_tmp"
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(dest)
+        # the written partition dirs ARE the affected set (merged holds
+        # only touched partitions) — take Spark's own directory names,
+        # escaping included
+        pdirs = _leaf_partition_dirs(dest, len(part_cols))
+        _swap_partitions(final, dest, pdirs)
+        return spark.read.parquet(final)
+
     merged = target.join(updates.select(*keys), on=keys, how="left_anti").unionByName(
         updates
     )
-    dest = path.rstrip("/") + "__merge_tmp"
+    dest = final + "__merge_tmp"
     w = merged.write.mode("overwrite")
     if part_cols:
         w = w.partitionBy(*part_cols)
     w.parquet(dest)
-    final = path.rstrip("/")
     _swap_in_place(final, dest, "__merge_old")
     return spark.read.parquet(final)

@@ -477,3 +477,109 @@ def test_ingest_gzip_infers_tsv_and_rejects_unknown(spark, tmp_path):
     assert {(r["a"], r["b"]) for r in got.collect()} == {(1, "x"), (2, "y")}
     with pytest.raises(ValueError, match="cannot infer format"):
         ingest_gzip(spark, str(tmp_path / "wat.bin.gz"), str(tmp_path / "x"))
+
+
+# ---------------------------------------------------------------- #
+# partition-scoped MERGE                                           #
+# ---------------------------------------------------------------- #
+
+def _scoped_fixture(spark, tmp_path, name):
+    final = str(tmp_path / name)
+    rows = [(i, f"s{i % 3}", float(i)) for i in range(90)]
+    spark.createDataFrame(rows, "k long, status string, v double").repartition(
+        2
+    ).write.partitionBy("status").parquet(final)
+    return final, rows
+
+
+def test_merge_scoped_touches_only_affected_partitions(spark, tmp_path):
+    """Updates confined to status=s1 (plus an insert into a NEW
+    status=s9) must leave the s0/s2 partition directories bit-for-bit
+    untouched (same files, same inodes, same mtimes) and still produce
+    the exact whole-table merge result."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import merge_upsert
+
+    final, rows = _scoped_fixture(spark, tmp_path, "scoped1")
+
+    def snapshot(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out[fp] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    before_s0 = snapshot(os.path.join(final, "status=s0"))
+    before_s2 = snapshot(os.path.join(final, "status=s2"))
+
+    updates = spark.createDataFrame(
+        [(1, "s1", 111.0), (4, "s1", 444.0), (1000, "s9", 9.0)],
+        "k long, status string, v double",
+    )
+    got = merge_upsert(spark, final, updates, ["k", "status"],
+                       scope_to_partitions=True)
+    want = {(k, s, v) for k, s, v in rows if (k, s) not in {(1, "s1"), (4, "s1")}}
+    want |= {(1, "s1", 111.0), (4, "s1", 444.0), (1000, "s9", 9.0)}
+    assert {(r["k"], r["status"], r["v"]) for r in got.collect()} == want
+    assert snapshot(os.path.join(final, "status=s0")) == before_s0
+    assert snapshot(os.path.join(final, "status=s2")) == before_s2
+
+
+def test_merge_scoped_matches_whole_table_merge(spark, tmp_path):
+    from lazy_frame_spark.sources.parquet import merge_upsert
+
+    f1, _ = _scoped_fixture(spark, tmp_path, "scoped_a")
+    f2, _ = _scoped_fixture(spark, tmp_path, "scoped_b")
+    updates = spark.createDataFrame(
+        [(2, "s2", -2.0), (5, "s2", -5.0), (77, "s0", 0.5)],
+        "k long, status string, v double",
+    )
+    a = merge_upsert(spark, f1, updates, ["k", "status"], scope_to_partitions=True)
+    b = merge_upsert(spark, f2, updates, ["k", "status"])
+    key = lambda r: (r["k"], r["status"], r["v"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_merge_scoped_rejects_partition_mobile_keys(spark, tmp_path):
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import merge_upsert
+
+    final, _ = _scoped_fixture(spark, tmp_path, "scoped_rej")
+    updates = spark.createDataFrame([(1, "s1", 0.0)], "k long, status string, v double")
+    with pytest.raises(ValueError, match="subset of the merge key"):
+        merge_upsert(spark, final, updates, "k", scope_to_partitions=True)
+
+
+def test_swap_partitions_crash_mid_batch_rolls_forward(spark, tmp_path):
+    """Killed halfway through the partition-swap batch: the journal
+    rolls every listed partition forward on the next read — no mixed
+    old/new state survives recovery, untouched partitions unharmed."""
+    import os
+
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import (
+        _SimulatedCrash,
+        _swap_partitions,
+        read_parquet,
+    )
+
+    final, rows = _scoped_fixture(spark, tmp_path, "scoped_crash")
+    dest = final + "__merge_tmp"
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", -1.0) for i in range(6)],
+        "k long, status string, v double",
+    ).write.partitionBy("status").parquet(dest)
+    with pytest.raises(_SimulatedCrash):
+        _swap_partitions(final, dest, ["status=s0", "status=s1", "status=s2"],
+                         _crash="mid_swaps")
+    got = read_parquet(spark, final)  # heals via recover_table
+    assert got.filter("v = -1.0").count() == 6
+    assert got.count() == 6  # all three partitions promoted to the new data
+    assert not os.path.exists(final + ".__commit__")
+    assert not os.path.exists(final + "__backup")
+    assert not os.path.exists(dest)
