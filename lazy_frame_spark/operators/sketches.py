@@ -198,3 +198,116 @@ def theta_incremental_update(
         .groupBy(*grain)
         .agg(F.theta_union_agg(F.col(THETA_SKETCH)).alias(THETA_SKETCH))
     )
+
+
+# --------------------------------------------------------------------- #
+# Count-min sketch — frequency estimation (no Spark built-in; the long-
+# format (i, j, n) encoding below keeps it 100% JVM-side)
+# --------------------------------------------------------------------- #
+
+def cms_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch partials per key group, as LONG-FORMAT rows
+    ``(keys..., i, j, n)`` — row ``(i, j)`` holds the count of elements
+    whose i-th hash lands in bucket j. At most ``depth x width`` rows
+    per group regardless of data volume, mergeable by plain summation,
+    and built entirely from codegen expressions (explode + partial-agg
+    count): no Python, no UDAF.
+
+    The classic guarantee carries over: a point estimate (``cms_query``)
+    never undercounts, and overcounts by more than ``2N/width`` with
+    probability at most ``2^-depth``. Depth rows use independent seeds
+    of the same 64-bit hash family."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("j"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*keys, F.explode(cells).alias("__c__"))
+        .groupBy(*keys, F.col("__c__.i").alias("i"), F.col("__c__.j").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(partials: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Merge count-min partials (possibly from different batches /
+    grains) by cellwise summation — exact: partial-then-merge is
+    bit-identical to sketching the union in one shot."""
+    keys = list(keys or [])
+    return partials.groupBy(*keys, "i", "j").agg(F.sum("n").alias("n"))
+
+
+def cms_query(
+    partials: DataFrame,
+    values: DataFrame,
+    col: str,
+    keys: Sequence[str] | None = None,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``values`` (a frame
+    with ``col`` and optionally the group ``keys``): recompute the
+    depth cell coordinates for each value, fetch the matching cells
+    from the (broadcastable, <= depth x width per group) partials, and
+    take the MIN across depth rows — missing cells read as 0 via the
+    count of found cells. ``depth``/``width`` must match the build."""
+    keys = list(keys or [])
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("j"),
+            )
+            for i in range(depth)
+        ]
+    )
+    v = values.select(*keys, col, F.explode(cells).alias("__c__")).select(
+        *keys, col, F.col("__c__.i").alias("i"), F.col("__c__.j").alias("j")
+    )
+    joined = v.join(F.broadcast(partials), on=[*keys, "i", "j"], how="left")
+    return (
+        joined.groupBy(*keys, col)
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_min"),
+            F.count(F.col("n")).alias("__hits__"),
+        )
+        .select(
+            *keys,
+            col,
+            # any missed cell means some hash row never saw the value -> 0
+            F.when(F.col("__hits__") < depth, F.lit(0))
+            .otherwise(F.col("est_min"))
+            .cast("long")
+            .alias("cms_estimate"),
+        )
+    )
+
+
+def cms_incremental_update(
+    stored: DataFrame,
+    new_batch: DataFrame,
+    grain: Sequence[str],
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min twin of ``hll_incremental_update``: sketch the batch,
+    union with the stored long-format partials, re-sum per cell. The
+    stored data is never rescanned; the update cost is the batch scan
+    plus a <= depth x width x groups merge."""
+    fresh = cms_partials(new_batch, grain, col, depth=depth, width=width)
+    return cms_merge(stored.unionByName(fresh), keys=grain)

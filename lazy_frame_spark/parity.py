@@ -6459,6 +6459,49 @@ def sketch_theta_setops(spark, sf_dir):
 
 
 @query(
+    "sketch_cms_freq",
+    # invariant oracle (the KLL pattern): DuckDB supplies the EXACT
+    # per-type counts and TRUE; Spark recomputes the exact counts AND
+    # checks its count-min estimates satisfy the one-sided guarantee —
+    # est >= exact, overflow bounded by 2N/width. Any violation flips
+    # ok to FALSE and the hash mismatches.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_cms_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/sketches
+    .cms_partials/cms_query): per-batch mergeable partials built from
+    two half-batches (exercising cellwise-sum merge), point estimates
+    for every event type, validated against the exact counts under the
+    classic epsilon bound. Long-format (i, j, n) cells keep the whole
+    pipeline JVM-side — at most depth x width rows per group no matter
+    the data volume."""
+    from lazy_frame_spark.operators import sketches as sk
+
+    ev = _table(spark, sf_dir, "events")
+    a = sk.cms_partials(ev.filter(F.col("event_id") % 2 == 0), [], "event_type")
+    b = sk.cms_partials(ev.filter(F.col("event_id") % 2 == 1), [], "event_type")
+    parts = sk.cms_merge(a.unionByName(b))
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = sk.cms_query(parts, exact.select("event_type"), "event_type")
+    n_total = ev.count()
+    bound = 2.0 * n_total / 1024  # 2N/width at the default width
+    return (
+        exact.join(est, on="event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                (F.col("cms_estimate") >= F.col("n_exact"))
+                & ((F.col("cms_estimate") - F.col("n_exact")) <= F.lit(bound))
+            ).alias("ok"),
+        )
+    )
+
+
+@query(
     "sketch_kll_quantiles",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_ok, TRUE AS p90_ok

@@ -167,3 +167,62 @@ def test_theta_incremental_update_exact_mode(events):
         .collect()
     }
     assert est == exact
+
+
+def test_cms_exact_when_wide(spark, sf_dir):
+    """With width >> distinct values the min-across-depth estimate is
+    exact for every present value, and 0 for absent ones."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import sketches as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = sk.cms_partials(ev, [], "event_type", depth=5, width=4096)
+    vals = ev.select("event_type").distinct().unionByName(
+        spark.createDataFrame([("__never__",)], "event_type string")
+    )
+    est = {r["event_type"]: r["cms_estimate"]
+           for r in sk.cms_query(parts, vals, "event_type",
+                                 depth=5, width=4096).collect()}
+    want = {r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want["__never__"] = 0
+    assert est == want
+
+
+def test_cms_merge_equals_one_shot(spark, sf_dir):
+    """Cellwise-sum merge of per-half partials is bit-identical to
+    sketching the whole table at once."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import sketches as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sk.cms_partials(ev.filter(F.col("event_id") % 2 == 0), [], "event_type")
+    b = sk.cms_partials(ev.filter(F.col("event_id") % 2 == 1), [], "event_type")
+    merged = sk.cms_merge(a.unionByName(b))
+    one = sk.cms_partials(ev, [], "event_type")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, one.collect()))
+    # incremental-update helper: same result through the stored-table API
+    inc = sk.cms_incremental_update(a, ev.filter(F.col("event_id") % 2 == 1),
+                                    [], "event_type")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_cms_never_undercounts_under_collisions(spark, sf_dir):
+    """Adversarially tiny sketch (2x8): estimates must still be >= the
+    true count for every value (the one-sided CMS guarantee)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import sketches as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = sk.cms_partials(ev, [], "event_type", depth=2, width=8)
+    vals = ev.select("event_type").distinct()
+    est = {r["event_type"]: r["cms_estimate"]
+           for r in sk.cms_query(parts, vals, "event_type", depth=2, width=8).collect()}
+    want = {r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= want[k] for k in want)
+    # bounded partial size regardless of rows
+    assert parts.count() <= 2 * 8
