@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "agg_q6_forecast_revenue",   # TPC-H Q6: the pushdown benchmark
     "sketch_hll_rollup",         # mergeable-sketch incremental distinct
     "ts_resample_ffill",         # grid resample + forward fill
+    "ts_sessionize_batch",       # gaps-and-islands sessionization
+    "join_q11_important_stock",  # TPC-H Q11 over the derived partsupp
+    "dq_profile_orders",         # exact column profile (Expand-free)
 ]
 
 
