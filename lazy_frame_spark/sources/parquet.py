@@ -302,6 +302,56 @@ def compact_parquet(
     return spark.read.parquet(dest)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    min_files: int = 4,
+) -> "DataFrame":
+    """Partition-scoped small-file compaction: rewrite ONLY the hive
+    partitions whose file count exceeds both ``min_files`` and the
+    byte-optimal count for ``target_mb`` files — the maintenance pass a
+    streaming-ingested partitioned table needs, without touching the
+    (vast majority of) healthy partitions. Untouched directories are
+    never read, never rewritten, never at risk; the touched set
+    promotes through the same journaled batch swap as the scoped MERGE
+    (kill-anywhere recovery included).
+
+    Candidate selection is a pure listdir/stat walk (no data jobs);
+    each rewrite is one pruned read + coalesce + write per touched
+    partition. Returns the table re-read."""
+    import math
+    import os
+    import shutil
+
+    recover_table(path)
+    final = path.rstrip("/")
+    part_cols = _partition_columns(final)
+    if not part_cols:
+        raise ValueError("compact_partitions requires a hive-partitioned table")
+    touched = []
+    for rel in _leaf_partition_dirs(final, len(part_cols)):
+        d = os.path.join(final, rel)
+        files = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_opt = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        if len(files) > max(min_files, n_opt):
+            touched.append((rel, n_opt))
+    if not touched:
+        return spark.read.parquet(final)
+    dest = final + "__compact_tmp"
+    shutil.rmtree(dest, ignore_errors=True)
+    for rel, n_opt in touched:
+        df = spark.read.parquet(os.path.join(final, rel))
+        df.coalesce(n_opt).write.mode("overwrite").parquet(os.path.join(dest, rel))
+    _swap_partitions(final, dest, [rel for rel, _ in touched])
+    return spark.read.parquet(final)
+
+
 def merge_upsert(
     spark: "SparkSession",
     path: str,

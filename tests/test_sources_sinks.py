@@ -583,3 +583,89 @@ def test_swap_partitions_crash_mid_batch_rolls_forward(spark, tmp_path):
     assert not os.path.exists(final + ".__commit__")
     assert not os.path.exists(final + "__backup")
     assert not os.path.exists(dest)
+
+
+def test_merge_scoped_multilevel_partitions(spark, tmp_path):
+    """Two-level hive layout (status=/region=): scoped MERGE walks to
+    the LEAF partition dirs, swaps only the touched (status, region)
+    combinations, and leaves every other leaf bit-identical."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import merge_upsert
+
+    final = str(tmp_path / "ml")
+    rows = [(i, f"s{i % 2}", f"r{i % 3}", float(i)) for i in range(60)]
+    spark.createDataFrame(
+        rows, "k long, status string, region string, v double"
+    ).coalesce(1).write.partitionBy("status", "region").parquet(final)
+
+    def snapshot(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out[fp] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    untouched = {
+        rel: snapshot(os.path.join(final, rel))
+        for rel in ["status=s0/region=r0", "status=s0/region=r2",
+                    "status=s1/region=r0", "status=s1/region=r1"]
+    }
+    updates = spark.createDataFrame(
+        [(4, "s0", "r1", -4.0), (5, "s1", "r2", -5.0), (999, "s0", "r9", 9.0)],
+        "k long, status string, region string, v double",
+    )
+    got = merge_upsert(spark, final, updates, ["k", "status", "region"],
+                       scope_to_partitions=True)
+    want = {(k, s, r, v) for k, s, r, v in rows
+            if (k, s, r) not in {(4, "s0", "r1"), (5, "s1", "r2")}}
+    want |= {(4, "s0", "r1", -4.0), (5, "s1", "r2", -5.0), (999, "s0", "r9", 9.0)}
+    assert {(r["k"], r["status"], r["region"], r["v"]) for r in got.collect()} == want
+    for rel, snap in untouched.items():
+        assert snapshot(os.path.join(final, rel)) == snap, rel
+
+
+def test_compact_partitions_only_fragmented(spark, tmp_path):
+    """One partition fragmented into 8 tiny files, one healthy single
+    file: scoped compaction collapses the fragmented dir and leaves the
+    healthy one bit-identical, with all rows preserved."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import compact_partitions
+
+    final = str(tmp_path / "cp")
+    frag = spark.createDataFrame(
+        [(i, "hot", float(i)) for i in range(800)], "k long, part string, v double"
+    ).repartition(8)
+    ok = spark.createDataFrame(
+        [(i, "cold", float(i)) for i in range(800, 900)],
+        "k long, part string, v double",
+    ).coalesce(1)
+    frag.unionByName(ok).write.partitionBy("part").parquet(final)
+
+    hot_dir = os.path.join(final, "part=hot")
+    cold_dir = os.path.join(final, "part=cold")
+    n_hot_before = len([f for f in os.listdir(hot_dir) if f.endswith(".parquet")])
+    assert n_hot_before >= 8
+
+    def snapshot(p):
+        return {
+            f: os.stat(os.path.join(p, f)).st_ino
+            for f in os.listdir(p) if f.endswith(".parquet")
+        }
+
+    cold_before = snapshot(cold_dir)
+    got = compact_partitions(spark, final, target_mb=128, min_files=4)
+    assert got.count() == 900
+    assert {r["k"] for r in got.collect()} == set(range(900))
+    assert len(snapshot(hot_dir)) == 1          # fragmented -> collapsed
+    assert snapshot(cold_dir) == cold_before    # healthy -> untouched
+    assert not os.path.exists(final + "__compact_tmp")
+    assert not os.path.exists(final + ".__commit__")
+    # idempotent: nothing left to compact
+    import time as _t
+    m = os.path.getmtime(hot_dir)
+    compact_partitions(spark, final, target_mb=128, min_files=4)
+    assert os.path.getmtime(hot_dir) == m
