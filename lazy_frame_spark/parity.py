@@ -3798,6 +3798,36 @@ def sink_compacted_roundtrip(spark, sf_dir):
     return compact_parquet(spark, out, target_mb=128)
 
 
+@query(
+    "ingest_gz_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def ingest_gz_roundtrip(spark, sf_dir):
+    """Unsplittable-compressed ingest (sources/ingest.ingest_gzip): a
+    .gz CSV (one-task read, inherent to gzip) is decompressed and
+    resharded ONCE into default-parallelism zstd parquet, and every
+    later query scans splittable row-grouped files. The graded result
+    is the re-read table — value-identical to the source rows."""
+    import gzip
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources.ingest import ingest_gzip
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_ingest_{tag}.csv.gz"
+    out = f"/tmp/lfs_ingest_tbl_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    rows = _table(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    with gzip.open(src, "wt") as f:
+        f.write("r_regionkey,r_name\n")
+        for r in sorted(rows, key=lambda x: x["r_regionkey"]):
+            f.write(f"{r['r_regionkey']},{r['r_name']}\n")
+    return ingest_gzip(spark, src, out).select(
+        F.col("r_regionkey").cast("long"), "r_name"
+    )
+
+
 @query("sink_roundtrip_jsonl", oracle=_SINK_ORACLE_SQL)
 def sink_roundtrip_jsonl(spark, sf_dir):
     """JSON-lines sink + source round-trip: the interchange format every
