@@ -45,7 +45,7 @@ def sessionize(
     time_col: str = "ts",
     gap: float = 1800.0,
     out_col: str = "session_start",
-    time_buckets: int = 1,
+    time_buckets: int | str = 1,
 ) -> DataFrame:
     """Append ``out_col`` — the first-event time of each row's session
     (sessions break when the gap to the previous event exceeds ``gap``
@@ -53,10 +53,18 @@ def sessionize(
     downstream per-session aggregation.
 
     ``time_buckets=N`` runs the skew-safe pre-split (identical output);
+    ``"auto"`` samples the hottest key (``suggest_salt_buckets``) and
+    enables it only when a key exceeds what one task should hold;
     leave at 1 for ordinary key cardinalities.
     """
-    if time_buckets > 1:
-        return _sessionize_bucketed(df, key_col, time_col, gap, out_col, time_buckets)
+    if time_buckets == "auto":
+        from lazy_frame_spark.operators.joins import suggest_salt_buckets
+
+        time_buckets = suggest_salt_buckets(df, key_col)
+    if int(time_buckets) > 1:
+        return _sessionize_bucketed(
+            df, key_col, time_col, gap, out_col, int(time_buckets)
+        )
     tsec = "__sess_t__"
     base = df.withColumn(tsec, _epoch_expr(df, time_col))
     w = Window.partitionBy(key_col).orderBy(tsec)

@@ -320,3 +320,64 @@ def test_resample_ffill_matches_bruteforce(spark, rows):
         for r in ts.resample_ffill(df, every="1 hour").collect()
     }
     assert got == _brute_resample_ffill(rows)
+
+
+# --------------------------------------------------------------------- #
+# bucketed event-time carries vs the plain single-window paths
+# --------------------------------------------------------------------- #
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # key
+        st.integers(0, 1000),                 # time (ints; dup times allowed)
+        st.integers(-5, 5),                   # value payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(ev=events_strategy, n_buckets=st.sampled_from([2, 3, 7, 16]),
+       gap=st.sampled_from([1.0, 10.0, 50.0]))
+def test_sessionize_bucketed_equals_plain_random(spark, ev, n_buckets, gap):
+    """For ANY event set, bucket count and gap, the pre-split sessionize
+    must equal the single-window path row-for-row."""
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    rows = [(i, k, float(t)) for i, (k, t, _) in enumerate(ev)]
+    df = spark.createDataFrame(rows, "event_id long, k long, t double")
+    plain = sorted(map(tuple, sessionize(df, "k", "t", gap=gap).collect()))
+    bucketed = sorted(
+        map(tuple, sessionize(df, "k", "t", gap=gap, time_buckets=n_buckets).collect())
+    )
+    assert bucketed == plain
+
+
+@SETTINGS
+@given(ev=events_strategy, rt=events_strategy,
+       n_buckets=st.sampled_from([2, 3, 7]),
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_bucketed_equals_plain_random(spark, ev, rt, n_buckets, direction):
+    """For ANY left/right event sets (duplicate times included, values
+    unique per (key, time) so ties can't mask order-dependence), the
+    bucketed as-of must equal the single-window path."""
+    from lazy_frame_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t, _) in enumerate(ev)],
+        "lid long, k long, t double",
+    )
+    seen = {}
+    rrows = []
+    for k, t, v in rt:
+        if (k, t) not in seen:      # one right row per (key, time)
+            seen[(k, t)] = True
+            rrows.append((k, float(t), float(v)))
+    right = spark.createDataFrame(rrows, "k long, rt double, v double")
+    plain = sorted(map(tuple, asof_join(
+        left, right, "k", "t", "rt", ["v"], direction=direction).collect()))
+    bucketed = sorted(map(tuple, asof_join(
+        left, right, "k", "t", "rt", ["v"], direction=direction,
+        time_buckets=n_buckets).collect()))
+    assert bucketed == plain
