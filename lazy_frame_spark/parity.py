@@ -3799,6 +3799,33 @@ def sink_compacted_roundtrip(spark, sf_dir):
 
 
 @query(
+    "sink_delete_keys",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (1, 3)
+    """,
+)
+def sink_delete_keys(spark, sf_dir):
+    """Hard delete (sources/parquet.delete_keys): DELETE WHERE key IN
+    (...) as one broadcast anti-join + journaled rewrite — the
+    right-to-erasure pass. The partition-scoped variant (erase one
+    user's partitions from a 100 TB table without touching the rest)
+    is exercised by tests/test_sources_sinks.py."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources.parquet import delete_keys, write_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/lfs_delete_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_parquet(_table(spark, sf_dir, "region"), out)
+    dels = spark.createDataFrame([(1,), (3,)], "r_regionkey long")
+    return delete_keys(spark, out, dels, "r_regionkey").select(
+        "r_regionkey", "r_name"
+    )
+
+
+@query(
     "ingest_gz_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
 )

@@ -302,6 +302,87 @@ def compact_parquet(
     return spark.read.parquet(dest)
 
 
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    deletes: "DataFrame",
+    key: str | list[str],
+    scope_to_partitions: bool = False,
+) -> "DataFrame":
+    """Hard-delete every target row whose key appears in ``deletes``
+    (``DELETE FROM t WHERE key IN (SELECT key FROM d)`` — the
+    right-to-erasure pass every stored corpus eventually needs). One
+    anti-join; the delete side broadcasts when small. The rewrite
+    promotes through the journaled swap, so a kill anywhere leaves a
+    readable table.
+
+    ``scope_to_partitions=True`` (same contract as ``merge_upsert``:
+    partition columns must be a subset of the key) rewrites ONLY the
+    partitions named by the delete rows — erasing one user from a
+    date-partitioned 100 TB table touches that user's partitions, not
+    the table. Returns the table re-read."""
+    from pyspark.sql import functions as F
+
+    recover_table(path)
+    keys = [key] if isinstance(key, str) else list(key)
+    final = path.rstrip("/")
+    part_cols = _partition_columns(final)
+    target = spark.read.parquet(path)
+    dkeys = deletes.select(*keys).distinct()
+
+    if scope_to_partitions:
+        if not part_cols:
+            raise ValueError("scope_to_partitions requires a hive-partitioned target")
+        if not set(part_cols) <= set(keys):
+            raise ValueError(
+                f"scope_to_partitions requires partition columns {part_cols} "
+                f"to be a subset of the delete key {keys}"
+            )
+        import shutil
+
+        touched = dkeys.select(*part_cols).distinct().collect()
+        pred = None
+        for r in touched:
+            one = F.lit(True)
+            for c in part_cols:
+                one = one & (F.col(c) == F.lit(r[c]))
+            pred = one if pred is None else (pred | one)
+        if pred is None:  # empty delete set: nothing to do
+            return target
+        remaining = target.filter(pred).join(dkeys, on=keys, how="left_anti")
+        dest = final + "__delete_tmp"
+        shutil.rmtree(dest, ignore_errors=True)
+        remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(dest)
+        # a partition whose EVERY row was deleted produces no dir in
+        # dest — swap in an empty dir so the old data goes away. (Name
+        # reconstruction assumes partition values that need no hive
+        # escaping — same plain-value domain the rest of the layout
+        # helpers assume.)
+        import os
+
+        written = set(_leaf_partition_dirs(dest, len(part_cols)))
+        expect = set()
+        for r in touched:
+            rel = os.path.join(
+                *[f"{c}={r[c]}" for c in part_cols]
+            )
+            if os.path.isdir(os.path.join(final, rel)):
+                expect.add(rel)
+        for rel in expect - written:
+            os.makedirs(os.path.join(dest, rel), exist_ok=True)
+        _swap_partitions(final, dest, sorted(written | (expect - written)))
+        return spark.read.parquet(final)
+
+    remaining = target.join(dkeys, on=keys, how="left_anti")
+    dest = final + "__delete_tmp"
+    w = remaining.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(dest)
+    _swap_in_place(final, dest, "__delete_old")
+    return spark.read.parquet(final)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -669,3 +669,66 @@ def test_compact_partitions_only_fragmented(spark, tmp_path):
     m = os.path.getmtime(hot_dir)
     compact_partitions(spark, final, target_mb=128, min_files=4)
     assert os.path.getmtime(hot_dir) == m
+
+
+# ---------------------------------------------------------------- #
+# delete_keys                                                      #
+# ---------------------------------------------------------------- #
+
+def test_delete_keys_whole_table(spark, tmp_path):
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    final = str(tmp_path / "del1")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).write.parquet(final)
+    dels = spark.createDataFrame([(3,), (7,), (999,)], "k long")
+    got = delete_keys(spark, final, dels, "k")
+    assert {r["k"] for r in got.collect()} == set(range(20)) - {3, 7}
+    import os
+    assert not os.path.exists(final + ".__commit__")
+
+
+def test_delete_keys_scoped_touches_only_named_partitions(spark, tmp_path):
+    import os
+
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    final, rows = _scoped_fixture(spark, tmp_path, "del_scoped")
+
+    def inodes(p):
+        return {
+            f: os.stat(os.path.join(p, f)).st_ino
+            for f in os.listdir(p) if f.endswith(".parquet")
+        }
+
+    s0_before = inodes(os.path.join(final, "status=s0"))
+    dels = spark.createDataFrame([(1, "s1"), (4, "s1")], "k long, status string")
+    got = delete_keys(spark, final, dels, ["k", "status"], scope_to_partitions=True)
+    want = {(k, s, v) for k, s, v in rows if (k, s) not in {(1, "s1"), (4, "s1")}}
+    assert {(r["k"], r["status"], r["v"]) for r in got.collect()} == want
+    assert inodes(os.path.join(final, "status=s0")) == s0_before
+
+
+def test_delete_keys_scoped_empties_whole_partition(spark, tmp_path):
+    """Deleting EVERY row of a partition must leave zero rows for it,
+    not silently keep the old directory."""
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    final, rows = _scoped_fixture(spark, tmp_path, "del_empty")
+    s1_keys = [(k, s) for k, s, _ in rows if s == "s1"]
+    dels = spark.createDataFrame(s1_keys, "k long, status string")
+    got = delete_keys(spark, final, dels, ["k", "status"], scope_to_partitions=True)
+    assert got.filter("status = 's1'").count() == 0
+    assert got.count() == len(rows) - len(s1_keys)
+
+
+def test_delete_keys_scoped_rejects_partition_mobile(spark, tmp_path):
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    final, _ = _scoped_fixture(spark, tmp_path, "del_rej")
+    with pytest.raises(ValueError, match="subset of the delete key"):
+        delete_keys(spark, final, spark.createDataFrame([(1,)], "k long"),
+                    "k", scope_to_partitions=True)
