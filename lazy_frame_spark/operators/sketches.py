@@ -278,7 +278,11 @@ def cms_query(
     v = values.select(*keys, col, F.explode(cells).alias("__c__")).select(
         *keys, col, F.col("__c__.i").alias("i"), F.col("__c__.j").alias("j")
     )
-    joined = v.join(F.broadcast(partials), on=[*keys, "i", "j"], how="left")
+    # ungrouped partials are <= depth x width rows — pin the broadcast;
+    # grouped partials scale with group count, so let AQE pick the
+    # strategy from the measured size
+    rhs = F.broadcast(partials) if not keys else partials
+    joined = v.join(rhs, on=[*keys, "i", "j"], how="left")
     return (
         joined.groupBy(*keys, col)
         .agg(
