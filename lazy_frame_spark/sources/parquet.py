@@ -508,6 +508,8 @@ def merge_upsert(
         # affected partitions, from the update side only — bounded by
         # the number of partitions the update touches
         touched = updates.select(*part_cols).distinct().collect()
+        if not touched:  # empty update set: MERGE is a no-op
+            return target
         pred = None
         for r in touched:
             one = F.lit(True)

@@ -732,3 +732,18 @@ def test_delete_keys_scoped_rejects_partition_mobile(spark, tmp_path):
     with pytest.raises(ValueError, match="subset of the delete key"):
         delete_keys(spark, final, spark.createDataFrame([(1,)], "k long"),
                     "k", scope_to_partitions=True)
+
+
+def test_scoped_merge_and_delete_empty_inputs_are_noops(spark, tmp_path):
+    """An empty updates/deletes frame must leave the table untouched
+    (not crash building the partition predicate)."""
+    from lazy_frame_spark.sources.parquet import delete_keys, merge_upsert
+
+    final, rows = _scoped_fixture(spark, tmp_path, "scoped_noop")
+    empty = spark.createDataFrame([], "k long, status string, v double")
+    got = merge_upsert(spark, final, empty, ["k", "status"],
+                       scope_to_partitions=True)
+    assert got.count() == len(rows)
+    got = delete_keys(spark, final, empty.select("k", "status"),
+                      ["k", "status"], scope_to_partitions=True)
+    assert got.count() == len(rows)
