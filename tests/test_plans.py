@@ -320,3 +320,16 @@ def test_profile_exact_distinct_avoids_expand(spark, sf_dir):
     # the fused single-scan variants still exist behind flags
     q2 = profile_columns(df, ["o_orderkey", "o_custkey"], single_scan_exact=True)
     assert "Expand" in executed_plan(q2)
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Plain sessionize must plan ONE hash exchange + one sort feeding
+    both window passes (lag flags and the running carry share the
+    per-key partitioning) — two shuffles would double the dominant cost
+    at any scale."""
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = executed_plan(sessionize(ev, "user_id", "ts", gap=3600.0))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
