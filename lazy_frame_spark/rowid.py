@@ -545,20 +545,24 @@ def _with_partition_offset_ids_custom(
 ) -> DataFrame:
     """File-order enumeration with caller-supplied per-partition BASE
     offsets (literals) — the zero-shuffle id assignment used when the
-    source is already globally sorted on the keys."""
+    source is already globally sorted on the keys.
+
+    The within-partition record number comes from
+    ``monotonically_increasing_id``'s documented layout (partition id
+    in the upper 31 bits, record number in the lower 33 — the API
+    contract since Spark 1.6): ``mid & (2^33 - 1)``. Pure arithmetic,
+    ONE pass over the source — the previous groupBy-min + broadcast
+    re-join read the source twice inside the cache-build job. Ids are
+    pinned equal to the rank path by tests either way."""
     mid, pid = "__lfs_mid__", "__lfs_pid__"
     base = df.withColumn(mid, F.monotonically_increasing_id()).withColumn(
         pid, F.spark_partition_id()
     )
-    stats = base.groupBy(pid).agg(F.min(mid).alias("__mn__"))
     off = _offset_lookup(offsets, F.col(pid))
+    local = F.col(mid).bitwiseAND(F.lit((1 << 33) - 1))
     return (
-        base.join(F.broadcast(stats), on=pid, how="inner")
-        .withColumn(
-            col,
-            (off + (F.col(mid) - F.col("__mn__")) + F.lit(1)).cast("bigint"),
-        )
-        .drop(mid, pid, "__mn__")
+        base.withColumn(col, (off + local + F.lit(1)).cast("bigint"))
+        .drop(mid, pid)
     )
 
 
