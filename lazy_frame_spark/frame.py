@@ -402,6 +402,34 @@ class LazyFrame:
         self._attrs.set(names[0], which, value)
         return self
 
+    def decode_factors(self) -> "LazyFrame":
+        """Spark-side factor decode: every column carrying a ``levels``
+        attribute maps its 1-based integer codes to level strings IN
+        THE PLAN (``element_at`` over a literal level array — pure
+        codegen, works at any scale), instead of waiting for the pandas
+        materialization boundary. The distributed analogue of the
+        reference applying factor levels on extraction
+        (``R/lazy.frame.R:167-178``, ``man/column_attr.Rd:43-63``);
+        out-of-range codes decode to NULL, matching R's behavior for
+        invalid factor codes. The decoded columns drop their levels
+        attr (they ARE the levels now)."""
+        df = self._df
+        attrs = self._attrs.copy()
+        for c, a in list(attrs.items()):
+            levels = a.get("levels")
+            if levels and c in df.columns:
+                arr = F.array(*[F.lit(str(lv)) for lv in levels])
+                code = F.col(c).cast("int")
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        (code >= 1) & (code <= len(levels)),
+                        F.element_at(arr, code),
+                    ),
+                )
+                attrs.delete(c, "levels")
+        return LazyFrame(df, attrs, self._order_by)
+
     # ------------------------------------------------------------------ #
     # materialization & introspection
     # ------------------------------------------------------------------ #

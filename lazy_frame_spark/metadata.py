@@ -71,9 +71,16 @@ class ColumnAttrs:
             if levels is not None:
                 s = pdf[col]
                 if pd.api.types.is_integer_dtype(s) or pd.api.types.is_float_dtype(s):
-                    # R factor codes are 1-based ints into levels
+                    # R factor codes are 1-based ints into levels; NULL
+                    # and out-of-range codes decode to NA (code -1), the
+                    # R behavior for invalid factor codes — and the same
+                    # semantics as the Spark-side decode_factors
+                    codes = pd.to_numeric(s, errors="coerce") - 1
+                    codes = codes.where(
+                        codes.notna() & (codes >= 0) & (codes < len(levels)), -1
+                    ).astype("int64")
                     pdf[col] = pd.Categorical.from_codes(
-                        s.astype("int64") - 1, categories=list(levels)
+                        codes, categories=list(levels)
                     )
                 else:
                     pdf[col] = pd.Categorical(s, categories=list(levels))

@@ -3799,6 +3799,41 @@ def sink_compacted_roundtrip(spark, sf_dir):
 
 
 @query(
+    "lf_factor_decode",
+    # M1 column_attr in a value-checked path: 1-based codes -> levels,
+    # out-of-range -> NULL (R's invalid-factor-code behavior)
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE (CAST(l_quantity AS INT) % 4) + 1
+                WHEN 1 THEN 'lo' WHEN 2 THEN 'mid' WHEN 3 THEN 'hi'
+           END AS qband
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def lf_factor_decode(spark, sf_dir):
+    """M1 column_attr with DRIVER evidence: store factor levels on an
+    integer-coded column (frame.set_column_attr), decode Spark-side via
+    LazyFrame.decode_factors — element_at over the literal level array,
+    1-based, out-of-range codes (here code 4 with 3 levels) NULL. The
+    pandas materialization boundary applies the same attrs
+    independently (unit-tested); this row pins the two paths to one
+    semantics."""
+    lf = _lf(spark, sf_dir, "lineitem")
+    coded = LazyFrame.from_df(
+        lf.to_df()
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            ((F.col("l_quantity").cast("int") % 4) + 1).alias("qband"),
+        ),
+        cache=False,
+    )
+    coded.set_column_attr("qband", "levels", ["lo", "mid", "hi"])
+    return coded.decode_factors().to_df()
+
+
+@query(
     "sink_delete_keys",
     oracle="""
     SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (1, 3)

@@ -144,3 +144,24 @@ def test_sample_rows(lf):
     assert a == b
     # n >= nrow returns everything
     assert lf.sample_rows(10_000).nrow() == 150
+
+
+def test_decode_factors_matches_pandas_boundary(spark):
+    """Spark-side decode_factors and the to_pandas materialization
+    boundary must decode identical values from the same stored levels
+    (1-based codes; out-of-range -> NULL/NaN)."""
+    from lazy_frame_spark import LazyFrame
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (5, None)], "id long, code int"
+    )
+    lf = LazyFrame.from_df(df, cache=False)
+    lf.set_column_attr("code", "levels", ["a", "b", "c"])
+
+    decoded = {r["id"]: r["code"] for r in lf.decode_factors().collect()}
+    assert decoded == {1: "a", 2: "b", 3: "c", 4: None, 5: None}
+    # levels attr consumed by the decode
+    assert lf.decode_factors().column_attr("code", "levels") is None
+    # the pandas boundary decodes in-range codes to the same categories
+    pdf = lf.to_pandas().set_index("id")
+    assert list(pdf.loc[[1, 2, 3], "code"]) == ["a", "b", "c"]
