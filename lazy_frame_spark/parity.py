@@ -6674,10 +6674,13 @@ DRIVER_WINDOW: list[str] = [
     "window_top3_per_customer",
     "sort_topk_orders",
     "set_union",
-    # scalar surface: dates, casts, arrays, JSON
+    # scalar surface: dates, casts, JSON (the array battery rotates
+    # past the cap — still locally checked — to hand M1 column_attr a
+    # driver-checked slot: factor decode is the one §2.1 op that had
+    # only unit evidence)
     "scalar_date_battery",
     "cast_semantics",
-    "array_functions",
+    "lf_factor_decode",
     "json_extract_props",
     # subqueries, sampling
     "subquery_scalar_and_in",

@@ -14,9 +14,12 @@ def test_driver_window_is_first_50_with_oracles():
 
 
 def test_driver_window_spans_every_category():
+    # array_functions rotated past the cap in round 4 (scalar held 4
+    # redundant slots) to hand M1 factor decode a driver row; the
+    # scalar surface stays represented by scalar_/cast_/json_
     prefixes = [
         "lf_", "agg_", "join_", "window_", "sort_", "set_", "scalar_",
-        "cast_", "array_", "json_", "subquery_", "sample_", "text_",
+        "cast_", "json_", "subquery_", "sample_", "text_",
         "dedup_", "decontam_", "mix_", "ann_", "embedding_", "sink_",
         "multimodal_", "stream_", "udf_", "udaf_", "udtf_", "sketch_",
         "dq_", "ts_", "layout_", "graph_",
