@@ -6551,6 +6551,40 @@ def sketch_theta_setops(spark, sf_dir):
 
 
 @query(
+    "view_incremental_agg",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS __n__,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def view_incremental_agg(spark, sf_dir):
+    """Incremental materialized aggregate view (operators/incremental):
+    the stored view is built from one half-batch and FOLDED with the
+    other (never rescanning the first), then read with the derived
+    average — byte-equal to aggregating all data at once, which is
+    exactly what the oracle computes. The maintenance pattern that
+    turns a rescan-a-year dashboard query into a grain-bounded merge."""
+    from lazy_frame_spark.operators import incremental as iv
+
+    ev = _table(spark, sf_dir, "events")
+    kw = dict(sum_cols=["value"], min_cols=["value"], max_cols=["value"])
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    view = iv.agg_view_update(
+        iv.agg_view_build(a, ["event_type"], **kw), b, ["event_type"], **kw
+    )
+    out = iv.agg_view_read(view, avg_of=["value"])
+    return out.select(
+        "event_type", "__n__",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value", "max_value", "avg_value",
+    )
+
+
+@query(
     "sketch_cms_freq",
     # invariant oracle (the KLL pattern): DuckDB supplies the EXACT
     # per-type counts and TRUE; Spark recomputes the exact counts AND

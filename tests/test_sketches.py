@@ -226,3 +226,34 @@ def test_cms_never_undercounts_under_collisions(spark, sf_dir):
     assert all(est[k] >= want[k] for k in want)
     # bounded partial size regardless of rows
     assert parts.count() <= 2 * 8
+
+
+# --------------------------------------------------------------------- #
+# incremental aggregate views (operators/incremental.py)
+# --------------------------------------------------------------------- #
+
+def test_agg_view_incremental_equals_full_rebuild(spark, sf_dir):
+    """Folding batches into the stored view must equal a one-shot build
+    over all data — for count, sum, min, max, and derived avg — across
+    a 3-way batch split (repeated folds, new-key batches included)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kw = dict(sum_cols=["value"], min_cols=["value"], max_cols=["value"])
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    view = iv.agg_view_build(parts[0], ["event_type"], **kw)
+    view = iv.agg_view_update(view, parts[1], ["event_type"], **kw)
+    view = iv.agg_view_update(view, parts[2], ["event_type"], **kw)
+    full = iv.agg_view_build(ev, ["event_type"], **kw)
+
+    def norm(df):
+        return sorted(
+            (r["event_type"], r["__n__"], round(r["sum_value"], 6),
+             r["min_value"], r["max_value"], r["avg_value"])
+            for r in iv.agg_view_read(df, avg_of=["value"]).collect()
+        )
+    assert norm(view) == norm(full)
+    # the view answers from grain-bounded rows, never the raw table
+    assert view.count() == ev.select("event_type").distinct().count()
