@@ -95,3 +95,63 @@ def agg_view_read(
             avg = F.round(avg, round_avg)
         out = out.withColumn(f"avg_{c}", avg)
     return out
+
+
+def agg_view_stream_writer(
+    view_dir: str,
+    grain: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+):
+    """``foreachBatch`` sink that maintains the stored view under
+    streaming ingest, EXACTLY-ONCE: each micro-batch folds into the
+    view and promotes through the journaled swap, with the folded batch
+    id recorded INSIDE the promoted directory — view and progress
+    marker commit in the same atomic rename, so a foreachBatch replay
+    after any crash sees its own id and skips (double-folding a
+    non-idempotent merge is the classic streaming-upsert bug).
+
+    Usage::
+
+        q = (stream.writeStream.foreachBatch(
+                agg_view_stream_writer(dir, ["k"], sum_cols=["v"]))
+             .option("checkpointLocation", ckpt).start())
+    """
+    import json
+    import os
+
+    marker = "_FOLDED_BATCH.json"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from lazy_frame_spark.sources.parquet import (
+            _swap_in_place,
+            recover_table,
+        )
+
+        spark = batch_df.sparkSession
+        recover_table(view_dir)
+        last = -1
+        mp = os.path.join(view_dir, marker)
+        if os.path.exists(mp):
+            with open(mp, encoding="utf-8") as f:
+                last = json.load(f)["batch_id"]
+        if batch_id <= last:  # replayed batch: already folded
+            return
+        if os.path.exists(view_dir):
+            stored = spark.read.parquet(view_dir)
+            updated = agg_view_update(
+                stored, batch_df, grain, sum_cols, min_cols, max_cols
+            )
+        else:
+            updated = agg_view_build(batch_df, grain, sum_cols, min_cols, max_cols)
+        dest = view_dir.rstrip("/") + "__fold_tmp"
+        updated.write.mode("overwrite").parquet(dest)
+        with open(os.path.join(dest, marker), "w", encoding="utf-8") as f:
+            json.dump({"batch_id": batch_id}, f)
+        if os.path.exists(view_dir):
+            _swap_in_place(view_dir.rstrip("/"), dest, "__fold_old")
+        else:
+            os.rename(dest, view_dir.rstrip("/"))
+
+    return fold

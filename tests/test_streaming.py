@@ -371,3 +371,47 @@ def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
     for f in glob.glob(extra + "/part-*.parquet"):
         shutil.copy(f, src + "/late-" + f.rsplit("/", 1)[1])
     assert drain() == 350
+
+
+def test_agg_view_stream_writer_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed micro-batch folds must converge to the one-shot batch
+    aggregate, and a REPLAYED batch id (the foreachBatch crash-replay
+    case) must be a no-op rather than double-count."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+    from lazy_frame_spark.operators.incremental import agg_view_stream_writer
+    from lazy_frame_spark.streaming import stream_events
+
+    src = str(tmp_path / "ev_src")
+    view = str(tmp_path / "ev_view")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(src)
+    stream = stream_events(spark, src, spark.read.parquet(src).schema,
+                           max_files_per_trigger=1)
+    fold = agg_view_stream_writer(view, ["event_type"], sum_cols=["value"],
+                                  min_cols=["value"], max_cols=["value"])
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def norm(df):
+        return sorted(
+            (r["event_type"], r["__n__"], round(r["sum_value"], 4),
+             r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+    got = spark.read.parquet(view)
+    want = iv.agg_view_build(ev, ["event_type"], sum_cols=["value"],
+                             min_cols=["value"], max_cols=["value"])
+    assert norm(got) == norm(want)
+
+    # replay an already-folded batch id: exactly-once skip
+    fold(ev.limit(50), 0)
+    assert norm(spark.read.parquet(view)) == norm(want)
