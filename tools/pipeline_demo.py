@@ -100,6 +100,26 @@ def main() -> int:
     sketches = hll_partials(split, ["split"], "doc_id")
     counts["sketch_rows"] = sketches.count()
     counts["published"] = spark.read.parquet(out).count()
+
+    # 9. serving-side maintenance (round 4): an incremental aggregate
+    #    view over the published table, then a scoped GDPR delete — the
+    #    view folds the post-delete state without rescanning history
+    from lazy_frame_spark.operators.incremental import (
+        agg_view_build,
+        agg_view_read,
+    )
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    sized = spark.read.parquet(out).withColumn("n_chars", F.length("text"))
+    view = agg_view_read(
+        agg_view_build(sized, ["split"], sum_cols=["n_chars"]),
+        avg_of=["n_chars"],
+    )
+    counts["view_grains"] = view.count()
+    erase = split.select("doc_id", "split").orderBy("doc_id").limit(3)
+    after = delete_keys(spark, out, erase, ["doc_id", "split"],
+                        scope_to_partitions=True)
+    counts["after_erasure"] = after.count()
     deduped.unpersist()
     split.unpersist()
 
