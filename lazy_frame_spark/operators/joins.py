@@ -137,7 +137,7 @@ def salted_join(
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | Sequence[str],
     left_time: str,
     right_time: str,
     value_cols: Sequence[str],
@@ -146,7 +146,7 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_time <= left_time`` (direction='backward'; 'forward' takes the
-    next one) sharing the key ``on``.
+    next one) sharing the key ``on`` (a column name or a composite list).
 
     Implementation: tag and union both inputs, then one window pass per
     key ordered by time — ``last(value, ignorenulls=True)`` carries the
@@ -170,37 +170,33 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [on] if isinstance(on, str) else list(on)
     if time_buckets == "auto":
-        time_buckets = suggest_salt_buckets(left, on)
+        # hot-key estimate on the leading key: a composite key is at
+        # most as hot as its leading column
+        time_buckets = suggest_salt_buckets(left, keys[0])
     if int(time_buckets) > 1:
         return _asof_join_time_bucketed(
-            left, right, on, left_time, right_time, value_cols,
+            left, right, keys, left_time, right_time, value_cols,
             direction, int(time_buckets),
         )
 
     unioned, lcols, t, side = _asof_tagged_union(
-        left, right, on, left_time, right_time, value_cols
+        left, right, keys, left_time, right_time, value_cols
     )
-    if direction == "backward":
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(t).asc(), F.col(side).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [
-            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(f"__asof_{c}__")
-            for c in value_cols
-        ]
-    else:
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(t).desc(), F.col(side).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [
-            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(f"__asof_{c}__")
-            for c in value_cols
-        ]
+    order = [
+        F.col(t).asc() if direction == "backward" else F.col(t).desc(),
+        F.col(side).asc(),
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(f"__asof_{c}__")
+        for c in value_cols
+    ]
 
     out = unioned.select(*lcols, F.col(side), *carried).filter(F.col(side) == 1)
     renames = {f"__asof_{c}__": c for c in value_cols}
@@ -212,7 +208,7 @@ def asof_join(
 def _asof_tagged_union(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    keys: Sequence[str],
     left_time: str,
     right_time: str,
     value_cols: Sequence[str],
@@ -223,6 +219,7 @@ def _asof_tagged_union(
     t = "__asof_t__"
     side = "__asof_side__"
     lcols = left.columns
+    kset = set(keys)
     tagged_left = left.select(
         *lcols,
         F.col(left_time).alias(t),
@@ -230,8 +227,8 @@ def _asof_tagged_union(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in value_cols],
     )
     tagged_right = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
-        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in kset],
+        *[F.col(k) for k in keys],
         F.col(right_time).alias(t),
         F.lit(0).alias(side),
         *[F.col(c).alias(f"__r_{c}__") for c in value_cols],
@@ -242,7 +239,7 @@ def _asof_tagged_union(
 def _asof_join_time_bucketed(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    keys: Sequence[str],
     left_time: str,
     right_time: str,
     value_cols: Sequence[str],
@@ -269,7 +266,7 @@ def _asof_join_time_bucketed(
     from pyspark.sql import types as T
 
     unioned, lcols, t, side = _asof_tagged_union(
-        left, right, on, left_time, right_time, value_cols
+        left, right, keys, left_time, right_time, value_cols
     )
     bkt = "__asof_bkt__"
     tdt = unioned.schema[t].dataType
@@ -285,7 +282,7 @@ def _asof_join_time_bucketed(
     lo, hi = b["lo"], b["hi"]
     if lo is None or hi is None or hi <= lo:
         return asof_join(
-            left, right, on, left_time, right_time, value_cols, direction
+            left, right, keys, left_time, right_time, value_cols, direction
         )
     width = (hi - lo) / n_buckets
     u = unioned.withColumn(
@@ -298,12 +295,12 @@ def _asof_join_time_bucketed(
     asc = direction == "backward"
     order_in = [F.col(t).asc() if asc else F.col(t).desc(), F.col(side).asc()]
     w_run = (
-        Window.partitionBy(on, bkt)
+        Window.partitionBy(*keys, bkt)
         .orderBy(*order_in)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = (
-        Window.partitionBy(on, bkt)
+        Window.partitionBy(*keys, bkt)
         .orderBy(*order_in)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
@@ -322,16 +319,16 @@ def _asof_join_time_bucketed(
     # bucket-grain summaries: every row of a (key, bucket) carries the
     # same __bf_ value, so first() is deterministic; the groupBy keys
     # match the window partitioning, so no extra wide shuffle
-    summ = u2.groupBy(on, bkt).agg(
+    summ = u2.groupBy(*keys, bkt).agg(
         *[F.first(f"__bf_{c}__", ignorenulls=True).alias(f"__s_{c}__") for c in value_cols]
     )
     w_carry = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col(bkt).asc() if asc else F.col(bkt).desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = summ.select(
-        F.col(on).alias("__ck__"),
+        *[F.col(k).alias(f"__ck_{k}__") for k in keys],
         F.col(bkt).alias("__cb__"),
         *[
             F.last(F.col(f"__s_{c}__"), ignorenulls=True).over(w_carry).alias(f"__carry_{c}__")
@@ -339,12 +336,11 @@ def _asof_join_time_bucketed(
         ],
     )
 
+    cond = u2[bkt] == carry["__cb__"]
+    for k in keys:
+        cond = cond & (u2[k] == carry[f"__ck_{k}__"])
     out = (
-        u2.join(
-            carry,
-            (u2[on] == carry["__ck__"]) & (u2[bkt] == carry["__cb__"]),
-            "left",
-        )
+        u2.join(carry, cond, "left")
         .filter(F.col(side) == 1)
         .select(
             *lcols,

@@ -22,6 +22,8 @@ Results are provably identical to the plain path (pinned by tests).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,7 +43,7 @@ def _epoch_expr(df: DataFrame, time_col: str):
 
 def sessionize(
     df: DataFrame,
-    key_col: str = "user_id",
+    key_col: str | Sequence[str] = "user_id",
     time_col: str = "ts",
     gap: float = 1800.0,
     out_col: str = "session_start",
@@ -57,22 +59,23 @@ def sessionize(
     enables it only when a key exceeds what one task should hold;
     leave at 1 for ordinary key cardinalities.
     """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     if time_buckets == "auto":
         from lazy_frame_spark.operators.joins import suggest_salt_buckets
 
-        time_buckets = suggest_salt_buckets(df, key_col)
+        time_buckets = suggest_salt_buckets(df, keys[0])
     if int(time_buckets) > 1:
         return _sessionize_bucketed(
-            df, key_col, time_col, gap, out_col, int(time_buckets)
+            df, keys, time_col, gap, out_col, int(time_buckets)
         )
     tsec = "__sess_t__"
     base = df.withColumn(tsec, _epoch_expr(df, time_col))
-    w = Window.partitionBy(key_col).orderBy(tsec)
+    w = Window.partitionBy(*keys).orderBy(tsec)
     prev = F.lag(tsec).over(w)
     start = F.when(
         prev.isNull() | ((F.col(tsec) - prev) > F.lit(float(gap))), F.col(time_col)
     )
-    run = Window.partitionBy(key_col).orderBy(tsec).rowsBetween(
+    run = Window.partitionBy(*keys).orderBy(tsec).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
@@ -84,7 +87,7 @@ def sessionize(
 
 def _sessionize_bucketed(
     df: DataFrame,
-    key_col: str,
+    keys: Sequence[str],
     time_col: str,
     gap: float,
     out_col: str,
@@ -95,7 +98,7 @@ def _sessionize_bucketed(
     b = base.agg(F.min(tsec).alias("lo"), F.max(tsec).alias("hi")).collect()[0]
     lo, hi = b["lo"], b["hi"]
     if lo is None or hi is None or hi <= lo:
-        return sessionize(df, key_col, time_col, gap, out_col, time_buckets=1)
+        return sessionize(df, keys, time_col, gap, out_col, time_buckets=1)
     width = (hi - lo) / n_buckets
     base = base.withColumn(
         bkt,
@@ -107,34 +110,35 @@ def _sessionize_bucketed(
     # bucket-grain carry 1: previous bucket's LAST event time per key —
     # decides whether a bucket's first event continues a session that
     # crossed the bucket edge
-    gsum = base.groupBy(key_col, bkt).agg(
+    gsum = base.groupBy(*keys, bkt).agg(
         F.min(tsec).alias("__bmin__"), F.max(tsec).alias("__bmax__")
     )
-    w_b = Window.partitionBy(key_col).orderBy(bkt)
+    w_b = Window.partitionBy(*keys).orderBy(bkt)
     gprev = gsum.select(
-        F.col(key_col).alias("__gk__"),
+        *[F.col(k).alias(f"__gk_{k}__") for k in keys],
         F.col(bkt).alias("__gb__"),
         F.lag("__bmax__").over(w_b).alias("__prev_last_t__"),
     )
 
-    u = base.join(
-        gprev,
-        (base[key_col] == gprev["__gk__"]) & (base[bkt] == gprev["__gb__"]),
-        "left",
-    ).drop("__gk__", "__gb__")
+    gcond = base[bkt] == gprev["__gb__"]
+    for k in keys:
+        gcond = gcond & (base[k] == gprev[f"__gk_{k}__"])
+    u = base.join(gprev, gcond, "left").drop(
+        *[f"__gk_{k}__" for k in keys], "__gb__"
+    )
 
     # within-(key, bucket) start flags: the first row of a bucket
     # consults the carried previous-bucket last time instead of lag()
-    w_in = Window.partitionBy(key_col, bkt).orderBy(tsec)
+    w_in = Window.partitionBy(*keys, bkt).orderBy(tsec)
     prev_in = F.coalesce(F.lag(tsec).over(w_in), F.col("__prev_last_t__"))
     start = F.when(
         prev_in.isNull() | ((F.col(tsec) - prev_in) > F.lit(float(gap))),
         F.col(time_col),
     )
-    run_in = Window.partitionBy(key_col, bkt).orderBy(tsec).rowsBetween(
+    run_in = Window.partitionBy(*keys, bkt).orderBy(tsec).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    all_in = Window.partitionBy(key_col, bkt).orderBy(tsec).rowsBetween(
+    all_in = Window.partitionBy(*keys, bkt).orderBy(tsec).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     u2 = (
@@ -147,23 +151,22 @@ def _sessionize_bucketed(
     # fills rows whose session began before their bucket (no start flag
     # seen yet within the bucket). Same partitioning as the window, so
     # the groupBy adds no wide shuffle.
-    ssum = u2.groupBy(key_col, bkt).agg(
+    ssum = u2.groupBy(*keys, bkt).agg(
         F.first("__blast__", ignorenulls=True).alias("__s__")
     )
-    w_c = Window.partitionBy(key_col).orderBy(bkt).rowsBetween(
+    w_c = Window.partitionBy(*keys).orderBy(bkt).rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = ssum.select(
-        F.col(key_col).alias("__ck__"),
+        *[F.col(k).alias(f"__ck_{k}__") for k in keys],
         F.col(bkt).alias("__cb__"),
         F.last("__s__", ignorenulls=True).over(w_c).alias("__carry__"),
     )
+    ccond = u2[bkt] == carry["__cb__"]
+    for k in keys:
+        ccond = ccond & (u2[k] == carry[f"__ck_{k}__"])
     out = (
-        u2.join(
-            carry,
-            (u2[key_col] == carry["__ck__"]) & (u2[bkt] == carry["__cb__"]),
-            "left",
-        )
+        u2.join(carry, ccond, "left")
         .withColumn(out_col, F.coalesce(F.col("__run__"), F.col("__carry__")))
         .select(*df.columns, out_col)
     )

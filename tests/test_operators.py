@@ -515,3 +515,24 @@ def test_asof_time_bucketed_ntz_timestamps(spark, trades_quotes):
     a = sorted((r["sym"], r["t"], r["px"], r["bid"]) for r in plain.collect())
     b = sorted((r["sym"], r["t"], r["px"], r["bid"]) for r in bucketed.collect())
     assert a == b
+
+
+def test_asof_composite_key(spark):
+    """Composite (sym, venue) as-of key: carries must not leak across
+    either key component, plain and bucketed paths identical."""
+    left = spark.createDataFrame(
+        [("A", "x", 10.0), ("A", "y", 10.0), ("B", "x", 5.0), ("A", "x", 2.0)],
+        "sym string, venue string, t double",
+    )
+    right = spark.createDataFrame(
+        [("A", "x", 1.0, 100.0), ("A", "y", 3.0, 200.0), ("B", "x", 9.0, 300.0),
+         ("A", "x", 9.0, 111.0)],
+        "sym string, venue string, rt double, bid double",
+    )
+    want = {("A", "x", 10.0): 111.0, ("A", "y", 10.0): 200.0,
+            ("B", "x", 5.0): None, ("A", "x", 2.0): 100.0}
+    for tb in (1, 4):
+        out = asof_join(left, right, ["sym", "venue"], "t", "rt", ["bid"],
+                        time_buckets=tb)
+        got = {(r["sym"], r["venue"], r["t"]): r["bid"] for r in out.collect()}
+        assert got == want, tb

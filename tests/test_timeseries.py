@@ -167,3 +167,27 @@ def test_sessionize_bucketed_hot_key_cross_bucket_chain(spark):
     hot_rows = [r for r in bucketed if r[1] == 1]
     assert {r[3] for r in hot_rows} == {0.0}  # one session, carried through
     assert len({r[3] for r in bucketed if r[1] == 2}) == 10
+
+
+def test_sessionize_composite_key(spark):
+    """Composite (user, device) sessionization: gaps evaluate within the
+    full composite key; plain and bucketed paths identical."""
+    from lazy_frame_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, "a", 0.0), (1, "a", 50.0), (1, "a", 400.0),   # a: 2 sessions
+        (1, "b", 10.0), (1, "b", 500.0),                  # b: 2 sessions
+        (2, "a", 0.0), (2, "a", 90.0),                    # one session
+    ]
+    df = spark.createDataFrame(rows, "uid long, dev string, t double")
+    for tb in (1, 8):
+        got = {
+            (r["uid"], r["dev"], r["t"]): r["session_start"]
+            for r in sessionize(df, ["uid", "dev"], "t", gap=100.0,
+                                time_buckets=tb).collect()
+        }
+        assert got == {
+            (1, "a", 0.0): 0.0, (1, "a", 50.0): 0.0, (1, "a", 400.0): 400.0,
+            (1, "b", 10.0): 10.0, (1, "b", 500.0): 500.0,
+            (2, "a", 0.0): 0.0, (2, "a", 90.0): 0.0,
+        }, tb
