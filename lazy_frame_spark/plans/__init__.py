@@ -5,6 +5,7 @@ from lazy_frame_spark.plans.audit import (
     has_pushed_filters,
     has_take_ordered,
     read_schema_columns,
+    scale_warnings,
     whole_stage_codegen_spans,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "has_broadcast_hash_join",
     "has_take_ordered",
     "read_schema_columns",
+    "scale_warnings",
     "whole_stage_codegen_spans",
 ]

@@ -66,3 +66,63 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen spans in the executed plan
     (rendered as ``*(n)`` node prefixes in the compact plan string)."""
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+def scale_warnings(df: DataFrame) -> list[str]:
+    """Audit a query's physical plan for the hazards that stay invisible
+    at test scale and dominate at 100 TB. Returns human-readable
+    warnings (empty = no known hazard). The same checks the repo's plan
+    tests assert query-by-query, packaged for ad-hoc use::
+
+        for w in scale_warnings(q): print("WARN:", w)
+
+    Checks: cartesian products, nested-loop joins, row-at-a-time Python
+    UDFs (BatchEvalPython — Arrow paths show as ArrowEvalPython /
+    MapInPandas and are fine), single-partition windows (every row in
+    one task, AQE cannot split a window partition), and global sorts
+    that are not top-k cuts."""
+    plan = executed_plan(df)
+    warns: list[str] = []
+    if "CartesianProduct" in plan:
+        warns.append(
+            "CartesianProduct: O(n*m) row pairs — add an equi/bucket key "
+            "or broadcast a provably bounded side"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        warns.append(
+            "BroadcastNestedLoopJoin: every build-side row compared to "
+            "every stream row — acceptable only for provably tiny build "
+            "sides (1-row aggregates, literal band tables)"
+        )
+    if "BatchEvalPython" in plan:
+        warns.append(
+            "BatchEvalPython: row-at-a-time Python UDF in the plan — "
+            "rewrite as built-in expressions or an Arrow pandas_udf "
+            "(10-100x)"
+        )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # partitioned windows list partition columns before the first
+        # ASC/DESC ordering term; an ordering-only spec means ONE task
+        # holds every row
+        first = spec.split(",")[0].strip()
+        if " ASC" in first or " DESC" in first or first.startswith("_w"):
+            warns.append(
+                "single-partition window (no PARTITION BY): every row "
+                "flows through one task — add a partition key or use a "
+                "distributed formulation (rowid.with_prefix_sum, "
+                "operators.sessions time_buckets)"
+            )
+            break
+    if "Sort [" in plan and "TakeOrderedAndProject" not in plan:
+        # global (non-partial) sort without a limit cut
+        for m in re.finditer(r"Sort \[([^\]]*)\], true", plan):
+            warns.append(
+                "global Sort without a top-k cut: full-data range "
+                "shuffle + sort — use top_k() for leaderboards, or drop "
+                "the ordering until the final (small) result"
+            )
+            break
+    return warns

@@ -333,3 +333,38 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = executed_plan(sessionize(ev, "user_id", "ts", gap=3600.0))
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 2
+
+
+def test_scale_warnings_flags_known_hazards(spark, sf_dir):
+    """The ad-hoc auditor must flag each hazard class on a purpose-built
+    bad plan and stay SILENT on the engine's graded plans."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from lazy_frame_spark.plans import scale_warnings
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    cart = o.limit(10).crossJoin(c.limit(10))
+    assert any("CartesianProduct" in w or "NestedLoop" in w
+               for w in scale_warnings(cart))
+
+    from pyspark.sql.functions import udf
+    slow = o.select(udf(lambda x: x + 1, "long")(F.col("o_orderkey")))
+    assert any("BatchEvalPython" in w for w in scale_warnings(slow))
+
+    one_task = o.select(F.row_number().over(
+        Window.orderBy("o_orderkey")).alias("rn"))
+    assert any("single-partition window" in w for w in scale_warnings(one_task))
+
+    full_sort = o.orderBy("o_totalprice")
+    assert any("global Sort" in w for w in scale_warnings(full_sort))
+
+    # graded plans: clean
+    from lazy_frame_spark.parity import REGISTRY
+
+    for name in ["agg_q1_pricing_summary", "join_q3_revenue",
+                 "ts_sessionize_batch", "dq_profile_orders"]:
+        ws = scale_warnings(REGISTRY[name].fn(spark, sf_dir))
+        assert ws == [], (name, ws)

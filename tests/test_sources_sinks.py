@@ -747,3 +747,27 @@ def test_scoped_merge_and_delete_empty_inputs_are_noops(spark, tmp_path):
     got = delete_keys(spark, final, empty.select("k", "status"),
                       ["k", "status"], scope_to_partitions=True)
     assert got.count() == len(rows)
+
+
+def test_recover_reenters_after_interrupted_recovery(spark, tmp_path):
+    """A crash DURING recovery (after some renames, journal still on
+    disk) must re-enter cleanly: partially-promoted state resolves to
+    the new data, never an error or a mixed table."""
+    import os
+
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import (
+        _SimulatedCrash,
+        _swap_in_place,
+        read_parquet,
+    )
+
+    final, dest = _crash_fixture(spark, tmp_path, "t_reenter")
+    with pytest.raises(_SimulatedCrash):
+        _swap_in_place(final, dest, "__old", _crash="between_renames")
+    # simulate a recovery that itself died after promoting the tmp but
+    # before removing the journal
+    os.rename(dest, final)
+    assert os.path.exists(final + ".__commit__")
+    _assert_recovered_to_v2(spark, final)  # re-entry heals the rest
