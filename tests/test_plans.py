@@ -368,3 +368,18 @@ def test_scale_warnings_flags_known_hazards(spark, sf_dir):
                  "ts_sessionize_batch", "dq_profile_orders"]:
         ws = scale_warnings(REGISTRY[name].fn(spark, sf_dir))
         assert ws == [], (name, ws)
+
+
+def test_q2_partsupp_derivation_stays_map_side(spark, sf_dir):
+    """Q2 over the derived partsupp: the fixture fan-out must ride
+    broadcast joins (never shuffle partsupp into existence), the
+    decorrelated per-part MIN must hash-aggregate, and the top-100 cut
+    must plan as TakeOrderedAndProject."""
+    from lazy_frame_spark.parity import REGISTRY
+
+    q = REGISTRY["join_q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = executed_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert has_take_ordered(q)
