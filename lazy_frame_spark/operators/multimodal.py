@@ -161,25 +161,36 @@ def decode_wav(blob: bytes):
 
 
 def encode_png(px, cycle_filters: bool = True) -> bytes:
-    """Real PNG encoder (stdlib zlib, no codec libs): 8-bit gray / RGB /
-    RGBA from an HxW[xC] uint8 ndarray. ``cycle_filters`` applies filter
-    type ``y % 5`` to scanline ``y`` (exercising None/Sub/Up/Average/
-    Paeth on every image taller than 4 rows); otherwise filter 0
-    throughout. Used as the media-sink half of the PNG round-trip."""
+    """Real PNG encoder (stdlib zlib, no codec libs): gray / gray+alpha
+    / RGB / RGBA from an HxW[xC] ndarray — 8-bit from uint8 input,
+    16-bit (big-endian samples, per the spec) from uint16 input.
+    ``cycle_filters`` applies filter type ``y % 5`` to scanline ``y``
+    (exercising None/Sub/Up/Average/Paeth on every image taller than 4
+    rows); otherwise filter 0 throughout. PNG filters operate on BYTES
+    with bpp = channels x bytes-per-sample, so the 16-bit path filters
+    each row's big-endian byte expansion with the identical filter
+    code. Used as the media-sink half of the PNG round-trip."""
     import zlib
 
     import numpy as np
 
-    px = np.asarray(px, dtype=np.uint8)
+    px = np.asarray(px)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = px.astype(np.uint16 if depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, channels = px.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    bpp = channels
+    bpp = channels * (depth // 8)
     raw = bytearray()
     prev = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
-        row = px[y].reshape(-1).astype(np.int32)
+        if depth == 16:
+            row = np.frombuffer(
+                px[y].reshape(-1).astype(">u2").tobytes(), "u1"
+            ).astype(np.int32)
+        else:
+            row = px[y].reshape(-1).astype(np.int32)
         ft = (y % 5) if cycle_filters else 0
         left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
         up_left = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
@@ -206,7 +217,7 @@ def encode_png(px, cycle_filters: bool = True) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -224,8 +235,10 @@ def decode_png(blob: bytes):
     cumulative sum mod 256); Average/Paeth carry a true left-and-above
     data dependence, so those scanlines reconstruct byte-sequentially —
     the cost is per-image and parallelism comes from Arrow batches
-    across partitions, not from inside one image. 16-bit and Adam7
-    interlacing raise NotImplementedError."""
+    across partitions, not from inside one image. 16-bit images decode
+    to uint16 (filters run on the byte expansion with doubled bpp, per
+    the spec); Adam7 interlacing and the spec-illegal 16-bit palette
+    raise NotImplementedError."""
     import zlib
 
     import numpy as np
@@ -249,16 +262,16 @@ def decode_png(blob: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace != 0 or (depth == 16 and color == 3):
         raise NotImplementedError(f"{depth}-bit/interlace={interlace} PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * channels
+    stride = w * channels * (depth // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), "u1")
     if raw.size != h * (stride + 1):
         raise ValueError("IDAT size does not match dimensions")
     raw = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
+    bpp = channels * (depth // 8)
     for y in range(h):
         ft = raw[y, 0]
         row = raw[y, 1:].astype(np.int32)
@@ -289,7 +302,14 @@ def decode_png(blob: bytes):
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = rec & 0xFF
-    px = out.reshape(h, w, channels)
+    if depth == 16:
+        px = (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .reshape(h, w, channels)
+            .astype(np.uint16)
+        )
+    else:
+        px = out.reshape(h, w, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette image without PLTE chunk")

@@ -444,11 +444,18 @@ def test_png_unsupported_raises():
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return st.pack(">I", len(body)) + ctype + body + st.pack(">I", crc)
 
+    # 16-bit is SUPPORTED since round 4 — this 1x1 gray decodes
     sixteen = (b"\x89PNG\r\n\x1a\n"
                + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-               + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
+               + chunk(b"IDAT", zlib.compress(bytes([0, 0x12, 0x34])))
+               + chunk(b"IEND", b""))
+    assert mm.decode_png(sixteen)[0, 0, 0] == 0x1234
+    # Adam7 interlacing still dead-letters
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(bytes(2))) + chunk(b"IEND", b""))
     with pt.raises(NotImplementedError):
-        mm.decode_png(sixteen)
+        mm.decode_png(interlaced)
     with pt.raises(ValueError):
         mm.decode_png(b"not a png")
 
@@ -1327,3 +1334,23 @@ def test_chunk_dedup_packing_guard_fires(spark):
     )
     with pytest.raises(SparkRuntimeException, match="packing domain"):
         dd.chunk_dedup(big, chunk_tokens=5).collect()
+
+
+def test_png_16bit_roundtrip_all_filters():
+    """16-bit PNG closes a round-3 documented gap: uint16 gray and RGBA
+    arrays round-trip bit-exactly through all five scanline filters
+    (filters run on the big-endian byte expansion with doubled bpp)."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(11, 5), (9, 4, 3), (7, 6, 4), (6, 3, 2)]:
+        px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        back = decode_png(encode_png(px, cycle_filters=True))
+        want = px[:, :, None] if px.ndim == 2 else px
+        assert back.dtype == np.uint16
+        assert np.array_equal(back, want), shape
+    # 8-bit path unchanged
+    px8 = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px8)), px8)
