@@ -237,8 +237,9 @@ def decode_png(blob: bytes):
     the cost is per-image and parallelism comes from Arrow batches
     across partitions, not from inside one image. 16-bit images decode
     to uint16 (filters run on the byte expansion with doubled bpp, per
-    the spec); Adam7 interlacing and the spec-illegal 16-bit palette
-    raise NotImplementedError."""
+    the spec); Adam7 interlaced images decode via seven independently
+    unfiltered passes scattered onto the full grid. Only the
+    spec-illegal 16-bit palette remains a dead-letter."""
     import zlib
 
     import numpy as np
@@ -262,16 +263,70 @@ def decode_png(blob: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16) or interlace != 0 or (depth == 16 and color == 3):
+    if depth not in (8, 16) or interlace not in (0, 1) or (depth == 16 and color == 3):
         raise NotImplementedError(f"{depth}-bit/interlace={interlace} PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * channels * (depth // 8)
+    bps = depth // 8
+    bpp = channels * bps
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), "u1")
-    if raw.size != h * (stride + 1):
-        raise ValueError("IDAT size does not match dimensions")
-    raw = raw.reshape(h, stride + 1)
+
+    if interlace == 0:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError("IDAT size does not match dimensions")
+        out = _png_unfilter(raw.reshape(h, stride + 1), bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full grid by per-pass (origin, step) lattices
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            sub = _png_unfilter(raw[pos:pos + need].reshape(ph, pstride + 1), bpp)
+            pos += need
+            cols = np.arange(pw) * xstep + xs
+            byte_cols = (cols[:, None] * bpp + np.arange(bpp)).reshape(-1)
+            out[ys::ystep][:ph][:, byte_cols] = sub
+        if pos != raw.size:
+            raise ValueError("IDAT size does not match Adam7 pass layout")
+
+    if depth == 16:
+        px = (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .reshape(h, w, channels)
+            .astype(np.uint16)
+        )
+    else:
+        px = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+#: Adam7 pass lattice: (x-origin, y-origin, x-step, y-step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw, bpp: int):
+    """Reconstruct filtered scanlines (filter byte + row bytes per
+    line) into raw bytes — the shared core of the sequential and Adam7
+    paths. None/Sub/Up vectorized; Average/Paeth byte-sequential (true
+    left-and-above data dependence)."""
+    import numpy as np
+
+    h, stride1 = raw.shape
+    stride = stride1 - 1
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels * (depth // 8)
     for y in range(h):
         ft = raw[y, 0]
         row = raw[y, 1:].astype(np.int32)
@@ -302,19 +357,7 @@ def decode_png(blob: bytes):
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = rec & 0xFF
-    if depth == 16:
-        px = (
-            np.frombuffer(out.tobytes(), dtype=">u2")
-            .reshape(h, w, channels)
-            .astype(np.uint16)
-        )
-    else:
-        px = out.reshape(h, w, channels)
-    if color == 3:
-        if plte is None:
-            raise ValueError("palette image without PLTE chunk")
-        px = plte[px[:, :, 0]]
-    return px
+    return out
 
 
 def decode_pixels(blob: bytes):

@@ -450,12 +450,12 @@ def test_png_unsupported_raises():
                + chunk(b"IDAT", zlib.compress(bytes([0, 0x12, 0x34])))
                + chunk(b"IEND", b""))
     assert mm.decode_png(sixteen)[0, 0, 0] == 0x1234
-    # Adam7 interlacing still dead-letters
-    interlaced = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-                  + chunk(b"IDAT", zlib.compress(bytes(2))) + chunk(b"IEND", b""))
+    # the spec-illegal 16-bit palette remains a dead-letter
+    pal16 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
     with pt.raises(NotImplementedError):
-        mm.decode_png(interlaced)
+        mm.decode_png(pal16)
     with pt.raises(ValueError):
         mm.decode_png(b"not a png")
 
@@ -1354,3 +1354,52 @@ def test_png_16bit_roundtrip_all_filters():
     # 8-bit path unchanged
     px8 = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(px8)), px8)
+
+
+def _encode_png_adam7(px):
+    """Test-side Adam7 encoder (filter 0 throughout): serialize the 7
+    passes in spec order so decode_png's interlaced path is exercised
+    against a ground-truth image."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import _ADAM7
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raw = bytearray()
+    for xs, ys, xstep, ystep in _ADAM7:
+        sub = px[ys::ystep, xs::xstep]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw.extend(sub[y].reshape(-1).tobytes())
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + ctype + body + st.pack(">I", crc)
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)  # interlace=1
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 decode: every pass scatters onto the right lattice — decode
+    of a 7-pass interlaced image equals the original, for dimensions
+    that exercise empty and partial passes (1x1 up to 13x11 RGBA)."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (3, 2), (8, 8, 3), (13, 11, 4), (5, 9, 2)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(_encode_png_adam7(px))
+        want = px[:, :, None] if px.ndim == 2 else px
+        assert np.array_equal(got, want), shape
