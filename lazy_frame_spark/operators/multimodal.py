@@ -4,11 +4,12 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 Decode is REAL for every container format parseable with stdlib+numpy:
 - WAV (RIFF PCM 8/16/32-bit + float): sample-accurate numpy decode —
   rate, channels, duration, RMS, peak (``decode_audio_features``).
-- netpbm P5/P6 and uncompressed 24/32-bit BMP: full pixel decode
-  (``decode_pixels``).
-- PNG, 8-bit non-interlaced: full inflate + unfilter decode AND a
-  matching encoder, stdlib zlib + numpy only (``decode_png`` /
-  ``encode_png``) — every color type, all five scanline filters.
+- netpbm P5/P6, uncompressed 24/32-bit BMP, and RLE8-compressed
+  palette BMP: full pixel decode (``decode_pixels``).
+- PNG: full inflate + unfilter decode AND a matching encoder, stdlib
+  zlib + numpy only (``decode_png`` / ``encode_png``) — every color
+  type, all five scanline filters, 8- and 16-bit depths, sequential
+  and Adam7-interlaced layouts.
 - JPEG: full DCT codec — encoder (4:4:4 baseline) and decoder for
   baseline (SOF0/SOF1, any sampling factors, restart intervals) AND
   progressive (SOF2: spectral selection, successive approximation,
@@ -17,10 +18,11 @@ Decode is REAL for every container format parseable with stdlib+numpy:
 - PNG / JPEG / GIF / WEBP(VP8X) / WAV: container sniffing + dimensions
   from headers without decompressing (``probe_media``) — the cheap path
   a 100 TB triage pass should take before any pixel work.
-Remaining compressed formats (16-bit/interlaced PNG, arithmetic-coded
-JPEG) go through PIL when importable; in containers without codecs they raise
-NotImplementedError with the plumbing unchanged (the deterministic fake
-featureizer still exercises schema/batching end-to-end).
+Remaining compressed formats (arithmetic-coded JPEG, non-RLE8 BMP
+compression) go through PIL when importable; in containers without
+codecs they raise NotImplementedError with the plumbing unchanged (the
+deterministic fake featureizer still exercises schema/batching
+end-to-end).
 
 Design for 100 TB of media:
 - payloads stay ``BinaryType`` end-to-end (Arrow zero-copy into the UDF);
@@ -362,8 +364,8 @@ def _png_unfilter(raw, bpp: int):
 
 def decode_pixels(blob: bytes):
     """Real pixel decode → HxWxC uint8 ndarray. Pure numpy+stdlib for
-    netpbm P5/P6, uncompressed 24/32-bit BMP, 8-bit non-interlaced PNG
-    (all color types, all five filters — ``decode_png``), and JPEG —
+    netpbm P5/P6, uncompressed and RLE8 BMP, PNG (all color types,
+    all five filters, 8/16-bit, Adam7 — ``decode_png``), and JPEG —
     baseline AND progressive (``decode_jpeg``); PIL (when importable)
     for the remaining compressed formats; NotImplementedError when
     neither applies — callers see exactly where a codec container
@@ -404,9 +406,19 @@ def decode_pixels(blob: bytes):
         return px.reshape(h, w, depth)
     if blob.startswith(b"BM"):
         off = struct.unpack("<I", blob[10:14])[0]
+        hdr_size = struct.unpack("<I", blob[14:18])[0]
         w, h = struct.unpack("<ii", blob[18:26])
         planes, bits = struct.unpack("<HH", blob[26:30])
         comp = struct.unpack("<I", blob[30:34])[0]
+        if comp == 1 and bits == 8:  # BI_RLE8: palette run-length coding
+            n_colors = struct.unpack("<I", blob[46:50])[0] or 256
+            pal_off = 14 + hdr_size
+            pal = np.frombuffer(
+                blob, "u1", count=n_colors * 4, offset=pal_off
+            ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+            idx = _bmp_rle8_indices(blob[off:], w, abs(h))
+            px = pal[idx]
+            return px[::-1] if h > 0 else px
         if comp != 0 or bits not in (24, 32):
             raise NotImplementedError(f"compressed/{bits}-bit BMP not supported")
         c = bits // 8
@@ -675,3 +687,39 @@ def video_frame_features(
     return fan_out(df.select(id_col, payload_col)).mapInPandas(
         extract, schema=_video_frame_schema(id_col)
     )
+
+
+def _bmp_rle8_indices(data: bytes, w: int, h: int):
+    """Decode a BI_RLE8 stream into an (h, w) palette-index grid (rows
+    in stored bottom-up order; caller flips). Implements the full
+    escape set: (0,0) end-of-line, (0,1) end-of-bitmap, (0,2,dx,dy)
+    position delta, (0,n>=3) absolute mode (n literal indices, padded
+    to a word boundary); any other (count, value) pair is a run of
+    ``count`` copies of ``value``. Skipped cells stay 0 per the
+    format's convention."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:
+            e = min(x + cnt, w)
+            out[y, x:e] = val
+            x = e
+        elif val == 0:   # end of line
+            x, y = 0, y + 1
+        elif val == 1:   # end of bitmap
+            break
+        elif val == 2:   # delta
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:            # absolute mode: val literal indices, word-aligned
+            e = min(x + val, w)
+            out[y, x:e] = np.frombuffer(data, "u1", count=e - x, offset=i)
+            x = e
+            i += val + (val & 1)
+    return out

@@ -1403,3 +1403,36 @@ def test_png_adam7_interlaced_decode():
         got = decode_png(_encode_png_adam7(px))
         want = px[:, :, None] if px.ndim == 2 else px
         assert np.array_equal(got, want), shape
+
+
+def test_bmp_rle8_decode():
+    """BI_RLE8 BMP: runs, absolute mode (with word padding), EOL, delta
+    skip and EOB all reconstruct against a hand-built reference image."""
+    import struct as st
+
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_pixels
+
+    w, h = 7, 3
+    # palette: index i -> (i, 2*i, 3*i)
+    pal = b"".join(bytes([3 * i & 255, 2 * i & 255, i, 0]) for i in range(256))
+    # stored bottom-up: build the three stored rows via RLE ops
+    rle = bytearray()
+    rle += bytes([7, 5, 0, 0])                   # row 0: run of 7 x idx5, EOL
+    rle += bytes([2, 1, 0, 3, 9, 8, 7, 0, 2, 2, 0, 0])
+    #              run 2x1 | abs mode 3 (9,8,7) + pad | run 2x2, EOL
+    rle += bytes([3, 4, 0, 2, 2, 0, 0, 1])       # row 2: run 3x4, delta skip(2,0), EOB
+    off = 14 + 40 + len(pal)
+    hdr = (b"BM" + st.pack("<IHHI", off + len(rle), 0, 0, off)
+           + st.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0, 256, 0))
+    blob = hdr + pal + bytes(rle)
+
+    px = decode_pixels(blob)
+    assert px.shape == (h, w, 3)
+    idx = np.zeros((h, w), dtype=int)
+    idx[2] = 5                                   # stored row 0 = visual bottom
+    idx[1] = [1, 1, 9, 8, 7, 2, 2]
+    idx[0] = [4, 4, 4, 0, 0, 0, 0]               # delta leaves zeros
+    want = np.stack([idx & 255, (2 * idx) & 255, (3 * idx) & 255], axis=-1)
+    assert np.array_equal(px, want)
