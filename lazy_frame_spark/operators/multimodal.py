@@ -400,8 +400,9 @@ def decode_pixels(blob: bytes):
                 tok += c
             i += 1
         w, h, maxval = tokens
-        if maxval > 255:
-            raise NotImplementedError("16-bit netpbm not supported")
+        if maxval > 255:  # 16-bit netpbm: big-endian two-byte samples
+            px = np.frombuffer(blob, ">u2", count=w * h * depth, offset=i)
+            return px.reshape(h, w, depth).astype(np.uint16)
         px = np.frombuffer(blob, "u1", count=w * h * depth, offset=i)
         return px.reshape(h, w, depth)
     if blob.startswith(b"BM"):

@@ -1436,3 +1436,19 @@ def test_bmp_rle8_decode():
     idx[0] = [4, 4, 4, 0, 0, 0, 0]               # delta leaves zeros
     want = np.stack([idx & 255, (2 * idx) & 255, (3 * idx) & 255], axis=-1)
     assert np.array_equal(px, want)
+
+
+def test_netpbm_16bit_decode():
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 65536, size=(4, 5, 3), dtype=np.uint16)
+    blob = b"P6\n5 4\n65535\n" + px.astype(">u2").tobytes()
+    got = decode_pixels(blob)
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, px)
+    gray = rng.integers(0, 65536, size=(3, 2), dtype=np.uint16)
+    blob5 = b"P5\n2 3\n65535\n" + gray.astype(">u2").tobytes()
+    assert np.array_equal(decode_pixels(blob5)[:, :, 0], gray)
