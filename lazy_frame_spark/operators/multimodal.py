@@ -4,8 +4,9 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 Decode is REAL for every container format parseable with stdlib+numpy:
 - WAV (RIFF PCM 8/16/32-bit + float): sample-accurate numpy decode —
   rate, channels, duration, RMS, peak (``decode_audio_features``).
-- netpbm P5/P6, uncompressed 24/32-bit BMP, and RLE8-compressed
-  palette BMP: full pixel decode (``decode_pixels``).
+- netpbm P5/P6 (8- and 16-bit), uncompressed 24/32-bit BMP, and
+  RLE8/RLE4-compressed palette BMP: full pixel decode
+  (``decode_pixels``).
 - PNG: full inflate + unfilter decode AND a matching encoder, stdlib
   zlib + numpy only (``decode_png`` / ``encode_png``) — every color
   type, all five scanline filters, 8- and 16-bit depths, sequential
@@ -18,8 +19,8 @@ Decode is REAL for every container format parseable with stdlib+numpy:
 - PNG / JPEG / GIF / WEBP(VP8X) / WAV: container sniffing + dimensions
   from headers without decompressing (``probe_media``) — the cheap path
   a 100 TB triage pass should take before any pixel work.
-Remaining compressed formats (arithmetic-coded JPEG, non-RLE8 BMP
-compression) go through PIL when importable; in containers without
+Remaining compressed formats (arithmetic-coded JPEG, bitfield BMP)
+go through PIL when importable; in containers without
 codecs they raise NotImplementedError with the plumbing unchanged (the
 deterministic fake featureizer still exercises schema/batching
 end-to-end).
@@ -364,7 +365,7 @@ def _png_unfilter(raw, bpp: int):
 
 def decode_pixels(blob: bytes):
     """Real pixel decode → HxWxC uint8 ndarray. Pure numpy+stdlib for
-    netpbm P5/P6, uncompressed and RLE8 BMP, PNG (all color types,
+    netpbm P5/P6, uncompressed and RLE8/RLE4 BMP, PNG (all color types,
     all five filters, 8/16-bit, Adam7 — ``decode_png``), and JPEG —
     baseline AND progressive (``decode_jpeg``); PIL (when importable)
     for the remaining compressed formats; NotImplementedError when
@@ -411,13 +412,15 @@ def decode_pixels(blob: bytes):
         w, h = struct.unpack("<ii", blob[18:26])
         planes, bits = struct.unpack("<HH", blob[26:30])
         comp = struct.unpack("<I", blob[30:34])[0]
-        if comp == 1 and bits == 8:  # BI_RLE8: palette run-length coding
-            n_colors = struct.unpack("<I", blob[46:50])[0] or 256
+        if (comp == 1 and bits == 8) or (comp == 2 and bits == 4):
+            # BI_RLE8 / BI_RLE4: palette run-length coding
+            n_colors = struct.unpack("<I", blob[46:50])[0] or (1 << bits)
             pal_off = 14 + hdr_size
             pal = np.frombuffer(
                 blob, "u1", count=n_colors * 4, offset=pal_off
             ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
-            idx = _bmp_rle8_indices(blob[off:], w, abs(h))
+            decode = _bmp_rle8_indices if comp == 1 else _bmp_rle4_indices
+            idx = decode(blob[off:], w, abs(h))
             px = pal[idx]
             return px[::-1] if h > 0 else px
         if comp != 0 or bits not in (24, 32):
@@ -723,4 +726,43 @@ def _bmp_rle8_indices(data: bytes, w: int, h: int):
             out[y, x:e] = np.frombuffer(data, "u1", count=e - x, offset=i)
             x = e
             i += val + (val & 1)
+    return out
+
+
+def _bmp_rle4_indices(data: bytes, w: int, h: int):
+    """BI_RLE4 twin of ``_bmp_rle8_indices``: runs alternate the
+    byte's high/low nibbles; absolute mode packs two 4-bit indices per
+    byte, padded so each absolute record occupies a whole word."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:
+            hi, lo = val >> 4, val & 0xF
+            e = min(x + cnt, w)
+            span = e - x
+            out[y, x:e] = np.where(np.arange(span) % 2 == 0, hi, lo)
+            x = e
+        elif val == 0:   # end of line
+            x, y = 0, y + 1
+        elif val == 1:   # end of bitmap
+            break
+        elif val == 2:   # delta
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:            # absolute mode: val nibbles, word-aligned bytes
+            nbytes = (val + 1) // 2
+            packed = np.frombuffer(data, "u1", count=nbytes, offset=i)
+            nibbles = np.empty(nbytes * 2, dtype=np.uint8)
+            nibbles[0::2] = packed >> 4
+            nibbles[1::2] = packed & 0xF
+            e = min(x + val, w)
+            out[y, x:e] = nibbles[: e - x]
+            x = e
+            i += (nbytes + 1) & ~1  # pad the record to a word boundary
     return out

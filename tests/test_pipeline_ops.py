@@ -1452,3 +1452,31 @@ def test_netpbm_16bit_decode():
     gray = rng.integers(0, 65536, size=(3, 2), dtype=np.uint16)
     blob5 = b"P5\n2 3\n65535\n" + gray.astype(">u2").tobytes()
     assert np.array_equal(decode_pixels(blob5)[:, :, 0], gray)
+
+
+def test_bmp_rle4_decode():
+    """BI_RLE4: alternating-nibble runs, odd-length absolute mode with
+    word padding, EOL and EOB against a hand-built reference."""
+    import struct as st
+
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_pixels
+
+    w, h = 6, 2
+    pal = b"".join(bytes([3 * i, 2 * i, i, 0]) for i in range(16))
+    rle = bytearray()
+    rle += bytes([5, 0x12, 0, 0])            # run 5 alternating 1,2 -> 1,2,1,2,1; EOL
+    rle += bytes([0, 3, 0x45, 0x60, 0, 0])   # abs mode: 3 nibbles 4,5,6 + pad; EOL
+    rle += bytes([0, 1])                     # EOB
+    off = 14 + 40 + len(pal)
+    hdr = (b"BM" + st.pack("<IHHI", off + len(rle), 0, 0, off)
+           + st.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(rle), 0, 0, 16, 0))
+    px = decode_pixels(hdr + pal + bytes(rle))
+    assert px.shape == (h, w, 3)
+    idx = np.zeros((h, w), dtype=int)
+    idx[1] = [1, 2, 1, 2, 1, 0]              # stored row 0 = visual bottom
+    idx[0] = [4, 5, 6, 0, 0, 0]              # abs nibbles 0x45 0x60 -> 4,5,6
+    # palette entry i stored BGRX=(3i,2i,i) -> RGB=(i,2i,3i)
+    want = np.stack([idx, 2 * idx, 3 * idx], axis=-1)
+    assert np.array_equal(px, want)
