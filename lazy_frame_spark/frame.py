@@ -413,11 +413,21 @@ class LazyFrame:
         out-of-range codes decode to NULL, matching R's behavior for
         invalid factor codes. The decoded columns drop their levels
         attr (they ARE the levels now)."""
+        from pyspark.sql.types import NumericType
+
         df = self._df
         attrs = self._attrs.copy()
         for c, a in list(attrs.items()):
             levels = a.get("levels")
             if levels and c in df.columns:
+                # value-typed (string) categoricals are handled at the
+                # pandas boundary by metadata.ColumnAttrs; the 1-based
+                # integer-code decode only applies to numeric columns —
+                # casting a string-valued factor to int would null every
+                # row, so skip exactly where the boundary's dtype branch
+                # would
+                if not isinstance(df.schema[c].dataType, NumericType):
+                    continue
                 arr = F.array(*[F.lit(str(lv)) for lv in levels])
                 code = F.col(c).cast("int")
                 df = df.withColumn(

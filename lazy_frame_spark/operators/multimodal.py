@@ -364,7 +364,9 @@ def _png_unfilter(raw, bpp: int):
 
 
 def decode_pixels(blob: bytes):
-    """Real pixel decode → HxWxC uint8 ndarray. Pure numpy+stdlib for
+    """Real pixel decode → HxWxC ndarray — uint8 for 8-bit sources,
+    uint16 for 16-bit PNG and 16-bit (maxval > 255) netpbm. Pure
+    numpy+stdlib for
     netpbm P5/P6, uncompressed and RLE8/RLE4 BMP, PNG (all color types,
     all five filters, 8/16-bit, Adam7 — ``decode_png``), and JPEG —
     baseline AND progressive (``decode_jpeg``); PIL (when importable)
@@ -718,6 +720,8 @@ def _bmp_rle8_indices(data: bytes, w: int, h: int):
         elif val == 1:   # end of bitmap
             break
         elif val == 2:   # delta
+            if i + 1 >= n:
+                raise ValueError("truncated RLE8 stream: delta escape cut short")
             x = min(x + data[i], w)
             y += data[i + 1]
             i += 2
@@ -752,6 +756,8 @@ def _bmp_rle4_indices(data: bytes, w: int, h: int):
         elif val == 1:   # end of bitmap
             break
         elif val == 2:   # delta
+            if i + 1 >= n:
+                raise ValueError("truncated RLE4 stream: delta escape cut short")
             x = min(x + data[i], w)
             y += data[i + 1]
             i += 2

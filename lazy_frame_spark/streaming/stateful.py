@@ -128,7 +128,7 @@ def running_topk(
     ORDER BY value DESC, id)`` ≤ k. See ``running_topk_tws`` for the
     same operator on Spark 4's successor API.
     """
-    from pyspark.sql.types import ArrayType, NumericType
+    from pyspark.sql.types import ArrayType, IntegralType, NumericType
 
     id_dt = events.schema[id_col].dataType
     val_dt = events.schema[val_col].dataType
@@ -136,10 +136,11 @@ def running_topk(
         raise TypeError(
             f"running_topk: val_col {val_col!r} must be numeric, got {val_dt}"
         )
-    # state types DERIVED from the input schema: integral ids persist as
-    # long, everything else (string, ...) in its own type — a string id
-    # no longer crashes the executor on astype('int64')
-    integral_id = isinstance(id_dt, NumericType)
+    # state types DERIVED from the input schema: integral ids
+    # (byte/short/int/long) persist as long; everything else — string,
+    # float/double/decimal — keeps its own type untouched, so a
+    # fractional id is never astype('int64')-truncated
+    integral_id = isinstance(id_dt, IntegralType)
     state_id_dt = LongType() if isinstance(id_dt, LongType) else id_dt
 
     out_schema = StructType(

@@ -165,3 +165,26 @@ def test_decode_factors_matches_pandas_boundary(spark):
     # the pandas boundary decodes in-range codes to the same categories
     pdf = lf.to_pandas().set_index("id")
     assert list(pdf.loc[[1, 2, 3], "code"]) == ["a", "b", "c"]
+
+
+def test_decode_factors_skips_value_typed_string_factor(spark):
+    """A STRING column carrying a levels attr is a value-typed
+    categorical (the pandas boundary's dtype branch): decode_factors
+    must leave it untouched instead of casting it to int and nulling
+    every row."""
+    from lazy_frame_spark import LazyFrame
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3)],
+        "id long, tag string, code int",
+    )
+    lf = LazyFrame.from_df(df, cache=False)
+    lf.set_column_attr("tag", "levels", ["a", "b", "c"])
+    lf.set_column_attr("code", "levels", ["x", "y", "z"])
+
+    rows = {r["id"]: (r["tag"], r["code"]) for r in lf.decode_factors().collect()}
+    # string factor preserved verbatim; integer factor decoded
+    assert rows == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+    # the skipped column KEEPS its levels attr for the pandas boundary
+    assert lf.decode_factors().column_attr("tag", "levels") == ["a", "b", "c"]
+    assert lf.decode_factors().column_attr("code", "levels") is None

@@ -1480,3 +1480,24 @@ def test_bmp_rle4_decode():
     # palette entry i stored BGRX=(3i,2i,i) -> RGB=(i,2i,3i)
     want = np.stack([idx, 2 * idx, 3 * idx], axis=-1)
     assert np.array_equal(px, want)
+
+
+def test_bmp_rle_truncated_delta_raises_valueerror():
+    """A RLE stream cut off mid-delta-escape raises the decoder's
+    ValueError contract, not a raw IndexError from an unguarded
+    data[i+1] read."""
+    import pytest
+
+    from lazy_frame_spark.operators.multimodal import (
+        _bmp_rle4_indices,
+        _bmp_rle8_indices,
+    )
+
+    # (0,2) announces a delta but the dx,dy bytes are missing
+    with pytest.raises(ValueError, match="truncated RLE8"):
+        _bmp_rle8_indices(bytes([0, 2]), 4, 4)
+    with pytest.raises(ValueError, match="truncated RLE4"):
+        _bmp_rle4_indices(bytes([0, 2]), 4, 4)
+    # one of the two delta bytes present is still truncated
+    with pytest.raises(ValueError, match="truncated RLE8"):
+        _bmp_rle8_indices(bytes([2, 7, 0, 2, 1]), 4, 4)

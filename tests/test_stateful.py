@@ -270,3 +270,41 @@ def test_running_topk_rejects_non_numeric_value(spark, tmp_path):
     with pytest.raises(TypeError, match="must be numeric"):
         from lazy_frame_spark.streaming.stateful import running_topk
         running_topk(stream, k=2)
+
+
+def test_running_topk_double_id_not_truncated(spark, tmp_path):
+    """A DOUBLE id column is NOT an integral id: the state path must
+    keep the fractional values intact (previously isinstance(...,
+    NumericType) sent doubles through astype('int64'), silently
+    corrupting ids while the output schema still declared double)."""
+    from lazy_frame_spark.streaming.stateful import running_topk
+
+    d = str(tmp_path / "ev_dblid")
+    rows = [
+        ("click", 1.25, 3.0), ("click", 2.75, 9.0),
+        ("click", 2.25, 9.0), ("view", 0.5, 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, event_id double, value double"
+    ).repartition(2).write.mode("overwrite").parquet(d)
+    stream = stream_events(spark, d, spark.read.parquet(d).schema,
+                           max_files_per_trigger=1)
+    q = (
+        running_topk(stream, k=2)
+        .writeStream.format("memory").queryName("t_topk_dbl")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    final = spark.sql(
+        """
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, rank
+                                       ORDER BY value DESC, event_id) rn
+          FROM t_topk_dbl) WHERE rn = 1
+        """
+    ).collect()
+    got = {(r["event_type"], r["rank"]): (r["event_id"], r["value"]) for r in final}
+    # ids keep their fractional parts: 2.25/2.75, never 2/2
+    assert got[("click", 1)] == (2.25, 9.0)   # tie at 9.0 -> min id wins
+    assert got[("click", 2)] == (2.75, 9.0)
+    assert got[("view", 1)] == (0.5, 4.0)
