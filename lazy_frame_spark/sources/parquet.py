@@ -157,6 +157,37 @@ def _swap_in_place(
     shutil.rmtree(backup, ignore_errors=True)
 
 
+# The characters Spark escapes in hive partition path segments on
+# non-Windows platforms — ASCII control chars 0x01-0x1F plus the listed
+# specials — each written as %XX (uppercase hex). Behavioral spec:
+# org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+# .escapePathName (Apache Spark, public source); reimplemented here so
+# directory-name reconstruction matches what Spark's writers produce.
+_PATH_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^"]
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(value) -> str:
+    """The exact directory-name segment Spark writes for a partition
+    value: NULL and the empty string become __HIVE_DEFAULT_PARTITION__;
+    every character in Spark's escape set becomes %XX. Mirrors
+    ExternalCatalogUtils.getPartitionValueString so os.path lookups on
+    reconstructed ``col=value`` names agree with what partitionBy()
+    actually wrote — including values containing '%', ':', '#', '/',
+    control characters, etc."""
+    if value is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = str(value)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch for ch in s
+    )
+
+
 def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
     """Relative paths of the ``name=value`` directories exactly
     ``depth`` levels under ``root`` (pure listdir walk)."""
@@ -354,24 +385,42 @@ def delete_keys(
         shutil.rmtree(dest, ignore_errors=True)
         remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(dest)
         # a partition whose EVERY row was deleted produces no dir in
-        # dest — swap in an empty dir so the old data goes away. (Name
-        # reconstruction assumes partition values that need no hive
-        # escaping — same plain-value domain the rest of the layout
-        # helpers assume.)
+        # dest — swap in an empty dir so the old data goes away. Dir
+        # names are reconstructed with Spark's own path escaping
+        # (_escape_partition_value), so values containing '%', ':',
+        # '#', '/', spaces-with-specials, or NULL resolve to the real
+        # directory instead of silently surviving erasure.
         import os
 
         written = set(_leaf_partition_dirs(dest, len(part_cols)))
         expect = set()
         for r in touched:
             rel = os.path.join(
-                *[f"{c}={r[c]}" for c in part_cols]
+                *[f"{c}={_escape_partition_value(r[c])}" for c in part_cols]
             )
             if os.path.isdir(os.path.join(final, rel)):
                 expect.add(rel)
         for rel in expect - written:
             os.makedirs(os.path.join(dest, rel), exist_ok=True)
         _swap_partitions(final, dest, sorted(written | (expect - written)))
-        return spark.read.parquet(final)
+        # right-to-erasure cross-check: re-read ONLY the touched
+        # partitions (partition pruning keeps this scoped) and assert
+        # no deleted key survived — catches any residual divergence
+        # between our reconstruction and Spark's writer (exotic types)
+        # rather than silently keeping rows the caller asked to erase.
+        reread = spark.read.parquet(final)
+        survivors = (
+            reread.filter(pred).join(dkeys, on=keys, how="left_semi").limit(1).count()
+        )
+        if survivors:
+            raise RuntimeError(
+                "delete_keys(scope_to_partitions=True): deleted keys "
+                "survived the partition swap — partition-dir "
+                "reconstruction diverged from Spark's writer for these "
+                f"values (partition columns {part_cols}); re-run with "
+                "scope_to_partitions=False to force a full rewrite"
+            )
+        return reread
 
     remaining = target.join(dkeys, on=keys, how="left_anti")
     dest = final + "__delete_tmp"

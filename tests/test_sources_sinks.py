@@ -771,3 +771,50 @@ def test_recover_reenters_after_interrupted_recovery(spark, tmp_path):
     os.rename(dest, final)
     assert os.path.exists(final + ".__commit__")
     _assert_recovered_to_v2(spark, final)  # re-entry heals the rest
+
+
+def test_escape_partition_value_matches_spark_writer(spark, tmp_path):
+    """_escape_partition_value must reproduce byte-for-byte the
+    directory names Spark's partitionBy() writer produces for hostile
+    values — '%', ':', '#', newline, backslash, NULL — so scoped
+    delete's dir reconstruction can never miss."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import _escape_partition_value
+
+    hostile = ["a:b", "p%q", "x#1", "semi;fine", "back\\slash",
+               "new\nline", "eq=sign", "sl/ash", None]
+    d = str(tmp_path / "esc_probe")
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(hostile)], "k long, part string"
+    ).write.partitionBy("part").parquet(d)
+    written = {n for n in os.listdir(d) if n.startswith("part=")}
+    expect = {f"part={_escape_partition_value(v)}" for v in hostile}
+    assert written == expect
+
+
+def test_delete_keys_scoped_escaped_partition_value(spark, tmp_path):
+    """Right-to-erasure on a partition whose value needs hive escaping:
+    deleting EVERY row of partition 'b:ad%' must actually empty it (the
+    all-rows-deleted swap reconstructs the escaped dir name), and the
+    other escaped partition must survive untouched."""
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    final = str(tmp_path / "del_escaped")
+    rows = [(1, "b:ad%", 1.0), (2, "b:ad%", 2.0), (3, "o#k", 3.0), (4, "o#k", 4.0)]
+    spark.createDataFrame(rows, "k long, status string, v double") \
+        .write.partitionBy("status").parquet(final)
+
+    dels = spark.createDataFrame([(1, "b:ad%"), (2, "b:ad%")],
+                                 "k long, status string")
+    got = delete_keys(spark, final, dels, ["k", "status"],
+                      scope_to_partitions=True)
+    assert got.filter(got.status == "b:ad%").count() == 0
+    assert {(r["k"], r["v"]) for r in got.filter(got.status == "o#k").collect()} \
+        == {(3, 3.0), (4, 4.0)}
+    # partial delete inside an escaped partition also verifies clean
+    got2 = delete_keys(
+        spark, final,
+        spark.createDataFrame([(3, "o#k")], "k long, status string"),
+        ["k", "status"], scope_to_partitions=True)
+    assert {(r["k"], r["status"]) for r in got2.collect()} == {(4, "o#k")}
