@@ -185,8 +185,11 @@ def _with_ordered_ids(
     # zero-shuffle partition-offset enumeration, skipping the rank
     # shuffle that dominates open cost -- or falls through to the rank
     # path. Ids are provably identical either way.
-    if footer_sorted_candidate(df, keys[0]):
-        fast = sorted_fast_path_ids(df, keys, col)
+    if footer_sorted_candidate(df, keys):
+        # the candidate check's pyarrow prefix probe already screened
+        # the composite-key head driver-side — skip the Spark head-gate
+        # job and go straight to the layout verify
+        fast = sorted_fast_path_ids(df, keys, col, head_gate=False)
         if fast is not None:
             if cache:
                 fast = fast.persist()
@@ -567,7 +570,7 @@ def _with_partition_offset_ids_custom(
 
 
 def sorted_fast_path_ids(
-    df: DataFrame, keys: list[str], col: str = ROW_ID
+    df: DataFrame, keys: list[str], col: str = ROW_ID, head_gate: bool = True
 ) -> DataFrame | None:
     """Ordered row ids WITHOUT the rank shuffle, when the data already
     IS in key order: one narrow key-column pass proves (a) every scan
@@ -589,15 +592,18 @@ def sorted_fast_path_ids(
     # head-sample gate: sortedness of the first ~2k rows is necessary
     # for global sortedness and costs one short-circuit job — randomly
     # ordered tables exit here in ~0.1 s instead of paying the full
-    # verify pass
-    head = df.select(*keys).limit(2048).toPandas()
-    if len(head) >= 2:
-        tuples = list(head.itertuples(index=False, name=None))
-        try:
-            if any(b <= a for a, b in zip(tuples, tuples[1:])):
+    # verify pass. Callers that already screened the head driver-side
+    # (footer_sorted_candidate's pyarrow prefix probe) pass
+    # head_gate=False to skip the redundant job.
+    if head_gate:
+        head = df.select(*keys).limit(2048).toPandas()
+        if len(head) >= 2:
+            tuples = list(head.itertuples(index=False, name=None))
+            try:
+                if any(b <= a for a, b in zip(tuples, tuples[1:])):
+                    return None
+            except TypeError:
                 return None
-        except TypeError:
-            return None
 
     layout = _partition_key_layout(df, keys)
     if not layout:
@@ -629,13 +635,50 @@ def sorted_fast_path_ids(
     return _with_partition_offset_ids_custom(df, col, offsets)
 
 
-def footer_sorted_candidate(df: DataFrame, lead: str) -> bool:
+def _prefix_probe_sorted(files: list[str], keys: list[str], n: int = 4096) -> bool:
+    """Driver-side reject probe, NO Spark job: read the first ``n`` rows
+    of just the key columns from one file with pyarrow and check strict
+    lexicographic increase. Any descent, tie, or NULL in the prefix
+    proves the full verify pass would decline the fast path (its
+    ``strictly_increasing`` treats those identically), so the candidate
+    check can return False before any job launches — the case that
+    previously cost a ``limit(2048).toPandas()`` job per open on a
+    single-row-group unsorted table (the BENCH_r04 lf_open_enumerate
+    +16% drift). A passing prefix proves nothing; the real verify still
+    decides. Sound at any scale: one bounded batch from one file."""
+    import pyarrow.parquet as pq
+
+    path = files[0][7:] if files[0].startswith("file://") else files[0]
+    try:
+        pf = pq.ParquetFile(path)
+        batch = next(pf.iter_batches(batch_size=n, columns=keys), None)
+    except Exception:
+        return True  # can't probe: stay a candidate, the verify decides
+    if batch is None or batch.num_rows < 2:
+        return True
+    pdf = batch.to_pandas()
+    if pdf.isna().any().any():
+        return False  # the verify pass treats NULL keys as unsorted
+    tuples = list(pdf[keys].itertuples(index=False, name=None))
+    try:
+        return not any(b <= a for a, b in zip(tuples, tuples[1:]))
+    except TypeError:
+        return False  # incomparable values: the verify would decline too
+
+
+def footer_sorted_candidate(df: DataFrame, keys) -> bool:
     """Free pre-check for the sorted fast path: from parquet footers
     only, are the ROW-GROUP [min, max] ranges of the leading key
     pairwise non-overlapping? Overlapping ranges prove the table cannot
     be globally key-sorted, so the verify scan is skipped entirely —
-    unsorted tables pay nothing for the fast-path attempt. Non-parquet
-    or stats-less sources return False (no cheap evidence)."""
+    unsorted tables pay nothing for the fast-path attempt. When the
+    footer evidence is vacuous (one row group), a driver-side pyarrow
+    prefix probe over the full composite key still rejects visibly
+    unsorted tables without a job. Non-parquet or stats-less sources
+    return False (no cheap evidence). ``keys``: the composite sort key
+    (a single column name is accepted for the lead-only check)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lead = keys[0]
     try:
         import pyarrow.parquet as pq
     except Exception:
@@ -667,10 +710,13 @@ def footer_sorted_candidate(df: DataFrame, lead: str) -> bool:
             if lo is None or hi is None:
                 return False
             spans.append((lo, hi))
-    if len(spans) <= 1:
-        return True
-    spans.sort()
-    return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    if len(spans) > 1:
+        spans.sort()
+        if not all(a[1] < b[0] for a, b in zip(spans, spans[1:])):
+            return False
+    if not all(k in df.columns for k in keys):
+        return False
+    return _prefix_probe_sorted(files, keys)
 
 
 class ColumnarPositionalIndex:

@@ -383,3 +383,29 @@ def test_q2_partsupp_derivation_stays_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan
     assert has_take_ordered(q)
+
+
+def test_unsorted_open_single_shuffle_and_no_head_gate_job(spark, sf_dir):
+    """The unsorted open (enumerate + rank) must keep exactly ONE
+    exchange — the bucket shuffle; the global rank is reconstructed
+    from literal offsets, never a second shuffle — and the sorted-fast-
+    path attempt on an unsorted parquet table must be rejected entirely
+    DRIVER-SIDE (pyarrow prefix probe), never by a Spark head-gate job
+    (the BENCH_r04 lf_open_enumerate regression)."""
+    from lazy_frame_spark import rowid as R
+    from lazy_frame_spark.parity import TABLE_KEYS
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = list(TABLE_KEYS["lineitem"])
+
+    # driver-side rejection: candidate says no before any job runs
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    assert R.footer_sorted_candidate(li, keys) is False
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "footer_sorted_candidate launched a Spark job"
+
+    out, handle = R.enumerate_rows(li, order_by=keys, cache=False)
+    plan = executed_plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
