@@ -33,12 +33,31 @@ class ParquetUpsertSink:
     the same key. Within a batch, the row with the greatest ``seq_col``
     wins (ties broken arbitrarily but deterministically by the window
     sort). Readers open ``current_path()``.
+
+    ``retain_versions``: how many published versions stay on disk (≥ 1).
+    A long-running stream writes ``v0, v1, v2, …`` forever; without
+    retention the dead versions fill the disk. After each pointer
+    publish the sink deletes every version older than the newest
+    ``retain_versions`` — the default (2) keeps the previous version
+    alive so a reader that resolved ``current_path()`` just before the
+    publish can still finish its scan. Replay safety is unaffected:
+    replayed batch ids are skipped via the pointer, never by re-reading
+    old versions.
     """
 
-    def __init__(self, table_dir: str, keys: list[str], seq_col: str):
+    def __init__(
+        self,
+        table_dir: str,
+        keys: list[str],
+        seq_col: str,
+        retain_versions: int = 2,
+    ):
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
         self.table_dir = table_dir
         self.keys = keys
         self.seq_col = seq_col
+        self.retain_versions = retain_versions
         os.makedirs(table_dir, exist_ok=True)
 
     # -- pointer management ------------------------------------------- #
@@ -95,6 +114,28 @@ class ParquetUpsertSink:
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(f"{batch_id},{new_ver}")
         os.replace(tmp, self._pointer)  # atomic publish
+        self._gc_versions(new_ver)
+
+    def _gc_versions(self, current_ver: int) -> None:
+        """Delete version directories older than the newest
+        ``retain_versions`` — runs AFTER the pointer publish, so the
+        pointer never references a deleted version; a crash mid-GC just
+        leaves extra versions for the next batch's pass to finish.
+        Versions above the pointer (an orphan from a crash between
+        write and publish) are left alone — the next batch overwrites
+        them."""
+        import re
+        import shutil
+
+        floor = current_ver - self.retain_versions + 1
+        if floor <= 0:
+            return
+        for name in os.listdir(self.table_dir):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and int(m.group(1)) < floor:
+                shutil.rmtree(
+                    os.path.join(self.table_dir, name), ignore_errors=True
+                )
 
     def write_stream(self, result: DataFrame, checkpoint_dir: str):
         """Attach the sink to a streaming result; availableNow trigger so

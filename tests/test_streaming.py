@@ -415,3 +415,55 @@ def test_agg_view_stream_writer_exactly_once(spark, sf_dir, tmp_path):
     # replay an already-folded batch id: exactly-once skip
     fold(ev.limit(50), 0)
     assert norm(spark.read.parquet(view)) == norm(want)
+
+
+def test_upsert_sink_gc_retains_last_n_versions(spark, tmp_path_factory):
+    """A multi-batch stream must leave exactly retain_versions version
+    dirs (old ones deleted AFTER pointer publish), the pointer must
+    reference a surviving version, replayed batch ids stay no-ops, and
+    the merged content is unaffected by GC."""
+    import os
+    import re
+
+    from lazy_frame_spark.streaming.sinks import ParquetUpsertSink
+
+    table = str(tmp_path_factory.mktemp("upsert_gc"))
+    sink = ParquetUpsertSink(table, keys=["k"], seq_col="seq",
+                             retain_versions=2)
+    for bid in range(5):
+        b = spark.createDataFrame(
+            [(f"k{bid}", bid, f"p{bid}"), ("shared", bid, f"s{bid}")],
+            "k string, seq long, payload string",
+        )
+        sink.upsert_batch(b, bid)
+
+    vers = sorted(int(m.group(1)) for m in
+                  (re.fullmatch(r"v(\d+)", n) for n in os.listdir(table)) if m)
+    assert vers == [3, 4], f"expected exactly the last 2 versions, got {vers}"
+    assert sink.current_path().endswith("v4")
+
+    # replayed batch id: no-op, no new version
+    sink.upsert_batch(
+        spark.createDataFrame([("zzz", 99, "never")],
+                              "k string, seq long, payload string"), 2)
+    vers2 = sorted(int(m.group(1)) for m in
+                   (re.fullmatch(r"v(\d+)", n) for n in os.listdir(table)) if m)
+    assert vers2 == [3, 4]
+
+    got = {r["k"]: r["payload"] for r in sink.read_current(spark).collect()}
+    assert got == {"k0": "p0", "k1": "p1", "k2": "p2", "k3": "p3",
+                   "k4": "p4", "shared": "s4"}
+
+    # retain_versions=1 keeps only the current version
+    t1 = str(tmp_path_factory.mktemp("upsert_gc1"))
+    s1 = ParquetUpsertSink(t1, keys=["k"], seq_col="seq", retain_versions=1)
+    for bid in range(3):
+        s1.upsert_batch(
+            spark.createDataFrame([("a", bid, str(bid))],
+                                  "k string, seq long, payload string"), bid)
+    only = [n for n in os.listdir(t1) if re.fullmatch(r"v\d+", n)]
+    assert only == ["v2"]
+
+    import pytest
+    with pytest.raises(ValueError, match="retain_versions"):
+        ParquetUpsertSink(t1, keys=["k"], seq_col="seq", retain_versions=0)
