@@ -6692,10 +6692,12 @@ DRIVER_WINDOW: list[str] = [
     # past the cap, still locally checked)
     "agg_q1_pricing_summary",
     "search_bm25_topk",
-    # joins: broadcast, semi, range, as-of, shuffled multi-join (anti
-    # sits past the cap; the anti shape is also driver-exercised inside
-    # join_q22's NOT-EXISTS path and the dedup drop queries)
-    "join_broadcast_dims",
+    # joins: semi, range, as-of, shuffled multi-join, and the TPC-H Q2
+    # capstone (correlated-MIN decorrelation over the derived partsupp).
+    # Round-5 rotation: join_broadcast_dims moved past the cap — the
+    # broadcast shape is driver-exercised by join_q3/join_q2 and pinned
+    # by plan tests — to hand Q2 a driver row.
+    "join_q2_min_cost_supplier",
     "join_semi",
     "join_range_bands",
     "join_asof_last_order",
@@ -6708,11 +6710,12 @@ DRIVER_WINDOW: list[str] = [
     "window_top3_per_customer",
     "sort_topk_orders",
     "set_union",
-    # scalar surface: dates, casts, JSON (the array battery rotates
-    # past the cap — still locally checked — to hand M1 column_attr a
-    # driver-checked slot: factor decode is the one §2.1 op that had
-    # only unit evidence)
-    "scalar_date_battery",
+    # scalar surface: casts + JSON carry the category (round-5
+    # rotation: scalar_date_battery past the cap — dates are also
+    # exercised by ts_resample_ffill/join_asof — freeing a slot for the
+    # incremental materialized view, the round-4 capability with only
+    # local evidence)
+    "view_incremental_agg",
     "cast_semantics",
     "lf_factor_decode",
     "json_extract_props",
@@ -6733,7 +6736,9 @@ DRIVER_WINDOW: list[str] = [
     # from within-category redundancy, never from a category's only rep)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard rotated past the cap in round 5 — dedup keeps
+    # three driver reps — freeing a slot for one-call gzip ingest)
+    "ingest_gz_roundtrip",
     "dedup_clusters",
     "decontam_ngram_overlap",
     "mix_target_proportions",

@@ -14,15 +14,17 @@ def test_driver_window_is_first_50_with_oracles():
 
 
 def test_driver_window_spans_every_category():
-    # array_functions rotated past the cap in round 4 (scalar held 4
-    # redundant slots) to hand M1 factor decode a driver row; the
-    # scalar surface stays represented by scalar_/cast_/json_
+    # round-5 rotation: scalar_date_battery past the cap (the scalar
+    # category stays represented by cast_/json_; dates are exercised by
+    # ts_/join_asof rows), making room for view_incremental_agg and
+    # ingest_gz_roundtrip — the round-4 capabilities that had only
+    # local evidence
     prefixes = [
-        "lf_", "agg_", "join_", "window_", "sort_", "set_", "scalar_",
+        "lf_", "agg_", "join_", "window_", "sort_", "set_",
         "cast_", "json_", "subquery_", "sample_", "text_",
         "dedup_", "decontam_", "mix_", "ann_", "embedding_", "sink_",
         "multimodal_", "stream_", "udf_", "udaf_", "udtf_", "sketch_",
-        "dq_", "ts_", "layout_", "graph_",
+        "dq_", "ts_", "layout_", "graph_", "view_", "ingest_",
     ]
     for p in prefixes:
         assert any(n.startswith(p) for n in DRIVER_WINDOW), f"no {p} in window"
