@@ -155,3 +155,85 @@ def agg_view_stream_writer(
             os.rename(dest, view_dir.rstrip("/"))
 
     return fold
+
+
+STALE_COL = "__stale__"
+
+
+def agg_view_retract(
+    stored: DataFrame,
+    deleted_batch: DataFrame,
+    grain: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fold a DELETE batch out of the stored view without rescanning
+    stored data — the maintenance pass a ``delete_keys`` erasure run
+    owes the views built over the erased table (without it the view
+    silently serves ghosts of erased rows).
+
+    count/sum are subtractable: the deleted batch aggregates once (one
+    batch scan) and its partials subtract per grain key. min/max are
+    NOT — a partial can't say what the next-best extreme was — so each
+    grain gets a ``__stale__`` flag instead: True only when a deleted
+    value ties the stored extreme for some min/max column (the only
+    case the stored extreme can be wrong; a strictly interior deletion
+    leaves it intact). ``agg_view_repair`` rebuilds exactly the stale
+    grains from the remaining source — a grain-pruned rescan, never a
+    full rebuild. Grains whose count reaches zero drop out of the view.
+
+    Assumes the deleted rows were previously folded in (the erasure
+    contract); retracting rows never ingested would drive counts
+    negative, which the zero-count filter treats as fully-deleted."""
+    d = agg_view_build(deleted_batch, grain, sum_cols, min_cols, max_cols)
+    ren = {COUNT_COL: "__d_n__"}
+    for c in sum_cols:
+        ren[f"sum_{c}"] = f"__d_sum_{c}__"
+    for c in min_cols:
+        ren[f"min_{c}"] = f"__d_min_{c}__"
+    for c in max_cols:
+        ren[f"max_{c}"] = f"__d_max_{c}__"
+    for old, new in ren.items():
+        d = d.withColumnRenamed(old, new)
+
+    out = stored.join(F.broadcast(d), on=list(grain), how="left")
+    hit = F.col("__d_n__").isNotNull()
+    out = out.withColumn(
+        COUNT_COL, F.col(COUNT_COL) - F.coalesce(F.col("__d_n__"), F.lit(0))
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"sum_{c}",
+            F.col(f"sum_{c}") - F.coalesce(F.col(f"__d_sum_{c}__"), F.lit(0)),
+        )
+    stale = F.lit(False)
+    for c in min_cols:
+        stale = stale | (hit & (F.col(f"__d_min_{c}__") <= F.col(f"min_{c}")))
+    for c in max_cols:
+        stale = stale | (hit & (F.col(f"__d_max_{c}__") >= F.col(f"max_{c}")))
+    out = out.withColumn(STALE_COL, F.coalesce(stale, F.lit(False)))
+    return out.filter(F.col(COUNT_COL) > 0).drop(*ren.values())
+
+
+def agg_view_repair(
+    retracted: DataFrame,
+    remaining_source: DataFrame,
+    grain: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rebuild ONLY the ``__stale__`` grains of a retracted view from
+    the remaining (post-delete) source, and return a clean view (flag
+    dropped). The rescan is grain-pruned: the source is semi-joined to
+    the stale keys before aggregating, so repair cost scales with the
+    affected grains, not the table. A view with no stale grains costs
+    one empty semi-join."""
+    stale_keys = retracted.filter(F.col(STALE_COL)).select(*grain)
+    clean = retracted.filter(~F.col(STALE_COL)).drop(STALE_COL)
+    rebuilt = agg_view_build(
+        remaining_source.join(F.broadcast(stale_keys), on=list(grain), how="left_semi"),
+        grain, sum_cols, min_cols, max_cols,
+    )
+    return clean.unionByName(rebuilt)

@@ -6585,6 +6585,39 @@ def view_incremental_agg(spark, sf_dir):
 
 
 @query(
+    "view_retract_erasure",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS __n__,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events WHERE event_id % 7 <> 0 GROUP BY event_type
+    """,
+)
+def view_retract_erasure(spark, sf_dir):
+    """Retraction-maintained view (operators/incremental.agg_view_retract
+    + agg_view_repair): build the view over ALL events, erase every
+    7th event (the delete_keys pattern), subtract the delete batch's
+    partials from count/sum, and rebuild ONLY the grains whose min/max
+    was tied by a deleted value (grain-pruned rescan). The oracle
+    aggregates the remaining rows directly — retract+repair must equal
+    a full rebuild."""
+    from lazy_frame_spark.operators import incremental as iv
+
+    ev = _table(spark, sf_dir, "events")
+    kw = dict(sum_cols=["value"], min_cols=["value"], max_cols=["value"])
+    view = iv.agg_view_build(ev, ["event_type"], **kw)
+    deleted = ev.filter(F.col("event_id") % 7 == 0)
+    remaining = ev.filter(F.col("event_id") % 7 != 0)
+    retr = iv.agg_view_retract(view, deleted, ["event_type"], **kw)
+    out = iv.agg_view_repair(retr, remaining, ["event_type"], **kw)
+    return out.select(
+        "event_type", "__n__",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+@query(
     "sketch_cms_freq",
     # invariant oracle (the KLL pattern): DuckDB supplies the EXACT
     # per-type counts and TRUE; Spark recomputes the exact counts AND

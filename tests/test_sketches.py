@@ -257,3 +257,95 @@ def test_agg_view_incremental_equals_full_rebuild(spark, sf_dir):
     assert norm(view) == norm(full)
     # the view answers from grain-bounded rows, never the raw table
     assert view.count() == ev.select("event_type").distinct().count()
+
+
+def test_agg_view_retract_plus_repair_equals_rebuild(spark, sf_dir):
+    """Property: build view -> delete a batch -> retract + repair must
+    equal a full rebuild from the remaining data, for count/sum/min/max
+    — including grains whose extreme was deleted (stale -> repaired)
+    and a grain deleted entirely (count reaches 0 -> drops out)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kw = dict(sum_cols=["value"], min_cols=["value"], max_cols=["value"])
+    grain = ["event_type"]
+    view = iv.agg_view_build(ev, grain, **kw)
+
+    # delete batch: every 5th event PLUS one whole grain PLUS, for one
+    # surviving grain, exactly its maximum row (forces a stale extreme)
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    gone_type, tied_type = types[0], types[-1]
+    max_row = (ev.filter(F.col("event_type") == tied_type)
+                 .orderBy(F.col("value").desc()).limit(1))
+    deleted = (
+        ev.filter((F.col("event_id") % 5 == 0) | (F.col("event_type") == gone_type))
+        .unionByName(max_row).distinct()
+    )
+    remaining = ev.join(deleted, on=ev.columns, how="left_anti")
+
+    retr = iv.agg_view_retract(view, deleted, grain, **kw)
+    # the fully-deleted grain is gone before repair
+    assert retr.filter(F.col("event_type") == gone_type).count() == 0
+    # the tied-extreme grain is flagged stale
+    stale_types = {r["event_type"]
+                   for r in retr.filter(F.col(iv.STALE_COL)).collect()}
+    assert tied_type in stale_types
+
+    got = iv.agg_view_repair(retr, remaining, grain, **kw)
+    want = iv.agg_view_build(remaining, grain, **kw)
+
+    def norm(df):
+        return sorted(
+            (r["event_type"], r["__n__"], round(r["sum_value"], 6),
+             r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+    assert norm(got) == norm(want)
+
+    # retract-only path with no min/max cols: no stale flags, exact
+    kw2 = dict(sum_cols=["value"])
+    v2 = iv.agg_view_retract(iv.agg_view_build(ev, grain, **kw2),
+                             deleted, grain, **kw2)
+    assert v2.filter(F.col(iv.STALE_COL)).count() == 0
+    w2 = iv.agg_view_build(remaining, grain, **kw2)
+    n2 = sorted((r["event_type"], r["__n__"], round(r["sum_value"], 6))
+                for r in v2.drop(iv.STALE_COL).collect())
+    assert n2 == sorted((r["event_type"], r["__n__"], round(r["sum_value"], 6))
+                        for r in w2.collect())
+
+
+def test_erasure_pipeline_keeps_view_consistent(spark, sf_dir, tmp_path):
+    """End-to-end right-to-erasure: delete_keys erases rows from the
+    STORED table while agg_view_retract/repair folds the same delete
+    batch out of the VIEW — afterwards the maintained view must equal a
+    fresh build over the erased table (no ghost rows served)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    table = str(tmp_path / "events_store")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.parquet(table)
+    kw = dict(sum_cols=["value"], min_cols=["value"])
+    grain = ["event_type"]
+    # the view is STORED (as in production) — a lazy plan over the
+    # source would break when delete_keys swaps the underlying files
+    view_dir = str(tmp_path / "view_store")
+    iv.agg_view_build(spark.read.parquet(table), grain, **kw) \
+        .write.parquet(view_dir)
+    view = spark.read.parquet(view_dir)
+
+    doomed = ev.filter(F.col("event_id") % 4 == 0)
+    after = delete_keys(spark, table, doomed.select("event_id"), "event_id")
+    maintained = iv.agg_view_repair(
+        iv.agg_view_retract(view, doomed, grain, **kw), after, grain, **kw
+    )
+    want = iv.agg_view_build(after, grain, **kw)
+
+    def norm(df):
+        return sorted((r["event_type"], r["__n__"], round(r["sum_value"], 6),
+                       r["min_value"]) for r in df.collect())
+    assert norm(maintained) == norm(want)
