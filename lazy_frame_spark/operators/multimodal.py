@@ -240,9 +240,12 @@ def decode_png(blob: bytes):
     the cost is per-image and parallelism comes from Arrow batches
     across partitions, not from inside one image. 16-bit images decode
     to uint16 (filters run on the byte expansion with doubled bpp, per
-    the spec); Adam7 interlaced images decode via seven independently
-    unfiltered passes scattered onto the full grid. Only the
-    spec-illegal 16-bit palette remains a dead-letter."""
+    the spec); 1/2/4-bit grayscale and palette images unpack their
+    MSB-first packed samples after a bpp=1 unfilter (gray scales to
+    the full 8-bit range, palette indexes PLTE); Adam7 interlaced
+    images decode via seven independently unfiltered passes scattered
+    onto the full grid — at every depth. Only the spec-illegal 16-bit
+    palette remains a dead-letter."""
     import zlib
 
     import numpy as np
@@ -266,12 +269,55 @@ def decode_png(blob: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16) or interlace not in (0, 1) or (depth == 16 and color == 3):
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1) or (
+        depth == 16 and color == 3
+    ):
         raise NotImplementedError(f"{depth}-bit/interlace={interlace} PNG")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is only legal for grayscale/palette PNG"
+        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), "u1")
+
+    if depth < 8:
+        # 1/2/4-bit grayscale or palette: one channel, samples packed
+        # MSB-first; filters operate on the PACKED bytes with bpp=1
+        # (per the spec), so the unfilter core is unchanged — unpack
+        # to per-pixel samples afterwards
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            if raw.size != h * (stride + 1):
+                raise ValueError("IDAT size does not match dimensions")
+            samples = _png_unpack_subbyte(
+                _png_unfilter(raw.reshape(h, stride + 1), 1), w, depth
+            )
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            pos = 0
+            for xs, ys, xstep, ystep in _ADAM7:
+                pw = (w - xs + xstep - 1) // xstep
+                ph = (h - ys + ystep - 1) // ystep
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * depth + 7) // 8
+                need = ph * (pstride + 1)
+                sub = _png_unfilter(raw[pos:pos + need].reshape(ph, pstride + 1), 1)
+                pos += need
+                samples[ys::ystep][:ph][:, xs::xstep][:, :pw] = (
+                    _png_unpack_subbyte(sub, pw, depth)
+                )
+            if pos != raw.size:
+                raise ValueError("IDAT size does not match Adam7 pass layout")
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette image without PLTE chunk")
+            return plte[samples]
+        # gray: scale to full 8-bit range (255 / (2^depth - 1) is exact)
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)[:, :, None]
+
     bps = depth // 8
     bpp = channels * bps
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), "u1")
 
     if interlace == 0:
         stride = w * bpp
@@ -318,6 +364,20 @@ _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
+
+
+def _png_unpack_subbyte(rows, w: int, depth: int):
+    """Unpack (h, stride)-byte scanlines of ``depth``-bit samples
+    (MSB-first per the PNG spec) into an (h, w) uint8 sample grid,
+    dropping the zero-padding bits at each row's end."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    if depth == 1:
+        return bits
+    grouped = bits.reshape(rows.shape[0], w, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)
 
 
 def _png_unfilter(raw, bpp: int):

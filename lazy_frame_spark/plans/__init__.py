@@ -1,5 +1,6 @@
 from lazy_frame_spark.plans.parallel import ensure_min_partitions, fan_out
 from lazy_frame_spark.plans.audit import (
+    BNLJ_BOUNDED_BUILD,
     executed_plan,
     has_broadcast_hash_join,
     has_pushed_filters,
@@ -10,6 +11,7 @@ from lazy_frame_spark.plans.audit import (
 )
 
 __all__ = [
+    "BNLJ_BOUNDED_BUILD",
     "ensure_min_partitions",
     "fan_out",
     "executed_plan",

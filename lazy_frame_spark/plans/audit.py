@@ -126,3 +126,30 @@ def scale_warnings(df: DataFrame) -> list[str]:
             )
             break
     return warns
+
+
+#: Registry queries whose BroadcastNestedLoopJoin is justified: the
+#: build side is bounded BY CONSTRUCTION (1-row aggregates, literal
+#: band/anchor tables, a deliberate cross-join demo). Shared between
+#: the registry-wide plan-sweep test and tools/check_oracle.py's
+#: per-query audit so the two can't drift; a newcomer BNLJ outside
+#: this set is a 100 TB regression even with correct results.
+BNLJ_BOUNDED_BUILD = {
+    "search_bm25_topk", "search_tfidf_topk",   # 1-row corpus stats
+    "lm_perplexity",                            # 1-row vocabulary size
+    "graph_pagerank",                           # 1-row dangling mass
+    "agg_approx_percentile_rank",               # 1-row totals
+    "sample_bernoulli",                         # 1-row expected-count
+    "sketch_kll_quantiles",                     # 1-row merged sketch
+    "join_q22_dormant_customers",               # 1-row scalar AVG
+    # partsupp derivation: 1-row supplier count x 4-row quarter frame,
+    # both broadcast (parity._partsupp); Q11 adds a 1-row threshold
+    "join_q2_min_cost_supplier",
+    "join_q11_important_stock",
+    "join_q20_excess_stock",
+    "join_range_bands", "join_interval_overlap",  # literal band tables
+    "join_salted",                              # literal salt range
+    "ann_hard_negatives",                       # bounded anchor batch
+    "join_cross",                               # deliberate cross join
+    "ann_pairs_top15",   # all-pairs verification harness (past window)
+}

@@ -1501,3 +1501,123 @@ def test_bmp_rle_truncated_delta_raises_valueerror():
     # one of the two delta bytes present is still truncated
     with pytest.raises(ValueError, match="truncated RLE8"):
         _bmp_rle8_indices(bytes([2, 7, 0, 2, 1]), 4, 4)
+
+
+def _encode_png_subbyte(samples, depth, color, plte=None, interlace=0,
+                        up_filter_rows=()):
+    """Test-side encoder for 1/2/4-bit grayscale (color=0) or palette
+    (color=3) PNGs: packs samples MSB-first per scanline (zero-padded),
+    filter 0 (or filter 2/Up on the packed bytes for rows listed in
+    up_filter_rows — sub-byte filtering operates on packed bytes per
+    the spec), sequential or Adam7."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import _ADAM7
+
+    h, w = samples.shape
+
+    def pack_rows(grid):
+        gh, gw = grid.shape
+        bits = np.zeros((gh, gw * depth), dtype=np.uint8)
+        for b in range(depth):
+            bits[:, b::depth] = (grid >> (depth - 1 - b)) & 1
+        stride = (gw * depth + 7) // 8
+        padded = np.zeros((gh, stride * 8), dtype=np.uint8)
+        padded[:, : gw * depth] = bits
+        return np.packbits(padded, axis=1)
+
+    raw = bytearray()
+    if interlace == 0:
+        rows = pack_rows(samples)
+        prev = np.zeros(rows.shape[1], dtype=np.uint8)
+        for y in range(h):
+            if y in up_filter_rows:
+                raw.append(2)
+                raw.extend(((rows[y].astype(int) - prev) % 256)
+                           .astype(np.uint8).tobytes())
+            else:
+                raw.append(0)
+                raw.extend(rows[y].tobytes())
+            prev = rows[y]
+    else:
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = samples[ys::ystep, xs::xstep]
+            if sub.size == 0:
+                continue
+            rows = pack_rows(sub)
+            for y in range(rows.shape[0]):
+                raw.append(0)
+                raw.extend(rows[y].tobytes())
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + ctype + body + st.pack(">I", crc)
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", st.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+    if color == 3:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_subbyte_grayscale_decode():
+    """1/2/4-bit grayscale PNGs decode with full-range scaling
+    (255/(2^d-1)), including packed-byte Up filtering, odd widths with
+    padding bits, and Adam7 interlace."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        for shape in [(3, 7), (5, 13), (1, 1), (8, 8)]:
+            s = rng.integers(0, maxv + 1, size=shape, dtype=np.uint8)
+            blob = _encode_png_subbyte(s, depth, color=0,
+                                       up_filter_rows={1, 3})
+            got = decode_png(blob)
+            want = (s * (255 // maxv)).astype(np.uint8)[:, :, None]
+            assert np.array_equal(got, want), (depth, shape)
+            # Adam7 variant of the same image
+            got7 = decode_png(_encode_png_subbyte(s, depth, color=0,
+                                                  interlace=1))
+            assert np.array_equal(got7, want), (depth, shape, "adam7")
+
+
+def test_png_subbyte_palette_decode():
+    """2/4-bit palette PNGs decode through PLTE lookup (no gray
+    scaling) — sequential and Adam7."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(9)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        plte = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        s = rng.integers(0, n, size=(6, 11), dtype=np.uint8)
+        got = decode_png(_encode_png_subbyte(s, depth, color=3, plte=plte))
+        assert np.array_equal(got, plte[s]), depth
+        got7 = decode_png(_encode_png_subbyte(s, depth, color=3, plte=plte,
+                                              interlace=1))
+        assert np.array_equal(got7, plte[s]), (depth, "adam7")
+
+
+def test_png_subbyte_rgb_still_rejected():
+    """Sub-byte depth with a truecolor color type is spec-illegal and
+    must raise, not mis-decode."""
+    import numpy as np
+    import pytest
+
+    from lazy_frame_spark.operators.multimodal import decode_png
+
+    s = np.zeros((2, 2), dtype=np.uint8)
+    blob = _encode_png_subbyte(s, 4, color=0)
+    # corrupt the color type byte inside IHDR (offset: 8 sig + 8 hdr + 9)
+    bad = bytearray(blob)
+    bad[8 + 8 + 9] = 2  # truecolor
+    with pytest.raises(ValueError, match="sub-byte"):
+        decode_png(bytes(bad))

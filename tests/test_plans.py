@@ -219,30 +219,12 @@ def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
     side is bounded by construction — a newcomer outside the allowlist
     is a 100 TB regression even if its results are correct."""
     from lazy_frame_spark.parity import REGISTRY
+    from lazy_frame_spark.plans import BNLJ_BOUNDED_BUILD
 
-    # every entry here broadcasts a bounded side: 1-row aggregates
-    # (corpus stats, scalar avg/max, total counts), literal band/anchor
-    # tables, or a deliberate cross-join demonstration
-    allowed_bnlj = {
-        "search_bm25_topk", "search_tfidf_topk",   # 1-row corpus stats
-        "lm_perplexity",                            # 1-row vocabulary size
-        "graph_pagerank",                           # 1-row dangling mass
-        "agg_approx_percentile_rank",               # 1-row totals
-        "sample_bernoulli",                         # 1-row expected-count
-        "sketch_kll_quantiles",                     # 1-row merged sketch
-        "join_q22_dormant_customers",               # 1-row scalar AVG
-        # partsupp derivation: 1-row supplier count x 4-row quarter
-        # frame, both broadcast (see parity._partsupp); Q11 adds a
-        # 1-row total-value threshold
-        "join_q2_min_cost_supplier",
-        "join_q11_important_stock",
-        "join_q20_excess_stock",
-        "join_range_bands", "join_interval_overlap",  # literal band tables
-        "join_salted",                              # literal salt range
-        "ann_hard_negatives",                       # bounded anchor batch
-        "join_cross",                               # deliberate cross join
-        "ann_pairs_top15",                          # all-pairs verification harness (past the driver window)
-    }
+    # the allowlist lives in plans.audit (shared with
+    # tools/check_oracle.py's per-query audit) — every entry broadcasts
+    # a side bounded by construction
+    allowed_bnlj = BNLJ_BOUNDED_BUILD
     skip = ("stream_", "sink_", "multimodal_", "lf_")
     offenders = []
     for name, spec in REGISTRY.items():

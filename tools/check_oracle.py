@@ -16,10 +16,44 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lazy_frame_spark.plans.audit import (  # noqa: E402
+    BNLJ_BOUNDED_BUILD,
+    scale_warnings,
+)
 from lazy_frame_spark.session import get_spark  # noqa: E402
 from lazy_frame_spark.sources.registry import TABLE_NAMES  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+
+#: prefixes excluded from the plan audit (side-effecting sinks/streams,
+#: positional-cache lf_ queries, multimodal fan-out) — same skip set as
+#: tests/test_plans.py's registry-wide sweep
+AUDIT_SKIP = ("stream_", "sink_", "multimodal_", "lf_", "ingest_")
+
+
+def audit(name: str, sdf) -> tuple[list[str], list[str]]:
+    """(hard failures, advisory warnings) from the scale audit: a
+    CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
+    bounded-build allowlist, fails the check — a newly added registry
+    query can no longer pass value checks with a regressed plan between
+    test runs. Everything else prints as a warning."""
+    if name.startswith(AUDIT_SKIP):
+        return [], []
+    try:
+        ws = scale_warnings(sdf)
+    except Exception:
+        return [], []
+    hard, soft = [], []
+    for w in ws:
+        if w.startswith("CartesianProduct"):
+            hard.append(w)
+        elif w.startswith("BroadcastNestedLoopJoin"):
+            if name not in BNLJ_BOUNDED_BUILD:
+                hard.append(w)
+            # allowlisted: bounded build side by construction — silent
+        else:
+            soft.append(w)
+    return hard, soft
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -87,6 +121,13 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            continue
+        hard, soft = audit(name, sdf)
+        for w in soft:
+            print(f"warn {name}: {w}")
+        if hard:
+            failures += 1
+            print(f"FAIL {name}: scale hazard: " + "; ".join(hard))
             continue
         if name not in oracles:
             print(f"okro {name}: rows-only, {len(spark_pdf)} rows")
