@@ -96,10 +96,14 @@ def zscore_per_group(orders: DataFrame) -> DataFrame:
 # Python UDTF (one row in → many rows out; Spark 3.5+/4)
 # --------------------------------------------------------------------- #
 
-@F.udtf(returnType="pos: int, bigram: string")
+@F.udtf(returnType="pos: int, bigram: string", useArrow=True)
 class BigramUDTF:
     """Emit (position, bigram) rows per document — table-function shape
-    (lateral view) the reference's row-model cannot express at all."""
+    (lateral view) the reference's row-model cannot express at all.
+    Arrow-optimized (``useArrow=True``): rows cross the Python boundary
+    in Arrow batches (ArrowEvalPythonUDTF), not one pickled row at a
+    time — the same 10-100x boundary-cost rule every other Python path
+    in this repo follows."""
 
     def eval(self, doc_id: int, text: str):  # noqa: D102
         words = [w for w in (text or "").strip().split() if w]

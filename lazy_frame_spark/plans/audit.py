@@ -153,3 +153,13 @@ BNLJ_BOUNDED_BUILD = {
     "join_cross",                               # deliberate cross join
     "ann_pairs_top15",   # all-pairs verification harness (past window)
 }
+
+
+#: Queries whose ordering-only window is BOUNDED by construction (a
+#: top-k limit cuts the input to k rows before the single-task window
+#: ranks them) — the "single-partition window" warning is a false
+#: positive there; everything it would flow through one task is k rows.
+SINGLE_TASK_WINDOW_BOUNDED = {
+    "text_vocabulary",     # TakeOrderedAndProject(50) feeds the rank window
+    "vocab_merge_candidates",  # same shape: top-k merge pairs then rank
+}

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lazy_frame_spark.plans.audit import (  # noqa: E402
     BNLJ_BOUNDED_BUILD,
+    SINGLE_TASK_WINDOW_BOUNDED,
     scale_warnings,
 )
 from lazy_frame_spark.session import get_spark  # noqa: E402
@@ -51,6 +52,11 @@ def audit(name: str, sdf) -> tuple[list[str], list[str]]:
             if name not in BNLJ_BOUNDED_BUILD:
                 hard.append(w)
             # allowlisted: bounded build side by construction — silent
+        elif (
+            w.startswith("single-partition window")
+            and name in SINGLE_TASK_WINDOW_BOUNDED
+        ):
+            pass  # window input cut to top-k rows before the rank
         else:
             soft.append(w)
     return hard, soft
