@@ -344,3 +344,74 @@ def label_outliers(
         .filter(F.col("__rn__") <= int(k))
         .select(id_col, label_col, F.round("__d2__", 5).alias("dist2"))
     )
+
+
+# --------------------------------------------------------------------- #
+# int8 quantization — 4x memory/IO reduction for embedding stores
+# --------------------------------------------------------------------- #
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "q_codes",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|v| / 127``,
+    ``code_i = floor(v_i / max|v| * 127 + 0.5)`` (round-half-up — the
+    one rounding rule engines agree on bit-for-bit), codes in
+    [-127, 127] stored as tinyint. All-zero vectors quantize to zeros
+    with scale 1/127 (no division by zero). Dequantization is
+    ``code * scale``; cosine similarity is INVARIANT to the per-vector
+    scale, so quantized search ranks with integer dot products — see
+    ``cosine_topk_int8``.
+
+    At 100 TB this is the difference between shipping 4 bytes and 1
+    byte per dimension through every shuffle and cache tier; pure
+    Catalyst expressions, no Python in the row path."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    safe = F.when(amax == F.lit(0.0), F.lit(1.0)).otherwise(amax)
+    codes = F.transform(
+        v, lambda x: F.floor(x / safe * 127 + F.lit(0.5)).cast("tinyint")
+    )
+    return df.withColumn(code_col, codes).withColumn(scale_col, safe / F.lit(127.0))
+
+
+def dequantize_int8(
+    df: DataFrame,
+    code_col: str = "q_codes",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct ``code * scale`` (max abs error <= scale/2 per
+    dimension by construction)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(code_col), lambda c: c.cast("double") * F.col(scale_col)),
+    )
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine over int8-quantized vectors: both sides
+    quantize, the dot product runs on small integers (exact in double
+    arithmetic — no float-order sensitivity at all), and per-vector
+    scales cancel out of cosine. Ranks approximate the full-precision
+    ranking within quantization error while reading 1/4 the bytes."""
+    import math
+
+    amax = max(abs(float(x)) for x in query_vec) or 1.0
+    qcodes = [math.floor(float(x) / amax * 127 + 0.5) for x in query_vec]
+    q = F.array(*[F.lit(float(c)) for c in qcodes]).cast("array<double>")
+    quant = quantize_int8(df, vec_col=vec_col)
+    sim = cosine(F.col("q_codes").cast("array<double>"), q)
+    return (
+        quant.select(F.col(id_col), F.round(sim, 4).alias("cos_sim_q"))
+        .orderBy(F.col("cos_sim_q").desc(), F.col(id_col))
+        .limit(int(k))
+    )

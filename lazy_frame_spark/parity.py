@@ -2075,6 +2075,72 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "ann_quantize_int8",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS amax,
+             embedding::DOUBLE[] AS v
+      FROM embeddings),
+    s AS (SELECT vec_id, CASE WHEN amax = 0 THEN 1.0 ELSE amax END AS safe, v
+          FROM a)
+    SELECT vec_id,
+           ROUND(safe / 127, 6) AS q_scale,
+           CAST(unnest(range(len(v))) AS INT) AS pos,
+           CAST(unnest(list_transform(v, x -> FLOOR(x / safe * 127 + 0.5)))
+                AS INT) AS code
+    FROM s
+    """,
+)
+def ann_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization
+    (operators/similarity.quantize_int8), value-checked code-by-code:
+    every (vector, position) pair's code and the per-vector scale must
+    match DuckDB computing the same floor(v/max|v|*127 + 0.5) rule —
+    round-half-up is the one rounding both engines do bit-identically
+    on exact doubles. The 4x-smaller embedding store for 100 TB ANN."""
+    e = _table(spark, sf_dir, "embeddings")
+    q = _sim.quantize_int8(e)
+    return q.select(
+        "vec_id",
+        F.round(F.col("q_scale"), 6).alias("q_scale"),
+        F.posexplode("q_codes").alias("pos", "code"),
+    ).select("vec_id", "q_scale", "pos", F.col("code").cast("int").alias("code"))
+
+
+@query(
+    "ann_cosine_topk_int8",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS amax,
+             embedding::DOUBLE[] AS v
+      FROM embeddings),
+    s AS (SELECT vec_id,
+                 list_transform(
+                   v, x -> FLOOR(x / (CASE WHEN amax = 0 THEN 1.0 ELSE amax END)
+                                 * 127 + 0.5))::DOUBLE[] AS c
+          FROM a),
+    q AS (SELECT c AS qc FROM s WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(c, qc)
+                 / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qc, qc))),
+                 4) AS cos_sim_q
+    FROM s, q
+    ORDER BY cos_sim_q DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk_int8(spark, sf_dir):
+    """Quantized exact top-k (operators/similarity.cosine_topk_int8):
+    both sides int8-quantized, cosine over small-integer dot products
+    (exact in doubles — no summation-order sensitivity), per-vector
+    scales cancel. Same TakeOrderedAndProject plan as the
+    full-precision path, 1/4 the bytes read."""
+    e = _table(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk_int8(e, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
     "ann_pairs_top15",
     oracle="""
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)

@@ -1621,3 +1621,47 @@ def test_png_subbyte_rgb_still_rejected():
     bad[8 + 8 + 9] = 2  # truecolor
     with pytest.raises(ValueError, match="sub-byte"):
         decode_png(bytes(bad))
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Quantize -> dequantize must satisfy the per-dimension error
+    bound |v - c*scale| <= scale/2, codes stay in [-127, 127], and
+    all-zero vectors quantize to zeros with a nonzero scale."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = sim.dequantize_int8(sim.quantize_int8(e), out_col="back")
+    rows = q.select("embedding", "q_codes", "q_scale", "back").collect()
+    assert rows
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        c = np.asarray(r["q_codes"], dtype=np.int64)
+        back = np.asarray(r["back"], dtype=np.float64)
+        assert c.min() >= -127 and c.max() <= 127
+        assert np.all(np.abs(v - back) <= r["q_scale"] / 2 + 1e-12)
+
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    zr = sim.quantize_int8(z).collect()[0]
+    assert list(zr["q_codes"]) == [0, 0, 0] and zr["q_scale"] > 0
+
+
+def test_cosine_topk_int8_close_to_full_precision(spark, sf_dir):
+    """The quantized ranking must agree with full precision on at
+    least 8 of the top 10 (64-dim int8 quantization distorts cosine by
+    well under 1e-2), and its plan must stay TakeOrderedAndProject
+    with zero Python nodes."""
+    from lazy_frame_spark.operators import similarity as sim
+    from lazy_frame_spark.plans import executed_plan, has_take_ordered
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.filter("vec_id = 0").select("embedding").collect()[0][0]
+    full = [r["vec_id"] for r in sim.cosine_topk(e, qv, k=10).collect()]
+    quant_df = sim.cosine_topk_int8(e, qv, k=10)
+    quant = [r["vec_id"] for r in quant_df.collect()]
+    assert len(set(full) & set(quant)) >= 8, (full, quant)
+    assert quant[0] == 0  # the query vector itself still ranks first
+    assert has_take_ordered(quant_df)
+    assert "Python" not in executed_plan(quant_df)
