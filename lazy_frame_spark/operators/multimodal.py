@@ -427,7 +427,8 @@ def decode_pixels(blob: bytes):
     """Real pixel decode → HxWxC ndarray — uint8 for 8-bit sources,
     uint16 for 16-bit PNG and 16-bit (maxval > 255) netpbm. Pure
     numpy+stdlib for
-    netpbm P5/P6, uncompressed and RLE8/RLE4 BMP, PNG (all color types,
+    netpbm P5/P6, uncompressed, RLE8/RLE4 and BITFIELDS (16/32bpp
+    masked, incl. 565/555 and alpha) BMP, PNG (all color types,
     all five filters, 8/16-bit, Adam7 — ``decode_png``), and JPEG —
     baseline AND progressive (``decode_jpeg``); PIL (when importable)
     for the remaining compressed formats; NotImplementedError when
@@ -485,6 +486,47 @@ def decode_pixels(blob: bytes):
             idx = decode(blob[off:], w, abs(h))
             px = pal[idx]
             return px[::-1] if h > 0 else px
+        if (comp == 3 and bits in (16, 32)) or (comp == 0 and bits == 16):
+            # BI_BITFIELDS (or the 16bpp default XRGB555): per-channel
+            # masks select contiguous bit runs of each little-endian
+            # pixel word; channels scale to 8 bits by round-half-up
+            # (identical to bit replication for the common 5/6-bit
+            # widths). Masks for BITMAPINFOHEADER follow the header;
+            # V4/V5 embed them at the SAME file offset (54), alpha at
+            # 66 when the header carries one.
+            if comp == 3:
+                rm, gm, bm = struct.unpack("<III", blob[54:66])
+                am = (
+                    struct.unpack("<I", blob[66:70])[0]
+                    if hdr_size >= 56 else 0
+                )
+            else:
+                rm, gm, bm, am = 0x7C00, 0x03E0, 0x001F, 0
+            bpp = bits // 8
+            stride = (w * bpp + 3) & ~3
+            raw = np.frombuffer(
+                blob, "u1", count=stride * abs(h), offset=off
+            ).reshape(abs(h), stride)
+            vals = (
+                raw[:, : w * bpp].copy()
+                .view("<u2" if bits == 16 else "<u4")
+                .reshape(abs(h), w)
+                .astype(np.int64)
+            )
+            chans = [rm, gm, bm] + ([am] if am else [])
+            out = np.zeros((abs(h), w, len(chans)), dtype=np.uint8)
+            for ci, mask in enumerate(chans):
+                if mask == 0:
+                    continue
+                shift = (mask & -mask).bit_length() - 1
+                maxv = mask >> shift
+                if maxv & (maxv + 1):
+                    raise ValueError(
+                        f"non-contiguous BMP channel mask {mask:#x}"
+                    )
+                v = (vals & mask) >> shift
+                out[..., ci] = ((v * 255 + maxv // 2) // maxv).astype(np.uint8)
+            return out[::-1] if h > 0 else out
         if comp != 0 or bits not in (24, 32):
             raise NotImplementedError(f"compressed/{bits}-bit BMP not supported")
         c = bits // 8

@@ -1665,3 +1665,87 @@ def test_cosine_topk_int8_close_to_full_precision(spark, sf_dir):
     assert quant[0] == 0  # the query vector itself still ranks first
     assert has_take_ordered(quant_df)
     assert "Python" not in executed_plan(quant_df)
+
+
+def _bmp_header(w, h, bits, comp, body, masks=b"", hdr_size=40):
+    import struct as st
+
+    # hdr_size 40: masks (if any) FOLLOW the header; hdr_size > 40
+    # (V2/V3-style): the mask bytes are PART of the declared header size
+    off = 14 + hdr_size + (len(masks) if hdr_size == 40 else 0)
+    if hdr_size > 40:
+        assert hdr_size == 40 + len(masks)
+    return (b"BM" + st.pack("<IHHI", off + len(body), 0, 0, off)
+            + st.pack("<IiiHHIIiiII", hdr_size, w, h, 1, bits, comp,
+                      len(body), 0, 0, 0, 0)
+            + masks + body)
+
+
+def test_bmp_bitfields_565_and_555_decode():
+    """BI_BITFIELDS 16bpp RGB565 masks and the comp=0 default XRGB555
+    both decode with round-half-up channel scaling (equals bit
+    replication for 5/6-bit widths) and bottom-up row order."""
+    import struct as st
+
+    import numpy as np
+
+    from lazy_frame_spark.operators.multimodal import decode_pixels
+
+    # --- RGB565 via explicit masks: pixels chosen to hit channel maxes
+    # (r,g,b) 5/6/5-bit fields; w=3 -> stride 8 (2 pad bytes per row)
+    def px565(r, g, b):
+        return (r << 11) | (g << 5) | b
+
+    rows = [
+        [px565(31, 0, 0), px565(0, 63, 0), px565(0, 0, 31)],   # visual bottom
+        [px565(16, 32, 8), px565(0, 0, 0), px565(31, 63, 31)],  # visual top
+    ]
+    body = bytearray()
+    for r in rows:
+        for p in r:
+            body += st.pack("<H", p)
+        body += b"\x00\x00"  # stride padding
+    masks = st.pack("<III", 0xF800, 0x07E0, 0x001F)
+    got = decode_pixels(_bmp_header(3, 2, 16, 3, bytes(body), masks))
+    assert got.shape == (2, 3, 3)
+    # scale: 5-bit v -> (v*255+15)//31, 6-bit v -> (v*255+31)//63
+    assert list(got[1, 0]) == [255, 0, 0]
+    assert list(got[1, 1]) == [0, 255, 0]
+    assert list(got[1, 2]) == [0, 0, 255]
+    assert list(got[0, 0]) == [(16 * 255 + 15) // 31, (32 * 255 + 31) // 63,
+                               (8 * 255 + 15) // 31]
+    assert list(got[0, 2]) == [255, 255, 255]
+
+    # --- comp=0 16bpp defaults to XRGB555
+    p555 = (31 << 10) | (16 << 5) | 1
+    body5 = st.pack("<H", p555) + b"\x00\x00"
+    got5 = decode_pixels(_bmp_header(1, 1, 16, 0, body5))
+    assert list(got5[0, 0]) == [255, (16 * 255 + 15) // 31, (1 * 255 + 15) // 31]
+
+
+def test_bmp_bitfields_32bpp_with_alpha():
+    """32bpp BI_BITFIELDS with a V4-style alpha mask decodes to RGBA;
+    a zero mask yields a zero channel; non-contiguous masks raise."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from lazy_frame_spark.operators.multimodal import decode_pixels
+
+    # BGRA8888 masks in a 56-byte (V3-style) header carrying alpha
+    masks = st.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    px = (0xAA << 24) | (0x11 << 16) | (0x22 << 8) | 0x33  # a,r,g,b
+    body = st.pack("<I", px)
+    blob = _bmp_header(1, 1, 32, 3, body, masks, hdr_size=56)
+    # hdr_size=56 header: same fixed layout, masks appended at offset 54
+    # (the struct above writes 40 header bytes; extend with 16 mask
+    # bytes which double as the V3 extension)
+    got = decode_pixels(blob)
+    assert got.shape == (1, 1, 4)
+    assert list(got[0, 0]) == [0x11, 0x22, 0x33, 0xAA]
+
+    badmask = st.pack("<III", 0b101, 0x0000FF00, 0x000000FF)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        decode_pixels(_bmp_header(1, 1, 16, 3, st.pack("<H", 0) + b"\x00\x00",
+                                  badmask))
