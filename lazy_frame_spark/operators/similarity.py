@@ -397,18 +397,26 @@ def cosine_topk_int8(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine over int8-quantized vectors: both sides
     quantize, the dot product runs on small integers (exact in double
     arithmetic — no float-order sensitivity at all), and per-vector
     scales cancel out of cosine. Ranks approximate the full-precision
-    ranking within quantization error while reading 1/4 the bytes."""
+    ranking within quantization error.
+
+    ``pre_quantized=True`` is the production path: ``df`` already
+    carries ``q_codes`` (quantize ONCE with ``quantize_int8``, store
+    the tinyint codes), so every query scans 1/4 the bytes and skips
+    the per-row transform. The default quantizes inline — the
+    correctness harness, paying transform compute to read float
+    input."""
     import math
 
     amax = max(abs(float(x)) for x in query_vec) or 1.0
     qcodes = [math.floor(float(x) / amax * 127 + 0.5) for x in query_vec]
     q = F.array(*[F.lit(float(c)) for c in qcodes]).cast("array<double>")
-    quant = quantize_int8(df, vec_col=vec_col)
+    quant = df if pre_quantized else quantize_int8(df, vec_col=vec_col)
     sim = cosine(F.col("q_codes").cast("array<double>"), q)
     return (
         quant.select(F.col(id_col), F.round(sim, 4).alias("cos_sim_q"))

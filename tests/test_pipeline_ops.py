@@ -1665,6 +1665,13 @@ def test_cosine_topk_int8_close_to_full_precision(spark, sf_dir):
     assert quant[0] == 0  # the query vector itself still ranks first
     assert has_take_ordered(quant_df)
     assert "Python" not in executed_plan(quant_df)
+    # the production path (pre-quantized code store) returns the exact
+    # same ranking as inline quantization
+    pre = sim.quantize_int8(e)
+    got_pre = [(r["vec_id"], r["cos_sim_q"]) for r in
+               sim.cosine_topk_int8(pre, qv, k=10, pre_quantized=True).collect()]
+    got_inline = [(r["vec_id"], r["cos_sim_q"]) for r in quant_df.collect()]
+    assert got_pre == got_inline
 
 
 def _bmp_header(w, h, bits, comp, body, masks=b"", hdr_size=40):
