@@ -2075,6 +2075,86 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "dedup_url_canonical",
+    oracle=r"""
+    WITH u AS (
+      SELECT o_orderkey AS doc_id,
+        CASE o_orderkey % 4
+          WHEN 0 THEN 'HTTP://WWW.Site' || ((o_orderkey // 4) % 20) || '.com:80/Items/'
+                      || ((o_orderkey // 4) % 5) || '/?b=2&utm_source=mail&a=1#frag'
+          WHEN 1 THEN 'http://site' || ((o_orderkey // 4) % 20) || '.com/Items/'
+                      || ((o_orderkey // 4) % 5) || '?a=1&b=2'
+          WHEN 2 THEN 'https://Site' || ((o_orderkey // 4) % 20) || '.COM:443/items/'
+                      || ((o_orderkey // 4) % 5) || '?b=2&gclid=xyz&a=1'
+          ELSE 'not a url ' || o_orderkey
+        END AS url
+      FROM orders),
+    c AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1),
+                       '#.*$', '') AS nofrag
+      FROM u WHERE regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+    parts AS (
+      SELECT doc_id, scheme,
+        regexp_replace(
+          CASE WHEN scheme = 'http'
+               THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]+)', 1)), ':80$', '')
+               WHEN scheme = 'https'
+               THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]+)', 1)), ':443$', '')
+               ELSE lower(regexp_extract(nofrag, '^([^/?]+)', 1)) END,
+          '^www\.', '') AS host,
+        CASE WHEN regexp_replace(regexp_extract(nofrag, '^[^/?]+([^?]*)', 1), '/$', '') = ''
+             THEN '/' ELSE regexp_replace(regexp_extract(nofrag, '^[^/?]+([^?]*)', 1), '/$', '')
+        END AS path,
+        array_to_string(
+          list_sort(list_filter(
+            string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+          '&') AS qs
+      FROM c),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM parts)
+    SELECT canonical_url, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """Canonical-URL dedup (operators/urls): messy synthetic URLs —
+    uppercase schemes/hosts, www prefixes, default ports, tracking
+    params, fragments, unsorted query strings, trailing slashes, and
+    flat-out non-URLs — collapse onto their canonical form; first
+    (min doc_id) occurrence wins, the oracle applying the identical
+    rules in DuckDB SQL. Map-only canonicalization + ONE hash
+    aggregation: the cheapest dedup pass a web corpus runs, always
+    before content hashing."""
+    from lazy_frame_spark.operators import urls as _u
+
+    o = _table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = (
+        F.when(k % 4 == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), (F.floor(k / 4) % 20).cast("bigint").cast("string"),
+            F.lit(".com:80/Items/"), (F.floor(k / 4) % 5).cast("bigint").cast("string"),
+            F.lit("/?b=2&utm_source=mail&a=1#frag")))
+        .when(k % 4 == 1, F.concat(
+            F.lit("http://site"), (F.floor(k / 4) % 20).cast("bigint").cast("string"),
+            F.lit(".com/Items/"), (F.floor(k / 4) % 5).cast("bigint").cast("string"), F.lit("?a=1&b=2")))
+        .when(k % 4 == 2, F.concat(
+            F.lit("https://Site"), (F.floor(k / 4) % 20).cast("bigint").cast("string"),
+            F.lit(".COM:443/items/"), (F.floor(k / 4) % 5).cast("bigint").cast("string"),
+            F.lit("?b=2&gclid=xyz&a=1")))
+        .otherwise(F.concat(F.lit("not a url "), k.cast("string")))
+    )
+    docs = o.select(k.alias("doc_id"), url.alias("url"))
+    return _u.dedup_canonical_url(docs, url_col="url", id_col="doc_id")
+
+
+@query(
     "ann_quantize_int8",
     oracle="""
     WITH a AS (

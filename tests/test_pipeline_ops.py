@@ -1756,3 +1756,57 @@ def test_bmp_bitfields_32bpp_with_alpha():
     with pytest.raises(ValueError, match="non-contiguous"):
         decode_pixels(_bmp_header(1, 1, 16, 3, st.pack("<H", 0) + b"\x00\x00",
                                   badmask))
+
+
+def test_canonicalize_url_rules(spark):
+    """Rule-by-rule canonicalization: case, default ports (scheme-aware
+    — :80 on https is NOT default and survives), fragments, tracking
+    params, param sort, trailing slash, empty path, www strip toggle,
+    unparseable -> NULL."""
+    from lazy_frame_spark.operators.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?z=1&utm_source=m&a=2#f",
+         "http://ex.com/A/b?a=2&z=1"),
+        ("https://Ex.com:443", "https://ex.com/"),
+        ("https://ex.com:80/x", "https://ex.com:80/x"),   # non-default port kept
+        ("http://ex.com/x/", "http://ex.com/x"),
+        ("http://ex.com/?fbclid=1&gclid=2&ref=3", "http://ex.com/"),
+        ("http://ex.com/p?b=2&a=1&b=1", "http://ex.com/p?a=1&b=1&b=2"),
+        ("ftp://Files.Ex.com/Pub/", "ftp://files.ex.com/Pub"),
+        ("no scheme here", None),
+        ("", None),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+    # strip_www=False preserves the prefix
+    one = spark.createDataFrame([("http://www.ex.com/a",)], "url string")
+    kept = one.select(
+        canonicalize_url(F.col("url"), strip_www=False).alias("c")).collect()[0]["c"]
+    assert kept == "http://www.ex.com/a"
+
+
+def test_dedup_canonical_url_first_wins_and_nulls_kept_out(spark):
+    from lazy_frame_spark.operators.urls import dedup_canonical_url
+
+    rows = [
+        (3, "http://a.com/x?b=2&a=1"),
+        (1, "HTTP://WWW.A.com:80/x/?a=1&b=2#top"),
+        (2, "https://a.com/x?a=1&b=2"),   # different scheme: distinct
+        (9, "garbage"),
+        (8, "more garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"])
+           for r in dedup_canonical_url(df).collect()}
+    assert got == {
+        "http://a.com/x?a=1&b=2": (1, 2),   # min doc_id wins the merge
+        "https://a.com/x?a=1&b=2": (2, 1),
+    }
