@@ -138,3 +138,46 @@ def mix_corpora(
     return sample_by_rates(
         df, domain_col, rates, id_cols=id_cols, seed=seed, default_bp=0
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    n: int,
+    order_by: Sequence[str],
+    pre_cut: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the anti-spam cap every web
+    corpus applies per domain/source (one hostile domain must not be
+    able to dominate the training mix). ``order_by`` decides WHICH n
+    survive (e.g. quality score desc, doc_id as tiebreak); make it a
+    total order within each group or the selection at the boundary is
+    engine-arbitrary.
+
+    Scale shape: the naive single window puts every row of a hot group
+    through ONE task. With ``pre_cut`` (default), a local pass ranks
+    within (group, scan partition) first — Spark's window exchange
+    hashes on BOTH keys, so a hot domain spreads across tasks — and
+    keeps n per cell; only ≤ n x touched-partitions rows per group
+    reach the global rank. Every global top-n row survives its local
+    cut by construction, so results are identical with or without the
+    pre-cut (property-tested)."""
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in order_by]
+    out = df
+    if pre_cut:
+        wl = Window.partitionBy(
+            *[F.col(c) for c in group_cols], F.spark_partition_id()
+        ).orderBy(*order)
+        out = (
+            out.withColumn("__rl__", F.row_number().over(wl))
+            .filter(F.col("__rl__") <= n)
+            .drop("__rl__")
+        )
+    wg = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    return (
+        out.withColumn("__rg__", F.row_number().over(wg))
+        .filter(F.col("__rg__") <= n)
+        .drop("__rg__")
+    )

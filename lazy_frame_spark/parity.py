@@ -2075,6 +2075,35 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "mix_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn <= 25
+    """,
+)
+def mix_domain_cap(spark, sf_dir):
+    """Per-source anti-spam cap (operators/mixing.cap_per_group): at
+    most 25 docs per source, largest n_chars first with doc_id
+    tiebreak. The skew-safe two-phase plan — local (source, scan
+    partition) pre-cut spreads a hot source across tasks, bounded
+    survivors feed the global rank — returns exactly the naive
+    single-window answer (the oracle)."""
+    from lazy_frame_spark.operators import mixing as _mix2
+
+    d = _table(spark, sf_dir, "documents")
+    # order by n_chars DESC: express as a computed column so the
+    # library API (column names only) matches the oracle's ordering
+    capped = _mix2.cap_per_group(
+        d.withColumn("__neg_chars__", -F.col("n_chars")),
+        ["source"], 25, ["__neg_chars__", "doc_id"],
+    )
+    return capped.select("doc_id", "source")
+
+
+@query(
     "dedup_url_canonical",
     oracle=r"""
     WITH u AS (

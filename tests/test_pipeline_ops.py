@@ -1810,3 +1810,20 @@ def test_dedup_canonical_url_first_wins_and_nulls_kept_out(spark):
         "http://a.com/x?a=1&b=2": (1, 2),   # min doc_id wins the merge
         "https://a.com/x?a=1&b=2": (2, 1),
     }
+
+
+def test_cap_per_group_pre_cut_equals_naive(spark, sf_dir):
+    """Property: the skew-safe two-phase cap returns exactly the naive
+    single-window result (every global top-n row survives its local
+    cut), and no group exceeds the cap."""
+    from lazy_frame_spark.operators.mixing import cap_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = cap_per_group(d, ["source"], 7, ["doc_id"], pre_cut=True)
+    naive = cap_per_group(d, ["source"], 7, ["doc_id"], pre_cut=False)
+    a = {(r["source"], r["doc_id"]) for r in fast.select("source", "doc_id").collect()}
+    b = {(r["source"], r["doc_id"]) for r in naive.select("source", "doc_id").collect()}
+    assert a == b and a
+    import collections
+    counts = collections.Counter(s for s, _ in a)
+    assert max(counts.values()) <= 7
