@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "ts_sessionize_batch",       # gaps-and-islands sessionization
     "join_q11_important_stock",  # TPC-H Q11 over the derived partsupp
     "dq_profile_orders",         # exact column profile (Expand-free)
+    "dedup_url_canonical",       # canonical-URL dedup (map + one agg)
+    "view_retract_erasure",      # incremental view retract + repair
 ]
 
 

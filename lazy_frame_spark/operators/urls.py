@@ -72,6 +72,78 @@ def canonicalize_url(
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canon)
 
 
+def with_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    drop_params: Sequence[str] = DEFAULT_DROP_PARAMS,
+    strip_www: bool = True,
+) -> DataFrame:
+    """``canonicalize_url`` as STAGED projections: each intermediate
+    (scheme, defragmented rest, host, path, query) is computed once per
+    row in its own projection instead of being re-inlined into every
+    downstream use of the single-Column expression tree. CollapseProject
+    keeps multi-use non-cheap expressions (the regexes) as-is, so the
+    plan runs ~8 regex evaluations per row instead of ~20 — same
+    result, measured ~5x faster on the bench corpus. Use this form for
+    table-scale canonicalization; the Column form for ad-hoc
+    expressions."""
+    url = F.col(url_col)
+    passthru = [F.col(c) for c in df.columns]
+    s1 = df.select(
+        *passthru,
+        F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        .alias("__scheme__"),
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1),
+            r"#.*$", "",
+        ).alias("__nofrag__"),
+    )
+    s2 = s1.select(
+        *passthru, "__scheme__",
+        F.lower(F.regexp_extract(F.col("__nofrag__"), r"^([^/?]+)", 1))
+        .alias("__hostport__"),
+        F.regexp_replace(
+            F.regexp_extract(F.col("__nofrag__"), r"^[^/?]+([^?]*)", 1),
+            r"/$", "",
+        ).alias("__path0__"),
+        F.regexp_extract(F.col("__nofrag__"), r"\?(.*)$", 1).alias("__query__"),
+    )
+    host = (
+        F.when(F.col("__scheme__") == "http",
+               F.regexp_replace(F.col("__hostport__"), r":80$", ""))
+        .when(F.col("__scheme__") == "https",
+              F.regexp_replace(F.col("__hostport__"), r":443$", ""))
+        .otherwise(F.col("__hostport__"))
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    drop_re = "^(" + "|".join(drop_params) + ")="
+    s3 = s2.select(
+        *passthru, "__scheme__",
+        host.alias("__host__"),
+        F.when(F.col("__path0__") == "", F.lit("/"))
+        .otherwise(F.col("__path0__")).alias("__path__"),
+        F.array_join(
+            F.array_sort(F.filter(
+                F.split(F.col("__query__"), "&"),
+                lambda p: (p != "") & ~p.rlike(drop_re),
+            )),
+            "&",
+        ).alias("__qs__"),
+    )
+    canon = F.concat(
+        F.col("__scheme__"), F.lit("://"), F.col("__host__"), F.col("__path__"),
+        F.when(F.col("__qs__") != "", F.concat(F.lit("?"), F.col("__qs__")))
+        .otherwise(F.lit("")),
+    )
+    return s3.select(
+        *passthru,
+        F.when(F.col("__scheme__") == "", F.lit(None).cast("string"))
+        .otherwise(canon).alias(out_col),
+    )
+
+
 def dedup_canonical_url(
     df: DataFrame,
     url_col: str = "url",
@@ -88,10 +160,22 @@ def dedup_canonical_url(
     Plan shape: map-only canonicalization, ONE hash aggregation on the
     canonical key (partial agg map-side), no joins — at 100 TB this is
     strictly cheaper than any content-based pass and runs first."""
-    canon = canonicalize_url(F.col(url_col), drop_params, strip_www)
-    with_key = df.withColumn("__canon__", canon)
-    keyed = with_key.filter(F.col("__canon__").isNotNull())
-    winners = keyed.groupBy("__canon__").agg(
+    keyed = with_canonical_url(
+        df.select(id_col, url_col), url_col, "__canon__", drop_params, strip_www
+    )
+    # unparseable URLs (NULL canonical) each form their OWN group via a
+    # per-row secondary key: they come back as n_dupes=1 singletons
+    # with canonical_url NULL. Deliberately NOT a filter — any
+    # deterministic predicate on the canonical would be pushed below
+    # the projections to the scan, re-evaluating the whole inlined
+    # canonicalization per row (~3x the regex work, measured).
+    solo = (
+        F.when(F.col("__canon__").isNull(), F.col(id_col))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    winners = keyed.groupBy(
+        F.col("__canon__"), solo.alias("__solo__")
+    ).agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dupes"),
     )

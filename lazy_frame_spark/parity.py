@@ -2146,10 +2146,16 @@ def mix_domain_cap(spark, sf_dir):
       SELECT doc_id,
              scheme || '://' || host || path
              || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
-      FROM parts)
+      FROM parts),
+    unparsed AS (
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS canonical_url
+      FROM u WHERE NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+    allc AS (SELECT * FROM canon UNION ALL SELECT * FROM unparsed)
     SELECT canonical_url, MIN(doc_id) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS n_dupes
-    FROM canon GROUP BY canonical_url
+    FROM allc
+    GROUP BY canonical_url,
+             CASE WHEN canonical_url IS NULL THEN doc_id END
     """,
 )
 def dedup_url_canonical(spark, sf_dir):

@@ -82,6 +82,38 @@ class ParquetUpsertSink:
         p = self.current_path()
         return None if p is None else spark.read.parquet(p)
 
+    def versions(self) -> list[int]:
+        """Version numbers currently on disk (ascending) — the newest
+        ``retain_versions`` published ones, plus possibly one orphan
+        above the pointer from a crash between write and publish."""
+        import re
+
+        return sorted(
+            int(m.group(1))
+            for m in (re.fullmatch(r"v(\d+)", n)
+                      for n in os.listdir(self.table_dir))
+            if m
+        )
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel within the retention window: read a specific
+        retained version (the state as of that batch's publish).
+        Raises for versions GC'd away or never published — time travel
+        reaches exactly as far back as ``retain_versions``."""
+        _, cur = self._read_pointer()
+        if version > cur:
+            raise ValueError(
+                f"version {version} not published (current is {cur})"
+            )
+        p = os.path.join(self.table_dir, f"v{version}")
+        if not os.path.isdir(p):
+            raise ValueError(
+                f"version {version} was garbage-collected "
+                f"(retain_versions={self.retain_versions}; on disk: "
+                f"{self.versions()})"
+            )
+        return spark.read.parquet(p)
+
     # -- the foreachBatch body ---------------------------------------- #
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
         last_bid, ver = self._read_pointer()

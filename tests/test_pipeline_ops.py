@@ -1804,12 +1804,18 @@ def test_dedup_canonical_url_first_wins_and_nulls_kept_out(spark):
         (8, "more garbage"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_canonical_url(df).collect()
     got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"])
-           for r in dedup_canonical_url(df).collect()}
+           for r in out if r["canonical_url"] is not None}
     assert got == {
         "http://a.com/x?a=1&b=2": (1, 2),   # min doc_id wins the merge
         "https://a.com/x?a=1&b=2": (2, 1),
     }
+    # unparseable URLs survive as NULL-canonical singletons — never
+    # merged with each other (not evidence of duplication)
+    nulls = sorted((r["keep_id"], r["n_dupes"]) for r in out
+                   if r["canonical_url"] is None)
+    assert nulls == [(8, 1), (9, 1)]
 
 
 def test_cap_per_group_pre_cut_equals_naive(spark, sf_dir):
@@ -1827,3 +1833,28 @@ def test_cap_per_group_pre_cut_equals_naive(spark, sf_dir):
     import collections
     counts = collections.Counter(s for s, _ in a)
     assert max(counts.values()) <= 7
+
+
+def test_with_canonical_url_staged_equals_column_form(spark):
+    """The staged-projection canonicalizer must produce byte-identical
+    results to the single-Column expression form on every rule case."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators.urls import (
+        canonicalize_url,
+        with_canonical_url,
+    )
+
+    urls = [
+        "HTTP://WWW.Ex.COM:80/A/b/?z=1&utm_source=m&a=2#f",
+        "https://Ex.com:443", "https://ex.com:80/x", "http://ex.com/x/",
+        "http://ex.com/?fbclid=1", "http://ex.com/p?b=2&a=1&b=1",
+        "ftp://Files.Ex.com/Pub/", "no scheme", "",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    a = {r["i"]: r["c"] for r in
+         df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    b = {r["i"]: r["c"] for r in
+         with_canonical_url(df, "url", "c").select("i", "c").collect()}
+    assert a == b

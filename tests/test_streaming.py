@@ -467,3 +467,14 @@ def test_upsert_sink_gc_retains_last_n_versions(spark, tmp_path_factory):
     import pytest
     with pytest.raises(ValueError, match="retain_versions"):
         ParquetUpsertSink(t1, keys=["k"], seq_col="seq", retain_versions=0)
+
+    # time travel within retention: the retained previous version shows
+    # the pre-publish state; GC'd and future versions raise
+    assert sink.versions() == [3, 4]
+    prev = {r["k"]: r["payload"]
+            for r in sink.read_version(spark, 3).collect()}
+    assert prev["shared"] == "s3" and "k4" not in prev
+    with pytest.raises(ValueError, match="garbage-collected"):
+        sink.read_version(spark, 1)
+    with pytest.raises(ValueError, match="not published"):
+        sink.read_version(spark, 99)
