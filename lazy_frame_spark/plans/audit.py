@@ -163,3 +163,13 @@ SINGLE_TASK_WINDOW_BOUNDED = {
     "text_vocabulary",     # TakeOrderedAndProject(50) feeds the rank window
     "vocab_merge_candidates",  # same shape: top-k merge pairs then rank
 }
+
+
+#: Queries whose final global ORDER BY runs over a provably small
+#: aggregated/HAVING-filtered result (TPC-H mandates the output order);
+#: the "global Sort without a top-k cut" warning is advisory noise
+#: there — the sort input is grain-bounded, not table-sized.
+SORTED_SMALL_RESULT = {
+    "join_q11_important_stock",  # parts above the value threshold
+    "join_q20_excess_stock",     # suppliers with excess stock
+}

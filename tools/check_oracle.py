@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lazy_frame_spark.plans.audit import (  # noqa: E402
     BNLJ_BOUNDED_BUILD,
     SINGLE_TASK_WINDOW_BOUNDED,
+    SORTED_SMALL_RESULT,
     scale_warnings,
 )
 from lazy_frame_spark.session import get_spark  # noqa: E402
@@ -57,6 +58,8 @@ def audit(name: str, sdf) -> tuple[list[str], list[str]]:
             and name in SINGLE_TASK_WINDOW_BOUNDED
         ):
             pass  # window input cut to top-k rows before the rank
+        elif w.startswith("global Sort") and name in SORTED_SMALL_RESULT:
+            pass  # TPC-H-mandated ORDER BY over a grain-bounded result
         else:
             soft.append(w)
     return hard, soft
