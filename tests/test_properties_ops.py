@@ -381,3 +381,45 @@ def test_asof_bucketed_equals_plain_random(spark, ev, rt, n_buckets, direction):
         left, right, "k", "t", "rt", ["v"], direction=direction,
         time_buckets=n_buckets).collect()))
     assert bucketed == plain
+
+
+# --------------------------------------------------------------------- #
+# URL canonicalization (operators/urls.py)
+# --------------------------------------------------------------------- #
+
+url_piece = st.sampled_from([
+    "http://", "HTTPS://", "hxxp", "www.", "Ex.COM", ":80", ":443", ":8080",
+    "/Path", "/path/", "?", "a=1", "&b=2", "&utm_source=x", "#frag", "",
+    "%20", "a b", "//", "?&&", "=", "1",
+])
+url_strategy = st.lists(url_piece, min_size=0, max_size=8).map("".join)
+
+
+@SETTINGS
+@given(urls=st.lists(url_strategy, min_size=1, max_size=12))
+def test_canonicalize_url_idempotent_and_forms_agree(spark, urls):
+    """Properties over adversarial URL-ish strings: (1) the staged
+    (with_canonical_url) and single-Column forms agree byte-for-byte;
+    (2) canonicalization is IDEMPOTENT — re-canonicalizing a canonical
+    output is a no-op (otherwise dedup keys drift across pipeline
+    stages); (3) NULL only for inputs without a scheme."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators.urls import (
+        canonicalize_url,
+        with_canonical_url,
+    )
+
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
+    staged = {r["i"]: r["c"] for r in
+              with_canonical_url(df, "url", "c").select("i", "c").collect()}
+    column = {r["i"]: r["c"] for r in
+              df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert staged == column
+
+    canon_rows = [(i, c) for i, c in staged.items() if c is not None]
+    if canon_rows:
+        df2 = spark.createDataFrame(canon_rows, "i long, url string")
+        twice = {r["i"]: r["c"] for r in
+                 with_canonical_url(df2, "url", "c").select("i", "c").collect()}
+        assert twice == dict(canon_rows)
