@@ -471,3 +471,40 @@ def merge_candidates(
     return scored.orderBy(
         F.desc("score_x1e8"), F.asc("lhs"), F.asc("rhs")
     ).limit(top_k)
+
+
+def model_quality_score(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float, float] = (2.0, 1.5, -3.0, 0.5),
+    bias: float = -2.0,
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """Model-based quality scoring: logistic-regression INFERENCE as a
+    pure Catalyst expression — the fastText/classifier-filter stage of
+    a training pipeline, with the model weights as plan literals
+    (broadcast with the task binaries, zero Python, zero shuffle).
+
+    Features reuse the exact integer signals of ``quality_features``:
+    alpha ratio, stopword ratio, punctuation ratio (each bp/10000) and
+    ln(1 + n_tokens). ``score = sigmoid(w . x + b)``, rounded to 6
+    decimals (sub-ulp libm differences between engines vanish at that
+    precision); ``keep`` applies the threshold. Swap ``weights``/
+    ``bias`` for a model trained offline on labeled docs — inference
+    cost is one map pass regardless of model provenance."""
+    w1, w2, w3, w4 = (float(w) for w in weights)
+    f = quality_features(df, text_col, id_col)
+    z = (
+        F.lit(w1) * (F.col("alpha_bp") / F.lit(10000.0))
+        + F.lit(w2) * (F.col("stopword_bp") / F.lit(10000.0))
+        + F.lit(w3) * (F.col("punct_bp") / F.lit(10000.0))
+        + F.lit(w4) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(float(bias))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return f.select(
+        F.col(id_col),
+        F.round(score, 6).alias("model_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -1017,6 +1017,43 @@ def text_quality_features(spark, sf_dir):
 
 
 @query(
+    "text_model_quality_score",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+             length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha,
+             (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))::BIGINT AS punct,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that)\b'))::BIGINT AS stop_hits
+      FROM documents),
+    g AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_chars > 0 THEN FLOOR(alpha * 10000 / n_chars)::BIGINT ELSE 0 END AS alpha_bp,
+             CASE WHEN n_chars > 0 THEN FLOOR(punct * 10000 / n_chars)::BIGINT ELSE 0 END AS punct_bp,
+             CASE WHEN n_tok > 0 THEN FLOOR(stop_hits * 10000 / n_tok)::BIGINT ELSE 0 END AS stopword_bp
+      FROM f),
+    z AS (
+      SELECT doc_id,
+             2.0 * (alpha_bp / 10000.0) + 1.5 * (stopword_bp / 10000.0)
+             - 3.0 * (punct_bp / 10000.0) + 0.5 * ln(1.0 + n_tok) - 2.0 AS zv
+      FROM g)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-zv)), 6) AS model_score,
+           (1.0 / (1.0 + exp(-zv)) >= 0.5) AS keep
+    FROM z
+    """,
+)
+def text_model_quality_score(spark, sf_dir):
+    """Classifier-based quality filtering (operators/text
+    .model_quality_score): logistic inference over the exact integer
+    quality features, weights as plan literals — one map pass, no
+    Python, no shuffle; the oracle recomputes the identical model in
+    DuckDB SQL."""
+    return _tx.model_quality_score(_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_lang_id",
     oracle=r"""
     WITH s AS (

@@ -1858,3 +1858,34 @@ def test_with_canonical_url_staged_equals_column_form(spark):
     b = {r["i"]: r["c"] for r in
          with_canonical_url(df, "url", "c").select("i", "c").collect()}
     assert a == b
+
+
+def test_model_quality_score_matches_numpy(spark):
+    """The Catalyst logistic must match a numpy reference on hand-built
+    docs spanning empty, punctuation-heavy, and stopword-rich text, and
+    keep must be score >= threshold exactly."""
+    import math
+
+    from lazy_frame_spark.operators.text import model_quality_score
+
+    rows = [
+        (1, "the cat sat on the mat and that is that"),
+        (2, "!!!???;;;...,,,"),
+        (3, ""),
+        (4, "alpha beta gamma delta epsilon zeta eta theta " * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["model_score"], r["keep"])
+           for r in model_quality_score(df).collect()}
+
+    from lazy_frame_spark.operators.text import quality_features
+    feats = {r["doc_id"]: r for r in quality_features(df).collect()}
+    for doc_id, f in feats.items():
+        z = (2.0 * f["alpha_bp"] / 10000.0 + 1.5 * f["stopword_bp"] / 10000.0
+             - 3.0 * f["punct_bp"] / 10000.0
+             + 0.5 * math.log(1.0 + f["n_tokens"]) - 2.0)
+        want = 1.0 / (1.0 + math.exp(-z))
+        assert abs(got[doc_id][0] - round(want, 6)) < 1e-9, doc_id
+        assert got[doc_id][1] == (want >= 0.5), doc_id
+    # the garbage/empty docs score below the real ones
+    assert got[2][0] < got[1][0] and got[3][0] < got[1][0]
