@@ -4,11 +4,24 @@ from lazy_frame_spark.operators.decontam import (
     decontaminate_stream,
     eval_ngrams,
 )
+from lazy_frame_spark.operators.incremental import (
+    agg_view_build,
+    agg_view_read,
+    agg_view_repair,
+    agg_view_retract,
+    agg_view_update,
+)
 from lazy_frame_spark.operators.mixing import (
+    cap_per_group,
     epoch_shuffle,
     mix_corpora,
     rates_for_target_mix,
     sample_by_rates,
+)
+from lazy_frame_spark.operators.urls import (
+    canonicalize_url,
+    dedup_canonical_url,
+    with_canonical_url,
 )
 from lazy_frame_spark.operators.dedup import (
     chunk_dedup,
@@ -43,8 +56,11 @@ from lazy_frame_spark.operators.similarity import (
     IVFIndex,
     RandomHyperplaneLSH,
     cosine_topk,
+    cosine_topk_int8,
+    dequantize_int8,
     embedding_near_dup_pairs,
     label_outliers,
+    quantize_int8,
 )
 from lazy_frame_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from lazy_frame_spark.operators.multimodal import (
@@ -75,6 +91,7 @@ from lazy_frame_spark.operators.sorts import top_k
 from lazy_frame_spark.operators.text import (
     kmin_shingle_fingerprint,
     lang_id,
+    model_quality_score,
     normalized_fingerprint,
     pii_scrub,
     quality_features,
@@ -94,6 +111,12 @@ __all__ = [
     "contamination", "decontaminate", "decontaminate_stream", "eval_ngrams",
     # mixing & training order
     "epoch_shuffle", "mix_corpora", "rates_for_target_mix", "sample_by_rates",
+    "cap_per_group",
+    # canonical-URL dedup
+    "canonicalize_url", "with_canonical_url", "dedup_canonical_url",
+    # incremental aggregate views
+    "agg_view_build", "agg_view_update", "agg_view_read",
+    "agg_view_retract", "agg_view_repair",
     # dedup
     "exact_dedup", "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
@@ -101,8 +124,9 @@ __all__ = [
     # similarity
     "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "embedding_near_dup_pairs",
+    "quantize_int8", "dequantize_int8", "cosine_topk_int8",
     # text
-    "token_count", "quality_features", "lang_id",
+    "token_count", "quality_features", "lang_id", "model_quality_score",
     "normalized_fingerprint", "kmin_shingle_fingerprint",
     "repetition_features", "pii_scrub", "quality_gate",
     # packing
