@@ -103,6 +103,7 @@ def agg_view_stream_writer(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    op_col: str | None = None,
 ):
     """``foreachBatch`` sink that maintains the stored view under
     streaming ingest, EXACTLY-ONCE: each micro-batch folds into the
@@ -112,6 +113,15 @@ def agg_view_stream_writer(
     after any crash sees its own id and skips (double-folding a
     non-idempotent merge is the classic streaming-upsert bug).
 
+    ``op_col`` turns the writer CDC-aware: rows whose ``op_col`` value
+    is ``'D'`` (case-insensitive) RETRACT from the view via
+    ``agg_view_retract``; every other row upserts. Only count/sum
+    aggregates are stream-retractable — min/max need the grain-pruned
+    ``agg_view_repair`` rescan, which a foreachBatch body cannot run
+    against a stream — so configuring ``op_col`` together with
+    ``min_cols``/``max_cols`` raises up front instead of serving stale
+    extremes silently.
+
     Usage::
 
         q = (stream.writeStream.foreachBatch(
@@ -120,6 +130,13 @@ def agg_view_stream_writer(
     """
     import json
     import os
+
+    if op_col is not None and (min_cols or max_cols):
+        raise ValueError(
+            "op_col (streaming retraction) supports count/sum views only: "
+            "min/max retraction needs agg_view_repair's source rescan — "
+            "maintain those with the batch retract+repair path instead"
+        )
 
     marker = "_FOLDED_BATCH.json"
 
@@ -138,13 +155,22 @@ def agg_view_stream_writer(
                 last = json.load(f)["batch_id"]
         if batch_id <= last:  # replayed batch: already folded
             return
+        inserts, deletes = batch_df, None
+        if op_col is not None:
+            is_del = F.upper(F.col(op_col)) == "D"
+            inserts = batch_df.filter(~is_del).drop(op_col)
+            deletes = batch_df.filter(is_del).drop(op_col)
         if os.path.exists(view_dir):
             stored = spark.read.parquet(view_dir)
             updated = agg_view_update(
-                stored, batch_df, grain, sum_cols, min_cols, max_cols
+                stored, inserts, grain, sum_cols, min_cols, max_cols
             )
         else:
-            updated = agg_view_build(batch_df, grain, sum_cols, min_cols, max_cols)
+            updated = agg_view_build(inserts, grain, sum_cols, min_cols, max_cols)
+        if deletes is not None:
+            updated = agg_view_retract(
+                updated, deletes, grain, sum_cols, min_cols, max_cols
+            ).drop(STALE_COL)  # count/sum only: never stale (enforced)
         dest = view_dir.rstrip("/") + "__fold_tmp"
         updated.write.mode("overwrite").parquet(dest)
         with open(os.path.join(dest, marker), "w", encoding="utf-8") as f:

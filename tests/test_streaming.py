@@ -478,3 +478,66 @@ def test_upsert_sink_gc_retains_last_n_versions(spark, tmp_path_factory):
         sink.read_version(spark, 1)
     with pytest.raises(ValueError, match="not published"):
         sink.read_version(spark, 99)
+
+
+def test_agg_view_stream_writer_cdc_retraction(spark, sf_dir, tmp_path):
+    """CDC-aware stream maintenance: 'D' rows retract, others upsert —
+    the streamed view must equal a batch build over the NET rows
+    (inserts minus deletes), replay stays exactly-once, and a grain
+    whose every row was deleted drops out. op_col with min/max cols
+    raises up front."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from lazy_frame_spark.operators import incremental as iv
+    from lazy_frame_spark.operators.incremental import agg_view_stream_writer
+    from lazy_frame_spark.streaming import stream_events
+
+    src = str(tmp_path / "cdc_src")
+    view = str(tmp_path / "cdc_view")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    types = sorted(r["event_type"]
+                   for r in ev.select("event_type").distinct().collect())
+    doomed_type = types[0]
+    # CDC log: every event inserted; every 3rd event AND the entire
+    # doomed grain deleted afterwards (later file => later micro-batch)
+    inserts = ev.withColumn("op", F.lit("I"))
+    deletes = ev.filter(
+        (F.col("event_id") % 3 == 0) | (F.col("event_type") == doomed_type)
+    ).withColumn("op", F.lit("D"))
+    inserts.repartition(2).write.parquet(src)
+    deletes.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_events(spark, src, spark.read.parquet(src).schema,
+                           max_files_per_trigger=2)
+    fold = agg_view_stream_writer(view, ["event_type"], sum_cols=["value"],
+                                  op_col="op")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    net = ev.join(deletes.drop("op"), on=["event_id", "event_type", "value"],
+                  how="left_anti")
+    want = iv.agg_view_build(net, ["event_type"], sum_cols=["value"])
+
+    def norm(df):
+        return sorted((r["event_type"], r["__n__"], round(r["sum_value"], 4))
+                      for r in df.select("event_type", "__n__", "sum_value")
+                      .collect())
+    got = spark.read.parquet(view)
+    assert norm(got) == norm(want)
+    assert got.filter(F.col("event_type") == doomed_type).count() == 0
+
+    # replayed batch id: no-op
+    fold(inserts.limit(30), 0)
+    assert norm(spark.read.parquet(view)) == norm(want)
+
+    with pytest.raises(ValueError, match="count/sum views only"):
+        agg_view_stream_writer(view, ["event_type"], sum_cols=["value"],
+                               min_cols=["value"], op_col="op")
