@@ -376,7 +376,11 @@ def delete_keys(
         for r in touched:
             one = F.lit(True)
             for c in part_cols:
-                one = one & (F.col(c) == F.lit(r[c]))
+                # null-safe: a NULL partition value must select its
+                # partition's rows — plain == never matches NULL, which
+                # would rewrite the __HIVE_DEFAULT_PARTITION__ dir to
+                # EMPTY (over-deleting every surviving row in it)
+                one = one & F.col(c).eqNullSafe(F.lit(r[c]))
             pred = one if pred is None else (pred | one)
         if pred is None:  # empty delete set: nothing to do
             return target
@@ -563,7 +567,12 @@ def merge_upsert(
         for r in touched:
             one = F.lit(True)
             for c in part_cols:
-                one = one & (F.col(c) == F.lit(r[c]))
+                # null-safe: an update row with a NULL partition value
+                # must pull the __HIVE_DEFAULT_PARTITION__ rows into the
+                # rewrite — plain == misses them, and the swap would
+                # then replace that dir with ONLY the update rows,
+                # silently dropping every existing row in it
+                one = one & F.col(c).eqNullSafe(F.lit(r[c]))
             pred = one if pred is None else (pred | one)
         # partition pruning: the disjunction of partition-column
         # equalities prunes the scan to the touched directories

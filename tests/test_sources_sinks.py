@@ -818,3 +818,37 @@ def test_delete_keys_scoped_escaped_partition_value(spark, tmp_path):
         spark.createDataFrame([(3, "o#k")], "k long, status string"),
         ["k", "status"], scope_to_partitions=True)
     assert {(r["k"], r["status"]) for r in got2.collect()} == {(4, "o#k")}
+
+
+def test_scoped_ops_null_partition_value_no_overdelete(spark, tmp_path):
+    """A NULL partition value (__HIVE_DEFAULT_PARTITION__) named by a
+    delete/update must select its partition's rows null-safely: with
+    plain == the predicate matches nothing, the rewrite omits the
+    partition's survivors, and the swap replaces the dir with an empty
+    (or update-only) one — silent loss of every surviving row. Matching
+    itself keeps SQL semantics (NULL keys never equal), so the
+    null-keyed delete is a no-op on rows, never an over-delete."""
+    from lazy_frame_spark.sources.parquet import delete_keys, merge_upsert
+
+    final = str(tmp_path / "null_part")
+    rows = [(1, None, 1.0), (2, None, 2.0), (3, "ok", 3.0)]
+    spark.createDataFrame(rows, "k long, status string, v double") \
+        .write.partitionBy("status").parquet(final)
+
+    # scoped delete naming the NULL partition: the non-matching rows
+    # of that partition MUST survive
+    dels = spark.createDataFrame([(1, None)], "k long, status string")
+    got = delete_keys(spark, final, dels, ["k", "status"],
+                      scope_to_partitions=True)
+    kept = {(r["k"], r["status"], r["v"]) for r in got.collect()}
+    # SQL semantics: NULL never equals NULL in the key match, so even
+    # row 1 survives; the critical property is rows 2 and 3 do
+    assert {(2, None, 2.0), (3, "ok", 3.0)} <= kept
+
+    # scoped MERGE with a NULL-partition update row: existing NULL-
+    # partition rows survive alongside the inserted row
+    ups = spark.createDataFrame([(9, None, 9.0)], "k long, status string, v double")
+    got2 = merge_upsert(spark, final, ups, ["k", "status"],
+                        scope_to_partitions=True)
+    kept2 = {(r["k"], r["v"]) for r in got2.filter("status IS NULL").collect()}
+    assert (9, 9.0) in kept2 and (2, 2.0) in kept2
