@@ -60,6 +60,9 @@ from lazy_frame_spark.operators.similarity import (
     dequantize_int8,
     embedding_near_dup_pairs,
     label_outliers,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
     quantize_int8,
 )
 from lazy_frame_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -125,6 +128,7 @@ __all__ = [
     "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "embedding_near_dup_pairs",
     "quantize_int8", "dequantize_int8", "cosine_topk_int8",
+    "pq_codebooks", "pq_encode", "pq_adc_topk",
     # text
     "token_count", "quality_features", "lang_id", "model_quality_score",
     "normalized_fingerprint", "kmin_shingle_fingerprint",

@@ -423,3 +423,101 @@ def cosine_topk_int8(
         .orderBy(F.col("cos_sim_q").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+# --------------------------------------------------------------------- #
+# Product quantization — memory-bound ANN (m bytes/vector vs 4*dim)
+# --------------------------------------------------------------------- #
+
+def pq_codebooks(
+    dim: int, n_sub: int = 8, k: int = 16, seed: int = 7
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``n_sub`` subspaces of ``dim/n_sub``
+    dimensions, ``k`` centroids each, components md5-derived uniform in
+    [-1, 1) — the same no-stored-model, cross-engine-reproducible
+    anchor as RandomHyperplaneLSH's planes. Data-trained (k-means)
+    codebooks drop in as the same nested-list shape; everything
+    downstream treats the codebook as plan literals either way."""
+    import hashlib
+
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subvectors")
+    d_sub = dim // n_sub
+    out = []
+    for s in range(n_sub):
+        cents = []
+        for j in range(k):
+            row = []
+            for i in range(d_sub):
+                h = hashlib.md5(f"pq:{seed}:{s}:{j}:{i}".encode()).hexdigest()
+                row.append(int(h[:12], 16) / float(1 << 47) - 1.0)
+            cents.append(row)
+        out.append(cents)
+    return out
+
+
+def _pq_sub_dist(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 distance from a d_sub-slice to one literal centroid,
+    unrolled per dimension (pure codegen arithmetic)."""
+    d = F.lit(0.0)
+    for i, c in enumerate(cent):
+        diff = F.element_at(sub, i + 1) - F.lit(float(c))
+        d = d + diff * diff
+    return d
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector to ``n_sub`` one-byte codes: per subspace, the
+    1-based index of the nearest centroid (first-min tie-break — both
+    engines' list-position semantics). The 100 TB story: a 64-dim
+    float32 embedding store (256 B/vector) becomes 8 B/vector, and the
+    whole encode is a map-only Catalyst expression — no Python, no
+    shuffle, no fitted-model shipping (the codebook IS the plan)."""
+    v = F.col(vec_col).cast("array<double>")
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for s, cents in enumerate(codebooks):
+        sub = F.slice(v, s * d_sub + 1, d_sub)
+        dists = F.array(*[_pq_sub_dist(sub, c) for c in cents])
+        codes.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    df_encoded: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    code_col: str = "pq_codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    distance to every centroid of every subspace is computed ONCE
+    driver-side (n_sub x k floats) and embedded as literal lookup
+    tables; each row's approximate distance is n_sub ``element_at``
+    loads + adds — the scan does no floating-point geometry at all.
+    Returns the k nearest (smallest approximate distance, id
+    tie-break)."""
+    d_sub = len(codebooks[0][0])
+    luts = []
+    for s, cents in enumerate(codebooks):
+        q_sub = [float(x) for x in query_vec[s * d_sub:(s + 1) * d_sub]]
+        luts.append([
+            sum((q_sub[i] - c[i]) ** 2 for i in range(d_sub)) for c in cents
+        ])
+    dist = F.lit(0.0)
+    for s, lut in enumerate(luts):
+        table = F.array(*[F.lit(float(x)) for x in lut])
+        dist = dist + F.element_at(table, F.element_at(F.col(code_col), s + 1))
+    return (
+        df_encoded.select(F.col(id_col), F.round(dist, 6).alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -2226,6 +2226,101 @@ def dedup_url_canonical(spark, sf_dir):
     return _u.dedup_canonical_url(docs, url_col="url", id_col="doc_id")
 
 
+def _pq_books():
+    from lazy_frame_spark.operators.similarity import pq_codebooks
+
+    return pq_codebooks(dim=64, n_sub=8, k=16, seed=7)
+
+
+def _pq_encode_sql() -> str:
+    """DuckDB twin of pq_encode over the embeddings table, generated
+    from the SAME codebook literals the Spark expression embeds —
+    distances sum dims in the same ascending left-associated order, so
+    doubles (and therefore argmins) match bit-for-bit."""
+    books = _pq_books()
+    d_sub = len(books[0][0])
+    code_exprs = []
+    for s, cents in enumerate(books):
+        dists = []
+        for c in cents:
+            terms = " + ".join(
+                f"(v[{s * d_sub + i + 1}] - ({c[i]!r}))"
+                f" * (v[{s * d_sub + i + 1}] - ({c[i]!r}))"
+                for i in range(d_sub)
+            )
+            dists.append(f"({terms})")
+        dlist = "list_value(" + ", ".join(dists) + ")"
+        code_exprs.append(
+            f"CAST(list_indexof({dlist}, list_aggregate({dlist}, 'min')) AS INT)"
+            f" AS c{s + 1}"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+        "SELECT vec_id, " + ",\n       ".join(code_exprs) + "\nFROM e"
+    )
+
+
+def _pq_adc_sql() -> str:
+    """DuckDB twin of pq_adc_topk: the per-subspace lookup tables are
+    computed in SQL from the vec_id=0 query vector with the same
+    literal centroids and the same summation order as the Python
+    driver-side LUT build."""
+    books = _pq_books()
+    d_sub = len(books[0][0])
+    lut_cols = []
+    for s, cents in enumerate(books):
+        entries = []
+        for c in cents:
+            terms = " + ".join(
+                f"(q[{s * d_sub + i + 1}] - ({c[i]!r}))"
+                f" * (q[{s * d_sub + i + 1}] - ({c[i]!r}))"
+                for i in range(d_sub)
+            )
+            entries.append(f"({terms})")
+        lut_cols.append("list_value(" + ", ".join(entries) + f") AS lut{s + 1}")
+    dist = " + ".join(f"lut{s + 1}[c{s + 1}]" for s in range(len(books)))
+    return (
+        f"WITH codes AS ({_pq_encode_sql()}),\n"
+        "q0 AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),\n"
+        "luts AS (SELECT " + ",\n              ".join(lut_cols) + " FROM q0)\n"
+        f"SELECT vec_id, ROUND({dist}, 6) AS pq_dist\n"
+        "FROM codes, luts\n"
+        "ORDER BY pq_dist ASC, vec_id LIMIT 10"
+    )
+
+
+@query("ann_pq_encode", oracle=_pq_encode_sql())
+def ann_pq_encode(spark, sf_dir):
+    """Product-quantization encode (operators/similarity.pq_encode):
+    every vector becomes 8 one-byte codes — nearest deterministic
+    centroid per 8-dim subspace, a pure map-only Catalyst expression
+    with the codebook as plan literals (256 B/vector -> 8 B/vector at
+    100 TB). Every (vector, subspace) code value-checks against DuckDB
+    running the identical distance arithmetic."""
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings")
+    enc = _s.pq_encode(e, _pq_books())
+    return enc.select(
+        "vec_id",
+        *[F.element_at("pq_codes", s + 1).alias(f"c{s + 1}") for s in range(8)],
+    )
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_sql())
+def ann_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance PQ search (similarity.pq_adc_topk): the
+    query-to-centroid lookup tables are 8x16 literal floats, so each
+    row's approximate distance is 8 array loads + adds — no geometry
+    in the scan at all. The oracle rebuilds the same LUTs in SQL from
+    the vec_id=0 query and matches the ranking exactly."""
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings")
+    enc = _s.pq_encode(e, _pq_books())
+    return _s.pq_adc_topk(enc, _query_vec(spark, sf_dir), _pq_books(), k=10)
+
+
 @query(
     "ann_quantize_int8",
     oracle="""

@@ -1889,3 +1889,33 @@ def test_model_quality_score_matches_numpy(spark):
         assert got[doc_id][1] == (want >= 0.5), doc_id
     # the garbage/empty docs score below the real ones
     assert got[2][0] < got[1][0] and got[3][0] < got[1][0]
+
+
+def test_pq_encode_matches_numpy_and_adc_ranks_query_first(spark, sf_dir):
+    """PQ encode must equal a numpy argmin per subspace; ADC must rank
+    the query vector itself first (its code distance is the per-
+    subspace minimum by construction), and codebook shape errors raise."""
+    import numpy as np
+    import pytest
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    books = sim.pq_codebooks(dim=64, n_sub=8, k=16, seed=7)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = sim.pq_encode(e, books)
+    rows = enc.orderBy("vec_id").limit(20).select("vec_id", "embedding",
+                                                  "pq_codes").collect()
+    cb = np.array(books)          # (8, 16, 8)
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64).reshape(8, 8)
+        want = [int(np.argmin(((cb[s] - v[s]) ** 2).sum(axis=1))) + 1
+                for s in range(8)]
+        assert list(r["pq_codes"]) == want, r["vec_id"]
+
+    qv = e.filter("vec_id = 0").select("embedding").collect()[0][0]
+    top = sim.pq_adc_topk(enc, qv, books, k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert all(a["pq_dist"] <= b["pq_dist"] for a, b in zip(top, top[1:]))
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_codebooks(dim=65, n_sub=8)
