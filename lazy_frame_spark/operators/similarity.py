@@ -521,3 +521,46 @@ def pq_adc_topk(
         .orderBy(F.col("pq_dist").asc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-vectorized twin of ``pq_encode``: the unrolled 8x16x8
+    distance expression exceeds Spark's generated-method limits, so the
+    Catalyst form runs INTERPRETED (~260 us/vector measured); this
+    numpy version computes the same distances over Arrow batches at
+    scan speed. Bit-parity is deliberate: float32 inputs widen to
+    float64 exactly, and the accumulation loops over dimensions in the
+    same ascending left-associated order as both the Catalyst
+    expression and the generated DuckDB oracle SQL — distances, argmin
+    codes, and downstream ADC rankings are identical on every path
+    (pinned by tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (S, K, D)
+    S, K, D = cb.shape
+
+    def _enc(vs):
+        V = np.stack(vs.to_numpy()).astype(np.float64)  # (n, S*D)
+        n = V.shape[0]
+        codes = np.empty((n, S), dtype=np.int32)
+        for s in range(S):
+            sub = V[:, s * D:(s + 1) * D]
+            acc = np.zeros((n, K), dtype=np.float64)
+            for i in range(D):
+                diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
+                acc = acc + diff * diff  # dim-ascending, left-assoc
+            codes[:, s] = np.argmin(acc, axis=1) + 1  # first-min, 1-based
+        return pd.Series(list(codes))
+
+    # annotate with REAL types (not strings) so pandas_udf infers the
+    # SERIES eval type without needing pd in this module's globals
+    _enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    enc = F.pandas_udf(ArrayType(IntegerType()))(_enc)
+    return df.withColumn(code_col, enc(F.col(vec_col)))

@@ -2300,7 +2300,10 @@ def ann_pq_encode(spark, sf_dir):
     from lazy_frame_spark.operators import similarity as _s
 
     e = _table(spark, sf_dir, "embeddings")
-    enc = _s.pq_encode(e, _pq_books())
+    # the Arrow path: bit-identical codes to the Catalyst expression
+    # form (pinned by tests), at scan speed instead of interpreted-
+    # expression speed (the unrolled tree exceeds codegen limits)
+    enc = _s.pq_encode_arrow(e, _pq_books())
     return enc.select(
         "vec_id",
         *[F.element_at("pq_codes", s + 1).alias(f"c{s + 1}") for s in range(8)],
@@ -2317,7 +2320,7 @@ def ann_pq_adc_topk(spark, sf_dir):
     from lazy_frame_spark.operators import similarity as _s
 
     e = _table(spark, sf_dir, "embeddings")
-    enc = _s.pq_encode(e, _pq_books())
+    enc = _s.pq_encode_arrow(e, _pq_books())
     return _s.pq_adc_topk(enc, _query_vec(spark, sf_dir), _pq_books(), k=10)
 
 

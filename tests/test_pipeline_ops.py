@@ -1919,3 +1919,18 @@ def test_pq_encode_matches_numpy_and_adc_ranks_query_first(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_codebooks(dim=65, n_sub=8)
+
+
+def test_pq_encode_arrow_bit_identical_to_catalyst(spark, sf_dir):
+    """The Arrow/numpy encode must produce the EXACT codes of the
+    Catalyst expression form on the full sf table (same float64
+    arithmetic in the same order — not just approximately)."""
+    from lazy_frame_spark.operators import similarity as sim
+
+    books = sim.pq_codebooks(dim=64, n_sub=8, k=16, seed=7)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {r["vec_id"]: list(r["pq_codes"])
+         for r in sim.pq_encode(e, books).collect()}
+    b = {r["vec_id"]: list(r["pq_codes"])
+         for r in sim.pq_encode_arrow(e, books).collect()}
+    assert a == b and len(a) > 0
