@@ -63,6 +63,7 @@ from lazy_frame_spark.operators.similarity import (
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+    pq_encode_arrow,
     quantize_int8,
 )
 from lazy_frame_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -128,7 +129,7 @@ __all__ = [
     "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "embedding_near_dup_pairs",
     "quantize_int8", "dequantize_int8", "cosine_topk_int8",
-    "pq_codebooks", "pq_encode", "pq_adc_topk",
+    "pq_codebooks", "pq_encode", "pq_encode_arrow", "pq_adc_topk",
     # text
     "token_count", "quality_features", "lang_id", "model_quality_score",
     "normalized_fingerprint", "kmin_shingle_fingerprint",
