@@ -423,3 +423,50 @@ def test_canonicalize_url_idempotent_and_forms_agree(spark, urls):
         twice = {r["i"]: r["c"] for r in
                  with_canonical_url(df2, "url", "c").select("i", "c").collect()}
         assert twice == dict(canon_rows)
+
+
+# --------------------------------------------------------------------- #
+# positional id assignment incl. the sorted-fast-path probe (rowid.py)
+# --------------------------------------------------------------------- #
+
+@SETTINGS
+@given(
+    keys=st.lists(st.one_of(st.integers(-50, 50), st.none()),
+                  min_size=1, max_size=60),
+    presort=st.booleans(),
+    n_files=st.integers(1, 3),
+)
+def test_enumerate_ids_total_order_random_tables(spark, tmp_path_factory,
+                                                 keys, presort, n_files):
+    """Fuzz the whole id-assignment stack — footer span check, pyarrow
+    prefix probe, sorted fast path, bucketed rank fallback — over random
+    parquet tables (sorted/unsorted, duplicate keys, NULLs, 1..3
+    files): ids must always be exactly 1..n and non-decreasing in key
+    order (NULLs first, Spark's ascending default)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark import rowid as R
+
+    if presort:
+        keys = sorted(keys, key=lambda v: (v is not None, v))
+    d = str(tmp_path_factory.mktemp("fuzz_ids"))
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)],
+                               "pos long, k int").coalesce(1)
+    # honor the requested file split while preserving row order per file
+    n = len(keys)
+    per = max(1, (n + n_files - 1) // n_files)
+    import pandas as pd
+    pdf = pd.DataFrame({"pos": range(n), "k": keys})
+    import os
+    for f in range(0, n, per):
+        spark.createDataFrame(pdf.iloc[f:f + per], schema="pos long, k int") \
+            .coalesce(1).write.mode("append").parquet(d)
+
+    out, handle = R.enumerate_rows(spark.read.parquet(d), order_by=["k"],
+                                   col="__rid__", cache=False)
+    rows = out.select("k", "__rid__").collect()
+    ids = sorted(r["__rid__"] for r in rows)
+    assert ids == list(range(1, n + 1))
+    by_id = [r["k"] for r in sorted(rows, key=lambda r: r["__rid__"])]
+    keyfn = lambda v: (v is not None, v)  # noqa: E731 — NULLS FIRST asc
+    assert all(keyfn(a) <= keyfn(b) for a, b in zip(by_id, by_id[1:]))
