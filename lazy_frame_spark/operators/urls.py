@@ -16,8 +16,10 @@ agree on):
 - tracking parameters dropped (``utm_*``, ``fbclid``, ``gclid``,
   ``ref`` by default — override with ``drop_params``);
 - remaining query parameters sorted bytewise;
-- empty path normalized to ``/``, non-root trailing slash stripped;
-- optional ``www.`` prefix strip (on by default — the standard crawl
+- empty path normalized to ``/``, non-root trailing slashes (the whole run — one-at-a-time stripping breaks idempotence on '//') stripped;
+- optional ``www.`` prefix strip — the whole leading run, only when a
+  domain character follows (single-prefix stripping breaks idempotence
+  on ``www.www.x``) (on by default — the standard crawl
   aggressiveness; disable for origin-sensitive use).
 """
 
@@ -42,16 +44,16 @@ def canonicalize_url(
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
     nofrag = F.regexp_replace(rest, r"#.*$", "")
-    hostport = F.lower(F.regexp_extract(nofrag, r"^([^/?]+)", 1))
+    hostport = F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1))
     host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(hostport, r"(:80)+$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r"(:443)+$", ""))
         .otherwise(hostport)
     )
     if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
-    path = F.regexp_extract(nofrag, r"^[^/?]+([^?]*)", 1)
-    path = F.regexp_replace(path, r"/$", "")
+        host = F.regexp_replace(host, r"^(www\.)+(.)", "$2")
+    path = F.regexp_extract(nofrag, r"^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
     drop_re = "^(" + "|".join(drop_params) + ")="
@@ -101,23 +103,23 @@ def with_canonical_url(
     )
     s2 = s1.select(
         *passthru, "__scheme__",
-        F.lower(F.regexp_extract(F.col("__nofrag__"), r"^([^/?]+)", 1))
+        F.lower(F.regexp_extract(F.col("__nofrag__"), r"^([^/?]*)", 1))
         .alias("__hostport__"),
         F.regexp_replace(
-            F.regexp_extract(F.col("__nofrag__"), r"^[^/?]+([^?]*)", 1),
-            r"/$", "",
+            F.regexp_extract(F.col("__nofrag__"), r"^[^/?]*([^?]*)", 1),
+            r"/+$", "",
         ).alias("__path0__"),
         F.regexp_extract(F.col("__nofrag__"), r"\?(.*)$", 1).alias("__query__"),
     )
     host = (
         F.when(F.col("__scheme__") == "http",
-               F.regexp_replace(F.col("__hostport__"), r":80$", ""))
+               F.regexp_replace(F.col("__hostport__"), r"(:80)+$", ""))
         .when(F.col("__scheme__") == "https",
-              F.regexp_replace(F.col("__hostport__"), r":443$", ""))
+              F.regexp_replace(F.col("__hostport__"), r"(:443)+$", ""))
         .otherwise(F.col("__hostport__"))
     )
     if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
+        host = F.regexp_replace(host, r"^(www\.)+(.)", "$2")
     drop_re = "^(" + "|".join(drop_params) + ")="
     s3 = s2.select(
         *passthru, "__scheme__",

@@ -2165,13 +2165,13 @@ def mix_domain_cap(spark, sf_dir):
       SELECT doc_id, scheme,
         regexp_replace(
           CASE WHEN scheme = 'http'
-               THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]+)', 1)), ':80$', '')
+               THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]*)', 1)), '(:80)+$', '')
                WHEN scheme = 'https'
-               THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]+)', 1)), ':443$', '')
-               ELSE lower(regexp_extract(nofrag, '^([^/?]+)', 1)) END,
-          '^www\.', '') AS host,
-        CASE WHEN regexp_replace(regexp_extract(nofrag, '^[^/?]+([^?]*)', 1), '/$', '') = ''
-             THEN '/' ELSE regexp_replace(regexp_extract(nofrag, '^[^/?]+([^?]*)', 1), '/$', '')
+               THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]*)', 1)), '(:443)+$', '')
+               ELSE lower(regexp_extract(nofrag, '^([^/?]*)', 1)) END,
+          '^(www\.)+(.)', '\2') AS host,
+        CASE WHEN regexp_replace(regexp_extract(nofrag, '^[^/?]*([^?]*)', 1), '/+$', '') = ''
+             THEN '/' ELSE regexp_replace(regexp_extract(nofrag, '^[^/?]*([^?]*)', 1), '/+$', '')
         END AS path,
         array_to_string(
           list_sort(list_filter(
