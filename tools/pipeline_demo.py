@@ -38,11 +38,41 @@ def main() -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     counts["ingested"] = docs.count()
 
-    # 2. quality gate: composite C4/Gopher keep/drop in one map-only pass
-    from lazy_frame_spark.operators.text import quality_gate
+    # 1b. canonical-URL dedup — ALWAYS the first dedup pass (cheapest:
+    #     map + one agg, no content hashing). The synthetic corpus has
+    #     no URL column, so derive a messy fetch URL per doc the way
+    #     the crawler metadata would carry it (several docs share a
+    #     canonical target through www/port/tracking-param noise).
+    from lazy_frame_spark.operators.urls import dedup_canonical_url
+
+    k = F.col("doc_id")
+    fetch_url = (
+        F.when(k % 3 == 0, F.concat(
+            F.lit("HTTP://WWW.host"), (F.floor(k / 3) % 40).cast("bigint").cast("string"),
+            F.lit(".example:80/doc?utm_source=crawl&id=1#top")))
+        .when(k % 3 == 1, F.concat(
+            F.lit("http://host"), (F.floor(k / 3) % 40).cast("bigint").cast("string"),
+            F.lit(".example/doc?id=1")))
+        .otherwise(F.concat(
+            F.lit("https://host"), (F.floor(k / 3) % 40).cast("bigint").cast("string"),
+            F.lit(".example/doc?id=1")))
+    )
+    winners = dedup_canonical_url(
+        docs.withColumn("url", fetch_url), url_col="url", id_col="doc_id"
+    )
+    docs = docs.join(winners.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    counts["after_url_dedup"] = docs.count()
+
+    # 2. quality gate (composite C4/Gopher keep/drop) AND the trained-
+    #    classifier score — both one map-only pass; a doc must pass both
+    from lazy_frame_spark.operators.text import model_quality_score, quality_gate
 
     gated = quality_gate(docs)
-    kept = docs.join(gated.filter(F.col("keep")).select("doc_id"), "doc_id")
+    scored = model_quality_score(docs, threshold=0.4)
+    kept = (
+        docs.join(gated.filter(F.col("keep")).select("doc_id"), "doc_id")
+        .join(scored.filter(F.col("keep")).select("doc_id"), "doc_id")
+    )
     counts["quality_kept"] = kept.count()
 
     # 3. paragraph-grain boilerplate removal (first occurrence wins)
@@ -117,9 +147,56 @@ def main() -> int:
     )
     counts["view_grains"] = view.count()
     erase = split.select("doc_id", "split").orderBy("doc_id").limit(3)
+    erased_rows = sized.join(erase, ["doc_id", "split"], "left_semi") \
+        .select("split", "n_chars").collect()
+    # the STORED view must be materialized pre-delete (in production it
+    # lives in its own parquet table): a lazy plan over the corpus
+    # would break when delete_keys swaps the underlying files
+    from lazy_frame_spark.operators.incremental import (
+        agg_view_repair,
+        agg_view_retract,
+    )
+
+    stored_df = agg_view_build(sized, ["split"], sum_cols=["n_chars"])
+    stored = spark.createDataFrame(stored_df.collect(), stored_df.schema)
     after = delete_keys(spark, out, erase, ["doc_id", "split"],
                         scope_to_partitions=True)
     counts["after_erasure"] = after.count()
+
+    # 10. view maintenance after erasure (round 5): retract the deleted
+    #     rows' partials from the stored view and repair any grain whose
+    #     extreme was tied — the view now serves the post-erasure truth
+    #     without a rebuild (consistency asserted against a fresh build)
+    del_batch = spark.createDataFrame(erased_rows, "split string, n_chars int") \
+        if erased_rows else sized.limit(0).select("split", "n_chars")
+    after_sized = spark.read.parquet(out).withColumn("n_chars", F.length("text"))
+    maintained = agg_view_repair(
+        agg_view_retract(stored, del_batch, ["split"], sum_cols=["n_chars"]),
+        after_sized, ["split"], sum_cols=["n_chars"],
+    )
+    fresh = agg_view_build(after_sized, ["split"], sum_cols=["n_chars"])
+    norm = lambda df: sorted(  # noqa: E731
+        (r["split"], r["__n__"], r["sum_n_chars"]) for r in df.collect()
+    )
+    assert norm(maintained) == norm(fresh), "retracted view diverged from rebuild"
+    counts["view_retract_consistent"] = 1
+
+    # 11. embedding side-car: int8-quantized ANN store (4-5x smaller)
+    #     published next to the corpus; one ADC-cheap similarity query
+    from lazy_frame_spark.operators.similarity import (
+        cosine_topk_int8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qstore = tempfile.mkdtemp() + "/emb_int8"
+    quantize_int8(emb).select("vec_id", "q_codes", "q_scale") \
+        .write.parquet(qstore)
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    top = cosine_topk_int8(spark.read.parquet(qstore), qv, k=5,
+                           pre_quantized=True)
+    counts["ann_topk_from_quantized_store"] = top.count()
+
     deduped.unpersist()
     split.unpersist()
 
