@@ -157,7 +157,10 @@ def agg_view_stream_writer(
             return
         inserts, deletes = batch_df, None
         if op_col is not None:
-            is_del = F.upper(F.col(op_col)) == "D"
+            # null-safe: a NULL op means "not a delete" and must upsert
+            # ('every other row upserts') — a plain == would evaluate
+            # to NULL and silently drop the row from BOTH sides
+            is_del = F.upper(F.col(op_col)).eqNullSafe(F.lit("D"))
             inserts = batch_df.filter(~is_del).drop(op_col)
             deletes = batch_df.filter(is_del).drop(op_col)
         if os.path.exists(view_dir):
@@ -214,6 +217,8 @@ def agg_view_retract(
     negative, which the zero-count filter treats as fully-deleted."""
     d = agg_view_build(deleted_batch, grain, sum_cols, min_cols, max_cols)
     ren = {COUNT_COL: "__d_n__"}
+    for c in grain:  # NULL is a real grain under groupBy — the join
+        ren[c] = f"__d_g_{c}__"  # below must match it null-safely
     for c in sum_cols:
         ren[f"sum_{c}"] = f"__d_sum_{c}__"
     for c in min_cols:
@@ -223,7 +228,13 @@ def agg_view_retract(
     for old, new in ren.items():
         d = d.withColumnRenamed(old, new)
 
-    out = stored.join(F.broadcast(d), on=list(grain), how="left")
+    # eqNullSafe, not on=grain: groupBy treats NULL as an ordinary grain
+    # key, so an equality join would never subtract a NULL-grain delete
+    # and the view would silently serve ghosts of those erased rows
+    cond = F.lit(True)
+    for c in grain:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__d_g_{c}__"))
+    out = stored.join(F.broadcast(d), on=cond, how="left")
     hit = F.col("__d_n__").isNotNull()
     out = out.withColumn(
         COUNT_COL, F.col(COUNT_COL) - F.coalesce(F.col("__d_n__"), F.lit(0))
@@ -256,10 +267,16 @@ def agg_view_repair(
     the stale keys before aggregating, so repair cost scales with the
     affected grains, not the table. A view with no stale grains costs
     one empty semi-join."""
-    stale_keys = retracted.filter(F.col(STALE_COL)).select(*grain)
+    stale_keys = retracted.filter(F.col(STALE_COL)).select(
+        *[F.col(c).alias(f"__s_g_{c}__") for c in grain]
+    )
     clean = retracted.filter(~F.col(STALE_COL)).drop(STALE_COL)
+    # null-safe semi-join: a stale NULL grain must still be rescanned
+    cond = F.lit(True)
+    for c in grain:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__s_g_{c}__"))
     rebuilt = agg_view_build(
-        remaining_source.join(F.broadcast(stale_keys), on=list(grain), how="left_semi"),
+        remaining_source.join(F.broadcast(stale_keys), on=cond, how="left_semi"),
         grain, sum_cols, min_cols, max_cols,
     )
     return clean.unionByName(rebuilt)

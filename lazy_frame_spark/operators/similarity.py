@@ -398,6 +398,7 @@ def cosine_topk_int8(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pre_quantized: bool = False,
+    code_col: str = "q_codes",
 ) -> DataFrame:
     """Exact top-k by cosine over int8-quantized vectors: both sides
     quantize, the dot product runs on small integers (exact in double
@@ -416,8 +417,11 @@ def cosine_topk_int8(
     amax = max(abs(float(x)) for x in query_vec) or 1.0
     qcodes = [math.floor(float(x) / amax * 127 + 0.5) for x in query_vec]
     q = F.array(*[F.lit(float(c)) for c in qcodes]).cast("array<double>")
-    quant = df if pre_quantized else quantize_int8(df, vec_col=vec_col)
-    sim = cosine(F.col("q_codes").cast("array<double>"), q)
+    quant = (
+        df if pre_quantized
+        else quantize_int8(df, vec_col=vec_col, code_col=code_col)
+    )
+    sim = cosine(F.col(code_col).cast("array<double>"), q)
     return (
         quant.select(F.col(id_col), F.round(sim, 4).alias("cos_sim_q"))
         .orderBy(F.col("cos_sim_q").desc(), F.col(id_col))

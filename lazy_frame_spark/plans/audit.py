@@ -173,3 +173,11 @@ SORTED_SMALL_RESULT = {
     "join_q11_important_stock",  # parts above the value threshold
     "join_q20_excess_stock",     # suppliers with excess stock
 }
+
+
+#: Registry prefixes excluded from plan audits entirely: side-effecting
+#: sinks/streams/ingest (executing their plan IS the side effect),
+#: positional-cache lf_ queries, and multimodal fan-outs. ONE constant
+#: shared by tools/check_oracle.py and the registry-wide sweep test so
+#: the two audit scopes cannot drift.
+AUDIT_SKIP_PREFIXES = ("stream_", "sink_", "multimodal_", "lf_", "ingest_")

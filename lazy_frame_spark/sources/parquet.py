@@ -339,6 +339,7 @@ def delete_keys(
     deletes: "DataFrame",
     key: str | list[str],
     scope_to_partitions: bool = False,
+    null_safe_keys: bool = False,
 ) -> "DataFrame":
     """Hard-delete every target row whose key appears in ``deletes``
     (``DELETE FROM t WHERE key IN (SELECT key FROM d)`` — the
@@ -346,6 +347,13 @@ def delete_keys(
     anti-join; the delete side broadcasts when small. The rewrite
     promotes through the journaled swap, so a kill anywhere leaves a
     readable table.
+
+    NULL key semantics: by default matching follows SQL ``IN`` — a
+    delete row with a NULL key component matches NOTHING (the target
+    row survives, silently). When the contract is erasure rather than
+    SQL parity, pass ``null_safe_keys=True``: keys compare with
+    ``<=>`` so NULL components match NULL values, and the post-delete
+    cross-check sees them too.
 
     ``scope_to_partitions=True`` (same contract as ``merge_upsert``:
     partition columns must be a subset of the key) rewrites ONLY the
@@ -360,6 +368,19 @@ def delete_keys(
     part_cols = _partition_columns(final)
     target = spark.read.parquet(path)
     dkeys = deletes.select(*keys).distinct()
+
+    def _key_join(left: "DataFrame", how: str) -> "DataFrame":
+        """Anti/semi join of ``left`` against the delete keys, honoring
+        the null-matching mode."""
+        if not null_safe_keys:
+            return left.join(dkeys, on=keys, how=how)
+        dk = dkeys
+        for c in keys:
+            dk = dk.withColumnRenamed(c, f"__dk_{c}__")
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__dk_{c}__"))
+        return left.join(dk, on=cond, how=how)
 
     if scope_to_partitions:
         if not part_cols:
@@ -384,7 +405,7 @@ def delete_keys(
             pred = one if pred is None else (pred | one)
         if pred is None:  # empty delete set: nothing to do
             return target
-        remaining = target.filter(pred).join(dkeys, on=keys, how="left_anti")
+        remaining = _key_join(target.filter(pred), "left_anti")
         dest = final + "__delete_tmp"
         shutil.rmtree(dest, ignore_errors=True)
         remaining.write.mode("overwrite").partitionBy(*part_cols).parquet(dest)
@@ -393,7 +414,9 @@ def delete_keys(
         # names are reconstructed with Spark's own path escaping
         # (_escape_partition_value), so values containing '%', ':',
         # '#', '/', spaces-with-specials, or NULL resolve to the real
-        # directory instead of silently surviving erasure.
+        # DIRECTORY. Note dir resolution is separate from row MATCHING:
+        # NULL key components only match rows under null_safe_keys=True
+        # (default follows SQL IN semantics — see docstring).
         import os
 
         written = set(_leaf_partition_dirs(dest, len(part_cols)))
@@ -414,7 +437,7 @@ def delete_keys(
         # rather than silently keeping rows the caller asked to erase.
         reread = spark.read.parquet(final)
         survivors = (
-            reread.filter(pred).join(dkeys, on=keys, how="left_semi").limit(1).count()
+            _key_join(reread.filter(pred), "left_semi").limit(1).count()
         )
         if survivors:
             raise RuntimeError(
@@ -426,7 +449,7 @@ def delete_keys(
             )
         return reread
 
-    remaining = target.join(dkeys, on=keys, how="left_anti")
+    remaining = _key_join(target, "left_anti")
     dest = final + "__delete_tmp"
     w = remaining.write.mode("overwrite")
     if part_cols:

@@ -225,7 +225,9 @@ def test_registry_wide_no_unjustified_nested_loops(spark, sf_dir):
     # tools/check_oracle.py's per-query audit) — every entry broadcasts
     # a side bounded by construction
     allowed_bnlj = BNLJ_BOUNDED_BUILD
-    skip = ("stream_", "sink_", "multimodal_", "lf_")
+    from lazy_frame_spark.plans.audit import AUDIT_SKIP_PREFIXES
+
+    skip = AUDIT_SKIP_PREFIXES
     offenders = []
     for name, spec in REGISTRY.items():
         if name.startswith(skip):

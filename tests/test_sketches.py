@@ -349,3 +349,41 @@ def test_erasure_pipeline_keeps_view_consistent(spark, sf_dir, tmp_path):
         return sorted((r["event_type"], r["__n__"], round(r["sum_value"], 6),
                        r["min_value"]) for r in df.collect())
     assert norm(maintained) == norm(want)
+
+
+def test_agg_view_retract_null_grain(spark):
+    """NULL is a real grain under groupBy: retracting NULL-grain rows
+    must subtract (null-safe join), flag stale tied extremes, and drop
+    the grain at count zero — no ghost rows served (review finding)."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+
+    rows = [(None, 10.0), (None, 4.0), (None, 2.0), ("a", 5.0), ("a", 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    view = iv.agg_view_build(df, ["g"], **kw)
+
+    # delete the NULL grain's maximum -> subtract + stale flag
+    deleted = spark.createDataFrame([(None, 10.0)], "g string, v double")
+    retr = iv.agg_view_retract(view, deleted, ["g"], **kw)
+    nrow = [r for r in retr.collect() if r["g"] is None]
+    assert len(nrow) == 1 and nrow[0]["__n__"] == 2
+    assert abs(nrow[0]["sum_v"] - 6.0) < 1e-9
+    assert nrow[0][iv.STALE_COL] is True   # deleted value tied the max
+
+    # repair rescans the stale NULL grain (null-safe semi-join)
+    remaining = df.join(deleted, ["g", "v"], "left_anti")
+    got = iv.agg_view_repair(retr, remaining, ["g"], **kw)
+    want = iv.agg_view_build(remaining, ["g"], **kw)
+    n = lambda d: sorted(  # noqa: E731
+        ((r["g"] or "", r["__n__"], r["sum_v"], r["min_v"], r["max_v"])
+         for r in d.collect()),
+    )
+    assert n(got) == n(want)
+
+    # deleting EVERY NULL-grain row drops the grain entirely
+    all_null = spark.createDataFrame(
+        [(None, 10.0), (None, 4.0), (None, 2.0)], "g string, v double")
+    gone = iv.agg_view_retract(view, all_null, ["g"], **kw)
+    assert [r["g"] for r in gone.collect()] == ["a"]

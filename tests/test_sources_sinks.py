@@ -852,3 +852,27 @@ def test_scoped_ops_null_partition_value_no_overdelete(spark, tmp_path):
                         scope_to_partitions=True)
     kept2 = {(r["k"], r["v"]) for r in got2.filter("status IS NULL").collect()}
     assert (9, 9.0) in kept2 and (2, 2.0) in kept2
+
+
+def test_delete_keys_null_safe_keys_erases_null_rows(spark, tmp_path):
+    """null_safe_keys=True makes erasure match NULL key components with
+    <=> (the right-to-erasure contract); the default keeps SQL IN
+    semantics (NULL matches nothing). Works flat and scoped."""
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    rows = [(1, None, 1.0), (2, None, 2.0), (3, "ok", 3.0)]
+
+    # flat table
+    flat = str(tmp_path / "ns_flat")
+    spark.createDataFrame(rows, "k long, status string, v double").write.parquet(flat)
+    dels = spark.createDataFrame([(1, None)], "k long, status string")
+    got = delete_keys(spark, flat, dels, ["k", "status"], null_safe_keys=True)
+    assert {(r["k"], r["v"]) for r in got.collect()} == {(2, 2.0), (3, 3.0)}
+
+    # scoped: NULL partition value selected AND the keyed row erased
+    part = str(tmp_path / "ns_part")
+    spark.createDataFrame(rows, "k long, status string, v double") \
+        .write.partitionBy("status").parquet(part)
+    got2 = delete_keys(spark, part, dels, ["k", "status"],
+                       scope_to_partitions=True, null_safe_keys=True)
+    assert {(r["k"], r["v"]) for r in got2.collect()} == {(2, 2.0), (3, 3.0)}

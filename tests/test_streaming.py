@@ -541,3 +541,26 @@ def test_agg_view_stream_writer_cdc_retraction(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="count/sum views only"):
         agg_view_stream_writer(view, ["event_type"], sum_cols=["value"],
                                min_cols=["value"], op_col="op")
+
+
+def test_cdc_writer_null_op_rows_upsert(spark, tmp_path):
+    """A NULL op value means 'not a delete' and must UPSERT — a plain
+    == comparison dropped NULL-op rows from both sides (review
+    finding). Common CDC shape: only deletes are tagged."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+    from lazy_frame_spark.operators.incremental import agg_view_stream_writer
+
+    view = str(tmp_path / "cdc_null_view")
+    fold = agg_view_stream_writer(view, ["k"], sum_cols=["v"], op_col="op")
+    batch = spark.createDataFrame(
+        [("a", 1.0, None), ("a", 2.0, None), ("b", 3.0, "I"),
+         ("a", 1.0, "D")],
+        "k string, v double, op string",
+    )
+    fold(batch, 0)
+    got = {r["k"]: (r["__n__"], r["sum_v"])
+           for r in spark.read.parquet(view).collect()}
+    # both NULL-op 'a' rows inserted, then one retracted by the D row
+    assert got == {"a": (1, 2.0), "b": (1, 3.0)}

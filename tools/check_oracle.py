@@ -17,6 +17,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lazy_frame_spark.plans.audit import (  # noqa: E402
+    AUDIT_SKIP_PREFIXES,
     BNLJ_BOUNDED_BUILD,
     SINGLE_TASK_WINDOW_BOUNDED,
     SORTED_SMALL_RESULT,
@@ -27,10 +28,9 @@ from lazy_frame_spark.sources.registry import TABLE_NAMES  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-#: prefixes excluded from the plan audit (side-effecting sinks/streams,
-#: positional-cache lf_ queries, multimodal fan-out) — same skip set as
-#: tests/test_plans.py's registry-wide sweep
-AUDIT_SKIP = ("stream_", "sink_", "multimodal_", "lf_", "ingest_")
+#: the audit skip set lives in plans.audit (shared with the registry-
+#: wide sweep test so the two scopes cannot drift)
+AUDIT_SKIP = AUDIT_SKIP_PREFIXES
 
 
 def audit(name: str, sdf) -> tuple[list[str], list[str]]:
