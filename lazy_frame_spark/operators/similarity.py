@@ -481,7 +481,15 @@ def pq_encode(
     engines' list-position semantics). The 100 TB story: a 64-dim
     float32 embedding store (256 B/vector) becomes 8 B/vector, and the
     whole encode is a map-only Catalyst expression — no Python, no
-    shuffle, no fitted-model shipping (the codebook IS the plan)."""
+    shuffle, no fitted-model shipping (the codebook IS the plan).
+
+    Finite-vector contract: a vector containing any NaN/Inf/NULL
+    component encodes to NULL codes on EVERY path (here, the Arrow
+    twin, and the DuckDB oracle form) — without the guard, NaN
+    distances make Catalyst's array_position return 0 (ADC would then
+    throw on element_at(table, 0)) while numpy's argmin picks an
+    arbitrary valid code, silently breaking bit-parity.
+    ``pq_adc_topk`` excludes NULL-coded rows from search."""
     v = F.col(vec_col).cast("array<double>")
     d_sub = len(codebooks[0][0])
     codes = []
@@ -491,7 +499,15 @@ def pq_encode(
         codes.append(
             F.array_position(dists, F.array_min(dists)).cast("int")
         )
-    return df.withColumn(code_col, F.array(*codes))
+    non_finite = F.exists(
+        v,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return df.withColumn(
+        code_col,
+        F.when(v.isNull() | non_finite, F.lit(None).cast("array<int>"))
+        .otherwise(F.array(*codes)),
+    )
 
 
 def pq_adc_topk(
@@ -508,7 +524,9 @@ def pq_adc_topk(
     tables; each row's approximate distance is n_sub ``element_at``
     loads + adds — the scan does no floating-point geometry at all.
     Returns the k nearest (smallest approximate distance, id
-    tie-break)."""
+    tie-break). NULL-coded rows (non-finite vectors under pq_encode's
+    finite-vector contract) are excluded — they have no defined
+    distance."""
     d_sub = len(codebooks[0][0])
     luts = []
     for s, cents in enumerate(codebooks):
@@ -521,7 +539,8 @@ def pq_adc_topk(
         table = F.array(*[F.lit(float(x)) for x in lut])
         dist = dist + F.element_at(table, F.element_at(F.col(code_col), s + 1))
     return (
-        df_encoded.select(F.col(id_col), F.round(dist, 6).alias("pq_dist"))
+        df_encoded.filter(F.col(code_col).isNotNull())
+        .select(F.col(id_col), F.round(dist, 6).alias("pq_dist"))
         .orderBy(F.col("pq_dist").asc(), F.col(id_col))
         .limit(int(k))
     )
@@ -551,7 +570,10 @@ def pq_encode_arrow(
     S, K, D = cb.shape
 
     def _enc(vs):
-        V = np.stack(vs.to_numpy()).astype(np.float64)  # (n, S*D)
+        V = np.stack([
+            np.full(S * D, np.nan) if v is None else np.asarray(v)
+            for v in vs.to_numpy()
+        ]).astype(np.float64)  # (n, S*D); None vectors -> all-NaN rows
         n = V.shape[0]
         codes = np.empty((n, S), dtype=np.int32)
         for s in range(S):
@@ -561,7 +583,12 @@ def pq_encode_arrow(
                 diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
                 acc = acc + diff * diff  # dim-ascending, left-assoc
             codes[:, s] = np.argmin(acc, axis=1) + 1  # first-min, 1-based
-        return pd.Series(list(codes))
+        # finite-vector contract (same as pq_encode): any NaN/Inf/NULL
+        # component -> NULL codes, keeping argmin parity trivially true
+        finite = np.isfinite(V).all(axis=1)
+        return pd.Series([
+            list(codes[r]) if finite[r] else None for r in range(n)
+        ])
 
     # annotate with REAL types (not strings) so pandas_udf infers the
     # SERIES eval type without needing pd in this module's globals

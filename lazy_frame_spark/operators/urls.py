@@ -13,14 +13,31 @@ agree on):
 - scheme and host lowercased;
 - default ports stripped (``:80`` for http, ``:443`` for https);
 - fragment removed;
+- percent-encoding normalized per RFC 3986 §6.2.2: escapes of
+  UNRESERVED characters (ALPHA / DIGIT / ``-._~``) are decoded
+  (``%7E`` → ``~``, ``%41`` → ``A``), every surviving escape's hex is
+  uppercased (``%2f`` → ``%2F``); malformed escapes (``%zz``, ``%4``)
+  pass through untouched. In the HOST component decoded letters land
+  lowercase (hosts are case-insensitive: ``%41`` → ``a``, not ``A``);
+  path/query decodes keep case. ``%25`` is never decoded, so
+  normalization can't create new escapes — the pass is idempotent by
+  construction;
 - tracking parameters dropped (``utm_*``, ``fbclid``, ``gclid``,
   ``ref`` by default — override with ``drop_params``);
+- duplicate query parameters collapsed KEEP-FIRST by name (the
+  dominant convention: a repeated ``?a=1&a=2`` serves the first value
+  in most frameworks; name = text before the first ``=``, so a bare
+  flag ``a`` and ``a=1`` share a name);
 - remaining query parameters sorted bytewise;
 - empty path normalized to ``/``, non-root trailing slashes (the whole run — one-at-a-time stripping breaks idempotence on '//') stripped;
 - optional ``www.`` prefix strip — the whole leading run, only when a
   domain character follows (single-prefix stripping breaks idempotence
   on ``www.www.x``) (on by default — the standard crawl
   aggressiveness; disable for origin-sensitive use).
+
+NOT normalized (documented gaps): IDN hosts (punycode ``xn--`` vs
+Unicode forms don't unify — needs the punycode algorithm, out of scope
+for a pure-Catalyst pass) and dot-segment removal (``/a/../b``).
 """
 
 from __future__ import annotations
@@ -31,6 +48,91 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_DROP_PARAMS: tuple[str, ...] = ("utm_[^=]*", "fbclid", "gclid", "ref")
+
+
+def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as pure Catalyst:
+    tokenize on a lookahead split (each token after the first starts
+    with a well-formed ``%XX`` escape), then per token either decode
+    (escape of an unreserved character) or uppercase the hex. Decoded
+    characters are never URL delimiters (``/?#&=%`` are all reserved),
+    so running this BEFORE host/path/query splitting cannot move
+    component boundaries.
+
+    Strings without a ``%`` (the overwhelming majority of a web corpus)
+    take a contains() fast path and skip the tokenizer entirely —
+    conditional branches evaluate lazily per row, so the escape
+    machinery only runs on rows that can need it (2.9 s → 1.6 s on the
+    bench fixture).
+
+    ``lower_decoded`` lowercases the DECODED character — required for
+    the case-insensitive host component, which is lowercased before
+    this pass runs: without it ``%41`` decodes to ``A`` AFTER the
+    lower() already happened, and the second canonicalization pass
+    lowercases it to ``a`` — an idempotence break the hypothesis fuzz
+    caught on ``http://a=1%41/...``. Path/query decodes keep case
+    (those components are case-sensitive)."""
+    toks = F.split(s, r"(?=%[0-9A-Fa-f]{2})")
+
+    def fix(t: Column) -> Column:
+        is_esc = t.rlike(r"^%[0-9A-Fa-f]{2}")
+        hex2 = F.upper(F.substring(t, 2, 2))
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 65) & (code <= 90))        # A-Z
+            | ((code >= 97) & (code <= 122))     # a-z
+            | ((code >= 48) & (code <= 57))      # 0-9
+            | code.isin(45, 46, 95, 126)         # - . _ ~
+        )
+        rest = F.substring(t, 4, 2147483647)
+        decoded = F.lower(F.char(code)) if lower_decoded else F.char(code)
+        return (
+            F.when(is_esc & unreserved, F.concat(decoded, rest))
+            .when(is_esc, F.concat(F.lit("%"), hex2, rest))
+            .otherwise(t)
+        )
+
+    return (
+        F.when(s.contains("%"), F.array_join(F.transform(toks, fix), ""))
+        .otherwise(s)
+    )
+
+
+def _clean_params(query: Column, drop_re: str) -> Column:
+    """Split a (percent-normalized) query string into params, drop
+    empties and tracking params, collapse duplicates KEEP-FIRST by
+    name, sort bytewise. The keep-first fold is a linear ``aggregate``
+    over the param array — O(n²) array_contains on the seen-names list,
+    but n is query-param count (single digits), not data size."""
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(drop_re),
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("kept"),
+        F.array().cast("array<string>").alias("seen"),
+    )
+
+    def step(acc: Column, p: Column) -> Column:
+        name = F.substring_index(p, "=", 1)
+        return (
+            F.when(F.array_contains(acc["seen"], name), acc)
+            .otherwise(F.struct(
+                F.concat(acc["kept"], F.array(p)).alias("kept"),
+                F.concat(acc["seen"], F.array(name)).alias("seen"),
+            ))
+        )
+
+    return F.array_sort(F.aggregate(params, init, step, lambda a: a["kept"]))
+
+
+#: staged intermediate names used by with_canonical_url — input frames
+#: must not already carry these (checked up front)
+_TMP_COLS: tuple[str, ...] = (
+    "__scheme__", "__nofrag__", "__hostport0__", "__rawpath__",
+    "__rawquery__", "__hostport__", "__path0__", "__query__",
+    "__host__", "__path__", "__qs__",
+)
 
 
 def canonicalize_url(
@@ -44,7 +146,15 @@ def canonicalize_url(
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
     nofrag = F.regexp_replace(rest, r"#.*$", "")
-    hostport = F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1))
+    # percent-normalize AFTER lowercasing but BEFORE port/www stripping:
+    # lowercase first so surviving escapes end uppercase-hex (idempotent
+    # under a re-run's lower()), decode before the strips so an escaped
+    # 'www.'/':80' ('%77ww.', ':%38%30') can't reappear post-strip and
+    # break idempotence; lower_decoded so '%41' lands as 'a', not an
+    # 'A' that escaped the already-run lower()
+    hostport = _pct_normalize(
+        F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1)), lower_decoded=True
+    )
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, r"(:80)+$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, r"(:443)+$", ""))
@@ -52,18 +162,12 @@ def canonicalize_url(
     )
     if strip_www:
         host = F.regexp_replace(host, r"^(www\.)+(.)", "$2")
-    path = F.regexp_extract(nofrag, r"^[^/?]*([^?]*)", 1)
+    path = _pct_normalize(F.regexp_extract(nofrag, r"^[^/?]*([^?]*)", 1))
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    query = _pct_normalize(F.regexp_extract(nofrag, r"\?(.*)$", 1))
     drop_re = "^(" + "|".join(drop_params) + ")="
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(drop_re),
-        )
-    )
-    qs = F.array_join(params, "&")
+    qs = F.array_join(_clean_params(query, drop_re), "&")
     canon = F.concat(
         scheme,
         F.lit("://"),
@@ -89,7 +193,25 @@ def with_canonical_url(
     plan runs ~8 regex evaluations per row instead of ~20 — same
     result, measured ~5x faster on the bench corpus. Use this form for
     table-scale canonicalization; the Column form for ad-hoc
-    expressions."""
+    expressions.
+
+    A pre-existing ``out_col`` is overwritten (``withColumn``
+    semantics — re-canonicalizing a frame that already carries the
+    column must not fail or produce ambiguous duplicates); a collision
+    with one of the staged temp names raises up front with the name."""
+    clash = sorted(set(df.columns) & set(_TMP_COLS))
+    if clash:
+        raise ValueError(
+            f"with_canonical_url: input columns {clash} collide with "
+            "staged temp names — rename them before canonicalizing"
+        )
+    if out_col == url_col:
+        raise ValueError(
+            "with_canonical_url: out_col == url_col would overwrite the "
+            "input URLs mid-plan — pick a distinct output name"
+        )
+    if out_col in df.columns:
+        df = df.drop(out_col)
     url = F.col(url_col)
     passthru = [F.col(c) for c in df.columns]
     s1 = df.select(
@@ -101,15 +223,31 @@ def with_canonical_url(
             r"#.*$", "",
         ).alias("__nofrag__"),
     )
+    # raw component extraction gets its OWN projection: _pct_normalize
+    # references its argument 3x (contains fast path, tokenizer,
+    # fallback), so wrapping the regexp_extract directly would re-inline
+    # the regex 3x per component (plan pin: 11 regexp_extracts, not 5).
+    # Staged, the triple reference is a cheap attribute ref.
     s2 = s1.select(
         *passthru, "__scheme__",
         F.lower(F.regexp_extract(F.col("__nofrag__"), r"^([^/?]*)", 1))
+        .alias("__hostport0__"),
+        F.regexp_extract(F.col("__nofrag__"), r"^[^/?]*([^?]*)", 1)
+        .alias("__rawpath__"),
+        F.regexp_extract(F.col("__nofrag__"), r"\?(.*)$", 1)
+        .alias("__rawquery__"),
+    )
+    # same ordering contract as the Column form: lower, then
+    # percent-normalize (host decodes lowercase), THEN (next stage)
+    # port/www strips
+    s2 = s2.select(
+        *passthru, "__scheme__",
+        _pct_normalize(F.col("__hostport0__"), lower_decoded=True)
         .alias("__hostport__"),
         F.regexp_replace(
-            F.regexp_extract(F.col("__nofrag__"), r"^[^/?]*([^?]*)", 1),
-            r"/+$", "",
+            _pct_normalize(F.col("__rawpath__")), r"/+$", ""
         ).alias("__path0__"),
-        F.regexp_extract(F.col("__nofrag__"), r"\?(.*)$", 1).alias("__query__"),
+        _pct_normalize(F.col("__rawquery__")).alias("__query__"),
     )
     host = (
         F.when(F.col("__scheme__") == "http",
@@ -127,11 +265,7 @@ def with_canonical_url(
         F.when(F.col("__path0__") == "", F.lit("/"))
         .otherwise(F.col("__path0__")).alias("__path__"),
         F.array_join(
-            F.array_sort(F.filter(
-                F.split(F.col("__query__"), "&"),
-                lambda p: (p != "") & ~p.rlike(drop_re),
-            )),
-            "&",
+            _clean_params(F.col("__query__"), drop_re), "&"
         ).alias("__qs__"),
     )
     canon = F.concat(

@@ -2145,13 +2145,15 @@ def mix_domain_cap(spark, sf_dir):
     oracle=r"""
     WITH u AS (
       SELECT o_orderkey AS doc_id,
-        CASE o_orderkey % 4
-          WHEN 0 THEN 'HTTP://WWW.Site' || ((o_orderkey // 4) % 20) || '.com:80/Items/'
-                      || ((o_orderkey // 4) % 5) || '/?b=2&utm_source=mail&a=1#frag'
-          WHEN 1 THEN 'http://site' || ((o_orderkey // 4) % 20) || '.com/Items/'
-                      || ((o_orderkey // 4) % 5) || '?a=1&b=2'
-          WHEN 2 THEN 'https://Site' || ((o_orderkey // 4) % 20) || '.COM:443/items/'
-                      || ((o_orderkey // 4) % 5) || '?b=2&gclid=xyz&a=1'
+        CASE o_orderkey % 5
+          WHEN 0 THEN 'HTTP://WWW.Site' || ((o_orderkey // 5) % 20) || '.com:80/Items/'
+                      || ((o_orderkey // 5) % 5) || '/?b=2&utm_source=mail&a=1#frag'
+          WHEN 1 THEN 'http://site' || ((o_orderkey // 5) % 20) || '.com/Items/'
+                      || ((o_orderkey // 5) % 5) || '?a=1&b=2'
+          WHEN 2 THEN 'https://Site' || ((o_orderkey // 5) % 20) || '.COM:443/items/'
+                      || ((o_orderkey // 5) % 5) || '?b=2&gclid=xyz&a=1'
+          WHEN 3 THEN 'https://WWW.site' || ((o_orderkey // 5) % 20) || '.com/%49tems/%7e'
+                      || ((o_orderkey // 5) % 5) || '/?b=2&a=1&a=9&q=%2fx&utm_id=z'
           ELSE 'not a url ' || o_orderkey
         END AS url
       FROM orders),
@@ -2170,20 +2172,45 @@ def mix_domain_cap(spark, sf_dir):
                THEN regexp_replace(lower(regexp_extract(nofrag, '^([^/?]*)', 1)), '(:443)+$', '')
                ELSE lower(regexp_extract(nofrag, '^([^/?]*)', 1)) END,
           '^(www\.)+(.)', '\2') AS host,
-        CASE WHEN regexp_replace(regexp_extract(nofrag, '^[^/?]*([^?]*)', 1), '/+$', '') = ''
-             THEN '/' ELSE regexp_replace(regexp_extract(nofrag, '^[^/?]*([^?]*)', 1), '/+$', '')
+        -- percent-normalization over the fixture's escape set (%49->I,
+        -- %7e->~ unreserved decode; %2f->%2F hex uppercase): DuckDB's
+        -- RE2 regexes can't express the engine's generic lookahead
+        -- tokenizer (no lookahead in RE2), so the oracle decodes the
+        -- escapes the fixture contains; the GENERAL rules are pinned by
+        -- unit + hypothesis tests (test_canonicalize_url_rules,
+        -- test_canonicalize_url_idempotent_and_forms_agree)
+        CASE WHEN regexp_replace(replace(replace(
+                    regexp_extract(nofrag, '^[^/?]*([^?]*)', 1),
+                    '%49', 'I'), '%7e', '~'), '/+$', '') = ''
+             THEN '/'
+             ELSE regexp_replace(replace(replace(
+                    regexp_extract(nofrag, '^[^/?]*([^?]*)', 1),
+                    '%49', 'I'), '%7e', '~'), '/+$', '')
         END AS path,
-        array_to_string(
-          list_sort(list_filter(
-            string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
-            x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))),
-          '&') AS qs
+        list_filter(
+          string_split(replace(regexp_extract(nofrag, '\?(.*)$', 1), '%2f', '%2F'), '&'),
+          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')) AS ps
       FROM c),
-    canon AS (
-      SELECT doc_id,
-             scheme || '://' || host || path
-             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+    px AS (
+      SELECT doc_id, unnest(ps) AS p, generate_subscripts(ps, 1) AS i
       FROM parts),
+    pd AS (  -- duplicate param names collapse KEEP-FIRST (same rule as
+             -- operators/urls._clean_params), expressed generically via
+             -- first-occurrence rank per (doc, param-name)
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY doc_id, split_part(p, '=', 1)
+                                  ORDER BY i) AS rn
+        FROM px)
+      WHERE rn = 1),
+    qsagg AS (
+      SELECT doc_id, array_to_string(list_sort(list(p)), '&') AS qs
+      FROM pd GROUP BY doc_id),
+    canon AS (
+      SELECT parts.doc_id,
+             scheme || '://' || host || path
+             || COALESCE('?' || qs, '') AS canonical_url
+      FROM parts LEFT JOIN qsagg ON parts.doc_id = qsagg.doc_id),
     unparsed AS (
       SELECT doc_id, CAST(NULL AS VARCHAR) AS canonical_url
       FROM u WHERE NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')),
@@ -2198,28 +2225,36 @@ def mix_domain_cap(spark, sf_dir):
 def dedup_url_canonical(spark, sf_dir):
     """Canonical-URL dedup (operators/urls): messy synthetic URLs —
     uppercase schemes/hosts, www prefixes, default ports, tracking
-    params, fragments, unsorted query strings, trailing slashes, and
-    flat-out non-URLs — collapse onto their canonical form; first
-    (min doc_id) occurrence wins, the oracle applying the identical
-    rules in DuckDB SQL. Map-only canonicalization + ONE hash
-    aggregation: the cheapest dedup pass a web corpus runs, always
-    before content hashing."""
+    params, fragments, unsorted query strings, duplicate param names,
+    percent-escapes (unreserved %49/%7e decode, reserved %2f hex
+    uppercase), trailing slashes, and flat-out non-URLs — collapse onto
+    their canonical form; first (min doc_id) occurrence wins, the
+    oracle applying the identical rules in DuckDB SQL (keep-first param
+    dedup as a generic first-occurrence rank; the fixture's escape set
+    decoded inline since RE2 lacks the lookahead the generic tokenizer
+    uses). Map-only canonicalization + ONE hash aggregation: the
+    cheapest dedup pass a web corpus runs, always before content
+    hashing."""
     from lazy_frame_spark.operators import urls as _u
 
     o = _table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     url = (
-        F.when(k % 4 == 0, F.concat(
-            F.lit("HTTP://WWW.Site"), (F.floor(k / 4) % 20).cast("bigint").cast("string"),
-            F.lit(".com:80/Items/"), (F.floor(k / 4) % 5).cast("bigint").cast("string"),
+        F.when(k % 5 == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), (F.floor(k / 5) % 20).cast("bigint").cast("string"),
+            F.lit(".com:80/Items/"), (F.floor(k / 5) % 5).cast("bigint").cast("string"),
             F.lit("/?b=2&utm_source=mail&a=1#frag")))
-        .when(k % 4 == 1, F.concat(
-            F.lit("http://site"), (F.floor(k / 4) % 20).cast("bigint").cast("string"),
-            F.lit(".com/Items/"), (F.floor(k / 4) % 5).cast("bigint").cast("string"), F.lit("?a=1&b=2")))
-        .when(k % 4 == 2, F.concat(
-            F.lit("https://Site"), (F.floor(k / 4) % 20).cast("bigint").cast("string"),
-            F.lit(".COM:443/items/"), (F.floor(k / 4) % 5).cast("bigint").cast("string"),
+        .when(k % 5 == 1, F.concat(
+            F.lit("http://site"), (F.floor(k / 5) % 20).cast("bigint").cast("string"),
+            F.lit(".com/Items/"), (F.floor(k / 5) % 5).cast("bigint").cast("string"), F.lit("?a=1&b=2")))
+        .when(k % 5 == 2, F.concat(
+            F.lit("https://Site"), (F.floor(k / 5) % 20).cast("bigint").cast("string"),
+            F.lit(".COM:443/items/"), (F.floor(k / 5) % 5).cast("bigint").cast("string"),
             F.lit("?b=2&gclid=xyz&a=1")))
+        .when(k % 5 == 3, F.concat(
+            F.lit("https://WWW.site"), (F.floor(k / 5) % 20).cast("bigint").cast("string"),
+            F.lit(".com/%49tems/%7e"), (F.floor(k / 5) % 5).cast("bigint").cast("string"),
+            F.lit("/?b=2&a=1&a=9&q=%2fx&utm_id=z")))
         .otherwise(F.concat(F.lit("not a url "), k.cast("string")))
     )
     docs = o.select(k.alias("doc_id"), url.alias("url"))

@@ -176,8 +176,12 @@ SORTED_SMALL_RESULT = {
 
 
 #: Registry prefixes excluded from plan audits entirely: side-effecting
-#: sinks/streams/ingest (executing their plan IS the side effect),
+#: sinks/streams (executing their plan IS the side effect),
 #: positional-cache lf_ queries, and multimodal fan-outs. ONE constant
 #: shared by tools/check_oracle.py and the registry-wide sweep test so
-#: the two audit scopes cannot drift.
-AUDIT_SKIP_PREFIXES = ("stream_", "sink_", "multimodal_", "lf_", "ingest_")
+#: the two audit scopes cannot drift. ingest_* queries STAY in the
+#: sweep: their returned DataFrame is a plain scan over the ingested
+#: table (the side effect happened while building it), and auditing
+#: that plan costs nothing — exempting them would let a future ingest
+#: query ship a cartesian unnoticed.
+AUDIT_SKIP_PREFIXES = ("stream_", "sink_", "multimodal_", "lf_")

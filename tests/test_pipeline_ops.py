@@ -1761,7 +1761,9 @@ def test_bmp_bitfields_32bpp_with_alpha():
 def test_canonicalize_url_rules(spark):
     """Rule-by-rule canonicalization: case, default ports (scheme-aware
     — :80 on https is NOT default and survives), fragments, tracking
-    params, param sort, trailing slash, empty path, www strip toggle,
+    params, duplicate-param keep-first collapse, param sort, trailing
+    slash, empty path, www strip toggle, percent-encoding normalization
+    (unreserved decode + hex uppercase, malformed untouched),
     unparseable -> NULL."""
     from lazy_frame_spark.operators.urls import canonicalize_url
 
@@ -1772,8 +1774,25 @@ def test_canonicalize_url_rules(spark):
         ("https://ex.com:80/x", "https://ex.com:80/x"),   # non-default port kept
         ("http://ex.com/x/", "http://ex.com/x"),
         ("http://ex.com/?fbclid=1&gclid=2&ref=3", "http://ex.com/"),
-        ("http://ex.com/p?b=2&a=1&b=1", "http://ex.com/p?a=1&b=1&b=2"),
+        # duplicate names collapse keep-first (b=2 precedes b=1), then sort
+        ("http://ex.com/p?b=2&a=1&b=1", "http://ex.com/p?a=1&b=2"),
         ("ftp://Files.Ex.com/Pub/", "ftp://files.ex.com/Pub"),
+        # percent normalization: %7E/%7e -> ~, %49 -> I, %41 -> A (so the
+        # two spellings of the same URL unify); reserved escapes keep
+        # their encoding with uppercased hex (%2f -> %2F); malformed
+        # escapes (%zz, trailing %4) pass through untouched
+        ("http://ex.com/%7Ealice", "http://ex.com/~alice"),
+        ("http://ex.com/%7ealice", "http://ex.com/~alice"),
+        ("http://ex.com/%49tems?q=%2fx", "http://ex.com/Items?q=%2Fx"),
+        ("http://e%78.com/a", "http://ex.com/a"),   # escape inside host
+        # host decodes LOWERCASE (case-insensitive component; an 'A'
+        # decoded after lower() ran would break idempotence)
+        ("http://e%58.com/a", "http://ex.com/a"),
+        ("http://ex.com/%zz/%4", "http://ex.com/%zz/%4"),
+        # an escaped 'www.' host prefix decodes, THEN strips (idempotence)
+        ("http://%77ww.ex.com/a", "http://ex.com/a"),
+        # tracking param spelled with an escape still drops
+        ("http://ex.com/?%75tm_source=m&a=1", "http://ex.com/?a=1"),
         ("no scheme here", None),
         ("", None),
     ]
@@ -1934,3 +1953,31 @@ def test_pq_encode_arrow_bit_identical_to_catalyst(spark, sf_dir):
     b = {r["vec_id"]: list(r["pq_codes"])
          for r in sim.pq_encode_arrow(e, books).collect()}
     assert a == b and len(a) > 0
+
+
+def test_pq_non_finite_vectors_null_codes_on_both_paths(spark):
+    """Finite-vector contract: NaN/Inf/NULL-bearing vectors encode to
+    NULL codes on BOTH encode paths (without the guard, Catalyst's
+    array_position returns 0 on NaN distances — ADC then throws — while
+    numpy argmin silently picks a code), and ADC search excludes them
+    instead of erroring."""
+    from lazy_frame_spark.operators import similarity as sim
+
+    books = sim.pq_codebooks(dim=4, n_sub=2, k=3, seed=1)
+    rows = [
+        (0, [0.1, 0.2, 0.3, 0.4]),
+        (1, [float("nan"), 0.2, 0.3, 0.4]),
+        (2, [0.1, float("inf"), 0.3, 0.4]),
+        (3, [0.1, 0.2, None, 0.4]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cat = {r["vec_id"]: r["pq_codes"] for r in sim.pq_encode(df, books).collect()}
+    arw = {r["vec_id"]: (None if r["pq_codes"] is None else list(r["pq_codes"]))
+           for r in sim.pq_encode_arrow(df, books).collect()}
+    assert cat[0] is not None
+    assert all(cat[i] is None for i in (1, 2, 3, 4))
+    assert {k: (None if v is None else list(v)) for k, v in cat.items()} == arw
+    top = sim.pq_adc_topk(sim.pq_encode(df, books), [0.1, 0.2, 0.3, 0.4],
+                          books, k=5).collect()
+    assert [r["vec_id"] for r in top] == [0]

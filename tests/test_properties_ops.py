@@ -391,6 +391,11 @@ url_piece = st.sampled_from([
     "http://", "HTTPS://", "hxxp", "www.", "Ex.COM", ":80", ":443", ":8080",
     "/Path", "/path/", "?", "a=1", "&b=2", "&utm_source=x", "#frag", "",
     "%20", "a b", "//", "?&&", "=", "1",
+    # percent-encoding + duplicate-param rule coverage: unreserved
+    # escapes (both hex cases), reserved escapes, malformed escapes,
+    # escaped www/tracking spellings, repeated param names
+    "%7e", "%7E", "%41", "%2F", "%2f", "%zz", "%4", "%25", "%771",
+    "&a=2", "&a=%7e", "%77ww.", "&%75tm_x=1",
 ])
 url_strategy = st.lists(url_piece, min_size=0, max_size=8).map("".join)
 

@@ -43,8 +43,10 @@ def audit(name: str, sdf) -> tuple[list[str], list[str]]:
         return [], []
     try:
         ws = scale_warnings(sdf)
-    except Exception:
-        return [], []
+    except Exception as e:
+        # a broken audit helper must NOT silently disable the hard
+        # cartesian/BNLJ gate while queries keep reporting 'ok'
+        return [], [f"plan audit unavailable: {e!r}"]
     hard, soft = [], []
     for w in ws:
         if w.startswith("CartesianProduct"):
