@@ -7076,14 +7076,15 @@ DRIVER_WINDOW: list[str] = [
     # past the cap, still locally checked)
     "agg_q1_pricing_summary",
     "search_bm25_topk",
-    # joins: semi, range, as-of, shuffled multi-join, and the TPC-H Q2
+    # joins: semi, as-of, shuffled multi-join, and the TPC-H Q2
     # capstone (correlated-MIN decorrelation over the derived partsupp).
     # Round-5 rotation: join_broadcast_dims moved past the cap — the
     # broadcast shape is driver-exercised by join_q3/join_q2 and pinned
-    # by plan tests — to hand Q2 a driver row.
+    # by plan tests — to hand Q2 a driver row. Round-7 rotation:
+    # join_range_bands past the cap (green rounds 4-6; the range-join
+    # shape stays plan-pinned) to fund the second quantized-ANN row.
     "join_q2_min_cost_supplier",
     "join_semi",
-    "join_range_bands",
     "join_asof_last_order",
     "join_q3_revenue",
     # data quality + time series — the validation/regularization passes
@@ -7096,10 +7097,11 @@ DRIVER_WINDOW: list[str] = [
     "set_union",
     # scalar surface: casts + JSON carry the category (round-5
     # rotation: scalar_date_battery past the cap — dates are also
-    # exercised by ts_resample_ffill/join_asof — freeing a slot for the
-    # incremental materialized view, the round-4 capability with only
-    # local evidence)
-    "view_incremental_agg",
+    # exercised by ts_resample_ffill/join_asof. Round-7 rotation:
+    # view_incremental_agg past the cap after three green rounds; the
+    # view_ category's driver rep is now the retraction/erasure view —
+    # the GDPR-repair path that had only local evidence)
+    "view_retract_erasure",
     "cast_semantics",
     "lf_factor_decode",
     "json_extract_props",
@@ -7107,27 +7109,36 @@ DRIVER_WINDOW: list[str] = [
     "subquery_scalar_and_in",
     "sample_weighted",
     # text analysis (token counting is value-checked in-window by
-    # udf_token_count_vectorized; the repetition filters carry more of
-    # the training-pipeline story)
+    # udf_token_count_vectorized; round-7 rotation: the classifier-head
+    # quality score replaces the raw feature battery — same operator
+    # family, and the model-scoring path had only local evidence)
     "events_funnel",
-    "text_quality_features",
+    "text_model_quality_score",
     # mergeable sketches (theta set algebra — all four counts value-
     # checked exactly in exact mode; lang-id moved past the cap, still
     # locally checked)
     "sketch_theta_setops",
     # dedup suite + decontamination + corpus mixing (the newest
     # training-pipeline capabilities earn driver rows; the slots come
-    # from within-category redundancy, never from a category's only rep)
+    # from within-category redundancy, never from a category's only rep.
+    # Round-7 rotation: dedup_simhash_pairs and mix_target_proportions
+    # past the cap after green rounds — the canonical-URL pass (the
+    # FIRST dedup a web corpus runs) and the per-domain anti-spam cap
+    # take their slots)
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
+    "dedup_url_canonical",
     # (dedup_ngram_jaccard rotated past the cap in round 5 — dedup keeps
     # three driver reps — freeing a slot for one-call gzip ingest)
     "ingest_gz_roundtrip",
     "dedup_clusters",
     "decontam_ngram_overlap",
-    "mix_target_proportions",
-    # similarity search (exact top-k + LSH-bucketed pairs)
-    "ann_cosine_topk",
+    "mix_domain_cap",
+    # similarity search: round-7 rotation — the quantized scale paths
+    # (PQ/ADC 8 B-per-vector search and int8 exact top-k) replace the
+    # float32 exact baseline (green rounds 4-6, still locally checked);
+    # LSH-bucketed pairs keep their row
+    "ann_pq_adc_topk",
+    "ann_cosine_topk_int8",
     "embedding_near_dup",
     # sinks, multimodal (the PNG round-trip is the strongest decode
     # evidence: real zlib compression and all five scanline filters,
