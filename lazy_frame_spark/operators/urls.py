@@ -19,9 +19,11 @@ agree on):
   uppercased (``%2f`` → ``%2F``); malformed escapes (``%zz``, ``%4``)
   pass through untouched. In the HOST component decoded letters land
   lowercase (hosts are case-insensitive: ``%41`` → ``a``, not ``A``);
-  path/query decodes keep case. ``%25`` is never decoded, so
-  normalization can't create new escapes — the pass is idempotent by
-  construction;
+  path/query decodes keep case. ``%25`` is never decoded, and an
+  escape directly after an INCOMPLETE escape (``%4%31``) is kept
+  rather than decoded (decoding ``%31`` → ``1`` there would
+  synthesize a brand-new ``%41``), so normalization can't create new
+  escapes — the pass is idempotent by construction;
 - tracking parameters dropped (``utm_*``, ``fbclid``, ``gclid``,
   ``ref`` by default — override with ``drop_params``);
 - duplicate query parameters collapsed KEEP-FIRST by name (the
@@ -59,11 +61,25 @@ def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
     so running this BEFORE host/path/query splitting cannot move
     component boundaries.
 
-    Strings without a ``%`` (the overwhelming majority of a web corpus)
-    take a contains() fast path and skip the tokenizer entirely —
-    conditional branches evaluate lazily per row, so the escape
-    machinery only runs on rows that can need it (2.9 s → 1.6 s on the
-    bench fixture).
+    Idempotence needs one extra rule: a decode is SUPPRESSED (escape
+    kept, hex uppercased) when the PREVIOUS token's tail ends in an
+    incomplete escape (``%`` or ``%h``) — otherwise decoding an escape
+    whose value is a hex character would synthesize a NEW well-formed
+    escape that the next pass decodes (``%4`` + ``%31``→``1`` =
+    ``%41`` → ``A``), drifting dedup keys across pipeline stages.
+    Token tails are never rewritten (only leading escapes are), so the
+    suppression decision is identical on every re-run and the pass is
+    closed under re-application. Suppression can only ever fire on
+    already-malformed inputs — a well-formed escape stream has no
+    incomplete-escape tails.
+
+    Two-stage fast path: rows without a ``%`` (the overwhelming
+    majority of a web corpus) fail the cheap ``contains`` and skip
+    everything; rows whose ``%`` never forms a well-formed escape
+    (literal percents, lone malformed escapes) fail the rlike and skip
+    the tokenizer too — codegen short-circuits ``&&`` per row, so the
+    regex only runs on %-bearing rows and the tokenizer only on rows
+    with at least one decodable-or-uppercasable escape.
 
     ``lower_decoded`` lowercases the DECODED character — required for
     the case-insensitive host component, which is lowercased before
@@ -74,7 +90,7 @@ def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
     (those components are case-sensitive)."""
     toks = F.split(s, r"(?=%[0-9A-Fa-f]{2})")
 
-    def fix(t: Column) -> Column:
+    def fix(t: Column, prev: Column) -> Column:
         is_esc = t.rlike(r"^%[0-9A-Fa-f]{2}")
         hex2 = F.upper(F.substring(t, 2, 2))
         code = F.conv(hex2, 16, 10).cast("int")
@@ -84,16 +100,23 @@ def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
             | ((code >= 48) & (code <= 57))      # 0-9
             | code.isin(45, 46, 95, 126)         # - . _ ~
         )
+        # the idempotence guard: previous token ends mid-escape, so a
+        # decoded hex char would complete it into a new escape
+        blocked = F.coalesce(prev, F.lit("")).rlike(r"%[0-9A-Fa-f]?$")
         rest = F.substring(t, 4, 2147483647)
         decoded = F.lower(F.char(code)) if lower_decoded else F.char(code)
         return (
-            F.when(is_esc & unreserved, F.concat(decoded, rest))
+            F.when(is_esc & unreserved & ~blocked, F.concat(decoded, rest))
             .when(is_esc, F.concat(F.lit("%"), hex2, rest))
             .otherwise(t)
         )
 
+    fixed = F.transform(toks, lambda t, i: fix(t, F.get(toks, i - 1)))
     return (
-        F.when(s.contains("%"), F.array_join(F.transform(toks, fix), ""))
+        F.when(
+            s.contains("%") & s.rlike(r"%[0-9A-Fa-f]{2}"),
+            F.array_join(fixed, ""),
+        )
         .otherwise(s)
     )
 
@@ -129,8 +152,8 @@ def _clean_params(query: Column, drop_re: str) -> Column:
 #: staged intermediate names used by with_canonical_url — input frames
 #: must not already carry these (checked up front)
 _TMP_COLS: tuple[str, ...] = (
-    "__scheme__", "__nofrag__", "__hostport0__", "__rawpath__",
-    "__rawquery__", "__hostport__", "__path0__", "__query__",
+    "__scheme__", "__nofrag__", "__hostport0__", "__rawtail__",
+    "__hostport__", "__tail__", "__path0__", "__query__",
     "__host__", "__path__", "__qs__",
 )
 
@@ -162,10 +185,16 @@ def canonicalize_url(
     )
     if strip_www:
         host = F.regexp_replace(host, r"^(www\.)+(.)", "$2")
-    path = _pct_normalize(F.regexp_extract(nofrag, r"^[^/?]*([^?]*)", 1))
-    path = F.regexp_replace(path, r"/+$", "")
+    # percent-normalize path+query as ONE string (everything after the
+    # hostport, '?' included) and split afterwards: normalization never
+    # creates, removes, or decodes a '?' ('?' is reserved, code 63), so
+    # the path/query boundary is identical whether the components are
+    # normalized jointly or separately — and the tokenizer runs once
+    # per row instead of twice
+    tail = _pct_normalize(F.regexp_extract(nofrag, r"^[^/?]*(.*)$", 1))
+    path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = _pct_normalize(F.regexp_extract(nofrag, r"\?(.*)$", 1))
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
     drop_re = "^(" + "|".join(drop_params) + ")="
     qs = F.array_join(_clean_params(query, drop_re), "&")
     canon = F.concat(
@@ -224,18 +253,19 @@ def with_canonical_url(
         ).alias("__nofrag__"),
     )
     # raw component extraction gets its OWN projection: _pct_normalize
-    # references its argument 3x (contains fast path, tokenizer,
+    # references its argument several times (fast-path gates, tokenizer,
     # fallback), so wrapping the regexp_extract directly would re-inline
-    # the regex 3x per component (plan pin: 11 regexp_extracts, not 5).
-    # Staged, the triple reference is a cheap attribute ref.
+    # the regex per reference. Staged, each reference is a cheap
+    # attribute ref. Path+query normalize as ONE string (the tail after
+    # the hostport, '?' included — normalization never creates, removes,
+    # or decodes '?', so the later split lands on the same boundary) so
+    # the tokenizer runs at most once per row on the dominant component.
     s2 = s1.select(
         *passthru, "__scheme__",
         F.lower(F.regexp_extract(F.col("__nofrag__"), r"^([^/?]*)", 1))
         .alias("__hostport0__"),
-        F.regexp_extract(F.col("__nofrag__"), r"^[^/?]*([^?]*)", 1)
-        .alias("__rawpath__"),
-        F.regexp_extract(F.col("__nofrag__"), r"\?(.*)$", 1)
-        .alias("__rawquery__"),
+        F.regexp_extract(F.col("__nofrag__"), r"^[^/?]*(.*)$", 1)
+        .alias("__rawtail__"),
     )
     # same ordering contract as the Column form: lower, then
     # percent-normalize (host decodes lowercase), THEN (next stage)
@@ -244,10 +274,14 @@ def with_canonical_url(
         *passthru, "__scheme__",
         _pct_normalize(F.col("__hostport0__"), lower_decoded=True)
         .alias("__hostport__"),
+        _pct_normalize(F.col("__rawtail__")).alias("__tail__"),
+    )
+    s2 = s2.select(
+        *passthru, "__scheme__", "__hostport__",
         F.regexp_replace(
-            _pct_normalize(F.col("__rawpath__")), r"/+$", ""
+            F.regexp_extract(F.col("__tail__"), r"^([^?]*)", 1), r"/+$", ""
         ).alias("__path0__"),
-        _pct_normalize(F.col("__rawquery__")).alias("__query__"),
+        F.regexp_extract(F.col("__tail__"), r"\?(.*)$", 1).alias("__query__"),
     )
     host = (
         F.when(F.col("__scheme__") == "http",

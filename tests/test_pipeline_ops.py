@@ -1789,6 +1789,16 @@ def test_canonicalize_url_rules(spark):
         # decoded after lower() ran would break idempotence)
         ("http://e%58.com/a", "http://ex.com/a"),
         ("http://ex.com/%zz/%4", "http://ex.com/%zz/%4"),
+        # idempotence guard: an escape directly after an INCOMPLETE
+        # escape is NOT decoded — decoding %31 -> '1' after '%4' would
+        # synthesize a brand-new %41 that the next pass decodes to 'A'
+        # (dedup keys drifting across pipeline stages)
+        ("http://ex.com/%4%31", "http://ex.com/%4%31"),
+        ("http://ex.com/%4%41", "http://ex.com/%4%41"),
+        ("http://ex.com/%%34%31", "http://ex.com/%%341"),
+        # ...but an incomplete escape further back does not block: the
+        # well-formed %34 tail between them keeps the decode safe
+        ("http://ex.com/%4x%31", "http://ex.com/%4x1"),
         # an escaped 'www.' host prefix decodes, THEN strips (idempotence)
         ("http://%77ww.ex.com/a", "http://ex.com/a"),
         # tracking param spelled with an escape still drops

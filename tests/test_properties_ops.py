@@ -396,6 +396,9 @@ url_piece = st.sampled_from([
     # escaped www/tracking spellings, repeated param names
     "%7e", "%7E", "%41", "%2F", "%2f", "%zz", "%4", "%25", "%771",
     "&a=2", "&a=%7e", "%77ww.", "&%75tm_x=1",
+    # escape-synthesis adjacencies (the round-6 idempotence break:
+    # incomplete escape + hex-decoding escape, e.g. '%4'+'%31')
+    "%31", "%34", "%%34", "%4%31",
 ])
 url_strategy = st.lists(url_piece, min_size=0, max_size=8).map("".join)
 
