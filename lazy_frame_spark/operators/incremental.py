@@ -26,11 +26,26 @@ from pyspark.sql import functions as F
 
 COUNT_COL = "__n__"
 
+#: default bounded-extreme buffer width: the view keeps the 8 smallest
+#: (largest) values per grain so a CDC delete of the current min/max can
+#: serve the next-best WITHOUT a source rescan — repair is only needed
+#: when a single grain loses more than BUF_N rows in one batch or the
+#: buffer drains. 8 doubles/grain is noise next to the partials.
+BUF_N = 8
 
-def _agg_exprs(sum_cols, min_cols, max_cols, first: bool):
+
+def _agg_exprs(sum_cols, min_cols, max_cols, first: bool,
+               buffer_extremes: int | None = None):
     """Partial-building (first=True) or partial-merging aggregate list.
     Merging re-applies the same functions to the partial columns —
-    decomposability makes build and merge the same shape."""
+    decomposability makes build and merge the same shape.
+
+    With ``buffer_extremes=N``, each min/max column also carries a
+    bounded synopsis ``minbuf_<c>`` / ``maxbuf_<c>``: the N smallest
+    (largest) values of the grain, sorted. The synopsis is MERGEABLE
+    (N-prefix of the union of two N-prefixes is the N-prefix of the
+    merged multiset) and bounded: a merge collects at most N values per
+    input row, never the raw data."""
     exprs = [
         (F.count(F.lit(1)) if first else F.sum(COUNT_COL))
         .cast("long")
@@ -45,6 +60,21 @@ def _agg_exprs(sum_cols, min_cols, max_cols, first: bool):
     for c in max_cols:
         src = c if first else f"max_{c}"
         exprs.append(F.max(src).alias(f"max_{c}"))
+    if buffer_extremes:
+        n = int(buffer_extremes)
+        for c in min_cols:
+            vals = (F.collect_list(c) if first
+                    else F.flatten(F.collect_list(f"minbuf_{c}")))
+            exprs.append(
+                F.slice(F.array_sort(vals), 1, n).alias(f"minbuf_{c}")
+            )
+        for c in max_cols:
+            vals = (F.collect_list(c) if first
+                    else F.flatten(F.collect_list(f"maxbuf_{c}")))
+            exprs.append(
+                F.slice(F.reverse(F.array_sort(vals)), 1, n)
+                .alias(f"maxbuf_{c}")
+            )
     return exprs
 
 
@@ -54,11 +84,29 @@ def agg_view_build(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    buffer_extremes: int | None = None,
 ) -> DataFrame:
     """One-scan partial table: per grain key — row count, per-column
-    sums/mins/maxes. This IS the stored view."""
-    return df.groupBy(*grain).agg(
-        *_agg_exprs(sum_cols, min_cols, max_cols, first=True)
+    sums/mins/maxes. This IS the stored view.
+
+    ``buffer_extremes=N`` adds the bounded min/max synopses (see
+    ``_agg_exprs``) via a TWO-PHASE aggregation: a pre-aggregate keyed
+    by (grain, scan partition) cuts each partition's contribution to N
+    values before the grain shuffle, so no task ever holds a hot
+    grain's full value list — the same skew discipline as the
+    two-phase distinct. Without buffers the plain single hash
+    aggregation stands (scalar partials need no bounding)."""
+    if not buffer_extremes:
+        return df.groupBy(*grain).agg(
+            *_agg_exprs(sum_cols, min_cols, max_cols, first=True)
+        )
+    pre = df.groupBy(*grain, F.spark_partition_id().alias("__pid__")).agg(
+        *_agg_exprs(sum_cols, min_cols, max_cols, first=True,
+                    buffer_extremes=buffer_extremes)
+    )
+    return pre.groupBy(*grain).agg(
+        *_agg_exprs(sum_cols, min_cols, max_cols, first=False,
+                    buffer_extremes=buffer_extremes)
     )
 
 
@@ -69,14 +117,19 @@ def agg_view_update(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    buffer_extremes: int | None = None,
 ) -> DataFrame:
     """Fold a new ingest batch into the stored view WITHOUT rescanning
     stored data: build the batch's partials (one batch scan), union
     with the view, re-merge per grain key (a view-sized shuffle).
-    Exactly equal to rebuilding from all data — pinned by tests."""
-    fresh = agg_view_build(new_batch, grain, sum_cols, min_cols, max_cols)
+    Exactly equal to rebuilding from all data — pinned by tests.
+    ``buffer_extremes`` must match the stored view's build setting (the
+    synopsis columns merge by name)."""
+    fresh = agg_view_build(new_batch, grain, sum_cols, min_cols, max_cols,
+                           buffer_extremes=buffer_extremes)
     return stored.unionByName(fresh).groupBy(*grain).agg(
-        *_agg_exprs(sum_cols, min_cols, max_cols, first=False)
+        *_agg_exprs(sum_cols, min_cols, max_cols, first=False,
+                    buffer_extremes=buffer_extremes)
     )
 
 
@@ -104,6 +157,7 @@ def agg_view_stream_writer(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     op_col: str | None = None,
+    buffer_extremes: int | None = None,
 ):
     """``foreachBatch`` sink that maintains the stored view under
     streaming ingest, EXACTLY-ONCE: each micro-batch folds into the
@@ -115,12 +169,17 @@ def agg_view_stream_writer(
 
     ``op_col`` turns the writer CDC-aware: rows whose ``op_col`` value
     is ``'D'`` (case-insensitive) RETRACT from the view via
-    ``agg_view_retract``; every other row upserts. Only count/sum
-    aggregates are stream-retractable — min/max need the grain-pruned
-    ``agg_view_repair`` rescan, which a foreachBatch body cannot run
-    against a stream — so configuring ``op_col`` together with
-    ``min_cols``/``max_cols`` raises up front instead of serving stale
-    extremes silently.
+    ``agg_view_retract``; every other row upserts. count/sum are always
+    stream-retractable; min/max under CDC need ``buffer_extremes=N``
+    (bounded next-best synopses): a delete of a grain's current extreme
+    then serves the exact next-best from the buffer, no source rescan.
+    Grains that exhaust their synopsis (more than N deletes in one
+    batch, or a drained buffer) keep a PERSISTED ``__stale__`` flag —
+    carried forward across batches until an out-of-band batch
+    ``agg_view_repair`` against the compacted source rebuilds them (a
+    stream cannot be rescanned). Configuring ``op_col`` with
+    ``min_cols``/``max_cols`` and NO buffer still raises up front
+    instead of serving stale extremes silently.
 
     Usage::
 
@@ -131,11 +190,13 @@ def agg_view_stream_writer(
     import json
     import os
 
-    if op_col is not None and (min_cols or max_cols):
+    cdc_extremes = op_col is not None and bool(min_cols or max_cols)
+    if cdc_extremes and not buffer_extremes:
         raise ValueError(
             "op_col (streaming retraction) supports count/sum views only: "
-            "min/max retraction needs agg_view_repair's source rescan — "
-            "maintain those with the batch retract+repair path instead"
+            "min/max retraction needs a bounded next-best synopsis — pass "
+            "buffer_extremes=N (e.g. 8), or maintain extremes with the "
+            "batch retract+repair path instead"
         )
 
     marker = "_FOLDED_BATCH.json"
@@ -163,17 +224,52 @@ def agg_view_stream_writer(
             is_del = F.upper(F.col(op_col)).eqNullSafe(F.lit("D"))
             inserts = batch_df.filter(~is_del).drop(op_col)
             deletes = batch_df.filter(is_del).drop(op_col)
+        old_stale = None
         if os.path.exists(view_dir):
             stored = spark.read.parquet(view_dir)
+            if STALE_COL in stored.columns:
+                # staleness persists across batches: an exhausted grain
+                # stays flagged until an out-of-band repair, no matter
+                # how many clean batches fold in meanwhile
+                old_stale = stored.filter(F.col(STALE_COL)).select(
+                    *[F.col(c).alias(f"__os_{c}__") for c in grain],
+                    F.lit(True).alias("__os_hit__"),  # NULL grains need
+                    # an explicit match marker — the key itself is NULL
+                )
+                stored = stored.drop(STALE_COL)
             updated = agg_view_update(
-                stored, inserts, grain, sum_cols, min_cols, max_cols
+                stored, inserts, grain, sum_cols, min_cols, max_cols,
+                buffer_extremes=buffer_extremes,
             )
         else:
-            updated = agg_view_build(inserts, grain, sum_cols, min_cols, max_cols)
+            updated = agg_view_build(inserts, grain, sum_cols, min_cols,
+                                     max_cols, buffer_extremes=buffer_extremes)
         if deletes is not None:
             updated = agg_view_retract(
-                updated, deletes, grain, sum_cols, min_cols, max_cols
-            ).drop(STALE_COL)  # count/sum only: never stale (enforced)
+                updated, deletes, grain, sum_cols, min_cols, max_cols,
+                buffer_extremes=buffer_extremes,
+            )
+            if not cdc_extremes:
+                updated = updated.drop(STALE_COL)  # count/sum: never stale
+        if cdc_extremes:
+            if STALE_COL not in updated.columns:  # insert-only batch
+                updated = updated.withColumn(STALE_COL, F.lit(False))
+            if old_stale is not None:
+                cond = F.lit(True)
+                for c in grain:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__os_{c}__"))
+                updated = (
+                    updated.join(
+                        _hint_if_small(old_stale, BROADCAST_GRAIN_LIMIT),
+                        on=cond, how="left",
+                    )
+                    .withColumn(
+                        STALE_COL,
+                        F.col(STALE_COL)
+                        | F.coalesce(F.col("__os_hit__"), F.lit(False)),
+                    )
+                    .drop("__os_hit__", *[f"__os_{c}__" for c in grain])
+                )
         dest = view_dir.rstrip("/") + "__fold_tmp"
         updated.write.mode("overwrite").parquet(dest)
         with open(os.path.join(dest, marker), "w", encoding="utf-8") as f:
@@ -188,6 +284,48 @@ def agg_view_stream_writer(
 
 STALE_COL = "__stale__"
 
+#: grain-count bound under which the retract/repair delete side is
+#: broadcast-hinted; above it the hint is dropped and the planner (AQE)
+#: picks a shuffled join. 100k grain rows of keys+partials is ~10 MB —
+#: comfortably inside executor broadcast budgets; an erasure touching
+#: grains comparable to the view's cardinality (a whole-tenant GDPR
+#: purge at 100 TB can) must NOT be forced through driver memory.
+BROADCAST_GRAIN_LIMIT = 100_000
+
+
+def _buf_subtract(buf: Column, dels: Column) -> Column:
+    """Multiset subtraction of two bounded synopsis arrays: remove ONE
+    occurrence of each deleted value from ``buf`` (first match). Both
+    arrays are <= N elements, so the fold is a bounded expression —
+    no joins, no explode. Values in ``dels`` absent from ``buf`` are
+    no-ops (they lived outside the synopsis window)."""
+    def remove_one(acc: Column, d: Column) -> Column:
+        pos = F.array_position(acc, d).cast("int")
+        head = F.slice(acc, 1, pos - 1)
+        tail = F.when(
+            pos < F.size(acc), F.slice(acc, pos + 1, F.size(acc) - pos)
+        ).otherwise(F.filter(acc, lambda _: F.lit(False)))
+        return F.when(pos > 0, F.concat(head, tail)).otherwise(acc)
+
+    return F.aggregate(
+        F.coalesce(dels, F.filter(buf, lambda _: F.lit(False))),
+        buf,
+        remove_one,
+    )
+
+
+def _hint_if_small(side: DataFrame, limit: int | None) -> DataFrame:
+    """Broadcast hint only when the build side is PROVABLY small: count
+    at most ``limit + 1`` rows (CollectLimit stops the collection there,
+    so the decision job's driver cost is bounded regardless of actual
+    size) and hint only under the bound. ``None`` disables the hint
+    unconditionally. Either way the join stays an equi-join (eqNullSafe
+    is a planner-recognized equi-key), so above the bound AQE plans a
+    shuffled hash/sort-merge join — never a nested loop."""
+    if limit is not None and side.limit(limit + 1).count() <= limit:
+        return F.broadcast(side)
+    return side
+
 
 def agg_view_retract(
     stored: DataFrame,
@@ -196,26 +334,49 @@ def agg_view_retract(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    broadcast_limit: int | None = BROADCAST_GRAIN_LIMIT,
+    buffer_extremes: int | None = None,
 ) -> DataFrame:
     """Fold a DELETE batch out of the stored view without rescanning
     stored data — the maintenance pass a ``delete_keys`` erasure run
     owes the views built over the erased table (without it the view
     silently serves ghosts of erased rows).
 
+    The delete partials are broadcast-hinted only while their grain
+    count stays under ``broadcast_limit`` (checked with a bounded
+    count); a mass erasure touching grains comparable to the view's own
+    cardinality joins shuffled instead of being forced through driver
+    memory. ``None`` leaves the strategy entirely to AQE.
+
     count/sum are subtractable: the deleted batch aggregates once (one
     batch scan) and its partials subtract per grain key. min/max are
-    NOT — a partial can't say what the next-best extreme was — so each
-    grain gets a ``__stale__`` flag instead: True only when a deleted
-    value ties the stored extreme for some min/max column (the only
-    case the stored extreme can be wrong; a strictly interior deletion
-    leaves it intact). ``agg_view_repair`` rebuilds exactly the stale
-    grains from the remaining source — a grain-pruned rescan, never a
-    full rebuild. Grains whose count reaches zero drop out of the view.
+    NOT — a partial can't say what the next-best extreme was — so by
+    default each grain gets a ``__stale__`` flag instead: True only
+    when a deleted value ties the stored extreme for some min/max
+    column (the only case the stored extreme can be wrong; a strictly
+    interior deletion leaves it intact). ``agg_view_repair`` rebuilds
+    exactly the stale grains from the remaining source — a grain-pruned
+    rescan, never a full rebuild. Grains whose count reaches zero drop
+    out of the view.
+
+    With ``buffer_extremes=N`` (view built with the same setting),
+    min/max become RETRACTABLE up to N deletions per grain per batch:
+    the deleted values multiset-subtract from the bounded synopsis and
+    the new head IS the exact next-best extreme — no rescan, no
+    staleness. A grain only goes ``__stale__`` when its synopsis drains
+    or more than N of its rows die in one batch (the delete synopsis
+    itself is N-bounded, so a bigger per-grain delete can't prove it
+    hit every buffered value). Correctness of the subtract rests on the
+    erasure contract: the synopsis is an N-prefix of the grain's sorted
+    multiset, so every deleted copy of a value strictly inside the
+    prefix is IN the prefix, and the post-subtract head provably
+    survives in the remaining data.
 
     Assumes the deleted rows were previously folded in (the erasure
     contract); retracting rows never ingested would drive counts
     negative, which the zero-count filter treats as fully-deleted."""
-    d = agg_view_build(deleted_batch, grain, sum_cols, min_cols, max_cols)
+    d = agg_view_build(deleted_batch, grain, sum_cols, min_cols, max_cols,
+                       buffer_extremes=buffer_extremes)
     ren = {COUNT_COL: "__d_n__"}
     for c in grain:  # NULL is a real grain under groupBy — the join
         ren[c] = f"__d_g_{c}__"  # below must match it null-safely
@@ -225,6 +386,11 @@ def agg_view_retract(
         ren[f"min_{c}"] = f"__d_min_{c}__"
     for c in max_cols:
         ren[f"max_{c}"] = f"__d_max_{c}__"
+    if buffer_extremes:
+        for c in min_cols:
+            ren[f"minbuf_{c}"] = f"__d_minbuf_{c}__"
+        for c in max_cols:
+            ren[f"maxbuf_{c}"] = f"__d_maxbuf_{c}__"
     for old, new in ren.items():
         d = d.withColumnRenamed(old, new)
 
@@ -234,7 +400,7 @@ def agg_view_retract(
     cond = F.lit(True)
     for c in grain:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__d_g_{c}__"))
-    out = stored.join(F.broadcast(d), on=cond, how="left")
+    out = stored.join(_hint_if_small(d, broadcast_limit), on=cond, how="left")
     hit = F.col("__d_n__").isNotNull()
     out = out.withColumn(
         COUNT_COL, F.col(COUNT_COL) - F.coalesce(F.col("__d_n__"), F.lit(0))
@@ -244,11 +410,45 @@ def agg_view_retract(
             f"sum_{c}",
             F.col(f"sum_{c}") - F.coalesce(F.col(f"__d_sum_{c}__"), F.lit(0)),
         )
-    stale = F.lit(False)
-    for c in min_cols:
-        stale = stale | (hit & (F.col(f"__d_min_{c}__") <= F.col(f"min_{c}")))
-    for c in max_cols:
-        stale = stale | (hit & (F.col(f"__d_max_{c}__") >= F.col(f"max_{c}")))
+    if buffer_extremes:
+        n = int(buffer_extremes)
+        # the delete synopsis is complete only while the grain lost <= N
+        # rows this batch; beyond that it may have missed buffered values
+        over = hit & (F.col("__d_n__") > n)
+        stale = F.lit(False)
+        for c in min_cols:
+            out = out.withColumn(
+                f"minbuf_{c}",
+                F.when(hit, _buf_subtract(F.col(f"minbuf_{c}"),
+                                          F.col(f"__d_minbuf_{c}__")))
+                .otherwise(F.col(f"minbuf_{c}")),
+            )
+            stale = stale | over | (hit & (F.size(f"minbuf_{c}") == 0))
+            # F.get, not element_at: a drained buffer must yield NULL
+            # (coalesced to the stale-flagged old extreme), not an ANSI
+            # out-of-bounds error
+            out = out.withColumn(
+                f"min_{c}",
+                F.coalesce(F.get(f"minbuf_{c}", 0), F.col(f"min_{c}")),
+            )
+        for c in max_cols:
+            out = out.withColumn(
+                f"maxbuf_{c}",
+                F.when(hit, _buf_subtract(F.col(f"maxbuf_{c}"),
+                                          F.col(f"__d_maxbuf_{c}__")))
+                .otherwise(F.col(f"maxbuf_{c}")),
+            )
+            stale = stale | over | (hit & (F.size(f"maxbuf_{c}") == 0))
+            out = out.withColumn(
+                f"max_{c}",
+                F.coalesce(F.get(f"maxbuf_{c}", 0), F.col(f"max_{c}")),
+            )
+    else:
+        stale = F.lit(False)
+        for c in min_cols:
+            stale = stale | (hit & (F.col(f"__d_min_{c}__") <= F.col(f"min_{c}")))
+        for c in max_cols:
+            stale = stale | (hit & (F.col(f"__d_max_{c}__") >= F.col(f"max_{c}")))
     out = out.withColumn(STALE_COL, F.coalesce(stale, F.lit(False)))
     return out.filter(F.col(COUNT_COL) > 0).drop(*ren.values())
 
@@ -260,13 +460,19 @@ def agg_view_repair(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    broadcast_limit: int | None = BROADCAST_GRAIN_LIMIT,
+    buffer_extremes: int | None = None,
 ) -> DataFrame:
     """Rebuild ONLY the ``__stale__`` grains of a retracted view from
     the remaining (post-delete) source, and return a clean view (flag
     dropped). The rescan is grain-pruned: the source is semi-joined to
     the stale keys before aggregating, so repair cost scales with the
     affected grains, not the table. A view with no stale grains costs
-    one empty semi-join."""
+    one empty semi-join. The stale-key side is broadcast-hinted only
+    under ``broadcast_limit`` grains (same gate as agg_view_retract) —
+    a repair touching most of a huge view semi-joins shuffled.
+    ``buffer_extremes`` must match the view's setting so rebuilt grains
+    regrow their synopses."""
     stale_keys = retracted.filter(F.col(STALE_COL)).select(
         *[F.col(c).alias(f"__s_g_{c}__") for c in grain]
     )
@@ -276,7 +482,10 @@ def agg_view_repair(
     for c in grain:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__s_g_{c}__"))
     rebuilt = agg_view_build(
-        remaining_source.join(F.broadcast(stale_keys), on=cond, how="left_semi"),
+        remaining_source.join(
+            _hint_if_small(stale_keys, broadcast_limit), on=cond, how="left_semi"
+        ),
         grain, sum_cols, min_cols, max_cols,
+        buffer_extremes=buffer_extremes,
     )
     return clean.unionByName(rebuilt)

@@ -351,6 +351,127 @@ def test_erasure_pipeline_keeps_view_consistent(spark, sf_dir, tmp_path):
     assert norm(maintained) == norm(want)
 
 
+def test_agg_view_retract_broadcast_gate(spark):
+    """A mass erasure (here: every grain's minimum row — 100% of grains
+    touched) must NOT force the delete partials through driver memory:
+    the broadcast hint appears only while the grain count stays under
+    broadcast_limit; above it the eqNullSafe equi-join plans shuffled
+    (AQE's call). Both paths return identical values, and the repair
+    semi-join applies the same gate to the stale keys."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 200).alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    kw = dict(sum_cols=["v"], min_cols=["v"])
+    view = iv.agg_view_build(df, ["g"], **kw)
+    # v < 200 is exactly each grain's minimum row: all 200 grains are
+    # touched AND flagged stale (the deleted value ties the stored min)
+    doomed = df.filter(F.col("v") < 200)
+    remaining = df.join(doomed, ["g", "v"], "left_anti")
+
+    hinted_r = iv.agg_view_retract(view, doomed, ["g"], **kw)
+    plain_r = iv.agg_view_retract(view, doomed, ["g"], **kw,
+                                  broadcast_limit=50)
+
+    def has_hint(d):
+        return "strategy=broadcast" in (
+            d._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert has_hint(hinted_r), "under the limit the hint must apply"
+    assert not has_hint(plain_r), "a 200-grain erasure over limit=50 " \
+                                  "must not force-broadcast"
+
+    def norm_r(d):
+        return sorted((r["g"], r["__n__"], r["sum_v"], r["min_v"],
+                       r[iv.STALE_COL]) for r in d.collect())
+
+    assert norm_r(hinted_r) == norm_r(plain_r)
+    assert all(t[-1] for t in norm_r(plain_r))  # every grain stale
+
+    rep_hinted = iv.agg_view_repair(hinted_r, remaining, ["g"], **kw)
+    rep_plain = iv.agg_view_repair(plain_r, remaining, ["g"], **kw,
+                                   broadcast_limit=50)
+    assert has_hint(rep_hinted) and not has_hint(rep_plain)
+    want = iv.agg_view_build(remaining, ["g"], **kw)
+
+    def norm(d):
+        return sorted((r["g"], r["__n__"], r["sum_v"], r["min_v"])
+                      for r in d.collect())
+
+    assert norm(rep_hinted) == norm(want)
+    assert norm(rep_plain) == norm(want)
+
+
+def test_agg_view_buffered_extremes_retract_exact(spark):
+    """buffer_extremes=N makes min/max retractable WITHOUT rescan: the
+    view keeps the N smallest/largest values per grain, a delete of the
+    current extreme serves the exact next-best from the synopsis (no
+    stale flag), a grain losing more than N rows in one batch goes
+    stale, repair rebuilds it, and incremental update folds merge
+    synopses exactly (N-prefix of unions)."""
+    from lazy_frame_spark.operators import incremental as iv
+
+    rows = ([("a", float(v)) for v in range(20)]
+            + [("b", float(v)) for v in range(100, 120)]
+            + [("c", float(v)) for v in range(7)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    kw = dict(sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    N = 4
+    view = iv.agg_view_build(df, ["g"], **kw, buffer_extremes=N)
+    vrow = {r["g"]: r for r in view.collect()}
+    assert vrow["a"]["minbuf_v"] == [0.0, 1.0, 2.0, 3.0]
+    assert vrow["a"]["maxbuf_v"] == [19.0, 18.0, 17.0, 16.0]
+    assert vrow["c"]["minbuf_v"] == [0.0, 1.0, 2.0, 3.0]
+
+    # incremental folds merge synopses exactly: half + half == full
+    h1 = df.filter(F.col("v") % 2 == 0)
+    h2 = df.join(h1, ["g", "v"], "left_anti")
+    folded = iv.agg_view_update(
+        iv.agg_view_build(h1, ["g"], **kw, buffer_extremes=N),
+        h2, ["g"], **kw, buffer_extremes=N)
+
+    def norm_full(d):
+        return sorted((r["g"], r["__n__"], r["sum_v"], r["min_v"],
+                       r["max_v"], tuple(r["minbuf_v"]), tuple(r["maxbuf_v"]))
+                      for r in d.collect())
+
+    assert norm_full(folded) == norm_full(view)
+
+    doomed = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 19.0)]       # 4 <= N
+        + [("b", float(v)) for v in range(100, 110)],           # 10 > N
+        "g string, v double")
+    remaining = df.join(doomed, ["g", "v"], "left_anti")
+    retr = iv.agg_view_retract(view, doomed, ["g"], **kw, buffer_extremes=N)
+    got = {r["g"]: r for r in retr.collect()}
+    # 'a' serves the EXACT next-best from the synopsis — no staleness
+    assert got["a"]["min_v"] == 3.0 and got["a"]["max_v"] == 18.0
+    assert got["a"][iv.STALE_COL] is False
+    assert got["c"][iv.STALE_COL] is False
+    # 'b' lost 10 > N rows in one batch: the synopsis can't prove the
+    # next-best -> flagged for repair
+    assert got["b"][iv.STALE_COL] is True
+
+    fixed = iv.agg_view_repair(retr, remaining, ["g"], **kw,
+                               buffer_extremes=N)
+    want = iv.agg_view_build(remaining, ["g"], **kw, buffer_extremes=N)
+
+    def norm_scalar(d):
+        return sorted((r["g"], r["__n__"], r["sum_v"], r["min_v"],
+                       r["max_v"]) for r in d.collect())
+
+    assert norm_scalar(fixed) == norm_scalar(want)
+    # the repaired grain regrew its full synopsis
+    brow = {r["g"]: r for r in fixed.collect()}["b"]
+    wrow = {r["g"]: r for r in want.collect()}["b"]
+    assert brow["minbuf_v"] == wrow["minbuf_v"]
+    assert brow["maxbuf_v"] == wrow["maxbuf_v"]
+
+
 def test_agg_view_retract_null_grain(spark):
     """NULL is a real grain under groupBy: retracting NULL-grain rows
     must subtract (null-safe join), flag stale tied extremes, and drop

@@ -543,6 +543,74 @@ def test_agg_view_stream_writer_cdc_retraction(spark, sf_dir, tmp_path):
                                min_cols=["value"], op_col="op")
 
 
+def test_cdc_stream_retractable_extremes(spark, tmp_path):
+    """CDC stream maintenance of a min/max view with buffer_extremes=N:
+    deleting a grain's current min AND max serves the exact next-best
+    from the bounded synopsis (no rescan), replay stays exactly-once, a
+    grain losing more than N rows in one batch goes __stale__ and STAYS
+    stale across later clean batches, and an out-of-band batch repair
+    against the net source clears it."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import incremental as iv
+    from lazy_frame_spark.operators.incremental import agg_view_stream_writer
+
+    view = str(tmp_path / "cdc_ext_view")
+    fold = agg_view_stream_writer(view, ["k"], sum_cols=["v"],
+                                  min_cols=["v"], max_cols=["v"],
+                                  op_col="op", buffer_extremes=4)
+    b0 = spark.createDataFrame(
+        [("a", float(v), "I") for v in range(10)]
+        + [("b", float(v), "I") for v in range(100, 110)],
+        "k string, v double, op string")
+    fold(b0, 0)
+    # delete a's current extremes -> exact next-best, no staleness
+    b1 = spark.createDataFrame([("a", 0.0, "D"), ("a", 9.0, "D")],
+                               "k string, v double, op string")
+    fold(b1, 1)
+    got = {r["k"]: r for r in spark.read.parquet(view).collect()}
+    assert got["a"]["min_v"] == 1.0 and got["a"]["max_v"] == 8.0
+    assert got["a"]["__n__"] == 8 and got["a"][iv.STALE_COL] is False
+    # replayed batch id: exactly-once no-op
+    fold(b1, 1)
+    again = {r["k"]: r for r in spark.read.parquet(view).collect()}
+    assert again["a"]["min_v"] == 1.0 and again["a"]["__n__"] == 8
+    # 6 > N deletes on 'b' in one batch: synopsis can't prove -> stale
+    b2 = spark.createDataFrame(
+        [("b", float(v), "D") for v in range(100, 106)],
+        "k string, v double, op string")
+    fold(b2, 2)
+    stale_now = {r["k"] for r in spark.read.parquet(view)
+                 .filter(F.col(iv.STALE_COL)).collect()}
+    assert stale_now == {"b"}
+    # staleness persists through a later clean batch (repair is
+    # out-of-band — a stream cannot be rescanned)
+    b3 = spark.createDataFrame([("b", 200.0, "I")],
+                               "k string, v double, op string")
+    fold(b3, 3)
+    vb = {r["k"]: r for r in spark.read.parquet(view).collect()}
+    assert vb["b"][iv.STALE_COL] is True
+    assert vb["a"][iv.STALE_COL] is False
+    # out-of-band repair against the net source rebuilds 'b' exactly
+    net = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 9)]
+        + [("b", float(v)) for v in range(106, 110)] + [("b", 200.0)],
+        "k string, v double")
+    repaired = iv.agg_view_repair(
+        spark.read.parquet(view), net, ["k"],
+        sum_cols=["v"], min_cols=["v"], max_cols=["v"], buffer_extremes=4)
+    want = iv.agg_view_build(net, ["k"], sum_cols=["v"], min_cols=["v"],
+                             max_cols=["v"], buffer_extremes=4)
+
+    def norm(d):
+        return sorted((r["k"], r["__n__"], r["sum_v"], r["min_v"],
+                       r["max_v"]) for r in d.collect())
+
+    assert norm(repaired) == norm(want)
+    brow = {r["k"]: r for r in repaired.collect()}["b"]
+    assert brow["min_v"] == 106.0 and brow["max_v"] == 200.0
+
+
 def test_cdc_writer_null_op_rows_upsert(spark, tmp_path):
     """A NULL op value means 'not a delete' and must UPSERT — a plain
     == comparison dropped NULL-op rows from both sides (review
