@@ -44,9 +44,11 @@ def audit(name: str, sdf) -> tuple[list[str], list[str]]:
     try:
         ws = scale_warnings(sdf)
     except Exception as e:
-        # a broken audit helper must NOT silently disable the hard
-        # cartesian/BNLJ gate while queries keep reporting 'ok'
-        return [], [f"plan audit unavailable: {e!r}"]
+        # a broken audit helper must NOT disable the hard cartesian/BNLJ
+        # gate — surface it as a FAILURE so the run stays red until the
+        # helper is fixed (an advisory warn would let every query keep
+        # reporting 'ok' with the gate off)
+        return [f"plan audit unavailable: {e!r}"], []
     hard, soft = [], []
     for w in ws:
         if w.startswith("CartesianProduct"):
@@ -123,9 +125,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()
@@ -155,7 +159,7 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(errs))
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows")
-    print(f"\n{len(qs)} queries, {failures} failures")
+    print(f"\n{checked} of {len(qs)} queries checked, {failures} failures")
     return 1 if failures else 0
 
 
