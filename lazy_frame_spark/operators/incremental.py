@@ -259,10 +259,7 @@ def agg_view_stream_writer(
                 for c in grain:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__os_{c}__"))
                 updated = (
-                    updated.join(
-                        _hint_if_small(old_stale, BROADCAST_GRAIN_LIMIT),
-                        on=cond, how="left",
-                    )
+                    updated.join(old_stale, on=cond, how="left")
                     .withColumn(
                         STALE_COL,
                         F.col(STALE_COL)
@@ -284,12 +281,14 @@ def agg_view_stream_writer(
 
 STALE_COL = "__stale__"
 
-#: grain-count bound under which the retract/repair delete side is
-#: broadcast-hinted; above it the hint is dropped and the planner (AQE)
-#: picks a shuffled join. 100k grain rows of keys+partials is ~10 MB —
-#: comfortably inside executor broadcast budgets; an erasure touching
-#: grains comparable to the view's cardinality (a whole-tenant GDPR
-#: purge at 100 TB can) must NOT be forced through driver memory.
+#: suggested grain-count bound for the EXPLICIT broadcast-hint mode of
+#: agg_view_retract/repair (broadcast_limit=BROADCAST_GRAIN_LIMIT): 100k
+#: grain rows of keys+partials is ~10 MB — comfortably inside executor
+#: broadcast budgets. The DEFAULT mode is no hint at all: the planner's
+#: estimate-based auto-broadcast plus AQE's runtime small-side
+#: conversion pick the strategy with zero probe jobs, and an erasure
+#: touching grains comparable to the view's cardinality (a whole-tenant
+#: GDPR purge at 100 TB can) is never forced through driver memory.
 BROADCAST_GRAIN_LIMIT = 100_000
 
 
@@ -334,7 +333,7 @@ def agg_view_retract(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
-    broadcast_limit: int | None = BROADCAST_GRAIN_LIMIT,
+    broadcast_limit: int | None = None,
     buffer_extremes: int | None = None,
 ) -> DataFrame:
     """Fold a DELETE batch out of the stored view without rescanning
@@ -342,11 +341,18 @@ def agg_view_retract(
     owes the views built over the erased table (without it the view
     silently serves ghosts of erased rows).
 
-    The delete partials are broadcast-hinted only while their grain
-    count stays under ``broadcast_limit`` (checked with a bounded
-    count); a mass erasure touching grains comparable to the view's own
-    cardinality joins shuffled instead of being forced through driver
-    memory. ``None`` leaves the strategy entirely to AQE.
+    Join strategy: by DEFAULT no hint is emitted — the eqNullSafe
+    predicate is a planner-recognized equi-key, so Catalyst's
+    estimate-based auto-broadcast handles the typical small delete
+    batch and AQE's runtime conversion catches underestimates, with
+    zero extra jobs either way (a round-6 force-broadcast here was the
+    one knowing 100 TB violation: a whole-tenant erasure with grains
+    comparable to the view's cardinality would have been pushed through
+    driver memory). Passing ``broadcast_limit=N`` opts into a PROVEN
+    hint: a bounded CollectLimit row probe of the RAW batch (rows >=
+    grains, short-circuits, no aggregation) hints broadcast only under
+    the bound — for callers whose estimates overshoot but who know
+    their batches are small.
 
     count/sum are subtractable: the deleted batch aggregates once (one
     batch scan) and its partials subtract per grain key. min/max are
@@ -375,6 +381,16 @@ def agg_view_retract(
     Assumes the deleted rows were previously folded in (the erasure
     contract); retracting rows never ingested would drive counts
     negative, which the zero-count filter treats as fully-deleted."""
+    # the gate probes the RAW batch, not the aggregated partials: rows
+    # >= grains, so a bounded CollectLimit row count (short-circuits
+    # after limit+1 rows, no shuffle, no aggregation) proves smallness
+    # without re-running the partial build the join needs anyway. A
+    # many-rows-few-grains batch merely misses the hint — AQE's runtime
+    # small-side broadcast conversion is the backstop.
+    hint_ok = (
+        broadcast_limit is not None
+        and deleted_batch.limit(broadcast_limit + 1).count() <= broadcast_limit
+    )
     d = agg_view_build(deleted_batch, grain, sum_cols, min_cols, max_cols,
                        buffer_extremes=buffer_extremes)
     ren = {COUNT_COL: "__d_n__"}
@@ -400,7 +416,7 @@ def agg_view_retract(
     cond = F.lit(True)
     for c in grain:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__d_g_{c}__"))
-    out = stored.join(_hint_if_small(d, broadcast_limit), on=cond, how="left")
+    out = stored.join(F.broadcast(d) if hint_ok else d, on=cond, how="left")
     hit = F.col("__d_n__").isNotNull()
     out = out.withColumn(
         COUNT_COL, F.col(COUNT_COL) - F.coalesce(F.col("__d_n__"), F.lit(0))
@@ -460,7 +476,7 @@ def agg_view_repair(
     sum_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
-    broadcast_limit: int | None = BROADCAST_GRAIN_LIMIT,
+    broadcast_limit: int | None = None,
     buffer_extremes: int | None = None,
 ) -> DataFrame:
     """Rebuild ONLY the ``__stale__`` grains of a retracted view from
@@ -468,11 +484,11 @@ def agg_view_repair(
     dropped). The rescan is grain-pruned: the source is semi-joined to
     the stale keys before aggregating, so repair cost scales with the
     affected grains, not the table. A view with no stale grains costs
-    one empty semi-join. The stale-key side is broadcast-hinted only
-    under ``broadcast_limit`` grains (same gate as agg_view_retract) —
-    a repair touching most of a huge view semi-joins shuffled.
-    ``buffer_extremes`` must match the view's setting so rebuilt grains
-    regrow their synopses."""
+    one empty semi-join. Join strategy as in ``agg_view_retract``:
+    default = planner estimates + AQE, no hint, no probe job;
+    ``broadcast_limit=N`` opts into a bounded-count-proven hint on the
+    stale-key side. ``buffer_extremes`` must match the view's setting
+    so rebuilt grains regrow their synopses."""
     stale_keys = retracted.filter(F.col(STALE_COL)).select(
         *[F.col(c).alias(f"__s_g_{c}__") for c in grain]
     )

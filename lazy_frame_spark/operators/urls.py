@@ -88,10 +88,47 @@ def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
     lowercases it to ``a`` — an idempotence break the hypothesis fuzz
     caught on ``http://a=1%41/...``. Path/query decodes keep case
     (those components are case-sensitive)."""
-    toks = F.split(s, r"(?=%[0-9A-Fa-f]{2})")
+    toks = F.split(s, _ESC_LOOKAHEAD)
+    fixed = _fix_tokens(toks, lower_decoded)
+    return (
+        F.when(
+            s.contains("%") & s.rlike(_ESC_RE),
+            F.array_join(fixed, ""),
+        )
+        .otherwise(s)
+    )
+
+
+#: a well-formed escape, and the lookahead split that tokenizes on them
+_ESC_RE = r"%[0-9A-Fa-f]{2}"
+_ESC_LOOKAHEAD = r"(?=%[0-9A-Fa-f]{2})"
+_HEX_CHARS = list("0123456789abcdefABCDEF")
+
+
+def _fix_tokens(toks: Column, lower_decoded: bool = False) -> Column:
+    """Per-token escape normalization over a lookahead-split token
+    array (see ``_pct_normalize`` for the rules). Regex-free in the
+    per-token hot path: every token AFTER the first starts with a
+    well-formed escape BY CONSTRUCTION of the split, so ``is_esc`` only
+    needs a real check on the first token (identified by its ''
+    predecessor — lookahead splitting never yields empty tokens), and
+    the idempotence guard tests the predecessor's last two characters
+    with substring/isin instead of an rlike.
+
+    Tokens pair with their predecessor via a SHIFTED copy ('' then
+    toks) — zip_with's trailing unmatched pair maps (NULL, last) ->
+    NULL, which array_join drops. NOT F.get(toks, i-1) inside a
+    transform lambda: re-referencing toks per ELEMENT re-embeds (and
+    re-evaluates) the split regex once per token — O(tokens^2) splits
+    per row, a measured 2x bench regression. For the cheapest plans,
+    stage ``toks`` as its own projection column first (the staged
+    canonicalizer does) so the two array references here are attribute
+    reads, not recomputed splits."""
 
     def fix(t: Column, prev: Column) -> Column:
-        is_esc = t.rlike(r"^%[0-9A-Fa-f]{2}")
+        p = F.coalesce(prev, F.lit(""))
+        first = p == ""
+        is_esc = F.when(first, t.rlike("^" + _ESC_RE)).otherwise(F.lit(True))
         hex2 = F.upper(F.substring(t, 2, 2))
         code = F.conv(hex2, 16, 10).cast("int")
         unreserved = (
@@ -100,9 +137,12 @@ def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
             | ((code >= 48) & (code <= 57))      # 0-9
             | code.isin(45, 46, 95, 126)         # - . _ ~
         )
-        # the idempotence guard: previous token ends mid-escape, so a
-        # decoded hex char would complete it into a new escape
-        blocked = F.coalesce(prev, F.lit("")).rlike(r"%[0-9A-Fa-f]?$")
+        # the idempotence guard: previous token ends mid-escape ('%' or
+        # '%h'), so a decoded hex char would complete a new escape
+        last1 = F.substring(p, -1, 1)
+        blocked = (last1 == "%") | (
+            (F.substring(p, -2, 1) == "%") & last1.isin(_HEX_CHARS)
+        )
         rest = F.substring(t, 4, 2147483647)
         decoded = F.lower(F.char(code)) if lower_decoded else F.char(code)
         return (
@@ -111,13 +151,8 @@ def _pct_normalize(s: Column, lower_decoded: bool = False) -> Column:
             .otherwise(t)
         )
 
-    fixed = F.transform(toks, lambda t, i: fix(t, F.get(toks, i - 1)))
-    return (
-        F.when(
-            s.contains("%") & s.rlike(r"%[0-9A-Fa-f]{2}"),
-            F.array_join(fixed, ""),
-        )
-        .otherwise(s)
+    return F.zip_with(
+        toks, F.concat(F.array(F.lit("")), toks), lambda t, p: fix(t, p)
     )
 
 
@@ -152,9 +187,10 @@ def _clean_params(query: Column, drop_re: str) -> Column:
 #: staged intermediate names used by with_canonical_url — input frames
 #: must not already carry these (checked up front)
 _TMP_COLS: tuple[str, ...] = (
-    "__scheme__", "__nofrag__", "__hostport0__", "__rawtail__",
-    "__hostport__", "__tail__", "__path0__", "__query__",
-    "__host__", "__path__", "__qs__",
+    "__sep__", "__rawscheme__", "__rest__", "__scheme__", "__nofrag__",
+    "__rawhp__", "__hostport0__", "__hostport__", "__tail__",
+    "__tailtoks__", "__ntail__", "__host__", "__pathq__", "__path0__",
+    "__query__", "__path__", "__params__", "__pnames__", "__qs__",
 )
 
 
@@ -163,21 +199,32 @@ def canonicalize_url(
     drop_params: Sequence[str] = DEFAULT_DROP_PARAMS,
     strip_www: bool = True,
 ) -> Column:
-    """Canonical form of ``url`` as a single Catalyst expression tree.
+    """Canonical form of ``url`` as a single Catalyst expression tree,
+    built on the same string-scan primitives as the staged form (plain
+    Java-regex component extraction diverges from scans on corner
+    inputs — '$' matches before a FINAL newline, '.' won't cross one —
+    so sharing primitives is what keeps the two forms byte-identical).
     Unparseable values (no ``scheme://``) canonicalize to NULL so they
     never collide with each other in a dedup groupBy."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
-    nofrag = F.regexp_replace(rest, r"#.*$", "")
+    big = F.lit(2147483647)
+    sep = F.locate("://", url)
+    rawscheme = F.substring(url, 1, sep - 1)
+    # \z, not $: Java's $ also matches before a string-FINAL newline,
+    # which would bless 'http\n' as a scheme
+    scheme = F.when(
+        (sep > 0) & rawscheme.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*\z"),
+        F.lower(rawscheme),
+    ).otherwise(F.lit(""))
+    rest = F.when(sep > 0, F.substring(url, sep + 3, big)).otherwise(F.lit(""))
+    nofrag = F.substring_index(rest, "#", 1)
+    rawhp = F.substring_index(F.substring_index(nofrag, "/", 1), "?", 1)
     # percent-normalize AFTER lowercasing but BEFORE port/www stripping:
     # lowercase first so surviving escapes end uppercase-hex (idempotent
     # under a re-run's lower()), decode before the strips so an escaped
     # 'www.'/':80' ('%77ww.', ':%38%30') can't reappear post-strip and
     # break idempotence; lower_decoded so '%41' lands as 'a', not an
     # 'A' that escaped the already-run lower()
-    hostport = _pct_normalize(
-        F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1)), lower_decoded=True
-    )
+    hostport = _pct_normalize(F.lower(rawhp), lower_decoded=True)
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, r"(:80)+$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, r"(:443)+$", ""))
@@ -190,12 +237,17 @@ def canonicalize_url(
     # creates, removes, or decodes a '?' ('?' is reserved, code 63), so
     # the path/query boundary is identical whether the components are
     # normalized jointly or separately — and the tokenizer runs once
-    # per row instead of twice
-    tail = _pct_normalize(F.regexp_extract(nofrag, r"^[^/?]*(.*)$", 1))
-    path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), r"/+$", "")
+    # per row instead of twice. The tail is sliced off by RAW length
+    # (lower() can change length on exotic unicode).
+    tail = _pct_normalize(F.substring(nofrag, F.length(rawhp) + 1, big))
+    pathq = F.substring_index(tail, "?", 1)
+    path = F.rtrim(pathq, F.lit("/"))
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(tail, r"\?(.*)$", 1)
     drop_re = "^(" + "|".join(drop_params) + ")="
+    query = F.when(
+        F.length(tail) > F.length(pathq),
+        F.substring(tail, F.length(pathq) + 2, big),
+    ).otherwise(F.lit(""))
     qs = F.array_join(_clean_params(query, drop_re), "&")
     canon = F.concat(
         scheme,
@@ -214,14 +266,20 @@ def with_canonical_url(
     drop_params: Sequence[str] = DEFAULT_DROP_PARAMS,
     strip_www: bool = True,
 ) -> DataFrame:
-    """``canonicalize_url`` as STAGED projections: each intermediate
-    (scheme, defragmented rest, host, path, query) is computed once per
-    row in its own projection instead of being re-inlined into every
-    downstream use of the single-Column expression tree. CollapseProject
-    keeps multi-use non-cheap expressions (the regexes) as-is, so the
-    plan runs ~8 regex evaluations per row instead of ~20 — same
-    result, measured ~5x faster on the bench corpus. Use this form for
-    table-scale canonicalization; the Column form for ad-hoc
+    """``canonicalize_url`` as STAGED projections, rebuilt for the hot
+    path: every component boundary is found with plain string scans
+    (``locate``/``substring_index``/``substring``/``trim``) instead of
+    regexes — the only per-row regex work left is the scheme-charset
+    validation, the (:port)+/(www.)+ strips on the SHORT host string,
+    the tracking-param test, and (on rows that actually carry a
+    well-formed escape) the tokenizer split, which is staged as its own
+    array column so the zip_with reads an attribute instead of
+    re-splitting. Duplicate-param keep-first runs as an indexed
+    ``filter`` over staged param/name arrays (no per-step struct
+    allocation). Byte-identical to the Column form (pinned by tests +
+    hypothesis fuzz + the DuckDB oracle); measured ~3x cheaper than the
+    regex-staged round-6 pipeline on the bench corpus. Use this form
+    for table-scale canonicalization; the Column form for ad-hoc
     expressions.
 
     A pre-existing ``out_col`` is overwritten (``withColumn``
@@ -243,45 +301,66 @@ def with_canonical_url(
         df = df.drop(out_col)
     url = F.col(url_col)
     passthru = [F.col(c) for c in df.columns]
-    s1 = df.select(
+    big = F.lit(2147483647)
+
+    # '://' located once; the scheme's charset is the one regex the
+    # common row still pays (on the SHORT scheme substring)
+    s = df.select(*passthru, F.locate("://", url).alias("__sep__"))
+    s = s.select(
+        *passthru, "__sep__",
+        F.substring(url, 1, F.col("__sep__") - 1).alias("__rawscheme__"),
+        F.when(F.col("__sep__") > 0,
+               F.substring(url, F.col("__sep__") + 3, big))
+        .otherwise(F.lit("")).alias("__rest__"),
+    )
+    s = s.select(
         *passthru,
-        F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-        .alias("__scheme__"),
-        F.regexp_replace(
-            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1),
-            r"#.*$", "",
-        ).alias("__nofrag__"),
+        F.when(
+            (F.col("__sep__") > 0)
+            & F.col("__rawscheme__").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*\z"),
+            F.lower(F.col("__rawscheme__")),
+        ).otherwise(F.lit("")).alias("__scheme__"),
+        F.substring_index(F.col("__rest__"), "#", 1).alias("__nofrag__"),
     )
-    # raw component extraction gets its OWN projection: _pct_normalize
-    # references its argument several times (fast-path gates, tokenizer,
-    # fallback), so wrapping the regexp_extract directly would re-inline
-    # the regex per reference. Staged, each reference is a cheap
-    # attribute ref. Path+query normalize as ONE string (the tail after
-    # the hostport, '?' included — normalization never creates, removes,
-    # or decodes '?', so the later split lands on the same boundary) so
-    # the tokenizer runs at most once per row on the dominant component.
-    s2 = s1.select(
-        *passthru, "__scheme__",
-        F.lower(F.regexp_extract(F.col("__nofrag__"), r"^([^/?]*)", 1))
-        .alias("__hostport0__"),
-        F.regexp_extract(F.col("__nofrag__"), r"^[^/?]*(.*)$", 1)
-        .alias("__rawtail__"),
+    # hostport = nofrag up to the first '/' or '?'; the tail is sliced
+    # off by RAW length (lower() can change length on exotic unicode,
+    # so measure before lowercasing)
+    s = s.select(
+        *passthru, "__scheme__", "__nofrag__",
+        F.substring_index(
+            F.substring_index(F.col("__nofrag__"), "/", 1), "?", 1
+        ).alias("__rawhp__"),
     )
-    # same ordering contract as the Column form: lower, then
-    # percent-normalize (host decodes lowercase), THEN (next stage)
-    # port/www strips
-    s2 = s2.select(
+    s = s.select(
         *passthru, "__scheme__",
+        F.lower(F.col("__rawhp__")).alias("__hostport0__"),
+        F.substring(F.col("__nofrag__"),
+                    F.length("__rawhp__") + 1, big).alias("__tail__"),
+    )
+    # percent-normalization: host via the Column helper (attribute-ref
+    # argument, and real hosts essentially never carry escapes so every
+    # reference hits the fast path); the tail's token array STAGED so
+    # the zip_with reads it twice for free. Path+query normalize as ONE
+    # string ('?' included — normalization never creates, removes, or
+    # decodes '?', so the later split lands on the same boundary).
+    s = s.select(
+        *passthru, "__scheme__", "__tail__",
         _pct_normalize(F.col("__hostport0__"), lower_decoded=True)
         .alias("__hostport__"),
-        _pct_normalize(F.col("__rawtail__")).alias("__tail__"),
+        F.when(
+            F.col("__tail__").contains("%") & F.col("__tail__").rlike(_ESC_RE),
+            F.split(F.col("__tail__"), _ESC_LOOKAHEAD),
+        ).alias("__tailtoks__"),
     )
-    s2 = s2.select(
+    s = s.select(
         *passthru, "__scheme__", "__hostport__",
-        F.regexp_replace(
-            F.regexp_extract(F.col("__tail__"), r"^([^?]*)", 1), r"/+$", ""
-        ).alias("__path0__"),
-        F.regexp_extract(F.col("__tail__"), r"\?(.*)$", 1).alias("__query__"),
+        F.when(F.col("__tailtoks__").isNull(), F.col("__tail__"))
+        .otherwise(F.array_join(_fix_tokens(F.col("__tailtoks__")), ""))
+        .alias("__ntail__"),
+    )
+    s = s.select(
+        *passthru, "__scheme__", "__hostport__", "__ntail__",
+        F.substring_index(F.col("__ntail__"), "?", 1).alias("__pathq__"),
     )
     host = (
         F.when(F.col("__scheme__") == "http",
@@ -292,14 +371,46 @@ def with_canonical_url(
     )
     if strip_www:
         host = F.regexp_replace(host, r"^(www\.)+(.)", "$2")
-    drop_re = "^(" + "|".join(drop_params) + ")="
-    s3 = s2.select(
+    s = s.select(
         *passthru, "__scheme__",
         host.alias("__host__"),
+        F.rtrim(F.col("__pathq__"), F.lit("/")).alias("__path0__"),
+        F.when(
+            F.length("__ntail__") > F.length("__pathq__"),
+            F.substring(F.col("__ntail__"), F.length("__pathq__") + 2, big),
+        ).otherwise(F.lit("")).alias("__query__"),
+    )
+    drop_re = "^(" + "|".join(drop_params) + ")="
+    s = s.select(
+        *passthru, "__scheme__", "__host__", "__path0__",
+        F.filter(
+            F.split(F.col("__query__"), "&"),
+            lambda p: (p != "") & ~p.rlike(drop_re),
+        ).alias("__params__"),
+    )
+    s = s.select(
+        *passthru, "__scheme__", "__host__", "__path0__", "__params__",
+        F.transform(
+            F.col("__params__"), lambda p: F.substring_index(p, "=", 1)
+        ).alias("__pnames__"),
+    )
+    # keep-first by name as an indexed filter over the STAGED arrays:
+    # param i survives iff its name is absent from the first i names —
+    # same result as _clean_params' fold, none of its per-step
+    # struct/array allocation
+    s = s.select(
+        *passthru, "__scheme__", "__host__",
         F.when(F.col("__path0__") == "", F.lit("/"))
         .otherwise(F.col("__path0__")).alias("__path__"),
         F.array_join(
-            _clean_params(F.col("__query__"), drop_re), "&"
+            F.array_sort(F.filter(
+                F.col("__params__"),
+                lambda p, i: F.array_position(
+                    F.slice(F.col("__pnames__"), 1, i),
+                    F.substring_index(p, "=", 1),
+                ) == 0,
+            )),
+            "&",
         ).alias("__qs__"),
     )
     canon = F.concat(
@@ -307,7 +418,7 @@ def with_canonical_url(
         F.when(F.col("__qs__") != "", F.concat(F.lit("?"), F.col("__qs__")))
         .otherwise(F.lit("")),
     )
-    return s3.select(
+    return s.select(
         *passthru,
         F.when(F.col("__scheme__") == "", F.lit(None).cast("string"))
         .otherwise(canon).alias(out_col),
@@ -329,9 +440,16 @@ def dedup_canonical_url(
 
     Plan shape: map-only canonicalization, ONE hash aggregation on the
     canonical key (partial agg map-side), no joins — at 100 TB this is
-    strictly cheaper than any content-based pass and runs first."""
+    strictly cheaper than any content-based pass and runs first. The
+    canonicalization is compute-bound per row, so a LOW-SPLIT source
+    (single-file scan, gzip) first fans out across the session's cores
+    (plans/parallel.fan_out — a no-op on well-split sources, which is
+    what a 100 TB corpus is)."""
+    from lazy_frame_spark.plans.parallel import fan_out
+
     keyed = with_canonical_url(
-        df.select(id_col, url_col), url_col, "__canon__", drop_params, strip_www
+        fan_out(df.select(id_col, url_col)),
+        url_col, "__canon__", drop_params, strip_www,
     )
     # unparseable URLs (NULL canonical) each form their OWN group via a
     # per-row secondary key: they come back as n_dupes=1 singletons

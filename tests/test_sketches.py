@@ -352,12 +352,11 @@ def test_erasure_pipeline_keeps_view_consistent(spark, sf_dir, tmp_path):
 
 
 def test_agg_view_retract_broadcast_gate(spark):
-    """A mass erasure (here: every grain's minimum row — 100% of grains
-    touched) must NOT force the delete partials through driver memory:
-    the broadcast hint appears only while the grain count stays under
-    broadcast_limit; above it the eqNullSafe equi-join plans shuffled
-    (AQE's call). Both paths return identical values, and the repair
-    semi-join applies the same gate to the stale keys."""
+    """The retract/repair join strategy must never force a mass erasure
+    through driver memory: the DEFAULT emits no broadcast hint at all
+    (planner estimates + AQE decide); broadcast_limit=N opts into a
+    hint PROVEN by a bounded row probe — applied under the bound,
+    refused above it. All paths return identical values."""
     import pyspark.sql.functions as F
 
     from lazy_frame_spark.operators import incremental as iv
@@ -372,38 +371,45 @@ def test_agg_view_retract_broadcast_gate(spark):
     doomed = df.filter(F.col("v") < 200)
     remaining = df.join(doomed, ["g", "v"], "left_anti")
 
-    hinted_r = iv.agg_view_retract(view, doomed, ["g"], **kw)
-    plain_r = iv.agg_view_retract(view, doomed, ["g"], **kw,
-                                  broadcast_limit=50)
+    default_r = iv.agg_view_retract(view, doomed, ["g"], **kw)
+    hinted_r = iv.agg_view_retract(view, doomed, ["g"], **kw,
+                                   broadcast_limit=10_000)
+    over_r = iv.agg_view_retract(view, doomed, ["g"], **kw,
+                                 broadcast_limit=50)
 
     def has_hint(d):
         return "strategy=broadcast" in (
             d._jdf.queryExecution().optimizedPlan().toString()
         )
 
-    assert has_hint(hinted_r), "under the limit the hint must apply"
-    assert not has_hint(plain_r), "a 200-grain erasure over limit=50 " \
-                                  "must not force-broadcast"
+    assert not has_hint(default_r), "default must leave strategy to the planner"
+    assert has_hint(hinted_r), "under the proven bound the hint must apply"
+    assert not has_hint(over_r), "a 200-row erasure over limit=50 " \
+                                 "must not force-broadcast"
 
     def norm_r(d):
         return sorted((r["g"], r["__n__"], r["sum_v"], r["min_v"],
                        r[iv.STALE_COL]) for r in d.collect())
 
-    assert norm_r(hinted_r) == norm_r(plain_r)
-    assert all(t[-1] for t in norm_r(plain_r))  # every grain stale
+    assert norm_r(default_r) == norm_r(hinted_r) == norm_r(over_r)
+    assert all(t[-1] for t in norm_r(over_r))  # every grain stale
 
-    rep_hinted = iv.agg_view_repair(hinted_r, remaining, ["g"], **kw)
-    rep_plain = iv.agg_view_repair(plain_r, remaining, ["g"], **kw,
-                                   broadcast_limit=50)
-    assert has_hint(rep_hinted) and not has_hint(rep_plain)
+    rep_default = iv.agg_view_repair(default_r, remaining, ["g"], **kw)
+    rep_hinted = iv.agg_view_repair(hinted_r, remaining, ["g"], **kw,
+                                    broadcast_limit=10_000)
+    rep_over = iv.agg_view_repair(over_r, remaining, ["g"], **kw,
+                                  broadcast_limit=50)
+    assert not has_hint(rep_default)
+    assert has_hint(rep_hinted) and not has_hint(rep_over)
     want = iv.agg_view_build(remaining, ["g"], **kw)
 
     def norm(d):
         return sorted((r["g"], r["__n__"], r["sum_v"], r["min_v"])
                       for r in d.collect())
 
+    assert norm(rep_default) == norm(want)
     assert norm(rep_hinted) == norm(want)
-    assert norm(rep_plain) == norm(want)
+    assert norm(rep_over) == norm(want)
 
 
 def test_agg_view_buffered_extremes_retract_exact(spark):
