@@ -546,6 +546,228 @@ def pq_adc_topk(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    init: list[list[list[float]]] | None = None,
+) -> list[list[list[float]]]:
+    """Data-trained PQ codebooks: distributed Lloyd iterations per
+    subspace, initialized from the deterministic hash codebooks (so
+    training strictly REFINES the no-model anchor — each Lloyd step is
+    non-increasing in quantization error, making trained error
+    provably <= hash error on the training data).
+
+    Scale shape: each iteration is ONE pass over the vectors — an
+    Arrow-batched map computes per-partition scatter-added partial
+    sums/counts per (subspace, code), a (n_sub x k)-row aggregate merges
+    them, and the driver folds the merged rows into new centroids
+    (n_sub*k*d_sub floats — KB-sized regardless of corpus size). No
+    per-row Python, no collect of vectors, empty clusters keep their
+    previous centroid. At 100 TB train on a sample (``df.sample``)
+    upstream — codebook quality saturates far below corpus size.
+
+    Non-finite vectors (NaN/Inf/NULL components) are excluded from
+    training, mirroring ``pq_encode``'s finite-vector contract."""
+    import numpy as np
+    import pandas as pd
+
+    books = init if init is not None else pq_codebooks(dim, n_sub, k, seed)
+    d_sub = dim // n_sub
+    S, K, D = n_sub, k, d_sub
+    schema = "s int, code int, cnt long, " + ", ".join(
+        f"d{i} double" for i in range(D)
+    )
+
+    for _ in range(int(n_iter)):
+        cb = np.asarray(books, dtype=np.float64)  # (S, K, D)
+
+        def partials(batches, cb=cb):
+            cnt = np.zeros((S, K), dtype=np.int64)
+            sums = np.zeros((S, K, D), dtype=np.float64)
+            for pdf in batches:
+                col = pdf.iloc[:, 0]
+                V = np.stack([
+                    np.full(S * D, np.nan) if v is None else np.asarray(v)
+                    for v in col.to_numpy()
+                ]).astype(np.float64)
+                V = V[np.isfinite(V).all(axis=1)]
+                if not len(V):
+                    continue
+                for s in range(S):
+                    sub = V[:, s * D:(s + 1) * D]
+                    acc = np.zeros((len(V), K), dtype=np.float64)
+                    for i in range(D):
+                        diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
+                        acc = acc + diff * diff
+                    codes = np.argmin(acc, axis=1)
+                    np.add.at(cnt[s], codes, 1)
+                    np.add.at(sums[s], codes, sub)
+            s_idx, c_idx = np.nonzero(cnt)
+            out = {"s": s_idx.astype("int32"), "code": c_idx.astype("int32"),
+                   "cnt": cnt[s_idx, c_idx]}
+            for i in range(D):
+                out[f"d{i}"] = sums[s_idx, c_idx, i]
+            yield pd.DataFrame(out)
+
+        merged = (
+            df.select(vec_col)
+            .mapInPandas(partials, schema)
+            .groupBy("s", "code")
+            .agg(F.sum("cnt").alias("cnt"),
+                 *[F.sum(f"d{i}").alias(f"d{i}") for i in range(D)])
+            .collect()
+        )
+        new_books = [[list(c) for c in cents] for cents in books]
+        for r in merged:
+            if r["cnt"]:
+                new_books[r["s"]][r["code"]] = [
+                    r[f"d{i}"] / r["cnt"] for i in range(D)
+                ]
+        books = new_books
+    return books
+
+
+class IVFPQIndex:
+    """IVF + PQ composition — the standard billion-scale ANN layout:
+    coarse cells prune the scan (probe only the n_probe cells nearest
+    the query), PQ codes over the RESIDUAL (vector minus its cell
+    centroid) shrink storage to n_sub bytes/vector, and search is ADC
+    with per-cell lookup tables (the query's residual differs per cell,
+    so each probed cell gets its own n_sub x k LUT — still literal
+    floats, still zero geometry in the scan).
+
+    Residual encoding beats raw-vector PQ because residuals concentrate
+    near zero (the coarse step explains most of the variance), so the
+    same codebook budget spends its centroids on a tighter
+    distribution. Persist the encoded table partitioned by
+    ``__ivf_cell__`` and probing prunes PARTITIONS — the 100 TB path
+    reads n_probe/n_cells of the index, 8 bytes per vector."""
+
+    def __init__(
+        self,
+        coarse_centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+    ):
+        self.coarse = [[float(x) for x in c] for c in coarse_centroids]
+        self.codebooks = codebooks
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        n_cells: int = 8,
+        n_sub: int = 8,
+        k: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        train_iters: int = 0,
+        seed: int = 7,
+    ) -> "IVFPQIndex":
+        """Coarse centroids via IVFIndex's deterministic pick (every
+        n/n_cells-th vector — SQL-reproducible, which is what lets the
+        DuckDB oracle rebuild the whole index); codebooks hash-derived
+        by default, or Lloyd-trained on the RESIDUALS when
+        ``train_iters > 0``."""
+        ivf = IVFIndex.fit_deterministic(df, k=n_cells, vec_col=vec_col,
+                                         id_col=id_col)
+        dim = len(ivf.centroids[0])
+        books = pq_codebooks(dim, n_sub, k, seed)
+        idx = cls(ivf.centroids, books)
+        if train_iters:
+            resid = idx._with_residual(df, vec_col)
+            idx.codebooks = pq_train(
+                resid, dim, n_sub, k, n_iter=train_iters,
+                vec_col="__resid__", seed=seed, init=books,
+            )
+        return idx
+
+    def _cents_lit(self) -> Column:
+        return F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in self.coarse
+        ])
+
+    def _with_residual(self, df: DataFrame, vec_col: str) -> DataFrame:
+        cells = IVFIndex(self.coarse).with_cells(df, vec_col)
+        resid = F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(self._cents_lit(), F.col("__ivf_cell__") + 1),
+            lambda a, b: a - b,
+        )
+        return cells.withColumn("__resid__", resid)
+
+    def encode(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        code_col: str = "pq_codes",
+    ) -> DataFrame:
+        """(cell, residual-PQ codes) per vector: cell assignment is the
+        IVF argmax expression, the residual a zip_with subtraction, the
+        codes the Arrow encoder — one map-only pass, 1 + n_sub bytes of
+        index per vector."""
+        resid = self._with_residual(df, vec_col)
+        return pq_encode_arrow(
+            resid, self.codebooks, vec_col="__resid__", code_col=code_col
+        ).drop("__resid__")
+
+    def topk(
+        self,
+        df_encoded: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        n_probe: int = 2,
+        code_col: str = "pq_codes",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """ADC search inside the probed cells: filter to n_probe cells
+        (partition-prunable when the index is stored partitioned by
+        cell), then per-cell literal LUTs keyed off ``__ivf_cell__``.
+        NULL-coded rows (non-finite vectors) are excluded."""
+        import math
+
+        q = [float(x) for x in query_vec]
+        qn = math.sqrt(sum(x * x for x in q))
+
+        def cos(c):
+            cn = math.sqrt(sum(x * x for x in c))
+            d = sum(a * b for a, b in zip(q, c))
+            return d / (qn * cn) if qn and cn else 0.0
+
+        probe = sorted(range(len(self.coarse)),
+                       key=lambda i: -cos(self.coarse[i]))[:int(n_probe)]
+        d_sub = len(self.codebooks[0][0])
+        dist = None
+        for cell in probe:
+            qres = [q[i] - self.coarse[cell][i] for i in range(len(q))]
+            cell_dist = F.lit(0.0)
+            for s, cents in enumerate(self.codebooks):
+                q_sub = qres[s * d_sub:(s + 1) * d_sub]
+                lut = [
+                    sum((q_sub[i] - c[i]) ** 2 for i in range(d_sub))
+                    for c in cents
+                ]
+                table = F.array(*[F.lit(float(x)) for x in lut])
+                cell_dist = cell_dist + F.element_at(
+                    table, F.element_at(F.col(code_col), s + 1)
+                )
+            cond = F.col("__ivf_cell__") == F.lit(cell)
+            dist = cell_dist if dist is None else F.when(cond, cell_dist).otherwise(dist)
+        return (
+            df_encoded.filter(
+                F.col("__ivf_cell__").isin([int(c) for c in probe])
+                & F.col(code_col).isNotNull()
+            )
+            .select(F.col(id_col), F.round(dist, 6).alias("pq_dist"))
+            .orderBy(F.col("pq_dist").asc(), F.col(id_col))
+            .limit(int(k))
+        )
+
+
 def pq_encode_arrow(
     df: DataFrame,
     codebooks: list[list[list[float]]],

@@ -2267,12 +2267,12 @@ def _pq_books():
     return pq_codebooks(dim=64, n_sub=8, k=16, seed=7)
 
 
-def _pq_encode_sql() -> str:
-    """DuckDB twin of pq_encode over the embeddings table, generated
-    from the SAME codebook literals the Spark expression embeds —
-    distances sum dims in the same ascending left-associated order, so
-    doubles (and therefore argmins) match bit-for-bit."""
-    books = _pq_books()
+def _pq_code_exprs(books) -> list[str]:
+    """Per-subspace PQ-code SQL expressions over a residual/vector list
+    column ``v``, generated from the SAME codebook literals the Spark
+    expression embeds — distances sum dims in the same ascending
+    left-associated order, so doubles (and therefore argmins) match
+    bit-for-bit."""
     d_sub = len(books[0][0])
     code_exprs = []
     for s, cents in enumerate(books):
@@ -2289,9 +2289,15 @@ def _pq_encode_sql() -> str:
             f"CAST(list_indexof({dlist}, list_aggregate({dlist}, 'min')) AS INT)"
             f" AS c{s + 1}"
         )
+    return code_exprs
+
+
+def _pq_encode_sql() -> str:
+    """DuckDB twin of pq_encode over the embeddings table."""
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
-        "SELECT vec_id, " + ",\n       ".join(code_exprs) + "\nFROM e"
+        "SELECT vec_id, " + ",\n       ".join(_pq_code_exprs(_pq_books()))
+        + "\nFROM e"
     )
 
 
@@ -2357,6 +2363,175 @@ def ann_pq_adc_topk(spark, sf_dir):
     e = _table(spark, sf_dir, "embeddings")
     enc = _s.pq_encode_arrow(e, _pq_books())
     return _s.pq_adc_topk(enc, _query_vec(spark, sf_dir), _pq_books(), k=10)
+
+
+def _ivfpq_sql(n_cells: int = 8, n_probe: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of the FULL IVF-PQ index + search
+    (similarity.IVFPQIndex with hash codebooks): the coarse centroids
+    are SQL-reproducible (every n/n_cells-th vector by id — the same
+    deterministic pick fit() makes), cell assignment is the same
+    cosine argmax (first cell on ties), residuals subtract exactly
+    (float32 -> double is exact), the residual PQ codes reuse the
+    literal-codebook distance expansion, and the per-probed-cell ADC
+    lookup tables are computed in SQL from the vec_id=0 query with the
+    identical summation order as the Python driver-side LUT build."""
+    books = _pq_books()
+    d_sub = len(books[0][0])
+    n_sub = len(books)
+    cos = (
+        "(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+    lut_cols = []
+    for s, cents in enumerate(books):
+        entries = []
+        for c in cents:
+            terms = " + ".join(
+                f"((q.q[{s * d_sub + i + 1}] - cv[{s * d_sub + i + 1}]) - ({c[i]!r}))"
+                f" * ((q.q[{s * d_sub + i + 1}] - cv[{s * d_sub + i + 1}]) - ({c[i]!r}))"
+                for i in range(d_sub)
+            )
+            entries.append(f"({terms})")
+        lut_cols.append("list_value(" + ", ".join(entries) + f") AS lut{s + 1}")
+    dist = " + ".join(f"lut{s + 1}[c{s + 1}]" for s in range(n_sub))
+    return f"""
+    WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings, nn WHERE vec_id % greatest(cnt // {n_cells}, 1) = 0
+      ORDER BY vec_id LIMIT {n_cells}),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {cos.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
+                 c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+    res AS (
+      SELECT e.vec_id, a.cell,
+             list_transform(range(1, {dim + 1}),
+                            i -> e.embedding[i]::DOUBLE - c.cv[i]) AS v
+      FROM embeddings e JOIN asg a USING (vec_id) JOIN cent c USING (cell)),
+    codes AS (SELECT vec_id, cell, {", ".join(_pq_code_exprs(books))} FROM res),
+    q0 AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell, cv FROM (
+        SELECT c.cell, c.cv,
+               row_number() OVER (ORDER BY
+                 {cos.format(a="q.q", b="c.cv")} DESC, c.cell ASC) AS rn
+        FROM cent c, q0 q) t WHERE rn <= {n_probe}),
+    luts AS (SELECT cell, {", ".join(lut_cols)} FROM probe, q0 q)
+    SELECT vec_id, ROUND({dist}, 6) AS pq_dist
+    FROM codes JOIN luts USING (cell)
+    ORDER BY pq_dist ASC, vec_id LIMIT 10
+    """
+
+
+@query("ann_ivfpq_adc_topk", oracle=_ivfpq_sql())
+def ann_ivfpq_adc_topk(spark, sf_dir):
+    """IVF-PQ search (similarity.IVFPQIndex): coarse cells prune the
+    scan to n_probe/n_cells of the index, residual-PQ codes cut storage
+    to 8 B/vector, and ADC inside each probed cell is per-cell literal
+    LUT loads. The oracle rebuilds the ENTIRE index in SQL — coarse
+    pick, cosine cell argmax, exact residuals, literal-codebook codes,
+    per-cell LUTs — and matches distances and ranking bit-for-bit."""
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings")
+    idx = _s.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7)
+    enc = idx.encode(e)
+    return idx.topk(enc, _query_vec(spark, sf_dir), k=10, n_probe=3)
+
+
+@query(
+    "ann_pq_trained_recall",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_queries,
+           TRUE AS trained_ge_hash,
+           TRUE AS trained_min_ok
+    """,
+)
+def ann_pq_trained_recall(spark, sf_dir):
+    """Lloyd-trained PQ codebooks (similarity.pq_train) must BEAT the
+    hash-derived ones they are initialized from: over a 20-query panel,
+    ADC recall@10 against the exact squared-L2 top-10 with trained
+    codebooks >= recall with hash codebooks, and >= a 0.2 floor
+    (measured 0.26 trained vs 0.155 hash at the driver's sf0.01 —
+    training is what makes PQ recall real; Lloyd steps provably
+    never increase quantization error from their init). The whole
+    comparison is ONE declarative plan: exact truth via a
+    broadcast-panel crossjoin + per-query rank window, ADC via literal
+    per-query LUT rows joined against the Arrow-encoded codes. The
+    invariant booleans are the oracle contract (the trained centroids
+    themselves are float-sum dependent and not SQL-reproducible)."""
+    from pyspark.sql import Window
+
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hash_books = _pq_books()
+    trained = _s.pq_train(e, 64, 8, 16, n_iter=3, seed=7, init=hash_books)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 20).collect(), key=lambda r: r["vec_id"]
+    )
+    n_q = len(qrows)
+    panel = F.broadcast(spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "qid int, q array<double>",
+    ))
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), F.col("q"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("__d2__"), F.asc("vec_id"))
+    truth = (
+        e.crossJoin(panel).select("qid", "vec_id", d2.alias("__d2__"))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= 10).select("qid", "vec_id")
+    )
+
+    def adc_hits(books, label):
+        d_sub = len(books[0][0])
+        enc = _s.pq_encode_arrow(e, books).select("vec_id", "pq_codes") \
+            .filter(F.col("pq_codes").isNotNull())
+        lut_rows = []
+        for r in qrows:
+            q = [float(x) for x in r["embedding"]]
+            row = [int(r["vec_id"])]
+            for s, cents in enumerate(books):
+                q_sub = q[s * d_sub:(s + 1) * d_sub]
+                row.append([
+                    float(sum((q_sub[i] - c[i]) ** 2 for i in range(d_sub)))
+                    for c in cents
+                ])
+            lut_rows.append(tuple(row))
+        schema = "qid int, " + ", ".join(
+            f"lut{s + 1} array<double>" for s in range(len(books)))
+        luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
+        dist = F.lit(0.0)
+        for s in range(len(books)):
+            dist = dist + F.element_at(
+                F.col(f"lut{s + 1}"), F.element_at("pq_codes", s + 1))
+        wq = Window.partitionBy("qid").orderBy(F.asc("__dist__"),
+                                               F.asc("vec_id"))
+        approx = (
+            enc.crossJoin(luts).select("qid", "vec_id", dist.alias("__dist__"))
+            .withColumn("__rn__", F.row_number().over(wq))
+            .filter(F.col("__rn__") <= 10).select("qid", "vec_id")
+        )
+        return truth.join(approx, ["qid", "vec_id"]).agg(
+            F.count(F.lit(1)).alias(label))
+
+    ht = adc_hits(trained, "hits_trained")
+    hh = adc_hits(hash_books, "hits_hash")
+    return ht.crossJoin(hh).select(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        (F.col("hits_trained") >= F.col("hits_hash")).alias("trained_ge_hash"),
+        (F.col("hits_trained") >= F.lit(int(0.2 * n_q * 10)))
+        .alias("trained_min_ok"),
+    )
 
 
 @query(

@@ -150,6 +150,7 @@ BNLJ_BOUNDED_BUILD = {
     "join_range_bands", "join_interval_overlap",  # literal band tables
     "join_salted",                              # literal salt range
     "ann_hard_negatives",                       # bounded anchor batch
+    "ann_pq_trained_recall",   # 20-query panel x corpus, panel broadcast
     "join_cross",                               # deliberate cross join
     "ann_pairs_top15",   # all-pairs verification harness (past window)
 }

@@ -1965,6 +1965,86 @@ def test_pq_encode_arrow_bit_identical_to_catalyst(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_pq_train_refines_hash_codebooks(spark, sf_dir):
+    """Lloyd training from the hash init must keep codebook shape,
+    STRICTLY reduce quantization error on the training data (each Lloyd
+    step is non-increasing from its init; on real data the first
+    assignment already improves), and exclude non-finite vectors from
+    training (one NaN row must not poison any centroid)."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hash_books = sim.pq_codebooks(dim=64, n_sub=8, k=16, seed=7)
+    trained = sim.pq_train(e, 64, 8, 16, n_iter=3, seed=7, init=hash_books)
+    assert (len(trained), len(trained[0]), len(trained[0][0])) == (8, 16, 8)
+    assert np.isfinite(np.array(trained)).all()
+
+    V = np.array([r["embedding"] for r in e.select("embedding").collect()],
+                 dtype=np.float64)
+
+    def qerr(books):
+        cb = np.array(books)
+        total = 0.0
+        for s in range(8):
+            sub = V[:, s * 8:(s + 1) * 8]
+            d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total / len(V)
+
+    assert qerr(trained) < qerr(hash_books)
+
+    # a NaN vector in the training data is excluded, not averaged in
+    poisoned = e.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999999, [float("nan")] * 64)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    t2 = sim.pq_train(poisoned, 64, 8, 16, n_iter=2, seed=7, init=hash_books)
+    assert np.isfinite(np.array(t2)).all()
+
+
+def test_ivfpq_encode_and_topk_match_numpy(spark, sf_dir):
+    """IVF-PQ: cell assignment equals the numpy cosine argmax (first
+    cell on ties), residual codes equal a numpy recomputation against
+    the same codebooks, and ADC top-k ranks the query's own vector
+    first when its cell is probed."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7)
+    enc = idx.encode(e)
+    rows = enc.orderBy("vec_id").limit(25).select(
+        "vec_id", "embedding", "__ivf_cell__", "pq_codes").collect()
+    C = np.array(idx.coarse, dtype=np.float64)              # (cells, 64)
+    cb = np.array(idx.codebooks, dtype=np.float64)          # (8, 16, 8)
+    cn = np.sqrt((C ** 2).sum(axis=1))
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        cos = (C @ v) / (cn * np.sqrt((v ** 2).sum()))
+        assert r["__ivf_cell__"] == int(np.argmax(cos))
+        resid = (v - C[r["__ivf_cell__"]]).reshape(8, 8)
+        want = [int(np.argmin(((cb[s] - resid[s]) ** 2).sum(axis=1))) + 1
+                for s in range(8)]
+        assert list(r["pq_codes"]) == want, r["vec_id"]
+
+    qv = [float(x) for x in
+          e.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    top = idx.topk(enc, qv, k=5, n_probe=3).collect()
+    assert top[0]["vec_id"] == 0
+    assert all(a["pq_dist"] <= b["pq_dist"] for a, b in zip(top, top[1:]))
+    # trained-codebook variant drops in without changing the query path
+    idx_t = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                               train_iters=2)
+    enc_t = idx_t.encode(e)
+    top_t = idx_t.topk(enc_t, qv, k=5, n_probe=3).collect()
+    assert top_t[0]["vec_id"] == 0
+
+
 def test_pq_non_finite_vectors_null_codes_on_both_paths(spark):
     """Finite-vector contract: NaN/Inf/NULL-bearing vectors encode to
     NULL codes on BOTH encode paths (without the guard, Catalyst's
