@@ -508,3 +508,158 @@ def model_quality_score(
         F.round(score, 6).alias("model_score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------- #
+# HTML / boilerplate extraction — the front door for raw web crawls
+# --------------------------------------------------------------------- #
+
+#: block-level tags whose boundaries delimit candidate content blocks
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|section|article|li|ul|ol|h[1-6]|table|thead|tbody"
+    r"|tr|td|th|header|footer|nav|aside|main|blockquote|figure|form"
+    r"|pre|br|hr|body|html|head|title)\b[^>]*>"
+)
+
+#: the small entity set real-world boilerplate actually hits; '&amp;'
+#: decodes LAST so double-escaped entities stay escaped (HTML semantics)
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def _drop_nontext(html: Column) -> Column:
+    """Remove the regions that never contribute text: script/style
+    element CONTENTS and comments. Two alternatives instead of a
+    backreference (`</\\1>`) so the same pattern runs on RE2 engines."""
+    s = F.regexp_replace(
+        html,
+        r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>",
+        " ",
+    )
+    return F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+
+
+def _tags_to_space(s: Column) -> Column:
+    return F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+
+
+def _decode_entities(s: Column) -> Column:
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return s
+
+
+def _collapse_ws(s: Column) -> Column:
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_to_text(html: Column) -> Column:
+    """Full-page HTML -> text: script/style/comment removal, tag strip,
+    common-entity decode, whitespace collapse. Pure Catalyst
+    (regexp_replace + literal replace chains) — a map-only pass with no
+    Python in the row path; the whole-corpus shape a CommonCrawl-sized
+    ingest needs. For main-content extraction (navigation/footer
+    boilerplate dropped) use ``html_main_text``."""
+    return _collapse_ws(_decode_entities(_tags_to_space(_drop_nontext(html))))
+
+
+def html_main_text(
+    html: Column,
+    min_chars: int = 30,
+    max_link_density: float = 0.5,
+) -> Column:
+    """Main-content extraction via the classic text-density /
+    link-density block heuristic (the jusText/boilerpipe family,
+    re-expressed as Catalyst array ops):
+
+    1. split the (script/style/comment-free) page into candidate blocks
+       at block-level tag boundaries;
+    2. per block, measure its visible text and the share of it living
+       inside ``<a>`` anchors;
+    3. keep blocks with at least ``min_chars`` of text whose anchor
+       share is at most ``max_link_density`` — navigation bars, footers
+       and tag clouds are short and link-dense, article bodies are long
+       and link-sparse;
+    4. join survivors with a blank line.
+
+    Everything is one map-only expression tree: a split, two
+    regexp_extract_all passes per block, and a filtered array_join — no
+    Python, no shuffle, no DOM parse. A real DOM (with attribute-aware
+    scoring) is strictly better on adversarial markup; this is the
+    90%-of-the-benefit pass that runs at corpus scale."""
+    cleaned = _drop_nontext(html)
+    blocks = F.split(cleaned, _BLOCK_TAG_RE)
+
+    def visible(b: Column) -> Column:
+        return _collapse_ws(_decode_entities(_tags_to_space(b)))
+
+    def link_chars(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1))
+        return F.aggregate(
+            anchors, F.lit(0),
+            lambda acc, a: acc + F.length(visible(a)),
+        )
+
+    kept = F.filter(
+        F.transform(
+            blocks,
+            lambda b: F.struct(
+                visible(b).alias("txt"),
+                link_chars(b).alias("lc"),
+            ),
+        ),
+        lambda s: (F.length(s["txt"]) >= F.lit(int(min_chars)))
+        & (
+            s["lc"].cast("double")
+            / F.greatest(F.length(s["txt"]).cast("double"), F.lit(1.0))
+            <= F.lit(float(max_link_density))
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["txt"]), "\n\n")
+
+
+def with_html_text(
+    df: "DataFrame",
+    html_col: str = "html",
+    out_col: str = "text",
+    min_chars: int = 30,
+    max_link_density: float = 0.5,
+) -> "DataFrame":
+    """Staged main-content extraction over a table: the cleaned page
+    and the block array are their own projections so downstream
+    references don't re-run the strip regexes. Output column feeds the
+    existing quality / lang-id / dedup stages directly."""
+    tmp = "__html_blocks__"
+    if tmp in df.columns or out_col == html_col:
+        raise ValueError(f"with_html_text: column collision on {tmp!r}/{out_col!r}")
+    staged = df.withColumn(tmp, F.split(_drop_nontext(F.col(html_col)),
+                                        _BLOCK_TAG_RE))
+
+    def visible(b: Column) -> Column:
+        return _collapse_ws(_decode_entities(_tags_to_space(b)))
+
+    def link_chars(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1))
+        return F.aggregate(
+            anchors, F.lit(0),
+            lambda acc, a: acc + F.length(visible(a)),
+        )
+
+    kept = F.filter(
+        F.transform(
+            F.col(tmp),
+            lambda b: F.struct(visible(b).alias("txt"),
+                               link_chars(b).alias("lc")),
+        ),
+        lambda s: (F.length(s["txt"]) >= F.lit(int(min_chars)))
+        & (
+            s["lc"].cast("double")
+            / F.greatest(F.length(s["txt"]).cast("double"), F.lit(1.0))
+            <= F.lit(float(max_link_density))
+        ),
+    )
+    return staged.withColumn(
+        out_col, F.array_join(F.transform(kept, lambda s: s["txt"]), "\n\n")
+    ).drop(tmp)

@@ -2261,6 +2261,45 @@ def dedup_url_canonical(spark, sf_dir):
     return _u.dedup_canonical_url(docs, url_col="url", id_col="doc_id")
 
 
+@query(
+    "text_html_extract",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
+    FROM documents
+    WHERE length(text) >= 40
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML main-content extraction (operators/text.html_main_text):
+    every document is wrapped in a synthetic page — head/title, a
+    script whose string literal contains a fake '</div>', a style
+    block, a link-dense nav, the article div, a link-dense footer, a
+    comment — and the text-density/link-density block heuristic must
+    recover EXACTLY the article text (whitespace-collapsed), dropping
+    every boilerplate block. The oracle computes the ground truth
+    directly from the construction (collapse the source text), so no
+    regex-dialect mirroring is involved: the value check proves the
+    extractor inverted the wrapping."""
+    from lazy_frame_spark.operators import text as _t
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.filter(F.length("text") >= 40)
+    html = F.concat(
+        F.lit('<html><head><title>Doc</title><script>var a = "</div>";'
+              '</script><style>.m{color:red}</style></head><body>'
+              '<nav><a href="/">Home</a> <a href="/t">Tags</a> '
+              '<a href="/a">Archive</a></nav><div>'),
+        F.col("text"),
+        F.lit('</div><footer><a href="/p">Privacy</a> &amp; '
+              '<a href="/c">Contact</a></footer><!-- t --></body></html>'),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return _t.with_html_text(pages, "html", "main_text").select(
+        "doc_id", "main_text"
+    )
+
+
 def _pq_books():
     from lazy_frame_spark.operators.similarity import pq_codebooks
 

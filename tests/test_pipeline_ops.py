@@ -1965,6 +1965,59 @@ def test_pq_encode_arrow_bit_identical_to_catalyst(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_html_extraction_rules(spark):
+    """html_to_text / html_main_text rules: script and style CONTENTS
+    vanish (including a fake '</div>' inside a script string), comments
+    vanish, entities decode ('&amp;lt;' stays '&lt;' — amp decodes
+    last), whitespace collapses, and the link-density heuristic drops
+    nav/footer/short blocks while keeping article blocks. Staged and
+    Column forms agree."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import text as T
+
+    html = (
+        '<html><head><title>T</title><script>var x="</div>";</script>'
+        '<style>p{color:red}</style></head><body>'
+        '<nav><a href="/">Home</a> <a href="/about">About &amp; more</a></nav>'
+        '<div>The   quick brown fox jumps over the lazy dog and keeps'
+        ' running far away today.</div>'
+        '<div>Short.</div>'
+        '<p>Another good paragraph with plenty of visible text &lt;tag&gt;'
+        ' and a double-escaped &amp;lt; included here.</p>'
+        '<footer><a href="/privacy">Privacy</a> | <a href="/tos">Terms</a>'
+        '</footer><!-- hidden --></body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    r = df.select(
+        T.html_to_text(F.col("html")).alias("all_text"),
+        T.html_main_text(F.col("html")).alias("main"),
+    ).collect()[0]
+    assert "var x" not in r["all_text"] and "color:red" not in r["all_text"]
+    assert "hidden" not in r["all_text"]
+    assert "About & more" in r["all_text"]          # &amp; decoded
+    assert r["main"] == (
+        "The quick brown fox jumps over the lazy dog and keeps running"
+        " far away today.\n\n"
+        "Another good paragraph with plenty of visible text <tag>"
+        " and a double-escaped &lt; included here."
+    )
+    staged = T.with_html_text(df, "html", "text").select("text") \
+        .collect()[0]["text"]
+    assert staged == r["main"]
+    # a link-HEAVY long block still drops (tag cloud shape)
+    cloud = "<div>" + " ".join(
+        f'<a href="/t{i}">topic{i} word</a>' for i in range(12)) + "</div>"
+    df2 = spark.createDataFrame(
+        [(1, f"<html><body>{cloud}<p>A real paragraph of twenty words "
+             "that should certainly survive the density filter intact "
+             "here.</p></body></html>")],
+        "id long, html string")
+    m2 = df2.select(T.html_main_text(F.col("html")).alias("m")) \
+        .collect()[0]["m"]
+    assert "topic3" not in m2 and "real paragraph" in m2
+
+
 def test_pq_train_refines_hash_codebooks(spark, sf_dir):
     """Lloyd training from the hash init must keep codebook shape,
     STRICTLY reduce quantization error on the training data (each Lloyd

@@ -63,6 +63,28 @@ def main() -> int:
     docs = docs.join(winners.select(F.col("keep_id").alias("doc_id")), "doc_id")
     counts["after_url_dedup"] = docs.count()
 
+    # 1c. HTML -> main text (round 7): raw fetches arrive as markup, so
+    #     boilerplate extraction runs BEFORE any quality/dedup stage
+    #     sees the text. The demo wraps each doc the way a crawler
+    #     would deliver it (nav/footer/script chrome) and the
+    #     link-density heuristic must hand back the article body.
+    from lazy_frame_spark.operators.text import with_html_text
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>track();</script></head><body>'
+                  '<nav><a href="/">Home</a> <a href="/t">Tags</a></nav>'
+                  '<div>'),
+            F.col("text"),
+            F.lit('</div><footer><a href="/p">Privacy</a></footer>'
+                  '</body></html>'),
+        ).alias("html"),
+    )
+    docs = with_html_text(pages, "html", "text").select("doc_id", "text") \
+        .filter(F.length("text") > 0)
+    counts["after_html_extract"] = docs.count()
+
     # 2. quality gate (composite C4/Gopher keep/drop) AND the trained-
     #    classifier score — both one map-only pass; a doc must pass both
     from lazy_frame_spark.operators.text import model_quality_score, quality_gate
