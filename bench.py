@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "dq_profile_orders",         # exact column profile (Expand-free)
     "dedup_url_canonical",       # canonical-URL dedup (map + one agg)
     "view_retract_erasure",      # incremental view retract + repair
+    "ann_ivfpq_adc_topk",        # IVF-PQ residual index + ADC search
+    "text_html_extract",         # HTML boilerplate extraction
 ]
 
 

@@ -31,15 +31,18 @@ agree on):
   in most frameworks; name = text before the first ``=``, so a bare
   flag ``a`` and ``a=1`` share a name);
 - remaining query parameters sorted bytewise;
+- dot segments removed per RFC 3986 §5.2.4 (``/a/./b`` → ``/a/b``,
+  ``/a/b/../c`` → ``/a/c``, ``..`` never climbs above the root; runs
+  after percent-normalization so ``/%2E%2E/`` is caught);
 - empty path normalized to ``/``, non-root trailing slashes (the whole run — one-at-a-time stripping breaks idempotence on '//') stripped;
 - optional ``www.`` prefix strip — the whole leading run, only when a
   domain character follows (single-prefix stripping breaks idempotence
   on ``www.www.x``) (on by default — the standard crawl
   aggressiveness; disable for origin-sensitive use).
 
-NOT normalized (documented gaps): IDN hosts (punycode ``xn--`` vs
+NOT normalized (documented gap): IDN hosts (punycode ``xn--`` vs
 Unicode forms don't unify — needs the punycode algorithm, out of scope
-for a pure-Catalyst pass) and dot-segment removal (``/a/../b``).
+for a pure-Catalyst pass).
 """
 
 from __future__ import annotations
@@ -156,6 +159,35 @@ def _fix_tokens(toks: Column, lower_decoded: bool = False) -> Column:
     )
 
 
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path (ours
+    always start with '/' or are empty): fold the '/'-split segments —
+    '.' skips, '..' pops the last pushed segment (never the leading ''
+    root marker), everything else pushes. Runs AFTER percent
+    normalization (``%2E`` is an unreserved escape and decodes to '.',
+    so a pre-normalization pass would miss '/%2E%2E/'), which also
+    makes it idempotent: the output contains no dot segments for a
+    second pass to find. Rows without a '/.' substring skip the fold
+    entirely (dotfile paths like '/.well-known' pass the gate but fold
+    to themselves — only exact '.'/'..' segments are special)."""
+    segs = F.split(path, "/")
+
+    def step(acc: Column, s: Column) -> Column:
+        return (
+            F.when(s == ".", acc)
+            .when((s == "..") & (F.size(acc) > 1),
+                  F.slice(acc, 1, F.size(acc) - 1))
+            .when(s == "..", acc)
+            .otherwise(F.concat(acc, F.array(s)))
+        )
+
+    folded = F.aggregate(segs, F.array().cast("array<string>"), step)
+    return (
+        F.when(path.contains("/."), F.array_join(folded, "/"))
+        .otherwise(path)
+    )
+
+
 def _clean_params(query: Column, drop_re: str) -> Column:
     """Split a (percent-normalized) query string into params, drop
     empties and tracking params, collapse duplicates KEEP-FIRST by
@@ -241,7 +273,7 @@ def canonicalize_url(
     # (lower() can change length on exotic unicode).
     tail = _pct_normalize(F.substring(nofrag, F.length(rawhp) + 1, big))
     pathq = F.substring_index(tail, "?", 1)
-    path = F.rtrim(pathq, F.lit("/"))
+    path = F.rtrim(_remove_dot_segments(pathq), F.lit("/"))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     drop_re = "^(" + "|".join(drop_params) + ")="
     query = F.when(
@@ -374,7 +406,8 @@ def with_canonical_url(
     s = s.select(
         *passthru, "__scheme__",
         host.alias("__host__"),
-        F.rtrim(F.col("__pathq__"), F.lit("/")).alias("__path0__"),
+        F.rtrim(_remove_dot_segments(F.col("__pathq__")), F.lit("/"))
+        .alias("__path0__"),
         F.when(
             F.length("__ntail__") > F.length("__pathq__"),
             F.substring(F.col("__ntail__"), F.length("__pathq__") + 2, big),

@@ -1799,6 +1799,16 @@ def test_canonicalize_url_rules(spark):
         # ...but an incomplete escape further back does not block: the
         # well-formed %34 tail between them keeps the decode safe
         ("http://ex.com/%4x%31", "http://ex.com/%4x1"),
+        # RFC 3986 §5.2.4 dot-segment removal — after percent decode
+        # (so /%2E%2E/ is caught), '..' never climbs above root, and
+        # dotFILE segments are untouched
+        ("http://ex.com/a/./b", "http://ex.com/a/b"),
+        ("http://ex.com/a/b/../c", "http://ex.com/a/c"),
+        ("http://ex.com/../../a", "http://ex.com/a"),
+        ("http://ex.com/a/%2E%2E/b", "http://ex.com/b"),
+        ("http://ex.com/a/..", "http://ex.com/"),
+        ("http://ex.com/.well-known/x", "http://ex.com/.well-known/x"),
+        ("http://ex.com/a//../b", "http://ex.com/a/b"),
         # an escaped 'www.' host prefix decodes, THEN strips (idempotence)
         ("http://%77ww.ex.com/a", "http://ex.com/a"),
         # tracking param spelled with an escape still drops

@@ -399,6 +399,8 @@ url_piece = st.sampled_from([
     # escape-synthesis adjacencies (the round-6 idempotence break:
     # incomplete escape + hex-decoding escape, e.g. '%4'+'%31')
     "%31", "%34", "%%34", "%4%31",
+    # dot segments (incl. escaped spellings that decode to dots)
+    "/./", "/../", "/..", "/.", "%2e%2E/", "/a/..",
 ])
 url_strategy = st.lists(url_piece, min_size=0, max_size=8).map("".join)
 
