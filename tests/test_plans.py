@@ -409,3 +409,31 @@ def test_url_dedup_no_expression_reinlining(spark, sf_dir):
     plan = executed_plan(REGISTRY["dedup_url_canonical"].fn(spark, sf_dir))
     assert plan.count("regexp_extract") == 0, plan.count("regexp_extract")
     assert plan.count("Exchange") <= 2  # fan-out + agg shuffle, nothing else
+
+
+def test_ivfpq_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB IVF-PQ read path: the encoded index stored
+    partitionBy(__ivf_cell__) must serve topk by reading ONLY the
+    probed cells — the isin(probe) filter lands in the scan's
+    PartitionFilters, and results equal the unpartitioned search."""
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7)
+    enc = idx.encode(e).select("vec_id", "pq_codes", "__ivf_cell__")
+    store = str(tmp_path / "ivfpq_index")
+    enc.write.partitionBy("__ivf_cell__").parquet(store)
+    stored = spark.read.parquet(store)
+
+    qv = [float(x) for x in
+          e.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    top = idx.topk(stored, qv, k=5, n_probe=2)
+    plan = executed_plan(top)
+    # the cell filter must prune PARTITIONS, not rows post-scan
+    assert "PartitionFilters" in plan and "__ivf_cell__" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan[:2000]
+
+    want = [(r["vec_id"], r["pq_dist"])
+            for r in idx.topk(enc, qv, k=5, n_probe=2).collect()]
+    got = [(r["vec_id"], r["pq_dist"]) for r in top.collect()]
+    assert got == want and got[0][0] == 0
