@@ -157,22 +157,35 @@ class IVFIndex:
         )
         return cls([list(r[vec_col]) for r in rows])
 
-    def _cell_expr(self, vec_col: str):
+    def _cell_expr(self, vec_col: str, vnorm: Column | None = None):
+        """Argmax cell as ONE similarity array + array_position — NOT a
+        when-chain: `best = when(sim_i > best, ...)` re-embeds every
+        earlier similarity into each comparison, doubling the
+        (interpreted, higher-order) expression tree per centroid — a
+        measured 2^k blowup that cost 14 s on a 5k-row encode at k=8.
+        Here each cosine evaluates exactly once; first-max tie-break
+        matches the chain's keep-first. ``vnorm`` lets callers stage
+        ||v|| as a column so it isn't re-folded per centroid. A
+        zero/NaN vector yields NaN similarities → array_position finds
+        nothing (0) → the greatest() floor lands it in cell 0, the same
+        cell the old chain's never-true comparisons kept."""
         v = F.col(vec_col).cast("array<double>")
-        best_cell, best_sim = None, None
-        for i, c in enumerate(self.centroids):
+        nv = vnorm if vnorm is not None else norm(v)
+        sims = []
+        for c in self.centroids:
             carr = F.array(*[F.lit(x) for x in c])
-            sim = dot(v, carr) / (norm(v) * norm(carr))
-            if best_cell is None:
-                best_cell, best_sim = F.lit(i), sim
-            else:
-                cond = sim > best_sim
-                best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-                best_sim = F.when(cond, sim).otherwise(best_sim)
-        return best_cell
+            sims.append(dot(v, carr) / (nv * norm(carr)))
+        arr = F.array(*sims)
+        pos = F.array_position(arr, F.array_max(arr))
+        return (F.greatest(pos, F.lit(1)) - 1).cast("int")
 
     def with_cells(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-        return df.withColumn("__ivf_cell__", self._cell_expr(vec_col))
+        staged = df.withColumn(
+            "__vnorm__", norm(F.col(vec_col).cast("array<double>"))
+        )
+        return staged.withColumn(
+            "__ivf_cell__", self._cell_expr(vec_col, F.col("__vnorm__"))
+        ).drop("__vnorm__")
 
     def topk(
         self,
@@ -706,14 +719,82 @@ class IVFPQIndex:
         vec_col: str = "embedding",
         code_col: str = "pq_codes",
     ) -> DataFrame:
-        """(cell, residual-PQ codes) per vector: cell assignment is the
-        IVF argmax expression, the residual a zip_with subtraction, the
-        codes the Arrow encoder — one map-only pass, 1 + n_sub bytes of
-        index per vector."""
-        resid = self._with_residual(df, vec_col)
-        return pq_encode_arrow(
-            resid, self.codebooks, vec_col="__resid__", code_col=code_col
-        ).drop("__resid__")
+        """(cell, residual-PQ codes) per vector as ONE fused Arrow
+        pass: cell argmax, residual subtraction, and code assignment
+        run on the same numpy batch — the interpreted Catalyst cell
+        expression alone (8 cosines × 64-dim higher-order folds per
+        row) costs more than the entire fused batch. Bit-parity with
+        the Catalyst/SQL forms is deliberate: every dot product, norm,
+        and distance accumulates dimensions ASCENDING and
+        left-associated in float64, so cells, residuals, codes, and
+        downstream ADC rankings are identical on every path (pinned by
+        tests and the generated DuckDB oracle). Non-finite vectors get
+        cell 0 (what the expression form's never-true comparisons keep)
+        and NULL codes per the finite-vector contract."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        C = np.asarray(self.coarse, dtype=np.float64)        # (cells, dim)
+        cb = np.asarray(self.codebooks, dtype=np.float64)    # (S, K, D)
+        S, K, D = cb.shape
+        n_cells, dim = C.shape
+        # centroid norms with the same ascending fold the Catalyst
+        # norm(literal-array) performs
+        cn = np.zeros(n_cells)
+        for i in range(dim):
+            cn = cn + C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        out_schema = StructType(
+            list(df.schema)
+            + [StructField("__ivf_cell__", IntegerType()),
+               StructField(code_col, ArrayType(IntegerType()))]
+        )
+        in_cols = list(df.columns)
+
+        def enc(batches):
+            for pdf in batches:
+                V = np.stack([
+                    np.full(dim, np.nan) if v is None else np.asarray(v)
+                    for v in pdf[vec_col].to_numpy()
+                ]).astype(np.float64) if len(pdf) else np.zeros((0, dim))
+                n = V.shape[0]
+                nv = np.zeros(n)
+                for i in range(dim):
+                    nv = nv + V[:, i] * V[:, i]
+                nv = np.sqrt(nv)
+                dots = np.zeros((n, n_cells))
+                for i in range(dim):
+                    dots = dots + V[:, i:i + 1] * C[:, i][None, :]
+                sims = dots / (nv[:, None] * cn[None, :])
+                finite = np.isfinite(V).all(axis=1) & np.isfinite(sims).all(axis=1)
+                cells = np.zeros(n, dtype=np.int64)
+                if n:
+                    safe = np.where(np.isnan(sims), -np.inf, sims)
+                    cells = np.argmax(safe, axis=1)
+                    cells[~finite] = 0
+                R = V - C[cells]
+                codes = np.empty((n, S), dtype=np.int32)
+                for s in range(S):
+                    sub = R[:, s * D:(s + 1) * D]
+                    acc = np.zeros((n, K))
+                    for i in range(D):
+                        diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
+                        acc = acc + diff * diff
+                    codes[:, s] = np.argmin(acc, axis=1) + 1
+                out = pdf[in_cols].copy()
+                out["__ivf_cell__"] = cells.astype("int32")
+                out[code_col] = [
+                    list(codes[r]) if finite[r] else None for r in range(n)
+                ]
+                yield out
+
+        return df.mapInPandas(enc, out_schema)
 
     def topk(
         self,
