@@ -40,9 +40,11 @@ agree on):
   on ``www.www.x``) (on by default — the standard crawl
   aggressiveness; disable for origin-sensitive use).
 
-NOT normalized (documented gap): IDN hosts (punycode ``xn--`` vs
-Unicode forms don't unify — needs the punycode algorithm, out of scope
-for a pure-Catalyst pass).
+NOT normalized inline: IDN hosts (punycode ``xn--`` vs Unicode forms —
+IDNA needs the nameprep tables, which no Catalyst expression carries).
+``with_idn_hosts`` closes the gap as an OPT-IN Arrow-batched pre-pass:
+run it before ``dedup_canonical_url`` on corpora that carry
+internationalized hostnames; it is idempotent, so chaining is safe.
 """
 
 from __future__ import annotations
@@ -505,3 +507,66 @@ def dedup_canonical_url(
         "keep_id",
         "n_dupes",
     )
+
+
+# --------------------------------------------------------------------- #
+# IDN (internationalized hostname) unification — opt-in Arrow pass
+# --------------------------------------------------------------------- #
+
+def _idn_fold(hp: str) -> str:
+    """Fold ONE hostport to its IDNA/punycode ASCII form (RFC 3490 via
+    the stdlib 'idna' codec: nameprep case-fold + per-label xn--
+    encoding). ASCII hosts return unchanged; hosts the codec rejects
+    (empty labels, over-long labels) pass through untouched — an
+    unencodable host is not evidence about its duplicates."""
+    if hp is None or all(ord(c) < 128 for c in hp):
+        return hp
+    host, sep, port = hp.partition(":")
+    try:
+        return host.encode("idna").decode("ascii") + sep + port
+    except UnicodeError:
+        return hp
+
+
+def with_idn_hosts(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite non-ASCII (internationalized) hostnames to their
+    punycode form inside each URL — ``http://bücher.example/x`` and
+    ``http://xn--bcher-kva.example/x`` then canonicalize to the SAME
+    dedup key, closing the IDN gap ``canonicalize_url`` documents.
+
+    OPT-IN and Arrow-batched on purpose: IDNA needs the nameprep
+    tables, which no Catalyst expression carries, and a pandas UDF in
+    the canonicalization hot path would tax the overwhelmingly-ASCII
+    common case (Spark extracts pandas UDFs into an ArrowEvalPython
+    node that runs for every row regardless of conditional gating). Run
+    this pass BEFORE ``dedup_canonical_url`` on corpora that carry IDN
+    hosts; the fold is idempotent (punycode input returns unchanged),
+    so re-running is always safe. URLs without ``scheme://`` pass
+    through untouched."""
+    import pandas as pd
+
+    out = out_col or url_col
+
+    def fold_urls(urls: pd.Series) -> pd.Series:
+        def one(u):
+            if u is None:
+                return u
+            sep = u.find("://")
+            if sep < 0:
+                return u
+            rest = u[sep + 3:]
+            cut = len(rest)
+            for ch in "/?#":
+                p = rest.find(ch)
+                if p >= 0:
+                    cut = min(cut, p)
+            return u[:sep + 3] + _idn_fold(rest[:cut]) + rest[cut:]
+        return urls.map(one)
+
+    fold_urls.__annotations__ = {"urls": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf("string")(fold_urls)
+    return df.withColumn(out, udf(F.col(url_col)))

@@ -2262,6 +2262,62 @@ def dedup_url_canonical(spark, sf_dir):
 
 
 @query(
+    "dedup_url_idn",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey AS doc_id,
+        CASE o_orderkey % 4
+          WHEN 0 THEN 'http://' || chr(77) || chr(220)
+                      || 'nchen.example/doc/' || ((o_orderkey // 4) % 25)
+          WHEN 1 THEN 'http://m' || chr(252)
+                      || 'nchen.example/doc/' || ((o_orderkey // 4) % 25)
+          WHEN 2 THEN 'http://xn--mnchen-3ya.example/doc/'
+                      || ((o_orderkey // 4) % 25)
+          ELSE 'http://ascii.example/doc/' || ((o_orderkey // 4) % 25)
+        END AS url
+      FROM orders),
+    c AS (
+      SELECT doc_id,
+             'http://'
+             || CASE WHEN doc_id % 4 IN (0, 1, 2)
+                     THEN 'xn--mnchen-3ya.example'
+                     ELSE 'ascii.example' END
+             || '/doc/' || ((doc_id // 4) % 25) AS canonical_url
+      FROM u)
+    SELECT canonical_url, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM c GROUP BY canonical_url
+    """,
+)
+def dedup_url_idn(spark, sf_dir):
+    """IDN-aware canonical-URL dedup (urls.with_idn_hosts →
+    dedup_canonical_url): the mixed-case Unicode, lowercase Unicode,
+    and punycode spellings of the same internationalized hostname must
+    all collapse onto ONE canonical key (IDNA nameprep + per-label
+    punycode via the Arrow-batched opt-in pass — Python's stdlib codec,
+    RFC 3490), while ASCII hosts ride the fast path untouched. The
+    oracle maps each constructed spelling to its known IDNA form and
+    replays the same first-wins aggregation."""
+    from lazy_frame_spark.operators import urls as _u
+
+    o = _table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = (F.floor(k / 4) % 25).cast("bigint").cast("string")
+    url = (
+        F.when(k % 4 == 0,
+               F.concat(F.lit("http://MÜnchen.example/doc/"), m))
+        .when(k % 4 == 1,
+              F.concat(F.lit("http://münchen.example/doc/"), m))
+        .when(k % 4 == 2,
+              F.concat(F.lit("http://xn--mnchen-3ya.example/doc/"), m))
+        .otherwise(F.concat(F.lit("http://ascii.example/doc/"), m))
+    )
+    docs = o.select(k.alias("doc_id"), url.alias("url"))
+    folded = _u.with_idn_hosts(docs, "url")
+    return _u.dedup_canonical_url(folded, url_col="url", id_col="doc_id")
+
+
+@query(
     "text_html_extract",
     oracle=r"""
     SELECT doc_id,

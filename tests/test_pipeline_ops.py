@@ -1975,6 +1975,49 @@ def test_pq_encode_arrow_bit_identical_to_catalyst(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_with_idn_hosts_rules(spark):
+    """IDN host folding: Unicode hosts (any case) fold to punycode,
+    punycode and ASCII hosts pass unchanged, ports survive, URLs the
+    codec rejects (empty label) or without a scheme pass through, and
+    the pass is idempotent. Composed with canonicalization, the three
+    spellings of one IDN host share a dedup key."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators.urls import (
+        canonicalize_url,
+        with_idn_hosts,
+    )
+
+    cases = [
+        ("http://bücher.example/x", "http://xn--bcher-kva.example/x"),
+        ("http://BÜcher.example/x", "http://xn--bcher-kva.example/x"),
+        ("https://日本語.jp:8443/a?b=1", "https://xn--wgv71a119e.jp:8443/a?b=1"),
+        ("http://xn--bcher-kva.example/x", "http://xn--bcher-kva.example/x"),
+        ("http://ascii.example/ü-in-path", "http://ascii.example/ü-in-path"),
+        ("http://a..b/ü", "http://a..b/ü"),       # codec rejects: unchanged
+        ("no scheme ü here", "no scheme ü here"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["url"]
+           for r in with_idn_hosts(df, "url").select("i", "url").collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    # idempotent
+    again = {r["i"]: r["url"]
+             for r in with_idn_hosts(
+                 with_idn_hosts(df, "url"), "url").select("i", "url").collect()}
+    assert again == got
+    # composition: all three spellings -> one canonical key
+    tri = spark.createDataFrame(
+        [(1, "http://MÜnchen.example/d"), (2, "http://münchen.example/d"),
+         (3, "http://xn--mnchen-3ya.example/d")], "i long, url string")
+    keys = {r["c"] for r in with_idn_hosts(tri, "url").select(
+        canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert keys == {"http://xn--mnchen-3ya.example/d"}
+
+
 def test_html_extraction_rules(spark):
     """html_to_text / html_main_text rules: script and style CONTENTS
     vanish (including a fake '</div>' inside a script string), comments
