@@ -42,15 +42,24 @@ def _agg_exprs(sum_cols, min_cols, max_cols, first: bool,
 
     With ``buffer_extremes=N``, each min/max column also carries a
     bounded synopsis ``minbuf_<c>`` / ``maxbuf_<c>``: the N smallest
-    (largest) values of the grain, sorted. The synopsis is MERGEABLE
-    (N-prefix of the union of two N-prefixes is the N-prefix of the
-    merged multiset) and bounded: a merge collects at most N values per
-    input row, never the raw data."""
-    exprs = [
-        (F.count(F.lit(1)) if first else F.sum(COUNT_COL))
-        .cast("long")
-        .alias(COUNT_COL)
-    ]
+    (largest) values of the grain, sorted. Merging is coverage-aware: a
+    buffer is a COMPLETE multiset of its grain's values out to its last
+    element (an N-prefix's bound is its last value; a buffer covering
+    its whole partial — size == count — is unbounded), and a merge may
+    only trust the union out to the LEAST input bound. Without the
+    truncation, a buffer shrunk below N by an earlier retraction would
+    merge with fresh batches as if it were a full N-prefix, and the gap
+    values it no longer knows about (still live in the grain) would be
+    silently skipped — a later retract would then serve a WRONG extreme
+    with no stale flag (review finding, regression-tested). A buffer
+    that is empty yet incomplete poisons the merge to empty, which the
+    next retraction turns into ``__stale__`` + repair. Bounded either
+    way: at most N values per input row, never the raw data."""
+    # the count is ALIASED LAST: the buffered merge references the
+    # input's COUNT_COL inside collect_list, and Spark's lateral column
+    # alias resolution would otherwise capture the freshly aliased
+    # output (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_AGGREGATE)
+    exprs = []
     for c in sum_cols:
         src = c if first else f"sum_{c}"
         exprs.append(F.sum(src).alias(f"sum_{c}"))
@@ -62,19 +71,46 @@ def _agg_exprs(sum_cols, min_cols, max_cols, first: bool,
         exprs.append(F.max(src).alias(f"max_{c}"))
     if buffer_extremes:
         n = int(buffer_extremes)
+
+        def merged_buf(src: str, desc: bool):
+            entries = F.collect_list(F.struct(
+                F.col(src).alias("b"), F.col(COUNT_COL).alias("c")
+            ))
+            vals = F.flatten(F.transform(entries, lambda e: e["b"]))
+            svals = (F.reverse(F.array_sort(vals)) if desc
+                     else F.array_sort(vals))
+            bounded = F.filter(
+                entries, lambda e: F.size(e["b"]).cast("long") != e["c"]
+            )
+            empty_inc = F.exists(bounded, lambda e: F.size(e["b"]) == 0)
+            lasts = F.transform(
+                F.filter(bounded, lambda e: F.size(e["b"]) > 0),
+                lambda e: F.get(e["b"], F.size(e["b"]) - 1),
+            )
+            bound = F.array_max(lasts) if desc else F.array_min(lasts)
+            kept = (
+                F.when(empty_inc, F.slice(svals, 1, 0))
+                .when(F.size(bounded) == 0, svals)
+                .otherwise(F.filter(
+                    svals,
+                    (lambda v: v >= bound) if desc else (lambda v: v <= bound),
+                ))
+            )
+            return F.slice(kept, 1, n)
+
         for c in min_cols:
-            vals = (F.collect_list(c) if first
-                    else F.flatten(F.collect_list(f"minbuf_{c}")))
-            exprs.append(
-                F.slice(F.array_sort(vals), 1, n).alias(f"minbuf_{c}")
-            )
+            buf = (F.slice(F.array_sort(F.collect_list(c)), 1, n)
+                   if first else merged_buf(f"minbuf_{c}", desc=False))
+            exprs.append(buf.alias(f"minbuf_{c}"))
         for c in max_cols:
-            vals = (F.collect_list(c) if first
-                    else F.flatten(F.collect_list(f"maxbuf_{c}")))
-            exprs.append(
-                F.slice(F.reverse(F.array_sort(vals)), 1, n)
-                .alias(f"maxbuf_{c}")
-            )
+            buf = (F.slice(F.reverse(F.array_sort(F.collect_list(c))), 1, n)
+                   if first else merged_buf(f"maxbuf_{c}", desc=True))
+            exprs.append(buf.alias(f"maxbuf_{c}"))
+    exprs.append(
+        (F.count(F.lit(1)) if first else F.sum(COUNT_COL))
+        .cast("long")
+        .alias(COUNT_COL)
+    )
     return exprs
 
 
@@ -313,15 +349,22 @@ def _buf_subtract(buf: Column, dels: Column) -> Column:
     )
 
 
+def _proven_small(df: DataFrame, limit: int | None) -> bool:
+    """The one smallness probe both hint sites share: count at most
+    ``limit + 1`` rows (CollectLimit stops the collection there, so the
+    decision job's driver cost is bounded regardless of actual size).
+    ``None`` means the caller opted out of probing entirely."""
+    return limit is not None and df.limit(limit + 1).count() <= limit
+
+
 def _hint_if_small(side: DataFrame, limit: int | None) -> DataFrame:
-    """Broadcast hint only when the build side is PROVABLY small: count
-    at most ``limit + 1`` rows (CollectLimit stops the collection there,
-    so the decision job's driver cost is bounded regardless of actual
-    size) and hint only under the bound. ``None`` disables the hint
-    unconditionally. Either way the join stays an equi-join (eqNullSafe
-    is a planner-recognized equi-key), so above the bound AQE plans a
-    shuffled hash/sort-merge join — never a nested loop."""
-    if limit is not None and side.limit(limit + 1).count() <= limit:
+    """Broadcast hint only when the build side is PROVABLY small
+    (``_proven_small``). ``None`` disables the hint unconditionally.
+    Either way the join stays an equi-join (eqNullSafe is a
+    planner-recognized equi-key), so above the bound the planner's
+    estimates + AQE pick a broadcast or shuffled hash/sort-merge join —
+    never a nested loop."""
+    if _proven_small(side, limit):
         return F.broadcast(side)
     return side
 
@@ -387,10 +430,7 @@ def agg_view_retract(
     # without re-running the partial build the join needs anyway. A
     # many-rows-few-grains batch merely misses the hint — AQE's runtime
     # small-side broadcast conversion is the backstop.
-    hint_ok = (
-        broadcast_limit is not None
-        and deleted_batch.limit(broadcast_limit + 1).count() <= broadcast_limit
-    )
+    hint_ok = _proven_small(deleted_batch, broadcast_limit)
     d = agg_view_build(deleted_batch, grain, sum_cols, min_cols, max_cols,
                        buffer_extremes=buffer_extremes)
     ren = {COUNT_COL: "__d_n__"}

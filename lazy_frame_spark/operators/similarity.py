@@ -37,7 +37,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not '/': Spark 4 runs ANSI mode by default, where a
+    # zero-norm vector would turn the whole scan into a
+    # DIVIDE_BY_ZERO error instead of one undefined (NULL) similarity
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -165,21 +168,29 @@ class IVFIndex:
         measured 2^k blowup that cost 14 s on a 5k-row encode at k=8.
         Here each cosine evaluates exactly once; first-max tie-break
         matches the chain's keep-first. ``vnorm`` lets callers stage
-        ||v|| as a column so it isn't re-folded per centroid. A
-        zero/NaN vector yields NaN similarities → array_position finds
-        nothing (0) → the greatest() floor lands it in cell 0, the same
-        cell the old chain's never-true comparisons kept."""
+        ||v|| as a column so it isn't re-folded per centroid.
+        try_divide (ANSI is on by default in Spark 4) maps a zero-norm
+        vector/centroid to NULL similarities, which array_max/position
+        skip → the greatest() floor lands such rows in cell 0 — the
+        same cell the old chain's never-true comparisons kept, and the
+        same cell the Arrow ``encode`` assigns to non-finite rows."""
         v = F.col(vec_col).cast("array<double>")
         nv = vnorm if vnorm is not None else norm(v)
         sims = []
         for c in self.centroids:
             carr = F.array(*[F.lit(x) for x in c])
-            sims.append(dot(v, carr) / (nv * norm(carr)))
+            sims.append(F.try_divide(dot(v, carr), nv * norm(carr)))
         arr = F.array(*sims)
         pos = F.array_position(arr, F.array_max(arr))
         return (F.greatest(pos, F.lit(1)) - 1).cast("int")
 
     def with_cells(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        clash = sorted({"__vnorm__", "__ivf_cell__"} & set(df.columns))
+        if clash:
+            raise ValueError(
+                f"with_cells: input columns {clash} collide with the "
+                "staged cell-assignment names — rename them first"
+            )
         staged = df.withColumn(
             "__vnorm__", norm(F.col(vec_col).cast("array<double>"))
         )
@@ -732,7 +743,7 @@ class IVFPQIndex:
         cell 0 (what the expression form's never-true comparisons keep)
         and NULL codes per the finite-vector contract."""
         import numpy as np
-        import pandas as pd
+        import pandas as pd  # noqa: F401  (mapInPandas batches)
         from pyspark.sql.types import (
             ArrayType,
             IntegerType,
@@ -740,6 +751,12 @@ class IVFPQIndex:
             StructType,
         )
 
+        clash = sorted({"__ivf_cell__", code_col} & set(df.columns))
+        if clash:
+            raise ValueError(
+                f"encode: input columns {clash} collide with the index "
+                "output names — rename them first"
+            )
         C = np.asarray(self.coarse, dtype=np.float64)        # (cells, dim)
         cb = np.asarray(self.codebooks, dtype=np.float64)    # (S, K, D)
         S, K, D = cb.shape

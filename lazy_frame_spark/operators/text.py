@@ -589,14 +589,27 @@ def html_main_text(
     Python, no shuffle, no DOM parse. A real DOM (with attribute-aware
     scoring) is strictly better on adversarial markup; this is the
     90%-of-the-benefit pass that runs at corpus scale."""
-    cleaned = _drop_nontext(html)
-    blocks = F.split(cleaned, _BLOCK_TAG_RE)
+    return _main_text_from_blocks(
+        F.split(_drop_nontext(html), _BLOCK_TAG_RE), min_chars,
+        max_link_density,
+    )
+
+
+def _main_text_from_blocks(
+    blocks: Column, min_chars: int, max_link_density: float
+) -> Column:
+    """The ONE copy of the block-scoring heuristic both extraction
+    forms share (the Column form passes its inline split, the staged
+    form its projected array column — byte-identical results are a
+    pinned property, so the logic must not fork)."""
 
     def visible(b: Column) -> Column:
         return _collapse_ws(_decode_entities(_tags_to_space(b)))
 
     def link_chars(b: Column) -> Column:
-        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1))
+        anchors = F.regexp_extract_all(
+            b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1)
+        )
         return F.aggregate(
             anchors, F.lit(0),
             lambda acc, a: acc + F.length(visible(a)),
@@ -636,30 +649,7 @@ def with_html_text(
         raise ValueError(f"with_html_text: column collision on {tmp!r}/{out_col!r}")
     staged = df.withColumn(tmp, F.split(_drop_nontext(F.col(html_col)),
                                         _BLOCK_TAG_RE))
-
-    def visible(b: Column) -> Column:
-        return _collapse_ws(_decode_entities(_tags_to_space(b)))
-
-    def link_chars(b: Column) -> Column:
-        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1))
-        return F.aggregate(
-            anchors, F.lit(0),
-            lambda acc, a: acc + F.length(visible(a)),
-        )
-
-    kept = F.filter(
-        F.transform(
-            F.col(tmp),
-            lambda b: F.struct(visible(b).alias("txt"),
-                               link_chars(b).alias("lc")),
-        ),
-        lambda s: (F.length(s["txt"]) >= F.lit(int(min_chars)))
-        & (
-            s["lc"].cast("double")
-            / F.greatest(F.length(s["txt"]).cast("double"), F.lit(1.0))
-            <= F.lit(float(max_link_density))
-        ),
-    )
     return staged.withColumn(
-        out_col, F.array_join(F.transform(kept, lambda s: s["txt"]), "\n\n")
+        out_col,
+        _main_text_from_blocks(F.col(tmp), min_chars, max_link_density),
     ).drop(tmp)

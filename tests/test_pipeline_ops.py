@@ -2151,6 +2151,45 @@ def test_ivfpq_encode_and_topk_match_numpy(spark, sf_dir):
     assert top_t[0]["vec_id"] == 0
 
 
+def test_similarity_zero_vectors_and_collision_guards(spark):
+    """Review regressions: (a) a zero-norm vector (or centroid) must
+    not blow up the scan under Spark 4's default ANSI mode — cosine
+    maps it to NULL (try_divide) and cell assignment lands it in cell
+    0 on both the expression and Arrow paths; (b) with_cells/encode
+    raise on column collisions instead of silently destroying user
+    columns."""
+    import pytest
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+            (2, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    cells = sim.IVFIndex(coarse).with_cells(df)
+    got = {r["vec_id"]: r["__ivf_cell__"] for r in cells.collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+
+    idx = sim.IVFPQIndex(coarse, sim.pq_codebooks(4, 2, 3, 1))
+    enc = {r["vec_id"]: (r["__ivf_cell__"], r["pq_codes"])
+           for r in idx.encode(df).collect()}
+    assert enc[1] == (0, None)      # unindexable: no defined similarity
+    assert enc[0][0] == 0 and enc[0][1] is not None
+    assert enc[2][0] == 1
+
+    # exact top-k over a corpus containing the zero vector: no ANSI
+    # error; the undefined similarity sorts after real ones
+    top = sim.cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+
+    with pytest.raises(ValueError, match="collide"):
+        sim.IVFIndex(coarse).with_cells(df.withColumn("__ivf_cell__", F.lit(1)))
+    with pytest.raises(ValueError, match="collide"):
+        idx.encode(df.withColumn("pq_codes", F.lit(1)))
+
+
 def test_pq_non_finite_vectors_null_codes_on_both_paths(spark):
     """Finite-vector contract: NaN/Inf/NULL-bearing vectors encode to
     NULL codes on BOTH encode paths (without the guard, Catalyst's

@@ -478,6 +478,50 @@ def test_agg_view_buffered_extremes_retract_exact(spark):
     assert brow["maxbuf_v"] == wrow["maxbuf_v"]
 
 
+def test_agg_view_buffered_merge_respects_coverage(spark):
+    """Review regression: a synopsis shrunk below N by a retraction is
+    NOT a full N-prefix — merging it with fresh batches must truncate
+    at its coverage bound instead of refilling the gap with new values.
+    Sequence: build {0..9} (N=4) -> retract {0,1,2} (buf [3.0]) ->
+    update with insert {100} -> retract {3}. The unfixed merge produced
+    minbuf [3.0, 100.0] and then served min=100.0 UNflagged (true min
+    4.0); the coverage-aware merge keeps [3.0], and the final retract
+    drains the buffer into __stale__ with repair recovering 4.0."""
+    from lazy_frame_spark.operators import incremental as iv
+
+    N = 4
+    kw = dict(min_cols=["v"])
+    df = spark.createDataFrame([("g", float(v)) for v in range(10)],
+                               "g string, v double")
+    view = iv.agg_view_build(df, ["g"], **kw, buffer_extremes=N)
+    d1 = spark.createDataFrame([("g", 0.0), ("g", 1.0), ("g", 2.0)],
+                               "g string, v double")
+    r1 = iv.agg_view_retract(view, d1, ["g"], **kw, buffer_extremes=N)
+    row = r1.collect()[0]
+    assert row["minbuf_v"] == [3.0] and row[iv.STALE_COL] is False
+
+    ins = spark.createDataFrame([("g", 100.0)], "g string, v double")
+    u = iv.agg_view_update(r1.drop(iv.STALE_COL), ins, ["g"], **kw,
+                           buffer_extremes=N)
+    urow = u.collect()[0]
+    # 100.0 must NOT enter the buffer: values 4..9 live in the grain but
+    # not in the shrunk synopsis, so the merge is only trusted to 3.0
+    assert urow["minbuf_v"] == [3.0], urow["minbuf_v"]
+    assert urow["min_v"] == 3.0 and urow["__n__"] == 8
+
+    d2 = spark.createDataFrame([("g", 3.0)], "g string, v double")
+    r2 = iv.agg_view_retract(u, d2, ["g"], **kw, buffer_extremes=N)
+    frow = r2.collect()[0]
+    assert frow[iv.STALE_COL] is True          # buffer drained: repair owed
+    remaining = spark.createDataFrame(
+        [("g", float(v)) for v in range(4, 10)] + [("g", 100.0)],
+        "g string, v double")
+    fixed = iv.agg_view_repair(r2, remaining, ["g"], **kw, buffer_extremes=N)
+    out = fixed.collect()[0]
+    assert out["min_v"] == 4.0 and out["__n__"] == 7
+    assert out["minbuf_v"] == [4.0, 5.0, 6.0, 7.0]
+
+
 def test_agg_view_retract_null_grain(spark):
     """NULL is a real grain under groupBy: retracting NULL-grain rows
     must subtract (null-safe join), flag stale tied extremes, and drop
