@@ -7381,9 +7381,12 @@ DRIVER_WINDOW: list[str] = [
     # text analysis (token counting is value-checked in-window by
     # udf_token_count_vectorized; round-7 rotation: the classifier-head
     # quality score replaces the raw feature battery — same operator
-    # family, and the model-scoring path had only local evidence)
+    # family, and the model-scoring path had only local evidence — and
+    # HTML main-content extraction lands the round it shipped, funded
+    # by dedup_clusters (3 green rounds; dedup keeps 2 reps))
     "events_funnel",
     "text_model_quality_score",
+    "text_html_extract",
     # mergeable sketches (theta set algebra — all four counts value-
     # checked exactly in exact mode; lang-id moved past the cap, still
     # locally checked)
@@ -7400,15 +7403,18 @@ DRIVER_WINDOW: list[str] = [
     # (dedup_ngram_jaccard rotated past the cap in round 5 — dedup keeps
     # three driver reps — freeing a slot for one-call gzip ingest)
     "ingest_gz_roundtrip",
-    "dedup_clusters",
     "decontam_ngram_overlap",
     "mix_domain_cap",
     # similarity search: round-7 rotation — the quantized scale paths
-    # (PQ/ADC 8 B-per-vector search and int8 exact top-k) replace the
-    # float32 exact baseline (green rounds 4-6, still locally checked);
-    # LSH-bucketed pairs keep their row
+    # (PQ/ADC 8 B-per-vector search, int8 exact top-k, and the IVF-PQ
+    # residual index whose DuckDB twin rebuilds the ENTIRE index)
+    # replace the float32 exact baseline (green rounds 4-6, still
+    # locally checked); LSH-bucketed pairs keep their row. IVF-PQ's
+    # slot funded by sink_merge_upsert (3 green rounds; sink_ keeps
+    # sink_roundtrip).
     "ann_pq_adc_topk",
     "ann_cosine_topk_int8",
+    "ann_ivfpq_adc_topk",
     "embedding_near_dup",
     # sinks, multimodal (the PNG round-trip is the strongest decode
     # evidence: real zlib compression and all five scanline filters,
@@ -7418,7 +7424,6 @@ DRIVER_WINDOW: list[str] = [
     # reopen / tail slots are provably green (still registered and
     # locally checked past the window).
     "sink_roundtrip",
-    "sink_merge_upsert",
     "layout_hilbert",
     "graph_pagerank",
     "multimodal_png_roundtrip",
