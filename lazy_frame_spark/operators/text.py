@@ -653,3 +653,79 @@ def with_html_text(
         out_col,
         _main_text_from_blocks(F.col(tmp), min_chars, max_link_density),
     ).drop(tmp)
+
+
+# --------------------------------------------------------------------- #
+# BPE tokenization — applying a trained merge list at corpus scale
+# --------------------------------------------------------------------- #
+
+def _bpe_word(word: str, ranks: dict) -> list:
+    """Classic greedy BPE: start from characters, repeatedly merge ALL
+    occurrences of the best-ranked adjacent pair until no listed pair
+    remains. Deterministic for a fixed merge list (rank ties are
+    impossible — ranks are list positions)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merged, j = [], 0
+        while j < len(syms):
+            if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                merged.append(a + b)
+                j += 2
+            else:
+                merged.append(syms[j])
+                j += 1
+        syms = merged
+    return syms
+
+
+def bpe_apply(
+    df: "DataFrame",
+    merges: "Sequence[tuple[str, str]]",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> "DataFrame":
+    """Tokenize a corpus with a TRAINED BPE merge list (the apply side
+    of the subword story whose training side is ``merge_candidates``):
+    whitespace words decompose to characters, then merges apply
+    greedily in rank order — the standard Sennrich BPE encode.
+
+    Arrow-batched by necessity (the merge loop is inherently
+    per-symbol-sequence), with two scale levers: the merge table rides
+    the task closure (a merge list is KBs — same shipping story as
+    codebook literals), and a per-batch word cache collapses the
+    Zipf-heavy repetition of natural text (each DISTINCT word encodes
+    once per batch, not once per occurrence). Output is an
+    ``array<string>`` token column feeding the packing/counting stages
+    directly."""
+    import pandas as pd
+
+    ranks = {(str(a), str(b)): i for i, (a, b) in enumerate(merges)}
+
+    def encode(col: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def enc_text(t):
+            if t is None:
+                return None
+            out = []
+            for w in t.split():
+                toks = cache.get(w)
+                if toks is None:
+                    toks = _bpe_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        return col.map(enc_text)
+
+    encode.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf("array<string>")(encode)
+    return df.withColumn(out_col, udf(F.col(text_col)))

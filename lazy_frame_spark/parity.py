@@ -2261,6 +2261,79 @@ def dedup_url_canonical(spark, sf_dir):
     return _u.dedup_canonical_url(docs, url_col="url", id_col="doc_id")
 
 
+#: tiny BPE setup for the apply-side parity query: four fixed texts and
+#: a merge list; expected tokenizations are computed ONCE at import by
+#: the same encoder (the distributed run must reproduce them exactly —
+#: the algorithm itself is pinned by hand-verified unit tests, so the
+#: generated oracle checks plumbing + determinism, not self-consistency
+#: alone)
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("w", "i"),
+    ("wi", "d"), ("wid", "est"), ("low", "er"), ("low", "est"),
+    ("n", "e"), ("ne", "w"), ("new", "est"),
+]
+_BPE_TEXTS: tuple[str, ...] = (
+    "low lower lowest",
+    "newest widest low",
+    "wide wide lowest newest",
+    "lower widest",
+)
+
+
+def _bpe_apply_sql() -> str:
+    from lazy_frame_spark.operators.text import _bpe_word
+
+    ranks = {p: i for i, p in enumerate(_BPE_MERGES)}
+    outs = []
+    for t in _BPE_TEXTS:
+        toks = [s for w in t.split() for s in _bpe_word(w, ranks)]
+        outs.append((" ".join(toks).replace("'", "''"), len(toks)))
+    whens_t = "\n      ".join(
+        f"WHEN {i} THEN '{txt}'" for i, (txt, _) in enumerate(outs[:-1]))
+    whens_n = "\n      ".join(
+        f"WHEN {i} THEN {n}" for i, (_, n) in enumerate(outs[:-1]))
+    return f"""
+    SELECT o_orderkey AS doc_id,
+      CASE o_orderkey % 4
+      {whens_t}
+      ELSE '{outs[-1][0]}' END AS bpe_text,
+      CAST(CASE o_orderkey % 4
+      {whens_n}
+      ELSE {outs[-1][1]} END AS INT) AS n_bpe
+    FROM orders
+    """
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_sql())
+def text_bpe_apply(spark, sf_dir):
+    """BPE tokenization with a trained merge list (text.bpe_apply — the
+    apply side of the subword story whose training side is
+    merge_candidates): every document built from the fixed word set
+    must tokenize to exactly the expected subword sequence. The
+    expected strings are generated at import from the reference
+    encoder (hand-verified cases pin the algorithm in unit tests), so
+    the value check proves the Arrow-batched distributed run — word
+    cache, closure-shipped ranks, batch boundaries — reproduces the
+    reference byte-for-byte."""
+    from lazy_frame_spark.operators import text as _t
+
+    o = _table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    txt = (
+        F.when(k % 4 == 0, F.lit(_BPE_TEXTS[0]))
+        .when(k % 4 == 1, F.lit(_BPE_TEXTS[1]))
+        .when(k % 4 == 2, F.lit(_BPE_TEXTS[2]))
+        .otherwise(F.lit(_BPE_TEXTS[3]))
+    )
+    docs = o.select(k.alias("doc_id"), txt.alias("text"))
+    enc = _t.bpe_apply(docs, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        F.size("bpe_tokens").alias("n_bpe"),
+    )
+
+
 @query(
     "dedup_url_idn",
     oracle="""

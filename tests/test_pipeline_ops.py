@@ -1975,6 +1975,39 @@ def test_pq_encode_arrow_bit_identical_to_catalyst(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_bpe_apply_hand_verified(spark):
+    """BPE apply against HAND-computed expectations (the parity
+    oracle's expected strings are generated from this same encoder, so
+    these cases are what actually pin the algorithm): greedy best-RANK
+    merge of all occurrences, rank order decides between overlapping
+    pairs, unknown characters stay single, empty/None texts behave."""
+    from lazy_frame_spark.operators.text import _bpe_word, bpe_apply
+
+    # rank order decides: es before st -> 'est' = [es, t]; reversed ->
+    # [e, st]
+    assert _bpe_word("est", {("e", "s"): 0, ("s", "t"): 1}) == ["es", "t"]
+    assert _bpe_word("est", {("s", "t"): 0, ("e", "s"): 1}) == ["e", "st"]
+    # all occurrences of the best pair merge in one step
+    assert _bpe_word("lowlow", {("l", "o"): 0, ("lo", "w"): 1}) == \
+        ["low", "low"]
+    # cascading merges
+    r = {("l", "o"): 0, ("lo", "w"): 1, ("e", "s"): 2, ("es", "t"): 3,
+         ("low", "est"): 4}
+    assert _bpe_word("lowest", r) == ["lowest"]
+    assert _bpe_word("xyz", r) == ["x", "y", "z"]
+    assert _bpe_word("", r) == []
+
+    df = spark.createDataFrame(
+        [(0, "lowest low xyz"), (1, ""), (2, None), (3, "low low low")],
+        "doc_id long, text string")
+    got = {row["doc_id"]: row["bpe_tokens"]
+           for row in bpe_apply(df, list(r)).collect()}
+    assert got[0] == ["lowest", "low", "x", "y", "z"]
+    assert got[1] == []
+    assert got[2] is None
+    assert got[3] == ["low", "low", "low"]   # word cache returns copies
+
+
 def test_with_idn_hosts_rules(spark):
     """IDN host folding: Unicode hosts (any case) fold to punycode,
     punycode and ASCII hosts pass unchanged, ports survive, URLs the
