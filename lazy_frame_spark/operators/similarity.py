@@ -614,6 +614,8 @@ def pq_train(
             cnt = np.zeros((S, K), dtype=np.int64)
             sums = np.zeros((S, K, D), dtype=np.float64)
             for pdf in batches:
+                if not len(pdf):  # empty Arrow batch: np.stack([]) raises
+                    continue
                 col = pdf.iloc[:, 0]
                 V = np.stack([
                     np.full(S * D, np.nan) if v is None else np.asarray(v)

@@ -521,9 +521,15 @@ def _idn_fold(hp: str) -> str:
     unencodable host is not evidence about its duplicates."""
     if hp is None or all(ord(c) < 128 for c in hp):
         return hp
-    host, sep, port = hp.partition(":")
+    # authority may carry userinfo (user:pass@host:port) — split it off
+    # FIRST, else 'user' would be mistaken for the host and the IDN
+    # hostname would silently stay unfolded
+    userinfo, at, hostport = hp.rpartition("@")
+    host, sep, port = hostport.partition(":")
     try:
-        return host.encode("idna").decode("ascii") + sep + port
+        return (
+            userinfo + at + host.encode("idna").decode("ascii") + sep + port
+        )
     except UnicodeError:
         return hp
 

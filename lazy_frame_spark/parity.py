@@ -2396,7 +2396,7 @@ def dedup_url_idn(spark, sf_dir):
     SELECT doc_id,
            trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
     FROM documents
-    WHERE length(text) >= 40
+    WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 40
     """,
 )
 def text_html_extract(spark, sf_dir):
@@ -2413,7 +2413,12 @@ def text_html_extract(spark, sf_dir):
     from lazy_frame_spark.operators import text as _t
 
     d = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.filter(F.length("text") >= 40)
+    # filter on the COLLAPSED visible length (what the extractor's
+    # block heuristic measures, threshold 30) so the gate and the
+    # heuristic agree on whitespace-heavy texts
+    d = d.filter(
+        F.length(F.trim(F.regexp_replace("text", r"\s+", " "))) >= 40
+    )
     html = F.concat(
         F.lit('<html><head><title>Doc</title><script>var a = "</div>";'
               '</script><style>.m{color:red}</style></head><body>'
@@ -7409,7 +7414,9 @@ DRIVER_WINDOW: list[str] = [
     "lf_project",
     "lf_rename",
     "lf_row_range",
-    "lf_row_points",
+    # (lf_row_points rotated past the cap in round 8 — green rounds
+    # 1-7; the LINES positional path stays locally checked and the lf_
+    # family keeps nine driver reps incl. lf_row_range/lf_head)
     "lf_head",
     "lf_which",
     # M5 summary — implemented where the reference stubs it; the driver
@@ -7473,6 +7480,15 @@ DRIVER_WINDOW: list[str] = [
     # take their slots)
     "dedup_minhash_pairs",
     "dedup_url_canonical",
+    # round-8 rotation: the three round-7 late additions earn driver
+    # rows the round after they shipped (zero-debt policy): IDN-aware
+    # URL dedup, BPE apply, and the trained-vs-hash PQ recall
+    # invariant. Funded by lf_row_points / graph_pagerank /
+    # layout_hilbert — each 3+ green driver rounds (NEXT.md round-7
+    # follow-up 5 named exactly these), all still locally checked.
+    "dedup_url_idn",
+    "text_bpe_apply",
+    "ann_pq_trained_recall",
     # (dedup_ngram_jaccard rotated past the cap in round 5 — dedup keeps
     # three driver reps — freeing a slot for one-call gzip ingest)
     "ingest_gz_roundtrip",
@@ -7497,8 +7513,9 @@ DRIVER_WINDOW: list[str] = [
     # reopen / tail slots are provably green (still registered and
     # locally checked past the window).
     "sink_roundtrip",
-    "layout_hilbert",
-    "graph_pagerank",
+    # (layout_hilbert + graph_pagerank rotated past the cap in round 8
+    # after four green rounds each, rounds 4-7 — both stay registered
+    # and locally checked; their slots fund the round-7 late additions)
     "multimodal_png_roundtrip",
     # streaming
     "stream_tumbling_window",

@@ -2029,6 +2029,11 @@ def test_with_idn_hosts_rules(spark):
         ("http://ascii.example/ü-in-path", "http://ascii.example/ü-in-path"),
         ("http://a..b/ü", "http://a..b/ü"),       # codec rejects: unchanged
         ("no scheme ü here", "no scheme ü here"),
+        # userinfo: the host (not 'user') folds; credentials survive
+        ("http://user:pw@bücher.example/x",
+         "http://user:pw@xn--bcher-kva.example/x"),
+        ("ftp://ü@bücher.example:21/f",
+         "ftp://ü@xn--bcher-kva.example:21/f"),
         (None, None),
     ]
     df = spark.createDataFrame(
@@ -2161,14 +2166,32 @@ def test_ivfpq_encode_and_topk_match_numpy(spark, sf_dir):
         "vec_id", "embedding", "__ivf_cell__", "pq_codes").collect()
     C = np.array(idx.coarse, dtype=np.float64)              # (cells, 64)
     cb = np.array(idx.codebooks, dtype=np.float64)          # (8, 16, 8)
-    cn = np.sqrt((C ** 2).sum(axis=1))
+    # mirror encode's ascending left-associated per-dimension folds
+    # exactly (NOT numpy's pairwise `@`/`.sum()` summation) so a
+    # last-ulp difference can never flip an argmax/argmin tie
+    dim, n_cells = C.shape[1], C.shape[0]
+    cn = np.zeros(n_cells)
+    for i in range(dim):
+        cn = cn + C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
     for r in rows:
         v = np.asarray(r["embedding"], dtype=np.float64)
-        cos = (C @ v) / (cn * np.sqrt((v ** 2).sum()))
+        nv = 0.0
+        for i in range(dim):
+            nv = nv + v[i] * v[i]
+        dots = np.zeros(n_cells)
+        for i in range(dim):
+            dots = dots + v[i] * C[:, i]
+        cos = dots / (np.sqrt(nv) * cn)
         assert r["__ivf_cell__"] == int(np.argmax(cos))
-        resid = (v - C[r["__ivf_cell__"]]).reshape(8, 8)
-        want = [int(np.argmin(((cb[s] - resid[s]) ** 2).sum(axis=1))) + 1
-                for s in range(8)]
+        resid = v - C[r["__ivf_cell__"]]
+        want = []
+        for s in range(8):
+            acc = np.zeros(16)
+            for i in range(8):
+                diff = resid[s * 8 + i] - cb[s, :, i]
+                acc = acc + diff * diff
+            want.append(int(np.argmin(acc)) + 1)
         assert list(r["pq_codes"]) == want, r["vec_id"]
 
     qv = [float(x) for x in

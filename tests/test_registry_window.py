@@ -18,13 +18,18 @@ def test_driver_window_spans_every_category():
     # category stays represented by cast_/json_; dates are exercised by
     # ts_/join_asof rows), making room for view_incremental_agg and
     # ingest_gz_roundtrip — the round-4 capabilities that had only
-    # local evidence
+    # local evidence. Round-8 rotation: layout_hilbert + graph_pagerank
+    # past the cap after FOUR green driver rounds each (r4-r7) — the
+    # verdict-named funding source for the round-7 late additions
+    # (dedup_url_idn, text_bpe_apply, ann_pq_trained_recall); both stay
+    # registered and locally oracle-checked, so layout_/graph_ leave
+    # the required-span list deliberately.
     prefixes = [
         "lf_", "agg_", "join_", "window_", "sort_", "set_",
         "cast_", "json_", "subquery_", "sample_", "text_",
         "dedup_", "decontam_", "mix_", "ann_", "embedding_", "sink_",
         "multimodal_", "stream_", "udf_", "udaf_", "udtf_", "sketch_",
-        "dq_", "ts_", "layout_", "graph_", "view_", "ingest_",
+        "dq_", "ts_", "view_", "ingest_",
     ]
     for p in prefixes:
         assert any(n.startswith(p) for n in DRIVER_WINDOW), f"no {p} in window"
