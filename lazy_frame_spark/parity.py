@@ -2608,11 +2608,16 @@ def ann_ivfpq_adc_topk(spark, sf_dir):
     to 8 B/vector, and ADC inside each probed cell is per-cell literal
     LUT loads. The oracle rebuilds the ENTIRE index in SQL — coarse
     pick, cosine cell argmax, exact residuals, literal-codebook codes,
-    per-cell LUTs — and matches distances and ranking bit-for-bit."""
+    per-cell LUTs — and matches distances and ranking bit-for-bit.
+    ``train_iters=0`` explicitly: only the no-model hash codebooks have
+    data-independent literals a static SQL twin can embed (trained
+    centroids are float-sum-order dependent); the trained DEFAULT fit
+    is driver-checked by the ann_ivfpq_trained_recall invariants."""
     from lazy_frame_spark.operators import similarity as _s
 
     e = _table(spark, sf_dir, "embeddings")
-    idx = _s.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7)
+    idx = _s.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                            train_iters=0)
     enc = idx.encode(e)
     return idx.topk(enc, _query_vec(spark, sf_dir), k=10, n_probe=3)
 
@@ -2704,6 +2709,65 @@ def ann_pq_trained_recall(spark, sf_dir):
         (F.col("hits_trained") >= F.col("hits_hash")).alias("trained_ge_hash"),
         (F.col("hits_trained") >= F.lit(int(0.2 * n_q * 10)))
         .alias("trained_min_ok"),
+    )
+
+
+@query(
+    "ann_ivfpq_trained_recall",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_queries,
+           TRUE AS trained_ge_hash,
+           TRUE AS refined_floor_ok
+    """,
+)
+def ann_ivfpq_trained_recall(spark, sf_dir):
+    """The IVF-PQ DEFAULT fit path (Lloyd-trained RESIDUAL codebooks,
+    similarity.IVFPQIndex.fit train_iters=4) plus the IVFADC-refine
+    stage, held to recall invariants over a 20-query panel at
+    cells=32 / n_probe=8 / sub=16 / k=64:
+
+    - trained residual books recover MORE exact-L2 top-10 neighbors
+      than the hash books they are initialized from (measured 69 vs 39
+      hits of 200 at sf0.01, 61 vs 31 at sf0.1 — residual-space
+      training is what makes the 16 B/vector codes rank usefully);
+    - exact re-ranking a 100-candidate ADC shortlist lifts recall@10
+      to >= 0.45 (measured 0.545 at sf0.01, 0.615 at sf0.1 — the
+      remaining loss is cell coverage, the standard n_probe knob, NOT
+      code distortion: refine saturates the probe ceiling at sf0.01).
+
+    Invariant booleans are the oracle contract — trained centroids are
+    float-sum-order dependent and not SQL-reproducible (the bit-exact
+    SQL twin lives on the explicit train_iters=0 path,
+    ann_ivfpq_adc_topk). The evaluation plan is scale-shaped like the
+    serving path: literal broadcast LUT rows, cell-key equi-join
+    (partition-prunable), window-ranked shortlists; only the exact
+    ground truth is a deliberate full scan (the harness denominator)."""
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx_t = _s.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7)
+    idx_h = _s.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
+                              train_iters=0)
+    enc_t = idx_t.encode(e)
+    enc_h = idx_h.encode(e)
+    panel = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(e.filter(F.col("vec_id") < 20).collect(),
+                        key=lambda r: r["vec_id"])
+    ]
+    n_q = len(panel)
+    truth = _s.exact_l2_topk_panel(e, panel, k=10)
+    ht = _s.ivfpq_panel_hits(enc_t, idx_t, panel, truth, k=10, n_probe=8,
+                             label="hits_trained")
+    hh = _s.ivfpq_panel_hits(enc_h, idx_h, panel, truth, k=10, n_probe=8,
+                             label="hits_hash")
+    hr = _s.ivfpq_panel_hits(enc_t, idx_t, panel, truth, k=10, n_probe=8,
+                             refine=100, label="hits_refined")
+    return ht.crossJoin(hh).crossJoin(hr).select(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        (F.col("hits_trained") >= F.col("hits_hash")).alias("trained_ge_hash"),
+        (F.col("hits_refined") >= F.lit(int(0.45 * n_q * 10)))
+        .alias("refined_floor_ok"),
     )
 
 
@@ -7434,7 +7498,11 @@ DRIVER_WINDOW: list[str] = [
     # join_range_bands past the cap (green rounds 4-6; the range-join
     # shape stays plan-pinned) to fund the second quantized-ANN row.
     "join_q2_min_cost_supplier",
-    "join_semi",
+    # (join_semi rotated past the cap in round 8 — green rounds 3-7;
+    # the semi-join shape stays driver-exercised via
+    # subquery_scalar_and_in's IN-subquery and locally checked. Its
+    # slot funds ann_ivfpq_trained_recall — the trained-default IVF-PQ
+    # fit landing a driver row the round it shipped.)
     "join_asof_last_order",
     "join_q3_revenue",
     # data quality + time series — the validation/regularization passes
@@ -7504,6 +7572,10 @@ DRIVER_WINDOW: list[str] = [
     "ann_pq_adc_topk",
     "ann_cosine_topk_int8",
     "ann_ivfpq_adc_topk",
+    # round-8: the trained-residual DEFAULT fit + IVFADC-refine recall
+    # invariants land in-window the round they shipped (slot funded by
+    # join_semi)
+    "ann_ivfpq_trained_recall",
     "embedding_near_dup",
     # sinks, multimodal (the PNG round-trip is the strongest decode
     # evidence: real zlib compression and all five scanline filters,

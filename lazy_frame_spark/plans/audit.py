@@ -151,6 +151,7 @@ BNLJ_BOUNDED_BUILD = {
     "join_salted",                              # literal salt range
     "ann_hard_negatives",                       # bounded anchor batch
     "ann_pq_trained_recall",   # 20-query panel x corpus, panel broadcast
+    "ann_ivfpq_trained_recall",  # same panel shape, exact-truth crossJoin
     "join_cross",                               # deliberate cross join
     "ann_pairs_top15",   # all-pairs verification harness (past window)
 }

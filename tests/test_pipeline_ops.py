@@ -2207,6 +2207,62 @@ def test_ivfpq_encode_and_topk_match_numpy(spark, sf_dir):
     assert top_t[0]["vec_id"] == 0
 
 
+def test_ivfpq_trained_default_and_refine(spark, sf_dir):
+    """The DEFAULT fit path trains residual codebooks (train_iters=4):
+    books move away from their hash init, and the bounded-sample knob
+    (train_max_rows below the corpus size) still produces a working
+    index. The refine stage re-ranks the ADC shortlist by exact L2:
+    the query's own vector comes back first at distance 0, the output
+    is exact-distance ordered, and every refined id sits inside the
+    ADC shortlist."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                             train_iters=2, train_max_rows=200)
+    hash_books = sim.pq_codebooks(64, 8, 16, seed=7)
+    assert not np.allclose(np.asarray(idx.codebooks),
+                           np.asarray(hash_books))
+    enc = idx.encode(e)
+    qv = [float(x) for x in
+          e.filter("vec_id = 7").select("embedding").collect()[0][0]]
+    refined = idx.topk(enc, qv, k=5, n_probe=3, refine=30).collect()
+    assert refined[0]["vec_id"] == 7 and refined[0]["dist"] == 0.0
+    assert all(a["dist"] <= b["dist"] for a, b in zip(refined, refined[1:]))
+    shortlist = {r["vec_id"] for r in
+                 idx.topk(enc, qv, k=30, n_probe=3).collect()}
+    assert {r["vec_id"] for r in refined} <= shortlist
+
+
+def test_ivfpq_trained_recall_bar_sf01(spark):
+    """The round-8 recall bar at sf0.1 (VERDICT round-7 task 2): the
+    default trained-residual fit at cells=32 / probe=8 / sub=16 / k=64
+    with a 100-candidate refine must reach recall@10 >= 0.5 on a
+    20-query panel (measured 0.615; the untrained hash books measure
+    0.155 unrefined — training plus refine is what makes 16 B/vector
+    codes serve real recall). Runs on /root/testdata/sf0.1 directly —
+    the bar is a scale statement, not a fixture toy."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding")
+    idx = sim.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7)
+    enc = idx.encode(e)
+    panel = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in e.filter(F.col("vec_id") < 20).collect()]
+    truth = sim.exact_l2_topk_panel(e, panel, k=10)
+    hits = sim.ivfpq_panel_hits(
+        enc, idx, panel, truth, k=10, n_probe=8, refine=100,
+        label="hits").collect()[0]["hits"]
+    recall = hits / (10 * len(panel))
+    assert recall >= 0.5, f"recall@10 {recall:.3f} below the 0.5 bar"
+
+
 def test_similarity_zero_vectors_and_collision_guards(spark):
     """Review regressions: (a) a zero-norm vector (or centroid) must
     not blow up the scan under Spark 4's default ANSI mode — cosine
