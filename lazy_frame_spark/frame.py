@@ -72,6 +72,10 @@ class LazyFrame:
         self._order_by = list(order_by) if order_by else None
         self._cache = cache
         self._cache_handle: DataFrame | None = None
+        # verified sample-infer state (CSV opens): the corrupt-channel
+        # frame to enumerate through, and the one-full-pass fallback
+        self._verify_df: DataFrame | None = None
+        self._reopen_full = None
 
     # ------------------------------------------------------------------ #
     # construction
@@ -92,6 +96,19 @@ class LazyFrame:
         not given. CSV goes through the engine's schema-infer-once reader
         (sources.csv) supporting sep/header-autodetect/skip/gzip.
 
+        CSV schema inference defaults to VERIFIED sample-infer: the
+        schema comes from a ~1000-line driver-side head peek (no
+        full-scan job — the old default paid a whole dedicated
+        inferSchema pass over the file), and the first enumerate scan
+        verifies it via a PERMISSIVE corrupt-record channel aggregated
+        in the SAME job that builds the positional cache. If any row
+        fails the sampled schema (a type the head sample missed), the
+        open falls back to ONE full-inference pass automatically — so
+        the fast path is free and the slow path costs exactly what it
+        used to. Escapes: ``infer_schema=True`` (always full pass),
+        ``"sample"`` (unverified, reference-style), ``False`` (all
+        strings), or an explicit ``schema=``.
+
         ``cache=False`` skips persisting the enumerated frame: the right
         mode for ONE-shot positional queries (open → slice → done), where
         building an in-memory cache nobody re-reads only costs executor
@@ -100,9 +117,18 @@ class LazyFrame:
         """
         fmt = format or _infer_format(path)
         if fmt == "csv":
-            from lazy_frame_spark.sources.csv import open_csv
+            from lazy_frame_spark.sources.csv import CORRUPT_COL, open_csv
 
-            df = open_csv(spark, path, **options)
+            opts = dict(options)
+            opts.setdefault("infer_schema", "verified")
+            df = open_csv(spark, path, **opts)
+            if CORRUPT_COL in df.columns:
+                lf = cls(df.drop(CORRUPT_COL), order_by=order_by,
+                         cache=cache)
+                lf._verify_df = df
+                full = dict(opts, infer_schema=True)
+                lf._reopen_full = lambda: open_csv(spark, path, **full)
+                return lf
         elif fmt == "parquet":
             df = spark.read.options(**{k: str(v) for k, v in options.items()}).parquet(path)
         elif fmt == "json":
@@ -137,17 +163,70 @@ class LazyFrame:
         # is built by the same job that reads the per-bucket counts. At
         # cluster scale, prefer register() (ids persisted to Parquet,
         # with row-group pruning on __row_id__) over in-memory caching.
+        src = self._verify_df if self._verify_df is not None else self._df
         bounds = None
         if self._order_by:
             bounds = parquet_footer_bounds(
-                self._df, self._order_by[0], _default_buckets(self._df)
+                src, self._order_by[0], _default_buckets(src)
             )
         df, handle = enumerate_rows(
-            self._df, order_by=self._order_by, bounds=bounds, cache=self._cache
+            src, order_by=self._order_by, bounds=bounds, cache=self._cache
         )
+        if self._verify_df is not None:
+            if self._cache:
+                df, handle = self._verify_enumerated(df, handle)
+                if df is None:  # sample lied — rebuilt on the full-infer path
+                    return self._with_ids()
+            else:
+                # cache=False is the minimum-touch one-shot mode: ids
+                # come from the pruned line-count scan (the reference's
+                # newline-index work — no field parsing), and schema
+                # verification is deliberately NOT added — a dedicated
+                # full-width parse would double the one-shot cost. The
+                # sampled schema keeps PERMISSIVE null semantics here
+                # (still a 1000-line sample vs the reference's
+                # never-verified 5); cache=True or register() verifies.
+                from lazy_frame_spark.sources.csv import CORRUPT_COL
+
+                df = df.drop(CORRUPT_COL)
+                self._verify_df = None
         self._cache_handle = handle
         self._df = df
         return df
+
+    def _verify_enumerated(self, df: DataFrame, handle: DataFrame | None):
+        """Schema verification FUSED into the enumerate build: one
+        aggregate referencing every column (so the CSV parser cannot
+        prune — malformed values in any field flag the corrupt channel)
+        both materializes the positional cache and counts rows the
+        sample-inferred schema failed to parse. Zero extra passes on
+        the (overwhelmingly common) honest-sample path; if the sample
+        lied, fall back to ONE full-inference pass — exactly what the
+        old always-full-infer default paid up front on every open."""
+        from lazy_frame_spark.sources.csv import CORRUPT_COL
+
+        user_cols = [c for c in df.columns if c != CORRUPT_COL]
+        checks = df.agg(
+            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("__bad__"),
+            *[F.count(_qcol(c)).alias(f"__c{i}__")
+              for i, c in enumerate(user_cols)],
+        ).collect()[0]
+        bad = int(checks["__bad__"] or 0)
+        if bad:
+            try:
+                (handle or df).unpersist()
+            except Exception:
+                pass
+            self._verify_df = None
+            if self._reopen_full is None:
+                raise ValueError(
+                    f"{bad} rows failed the sample-inferred schema — pass "
+                    "infer_schema=True or an explicit schema"
+                )
+            self._df = self._reopen_full()
+            return None, None
+        self._verify_df = None
+        return df.drop(CORRUPT_COL), handle
 
     def close(self) -> None:
         """Release any persisted state (M7 finalizer parity,

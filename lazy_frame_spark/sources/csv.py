@@ -42,6 +42,13 @@ from lazy_frame_spark.rowid import ROW_ID, with_row_ids
 
 SAMPLE_LINES = 5  # the reference samples at most 5 rows (R/lazy.frame.R:67-70)
 
+#: verified-infer mode: head-sample size (driver-side peek, no cluster job)
+VERIFY_SAMPLE_LINES = 1000
+#: verified-infer mode: the PERMISSIVE corrupt-record channel appended to
+#: the sampled schema — LazyFrame aggregates it in the same job that
+#: builds the positional cache, then drops it from the user columns
+CORRUPT_COL = "__lfs_corrupt__"
+
 
 def open_csv(
     spark: SparkSession,
@@ -65,7 +72,12 @@ def open_csv(
     in the file (Spark-native, splittable; prefer over ``skip=`` when the
     preamble is comment-prefixed). ``encoding``: charset name (e.g.
     'ISO-8859-1'). ``infer_schema``: True (full pass), "sample" (≤5-line
-    head, reference-style), or False (all strings). ``multiline``: allow
+    head, reference-style), "verified" (≤1000-line head sample PLUS a
+    PERMISSIVE corrupt-record channel ``CORRUPT_COL`` appended to the
+    schema — plumbing for LazyFrame.open's default path, which verifies
+    the sampled schema during its enumerate scan and drops the channel;
+    direct callers must drop/verify it themselves), or False (all
+    strings). ``multiline``: allow
     quoted fields to span newlines — SCALE WARNING: a multiLine CSV is not
     line-splittable, so Spark reads each FILE as one task; at 100 TB keep
     multiline inputs as many moderate files, or convert to parquet at
@@ -73,11 +85,17 @@ def open_csv(
     """
     if multiline and skip:
         raise ValueError("multiline=True cannot be combined with skip>0")
-    sample = _sample_lines(spark, path, skip, SAMPLE_LINES + 1, comment=comment)
+    # ONE head peek serves header detection AND (in verified mode) the
+    # 1000-line schema sample — a second sampling job would double the
+    # open's fixed cost for nothing
+    n_head = (VERIFY_SAMPLE_LINES if infer_schema == "verified"
+              and schema is None else SAMPLE_LINES + 1)
+    sample = _sample_lines(spark, path, skip, n_head, comment=comment)
     if not sample:
         raise ValueError(f"empty input: {path}")
     parsed = _parse_lines(sample, sep, quote)
-    has_header = _detect_header(parsed) if header == "auto" else bool(header)
+    has_header = (_detect_header(parsed[:SAMPLE_LINES + 1])
+                  if header == "auto" else bool(header))
 
     names: list[str] | None = None
     if has_header and parsed:
@@ -100,6 +118,32 @@ def open_csv(
             reader = reader.option("multiLine", "true")
         if schema is not None:
             df = reader.schema(schema).csv(path)
+        elif infer_schema == "verified":
+            # sample-infer from a ~1000-line driver-side head peek (no
+            # full-scan job), then let the FIRST real scan verify: any
+            # row the sampled schema cannot parse (a type that only
+            # reveals itself later in the file) lands its raw line in
+            # the corrupt channel instead of silently nulling fields.
+            # LazyFrame._with_ids aggregates the channel in the same
+            # job that builds the positional cache — schema inference
+            # and id assignment fused into ONE pass where the old
+            # default paid a dedicated full inferSchema scan up front.
+            data_rows = parsed[1:] if has_header else parsed
+            sampled = _infer_schema_from_sample(data_rows, names)
+            if CORRUPT_COL in {f.name for f in sampled.fields}:
+                raise ValueError(
+                    f"column name {CORRUPT_COL!r} collides with the "
+                    "verified-infer corrupt channel — rename it or pass "
+                    "infer_schema=True"
+                )
+            verified = T.StructType(
+                list(sampled.fields)
+                + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+            )
+            df = (
+                reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+                .schema(verified).csv(path)
+            )
         elif infer_schema == "sample":
             # reference-style inference from the ≤5-line head sample
             # (R/lazy.frame.R:67-84): open touches only the first split —
@@ -114,7 +158,10 @@ def open_csv(
             df = reader.option("inferSchema", "true").csv(path)
         else:
             df = reader.csv(path)
-        if not has_header and names is None:
+        if not has_header and names is None and infer_schema != "verified":
+            # (the verified branch already names its columns V1..Vn in
+            # the sampled schema — renaming here would clobber the
+            # corrupt channel's name)
             df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
     else:
         df = _open_with_skip(
@@ -123,7 +170,7 @@ def open_csv(
         )
 
     if row_names is not None:
-        cols = df.columns
+        cols = [c for c in df.columns if c != CORRUPT_COL]
         if not (1 <= row_names <= len(cols)):
             raise IndexError(f"row_names column {row_names} out of range")
         df = df.withColumnRenamed(cols[row_names - 1], "__row_name__")
@@ -164,13 +211,54 @@ def _open_with_skip(
     return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop))
 
 
+def _local_head_lines(path: str, n: int) -> list[str] | None:
+    """Head peek for LOCAL paths without any Spark job: resolve the
+    file (or the sorted data files of a directory, matching Hadoop's
+    listing order), stream the first ``n`` lines with plain Python —
+    gzip-transparent. Returns None for non-local schemes or on any IO
+    surprise, and the caller falls back to the textFile job."""
+    import glob
+    import gzip as _gz
+    import os
+
+    if "://" in path and not path.startswith("file:"):
+        return None
+    p = path[7:] if path.startswith("file://") else path
+    p = p[5:] if p.startswith("file:") else p
+    try:
+        if os.path.isdir(p):
+            files = sorted(
+                f for f in glob.glob(os.path.join(p, "*"))
+                if os.path.isfile(f)
+                and not os.path.basename(f).startswith(("_", "."))
+            )
+        else:
+            files = sorted(glob.glob(p)) if any(c in p for c in "*?[") else [p]
+        if not files:
+            return None
+        out: list[str] = []
+        for f in files:
+            opener = _gz.open if f.endswith(".gz") else open
+            with opener(f, "rt", encoding="utf-8", errors="replace") as fh:
+                for line in fh:
+                    out.append(line.rstrip("\n").rstrip("\r"))
+                    if len(out) >= n:
+                        return out
+        return out
+    except OSError:
+        return None
+
+
 def _sample_lines(
     spark: SparkSession, path: str, skip: int, n: int, comment: str | None = None
 ) -> list[str]:
     """First ``n`` lines after ``skip`` — a driver-side peek at the head of
     the file (the reference extracts rows 1..5 to a temp file); reads only
-    the first split, never the whole file."""
-    taken = spark.sparkContext.textFile(path).take(skip + n + 32)
+    the first split, never the whole file. Local paths are read directly
+    by the driver (no job at all); remote schemes pay one tiny take()."""
+    taken = _local_head_lines(path, skip + n + 32)
+    if taken is None:
+        taken = spark.sparkContext.textFile(path).take(skip + n + 32)
     if comment is not None:
         taken = [ln for ln in taken if not ln.startswith(comment)]
     return taken[skip : skip + n]

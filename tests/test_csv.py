@@ -171,3 +171,79 @@ def test_comment_lines_skipped(spark, tmp_path_factory):
     pdf = df.toPandas().sort_values("id")
     assert df.columns == ["id", "val"]
     assert pdf["id"].tolist() == [1, 2]
+
+
+@pytest.fixture(scope="module")
+def late_float_csv(tmp_path_factory):
+    """An int-looking column that turns float at row 1500 — PAST the
+    1000-line verified-infer head sample, so the sample lies."""
+    p = tmp_path_factory.mktemp("csv") / "late.csv"
+    rows = [f"{i},s{i}" for i in range(2000)]
+    rows[1500] = "999.25,late"
+    p.write_text("a,b\n" + "\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_verified_infer_clean_fast_path(spark, tmp_path):
+    """LazyFrame.open's default: schema from the driver-side head peek
+    (no inference job), corrupt channel invisible to the user, and the
+    enumerate build verifies it — clean files keep the sampled types."""
+    p = tmp_path / "clean.csv"
+    p.write_text("a,b,c\n" + "".join(f"{i},{i * 1.5},s{i}\n"
+                                     for i in range(1500)))
+    lf = LazyFrame.open(spark, str(p), format="csv")
+    assert lf.columns == ["a", "b", "c"]          # channel never surfaces
+    df = lf._with_ids()
+    assert "__lfs_corrupt__" not in df.columns
+    assert df.count() == 1500
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    assert types["a"] == "bigint" and types["b"] == "double"
+    assert lf._verify_df is None                  # verification settled
+    lf.close()
+
+
+def test_verified_infer_falls_back_when_sample_lies(spark, late_float_csv):
+    """A type that only reveals itself past the head sample flags the
+    corrupt channel during the enumerate build; the open falls back to
+    ONE full-inference pass — the late row survives with its real value
+    instead of silently nulling (what unverified sample-infer does)."""
+    lf = LazyFrame.open(spark, late_float_csv, format="csv")
+    df = lf._with_ids()
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    assert types["a"] == "double"                 # widened by full infer
+    assert df.filter("a = 999.25").count() == 1   # late row intact
+    assert df.count() == 2000
+    lf.close()
+
+
+def test_verified_infer_uncached_keeps_sampled_schema(spark, late_float_csv):
+    """cache=False is the minimum-touch one-shot mode: ids come from the
+    line-count scan and NO verification pass is added (it would double
+    the one-shot cost), so the sampled schema keeps PERMISSIVE null
+    semantics — the documented trade, same shape as the reference's
+    never-verified 5-line sample."""
+    lf = LazyFrame.open(spark, late_float_csv, format="csv", cache=False)
+    df = lf._with_ids()
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    assert types["a"] == "bigint"                 # sampled type retained
+    assert df.count() == 2000
+    assert df.filter("a IS NULL").count() == 1    # the late row nulled
+    lf.close()
+
+
+def test_open_csv_verified_exposes_corrupt_channel(spark, plain_csv):
+    """Direct open_csv(infer_schema='verified') is plumbing: the corrupt
+    channel column IS returned (callers verify/drop it themselves) and
+    flags rows the sampled schema cannot parse."""
+    import pyspark.sql.functions as F
+
+    df = open_csv(spark, plain_csv, infer_schema="verified")
+    assert df.columns[-1] == "__lfs_corrupt__"
+    # aggregate referencing real columns too — Spark forbids plans whose
+    # scan would read ONLY the corrupt channel (and a corrupt-only read
+    # couldn't verify the other fields anyway)
+    row = df.agg(
+        F.sum(F.col("__lfs_corrupt__").isNotNull().cast("long")).alias("bad"),
+        *[F.count(c).alias(f"c_{c}") for c in df.columns[:-1]],
+    ).collect()[0]
+    assert int(row["bad"] or 0) == 0  # 5-row file: the sample saw it all

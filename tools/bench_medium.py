@@ -9,8 +9,12 @@ This script synthesizes the same-shaped CSV (deterministic, seeded,
 col20 > 0 with probability tuned to land near 95k matches), then times
 the engine's equivalents:
 
-  open   = LazyFrame.open (lazy; we also report a full enumerate to be
-           comparable to the reference's index build)
+  open   = LazyFrame.open (default verified sample-infer: schema from a
+           driver-side head peek, no inference job) + positional-id
+           enumerate + max id — the comparable to the reference's
+           newline-index build (both walk the bytes to locate rows;
+           neither parses fields; cache=True opens additionally verify
+           the sampled schema for free inside their cache build)
   filter = the WHICH scan: count of matching rows via typed_compare
 
 Usage: python tools/bench_medium.py [n_rows]   (default 18_000_000)
@@ -77,12 +81,29 @@ def main() -> int:
         2,
     )
 
-    # open: schema-infer-once + plan construction (lazy). The reference's
-    # 4.39 s "open" builds its newline index — our comparable one-time
-    # positional cost is the enumerate below.
+    # open + enumerate: the DEFAULT sample-infer path — schema from a
+    # ~1000-line driver-side head peek (no full-scan job; the old
+    # default paid a whole dedicated inferSchema pass), ids from the
+    # pruned line-count scan. This is the honest comparable to the
+    # reference's 4.39 s newline-index build: both walk the bytes to
+    # locate rows, neither parses fields (the reference samples 5 rows
+    # for types and never verifies; this path samples 1000 — the
+    # cache=True/register() paths additionally VERIFY the schema for
+    # free inside their full-width cache build). cache=False so the
+    # filter benchmark below still scans the file like the reference.
+    # sacrificial warmup (same protocol bench.py records): one tiny job
+    # through the same CSV reader shape compiles the codegen/classloads
+    # a first-job-in-session would otherwise charge to the open timing —
+    # the reference's 4.39 s likewise timed the index build inside a
+    # warm R session, not R startup.
+    warm = LazyFrame.open(spark, CSV_DIR, format="csv", header=False,
+                          cache=False, infer_schema="sample")
+    warm.to_df().limit(1024).count()
+
     t0 = time.perf_counter()
-    lf = LazyFrame.open(spark, CSV_DIR, format="csv", header=False, infer_schema=True)
+    lf = LazyFrame.open(spark, CSV_DIR, format="csv", header=False, cache=False)
     ncol = lf.ncol()
+    n_ids = lf._with_ids().agg(F.max("__row_id__")).collect()[0][0]
     open_s = round(time.perf_counter() - t0, 2)
 
     # the reference's benchmark filter: col20 > 0 (column 20, int domain),
@@ -110,6 +131,14 @@ def main() -> int:
         "open_sec": open_s,
         "filter_matches": n_match,
         "filter_warm_sec": filter_warm_s,
+        "n_ids": n_ids,
+        "open_protocol": (
+            "default sample-infer open (1000-line driver-side head peek, "
+            "no inference job) + positional-id enumerate + max(__row_id__)"
+            " — the newline-index-build comparable; one untimed "
+            "sacrificial reader warmup precedes it (codegen/classload, "
+            "same as bench.py's recorded protocol)"
+        ),
         "reference": {"open_sec": 4.39, "filter_sec_3threads": 23.4,
                       "filter_matches": 95_166},
     }))
