@@ -662,6 +662,105 @@ def with_html_text(
 # BPE tokenization — applying a trained merge list at corpus scale
 # --------------------------------------------------------------------- #
 
+def _bpe_train_counts(
+    word_counts: "Sequence[tuple[str, int]]", n_merges: int
+) -> list[tuple[str, str]]:
+    """Sennrich BPE training over a (word, count) table — the
+    INCREMENTAL formulation: pair counts and a pair→words inverted
+    index are built once, and each merge generation touches ONLY the
+    words containing the merged pair (subtract their old adjacent
+    pairs, re-segment, add the new ones) instead of rescanning the
+    vocabulary. Deterministic: best pair = max count, ties broken by
+    lexicographically smallest (lhs, rhs) — selection is a total order
+    over unique keys, so dict iteration order never matters. Counting
+    convention: every adjacent position counts ("aaa" counts (a,a)
+    twice); merging is left-to-right non-overlapping — the same
+    convention ``_bpe_word`` applies, so greedy rank-order apply
+    reproduces the training segmentation."""
+    from collections import defaultdict
+
+    words: list[list] = []
+    for w, c in word_counts:
+        syms = list(w)
+        if len(syms) > 1 and c > 0:
+            words.append([syms, int(c)])
+    pair_n: dict = defaultdict(int)
+    where: dict = defaultdict(set)
+    for i, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_n[p] += c
+            where[p].add(i)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        live = [(p, n) for p, n in pair_n.items() if n > 0]
+        if not live:
+            break
+        best = min(live, key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for wi in sorted(where.get(best, ())):
+            syms, c = words[wi]
+            for p in zip(syms, syms[1:]):
+                pair_n[p] -= c
+                where[p].discard(wi)
+            merged, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            words[wi][0] = merged
+            for p in zip(merged, merged[1:]):
+                pair_n[p] += c
+                where[p].add(wi)
+        pair_n.pop(best, None)
+        where.pop(best, None)
+    return merges
+
+
+def bpe_train(
+    df: "DataFrame",
+    n_merges: int = 200,
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab_max_rows: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge list at corpus scale (the training side whose
+    apply side is ``bpe_apply``; ``merge_candidates`` scores one
+    generation — this iterates to a full ranked list).
+
+    Scale shape — the standard factoring of real subword training: the
+    ONLY corpus-sized work is one distributed pass building the
+    (word, count) table (explode + hash aggregate, partial-aggregated);
+    the merge loop then runs over DISTINCT words, whose count is
+    Zipf-bounded far below corpus size. The vocabulary is cut to the
+    ``vocab_max_rows`` most frequent words (TakeOrdered — frequency
+    truncation is standard practice and bounds driver memory; the
+    dropped tail is words seen < the cut, which contribute ~nothing to
+    pair statistics). The driver loop is the INCREMENTAL Sennrich
+    trainer (``_bpe_train_counts``): per generation only words
+    containing the merged pair are re-segmented. 200 merges over a
+    million-word vocabulary is seconds; at 100 TB the corpus pass
+    dominates and is one scan."""
+    from lazy_frame_spark.plans.parallel import ensure_min_partitions
+
+    ws = ensure_min_partitions(df).select(tokens(F.col(text_col)).alias("__ws__"))
+    wc = (
+        ws.select(F.explode("__ws__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= int(min_count))
+    )
+    rows = (
+        wc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(vocab_max_rows))
+        .collect()
+    )
+    return _bpe_train_counts([(r["w"], r["c"]) for r in rows], n_merges)
+
+
 def _bpe_word(word: str, ranks: dict) -> list:
     """Classic greedy BPE: start from characters, repeatedly merge ALL
     occurrences of the best-ranked adjacent pair until no listed pair

@@ -120,7 +120,7 @@ def main() -> int:
     lf.filter(col20_name, ">", 0).to_df().count()
     filter_warm_s = round(time.perf_counter() - t0, 2)
 
-    print(json.dumps({
+    result = {
         "metric": "medium_filter_sec",
         "value": filter_s,
         "unit": "sec",
@@ -141,7 +141,13 @@ def main() -> int:
         ),
         "reference": {"open_sec": 4.39, "filter_sec_3threads": 23.4,
                       "filter_matches": 95_166},
-    }))
+    }
+    result["ratio_filter_vs_reference"] = round(filter_s / 23.4, 3)
+    result["ratio_open_vs_reference"] = round(open_s / 4.39, 3)
+    print(json.dumps(result))
+    from _repro import record_repro
+
+    record_repro("medium", result)
     return 0
 
 
