@@ -2335,6 +2335,47 @@ def text_bpe_apply(spark, sf_dir):
 
 
 @query(
+    "text_bpe_train_roundtrip",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+             AS n_chars,
+           TRUE AS lossless
+    FROM documents
+    """,
+)
+def text_bpe_train_roundtrip(spark, sf_dir):
+    """Distributed BPE TRAINING round trip (text.bpe_train — the full
+    iterative trainer; merge_candidates scores only one generation):
+    train a 50-merge list on the documents corpus (ONE corpus pass
+    builds the (word, count) vocabulary — the only corpus-sized work —
+    then the incremental Sennrich loop runs over distinct words), apply
+    it back with bpe_apply, and value-check losslessness per document:
+    the concatenated subword tokens must reproduce every document's
+    whitespace-stripped text exactly, character count included — the
+    oracle computes both from the raw text. The trainer itself is
+    pinned merge-for-merge against a naive recount-everything reference
+    implementation in unit tests (test_bpe_train_incremental_equals_
+    naive, test_bpe_train_spark_roundtrip)."""
+    from lazy_frame_spark.operators import text as _t
+
+    d = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = _t.bpe_train(d, n_merges=50, min_count=2)
+    enc = _t.bpe_apply(d, merges)
+    n_chars = F.aggregate(
+        F.transform("bpe_tokens", lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+    )
+    joined = F.array_join("bpe_tokens", "")
+    stripped = F.regexp_replace("text", r"\s+", "")
+    return enc.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        (joined == stripped).alias("lossless"),
+    )
+
+
+@query(
     "dedup_url_idn",
     oracle="""
     WITH u AS (

@@ -2008,6 +2008,122 @@ def test_bpe_apply_hand_verified(spark):
     assert got[3] == ["low", "low", "low"]   # word cache returns copies
 
 
+def _bpe_train_naive(word_counts, n_merges):
+    """Reference trainer twin for the incremental _bpe_train_counts:
+    the textbook Sennrich loop — recount EVERY adjacent pair from
+    scratch each generation, pick (max count, lexicographically
+    smallest pair), merge left-to-right non-overlapping in all words.
+    Deliberately O(generations x vocabulary): its only job is to be
+    obviously correct."""
+    words = [[list(w), int(c)] for w, c in word_counts
+             if len(w) > 1 and c > 0]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, c in words:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + c
+        live = [(p, n) for p, n in counts.items() if n > 0]
+        if not live:
+            break
+        best = min(live, key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for wrec in words:
+            syms = wrec[0]
+            merged, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            wrec[0] = merged
+    return merges
+
+
+def test_bpe_train_incremental_equals_naive():
+    """The incremental trainer (pair-count deltas + inverted index)
+    must produce EXACTLY the merge list of the naive recount-everything
+    reference on the same word counts — hand case plus randomized
+    corpora exercising ties, overlapping pairs ('aaa'), and singleton
+    words."""
+    import random
+
+    from lazy_frame_spark.operators.text import _bpe_train_counts
+
+    wc = [("lowest", 5), ("lower", 4), ("low", 7), ("newest", 3),
+          ("widest", 2), ("aaa", 6), ("a", 9)]
+    for n in (1, 3, 8, 50):
+        assert _bpe_train_counts(wc, n) == _bpe_train_naive(wc, n)
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    for trial in range(20):
+        vocab = {}
+        for _ in range(rng.randint(3, 40)):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 10)))
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        wc = sorted(vocab.items())
+        n = rng.randint(1, 30)
+        inc, naive = _bpe_train_counts(wc, n), _bpe_train_naive(wc, n)
+        assert inc == naive, (trial, wc, n, inc, naive)
+
+
+def test_bpe_train_spark_roundtrip(spark):
+    """End-to-end train -> apply on a Spark corpus: bpe_train's merge
+    list equals the reference Python trainer run on the same word
+    counts, applying the trained list reproduces each training word's
+    final segmentation (greedy rank-order apply == training state, the
+    Sennrich property), and detokenization is lossless."""
+    from lazy_frame_spark.operators.text import (
+        _bpe_word,
+        bpe_apply,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest wide widest",
+        "the low road and the wide road",
+        "newest newest lowest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=12, min_count=1, vocab_max_rows=1000)
+
+    # twin: word counts from plain Python on the same corpus
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    assert merges == _bpe_train_naive(sorted(wc.items()), 12)
+
+    # trained-state reproduction: rank-order apply == training segments
+    words = {w: [list(w), c] for w, c in sorted(wc.items())}
+    for a, b in merges:  # replay training merges over the vocab
+        for rec in words.values():
+            syms, j, out = rec[0], 0, []
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            rec[0] = out
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    for w, (segs, _c) in words.items():
+        assert _bpe_word(w, ranks) == segs, w
+
+    # lossless detokenization through the Spark apply path
+    got = bpe_apply(df, merges).select("doc_id", "text", "bpe_tokens")
+    for r in got.collect():
+        assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
+
+
 def test_with_idn_hosts_rules(spark):
     """IDN host folding: Unicode hosts (any case) fold to punycode,
     punycode and ASCII hosts pass unchanged, ports survive, URLs the
