@@ -564,7 +564,19 @@ def html_to_text(html: Column) -> Column:
     (regexp_replace + literal replace chains) — a map-only pass with no
     Python in the row path; the whole-corpus shape a CommonCrawl-sized
     ingest needs. For main-content extraction (navigation/footer
-    boilerplate dropped) use ``html_main_text``."""
+    boilerplate dropped) use ``html_main_text``.
+
+    Fidelity vs a real tokenizer (property-fuzzed against an
+    html.parser twin, test_properties_ops): output is IDENTICAL on
+    markup with unmatched/unclosed tags, nested and unclosed anchors,
+    mixed-case tags, script bodies containing fake closers, comments,
+    and the supported entity set. Documented divergences (pinned by
+    test_html_to_text_documented_divergences): a quoted '>' inside an
+    attribute value ends the tag early here (a DOM parser reads past
+    it), and an UNCLOSED <script>/<style> leaks its body as text
+    (html.parser's CDATA mode skips to EOF). An unclosed comment leaks
+    its head on BOTH — not a divergence. Entities outside the
+    ``_ENTITIES`` set pass through undecoded."""
     return _collapse_ws(_decode_entities(_tags_to_space(_drop_nontext(html))))
 
 

@@ -876,3 +876,167 @@ def test_delete_keys_null_safe_keys_erases_null_rows(spark, tmp_path):
     got2 = delete_keys(spark, part, dels, ["k", "status"],
                        scope_to_partitions=True, null_safe_keys=True)
     assert {(r["k"], r["v"]) for r in got2.collect()} == {(2, 2.0), (3, 3.0)}
+
+
+def _snapshot_tree(p):
+    import os
+
+    out = {}
+    for root, _, files in os.walk(p):
+        for f in files:
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            out[fp] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def _hostile_two_level_fixture(spark, tmp_path, name):
+    """Two-level hive layout with HOSTILE partition values on BOTH
+    levels: escape-set characters (:, %, /, #, newline) and NULL (the
+    __HIVE_DEFAULT_PARTITION__ dir) — every corner
+    _escape_partition_value has to reproduce byte-for-byte."""
+    statuses = ["a:b", "p%1", None, "n\nl"]
+    regions = ["r/0", "r#1", None]
+    rows = [
+        (i, statuses[i % 4], regions[i % 3], float(i)) for i in range(120)
+    ]
+    final = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "k long, status string, region string, v double"
+    ).coalesce(1).write.partitionBy("status", "region").parquet(final)
+    return final, rows, statuses, regions
+
+
+def test_merge_scoped_multilevel_hostile_values(spark, tmp_path):
+    """Scoped MERGE on a two-level layout whose partition values need
+    escaping on BOTH levels (plus NULL at both levels): only the
+    touched (status, region) leaves rewrite — every other hostile leaf
+    stays bit-identical — and the result equals the whole-table merge
+    twin exactly."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import merge_upsert
+
+    f1, rows, _s, _r = _hostile_two_level_fixture(spark, tmp_path, "mlh1")
+    f2, _, _, _ = _hostile_two_level_fixture(spark, tmp_path, "mlh2")
+
+    # touched leaves: ('a:b', 'r/0') update, (None, 'r#1') update, and
+    # an insert creating a NEW hostile leaf ('p%1', 'zz:9')
+    updates = spark.createDataFrame(
+        [(0, "a:b", "r/0", -1.0), (2, None, "r#1", -2.0),
+         (1000, "p%1", "zz:9", 9.0)],
+        "k long, status string, region string, v double",
+    )
+    untouched_rels = [
+        "status=a%3Ab/region=r%231",              # ('a:b', 'r#1')
+        "status=p%251/region=__HIVE_DEFAULT_PARTITION__",
+        "status=__HIVE_DEFAULT_PARTITION__/region=r%2F0",
+        "status=n%0Al/region=r%2F0",
+    ]
+    for rel in untouched_rels:  # fixture sanity: the dirs exist as named
+        assert os.path.isdir(os.path.join(f1, rel)), rel
+    before = {rel: _snapshot_tree(os.path.join(f1, rel))
+              for rel in untouched_rels}
+
+    a = merge_upsert(spark, f1, updates, ["k", "status", "region"],
+                     scope_to_partitions=True)
+    b = merge_upsert(spark, f2, updates, ["k", "status", "region"])
+    key = lambda r: (r["k"], r["status"], r["region"], r["v"])  # noqa: E731
+    assert set(map(key, a.collect())) == set(map(key, b.collect()))
+
+    want = {(k, s, r, v) for k, s, r, v in rows
+            if (k, s, r) not in {(0, "a:b", "r/0"), (2, None, "r#1")}}
+    want |= {(0, "a:b", "r/0", -1.0), (2, None, "r#1", -2.0),
+             (1000, "p%1", "zz:9", 9.0)}
+    assert set(map(key, a.collect())) == want
+    for rel, snap in before.items():
+        assert _snapshot_tree(os.path.join(f1, rel)) == snap, rel
+    assert os.path.isdir(os.path.join(f1, "status=p%251/region=zz%3A9"))
+
+
+def test_delete_scoped_multilevel_hostile_values(spark, tmp_path):
+    """Scoped DELETE on the hostile two-level layout: erasing one key
+    from a hostile leaf, WIPING another leaf entirely (its dir must
+    swap to empty), and a NULL-keyed erasure under null_safe_keys —
+    untouched hostile leaves bit-identical, survivors cross-checked."""
+    import os
+
+    from lazy_frame_spark.sources.parquet import delete_keys
+
+    final, rows, _s, _r = _hostile_two_level_fixture(spark, tmp_path, "mld")
+
+    # leaf ('n\nl', None) holds keys {3+12j}∩{i%3==2} — wipe it whole
+    wipe = [(k, s, r) for k, s, r, _v in rows if s == "n\nl" and r is None]
+    assert wipe, "fixture must populate the wiped leaf"
+    dels = [(0, "a:b", "r/0")] + wipe + [(2, None, "r#1")]
+    deletes = spark.createDataFrame(
+        dels, "k long, status string, region string")
+    untouched_rels = [
+        "status=a%3Ab/region=r%231",
+        "status=p%251/region=r%2F0",
+        "status=__HIVE_DEFAULT_PARTITION__/region=__HIVE_DEFAULT_PARTITION__",
+    ]
+    before = {rel: _snapshot_tree(os.path.join(final, rel))
+              for rel in untouched_rels}
+
+    got = delete_keys(spark, final, deletes, ["k", "status", "region"],
+                      scope_to_partitions=True, null_safe_keys=True)
+    gone = {(k, s, r) for k, s, r in dels}
+    want = {(k, s, r, v) for k, s, r, v in rows if (k, s, r) not in gone}
+    key = lambda r: (r["k"], r["status"], r["region"], r["v"])  # noqa: E731
+    assert set(map(key, got.collect())) == want
+    # the wiped hostile leaf swapped to an EMPTY dir (no parquet left)
+    wiped_dir = os.path.join(
+        final, "status=n%0Al/region=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(wiped_dir)
+    assert not [f for f in os.listdir(wiped_dir) if f.endswith(".parquet")]
+    for rel, snap in before.items():
+        assert _snapshot_tree(os.path.join(final, rel)) == snap, rel
+
+
+def test_swap_partitions_multilevel_crash_kill_points(spark, tmp_path):
+    """_swap_partitions over two-level leaves with a kill at EVERY
+    injection point: mid-batch (half the leaves promoted) and
+    before-cleanup (all promoted, journal still live). Both heal on
+    the next read — every listed leaf rolls FORWARD, the untouched
+    leaf keeps its exact files, and no journal/backup/tmp residue
+    survives."""
+    import os
+
+    import pytest
+
+    from lazy_frame_spark.sources.parquet import (
+        _SimulatedCrash,
+        _swap_partitions,
+        read_parquet,
+    )
+
+    for crash in ("mid_swaps", "before_cleanup"):
+        final = str(tmp_path / f"mlc_{crash}")
+        rows = [(i, f"s{i % 2}", f"r{(i // 2) % 2}", float(i))
+                for i in range(40)]  # 10 rows in each of 4 leaves
+        spark.createDataFrame(
+            rows, "k long, status string, region string, v double"
+        ).coalesce(1).write.partitionBy("status", "region").parquet(final)
+        untouched = _snapshot_tree(os.path.join(final, "status=s1/region=r1"))
+
+        dest = final + "__merge_tmp"
+        # three touched leaves; (s1, r1) deliberately left out
+        new = [(k, s, r, -1.0) for k, s, r, _v in rows if (s, r) != ("s1", "r1")]
+        spark.createDataFrame(
+            new, "k long, status string, region string, v double",
+        ).coalesce(1).write.partitionBy("status", "region").parquet(dest)
+        pdirs = ["status=s0/region=r0", "status=s0/region=r1",
+                 "status=s1/region=r0"]
+        with pytest.raises(_SimulatedCrash):
+            _swap_partitions(final, dest, pdirs, _crash=crash)
+
+        got = read_parquet(spark, final)  # heals via recover_table
+        assert got.filter("v = -1.0").count() == 30, crash
+        assert got.filter("status = 's1' AND region = 'r1' AND v >= 0") \
+                  .count() == 10, crash
+        assert _snapshot_tree(os.path.join(final, "status=s1/region=r1")) \
+            == untouched, crash
+        assert not os.path.exists(final + ".__commit__"), crash
+        assert not os.path.exists(final + "__backup"), crash
+        assert not os.path.exists(dest), crash
