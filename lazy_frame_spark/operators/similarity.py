@@ -917,6 +917,42 @@ class IVFPQIndex:
             .limit(int(k))
         )
 
+    META_FILE = "_ivfpq_index.json"  # '_' prefix: invisible to readers
+
+    def save(self, df_encoded: DataFrame, path: str) -> None:
+        """Persist the index in its serving layout: the encoded table
+        partitioned by ``__ivf_cell__`` (so probes prune PARTITIONS —
+        the 100 TB read path reads n_probe/n_cells of the index) plus a
+        JSON sidecar holding the geometry (coarse centroids +
+        codebooks — KBs regardless of corpus size). The sidecar's
+        underscore name keeps every parquet reader from seeing it as
+        data. Keep the vector column in ``df_encoded`` if searches will
+        use ``refine=`` (exact re-rank needs the stored vectors);
+        drop it for the pure 1+n_sub-bytes-per-vector footprint.
+        Sidecar IO is plain local-filesystem ``open`` — on an object
+        store, write the JSON through your FS layer instead."""
+        import json
+        import os
+
+        df_encoded.write.mode("overwrite").partitionBy(
+            "__ivf_cell__").parquet(path)
+        with open(os.path.join(path, self.META_FILE), "w") as f:
+            json.dump({"coarse": self.coarse, "codebooks": self.codebooks},
+                      f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> tuple["IVFPQIndex", DataFrame]:
+        """Reopen a saved index: ``(index, encoded_frame)`` — the frame
+        is the cell-partitioned store (partition-pruned by topk's probe
+        filter), the index carries the sidecar geometry."""
+        import json
+        import os
+
+        with open(os.path.join(path, cls.META_FILE)) as f:
+            meta = json.load(f)
+        idx = cls(meta["coarse"], meta["codebooks"])
+        return idx, spark.read.parquet(path)
+
 
 def pq_encode_arrow(
     df: DataFrame,

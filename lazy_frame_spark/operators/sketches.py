@@ -315,3 +315,39 @@ def cms_incremental_update(
     plus a <= depth x width x groups merge."""
     fresh = cms_partials(new_batch, grain, col, depth=depth, width=width)
     return cms_merge(stored.unionByName(fresh), keys=grain)
+
+
+def cms_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    partials: DataFrame | None = None,
+    support: float = 0.001,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """Approximate top-k heavy hitters from a count-min sketch — the
+    composition of the two bounded passes this module already has:
+    freqItems (ONE scan, Karp-style, NO false negatives above
+    ``support``) bounds the candidate set at <= 1/support values, and
+    their frequencies come from the CMS ``partials`` — pass the
+    MAINTAINED sketch (``cms_incremental_update`` keeps one per grain)
+    and ranking costs one candidate-harvest scan plus a bounded
+    (<= depth x width row) broadcast join; the full-cardinality groupBy
+    never runs. Without a stored sketch one is built (one extra scan,
+    still bounded output).
+
+    Returns ``(col, cms_estimate)`` ordered by (estimate desc, value
+    asc), limit k. The one-sided CMS guarantee carries over: estimates
+    never undercount, so a true heavy hitter is displaced only when a
+    lighter candidate OVERcounts past it (probability <= 2^-depth per
+    pair at width >= 2/support)."""
+    if partials is None:
+        partials = cms_partials(df, [], col, depth=depth, width=width)
+    cand_vals = df.stat.freqItems([col], support).collect()[0][
+        f"{col}_freqItems"]
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(v,) for v in cand_vals], df.select(col).schema)
+    est = cms_query(partials, cands, col, depth=depth, width=width)
+    return est.orderBy(F.desc("cms_estimate"), F.asc(col)).limit(int(k))

@@ -7465,6 +7465,36 @@ def sketch_cms_freq(spark, sf_dir):
 
 
 @query(
+    "sketch_cms_topk",
+    # at <=10 distinct event types in a 5 x 1024 sketch, two types
+    # sharing a bucket in EVERY depth row is structurally impossible
+    # (hashes are fixed, not data-dependent), so the min-across-rows
+    # estimate equals the exact count and the approximate top-k is the
+    # exact top-k — which DuckDB computes directly. The estimate-vs-
+    # bound invariant lives in sketch_cms_freq; this row pins the
+    # composed ranking path end to end.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cms_estimate
+    FROM events GROUP BY event_type
+    ORDER BY COUNT(*) DESC, event_type LIMIT 5
+    """,
+)
+def sketch_cms_topk(spark, sf_dir):
+    """One-scan approximate top-k heavy hitters (sketches.cms_topk —
+    the round-4 follow-up composition): freqItems bounds candidates
+    with no false negatives, the count-min sketch supplies their
+    frequencies via a bounded broadcast join (pass a MAINTAINED sketch
+    and no second scan happens), and the full-cardinality groupBy
+    never runs — at 100 TB with billions of distinct keys, that is the
+    whole point. Here the low-cardinality type column makes the CMS
+    estimates provably exact, so the oracle is the true top-5."""
+    from lazy_frame_spark.operators import sketches as sk
+
+    ev = _table(spark, sf_dir, "events")
+    return sk.cms_topk(ev, "event_type", k=5, support=0.01)
+
+
+@query(
     "sketch_kll_quantiles",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS p50_ok, TRUE AS p90_ok

@@ -116,16 +116,49 @@ def scale_warnings(df: DataFrame) -> list[str]:
                 "operators.sessions time_buckets)"
             )
             break
-    if "Sort [" in plan and "TakeOrderedAndProject" not in plan:
-        # global (non-partial) sort without a limit cut
-        for m in re.finditer(r"Sort \[([^\]]*)\], true", plan):
-            warns.append(
+    warns.extend(_global_sort_warnings(plan))
+    return warns
+
+
+def _tree_indent(line: str) -> int:
+    """Depth of a node line in Spark's plan toString tree art (leading
+    spaces / ':' rails / '+-' connectors; the '*(n)' codegen prefix is
+    node text, not art)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _global_sort_warnings(plan: str) -> list[str]:
+    """Warn on a GLOBAL sort (``Sort [...], true`` — a full range
+    shuffle) only when its own subtree contains no final aggregate:
+    a sort fed by a HashAggregate/SortAggregate is bounded by group
+    cardinality, the TPC-H "ORDER BY the aggregated result" shape
+    (Q11/Q20), and warning on it was a measured false positive
+    (round-5 follow-up). A sort over raw rows still warns."""
+    if "TakeOrderedAndProject" in plan:
+        return []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"Sort \[[^\]]*\], true", ln):
+            continue
+        d = _tree_indent(ln)
+        agg_below = False
+        for nxt in lines[i + 1:]:
+            if _tree_indent(nxt) <= d:
+                break
+            if re.search(r"(HashAggregate|SortAggregate|ObjectHashAggregate)",
+                         nxt):
+                agg_below = True
+                break
+        if not agg_below:
+            return [
                 "global Sort without a top-k cut: full-data range "
                 "shuffle + sort — use top_k() for leaderboards, or drop "
                 "the ordering until the final (small) result"
-            )
-            break
-    return warns
+            ]
+    return []
 
 
 #: Registry queries whose BroadcastNestedLoopJoin is justified: the

@@ -345,6 +345,13 @@ def test_scale_warnings_flags_known_hazards(spark, sf_dir):
     full_sort = o.orderBy("o_totalprice")
     assert any("global Sort" in w for w in scale_warnings(full_sort))
 
+    # provenance-aware (round-8): a global ORDER BY over a FINAL
+    # aggregate is bounded by group cardinality — the TPC-H Q11/Q20
+    # shape — and must NOT warn (measured false positive, round-5
+    # follow-up); the raw-row sort above still does
+    agg_sorted = o.groupBy("o_orderpriority").count().orderBy("count")
+    assert not any("global Sort" in w for w in scale_warnings(agg_sorted))
+
     # graded plans: clean
     from lazy_frame_spark.parity import REGISTRY
 
