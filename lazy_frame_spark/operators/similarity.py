@@ -721,15 +721,31 @@ class IVFPQIndex:
         idx = cls(ivf.centroids, books)
         if train_iters:
             train_df = df
+            n = None
             if train_max_rows:
                 n = df.count()
                 if n > train_max_rows:
                     train_df = df.sample(train_max_rows / n, seed=seed)
-            resid = idx._with_residual(train_df, vec_col)
-            idx.codebooks = pq_train(
-                resid, dim, n_sub, k, n_iter=train_iters,
-                vec_col="__resid__", seed=seed, init=books,
-            )
+            # persist the residual projection for the Lloyd loop (every
+            # iteration re-reads it; recomputing the interpreted
+            # n_cells-cosine cell expression per iteration costs more
+            # than the training math), and size its partition count to
+            # the SAMPLE, not the corpus: training reads at most
+            # train_max_rows rows, so inheriting a 100 TB table's
+            # thousands of scan partitions would pay per-task overhead
+            # x iterations for ~nothing (measured 4x on small inputs)
+            resid = idx._with_residual(train_df, vec_col).select("__resid__")
+            if n is not None:
+                est = min(n, train_max_rows)
+                resid = resid.coalesce(max(1, min(int(est // 8192) + 1, 64)))
+            resid = resid.persist()
+            try:
+                idx.codebooks = pq_train(
+                    resid, dim, n_sub, k, n_iter=train_iters,
+                    vec_col="__resid__", seed=seed, init=books,
+                )
+            finally:
+                resid.unpersist()
         return idx
 
     def _cents_lit(self) -> Column:
@@ -738,13 +754,67 @@ class IVFPQIndex:
         ])
 
     def _with_residual(self, df: DataFrame, vec_col: str) -> DataFrame:
-        cells = IVFIndex(self.coarse).with_cells(df, vec_col)
-        resid = F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.element_at(self._cents_lit(), F.col("__ivf_cell__") + 1),
-            lambda a, b: a - b,
+        """(cell, residual) per vector as ONE Arrow pass with the same
+        ascending left-associated float64 folds as ``encode`` — the
+        interpreted n_cells-cosine expression this replaces measured
+        ~4 s on a 500-row training build at n_cells=32 (vs ~0.3 s
+        here); training is the only caller and reads ``__resid__``.
+        Non-finite vectors keep a NULL residual (excluded from
+        training, mirroring pq_train's finite contract)."""
+        import numpy as np
+        import pandas as pd  # noqa: F401  (mapInPandas batches)
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
         )
-        return cells.withColumn("__resid__", resid)
+
+        C = np.asarray(self.coarse, dtype=np.float64)
+        n_cells, dim = C.shape
+        cn = np.zeros(n_cells)
+        for i in range(dim):
+            cn = cn + C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        out_schema = StructType(
+            list(df.schema)
+            + [StructField("__ivf_cell__", IntegerType()),
+               StructField("__resid__", ArrayType(DoubleType()))]
+        )
+        in_cols = list(df.columns)
+
+        def res(batches):
+            for pdf in batches:
+                V = np.stack([
+                    np.full(dim, np.nan) if v is None else np.asarray(v)
+                    for v in pdf[vec_col].to_numpy()
+                ]).astype(np.float64) if len(pdf) else np.zeros((0, dim))
+                n = V.shape[0]
+                nv = np.zeros(n)
+                for i in range(dim):
+                    nv = nv + V[:, i] * V[:, i]
+                nv = np.sqrt(nv)
+                dots = np.zeros((n, n_cells))
+                for i in range(dim):
+                    dots = dots + V[:, i:i + 1] * C[:, i][None, :]
+                sims = dots / (nv[:, None] * cn[None, :])
+                finite = (np.isfinite(V).all(axis=1)
+                          & np.isfinite(sims).all(axis=1))
+                cells = np.zeros(n, dtype=np.int64)
+                if n:
+                    safe = np.where(np.isnan(sims), -np.inf, sims)
+                    cells = np.argmax(safe, axis=1)
+                    cells[~finite] = 0
+                R = V - C[cells]
+                out = pdf[in_cols].copy()
+                out["__ivf_cell__"] = cells.astype("int32")
+                out["__resid__"] = [
+                    list(R[r]) if finite[r] else None for r in range(n)
+                ]
+                yield out
+
+        return df.mapInPandas(res, out_schema)
 
     def encode(
         self,

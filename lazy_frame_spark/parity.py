@@ -2786,10 +2786,15 @@ def ann_ivfpq_trained_recall(spark, sf_dir):
     from lazy_frame_spark.operators import similarity as _s
 
     e = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.cache()
     idx_t = _s.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7)
-    idx_h = _s.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
-                              train_iters=0)
-    enc_t = idx_t.encode(e)
+    # the hash index shares idx_t's coarse pick (training never touches
+    # the coarse step) — building it from the constructor saves a whole
+    # second fit's worth of jobs in this driver-window row
+    idx_h = _s.IVFPQIndex(idx_t.coarse,
+                          _s.pq_codebooks(64, 16, 64, seed=7))
+    # cache the frames each reused by 2-3 of the panel plans below
+    enc_t = idx_t.encode(e).cache()
     enc_h = idx_h.encode(e)
     panel = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -2797,7 +2802,7 @@ def ann_ivfpq_trained_recall(spark, sf_dir):
                         key=lambda r: r["vec_id"])
     ]
     n_q = len(panel)
-    truth = _s.exact_l2_topk_panel(e, panel, k=10)
+    truth = _s.exact_l2_topk_panel(e, panel, k=10).cache()
     ht = _s.ivfpq_panel_hits(enc_t, idx_t, panel, truth, k=10, n_probe=8,
                              label="hits_trained")
     hh = _s.ivfpq_panel_hits(enc_h, idx_h, panel, truth, k=10, n_probe=8,
