@@ -121,6 +121,42 @@ def rates_for_target_mix(
     }
 
 
+def temperature_weights(
+    counts: Mapping[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixture weights — the standard multilingual /
+    multi-domain sampling scheme: target share of domain d is
+    ``count_d^alpha / sum(count^alpha)``. ``alpha=1`` reproduces the
+    natural (proportional) mix, ``alpha=0`` the uniform mix; the usual
+    0.2-0.7 range upsamples the tail RELATIVE to its natural share
+    while keeping heads dominant. Feed the result straight into
+    ``rates_for_target_mix``/``mix_corpora`` (they renormalize, so raw
+    ``count^alpha`` values are returned — exact in float for the
+    integer counts involved)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    return {d: float(c) ** alpha for d, c in counts.items() if c > 0}
+
+
+def mix_temperature(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    id_cols: Sequence[str],
+    seed: int = 0,
+) -> DataFrame:
+    """End-to-end temperature mixing: one count aggregation (k-row
+    collect), ``count^alpha`` target weights, downsampling-only rates,
+    map-side acceptance filter — same scan shape as ``mix_corpora``
+    (ONE pass over the corpus; the count agg is partial-aggregated)."""
+    rows = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("c")).collect()
+    counts = {r[domain_col]: r["c"] for r in rows}
+    rates = rates_for_target_mix(counts, temperature_weights(counts, alpha))
+    return sample_by_rates(
+        df, domain_col, rates, id_cols=id_cols, seed=seed, default_bp=0
+    )
+
+
 def mix_corpora(
     df: DataFrame,
     domain_col: str,

@@ -2095,6 +2095,65 @@ def _query_vec(spark, sf_dir, vec_id=0):
 
 
 @query(
+    "mix_temperature_uniform",
+    # domain sizes n/2, n/4, n/8, n/8 by construction; alpha=0 is the
+    # uniform-mix extreme of temperature sampling, chosen for the
+    # GRADED row because its rate arithmetic stays exact in float
+    # (weights are 1.0; t*w is an integer; one division + one multiply,
+    # mirrored op-for-op below) — alpha=0.5's sqrt-weight NORMALIZATION
+    # sums 4 irrationals whose order is dict-iteration-dependent, an
+    # ulp-level hash hazard across engines; that path is pinned
+    # in-process by test_temperature_mixing instead.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             'd' || CASE WHEN doc_id % 8 < 4 THEN 0
+                         WHEN doc_id % 8 < 6 THEN 1
+                         WHEN doc_id % 8 = 6 THEN 2 ELSE 3 END AS dom
+      FROM documents),
+    c AS (SELECT dom, COUNT(*) AS c FROM d GROUP BY dom),
+    m AS (SELECT MIN(c) AS cmin FROM c),
+    r AS (SELECT dom,
+                 LEAST(10000,
+                       CAST(FLOOR((CAST(cmin AS DOUBLE) / c) * 10000)
+                            AS BIGINT)) AS bp
+          FROM c, m)
+    SELECT dom, COUNT(*) AS kept
+    FROM (SELECT d.dom,
+                 ('0x' || substr(md5('17:' || d.doc_id), 1, 15))::BIGINT
+                   % 10000 AS draw,
+                 r.bp
+          FROM d JOIN r USING (dom))
+    WHERE draw < bp
+    GROUP BY dom
+    """,
+)
+def mix_temperature_uniform(spark, sf_dir):
+    """Temperature-based corpus mixing (mixing.mix_temperature — the
+    standard multilingual count^alpha reweighting) at the alpha=0
+    uniform extreme: heads downsample to the tail's size, the tail
+    keeps everything. One k-row count aggregation, driver rate
+    computation, map-side deterministic acceptance filter — ONE corpus
+    scan, nothing shuffles. The oracle recomputes counts, rates, and
+    the md5 acceptance draws and must match kept-per-domain exactly."""
+    from lazy_frame_spark.operators import mixing as _mx2
+
+    d = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("d"),
+            F.when(F.col("doc_id") % 8 < 4, F.lit(0))
+            .when(F.col("doc_id") % 8 < 6, F.lit(1))
+            .when(F.col("doc_id") % 8 == 6, F.lit(2))
+            .otherwise(F.lit(3)),
+        ).alias("dom"),
+    )
+    out = _mx2.mix_temperature(d, "dom", alpha=0.0, id_cols=["doc_id"],
+                               seed=17)
+    return out.groupBy("dom").agg(F.count(F.lit(1)).alias("kept"))
+
+
+@query(
     "ann_cosine_topk",
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

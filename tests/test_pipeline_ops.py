@@ -2474,3 +2474,48 @@ def test_pq_non_finite_vectors_null_codes_on_both_paths(spark):
     top = sim.pq_adc_topk(sim.pq_encode(df, books), [0.1, 0.2, 0.3, 0.4],
                           books, k=5).collect()
     assert [r["vec_id"] for r in top] == [0]
+
+
+def test_temperature_mixing(spark):
+    """count^alpha temperature reweighting: alpha=1 keeps the natural
+    mix (all rates 10000 — proportional targets need no downsampling),
+    alpha=0 downsamples every head to the tail's size, and alpha=0.5
+    lands between, matching an in-process Python replication of the
+    whole rate chain exactly (same floats — no cross-engine ulp
+    hazard). The kept sets are deterministic (seeded md5 draws)."""
+    import hashlib
+
+    from lazy_frame_spark.operators.mixing import (
+        mix_temperature,
+        rates_for_target_mix,
+        temperature_weights,
+    )
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 900 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    counts = {"big": 800, "mid": 100, "small": 100}
+
+    # alpha=1: natural mix == no downsampling anywhere
+    assert rates_for_target_mix(
+        counts, temperature_weights(counts, 1.0)) == {
+        "big": 10000, "mid": 10000, "small": 10000}
+    # alpha=0: heads cut to the tail's size
+    assert rates_for_target_mix(
+        counts, temperature_weights(counts, 0.0)) == {
+        "big": 1250, "mid": 10000, "small": 10000}
+
+    for alpha in (0.0, 0.5):
+        rates = rates_for_target_mix(
+            counts, temperature_weights(counts, alpha))
+        got = {(r["doc_id"], r["dom"]) for r in
+               mix_temperature(df, "dom", alpha, ["doc_id"],
+                               seed=23).collect()}
+        want = set()
+        for i, dom in rows:
+            h = int(hashlib.md5(f"23:{i}".encode()).hexdigest()[:15], 16)
+            if h % 10000 < rates[dom]:
+                want.add((i, dom))
+        assert got == want, alpha
+    with pytest.raises(ValueError):
+        temperature_weights(counts, -0.1)
