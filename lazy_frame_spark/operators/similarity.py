@@ -987,6 +987,102 @@ class IVFPQIndex:
             .limit(int(k))
         )
 
+    def topk_batch(
+        self,
+        df_encoded: DataFrame,
+        queries: Sequence[tuple[int, Sequence[float]]],
+        k: int = 10,
+        n_probe: int = 2,
+        code_col: str = "pq_codes",
+        id_col: str = "vec_id",
+        refine: int = 0,
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ADC search for MANY queries in ONE plan — the serving shape
+        for query batches: every query's per-probed-cell LUT geometry
+        is computed driver-side and broadcast as LITERAL rows
+        (n_queries x n_probe rows of n_sub x k floats — KB-to-MB
+        regardless of corpus size), candidates come from ONE cell-key
+        equi-join against the encoded table (partition-prunable when
+        stored partitionBy(__ivf_cell__) — only probed cells' codes are
+        read), distances are pure LUT loads, and the per-query top-k is
+        one window over the probed subset. ``refine=R`` re-ranks each
+        query's R-candidate shortlist by exact L2 against the broadcast
+        panel (R rows per query, never the corpus); refined output
+        carries ``dist`` (exact), unrefined ``pq_dist``. Returns
+        ``(qid, id_col, pq_dist|dist)`` — per query the same results as
+        ``topk`` called per vector. NULL-coded rows are excluded."""
+        import math
+
+        from pyspark.sql import Window
+
+        spark = df_encoded.sparkSession
+        q_list = [(int(qid), [float(x) for x in vec])
+                  for qid, vec in queries]
+        d_sub = len(self.codebooks[0][0])
+        S = len(self.codebooks)
+        lut_rows = []
+        for qid, q in q_list:
+            qn = math.sqrt(sum(x * x for x in q))
+
+            def cos(c):
+                cn = math.sqrt(sum(x * x for x in c))
+                d = sum(a * b for a, b in zip(q, c))
+                return d / (qn * cn) if qn and cn else 0.0
+
+            probe = sorted(range(len(self.coarse)),
+                           key=lambda i: -cos(self.coarse[i]))[:int(n_probe)]
+            for cell in probe:
+                qres = [q[i] - self.coarse[cell][i] for i in range(len(q))]
+                row = [qid, int(cell)]
+                for s, cents in enumerate(self.codebooks):
+                    q_sub = qres[s * d_sub:(s + 1) * d_sub]
+                    row.append([
+                        float(sum((q_sub[i] - c[i]) ** 2
+                                  for i in range(d_sub)))
+                        for c in cents
+                    ])
+                lut_rows.append(tuple(row))
+        schema = "qid int, cell int, " + ", ".join(
+            f"lut{s + 1} array<double>" for s in range(S))
+        luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
+        dist = F.lit(0.0)
+        for s in range(S):
+            dist = dist + F.element_at(F.col(f"lut{s + 1}"),
+                                       F.element_at(F.col(code_col), s + 1))
+        cand_cols = [id_col, "__ivf_cell__", code_col]
+        if refine:
+            cand_cols.append(vec_col)
+        wq = Window.partitionBy("qid").orderBy(F.asc("__dist__"),
+                                               F.asc(id_col))
+        cand = (
+            df_encoded.filter(F.col(code_col).isNotNull())
+            .select(*cand_cols)
+            .join(luts, F.col("__ivf_cell__") == F.col("cell"))
+            .withColumn("__dist__", F.round(dist, 6))
+            .withColumn("__rn__", F.row_number().over(wq))
+            .filter(F.col("__rn__") <= int(refine or k))
+        )
+        if not refine:
+            return cand.select("qid", F.col(id_col),
+                               F.col("__dist__").alias("pq_dist"))
+        pdf = F.broadcast(spark.createDataFrame(
+            q_list, "qid2 int, q array<double>"))
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), F.col("q"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        w2 = Window.partitionBy("qid").orderBy(F.asc("__d2__"),
+                                               F.asc(id_col))
+        return (
+            cand.join(pdf, F.col("qid") == F.col("qid2"))
+            .select("qid", F.col(id_col), F.round(d2, 6).alias("__d2__"))
+            .withColumn("__rn2__", F.row_number().over(w2))
+            .filter(F.col("__rn2__") <= int(k))
+            .select("qid", F.col(id_col), F.col("__d2__").alias("dist"))
+        )
+
     META_FILE = "_ivfpq_index.json"  # '_' prefix: invisible to readers
 
     def save(self, df_encoded: DataFrame, path: str) -> None:
@@ -1128,78 +1224,13 @@ def ivfpq_panel_hits(
     index's ADC(-refined) top-k recovers — recall@k is
     ``label / (k * n_queries)``.
 
-    Scale shape: every query's per-cell LUT geometry is computed
-    driver-side and broadcast as LITERAL rows (n_queries x n_probe
-    rows of n_sub x k floats — KB-to-MB regardless of corpus size);
-    the candidate scan joins on the cell key (partition-prunable when
-    the index is stored partitioned by ``__ivf_cell__``), distances
-    are pure LUT loads, and the per-query rankings are one window over
-    the probed subset. With ``refine=R`` the shortlist re-ranks by
-    exact L2 against the broadcast panel — R rows per query, never the
-    corpus."""
-    import math
-
-    from pyspark.sql import Window
-
-    spark = enc.sparkSession
-    q_list = [(int(qid), [float(x) for x in vec]) for qid, vec in panel]
-    d_sub = len(idx.codebooks[0][0])
-    S = len(idx.codebooks)
-    lut_rows = []
-    for qid, q in q_list:
-        qn = math.sqrt(sum(x * x for x in q))
-
-        def cos(c):
-            cn = math.sqrt(sum(x * x for x in c))
-            d = sum(a * b for a, b in zip(q, c))
-            return d / (qn * cn) if qn and cn else 0.0
-
-        probe = sorted(range(len(idx.coarse)),
-                       key=lambda i: -cos(idx.coarse[i]))[:int(n_probe)]
-        for cell in probe:
-            qres = [q[i] - idx.coarse[cell][i] for i in range(len(q))]
-            row = [qid, int(cell)]
-            for s, cents in enumerate(idx.codebooks):
-                q_sub = qres[s * d_sub:(s + 1) * d_sub]
-                row.append([
-                    float(sum((q_sub[i] - c[i]) ** 2 for i in range(d_sub)))
-                    for c in cents
-                ])
-            lut_rows.append(tuple(row))
-    schema = "qid int, cell int, " + ", ".join(
-        f"lut{s + 1} array<double>" for s in range(S))
-    luts = F.broadcast(spark.createDataFrame(lut_rows, schema))
-    dist = F.lit(0.0)
-    for s in range(S):
-        dist = dist + F.element_at(F.col(f"lut{s + 1}"),
-                                   F.element_at(F.col(code_col), s + 1))
-    cand_cols = [id_col, "__ivf_cell__", code_col]
-    if refine:
-        cand_cols.append(vec_col)
-    wq = Window.partitionBy("qid").orderBy(F.asc("__dist__"), F.asc(id_col))
-    cand = (
-        enc.filter(F.col(code_col).isNotNull())
-        .select(*cand_cols)
-        .join(luts, F.col("__ivf_cell__") == F.col("cell"))
-        .withColumn("__dist__", F.round(dist, 6))
-        .withColumn("__rn__", F.row_number().over(wq))
-        .filter(F.col("__rn__") <= int(refine or k))
+    The batched search itself is ``IVFPQIndex.topk_batch`` (the serving
+    API — literal broadcast LUT rows, ONE partition-prunable cell-key
+    equi-join, a window per query); this helper just intersects its
+    results with the exact ground truth and counts."""
+    cand = idx.topk_batch(
+        enc, panel, k=k, n_probe=n_probe, code_col=code_col,
+        id_col=id_col, refine=refine, vec_col=vec_col,
     )
-    if refine:
-        pdf = F.broadcast(spark.createDataFrame(
-            q_list, "qid2 int, q array<double>"))
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), F.col("q"),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        w2 = Window.partitionBy("qid").orderBy(F.asc("__d2__"),
-                                               F.asc(id_col))
-        cand = (
-            cand.join(pdf, F.col("qid") == F.col("qid2"))
-            .select("qid", F.col(id_col), d2.alias("__d2__"))
-            .withColumn("__rn2__", F.row_number().over(w2))
-            .filter(F.col("__rn2__") <= int(k))
-        )
     return truth.join(cand.select("qid", id_col), ["qid", id_col]).agg(
         F.count(F.lit(1)).alias(label))

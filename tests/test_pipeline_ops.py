@@ -2519,3 +2519,34 @@ def test_temperature_mixing(spark):
         assert got == want, alpha
     with pytest.raises(ValueError):
         temperature_weights(counts, -0.1)
+
+
+def test_ivfpq_topk_batch_matches_sequential(spark, sf_dir):
+    """The batched serving API returns, per query, EXACTLY the rows of
+    topk() called one vector at a time — plain ADC and refined — over
+    both the trained-default and hash-book indexes."""
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    for iters in (0, 2):
+        idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                                 train_iters=iters)
+        enc = idx.encode(e).cache()
+        panel = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in e.filter("vec_id IN (0, 7, 13)").collect()]
+        for refine in (0, 25):
+            batch = idx.topk_batch(enc, panel, k=5, n_probe=3,
+                                   refine=refine)
+            dcol = "dist" if refine else "pq_dist"
+            got = {}
+            for r in batch.collect():
+                got.setdefault(r["qid"], []).append(
+                    (r["vec_id"], r[dcol]))
+            for qid, qv in panel:
+                want = [(r["vec_id"], r[dcol]) for r in
+                        idx.topk(enc, qv, k=5, n_probe=3,
+                                 refine=refine).collect()]
+                assert sorted(got[qid]) == sorted(want), (iters, refine,
+                                                          qid)
+        enc.unpersist()
