@@ -80,13 +80,21 @@ def ensure_min_partitions(
 
 def _fan_out_target(df: DataFrame, target: int | None) -> int | None:
     """The partition count to fan out to, or None when the frame is
-    already well-split (or can't be probed / is streaming)."""
+    already well-split (or can't be probed / is streaming). The
+    ``df.rdd`` probe converts the whole plan to an RDD lineage on the
+    driver — cheap once, not free on deep plans — so the measured count
+    is memoized ON the DataFrame object (same plan → same partitioning;
+    an id()-keyed global would resurrect stale entries after GC id
+    reuse, the object attribute can't)."""
     try:
         if df.isStreaming:
             return None
         spark = df.sparkSession
         want = target or spark.sparkContext.defaultParallelism
-        have = df.rdd.getNumPartitions()
+        have = getattr(df, "_lfs_num_partitions", None)
+        if have is None:
+            have = df.rdd.getNumPartitions()
+            df._lfs_num_partitions = have
     except Exception:
         return None
     return None if have * 2 > want else want

@@ -219,6 +219,29 @@ def main() -> int:
                            pre_quantized=True)
     counts["ann_topk_from_quantized_store"] = top.count()
 
+    # 12. tokenizer training (round 8): BPE merges trained on the train
+    #     split — ONE corpus pass builds the (word, count) vocabulary,
+    #     the incremental Sennrich loop ranks the merges — then applied
+    #     back with the worker-lifetime word cache
+    from lazy_frame_spark.operators.text import bpe_apply, bpe_train
+
+    train_docs = split.filter(F.col("split") == "train")
+    merges = bpe_train(train_docs, n_merges=30, min_count=2)
+    toks = bpe_apply(train_docs, merges)
+    counts["bpe_merges"] = len(merges)
+    counts["bpe_tokens_train"] = int(
+        toks.select(F.sum(F.size("bpe_tokens"))).collect()[0][0] or 0)
+
+    # 13. temperature remix (round 8): count^alpha reweighting of the
+    #     published corpus — the multilingual-sampling standard; at
+    #     alpha=0.5 the small domains upsample RELATIVE to their natural
+    #     share (achieved downsample-only, one scan, map-side filter)
+    from lazy_frame_spark.operators.mixing import mix_temperature
+
+    remixed = mix_temperature(
+        spark.read.parquet(out), "split", 0.5, id_cols=["doc_id"], seed=9)
+    counts["after_temperature_remix"] = remixed.count()
+
     deduped.unpersist()
     split.unpersist()
 
