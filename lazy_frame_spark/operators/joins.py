@@ -143,10 +143,20 @@ def asof_join(
     value_cols: Sequence[str],
     direction: str = "backward",
     time_buckets: int | str = 1,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_time <= left_time`` (direction='backward'; 'forward' takes the
-    next one) sharing the key ``on`` (a column name or a composite list).
+    next one; 'nearest' the closer of the two, ties resolving backward)
+    sharing the key ``on`` (a column name or a composite list).
+
+    ``tolerance`` bounds the match gap (pandas merge_asof semantics: a
+    match farther than the tolerance leaves the left row's carried
+    values NULL). The gap is measured on the time column's monotone
+    surrogate — raw value for numerics, DAYS for dates, SECONDS for
+    timestamps. 'nearest' and ``tolerance`` run on the one-window-pass
+    plain path only (they don't compose with the ``time_buckets``
+    skew pre-split yet — raise rather than silently degrade).
 
     Implementation: tag and union both inputs, then one window pass per
     key ordered by time — ``last(value, ignorenulls=True)`` carries the
@@ -168,41 +178,147 @@ def asof_join(
     ``time_buckets="auto"`` samples the hottest key and enables the
     pre-split only when it exceeds ~5M rows.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or "
+                         "'nearest'")
     keys = [on] if isinstance(on, str) else list(on)
     if time_buckets == "auto":
         # hot-key estimate on the leading key: a composite key is at
         # most as hot as its leading column
         time_buckets = suggest_salt_buckets(left, keys[0])
     if int(time_buckets) > 1:
+        if direction == "nearest" or tolerance is not None:
+            raise ValueError(
+                "direction='nearest' / tolerance do not compose with "
+                "time_buckets>1 yet — use the plain path (time_buckets=1)"
+            )
         return _asof_join_time_bucketed(
             left, right, keys, left_time, right_time, value_cols,
             direction, int(time_buckets),
         )
 
+    need_rt = tolerance is not None or direction == "nearest"
+    carry_cols = list(value_cols)
+    rt_carry = right_time if right_time in carry_cols else None
+    if need_rt and rt_carry is None:
+        rt_carry = right_time
+        carry_cols = carry_cols + [right_time]
     unioned, lcols, t, side = _asof_tagged_union(
-        left, right, keys, left_time, right_time, value_cols
+        left, right, keys, left_time, right_time, carry_cols
     )
-    order = [
-        F.col(t).asc() if direction == "backward" else F.col(t).desc(),
-        F.col(side).asc(),
-    ]
-    w = (
+
+    def carry(win, suffix):
+        return [
+            F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(win)
+            .alias(f"__asof{suffix}_{c}__")
+            for c in carry_cols
+        ]
+
+    wb = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.col(t).asc(), F.col(side).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(f"__r_{c}__"), ignorenulls=True).over(w).alias(f"__asof_{c}__")
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(t).desc(), F.col(side).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    # gap arithmetic works on the UNIONED frame's actual types (left
+    # and right times coerce to a common type inside the tagged union;
+    # the carried right time keeps its own) in ONE shared unit
+    if need_rt:
+        t_type = unioned.schema[t].dataType
+        rtc_type = unioned.schema[f"__r_{rt_carry}__"].dataType
+        unit = _gap_unit(t_type, rtc_type)
+
+    if direction != "nearest":
+        win = wb if direction == "backward" else wf
+        out = unioned.select(*lcols, F.col(t), F.col(side),
+                             *carry(win, "")).filter(F.col(side) == 1)
+        if need_rt:
+            gap = (_time_surrogate(F.col(t), t_type, unit)
+                   - _time_surrogate(F.col(f"__asof_{rt_carry}__"),
+                                     rtc_type, unit))
+            if direction == "forward":
+                gap = -gap
+            ok = gap <= F.lit(float(tolerance))
+            for c in value_cols:
+                out = out.withColumn(
+                    f"__asof_{c}__",
+                    F.when(ok, F.col(f"__asof_{c}__")))
+        return out.select(
+            *lcols,
+            *[F.col(f"__asof_{c}__").alias(c) for c in value_cols],
+        )
+
+    # nearest: both carries share ONE hash exchange (two Window nodes,
+    # two sorts, same partitioning); pick the closer valid side per
+    # left row, ties toward backward
+    both = unioned.select(*lcols, F.col(t), F.col(side),
+                          *carry(wb, "_b"), *carry(wf, "_f")) \
+        .filter(F.col(side) == 1)
+    bt, ft = F.col(f"__asof_b_{rt_carry}__"), F.col(f"__asof_f_{rt_carry}__")
+    gap_b = (_time_surrogate(F.col(t), t_type, unit)
+             - _time_surrogate(bt, rtc_type, unit))
+    gap_f = (_time_surrogate(ft, rtc_type, unit)
+             - _time_surrogate(F.col(t), t_type, unit))
+    valid_b = bt.isNotNull()
+    valid_f = ft.isNotNull()
+    if tolerance is not None:
+        valid_b = valid_b & (gap_b <= F.lit(float(tolerance)))
+        valid_f = valid_f & (gap_f <= F.lit(float(tolerance)))
+    use_b = valid_b & (~valid_f | (gap_b <= gap_f))
+    picked = [
+        F.when(use_b, F.col(f"__asof_b_{c}__"))
+        .when(valid_f, F.col(f"__asof_f_{c}__"))
+        .alias(c)
         for c in value_cols
     ]
+    return both.select(*lcols, *picked)
 
-    out = unioned.select(*lcols, F.col(side), *carried).filter(F.col(side) == 1)
-    renames = {f"__asof_{c}__": c for c in value_cols}
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
-    return out.drop(side)
+
+def _gap_unit(a, b) -> str:
+    """The ONE unit both sides' gap surrogates use: SECONDS when either
+    side is a timestamp, DAYS when either is a date, raw value for
+    numeric pairs. Mixed numeric/temporal pairs have no meaningful gap
+    and raise."""
+    import pyspark.sql.types as T
+
+    def kind(x):
+        if isinstance(x, (T.TimestampType, T.TimestampNTZType)):
+            return "ts"
+        if isinstance(x, T.DateType):
+            return "date"
+        return "num"
+
+    ka, kb = kind(a), kind(b)
+    temporal = {ka, kb} & {"ts", "date"}
+    if temporal and "num" in (ka, kb):
+        raise ValueError(
+            f"tolerance/nearest need comparable time types, got {a} vs {b}"
+        )
+    if "ts" in (ka, kb):
+        return "seconds"
+    if "date" in (ka, kb):
+        return "days"
+    return "raw"
+
+
+def _time_surrogate(col: Column, dtype, unit: str) -> Column:
+    """Monotone numeric surrogate for gap arithmetic, expressed in the
+    shared ``unit`` (Spark 4 forbids direct date/timestamp -> double
+    casts): dates are epoch days (x 86400 when the unit is seconds),
+    timestamps epoch seconds."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, T.DateType):
+        days = F.unix_date(col).cast("double")
+        return days * F.lit(86400.0) if unit == "seconds" else days
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+    return col.cast("double")
 
 
 def _asof_tagged_union(

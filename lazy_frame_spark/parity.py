@@ -567,6 +567,48 @@ def join_asof_last_order(spark, sf_dir):
 
 
 @query(
+    "join_asof_nearest",
+    # nearest = the closer of (max date <= ts, min date >= ts), ties
+    # toward backward — the oracle's correlated argmin over ALL the
+    # user's orders is equivalent (the closest candidate is always one
+    # of those two), with the same tie CASE. Gaps are exact integer
+    # seconds on both engines (dates at midnight x 86400; whole-second
+    # event stamps), so the 7-day tolerance boundary can't ulp-flip.
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT o.o_orderdate FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND abs(epoch(e.ts) - epoch(o.o_orderdate::TIMESTAMP))
+                  <= 604800
+            ORDER BY abs(epoch(e.ts) - epoch(o.o_orderdate::TIMESTAMP)),
+                     CASE WHEN o.o_orderdate::TIMESTAMP <= e.ts
+                          THEN 0 ELSE 1 END
+            LIMIT 1) AS nearest_order_date
+    FROM events e
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction='nearest' with tolerance (the pandas
+    merge_asof surface, validated property-for-property against pandas
+    in tests): each event picks the user's CLOSEST order date within 7
+    days, ties resolving backward. One hash exchange carries BOTH
+    directions (two window passes over the same partitioning); the gap
+    unit unifies mixed time types (timestamp left, date right →
+    seconds). Null when no order falls inside the tolerance."""
+    e = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+    )
+    out = asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_orderdate"], direction="nearest",
+        tolerance=7 * 86400.0,
+    )
+    return out.withColumnRenamed("o_orderdate", "nearest_order_date")
+
+
+@query(
     "join_q3_revenue",
     oracle="""
     SELECT l.l_orderkey,

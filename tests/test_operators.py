@@ -536,3 +536,77 @@ def test_asof_composite_key(spark):
                         time_buckets=tb)
         got = {(r["sym"], r["venue"], r["t"]): r["bid"] for r in out.collect()}
         assert got == want, tb
+
+
+def test_asof_nearest_and_tolerance_match_pandas(spark):
+    """direction='nearest' and tolerance replicate pandas.merge_asof
+    (the de-facto reference semantics) on randomized numeric frames:
+    nearest picks the closer side with ties resolving BACKWARD (probed:
+    pandas does exactly this), tolerance nulls matches beyond the gap,
+    and both compose. Right (key, time) pairs are unique by
+    construction — equal right timestamps are engine-order-arbitrary in
+    both systems."""
+    import random
+
+    import pandas as pd
+
+    from lazy_frame_spark.operators.joins import asof_join
+
+    rng = random.Random(11)
+    for trial in range(5):
+        keys = ["a", "b", "c"]
+        lrows = [(k, float(rng.randint(0, 50)), i)
+                 for i, k in enumerate(rng.choices(keys, k=25))]
+        rtimes = {k: rng.sample(range(-5, 60), 8) for k in keys}
+        rrows = [(k, float(t), float(100 * ti + 1))
+                 for k in keys for ti, t in enumerate(rtimes[k])]
+        ldf = spark.createDataFrame(lrows, "k string, t double, i long")
+        rdf = spark.createDataFrame(rrows, "k string, rt double, v double")
+        lpd = pd.DataFrame(lrows, columns=["k", "t", "i"]) \
+            .sort_values(["t", "i"]).reset_index(drop=True)
+        rpd = pd.DataFrame(rrows, columns=["k", "rt", "v"]) \
+            .sort_values("rt").reset_index(drop=True)
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 7.0):
+                got = asof_join(
+                    ldf, rdf, on="k", left_time="t", right_time="rt",
+                    value_cols=["v"], direction=direction, tolerance=tol,
+                ).toPandas().set_index("i")["v"].to_dict()
+                want = pd.merge_asof(
+                    lpd, rpd, left_on="t", right_on="rt", by="k",
+                    direction=direction,
+                    **({"tolerance": tol} if tol is not None else {}),
+                ).set_index("i")["v"].to_dict()
+                for i in want:
+                    g, w = got.get(i), want[i]
+                    same = (g == w) or (pd.isna(g) and pd.isna(w))
+                    assert same, (trial, direction, tol, i, g, w)
+
+
+def test_asof_nearest_timestamps_with_tolerance(spark, trades_quotes):
+    """nearest over TIMESTAMP keys: the gap surrogate is seconds, so
+    tolerance is expressed in seconds; B's only quote (1 s ahead) wins
+    under nearest, and a 0.5 s tolerance drops it again."""
+    from lazy_frame_spark.operators.joins import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        value_cols=["bid"], direction="nearest",
+    ).toPandas().set_index(["sym", "px"])
+    assert out.loc[("B", 50.0), "bid"] == 49.0      # forward-only match
+    assert out.loc[("A", 100.0), "bid"] == 99.9     # exact tie -> itself
+    assert str(out.loc[("C", 7.0), "bid"]) == "nan"
+
+    tight = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        value_cols=["bid"], direction="nearest", tolerance=0.5,
+    ).toPandas().set_index(["sym", "px"])
+    assert str(tight.loc[("B", 50.0), "bid"]) == "nan"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(trades, quotes, on="sym", left_time="t",
+                  right_time="qt", value_cols=["bid"],
+                  direction="nearest", time_buckets=4)
