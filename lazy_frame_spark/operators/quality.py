@@ -187,3 +187,39 @@ def check_expectations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document, in basis points
+    (``compressed_bytes * 10000 / raw_utf8_bytes``) — the classic
+    cheap spam/boilerplate signal the MassiveText-family pipelines
+    gate on: templated or repetitive text compresses far below natural
+    prose, random noise barely compresses at all (short inputs can
+    exceed 10000 bp from header overhead). Arrow-batched pandas UDF
+    (zlib is CPU-bound C riding the same scan as the other quality
+    features; nothing shuffles); empty/NULL text → NULL ratio. The
+    ratio is deterministic for a fixed zlib level across platforms
+    (RFC 1950 fixed algorithm parameters per level)."""
+    import zlib
+
+    import pandas as pd
+
+    def ratio(col: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) * 10000 // len(raw)
+
+        return col.map(one)
+
+    ratio.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf("long")(ratio)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("ratio_bp"))

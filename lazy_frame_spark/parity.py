@@ -2196,6 +2196,61 @@ def mix_temperature_uniform(spark, sf_dir):
 
 
 @query(
+    "text_compression_ratio",
+    # invariant oracle: zlib ratios aren't SQL-computable, but the
+    # construction pins each class into a WIDE deterministic band
+    # (measured ~350 / ~2100 / ~5900 bp; zlib per level is a fixed
+    # RFC 1950 algorithm, so the values are platform-stable) — any
+    # class leaving its band flips ok to FALSE and the hash mismatches.
+    oracle="""
+    SELECT o_orderkey AS doc_id,
+           CASE o_orderkey % 3 WHEN 0 THEN 'repeat'
+                WHEN 1 THEN 'natural' ELSE 'hex' END AS klass,
+           TRUE AS ok
+    FROM orders
+    """,
+)
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (quality.compression_ratio —
+    the MassiveText-family cheap spam gate): repeated-character spam
+    compresses to <10% of raw, natural prose to ~20-40%, and
+    pseudo-random hex stays >40%. Every document is built into one of
+    those classes (length varied per id) and its Arrow-batched zlib
+    ratio must land in the class band."""
+    from lazy_frame_spark.operators import quality as _dq
+
+    o = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"))
+    k = F.col("doc_id")
+    sent = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running far away today. ")
+    text = (
+        F.when(k % 3 == 0,
+               F.substr(F.lit("a" * 210), F.lit(1),
+                        (F.lit(200) + k % 7).cast("int")))
+        .when(k % 3 == 1,
+              F.substr(F.lit(sent * 6), F.lit(1),
+                       (F.lit(len(sent)) * (F.lit(3) + k % 3)).cast("int")))
+        .otherwise(F.concat(*[F.md5((k + i).cast("string"))
+                              for i in range(6)]))
+    )
+    docs = o.withColumn("text", text)
+    r = _dq.compression_ratio(docs, "text", "doc_id")
+    klass = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("repeat"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("natural"))
+        .otherwise(F.lit("hex"))
+    )
+    rb = F.col("ratio_bp")
+    ok = (
+        F.when(F.col("doc_id") % 3 == 0, rb < 1000)
+        .when(F.col("doc_id") % 3 == 1, (rb >= 1000) & (rb < 4000))
+        .otherwise(rb >= 4000)
+    )
+    return r.select("doc_id", klass.alias("klass"), ok.alias("ok"))
+
+
+@query(
     "ann_cosine_topk",
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -82,3 +82,30 @@ def test_expect_matches_requires_full_match(spark):
         ).collect()
     }
     assert got["matches(v)"] == 2  # 'xabx' (partial) and 'b' (no match)
+
+
+def test_compression_ratio_values_and_edges(spark):
+    """Exact zlib ratios for fixed inputs (deterministic per level —
+    RFC 1950 fixed algorithm), NULL for empty/None text, and the
+    spam-vs-prose-vs-noise ordering the gate relies on."""
+    import zlib
+
+    from lazy_frame_spark.operators.quality import compression_ratio
+
+    texts = {
+        0: "a" * 200,
+        1: "the quick brown fox jumps over the lazy dog. " * 6,
+        2: "k9$Gz!qPw@3vXr8&TbNm^2cJd7*LhYf4",
+        3: "",
+        4: None,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {r["doc_id"]: r["ratio_bp"]
+           for r in compression_ratio(df).collect()}
+    for i in (0, 1, 2):
+        raw = texts[i].encode("utf-8")
+        want = len(zlib.compress(raw, 6)) * 10000 // len(raw)
+        assert got[i] == want, i
+    assert got[3] is None and got[4] is None
+    assert got[0] < got[1] < got[2]      # spam < prose < noise
