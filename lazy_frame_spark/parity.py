@@ -4121,6 +4121,69 @@ def map_struct_functions(spark, sf_dir):
 
 
 @query(
+    "stream_recent_ewma",
+    # order-independence makes this SQL-checkable: the state keeps the
+    # 20 LATEST (ts, id) rows per user regardless of arrival order, and
+    # the dyadic-weight/integer-cent arithmetic is exact (bounded
+    # denominators), so the streamed feature equals a batch replay
+    # bit-for-bit — no tolerance, no rows-only fallback.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS r
+      FROM events),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT) * POW(2.0, -r)) AS num,
+             SUM(POW(2.0, -r)) AS den
+      FROM ranked WHERE r <= 20 GROUP BY user_id),
+    n AS (SELECT user_id, COUNT(*) AS n_seen FROM events GROUP BY user_id)
+    SELECT a.user_id, n.n_seen,
+           ROUND(num / den / 100.0, 4) AS recent_ewma
+    FROM agg a JOIN n USING (user_id)
+    """,
+)
+def stream_recent_ewma(spark, sf_dir):
+    """Stateful streaming trailing-EWMA (streaming/stateful
+    .running_recent_ewma) executed as a REAL stream (availableNow →
+    memory sink): per user, the exponentially weighted mean of the 20
+    most recent event values. The state is a bounded mergeable synopsis
+    (k latest rows), so the final answer is independent of micro-batch
+    splits and late arrivals — the batch-replay oracle must match
+    exactly."""
+    import hashlib
+
+    from lazy_frame_spark.streaming import stream_events
+    from lazy_frame_spark.streaming.stateful import running_recent_ewma
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/lfs_ewma_events_{tag}"
+    events = _table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = stream_events(spark, d, spark.read.parquet(d).schema)
+    ew = running_recent_ewma(stream, k=20)
+    qname = f"t_ewma_{tag}"
+    q = (
+        ew.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT user_id, n_seen, recent_ewma FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_seen DESC) rn
+          FROM {qname}) WHERE rn = 1
+        """
+    )
+
+
+@query(
     "stream_stateful_profile",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -364,3 +364,104 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_recent_ewma(
+    events: DataFrame,
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key trailing-k EWMA over the k MOST RECENT events — the
+    recent-activity feature a streaming feature store serves.
+
+    State is a bounded MERGEABLE synopsis: the k latest
+    (ts, id, cents) triples per key. Each micro-batch merges its rows
+    into the kept set and re-cuts to k by (ts desc, id desc), so a
+    late-arriving row slots into place and the FINAL state is
+    independent of how the stream batched — unlike a naive recursive
+    EWMA, whose state is arrival-order dependent and unrepairable.
+
+    The arithmetic is deliberately EXACT: values become integer cents,
+    weights are dyadic (2^-r, r = 1..k), so every term and every
+    partial sum is exactly representable (bounded denominators) — the
+    emitted feature is bit-identical under any batch split, and a SQL
+    replay over the same rows reproduces it (the oracle contract).
+    Emits ``(key, n_seen, recent_ewma)`` per touched key per batch
+    (update mode); recent_ewma = (Σ cents_r·2^-r / Σ 2^-r) / 100,
+    rounded to 4.
+    """
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, events.schema[key_col].dataType),
+            StructField("n_seen", LongType()),
+            StructField("recent_ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("cents", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def update_ewma(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (key_val,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts_us, ids, cents, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        triples = list(zip(ts_us, ids, cents))
+        for pdf in batches:
+            n_seen += len(pdf)
+            t_us = pdf[ts_col].astype("int64")
+            i_v = pdf[id_col].astype("int64")
+            c_v = pdf[value_col].astype("float64")
+            for t, i, v in zip(t_us, i_v, c_v):
+                triples.append((int(t), int(i), int(round(v * 100))))
+        triples.sort(key=lambda x: (-x[0], -x[1]))
+        triples = triples[: int(k)]
+        state.update((
+            [t for t, _, _ in triples],
+            [i for _, i, _ in triples],
+            [c for _, _, c in triples],
+            int(n_seen),
+        ))
+        num = 0.0
+        den = 0.0
+        for r, (_t, _i, c) in enumerate(triples, start=1):
+            w = 2.0 ** -r
+            num += c * w
+            den += w
+        ewma = round(num / den / 100.0, 4) if den else None
+        yield _pd.DataFrame(
+            {
+                key_col: [key_val],
+                "n_seen": [int(n_seen)],
+                "recent_ewma": [ewma],
+            }
+        )
+
+    return (
+        events.select(key_col, ts_col, id_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_ewma,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -308,3 +308,49 @@ def test_running_topk_double_id_not_truncated(spark, tmp_path):
     assert got[("click", 1)] == (2.25, 9.0)   # tie at 9.0 -> min id wins
     assert got[("click", 2)] == (2.75, 9.0)
     assert got[("view", 1)] == (0.5, 4.0)
+
+
+def test_recent_ewma_order_independent_and_matches_replay(spark, sf_dir, tmp_path):
+    """The trailing-k EWMA's state is a mergeable synopsis: draining the
+    SAME events one-file-per-trigger in two different physical layouts
+    (time-ordered vs scrambled) must end in IDENTICAL per-user features,
+    equal to a driver-side replay of the exact dyadic arithmetic."""
+    from lazy_frame_spark.streaming.stateful import running_recent_ewma
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value").limit(600)
+    rows = ev.collect()
+
+    def drain(order_col, name):
+        d = str(tmp_path / name)
+        ev.repartition(5, F.col(order_col)).write.mode("overwrite") \
+            .parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(d))
+        q = (running_recent_ewma(stream, k=8).writeStream
+             .format("memory").queryName(f"t_{name}")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["user_id"]: (r["n_seen"], r["recent_ewma"])
+                for r in spark.sql(
+                    f"""SELECT user_id, n_seen, recent_ewma FROM (
+                         SELECT *, row_number() OVER (
+                           PARTITION BY user_id ORDER BY n_seen DESC) rn
+                         FROM t_{name}) WHERE rn = 1""").collect()}
+
+    a = drain("event_id", "ordered")
+    b = drain("value", "scrambled")   # different file assignment
+    assert a == b
+
+    # driver replay of the same dyadic arithmetic
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], int(round(r["value"] * 100))))
+    for uid, triples in per_user.items():
+        triples.sort(key=lambda x: (x[0], x[1]), reverse=True)
+        kept = triples[:8]
+        num = sum(c * 2.0 ** -(i + 1) for i, (_, _, c) in enumerate(kept))
+        den = sum(2.0 ** -(i + 1) for i in range(len(kept)))
+        assert a[uid] == (len(triples), round(num / den / 100.0, 4)), uid
