@@ -854,3 +854,50 @@ def bpe_apply(
     encode.__annotations__ = {"col": pd.Series, "return": pd.Series}
     udf = F.pandas_udf("array<string>")(encode)
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+#: Unicode scripts profiled by script_profile — (label, Java regex
+#: class, RE2/DuckDB class). Java's \p{IsX} and RE2's \p{X} agree on
+#: these (probed); keep the two spellings paired so oracles mirror.
+SCRIPTS: tuple[tuple[str, str, str], ...] = (
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("hiragana", r"\p{IsHiragana}", r"\p{Hiragana}"),
+    ("katakana", r"\p{IsKatakana}", r"\p{Katakana}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+)
+
+
+def script_profile(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Unicode-script composition per document — the routing signal a
+    multilingual pipeline applies BEFORE any language model: per-script
+    character counts (regexp_count over Unicode script classes — pure
+    Catalyst, map-only, one scan) plus the dominant script (highest
+    count; ties resolve in SCRIPTS order, 'none' when no script
+    character appears). Script detection is cheaper and more robust
+    than lang-id for the coarse split (CJK vs Latin vs Cyrillic ...)
+    and catches mixed-script spam (e.g. Cyrillic homoglyphs inside
+    Latin text) that per-language models misroute."""
+    counts = {
+        label: F.regexp_count(F.col(text_col), F.lit(java_re))
+        .cast("bigint").alias(f"n_{label}")
+        for label, java_re, _ in SCRIPTS
+    }
+    out = df.select(F.col(id_col), *counts.values())
+    best = F.lit("none")
+    best_n = F.lit(0).cast("bigint")
+    # first-listed wins ties: iterate REVERSED so an earlier script
+    # (processed later) OVERWRITES an equal count ('>=', guarded by
+    # n > 0 so all-zero rows keep 'none')
+    for label, _j, _r in reversed(SCRIPTS):
+        n = F.col(f"n_{label}")
+        take = (n >= best_n) & (n > 0)
+        best = F.when(take, F.lit(label)).otherwise(best)
+        best_n = F.when(take, n).otherwise(best_n)
+    return out.withColumn("dominant_script", best)

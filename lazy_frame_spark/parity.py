@@ -2196,6 +2196,98 @@ def mix_temperature_uniform(spark, sf_dir):
 
 
 @query(
+    "text_script_profile",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey AS doc_id,
+        CASE o_orderkey % 5
+          WHEN 0 THEN 'the quick brown fox number ' || o_orderkey
+          WHEN 1 THEN 'передовые системы обработки данных '
+                      || o_orderkey
+          WHEN 2 THEN '大规模数据处理系统性能评估 ' || o_orderkey
+          WHEN 3 THEN 'pаypаl sеcurity alеrt nоw ' || o_orderkey
+          ELSE 'データ処理の速度と正確さ大切 ' || o_orderkey
+        END AS text
+      FROM orders),
+    c AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS BIGINT) AS n_latin,
+        CAST(len(regexp_extract_all(text, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_han,
+        CAST(len(regexp_extract_all(text, '\\p{Hiragana}')) AS BIGINT) AS n_hiragana,
+        CAST(len(regexp_extract_all(text, '\\p{Katakana}')) AS BIGINT) AS n_katakana,
+        CAST(len(regexp_extract_all(text, '\\p{Hangul}')) AS BIGINT) AS n_hangul,
+        CAST(len(regexp_extract_all(text, '\\p{Arabic}')) AS BIGINT) AS n_arabic,
+        CAST(len(regexp_extract_all(text, '\\p{Greek}')) AS BIGINT) AS n_greek,
+        CAST(len(regexp_extract_all(text, '\\p{Devanagari}')) AS BIGINT) AS n_devanagari
+      FROM d)
+    SELECT *,
+      CASE WHEN GREATEST(n_latin, n_cyrillic, n_han, n_hiragana,
+                         n_katakana, n_hangul, n_arabic, n_greek,
+                         n_devanagari) = 0 THEN 'none'
+           WHEN n_latin = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'latin'
+           WHEN n_cyrillic = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'cyrillic'
+           WHEN n_han = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'han'
+           WHEN n_hiragana = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'hiragana'
+           WHEN n_katakana = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'katakana'
+           WHEN n_hangul = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'hangul'
+           WHEN n_arabic = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'arabic'
+           WHEN n_greek = GREATEST(n_latin, n_cyrillic, n_han,
+                n_hiragana, n_katakana, n_hangul, n_arabic, n_greek,
+                n_devanagari) THEN 'greek'
+           ELSE 'devanagari' END AS dominant_script
+    FROM c
+    """,
+)
+def text_script_profile(spark, sf_dir):
+    """Unicode-script composition (text.script_profile): per-script
+    character counts + dominant script over a constructed multilingual
+    corpus — English, Russian, Chinese, Japanese (three scripts mixed),
+    and a Cyrillic-homoglyph phishing line — visually Latin text whose
+    nonzero n_cyrillic INSIDE a latin-dominant profile is exactly the
+    mixed-script spam signal the profiler exists to expose (a pure
+    lang-id pass reads it as English). Java's \\p{IsX} and RE2's
+    \\p{X} agree on
+    every profiled script (probed), so the oracle mirrors the counts
+    and the first-max tie-break exactly."""
+    from lazy_frame_spark.operators import text as _t
+
+    o = _table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    txt = (
+        F.when(k % 5 == 0,
+               F.concat(F.lit("the quick brown fox number "),
+                        k.cast("string")))
+        .when(k % 5 == 1,
+              F.concat(F.lit("передовые системы обработки данных "),
+                       k.cast("string")))
+        .when(k % 5 == 2,
+              F.concat(F.lit("大规模数据处理系统性能评估 "), k.cast("string")))
+        .when(k % 5 == 3,
+              F.concat(F.lit("pаypаl sеcurity alеrt nоw "),
+                       k.cast("string")))
+        .otherwise(F.concat(F.lit("データ処理の速度と正確さ大切 "),
+                            k.cast("string")))
+    )
+    docs = o.select(k.alias("doc_id"), txt.alias("text"))
+    return _t.script_profile(docs, "text", "doc_id")
+
+
+@query(
     "text_compression_ratio",
     # invariant oracle: zlib ratios aren't SQL-computable, but the
     # construction pins each class into a WIDE deterministic band

@@ -2550,3 +2550,33 @@ def test_ivfpq_topk_batch_matches_sequential(spark, sf_dir):
                 assert sorted(got[qid]) == sorted(want), (iters, refine,
                                                           qid)
         enc.unpersist()
+
+
+def test_script_profile_rules(spark):
+    """Script detection corners: dominance per script, the first-listed
+    tie-break, the 'none' fallback for digits/punctuation-only text,
+    NULL text, and the mixed-script homoglyph signal (nonzero Cyrillic
+    inside latin-dominant text)."""
+    from lazy_frame_spark.operators.text import script_profile
+
+    cases = [
+        (0, "hello world"),
+        (1, "привет мир"),
+        (2, "你好世界"),
+        (3, "ひらがなとカタカナ"),
+        (4, "12345 !!! ..."),
+        (5, None),
+        (6, "pаypаl alеrt"),          # Cyrillic а/е homoglyphs inside
+        (7, "ab ой"),                  # 2 latin vs 2 cyrillic: tie
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    assert got[0]["dominant_script"] == "latin"
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[2]["dominant_script"] == "han" and got[2]["n_han"] == 4
+    assert got[3]["dominant_script"] == "hiragana"  # 6 hira vs 4 kata
+    assert got[3]["n_katakana"] == 4
+    assert got[4]["dominant_script"] == "none"
+    assert got[5]["dominant_script"] == "none"
+    assert got[6]["dominant_script"] == "latin" and got[6]["n_cyrillic"] > 0
+    assert got[7]["dominant_script"] == "latin"     # tie -> first listed
