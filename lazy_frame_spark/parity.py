@@ -7976,10 +7976,14 @@ DRIVER_WINDOW: list[str] = [
     # after four green rounds each, rounds 4-7 — both stay registered
     # and locally checked; their slots fund the round-7 late additions)
     "multimodal_png_roundtrip",
-    # streaming
+    # streaming (round-8 rotation: stream_stateful_profile past the cap
+    # after five green rounds — the stateful slot goes to the round's
+    # new trailing-EWMA operator, whose bounded mergeable synopsis is
+    # bit-exact against the batch replay with NO tolerance, a strictly
+    # stronger stateful check than the commutative count/sum profile)
     "stream_tumbling_window",
     "stream_session_window",
-    "stream_stateful_profile",
+    "stream_recent_ewma",
     # UDF / UDAF / UDTF
     "udf_token_count_vectorized",
     "udaf_weighted_avg",
