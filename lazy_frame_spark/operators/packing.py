@@ -99,3 +99,72 @@ def bin_stats(
             F.floor(F.col("n_tokens") * 10000 / budget_tokens).cast("bigint"),
         )
     )
+
+
+#: sentence boundary: terminal punctuation run followed by whitespace.
+#: Kept lookaround-free so Java (Spark) and RE2 (DuckDB) mirror exactly:
+#: the boundary is marked with a \x01 sentinel, then split.
+SENTENCE_BOUNDARY_RE = r"([.!?]+)\s+"
+
+
+def sentence_chunks(
+    df: DataFrame,
+    target_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-AWARE chunking — the RAG-standard chunker: documents
+    split at sentence boundaries (terminal punctuation + whitespace; a
+    sentinel-insertion split, no lookbehind, so the rule mirrors on RE2
+    engines), and whole sentences pack into ~``target_tokens`` chunks
+    by cumulative-token bucketing (``chunk_id = floor(tokens_before /
+    target)``) — a sentence NEVER splits across chunks, and a chunk
+    overflows by at most one sentence (same best-effort contract as
+    ``pack_sequences``). Deterministic, shuffle-light: tokenize once,
+    posexplode sentences, one per-document window cumsum (bounded by
+    document length, never corpus length), hash-aggregate re-join.
+    Abbreviation dots ("e.g. x") are honest false boundaries — the 90%
+    rule at corpus scale; a model-based splitter plugs in upstream by
+    materializing its own sentence column."""
+    from pyspark.sql import Window
+
+    marked = F.regexp_replace(F.col(text_col), SENTENCE_BOUNDARY_RE,
+                              "$1\x01")
+    sents = F.filter(
+        F.transform(F.split(marked, "\x01"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    ex = df.select(F.col(id_col), sents.alias("__sents__")).select(
+        F.col(id_col),
+        F.posexplode("__sents__").alias("__pos__", "sentence"),
+    )
+    n_tok = F.size(F.split(F.col("sentence"), r"\s+")).cast("bigint")
+    w = Window.partitionBy(id_col).orderBy("__pos__")
+    run = ex.select(
+        F.col(id_col), F.col("__pos__"), F.col("sentence"),
+        n_tok.alias("__n__"),
+    ).withColumn(
+        "__before__",
+        F.coalesce(F.sum("__n__").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    chunked = run.withColumn(
+        "chunk_id",
+        F.floor(F.col("__before__") / F.lit(int(target_tokens)))
+        .cast("bigint"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.sum("__n__").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos__", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -2196,6 +2196,67 @@ def mix_temperature_uniform(spark, sf_dir):
 
 
 @query(
+    "text_sentence_chunks",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_replace(text,
+               '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+               '\1. ', 'g') AS text
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(
+                   regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+                   chr(1)),
+                 s -> trim(s)),
+               s -> length(s) > 0) AS sents
+      FROM p),
+    e AS (
+      SELECT doc_id,
+             generate_subscripts(sents, 1) AS pos,
+             unnest(sents) AS sentence
+      FROM d),
+    r AS (
+      SELECT doc_id, pos, sentence,
+             CAST(len(string_split_regex(sentence, '\s+')) AS BIGINT) AS n,
+             COALESCE(SUM(CAST(len(string_split_regex(sentence, '\s+'))
+                               AS BIGINT))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS before
+      FROM e)
+    SELECT doc_id, CAST(FLOOR(before / 24) AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           string_agg(sentence, ' ' ORDER BY pos) AS chunk_text
+    FROM r GROUP BY doc_id, CAST(FLOOR(before / 24) AS BIGINT)
+    """,
+)
+def text_sentence_chunks(spark, sf_dir):
+    """Sentence-aware chunking (packing.sentence_chunks — the RAG
+    chunker): documents gain a period every five words (constructed
+    identically in both engines), split at sentence boundaries via the
+    lookaround-free sentinel rule, and whole sentences pack into
+    ~24-token chunks by cumulative bucketing — a sentence never splits
+    across chunks. The oracle replays split, token counts, the
+    exclusive running sum, bucketing, and the ordered re-join exactly."""
+    from lazy_frame_spark.operators import packing as _pk
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"),
+            r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ",
+            r"$1. ",
+        ).alias("text"),
+    )
+    return _pk.sentence_chunks(d, target_tokens=24)
+
+
+@query(
     "text_script_profile",
     oracle="""
     WITH d AS (

@@ -2580,3 +2580,41 @@ def test_script_profile_rules(spark):
     assert got[5]["dominant_script"] == "none"
     assert got[6]["dominant_script"] == "latin" and got[6]["n_cyrillic"] > 0
     assert got[7]["dominant_script"] == "latin"     # tie -> first listed
+
+
+def test_sentence_chunks_rules(spark):
+    """Sentence-chunking corners: sentences never split across chunks,
+    a chunk overflows by at most one sentence, abbreviation-free
+    boundary rule ([.!?]+ + whitespace), no-boundary documents yield
+    one chunk, empty/None behave, and reassembling chunks in order
+    reproduces the sentence stream."""
+    from lazy_frame_spark.operators.packing import sentence_chunks
+
+    docs = [
+        (0, "one two three. four five six! seven eight? nine ten."),
+        (1, "no boundary here just words"),
+        (2, "a. b. c. d. e. f. g. h."),
+        (3, ""),
+        (4, None),
+        (5, "ends mid sentence"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sentence_chunks(df, target_tokens=6).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: sentences of 3/3/2/2 tokens; chunks at before//6:
+    # [0,3)->0, [3,6)->0, [6,8)->1, [8,10)->1
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["n_sentences"], r["n_tokens"]) for r in c0] \
+        == [(0, 2, 6), (1, 2, 4)]
+    assert c0[0]["chunk_text"] == "one two three. four five six!"
+    assert c0[1]["chunk_text"] == "seven eight? nine ten."
+    # no boundary -> single chunk, intact
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == docs[1][1]
+    # 8 single-token sentences at target 6 -> chunks of 6 and 2
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [(r["n_sentences"], r["n_tokens"]) for r in c2] == [(6, 6), (2, 2)]
+    # empty / NULL produce no rows
+    assert 3 not in by_doc and 4 not in by_doc
+    assert by_doc[5][0]["chunk_text"] == "ends mid sentence"
