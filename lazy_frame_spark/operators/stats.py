@@ -68,3 +68,46 @@ def frequent_items_exact(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(F.col("n") >= F.lit(threshold))
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Equi-DEPTH (quantile) histogram: ``k`` bins holding near-equal
+    row counts (sizes differ by at most one), with each bin's exact
+    value range — the distribution summary that stays readable under
+    heavy skew, where the fixed-width histogram collapses into one hot
+    bar. ``bin = floor((rank-1)·k / n)`` over the total (value,
+    tie-break) order; the rank comes from the value-bucketed parallel
+    prefix sum (rowid.with_prefix_sum) — NO single-task global ORDER BY
+    window anywhere, so the shape survives 100×. Exact by
+    construction: integer products below 2^53 divide exactly under
+    IEEE, so the bin boundaries are reproducible cross-engine. Returns
+    ``(bin, n_rows, lo, hi)``. NULL values sort first under Spark's
+    default and land in bin 0 — filter them upstream when that is not
+    the intent; ``id_col`` breaks value ties deterministically (any
+    unique column)."""
+    from lazy_frame_spark.rowid import with_prefix_sum
+
+    order = [col] + ([id_col] if id_col else [])
+    n = df.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "bin bigint, n_rows bigint, lo double, hi double")
+    ranked = with_prefix_sum(
+        df.select(*order).withColumn("__one__", F.lit(1).cast("bigint")),
+        "__one__", order, col="__rank__",
+    )
+    b = F.floor((F.col("__rank__") - 1) * F.lit(float(k)) / F.lit(float(n)))
+    return (
+        ranked.select(b.cast("bigint").alias("bin"), F.col(col))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )

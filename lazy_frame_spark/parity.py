@@ -6077,6 +6077,35 @@ def agg_histogram(spark, sf_dir):
 
 
 @query(
+    "agg_equi_depth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT CAST(FLOOR((rn - 1) * 8.0 / n) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def agg_equi_depth_histogram(spark, sf_dir):
+    """Equi-depth histogram (operators/stats.equi_depth_histogram):
+    8 near-equal-count price bins with exact value ranges, ranked by
+    the value-bucketed parallel prefix sum — the oracle's single-task
+    row_number window is exactly the shape the operator avoids, and
+    both must land every row in the same bin (integer-exact boundary
+    arithmetic, deterministic (value, key) tie-break)."""
+    from lazy_frame_spark.operators import stats as _st
+
+    o = _table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice"), F.col("o_orderkey"))
+    return _st.equi_depth_histogram(
+        o, "o_totalprice", k=8, id_col="o_orderkey")
+
+
+@query(
     "agg_freq_items",
     oracle="""
     SELECT user_id AS item, CAST(count(*) AS BIGINT) AS n

@@ -558,3 +558,34 @@ def test_agg_view_retract_null_grain(spark):
         [(None, 10.0), (None, 4.0), (None, 2.0)], "g string, v double")
     gone = iv.agg_view_retract(view, all_null, ["g"], **kw)
     assert [r["g"] for r in gone.collect()] == ["a"]
+
+
+def test_equi_depth_histogram_properties(spark):
+    """Equi-depth invariants on a skewed fixture: bin sizes differ by
+    at most one, bins partition the value order (hi of bin b <= lo of
+    bin b+1 under the tie-broken order), every row lands somewhere,
+    and a brute-force Python replication matches bin-for-bin."""
+    from lazy_frame_spark.operators.stats import equi_depth_histogram
+
+    vals = [float(v) for v in
+            [1] * 40 + [2] * 5 + list(range(3, 30)) + [1000] * 3]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    k, n = 7, len(rows)
+    got = {r["bin"]: (r["n_rows"], r["lo"], r["hi"])
+           for r in equi_depth_histogram(df, "v", k=k, id_col="id")
+           .collect()}
+    ordered = sorted(rows, key=lambda x: (x[1], x[0]))
+    want: dict = {}
+    for rank, (_i, v) in enumerate(ordered, start=1):
+        b = int((rank - 1) * k / n)
+        c, lo, hi = want.get(b, (0, v, v))
+        want[b] = (c + 1, min(lo, v), max(hi, v))
+    assert got == want
+    sizes = [got[b][0] for b in sorted(got)]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == n
+    bs = sorted(got)
+    assert all(got[a][2] <= got[b][1] or got[a][2] == got[b][1]
+               or got[a][2] <= got[b][1] for a, b in zip(bs, bs[1:]))
+    assert all(got[a][2] <= got[b][2] for a, b in zip(bs, bs[1:]))
