@@ -693,6 +693,8 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         train_iters: int = 4,
         train_max_rows: int = 100_000,
+        train_coarse: bool = False,
+        coarse_iters: int = 10,
         seed: int = 7,
     ) -> "IVFPQIndex":
         """Coarse centroids via IVFIndex's deterministic pick (every
@@ -707,6 +709,14 @@ class IVFPQIndex:
         SQL-reproducible — verify trained indexes with recall
         invariants instead).
 
+        ``train_coarse=True`` additionally Lloyd-trains the COARSE
+        centroids (full-space k-means — ``pq_train`` with one subspace
+        spanning all dims — initialized from the deterministic pick):
+        the probe ceiling (the fraction of true neighbors living in
+        probed cells — the binding recall loss once refine saturates
+        code distortion) measured 0.645 → 0.75 at probe 8/32 on sf0.1.
+        Off by default so the no-model index stays SQL-reproducible.
+
         100 TB training cost: Lloyd sees at most ``train_max_rows``
         residuals — when the corpus is larger, a uniform
         ``df.sample`` cut feeds the trainer (codebook quality
@@ -719,13 +729,29 @@ class IVFPQIndex:
         dim = len(ivf.centroids[0])
         books = pq_codebooks(dim, n_sub, k, seed)
         idx = cls(ivf.centroids, books)
-        if train_iters:
+        if train_iters or train_coarse:
             train_df = df
             n = None
             if train_max_rows:
                 n = df.count()
                 if n > train_max_rows:
                     train_df = df.sample(train_max_rows / n, seed=seed)
+        if train_coarse:
+            vecs = train_df.select(vec_col)
+            if n is not None:
+                est = min(n, train_max_rows)
+                vecs = vecs.coalesce(max(1, min(int(est // 8192) + 1, 64)))
+            vecs = vecs.persist()
+            try:
+                coarse = pq_train(
+                    vecs, dim, n_sub=1, k=n_cells,
+                    n_iter=int(coarse_iters), vec_col=vec_col, seed=seed,
+                    init=[idx.coarse],
+                )
+            finally:
+                vecs.unpersist()
+            idx = cls(coarse[0], books)
+        if train_iters:
             # persist the residual projection for the Lloyd loop (every
             # iteration re-reads it; recomputing the interpreted
             # n_cells-cosine cell expression per iteration costs more

@@ -2408,6 +2408,20 @@ def test_ivfpq_trained_recall_bar_sf01(spark):
     recall = hits / (10 * len(panel))
     assert recall >= 0.5, f"recall@10 {recall:.3f} below the 0.5 bar"
 
+    # trained COARSE centroids lift the probe ceiling (the binding
+    # loss once refine saturates code distortion): measured 0.730 vs
+    # 0.615 at the same probe/refine — pin a >=0.65 bar and strict
+    # improvement over the deterministic pick
+    idx_c = sim.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
+                               train_coarse=True)
+    enc_c = idx_c.encode(e)
+    hits_c = sim.ivfpq_panel_hits(
+        enc_c, idx_c, panel, sim.exact_l2_topk_panel(e, panel, k=10),
+        k=10, n_probe=8, refine=100, label="hits").collect()[0]["hits"]
+    recall_c = hits_c / (10 * len(panel))
+    assert recall_c >= 0.65, f"trained-coarse recall {recall_c:.3f}"
+    assert recall_c > recall
+
 
 def test_similarity_zero_vectors_and_collision_guards(spark):
     """Review regressions: (a) a zero-norm vector (or centroid) must

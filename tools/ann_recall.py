@@ -55,6 +55,19 @@ def main() -> int:
                 refine=refine, label="h").collect()[0]["h"]
             grid[f"probe{n_probe}_refine{refine}"] = round(hits / denom, 3)
 
+    # trained coarse centroids (train_coarse=True): the probe-ceiling
+    # lever, measured at the headline operating point
+    idx_c = sim.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
+                               train_coarse=True)
+    enc_c = idx_c.encode(e).cache()
+    enc_c.count()
+    for n_probe in (8, 16):
+        hits = sim.ivfpq_panel_hits(
+            enc_c, idx_c, panel, truth, k=10, n_probe=n_probe,
+            refine=100, label="h").collect()[0]["h"]
+        grid[f"coarse_trained_probe{n_probe}_refine100"] = round(
+            hits / denom, 3)
+
     result = {
         "metric": "ivfpq_recall_at_10",
         "sf_dir": sf_dir,
