@@ -107,7 +107,12 @@ class LazyFrame:
         the fast path is free and the slow path costs exactly what it
         used to. Escapes: ``infer_schema=True`` (always full pass),
         ``"sample"`` (unverified, reference-style), ``False`` (all
-        strings), or an explicit ``schema=``.
+        strings), or an explicit ``schema=``. The ``skip=N`` path is
+        the exception: it parses per-line with the head-sampled schema
+        and has NO corrupt channel (from_csv gives no per-row failure
+        signal), so verification and the automatic fallback do not
+        apply there — pass an explicit schema when a skip-file's types
+        may surprise.
 
         ``cache=False`` skips persisting the enumerated frame: the right
         mode for ONE-shot positional queries (open → slice → done), where

@@ -309,13 +309,18 @@ def _gap_unit(a, b) -> str:
 def _time_surrogate(col: Column, dtype, unit: str) -> Column:
     """Monotone numeric surrogate for gap arithmetic, expressed in the
     shared ``unit`` (Spark 4 forbids direct date/timestamp -> double
-    casts): dates are epoch days (x 86400 when the unit is seconds),
-    timestamps epoch seconds."""
+    casts): dates are epoch days, timestamps epoch seconds. In the
+    seconds unit a DATE goes through the SAME date->timestamp cast the
+    tagged union applies (session-local midnight) — deriving it from
+    unix_date (UTC midnight) instead would disagree with the union's
+    ordering by the session's timezone offset and let a future match
+    score a negative gap."""
     import pyspark.sql.types as T
 
     if isinstance(dtype, T.DateType):
-        days = F.unix_date(col).cast("double")
-        return days * F.lit(86400.0) if unit == "seconds" else days
+        if unit == "seconds":
+            return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+        return F.unix_date(col).cast("double")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
     return col.cast("double")

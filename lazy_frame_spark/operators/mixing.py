@@ -150,7 +150,11 @@ def mix_temperature(
     map-side acceptance filter — same scan shape as ``mix_corpora``
     (ONE pass over the corpus; the count agg is partial-aggregated)."""
     rows = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("c")).collect()
-    counts = {r[domain_col]: r["c"] for r in rows}
+    # NULL domains are dropped (rate 0 via default_bp): a None key
+    # would crash the sorted() rate chain, and an unattributed row has
+    # no defensible share in a domain mix anyway
+    counts = {r[domain_col]: r["c"] for r in rows
+              if r[domain_col] is not None}
     rates = rates_for_target_mix(counts, temperature_weights(counts, alpha))
     return sample_by_rates(
         df, domain_col, rates, id_cols=id_cols, seed=seed, default_bp=0

@@ -658,6 +658,35 @@ def pq_train(
     return books
 
 
+def _cell_assign_batch(V, C, cn):
+    """The ONE shared Arrow-batch coarse-cell assignment: ascending
+    left-associated float64 folds (norms, dots) → cosine argmax with
+    non-finite rows pinned to cell 0. Both ``IVFPQIndex.encode`` and
+    ``IVFPQIndex._with_residual`` call this — the bit-parity between
+    encoding, residual training, and the Catalyst expression form is a
+    pinned property, so the logic must not fork. Returns
+    ``(cells, finite)``."""
+    import numpy as np
+
+    n = V.shape[0]
+    n_cells, dim = C.shape
+    nv = np.zeros(n)
+    for i in range(dim):
+        nv = nv + V[:, i] * V[:, i]
+    nv = np.sqrt(nv)
+    dots = np.zeros((n, n_cells))
+    for i in range(dim):
+        dots = dots + V[:, i:i + 1] * C[:, i][None, :]
+    sims = dots / (nv[:, None] * cn[None, :])
+    finite = np.isfinite(V).all(axis=1) & np.isfinite(sims).all(axis=1)
+    cells = np.zeros(n, dtype=np.int64)
+    if n:
+        safe = np.where(np.isnan(sims), -np.inf, sims)
+        cells = np.argmax(safe, axis=1)
+        cells[~finite] = 0
+    return cells, finite
+
+
 class IVFPQIndex:
     """IVF + PQ composition — the standard billion-scale ANN layout:
     coarse cells prune the scan (probe only the n_probe cells nearest
@@ -817,21 +846,7 @@ class IVFPQIndex:
                     for v in pdf[vec_col].to_numpy()
                 ]).astype(np.float64) if len(pdf) else np.zeros((0, dim))
                 n = V.shape[0]
-                nv = np.zeros(n)
-                for i in range(dim):
-                    nv = nv + V[:, i] * V[:, i]
-                nv = np.sqrt(nv)
-                dots = np.zeros((n, n_cells))
-                for i in range(dim):
-                    dots = dots + V[:, i:i + 1] * C[:, i][None, :]
-                sims = dots / (nv[:, None] * cn[None, :])
-                finite = (np.isfinite(V).all(axis=1)
-                          & np.isfinite(sims).all(axis=1))
-                cells = np.zeros(n, dtype=np.int64)
-                if n:
-                    safe = np.where(np.isnan(sims), -np.inf, sims)
-                    cells = np.argmax(safe, axis=1)
-                    cells[~finite] = 0
+                cells, finite = _cell_assign_batch(V, C, cn)
                 R = V - C[cells]
                 out = pdf[in_cols].copy()
                 out["__ivf_cell__"] = cells.astype("int32")
@@ -899,20 +914,7 @@ class IVFPQIndex:
                     for v in pdf[vec_col].to_numpy()
                 ]).astype(np.float64) if len(pdf) else np.zeros((0, dim))
                 n = V.shape[0]
-                nv = np.zeros(n)
-                for i in range(dim):
-                    nv = nv + V[:, i] * V[:, i]
-                nv = np.sqrt(nv)
-                dots = np.zeros((n, n_cells))
-                for i in range(dim):
-                    dots = dots + V[:, i:i + 1] * C[:, i][None, :]
-                sims = dots / (nv[:, None] * cn[None, :])
-                finite = np.isfinite(V).all(axis=1) & np.isfinite(sims).all(axis=1)
-                cells = np.zeros(n, dtype=np.int64)
-                if n:
-                    safe = np.where(np.isnan(sims), -np.inf, sims)
-                    cells = np.argmax(safe, axis=1)
-                    cells[~finite] = 0
+                cells, finite = _cell_assign_batch(V, C, cn)
                 R = V - C[cells]
                 codes = np.empty((n, S), dtype=np.int32)
                 for s in range(S):

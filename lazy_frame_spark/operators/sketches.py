@@ -344,6 +344,16 @@ def cms_topk(
     pair at width >= 2/support)."""
     if partials is None:
         partials = cms_partials(df, [], col, depth=depth, width=width)
+    elif set(partials.columns) != {"i", "j", "n"}:
+        # a grain-keyed maintained sketch would join on (i, j) alone
+        # here, min'ing across grains instead of summing them — a
+        # silently wrong ranking. Refuse; collapsing grains is one
+        # cms_merge away.
+        raise ValueError(
+            "cms_topk needs an UNGROUPED sketch (columns i, j, n); got "
+            f"{partials.columns} — cms_merge(partials) across the grain "
+            "columns first"
+        )
     cand_vals = df.stat.freqItems([col], support).collect()[0][
         f"{col}_freqItems"]
     spark = df.sparkSession

@@ -93,15 +93,18 @@ def equi_depth_histogram(
     from lazy_frame_spark.rowid import with_prefix_sum
 
     order = [col] + ([id_col] if id_col else [])
-    n = df.count()
-    if n == 0:
-        return df.sparkSession.createDataFrame(
-            [], "bin bigint, n_rows bigint, lo double, hi double")
+    # the row total rides the plan as a broadcast 1-row aggregate
+    # instead of a separate driver-side count() — that was a whole
+    # extra pass over the corpus; this also makes the empty-input case
+    # fall out naturally with the column's OWN lo/hi types (a
+    # hardcoded empty schema diverged from the non-empty one)
+    total = F.broadcast(
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("__n__")))
     ranked = with_prefix_sum(
         df.select(*order).withColumn("__one__", F.lit(1).cast("bigint")),
         "__one__", order, col="__rank__",
-    )
-    b = F.floor((F.col("__rank__") - 1) * F.lit(float(k)) / F.lit(float(n)))
+    ).crossJoin(total)
+    b = F.floor((F.col("__rank__") - 1) * F.lit(int(k)) / F.col("__n__"))
     return (
         ranked.select(b.cast("bigint").alias("bin"), F.col(col))
         .groupBy("bin")

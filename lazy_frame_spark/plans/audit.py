@@ -172,6 +172,7 @@ BNLJ_BOUNDED_BUILD = {
     "lm_perplexity",                            # 1-row vocabulary size
     "graph_pagerank",                           # 1-row dangling mass
     "agg_approx_percentile_rank",               # 1-row totals
+    "agg_equi_depth_histogram",                 # 1-row row total
     "sample_bernoulli",                         # 1-row expected-count
     "sketch_kll_quantiles",                     # 1-row merged sketch
     "join_q22_dormant_customers",               # 1-row scalar AVG

@@ -90,7 +90,8 @@ def open_csv(
     # open's fixed cost for nothing
     n_head = (VERIFY_SAMPLE_LINES if infer_schema == "verified"
               and schema is None else SAMPLE_LINES + 1)
-    sample = _sample_lines(spark, path, skip, n_head, comment=comment)
+    sample = _sample_lines(spark, path, skip, n_head, comment=comment,
+                           encoding=encoding)
     if not sample:
         raise ValueError(f"empty input: {path}")
     parsed = _parse_lines(sample, sep, quote)
@@ -211,7 +212,9 @@ def _open_with_skip(
     return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop))
 
 
-def _local_head_lines(path: str, n: int) -> list[str] | None:
+def _local_head_lines(
+    path: str, n: int, encoding: str | None = None
+) -> list[str] | None:
     """Head peek for LOCAL paths without any Spark job: resolve the
     file (or the sorted data files of a directory, matching Hadoop's
     listing order), stream the first ``n`` lines with plain Python —
@@ -239,7 +242,8 @@ def _local_head_lines(path: str, n: int) -> list[str] | None:
         out: list[str] = []
         for f in files:
             opener = _gz.open if f.endswith(".gz") else open
-            with opener(f, "rt", encoding="utf-8", errors="replace") as fh:
+            with opener(f, "rt", encoding=encoding or "utf-8",
+                        errors="replace") as fh:
                 for line in fh:
                     out.append(line.rstrip("\n").rstrip("\r"))
                     if len(out) >= n:
@@ -250,13 +254,20 @@ def _local_head_lines(path: str, n: int) -> list[str] | None:
 
 
 def _sample_lines(
-    spark: SparkSession, path: str, skip: int, n: int, comment: str | None = None
+    spark: SparkSession,
+    path: str,
+    skip: int,
+    n: int,
+    comment: str | None = None,
+    encoding: str | None = None,
 ) -> list[str]:
     """First ``n`` lines after ``skip`` — a driver-side peek at the head of
     the file (the reference extracts rows 1..5 to a temp file); reads only
     the first split, never the whole file. Local paths are read directly
-    by the driver (no job at all); remote schemes pay one tiny take()."""
-    taken = _local_head_lines(path, skip + n + 32)
+    by the driver (no job at all, honoring ``encoding``); remote schemes
+    pay one tiny take() (textFile decodes UTF-8 — non-UTF-8 REMOTE files
+    should pass an explicit schema)."""
+    taken = _local_head_lines(path, skip + n + 32, encoding=encoding)
     if taken is None:
         taken = spark.sparkContext.textFile(path).take(skip + n + 32)
     if comment is not None:
@@ -341,8 +352,14 @@ def _infer_field_type(values: list[str]) -> T.DataType:
 def _infer_schema_from_sample(
     rows: list[list[str]], names: list[str] | None
 ) -> T.StructType:
-    ncol = max(len(r) for r in rows) if rows else 0
-    if names is None:
+    # with a header, the HEADER defines the width — a ragged sample row
+    # wider than it must not widen the schema (its extra fields land in
+    # the corrupt channel under verified mode; indexing names[i] past
+    # the header crashed here before)
+    if names is not None:
+        ncol = len(names)
+    else:
+        ncol = max(len(r) for r in rows) if rows else 0
         names = [f"V{i + 1}" for i in range(ncol)]
     fields = []
     for i in range(ncol):

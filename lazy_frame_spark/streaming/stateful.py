@@ -426,6 +426,11 @@ def running_recent_ewma(
         triples = list(zip(ts_us, ids, cents))
         for pdf in batches:
             n_seen += len(pdf)
+            # drop null/NaN rows instead of killing the micro-batch:
+            # int(round(nan)) raises, and a valueless event carries no
+            # signal for the feature anyway (n_seen still counts it)
+            ok = pdf[[ts_col, id_col, value_col]].notna().all(axis=1)
+            pdf = pdf[ok]
             t_us = pdf[ts_col].astype("int64")
             i_v = pdf[id_col].astype("int64")
             c_v = pdf[value_col].astype("float64")

@@ -247,3 +247,21 @@ def test_open_csv_verified_exposes_corrupt_channel(spark, plain_csv):
         *[F.count(c).alias(f"c_{c}") for c in df.columns[:-1]],
     ).collect()[0]
     assert int(row["bad"] or 0) == 0  # 5-row file: the sample saw it all
+
+
+def test_verified_infer_ragged_head_row(spark, tmp_path):
+    """A sample row WIDER than the header must not widen the schema (or
+    crash the open, as indexing names past the header once did): the
+    header defines the width, the ragged row lands in the corrupt
+    channel, and the cached open falls back to full inference — which
+    tolerates it the way the old default did."""
+    p = tmp_path / "ragged.csv"
+    rows = [f"{i},x{i}" for i in range(50)]
+    rows[7] = "7,x7,EXTRA"                       # wider than the header
+    p.write_text("a,b\n" + "\n".join(rows) + "\n")
+    lf = LazyFrame.open(spark, str(p), format="csv")
+    df = lf._with_ids()
+    assert [c for c in df.columns if c != "__row_id__"] == ["a", "b"]
+    assert df.count() == 50
+    assert df.filter("a = 7").count() == 1       # ragged row survived
+    lf.close()
