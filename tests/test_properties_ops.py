@@ -603,3 +603,84 @@ def test_html_to_text_documented_divergences(spark):
     assert got[1] != _html_to_text_twin(cases[1])
     assert "var x" in got[1]                         # body leaks as text
     assert got[2] == _html_to_text_twin(cases[2])    # both leak the head
+
+
+# --------------------------------------------------------------------- #
+# verified sample-infer CSV open vs a DuckDB read of the same file
+# --------------------------------------------------------------------- #
+
+_cell_kinds = st.sampled_from(["int", "float", "str", "empty"])
+
+
+def _cell(kind: str, rng_val: int) -> str:
+    if kind == "int":
+        return str(rng_val - 500)
+    if kind == "float":
+        return f"{(rng_val - 500) / 8:.3f}"
+    if kind == "str":
+        return f"s{rng_val}"
+    return ""
+
+
+_col_plan = st.tuples(_cell_kinds, _cell_kinds, st.integers(0, 4))
+
+
+@SETTINGS
+@given(
+    plans=st.lists(_col_plan, min_size=1, max_size=4),
+    n_rows=st.integers(3, 60),
+    flip_at=st.integers(0, 59),
+    data=st.data(),
+)
+def test_verified_open_always_ends_correct(spark, tmp_path_factory,
+                                           plans, n_rows, flip_at, data):
+    """The verified-infer contract, fuzzed: columns whose cell KIND can
+    flip mid-file (int→float, float→str, anything→empty...) at a row
+    the head sample may or may not see. Whatever the sample concluded,
+    the cached open must end with values equal to DuckDB's
+    all-varchar read of the same file — either the sampled schema held
+    (fast path) or the corrupt channel forced the full-infer fallback.
+    Silent nulling is the failure mode this hunts. Two generator
+    guards keep this about TYPE inference: no fully-blank line (Spark's
+    CSV reader skips blank lines by standard-CSV semantics) and
+    header=True passed explicitly (the auto-detect heuristic has no
+    signal on all-string columns — the reference's own contract)."""
+    import duckdb
+
+    rows = []
+    for i in range(n_rows):
+        cells = []
+        for a, b, salt in plans:
+            kind = a if i < flip_at else b
+            cells.append(_cell(kind, (i * 7 + salt * 13) % 1000))
+        if all(c == "" for c in cells):
+            cells[0] = f"s{i}"
+        rows.append(",".join(cells))
+    header = ",".join(f"c{j}" for j in range(len(plans)))
+    p = tmp_path_factory.mktemp("fuzzcsv") / "f.csv"
+    p.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+    from lazy_frame_spark import LazyFrame
+
+    lf = LazyFrame.open(spark, str(p), format="csv", header=True)
+    got = lf._with_ids().orderBy("__row_id__").drop("__row_id__") \
+        .toPandas()
+    want = duckdb.sql(
+        f"SELECT * FROM read_csv('{p}', header=true, "
+        "all_varchar=true, nullstr='')").df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        for i in range(len(got)):
+            g, w = got[c].iloc[i], want[c].iloc[i]
+            if g is None or (isinstance(g, float) and g != g):
+                assert w is None or w != w or w is None, (c, i, g, w)
+            elif w is None:
+                raise AssertionError((c, i, g, w))
+            else:
+                # compare through the string domain: '12' == 12 == 12.0
+                try:
+                    assert float(g) == float(w), (c, i, g, w)
+                except (TypeError, ValueError):
+                    assert str(g) == str(w), (c, i, g, w)
+    lf.close()
