@@ -684,3 +684,48 @@ def test_verified_open_always_ends_correct(spark, tmp_path_factory,
                 except (TypeError, ValueError):
                     assert str(g) == str(w), (c, i, g, w)
     lf.close()
+
+
+# --------------------------------------------------------------------- #
+# sentence chunking vs a Python replay of the exact rule
+# --------------------------------------------------------------------- #
+
+def _brute_sentence_chunks(text, target):
+    import re
+
+    marked = re.sub(r"([.!?]+)\s+", "\\1\x01", text)
+    sents = [s.strip() for s in marked.split("\x01") if s.strip()]
+    out = {}
+    before = 0
+    for pos, s in enumerate(sents):
+        n = len(re.split(r"\s+", s))
+        b = before // target
+        cnt, toks, parts = out.get(b, (0, 0, []))
+        out[b] = (cnt + 1, toks + n, parts + [s])
+        before += n
+    return {b: (c, t, " ".join(parts)) for b, (c, t, parts) in out.items()}
+
+
+_sent_piece = st.one_of(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=1, max_size=6).map(" ".join),
+    st.sampled_from([". ", "! ", "? ", "?! ", "... ", ".\n", "  "]),
+)
+_sent_doc = st.lists(_sent_piece, min_size=0, max_size=10).map("".join)
+
+
+@SETTINGS
+@given(texts=st.lists(_sent_doc, min_size=1, max_size=6),
+       target=st.integers(2, 9))
+def test_sentence_chunks_match_bruteforce(spark, texts, target):
+    from lazy_frame_spark.operators.packing import sentence_chunks
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in sentence_chunks(df, target_tokens=target).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["n_sentences"], r["n_tokens"], r["chunk_text"])
+    for i, t in docs:
+        want = _brute_sentence_chunks(t, target)
+        assert got.get(i, {}) == want, (i, repr(t))
