@@ -51,6 +51,25 @@ def _default_buckets(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def _warn_sample_unverified() -> None:
+    """One-time (per call-site) warning for opens that keep a
+    sample-inferred schema WITHOUT the corrupt-channel verification
+    pass: a type first appearing past the head sample silently parses
+    to NULL under PERMISSIVE. Deliberate on cache=False one-shot opens
+    — the warning makes the trade explicit instead of silent."""
+    import warnings
+
+    warnings.warn(
+        "cache=False open keeps the head-sampled CSV schema UNVERIFIED: "
+        "values of a type the ~1000-line sample missed parse to NULL. "
+        "Use cache=True / register() (verified, with automatic "
+        "full-inference fallback), infer_schema=True, or an explicit "
+        "schema= if the file's types may surprise.",
+        UserWarning,
+        stacklevel=4,
+    )
+
+
 def _qcol(name: str) -> Column:
     """Column by exact name — backtick-quoted so dotted names (e.g. the
     reference's canonical ``Sepal.Length``) resolve literally."""
@@ -107,12 +126,13 @@ class LazyFrame:
         the fast path is free and the slow path costs exactly what it
         used to. Escapes: ``infer_schema=True`` (always full pass),
         ``"sample"`` (unverified, reference-style), ``False`` (all
-        strings), or an explicit ``schema=``. The ``skip=N`` path is
-        the exception: it parses per-line with the head-sampled schema
-        and has NO corrupt channel (from_csv gives no per-row failure
-        signal), so verification and the automatic fallback do not
-        apply there — pass an explicit schema when a skip-file's types
-        may surprise.
+        strings), or an explicit ``schema=``. The ``skip=N`` path gets
+        the SAME guarantee: ``from_csv`` carries the corrupt channel
+        per row, the first touch counts it, and a lying sample falls
+        back to full inference over the post-skip body. ``cache=False``
+        one-shot opens skip verification by design (a dedicated
+        full-width parse would double the one-shot cost) and emit a
+        one-time warning instead.
 
         ``cache=False`` skips persisting the enumerated frame: the right
         mode for ONE-shot positional queries (open → slice → done), where
@@ -159,6 +179,18 @@ class LazyFrame:
 
     def _with_ids(self) -> DataFrame:
         if ROW_ID in self._df.columns:
+            if self._verify_df is not None:
+                # skip>0 CSV opens arrive with ids already attached
+                # (the text-read path rebases them), so there is no
+                # enumerate build to fuse verification into — run the
+                # corrupt-channel count as its own first-touch pass,
+                # with the same automatic full-inference fallback
+                if self._cache:
+                    if self._verify_attached(self._verify_df) is None:
+                        return self._df  # rebuilt on the full-infer path
+                else:
+                    _warn_sample_unverified()
+                    self._verify_df = None
             return self._df
         # enumerate + persist: the reference pays its newline-index scan
         # once at open (src/lazy.frame.c:252-298) and every positional
@@ -191,13 +223,45 @@ class LazyFrame:
                 # sampled schema keeps PERMISSIVE null semantics here
                 # (still a 1000-line sample vs the reference's
                 # never-verified 5); cache=True or register() verifies.
+                # A one-time warning makes the silent-NULL trade
+                # explicit to the caller (round-8 ADVICE).
                 from lazy_frame_spark.sources.csv import CORRUPT_COL
 
+                _warn_sample_unverified()
                 df = df.drop(CORRUPT_COL)
                 self._verify_df = None
         self._cache_handle = handle
         self._df = df
         return df
+
+    def _verify_attached(self, vdf: DataFrame):
+        """First-touch schema verification for frames whose ids are
+        already attached (the skip>0 CSV path): ONE aggregate over the
+        corrupt-channel frame — same all-columns-referenced trick as
+        ``_verify_enumerated`` so the parse cannot prune — counting rows
+        the sampled schema failed. Clean → ``self`` keeps its frame
+        (returns it); dirty → swap in the full-inference reopen and
+        return None."""
+        from lazy_frame_spark.sources.csv import CORRUPT_COL
+
+        user_cols = [c for c in vdf.columns
+                     if c not in (CORRUPT_COL, ROW_ID)]
+        checks = vdf.agg(
+            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("__bad__"),
+            *[F.count(_qcol(c)).alias(f"__c{i}__")
+              for i, c in enumerate(user_cols)],
+        ).collect()[0]
+        self._verify_df = None
+        if int(checks["__bad__"] or 0):
+            if self._reopen_full is None:
+                raise ValueError(
+                    f"{int(checks['__bad__'])} rows failed the "
+                    "sample-inferred schema — pass infer_schema=True or "
+                    "an explicit schema"
+                )
+            self._df = self._reopen_full()
+            return None
+        return self._df
 
     def _verify_enumerated(self, df: DataFrame, handle: DataFrame | None):
         """Schema verification FUSED into the enumerate build: one

@@ -19,11 +19,33 @@ every value bit-for-bit:
   window.
 - ``uniform_bp`` / ``sample_by_rates``: per-row uniform in integer
   basis points from the hash — domain-conditional Bernoulli acceptance
-  as a pure map-side filter: no shuffle, no RNG state, deterministic
-  resume.
-- ``rates_for_target_mix``: turns target proportions + observed domain
-  counts into per-domain acceptance rates (downsampling only — the
-  largest achievable corpus with the exact target mix).
+  as a pure map-side filter (small rate tables) or one broadcast hash
+  join (large ones): no shuffle of the corpus, no RNG state,
+  deterministic resume.
+- ``rates_for_target_mix`` / ``mix_corpora`` / ``mix_temperature``:
+  turn target proportions + observed domain counts into per-domain
+  acceptance rates (downsampling only — the largest achievable corpus
+  with the exact target mix). The end-to-end mixers compute the rates
+  as DATAFRAMES (count agg → two 1-row scalar aggs → a k-row rate
+  table broadcast-joined onto the corpus) — never an unbounded driver
+  collect, never a per-domain expression chain, so a registered-domain
+  mix (10^5-10^8 domains on a web corpus) plans the same three-shuffle
+  shape as a 4-domain one.
+
+Rate formula (shared by the driver helper and the DataFrame twins, in
+this exact float op order so DuckDB oracles mirror it term-for-term)::
+
+    w_d  = weight of domain d              (count^alpha for temperature)
+    s    = min over d of (c_d / w_d)       (order-independent — no float
+                                            SUM anywhere, so the result
+                                            does not depend on domain
+                                            enumeration order)
+    rate = min(BP, floor(s * w_d / c_d * BP))
+
+which equals the textbook ``t = min(c/norm); rate = t*norm/c`` after
+the normalizing ``sum(w)`` cancels — dropping the sum is what makes
+the formula engine-portable (a float sum is association-order
+dependent; a float min is not).
 
 Reference parity note: the reference (bwlewis/lazy.frame) has no corpus
 operations (SURVEY.md §2.2) — north-star scope.
@@ -35,11 +57,22 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from lazy_frame_spark.rowid import with_row_ids
 
 #: basis-point denominator for acceptance sampling
 BP = 10_000
+
+#: Above this many domains, ``sample_by_rates`` abandons the literal
+#: ``when``-chain (the nested expression tree StackOverflows Catalyst's
+#: analyzer near depth 400 — measured — and churns the optimizer's
+#: iteration cap from ~200; the same interpreted-expression failure
+#: mode as the pre-fix IVF argmax) and routes through the broadcast
+#: rate-table join. Below it, the chain stays: a map-only filter with
+#: zero joins beats a join for the coarse hand-written mixes (tens of
+#: domains) this entry point exists for.
+WHEN_CHAIN_MAX_DOMAINS = 128
 
 
 def shuffle_key(seed: int, cols: Sequence[Column | str]) -> Column:
@@ -82,6 +115,37 @@ def uniform_bp(seed: int, cols: Sequence[Column | str]) -> Column:
     return F.pmod(h, F.lit(BP))
 
 
+def sample_by_rates_df(
+    df: DataFrame,
+    domain_col: str,
+    rates_df: DataFrame,
+    id_cols: Sequence[str],
+    rate_col: str = "rate_bp",
+    seed: int = 0,
+    default_bp: int = 0,
+) -> DataFrame:
+    """Domain-conditional Bernoulli downsampling against a RATE TABLE:
+    keep a row iff its deterministic uniform draw falls below its
+    domain's acceptance rate (basis points), looked up by ONE broadcast
+    hash join on ``domain_col``. This is the high-cardinality path —
+    the rate table is one row per domain (KBs-to-MBs even at 10^6
+    domains: two columns), while the corpus side streams map-only, so
+    the plan shape is identical at 4 domains and 10^8 rows-per-domain.
+    Domains absent from the table (and NULL domains — a left join keeps
+    them with a NULL rate) fall back to ``default_bp``."""
+    if rate_col not in rates_df.columns:
+        raise ValueError(f"rates_df has no column {rate_col!r}")
+    if rate_col in df.columns:
+        raise ValueError(
+            f"rate column {rate_col!r} collides with an input column — "
+            "rename one of them"
+        )
+    rates = rates_df.select(domain_col, rate_col)
+    out = df.join(F.broadcast(rates), on=domain_col, how="left")
+    rate = F.coalesce(F.col(rate_col), F.lit(int(default_bp)))
+    return out.filter(uniform_bp(seed, id_cols) < rate).drop(rate_col)
+
+
 def sample_by_rates(
     df: DataFrame,
     domain_col: str,
@@ -90,11 +154,27 @@ def sample_by_rates(
     seed: int = 0,
     default_bp: int = 0,
 ) -> DataFrame:
-    """Domain-conditional Bernoulli downsampling: keep a row iff its
-    deterministic uniform draw falls below its domain's acceptance rate
-    (basis points). A pure map-side filter — at 100 TB this is a scan
-    with a predicate, nothing shuffles, and the filter composes with
-    column pruning like any Catalyst predicate."""
+    """Domain-conditional Bernoulli downsampling from a driver-side rate
+    mapping. Small mappings (≤ ``WHEN_CHAIN_MAX_DOMAINS``) compile to a
+    literal ``when``-chain — a pure map-side filter: at 100 TB this is
+    a scan with a predicate, nothing shuffles, and the filter composes
+    with column pruning like any Catalyst predicate. Larger mappings
+    route through :func:`sample_by_rates_df` (one broadcast hash join)
+    instead — a 10^5-entry expression chain is a plan-size blowup, not
+    a filter."""
+    if len(rates_bp) > WHEN_CHAIN_MAX_DOMAINS:
+        dom_type = df.schema[domain_col].dataType
+        rates = df.sparkSession.createDataFrame(
+            [(d, int(bp)) for d, bp in rates_bp.items()],
+            StructType([
+                StructField(domain_col, dom_type),
+                StructField("__rate_bp__", LongType()),
+            ]),
+        )
+        return sample_by_rates_df(
+            df, domain_col, rates, id_cols=id_cols, rate_col="__rate_bp__",
+            seed=seed, default_bp=default_bp,
+        )
     rate = F.lit(int(default_bp))
     for dom, bp in sorted(rates_bp.items()):
         rate = F.when(F.col(domain_col) == dom, F.lit(int(bp))).otherwise(rate)
@@ -107,17 +187,23 @@ def rates_for_target_mix(
     """Per-domain acceptance rates (basis points) that hit the target mix
     by downsampling only: the achievable corpus size is limited by the
     domain that is scarcest relative to its target share
-    (``T = min(count_d / w_d)``), and every domain keeps ``T * w_d`` of
-    its rows. Domains absent from ``target_weights`` get rate 0; a
-    target domain absent from the corpus forces T = 0 (the empty corpus
-    is the only one achieving that mix by downsampling alone) rather
-    than raising."""
-    total_w = sum(target_weights.values())
-    norm = {d: w / total_w for d, w in target_weights.items() if w > 0}
-    t = min(counts.get(d, 0) / w for d, w in norm.items())
+    (``s = min(count_d / w_d)`` — the module-docstring formula), and
+    every domain keeps ``s * w_d`` of its rows. Domains absent from
+    ``target_weights`` get rate 0; a target domain absent from the
+    corpus forces s = 0 (the empty corpus is the only one achieving
+    that mix by downsampling alone) rather than raising. Raises a clear
+    ``ValueError`` when no target weight is positive (there is no mix
+    to hit — the silent alternative was a ZeroDivisionError)."""
+    pos = {d: float(w) for d, w in target_weights.items() if w > 0}
+    if not pos:
+        raise ValueError(
+            "target_weights must contain at least one positive weight "
+            "(an empty or all-zero target has no achievable mix)"
+        )
+    s = min(counts.get(d, 0) / w for d, w in pos.items())
     return {
-        d: min(BP, int(t * w / counts[d] * BP)) if counts.get(d) else 0
-        for d, w in norm.items()
+        d: min(BP, int(s * w / counts[d] * BP)) if counts.get(d) else 0
+        for d, w in pos.items()
     }
 
 
@@ -130,12 +216,61 @@ def temperature_weights(
     natural (proportional) mix, ``alpha=0`` the uniform mix; the usual
     0.2-0.7 range upsamples the tail RELATIVE to its natural share
     while keeping heads dominant. Feed the result straight into
-    ``rates_for_target_mix``/``mix_corpora`` (they renormalize, so raw
-    ``count^alpha`` values are returned — exact in float for the
-    integer counts involved)."""
+    ``rates_for_target_mix``/``mix_corpora`` (the rate formula is
+    scale-invariant in the weights, so raw ``count^alpha`` values are
+    returned — exact in float for the integer counts involved)."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
     return {d: float(c) ** alpha for d, c in counts.items() if c > 0}
+
+
+def _domain_counts(df: DataFrame, domain_col: str) -> DataFrame:
+    """(domain, __c__) over non-NULL domains — ONE partial-aggregated
+    count; NULL domains are excluded up front (an unattributed row has
+    no defensible share in a domain mix; rate-table lookups give them
+    ``default_bp=0`` anyway)."""
+    return (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+
+
+def _rate_expr() -> Column:
+    """``min(BP, floor(s * w / c * BP))`` with the exact left-associated
+    op order the module docstring pins (and every oracle mirrors);
+    guarded to 0 for c=0 rows (``least`` skips NULLs, so an unguarded
+    0/0=NaN would silently become rate BP)."""
+    raw = F.floor(
+        F.col("__s__") * F.col("__w__") / F.col("__c__") * F.lit(BP)
+    ).cast("long")
+    return F.when(
+        F.col("__c__") > 0, F.least(F.lit(BP).cast("long"), raw)
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def temperature_rates(
+    df: DataFrame, domain_col: str, alpha: float, rate_col: str = "rate_bp"
+) -> DataFrame:
+    """Per-domain acceptance rates for temperature mixing as a
+    DATAFRAME — the high-cardinality path: one count aggregation over
+    the corpus (k rows out, k = distinct domains), ``w = pow(c, alpha)``
+    per row, ONE 1-row min aggregate for the scarcity scalar s, and the
+    k-row rate projection. Nothing about k ever reaches the driver —
+    at 10^8 registered domains this is still two tiny shuffles. An
+    empty / all-NULL-domain corpus yields an empty rate table (and the
+    downstream join then keeps nothing — the empty corpus IS the only
+    downsample achieving any mix of nothing)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    cw = _domain_counts(df, domain_col).withColumn(
+        "__w__", F.pow(F.col("__c__").cast("double"), F.lit(float(alpha)))
+    )
+    s = cw.agg(F.min(F.col("__c__") / F.col("__w__")).alias("__s__"))
+    return (
+        cw.crossJoin(F.broadcast(s))
+        .select(F.col(domain_col), _rate_expr().alias(rate_col))
+    )
 
 
 def mix_temperature(
@@ -145,19 +280,17 @@ def mix_temperature(
     id_cols: Sequence[str],
     seed: int = 0,
 ) -> DataFrame:
-    """End-to-end temperature mixing: one count aggregation (k-row
-    collect), ``count^alpha`` target weights, downsampling-only rates,
-    map-side acceptance filter — same scan shape as ``mix_corpora``
-    (ONE pass over the corpus; the count agg is partial-aggregated)."""
-    rows = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("c")).collect()
-    # NULL domains are dropped (rate 0 via default_bp): a None key
-    # would crash the sorted() rate chain, and an unattributed row has
-    # no defensible share in a domain mix anyway
-    counts = {r[domain_col]: r["c"] for r in rows
-              if r[domain_col] is not None}
-    rates = rates_for_target_mix(counts, temperature_weights(counts, alpha))
-    return sample_by_rates(
-        df, domain_col, rates, id_cols=id_cols, seed=seed, default_bp=0
+    """End-to-end temperature mixing, fully distributed: the rate table
+    from :func:`temperature_rates` (count agg → 1-row scalar → k-row
+    rates — no driver collect, no per-domain expression) broadcast-
+    joined onto the corpus with the deterministic acceptance filter.
+    TWO passes over the corpus total (one to count, one to filter), at
+    ANY domain cardinality — the web-scale registered-domain mix plans
+    exactly like a 4-domain one."""
+    rates = temperature_rates(df, domain_col, alpha, rate_col="__rate_bp__")
+    return sample_by_rates_df(
+        df, domain_col, rates, id_cols=id_cols, rate_col="__rate_bp__",
+        seed=seed, default_bp=0,
     )
 
 
@@ -168,15 +301,52 @@ def mix_corpora(
     id_cols: Sequence[str],
     seed: int = 0,
 ) -> DataFrame:
-    """End-to-end domain mixing: one count aggregation (k rows collect,
-    k = number of domains), rate computation on the driver, then the
-    map-side acceptance filter. The expected output proportions match
-    ``target_weights`` to sampling noise."""
-    rows = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("c")).collect()
-    counts = {r[domain_col]: r["c"] for r in rows}
-    rates = rates_for_target_mix(counts, target_weights)
-    return sample_by_rates(
-        df, domain_col, rates, id_cols=id_cols, seed=seed, default_bp=0
+    """End-to-end domain mixing to an explicit target recipe, fully
+    distributed: observed counts stay a DataFrame (never collected —
+    only the user's own ``target_weights`` mapping is driver-side, and
+    its size is the user's to bound), the scarcity scalar s and the
+    matched-domain count are 1-row aggregates, and the k-row rate table
+    broadcast-joins onto the corpus. A target domain absent from the
+    corpus forces s = 0 — every rate 0, the empty corpus — matching
+    :func:`rates_for_target_mix`; detection is the 1-row matched-count
+    aggregate, not a driver lookup. The expected output proportions
+    match ``target_weights`` to sampling noise."""
+    pos = [(d, float(w)) for d, w in target_weights.items() if float(w) > 0]
+    if not pos:
+        raise ValueError(
+            "target_weights must contain at least one positive weight "
+            "(an empty or all-zero target has no achievable mix)"
+        )
+    dom_type = df.schema[domain_col].dataType
+    wdf = df.sparkSession.createDataFrame(
+        pos,
+        StructType([
+            StructField(domain_col, dom_type),
+            StructField("__w__", DoubleType()),
+        ]),
+    )
+    # inner join keeps (targeted ∩ present) domains — build side is the
+    # broadcast weights table, stream side the counts agg, so domain
+    # cardinality never crosses the driver
+    cw = _domain_counts(df, domain_col).join(
+        F.broadcast(wdf), on=domain_col, how="inner"
+    )
+    # s over PRESENT target domains, zeroed if any target domain is
+    # absent (its c=0 term would have been the min) — both 1-row aggs
+    s = cw.agg(
+        F.min(F.col("__c__") / F.col("__w__")).alias("__s0__"),
+        F.count(F.lit(1)).alias("__k__"),
+    ).select(
+        F.when(F.col("__k__") < len(pos), F.lit(0.0))
+        .otherwise(F.col("__s0__")).alias("__s__")
+    )
+    rates = (
+        cw.crossJoin(F.broadcast(s))
+        .select(F.col(domain_col), _rate_expr().alias("__rate_bp__"))
+    )
+    return sample_by_rates_df(
+        df, domain_col, rates, id_cols=id_cols, rate_col="__rate_bp__",
+        seed=seed, default_bp=0,
     )
 
 

@@ -2196,6 +2196,62 @@ def mix_temperature_uniform(spark, sf_dir):
 
 
 @query(
+    "mix_high_cardinality",
+    # same exact-in-float alpha=0 arithmetic as mix_temperature_uniform
+    # (see that row's note), mirrored term-for-term against the
+    # DataFrame rate chain: w = pow(c, 0), s = MIN(c/w) — no float SUM
+    # anywhere, so domain enumeration order cannot move an ulp
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS dom
+      FROM documents),
+    c AS (SELECT dom, COUNT(*) AS c FROM d GROUP BY dom),
+    s AS (SELECT MIN(c / pow(c, 0.0)) AS s FROM c),
+    r AS (SELECT dom,
+                 LEAST(10000,
+                       CAST(FLOOR(s * pow(c, 0.0) / c * 10000) AS BIGINT))
+                   AS bp
+          FROM c, s)
+    SELECT dom, COUNT(*) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM (SELECT d.dom, d.doc_id,
+                 ('0x' || substr(md5('29:' || d.doc_id), 1, 15))::BIGINT
+                   % 10000 AS draw,
+                 r.bp
+          FROM d JOIN r USING (dom))
+    WHERE draw < bp
+    GROUP BY dom
+    """,
+)
+def mix_high_cardinality(spark, sf_dir):
+    """Temperature mixing at REGISTERED-DOMAIN cardinality — the
+    web-corpus shape where the per-domain ``when``-chain and the
+    driver-side counts collect both break (10^5-10^8 domains): each doc
+    gets a synthetic domain from a 65,536-value md5 space (~1 domain
+    per document at test SFs — the adversarial extreme), and
+    mixing.mix_temperature computes the whole rate chain as DATAFRAMES:
+    one count aggregation, a 1-row scarcity scalar, a k-row rate table
+    broadcast-HASH-joined onto the corpus (plan-pinned by
+    test_mixing_high_cardinality_plan — no expression chain, no
+    unbounded collect, two corpus passes at any k). alpha=0 keeps the
+    rate arithmetic exact in float (see mix_temperature_uniform); the
+    oracle recomputes counts, rates, and the md5 acceptance draws and
+    must match kept-count AND the kept doc_id sum per domain."""
+    from lazy_frame_spark.operators import mixing as _mx2
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("dom"),
+    )
+    out = _mx2.mix_temperature(d, "dom", alpha=0.0, id_cols=["doc_id"],
+                               seed=29)
+    return out.groupBy("dom").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@query(
     "text_sentence_chunks",
     oracle=r"""
     WITH p AS (

@@ -184,6 +184,12 @@ BNLJ_BOUNDED_BUILD = {
     "join_range_bands", "join_interval_overlap",  # literal band tables
     "join_salted",                              # literal salt range
     "ann_hard_negatives",                       # bounded anchor batch
+    # corpus mixing: the 1-row scarcity scalar s = min(c/w) crossJoins
+    # onto the k-row rate table before the broadcast-hash rate join —
+    # both build sides are 1-row aggregates by construction
+    "mix_temperature_uniform",
+    "mix_target_proportions",
+    "mix_high_cardinality",
     "ann_pq_trained_recall",   # 20-query panel x corpus, panel broadcast
     "ann_ivfpq_trained_recall",  # same panel shape, exact-truth crossJoin
     "join_cross",                               # deliberate cross join

@@ -20,7 +20,13 @@ Two read paths:
     as ``text``, attach file-order row ids (lazy_frame_spark.rowid), drop
     the first ``skip`` (+header) lines with a row-id predicate, then parse
     each line JVM-side with ``from_csv`` against the once-inferred schema.
-    Fully distributed, no Python in the row path.
+    Fully distributed, no Python in the row path. Verified mode appends
+    the same PERMISSIVE corrupt-record channel the skip=0 reader gets
+    (``from_csv`` honors ``columnNameOfCorruptRecord``), so a type the
+    head sample missed flags instead of silently NULLing; the
+    ``infer_schema=True`` escape runs Spark's OWN full CSV inference
+    over the post-skip body lines (one dedicated pass — the fallback
+    price, identical to what the skip=0 full-infer mode pays).
 
 Header auto-detection mirrors the reference's sample heuristic
 (``R/lazy.frame.R:76-79``): sample the first ≤5 data lines; a first row
@@ -167,7 +173,7 @@ def open_csv(
     else:
         df = _open_with_skip(
             spark, path, sep, has_header, skip, schema, quote, escape,
-            null_value, parsed, names,
+            null_value, parsed, names, infer_schema=infer_schema,
         )
 
     if row_names is not None:
@@ -190,18 +196,53 @@ def _open_with_skip(
     null_value: str,
     parsed_sample: list[list[str]],
     names: list[str] | None,
+    infer_schema: bool | str = "sample",
 ) -> DataFrame:
     data_rows = parsed_sample[1:] if has_header else parsed_sample
-    if schema is None:
-        schema = _infer_schema_from_sample(data_rows, names)
-    elif isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-
     text = with_row_ids(spark.read.text(path))
     drop = skip + (1 if has_header else 0)
     body = text.filter(F.col(ROW_ID) > drop)
+    verified = False
+    if schema is None:
+        if infer_schema is True:
+            # FULL inference: Spark's own CSV inference run over the
+            # post-skip body lines — one dedicated distributed pass,
+            # the same price the skip=0 full-infer mode pays. This is
+            # the automatic fallback target when verified mode finds a
+            # row the head sample's schema cannot parse.
+            schema = _full_schema_from_lines(spark, body, sep, quote,
+                                             escape, null_value, names)
+        elif infer_schema is False:
+            ncol = (len(names) if names is not None
+                    else max((len(r) for r in data_rows), default=0))
+            cols = names or [f"V{i + 1}" for i in range(ncol)]
+            schema = T.StructType(
+                [T.StructField(c, T.StringType(), True) for c in cols])
+        else:
+            schema = _infer_schema_from_sample(data_rows, names)
+            if infer_schema == "verified":
+                if CORRUPT_COL in {f.name for f in schema.fields}:
+                    raise ValueError(
+                        f"column name {CORRUPT_COL!r} collides with the "
+                        "verified-infer corrupt channel — rename it or "
+                        "pass infer_schema=True"
+                    )
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+                )
+                verified = True
+    elif isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
     opts = {"sep": sep, "quote": quote, "escape": escape, "nullValue": null_value,
             "mode": "PERMISSIVE"}
+    if verified:
+        # same contract as the skip=0 reader: a row the sampled schema
+        # cannot parse lands its raw line in CORRUPT_COL instead of
+        # silently NULLing fields; LazyFrame counts the channel on
+        # first touch and falls back to the full-inference path above
+        opts["columnNameOfCorruptRecord"] = CORRUPT_COL
     parsed = body.select(
         F.col(ROW_ID),
         F.from_csv(F.col("value"), schema.simpleString(), opts).alias("__rec__"),
@@ -210,6 +251,40 @@ def _open_with_skip(
     # re-base ids so logical row 1 is the first data row (internalskip parity,
     # R/lazy.frame.R:65,153)
     return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop))
+
+
+def _full_schema_from_lines(
+    spark: SparkSession,
+    body: DataFrame,
+    sep: str,
+    quote: str,
+    escape: str,
+    null_value: str,
+    names: list[str] | None,
+) -> T.StructType:
+    """Full CSV type inference over an already-line-split body (the
+    post-skip rows): delegate to Spark's inference by feeding the line
+    strings back through ``DataFrameReader.csv`` — types come from the
+    SAME inference code path every skip=0 full-infer open uses, applied
+    to exactly the rows the skip predicate keeps. One distributed pass;
+    only the schema (KBs) reaches the driver."""
+    inferred = (
+        spark.read.option("sep", sep)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("nullValue", null_value)
+        .option("header", "false")
+        .option("inferSchema", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(body.select("value").rdd.map(lambda r: r[0]))
+        .schema
+    )
+    cols = (names if names is not None and len(names) == len(inferred.fields)
+            else [f"V{i + 1}" for i in range(len(inferred.fields))])
+    return T.StructType(
+        [T.StructField(cols[i], f.dataType, True)
+         for i, f in enumerate(inferred.fields)]
+    )
 
 
 def _local_head_lines(

@@ -94,10 +94,79 @@ def test_skip_lines(spark, skip_csv):
 
 
 def test_skip_schema_inferred_once(spark, skip_csv):
-    df = open_csv(spark, skip_csv, skip=2)
+    # sample mode: the engine's own head-sample inference (infer-once,
+    # bound to the plan) — longs stay longs
+    df = open_csv(spark, skip_csv, skip=2, infer_schema="sample")
     types = dict((f.name, f.dataType.simpleString()) for f in df.schema)
     assert types["id"] == "bigint"
     assert types["val"] == "double"
+    # infer_schema=True on the skip path now means what it says: ONE
+    # full pass of Spark's own CSV inference over the post-skip body
+    # (the fallback target when verified mode catches a lying sample)
+    full = open_csv(spark, skip_csv, skip=2, infer_schema=True)
+    ftypes = dict((f.name, f.dataType.simpleString()) for f in full.schema)
+    assert ftypes["id"] in ("int", "bigint")
+    assert ftypes["val"] == "double"
+    pdf = full.toPandas().sort_values("id")
+    assert pdf["val"].tolist() == [10.5, 20.5, 30.5]
+    # infer_schema=False: all strings, like the skip=0 reader
+    raw = open_csv(spark, skip_csv, skip=2, infer_schema=False)
+    assert all(f.dataType.simpleString() == "string"
+               for f in raw.schema if f.name != "__row_id__")
+
+
+def test_skip_verified_catches_lying_sample(spark, tmp_path_factory):
+    """The skip>0 open gets the SAME verified-schema guarantee as
+    skip=0 (round-8 verdict follow-up 3): a type that first appears
+    past the 1000-line head sample lands in the corrupt channel, the
+    first touch counts it, and LazyFrame falls back to ONE
+    full-inference pass — values survive instead of silently NULLing."""
+    from lazy_frame_spark import LazyFrame
+    from lazy_frame_spark.sources.csv import VERIFY_SAMPLE_LINES
+
+    p = tmp_path_factory.mktemp("csv") / "lying_skip.csv"
+    n = VERIFY_SAMPLE_LINES + 200
+    lines = ["# preamble 1", "# preamble 2", "id,val"]
+    lines += [f"{i},{i}" for i in range(1, n + 1)]
+    lines[3 + VERIFY_SAMPLE_LINES + 50] = f"{VERIFY_SAMPLE_LINES + 51},3.5"
+    p.write_text("\n".join(lines) + "\n")
+
+    lf = LazyFrame.open(spark, str(p), skip=2)
+    assert lf.dim() == (n, 2)
+    # first POSITIONAL touch runs the verify pass + full-infer fallback
+    # (same contract as skip=0: verification rides the enumerate step)
+    assert lf.head(1).collect()[0]["id"] == 1
+    types = {f.name: f.dataType.simpleString() for f in lf.to_df().schema}
+    assert types["val"] == "double"  # full inference saw the late float
+    got = lf.filter("val", "==", 3.5).to_df().collect()
+    assert len(got) == 1 and got[0]["id"] == VERIFY_SAMPLE_LINES + 51
+
+    # honest sample: no fallback, sampled types stick
+    q = tmp_path_factory.mktemp("csv") / "honest_skip.csv"
+    q.write_text("# x\nid,val\n" + "\n".join(
+        f"{i},{i / 2}" for i in range(1, 50)) + "\n")
+    lf2 = LazyFrame.open(spark, str(q), skip=1)
+    assert lf2.dim() == (49, 2)
+    assert lf2.head(1).collect()[0]["id"] == 1  # verify pass: clean
+    t2 = {f.name: f.dataType.simpleString() for f in lf2.to_df().schema}
+    assert t2["id"] == "bigint" and t2["val"] == "double"
+
+
+def test_cache_false_open_warns_unverified(spark, tmp_path_factory):
+    """cache=False one-shot opens keep the sampled schema unverified by
+    design — but must SAY so once instead of silently changing data
+    (round-8 ADVICE)."""
+    import warnings
+
+    from lazy_frame_spark import LazyFrame
+
+    p = tmp_path_factory.mktemp("csv") / "oneshot.csv"
+    p.write_text("id,val\n" + "\n".join(f"{i},{i}" for i in range(1, 30)) + "\n")
+    lf = LazyFrame.open(spark, str(p), cache=False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        lf.head(2).collect()
+    assert any("UNVERIFIED" in str(w.message) for w in rec)
 
 
 def test_tsv_sep(spark, tmp_path_factory):

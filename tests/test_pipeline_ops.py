@@ -2535,6 +2535,75 @@ def test_temperature_mixing(spark):
         temperature_weights(counts, -0.1)
 
 
+def test_mixing_distributed_rates_edge_cases(spark):
+    """The DataFrame-native rate chain must handle the degenerate
+    inputs the old driver-side path crashed on: an empty / all-NULL
+    domain corpus yields the empty frame (no ZeroDivisionError), an
+    absent target domain yields the empty corpus (mirroring
+    rates_for_target_mix's s=0 semantics), and all-zero target weights
+    raise the documented ValueError."""
+    empty = spark.createDataFrame([], "doc_id long, dom string")
+    assert mx.mix_temperature(empty, "dom", 0.5, ["doc_id"]).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, dom string")
+    assert mx.mix_temperature(nulls, "dom", 0.5, ["doc_id"]).count() == 0
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(100)], "doc_id long, dom string")
+    assert mx.mix_corpora(df, "dom", {"web": 3, "code": 1},
+                          ["doc_id"]).count() == 0
+    with pytest.raises(ValueError):
+        mx.mix_corpora(df, "dom", {"web": 0.0}, ["doc_id"])
+    with pytest.raises(ValueError):
+        mx.rates_for_target_mix({"web": 5}, {"web": 0.0})
+    with pytest.raises(ValueError):
+        mx.temperature_rates(df, "dom", alpha=-0.5)
+
+
+def test_mix_corpora_df_rates_match_driver_helper(spark):
+    """mix_corpora's DataFrame rate chain must keep EXACTLY the rows
+    that sample_by_rates keeps under driver-computed
+    rates_for_target_mix rates — same formula, two evaluation engines
+    (weights chosen so every rate is exact in float: no ulp slack in
+    the comparison)."""
+    rows = [(i, "big" if i < 800 else ("mid" if i < 900 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    weights = {"big": 1.0, "mid": 1.0, "small": 2.0}
+    rates = mx.rates_for_target_mix(
+        {"big": 800, "mid": 100, "small": 100}, weights)
+    assert rates == {"big": 625, "mid": 5000, "small": 10000}
+    want = {r["doc_id"] for r in mx.sample_by_rates(
+        df, "dom", rates, ["doc_id"], seed=31).collect()}
+    got = {r["doc_id"] for r in mx.mix_corpora(
+        df, "dom", weights, ["doc_id"], seed=31).collect()}
+    assert got == want and want
+
+
+def test_sample_by_rates_join_path_matches_when_chain(spark):
+    """Above WHEN_CHAIN_MAX_DOMAINS the rate lookup becomes a broadcast
+    join; membership must be IDENTICAL to the literal when-chain on the
+    same mapping — including NULL domains and unmapped domains falling
+    back to default_bp on both paths."""
+    d = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 160).cast("string")).alias("dom"),
+    )
+    rates = {str(i): (i * 17) % 10001 for i in range(150)}  # 150..159 unmapped
+    assert len(rates) > mx.WHEN_CHAIN_MAX_DOMAINS
+    joined = {r["doc_id"] for r in mx.sample_by_rates(
+        d, "dom", rates, ["doc_id"], seed=5, default_bp=2500).collect()}
+    orig = mx.WHEN_CHAIN_MAX_DOMAINS
+    try:
+        mx.WHEN_CHAIN_MAX_DOMAINS = 256
+        chained = {r["doc_id"] for r in mx.sample_by_rates(
+            d, "dom", rates, ["doc_id"], seed=5, default_bp=2500).collect()}
+    finally:
+        mx.WHEN_CHAIN_MAX_DOMAINS = orig
+    assert joined == chained and joined
+
+
 def test_ivfpq_topk_batch_matches_sequential(spark, sf_dir):
     """The batched serving API returns, per query, EXACTLY the rows of
     topk() called one vector at a time — plain ADC and refined — over

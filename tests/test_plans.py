@@ -319,6 +319,34 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     assert plan.count("Window") == 2
 
 
+def test_mixing_high_cardinality_plan(spark, sf_dir):
+    """The web-scale mix applies rates via ONE broadcast hash join —
+    never a per-domain CASE chain (plan size linear in domain count,
+    the interpreted-expression blowup) and never a cartesian; and
+    sample_by_rates routes big mappings through the join path while
+    small ones stay a map-only when-chain filter."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import mixing as mx
+    from lazy_frame_spark.parity import REGISTRY
+
+    q = REGISTRY["mix_high_cardinality"].fn(spark, sf_dir)
+    plan = executed_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the per-row rate is a join-side lookup, not a k-deep CASE chain
+    assert plan.count("CASE WHEN") < 20
+
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 1000).cast("string").alias("dom"))
+    big = {str(i): 5000 for i in range(1000)}
+    assert "BroadcastHashJoin" in executed_plan(
+        mx.sample_by_rates(d, "dom", big, ["doc_id"]))
+    small = mx.sample_by_rates(d, "dom", {"1": 5000, "2": 0}, ["doc_id"])
+    assert "Join" not in executed_plan(small)
+
+
 def test_scale_warnings_flags_known_hazards(spark, sf_dir):
     """The ad-hoc auditor must flag each hazard class on a purpose-built
     bad plan and stay SILENT on the engine's graded plans."""
