@@ -658,6 +658,84 @@ def pq_train(
     return books
 
 
+def coarse_train_cosine(
+    df: DataFrame,
+    init: list[list[float]],
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical Lloyd for the COARSE IVF step: the assignment step IS
+    the serving assignment — every iteration calls
+    ``_cell_assign_batch`` (cosine argmax, the same ascending
+    left-associated float64 folds ``encode``/``topk`` use), so the
+    training objective partitions vectors EXACTLY as serving will.
+    (Training the coarse step with squared-L2 pq_train optimized a
+    different partition whenever vectors are not unit-norm — the
+    round-8 ADVICE finding this replaces.) The update is the per-cell
+    mean: cosine similarity is invariant to positive centroid scale,
+    so the mean direction is the spherical k-means update — explicit
+    normalization would not change a single assignment. Empty cells
+    (and degenerate all-zero means, which serving could never assign
+    to) keep their previous centroid.
+
+    Scale shape (same as pq_train): each iteration is ONE Arrow pass —
+    per-partition scatter-added (cell, count, sum) partials, an
+    n_cells-row merge aggregate, and a KB-sized driver fold. At 100 TB
+    train on a sample upstream (IVFPQIndex.fit's ``train_max_rows``
+    cut); coarse quality saturates far below corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(init, dtype=np.float64)
+    n_cells, dim = C.shape
+    schema = "cell int, cnt long, " + ", ".join(
+        f"d{i} double" for i in range(dim)
+    )
+    for _ in range(int(n_iter)):
+        Cb = C
+        cn = np.zeros(n_cells)
+        for i in range(dim):
+            cn = cn + Cb[:, i] * Cb[:, i]
+        cn = np.sqrt(cn)
+
+        def partials(batches, Cb=Cb, cn=cn):
+            cnt = np.zeros(n_cells, dtype=np.int64)
+            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([
+                    np.full(dim, np.nan) if v is None else np.asarray(v)
+                    for v in pdf.iloc[:, 0].to_numpy()
+                ]).astype(np.float64)
+                cells, finite = _cell_assign_batch(V, Cb, cn)
+                V, cells = V[finite], cells[finite]
+                np.add.at(cnt, cells, 1)
+                np.add.at(sums, cells, V)
+            idx = np.nonzero(cnt)[0]
+            out = {"cell": idx.astype("int32"), "cnt": cnt[idx]}
+            for i in range(dim):
+                out[f"d{i}"] = sums[idx, i]
+            yield pd.DataFrame(out)
+
+        merged = (
+            df.select(vec_col)
+            .mapInPandas(partials, schema)
+            .groupBy("cell")
+            .agg(F.sum("cnt").alias("cnt"),
+                 *[F.sum(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        newC = C.copy()
+        for r in merged:
+            if r["cnt"]:
+                mean = np.array([r[f"d{i}"] / r["cnt"] for i in range(dim)])
+                if np.linalg.norm(mean) > 0:
+                    newC[r["cell"]] = mean
+        C = newC
+    return [[float(x) for x in c] for c in C]
+
+
 def _cell_assign_batch(V, C, cn):
     """The ONE shared Arrow-batch coarse-cell assignment: ascending
     left-associated float64 folds (norms, dots) → cosine argmax with
@@ -722,7 +800,7 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         train_iters: int = 4,
         train_max_rows: int = 100_000,
-        train_coarse: bool = False,
+        train_coarse: bool = True,
         coarse_iters: int = 10,
         seed: int = 7,
     ) -> "IVFPQIndex":
@@ -738,13 +816,20 @@ class IVFPQIndex:
         SQL-reproducible — verify trained indexes with recall
         invariants instead).
 
-        ``train_coarse=True`` additionally Lloyd-trains the COARSE
-        centroids (full-space k-means — ``pq_train`` with one subspace
-        spanning all dims — initialized from the deterministic pick):
-        the probe ceiling (the fraction of true neighbors living in
-        probed cells — the binding recall loss once refine saturates
-        code distortion) measured 0.645 → 0.75 at probe 8/32 on sf0.1.
-        Off by default so the no-model index stays SQL-reproducible.
+        ``train_coarse=True`` (the DEFAULT since round 9 — the serving
+        default is what a 100 TB user gets, and the deterministic pick
+        left ~10 recall points on the table) additionally Lloyd-trains
+        the COARSE centroids with ``coarse_train_cosine``: spherical
+        k-means whose assignment step IS the serving cosine argmax
+        (``_cell_assign_batch``), initialized from the deterministic
+        pick — so the trained partition matches what encode/search
+        will do on ANY norm distribution, not just unit-norm. The
+        probe ceiling (the fraction of true neighbors living in probed
+        cells — the binding recall loss once refine saturates code
+        distortion) measured recall@10 0.615 → ≥0.70 at probe 16 /
+        refine 100 on sf0.1. ``train_coarse=False`` is the
+        SQL-reproducible escape (paired with ``train_iters=0``) whose
+        data-independent pick a bit-exact oracle can embed.
 
         100 TB training cost: Lloyd sees at most ``train_max_rows``
         residuals — when the corpus is larger, a uniform
@@ -772,14 +857,13 @@ class IVFPQIndex:
                 vecs = vecs.coalesce(max(1, min(int(est // 8192) + 1, 64)))
             vecs = vecs.persist()
             try:
-                coarse = pq_train(
-                    vecs, dim, n_sub=1, k=n_cells,
-                    n_iter=int(coarse_iters), vec_col=vec_col, seed=seed,
-                    init=[idx.coarse],
+                coarse = coarse_train_cosine(
+                    vecs, idx.coarse, n_iter=int(coarse_iters),
+                    vec_col=vec_col,
                 )
             finally:
                 vecs.unpersist()
-            idx = cls(coarse[0], books)
+            idx = cls(coarse, books)
         if train_iters:
             # persist the residual projection for the Lloyd loop (every
             # iteration re-reads it; recomputing the interpreted
@@ -957,8 +1041,14 @@ class IVFPQIndex:
         PQ distortion then only has to land the true neighbors inside
         the shortlist, not rank them — measured recall@10 0.42 -> 0.60
         at sf0.1 (cells=32, probe=8, sub=16, k=64, R=50). The refined
-        result's distance column is ``dist`` (exact), not ``pq_dist``."""
+        result's distance column is ``dist`` (exact), not ``pq_dist``.
+        A nonzero ``refine`` below k is clamped UP to k — an
+        R-candidate shortlist with R < k would silently return fewer
+        than k rows, which callers misread as corpus exhaustion."""
         import math
+
+        if refine:
+            refine = max(int(refine), int(k))
 
         q = [float(x) for x in query_vec]
         qn = math.sqrt(sum(x * x for x in q))
@@ -1039,10 +1129,14 @@ class IVFPQIndex:
         panel (R rows per query, never the corpus); refined output
         carries ``dist`` (exact), unrefined ``pq_dist``. Returns
         ``(qid, id_col, pq_dist|dist)`` — per query the same results as
-        ``topk`` called per vector. NULL-coded rows are excluded."""
+        ``topk`` called per vector. NULL-coded rows are excluded.
+        Nonzero ``refine`` below k clamps UP to k (see ``topk``)."""
         import math
 
         from pyspark.sql import Window
+
+        if refine:
+            refine = max(int(refine), int(k))
 
         spark = df_encoded.sparkSession
         q_list = [(int(qid), [float(x) for x in vec])

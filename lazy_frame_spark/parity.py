@@ -3015,15 +3015,17 @@ def ann_ivfpq_adc_topk(spark, sf_dir):
     LUT loads. The oracle rebuilds the ENTIRE index in SQL — coarse
     pick, cosine cell argmax, exact residuals, literal-codebook codes,
     per-cell LUTs — and matches distances and ranking bit-for-bit.
-    ``train_iters=0`` explicitly: only the no-model hash codebooks have
+    ``train_iters=0, train_coarse=False`` explicitly: only the
+    no-model hash codebooks + deterministic coarse pick have
     data-independent literals a static SQL twin can embed (trained
     centroids are float-sum-order dependent); the trained DEFAULT fit
-    is driver-checked by the ann_ivfpq_trained_recall invariants."""
+    (Lloyd residual books + cosine-Lloyd coarse since round 9) is
+    driver-checked by the ann_ivfpq_trained_recall invariants."""
     from lazy_frame_spark.operators import similarity as _s
 
     e = _table(spark, sf_dir, "embeddings")
     idx = _s.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
-                            train_iters=0)
+                            train_iters=0, train_coarse=False)
     enc = idx.encode(e)
     return idx.topk(enc, _query_vec(spark, sf_dir), k=10, n_probe=3)
 
@@ -3127,25 +3129,27 @@ def ann_pq_trained_recall(spark, sf_dir):
     """,
 )
 def ann_ivfpq_trained_recall(spark, sf_dir):
-    """The IVF-PQ DEFAULT fit path (Lloyd-trained RESIDUAL codebooks,
-    similarity.IVFPQIndex.fit train_iters=4) plus the IVFADC-refine
+    """The IVF-PQ DEFAULT fit path (Lloyd-trained RESIDUAL codebooks +
+    cosine-Lloyd-trained COARSE centroids — the round-9 default:
+    training assigns cells with the exact serving cosine argmax, so
+    the gain transfers on any norm distribution) plus the IVFADC-refine
     stage, held to recall invariants over a 20-query panel at
-    cells=32 / n_probe=8 / sub=16 / k=64:
+    cells=32 / sub=16 / k=64:
 
     - trained residual books recover MORE exact-L2 top-10 neighbors
-      than the hash books they are initialized from (measured 69 vs 39
-      hits of 200 at sf0.01, 61 vs 31 at sf0.1 — residual-space
-      training is what makes the 16 B/vector codes rank usefully);
-    - exact re-ranking a 100-candidate ADC shortlist lifts recall@10
-      to >= 0.45 (measured 0.545 at sf0.01, 0.615 at sf0.1 — the
-      remaining loss is cell coverage, the standard n_probe knob, NOT
-      code distortion: refine saturates the probe ceiling at sf0.01).
+      than the hash books they are initialized from at probe 8
+      (residual-space training is what makes the 16 B/vector codes
+      rank usefully);
+    - exact re-ranking a 100-candidate ADC shortlist at probe 16
+      lifts recall@10 to >= 0.7 (measured 0.880 at sf0.001, 0.815 at
+      sf0.01, 0.775 at sf0.1 — the trained coarse step raised the
+      probe ceiling from the deterministic pick's 0.700 at sf0.1).
 
     Invariant booleans are the oracle contract — trained centroids are
     float-sum-order dependent and not SQL-reproducible (the bit-exact
-    SQL twin lives on the explicit train_iters=0 path,
-    ann_ivfpq_adc_topk). The evaluation plan is scale-shaped like the
-    serving path: literal broadcast LUT rows, cell-key equi-join
+    SQL twin lives on the explicit train_iters=0/train_coarse=False
+    path, ann_ivfpq_adc_topk). The evaluation plan is scale-shaped like
+    the serving path: literal broadcast LUT rows, cell-key equi-join
     (partition-prunable), window-ranked shortlists; only the exact
     ground truth is a deliberate full scan (the harness denominator)."""
     from lazy_frame_spark.operators import similarity as _s
@@ -3153,9 +3157,9 @@ def ann_ivfpq_trained_recall(spark, sf_dir):
     e = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     e = e.cache()
     idx_t = _s.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7)
-    # the hash index shares idx_t's coarse pick (training never touches
-    # the coarse step) — building it from the constructor saves a whole
-    # second fit's worth of jobs in this driver-window row
+    # the hash index shares idx_t's (trained) coarse centroids — the
+    # comparison isolates the CODEBOOKS, and reusing the coarse step
+    # saves a whole second fit's worth of jobs in this driver-window row
     idx_h = _s.IVFPQIndex(idx_t.coarse,
                           _s.pq_codebooks(64, 16, 64, seed=7))
     # cache the frames each reused by 2-3 of the panel plans below
@@ -3172,12 +3176,12 @@ def ann_ivfpq_trained_recall(spark, sf_dir):
                              label="hits_trained")
     hh = _s.ivfpq_panel_hits(enc_h, idx_h, panel, truth, k=10, n_probe=8,
                              label="hits_hash")
-    hr = _s.ivfpq_panel_hits(enc_t, idx_t, panel, truth, k=10, n_probe=8,
+    hr = _s.ivfpq_panel_hits(enc_t, idx_t, panel, truth, k=10, n_probe=16,
                              refine=100, label="hits_refined")
     return ht.crossJoin(hh).crossJoin(hr).select(
         F.lit(n_q).cast("long").alias("n_queries"),
         (F.col("hits_trained") >= F.col("hits_hash")).alias("trained_ge_hash"),
-        (F.col("hits_refined") >= F.lit(int(0.45 * n_q * 10)))
+        (F.col("hits_refined") >= F.lit(int(0.7 * n_q * 10)))
         .alias("refined_floor_ok"),
     )
 

@@ -132,27 +132,36 @@ def _tree_indent(line: str) -> int:
 
 def _global_sort_warnings(plan: str) -> list[str]:
     """Warn on a GLOBAL sort (``Sort [...], true`` — a full range
-    shuffle) only when its own subtree contains no final aggregate:
-    a sort fed by a HashAggregate/SortAggregate is bounded by group
-    cardinality, the TPC-H "ORDER BY the aggregated result" shape
-    (Q11/Q20), and warning on it was a measured false positive
-    (round-5 follow-up). A sort over raw rows still warns."""
-    if "TakeOrderedAndProject" in plan:
-        return []
+    shuffle) only when the sort's DIRECT input chain contains no final
+    aggregate: a sort fed by a HashAggregate/SortAggregate is bounded
+    by group cardinality, the TPC-H "ORDER BY the aggregated result"
+    shape (Q11/Q20), and warning on it was a measured false positive
+    (round-5 follow-up). A sort over raw rows still warns.
+
+    Scoping (round-8 ADVICE): the suppression stops descending at the
+    first join/union/generate below the sort — an aggregate buried
+    under a row-multiplying node does NOT bound the sort's input, and
+    a TakeOrderedAndProject elsewhere in the plan says nothing about a
+    different, unbounded global sort (the old whole-plan containment
+    checks suppressed both)."""
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if not re.search(r"Sort \[[^\]]*\], true", ln):
             continue
         d = _tree_indent(ln)
-        agg_below = False
+        agg_bounds = False
         for nxt in lines[i + 1:]:
             if _tree_indent(nxt) <= d:
-                break
+                break  # left the sort's subtree
             if re.search(r"(HashAggregate|SortAggregate|ObjectHashAggregate)",
                          nxt):
-                agg_below = True
+                agg_bounds = True
                 break
-        if not agg_below:
+            if re.search(
+                r"(Join|Union|CartesianProduct|Generate|Expand)", nxt
+            ):
+                break  # row realignment below: the agg bound is void
+        if not agg_bounds:
             return [
                 "global Sort without a top-k cut: full-data range "
                 "shuffle + sort — use top_k() for leaderboards, or drop "

@@ -380,6 +380,28 @@ def test_scale_warnings_flags_known_hazards(spark, sf_dir):
     agg_sorted = o.groupBy("o_orderpriority").count().orderBy("count")
     assert not any("global Sort" in w for w in scale_warnings(agg_sorted))
 
+    # scoping (round-8 ADVICE): an aggregate BELOW a row-multiplying
+    # join does not bound the sort above the join — must still warn
+    agg_then_join = (
+        o.groupBy("o_custkey").count()
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy("o_custkey")
+    )
+    # (broadcast join keeps the shape deterministic; the sort input is
+    # join output = raw row grain, not agg grain)
+    assert any("global Sort" in w for w in scale_warnings(agg_then_join)), \
+        scale_warnings(agg_then_join)
+    # ...and a TakeOrderedAndProject SOMEWHERE in the plan must not
+    # suppress a different unbounded global sort (the sort goes ON TOP
+    # of the join — below it Catalyst rightly eliminates the ordering)
+    topk_plus_sort = o.crossJoin(
+        F.broadcast(c.orderBy("c_acctbal").limit(3).groupBy().count())
+    ).orderBy("o_totalprice")
+    from lazy_frame_spark.plans.audit import executed_plan as _ep
+    assert "TakeOrderedAndProject" in _ep(topk_plus_sort)
+    assert any("global Sort" in w for w in scale_warnings(topk_plus_sort)), \
+        scale_warnings(topk_plus_sort)
+
     # graded plans: clean
     from lazy_frame_spark.parity import REGISTRY
 
@@ -472,3 +494,18 @@ def test_ivfpq_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
             for r in idx.topk(enc, qv, k=5, n_probe=2).collect()]
     got = [(r["vec_id"], r["pq_dist"]) for r in top.collect()]
     assert got == want and got[0][0] == 0
+
+    # the same pruning contract at corpus-scale cell counts: n_cells=128
+    # partitions, probe 8 — the scan must read 8/128 of the index (the
+    # no-model fit keeps this test's fixture cost flat; pruning is a
+    # layout property, not a training one)
+    idx128 = sim.IVFPQIndex.fit(e, n_cells=128, n_sub=8, k=16, seed=7,
+                                train_iters=0, train_coarse=False)
+    enc128 = idx128.encode(e).select("vec_id", "pq_codes", "__ivf_cell__")
+    store128 = str(tmp_path / "ivfpq_index_128")
+    enc128.write.partitionBy("__ivf_cell__").parquet(store128)
+    top128 = idx128.topk(spark.read.parquet(store128), qv, k=5, n_probe=8)
+    plan128 = executed_plan(top128)
+    assert "PartitionFilters" in plan128 and "__ivf_cell__" in plan128.split(
+        "PartitionFilters", 1)[1][:300], plan128[:2000]
+    assert len(top128.collect()) == 5

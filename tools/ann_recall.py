@@ -1,11 +1,16 @@
-"""IVF-PQ recall sweep — measured evidence for the two serving knobs:
-n_probe (cell coverage) and refine (exact re-rank of the ADC shortlist).
+"""IVF-PQ recall sweep — measured evidence for the three serving knobs:
+n_cells (index partitioning), n_probe (cell coverage) and refine (exact
+re-rank of the ADC shortlist).
 
 Runs the trained-DEFAULT fit (cells=32, sub=16, k=64, Lloyd residual
-books) at $SPARK_GRAFT_SF_DIR (default sf0.1), sweeps
-n_probe x refine over a 20-query panel against the exact squared-L2
-top-10, and prints ONE JSON line (also merged into ANN_RECALL.json next
-to the repo root) so the numbers are a recorded artifact, not prose.
+books + cosine-Lloyd coarse) at $SPARK_GRAFT_SF_DIR (default sf0.1),
+sweeps n_probe x refine over a 20-query panel against the exact
+squared-L2 top-10, adds the deterministic-coarse comparison rows and an
+n_cells sweep (128/512 at proportional probe fractions — the 100 TB
+knob story is cells x probe x refine, and the curve must be measured
+past 32 cells), and prints ONE JSON line (also merged into
+ANN_RECALL.json next to the repo root) so the numbers are a recorded
+artifact, not prose.
 
 Usage: python tools/ann_recall.py [sf_dir]
 """
@@ -55,25 +60,46 @@ def main() -> int:
                 refine=refine, label="h").collect()[0]["h"]
             grid[f"probe{n_probe}_refine{refine}"] = round(hits / denom, 3)
 
-    # trained coarse centroids (train_coarse=True): the probe-ceiling
-    # lever, measured at the headline operating point
-    idx_c = sim.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
-                               train_coarse=True)
-    enc_c = idx_c.encode(e).cache()
-    enc_c.count()
+    # deterministic coarse pick (train_coarse=False — the
+    # SQL-reproducible escape): the comparison rows showing what
+    # cosine-Lloyd coarse training (the round-9 default above) buys
+    idx_u = sim.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
+                               train_coarse=False)
+    enc_u = idx_u.encode(e).cache()
+    enc_u.count()
     for n_probe in (8, 16):
         hits = sim.ivfpq_panel_hits(
-            enc_c, idx_c, panel, truth, k=10, n_probe=n_probe,
+            enc_u, idx_u, panel, truth, k=10, n_probe=n_probe,
             refine=100, label="h").collect()[0]["h"]
-        grid[f"coarse_trained_probe{n_probe}_refine100"] = round(
+        grid[f"coarse_untrained_probe{n_probe}_refine100"] = round(
             hits / denom, 3)
+    enc_u.unpersist()
+
+    # n_cells sweep at the SAME probe fractions as the headline
+    # (probe/cells = 1/4 and 1/2): more cells = finer partition
+    # pruning (each probe reads probe/cells of the index) at the cost
+    # of coverage per probed cell — the measured trade a 100 TB
+    # deployment tunes
+    for n_cells in (128, 512):
+        idx_n = sim.IVFPQIndex.fit(e, n_cells=n_cells, n_sub=16, k=64,
+                                   seed=7)
+        enc_n = idx_n.encode(e).cache()
+        enc_n.count()
+        for n_probe in (n_cells // 4, n_cells // 2):
+            hits = sim.ivfpq_panel_hits(
+                enc_n, idx_n, panel, truth, k=10, n_probe=n_probe,
+                refine=100, label="h").collect()[0]["h"]
+            grid[f"cells{n_cells}_probe{n_probe}_refine100"] = round(
+                hits / denom, 3)
+        enc_n.unpersist()
 
     result = {
         "metric": "ivfpq_recall_at_10",
         "sf_dir": sf_dir,
         "n_vectors": n,
         "config": {"n_cells": 32, "n_sub": 16, "k": 64,
-                   "train_iters": 4, "panel": len(panel)},
+                   "train_iters": 4, "train_coarse": True,
+                   "panel": len(panel)},
         "grid": grid,
     }
     print(json.dumps(result))
