@@ -3967,6 +3967,46 @@ def lf_open_enumerate(spark, sf_dir):
     return df.agg(F.max(ROW_ID).alias("max_row_id"))
 
 
+@query(
+    "lf_open_decimal_locale",
+    oracle="""
+    SELECT l_orderkey AS k, l_linenumber AS ln,
+           l_quantity AS qty, l_tax AS tax
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0 AND l_quantity > 25
+    """,
+)
+def lf_open_decimal_locale(spark, sf_dir):
+    """Locale decimal-separator parity — the last §2.1 fine-print edge
+    (``src/lazy.frame.c:516-517``: the reference honors localeconv's
+    decimal_point): a comma-decimal ';'-separated fixture derived from
+    lineitem is opened with ``decimal=','`` — the engine reads the
+    comma-decimal columns as DecimalType(30,10) under a comma locale
+    (the one CSV type Spark parses locale-aware) and casts back to
+    double in the same plan; sample inference normalizes the separator
+    before type detection. Filter + projection values must match the
+    parquet source EXACTLY (quantities and 2-dp taxes round-trip the
+    decimal quantization losslessly)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_decimal_{tag}.csv"
+    rows = (
+        _table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        .collect()
+    )
+    with open(src, "w") as f:
+        f.write("k;ln;qty;tax\n")
+        for r in sorted(rows,
+                        key=lambda x: (x["l_orderkey"], x["l_linenumber"])):
+            nums = f"{r['l_quantity']};{r['l_tax']}".replace(".", ",")
+            f.write(f"{r['l_orderkey']};{r['l_linenumber']};{nums}\n")
+    lf = LazyFrame.open(spark, src, sep=";", decimal=",")
+    return lf.filter("qty", ">", 25.0).to_df()
+
+
 # ===================================================================== #
 # UDF / UDAF / UDTF surface — the Python escape hatch, oracle-verified
 # to match pure SQL (functions/udfs.py).

@@ -55,6 +55,30 @@ VERIFY_SAMPLE_LINES = 1000
 #: builds the positional cache, then drops it from the user columns
 CORRUPT_COL = "__lfs_corrupt__"
 
+#: decimal-separator → Java locale whose DecimalFormat uses it (Spark
+#: parses DecimalType through the locale-aware format; Double.parseDouble
+#: is hardwired to '.')
+_DECIMAL_LOCALES = {",": "de-DE"}
+
+
+def _decimalize(
+    schema: T.StructType, decimal: str
+) -> tuple[T.StructType, list[tuple[str, T.DataType]]]:
+    """Under a comma-decimal locale, double/float fields must READ as
+    DecimalType(30,10) (the one CSV type Spark parses locale-aware) and
+    cast back afterward; returns (read schema, cast-back list). A '.'
+    decimal returns the schema unchanged."""
+    if decimal == ".":
+        return schema, []
+    fields, casts = [], []
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            fields.append(T.StructField(f.name, T.DecimalType(30, 10), True))
+            casts.append((f.name, f.dataType))
+        else:
+            fields.append(f)
+    return T.StructType(fields), casts
+
 
 def open_csv(
     spark: SparkSession,
@@ -71,6 +95,7 @@ def open_csv(
     comment: str | None = None,
     encoding: str | None = None,
     multiline: bool = False,
+    decimal: str = ".",
 ) -> DataFrame:
     """Open a delimited text file (plain or gzip) as a lazy DataFrame.
 
@@ -88,9 +113,25 @@ def open_csv(
     line-splittable, so Spark reads each FILE as one task; at 100 TB keep
     multiline inputs as many moderate files, or convert to parquet at
     ingest. Incompatible with ``skip`` (the skip path parses per-line).
+
+    ``decimal=','``: locale decimal separator (the reference honors the
+    OS locale's ``localeconv`` decimal point, ``src/lazy.frame.c:516``).
+    Spark parses comma decimals only through DecimalType's locale-aware
+    DecimalFormat — Double.parseDouble is hardwired to '.' — so the
+    engine reads comma-decimal columns as DecimalType(30,10) under a
+    comma-decimal locale and casts them back to double in the same
+    plan; sample/verified inference normalizes the separator before
+    type detection. Works with sample/verified inference and explicit
+    schemas (double/float fields are transparently rerouted through
+    decimal); Spark's own full inference (``infer_schema=True``) is not
+    locale-aware and will type comma-decimal columns as string. Digit
+    grouping separators are not supported — plain ``1234,5`` values
+    only, |x| < 10^20.
     """
     if multiline and skip:
         raise ValueError("multiline=True cannot be combined with skip>0")
+    if decimal not in (".", ","):
+        raise ValueError(f"decimal must be '.' or ',', got {decimal!r}")
     # ONE head peek serves header detection AND (in verified mode) the
     # 1000-line schema sample — a second sampling job would double the
     # open's fixed cost for nothing
@@ -101,6 +142,11 @@ def open_csv(
     if not sample:
         raise ValueError(f"empty input: {path}")
     parsed = _parse_lines(sample, sep, quote)
+    if decimal == ",":
+        # normalized COPY for type/header detection only — the read
+        # itself parses the raw file through the decimal locale
+        parsed = [[f.replace(",", ".") if f else f for f in row]
+                  for row in parsed]
     has_header = (_detect_header(parsed[:SAMPLE_LINES + 1])
                   if header == "auto" else bool(header))
 
@@ -108,6 +154,7 @@ def open_csv(
     if has_header and parsed:
         names = _make_names(parsed[0])
 
+    casts: list[tuple[str, T.DataType]] = []
     if skip == 0:
         reader = (
             spark.read.option("sep", sep)
@@ -123,7 +170,12 @@ def open_csv(
             reader = reader.option("encoding", encoding)
         if multiline:
             reader = reader.option("multiLine", "true")
+        if decimal == ",":
+            reader = reader.option("locale", _DECIMAL_LOCALES[decimal])
         if schema is not None:
+            if isinstance(schema, str):
+                schema = T.StructType.fromDDL(schema)
+            schema, casts = _decimalize(schema, decimal)
             df = reader.schema(schema).csv(path)
         elif infer_schema == "verified":
             # sample-infer from a ~1000-line driver-side head peek (no
@@ -137,6 +189,7 @@ def open_csv(
             # default paid a dedicated full inferSchema scan up front.
             data_rows = parsed[1:] if has_header else parsed
             sampled = _infer_schema_from_sample(data_rows, names)
+            sampled, casts = _decimalize(sampled, decimal)
             if CORRUPT_COL in {f.name for f in sampled.fields}:
                 raise ValueError(
                     f"column name {CORRUPT_COL!r} collides with the "
@@ -160,6 +213,7 @@ def open_csv(
             # explicit schema when that matters.
             data_rows = parsed[1:] if has_header else parsed
             sampled = _infer_schema_from_sample(data_rows, names)
+            sampled, casts = _decimalize(sampled, decimal)
             df = reader.schema(sampled).csv(path)
         elif infer_schema:
             df = reader.option("inferSchema", "true").csv(path)
@@ -171,11 +225,17 @@ def open_csv(
             # corrupt channel's name)
             df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
     else:
-        df = _open_with_skip(
+        df, casts = _open_with_skip(
             spark, path, sep, has_header, skip, schema, quote, escape,
             null_value, parsed, names, infer_schema=infer_schema,
+            decimal=decimal,
         )
 
+    for cname, dtype in casts:
+        # comma-decimal columns came through DecimalType(30,10) — cast
+        # back to the type the sample/explicit schema declared, in the
+        # same plan (a projection, no extra pass)
+        df = df.withColumn(cname, F.col(cname).cast(dtype))
     if row_names is not None:
         cols = [c for c in df.columns if c != CORRUPT_COL]
         if not (1 <= row_names <= len(cols)):
@@ -197,12 +257,14 @@ def _open_with_skip(
     parsed_sample: list[list[str]],
     names: list[str] | None,
     infer_schema: bool | str = "sample",
-) -> DataFrame:
+    decimal: str = ".",
+) -> tuple[DataFrame, list[tuple[str, T.DataType]]]:
     data_rows = parsed_sample[1:] if has_header else parsed_sample
     text = with_row_ids(spark.read.text(path))
     drop = skip + (1 if has_header else 0)
     body = text.filter(F.col(ROW_ID) > drop)
     verified = False
+    casts: list[tuple[str, T.DataType]] = []
     if schema is None:
         if infer_schema is True:
             # FULL inference: Spark's own CSV inference run over the
@@ -220,6 +282,7 @@ def _open_with_skip(
                 [T.StructField(c, T.StringType(), True) for c in cols])
         else:
             schema = _infer_schema_from_sample(data_rows, names)
+            schema, casts = _decimalize(schema, decimal)
             if infer_schema == "verified":
                 if CORRUPT_COL in {f.name for f in schema.fields}:
                     raise ValueError(
@@ -232,11 +295,15 @@ def _open_with_skip(
                     + [T.StructField(CORRUPT_COL, T.StringType(), True)]
                 )
                 verified = True
-    elif isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
+    else:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        schema, casts = _decimalize(schema, decimal)
 
     opts = {"sep": sep, "quote": quote, "escape": escape, "nullValue": null_value,
             "mode": "PERMISSIVE"}
+    if decimal == ",":
+        opts["locale"] = _DECIMAL_LOCALES[decimal]
     if verified:
         # same contract as the skip=0 reader: a row the sampled schema
         # cannot parse lands its raw line in CORRUPT_COL instead of
@@ -250,7 +317,7 @@ def _open_with_skip(
     out = parsed.select(ROW_ID, "__rec__.*")
     # re-base ids so logical row 1 is the first data row (internalskip parity,
     # R/lazy.frame.R:65,153)
-    return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop))
+    return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(drop)), casts
 
 
 def _full_schema_from_lines(

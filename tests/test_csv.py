@@ -152,6 +152,38 @@ def test_skip_verified_catches_lying_sample(spark, tmp_path_factory):
     assert t2["id"] == "bigint" and t2["val"] == "double"
 
 
+def test_decimal_comma_locale(spark, tmp_path_factory):
+    """decimal=',' (src/lazy.frame.c:516-517 localeconv parity): comma
+    decimals parse to the exact doubles on every path — sample
+    inference (separator-normalized detection), explicit schema
+    (double fields rerouted through locale-aware DecimalType), and the
+    skip>0 from_csv path. '.' stays the default; bad separators raise."""
+    d = tmp_path_factory.mktemp("csv")
+    p = d / "dec.csv"
+    p.write_text("id;qty;name\n1;3,5;a\n2;10,25;b\n3;7,0;c\n")
+
+    df = open_csv(spark, str(p), sep=";", decimal=",",
+                  infer_schema="sample")
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    assert types == {"id": "bigint", "qty": "double", "name": "string"}
+    assert sorted(r["qty"] for r in df.collect()) == [3.5, 7.0, 10.25]
+
+    ex = open_csv(spark, str(p), sep=";", decimal=",",
+                  schema="id bigint, qty double, name string")
+    assert dict((f.name, f.dataType.simpleString()) for f in ex.schema)[
+        "qty"] == "double"
+    assert sorted(r["qty"] for r in ex.collect()) == [3.5, 7.0, 10.25]
+
+    s = d / "dec_skip.csv"
+    s.write_text("# junk\nid;qty\n1;3,5\n2;10,25\n")
+    sk = open_csv(spark, str(s), sep=";", skip=1, decimal=",",
+                  infer_schema="sample")
+    assert sorted(r["qty"] for r in sk.collect()) == [3.5, 10.25]
+
+    with pytest.raises(ValueError):
+        open_csv(spark, str(p), sep=";", decimal="'")
+
+
 def test_cache_false_open_warns_unverified(spark, tmp_path_factory):
     """cache=False one-shot opens keep the sampled schema unverified by
     design — but must SAY so once instead of silently changing data
