@@ -107,6 +107,14 @@ def warm_page_cache(sf_dir: str) -> None:
 #: benchmark used (BASELINE.md drops cold-cache numbers separately).
 MIN_OF_2 = {"lf_open_enumerate", "lf_open_enumerate_sorted"}
 
+#: queries re-timed min-of-3 WITHOUT state release (they pin nothing):
+#: the BENCH_r08 +15-21% drifts on these three reproduced as pure
+#: run-to-run variance (same-session spreads of 20-55% with unchanged
+#: plans, round-9 probe: e.g. join_q11 1.535/1.095/0.994 s), so a
+#: single-run reading is noise-dominated at their sub-2s absolute cost.
+MIN_OF_3 = {"join_q11_important_stock", "text_html_extract",
+            "dedup_ngram_spans"}
+
 
 def release_enumeration_state(spark, name: str, sf_dir: str) -> None:
     """Drop exactly the persisted state the named enumeration run pinned
@@ -187,6 +195,11 @@ def main() -> int:
             t1 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             elapsed = min(elapsed, time.perf_counter() - t1)
+        elif name in MIN_OF_3:
+            for _ in range(2):
+                t1 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                elapsed = min(elapsed, time.perf_counter() - t1)
         timings[name] = round(elapsed, 3)
 
     total = round(sum(timings.values()), 3)
@@ -206,6 +219,7 @@ def main() -> int:
         "protocol": {
             "runs_default": 1,
             "min_of_2": sorted(MIN_OF_2),
+            "min_of_3": sorted(MIN_OF_3),
             "warmup": "sf0.001 all queries + page-cache + untimed "
                       "target-SF enumeration pair",
         },

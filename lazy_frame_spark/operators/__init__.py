@@ -15,8 +15,12 @@ from lazy_frame_spark.operators.mixing import (
     cap_per_group,
     epoch_shuffle,
     mix_corpora,
+    mix_temperature,
     rates_for_target_mix,
     sample_by_rates,
+    sample_by_rates_df,
+    temperature_rates,
+    temperature_weights,
 )
 from lazy_frame_spark.operators.urls import (
     canonicalize_url,
@@ -54,7 +58,9 @@ from lazy_frame_spark.operators.sampling import (
 )
 from lazy_frame_spark.operators.similarity import (
     IVFIndex,
+    IVFPQIndex,
     RandomHyperplaneLSH,
+    coarse_train_cosine,
     cosine_topk,
     cosine_topk_int8,
     dequantize_int8,
@@ -64,6 +70,7 @@ from lazy_frame_spark.operators.similarity import (
     pq_codebooks,
     pq_encode,
     pq_encode_arrow,
+    pq_train,
     quantize_int8,
 )
 from lazy_frame_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -114,7 +121,9 @@ __all__ = [
     # decontamination
     "contamination", "decontaminate", "decontaminate_stream", "eval_ngrams",
     # mixing & training order
-    "epoch_shuffle", "mix_corpora", "rates_for_target_mix", "sample_by_rates",
+    "epoch_shuffle", "mix_corpora", "mix_temperature",
+    "rates_for_target_mix", "sample_by_rates", "sample_by_rates_df",
+    "temperature_rates", "temperature_weights",
     "cap_per_group",
     # canonical-URL dedup
     "canonicalize_url", "with_canonical_url", "dedup_canonical_url",
@@ -126,7 +135,8 @@ __all__ = [
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "connected_components_star", "duplicate_clusters", "incremental_near_dups",
     # similarity
-    "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
+    "cosine_topk", "RandomHyperplaneLSH", "IVFIndex", "IVFPQIndex",
+    "pq_train", "coarse_train_cosine",
     "embedding_near_dup_pairs",
     "quantize_int8", "dequantize_int8", "cosine_topk_int8",
     "pq_codebooks", "pq_encode", "pq_encode_arrow", "pq_adc_topk",

@@ -8052,14 +8052,18 @@ DRIVER_WINDOW: list[str] = [
     "lf_filter_project",
     "lf_open_enumerate",
     "lf_dim",
-    "lf_project",
-    "lf_rename",
-    "lf_row_range",
     # (lf_row_points rotated past the cap in round 8 — green rounds
-    # 1-7; the LINES positional path stays locally checked and the lf_
-    # family keeps nine driver reps incl. lf_row_range/lf_head)
-    "lf_head",
+    # 1-7; lf_project and lf_rename in round 9 — green rounds 1-8,
+    # with projection/rename still exercised through lf_filter_project
+    # and lf_factor_decode; all stay locally checked. Their slots fund
+    # the round-9 additions below per the zero-debt policy.)
+    "lf_row_range",
+    # (lf_head rotated in round 9 too — green rounds 1-8; L1 is the
+    # row_range(1,n) special case and stays locally checked + benched)
     "lf_which",
+    # locale decimal separator — the last §2.1 fine-print edge
+    # (src/lazy.frame.c:516-517), landed in-window the round it shipped
+    "lf_open_decimal_locale",
     # M5 summary — implemented where the reference stubs it; the driver
     # row closes the one §2.1 op previously verified only locally
     "lf_summary",
@@ -8080,13 +8084,19 @@ DRIVER_WINDOW: list[str] = [
     # subquery_scalar_and_in's IN-subquery and locally checked. Its
     # slot funds ann_ivfpq_trained_recall — the trained-default IVF-PQ
     # fit landing a driver row the round it shipped.)
-    "join_asof_last_order",
+    # round-8 late addition (zero-debt): nearest-direction as-of takes
+    # over as the as-of rep — it exercises the same operator plus
+    # tolerance and both-side carries (join_asof_last_order rotated
+    # past the cap after six green rounds, rounds 3-8)
+    "join_asof_nearest",
     "join_q3_revenue",
     # data quality + time series — the validation/regularization passes
     # a pipeline runs before anything else
     "dq_expectations",
     "ts_resample_ffill",
-    # windows, sort/top-k, set ops (the rank battery sits past the cap)
+    # windows, sort/top-k, set ops (the rank battery sits past the cap;
+    # set_union stays — it is the set-op category's ONLY window rep,
+    # which the window-span policy test rightly protects)
     "window_top3_per_customer",
     "sort_topk_orders",
     "set_union",
@@ -8110,12 +8120,21 @@ DRIVER_WINDOW: list[str] = [
     # HTML main-content extraction lands the round it shipped, funded
     # by dedup_clusters (3 green rounds; dedup keeps 2 reps))
     "events_funnel",
-    "text_model_quality_score",
+    # (text_model_quality_score rotated past the cap in round 9 —
+    # green rounds 7-8; the quality-scoring path stays locally checked
+    # and the text family keeps FIVE window reps below)
     "text_html_extract",
+    # round-8 late additions (zero-debt): compression-ratio quality
+    # signal, script/homoglyph profile, sentence chunking
+    "text_compression_ratio",
+    "text_script_profile",
+    "text_sentence_chunks",
     # mergeable sketches (theta set algebra — all four counts value-
     # checked exactly in exact mode; lang-id moved past the cap, still
     # locally checked)
     "sketch_theta_setops",
+    # round-8 late addition (zero-debt): CMS-estimated heavy hitters
+    "sketch_cms_topk",
     # dedup suite + decontamination + corpus mixing (the newest
     # training-pipeline capabilities earn driver rows; the slots come
     # from within-category redundancy, never from a category's only rep.
@@ -8133,12 +8152,20 @@ DRIVER_WINDOW: list[str] = [
     # follow-up 5 named exactly these), all still locally checked.
     "dedup_url_idn",
     "text_bpe_apply",
-    "ann_pq_trained_recall",
+    # (ann_pq_trained_recall rotated past the cap in round 9 after its
+    # round-8 debut — the trained-vs-hash invariant is carried at the
+    # full-index level by ann_ivfpq_trained_recall below, and the
+    # PQ-only variant stays locally checked)
     # (dedup_ngram_jaccard rotated past the cap in round 5 — dedup keeps
     # three driver reps — freeing a slot for one-call gzip ingest)
     "ingest_gz_roundtrip",
     "decontam_ngram_overlap",
     "mix_domain_cap",
+    # round-8 late addition (zero-debt) + the round-9 scale rewrite's
+    # own row: DataFrame-native temperature rates, and the 65k-domain
+    # broadcast-join mix that proves the high-cardinality path
+    "mix_temperature_uniform",
+    "mix_high_cardinality",
     # similarity search: round-7 rotation — the quantized scale paths
     # (PQ/ADC 8 B-per-vector search, int8 exact top-k, and the IVF-PQ
     # residual index whose DuckDB twin rebuilds the ENTIRE index)
@@ -8147,7 +8174,8 @@ DRIVER_WINDOW: list[str] = [
     # slot funded by sink_merge_upsert (3 green rounds; sink_ keeps
     # sink_roundtrip).
     "ann_pq_adc_topk",
-    "ann_cosine_topk_int8",
+    # (ann_cosine_topk_int8 rotated past the cap in round 9 — green
+    # rounds 7-8; the quantized family keeps FOUR driver reps below)
     "ann_ivfpq_adc_topk",
     # round-8: the trained-residual DEFAULT fit + IVFADC-refine recall
     # invariants land in-window the round they shipped (slot funded by
@@ -8171,7 +8199,10 @@ DRIVER_WINDOW: list[str] = [
     # new trailing-EWMA operator, whose bounded mergeable synopsis is
     # bit-exact against the batch replay with NO tolerance, a strictly
     # stronger stateful check than the commutative count/sum profile)
-    "stream_tumbling_window",
+    # (stream_tumbling_window rotated past the cap in round 9 — green
+    # rounds 1-8, the longest-green streaming rep; the category keeps
+    # the session-window and stateful-EWMA rows, and tumbling stays
+    # locally checked)
     "stream_session_window",
     "stream_recent_ewma",
     # UDF / UDAF / UDTF

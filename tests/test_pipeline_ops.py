@@ -2461,6 +2461,60 @@ def test_similarity_zero_vectors_and_collision_guards(spark):
         idx.encode(df.withColumn("pq_codes", F.lit(1)))
 
 
+def test_coarse_train_cosine_properties(spark):
+    """The spherical-Lloyd coarse trainer: (1) its objective — mean
+    best-cosine to the assigned centroid, the quantity the SERVING
+    assignment maximizes — never decreases across iterations (mean
+    update = spherical k-means update, since the cosine divides out
+    centroid scale); (2) a centroid no vector ever picks (a 'dead'
+    cell) keeps its previous value; (3) the assignment used in
+    training IS _cell_assign_batch, so post-training encode cells are
+    reproducible from the returned centroids."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.similarity import (
+        _cell_assign_batch,
+        coarse_train_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.05, (60, 8)) + np.array([1, 0, 0, 0, 0, 0, 0, 0.0])
+    b = rng.normal(0, 0.05, (60, 8)) + np.array([0, 1, 0, 0, 0, 0, 0, 0.0])
+    V = np.vstack([a, b])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id int, embedding array<double>",
+    )
+    # inits: two slightly-off live centroids + one dead centroid
+    # pointing AWAY from all data (cosine < 0 to every vector)
+    init = [[0.9, 0.1, 0, 0, 0, 0, 0, 0],
+            [0.1, 0.9, 0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0, -1.0]]
+
+    def objective(C):
+        C = np.asarray(C, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        vn = np.sqrt((V * V).sum(axis=1))
+        sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+        return float(sims.max(axis=1).mean())
+
+    prev, obj = init, objective(init)
+    for _ in range(3):
+        cur = coarse_train_cosine(df, prev, n_iter=1)
+        cur_obj = objective(cur)
+        assert cur_obj >= obj - 1e-12, (cur_obj, obj)
+        prev, obj = cur, cur_obj
+    assert prev[2] == init[2]  # dead cell untouched
+
+    # serving parity: assignments from the trained centroids match
+    # _cell_assign_batch exactly (training used the same code)
+    C = np.asarray(prev, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cells, finite = _cell_assign_batch(V, C, cn)
+    assert finite.all()
+    assert set(cells[:60]) == {0} and set(cells[60:]) == {1}
+
+
 def test_pq_non_finite_vectors_null_codes_on_both_paths(spark):
     """Finite-vector contract: NaN/Inf/NULL-bearing vectors encode to
     NULL codes on BOTH encode paths (without the guard, Catalyst's
