@@ -128,11 +128,12 @@ class LazyFrame:
         ``"sample"`` (unverified, reference-style), ``False`` (all
         strings), or an explicit ``schema=``. The ``skip=N`` path gets
         the SAME guarantee: ``from_csv`` carries the corrupt channel
-        per row, the first touch counts it, and a lying sample falls
-        back to full inference over the post-skip body. ``cache=False``
-        one-shot opens skip verification by design (a dedicated
-        full-width parse would double the one-shot cost) and emit a
-        one-time warning instead.
+        per row. Verification runs on the FIRST data access of any
+        kind — positional paths fuse it into the enumerate build,
+        everything else (filter/select/to_df/...) runs the standalone
+        count before data flows. ``cache=False`` one-shot opens skip
+        verification by design (a dedicated full-width parse would
+        double the one-shot cost) and emit a one-time warning instead.
 
         ``cache=False`` skips persisting the enumerated frame: the right
         mode for ONE-shot positional queries (open → slice → done), where
@@ -179,18 +180,11 @@ class LazyFrame:
 
     def _with_ids(self) -> DataFrame:
         if ROW_ID in self._df.columns:
-            if self._verify_df is not None:
-                # skip>0 CSV opens arrive with ids already attached
-                # (the text-read path rebases them), so there is no
-                # enumerate build to fuse verification into — run the
-                # corrupt-channel count as its own first-touch pass,
-                # with the same automatic full-inference fallback
-                if self._cache:
-                    if self._verify_attached(self._verify_df) is None:
-                        return self._df  # rebuilt on the full-infer path
-                else:
-                    _warn_sample_unverified()
-                    self._verify_df = None
+            # skip>0 CSV opens arrive with ids already attached (the
+            # text-read path rebases them), so there is no enumerate
+            # build to fuse verification into — the standalone
+            # first-touch verify covers them
+            self._ensure_verified()
             return self._df
         # enumerate + persist: the reference pays its newline-index scan
         # once at open (src/lazy.frame.c:252-298) and every positional
@@ -234,14 +228,12 @@ class LazyFrame:
         self._df = df
         return df
 
-    def _verify_attached(self, vdf: DataFrame):
-        """First-touch schema verification for frames whose ids are
-        already attached (the skip>0 CSV path): ONE aggregate over the
-        corrupt-channel frame — same all-columns-referenced trick as
-        ``_verify_enumerated`` so the parse cannot prune — counting rows
-        the sampled schema failed. Clean → ``self`` keeps its frame
-        (returns it); dirty → swap in the full-inference reopen and
-        return None."""
+    def _count_corrupt(self, vdf: DataFrame) -> int:
+        """The ONE corrupt-channel aggregate both verify paths share:
+        sums the channel while referencing every user column, so the
+        CSV parser cannot prune — malformed values in any field flag
+        the channel. Returns the count of rows the sample-inferred
+        schema failed to parse."""
         from lazy_frame_spark.sources.csv import CORRUPT_COL
 
         user_cols = [c for c in vdf.columns
@@ -251,36 +243,52 @@ class LazyFrame:
             *[F.count(_qcol(c)).alias(f"__c{i}__")
               for i, c in enumerate(user_cols)],
         ).collect()[0]
+        return int(checks["__bad__"] or 0)
+
+    def _ensure_verified(self) -> None:
+        """Standalone schema verification for the FIRST data access on
+        any non-positional path (filter/select/to_df/...): positional
+        paths fuse the same check into the enumerate build
+        (``_verify_enumerated``), and whichever runs first consumes the
+        pending state — so the verified-by-default contract holds on
+        EVERY read path, not just positional ones. cache=False one-shot
+        opens skip it by design (a dedicated full-width parse would
+        double the one-shot cost) and warn once instead."""
+        if self._verify_df is None:
+            return
+        if not self._cache:
+            _warn_sample_unverified()
+            self._verify_df = None
+            return
+        self._verify_attached(self._verify_df)
+
+    def _verify_attached(self, vdf: DataFrame):
+        """ONE corrupt-count aggregate over the verify frame. Clean →
+        ``self`` keeps its frame (returns it); dirty → swap in the
+        full-inference reopen and return None."""
+        bad = self._count_corrupt(vdf)
         self._verify_df = None
-        if int(checks["__bad__"] or 0):
+        if bad:
             if self._reopen_full is None:
                 raise ValueError(
-                    f"{int(checks['__bad__'])} rows failed the "
-                    "sample-inferred schema — pass infer_schema=True or "
-                    "an explicit schema"
+                    f"{bad} rows failed the sample-inferred schema — "
+                    "pass infer_schema=True or an explicit schema"
                 )
             self._df = self._reopen_full()
             return None
         return self._df
 
     def _verify_enumerated(self, df: DataFrame, handle: DataFrame | None):
-        """Schema verification FUSED into the enumerate build: one
-        aggregate referencing every column (so the CSV parser cannot
-        prune — malformed values in any field flag the corrupt channel)
-        both materializes the positional cache and counts rows the
-        sample-inferred schema failed to parse. Zero extra passes on
-        the (overwhelmingly common) honest-sample path; if the sample
-        lied, fall back to ONE full-inference pass — exactly what the
-        old always-full-infer default paid up front on every open."""
+        """Schema verification FUSED into the enumerate build: the
+        shared corrupt-count aggregate both materializes the positional
+        cache and counts rows the sample-inferred schema failed to
+        parse. Zero extra passes on the (overwhelmingly common)
+        honest-sample path; if the sample lied, fall back to ONE
+        full-inference pass — exactly what the old always-full-infer
+        default paid up front on every open."""
         from lazy_frame_spark.sources.csv import CORRUPT_COL
 
-        user_cols = [c for c in df.columns if c != CORRUPT_COL]
-        checks = df.agg(
-            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("__bad__"),
-            *[F.count(_qcol(c)).alias(f"__c{i}__")
-              for i, c in enumerate(user_cols)],
-        ).collect()[0]
-        bad = int(checks["__bad__"] or 0)
+        bad = self._count_corrupt(df)
         if bad:
             try:
                 (handle or df).unpersist()
@@ -359,6 +367,7 @@ class LazyFrame:
     def select(self, cols: str | int | Sequence[str | int]) -> "LazyFrame":
         """Project by name or 1-based positive index; out-of-range indices
         are silently dropped (``R/lazy.frame.R:145-147``)."""
+        self._ensure_verified()
         names = self._resolve_cols(cols)
         keep = [c for c in self._df.columns if c == ROW_ID] + names
         return LazyFrame(
@@ -477,6 +486,7 @@ class LazyFrame:
         """``x[x[,k] op v, ]`` in one Catalyst plan (F3). Either a Column
         predicate, or (col, op, scalar) in the reference's RHS-typed
         domain (F2)."""
+        self._ensure_verified()
         if isinstance(col, Column):
             pred = col
         else:
@@ -594,6 +604,7 @@ class LazyFrame:
 
     def to_df(self, with_row_id: bool = False) -> DataFrame:
         """The underlying (lazy) DataFrame, data columns only by default."""
+        self._ensure_verified()
         if with_row_id:
             return self._with_ids()
         return self._df.select(*[_qcol(c) for c in self.columns])

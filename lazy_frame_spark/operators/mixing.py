@@ -143,7 +143,12 @@ def sample_by_rates_df(
     rates = rates_df.select(domain_col, rate_col)
     out = df.join(F.broadcast(rates), on=domain_col, how="left")
     rate = F.coalesce(F.col(rate_col), F.lit(int(default_bp)))
-    return out.filter(uniform_bp(seed, id_cols) < rate).drop(rate_col)
+    # restore the INPUT column order — join(on=...) hoists the key
+    # column first, and the when-chain path preserves input order, so
+    # without this the two routes disagree on shape at the guard
+    # boundary (a positional consumer would silently misread)
+    return (out.filter(uniform_bp(seed, id_cols) < rate)
+            .select(*df.columns))
 
 
 def sample_by_rates(

@@ -153,8 +153,13 @@ def _global_sort_warnings(plan: str) -> list[str]:
         for nxt in lines[i + 1:]:
             if _tree_indent(nxt) <= d:
                 break  # left the sort's subtree
-            if re.search(r"(HashAggregate|SortAggregate|ObjectHashAggregate)",
-                         nxt):
+            if re.search(
+                r"(HashAggregate|SortAggregate|ObjectHashAggregate"
+                r"|TakeOrderedAndProject|GlobalLimit|CollectLimit)", nxt
+            ):
+                # aggregates bound the input by group cardinality;
+                # limits/top-k bound it by the literal row cut — a sort
+                # over either is sorting a provably small frame
                 agg_bounds = True
                 break
             if re.search(

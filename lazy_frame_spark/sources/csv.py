@@ -132,6 +132,11 @@ def open_csv(
         raise ValueError("multiline=True cannot be combined with skip>0")
     if decimal not in (".", ","):
         raise ValueError(f"decimal must be '.' or ',', got {decimal!r}")
+    if decimal == sep:
+        raise ValueError(
+            "sep and decimal must differ (a comma-decimal file uses a "
+            "';' or tab field separator — pass sep=';')"
+        )
     # ONE head peek serves header detection AND (in verified mode) the
     # 1000-line schema sample — a second sampling job would double the
     # open's fixed cost for nothing
@@ -216,7 +221,22 @@ def open_csv(
             sampled, casts = _decimalize(sampled, decimal)
             df = reader.schema(sampled).csv(path)
         elif infer_schema:
-            df = reader.option("inferSchema", "true").csv(path)
+            if decimal == ",":
+                # Spark's path-based inference is not locale-aware:
+                # infer over the separator-normalized line strings
+                # (JVM-side, one pass), then read the raw file through
+                # the locale with comma columns routed via decimal —
+                # full inference stays honest under decimal=',' (the
+                # verified fallback lands here too)
+                inferred = _full_schema_from_lines(
+                    spark, spark.read.text(path), sep, quote, escape,
+                    null_value, names, decimal=decimal,
+                    header=has_header, comment=comment,
+                )
+                inferred, casts = _decimalize(inferred, decimal)
+                df = reader.schema(inferred).csv(path)
+            else:
+                df = reader.option("inferSchema", "true").csv(path)
         else:
             df = reader.csv(path)
         if not has_header and names is None and infer_schema != "verified":
@@ -273,7 +293,9 @@ def _open_with_skip(
             # the automatic fallback target when verified mode finds a
             # row the head sample's schema cannot parse.
             schema = _full_schema_from_lines(spark, body, sep, quote,
-                                             escape, null_value, names)
+                                             escape, null_value, names,
+                                             decimal=decimal)
+            schema, casts = _decimalize(schema, decimal)
         elif infer_schema is False:
             ncol = (len(names) if names is not None
                     else max((len(r) for r in data_rows), default=0))
@@ -328,24 +350,40 @@ def _full_schema_from_lines(
     escape: str,
     null_value: str,
     names: list[str] | None,
+    decimal: str = ".",
+    header: bool = False,
+    comment: str | None = None,
 ) -> T.StructType:
-    """Full CSV type inference over an already-line-split body (the
-    post-skip rows): delegate to Spark's inference by feeding the line
-    strings back through ``DataFrameReader.csv`` — types come from the
-    SAME inference code path every skip=0 full-infer open uses, applied
-    to exactly the rows the skip predicate keeps. One distributed pass;
-    only the schema (KBs) reaches the driver."""
-    inferred = (
-        spark.read.option("sep", sep)
+    """Full CSV type inference over a column of line strings (the
+    post-skip rows, or a whole text read), entirely JVM-side: the
+    ``value`` column bridges as a Dataset[String] (py4j — NO
+    Python-worker round-trip; the ``.rdd.map`` alternative would
+    deserialize every row through the Python pipe) into
+    ``DataFrameReader.csv``, so types come from the SAME inference code
+    path every skip=0 full-infer open uses, applied to exactly the rows
+    the caller keeps. One distributed pass; only the schema (KBs)
+    reaches the driver. ``decimal=','`` normalizes separators first
+    (regexp on the line, inference only — the real read parses the raw
+    file through the locale; with sep != decimal enforced upstream the
+    replace cannot touch field boundaries)."""
+    src = body.select(F.col("value"))
+    if decimal == ",":
+        src = src.select(F.regexp_replace("value", ",", ".").alias("value"))
+    jds = getattr(src._jdf, "as")(
+        spark._jvm.org.apache.spark.sql.Encoders.STRING())
+    jreader = (
+        spark._jsparkSession.read()
+        .option("sep", sep)
         .option("quote", quote)
         .option("escape", escape)
         .option("nullValue", null_value)
-        .option("header", "false")
+        .option("header", "true" if header else "false")
         .option("inferSchema", "true")
         .option("mode", "PERMISSIVE")
-        .csv(body.select("value").rdd.map(lambda r: r[0]))
-        .schema
     )
+    if comment is not None:
+        jreader = jreader.option("comment", comment)
+    inferred = T._parse_datatype_json_string(jreader.csv(jds).schema().json())
     cols = (names if names is not None and len(names) == len(inferred.fields)
             else [f"V{i + 1}" for i in range(len(inferred.fields))])
     return T.StructType(

@@ -180,8 +180,42 @@ def test_decimal_comma_locale(spark, tmp_path_factory):
                   infer_schema="sample")
     assert sorted(r["qty"] for r in sk.collect()) == [3.5, 10.25]
 
+    # full inference (the verified-fallback target) must stay honest
+    # under decimal=',' on BOTH paths: separator-normalized JVM
+    # inference, then the locale read with comma columns decimalized
+    for kw in ({}, {"skip": 1}):
+        src = str(s) if kw else str(p)
+        fi = open_csv(spark, src, sep=";", decimal=",",
+                      infer_schema=True, **kw)
+        ft = {f.name: f.dataType.simpleString() for f in fi.schema}
+        assert ft["qty"] == "double", ft
+        assert sorted(r["qty"] for r in fi.collect()) == (
+            [3.5, 10.25] if kw else [3.5, 7.0, 10.25])
+
     with pytest.raises(ValueError):
         open_csv(spark, str(p), sep=";", decimal="'")
+    with pytest.raises(ValueError):
+        open_csv(spark, str(p), decimal=",")  # sep == decimal
+
+
+def test_nonpositional_first_touch_verifies(spark, tmp_path_factory):
+    """The verified-by-default contract must hold on EVERY read path:
+    a filter().to_df() chain that never touches positional machinery
+    still runs the corrupt-channel count first, so a type past the
+    head sample triggers the full-inference fallback instead of
+    silently comparing against NULL (round-9 review finding)."""
+    from lazy_frame_spark import LazyFrame
+    from lazy_frame_spark.sources.csv import VERIFY_SAMPLE_LINES
+
+    p = tmp_path_factory.mktemp("csv") / "lying_flat.csv"
+    n = VERIFY_SAMPLE_LINES + 100
+    lines = ["id,val"] + [f"{i},{i}" for i in range(1, n + 1)]
+    lines[VERIFY_SAMPLE_LINES + 20] = f"{VERIFY_SAMPLE_LINES + 20},3.5"
+    p.write_text("\n".join(lines) + "\n")
+
+    lf = LazyFrame.open(spark, str(p))
+    got = lf.filter("val", "==", 3.5).to_df().collect()  # no positional op
+    assert len(got) == 1 and got[0]["id"] == VERIFY_SAMPLE_LINES + 20
 
 
 def test_cache_false_open_warns_unverified(spark, tmp_path_factory):
