@@ -2515,6 +2515,68 @@ def test_coarse_train_cosine_properties(spark):
     assert set(cells[:60]) == {0} and set(cells[60:]) == {1}
 
 
+def test_cosine_coarse_training_transfers_on_unnormalized(spark):
+    """The round-8 ADVICE scenario made concrete on vectors whose norms
+    spread 100x: (1) the L2-argmin partition the old opt-in trainer
+    optimized DISAGREES with the cosine-argmax partition serving uses
+    (small-norm vectors sit closer to the wrong centroid in L2), so
+    its objective was the wrong one; (2) L2 Lloyd materializes that
+    mismatch by splitting same-direction cells into MAGNITUDE bands
+    (trained centroid norms diverge >=2x within a direction), while
+    the cosine trainer's same-direction centroids split by angle and
+    keep comparable norms — magnitude is invisible to the objective it
+    shares with serving."""
+    import numpy as np
+
+    from lazy_frame_spark.operators.similarity import (
+        coarse_train_cosine,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    dirs = np.array([[1, 0, 0, 0], [0, 1, 0, 0.0]])
+    rows = []
+    for d in dirs:
+        for _ in range(80):
+            v = d + rng.normal(0, 0.05, 4)
+            v = v / np.linalg.norm(v) * rng.uniform(0.1, 10.0)
+            rows.append([float(x) for x in v])
+    V = np.asarray(rows)
+    df = spark.createDataFrame(
+        [(r,) for r in rows], "embedding array<double>")
+    init = [[0.99, 0.05, 0.05, 0], [0.99, -0.05, -0.05, 0],
+            [0.05, 0.99, 0.05, 0], [-0.05, 0.99, -0.05, 0.0]]
+
+    def banding(C):
+        """max/min trained-centroid norm within each direction group."""
+        C = np.asarray(C, dtype=np.float64)
+        out = []
+        for axis in (0, 1):
+            ns = [np.linalg.norm(c) for c in C if abs(c[axis]) == max(
+                abs(c[0]), abs(c[1]))]
+            out.append(max(ns) / min(ns))
+        return out
+
+    cos_c = coarse_train_cosine(df, init, n_iter=6)
+    l2_c = pq_train(df, 4, n_sub=1, k=4, n_iter=6, init=[init])[0]
+    # (2) L2 bands by magnitude somewhere; cosine never does
+    assert max(banding(l2_c)) >= 2.0, banding(l2_c)
+    assert max(banding(cos_c)) < 1.5, banding(cos_c)
+
+    # (1) and the partition L2 training OPTIMIZED disagrees with how
+    # serving will read its centroids: with the unequal-norm trained
+    # bands, L2-argmin (band membership) and cosine-argmax (angular
+    # membership) place a large fraction of vectors in different cells
+    C = np.asarray(l2_c, dtype=np.float64)
+    l2_cells = np.argmin(
+        ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+    cn = np.sqrt((C * C).sum(axis=1))
+    vn = np.sqrt((V * V).sum(axis=1))
+    cos_cells = np.argmax((V @ C.T) / (vn[:, None] * cn[None, :]), axis=1)
+    assert (l2_cells != cos_cells).mean() > 0.1, (
+        (l2_cells != cos_cells).mean())
+
+
 def test_pq_non_finite_vectors_null_codes_on_both_paths(spark):
     """Finite-vector contract: NaN/Inf/NULL-bearing vectors encode to
     NULL codes on BOTH encode paths (without the guard, Catalyst's
