@@ -271,6 +271,13 @@ def temperature_rates(
     cw = _domain_counts(df, domain_col).withColumn(
         "__w__", F.pow(F.col("__c__").cast("double"), F.lit(float(alpha)))
     )
+    # the counts feed BOTH the scalar agg and the rate projection —
+    # persist the k-row result so the corpus-sized count scan runs
+    # ONCE (measured: Spark does not exchange-reuse across the two
+    # subtrees, so the unpersisted plan scanned the corpus twice for
+    # counts). k rows x 3 columns of executor storage, lineage kept
+    # (fault-tolerant), freed on GC/unpersist/session end.
+    cw = cw.persist()
     s = cw.agg(F.min(F.col("__c__") / F.col("__w__")).alias("__s__"))
     return (
         cw.crossJoin(F.broadcast(s))
@@ -336,6 +343,10 @@ def mix_corpora(
     cw = _domain_counts(df, domain_col).join(
         F.broadcast(wdf), on=domain_col, how="inner"
     )
+    # persisted for the same single-count-scan reason as
+    # temperature_rates (the k here is further bounded by the user's
+    # target_weights mapping)
+    cw = cw.persist()
     # s over PRESENT target domains, zeroed if any target domain is
     # absent (its c=0 term would have been the min) — both 1-row aggs
     s = cw.agg(
