@@ -332,6 +332,7 @@ class LazyFrame:
 
     def rename(self, names: Sequence[str] | dict[str, str]) -> "LazyFrame":
         """``names<-`` parity (``R/lazy.frame.R:217-226``)."""
+        self._ensure_verified()
         cols = self.columns
         if isinstance(names, dict):
             mapping = dict(names)
@@ -573,6 +574,7 @@ class LazyFrame:
         attr (they ARE the levels now)."""
         from pyspark.sql.types import NumericType
 
+        self._ensure_verified()
         df = self._df
         attrs = self._attrs.copy()
         for c, a in list(attrs.items()):
