@@ -125,8 +125,9 @@ def open_csv(
     schemas (double/float fields are transparently rerouted through
     decimal); Spark's own full inference (``infer_schema=True``) is not
     locale-aware and will type comma-decimal columns as string. Digit
-    grouping separators are not supported — plain ``1234,5`` values
-    only, |x| < 10^20.
+    grouping separators and exponent notation are not supported —
+    plain ``1234,5`` values only (``1e-05`` parses NULL under the
+    locale DecimalFormat), |x| < 10^20.
     """
     if multiline and skip:
         raise ValueError("multiline=True cannot be combined with skip>0")

@@ -729,3 +729,82 @@ def test_sentence_chunks_match_bruteforce(spark, texts, target):
     for i, t in docs:
         want = _brute_sentence_chunks(t, target)
         assert got.get(i, {}) == want, (i, repr(t))
+
+
+# --------------------------------------------------------------------- #
+# round-9: comma-decimal CSV round-trip vs the written values
+# --------------------------------------------------------------------- #
+
+_dec_value = st.one_of(
+    st.integers(-10**6, 10**6).map(float),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False).map(lambda x: round(x, 6)),
+)
+
+
+@SETTINGS
+@given(vals=st.lists(_dec_value, min_size=1, max_size=30))
+def test_decimal_comma_roundtrip_matches_written_values(
+    spark, tmp_path_factory, vals
+):
+    """decimal=',': every double whose repr round-trips (≤6 dp here, so
+    the DecimalType(30,10) quantization is lossless) must come back
+    EXACTLY as written once the comma separator is swapped in — the
+    locale read + cast-back chain loses nothing."""
+    from lazy_frame_spark.sources.csv import open_csv
+
+    # PLAIN notation only: locale DecimalFormat does not parse
+    # exponent notation ("1e-05" -> NULL), a documented decimal=','
+    # limit — comma-decimal files in the wild are plain-notation
+    vals = [float(f"{v:.6f}") for v in vals]
+    p = tmp_path_factory.mktemp("csv") / "fuzz_dec.csv"
+    lines = ["id;val"] + [
+        f"{i};{v:.6f}".replace(".", ",") for i, v in enumerate(vals)
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = open_csv(spark, str(p), sep=";", decimal=",",
+                  infer_schema="sample")
+    got = {r["id"]: r["val"] for r in df.collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == v, (i, v, got[i])
+
+
+# --------------------------------------------------------------------- #
+# round-9: rate-table join path ≡ when-chain path on random mixes
+# --------------------------------------------------------------------- #
+
+@SETTINGS
+@given(
+    rates=st.dictionaries(
+        st.integers(0, 25).map(str), st.integers(0, 10_000),
+        min_size=0, max_size=12,
+    ),
+    default_bp=st.integers(0, 10_000),
+    seed=st.integers(0, 99),
+)
+def test_sample_by_rates_paths_equivalent_fuzz(spark, rates, default_bp,
+                                               seed):
+    """Membership parity between the literal when-chain and the
+    broadcast rate-table join on random mappings, defaults and seeds —
+    including NULL domains and domains absent from the mapping."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.operators import mixing as mx
+
+    d = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 30).cast("string")).alias("dom"),
+    )
+    chain = {r["doc_id"] for r in mx.sample_by_rates(
+        d, "dom", rates, ["doc_id"], seed=seed,
+        default_bp=default_bp).collect()}
+    orig = mx.WHEN_CHAIN_MAX_DOMAINS
+    try:
+        mx.WHEN_CHAIN_MAX_DOMAINS = -1  # force the join path
+        joined = {r["doc_id"] for r in mx.sample_by_rates(
+            d, "dom", rates, ["doc_id"], seed=seed,
+            default_bp=default_bp).collect()}
+    finally:
+        mx.WHEN_CHAIN_MAX_DOMAINS = orig
+    assert chain == joined
