@@ -13,6 +13,7 @@ from lazy_frame_spark.operators.incremental import (
 )
 from lazy_frame_spark.operators.mixing import (
     cap_per_group,
+    cap_tokens_per_group,
     epoch_shuffle,
     mix_corpora,
     mix_temperature,
@@ -30,6 +31,7 @@ from lazy_frame_spark.operators.urls import (
 from lazy_frame_spark.operators.dedup import (
     chunk_dedup,
     connected_components_star,
+    dedup_against,
     duplicate_clusters,
     exact_dedup,
     incremental_near_dups,
@@ -124,14 +126,15 @@ __all__ = [
     "epoch_shuffle", "mix_corpora", "mix_temperature",
     "rates_for_target_mix", "sample_by_rates", "sample_by_rates_df",
     "temperature_rates", "temperature_weights",
-    "cap_per_group",
+    "cap_per_group", "cap_tokens_per_group",
     # canonical-URL dedup
     "canonicalize_url", "with_canonical_url", "dedup_canonical_url",
     # incremental aggregate views
     "agg_view_build", "agg_view_update", "agg_view_read",
     "agg_view_retract", "agg_view_repair",
     # dedup
-    "exact_dedup", "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
+    "dedup_against", "exact_dedup",
+    "minhash_signatures", "minhash_candidate_pairs", "release_sketches",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "connected_components_star", "duplicate_clusters", "incremental_near_dups",
     # similarity

@@ -105,6 +105,15 @@ def token_hash(token: Column) -> Column:
 # exact dedup
 # --------------------------------------------------------------------- #
 
+def _content_key(content_cols: Sequence[str], normalize: bool) -> Column:
+    """The ONE exact-dedup content key (md5 over unit-separated columns,
+    or the normalized single-column fingerprint) — shared by in-corpus
+    and incremental dedup so the two can never disagree on identity."""
+    if normalize and len(content_cols) == 1:
+        return normalized_fingerprint(F.col(content_cols[0]))
+    return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+
+
 def exact_dedup(
     df: DataFrame,
     content_cols: Sequence[str],
@@ -115,10 +124,7 @@ def exact_dedup(
     (deterministic winner, unlike dropDuplicates' arbitrary first).
     One hash aggregation; partial aggregation makes the shuffle carry one
     row per distinct key per task."""
-    if normalize and len(content_cols) == 1:
-        key = normalized_fingerprint(F.col(content_cols[0])).alias("__key__")
-    else:
-        key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols])).alias("__key__")
+    key = _content_key(content_cols, normalize).alias("__key__")
     winners = (
         df.select(key, F.col(id_col))
         .groupBy("__key__")
@@ -126,6 +132,37 @@ def exact_dedup(
         .select(id_col)
     )
     return df.join(winners, on=id_col, how="left_semi")
+
+
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup — the production crawl shape: each new
+    batch dedups against the CORPUS ALREADY KEPT, not just within
+    itself. Drops every new row whose content key exists in ``seen``
+    (one left_anti on the key — distinct-ed first, so the anti join
+    probes one row per distinct seen content), then first-winner
+    dedups the survivors among themselves (``exact_dedup``). ``seen``
+    needs only the content columns — pass the kept corpus or a
+    persisted key table.
+
+    100 TB shape: both steps are key-grain hash shuffles; nothing
+    resembling the snapshot's row count ever broadcasts or collects.
+    For a standing pipeline, store ``seen``'s keys bucketed by
+    ``__key__`` so every increment's anti join co-locates against the
+    snapshot without reshuffling it."""
+    key = _content_key(content_cols, normalize)
+    seen_keys = seen.select(key.alias("__key__")).distinct()
+    fresh = (
+        df.withColumn("__key__", key)
+        .join(seen_keys, on="__key__", how="left_anti")
+        .drop("__key__")
+    )
+    return exact_dedup(fresh, content_cols, id_col, normalize)
 
 
 # --------------------------------------------------------------------- #

@@ -407,3 +407,72 @@ def cap_per_group(
         .filter(F.col("__rg__") <= n)
         .drop("__rg__")
     )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    budget: int,
+    token_col: str,
+    order_by: Sequence[str],
+    pre_cut: bool = True,
+) -> DataFrame:
+    """Keep rows, in ``order_by`` order, while the group's RUNNING token
+    sum stays within ``budget`` — the token-grain counterpart of
+    ``cap_per_group``: training mixes are budgeted in TOKENS, so a
+    domain of long documents must not out-spend one of short documents
+    just by having fewer rows. The rule is the deterministic prefix
+    cut: a row is kept iff its inclusive running sum ≤ budget (token
+    counts must be non-negative, making the running sum monotone — the
+    first overflowing row cuts the sequence; NULL counts add nothing).
+    Make ``order_by`` a total order within each group (quality desc,
+    id as tiebreak) or the boundary row is engine-arbitrary.
+
+    Scale shape, with a subtlety ``cap_per_group``'s rank version does
+    not have: the local (group, scan-partition) cumsum filter keeps
+    every global winner (a winner's local prefix sum ≤ its true prefix
+    sum), but dropping locally-overflowing rows DEFLATES later
+    survivors' sums — a survivor after a dropped row could sneak under
+    budget. The exact repair: no dropped row may precede a true winner
+    (monotone running sum), so survivors are additionally cut at the
+    group's EARLIEST locally-dropped order key — a tiny
+    (group × touched-partitions)-grain aggregate joined back on the
+    group key. Within that boundary the survivor cumsum IS the true
+    cumsum, so the global window (hot groups bounded by the pre-cut)
+    reproduces the single-window result exactly (property-tested)."""
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in order_by]
+    okey = F.struct(*order)
+    out = df
+    if pre_cut:
+        wl = (
+            Window.partitionBy(
+                *[F.col(c) for c in group_cols], F.spark_partition_id()
+            )
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        marked = out.withColumn("__tl__", F.sum(F.col(token_col)).over(wl))
+        cut0 = (
+            marked.filter(F.col("__tl__") > budget)
+            .groupBy(*[F.col(c) for c in group_cols])
+            .agg(F.min(okey).alias("__cut0__"))
+        )
+        out = (
+            marked.filter(F.col("__tl__") <= budget)
+            .drop("__tl__")
+            .join(cut0, on=list(group_cols), how="left")
+            .filter(F.col("__cut0__").isNull() | (okey < F.col("__cut0__")))
+            .drop("__cut0__")
+        )
+    wg = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn("__tg__", F.sum(F.col(token_col)).over(wg))
+        .filter(F.col("__tg__") <= budget)
+        .drop("__tg__")
+    )

@@ -1469,6 +1469,38 @@ def dedup_exact(spark, sf_dir):
     return _dd.exact_dedup(_table(spark, sf_dir, "documents"), ["text"])
 
 
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH d AS (SELECT doc_id, 'c' || (doc_id % 301) AS content
+               FROM documents),
+    seen AS (SELECT DISTINCT md5(content) AS h FROM d WHERE doc_id % 2 = 1),
+    fresh AS (SELECT * FROM d WHERE doc_id % 2 = 0
+              AND md5(content) NOT IN (SELECT h FROM seen)),
+    w AS (SELECT md5(content) AS h, MIN(doc_id) AS doc_id
+          FROM fresh GROUP BY 1)
+    SELECT f.doc_id, f.content FROM fresh f JOIN w USING (doc_id)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (dedup.dedup_against) — the production
+    crawl shape: a new batch (even doc_ids) dedups against the corpus
+    already kept (odd doc_ids) via ONE left_anti on the shared content
+    key, then first-winner dedups within itself. Synthetic mod-301
+    content plants real cross-snapshot duplicates at every SF (and
+    within-batch ones at sf0.1); the oracle replays anti-join +
+    min-winner exactly. At 100 TB both steps are key-grain shuffles —
+    the snapshot never broadcasts, collects, or re-reads its text."""
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("c"), (F.col("doc_id") % 301).cast("string"))
+        .alias("content"),
+    )
+    seen = d.filter(F.col("doc_id") % 2 == 1)
+    new = d.filter(F.col("doc_id") % 2 == 0)
+    return _dd.dedup_against(new, seen, ["content"])
+
+
 @query("dedup_minhash_signatures", oracle=_minhash_sig_sql())
 def dedup_minhash_signatures(spark, sf_dir):
     """MinHash signatures themselves are oracle-checked value-for-value —
@@ -2248,6 +2280,38 @@ def mix_high_cardinality(spark, sf_dir):
     return out.groupBy("dom").agg(
         F.count(F.lit(1)).alias("kept"),
         F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@query(
+    "mix_token_budget",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cs
+      FROM documents)
+    WHERE cs <= 3000
+    """,
+)
+def mix_token_budget(spark, sf_dir):
+    """Token-budget capping (mixing.cap_tokens_per_group): keep each
+    source's documents, in doc_id order, while the running character
+    budget holds — training mixes are budgeted in tokens, not rows, so
+    a long-document domain must not out-spend a short-document one.
+    The deterministic prefix rule (keep iff inclusive running sum ≤
+    budget) is what the oracle window replays exactly; the engine's
+    two-level pre-cut — local (source, partition) cumsum filter plus
+    the earliest-dropped-order repair — reproduces the single-window
+    result while keeping hot domains off a single task."""
+    from lazy_frame_spark.operators import mixing as _mx2
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    return _mx2.cap_tokens_per_group(
+        d, ["source"], budget=3000, token_col="n_chars",
+        order_by=["doc_id"],
     )
 
 

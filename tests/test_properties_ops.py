@@ -808,3 +808,70 @@ def test_sample_by_rates_paths_equivalent_fuzz(spark, rates, default_bp,
     finally:
         mx.WHEN_CHAIN_MAX_DOMAINS = orig
     assert chain == joined
+
+
+# --------------------------------------------------------------------- #
+# round-9: token-budget capping vs brute force (and pre_cut equivalence)
+# --------------------------------------------------------------------- #
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(0, 40), min_size=0, max_size=40),
+    budget=st.integers(0, 200),
+)
+def test_cap_tokens_per_group_matches_bruteforce(spark, tokens, budget):
+    """The deterministic prefix rule replayed in Python, against BOTH
+    the pre-cut two-level plan and the plain single-window one — the
+    earliest-dropped-order repair must make them identical on every
+    input (the naive local-cumsum pre-cut alone is NOT equivalent:
+    dropped rows deflate later survivors' sums)."""
+    from lazy_frame_spark.operators.mixing import cap_tokens_per_group
+
+    rows = [(i, f"g{i % 3}", t) for i, t in enumerate(tokens)]
+    want = set()
+    run = {}
+    for i, g, t in rows:  # ascending i == the order_by
+        run[g] = run.get(g, 0) + t
+        if run[g] <= budget:
+            want.add(i)
+    if not rows:
+        return
+    # spread rows over several partitions so the local pre-cut is real
+    df = spark.createDataFrame(rows, "doc_id long, dom string, tok long")
+    df = df.repartition(4)
+    for pre_cut in (True, False):
+        got = {r["doc_id"] for r in cap_tokens_per_group(
+            df, ["dom"], budget, "tok", ["doc_id"], pre_cut=pre_cut
+        ).collect()}
+        assert got == want, (pre_cut, budget, tokens)
+
+
+@SETTINGS
+@given(
+    mods=st.integers(3, 17),
+    split=st.integers(2, 4),
+)
+def test_dedup_against_matches_bruteforce(spark, mods, split):
+    """Incremental exact dedup replayed in Python: drop new rows whose
+    content exists in the snapshot, then first-winner within the
+    batch."""
+    from lazy_frame_spark.operators.dedup import dedup_against
+
+    rows = [(i, f"c{i % mods}") for i in range(40)]
+    seen_rows = [r for r in rows if r[0] % split == 0]
+    new_rows = [r for r in rows if r[0] % split != 0]
+    seen_contents = {c for _, c in seen_rows}
+    want, first = set(), {}
+    for i, c in new_rows:  # ascending id = the min-winner order
+        if c in seen_contents:
+            continue
+        if c not in first:
+            first[c] = i
+            want.add(i)
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"] for r in dedup_against(
+        df.filter(f"doc_id % {split} != 0"),
+        df.filter(f"doc_id % {split} = 0"),
+        ["content"],
+    ).collect()}
+    assert got == want, (mods, split)
