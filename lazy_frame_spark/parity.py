@@ -1453,6 +1453,61 @@ def pipeline_curate(spark, sf_dir):
     return _pack(survivors, budget_tokens=2048)
 
 
+@query(
+    "pipeline_mix_curate",
+    # every stage reuses an arithmetic already pinned oracle-exact on
+    # its own row: min-winner dedup (dedup_exact), the alpha=0 sum-free
+    # rate chain (mix_temperature_uniform), md5 acceptance draws
+    # (mix_domain_sample), the prefix-rule budget window
+    # (mix_token_budget)
+    oracle="""
+    WITH g AS (SELECT doc_id, source, text, n_chars FROM documents
+               WHERE n_chars >= 50 AND n_chars <= 2000),
+    dd AS (SELECT g.* FROM g
+           JOIN (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY md5(text)) w
+             USING (doc_id)),
+    c AS (SELECT source, COUNT(*) AS c FROM dd GROUP BY source),
+    s AS (SELECT MIN(c / pow(c, 0.0)) AS s FROM c),
+    r AS (SELECT source,
+                 LEAST(10000,
+                       CAST(FLOOR(s * pow(c, 0.0) / c * 10000) AS BIGINT))
+                   AS bp
+          FROM c, s),
+    mx AS (SELECT dd.* FROM dd JOIN r USING (source)
+           WHERE ('0x' || substr(md5('31:' || dd.doc_id), 1, 15))::BIGINT
+                 % 10000 < r.bp)
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cs
+      FROM mx)
+    WHERE cs <= 3000
+    """,
+)
+def pipeline_mix_curate(spark, sf_dir):
+    """The round-9 operators COMPOSED as one curation pipeline — length
+    gate → exact dedup (first winner) → temperature mix (alpha=0, the
+    DataFrame-native rate chain) → per-source token budget (prefix
+    rule) — each stage the operator's real API, the whole chain one
+    lazy plan whose DuckDB twin replays all four stages. The scale
+    shapes compose too: map-side gate, one key-grain dedup shuffle,
+    broadcast rate join, bounded budget windows."""
+    from lazy_frame_spark.operators import mixing as _mx2
+
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars")
+    gated = d.filter((F.col("n_chars") >= 50) & (F.col("n_chars") <= 2000))
+    deduped = _dd.exact_dedup(gated, ["text"])
+    mixed = _mx2.mix_temperature(deduped, "source", alpha=0.0,
+                                 id_cols=["doc_id"], seed=31)
+    capped = _mx2.cap_tokens_per_group(
+        mixed, ["source"], budget=3000, token_col="n_chars",
+        order_by=["doc_id"],
+    )
+    return capped.select("doc_id", "source", "n_chars")
+
+
 # --------------------------------------------------------------------- #
 # Deduplication
 # --------------------------------------------------------------------- #

@@ -204,6 +204,7 @@ BNLJ_BOUNDED_BUILD = {
     "mix_temperature_uniform",
     "mix_target_proportions",
     "mix_high_cardinality",
+    "pipeline_mix_curate",
     "ann_pq_trained_recall",   # 20-query panel x corpus, panel broadcast
     "ann_ivfpq_trained_recall",  # same panel shape, exact-truth crossJoin
     "join_cross",                               # deliberate cross join
