@@ -154,12 +154,21 @@ def dedup_against(
     resembling the snapshot's row count ever broadcasts or collects.
     For a standing pipeline, store ``seen``'s keys bucketed by
     ``__key__`` so every increment's anti join co-locates against the
-    snapshot without reshuffling it."""
+    snapshot without reshuffling it. The anti join is NULL-SAFE: a
+    NULL content key (normalize=True on NULL text) matches a NULL
+    snapshot key, keeping cross-snapshot identity consistent with
+    exact_dedup's in-batch groupBy (which also unifies NULL keys)."""
+    if "__key__" in df.columns or "__key__" in seen.columns:
+        raise ValueError(
+            "column name '__key__' collides with dedup_against's "
+            "internal content key — rename it first"
+        )
     key = _content_key(content_cols, normalize)
-    seen_keys = seen.select(key.alias("__key__")).distinct()
+    seen_keys = seen.select(key.alias("__skey__")).distinct()
     fresh = (
         df.withColumn("__key__", key)
-        .join(seen_keys, on="__key__", how="left_anti")
+        .join(seen_keys, on=F.col("__key__").eqNullSafe(F.col("__skey__")),
+              how="left_anti")
         .drop("__key__")
     )
     return exact_dedup(fresh, content_cols, id_col, normalize)

@@ -64,6 +64,35 @@ from lazy_frame_spark.rowid import with_row_ids
 #: basis-point denominator for acceptance sampling
 BP = 10_000
 
+#: persisted k-row rate intermediates keyed by purpose — the dedup
+#: sketch-pin pattern: each new call replaces (and unpersists) the
+#: previous pin, and release_rate_tables() frees everything, so
+#: long-lived sessions never accumulate cached blocks
+_RATE_PINS: dict[str, DataFrame] = {}
+
+
+def _pin(key: str, df: DataFrame) -> DataFrame:
+    prev = _RATE_PINS.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _RATE_PINS[key] = df.persist()
+    return _RATE_PINS[key]
+
+
+def release_rate_tables() -> None:
+    """Unpersist every counts frame pinned by the mixing operators
+    (mirror of dedup.release_sketches). Rate tables derived from a
+    released pin stay correct — they just recompute."""
+    for key in list(_RATE_PINS):
+        try:
+            _RATE_PINS.pop(key).unpersist()
+        except Exception:
+            pass
+
+
 #: Above this many domains, ``sample_by_rates`` abandons the literal
 #: ``when``-chain (the nested expression tree StackOverflows Catalyst's
 #: analyzer near depth 400 — measured — and churns the optimizer's
@@ -272,12 +301,12 @@ def temperature_rates(
         "__w__", F.pow(F.col("__c__").cast("double"), F.lit(float(alpha)))
     )
     # the counts feed BOTH the scalar agg and the rate projection —
-    # persist the k-row result so the corpus-sized count scan runs
-    # ONCE (measured: Spark does not exchange-reuse across the two
+    # pin the k-row result so the corpus-sized count scan runs ONCE
+    # (measured: Spark does not exchange-reuse across the two
     # subtrees, so the unpersisted plan scanned the corpus twice for
-    # counts). k rows x 3 columns of executor storage, lineage kept
-    # (fault-tolerant), freed on GC/unpersist/session end.
-    cw = cw.persist()
+    # counts). The pin replaces the previous call's block and
+    # release_rate_tables() frees it — no per-call accumulation.
+    cw = _pin("temperature_counts", cw)
     s = cw.agg(F.min(F.col("__c__") / F.col("__w__")).alias("__s__"))
     return (
         cw.crossJoin(F.broadcast(s))
@@ -343,10 +372,10 @@ def mix_corpora(
     cw = _domain_counts(df, domain_col).join(
         F.broadcast(wdf), on=domain_col, how="inner"
     )
-    # persisted for the same single-count-scan reason as
-    # temperature_rates (the k here is further bounded by the user's
-    # target_weights mapping)
-    cw = cw.persist()
+    # pinned for the same single-count-scan reason as temperature_rates
+    # (the k here is further bounded by the user's target_weights
+    # mapping)
+    cw = _pin("corpora_counts", cw)
     # s over PRESENT target domains, zeroed if any target domain is
     # absent (its c=0 term would have been the min) — both 1-row aggs
     s = cw.agg(
@@ -424,9 +453,13 @@ def cap_tokens_per_group(
     just by having fewer rows. The rule is the deterministic prefix
     cut: a row is kept iff its inclusive running sum ≤ budget (token
     counts must be non-negative, making the running sum monotone — the
-    first overflowing row cuts the sequence; NULL counts add nothing).
-    Make ``order_by`` a total order within each group (quality desc,
-    id as tiebreak) or the boundary row is engine-arbitrary.
+    first overflowing row cuts the sequence; NULL counts coalesce to 0
+    so such rows ride along free). ``order_by`` is ASCENDING column
+    names and must totally order each group (id as final tiebreak) or
+    the boundary row is engine-arbitrary; encode a descending
+    preference as a derived ascending column (e.g. negated score) —
+    the pre-cut repair's boundary min/compare assumes the ascending
+    struct order.
 
     Scale shape, with a subtlety ``cap_per_group``'s rank version does
     not have: the local (group, scan-partition) cumsum filter keeps
@@ -439,11 +472,21 @@ def cap_tokens_per_group(
     (group × touched-partitions)-grain aggregate joined back on the
     group key. Within that boundary the survivor cumsum IS the true
     cumsum, so the global window (hot groups bounded by the pre-cut)
-    reproduces the single-window result exactly (property-tested)."""
+    reproduces the single-window result exactly (property-tested).
+    Cost note: the pre-cut evaluates the local window twice (survivor
+    filter and boundary aggregate are separate subtrees over a
+    corpus-sized frame — persisting it would cache the corpus, a worse
+    trade); two fully-parallel passes still beat one pass serialized
+    through a single task per hot group, and ``pre_cut=False`` is the
+    right knob when groups are many and balanced."""
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_by]
     okey = F.struct(*order)
+    # NULL tokens ride free ('add nothing'): without the coalesce, a
+    # NULL before any non-NULL token makes the windowed sum NULL and
+    # silently drops the row
+    tok = F.coalesce(F.col(token_col), F.lit(0))
     out = df
     if pre_cut:
         wl = (
@@ -453,18 +496,28 @@ def cap_tokens_per_group(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        marked = out.withColumn("__tl__", F.sum(F.col(token_col)).over(wl))
+        marked = out.withColumn("__tl__", F.sum(tok).over(wl))
+        renames = {c: f"__g{i}__" for i, c in enumerate(group_cols)}
         cut0 = (
             marked.filter(F.col("__tl__") > budget)
             .groupBy(*[F.col(c) for c in group_cols])
             .agg(F.min(okey).alias("__cut0__"))
+            .withColumnsRenamed(renames)
         )
+        # NULL-safe group match: Window.partitionBy groups NULL keys
+        # together, so the boundary join must too (a plain equi-join
+        # would let NULL-keyed groups skip the repair and keep
+        # over-budget rows)
+        cond = None
+        for i, c in enumerate(group_cols):
+            term = F.col(c).eqNullSafe(F.col(f"__g{i}__"))
+            cond = term if cond is None else (cond & term)
         out = (
             marked.filter(F.col("__tl__") <= budget)
             .drop("__tl__")
-            .join(cut0, on=list(group_cols), how="left")
+            .join(cut0, on=cond, how="left")
             .filter(F.col("__cut0__").isNull() | (okey < F.col("__cut0__")))
-            .drop("__cut0__")
+            .drop("__cut0__", *renames.values())
         )
     wg = (
         Window.partitionBy(*[F.col(c) for c in group_cols])
@@ -472,7 +525,7 @@ def cap_tokens_per_group(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        out.withColumn("__tg__", F.sum(F.col(token_col)).over(wg))
+        out.withColumn("__tg__", F.sum(tok).over(wg))
         .filter(F.col("__tg__") <= budget)
         .drop("__tg__")
     )

@@ -827,11 +827,15 @@ def test_cap_tokens_per_group_matches_bruteforce(spark, tokens, budget):
     dropped rows deflate later survivors' sums)."""
     from lazy_frame_spark.operators.mixing import cap_tokens_per_group
 
-    rows = [(i, f"g{i % 3}", t) for i, t in enumerate(tokens)]
+    # group 'None' (a NULL key — Window.partitionBy groups NULLs
+    # together, and the boundary join must match them NULL-safely) and
+    # every 7th token NULL (rides free — coalesced to 0)
+    rows = [(i, None if i % 3 == 2 else f"g{i % 3}",
+             None if i % 7 == 6 else t) for i, t in enumerate(tokens)]
     want = set()
     run = {}
     for i, g, t in rows:  # ascending i == the order_by
-        run[g] = run.get(g, 0) + t
+        run[g] = run.get(g, 0) + (t or 0)
         if run[g] <= budget:
             want.add(i)
     if not rows:
@@ -857,10 +861,13 @@ def test_dedup_against_matches_bruteforce(spark, mods, split):
     batch."""
     from lazy_frame_spark.operators.dedup import dedup_against
 
-    rows = [(i, f"c{i % mods}") for i in range(40)]
+    # every 11th content NULL: the NULL-safe anti join must treat a
+    # NULL batch key as matching a NULL snapshot key
+    rows = [(i, None if i % 11 == 10 else f"c{i % mods}")
+            for i in range(40)]
     seen_rows = [r for r in rows if r[0] % split == 0]
     new_rows = [r for r in rows if r[0] % split != 0]
-    seen_contents = {c for _, c in seen_rows}
+    seen_contents = {c for _, c in seen_rows}  # may include None
     want, first = set(), {}
     for i, c in new_rows:  # ascending id = the min-winner order
         if c in seen_contents:
@@ -875,3 +882,17 @@ def test_dedup_against_matches_bruteforce(spark, mods, split):
         ["content"],
     ).collect()}
     assert got == want, (mods, split)
+
+
+def test_dedup_against_null_content_normalize(spark):
+    """normalize=True hashes NULL text to a NULL key; the NULL-safe
+    anti join must still match it against a NULL snapshot key (a plain
+    equi-join let such rows bypass the snapshot — round-9 review)."""
+    from lazy_frame_spark.operators.dedup import dedup_against
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, content string")
+    seen = spark.createDataFrame([(0, None)], "doc_id long, content string")
+    got = {r["doc_id"] for r in dedup_against(
+        df, seen, ["content"], normalize=True).collect()}
+    assert got == {3}
