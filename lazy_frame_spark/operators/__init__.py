@@ -18,6 +18,7 @@ from lazy_frame_spark.operators.mixing import (
     mix_corpora,
     mix_temperature,
     rates_for_target_mix,
+    release_rate_tables,
     sample_by_rates,
     sample_by_rates_df,
     temperature_rates,
@@ -124,7 +125,8 @@ __all__ = [
     "contamination", "decontaminate", "decontaminate_stream", "eval_ngrams",
     # mixing & training order
     "epoch_shuffle", "mix_corpora", "mix_temperature",
-    "rates_for_target_mix", "sample_by_rates", "sample_by_rates_df",
+    "rates_for_target_mix", "release_rate_tables",
+    "sample_by_rates", "sample_by_rates_df",
     "temperature_rates", "temperature_weights",
     "cap_per_group", "cap_tokens_per_group",
     # canonical-URL dedup
