@@ -616,6 +616,11 @@ class LazyFrame:
         materialization boundary, exactly where the reference re-applies
         them (R/lazy.frame.R:167-178). A configured row-names column
         becomes the pandas index (R row.names semantics)."""
+        # the __row_name__ branch below reads self._df directly, so the
+        # verify hook must run HERE too — otherwise a row_names= open
+        # whose first data access is to_pandas() would skip the
+        # sample-schema check every other read path gets
+        self._ensure_verified()
         cols = self.columns
         if "__row_name__" in self._df.columns:
             pdf = self._df.select("__row_name__", *[_qcol(c) for c in cols]).toPandas()

@@ -158,11 +158,12 @@ def dedup_against(
     NULL content key (normalize=True on NULL text) matches a NULL
     snapshot key, keeping cross-snapshot identity consistent with
     exact_dedup's in-batch groupBy (which also unifies NULL keys)."""
-    if "__key__" in df.columns or "__key__" in seen.columns:
-        raise ValueError(
-            "column name '__key__' collides with dedup_against's "
-            "internal content key — rename it first"
-        )
+    for internal in ("__key__", "__skey__"):
+        if internal in df.columns or internal in seen.columns:
+            raise ValueError(
+                f"column name {internal!r} collides with dedup_against's "
+                "internal content key — rename it first"
+            )
     key = _content_key(content_cols, normalize)
     seen_keys = seen.select(key.alias("__skey__")).distinct()
     fresh = (

@@ -478,7 +478,12 @@ def cap_tokens_per_group(
     corpus-sized frame — persisting it would cache the corpus, a worse
     trade); two fully-parallel passes still beat one pass serialized
     through a single task per hot group, and ``pre_cut=False`` is the
-    right knob when groups are many and balanced."""
+    right knob when groups are many and balanced. The pre-cut bucket is
+    a DETERMINISTIC hash of the order key (not spark_partition_id):
+    both subtrees must see the identical row→bucket assignment, and a
+    physical partition id can differ between two evaluations of the
+    same frame (AQE re-planning, nondeterministic sources), which would
+    desynchronize the survivor set from its repair boundary."""
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_by]
@@ -489,10 +494,12 @@ def cap_tokens_per_group(
     tok = F.coalesce(F.col(token_col), F.lit(0))
     out = df
     if pre_cut:
+        nbuckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        bucket = F.pmod(F.xxhash64(*order), F.lit(nbuckets))
         wl = (
-            Window.partitionBy(
-                *[F.col(c) for c in group_cols], F.spark_partition_id()
-            )
+            Window.partitionBy(*[F.col(c) for c in group_cols], bucket)
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )

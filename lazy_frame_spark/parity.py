@@ -4100,7 +4100,7 @@ def lf_open_decimal_locale(spark, sf_dir):
     (``src/lazy.frame.c:516-517``: the reference honors localeconv's
     decimal_point): a comma-decimal ';'-separated fixture derived from
     lineitem is opened with ``decimal=','`` — the engine reads the
-    comma-decimal columns as DecimalType(30,10) under a comma locale
+    comma-decimal columns as DecimalType(38,18) under a comma locale
     (the one CSV type Spark parses locale-aware) and casts back to
     double in the same plan; sample inference normalizes the separator
     before type detection. Filter + projection values must match the

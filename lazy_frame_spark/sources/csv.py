@@ -65,15 +65,18 @@ def _decimalize(
     schema: T.StructType, decimal: str
 ) -> tuple[T.StructType, list[tuple[str, T.DataType]]]:
     """Under a comma-decimal locale, double/float fields must READ as
-    DecimalType(30,10) (the one CSV type Spark parses locale-aware) and
+    DecimalType(38,18) (the one CSV type Spark parses locale-aware) and
     cast back afterward; returns (read schema, cast-back list). A '.'
-    decimal returns the schema unchanged."""
+    decimal returns the schema unchanged. Scale 18 keeps a full
+    double's significant digits for |x| >= 1 (doubles carry ~17); the
+    residual quantization (documented in open_csv) is values needing
+    more than 18 fractional digits, which round at 1e-18."""
     if decimal == ".":
         return schema, []
     fields, casts = [], []
     for f in schema.fields:
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            fields.append(T.StructField(f.name, T.DecimalType(30, 10), True))
+            fields.append(T.StructField(f.name, T.DecimalType(38, 18), True))
             casts.append((f.name, f.dataType))
         else:
             fields.append(f)
@@ -118,7 +121,7 @@ def open_csv(
     OS locale's ``localeconv`` decimal point, ``src/lazy.frame.c:516``).
     Spark parses comma decimals only through DecimalType's locale-aware
     DecimalFormat — Double.parseDouble is hardwired to '.' — so the
-    engine reads comma-decimal columns as DecimalType(30,10) under a
+    engine reads comma-decimal columns as DecimalType(38,18) under a
     comma-decimal locale and casts them back to double in the same
     plan; sample/verified inference normalizes the separator before
     type detection. Works with sample/verified inference and explicit
@@ -127,7 +130,11 @@ def open_csv(
     locale-aware and will type comma-decimal columns as string. Digit
     grouping separators and exponent notation are not supported —
     plain ``1234,5`` values only (``1e-05`` parses NULL under the
-    locale DecimalFormat), |x| < 10^20.
+    locale DecimalFormat), |x| < 10^20, and at most 18 fractional
+    digits of precision (a value like ``0,1234567890123456789`` is
+    quantized at 1e-18 before the cast back to double — the one
+    divergence from the reference's locale-aware strtod, which keeps
+    full double precision at any magnitude).
     """
     if multiline and skip:
         raise ValueError("multiline=True cannot be combined with skip>0")
@@ -230,8 +237,8 @@ def open_csv(
                 # full inference stays honest under decimal=',' (the
                 # verified fallback lands here too)
                 inferred = _full_schema_from_lines(
-                    spark, spark.read.text(path), sep, quote, escape,
-                    null_value, names, decimal=decimal,
+                    spark, _read_text_lines(spark, path, encoding), sep,
+                    quote, escape, null_value, names, decimal=decimal,
                     header=has_header, comment=comment,
                 )
                 inferred, casts = _decimalize(inferred, decimal)
@@ -249,11 +256,11 @@ def open_csv(
         df, casts = _open_with_skip(
             spark, path, sep, has_header, skip, schema, quote, escape,
             null_value, parsed, names, infer_schema=infer_schema,
-            decimal=decimal,
+            decimal=decimal, encoding=encoding,
         )
 
     for cname, dtype in casts:
-        # comma-decimal columns came through DecimalType(30,10) — cast
+        # comma-decimal columns came through DecimalType(38,18) — cast
         # back to the type the sample/explicit schema declared, in the
         # same plan (a projection, no extra pass)
         df = df.withColumn(cname, F.col(cname).cast(dtype))
@@ -263,6 +270,40 @@ def open_csv(
             raise IndexError(f"row_names column {row_names} out of range")
         df = df.withColumnRenamed(cols[row_names - 1], "__row_name__")
     return df
+
+
+#: charsets the plain text source already decodes correctly (it is
+#: hardwired to UTF-8; ASCII is a strict subset)
+_UTF8_ALIASES = frozenset({"utf8", "ascii", "usascii"})
+
+
+def _read_text_lines(
+    spark: SparkSession, path: str, encoding: str | None = None
+) -> DataFrame:
+    """``spark.read.text``, but charset-aware: the text source decodes
+    UTF-8 only (its ``encoding`` option is silently ignored), so
+    non-UTF-8 files route through the CSV reader in raw-line mode —
+    one string column, delimiting on an improbable NUL, quoting
+    disabled, null sentinel unmatchable — which IS charset-aware.
+    Caveats of the charset route (documented, minor): ASCII-compatible
+    charsets only (line splitting is byte-wise), and the CSV line
+    parser drops blank lines (the UTF-8 route keeps them as empty
+    strings) — a non-UTF-8 file where blank-line positions matter
+    should be re-encoded or read with ``skip=0`` + explicit schema."""
+    if (encoding is None
+            or encoding.replace("-", "").replace("_", "").lower()
+            in _UTF8_ALIASES):
+        return spark.read.text(path)
+    return (
+        spark.read.schema(
+            T.StructType([T.StructField("value", T.StringType(), True)]))
+        .option("encoding", encoding)
+        .option("sep", "\x00")
+        .option("quote", "")
+        .option("nullValue", "\x00NUL\x00")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
 
 
 def _open_with_skip(
@@ -279,9 +320,10 @@ def _open_with_skip(
     names: list[str] | None,
     infer_schema: bool | str = "sample",
     decimal: str = ".",
+    encoding: str | None = None,
 ) -> tuple[DataFrame, list[tuple[str, T.DataType]]]:
     data_rows = parsed_sample[1:] if has_header else parsed_sample
-    text = with_row_ids(spark.read.text(path))
+    text = with_row_ids(_read_text_lines(spark, path, encoding))
     drop = skip + (1 if has_header else 0)
     body = text.filter(F.col(ROW_ID) > drop)
     verified = False
@@ -293,6 +335,8 @@ def _open_with_skip(
             # the same price the skip=0 full-infer mode pays. This is
             # the automatic fallback target when verified mode finds a
             # row the head sample's schema cannot parse.
+            # `body` was read charset-aware above, so inference sees
+            # correctly-decoded lines whatever the file encoding
             schema = _full_schema_from_lines(spark, body, sep, quote,
                                              escape, null_value, names,
                                              decimal=decimal)

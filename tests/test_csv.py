@@ -400,3 +400,49 @@ def test_verified_infer_ragged_head_row(spark, tmp_path):
     assert df.count() == 50
     assert df.filter("a = 7").count() == 1       # ragged row survived
     lf.close()
+
+
+def test_to_pandas_row_names_first_touch_verifies(spark, tmp_path_factory):
+    """to_pandas() on a row_names= open reads self._df directly (the
+    __row_name__ branch bypasses to_df), so it must run the verify hook
+    itself: a type past the head sample, first touched via to_pandas,
+    must come back full-inferred rather than silently NULL (round-9
+    ADVICE)."""
+    from lazy_frame_spark import LazyFrame
+    from lazy_frame_spark.sources.csv import VERIFY_SAMPLE_LINES
+
+    p = tmp_path_factory.mktemp("csv") / "lying_rownames.csv"
+    n = VERIFY_SAMPLE_LINES + 100
+    lines = ["name,val"] + [f"r{i},{i}" for i in range(1, n + 1)]
+    liar = VERIFY_SAMPLE_LINES + 20
+    lines[liar] = f"r{liar},3.5"
+    p.write_text("\n".join(lines) + "\n")
+
+    lf = LazyFrame.open(spark, str(p), row_names=1)
+    pdf = lf.to_pandas()  # FIRST data access of any kind
+    assert pdf.loc[f"r{liar}", "val"] == 3.5  # not NaN: fallback ran
+    lf.close()
+
+
+def test_latin1_encoding_with_skip(spark, tmp_path_factory):
+    """skip>0 routes the body through a line read; with a non-UTF-8
+    encoding that read must decode through the charset (the plain text
+    source is hardwired to UTF-8 and would hand back mojibake)."""
+    p = tmp_path_factory.mktemp("csv") / "latin1_skip.csv"
+    p.write_bytes(
+        "# préambule\nid,name\n1,café\n2,naïve\n".encode("iso-8859-1"))
+    df = open_csv(spark, str(p), encoding="ISO-8859-1", header=True, skip=1)
+    pdf = df.drop("__row_id__").toPandas().sort_values("id")
+    assert pdf["name"].tolist() == ["café", "naïve"]
+
+
+def test_decimal_comma_deep_fraction(spark, tmp_path_factory):
+    """decimal=',' reads through DecimalType(38,18): a value with more
+    than 10 fractional digits (the old scale) must survive the decimal
+    round-trip exactly (round-9 ADVICE: 0,12345678901 used to quantize
+    at 1e-10)."""
+    p = tmp_path_factory.mktemp("csv") / "deep_frac.csv"
+    p.write_text("id;x\n1;0,12345678901\n2;7,000000000001\n")
+    pdf = (open_csv(spark, str(p), sep=";", header=True, decimal=",")
+           .toPandas().sort_values("id"))
+    assert pdf["x"].tolist() == [0.12345678901, 7.000000000001]

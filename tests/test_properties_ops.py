@@ -748,7 +748,7 @@ def test_decimal_comma_roundtrip_matches_written_values(
     spark, tmp_path_factory, vals
 ):
     """decimal=',': every double whose repr round-trips (≤6 dp here, so
-    the DecimalType(30,10) quantization is lossless) must come back
+    the DecimalType(38,18) quantization is lossless) must come back
     EXACTLY as written once the comma separator is swapped in — the
     locale read + cast-back chain loses nothing."""
     from lazy_frame_spark.sources.csv import open_csv
