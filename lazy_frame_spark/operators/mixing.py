@@ -27,10 +27,14 @@ every value bit-for-bit:
   acceptance rates (downsampling only — the largest achievable corpus
   with the exact target mix). The end-to-end mixers compute the rates
   as DATAFRAMES (count agg → two 1-row scalar aggs → a k-row rate
-  table broadcast-joined onto the corpus) — never an unbounded driver
+  table hash-joined onto the corpus) — never an unbounded driver
   collect, never a per-domain expression chain, so a registered-domain
   mix (10^5-10^8 domains on a web corpus) plans the same three-shuffle
-  shape as a 4-domain one.
+  shape as a 4-domain one. The rate join's build side is SIZED, not
+  assumed: the broadcast hint applies only up to
+  ``BROADCAST_RATES_MAX_ROWS`` domains (auto-counted, or forced via
+  ``broadcast=``); above it the table shuffles like any big build side
+  — a forced hint at host-grain cardinality would OOM executors.
 
 Rate formula (shared by the driver helper and the DataFrame twins, in
 this exact float op order so DuckDB oracles mirror it term-for-term)::
@@ -144,6 +148,17 @@ def uniform_bp(seed: int, cols: Sequence[Column | str]) -> Column:
     return F.pmod(h, F.lit(BP))
 
 
+#: ``broadcast="auto"`` forces the rate-table broadcast hint only up to
+#: this many domains: a two-column rate row is ~50-100 B in a broadcast
+#: hashmap, so 10^6 rows is ~100 MB — comfortably inside executor
+#: memory, far above any hand-written mix, and two orders of magnitude
+#: under Spark's 8 GB broadcast hard cap. Above it (host-grain web
+#: corpora reach 10^8 domains — a multi-GB table that would OOM
+#: executors if force-broadcast), no hint is applied and Catalyst/AQE
+#: pick the join strategy from real sizes.
+BROADCAST_RATES_MAX_ROWS = 1_000_000
+
+
 def sample_by_rates_df(
     df: DataFrame,
     domain_col: str,
@@ -152,16 +167,28 @@ def sample_by_rates_df(
     rate_col: str = "rate_bp",
     seed: int = 0,
     default_bp: int = 0,
+    broadcast: bool | str = "auto",
 ) -> DataFrame:
     """Domain-conditional Bernoulli downsampling against a RATE TABLE:
     keep a row iff its deterministic uniform draw falls below its
-    domain's acceptance rate (basis points), looked up by ONE broadcast
-    hash join on ``domain_col``. This is the high-cardinality path —
-    the rate table is one row per domain (KBs-to-MBs even at 10^6
-    domains: two columns), while the corpus side streams map-only, so
-    the plan shape is identical at 4 domains and 10^8 rows-per-domain.
-    Domains absent from the table (and NULL domains — a left join keeps
-    them with a NULL rate) fall back to ``default_bp``."""
+    domain's acceptance rate (basis points), looked up by ONE hash join
+    on ``domain_col``. This is the high-cardinality path — the rate
+    table is one row per domain (KBs-to-MBs at 10^6 domains: two
+    columns), while the corpus side streams map-only, so the plan shape
+    is identical at 4 domains and 10^8 rows-per-domain. Domains absent
+    from the table (and NULL domains — a left join keeps them with a
+    NULL rate) fall back to ``default_bp``.
+
+    ``broadcast`` sizes the join's build side: ``True`` forces the
+    broadcast hint (the caller vouches the table fits an executor),
+    ``False`` never hints (Catalyst/AQE still broadcast small tables on
+    their own size estimates), and ``"auto"`` (default) counts the rate
+    table — ONE cheap job over the k-row frame; the mixers pass a
+    pinned counts-derived table, so the count materializes the cache
+    the join reuses — and hints only up to
+    ``BROADCAST_RATES_MAX_ROWS``. An unconditional hint would OOM
+    executors at host-grain domain cardinality (~10^8 distinct domains
+    is a multi-GB build side AQE must be allowed to shuffle instead)."""
     if rate_col not in rates_df.columns:
         raise ValueError(f"rates_df has no column {rate_col!r}")
     if rate_col in df.columns:
@@ -170,7 +197,10 @@ def sample_by_rates_df(
             "rename one of them"
         )
     rates = rates_df.select(domain_col, rate_col)
-    out = df.join(F.broadcast(rates), on=domain_col, how="left")
+    if broadcast == "auto":
+        broadcast = rates.count() <= BROADCAST_RATES_MAX_ROWS
+    out = df.join(F.broadcast(rates) if broadcast else rates,
+                  on=domain_col, how="left")
     rate = F.coalesce(F.col(rate_col), F.lit(int(default_bp)))
     # restore the INPUT column order — join(on=...) hoists the key
     # column first, and the when-chain path preserves input order, so
@@ -205,9 +235,13 @@ def sample_by_rates(
                 StructField("__rate_bp__", LongType()),
             ]),
         )
+        # broadcast=True is safe BY CONSTRUCTION here: the table is the
+        # caller's own driver-side mapping (already resident in driver
+        # memory), so its size is bounded long before the hint matters —
+        # and it skips auto's sizing count on a LocalRelation
         return sample_by_rates_df(
             df, domain_col, rates, id_cols=id_cols, rate_col="__rate_bp__",
-            seed=seed, default_bp=default_bp,
+            seed=seed, default_bp=default_bp, broadcast=True,
         )
     rate = F.lit(int(default_bp))
     for dom, bp in sorted(rates_bp.items()):
@@ -320,18 +354,22 @@ def mix_temperature(
     alpha: float,
     id_cols: Sequence[str],
     seed: int = 0,
+    broadcast: bool | str = "auto",
 ) -> DataFrame:
     """End-to-end temperature mixing, fully distributed: the rate table
     from :func:`temperature_rates` (count agg → 1-row scalar → k-row
-    rates — no driver collect, no per-domain expression) broadcast-
-    joined onto the corpus with the deterministic acceptance filter.
-    TWO passes over the corpus total (one to count, one to filter), at
-    ANY domain cardinality — the web-scale registered-domain mix plans
-    exactly like a 4-domain one."""
+    rates — no driver collect, no per-domain expression) hash-joined
+    onto the corpus with the deterministic acceptance filter. TWO
+    passes over the corpus total (one to count, one to filter), at ANY
+    domain cardinality — the web-scale registered-domain mix plans the
+    same shape as a 4-domain one, with the join's build side sized by
+    ``broadcast`` (auto-counted by default: hinted up to
+    ``BROADCAST_RATES_MAX_ROWS`` domains, left to AQE above — a forced
+    hint at 10^8 domains would OOM executors)."""
     rates = temperature_rates(df, domain_col, alpha, rate_col="__rate_bp__")
     return sample_by_rates_df(
         df, domain_col, rates, id_cols=id_cols, rate_col="__rate_bp__",
-        seed=seed, default_bp=0,
+        seed=seed, default_bp=0, broadcast=broadcast,
     )
 
 
@@ -389,9 +427,12 @@ def mix_corpora(
         cw.crossJoin(F.broadcast(s))
         .select(F.col(domain_col), _rate_expr().alias("__rate_bp__"))
     )
+    # broadcast=True is safe BY CONSTRUCTION: the inner join against the
+    # user's weights mapping bounds the rate table to len(target_weights)
+    # rows — driver-resident already — and skips auto's sizing count
     return sample_by_rates_df(
         df, domain_col, rates, id_cols=id_cols, rate_col="__rate_bp__",
-        seed=seed, default_bp=0,
+        seed=seed, default_bp=0, broadcast=True,
     )
 
 
