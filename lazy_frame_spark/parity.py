@@ -8170,12 +8170,13 @@ DRIVER_WINDOW: list[str] = [
     # rename, positional selection, predicate scan, filter+extract
     "lf_filter_project",
     "lf_open_enumerate",
-    "lf_dim",
     # (lf_row_points rotated past the cap in round 8 — green rounds
-    # 1-7; lf_project and lf_rename in round 9 — green rounds 1-8,
-    # with projection/rename still exercised through lf_filter_project
-    # and lf_factor_decode; all stay locally checked. Their slots fund
-    # the round-9 additions below per the zero-debt policy.)
+    # 1-7; lf_project and lf_rename in round 9 — green rounds 1-8;
+    # lf_dim in round 10 — green rounds 1-9, the longest-green lf_ row,
+    # with dims still asserted by every open/enumerate test; projection
+    # and rename stay exercised through lf_filter_project. All stay
+    # locally checked. Their slots fund the round-9/10 additions below
+    # per the zero-debt policy.)
     "lf_row_range",
     # (lf_head rotated in round 9 too — green rounds 1-8; L1 is the
     # row_range(1,n) special case and stays locally checked + benched)
@@ -8227,7 +8228,10 @@ DRIVER_WINDOW: list[str] = [
     # the GDPR-repair path that had only local evidence)
     "view_retract_erasure",
     "cast_semantics",
-    "lf_factor_decode",
+    # (lf_factor_decode rotated past the cap in round 10 — green rounds
+    # 1-9; M1 factor decode keeps its unit tests + local oracle check,
+    # and the attrs surface stays driver-exercised via to_pandas in
+    # every lf_ row. Its slot funds lm_perplexity below.)
     "json_extract_props",
     # subqueries, sampling
     "subquery_scalar_and_in",
@@ -8248,20 +8252,26 @@ DRIVER_WINDOW: list[str] = [
     "text_compression_ratio",
     "text_script_profile",
     "text_sentence_chunks",
-    # mergeable sketches (theta set algebra — all four counts value-
-    # checked exactly in exact mode; lang-id moved past the cap, still
-    # locally checked)
-    "sketch_theta_setops",
-    # round-8 late addition (zero-debt): CMS-estimated heavy hitters
+    # mergeable sketches (round-10 rotation: sketch_theta_setops past
+    # the cap after green rounds 7-9 — the CMS row keeps the sketch
+    # category's driver rep, theta stays locally checked — funding the
+    # capstone pipeline row below)
     "sketch_cms_topk",
+    # CCNet-style bigram-LM perplexity gate (operators/lm.py) — a
+    # first-class pipeline filter that had only local evidence through
+    # round 9 (round-9 verdict item 7)
+    "lm_perplexity",
     # dedup suite + decontamination + corpus mixing (the newest
     # training-pipeline capabilities earn driver rows; the slots come
     # from within-category redundancy, never from a category's only rep.
     # Round-7 rotation: dedup_simhash_pairs and mix_target_proportions
     # past the cap after green rounds — the canonical-URL pass (the
     # FIRST dedup a web corpus runs) and the per-domain anti-spam cap
-    # take their slots)
-    "dedup_minhash_pairs",
+    # take their slots. Round-10 rotation: dedup_minhash_pairs past the
+    # cap after green rounds 2-9 — the longest-green dedup row; the
+    # banded-LSH shape stays plan-pinned and locally checked — funding
+    # the incremental exact dedup that shipped post-verdict in round 9)
+    "dedup_incremental",
     "dedup_url_canonical",
     # round-8 rotation: the three round-7 late additions earn driver
     # rows the round after they shipped (zero-debt policy): IDN-aware
@@ -8285,6 +8295,12 @@ DRIVER_WINDOW: list[str] = [
     # broadcast-join mix that proves the high-cardinality path
     "mix_temperature_uniform",
     "mix_high_cardinality",
+    # round-9 post-verdict additions earn driver rows the round after
+    # they ship (zero-debt policy): token-budget capping with the
+    # earliest-dropped-order repair, and the capstone gate → dedup →
+    # mix → token-budget pipeline composed as ONE lazy plan
+    "mix_token_budget",
+    "pipeline_mix_curate",
     # similarity search: round-7 rotation — the quantized scale paths
     # (PQ/ADC 8 B-per-vector search, int8 exact top-k, and the IVF-PQ
     # residual index whose DuckDB twin rebuilds the ENTIRE index)
