@@ -95,6 +95,15 @@ class LazyFrame:
         # frame to enumerate through, and the one-full-pass fallback
         self._verify_df: DataFrame | None = None
         self._reopen_full = None
+        # deferred-verify lineage (pure promise semantics,
+        # man/lazy.frame.Rd:5-9): a frame DERIVED from a still-unverified
+        # open records its root and the op chain from it, so
+        # filter()/select()/rename() stay zero-job plan builders and the
+        # corrupt-count runs at materialization — replaying the chain on
+        # the full-inference reopen if the sample lied
+        self._verify_root: "LazyFrame | None" = None
+        self._verify_ops: tuple = ()
+        self._verify_swapped = False
 
     # ------------------------------------------------------------------ #
     # construction
@@ -128,12 +137,17 @@ class LazyFrame:
         ``"sample"`` (unverified, reference-style), ``False`` (all
         strings), or an explicit ``schema=``. The ``skip=N`` path gets
         the SAME guarantee: ``from_csv`` carries the corrupt channel
-        per row. Verification runs on the FIRST data access of any
-        kind — positional paths fuse it into the enumerate build,
-        everything else (filter/select/to_df/...) runs the standalone
-        count before data flows. ``cache=False`` one-shot opens skip
-        verification by design (a dedicated full-width parse would
-        double the one-shot cost) and emit a one-time warning instead.
+        per row. Verification runs at the FIRST materialization —
+        positional paths fuse it into the enumerate build; pure
+        transformations (filter/select/rename) are zero-job plan
+        builders carrying deferred-verify lineage (the reference's pure
+        promise semantics, man/lazy.frame.Rd:5-9), and the corrupt
+        count runs before any data leaves (to_pandas/collect/to_df/
+        nrow-of-a-filter), replaying the recorded op chain on the
+        full-inference reopen if the sample lied. ``cache=False``
+        one-shot opens skip verification by design (a dedicated
+        full-width parse would double the one-shot cost) and emit a
+        one-time warning instead.
 
         ``cache=False`` skips persisting the enumerated frame: the right
         mode for ONE-shot positional queries (open → slice → done), where
@@ -179,6 +193,11 @@ class LazyFrame:
     # ------------------------------------------------------------------ #
 
     def _with_ids(self) -> DataFrame:
+        if self._verify_root is not None:
+            # a derived child can't fuse the root's verify into its own
+            # enumerate (the corrupt channel lives on the root's frame):
+            # settle the chain first, then enumerate the settled plan
+            self._ensure_verified()
         if ROW_ID in self._df.columns:
             # skip>0 CSV opens arrive with ids already attached (the
             # text-read path rebases them), so there is no enumerate
@@ -246,14 +265,23 @@ class LazyFrame:
         return int(checks["__bad__"] or 0)
 
     def _ensure_verified(self) -> None:
-        """Standalone schema verification for the FIRST data access on
-        any non-positional path (filter/select/to_df/...): positional
-        paths fuse the same check into the enumerate build
+        """Standalone schema verification for the FIRST materialization
+        on any non-positional path (to_df/to_pandas/collect/...):
+        positional paths fuse the same check into the enumerate build
         (``_verify_enumerated``), and whichever runs first consumes the
         pending state — so the verified-by-default contract holds on
-        EVERY read path, not just positional ones. cache=False one-shot
-        opens skip it by design (a dedicated full-width parse would
-        double the one-shot cost) and warn once instead."""
+        EVERY read path. Transformations (filter/select/rename) do NOT
+        trigger it — they record deferred lineage via ``_derive`` and
+        the check runs here, at the materialization boundary, restoring
+        the reference's pure promise semantics (man/lazy.frame.Rd:5-9).
+        cache=False one-shot opens skip it by design (a dedicated
+        full-width parse would double the one-shot cost) and warn once
+        instead."""
+        if self._verify_root is not None:
+            if not self._sync_swapped():
+                self._verify_root._ensure_verified()
+                self._sync_swapped()
+            return
         if self._verify_df is None:
             return
         if not self._cache:
@@ -261,6 +289,47 @@ class LazyFrame:
             self._verify_df = None
             return
         self._verify_attached(self._verify_df)
+
+    def _sync_swapped(self) -> bool:
+        """Settle a derived frame whose root's verify has already run
+        (consumed by some other access). If the root swapped to the
+        full-inference reopen, replay this frame's recorded op chain on
+        the root's new plan; either way the lineage is freed. Pure plan
+        surgery — no Spark job (the root's verify already ran). Returns
+        False while the root's verify is still pending."""
+        root = self._verify_root
+        if root is None:
+            return True
+        if root._verify_df is not None:
+            return False
+        if root._verify_swapped:
+            df = root._df
+            for op in self._verify_ops:
+                df = op(df)
+            self._df = df
+        self._verify_root = None
+        self._verify_ops = ()
+        return True
+
+    def _derive(self, op, attrs: ColumnAttrs) -> "LazyFrame":
+        """Build a derived LazyFrame as pure plan construction — zero
+        Spark jobs. ``op`` is a replayable ``DataFrame -> DataFrame``
+        closure (name/expression-based only — Column expressions are
+        unresolved in Spark, so the same closure applies cleanly to the
+        full-inference reopen whose column TYPES may differ). While the
+        chain's root still has a pending sample-schema verify, the child
+        records (root, op-chain) so the materialization-time check can
+        rebuild it if the sample lied."""
+        self._sync_swapped()  # never derive from a stale pre-swap plan
+        child = LazyFrame(op(self._df), attrs, self._order_by,
+                          cache=self._cache)
+        root = self._verify_root
+        if root is None and self._verify_df is not None:
+            root = self
+        if root is not None and root._verify_df is not None:
+            child._verify_root = root
+            child._verify_ops = (*self._verify_ops, op)
+        return child
 
     def _verify_attached(self, vdf: DataFrame):
         """ONE corrupt-count aggregate over the verify frame. Clean →
@@ -275,6 +344,7 @@ class LazyFrame:
                     "pass infer_schema=True or an explicit schema"
                 )
             self._df = self._reopen_full()
+            self._verify_swapped = True
             return None
         return self._df
 
@@ -301,6 +371,7 @@ class LazyFrame:
                     "infer_schema=True or an explicit schema"
                 )
             self._df = self._reopen_full()
+            self._verify_swapped = True
             return None, None
         self._verify_df = None
         return df.drop(CORRUPT_COL), handle
@@ -332,7 +403,6 @@ class LazyFrame:
 
     def rename(self, names: Sequence[str] | dict[str, str]) -> "LazyFrame":
         """``names<-`` parity (``R/lazy.frame.R:217-226``)."""
-        self._ensure_verified()
         cols = self.columns
         if isinstance(names, dict):
             mapping = dict(names)
@@ -341,12 +411,23 @@ class LazyFrame:
             if len(names) != len(cols):
                 raise ValueError(f"expected {len(cols)} names, got {len(names)}")
             mapping = dict(zip(cols, names))
-        df = self._df
-        for old, new in mapping.items():
-            df = df.withColumnRenamed(old, new)
-        return LazyFrame(df, self._attrs.renamed(mapping), self._order_by)
+
+        def op(df: DataFrame) -> DataFrame:
+            for old, new in mapping.items():
+                df = df.withColumnRenamed(old, new)
+            return df
+
+        return self._derive(op, self._attrs.renamed(mapping))
 
     def nrow(self) -> int:
+        # a derived chain must settle first: a filter's row count DEPENDS
+        # on the schema (a sample-missed type parses to NULL →
+        # compare-false), so counting a stale pre-swap plan would lie.
+        # Plain root counts are verification-invariant (PERMISSIVE keeps
+        # every row under either schema), so an unfiltered open→nrow()
+        # stays job-minimal.
+        if self._verify_root is not None:
+            self._ensure_verified()
         return self._df.count()
 
     def ncol(self) -> int:
@@ -367,15 +448,16 @@ class LazyFrame:
 
     def select(self, cols: str | int | Sequence[str | int]) -> "LazyFrame":
         """Project by name or 1-based positive index; out-of-range indices
-        are silently dropped (``R/lazy.frame.R:145-147``)."""
-        self._ensure_verified()
+        are silently dropped (``R/lazy.frame.R:145-147``). Pure plan
+        construction — no Spark job (deferred-verify lineage settles at
+        materialization)."""
         names = self._resolve_cols(cols)
-        keep = [c for c in self._df.columns if c == ROW_ID] + names
-        return LazyFrame(
-            self._df.select(*[_qcol(c) for c in keep]),
-            self._attrs.restrict(names),
-            self._order_by,
-        )
+
+        def op(df: DataFrame) -> DataFrame:
+            keep = [c for c in df.columns if c == ROW_ID] + names
+            return df.select(*[_qcol(c) for c in keep])
+
+        return self._derive(op, self._attrs.restrict(names))
 
     def _resolve_cols(self, cols: str | int | Sequence[str | int]) -> list[str]:
         if isinstance(cols, (str, int)):
@@ -486,15 +568,16 @@ class LazyFrame:
     def filter(self, col: str | int | Column, op: str | None = None, value: Any = None) -> "LazyFrame":
         """``x[x[,k] op v, ]`` in one Catalyst plan (F3). Either a Column
         predicate, or (col, op, scalar) in the reference's RHS-typed
-        domain (F2)."""
-        self._ensure_verified()
+        domain (F2). Pure plan construction — no Spark job; the RHS-typed
+        predicate is schema-independent (try_cast picks the domain from
+        the LITERAL), so it replays identically on a full-inference swap."""
         if isinstance(col, Column):
             pred = col
         else:
             if op is None:
                 raise ValueError("filter(col, op, value) requires op and value")
             pred = typed_compare(self.col(col), op, value)
-        return LazyFrame(self._df.filter(pred), self._attrs.copy(), self._order_by)
+        return self._derive(lambda df: df.filter(pred), self._attrs.copy())
 
     def which(
         self, col: str | int | Column, op: str | None = None, value: Any = None,
@@ -574,6 +657,10 @@ class LazyFrame:
         attr (they ARE the levels now)."""
         from pyspark.sql.types import NumericType
 
+        # decode is TYPE-dependent (the NumericType gate below reads the
+        # current schema), so unlike filter/select it cannot be replayed
+        # blindly on a full-inference swap — settle any pending verify
+        # first instead of recording deferred lineage
         self._ensure_verified()
         df = self._df
         attrs = self._attrs.copy()

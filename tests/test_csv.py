@@ -446,3 +446,63 @@ def test_decimal_comma_deep_fraction(spark, tmp_path_factory):
     pdf = (open_csv(spark, str(p), sep=";", header=True, decimal=",")
            .toPandas().sort_values("id"))
     assert pdf["x"].tolist() == [0.12345678901, 7.000000000001]
+
+
+def test_transformations_job_free_until_materialization(spark, tmp_path_factory):
+    """Pure promise semantics (man/lazy.frame.Rd:5-9): on a default
+    verified open, filter()/select()/rename() are plan builders — ZERO
+    Spark jobs — and the corrupt-count verify runs at the
+    materialization boundary, still before any data is returned
+    (round-9 verdict task 3)."""
+    from lazy_frame_spark import LazyFrame
+    from lazy_frame_spark.sources.csv import VERIFY_SAMPLE_LINES
+
+    p = tmp_path_factory.mktemp("csv") / "defer.csv"
+    n = VERIFY_SAMPLE_LINES + 200
+    p.write_text("id,val\n" + "\n".join(f"{i},{i * 2}" for i in range(1, n + 1)) + "\n")
+
+    lf = LazyFrame.open(spark, str(p))
+    assert lf._verify_df is not None  # verify pending after open
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    chained = lf.filter("val", ">", 100).select(["id"]).rename({"id": "ident"})
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "transformations launched a Spark job"
+    assert lf._verify_df is not None          # still pending
+    assert chained._verify_root is lf         # lineage recorded
+
+    got = chained.to_pandas()                 # materialization verifies
+    assert lf._verify_df is None              # consumed exactly here
+    assert got["ident"].min() == 51 and len(got) == n - 50
+    lf.close()
+
+
+def test_deferred_verify_replays_chain_on_lying_sample(spark, tmp_path_factory):
+    """A filter→select chain built BEFORE the verify pass must replay on
+    the full-inference reopen when the sample lied: the float-at-row-N
+    value matches the float predicate instead of silently nulling, and a
+    sibling chain derived from the pre-swap root settles to the swapped
+    plan too (no stale plans survive)."""
+    from lazy_frame_spark import LazyFrame
+    from lazy_frame_spark.sources.csv import VERIFY_SAMPLE_LINES
+
+    p = tmp_path_factory.mktemp("csv") / "defer_liar.csv"
+    n = VERIFY_SAMPLE_LINES + 100
+    lines = ["id,val"] + [f"{i},{i}" for i in range(1, n + 1)]
+    liar = VERIFY_SAMPLE_LINES + 20
+    lines[liar] = f"{liar},3.5"
+    p.write_text("\n".join(lines) + "\n")
+
+    lf = LazyFrame.open(spark, str(p))
+    hit = lf.filter("val", "==", 3.5).select(["id"])   # pre-verify chain
+    sibling = lf.filter("val", "==", 3.5)              # second pre-verify chain
+    rows = hit.to_pandas()                             # triggers verify + swap
+    assert rows["id"].tolist() == [liar]
+    assert lf._verify_swapped                          # sample lied, swapped
+    # the sibling was built against the pre-swap plan: materialization
+    # must settle it onto the swapped root, not count NULL-compares
+    assert sibling.nrow() == 1
+    # chains derived AFTER the swap see the full-inferred schema directly
+    assert lf.filter("val", "==", 3.5).nrow() == 1
+    lf.close()
