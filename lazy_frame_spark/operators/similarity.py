@@ -1228,6 +1228,43 @@ class IVFPQIndex:
             json.dump({"coarse": self.coarse, "codebooks": self.codebooks},
                       f)
 
+    def add(
+        self,
+        df_new: DataFrame,
+        path: str,
+        vec_col: str = "embedding",
+        code_col: str = "pq_codes",
+    ) -> None:
+        """Incremental append — the production-crawl pairing for
+        ``dedup_against``: encode a NEW batch against the frozen
+        geometry (a ``load()``-ed index's coarse centroids + codebooks)
+        and append it to the persisted cell-partitioned layout, no
+        refit, no corpus re-encode. Append-then-search equals
+        encode-the-union-then-search BY CONSTRUCTION: the geometry is
+        immutable and ``encode`` is a pure per-row function of it, so
+        the union of encodings IS the encoding of the union (pinned by
+        the ``ann_ivfpq_incremental`` oracle row). Only cells the batch
+        lands in receive new files — untouched cell partitions are not
+        rewritten, and probe filters keep pruning partitions. At 100 TB
+        this is the only sane maintenance path: per-increment cost is
+        O(batch), never O(corpus). Geometry drift (a batch distribution
+        far from the fitted corpus) degrades RECALL, not correctness —
+        monitor and re-fit/re-save when it matters."""
+        enc = self.encode(df_new, vec_col=vec_col, code_col=code_col)
+        # align to the store's column set: a codes-only store (vectors
+        # dropped for the 1+n_sub-bytes footprint) takes the projected
+        # batch; a store column the batch CANNOT supply would silently
+        # fork the schema (parquet append never validates) — refuse
+        existing = df_new.sparkSession.read.parquet(path).columns
+        missing = sorted(set(existing) - set(enc.columns))
+        if missing:
+            raise ValueError(
+                "add: encoded batch does not match the saved index store "
+                f"— store columns {missing} are absent from the batch"
+            )
+        enc = enc.select(*[F.col(c) for c in existing])
+        enc.write.mode("append").partitionBy("__ivf_cell__").parquet(path)
+
     @classmethod
     def load(cls, spark, path: str) -> tuple["IVFPQIndex", DataFrame]:
         """Reopen a saved index: ``(index, encoded_frame)`` — the frame

@@ -3063,7 +3063,8 @@ def ann_pq_adc_topk(spark, sf_dir):
     return _s.pq_adc_topk(enc, _query_vec(spark, sf_dir), _pq_books(), k=10)
 
 
-def _ivfpq_sql(n_cells: int = 8, n_probe: int = 3, dim: int = 64) -> str:
+def _ivfpq_sql(n_cells: int = 8, n_probe: int = 3, dim: int = 64,
+               base_pred: str = "TRUE") -> str:
     """DuckDB twin of the FULL IVF-PQ index + search
     (similarity.IVFPQIndex with hash codebooks): the coarse centroids
     are SQL-reproducible (every n/n_cells-th vector by id — the same
@@ -3093,11 +3094,12 @@ def _ivfpq_sql(n_cells: int = 8, n_probe: int = 3, dim: int = 64) -> str:
         lut_cols.append("list_value(" + ", ".join(entries) + f") AS lut{s + 1}")
     dist = " + ".join(f"lut{s + 1}[c{s + 1}]" for s in range(n_sub))
     return f"""
-    WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+    WITH nn AS (SELECT count(*) AS cnt FROM embeddings WHERE {base_pred}),
     cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
              embedding::DOUBLE[] AS cv
-      FROM embeddings, nn WHERE vec_id % greatest(cnt // {n_cells}, 1) = 0
+      FROM embeddings, nn
+      WHERE ({base_pred}) AND vec_id % greatest(cnt // {n_cells}, 1) = 0
       ORDER BY vec_id LIMIT {n_cells}),
     asg AS (
       SELECT vec_id, cell FROM (
@@ -3147,6 +3149,38 @@ def ann_ivfpq_adc_topk(spark, sf_dir):
                             train_iters=0, train_coarse=False)
     enc = idx.encode(e)
     return idx.topk(enc, _query_vec(spark, sf_dir), k=10, n_probe=3)
+
+
+@query("ann_ivfpq_incremental",
+       oracle=_ivfpq_sql(base_pred="vec_id % 10 < 8"))
+def ann_ivfpq_incremental(spark, sf_dir):
+    """Incremental index maintenance (similarity.IVFPQIndex.add) — the
+    production-crawl path: fit + encode + save the BASE corpus
+    (vec_id % 10 < 8), then load the persisted index, encode ONLY the
+    delta batch against the frozen geometry, and append it to the
+    cell-partitioned store. Search over the re-read store must equal
+    encoding the union in one shot — the oracle rebuilds the whole
+    pipeline in SQL with the coarse pick restricted to the base (the
+    geometry an incremental deployment actually froze) and
+    encode/search over the union. Per-increment cost is O(batch); at
+    100 TB you never re-encode the corpus (untouched cell partitions
+    are not rewritten — pinned by test)."""
+    import hashlib
+
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    delta = e.filter(F.col("vec_id") % 10 >= 8)
+    idx = _s.IVFPQIndex.fit(base, n_cells=8, n_sub=8, k=16, seed=7,
+                            train_iters=0, train_coarse=False)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/lfs_ivfpq_inc_{tag}"
+    idx.save(idx.encode(base), path)
+    loaded, _store = _s.IVFPQIndex.load(spark, path)
+    loaded.add(delta, path)
+    _, store = _s.IVFPQIndex.load(spark, path)
+    return loaded.topk(store, _query_vec(spark, sf_dir), k=10, n_probe=3)
 
 
 @query(
@@ -8308,10 +8342,17 @@ DRIVER_WINDOW: list[str] = [
     # locally checked); LSH-bucketed pairs keep their row. IVF-PQ's
     # slot funded by sink_merge_upsert (3 green rounds; sink_ keeps
     # sink_roundtrip).
-    "ann_pq_adc_topk",
+    # (ann_pq_adc_topk rotated past the cap in round 10 — green rounds
+    # 7-9; the ADC mechanism is carried at the full-index level by
+    # ann_ivfpq_adc_topk's bit-exact twin, and the PQ-only row stays
+    # locally checked. Its slot funds the incremental-add row below.)
     # (ann_cosine_topk_int8 rotated past the cap in round 9 — green
     # rounds 7-8; the quantized family keeps FOUR driver reps below)
     "ann_ivfpq_adc_topk",
+    # round-10 addition lands in-window the round it ships (zero-debt):
+    # incremental index maintenance — load → encode-delta → append to
+    # the cell-partitioned store, equal to a one-shot union encode
+    "ann_ivfpq_incremental",
     # round-8: the trained-residual DEFAULT fit + IVFADC-refine recall
     # invariants land in-window the round they shipped (slot funded by
     # join_semi)
