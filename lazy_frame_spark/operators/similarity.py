@@ -765,6 +765,108 @@ def _cell_assign_batch(V, C, cn):
     return cells, finite
 
 
+def vector_covariance(df: DataFrame, vec_col: str = "__resid__",
+                      dim: int | None = None):
+    """d x d covariance of finite vectors as mergeable Arrow partials:
+    each batch emits ONE row (count, per-dim sum, flattened outer-
+    product sum — ~d² doubles, KBs at embedding dims), the driver folds
+    the partials. One pass, no row collect — the 100 TB shape for any
+    moment statistic. Returns a numpy (d, d) array (or None if no
+    finite rows)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if dim is None:
+        probe = df.select(vec_col).filter(
+            F.col(vec_col).isNotNull()).first()
+        if probe is None:
+            return None
+        dim = len(probe[0])
+    out_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("ss", ArrayType(DoubleType())),
+    ])
+
+    def partials(batches, d=dim):
+        import pandas as pd
+
+        for pdf in batches:
+            vs = [v for v in pdf[vec_col].to_numpy() if v is not None]
+            if not vs:
+                continue
+            V = np.asarray(np.stack(vs), dtype=np.float64)
+            V = V[np.isfinite(V).all(axis=1)]
+            if not len(V):
+                continue
+            yield pd.DataFrame({
+                "n": [len(V)],
+                "s": [V.sum(axis=0).tolist()],
+                "ss": [(V.T @ V).ravel().tolist()],
+            })
+
+    rows = df.select(vec_col).mapInPandas(partials, out_schema).collect()
+    if not rows:
+        return None
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(dim, dim) for r in rows],
+                axis=0)
+    mu = s / n
+    return ss / n - np.outer(mu, mu)
+
+
+def opq_rotation_from_cov(cov, n_sub: int):
+    """Parametric OPQ (Ge et al., CVPR 2013, "Optimized Product
+    Quantization", the OPQ-P variant): for Gaussian-ish data the
+    distortion-optimal orthonormal transform diagonalizes the
+    covariance (independent output dims) and allocates the
+    eigen-directions to the n_sub subquantizers BALANCING the product
+    of eigenvalues — equal information per subspace, so no codebook is
+    starved while another is overloaded. Greedy allocation: walk the
+    eigenvalues descending, assign each to the non-full bucket with the
+    smallest log-product. Rows of the returned (d, d) matrix are the
+    permuted eigenvectors — ``y = R @ x`` has subvector s carrying
+    bucket s's directions. Orthonormal by construction, so L2 (hence
+    ADC distances) are preserved exactly.
+
+    Returns ``(R, scales)`` where ``scales[i]`` is the rotated space's
+    per-output-dimension stddev (sqrt of the permuted eigenvalue).
+    Callers MUST rescale any data-independent codebook init by these:
+    the rotation concentrates variance, so a dominant output dim can
+    have stddev 10x outside the hash anchor's [-1, 1) cube — Lloyd's
+    dead-cluster rule ("empty clusters keep their previous centroid")
+    then strands most codewords of the most informative subspace, and
+    measured recall DROPS below the unrotated index (0.795 -> 0.69
+    refine0 recall@10 on the rank-8 fixture before the rescale)."""
+    import numpy as np
+
+    cov = np.asarray(cov, dtype=np.float64)
+    w, U = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(w)[::-1]
+    w, U = w[order], U[:, order]
+    d = len(w)
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    d_sub = d // n_sub
+    buckets: list[list[int]] = [[] for _ in range(n_sub)]
+    logs = [0.0] * n_sub
+    for i in range(d):
+        b = min((j for j in range(n_sub) if len(buckets[j]) < d_sub),
+                key=lambda j: logs[j])
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(float(w[i]), 1e-12)))
+    perm = [i for b in buckets for i in b]
+    scales = np.sqrt(np.maximum(w[perm], 0.0))
+    return U[:, perm].T, scales
+
+
 class IVFPQIndex:
     """IVF + PQ composition — the standard billion-scale ANN layout:
     coarse cells prune the scan (probe only the n_probe cells nearest
@@ -785,9 +887,26 @@ class IVFPQIndex:
         self,
         coarse_centroids: list[list[float]],
         codebooks: list[list[list[float]]],
+        rotation: list[list[float]] | None = None,
     ):
         self.coarse = [[float(x) for x in c] for c in coarse_centroids]
         self.codebooks = codebooks
+        #: optional OPQ rotation (d x d orthonormal, rows = output dims):
+        #: residuals are rotated r' = R @ r before PQ coding, and query
+        #: LUTs are built from the rotated query residual — L2 is
+        #: rotation-invariant, so ADC distances stay true distances.
+        #: None (the default) keeps the SQL-reproducible unrotated path.
+        self.rotation = (
+            None if rotation is None
+            else [[float(x) for x in row] for row in rotation]
+        )
+
+    def _rot_np(self):
+        import numpy as np
+
+        if self.rotation is None:
+            return None
+        return np.asarray(self.rotation, dtype=np.float64)
 
     @classmethod
     def fit(
@@ -802,6 +921,7 @@ class IVFPQIndex:
         train_max_rows: int = 100_000,
         train_coarse: bool = True,
         coarse_iters: int = 10,
+        train_rotation: bool = False,
         seed: int = 7,
     ) -> "IVFPQIndex":
         """Coarse centroids via IVFIndex's deterministic pick (every
@@ -843,7 +963,7 @@ class IVFPQIndex:
         dim = len(ivf.centroids[0])
         books = pq_codebooks(dim, n_sub, k, seed)
         idx = cls(ivf.centroids, books)
-        if train_iters or train_coarse:
+        if train_iters or train_coarse or train_rotation:
             train_df = df
             n = None
             if train_max_rows:
@@ -864,6 +984,42 @@ class IVFPQIndex:
             finally:
                 vecs.unpersist()
             idx = cls(coarse, books)
+        if train_rotation:
+            # OPQ rotation (opt-in — see opq_rotation_from_cov): trained
+            # on the UNROTATED residual covariance of the sample (idx
+            # has no rotation yet, so _with_residual yields raw
+            # residuals), then installed BEFORE the Lloyd block below so
+            # the codebooks train in the rotated space they will serve
+            # in. The hash-anchor init is rescaled per output dimension
+            # to the rotated stddev (uniform[-1,1) has stddev 1/sqrt(3))
+            # — without this, variance concentration strands dead
+            # codewords and the rotation HURTS (see
+            # opq_rotation_from_cov). Measured (tools/opq_adjudicate.py,
+            # ANN_RECALL.json "opq"): refine0 recall@10 0.795 -> 0.95 on
+            # the rank-8 anisotropic fixture, 0.775 -> 0.875 on the
+            # near-isotropic sf0.1 embeddings at probe16/refine100.
+            resid = idx._with_residual(train_df, vec_col).select("__resid__")
+            if n is not None:
+                est = min(n, train_max_rows)
+                resid = resid.coalesce(max(1, min(int(est // 8192) + 1, 64)))
+            cov = vector_covariance(resid, "__resid__", dim=dim)
+            if cov is not None:
+                import math
+
+                rot, scales = opq_rotation_from_cov(cov, n_sub)
+                idx.rotation = [[float(x) for x in row] for row in rot]
+                d_sub = dim // n_sub
+                books = [
+                    [
+                        [
+                            c * float(scales[s * d_sub + i]) * math.sqrt(3.0)
+                            for i, c in enumerate(cent)
+                        ]
+                        for cent in sub_book
+                    ]
+                    for s, sub_book in enumerate(books)
+                ]
+                idx.codebooks = books
         if train_iters:
             # persist the residual projection for the Lloyd loop (every
             # iteration re-reads it; recomputing the interpreted
@@ -911,6 +1067,7 @@ class IVFPQIndex:
         )
 
         C = np.asarray(self.coarse, dtype=np.float64)
+        Rot = self._rot_np()
         n_cells, dim = C.shape
         cn = np.zeros(n_cells)
         for i in range(dim):
@@ -932,6 +1089,8 @@ class IVFPQIndex:
                 n = V.shape[0]
                 cells, finite = _cell_assign_batch(V, C, cn)
                 R = V - C[cells]
+                if Rot is not None:
+                    R = R @ Rot.T
                 out = pdf[in_cols].copy()
                 out["__ivf_cell__"] = cells.astype("int32")
                 out["__resid__"] = [
@@ -976,6 +1135,7 @@ class IVFPQIndex:
             )
         C = np.asarray(self.coarse, dtype=np.float64)        # (cells, dim)
         cb = np.asarray(self.codebooks, dtype=np.float64)    # (S, K, D)
+        Rot = self._rot_np()                                 # OPQ (optional)
         S, K, D = cb.shape
         n_cells, dim = C.shape
         # centroid norms with the same ascending fold the Catalyst
@@ -1000,6 +1160,8 @@ class IVFPQIndex:
                 n = V.shape[0]
                 cells, finite = _cell_assign_batch(V, C, cn)
                 R = V - C[cells]
+                if Rot is not None:
+                    R = R @ Rot.T
                 codes = np.empty((n, S), dtype=np.int32)
                 for s in range(S):
                     sub = R[:, s * D:(s + 1) * D]
@@ -1061,9 +1223,13 @@ class IVFPQIndex:
         probe = sorted(range(len(self.coarse)),
                        key=lambda i: -cos(self.coarse[i]))[:int(n_probe)]
         d_sub = len(self.codebooks[0][0])
+        rot = self.rotation
         dist = None
         for cell in probe:
             qres = [q[i] - self.coarse[cell][i] for i in range(len(q))]
+            if rot is not None:  # rotate like the stored codes were
+                qres = [sum(row[i] * qres[i] for i in range(len(qres)))
+                        for row in rot]
             cell_dist = F.lit(0.0)
             for s, cents in enumerate(self.codebooks):
                 q_sub = qres[s * d_sub:(s + 1) * d_sub]
@@ -1156,6 +1322,9 @@ class IVFPQIndex:
                            key=lambda i: -cos(self.coarse[i]))[:int(n_probe)]
             for cell in probe:
                 qres = [q[i] - self.coarse[cell][i] for i in range(len(q))]
+                if self.rotation is not None:
+                    qres = [sum(r[i] * qres[i] for i in range(len(qres)))
+                            for r in self.rotation]
                 row = [qid, int(cell)]
                 for s, cents in enumerate(self.codebooks):
                     q_sub = qres[s * d_sub:(s + 1) * d_sub]
@@ -1225,8 +1394,8 @@ class IVFPQIndex:
         df_encoded.write.mode("overwrite").partitionBy(
             "__ivf_cell__").parquet(path)
         with open(os.path.join(path, self.META_FILE), "w") as f:
-            json.dump({"coarse": self.coarse, "codebooks": self.codebooks},
-                      f)
+            json.dump({"coarse": self.coarse, "codebooks": self.codebooks,
+                       "rotation": self.rotation}, f)
 
     def add(
         self,
@@ -1275,7 +1444,8 @@ class IVFPQIndex:
 
         with open(os.path.join(path, cls.META_FILE)) as f:
             meta = json.load(f)
-        idx = cls(meta["coarse"], meta["codebooks"])
+        idx = cls(meta["coarse"], meta["codebooks"],
+                  rotation=meta.get("rotation"))
         return idx, spark.read.parquet(path)
 
 
