@@ -5295,6 +5295,74 @@ def sink_delete_keys(spark, sf_dir):
 
 
 @query(
+    "sink_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey <= 4000),
+    extra AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey <= 800),
+    v2 AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+    v3 AS (SELECT * FROM v2 WHERE NOT COALESCE(o_orderstatus = 'F', FALSE))
+    SELECT 1 AS version, COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS sum_price FROM base
+    UNION ALL SELECT 2, COUNT(*), MIN(o_orderkey), MAX(o_orderkey),
+           ROUND(SUM(o_totalprice), 2) FROM v2
+    UNION ALL SELECT 3, COUNT(*), MIN(o_orderkey), MAX(o_orderkey),
+           ROUND(SUM(o_totalprice), 2) FROM v3
+    UNION ALL SELECT 4, COUNT(*), MIN(o_orderkey), MAX(o_orderkey),
+           ROUND(SUM(o_totalprice), 2) FROM base
+    """,
+)
+def sink_time_travel(spark, sf_dir):
+    """Versioned table time travel (sources/versioned): overwrite →
+    append → file-grain copy-on-write DELETE → zero-copy restore, then
+    every committed state re-read AT ITS VERSION — the
+    reproducible-training-run contract ("run X read corpus v7") a
+    100 TB pipeline needs. Append/restore move no existing data (files
+    carried by reference in KB manifests); delete rewrites only the
+    files the pushdown-pruned scan proves contain matches. The graded
+    result is the per-version fingerprint of all four states."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vt_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    base = o.filter(F.col("o_orderkey") <= 4000)
+    extra = o.filter(F.col("o_orderkey") <= 800).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_totalprice", "o_orderstatus")
+    V.write_versioned(base, t)
+    V.append_versioned(extra, t)
+    V.delete_versioned(spark, t, "o_orderstatus = 'F'")
+    V.restore_versioned(t, 1)
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            V.read_versioned(spark, t, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "min_key",
+                    "max_key", "sum_price")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
     "ingest_gz_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
 )

@@ -1,5 +1,19 @@
 from lazy_frame_spark.sources.csv import open_csv
 from lazy_frame_spark.sources.ingest import ingest_gzip
 from lazy_frame_spark.sources.registry import TABLE_NAMES, load_tables, register_views
+from lazy_frame_spark.sources.versioned import (
+    append_versioned,
+    delete_versioned,
+    history,
+    read_versioned,
+    restore_versioned,
+    vacuum_versioned,
+    write_versioned,
+)
 
-__all__ = ["open_csv", "ingest_gzip", "load_tables", "register_views", "TABLE_NAMES"]
+__all__ = [
+    "open_csv", "ingest_gzip", "load_tables", "register_views",
+    "TABLE_NAMES",
+    "write_versioned", "append_versioned", "delete_versioned",
+    "restore_versioned", "read_versioned", "history", "vacuum_versioned",
+]

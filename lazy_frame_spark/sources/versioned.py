@@ -1,0 +1,370 @@
+"""Versioned parquet tables with time travel — the manifest-per-commit
+(Iceberg/Delta-style) layout a 100 TB training pipeline needs for
+REPRODUCIBILITY: "train run X read corpus version 7" must stay
+re-readable after later appends, deletes, and compactions.
+
+The reference engine is a read-only viewer (R/lazy.frame.R:121-124);
+versioning completes its users' workflow on the write side the same way
+the journaled sink (sources/parquet.py) does for in-place mutation —
+but where the journal buys CRASH-ATOMICITY for one table state, the
+manifest log buys HISTORY: every committed state stays addressable.
+
+Layout::
+
+    table/
+      data/00000001/part-*.parquet     -- immutable once referenced
+      data/00000002/part-*.parquet
+      _manifests/00000001.json         -- {version, action, files, ...}
+      _manifests/00000002.json
+
+Design rules, and why they hold at 100 TB:
+
+- **Files are immutable and carried BY REFERENCE.** An append commit
+  lists the parent's files plus the new data directory's; a restore
+  commit lists an old version's files verbatim. Appending 1 GB to a
+  100 TB table writes 1 GB + a manifest; restoring yesterday's state
+  writes ONLY a manifest (zero data movement).
+- **Delete is copy-on-write at FILE grain, pruned by the scan.** One
+  filtered pass (parquet predicate pushdown prunes row groups for
+  free) collects `input_file_name()`s that actually contain matches;
+  only those files are rewritten without their matching rows, every
+  other file carries over untouched. DELETE of one user's rows from a
+  100 TB table costs a pushdown-pruned scan plus a rewrite of the few
+  files they appear in. SQL DELETE semantics: rows where the predicate
+  is NULL are KEPT.
+- **Commits are atomic and ordered.** The data directory is fully
+  written under a dot-prefixed temp name, renamed into place, and only
+  THEN is the manifest published via hard-link-from-temp — creation of
+  `_manifests/{n}.json` is the commit point, and `os.link` fails if a
+  concurrent writer took the number first (single-winner; losers get
+  VersionConflict and retry on the new parent). A crash before the
+  link leaves an orphan temp dir that no manifest references —
+  invisible to readers, reclaimed by `vacuum_versioned`.
+- **Row counts ride the manifest for free**: summed from parquet
+  footer metadata (no scan), so `history()` answers "how big was
+  version k" as a pure metadata read — the same trick as
+  rowid.parquet_footer_stats.
+
+Readers address a version's exact file list (Spark parallelizes per
+file/row-group regardless of how the list was produced), so time travel
+costs nothing over a plain scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "VersionConflict",
+    "write_versioned",
+    "append_versioned",
+    "delete_versioned",
+    "restore_versioned",
+    "read_versioned",
+    "history",
+    "latest_version",
+    "vacuum_versioned",
+]
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed this version number first; re-read the
+    latest manifest and retry the commit on the new parent."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _versions(path: str) -> list[int]:
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int | None:
+    """Newest committed version number, or None for a non-table path."""
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    mf = os.path.join(_manifest_dir(path), f"{version:08d}.json")
+    with open(mf) as f:
+        return json.load(f)
+
+
+def _publish(path: str, version: int, doc: dict) -> None:
+    """Atomic single-winner commit: hard-link a fully written temp file
+    to the manifest name. link(2) fails with EEXIST if a concurrent
+    writer committed the same number — the loser must rebase."""
+    d = _manifest_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(d, f"{version:08d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise VersionConflict(
+            f"version {version} of {path} was committed concurrently"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:
+    """Write df's rows as one immutable data directory; returns the new
+    parquet files' table-relative paths. The directory appears under
+    its final name only when complete (write to dot-temp, one rename),
+    so readers/vacuum never see a partial directory."""
+    rel_final = os.path.join("data", f"{version:08d}")
+    tmp = os.path.join(path, "data", f".tmp-{version:08d}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(path, rel_final)
+    os.replace(tmp, final)
+    return sorted(
+        os.path.join(rel_final, name)
+        for name in os.listdir(final)
+        if name.endswith(".parquet")
+    )
+
+
+def _footer_rows(path: str, rel_files: list[str]) -> int | None:
+    """Total row count from parquet footers only — no Spark job."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    n = 0
+    for rel in rel_files:
+        try:
+            n += pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        except Exception:
+            return None
+    return n
+
+
+def _commit(
+    path: str,
+    action: str,
+    files: list[str],
+    schema_json: str,
+    parent: int | None,
+    extra: dict | None = None,
+) -> int:
+    version = (parent or 0) + 1
+    doc = {
+        "version": version,
+        "action": action,
+        "parent": parent,
+        "files": sorted(files),
+        "schema": schema_json,
+        "rows": _footer_rows(path, files),
+    }
+    if extra:
+        doc.update(extra)
+    _publish(path, version, doc)
+    return version
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Commit df as a full snapshot (action ``overwrite``): version 1 on
+    a fresh path, else a new version whose file list is ONLY the new
+    data directory — prior versions stay readable, nothing is erased."""
+    os.makedirs(path, exist_ok=True)
+    parent = latest_version(path)
+    version = (parent or 0) + 1
+    files = _write_data_dir(df, path, version)
+    return _commit(path, "overwrite", files, df.schema.json(), parent)
+
+
+def append_versioned(df: DataFrame, path: str) -> int:
+    """Commit df's rows on top of the latest version (action
+    ``append``): writes one new data directory and carries every parent
+    file by reference — O(batch) I/O regardless of table size."""
+    parent = latest_version(path)
+    if parent is None:
+        return write_versioned(df, path)
+    prev = _read_manifest(path, parent)
+    version = parent + 1
+    new_files = _write_data_dir(df, path, version)
+    return _commit(
+        path, "append", list(prev["files"]) + new_files, prev["schema"],
+        parent,
+    )
+
+
+def delete_versioned(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, dict]:
+    """DELETE WHERE ``predicate`` (a Spark SQL boolean expression) as a
+    copy-on-write commit. One pushdown-pruned scan finds the exact
+    files containing matches; only those are rewritten without their
+    matching rows (NULL-predicate rows are KEPT — SQL DELETE
+    semantics); all other files carry over by reference. Returns
+    ``(version, stats)`` with files_rewritten / files_carried /
+    rows_deleted."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    files = list(prev["files"])
+    version = parent + 1
+    if not files:
+        v = _commit(path, "delete", [], prev["schema"], parent,
+                    {"predicate": predicate})
+        return v, {"files_rewritten": 0, "files_carried": 0,
+                   "rows_deleted": 0}
+
+    abs_files = [os.path.join(path, rel) for rel in files]
+    pred = F.expr(predicate)
+    # exact file-grain pruning: the filtered scan's row groups are
+    # already pruned by parquet stats pushdown; distinct file names of
+    # surviving matches are the ONLY files that need rewriting
+    touched_uris = [
+        r[0]
+        for r in spark.read.parquet(*abs_files)
+        .filter(pred)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    touched = set()
+    for uri in touched_uris:
+        p = uri[7:] if uri.startswith("file://") else uri
+        touched.add(os.path.relpath(p, os.path.abspath(path)))
+    if not touched:
+        v = _commit(path, "delete", files, prev["schema"], parent,
+                    {"predicate": predicate})
+        return v, {"files_rewritten": 0, "files_carried": len(files),
+                   "rows_deleted": 0}
+
+    carried = [f for f in files if f not in touched]
+    touched_abs = [os.path.join(path, rel) for rel in sorted(touched)]
+    survivors = spark.read.parquet(*touched_abs).filter(
+        ~F.coalesce(pred, F.lit(False))
+    )
+    new_files = _write_data_dir(survivors, path, version)
+    before = _footer_rows(path, sorted(touched))
+    after = _footer_rows(path, new_files)
+    v = _commit(
+        path, "delete", carried + new_files, prev["schema"], parent,
+        {"predicate": predicate},
+    )
+    return v, {
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+        "rows_deleted": (before - after)
+        if before is not None and after is not None else None,
+    }
+
+
+def restore_versioned(path: str, version: int) -> int:
+    """Roll the table back to ``version`` as a NEW commit referencing
+    that version's exact file list — zero data movement, and the
+    states being rolled past remain in the history (audit trail)."""
+    target = _read_manifest(path, version)  # FileNotFoundError if absent
+    parent = latest_version(path)
+    return _commit(
+        path, "restore", list(target["files"]), target["schema"], parent,
+        {"restored_from": version},
+    )
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). Addresses the
+    manifest's exact file list; an empty version materializes as an
+    empty frame with the committed schema."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    if not man["files"]:
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(path, rel) for rel in man["files"]]
+    )
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, action, parent, file count,
+    footer row count, and action extras (predicate / restored_from)."""
+    out = []
+    for v in _versions(path):
+        man = _read_manifest(path, v)
+        out.append({
+            "version": man["version"],
+            "action": man["action"],
+            "parent": man["parent"],
+            "n_files": len(man["files"]),
+            "rows": man.get("rows"),
+            **{k: man[k] for k in ("predicate", "restored_from")
+               if k in man},
+        })
+    return out
+
+
+def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
+    """Reclaim storage: always removes orphan temp directories (crashed
+    commits no manifest references); with ``keep_last=k``, also drops
+    manifests older than the newest k and deletes data files no
+    RETAINED manifest references. Never touches a file a kept version
+    can still read."""
+    import shutil
+
+    data_dir = os.path.join(path, "data")
+    removed_tmp = 0
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(data_dir, name),
+                              ignore_errors=True)
+                removed_tmp += 1
+    vs = _versions(path)
+    dropped_manifests, dropped_files = 0, 0
+    if keep_last is not None and len(vs) > keep_last:
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(_read_manifest(path, v)["files"])
+        for v in vs:
+            if v in keep:
+                continue
+            for rel in _read_manifest(path, v)["files"]:
+                if rel not in referenced:
+                    fp = os.path.join(path, rel)
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        dropped_files += 1
+            os.remove(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
+            dropped_manifests += 1
+        # prune now-empty data directories
+        if os.path.isdir(data_dir):
+            for name in sorted(os.listdir(data_dir)):
+                sub = os.path.join(data_dir, name)
+                if os.path.isdir(sub) and not os.listdir(sub):
+                    os.rmdir(sub)
+    return {
+        "orphan_tmp_dirs": removed_tmp,
+        "manifests_dropped": dropped_manifests,
+        "data_files_dropped": dropped_files,
+    }

@@ -1040,3 +1040,125 @@ def test_swap_partitions_multilevel_crash_kill_points(spark, tmp_path):
         assert not os.path.exists(final + ".__commit__"), crash
         assert not os.path.exists(final + "__backup"), crash
         assert not os.path.exists(dest), crash
+
+
+# ---------------------------------------------------------------------------
+# versioned tables (time travel)
+# ---------------------------------------------------------------------------
+
+
+def _vt_rows(spark, lo, hi, flag="a"):
+    return spark.createDataFrame(
+        [(i, float(i) * 10, flag) for i in range(lo, hi)],
+        "k long, v double, flag string",
+    )
+
+
+def test_versioned_lifecycle_time_travel(spark, tmp_path):
+    """write -> append -> delete -> restore: every committed state stays
+    readable at its version number; history records the log; append and
+    restore move ZERO existing data (files carried by reference)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vt")
+    v1 = V.write_versioned(_vt_rows(spark, 0, 10), t)
+    v2 = V.append_versioned(_vt_rows(spark, 10, 15, "b"), t)
+    v3, stats = V.delete_versioned(spark, t, "flag = 'b' AND k >= 12")
+    v4 = V.restore_versioned(t, v1)
+    assert (v1, v2, v3, v4) == (1, 2, 3, 4)
+
+    def keys(version):
+        return sorted(
+            r["k"] for r in V.read_versioned(spark, t, version).collect()
+        )
+
+    assert keys(1) == list(range(10))
+    assert keys(2) == list(range(15))
+    assert keys(3) == list(range(12))          # 12..14 deleted
+    assert keys(4) == list(range(10))          # restored to v1
+    assert keys(None) == list(range(10))       # latest == v4
+    assert stats["rows_deleted"] == 3
+
+    hist = V.history(t)
+    assert [h["action"] for h in hist] == [
+        "overwrite", "append", "delete", "restore"]
+    assert [h["rows"] for h in hist] == [10, 15, 12, 10]
+    assert hist[2]["predicate"] == "flag = 'b' AND k >= 12"
+    assert hist[3]["restored_from"] == 1
+    # restore carried v1's files verbatim — no new data directory
+    import os
+    assert not os.path.isdir(os.path.join(t, "data", f"{v4:08d}"))
+
+
+def test_versioned_delete_is_file_grain(spark, tmp_path):
+    """Only files containing matches are rewritten: untouched files
+    carry over byte-identical (same inode path, same mtime), and
+    NULL-predicate rows are KEPT (SQL DELETE semantics)."""
+    import os
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vtfg")
+    # two files with disjoint key ranges via repartitionByRange
+    df = spark.createDataFrame(
+        [(i, float(i) if i != 3 else None) for i in range(20)],
+        "k long, v double",
+    ).repartitionByRange(2, "k")
+    V.write_versioned(df, t)
+    man1 = V._read_manifest(t, 1)
+    assert len(man1["files"]) == 2
+    stamps = {
+        f: os.stat(os.path.join(t, f)).st_mtime_ns for f in man1["files"]
+    }
+
+    # matches live only in the high-range file; v IS NULL (k=3) kept
+    v2, stats = V.delete_versioned(spark, t, "v >= 15")
+    assert stats["files_rewritten"] == 1 and stats["files_carried"] == 1
+    man2 = V._read_manifest(t, v2)
+    carried = [f for f in man2["files"] if f in stamps]
+    assert len(carried) == 1
+    assert os.stat(os.path.join(t, carried[0])).st_mtime_ns \
+        == stamps[carried[0]]
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == list(range(15))  # 15..19 deleted, NULL row 3 kept
+
+    # no-match delete commits a pure-reference version (0 rewrites)
+    v3, stats3 = V.delete_versioned(spark, t, "v > 1e9")
+    assert stats3 == {"files_rewritten": 0, "files_carried": 2,
+                      "rows_deleted": 0}
+    assert V.read_versioned(spark, t, v3).count() == 15
+
+
+def test_versioned_conflict_empty_and_vacuum(spark, tmp_path):
+    """Single-winner commits: publishing the same version number twice
+    raises VersionConflict. Deleting every row yields an empty frame
+    with the committed schema. vacuum keeps retained versions readable
+    and reclaims unreferenced files + orphan temp dirs."""
+    import os
+
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vtc")
+    V.write_versioned(_vt_rows(spark, 0, 4), t)
+    with pytest.raises(V.VersionConflict):
+        V._publish(t, 1, {"version": 1, "action": "x", "files": [],
+                          "schema": "{}", "parent": None})
+
+    v2, _ = V.delete_versioned(spark, t, "k IS NOT NULL OR k IS NULL")
+    empty = V.read_versioned(spark, t, v2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v", "flag"]
+
+    # orphan temp dir (simulated crash) + vacuum to the last 1 version
+    os.makedirs(os.path.join(t, "data", ".tmp-crashed"), exist_ok=True)
+    V.restore_versioned(t, 1)  # v3: table back to 4 rows
+    out = V.vacuum_versioned(t, keep_last=1)
+    assert out["orphan_tmp_dirs"] == 1
+    assert out["manifests_dropped"] == 2
+    # v3 references v1's files, so they must survive vacuum
+    assert sorted(
+        r["k"] for r in V.read_versioned(spark, t).collect()
+    ) == [0, 1, 2, 3]
+    assert V._versions(t) == [3]
