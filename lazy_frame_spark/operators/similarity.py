@@ -1434,6 +1434,57 @@ class IVFPQIndex:
         enc = enc.select(*[F.col(c) for c in existing])
         enc.write.mode("append").partitionBy("__ivf_cell__").parquet(path)
 
+    @staticmethod
+    def delete_ids(
+        spark,
+        path: str,
+        ids: DataFrame,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Incremental removal — ``add``'s inverse, and the
+        right-to-erasure pass on a served index (a user's vectors must
+        leave the index, not just the corpus). One column-pruned scan
+        semi-joins the store against the delete ids to learn WHICH
+        cells hold them (ids arrive cell-less; the store knows); the
+        rewrite then routes through ``sources.parquet.delete_keys``
+        scoped to exactly those ``__ivf_cell__`` partitions — journaled
+        swap (a kill anywhere leaves a readable store), untouched cell
+        partitions not rewritten, probe filters keep pruning. Geometry
+        is untouched: deletion never changes other vectors' codes, so
+        delete-then-search equals encode-the-remainder-then-search BY
+        CONSTRUCTION (pinned by the ``ann_ivfpq_delete`` oracle row).
+        At 100 TB the cost is O(cells touched), never O(corpus).
+        Returns the re-read store."""
+        import shutil
+
+        from lazy_frame_spark.sources.parquet import delete_keys
+
+        store = spark.read.parquet(path)
+        dkeys = ids.select(id_col).distinct()
+        # no broadcast hint: a small id set auto-broadcasts, a huge
+        # erasure batch must be allowed to shuffle (mixing.py:151's
+        # forced-hint lesson)
+        dels = (
+            store.select(id_col, "__ivf_cell__")
+            .join(dkeys, on=id_col, how="semi")
+            .distinct()
+        )
+        # the delete set's lineage reads the PRE-swap store; delete_keys
+        # re-evaluates it for the post-swap erasure cross-check, when
+        # those files are gone. Stage it to a sibling temp table first
+        # (not persist/localCheckpoint: parquet survives executor loss
+        # and any batch size), and let delete_keys see a clean scan.
+        staged = path.rstrip("/") + "__delete_ids_tmp"
+        shutil.rmtree(staged, ignore_errors=True)
+        dels.write.mode("overwrite").parquet(staged)
+        try:
+            return delete_keys(
+                spark, path, spark.read.parquet(staged),
+                key=["__ivf_cell__", id_col], scope_to_partitions=True,
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
     @classmethod
     def load(cls, spark, path: str) -> tuple["IVFPQIndex", DataFrame]:
         """Reopen a saved index: ``(index, encoded_frame)`` — the frame

@@ -3064,7 +3064,7 @@ def ann_pq_adc_topk(spark, sf_dir):
 
 
 def _ivfpq_sql(n_cells: int = 8, n_probe: int = 3, dim: int = 64,
-               base_pred: str = "TRUE") -> str:
+               base_pred: str = "TRUE", search_pred: str = "TRUE") -> str:
     """DuckDB twin of the FULL IVF-PQ index + search
     (similarity.IVFPQIndex with hash codebooks): the coarse centroids
     are SQL-reproducible (every n/n_cells-th vector by id — the same
@@ -3107,7 +3107,8 @@ def _ivfpq_sql(n_cells: int = 8, n_probe: int = 3, dim: int = 64,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  {cos.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
                  c.cell ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+        FROM embeddings e CROSS JOIN cent c
+        WHERE ({search_pred})) t WHERE rn = 1),
     res AS (
       SELECT e.vec_id, a.cell,
              list_transform(range(1, {dim + 1}),
@@ -3180,6 +3181,35 @@ def ann_ivfpq_incremental(spark, sf_dir):
     loaded, _store = _s.IVFPQIndex.load(spark, path)
     loaded.add(delta, path)
     _, store = _s.IVFPQIndex.load(spark, path)
+    return loaded.topk(store, _query_vec(spark, sf_dir), k=10, n_probe=3)
+
+
+@query("ann_ivfpq_delete",
+       oracle=_ivfpq_sql(search_pred="NOT (vec_id % 7 = 3)"))
+def ann_ivfpq_delete(spark, sf_dir):
+    """Incremental index removal (similarity.IVFPQIndex.delete_ids) —
+    add's inverse and the right-to-erasure pass on a SERVED index: fit
+    + encode + save the full corpus, then delete vec_id % 7 = 3 from
+    the persisted store. One column-pruned semi-join finds the cells
+    holding the ids; the journaled partition-scoped rewrite touches
+    ONLY those cell dirs. Search over the post-delete store must equal
+    building the index over the remainder with the SAME (full-corpus)
+    geometry — deletion never moves other vectors' codes. The oracle
+    rebuilds the pipeline in SQL with an unchanged coarse pick and the
+    searched set restricted to the survivors."""
+    import hashlib
+
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings")
+    idx = _s.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                            train_iters=0, train_coarse=False)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/lfs_ivfpq_del_{tag}"
+    idx.save(idx.encode(e), path)
+    loaded, _store = _s.IVFPQIndex.load(spark, path)
+    doomed = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    store = _s.IVFPQIndex.delete_ids(spark, path, doomed)
     return loaded.topk(store, _query_vec(spark, sf_dir), k=10, n_probe=3)
 
 

@@ -89,6 +89,18 @@ def _resolve_swap(sw: dict) -> None:
     shutil.rmtree(backup, ignore_errors=True)
 
 
+def _refresh(spark: SparkSession, path: str) -> None:
+    """Invalidate Spark's session file-status cache for a swapped table.
+    The in-place swaps replace files under an unchanged root; the
+    session's FileStatusCache (default TTL: forever) can otherwise hand
+    a LATER read the pre-swap listing, which fails mid-scan with
+    FAILED_READ_FILE.FILE_NOT_EXIST once the old files are gone."""
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass  # best-effort: a plain re-list still works on cold caches
+
+
 def recover_table(path: str) -> bool:
     """Complete or roll back an interrupted in-place swap (whole-table
     or partition-scoped), making the table at ``path`` readable again
@@ -329,6 +341,7 @@ def compact_parquet(
     if swap:
         final = path.rstrip("/")
         _swap_in_place(final, dest, "__compact_old")
+        _refresh(spark, final)
         dest = final
     return spark.read.parquet(dest)
 
@@ -359,7 +372,12 @@ def delete_keys(
     partition columns must be a subset of the key) rewrites ONLY the
     partitions named by the delete rows — erasing one user from a
     date-partitioned 100 TB table touches that user's partitions, not
-    the table. Returns the table re-read."""
+    the table. Returns the table re-read.
+
+    Caller contract: ``deletes`` must NOT be a lazy derivation of the
+    target table itself — the post-swap erasure cross-check re-executes
+    its plan after the old files are gone (FAILED_READ_FILE). Stage such
+    a frame first (see ``IVFPQIndex.delete_ids`` for the pattern)."""
     from pyspark.sql import functions as F
 
     recover_table(path)
@@ -430,6 +448,7 @@ def delete_keys(
         for rel in expect - written:
             os.makedirs(os.path.join(dest, rel), exist_ok=True)
         _swap_partitions(final, dest, sorted(written | (expect - written)))
+        _refresh(spark, final)
         # right-to-erasure cross-check: re-read ONLY the touched
         # partitions (partition pruning keeps this scoped) and assert
         # no deleted key survived — catches any residual divergence
@@ -456,6 +475,7 @@ def delete_keys(
         w = w.partitionBy(*part_cols)
     w.parquet(dest)
     _swap_in_place(final, dest, "__delete_old")
+    _refresh(spark, final)
     return spark.read.parquet(final)
 
 
@@ -506,6 +526,7 @@ def compact_partitions(
         df = spark.read.parquet(os.path.join(final, rel))
         df.coalesce(n_opt).write.mode("overwrite").parquet(os.path.join(dest, rel))
     _swap_partitions(final, dest, [rel for rel, _ in touched])
+    _refresh(spark, final)
     return spark.read.parquet(final)
 
 
@@ -613,6 +634,7 @@ def merge_upsert(
         # escaping included
         pdirs = _leaf_partition_dirs(dest, len(part_cols))
         _swap_partitions(final, dest, pdirs)
+        _refresh(spark, final)
         return spark.read.parquet(final)
 
     merged = target.join(updates.select(*keys), on=keys, how="left_anti").unionByName(
@@ -624,4 +646,5 @@ def merge_upsert(
         w = w.partitionBy(*part_cols)
     w.parquet(dest)
     _swap_in_place(final, dest, "__merge_old")
+    _refresh(spark, final)
     return spark.read.parquet(final)

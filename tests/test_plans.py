@@ -620,3 +620,56 @@ def test_ivfpq_incremental_add_appends_without_rewrite(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="absent from the batch"):
         loaded.add(delta.select("vec_id", "embedding"), store2)
+
+
+def test_ivfpq_delete_ids_is_cell_scoped(spark, sf_dir, tmp_path):
+    """IVFPQIndex.delete_ids — add's inverse: deleting ids confined to
+    ONE cell rewrites only that cell's partition dir (other cell dirs
+    keep their exact files — mtime-identical), the deleted ids are gone
+    from search, and every other vector's codes are untouched."""
+    import os
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                             train_iters=0, train_coarse=False)
+    store_path = str(tmp_path / "ivfpq_del_store")
+    enc = idx.encode(e)
+    idx.save(enc, store_path)
+
+    # pick the 3 highest-id vectors of one populated cell
+    by_cell = enc.groupBy("__ivf_cell__").count().collect()
+    cell = max(by_cell, key=lambda r: r["count"])["__ivf_cell__"]
+    doomed_ids = [
+        r["vec_id"]
+        for r in enc.filter(F.col("__ivf_cell__") == cell)
+        .orderBy(F.desc("vec_id")).limit(3).collect()
+    ]
+
+    def snap(c):
+        d = os.path.join(store_path, f"__ivf_cell__={c}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d) if f.endswith(".parquet")
+        } if os.path.isdir(d) else None
+
+    before = {r["__ivf_cell__"]: snap(r["__ivf_cell__"]) for r in by_cell}
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids],
+                                   "vec_id long")
+    store = sim.IVFPQIndex.delete_ids(spark, store_path, doomed)
+
+    assert store.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+    assert store.count() == enc.count() - 3
+    for r in by_cell:
+        c = r["__ivf_cell__"]
+        if c == cell:
+            assert snap(c) != before[c]          # rewritten
+        else:
+            assert snap(c) == before[c], c       # untouched
+    # survivors' codes are bit-identical to the original encoding
+    surv = store.select("vec_id", "pq_codes").collect()
+    orig = {r["vec_id"]: r["pq_codes"] for r in enc.collect()}
+    assert all(orig[r["vec_id"]] == r["pq_codes"] for r in surv)
+    # staging temp is cleaned up
+    assert not os.path.exists(store_path + "__delete_ids_tmp")
