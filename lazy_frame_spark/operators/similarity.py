@@ -268,6 +268,59 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    index: "IVFIndex | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-scoped
+    semantic dedup, the embedding-space stage of an LLM curation
+    pipeline: cluster the corpus coarsely, then drop near-duplicates
+    WITHIN each cluster only. Keep rule (first-occurrence-wins, like
+    every dedup in this package): a row is dropped iff a LOWER-id
+    vector in the SAME cell has ``round(cosine, 4) >= threshold``
+    (round-before-compare keeps the boundary engine-portable).
+    Single-hop, not transitive — A~B and B~C with A!~C drops B and C,
+    keeps A (documented; the connected-components variant is
+    ``dedup.cluster_near_dups``).
+
+    Scale shape: the only join is an EQUI-join on ``__ivf_cell__`` —
+    never all-pairs. The quadratic is bounded per cell; scale
+    ``n_cells`` with the corpus (the paper ran k=50k clusters on
+    100M docs) so cell populations stay task-sized, and pass a
+    pre-fit ``index`` (e.g. KMeans||-trained centroids) to skip the
+    deterministic pick's count. Survivors are returned with their
+    original columns via one left_anti on the id."""
+    idx = index if index is not None else IVFIndex.fit_deterministic(
+        df, k=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    cells = idx.with_cells(df.select(id_col, vec_col), vec_col=vec_col)
+    a = cells.select(
+        F.col(id_col).alias("__sd_id__"),
+        F.col(vec_col).cast("array<double>").alias("__sd_v__"),
+        "__ivf_cell__",
+    )
+    prev = cells.select(
+        F.col(id_col).alias("__sd_prev__"),
+        F.col(vec_col).cast("array<double>").alias("__sd_pv__"),
+        "__ivf_cell__",
+    )
+    doomed = (
+        a.join(prev, on="__ivf_cell__")
+        .filter(F.col("__sd_prev__") < F.col("__sd_id__"))
+        .filter(
+            F.round(cosine(F.col("__sd_pv__"), F.col("__sd_v__")), 4)
+            >= threshold
+        )
+        .select(F.col("__sd_id__").alias(id_col))
+        .distinct()
+    )
+    return df.join(doomed, on=id_col, how="left_anti")
+
+
 def hard_negatives(
     df: DataFrame,
     anchors: DataFrame,

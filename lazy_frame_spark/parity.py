@@ -3529,6 +3529,58 @@ def embedding_near_dup(spark, sf_dir):
     return _sim.embedding_near_dup_pairs(e, threshold=0.2, lsh=lsh)
 
 
+_SEMANTIC_DEDUP_COS = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+_SEMANTIC_DEDUP_SQL = f"""
+    WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings, nn
+      WHERE vec_id % greatest(cnt // 8, 1) = 0
+      ORDER BY vec_id LIMIT 8),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_SEMANTIC_DEDUP_COS.format(a="e.embedding::DOUBLE[]",
+                                             b="c.cv")} DESC,
+                 c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+    doomed AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE ROUND({_SEMANTIC_DEDUP_COS.format(a="ea.embedding::DOUBLE[]",
+                                              b="eb.embedding::DOUBLE[]")},
+                  4) >= 0.3)
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM doomed)
+"""
+
+
+@query("dedup_semantic", oracle=_SEMANTIC_DEDUP_SQL)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup; Abbas et al. 2023) —
+    cluster-scoped embedding dedup: coarse cells via the deterministic
+    SQL-reproducible pick, within-cell cosine pairs (equi-join on the
+    cell, never all-pairs), drop every vector with a lower-id
+    cell-mate at round(cos,4) >= 0.3 (threshold chosen where the
+    synthetic embeddings actually have near-dups — their within-cell
+    max cosine is ~0.5). The oracle replays the pick, the argmax
+    assignment, and the single-hop drop rule in SQL."""
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings").select("vec_id", "label",
+                                                   "embedding")
+    return _s.semantic_dedup(e, n_cells=8, threshold=0.3).select(
+        "vec_id", "label")
+
+
 @query(
     "embedding_norms",
     oracle="""

@@ -2928,3 +2928,65 @@ def test_ivfpq_opq_save_load_and_self_rank(spark, sf_dir, tmp_path):
     V = np.stack([np.asarray(r[0]) for r in enc_r if r[0] is not None])
     if float(np.abs(V[:, 0]).max()) > 1.5:
         assert float(np.abs(cb[0]).max()) > 1.0
+
+
+def test_semantic_dedup_rules_and_cell_scoping(spark):
+    """semantic_dedup (SemDeDup): first-occurrence-wins within a cell,
+    single-hop (chain A~B~C with A!~C keeps only A), and CLUSTER-scoped
+    — a near-identical pair split across cells survives intact. The
+    pre-fit index path skips the deterministic pick."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    # two orthogonal cell anchors; vectors cluster tightly around them
+    ax = [1.0, 0.0, 0.0, 0.0]
+    ay = [0.0, 1.0, 0.0, 0.0]
+    idx = sim.IVFIndex([ax, ay])
+
+    def mix(a, b, t):
+        v = np.array(a) * (1 - t) + np.array(b) * t
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    # vectors on the unit circle spanned by (ax, ay), placed by angle;
+    # threshold 0.97 == a ~14.07-degree radius
+    def at(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r)), 0.0, 0.0]
+
+    rows = [
+        (0, at(0)),     # cell 0, survives
+        (1, at(3)),     # ~dup of 0 (3 deg) -> dropped
+        (2, at(16)),    # ~dup of 1 (13 deg) but NOT of 0 -> dropped too
+        (3, at(90)),    # cell 1, survives
+        (4, at(88)),    # ~dup of 3 -> dropped
+        (5, at(46)),    # cell 1, near the boundary
+        (6, at(44)),    # cell 0; 5~6 is a CROSS-cell near-dup pair
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        r["vec_id"]
+        for r in sim.semantic_dedup(df, n_cells=2, threshold=0.97,
+                                    index=idx).collect()
+    )
+
+    # verify the intended geometry before asserting the result
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cells = {i: (0 if cos(v, ax) >= cos(v, ay) else 1) for i, v in rows}
+    assert cells == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0}
+    assert cos(rows[1][1], rows[0][1]) >= 0.97       # 1 dup of 0
+    assert cos(rows[2][1], rows[0][1]) < 0.97        # 2 not dup of 0
+    assert cos(rows[2][1], rows[1][1]) >= 0.97       # but dup of 1
+    assert cos(rows[5][1], rows[6][1]) >= 0.97       # cross-cell pair
+    assert all(cos(rows[5][1], rows[j][1]) < 0.97 for j in (3, 4))
+    assert all(cos(rows[6][1], rows[j][1]) < 0.97 for j in (0, 1, 2))
+
+    # single-hop: 2 dropped via 1 even though 1 itself is dropped;
+    # 5 and 6 both survive: their only >=0.97 neighbor is in the
+    # OTHER cell (cluster scoping)
+    assert out == [0, 3, 5, 6]
