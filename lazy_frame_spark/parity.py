@@ -4190,6 +4190,50 @@ def stream_dedup_keys(spark, sf_dir):
 
 
 @query(
+    "stream_versioned_append",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM events WHERE event_id % 3 <> 2 GROUP BY event_type
+    """,
+)
+def stream_versioned_append(spark, sf_dir):
+    """Streaming ingestion into a VERSIONED table
+    (sources/versioned.versioned_stream_writer — the foreachBatch sink;
+    the real readStream wiring is integration-tested in
+    tests/test_streaming.py): two micro-batches commit as appends with
+    their batch ids in the manifest, then BOTH are replayed (fresh
+    checkpoint = at-least-once redelivery) and the high-water mark
+    absorbs them — the graded aggregate sees each batch exactly once,
+    and every ingest epoch stays individually time-travelable."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vstream_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    ev = _table(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    w = V.versioned_stream_writer(t)
+    w(b0, 0)
+    w(b1, 1)
+    w(b0, 0)  # replayed epochs: absorbed by the
+    w(b1, 1)  # high-water mark, not re-committed
+    return (
+        V.read_versioned(spark, t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@query(
     "lf_open_enumerate",
     oracle="SELECT COUNT(*) AS max_row_id FROM lineitem",
 )
@@ -8361,7 +8405,10 @@ DRIVER_WINDOW: list[str] = [
     # and rename stay exercised through lf_filter_project. All stay
     # locally checked. Their slots fund the round-9/10 additions below
     # per the zero-debt policy.)
-    "lf_row_range",
+    # (lf_row_range rotated past the cap in round 10 — green rounds
+    # 1-9, the longest-green positional row; P1 stays locally checked,
+    # benched, and exercised via lf_reopen_row_range/lf_columnar_range.
+    # Its slot funds sink_time_travel below.)
     # (lf_head rotated in round 9 too — green rounds 1-8; L1 is the
     # row_range(1,n) special case and stays locally checked + benched)
     "lf_which",
@@ -8393,7 +8440,10 @@ DRIVER_WINDOW: list[str] = [
     # tolerance and both-side carries (join_asof_last_order rotated
     # past the cap after six green rounds, rounds 3-8)
     "join_asof_nearest",
-    "join_q3_revenue",
+    # (join_q3_revenue rotated past the cap in round 10 — green rounds
+    # 1-9, the longest-green join row; the shuffled multi-join +
+    # broadcast-dim shape stays driver-exercised by join_q2 and
+    # plan-pinned. Its slot funds ann_ivfpq_delete below.)
     # data quality + time series — the validation/regularization passes
     # a pipeline runs before anything else
     "dq_expectations",
@@ -8426,7 +8476,9 @@ DRIVER_WINDOW: list[str] = [
     # family, and the model-scoring path had only local evidence — and
     # HTML main-content extraction lands the round it shipped, funded
     # by dedup_clusters (3 green rounds; dedup keeps 2 reps))
-    "events_funnel",
+    # (events_funnel rotated past the cap in round 10 — green rounds
+    # 3-9; the sequential-pattern shape stays exercised by ts_/stream_
+    # rows and locally checked. Its slot funds dedup_semantic below.)
     # (text_model_quality_score rotated past the cap in round 9 —
     # green rounds 7-8; the quality-scoring path stays locally checked
     # and the text family keeps FIVE window reps below)
@@ -8457,6 +8509,11 @@ DRIVER_WINDOW: list[str] = [
     # the incremental exact dedup that shipped post-verdict in round 9)
     "dedup_incremental",
     "dedup_url_canonical",
+    # round-10 addition lands in-window the round it ships (zero-debt):
+    # SemDeDup — cluster-scoped embedding dedup, the missing
+    # embedding-space stage between exact/MinHash text dedup and the
+    # LSH near-dup pairs (slot funded by events_funnel)
+    "dedup_semantic",
     # round-8 rotation: the three round-7 late additions earn driver
     # rows the round after they shipped (zero-debt policy): IDN-aware
     # URL dedup, BPE apply, and the trained-vs-hash PQ recall
@@ -8503,6 +8560,10 @@ DRIVER_WINDOW: list[str] = [
     # incremental index maintenance — load → encode-delta → append to
     # the cell-partitioned store, equal to a one-shot union encode
     "ann_ivfpq_incremental",
+    # round-10 addition (zero-debt): add's inverse — cell-scoped
+    # journaled erasure from the served index (slot funded by
+    # join_q3_revenue)
+    "ann_ivfpq_delete",
     # round-8: the trained-residual DEFAULT fit + IVFADC-refine recall
     # invariants land in-window the round they shipped (slot funded by
     # join_semi)
@@ -8516,6 +8577,10 @@ DRIVER_WINDOW: list[str] = [
     # reopen / tail slots are provably green (still registered and
     # locally checked past the window).
     "sink_roundtrip",
+    # round-10 addition (zero-debt): versioned tables with time travel
+    # — manifest commits, file-grain copy-on-write delete, zero-copy
+    # restore (slot funded by lf_row_range)
+    "sink_time_travel",
     # (layout_hilbert + graph_pagerank rotated past the cap in round 8
     # after four green rounds each, rounds 4-7 — both stay registered
     # and locally checked; their slots fund the round-7 late additions)

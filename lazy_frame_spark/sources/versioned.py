@@ -66,10 +66,13 @@ __all__ = [
     "append_versioned",
     "delete_versioned",
     "restore_versioned",
+    "compact_versioned",
     "read_versioned",
     "history",
     "latest_version",
     "vacuum_versioned",
+    "versioned_stream_writer",
+    "last_stream_batch",
 ]
 
 
@@ -194,20 +197,60 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return _commit(path, "overwrite", files, df.schema.json(), parent)
 
 
-def append_versioned(df: DataFrame, path: str) -> int:
+def append_versioned(df: DataFrame, path: str,
+                     extra: dict | None = None) -> int:
     """Commit df's rows on top of the latest version (action
     ``append``): writes one new data directory and carries every parent
-    file by reference — O(batch) I/O regardless of table size."""
+    file by reference — O(batch) I/O regardless of table size.
+    ``extra`` lands in the manifest (e.g. a stream batch id)."""
     parent = latest_version(path)
     if parent is None:
-        return write_versioned(df, path)
+        os.makedirs(path, exist_ok=True)
+        files = _write_data_dir(df, path, 1)
+        return _commit(path, "overwrite", files, df.schema.json(), None,
+                       extra)
     prev = _read_manifest(path, parent)
     version = parent + 1
     new_files = _write_data_dir(df, path, version)
     return _commit(
         path, "append", list(prev["files"]) + new_files, prev["schema"],
-        parent,
+        parent, extra,
     )
+
+
+def last_stream_batch(path: str) -> int | None:
+    """Largest ``stream_batch_id`` any manifest records (the exactly-once
+    high-water mark), or None for a table no stream has written."""
+    best = None
+    for v in _versions(path):
+        b = _read_manifest(path, v).get("stream_batch_id")
+        if b is not None and (best is None or b > best):
+            best = b
+    return best
+
+
+def versioned_stream_writer(path: str):
+    """foreachBatch sink committing each micro-batch as a versioned
+    APPEND — exactly-once on top of at-least-once batch delivery: the
+    manifest records the batch id, and a replayed batch (restart from
+    checkpoint re-delivers the last epoch) is SKIPPED when its id is
+    <= the committed high-water mark. Single-writer per table (the
+    stream), so the idempotence check and the commit cannot race;
+    crash between data-dir write and manifest publish leaves an orphan
+    temp dir and the replay re-commits cleanly. Every micro-batch
+    stays individually time-travelable::
+
+        q = (df.writeStream.foreachBatch(versioned_stream_writer(tbl))
+               .option("checkpointLocation", ckpt).start())
+    """
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        hw = last_stream_batch(path)
+        if hw is not None and batch_id <= hw:
+            return
+        append_versioned(batch_df, path,
+                         extra={"stream_batch_id": int(batch_id)})
+
+    return _write
 
 
 def delete_versioned(
@@ -273,6 +316,50 @@ def delete_versioned(
         "rows_deleted": (before - after)
         if before is not None and after is not None else None,
     }
+
+
+def compact_versioned(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    small_mb: int = 8,
+) -> tuple[int, dict]:
+    """Small-file compaction as a COMMIT (action ``compact``): coalesce
+    data files smaller than ``small_mb`` into ~``target_mb`` files in
+    one new data directory; files already at a healthy size carry over
+    by reference. Logically a no-op — same rows, same schema — so
+    readers of any version see identical data, and time travel to
+    pre-compaction versions still works (their manifests keep the old
+    files, which vacuum respects). The 100 TB point: streaming/append
+    ingestion accretes KB-sized files whose per-file open/footer/task
+    overhead dominates scans; compaction is periodic maintenance, and
+    doing it as a manifest commit makes it crash-safe and auditable for
+    free. Returns ``(version, stats)``."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    files = list(prev["files"])
+    small, healthy = [], []
+    for rel in files:
+        try:
+            sz = os.path.getsize(os.path.join(path, rel))
+        except OSError:
+            sz = 0
+        (small if sz < small_mb * 1024 * 1024 else healthy).append(rel)
+    if len(small) < 2:
+        # nothing to gain: zero or one small file coalesces to itself
+        return parent, {"files_compacted": 0, "files_carried": len(files)}
+    version = parent + 1
+    df = spark.read.parquet(*[os.path.join(path, rel) for rel in small])
+    total = sum(os.path.getsize(os.path.join(path, rel)) for rel in small)
+    n_out = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
+    new_files = _write_data_dir(df.coalesce(n_out), path, version)
+    v = _commit(path, "compact", healthy + new_files, prev["schema"],
+                parent)
+    return v, {"files_compacted": len(small),
+               "files_carried": len(healthy),
+               "files_written": len(new_files)}
 
 
 def restore_versioned(path: str, version: int) -> int:

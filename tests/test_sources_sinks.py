@@ -1162,3 +1162,59 @@ def test_versioned_conflict_empty_and_vacuum(spark, tmp_path):
         r["k"] for r in V.read_versioned(spark, t).collect()
     ) == [0, 1, 2, 3]
     assert V._versions(t) == [3]
+
+
+def test_versioned_compaction_commit(spark, tmp_path):
+    """compact_versioned: many small appended files coalesce into one
+    new data dir as a COMMIT — same rows before/after, healthy files
+    carried by reference, pre-compaction versions still readable."""
+    import os
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vtcomp")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    for lo in range(5, 25, 5):
+        V.append_versioned(_vt_rows(spark, lo, lo + 5).coalesce(1), t)
+    pre = V.latest_version(t)
+    pre_files = len(V._read_manifest(t, pre)["files"])
+    assert pre_files >= 5
+
+    v, stats = V.compact_versioned(spark, t, target_mb=128, small_mb=8)
+    assert v == pre + 1
+    assert stats["files_compacted"] == pre_files
+    assert stats["files_written"] == 1
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == list(range(25))
+    # pre-compaction version still readable (old files retained)
+    assert V.read_versioned(spark, t, pre).count() == 25
+    hist = V.history(t)
+    assert hist[-1]["action"] == "compact" and hist[-1]["rows"] == 25
+    # a second compaction is a no-op (single healthy file)
+    v2, stats2 = V.compact_versioned(spark, t)
+    assert v2 == v and stats2["files_compacted"] == 0
+    assert not any(n.startswith(".tmp-")
+                   for n in os.listdir(os.path.join(t, "data")))
+
+
+def test_versioned_stream_writer_exactly_once(spark, tmp_path):
+    """versioned_stream_writer: each micro-batch commits as an append
+    with its batch id in the manifest; a REPLAYED batch (restart
+    semantics deliver the last epoch at-least-once) is skipped, so the
+    table holds exactly one copy of every batch's rows."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vtstream")
+    w = V.versioned_stream_writer(t)
+    w(_vt_rows(spark, 0, 10), 0)
+    w(_vt_rows(spark, 10, 14), 1)
+    assert V.last_stream_batch(t) == 1
+    # replay of batch 1 (and a stale 0) after a simulated restart
+    w2 = V.versioned_stream_writer(t)
+    w2(_vt_rows(spark, 10, 14), 1)
+    w2(_vt_rows(spark, 0, 10), 0)
+    assert V.latest_version(t) == 2  # no new commits
+    w2(_vt_rows(spark, 14, 17), 2)
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == list(range(17))
+    assert [h.get("rows") for h in V.history(t)] == [10, 14, 17]

@@ -632,3 +632,56 @@ def test_cdc_writer_null_op_rows_upsert(spark, tmp_path):
            for r in spark.read.parquet(view).collect()}
     # both NULL-op 'a' rows inserted, then one retracted by the D row
     assert got == {"a": (1, 2.0), "b": (1, 3.0)}
+
+
+def test_stream_into_versioned_table_exactly_once(spark, sf_dir, tmp_path):
+    """readStream → foreachBatch(versioned_stream_writer): every drained
+    micro-batch lands as ONE versioned append with its batch id in the
+    manifest; re-draining with a FRESH checkpoint (at-least-once
+    replay) is absorbed by the high-water mark — table contents stay
+    exactly-once, and each ingest epoch is individually
+    time-travelable."""
+    import glob
+    import shutil
+
+    from lazy_frame_spark.sources.registry import load_table
+    from lazy_frame_spark.sources.versioned import (
+        last_stream_batch,
+        read_versioned,
+        versioned_stream_writer,
+    )
+
+    src = str(tmp_path / "vsrc")
+    tbl = str(tmp_path / "vtable")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(versioned_stream_writer(tbl))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    assert read_versioned(spark, tbl).count() == 200
+    hw1 = last_stream_batch(tbl)
+
+    # a fresh checkpoint replays EVERYTHING from batch 0 — the writer's
+    # high-water mark must absorb it
+    drain("ck2")
+    assert read_versioned(spark, tbl).count() == 200
+    assert last_stream_batch(tbl) == hw1
+
+    # new file: only its rows commit, as a later batch id
+    extra = load_table(spark, sf_dir, "events").limit(260).subtract(ev)
+    extra.coalesce(1).write.parquet(str(tmp_path / "extra"))
+    for f in glob.glob(str(tmp_path / "extra") + "/part-*.parquet"):
+        shutil.copy(f, src + "/late-" + f.rsplit("/", 1)[1])
+    drain("ck2")
+    assert read_versioned(spark, tbl).count() == 260
+    assert last_stream_batch(tbl) > hw1
