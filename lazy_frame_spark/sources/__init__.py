@@ -3,6 +3,7 @@ from lazy_frame_spark.sources.ingest import ingest_gzip
 from lazy_frame_spark.sources.registry import TABLE_NAMES, load_tables, register_views
 from lazy_frame_spark.sources.versioned import (
     append_versioned,
+    appended_since,
     compact_versioned,
     delete_versioned,
     history,
@@ -18,5 +19,5 @@ __all__ = [
     "TABLE_NAMES",
     "write_versioned", "append_versioned", "delete_versioned",
     "restore_versioned", "read_versioned", "history", "vacuum_versioned",
-    "compact_versioned", "versioned_stream_writer",
+    "compact_versioned", "versioned_stream_writer", "appended_since",
 ]

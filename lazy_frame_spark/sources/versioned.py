@@ -71,6 +71,7 @@ __all__ = [
     "history",
     "latest_version",
     "vacuum_versioned",
+    "appended_since",
     "versioned_stream_writer",
     "last_stream_batch",
 ]
@@ -389,6 +390,46 @@ def read_versioned(
         return spark.createDataFrame([], schema)
     return spark.read.parquet(
         *[os.path.join(path, rel) for rel in man["files"]]
+    )
+
+
+def appended_since(
+    spark: SparkSession, path: str, since: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Rows committed AFTER version ``since`` (exclusive) up to
+    ``version`` (inclusive, default latest) — the incremental-consume
+    primitive: a downstream job records the version it last processed
+    and reads ONLY what arrived since, as a pure manifest-level file
+    diff (no scan of old data, no anti-join). Exact precisely when
+    every intervening commit is an ``append``; any other action
+    (delete/overwrite/restore/compact) moves or removes OLD rows, so
+    file-set difference would mis-report them as new — those chains
+    raise ValueError and the caller reconciles against the snapshot
+    instead (e.g. ``dedup.dedup_against`` on content keys). At 100 TB
+    this is the difference between an O(increment) nightly job and an
+    O(corpus) one."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if since > v:
+        raise ValueError(f"since={since} is newer than version {v}")
+    base = _read_manifest(path, since)  # FileNotFoundError if vacuumed
+    cur = _read_manifest(path, v)
+    for mid in range(since + 1, v + 1):
+        action = _read_manifest(path, mid)["action"]
+        if action != "append":
+            raise ValueError(
+                f"version {mid} is a '{action}' commit — the file diff "
+                "is only exact over append-only chains; reconcile "
+                "against the snapshot instead"
+            )
+    new_files = sorted(set(cur["files"]) - set(base["files"]))
+    if not new_files:
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        *[os.path.join(path, rel) for rel in new_files]
     )
 
 

@@ -1218,3 +1218,37 @@ def test_versioned_stream_writer_exactly_once(spark, tmp_path):
     got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
     assert got == list(range(17))
     assert [h.get("rows") for h in V.history(t)] == [10, 14, 17]
+
+
+def test_versioned_appended_since(spark, tmp_path):
+    """appended_since: the incremental-consume primitive — a pure
+    manifest file-diff returning exactly the rows committed after the
+    consumer's recorded version; non-append chains refuse (file diff
+    would misreport moved/removed rows); an empty increment yields an
+    empty frame with the committed schema."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vinc")
+    V.write_versioned(_vt_rows(spark, 0, 10), t)          # v1
+    V.append_versioned(_vt_rows(spark, 10, 15), t)        # v2
+    V.append_versioned(_vt_rows(spark, 15, 18), t)        # v3
+
+    inc = V.appended_since(spark, t, 1)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(10, 18))
+    inc23 = V.appended_since(spark, t, 2, version=3)
+    assert sorted(r["k"] for r in inc23.collect()) == [15, 16, 17]
+    empty = V.appended_since(spark, t, 3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v", "flag"]
+
+    V.delete_versioned(spark, t, "k >= 16")               # v4
+    V.append_versioned(_vt_rows(spark, 18, 20), t)        # v5
+    with pytest.raises(ValueError, match="delete"):
+        V.appended_since(spark, t, 3)
+    # but the post-delete append-only tail is still consumable
+    inc45 = V.appended_since(spark, t, 4)
+    assert sorted(r["k"] for r in inc45.collect()) == [18, 19]
+    with pytest.raises(ValueError, match="newer"):
+        V.appended_since(spark, t, 9)
