@@ -673,3 +673,29 @@ def test_ivfpq_delete_ids_is_cell_scoped(spark, sf_dir, tmp_path):
     assert all(orig[r["vec_id"]] == r["pq_codes"] for r in surv)
     # staging temp is cleaned up
     assert not os.path.exists(store_path + "__delete_ids_tmp")
+
+
+def test_versioned_read_keeps_pushdown(spark, sf_dir, tmp_path):
+    """Versioned reads address explicit file lists, which must not cost
+    the scan its optimizations: a filtered projection over
+    read_versioned still shows PushedFilters and a pruned ReadSchema —
+    time travel is free at scan time."""
+    from lazy_frame_spark.plans import executed_plan
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vplan")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    V.write_versioned(li, t)
+    V.append_versioned(li.limit(10), t)
+    q = (
+        V.read_versioned(spark, t, 2)
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+    )
+    plan = executed_plan(q)
+    assert "PushedFilters" in plan and "l_quantity" in \
+        plan.split("PushedFilters")[1].split("]")[0]
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_returnflag" not in rs  # column pruning reaches the scan
+    assert q.count() > 0
