@@ -291,7 +291,13 @@ def delete_versioned(
     ]
     touched = set()
     for uri in touched_uris:
-        p = uri[7:] if uri.startswith("file://") else uri
+        # input_file_name() returns a percent-encoded file URI; unquote
+        # before matching against manifest relpaths or a table path with
+        # a space/UTF-8 char would never match (silent full-carry, then
+        # a read of the encoded path in the rewrite)
+        from urllib.parse import unquote
+
+        p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
         touched.add(os.path.relpath(p, os.path.abspath(path)))
     if not touched:
         v = _commit(path, "delete", files, prev["schema"], parent,

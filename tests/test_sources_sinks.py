@@ -1252,3 +1252,18 @@ def test_versioned_appended_since(spark, tmp_path):
     assert sorted(r["k"] for r in inc45.collect()) == [18, 19]
     with pytest.raises(ValueError, match="newer"):
         V.appended_since(spark, t, 9)
+
+
+def test_versioned_delete_in_path_with_space(spark, tmp_path):
+    """input_file_name() percent-encodes URIs: a table path containing a
+    space must still file-match (regression: encoded paths never hit
+    the manifest relpaths, silently carrying every file)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "v table ü")
+    V.write_versioned(_vt_rows(spark, 0, 10), t)
+    v2, stats = V.delete_versioned(spark, t, "k >= 8")
+    assert stats["files_rewritten"] >= 1
+    assert stats["rows_deleted"] == 2
+    got = sorted(r["k"] for r in V.read_versioned(spark, t, v2).collect())
+    assert got == list(range(8))
