@@ -175,6 +175,15 @@ class LazyFrame:
             df = spark.read.options(**{k: str(v) for k, v in options.items()}).json(path)
         elif fmt == "orc":
             df = spark.read.options(**{k: str(v) for k, v in options.items()}).orc(path)
+        elif fmt == "versioned":
+            # time travel through the facade: the reference's reopen
+            # (R/lazy.frame.R:97-107 re-derives the same table state)
+            # generalizes to "reopen AS OF version k" on a manifest-
+            # committed table (sources/versioned.py)
+            from lazy_frame_spark.sources.versioned import read_versioned
+
+            df = read_versioned(spark, path,
+                                version=options.pop("version", None))
         else:
             raise ValueError(f"unsupported format {fmt!r}")
         return cls(df, order_by=order_by, cache=cache)

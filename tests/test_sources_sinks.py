@@ -1267,3 +1267,22 @@ def test_versioned_delete_in_path_with_space(spark, tmp_path):
     assert stats["rows_deleted"] == 2
     got = sorted(r["k"] for r in V.read_versioned(spark, t, v2).collect())
     assert got == list(range(8))
+
+
+def test_lazyframe_open_versioned_time_travel(spark, tmp_path):
+    """LazyFrame.open(format='versioned', version=k): the reference's
+    reopen generalized to 'reopen AS OF' — the facade's positional and
+    metadata surface works identically over any committed state."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vlf")
+    V.write_versioned(_vt_rows(spark, 0, 10), t)
+    V.append_versioned(_vt_rows(spark, 10, 15, "b"), t)
+
+    lf1 = LazyFrame.open(spark, t, format="versioned", version=1,
+                         order_by=["k"])
+    lf2 = LazyFrame.open(spark, t, format="versioned", order_by=["k"])
+    assert lf1.dim() == (10, 3) and lf2.dim() == (15, 3)
+    assert sorted(lf2.rows(range(11, 16)).to_pandas()["k"].tolist()) == \
+        [10, 11, 12, 13, 14]  # set-semantics positional selection
+    assert lf1.names() == ["k", "v", "flag"]
