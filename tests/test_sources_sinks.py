@@ -1286,3 +1286,66 @@ def test_lazyframe_open_versioned_time_travel(spark, tmp_path):
     assert sorted(lf2.rows(range(11, 16)).to_pandas()["k"].tolist()) == \
         [10, 11, 12, 13, 14]  # set-semantics positional selection
     assert lf1.names() == ["k", "v", "flag"]
+
+
+def test_versioned_randomized_ops_vs_model(spark, tmp_path):
+    """Model-based check: a seeded 30-op sequence of
+    append/delete/restore/compact against a pure-Python model of the
+    table's row-set per version; every committed version re-reads to
+    exactly its model state at the end (time travel never decays), and
+    manifest row counts match the model throughout."""
+    import random
+
+    from lazy_frame_spark.sources import versioned as V
+
+    rng = random.Random(42)
+    t = str(tmp_path / "vmodel")
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(lo, hi)], "k long, v double"
+        )
+
+    next_k = 0
+    model: dict[int, set[int]] = {}
+
+    def commit_rows():
+        return set()
+
+    # v1: initial snapshot
+    V.write_versioned(mk(0, 20), t)
+    model[1] = set(range(20))
+    next_k = 20
+
+    for _ in range(30):
+        op = rng.choice(["append", "append", "delete", "restore",
+                         "compact"])
+        cur = V.latest_version(t)
+        if op == "append":
+            n = rng.randint(1, 15)
+            V.append_versioned(mk(next_k, next_k + n), t)
+            model[cur + 1] = model[cur] | set(range(next_k, next_k + n))
+            next_k += n
+        elif op == "delete":
+            m = rng.choice([2, 3, 5])
+            r = rng.randint(0, m - 1)
+            v, _stats = V.delete_versioned(spark, t, f"k % {m} = {r}")
+            assert v == cur + 1
+            model[v] = {k for k in model[cur] if k % m != r}
+        elif op == "restore":
+            target = rng.randint(1, cur)
+            V.restore_versioned(t, target)
+            model[cur + 1] = set(model[target])
+        else:
+            v, stats = V.compact_versioned(spark, t, small_mb=64)
+            if stats["files_compacted"]:
+                assert v == cur + 1
+                model[v] = set(model[cur])
+            else:
+                assert v == cur  # no-op: no commit
+
+    hist = {h["version"]: h for h in V.history(t)}
+    for version, want in model.items():
+        got = {r["k"] for r in V.read_versioned(spark, t, version).collect()}
+        assert got == want, f"version {version}"
+        assert hist[version]["rows"] == len(want), f"rows v{version}"
