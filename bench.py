@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "view_retract_erasure",      # incremental view retract + repair
     "ann_ivfpq_adc_topk",        # IVF-PQ residual index + ADC search
     "text_html_extract",         # HTML boilerplate extraction
+    "dedup_semantic",            # SemDeDup cluster-scoped embedding dedup
 ]
 
 

@@ -1508,6 +1508,61 @@ def pipeline_mix_curate(spark, sf_dir):
     return capped.select("doc_id", "source", "n_chars")
 
 
+@query(
+    "pipeline_incremental_curate",
+    # two-epoch replay: first-winner dedup per epoch (dedup_exact's
+    # pinned MIN-winner arithmetic), cross-epoch novelty via the
+    # snapshot's content keys (dedup_incremental's pinned NOT-IN), the
+    # corpus state carried by the versioned commits
+    oracle="""
+    WITH g1 AS (SELECT doc_id, source, text, n_chars FROM documents
+                WHERE doc_id % 2 = 0 AND n_chars >= 50 AND n_chars <= 2000),
+    b1 AS (SELECT g1.* FROM g1
+           JOIN (SELECT MIN(doc_id) AS doc_id FROM g1 GROUP BY md5(text)) w
+             USING (doc_id)),
+    g2 AS (SELECT doc_id, source, text, n_chars FROM documents
+                WHERE doc_id % 2 = 1 AND n_chars >= 50 AND n_chars <= 2000),
+    fresh AS (SELECT g2.* FROM g2
+              WHERE md5(text) NOT IN (SELECT md5(text) FROM b1)),
+    b2 AS (SELECT fresh.* FROM fresh
+           JOIN (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY md5(text)) w
+             USING (doc_id))
+    SELECT doc_id, source, n_chars FROM b1
+    UNION ALL
+    SELECT doc_id, source, n_chars FROM b2
+    """,
+)
+def pipeline_incremental_curate(spark, sf_dir):
+    """The PRODUCTION curation loop: epoch 1 gates + first-winner-dedups
+    its batch and COMMITS it as corpus v1 (sources/versioned); epoch 2
+    gates its batch, dedups against the v1 SNAPSHOT (dedup_against:
+    NULL-safe anti join on the content key + in-batch first winner) and
+    APPENDS only the novel survivors as v2. The graded result is the
+    latest corpus state. Every stage keeps its own scale shape — map
+    gate, key-grain dedup shuffles, O(batch) versioned append — and the
+    whole loop is restartable: each epoch is a manifest commit, so a
+    crashed epoch re-runs against the same addressable snapshot."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_pinc_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    d = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars")
+    gate = (F.col("n_chars") >= 50) & (F.col("n_chars") <= 2000)
+    b1 = _dd.exact_dedup(
+        d.filter((F.col("doc_id") % 2 == 0) & gate), ["text"])
+    V.write_versioned(b1, t)                                  # v1
+    snap = V.read_versioned(spark, t, 1)
+    novel = _dd.dedup_against(
+        d.filter((F.col("doc_id") % 2 == 1) & gate), snap, ["text"])
+    V.append_versioned(novel, t)                              # v2
+    return V.read_versioned(spark, t).select("doc_id", "source", "n_chars")
+
+
 # --------------------------------------------------------------------- #
 # Deduplication
 # --------------------------------------------------------------------- #
