@@ -221,13 +221,16 @@ def append_versioned(df: DataFrame, path: str,
 
 def last_stream_batch(path: str) -> int | None:
     """Largest ``stream_batch_id`` any manifest records (the exactly-once
-    high-water mark), or None for a table no stream has written."""
-    best = None
-    for v in _versions(path):
+    high-water mark), or None for a table no stream has written. Batch
+    ids are monotone in commit order for the single writing stream, so
+    the scan walks manifests NEWEST-first and stops at the first one
+    bearing a batch id — O(1) per micro-batch in the steady state
+    (the latest commit is the stream's own), never O(table history)."""
+    for v in reversed(_versions(path)):
         b = _read_manifest(path, v).get("stream_batch_id")
-        if b is not None and (best is None or b > best):
-            best = b
-    return best
+        if b is not None:
+            return b
+    return None
 
 
 def versioned_stream_writer(path: str):
