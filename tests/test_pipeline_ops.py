@@ -2928,6 +2928,14 @@ def test_ivfpq_opq_save_load_and_self_rank(spark, sf_dir, tmp_path):
     V = np.stack([np.asarray(r[0]) for r in enc_r if r[0] is not None])
     if float(np.abs(V[:, 0]).max()) > 1.5:
         assert float(np.abs(cb[0]).max()) > 1.0
+    # the batch path rotates its per-query LUTs identically: one-query
+    # topk_batch returns the same ids, same order, as topk
+    batch = [
+        (r["qid"], r["vec_id"])
+        for r in idx.topk_batch(enc, [(5, qv)], k=3, n_probe=8)
+        .orderBy("qid", "pq_dist", "vec_id").collect()
+    ]
+    assert [b[1] for b in batch] == [r["vec_id"] for r in top]
 
 
 def test_semantic_dedup_rules_and_cell_scoping(spark):
