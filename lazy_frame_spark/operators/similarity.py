@@ -297,24 +297,34 @@ def semantic_dedup(
     idx = index if index is not None else IVFIndex.fit_deterministic(
         df, k=n_cells, vec_col=vec_col, id_col=id_col
     )
-    cells = idx.with_cells(df.select(id_col, vec_col), vec_col=vec_col)
+    # per-vector norms are computed ONCE before the pair join (n rows),
+    # not once per pair (n²/cells rows): cosine's higher-order array
+    # folds are interpreted, so hoisting two of the three folds out of
+    # the quadratic is ~3x less pair work. Bit-identical to cosine():
+    # the pair expression keeps the exact dot/(na*nb) grouping, and a
+    # norm's bits don't depend on where it is evaluated.
+    cells = idx.with_cells(
+        df.select(id_col, F.col(vec_col).cast("array<double>")
+                  .alias("__sd_v__")),
+        vec_col="__sd_v__",
+    ).withColumn("__sd_n__", norm(F.col("__sd_v__")))
     a = cells.select(
-        F.col(id_col).alias("__sd_id__"),
-        F.col(vec_col).cast("array<double>").alias("__sd_v__"),
-        "__ivf_cell__",
+        F.col(id_col).alias("__sd_id__"), "__sd_v__",
+        F.col("__sd_n__").alias("__sd_na__"), "__ivf_cell__",
     )
     prev = cells.select(
         F.col(id_col).alias("__sd_prev__"),
-        F.col(vec_col).cast("array<double>").alias("__sd_pv__"),
-        "__ivf_cell__",
+        F.col("__sd_v__").alias("__sd_pv__"),
+        F.col("__sd_n__").alias("__sd_nb__"), "__ivf_cell__",
+    )
+    pair_cos = F.try_divide(
+        dot(F.col("__sd_pv__"), F.col("__sd_v__")),
+        F.col("__sd_nb__") * F.col("__sd_na__"),
     )
     doomed = (
         a.join(prev, on="__ivf_cell__")
         .filter(F.col("__sd_prev__") < F.col("__sd_id__"))
-        .filter(
-            F.round(cosine(F.col("__sd_pv__"), F.col("__sd_v__")), 4)
-            >= threshold
-        )
+        .filter(F.round(pair_cos, 4) >= threshold)
         .select(F.col("__sd_id__").alias(id_col))
         .distinct()
     )
