@@ -242,7 +242,12 @@ def embedding_near_dup_pairs(
     sketch — the scale path: near-identical vectors agree on all sign
     bits with high probability). Without it, an all-pairs join (only for
     small/verification runs)."""
-    v = df.select(F.col(id_col), F.col(vec_col))
+    # per-vector norm hoisted out of the (quadratic) candidate join —
+    # same dot/(na*nb) grouping as cosine(), bit-identical, but two of
+    # the three interpreted array folds run once per VECTOR not pair
+    v = df.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("__nd_n__", norm(F.col(vec_col).cast("array<double>")))
     if lsh is not None:
         b = lsh.with_buckets(v, vec_col)
         a2, b2 = b.alias("a"), b.alias("b")
@@ -254,9 +259,12 @@ def embedding_near_dup_pairs(
     else:
         a2, b2 = v.alias("a"), v.alias("b")
         cand = a2.join(b2, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    sim = cosine(
-        F.col(f"a.{vec_col}").cast("array<double>"),
-        F.col(f"b.{vec_col}").cast("array<double>"),
+    sim = F.try_divide(
+        dot(
+            F.col(f"a.{vec_col}").cast("array<double>"),
+            F.col(f"b.{vec_col}").cast("array<double>"),
+        ),
+        F.col("a.__nd_n__") * F.col("b.__nd_n__"),
     )
     return (
         cand.select(
@@ -354,19 +362,26 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
+    # norms hoisted out of the anchors x corpus pairing (same
+    # dot/(na*nb) grouping as cosine(), bit-identical): the corpus-side
+    # fold runs once per vector instead of once per (anchor, vector)
     a = F.broadcast(
         anchors.select(
             F.col(id_col).alias("anchor_id"),
             F.col(vec_col).cast("array<double>").alias("__av__"),
             F.col(label_col).alias("__al__"),
-        )
+        ).withColumn("__an__", norm(F.col("__av__")))
     )
     c = df.select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).cast("array<double>").alias("__cv__"),
         F.col(label_col).alias("neg_label"),
+    ).withColumn("__cn__", norm(F.col("__cv__")))
+    sim = F.round(
+        F.try_divide(dot(F.col("__av__"), F.col("__cv__")),
+                     F.col("__an__") * F.col("__cn__")),
+        4,
     )
-    sim = F.round(cosine(F.col("__av__"), F.col("__cv__")), 4)
     scored = (
         c.crossJoin(a)
         .filter(F.col("neg_label") != F.col("__al__"))
