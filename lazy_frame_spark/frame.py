@@ -182,8 +182,16 @@ class LazyFrame:
             # committed table (sources/versioned.py)
             from lazy_frame_spark.sources.versioned import read_versioned
 
-            df = read_versioned(spark, path,
-                                version=options.pop("version", None))
+            version = options.pop("version", None)
+            if version is not None:
+                version = int(version)  # '3' (a stringified option) ok
+            if options:
+                raise ValueError(
+                    "format='versioned' reads a committed manifest; "
+                    f"reader options {sorted(options)} do not apply "
+                    "(only version=)"
+                )
+            df = read_versioned(spark, path, version=version)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
         return cls(df, order_by=order_by, cache=cache)

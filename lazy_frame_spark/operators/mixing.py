@@ -521,9 +521,9 @@ def cap_tokens_per_group(
     through a single task per hot group, and ``pre_cut=False`` is the
     right knob when groups are many and balanced. Measured crossover
     (tools/bench_precut.py, 6M rows / 50k groups, min-of-3 at
-    local[32]): one group owning 70% of rows -> 3.3 s pre-cut vs 7.9 s
+    local[32]): one group owning 70% of rows -> 4.8 s pre-cut vs 6.6 s
     without (the hot group serializes the global window); uniform
-    groups (~120 rows each) -> 1.1 s without vs 3.4 s with (the second
+    groups (~120 rows each) -> 0.9 s without vs 3.4 s with (the second
     local-window pass is pure overhead when every group is already
     small). Rule of thumb: pre-cut iff the hottest group exceeds a few
     scan partitions' worth of rows. The pre-cut bucket is

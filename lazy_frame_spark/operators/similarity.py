@@ -283,6 +283,7 @@ def semantic_dedup(
     n_cells: int = 8,
     threshold: float = 0.9,
     index: "IVFIndex | None" = None,
+    persist_cells: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-scoped
     semantic dedup, the embedding-space stage of an LLM curation
@@ -300,8 +301,10 @@ def semantic_dedup(
     ``n_cells`` with the corpus (the paper ran k=50k clusters on
     100M docs) so cell populations stay task-sized, and pass a
     pre-fit ``index`` (e.g. KMeans||-trained centroids) to skip the
-    deterministic pick's count. Survivors are returned with their
-    original columns via one left_anti on the id."""
+    deterministic pick's count. ``persist_cells=True`` caches the
+    assigned frame so the self-join's two sides don't each re-run the
+    argmax — worth it at large n_cells. Survivors are returned with
+    their original columns via one left_anti on the id."""
     idx = index if index is not None else IVFIndex.fit_deterministic(
         df, k=n_cells, vec_col=vec_col, id_col=id_col
     )
@@ -316,6 +319,17 @@ def semantic_dedup(
                   .alias("__sd_v__")),
         vec_col="__sd_v__",
     ).withColumn("__sd_n__", norm(F.col("__sd_v__")))
+    if persist_cells:
+        # the self-join evaluates BOTH sides' plans, so the argmax cell
+        # assignment (n_cells interpreted cosines per row) runs twice
+        # per input row. At small n_cells that's minor next to the pair
+        # dots; at large n_cells (the paper's k=50k regime) persist the
+        # assigned frame once instead — the caller trades executor
+        # storage (id + vector + cell + norm per row) for half the
+        # assignment cost, and unpersists via the returned plan's
+        # lifecycle (spark.catalog.clearCache() or a surrounding
+        # persist manager).
+        cells = cells.persist()
     a = cells.select(
         F.col(id_col).alias("__sd_id__"), "__sd_v__",
         F.col("__sd_n__").alias("__sd_na__"), "__ivf_cell__",
@@ -1534,9 +1548,14 @@ class IVFPQIndex:
         At 100 TB the cost is O(cells touched), never O(corpus).
         Returns the re-read store."""
         import shutil
+        import uuid
 
-        from lazy_frame_spark.sources.parquet import delete_keys
+        from lazy_frame_spark.sources.parquet import delete_keys, recover_table
 
+        # heal any interrupted earlier swap BEFORE deriving the delete
+        # set: a partial listing (some cell dirs mid-swap) would drop
+        # those cells' ids from the set — a silent erasure miss
+        recover_table(path)
         store = spark.read.parquet(path)
         dkeys = ids.select(id_col).distinct()
         # no broadcast hint: a small id set auto-broadcasts, a huge
@@ -1552,7 +1571,11 @@ class IVFPQIndex:
         # those files are gone. Stage it to a sibling temp table first
         # (not persist/localCheckpoint: parquet survives executor loss
         # and any batch size), and let delete_keys see a clean scan.
-        staged = path.rstrip("/") + "__delete_ids_tmp"
+        # uuid-suffixed: a FIXED staged name would hand the second
+        # delete_ids of a session the first one's FileStatusCache
+        # listing (the stale-listing hazard _refresh fixes for tables)
+        staged = (path.rstrip("/")
+                  + f"__delete_ids_tmp_{uuid.uuid4().hex[:8]}")
         shutil.rmtree(staged, ignore_errors=True)
         dels.write.mode("overwrite").parquet(staged)
         try:

@@ -136,9 +136,20 @@ def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:
     """Write df's rows as one immutable data directory; returns the new
     parquet files' table-relative paths. The directory appears under
     its final name only when complete (write to dot-temp, one rename),
-    so readers/vacuum never see a partial directory."""
-    rel_final = os.path.join("data", f"{version:08d}")
-    tmp = os.path.join(path, "data", f".tmp-{version:08d}-{uuid.uuid4().hex}")
+    so readers/vacuum never see a partial directory.
+
+    The final name carries a per-ATTEMPT uuid suffix, not just the
+    version number: two attempts at the same version (a crashed commit
+    retried, or a concurrent loser) can then never collide at the
+    rename — without it, a crash between this rename and the manifest
+    publish left a final-named orphan that made every retry of that
+    version fail os.replace with ENOTEMPTY, bricking the table. An
+    orphan attempt dir is referenced by no manifest and is reclaimed
+    by vacuum_versioned."""
+    rel_final = os.path.join(
+        "data", f"{version:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    tmp = os.path.join(path, "data", f".tmp-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(tmp)
     final = os.path.join(path, rel_final)
     os.replace(tmp, final)
@@ -198,12 +209,37 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return _commit(path, "overwrite", files, df.schema.json(), parent)
 
 
+def _check_append_schema(df: DataFrame, schema_json: str) -> None:
+    """Refuse a batch whose (name, dataType) set diverges from the
+    committed schema: parquet append never validates, and a mismatched
+    file list makes later reads resolve the table schema from whichever
+    footer Spark samples — missing columns silently read as NULL (the
+    same hazard IVFPQIndex.add refuses). Nullability may differ."""
+    committed = {
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(schema_json)["fields"]
+    }
+    batch = {
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(df.schema.json())["fields"]
+    }
+    if committed != batch:
+        raise ValueError(
+            "append_versioned: batch schema diverges from the committed "
+            f"table schema — committed-only {sorted(committed - batch)}, "
+            f"batch-only {sorted(batch - committed)}; align the batch "
+            "(or commit a new snapshot with write_versioned)"
+        )
+
+
 def append_versioned(df: DataFrame, path: str,
                      extra: dict | None = None) -> int:
     """Commit df's rows on top of the latest version (action
     ``append``): writes one new data directory and carries every parent
     file by reference — O(batch) I/O regardless of table size.
-    ``extra`` lands in the manifest (e.g. a stream batch id)."""
+    ``extra`` lands in the manifest (e.g. a stream batch id). The
+    batch's (name, type) schema must match the committed schema —
+    see ``_check_append_schema``."""
     parent = latest_version(path)
     if parent is None:
         os.makedirs(path, exist_ok=True)
@@ -211,6 +247,7 @@ def append_versioned(df: DataFrame, path: str,
         return _commit(path, "overwrite", files, df.schema.json(), None,
                        extra)
     prev = _read_manifest(path, parent)
+    _check_append_schema(df, prev["schema"])
     version = parent + 1
     new_files = _write_data_dir(df, path, version)
     return _commit(
@@ -219,40 +256,64 @@ def append_versioned(df: DataFrame, path: str,
     )
 
 
-def last_stream_batch(path: str) -> int | None:
-    """Largest ``stream_batch_id`` any manifest records (the exactly-once
-    high-water mark), or None for a table no stream has written. Batch
-    ids are monotone in commit order for the single writing stream, so
-    the scan walks manifests NEWEST-first and stops at the first one
-    bearing a batch id — O(1) per micro-batch in the steady state
-    (the latest commit is the stream's own), never O(table history)."""
+_STREAM_HW_FILE = "_stream_hw.json"
+
+
+def last_stream_batch(path: str, stream_id: str = "default") -> int | None:
+    """Largest batch id committed for ``stream_id`` (the exactly-once
+    high-water mark), or None for a table that stream never wrote.
+    Batch ids are monotone in commit order for a single writing stream,
+    so the scan walks manifests NEWEST-first and stops at the first one
+    bearing this stream's id — O(1) per micro-batch in the steady state
+    (the latest commit is the stream's own), never O(table history).
+    A vacuum that dropped every manifest carrying the id would
+    otherwise silently reset the mark (re-ingesting the replayed
+    epoch), so vacuum_versioned preserves the max per stream in a
+    ``_stream_hw.json`` sidecar, folded in here."""
+    best = None
+    sidecar = os.path.join(path, _STREAM_HW_FILE)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            best = json.load(f).get(stream_id)
     for v in reversed(_versions(path)):
-        b = _read_manifest(path, v).get("stream_batch_id")
-        if b is not None:
-            return b
-    return None
+        man = _read_manifest(path, v)
+        if man.get("stream_id", "default") == stream_id:
+            b = man.get("stream_batch_id")
+            if b is not None:
+                return b if best is None else max(b, best)
+    return best
 
 
-def versioned_stream_writer(path: str):
+def versioned_stream_writer(path: str, stream_id: str = "default"):
     """foreachBatch sink committing each micro-batch as a versioned
     APPEND — exactly-once on top of at-least-once batch delivery: the
-    manifest records the batch id, and a replayed batch (restart from
-    checkpoint re-delivers the last epoch) is SKIPPED when its id is
-    <= the committed high-water mark. Single-writer per table (the
-    stream), so the idempotence check and the commit cannot race;
-    crash between data-dir write and manifest publish leaves an orphan
-    temp dir and the replay re-commits cleanly. Every micro-batch
+    manifest records (stream_id, batch_id), and a replayed batch
+    (restart from an INTACT checkpoint re-delivers the last epoch) is
+    SKIPPED when its id is <= the committed high-water mark.
+    Single-writer per (table, stream_id), so the idempotence check and
+    the commit cannot race; a crash between data-dir write and manifest
+    publish leaves an orphan attempt dir and the replay re-commits
+    cleanly.
+
+    Checkpoint-LOSS contract (the Delta txn-appId shape): batch ids are
+    only monotone per checkpoint. If the checkpoint is lost and the
+    query restarts with a fresh one, Spark renumbers from 0 — under the
+    SAME stream_id those early batches would wrongly skip (data loss,
+    worse than duplicates). Start the replacement query with a NEW
+    stream_id: everything re-ingests (at-least-once across the loss),
+    and downstream dedups on content keys if needed. Every micro-batch
     stays individually time-travelable::
 
         q = (df.writeStream.foreachBatch(versioned_stream_writer(tbl))
                .option("checkpointLocation", ckpt).start())
     """
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        hw = last_stream_batch(path)
+        hw = last_stream_batch(path, stream_id)
         if hw is not None and batch_id <= hw:
             return
         append_versioned(batch_df, path,
-                         extra={"stream_batch_id": int(batch_id)})
+                         extra={"stream_batch_id": int(batch_id),
+                                "stream_id": stream_id})
 
     return _write
 
@@ -461,28 +522,62 @@ def history(path: str) -> list[dict]:
 
 
 def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
-    """Reclaim storage: always removes orphan temp directories (crashed
-    commits no manifest references); with ``keep_last=k``, also drops
-    manifests older than the newest k and deletes data files no
-    RETAINED manifest references. Never touches a file a kept version
-    can still read."""
+    """Reclaim storage. Always removes commit debris no manifest
+    references: dot-temp write dirs AND orphan attempt dirs (a crashed
+    or conflict-losing commit renames its data dir into place but never
+    publishes a manifest — the per-attempt uuid in the dir name keeps
+    it from colliding with the retry, and this pass reclaims it). With
+    ``keep_last=k``, also drops manifests older than the newest k and
+    deletes data files no RETAINED manifest references. Never touches a
+    file a kept version can still read, and PRESERVES each stream's
+    batch high-water mark in a ``_stream_hw.json`` sidecar before its
+    manifests drop (otherwise a post-vacuum restart would re-ingest the
+    replayed epoch — duplicate rows under an exactly-once contract).
+
+    Run with NO CONCURRENT WRITER: an in-flight commit that has renamed
+    its attempt dir but not yet published looks exactly like debris."""
     import shutil
 
+    vs = _versions(path)
     data_dir = os.path.join(path, "data")
+    all_referenced: set[str] = set()
+    for v in vs:
+        all_referenced.update(_read_manifest(path, v)["files"])
+    referenced_dirs = {rel.split(os.sep)[1] for rel in all_referenced
+                       if rel.startswith("data" + os.sep)}
     removed_tmp = 0
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
-            if name.startswith(".tmp-"):
+            if name.startswith(".tmp-") or name not in referenced_dirs:
                 shutil.rmtree(os.path.join(data_dir, name),
                               ignore_errors=True)
                 removed_tmp += 1
-    vs = _versions(path)
     dropped_manifests, dropped_files = 0, 0
     if keep_last is not None and len(vs) > keep_last:
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
         referenced: set[str] = set()
         for v in keep:
             referenced.update(_read_manifest(path, v)["files"])
+        # fold dropped manifests' stream high-water marks into the
+        # sidecar BEFORE removing them
+        hw: dict[str, int] = {}
+        sidecar = os.path.join(path, _STREAM_HW_FILE)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                hw = json.load(f)
+        for v in vs:
+            if v in keep:
+                continue
+            man = _read_manifest(path, v)
+            b = man.get("stream_batch_id")
+            if b is not None:
+                sid = man.get("stream_id", "default")
+                hw[sid] = max(b, hw.get(sid, b))
+        if hw:
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(hw, f)
+            os.replace(tmp, sidecar)
         for v in vs:
             if v in keep:
                 continue

@@ -1087,7 +1087,8 @@ def test_versioned_lifecycle_time_travel(spark, tmp_path):
     assert hist[3]["restored_from"] == 1
     # restore carried v1's files verbatim — no new data directory
     import os
-    assert not os.path.isdir(os.path.join(t, "data", f"{v4:08d}"))
+    dirs_after_v3 = 3  # v1 snapshot, v2 append, v3 delete rewrite
+    assert len(os.listdir(os.path.join(t, "data"))) == dirs_after_v3
 
 
 def test_versioned_delete_is_file_grain(spark, tmp_path):
@@ -1286,6 +1287,12 @@ def test_lazyframe_open_versioned_time_travel(spark, tmp_path):
     assert sorted(lf2.rows(range(11, 16)).to_pandas()["k"].tolist()) == \
         [10, 11, 12, 13, 14]  # set-semantics positional selection
     assert lf1.names() == ["k", "v", "flag"]
+    # stringified version (the option idiom other formats use) works;
+    # inapplicable reader options are refused, not silently dropped
+    assert LazyFrame.open(spark, t, format="versioned",
+                          version="1").nrow() == 10
+    with pytest.raises(ValueError, match="do not apply"):
+        LazyFrame.open(spark, t, format="versioned", mergeSchema=True)
 
 
 def test_versioned_randomized_ops_vs_model(spark, tmp_path):
@@ -1349,3 +1356,79 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
         got = {r["k"] for r in V.read_versioned(spark, t, version).collect()}
         assert got == want, f"version {version}"
         assert hist[version]["rows"] == len(want), f"rows v{version}"
+
+
+def test_versioned_crashed_commit_retries_and_vacuums(spark, tmp_path):
+    """A commit that dies between the data-dir rename and the manifest
+    publish must not brick its version number: attempt dirs are
+    uuid-unique, the retry commits cleanly, and vacuum reclaims the
+    unreferenced orphan (review finding: final-named orphans made
+    every retry fail os.replace with ENOTEMPTY)."""
+    import os
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vcrash")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    # simulate the crash: data dir renamed into place, no manifest
+    orphan_files = V._write_data_dir(_vt_rows(spark, 5, 9), t, 2)
+    assert V.latest_version(t) == 1
+    # the retry of version 2 succeeds despite the orphan
+    v2 = V.append_versioned(_vt_rows(spark, 5, 9), t)
+    assert v2 == 2
+    assert V.read_versioned(spark, t).count() == 9
+    # vacuum reclaims the orphan attempt dir, keeps every live file
+    out = V.vacuum_versioned(t)
+    assert out["orphan_tmp_dirs"] == 1
+    assert not os.path.exists(
+        os.path.join(t, os.path.dirname(orphan_files[0])))
+    assert V.read_versioned(spark, t).count() == 9
+    assert V.read_versioned(spark, t, 1).count() == 5
+
+
+def test_versioned_append_schema_mismatch_refused(spark, tmp_path):
+    """append_versioned refuses a batch whose (name, type) set diverges
+    from the committed schema — parquet append never validates, and a
+    forked file list reads missing columns as NULL silently."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vschema")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    bad = spark.createDataFrame([(9, 1.0, "x")],
+                                "k long, val double, flag string")
+    with pytest.raises(ValueError, match="diverges"):
+        V.append_versioned(bad, t)
+    # same names, one type changed: also refused
+    bad2 = spark.createDataFrame([(9, 1, "x")],
+                                 "k long, v long, flag string")
+    with pytest.raises(ValueError, match="diverges"):
+        V.append_versioned(bad2, t)
+    # column order is not significant
+    ok = spark.createDataFrame([("x", 9, 1.0)],
+                               "flag string, k long, v double")
+    assert V.append_versioned(ok.select("k", "v", "flag"), t) == 2
+
+
+def test_versioned_stream_high_water_survives_vacuum(spark, tmp_path):
+    """vacuum folds dropped manifests' stream batch ids into the
+    _stream_hw.json sidecar, so a post-vacuum replayed epoch is still
+    absorbed (review finding: dropping every id-bearing manifest reset
+    the mark and re-ingested duplicates)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vhw")
+    w = V.versioned_stream_writer(t)
+    w(_vt_rows(spark, 0, 6), 0)
+    w(_vt_rows(spark, 6, 9), 1)
+    V.compact_versioned(spark, t, small_mb=64)     # v3: no batch id
+    assert V.last_stream_batch(t) == 1
+    V.vacuum_versioned(t, keep_last=1)             # only v3 remains
+    assert V.last_stream_batch(t) == 1             # sidecar carries it
+    w(_vt_rows(spark, 6, 9), 1)                    # replay: absorbed
+    assert V.read_versioned(spark, t).count() == 9
+    w(_vt_rows(spark, 9, 11), 2)                   # new epoch: lands
+    assert V.read_versioned(spark, t).count() == 11
+    # a different stream_id keeps its own mark
+    assert V.last_stream_batch(t, "other") is None

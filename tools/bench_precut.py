@@ -40,12 +40,15 @@ from lazy_frame_spark.session import get_spark
 def build(spark, n_rows: int, n_groups: int, skew_frac: float | None):
     """(group, tokens, order id) rows; skew_frac=None means uniform."""
     base = spark.range(n_rows)
+    # pmod, not %: xxhash64 is signed and Java remainder keeps the
+    # dividend's sign, which would silently double the group count
+    # (~2x n_groups distinct ids) and mislabel the 'balanced' regime
     if skew_frac is None:
-        grp = (F.xxhash64("id") % n_groups).cast("bigint")
+        grp = F.pmod(F.xxhash64("id"), F.lit(n_groups)).cast("bigint")
     else:
         grp = (
             F.when(F.col("id") < int(n_rows * skew_frac), F.lit(0))
-            .otherwise(F.xxhash64("id") % n_groups)
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_groups)))
             .cast("bigint")
         )
     return base.select(
