@@ -5583,6 +5583,38 @@ def sink_time_travel(spark, sf_dir):
 
 
 @query(
+    "sink_cluster_layout",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_orderkey <= 3000
+    """,
+)
+def sink_cluster_layout(spark, sf_dir):
+    """Z-order re-layout as a versioned commit
+    (sources/versioned.cluster_versioned): the rewrite is a LOGICAL
+    no-op — the graded result is the full post-cluster read, value-
+    identical to the source rows — while physically each rewritten
+    file covers a compact z-interval so min/max pushdown prunes
+    files/row-groups on every clustered column (tightness pinned by
+    tests/test_sources_sinks.py via footer stats)."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vcluster_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 3000
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+    V.write_versioned(li.repartition(8), t)
+    V.cluster_versioned(spark, t, ["l_orderkey", "l_partkey"],
+                        num_partitions=8)
+    return V.read_versioned(spark, t)
+
+
+@query(
     "ingest_gz_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
 )

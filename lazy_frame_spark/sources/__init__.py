@@ -4,6 +4,7 @@ from lazy_frame_spark.sources.registry import TABLE_NAMES, load_tables, register
 from lazy_frame_spark.sources.versioned import (
     append_versioned,
     appended_since,
+    cluster_versioned,
     compact_versioned,
     delete_versioned,
     history,
@@ -19,5 +20,5 @@ __all__ = [
     "TABLE_NAMES",
     "write_versioned", "append_versioned", "delete_versioned",
     "restore_versioned", "read_versioned", "history", "vacuum_versioned",
-    "compact_versioned", "versioned_stream_writer", "appended_since",
+    "compact_versioned", "cluster_versioned", "versioned_stream_writer", "appended_since",
 ]

@@ -67,6 +67,7 @@ __all__ = [
     "delete_versioned",
     "restore_versioned",
     "compact_versioned",
+    "cluster_versioned",
     "read_versioned",
     "history",
     "latest_version",
@@ -433,6 +434,46 @@ def compact_versioned(
                "files_written": len(new_files)}
 
 
+def cluster_versioned(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    num_partitions: int | None = None,
+    bits: int = 16,
+) -> tuple[int, dict]:
+    """Re-layout the CURRENT version Z-ordered on ``cols`` as a commit
+    (action ``cluster``) — logically a no-op (same rows, same schema),
+    physically the data-skipping win: each rewritten file covers a
+    compact z-interval, so its parquet min/max stats are tight in EVERY
+    clustered dimension and predicate pushdown prunes files/row-groups
+    on any of them. Like compaction, doing it as a manifest commit
+    makes the maintenance crash-safe, auditable, and time-travel-
+    preserving (pre-cluster versions keep their old files until
+    vacuumed). At 100 TB, cluster INCREMENTALLY: restrict to the
+    recent unclustered tail via ``appended_since`` + append the
+    re-laid-out increment, rather than rewriting the corpus. Returns
+    ``(version, stats)``."""
+    from lazy_frame_spark.operators.layout import zorder_layout
+
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    if not prev["files"]:
+        return parent, {"files_in": 0, "files_out": 0}
+    df = spark.read.parquet(
+        *[os.path.join(path, rel) for rel in prev["files"]]
+    )
+    out = zorder_layout(df, cols, bits=bits,
+                        num_partitions=num_partitions)
+    version = parent + 1
+    new_files = _write_data_dir(out, path, version)
+    v = _commit(path, "cluster", new_files, prev["schema"], parent,
+                {"cluster_cols": list(cols)})
+    return v, {"files_in": len(prev["files"]),
+               "files_out": len(new_files)}
+
+
 def restore_versioned(path: str, version: int) -> int:
     """Roll the table back to ``version`` as a NEW commit referencing
     that version's exact file list — zero data movement, and the
@@ -515,7 +556,8 @@ def history(path: str) -> list[dict]:
             "parent": man["parent"],
             "n_files": len(man["files"]),
             "rows": man.get("rows"),
-            **{k: man[k] for k in ("predicate", "restored_from")
+            **{k: man[k] for k in ("predicate", "restored_from",
+                                   "cluster_cols", "stream_batch_id")
                if k in man},
         })
     return out

@@ -1432,3 +1432,57 @@ def test_versioned_stream_high_water_survives_vacuum(spark, tmp_path):
     assert V.read_versioned(spark, t).count() == 11
     # a different stream_id keeps its own mark
     assert V.last_stream_batch(t, "other") is None
+
+
+def test_versioned_cluster_commit_tightens_file_stats(spark, tmp_path):
+    """cluster_versioned: same rows before/after (logical no-op), the
+    pre-cluster version stays readable, and the rewritten files carry
+    TIGHT per-file min/max on the clustered column (each file covers a
+    compact z-interval) where the shuffled original's files each
+    spanned nearly the whole domain — the stats pushdown prunes on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vcluster")
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, float(i)) for i in range(4000)],
+        "k long, x long, v double",
+    ).repartition(8)  # shuffled: every file spans ~the whole x domain
+    V.write_versioned(df, t)
+
+    def file_spans(version):
+        spans = []
+        for rel in V._read_manifest(t, version)["files"]:
+            md = pq.ParquetFile(os.path.join(t, rel)).metadata
+            names = {md.schema.column(i).path: i
+                     for i in range(md.num_columns)}
+            ci = names["x"]
+            lo = min(md.row_group(g).column(ci).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(ci).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return spans
+
+    v2, stats = V.cluster_versioned(spark, t, ["x"], num_partitions=8)
+    assert v2 == 2 and stats["files_out"] >= 4
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == list(range(4000))
+    assert V.read_versioned(spark, t, 1).count() == 4000
+    # clustered files each cover a narrow x-interval; shuffled ones
+    # each covered ~the full 0..999 domain
+    assert max(file_spans(2)) < min(file_spans(1)) / 2
+    hist = V.history(t)
+    assert hist[-1]["action"] == "cluster"
+    assert hist[-1]["cluster_cols"] == ["x"]
+    # the file diff refuses across a cluster commit (rows moved)
+    import pytest
+
+    V.append_versioned(spark.createDataFrame(
+        [(9999, 5, 1.0)], "k long, x long, v double"), t)
+    with pytest.raises(ValueError, match="cluster"):
+        V.appended_since(spark, t, 1)
+    assert V.appended_since(spark, t, 2).count() == 1
