@@ -699,3 +699,27 @@ def test_versioned_read_keeps_pushdown(spark, sf_dir, tmp_path):
     rs = plan.split("ReadSchema")[1].splitlines()[0]
     assert "l_returnflag" not in rs  # column pruning reaches the scan
     assert q.count() > 0
+
+
+def test_versioned_increment_reads_only_appended_files(spark, tmp_path):
+    """appended_since addresses only the appended epochs' files: the
+    plan has exactly ONE parquet scan whose file list excludes the base
+    snapshot's files — O(increment) I/O, no anti-join."""
+    from lazy_frame_spark.plans import executed_plan
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vincplan")
+    base = spark.range(1000).selectExpr("id AS k", "id * 2.0 AS v")
+    V.write_versioned(base, t)
+    V.append_versioned(
+        spark.range(1000, 1100).selectExpr("id AS k", "id * 2.0 AS v"), t)
+    inc = V.appended_since(spark, t, 1)
+    plan = executed_plan(inc.groupBy().count())
+    assert plan.count("Scan parquet") == 1
+    base_files = set(V._read_manifest(t, 1)["files"])
+    scanned = set(inc.inputFiles())
+    import os
+    assert all(os.path.relpath(
+        f[7:] if f.startswith("file://") else f, os.path.abspath(t))
+        not in base_files for f in scanned)
+    assert inc.count() == 100
