@@ -46,6 +46,54 @@ def pack_sequences(
     )
 
 
+def packing_efficiency(
+    packed: DataFrame,
+    budget_tokens: int = 2048,
+    bin_col: str = "bin_id",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-bin fill statistics over ``pack_sequences`` output — the
+    number a pre-training pipeline actually tunes: padding waste.
+    Under concat-and-chunk packing a document may SPAN bins, so a bin's
+    charged tokens are clipped to its [bin*B, (bin+1)*B) window:
+    ``fill_bp`` is the basis-point fill of that window (exact integer
+    arithmetic — cross-engine hashable), ``n_docs`` the documents
+    touching the bin, and the final partial bin is flagged so waste
+    summaries can exclude it. One partial+final aggregate; at 100 TB
+    the result is bins-many rows (corpus_tokens / budget)."""
+    b = F.lit(int(budget_tokens))
+    start = F.col("start_offset")
+    end = start + F.col(tok_col)
+    # a doc spanning k extra bins charges each bin separately: explode
+    # its covered bin range so every bin sees its true occupancy
+    # (zero-token docs cover no bin and are excluded)
+    spans = packed.filter(F.col(tok_col) > 0).select(
+        F.col(tok_col), start.alias("__s__"),
+        F.explode(
+            F.sequence(F.col(bin_col),
+                       F.floor((end - 1) / b).cast("bigint"))
+        ).alias("__bin__"),
+    )
+    lo = F.col("__bin__") * b
+    hi = lo + b
+    charged = (
+        F.least(F.col("__s__") + F.col(tok_col), hi)
+        - F.greatest(F.col("__s__"), lo)
+    )
+    per_bin = spans.groupBy("__bin__").agg(
+        F.sum(charged).alias("__tok__"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    max_bin = per_bin.agg(F.max("__bin__")).collect()[0][0]  # 1 scalar
+    return per_bin.select(
+        F.col("__bin__").alias(bin_col),
+        F.col("n_docs"),
+        F.floor(F.col("__tok__") * 10000 / b).cast("bigint")
+         .alias("fill_bp"),
+        (F.col("__bin__") == F.lit(max_bin)).alias("is_final_partial"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 512,

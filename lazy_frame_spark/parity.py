@@ -1374,6 +1374,58 @@ def pack_sequences(spark, sf_dir):
 
 
 @query(
+    "pack_efficiency",
+    # per-bin occupancy: every doc charges each bin it overlaps with the
+    # clipped span; basis-point fill in exact integer arithmetic
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS s
+      FROM t WHERE n > 0
+    ),
+    spans AS (
+      SELECT p.n, p.s, bin FROM p,
+             unnest(range(s // 2048, (s + n - 1) // 2048 + 1)) AS u(bin)
+    ),
+    per_bin AS (
+      SELECT bin,
+             SUM(LEAST(s + n, (bin + 1) * 2048)
+                 - GREATEST(s, bin * 2048)) AS tok,
+             COUNT(*) AS n_docs
+      FROM spans GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin_id,
+           n_docs,
+           CAST(tok * 10000 // 2048 AS BIGINT) AS fill_bp,
+           bin = (SELECT MAX(bin) FROM per_bin) AS is_final_partial
+    FROM per_bin
+    """,
+)
+def pack_efficiency(spark, sf_dir):
+    """Packing-efficiency audit (operators/packing.packing_efficiency):
+    per-bin basis-point fill and document counts over the packed
+    corpus — the padding-waste number a pre-training pipeline tunes.
+    Docs spanning bins charge each bin their clipped span; the final
+    partial bin is flagged so waste summaries can exclude it. One
+    explode + one partial+final aggregate — bins-many result rows at
+    any corpus size."""
+    from lazy_frame_spark.operators.packing import (
+        pack_sequences as _pack,
+        packing_efficiency as _eff,
+    )
+
+    packed = _pack(_table(spark, sf_dir, "documents"), budget_tokens=2048)
+    return _eff(packed, budget_tokens=2048)
+
+
+@query(
     "pipeline_curate",
     # the full curation pipeline: gate → keep-filter → pack survivors.
     # One scan end-to-end on the Spark side (carry_cols threads text

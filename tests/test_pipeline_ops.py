@@ -2998,3 +2998,24 @@ def test_semantic_dedup_rules_and_cell_scoping(spark):
     # 5 and 6 both survive: their only >=0.97 neighbor is in the
     # OTHER cell (cluster scoping)
     assert out == [0, 3, 5, 6]
+
+
+def test_packing_efficiency_spans_and_fill(spark):
+    """packing_efficiency: docs spanning bins charge each bin their
+    clipped token span; fills are exact basis points; the final bin is
+    flagged partial; zero-token docs charge nothing."""
+    from lazy_frame_spark.operators.packing import packing_efficiency
+
+    # budget 10: doc A tokens 0..7 (bin 0), doc B 7..19 (bins 0 and 1),
+    # doc C 19..23 (bins 1 and 2), doc D empty
+    packed = spark.createDataFrame(
+        [(1, 7, 0, 0), (2, 12, 7, 0), (3, 4, 19, 1), (4, 0, 23, 2)],
+        "doc_id long, n_tokens bigint, start_offset bigint, bin_id bigint",
+    )
+    rows = {r["bin_id"]: r for r in
+            packing_efficiency(packed, budget_tokens=10).collect()}
+    assert rows[0]["n_docs"] == 2 and rows[0]["fill_bp"] == 10000
+    assert rows[1]["n_docs"] == 2 and rows[1]["fill_bp"] == 10000
+    assert rows[2]["n_docs"] == 1 and rows[2]["fill_bp"] == 3000
+    assert [rows[b]["is_final_partial"] for b in (0, 1, 2)] == \
+        [False, False, True]
