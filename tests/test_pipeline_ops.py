@@ -3019,3 +3019,28 @@ def test_packing_efficiency_spans_and_fill(spark):
     assert rows[2]["n_docs"] == 1 and rows[2]["fill_bp"] == 3000
     assert [rows[b]["is_final_partial"] for b in (0, 1, 2)] == \
         [False, False, True]
+
+
+def test_semantic_dedup_arrow_assignment_bit_parity(spark, sf_dir):
+    """The large-n_cells Arrow assignment path returns the SAME
+    (cell, norm) per vector as the Catalyst expression path — the
+    pinned bit-parity that lets semantic_dedup route by n_cells
+    without changing results or oracles."""
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__sd_v__"))
+    idx = sim.IVFIndex.fit_deterministic(e, k=8, vec_col="__sd_v__")
+    expr = {
+        r["vec_id"]: (r["__ivf_cell__"], r["__sd_n__"])
+        for r in idx.with_cells(e, vec_col="__sd_v__")
+        .withColumn("__sd_n__", sim.norm(F.col("__sd_v__"))).collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["__ivf_cell__"], r["__sd_n__"])
+        for r in sim._with_cells_arrow(
+            e, idx.centroids, "vec_id", "__sd_v__").collect()
+    }
+    assert expr == arrow  # exact: same cells, bit-identical norms
