@@ -419,6 +419,73 @@ def semantic_dedup(
     return df.join(doomed, on=id_col, how="left_anti")
 
 
+def semantic_dedup_against(
+    df_new: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    index: "IVFIndex | None" = None,
+    persist_cells: bool = False,
+) -> DataFrame:
+    """Incremental SemDeDup — ``dedup_against``'s embedding twin, the
+    production-crawl shape: each new batch drops (1) every vector with
+    a cell-mate in the CORPUS ALREADY KEPT at ``round(cos,4) >=
+    threshold``, then (2) in-batch near-dups among the survivors
+    (``semantic_dedup``'s first-winner rule). The coarse geometry is
+    FROZEN on the corpus (pass the corpus-fitted ``index``; default
+    fits the deterministic pick on ``corpus``), so increments never
+    re-assign the corpus — the same immutable-geometry discipline as
+    ``IVFPQIndex.add``.
+
+    100 TB shape: both stages are cell equi-joins (never all-pairs);
+    the corpus side ships only (cell, vector, norm). For a standing
+    pipeline persist the corpus's assigned cells once (or store them —
+    the cell is partition-prunable) instead of re-assigning per
+    increment."""
+    idx = index if index is not None else IVFIndex.fit_deterministic(
+        corpus, k=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    n_centroids = len(idx.centroids)
+
+    def _cells(frame, with_id):
+        cols = ([id_col] if with_id else []) + [
+            F.col(vec_col).cast("array<double>").alias("__sd_v__")
+        ]
+        base = frame.select(*cols)
+        if n_centroids > 32:
+            return _with_cells_arrow(base, idx.centroids, id_col,
+                                     "__sd_v__")
+        return idx.with_cells(base, vec_col="__sd_v__").withColumn(
+            "__sd_n__", norm(F.col("__sd_v__")))
+
+    new_cells = _cells(df_new, True)
+    corp_cells = _cells(corpus, False).select(
+        F.col("__sd_v__").alias("__sd_cv__"),
+        F.col("__sd_n__").alias("__sd_cn__"),
+        "__ivf_cell__",
+    )
+    if persist_cells:
+        new_cells = new_cells.persist()
+        corp_cells = corp_cells.persist()
+    pair_cos = F.try_divide(
+        dot(F.col("__sd_cv__"), F.col("__sd_v__")),
+        F.col("__sd_cn__") * F.col("__sd_n__"),
+    )
+    doomed = (
+        new_cells.join(corp_cells, on="__ivf_cell__")
+        .filter(F.round(pair_cos, 4) >= threshold)
+        .select(F.col(id_col))
+        .distinct()
+    )
+    fresh = df_new.join(doomed, on=id_col, how="left_anti")
+    return semantic_dedup(
+        fresh, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        index=idx, persist_cells=persist_cells,
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     anchors: DataFrame,

@@ -3670,6 +3670,69 @@ _SEMANTIC_DEDUP_SQL = f"""
 """
 
 
+_SEMANTIC_INC_SQL = f"""
+    WITH corp AS (SELECT vec_id, label, embedding FROM embeddings
+                  WHERE vec_id % 2 = 0),
+    newb AS (SELECT vec_id, label, embedding FROM embeddings
+             WHERE vec_id % 2 = 1),
+    nn AS (SELECT count(*) AS cnt FROM corp),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM corp, nn
+      WHERE vec_id % greatest(cnt // 8, 1) = 0
+      ORDER BY vec_id LIMIT 8),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_SEMANTIC_DEDUP_COS.format(a="e.embedding::DOUBLE[]",
+                                             b="c.cv")} DESC,
+                 c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+    doomed1 AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg ac JOIN asg ab ON ac.cell = ab.cell
+      JOIN corp c ON c.vec_id = ac.vec_id
+      JOIN newb b ON b.vec_id = ab.vec_id
+      WHERE ROUND({_SEMANTIC_DEDUP_COS.format(a="c.embedding::DOUBLE[]",
+                                              b="b.embedding::DOUBLE[]")},
+                  4) >= 0.3),
+    fresh AS (SELECT * FROM newb
+              WHERE vec_id NOT IN (SELECT vec_id FROM doomed1)),
+    doomed2 AS (
+      SELECT DISTINCT y.vec_id
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      JOIN fresh f1 ON f1.vec_id = x.vec_id
+      JOIN fresh f2 ON f2.vec_id = y.vec_id
+      WHERE ROUND({_SEMANTIC_DEDUP_COS.format(a="f1.embedding::DOUBLE[]",
+                                              b="f2.embedding::DOUBLE[]")},
+                  4) >= 0.3)
+    SELECT vec_id, label FROM fresh
+    WHERE vec_id NOT IN (SELECT vec_id FROM doomed2)
+"""
+
+
+@query("dedup_semantic_incremental", oracle=_SEMANTIC_INC_SQL)
+def dedup_semantic_incremental(spark, sf_dir):
+    """Incremental SemDeDup (similarity.semantic_dedup_against) — the
+    embedding twin of dedup_against: the new batch (odd vec_ids) drops
+    vectors with a cell-mate in the KEPT corpus (even vec_ids) at
+    round(cos,4) >= 0.3, then first-winner dedups the survivors
+    in-batch. Geometry frozen on the corpus (increments never
+    re-assign it); both stages are cell equi-joins. The oracle replays
+    the corpus-pick, the shared argmax, and both drop stages."""
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings").select("vec_id", "label",
+                                                   "embedding")
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter(F.col("vec_id") % 2 == 1)
+    return _s.semantic_dedup_against(
+        batch, corpus, n_cells=8, threshold=0.3
+    ).select("vec_id", "label")
+
+
 @query("dedup_semantic", oracle=_SEMANTIC_DEDUP_SQL)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup; Abbas et al. 2023) —

@@ -3044,3 +3044,42 @@ def test_semantic_dedup_arrow_assignment_bit_parity(spark, sf_dir):
             e, idx.centroids, "vec_id", "__sd_v__").collect()
     }
     assert expr == arrow  # exact: same cells, bit-identical norms
+
+
+def test_semantic_dedup_against_frozen_geometry(spark):
+    """semantic_dedup_against: corpus matches drop batch rows across the
+    shared cells, in-batch first-winner runs among the survivors, the
+    geometry is the CALLER's frozen index (a batch vector near a corpus
+    vector in a DIFFERENT cell survives), and corpus rows are never
+    returned."""
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    ax, ay = [1.0, 0, 0, 0], [0.0, 1, 0, 0]
+    idx = sim.IVFIndex([ax, ay])
+
+    def at(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r)), 0.0, 0.0]
+
+    corpus = spark.createDataFrame(
+        [(0, at(0)), (2, at(90))],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [
+            (11, at(2)),    # ~corpus 0 (same cell)       -> dropped
+            (13, at(44)),   # cell 0; nearest corpus (90) is cell 1
+                            # and far -> survives
+            (15, at(46)),   # cell 1; ~13 across cells    -> survives
+            (17, at(47)),   # cell 1; ~15 in-batch        -> dropped
+            (19, at(88)),   # ~corpus 2 (cell 1)          -> dropped
+        ],
+        "vec_id long, embedding array<double>")
+    out = sorted(
+        r["vec_id"]
+        for r in sim.semantic_dedup_against(
+            batch, corpus, n_cells=2, threshold=0.97, index=idx
+        ).collect()
+    )
+    assert out == [13, 15]
