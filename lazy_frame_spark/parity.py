@@ -8723,7 +8723,10 @@ DRIVER_WINDOW: list[str] = [
     # (text_model_quality_score rotated past the cap in round 9 —
     # green rounds 7-8; the quality-scoring path stays locally checked
     # and the text family keeps FIVE window reps below)
-    "text_html_extract",
+    # (text_html_extract rotated past the cap in round 10 — green
+    # rounds 7-9; the extraction path stays locally checked and benched
+    # (MIN_OF_3), and text keeps four window reps. Its slot funds
+    # view_versioned_increment below.)
     # round-8 late additions (zero-debt): compression-ratio quality
     # signal, script/homoglyph profile, sentence chunking
     "text_compression_ratio",
@@ -8771,7 +8774,10 @@ DRIVER_WINDOW: list[str] = [
     # three driver reps — freeing a slot for one-call gzip ingest)
     "ingest_gz_roundtrip",
     "decontam_ngram_overlap",
-    "mix_domain_cap",
+    # (mix_domain_cap rotated past the cap in round 10 — green rounds
+    # 7-9; the anti-spam cap is exercised at token grain by
+    # mix_token_budget and stays locally checked. Its slot funds
+    # pipeline_incremental_curate below.)
     # round-8 late addition (zero-debt) + the round-9 scale rewrite's
     # own row: DataFrame-native temperature rates, and the 65k-domain
     # broadcast-join mix that proves the high-cardinality path
@@ -8783,6 +8789,13 @@ DRIVER_WINDOW: list[str] = [
     # mix → token-budget pipeline composed as ONE lazy plan
     "mix_token_budget",
     "pipeline_mix_curate",
+    # round-10 additions land in-window the round they ship (zero-debt):
+    # the PRODUCTION loop — epoch 1 curates + commits corpus v1, epoch 2
+    # dedups against the snapshot and appends only novel survivors —
+    # and O(increment) consumption of a versioned corpus (manifest
+    # file-diff, no old-data I/O)
+    "pipeline_incremental_curate",
+    "view_versioned_increment",
     # similarity search: round-7 rotation — the quantized scale paths
     # (PQ/ADC 8 B-per-vector search, int8 exact top-k, and the IVF-PQ
     # residual index whose DuckDB twin rebuilds the ENTIRE index)
