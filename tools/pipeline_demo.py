@@ -4,7 +4,10 @@ from this repo, wired the way a production corpus pipeline would run:
   generate (Python data source) → quality gate → paragraph dedup →
   near-dup drop (MinHash LSH + connected components) → benchmark
   decontamination (Bloom prefilter) → deterministic splits →
-  sequence packing → partitioned parquet sink + HLL sketch table
+  sequence packing → partitioned parquet sink + HLL sketch table →
+  versioned corpus loop (commit v1 → next epoch dedups against the
+  snapshot → append novel as v2 → O(increment) consume → Z-order
+  cluster → time-travel back)
 
 Prints one JSON line of per-stage row counts. Deterministic end to end
 (seeded generators, md5-derived hashes), so re-runs reproduce byte-for-
@@ -241,6 +244,41 @@ def main() -> int:
     remixed = mix_temperature(
         spark.read.parquet(out), "split", 0.5, id_cols=["doc_id"], seed=9)
     counts["after_temperature_remix"] = remixed.count()
+
+    # 14. versioned corpus loop (round 10): commit the curated corpus as
+    #     v1, run a SECOND crawl epoch through the same gates, dedup it
+    #     against the v1 snapshot (content keys), append only the novel
+    #     survivors as v2 — then prove the increment is consumable as a
+    #     pure manifest file-diff, cluster the table for data skipping,
+    #     and time-travel back to v1.
+    from lazy_frame_spark.operators.dedup import dedup_against
+    from lazy_frame_spark.sources.versioned import (
+        appended_since,
+        cluster_versioned,
+        history,
+        read_versioned,
+        write_versioned,
+        append_versioned,
+    )
+
+    corpus_tbl = tempfile.mkdtemp() + "/corpus_versioned"
+    epoch1 = split.filter(F.col("split") == "train").select("doc_id", "text")
+    write_versioned(epoch1, corpus_tbl)                          # v1
+    # epoch 2: the held-out docs arrive "next crawl"; half are exact
+    # re-fetches of epoch 1 (must dedup against the snapshot)
+    refetch = epoch1.limit(20)
+    novel_src = split.filter(F.col("split") != "train").select("doc_id", "text")
+    epoch2 = novel_src.unionByName(refetch)
+    novel = dedup_against(epoch2, read_versioned(spark, corpus_tbl, 1),
+                          ["text"])
+    append_versioned(novel.select("doc_id", "text"), corpus_tbl)  # v2
+    counts["versioned_v2_rows"] = read_versioned(spark, corpus_tbl).count()
+    counts["versioned_increment"] = appended_since(
+        spark, corpus_tbl, 1).count()
+    cluster_versioned(spark, corpus_tbl, ["doc_id"])              # v3
+    counts["versioned_v1_still"] = read_versioned(
+        spark, corpus_tbl, 1).count()
+    counts["versioned_commits"] = len(history(corpus_tbl))
 
     deduped.unpersist()
     split.unpersist()
