@@ -48,6 +48,14 @@ Design rules, and why they hold at 100 TB:
 Readers address a version's exact file list (Spark parallelizes per
 file/row-group regardless of how the list was produced), so time travel
 costs nothing over a plain scan.
+
+Filesystem contract: the commit point relies on POSIX ``link(2)``
+(atomic create-if-absent) and ``rename(2)`` — correct on local disks,
+NFS, and HDFS-style stores. Object stores without atomic
+create-if-absent (e.g. plain S3) need the same thing Iceberg/Delta
+need there: a catalog or lock service arbitrating the version-number
+claim; the manifest format itself is unchanged. This mirrors the
+journaled sink's assumptions (sources/parquet.py).
 """
 
 from __future__ import annotations
