@@ -896,3 +896,54 @@ def test_dedup_against_null_content_normalize(spark):
     got = {r["doc_id"] for r in dedup_against(
         df, seen, ["content"], normalize=True).collect()}
     assert got == {3}
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(-1, 1, allow_nan=False, width=32),
+            st.floats(-1, 1, allow_nan=False, width=32),
+            st.floats(-1, 1, allow_nan=False, width=32),
+        ).filter(lambda t: any(abs(x) > 1e-3 for x in t)),
+        min_size=2, max_size=24,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+@SETTINGS
+def test_semantic_dedup_matches_bruteforce(spark, vecs, threshold):
+    """semantic_dedup against an independent Python model of the rule:
+    assign each vector to its argmax-cosine cell (first max), drop any
+    vector with a lower-id cell-mate at round(cos,4) >= threshold."""
+    import math as m
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    rows = [(i, [float(a), float(b), float(c)])
+            for i, (a, b, c) in enumerate(vecs)]
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    idx = sim.IVFIndex(cents)
+
+    def cos(a, b):
+        da = m.sqrt(sum(x * x for x in a))
+        db = m.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    cells = {
+        i: max(range(3), key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in rows
+    }
+    doomed = {
+        i for i, v in rows
+        if any(j < i and cells[j] == cells[i]
+               and round(cos(rows[j][1], v), 4) >= threshold
+               for j, _ in rows)
+    }
+    want = sorted(i for i, _ in rows if i not in doomed)
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        r["vec_id"]
+        for r in sim.semantic_dedup(df, n_cells=3, threshold=threshold,
+                                    index=idx).collect()
+    )
+    assert got == want
