@@ -46,54 +46,6 @@ def pack_sequences(
     )
 
 
-def packing_efficiency(
-    packed: DataFrame,
-    budget_tokens: int = 2048,
-    bin_col: str = "bin_id",
-    tok_col: str = "n_tokens",
-) -> DataFrame:
-    """Per-bin fill statistics over ``pack_sequences`` output — the
-    number a pre-training pipeline actually tunes: padding waste.
-    Under concat-and-chunk packing a document may SPAN bins, so a bin's
-    charged tokens are clipped to its [bin*B, (bin+1)*B) window:
-    ``fill_bp`` is the basis-point fill of that window (exact integer
-    arithmetic — cross-engine hashable), ``n_docs`` the documents
-    touching the bin, and the final partial bin is flagged so waste
-    summaries can exclude it. One partial+final aggregate; at 100 TB
-    the result is bins-many rows (corpus_tokens / budget)."""
-    b = F.lit(int(budget_tokens))
-    start = F.col("start_offset")
-    end = start + F.col(tok_col)
-    # a doc spanning k extra bins charges each bin separately: explode
-    # its covered bin range so every bin sees its true occupancy
-    # (zero-token docs cover no bin and are excluded)
-    spans = packed.filter(F.col(tok_col) > 0).select(
-        F.col(tok_col), start.alias("__s__"),
-        F.explode(
-            F.sequence(F.col(bin_col),
-                       F.floor((end - 1) / b).cast("bigint"))
-        ).alias("__bin__"),
-    )
-    lo = F.col("__bin__") * b
-    hi = lo + b
-    charged = (
-        F.least(F.col("__s__") + F.col(tok_col), hi)
-        - F.greatest(F.col("__s__"), lo)
-    )
-    per_bin = spans.groupBy("__bin__").agg(
-        F.sum(charged).alias("__tok__"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    max_bin = per_bin.agg(F.max("__bin__")).collect()[0][0]  # 1 scalar
-    return per_bin.select(
-        F.col("__bin__").alias(bin_col),
-        F.col("n_docs"),
-        F.floor(F.col("__tok__") * 10000 / b).cast("bigint")
-         .alias("fill_bp"),
-        (F.col("__bin__") == F.lit(max_bin)).alias("is_final_partial"),
-    )
-
-
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 512,
@@ -134,18 +86,36 @@ def chunk_documents(
 def bin_stats(
     packed: DataFrame, budget_tokens: int = 2048
 ) -> DataFrame:
-    """Fill statistics per bin: document count, token total, fill rate in
-    basis points. One partial-agg shuffle keyed by bin_id."""
+    """Per-bin packing audit — the numbers a pre-training pipeline
+    tunes. Each document charges the bin it STARTS in (pack_sequences'
+    own "bins fill to the budget, overflow by at most one document"
+    semantics): ``n_docs``/``n_tokens`` per bin, ``fill_bp`` the exact
+    basis-point load vs the budget (>10000 = overflow that truncates or
+    spills; <10000 = padding if bins pad out), and ``n_split_docs`` the
+    documents crossing the bin's end — the attention-boundary
+    fragmentation count under concat-and-chunk, where token-level waste
+    is zero by construction and fragmentation is the real cost. One
+    partial-agg shuffle keyed by bin_id; bins-many result rows at any
+    corpus size. ``budget_tokens`` must be the value the frame was
+    packed with (``bin_id`` derives from it)."""
+    b = F.lit(int(budget_tokens))
+    split = F.when(
+        F.col("start_offset") + F.col("n_tokens")
+        > (F.col("bin_id") + 1) * b,
+        1,
+    ).otherwise(0)
     return (
         packed.groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
+            F.sum(split).cast("bigint").alias("n_split_docs"),
         )
         .withColumn(
             "fill_bp",
-            F.floor(F.col("n_tokens") * 10000 / budget_tokens).cast("bigint"),
+            F.floor(F.col("n_tokens") * 10000 / b).cast("bigint"),
         )
+        .select("bin_id", "n_docs", "n_tokens", "fill_bp", "n_split_docs")
     )
 
 

@@ -277,18 +277,17 @@ def embedding_near_dup_pairs(
 
 
 def _with_cells_arrow(
-    df: DataFrame, centroids: list[list[float]], id_col: str,
-    vec_col: str,
+    df: DataFrame, centroids: list[list[float]], vec_col: str,
 ) -> DataFrame:
-    """(id, vector, norm, cell) in ONE Arrow pass — the large-n_cells
-    assignment path: numpy does the n_cells-cosine argmax per batch via
-    the shared ``_cell_assign_batch`` (bit-parity with the Catalyst
-    expression form), and the row norm reuses the same ascending
-    left-associated fold, so downstream cosine arithmetic matches the
-    expression path exactly."""
+    """(…, norm, cell) in ONE Arrow pass — the large-n_cells assignment
+    path: numpy does the n_cells-cosine argmax per batch via the shared
+    ``_cell_assign_batch`` (bit-parity with the Catalyst expression
+    form), reusing its ascending-fold row norms, so downstream cosine
+    arithmetic matches the expression path exactly — including the
+    NULL contract: a NULL / non-finite / wrong-length vector gets cell
+    0 and a NULL (not NaN) norm, same as the expression ``norm()``."""
     import numpy as np
     from pyspark.sql.types import (
-        ArrayType,
         DoubleType,
         IntegerType,
         StructField,
@@ -314,16 +313,26 @@ def _with_cells_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
+            raw = pdf[vec_col].to_numpy()
+            null_mask = np.array(
+                [v is None or len(v) != dim for v in raw], dtype=bool
+            )
             V = np.stack([
-                np.full(dim, np.nan) if v is None else np.asarray(v)
-                for v in pdf[vec_col].to_numpy()
-            ]).astype(np.float64)
-            cells, _finite = _cell_assign_batch(V, C, cn)
-            nv = np.zeros(len(V))
-            for i in range(dim):
-                nv = nv + V[:, i] * V[:, i]
+                np.full(dim, np.nan) if null_mask[i]
+                else np.asarray(raw[i], dtype=np.float64)
+                for i in range(len(raw))
+            ])
+            cells, _finite, nv = _cell_assign_batch(V, C, cn)
             out = pdf.copy()
-            out["__sd_n__"] = np.sqrt(nv)
+            # expression parity: NULL input -> NULL norm; NaN/Inf
+            # ELEMENTS -> NaN norm (sqrt of a NaN fold), exactly what
+            # norm() the Catalyst expression produces. FloatingArray
+            # built with an explicit mask — pd.array(dtype='Float64')
+            # would swallow the NaN VALUES as NA too
+            norms = pd.arrays.FloatingArray(
+                np.where(null_mask, 0.0, nv), null_mask.copy()
+            )
+            out["__sd_n__"] = norms
             out["__ivf_cell__"] = cells.astype("int32")
             yield out
 
@@ -381,7 +390,7 @@ def semantic_dedup(
     base = df.select(id_col, F.col(vec_col).cast("array<double>")
                      .alias("__sd_v__"))
     if n_centroids > 32:
-        cells = _with_cells_arrow(base, idx.centroids, id_col, "__sd_v__")
+        cells = _with_cells_arrow(base, idx.centroids, "__sd_v__")
     else:
         cells = idx.with_cells(base, vec_col="__sd_v__").withColumn(
             "__sd_n__", norm(F.col("__sd_v__")))
@@ -440,10 +449,13 @@ def semantic_dedup_against(
     ``IVFPQIndex.add``.
 
     100 TB shape: both stages are cell equi-joins (never all-pairs);
-    the corpus side ships only (cell, vector, norm). For a standing
-    pipeline persist the corpus's assigned cells once (or store them —
-    the cell is partition-prunable) instead of re-assigning per
-    increment."""
+    the corpus side ships only (cell, vector, norm), and stage 2 reuses
+    stage 1's batch assignment (the argmax runs ONCE per side). For a
+    standing pipeline persist the corpus's assigned cells once (or
+    store them — the cell is partition-prunable) instead of
+    re-assigning per increment. ``persist_cells=True`` pins both
+    assigned frames for the duration of the plan; the caller releases
+    them (spark.catalog.clearCache() or a persist manager)."""
     idx = index if index is not None else IVFIndex.fit_deterministic(
         corpus, k=n_cells, vec_col=vec_col, id_col=id_col
     )
@@ -455,8 +467,7 @@ def semantic_dedup_against(
         ]
         base = frame.select(*cols)
         if n_centroids > 32:
-            return _with_cells_arrow(base, idx.centroids, id_col,
-                                     "__sd_v__")
+            return _with_cells_arrow(base, idx.centroids, "__sd_v__")
         return idx.with_cells(base, vec_col="__sd_v__").withColumn(
             "__sd_n__", norm(F.col("__sd_v__")))
 
@@ -479,10 +490,33 @@ def semantic_dedup_against(
         .select(F.col(id_col))
         .distinct()
     )
-    fresh = df_new.join(doomed, on=id_col, how="left_anti")
-    return semantic_dedup(
-        fresh, vec_col=vec_col, id_col=id_col, threshold=threshold,
-        index=idx, persist_cells=persist_cells,
+    # stage 2 REUSES stage 1's assignment (fresh_cells is the already-
+    # assigned batch minus corpus matches) — re-running the argmax over
+    # the survivors would pay the dominant large-n_cells cost twice
+    fresh_cells = new_cells.join(doomed, on=id_col, how="left_anti")
+    a = fresh_cells.select(
+        F.col(id_col).alias("__sd_id__"), "__sd_v__",
+        F.col("__sd_n__").alias("__sd_na__"), "__ivf_cell__",
+    )
+    prev = fresh_cells.select(
+        F.col(id_col).alias("__sd_prev__"),
+        F.col("__sd_v__").alias("__sd_pv__"),
+        F.col("__sd_n__").alias("__sd_nb__"), "__ivf_cell__",
+    )
+    in_batch_cos = F.try_divide(
+        dot(F.col("__sd_pv__"), F.col("__sd_v__")),
+        F.col("__sd_nb__") * F.col("__sd_na__"),
+    )
+    doomed2 = (
+        a.join(prev, on="__ivf_cell__")
+        .filter(F.col("__sd_prev__") < F.col("__sd_id__"))
+        .filter(F.round(in_batch_cos, 4) >= threshold)
+        .select(F.col("__sd_id__").alias(id_col))
+        .distinct()
+    )
+    return (
+        df_new.join(doomed, on=id_col, how="left_anti")
+        .join(doomed2, on=id_col, how="left_anti")
     )
 
 
@@ -933,7 +967,7 @@ def coarse_train_cosine(
                     np.full(dim, np.nan) if v is None else np.asarray(v)
                     for v in pdf.iloc[:, 0].to_numpy()
                 ]).astype(np.float64)
-                cells, finite = _cell_assign_batch(V, Cb, cn)
+                cells, finite, _nv = _cell_assign_batch(V, Cb, cn)
                 V, cells = V[finite], cells[finite]
                 np.add.at(cnt, cells, 1)
                 np.add.at(sums, cells, V)
@@ -968,7 +1002,8 @@ def _cell_assign_batch(V, C, cn):
     ``IVFPQIndex._with_residual`` call this — the bit-parity between
     encoding, residual training, and the Catalyst expression form is a
     pinned property, so the logic must not fork. Returns
-    ``(cells, finite)``."""
+    ``(cells, finite, norms)`` — norms with the same ascending fold, so
+    callers never rebuild the loop."""
     import numpy as np
 
     n = V.shape[0]
@@ -987,7 +1022,7 @@ def _cell_assign_batch(V, C, cn):
         safe = np.where(np.isnan(sims), -np.inf, sims)
         cells = np.argmax(safe, axis=1)
         cells[~finite] = 0
-    return cells, finite
+    return cells, finite, nv
 
 
 def vector_covariance(df: DataFrame, vec_col: str = "__resid__",
@@ -1312,7 +1347,7 @@ class IVFPQIndex:
                     for v in pdf[vec_col].to_numpy()
                 ]).astype(np.float64) if len(pdf) else np.zeros((0, dim))
                 n = V.shape[0]
-                cells, finite = _cell_assign_batch(V, C, cn)
+                cells, finite, _nv = _cell_assign_batch(V, C, cn)
                 R = V - C[cells]
                 if Rot is not None:
                     R = R @ Rot.T
@@ -1383,7 +1418,7 @@ class IVFPQIndex:
                     for v in pdf[vec_col].to_numpy()
                 ]).astype(np.float64) if len(pdf) else np.zeros((0, dim))
                 n = V.shape[0]
-                cells, finite = _cell_assign_batch(V, C, cn)
+                cells, finite, _nv = _cell_assign_batch(V, C, cn)
                 R = V - C[cells]
                 if Rot is not None:
                     R = R @ Rot.T

@@ -1375,8 +1375,10 @@ def pack_sequences(spark, sf_dir):
 
 @query(
     "pack_efficiency",
-    # per-bin occupancy: every doc charges each bin it overlaps with the
-    # clipped span; basis-point fill in exact integer arithmetic
+    # per-START-bin audit (bin_stats): token load vs budget in exact
+    # basis points, plus the count of docs crossing the bin boundary
+    # (fragmentation under concat-and-chunk, where token waste is zero
+    # by construction)
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
@@ -1388,41 +1390,32 @@ def pack_sequences(spark, sf_dir):
              CAST(SUM(n) OVER (ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) - n AS BIGINT) AS s
-      FROM t WHERE n > 0
-    ),
-    spans AS (
-      SELECT p.n, p.s, bin FROM p,
-             unnest(range(s // 2048, (s + n - 1) // 2048 + 1)) AS u(bin)
-    ),
-    per_bin AS (
-      SELECT bin,
-             SUM(LEAST(s + n, (bin + 1) * 2048)
-                 - GREATEST(s, bin * 2048)) AS tok,
-             COUNT(*) AS n_docs
-      FROM spans GROUP BY bin
+      FROM t
     )
-    SELECT CAST(bin AS BIGINT) AS bin_id,
-           n_docs,
-           CAST(tok * 10000 // 2048 AS BIGINT) AS fill_bp,
-           bin = (SELECT MAX(bin) FROM per_bin) AS is_final_partial
-    FROM per_bin
+    SELECT CAST(s // 2048 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n) * 10000 // 2048 AS BIGINT) AS fill_bp,
+           CAST(SUM(CASE WHEN s + n > (s // 2048 + 1) * 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+    FROM p GROUP BY 1
     """,
 )
 def pack_efficiency(spark, sf_dir):
-    """Packing-efficiency audit (operators/packing.packing_efficiency):
-    per-bin basis-point fill and document counts over the packed
-    corpus — the padding-waste number a pre-training pipeline tunes.
-    Docs spanning bins charge each bin their clipped span; the final
-    partial bin is flagged so waste summaries can exclude it. One
-    explode + one partial+final aggregate — bins-many result rows at
-    any corpus size."""
+    """Packing audit (operators/packing.bin_stats): per start-bin token
+    load vs budget (exact basis points; >10000 = the bin overflows and
+    truncates/spills, <10000 = padding if bins pad out) and the
+    fragmentation count (docs crossing the bin boundary — the real
+    cost under concat-and-chunk, where token-level waste is zero by
+    construction). One partial+final aggregate; bins-many rows at any
+    corpus size."""
     from lazy_frame_spark.operators.packing import (
+        bin_stats as _stats,
         pack_sequences as _pack,
-        packing_efficiency as _eff,
     )
 
     packed = _pack(_table(spark, sf_dir, "documents"), budget_tokens=2048)
-    return _eff(packed, budget_tokens=2048)
+    return _stats(packed, budget_tokens=2048)
 
 
 @query(

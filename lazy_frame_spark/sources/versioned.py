@@ -472,7 +472,40 @@ def cluster_versioned(
     df = spark.read.parquet(
         *[os.path.join(path, rel) for rel in prev["files"]]
     )
-    out = zorder_layout(df, cols, bits=bits,
+    # z_value's caller contract (layout.py): non-negative ints that fit
+    # in `bits` — raw table columns (arbitrary magnitude, sign, dates)
+    # violate it silently (values mask to their low bits and the
+    # promised min/max tightening never happens). Scale each column
+    # into [0, 2^bits) from its min/max — ONE aggregate, a 1-row
+    # driver scalar; skew makes buckets uneven, never wrong (ordering
+    # within a bucket is free variation, the z-interval property holds)
+    span_max = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        num = F.col(c).cast("double")
+        aggs += [F.min(num).alias(f"__lo_{c}__"),
+                 F.max(num).alias(f"__hi_{c}__")]
+    bounds = df.agg(*aggs).collect()[0]
+    surrogates = []
+    for c in cols:
+        lo = bounds[f"__lo_{c}__"]
+        hi = bounds[f"__hi_{c}__"]
+        num = F.col(c).cast("double")
+        if lo is None or hi is None or hi <= lo:
+            surrogates.append(F.lit(0).cast("bigint"))
+        else:
+            scaled = F.floor(
+                (num - F.lit(float(lo)))
+                * F.lit(float(span_max) / (hi - lo))
+            ).cast("bigint")
+            surrogates.append(
+                F.coalesce(
+                    F.least(F.greatest(scaled, F.lit(0)),
+                            F.lit(span_max)),
+                    F.lit(0),
+                )
+            )
+    out = zorder_layout(df, surrogates, bits=bits,
                         num_partitions=num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)

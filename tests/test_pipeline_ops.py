@@ -3001,24 +3001,26 @@ def test_semantic_dedup_rules_and_cell_scoping(spark):
 
 
 def test_packing_efficiency_spans_and_fill(spark):
-    """packing_efficiency: docs spanning bins charge each bin their
-    clipped token span; fills are exact basis points; the final bin is
-    flagged partial; zero-token docs charge nothing."""
-    from lazy_frame_spark.operators.packing import packing_efficiency
+    """bin_stats: docs charge the bin they START in, fills are exact
+    basis points vs the budget (overflow >10000 allowed), and
+    n_split_docs counts boundary-crossing docs (fragmentation)."""
+    from lazy_frame_spark.operators.packing import bin_stats
 
-    # budget 10: doc A tokens 0..7 (bin 0), doc B 7..19 (bins 0 and 1),
-    # doc C 19..23 (bins 1 and 2), doc D empty
+    # budget 10: doc A tokens 0..7 (bin 0), doc B 7..19 (starts bin 0,
+    # crosses), doc C 19..23 (starts bin 1, crosses), doc D empty
     packed = spark.createDataFrame(
         [(1, 7, 0, 0), (2, 12, 7, 0), (3, 4, 19, 1), (4, 0, 23, 2)],
         "doc_id long, n_tokens bigint, start_offset bigint, bin_id bigint",
     )
     rows = {r["bin_id"]: r for r in
-            packing_efficiency(packed, budget_tokens=10).collect()}
-    assert rows[0]["n_docs"] == 2 and rows[0]["fill_bp"] == 10000
-    assert rows[1]["n_docs"] == 2 and rows[1]["fill_bp"] == 10000
-    assert rows[2]["n_docs"] == 1 and rows[2]["fill_bp"] == 3000
-    assert [rows[b]["is_final_partial"] for b in (0, 1, 2)] == \
-        [False, False, True]
+            bin_stats(packed, budget_tokens=10).collect()}
+    assert rows[0]["n_docs"] == 2 and rows[0]["n_tokens"] == 19
+    assert rows[0]["fill_bp"] == 19000          # overflow visible
+    assert rows[0]["n_split_docs"] == 1         # doc B crosses
+    assert rows[1]["n_docs"] == 1 and rows[1]["fill_bp"] == 4000
+    assert rows[1]["n_split_docs"] == 1         # doc C crosses
+    assert rows[2]["n_docs"] == 1 and rows[2]["n_tokens"] == 0
+    assert rows[2]["n_split_docs"] == 0
 
 
 def test_semantic_dedup_arrow_assignment_bit_parity(spark, sf_dir):
@@ -3041,9 +3043,23 @@ def test_semantic_dedup_arrow_assignment_bit_parity(spark, sf_dir):
     arrow = {
         r["vec_id"]: (r["__ivf_cell__"], r["__sd_n__"])
         for r in sim._with_cells_arrow(
-            e, idx.centroids, "vec_id", "__sd_v__").collect()
+            e, idx.centroids, "__sd_v__").collect()
     }
     assert expr == arrow  # exact: same cells, bit-identical norms
+
+    # NULL contract parity: a NULL vector gets cell 0 + NULL norm (not
+    # NaN) on BOTH paths; a NaN-element vector gets cell 0 + NaN norm
+    import math
+
+    weird = e.limit(0).sparkSession.createDataFrame(
+        [(9001, None), (9002, [float("nan")] * 64)],
+        "vec_id long, __sd_v__ array<double>",
+    )
+    got = {r["vec_id"]: (r["__ivf_cell__"], r["__sd_n__"])
+           for r in sim._with_cells_arrow(
+               weird, idx.centroids, "__sd_v__").collect()}
+    assert got[9001] == (0, None)
+    assert got[9002][0] == 0 and math.isnan(got[9002][1])
 
 
 def test_semantic_dedup_against_frozen_geometry(spark):

@@ -1447,8 +1447,13 @@ def test_versioned_cluster_commit_tightens_file_stats(spark, tmp_path):
     from lazy_frame_spark.sources import versioned as V
 
     t = str(tmp_path / "vcluster")
+    # x is HIGH-CARDINALITY (up to ~4M >> 2^16) and offset negative:
+    # the raw values violate z_value's bucketed-domain contract, so
+    # clustering must min/max-scale them first or the promised
+    # tightening silently never happens (review finding)
     df = spark.createDataFrame(
-        [(i, (i * 7919) % 1000, float(i)) for i in range(4000)],
+        [(i, ((i * 7919) % 1000) * 4096 - 2_000_000, float(i))
+         for i in range(4000)],
         "k long, x long, v double",
     ).repartition(8)  # shuffled: every file spans ~the whole x domain
     V.write_versioned(df, t)
@@ -1482,7 +1487,7 @@ def test_versioned_cluster_commit_tightens_file_stats(spark, tmp_path):
     import pytest
 
     V.append_versioned(spark.createDataFrame(
-        [(9999, 5, 1.0)], "k long, x long, v double"), t)
+        [(9999, -5, 1.0)], "k long, x long, v double"), t)
     with pytest.raises(ValueError, match="cluster"):
         V.appended_since(spark, t, 1)
     assert V.appended_since(spark, t, 2).count() == 1

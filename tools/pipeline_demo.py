@@ -266,7 +266,7 @@ def main() -> int:
     write_versioned(epoch1, corpus_tbl)                          # v1
     # epoch 2: the held-out docs arrive "next crawl"; half are exact
     # re-fetches of epoch 1 (must dedup against the snapshot)
-    refetch = epoch1.limit(20)
+    refetch = epoch1.orderBy("doc_id").limit(20)  # deterministic
     novel_src = split.filter(F.col("split") != "train").select("doc_id", "text")
     epoch2 = novel_src.unionByName(refetch)
     novel = dedup_against(epoch2, read_versioned(spark, corpus_tbl, 1),
