@@ -2510,7 +2510,7 @@ def test_coarse_train_cosine_properties(spark):
     # _cell_assign_batch exactly (training used the same code)
     C = np.asarray(prev, dtype=np.float64)
     cn = np.sqrt((C * C).sum(axis=1))
-    cells, finite = _cell_assign_batch(V, C, cn)
+    cells, finite, _nv = _cell_assign_batch(V, C, cn)
     assert finite.all()
     assert set(cells[:60]) == {0} and set(cells[60:]) == {1}
 
