@@ -455,7 +455,14 @@ def semantic_dedup_against(
     store them — the cell is partition-prunable) instead of
     re-assigning per increment. ``persist_cells=True`` pins both
     assigned frames for the duration of the plan; the caller releases
-    them (spark.catalog.clearCache() or a persist manager)."""
+    them (spark.catalog.clearCache() or a persist manager).
+
+    Measured crossover (SCALE.md round 10, 10k batch / 256 cells):
+    below ~a-few-hundred-k corpus vectors just re-dedup the union with
+    ``semantic_dedup`` — this function's extra shuffles cost more than
+    the pair savings (21 vs 17 s at 100k). Above it the incremental
+    path wins and diverges (65 vs 165 s at 400k): full dedup's pairs
+    grow with corpus², the increment's with corpus × batch."""
     idx = index if index is not None else IVFIndex.fit_deterministic(
         corpus, k=n_cells, vec_col=vec_col, id_col=id_col
     )
