@@ -225,6 +225,42 @@ def _banded_signatures(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _prune_hot_buckets(
+    banded: DataFrame, keys: Sequence[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket_size`` members
+    before the pair join — the banded-join analog of the token-DF prune
+    in ``ngram_jaccard_pairs`` (``max_token_df``). A degenerate bucket
+    (empty documents, boilerplate that collapses to one signature) goes
+    QUADRATIC inside the equi-join: a bucket of 100k docs contributes
+    100k² candidate rows regardless of how uniform the other buckets
+    are, and at 100 TB that single straggler task is the job. Buckets
+    above the cap are dropped entirely via a left_anti against the hot
+    set; the hot set is by construction small (at most
+    ``rows / max_bucket_size`` buckets), so AQE broadcasts the anti join
+    at runtime — no full reshuffle of the banded frame.
+
+    Recall note: members of a dropped bucket can still pair through
+    their OTHER bands (minhash has ``N_BANDS`` chances; simhash
+    ``max_hamming + 1``), so only pairs whose every shared band is
+    degenerate are lost — exactly the boilerplate/empty-doc cohort the
+    cap exists to excise. ``None`` (the default) disables the guard and
+    preserves exact historical semantics; production corpora should set
+    it to a few thousand (pair work per bucket is size², so 4096 caps a
+    bucket's contribution at ~16.7M comparisons)."""
+    if max_bucket_size is None:
+        return banded
+    if max_bucket_size < 1:
+        raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bsz__"))
+        .filter(F.col("__bsz__") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(hot, on=list(keys), how="left_anti")
+
+
 def _sig_agreement() -> Column:
     """Fraction of agreeing components between the two carried signature
     arrays of a candidate row (aliased sides a/b)."""
@@ -236,7 +272,11 @@ def _sig_agreement() -> Column:
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket, with
     the estimated Jaccard = fraction of agreeing signature components.
@@ -246,12 +286,18 @@ def minhash_candidate_pairs(
     explode+aggregate pipeline 4-5× dominated the runtime before. One row
     per document (12 longs), so caching it is cheap at any scale; a
     100 TB pipeline would persist signatures to a table anyway. The pin
-    replaces the previous invocation's cache (see ``release_sketches``)."""
+    replaces the previous invocation's cache (see ``release_sketches``).
+
+    ``max_bucket_size`` caps degenerate LSH buckets before the pair join
+    (see ``_prune_hot_buckets``) — the guard against the one quadratic
+    hazard in this plan; ``None`` keeps exact historical semantics."""
     sig = _pin("minhash_sig", minhash_signatures(df, text_col, id_col, shingle_n))
     # carry the signature THROUGH the band explode: the est-Jaccard is
     # computable on the candidate row itself — two shuffles total (band
     # join + pair dedup) instead of four (join + distinct + two re-joins)
-    bb = _banded_signatures(sig, id_col)
+    bb = _prune_hot_buckets(
+        _banded_signatures(sig, id_col), ("band", "bucket"), max_bucket_size
+    )
     a, b = bb.alias("a"), bb.alias("b")
     cand = a.join(
         b,
@@ -310,6 +356,7 @@ def simhash_pairs(
     max_hamming: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -318,7 +365,12 @@ def simhash_pairs(
     has at most ``max_hamming`` flipped bits, so by pigeonhole at least
     one chunk matches exactly — the (chunk_idx, chunk_value) equi-join
     has 100% recall, and the full distance is re-verified afterwards so
-    precision is exact. No cross join at any scale."""
+    precision is exact. No cross join at any scale.
+
+    ``max_bucket_size`` caps degenerate chunk buckets before the pair
+    join (``_prune_hot_buckets``); note that with the cap set, recall is
+    100% only for pairs not confined to dropped buckets — the intended
+    trade (the dropped cohort is the empty/boilerplate pile)."""
     sh = _pin("simhash_sketch", simhash(df, text_col, id_col))
     widths = simhash_band_widths(max_hamming)
     offsets = [sum(widths[:i]) for i in range(len(widths))]
@@ -334,6 +386,7 @@ def simhash_pairs(
     banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
+    banded = _prune_hot_buckets(banded, ("ci", "cv"), max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -559,6 +612,7 @@ def incremental_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Match a NEW batch of documents against an existing corpus WITHOUT
     touching the old corpus text: only its persisted MinHash signature
@@ -567,10 +621,32 @@ def incremental_near_dups(
     Returns (new_id, old_id, est_jaccard) for candidate pairs whose
     signature agreement ≥ min_est_jaccard. New-corpus signatures can then
     be appended to the signature table; rows with no match are novel.
+
+    ``max_bucket_size`` caps degenerate buckets by their COMBINED
+    population across both sides (the join blowup is
+    ``|new ∩ bucket| × |corpus ∩ bucket|``, so a bucket hot on either
+    side is pruned from both — ``_prune_hot_buckets`` on the union).
+    For a standing pipeline this matters doubly: a boilerplate bucket in
+    the corpus signature table is re-joined by EVERY future batch.
     """
     new_sig = _pin("incremental_sig", minhash_signatures(new_docs, text_col, id_col))
-    a = _banded_signatures(new_sig, id_col).alias("a")
-    b = _banded_signatures(existing_signatures, id_col).alias("b")
+    ba = _banded_signatures(new_sig, id_col)
+    bb_ = _banded_signatures(existing_signatures, id_col)
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+        hot = (
+            ba.select("band", "bucket")
+            .unionAll(bb_.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz__"))
+            .filter(F.col("__bsz__") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        ba = ba.join(hot, on=["band", "bucket"], how="left_anti")
+        bb_ = bb_.join(hot, on=["band", "bucket"], how="left_anti")
+    a = ba.alias("a")
+    b = bb_.alias("b")
     cand = a.join(
         b,
         (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),

@@ -771,6 +771,73 @@ def test_simhash_banded_recall_vs_bruteforce(spark, sf_dir):
         assert banded == brute
 
 
+@pytest.fixture(scope="module")
+def docs_with_boilerplate(spark, docs):
+    """The docs fixture plus 40 byte-identical boilerplate documents —
+    they collapse into ONE LSH bucket in every band (the degenerate-
+    bucket shape: empty pages, license headers, nav chrome)."""
+    boiler = [(100 + i, "all rights reserved copyright notice page intentionally "
+                        "left blank terms of service apply " * 3) for i in range(40)]
+    extra = spark.createDataFrame(boiler, "doc_id long, text string")
+    return docs.unionByName(extra)
+
+
+def test_minhash_hot_bucket_guard(docs_with_boilerplate):
+    """max_bucket_size drops the degenerate bucket's quadratic pair set
+    while pairs in healthy buckets survive untouched."""
+    unguarded = dd.minhash_candidate_pairs(docs_with_boilerplate).collect()
+    un_pairs = {(r["doc_a"], r["doc_b"]) for r in unguarded}
+    # the 40 identical docs contribute 40*39/2 = 780 pairs unguarded
+    boiler_pairs = {p for p in un_pairs if p[0] >= 100 and p[1] >= 100}
+    assert len(boiler_pairs) == 780
+    guarded = dd.minhash_candidate_pairs(
+        docs_with_boilerplate, max_bucket_size=10
+    ).collect()
+    g_pairs = {(r["doc_a"], r["doc_b"]) for r in guarded}
+    assert not {p for p in g_pairs if p[0] >= 100 and p[1] >= 100}
+    assert (0, 2) in g_pairs and (1, 3) in g_pairs  # healthy buckets intact
+    # everything the guard kept matches the unguarded result exactly
+    assert g_pairs == un_pairs - boiler_pairs
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dd.minhash_candidate_pairs(docs_with_boilerplate, max_bucket_size=0).count()
+
+
+def test_simhash_hot_bucket_guard(docs_with_boilerplate):
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_pairs(docs_with_boilerplate, max_hamming=4).collect()
+    }
+    assert len({p for p in unguarded if p[0] >= 100 and p[1] >= 100}) == 780
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_pairs(
+            docs_with_boilerplate, max_hamming=4, max_bucket_size=10
+        ).collect()
+    }
+    assert not {p for p in guarded if p[0] >= 100 and p[1] >= 100}
+    assert guarded == {p for p in unguarded if not (p[0] >= 100 and p[1] >= 100)}
+
+
+def test_incremental_near_dups_hot_bucket_guard(spark, docs_with_boilerplate):
+    """The combined-population cap prunes a bucket hot across the corpus
+    signature table + new batch, while a genuine near-dup still matches."""
+    old_sigs = dd.minhash_signatures(docs_with_boilerplate)
+    new_batch = spark.createDataFrame(
+        [(200, BASE.replace("fox", "wolf")),
+         (201, "all rights reserved copyright notice page intentionally "
+               "left blank terms of service apply " * 3)],
+        "doc_id long, text string",
+    )
+    unguarded = dd.incremental_near_dups(new_batch, old_sigs).collect()
+    assert sum(1 for r in unguarded if r["new_id"] == 201) == 40
+    guarded = dd.incremental_near_dups(
+        new_batch, old_sigs, max_bucket_size=10
+    ).collect()
+    matched = {(r["new_id"], r["old_id"]) for r in guarded}
+    assert (200, 0) in matched
+    assert all(n != 201 for n, _ in matched)
+
+
 def test_sketch_persist_lifecycle(spark, docs):
     """Repeated sketch-based calls must not accumulate cached blocks: each
     invocation replaces its predecessor's pin; release_sketches() drops
