@@ -5723,6 +5723,54 @@ def sink_cluster_layout(spark, sf_dir):
 
 
 @query(
+    "sink_cluster_increment",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_orderkey <= 4000
+    """,
+)
+def sink_cluster_increment(spark, sf_dir):
+    """Incremental re-clustering (sources/versioned.cluster_increment):
+    after a full Z-order commit, appended tails land in ingest order —
+    the maintenance loop re-lays-out ONLY the unclustered tail and
+    carries the clustered body BY REFERENCE (asserted here: the body's
+    relative paths appear verbatim in the new manifest, so zero bytes
+    of the corpus body moved). The graded result is the full
+    post-increment read — value-identical to the source rows. At
+    100 TB this is the difference between a nightly O(increment)
+    OPTIMIZE and an O(corpus) rewrite."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vclinc_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    V.write_versioned(
+        li.filter(F.col("l_orderkey") <= 3000).repartition(8), t
+    )
+    V.cluster_versioned(spark, t, ["l_orderkey", "l_partkey"],
+                        num_partitions=8)
+    body = set(V._read_manifest(t, 2)["files"])
+    V.append_versioned(
+        li.filter((F.col("l_orderkey") > 3000)
+                  & (F.col("l_orderkey") <= 4000)).repartition(4), t
+    )
+    v, stats = V.cluster_increment(spark, t, ["l_orderkey", "l_partkey"],
+                                   num_partitions=4)
+    man = set(V._read_manifest(t, v)["files"])
+    if not (body <= man):
+        raise AssertionError("clustered body was rewritten, not carried")
+    if stats["files_carried"] != len(body):
+        raise AssertionError(f"carried {stats['files_carried']} != {len(body)}")
+    return V.read_versioned(spark, t)
+
+
+@query(
     "ingest_gz_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
 )
@@ -8721,10 +8769,12 @@ DRIVER_WINDOW: list[str] = [
     # (MIN_OF_3), and text keeps four window reps. Its slot funds
     # view_versioned_increment below.)
     # round-8 late additions (zero-debt): compression-ratio quality
-    # signal, script/homoglyph profile, sentence chunking
+    # signal, script/homoglyph profile
+    # (text_sentence_chunks rotated past the cap in round 11 — green
+    # rounds 8-10; the chunker stays locally checked and text keeps
+    # three window reps. Its slot funds sink_cluster_increment below.)
     "text_compression_ratio",
     "text_script_profile",
-    "text_sentence_chunks",
     # mergeable sketches (round-10 rotation: sketch_theta_setops past
     # the cap after green rounds 7-9 — the CMS row keeps the sketch
     # category's driver rep, theta stays locally checked — funding the
@@ -8828,6 +8878,11 @@ DRIVER_WINDOW: list[str] = [
     # — manifest commits, file-grain copy-on-write delete, zero-copy
     # restore (slot funded by lf_row_range)
     "sink_time_travel",
+    # round-11 addition lands in-window the round it ships (zero-debt):
+    # incremental re-clustering — the O(increment) OPTIMIZE loop; the
+    # row itself asserts the clustered body is carried by reference
+    # (slot funded by text_sentence_chunks)
+    "sink_cluster_increment",
     # (layout_hilbert + graph_pagerank rotated past the cap in round 8
     # after four green rounds each, rounds 4-7 — both stay registered
     # and locally checked; their slots fund the round-7 late additions)

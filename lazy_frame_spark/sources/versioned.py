@@ -76,6 +76,7 @@ __all__ = [
     "restore_versioned",
     "compact_versioned",
     "cluster_versioned",
+    "cluster_increment",
     "read_versioned",
     "history",
     "latest_version",
@@ -442,43 +443,13 @@ def compact_versioned(
                "files_written": len(new_files)}
 
 
-def cluster_versioned(
-    spark: SparkSession,
-    path: str,
-    cols: list[str],
-    num_partitions: int | None = None,
-    bits: int = 16,
-) -> tuple[int, dict]:
-    """Re-layout the CURRENT version Z-ordered on ``cols`` as a commit
-    (action ``cluster``) — logically a no-op (same rows, same schema),
-    physically the data-skipping win: each rewritten file covers a
-    compact z-interval, so its parquet min/max stats are tight in EVERY
-    clustered dimension and predicate pushdown prunes files/row-groups
-    on any of them. Like compaction, doing it as a manifest commit
-    makes the maintenance crash-safe, auditable, and time-travel-
-    preserving (pre-cluster versions keep their old files until
-    vacuumed). At 100 TB, cluster INCREMENTALLY: restrict to the
-    recent unclustered tail via ``appended_since`` + append the
-    re-laid-out increment, rather than rewriting the corpus. Returns
-    ``(version, stats)``."""
-    from lazy_frame_spark.operators.layout import zorder_layout
-
-    parent = latest_version(path)
-    if parent is None:
-        raise FileNotFoundError(f"no versioned table at {path}")
-    prev = _read_manifest(path, parent)
-    if not prev["files"]:
-        return parent, {"files_in": 0, "files_out": 0}
-    df = spark.read.parquet(
-        *[os.path.join(path, rel) for rel in prev["files"]]
-    )
-    # z_value's caller contract (layout.py): non-negative ints that fit
-    # in `bits` — raw table columns (arbitrary magnitude, sign, dates)
-    # violate it silently (values mask to their low bits and the
-    # promised min/max tightening never happens). Scale each column
-    # into [0, 2^bits) from its min/max — ONE aggregate, a 1-row
-    # driver scalar; skew makes buckets uneven, never wrong (ordering
-    # within a bucket is free variation, the z-interval property holds)
+def _minmax_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
+    """Legacy linear scaling of each column into [0, 2^bits) from its
+    min/max — ONE aggregate, a 1-row driver scalar. Correct but
+    skew-blind: one outlier stretches the domain so the dense mass
+    collapses into a handful of buckets and the z-interval tightening
+    silently degrades (the quantile path is the default for exactly
+    this reason)."""
     span_max = (1 << bits) - 1
     aggs = []
     for c in cols:
@@ -505,13 +476,191 @@ def cluster_versioned(
                     F.lit(0),
                 )
             )
-    out = zorder_layout(df, surrogates, bits=bits,
-                        num_partitions=num_partitions)
+    return surrogates
+
+
+def _quantile_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
+    """Sampled-quantile bucketing (the Delta OPTIMIZE approach): each
+    column maps to its equi-DEPTH bucket id, so buckets hold near-equal
+    row counts regardless of value skew — an outlier gets its own top
+    bucket instead of stretching everyone else's into bucket 0. One
+    ``percentile_approx`` aggregate covers every column (1-row driver
+    scalar, same cost class as the min/max pass); the per-row mapping
+    is a FLAT codegen'd sum of boundary comparisons
+    (``Σ (v >= b_i)`` — no when-chain, no higher-order function, so it
+    stays inside whole-stage codegen). 256 buckets per column bound the
+    expression at 255 compares/row — resolution far above any real
+    file count, and duplicate quantiles on heavy values dedupe away
+    (ties share a bucket, which is the only honest answer)."""
+    nq = min(1 << bits, 256)
+    probs = F.array(*[F.lit(i / nq) for i in range(1, nq)])
+    aggs = [
+        F.percentile_approx(F.col(c).cast("double"), probs, 10_000).alias(
+            f"__q_{c}__"
+        )
+        for c in cols
+    ]
+    qrow = df.agg(*aggs).collect()[0]
+    surrogates = []
+    for c in cols:
+        cuts = sorted({float(x) for x in (qrow[f"__q_{c}__"] or [])
+                       if x is not None})
+        num = F.col(c).cast("double")
+        if not cuts:
+            surrogates.append(F.lit(0).cast("bigint"))
+        else:
+            bucket = sum(
+                ((num >= F.lit(b)).cast("int") for b in cuts),
+                F.lit(0),
+            )
+            surrogates.append(F.coalesce(bucket.cast("bigint"), F.lit(0)))
+    return surrogates
+
+
+def cluster_versioned(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    num_partitions: int | None = None,
+    bits: int = 16,
+    scaling: str = "quantile",
+) -> tuple[int, dict]:
+    """Re-layout the CURRENT version Z-ordered on ``cols`` as a commit
+    (action ``cluster``) — logically a no-op (same rows, same schema),
+    physically the data-skipping win: each rewritten file covers a
+    compact z-interval, so its parquet min/max stats are tight in EVERY
+    clustered dimension and predicate pushdown prunes files/row-groups
+    on any of them. Like compaction, doing it as a manifest commit
+    makes the maintenance crash-safe, auditable, and time-travel-
+    preserving (pre-cluster versions keep their old files until
+    vacuumed). At 100 TB, cluster INCREMENTALLY: restrict to the
+    recent unclustered tail via ``appended_since`` + append the
+    re-laid-out increment, rather than rewriting the corpus. Returns
+    ``(version, stats)``.
+
+    z_value's caller contract (layout.py) wants non-negative ints that
+    fit in ``bits`` — raw table columns (arbitrary magnitude, sign,
+    dates) violate it silently. ``scaling`` picks the surrogate:
+    ``"quantile"`` (default) buckets each column by sampled equi-depth
+    quantiles so skewed columns still bucket EVENLY — on a column
+    where 1% outliers stretch the domain 10^6×, linear scaling parks
+    99% of rows in one z-cell and the tightening never happens
+    (measured: tests/test_sources_sinks.py, skewed fixture);
+    ``"minmax"`` keeps the legacy linear scale (marginally cheaper
+    aggregate, fine for uniform domains)."""
+    from lazy_frame_spark.operators.layout import zorder_layout
+
+    if scaling not in ("quantile", "minmax"):
+        raise ValueError(f"scaling must be 'quantile' or 'minmax', got {scaling!r}")
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    if not prev["files"]:
+        return parent, {"files_in": 0, "files_out": 0}
+    df = spark.read.parquet(
+        *[os.path.join(path, rel) for rel in prev["files"]]
+    )
+    surrogate_fn = (
+        _quantile_surrogates if scaling == "quantile" else _minmax_surrogates
+    )
+    surrogates = surrogate_fn(df, cols, bits)
+    # materialize surrogates as NAMED columns before z_value: the
+    # interleave references its input once per bit, so passing a wide
+    # expression (the quantile path's flat comparison sum) inline
+    # duplicates it bits× inside one tree and overflows the analyzer —
+    # as attributes the tree stays flat and codegen shares the compute
+    names = [f"__zs{i}__" for i in range(len(surrogates))]
+    staged = df.withColumns(dict(zip(names, surrogates)))
+    out = zorder_layout(staged, names, bits=bits,
+                        num_partitions=num_partitions).drop(*names)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
     v = _commit(path, "cluster", new_files, prev["schema"], parent,
-                {"cluster_cols": list(cols)})
+                {"cluster_cols": list(cols), "cluster_scaling": scaling})
     return v, {"files_in": len(prev["files"]),
+               "files_out": len(new_files)}
+
+
+def cluster_increment(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    since: int | None = None,
+    num_partitions: int | None = None,
+    bits: int = 16,
+    scaling: str = "quantile",
+) -> tuple[int, dict]:
+    """Incremental re-clustering — the 100 TB maintenance loop the
+    ``cluster_versioned`` docstring prescribes: appends after the last
+    cluster commit land in ingest order, so periodically re-layout ONLY
+    that unclustered tail and carry every already-clustered file BY
+    REFERENCE (zero data movement for the corpus body). ``since``
+    defaults to the newest ``cluster`` commit; the chain after it must
+    be append-only (same exactness condition as ``appended_since`` — a
+    delete/restore in between moves old rows, so the file diff would
+    re-cluster rows it shouldn't), otherwise ValueError directs the
+    caller to a full ``cluster_versioned``.
+
+    The commit is logically a no-op (action ``cluster``, extras record
+    the tail base), so downstream ``appended_since`` consumers should
+    checkpoint at cluster commits like any other non-append action.
+    Tail quantile boundaries are computed on the tail itself — each
+    increment is internally tight; cross-increment file overlap is the
+    accepted trade (Delta's OPTIMIZE makes the same one) and a periodic
+    full re-cluster resets it. Returns ``(version, stats)`` with
+    ``files_carried`` / ``files_tail_in`` / ``files_out``."""
+    from lazy_frame_spark.operators.layout import zorder_layout
+
+    if scaling not in ("quantile", "minmax"):
+        raise ValueError(f"scaling must be 'quantile' or 'minmax', got {scaling!r}")
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if since is None:
+        since = next(
+            (v for v in reversed(_versions(path))
+             if _read_manifest(path, v)["action"] == "cluster"),
+            None,
+        )
+        if since is None:
+            raise ValueError(
+                "no prior cluster commit to increment from — run "
+                "cluster_versioned(...) once, then cluster_increment "
+                "maintains the tail"
+            )
+    prev = _read_manifest(path, parent)
+    base = _read_manifest(path, since)
+    for mid in range(since + 1, parent + 1):
+        action = _read_manifest(path, mid)["action"]
+        if action != "append":
+            raise ValueError(
+                f"version {mid} is a '{action}' commit — the tail file "
+                "diff is only exact over append-only chains; run a full "
+                "cluster_versioned instead"
+            )
+    base_set = set(base["files"])
+    carried = [f for f in prev["files"] if f in base_set]
+    tail = sorted(set(prev["files"]) - base_set)
+    if not tail:
+        return parent, {"files_carried": len(carried),
+                        "files_tail_in": 0, "files_out": 0}
+    df = spark.read.parquet(*[os.path.join(path, rel) for rel in tail])
+    surrogate_fn = (
+        _quantile_surrogates if scaling == "quantile" else _minmax_surrogates
+    )
+    surrogates = surrogate_fn(df, cols, bits)
+    names = [f"__zs{i}__" for i in range(len(surrogates))]
+    staged = df.withColumns(dict(zip(names, surrogates)))
+    out = zorder_layout(staged, names, bits=bits,
+                        num_partitions=num_partitions).drop(*names)
+    version = parent + 1
+    new_files = _write_data_dir(out, path, version)
+    v = _commit(path, "cluster", carried + new_files, prev["schema"], parent,
+                {"cluster_cols": list(cols), "cluster_scaling": scaling,
+                 "cluster_since": since})
+    return v, {"files_carried": len(carried),
+               "files_tail_in": len(tail),
                "files_out": len(new_files)}
 
 
@@ -598,7 +747,9 @@ def history(path: str) -> list[dict]:
             "n_files": len(man["files"]),
             "rows": man.get("rows"),
             **{k: man[k] for k in ("predicate", "restored_from",
-                                   "cluster_cols", "stream_batch_id")
+                                   "cluster_cols", "cluster_scaling",
+                                   "cluster_since", "stream_batch_id",
+                                   "stream_id")
                if k in man},
         })
     return out
@@ -618,9 +769,20 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
     replayed epoch — duplicate rows under an exactly-once contract).
 
     Run with NO CONCURRENT WRITER: an in-flight commit that has renamed
-    its attempt dir but not yet published looks exactly like debris."""
+    its attempt dir but not yet published looks exactly like debris.
+
+    ``keep_last`` must be >= 1: 0 would delete every manifest AND every
+    data file — including the latest committed state — leaving the
+    table unreadable behind an innocuous-looking parameter value.
+    Deleting a table is ``shutil.rmtree``, not a vacuum."""
     import shutil
 
+    if keep_last is not None and keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): vacuuming to zero "
+            "retained versions deletes the latest committed state and "
+            "bricks the table; rmtree the table dir to delete it"
+        )
     vs = _versions(path)
     data_dir = os.path.join(path, "data")
     all_referenced: set[str] = set()
@@ -637,7 +799,7 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
                 removed_tmp += 1
     dropped_manifests, dropped_files = 0, 0
     if keep_last is not None and len(vs) > keep_last:
-        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        keep = set(vs[-keep_last:])
         referenced: set[str] = set()
         for v in keep:
             referenced.update(_read_manifest(path, v)["files"])

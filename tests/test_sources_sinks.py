@@ -1219,6 +1219,10 @@ def test_versioned_stream_writer_exactly_once(spark, tmp_path):
     got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
     assert got == list(range(17))
     assert [h.get("rows") for h in V.history(t)] == [10, 14, 17]
+    # the audit log attributes every ingest epoch to its stream
+    assert [(h.get("stream_id"), h.get("stream_batch_id"))
+            for h in V.history(t)] == [("default", 0), ("default", 1),
+                                       ("default", 2)]
 
 
 def test_versioned_appended_since(spark, tmp_path):
@@ -1491,3 +1495,119 @@ def test_versioned_cluster_commit_tightens_file_stats(spark, tmp_path):
     with pytest.raises(ValueError, match="cluster"):
         V.appended_since(spark, t, 1)
     assert V.appended_since(spark, t, 2).count() == 1
+
+
+def test_versioned_cluster_increment(spark, tmp_path):
+    """cluster_increment re-lays-out ONLY the files appended after the
+    last cluster commit: the clustered body is carried by reference
+    (identical relative paths, zero data movement), the result is a
+    logical no-op, and non-append chains / missing-baseline calls
+    refuse with an actionable error."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vinc_cluster")
+    V.write_versioned(_vt_rows(spark, 0, 1000).repartition(4), t)   # v1
+    with pytest.raises(ValueError, match="no prior cluster"):
+        V.cluster_increment(spark, t, ["k"])
+    V.cluster_versioned(spark, t, ["k"], num_partitions=4)          # v2
+    body = set(V._read_manifest(t, 2)["files"])
+    V.append_versioned(_vt_rows(spark, 1000, 1400).repartition(3), t)  # v3
+    V.append_versioned(_vt_rows(spark, 1400, 1600).repartition(3), t)  # v4
+    v5, stats = V.cluster_increment(spark, t, ["k"], num_partitions=2)
+    assert v5 == 5
+    assert stats["files_carried"] == len(body)
+    assert stats["files_tail_in"] == 6 and stats["files_out"] <= 2
+    man = V._read_manifest(t, 5)
+    # the clustered body rides along by reference — same relative paths
+    assert body <= set(man["files"])
+    assert len(man["files"]) == len(body) + stats["files_out"]
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == list(range(1600))
+    hist = V.history(t)
+    assert hist[-1]["action"] == "cluster"
+    assert hist[-1]["cluster_since"] == 2
+    # immediate re-increment: nothing to do, no new commit
+    v_again, s_again = V.cluster_increment(spark, t, ["k"])
+    assert v_again == 5 and s_again["files_tail_in"] == 0
+    # a non-append commit in the chain refuses the file diff
+    V.delete_versioned(spark, t, "k = 0")                           # v6
+    V.append_versioned(_vt_rows(spark, 1600, 1700), t)              # v7
+    with pytest.raises(ValueError, match="full"):
+        V.cluster_increment(spark, t, ["k"])
+
+
+def test_vacuum_keep_last_zero_refuses(spark, tmp_path):
+    """vacuum_versioned(keep_last=0) would delete the latest committed
+    state (table bricked behind an innocuous parameter) — refused."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vzero")
+    V.write_versioned(_vt_rows(spark, 0, 4), t)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_last"):
+            V.vacuum_versioned(t, keep_last=bad)
+    assert V.read_versioned(spark, t).count() == 4
+
+
+def test_versioned_cluster_quantile_scaling_beats_minmax_on_skew(spark, tmp_path):
+    """On a skewed column (1% outliers stretch the domain ~10^6×),
+    linear min/max scaling parks the dense 99% in one z-bucket — every
+    file then spans the whole dense region and pushdown prunes nothing
+    — while sampled-quantile (equi-depth) bucketing keeps the dense
+    mass spread across buckets and file spans tight (the Delta
+    OPTIMIZE approach; VERDICT r10 task 3)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lazy_frame_spark.sources import versioned as V
+
+    # dense mass in [0, 1000), 1% outliers out to ~4e9
+    rows = [(i, (i * 7919) % 1000, float(i)) for i in range(4000)]
+    for j in range(40):
+        rows[j * 100] = (j * 100, (j + 1) * 100_000_000, float(j * 100))
+    df = spark.createDataFrame(rows, "k long, x long, v double").repartition(8)
+
+    def dense_file_spans(t, version):
+        """Per-file x-span over files holding ONLY dense values (the
+        outliers legitimately land in wide top-bucket files)."""
+        spans = []
+        for rel in V._read_manifest(t, version)["files"]:
+            md = pq.ParquetFile(os.path.join(t, rel)).metadata
+            names = {md.schema.column(i).path: i
+                     for i in range(md.num_columns)}
+            ci = names["x"]
+            lo = min(md.row_group(g).column(ci).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(ci).statistics.max
+                     for g in range(md.num_row_groups))
+            if hi < 1000:
+                spans.append(hi - lo)
+        return spans
+
+    t_mm = str(tmp_path / "skew_minmax")
+    V.write_versioned(df, t_mm)
+    V.cluster_versioned(spark, t_mm, ["x"], num_partitions=8,
+                        scaling="minmax")
+    t_q = str(tmp_path / "skew_quantile")
+    V.write_versioned(df, t_q)
+    v_q, _ = V.cluster_versioned(spark, t_q, ["x"], num_partitions=8)
+
+    mm = dense_file_spans(t_mm, 2)
+    qq = dense_file_spans(t_q, 2)
+    # minmax: the dense mass is one surrogate value, so any file that is
+    # all-dense still spans ~the whole [0,1000) region (row order within
+    # the bucket is arbitrary); quantile: dense files cover ~1/8 of it
+    assert qq, "quantile layout produced no dense-only files"
+    assert max(qq) < 400
+    if mm:  # minmax may pack outliers into every file; when dense-only
+        # files exist they span nearly the full dense domain
+        assert min(mm) > max(qq)
+    # both layouts remain logical no-ops
+    assert V.read_versioned(spark, t_q).count() == 4000
+    hist = V.history(t_q)
+    assert hist[-1]["action"] == "cluster"
