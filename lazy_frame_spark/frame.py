@@ -761,6 +761,17 @@ class LazyFrame:
 
     @property
     def schema(self):
+        """Column names and types. PROVISIONAL before the first
+        materialization of a verified sample-infer CSV open: the types
+        come from the head-sample inference, and the deferred
+        verification (``_ensure_verified``, triggered at
+        ``to_pandas``/``collect``/count) swaps in a full-inference
+        reopen IF the sample lied — a column the sample saw as int can
+        widen to double/string once the full file is read. Parquet
+        opens and already-materialized frames report settled types.
+        This is the documented trade for job-free schema peeks (a
+        purist stable-schema caller can force settlement with
+        ``nrow()`` first)."""
         return self.to_df().schema
 
     def explain(self, mode: str = "formatted") -> None:

@@ -79,7 +79,22 @@ def contamination(
     )
 
 
-def contamination_udf(df: DataFrame, eval_shingles, text_col: str = "text", n: int = 3):
+#: driver-collect guard for the streaming decontamination path: the eval
+#: shingle set is broadcast via SparkContext, so it must fit the driver
+#: and every executor. 5M shingles ≈ 150-250 MB in flight — generous for
+#: any real eval suite (MMLU+GSM8K+HumanEval together are a few hundred
+#: thousand shingles), and small enough that hitting it means someone
+#: passed a training corpus as the eval side, which deserves an error.
+MAX_EVAL_SHINGLES = 5_000_000
+
+
+def contamination_udf(
+    df: DataFrame,
+    eval_shingles,
+    text_col: str = "text",
+    n: int = 3,
+    max_eval_shingles: int = MAX_EVAL_SHINGLES,
+):
     """A stateless per-row overlap counter against a driver-broadcast
     shingle set: the STREAMING formulation of decontamination.
 
@@ -96,13 +111,38 @@ def contamination_udf(df: DataFrame, eval_shingles, text_col: str = "text", n: i
 
     ``eval_shingles`` is a DataFrame from :func:`eval_ngrams` (collected
     here — one driver round-trip) or any iterable of shingle strings.
-    Returns the overlap-count Column for ``df[text_col]``."""
+    Returns the overlap-count Column for ``df[text_col]``.
+
+    Size contract: the eval shingle set is DRIVER-COLLECTED and
+    broadcast, so the bound is the eval suite's size, which is small BY
+    CONSTRUCTION (benchmarks are human-curated; the training corpus is
+    the big side and never collects). ``max_eval_shingles`` enforces
+    it — exceeding the cap raises instead of silently OOM-ing the
+    driver, because the only way past it is passing a corpus-sized
+    frame as the eval side."""
     import re
 
     from pyspark.sql.functions import pandas_udf
 
     if isinstance(eval_shingles, DataFrame):
-        eval_shingles = [r["shingle"] for r in eval_shingles.collect()]
+        rows = eval_shingles.limit(max_eval_shingles + 1).collect()
+        if len(rows) > max_eval_shingles:
+            raise ValueError(
+                f"eval shingle set exceeds max_eval_shingles="
+                f"{max_eval_shingles}: the streaming decontamination "
+                "path broadcasts the eval set driver-side — this input "
+                "is corpus-sized, not eval-sized; use the batch "
+                "contamination() join instead or raise the cap "
+                "deliberately"
+            )
+        eval_shingles = [r["shingle"] for r in rows]
+    else:
+        eval_shingles = list(eval_shingles)
+        if len(eval_shingles) > max_eval_shingles:
+            raise ValueError(
+                f"eval shingle set ({len(eval_shingles)}) exceeds "
+                f"max_eval_shingles={max_eval_shingles}"
+            )
     bc = df.sparkSession.sparkContext.broadcast(frozenset(eval_shingles))
     ws_re = re.compile(r"\s+")
 

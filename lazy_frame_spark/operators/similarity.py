@@ -1664,12 +1664,16 @@ class IVFPQIndex:
             json.dump({"coarse": self.coarse, "codebooks": self.codebooks,
                        "rotation": self.rotation}, f)
 
+    ADD_HW_FILE = "_ivfpq_add_hw.json"  # per-stream add high-water marks
+
     def add(
         self,
         df_new: DataFrame,
         path: str,
         vec_col: str = "embedding",
         code_col: str = "pq_codes",
+        batch_id: int | None = None,
+        stream_id: str = "default",
     ) -> None:
         """Incremental append — the production-crawl pairing for
         ``dedup_against``: encode a NEW batch against the frozen
@@ -1685,7 +1689,27 @@ class IVFPQIndex:
         this is the only sane maintenance path: per-increment cost is
         O(batch), never O(corpus). Geometry drift (a batch distribution
         far from the fitted corpus) degrades RECALL, not correctness —
-        monitor and re-fit/re-save when it matters."""
+        monitor and re-fit/re-save when it matters.
+
+        Crash contract. With ``batch_id=None`` the write is a plain
+        parquet append: a crash mid-add leaves a PARTIAL batch visible
+        and a blind retry DUPLICATES the rows already written — fine
+        for one-shot manual maintenance, wrong for a driven pipeline.
+        A pipeline passes a monotonically increasing ``batch_id`` (the
+        foreachBatch epoch — same discipline as
+        ``versioned_stream_writer``): the batch then commits through a
+        journal — staged write, per-file renames carrying a
+        ``add-{stream}-{batch}-`` name prefix, then a high-water-mark
+        publish — so a REPLAYED batch is absorbed (id at or below the
+        mark: no-op) and a RETRIED crash first sweeps the crashed
+        attempt's prefixed files before re-ingesting (no duplicates,
+        no loss). Between a crash and its retry, readers may see a
+        subset of the in-flight batch — never duplicates, never
+        corruption. Single writer per (path, stream_id), like every
+        sink in this repo."""
+        import json
+        import os
+
         enc = self.encode(df_new, vec_col=vec_col, code_col=code_col)
         # align to the store's column set: a codes-only store (vectors
         # dropped for the 1+n_sub-bytes footprint) takes the projected
@@ -1699,7 +1723,92 @@ class IVFPQIndex:
                 f"— store columns {missing} are absent from the batch"
             )
         enc = enc.select(*[F.col(c) for c in existing])
-        enc.write.mode("append").partitionBy("__ivf_cell__").parquet(path)
+        if batch_id is None:
+            enc.write.mode("append").partitionBy("__ivf_cell__").parquet(path)
+            return
+
+        hw_path = os.path.join(path, self.ADD_HW_FILE)
+        hw: dict = {}
+        if os.path.exists(hw_path):
+            with open(hw_path) as f:
+                hw = json.load(f)
+        if stream_id in hw and batch_id <= hw[stream_id]:
+            return  # replayed epoch: already fully committed
+        self._sweep_add_attempt(path, stream_id, batch_id)
+        self._staged_ingest(enc, path, stream_id, batch_id)
+        # the renames bypassed Spark's writers, so invalidate the
+        # session FileStatusCache — a stale listing would hide the new
+        # files from same-session reads (sources/parquet._refresh)
+        from lazy_frame_spark.sources.parquet import _refresh
+
+        _refresh(df_new.sparkSession, path)
+        hw[stream_id] = int(batch_id)
+        tmp = hw_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(hw, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, hw_path)  # the commit point (atomic rename)
+
+    @staticmethod
+    def _sweep_add_attempt(path: str, stream_id: str, batch_id: int) -> None:
+        """Remove files a CRASHED earlier attempt of this exact batch
+        already moved into cell dirs (their name prefix identifies
+        them) — the repair that makes the retry duplicate-free."""
+        import os
+
+        import glob
+        import shutil
+
+        # stale stage dirs from hard-killed attempts (single-writer, so
+        # anything matching the pattern is ours and dead)
+        for stale in glob.glob(path.rstrip("/") + "__add_stage_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        prefix = f"add-{stream_id}-{batch_id}-"
+        for entry in os.listdir(path):
+            cell_dir = os.path.join(path, entry)
+            if not (entry.startswith("__ivf_cell__=")
+                    and os.path.isdir(cell_dir)):
+                continue
+            for name in os.listdir(cell_dir):
+                if name.startswith(prefix):
+                    os.remove(os.path.join(cell_dir, name))
+
+    @staticmethod
+    def _staged_ingest(enc: DataFrame, path: str,
+                       stream_id: str, batch_id: int) -> None:
+        """Write the encoded batch to an invisible sibling stage dir,
+        then rename each part file into its cell dir under the
+        attempt's name prefix (per-file atomic; same filesystem)."""
+        import os
+        import shutil
+        import uuid
+
+        stage = path.rstrip("/") + f"__add_stage_{uuid.uuid4().hex[:8]}"
+        shutil.rmtree(stage, ignore_errors=True)
+        enc.write.mode("overwrite").partitionBy("__ivf_cell__").parquet(stage)
+        try:
+            n = 0
+            for entry in sorted(os.listdir(stage)):
+                src_dir = os.path.join(stage, entry)
+                if not (entry.startswith("__ivf_cell__=")
+                        and os.path.isdir(src_dir)):
+                    continue
+                dst_dir = os.path.join(path, entry)
+                os.makedirs(dst_dir, exist_ok=True)
+                for name in sorted(os.listdir(src_dir)):
+                    if name.startswith((".", "_")):
+                        continue
+                    os.rename(
+                        os.path.join(src_dir, name),
+                        os.path.join(
+                            dst_dir,
+                            f"add-{stream_id}-{batch_id}-{n}-{name}",
+                        ),
+                    )
+                    n += 1
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     @staticmethod
     def delete_ids(

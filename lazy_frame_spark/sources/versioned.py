@@ -49,12 +49,14 @@ Readers address a version's exact file list (Spark parallelizes per
 file/row-group regardless of how the list was produced), so time travel
 costs nothing over a plain scan.
 
-Filesystem contract: the commit point relies on POSIX ``link(2)``
-(atomic create-if-absent) and ``rename(2)`` — correct on local disks,
-NFS, and HDFS-style stores. Object stores without atomic
+Filesystem contract: the DEFAULT commit point relies on POSIX
+``link(2)`` (atomic create-if-absent) and ``rename(2)`` — correct on
+local disks, NFS, and HDFS-style stores. Object stores without atomic
 create-if-absent (e.g. plain S3) need the same thing Iceberg/Delta
 need there: a catalog or lock service arbitrating the version-number
-claim; the manifest format itself is unchanged. This mirrors the
+claim — install one via ``set_publish_arbiter`` (the single pluggable
+point in the protocol; the manifest format is unchanged and every
+other write is a uniquely-named immutable file). This mirrors the
 journaled sink's assumptions (sources/parquet.py).
 """
 
@@ -84,6 +86,8 @@ __all__ = [
     "appended_since",
     "versioned_stream_writer",
     "last_stream_batch",
+    "set_publish_arbiter",
+    "default_publish_arbiter",
 ]
 
 
@@ -120,7 +124,7 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _publish(path: str, version: int, doc: dict) -> None:
+def default_publish_arbiter(path: str, version: int, doc: dict) -> None:
     """Atomic single-winner commit: hard-link a fully written temp file
     to the manifest name. link(2) fails with EEXIST if a concurrent
     writer committed the same number — the loser must rebase."""
@@ -140,6 +144,40 @@ def _publish(path: str, version: int, doc: dict) -> None:
         ) from None
     finally:
         os.remove(tmp)
+
+
+#: the installed commit arbiter — the ONE pluggable point in the commit
+#: protocol (everything else is plain writes of uniquely-named files)
+_PUBLISH_ARBITER = default_publish_arbiter
+
+
+def set_publish_arbiter(fn=None) -> None:
+    """Install a custom commit arbiter for stores WITHOUT atomic
+    create-if-absent (plain S3-class object stores) — the same thing
+    Iceberg and Delta require there (a catalog, a DynamoDB conditional
+    put, a lock service). Everything else in the format is crash-safe
+    on any store: data dirs are uniquely named per attempt, manifests
+    are immutable once published, and unpublished debris is vacuumed.
+
+    Arbiter contract — ``fn(path, version, doc)`` must:
+
+    - atomically create the manifest for ``version`` IFF no writer has
+      claimed that number, and make it readable at
+      ``<path>/_manifests/{version:08d}.json`` (readers list that dir);
+    - raise ``VersionConflict`` when the number is already claimed —
+      callers catch it, re-read the new latest version, and rebase;
+    - never partially publish: either the claim wins and the manifest
+      is fully visible, or nothing is.
+
+    ``set_publish_arbiter(None)`` restores the default POSIX
+    ``link(2)`` arbiter. The hook is process-global (one arbiter per
+    catalog, like Delta's LogStore)."""
+    global _PUBLISH_ARBITER
+    _PUBLISH_ARBITER = fn if fn is not None else default_publish_arbiter
+
+
+def _publish(path: str, version: int, doc: dict) -> None:
+    _PUBLISH_ARBITER(path, version, doc)
 
 
 def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:

@@ -57,6 +57,27 @@ def test_decontaminate_drops_overlapping_docs(spark, docs):
     assert set(clean) == {1, 3, 4, 5, 6, 7, 8, 9}
 
 
+def test_contamination_udf_eval_size_cap(spark, docs):
+    """The streaming decontamination path driver-collects the eval
+    shingle set — the cap refuses a corpus-sized eval side instead of
+    silently OOM-ing the driver, while a real (small) eval set works
+    with the same cap."""
+    ev = spark.createDataFrame(
+        [(0, BASE)], "doc_id long, text string"
+    )
+    shingles = dc.eval_ngrams(ev)
+    # a genuine eval set passes under a tight cap
+    col = dc.contamination_udf(docs, shingles, max_eval_shingles=1000)
+    hits = docs.select("doc_id", col.alias("o")).collect()
+    assert {r["doc_id"]: r["o"] > 0 for r in hits}[0] is True
+    # the same set refuses when it exceeds the cap (both input kinds)
+    with pytest.raises(ValueError, match="max_eval_shingles"):
+        dc.contamination_udf(docs, shingles, max_eval_shingles=3)
+    with pytest.raises(ValueError, match="max_eval_shingles"):
+        dc.contamination_udf(docs, ["a b c", "b c d", "c d e", "d e f"],
+                             max_eval_shingles=3)
+
+
 def test_decontamination_join_is_broadcast(docs, spark):
     ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
     plan = (

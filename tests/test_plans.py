@@ -622,6 +622,68 @@ def test_ivfpq_incremental_add_appends_without_rewrite(spark, sf_dir, tmp_path):
         loaded.add(delta.select("vec_id", "embedding"), store2)
 
 
+def test_ivfpq_journaled_add_absorbs_replays_and_crashes(spark, sf_dir, tmp_path):
+    """IVFPQIndex.add(batch_id=...) — the driven-pipeline crash
+    contract: a replayed epoch is a no-op (high-water absorbed), a
+    crashed attempt's partially-ingested files are swept before the
+    retry re-ingests (no duplicates, no loss), and per-stream marks
+    are independent."""
+    import glob
+    import os
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    base = e.filter("vec_id % 10 < 6")
+    b1 = e.filter("vec_id % 10 IN (6, 7)")
+    b2 = e.filter("vec_id % 10 IN (8, 9)")
+    idx = sim.IVFPQIndex.fit(base, n_cells=8, n_sub=8, k=16, seed=7,
+                             train_iters=0, train_coarse=False)
+    store = str(tmp_path / "journal_add")
+    idx.save(idx.encode(base).select("vec_id", "pq_codes", "__ivf_cell__"),
+             store)
+    n_base = spark.read.parquet(store).count()
+    loaded, _ = sim.IVFPQIndex.load(spark, store)
+
+    loaded.add(b1.select("vec_id", "embedding"), store, batch_id=0)
+    n1 = spark.read.parquet(store).count()
+    assert n1 == n_base + b1.count()
+    # replay of the committed epoch: absorbed, nothing duplicated
+    loaded.add(b1.select("vec_id", "embedding"), store, batch_id=0)
+    assert spark.read.parquet(store).count() == n1
+
+    # simulate a crashed attempt of epoch 1: files with the attempt
+    # prefix already landed in a cell dir, but the mark never advanced
+    cell_dirs = [d for d in os.listdir(store)
+                 if d.startswith("__ivf_cell__=")]
+    victim = os.path.join(store, sorted(cell_dirs)[0])
+    donor = next(f for f in os.listdir(victim) if f.endswith(".parquet"))
+    crashed = os.path.join(victim, f"add-default-1-0-{donor}")
+    os.link(os.path.join(victim, donor), crashed)
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).count() == n1 + \
+        spark.read.parquet(os.path.join(victim, donor)).count()
+    # the retry sweeps the crashed files, then ingests exactly once
+    loaded.add(b2.select("vec_id", "embedding"), store, batch_id=1)
+    assert not os.path.exists(crashed)
+    assert spark.read.parquet(store).count() == n1 + b2.count()
+    # equal to the one-shot union encode (frozen geometry)
+    qv = [float(x) for x in
+          e.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    union_enc = idx.encode(e).select("vec_id", "pq_codes", "__ivf_cell__")
+    _, stored = sim.IVFPQIndex.load(spark, store)
+    got = [(r["vec_id"], r["pq_dist"])
+           for r in loaded.topk(stored, qv, k=10, n_probe=3).collect()]
+    want = [(r["vec_id"], r["pq_dist"])
+            for r in idx.topk(union_enc, qv, k=10, n_probe=3).collect()]
+    assert got == want
+    # independent per-stream marks; stale stage dirs are swept
+    os.makedirs(store + "__add_stage_deadbeef", exist_ok=True)
+    loaded.add(b1.limit(0), store, batch_id=0, stream_id="other")
+    assert not glob.glob(store + "__add_stage_*")
+
+
 def test_ivfpq_delete_ids_is_cell_scoped(spark, sf_dir, tmp_path):
     """IVFPQIndex.delete_ids — add's inverse: deleting ids confined to
     ONE cell rewrites only that cell's partition dir (other cell dirs
