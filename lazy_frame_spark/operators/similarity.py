@@ -367,7 +367,20 @@ def semantic_dedup(
     deterministic pick's count. ``persist_cells=True`` caches the
     assigned frame so the self-join's two sides don't each re-run the
     argmax — worth it at large n_cells. Survivors are returned with
-    their original columns via one left_anti on the id."""
+    their original columns via one left_anti on the id.
+
+    Cross-cell miss rate, MEASURED (tools/semdedup_recall.py; grid in
+    ANN_RECALL.json "semdedup_cross_cell"): on sf0.1 embeddings with
+    20% planted near-dups, the fraction of true pairs captured
+    within-cell falls with cell count — at threshold 0.9 pair recall
+    is 0.85 / 0.81 / 0.75 / 0.70 at 4 / 8 / 16 / 32 cells; looser
+    thresholds lose more (0.81 → 0.62 across the same sweep at 0.8)
+    because farther pairs straddle boundaries more often. Knob
+    guidance: n_cells buys per-cell quadratic cost DOWN at a measured
+    recall price, so pick the smallest n_cells whose cell population
+    (n/k) is still task-sized; these numbers are the near-isotropic
+    WORST case — real encoder corpora cluster semantically, which is
+    the paper's premise for why dups co-locate."""
     idx = index if index is not None else IVFIndex.fit_deterministic(
         df, k=n_cells, vec_col=vec_col, id_col=id_col
     )
@@ -1188,7 +1201,7 @@ class IVFPQIndex:
         train_max_rows: int = 100_000,
         train_coarse: bool = True,
         coarse_iters: int = 10,
-        train_rotation: bool = False,
+        train_rotation: bool | None = None,
         seed: int = 7,
     ) -> "IVFPQIndex":
         """Coarse centroids via IVFIndex's deterministic pick (every
@@ -1224,7 +1237,25 @@ class IVFPQIndex:
         saturates far below corpus size; 100k residuals train 1024
         centroids with ~100 points each). Each iteration is ONE
         Arrow pass over the sample with KB-sized driver state, so
-        fitting is flat in corpus size once the sample cap binds."""
+        fitting is flat in corpus size once the sample cap binds.
+
+        ``train_rotation=None`` (default) FOLLOWS the training mode:
+        trained fits (any of ``train_iters``/``train_coarse``) also
+        train the OPQ rotation, the no-model escape stays rotation-free
+        so its output remains fully data-independent. Adjudicated on a
+        REAL-TEXT fixture in round 11 (tools/opq_adjudicate.py
+        "text_lsa": LSA embeddings of the documents table — hashed
+        TF-IDF → SVD, the decaying spectrum encoder output has):
+        rotation lifts recall@10 0.75 → 0.925 at probe16/refine100
+        and 0.31 → 0.48 unrefined; the near-isotropic sf0.1
+        embeddings gain 0.775 → 0.875; the rank-8 anisotropic fixture
+        0.795 → 0.95. It helped every fixture measured, and its cost
+        is one covariance Arrow pass over the training sample plus a
+        dim×dim eigendecomposition — so trained fits now include it.
+        Pass ``train_rotation=False`` to reproduce pre-round-11
+        trained indexes bit-for-bit."""
+        if train_rotation is None:
+            train_rotation = bool(train_iters or train_coarse)
         ivf = IVFIndex.fit_deterministic(df, k=n_cells, vec_col=vec_col,
                                          id_col=id_col)
         dim = len(ivf.centroids[0])

@@ -2364,7 +2364,10 @@ def test_ivfpq_encode_and_topk_match_numpy(spark, sf_dir):
     from lazy_frame_spark.operators import similarity as sim
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7)
+    # rotation-free: this test's numpy model mirrors the UNROTATED
+    # per-dimension folds (the rotation path has its own parity tests)
+    idx = sim.IVFPQIndex.fit(e, n_cells=8, n_sub=8, k=16, seed=7,
+                             train_rotation=False)
     enc = idx.encode(e)
     rows = enc.orderBy("vec_id").limit(25).select(
         "vec_id", "embedding", "__ivf_cell__", "pq_codes").collect()

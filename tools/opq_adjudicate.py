@@ -57,6 +57,65 @@ def build_fixture(spark):
     return spark.read.parquet(FIXTURE)
 
 
+TEXT_FIXTURE = "/tmp/lfs_opq_fixture_lsa64"
+
+
+def build_text_fixture(spark, sf_dir):
+    """REAL-TEXT-derived embeddings (round-10 verdict task 8's missing
+    fixture): the documents table's actual text → hashed TF-IDF
+    (md5-bucketed, 4096-dim, log-tf, smooth idf, L2 rows) → truncated
+    randomized SVD to 64 dims — i.e. LSA, a genuine (if dated) text
+    embedding whose singular spectrum decays the way mean-pooled
+    encoder output does, unlike the synthetic low-rank fixture whose
+    spectrum is hand-written. Deterministic end-to-end (md5 hashing,
+    seeded projection)."""
+    import hashlib
+    import re
+
+    if not os.path.exists(os.path.join(TEXT_FIXTURE, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text").orderBy("doc_id").collect()
+        n, buckets = len(docs), 4096
+        rows_idx, cols_idx, vals = [], [], []
+        word_re = re.compile(r"[a-z0-9]+")
+        bucket_cache: dict = {}
+        df_count = np.zeros(buckets)
+        per_doc = []
+        for r in docs:
+            counts: dict = {}
+            for w in word_re.findall((r["text"] or "").lower()):
+                b = bucket_cache.get(w)
+                if b is None:
+                    b = int(hashlib.md5(w.encode()).hexdigest()[:8],
+                            16) % buckets
+                    bucket_cache[w] = b
+                counts[b] = counts.get(b, 0) + 1
+            per_doc.append(counts)
+            for b in counts:
+                df_count[b] += 1
+        idf = np.log((1 + n) / (1 + df_count)) + 1.0
+        X = np.zeros((n, buckets), dtype=np.float64)
+        for i, counts in enumerate(per_doc):
+            for b, c in counts.items():
+                X[i, b] = (1 + np.log(c)) * idf[b]
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X /= np.where(norms == 0, 1.0, norms)
+        # randomized truncated SVD (Halko et al. 2011), 2 power iters
+        rng = np.random.default_rng(11)
+        Y = X @ rng.standard_normal((buckets, 96))
+        for _ in range(2):
+            Y = X @ (X.T @ Y)
+        Q, _ = np.linalg.qr(Y)
+        U, S, _ = np.linalg.svd(Q.T @ X, full_matrices=False)
+        emb = ((Q @ U)[:, :DIM] * S[:DIM]).astype(np.float32)
+        rows = [(int(docs[i]["doc_id"]), [float(x) for x in emb[i]])
+                for i in range(n)]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).repartition(32).write.mode("overwrite").parquet(TEXT_FIXTURE)
+    return spark.read.parquet(TEXT_FIXTURE)
+
+
 def recall_grid(e, panel, truth, denom, train_rotation):
     idx = sim.IVFPQIndex.fit(e, n_cells=32, n_sub=16, k=64, seed=7,
                              train_rotation=train_rotation)
@@ -118,12 +177,33 @@ def main() -> int:
         enc.unpersist()
     ei.unpersist()
 
+    # the REAL-TEXT fixture (LSA over the documents table) — the
+    # round-10 verdict's missing evidence for the default decision
+    et = build_text_fixture(spark, sf_dir).cache()
+    et.count()
+    panel_t = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in et.orderBy("vec_id").limit(20).collect()]
+    truth_t = sim.exact_l2_topk_panel(et, panel_t, k=10).cache()
+    truth_t.count()
+    denom_t = 10 * len(panel_t)
+    text_lsa = {
+        "no_rotation": recall_grid(et, panel_t, truth_t, denom_t, False),
+        "opq_rotation": recall_grid(et, panel_t, truth_t, denom_t, True),
+    }
+    et.unpersist()
+    truth_t.unpersist()
+
     section = {
         "fixture": {"n": N, "dim": DIM, "rank": RANK,
                     "config": "cells=32 sub=16 k=64 trained"},
         "anisotropic": aniso,
         "isotropic_sf_dir": sf_dir,
         "isotropic": iso,
+        "text_lsa": {
+            "fixture": "documents.parquet -> hashed TF-IDF(4096) -> "
+                       "randomized SVD 64d (deterministic LSA)",
+            **text_lsa,
+        },
     }
     merged = {}
     if os.path.exists(OUT):
