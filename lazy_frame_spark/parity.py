@@ -567,6 +567,44 @@ def join_asof_last_order(spark, sf_dir):
 
 
 @query(
+    "join_fuzzy_editdist",
+    # the oracle brute-forces the bounded subset (cross join +
+    # levenshtein); the Spark side must reproduce it EXACTLY through
+    # prefix-filtered candidate generation — recall is the check
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 1500 AND b.c_custkey <= 1500
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def join_fuzzy_editdist(spark, sf_dir):
+    """Exact edit-distance similarity join
+    (operators/linkage.edit_distance_pairs — q-gram prefix filtering,
+    the ED-Join family, VLDB'08): every customer-name pair within
+    levenshtein distance 1, with 100% recall and NO cross join. The
+    fixture is adversarial on purpose: every name shares the hot
+    'Customer#' prefix, so naive gram blocking would degenerate into
+    all-pairs — the rare-first global gram order keeps boilerplate
+    grams out of the prefixes and the plan stays an equi-join (pinned
+    by tests). The DuckDB oracle IS the brute force, so the value
+    check is a recall check."""
+    from lazy_frame_spark.operators.linkage import edit_distance_pairs
+
+    c = _table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1500)
+    a = c.select(F.col("c_custkey").alias("id_a"),
+                 F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"),
+                 F.col("c_name").alias("name_b"))
+    return edit_distance_pairs(
+        a, b, text=("name_a", "name_b"), ids=("id_a", "id_b"),
+        max_distance=1, antisymmetric=True,
+    )
+
+
+@query(
     "join_asof_nearest",
     # nearest = the closer of (max date <= ts, min date >= ts), ties
     # toward backward — the oracle's correlated argmin over ALL the
@@ -8807,8 +8845,15 @@ DRIVER_WINDOW: list[str] = [
     # invariant. Funded by lf_row_points / graph_pagerank /
     # layout_hilbert — each 3+ green driver rounds (NEXT.md round-7
     # follow-up 5 named exactly these), all still locally checked.
-    "dedup_url_idn",
+    # (dedup_url_idn rotated past the cap in round 11 — green rounds
+    # 8-10; the IDN/punycode path stays locally checked and dedup keeps
+    # three window reps. Its slot funds join_fuzzy_editdist below.)
     "text_bpe_apply",
+    # round-11 addition lands in-window the round it ships (zero-debt):
+    # exact edit-distance similarity join (prefix-filtered ED-Join
+    # candidates, brute-force DuckDB oracle — the value check IS a
+    # 100%-recall check on an adversarially hot-prefixed fixture)
+    "join_fuzzy_editdist",
     # (ann_pq_trained_recall rotated past the cap in round 9 after its
     # round-8 debut — the trained-vs-hash invariant is carried at the
     # full-index level by ann_ivfpq_trained_recall below, and the

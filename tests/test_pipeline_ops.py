@@ -1119,6 +1119,70 @@ def test_blocked_fuzzy_pairs_recall_and_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_edit_distance_pairs_exact_recall_vs_bruteforce(spark):
+    """edit_distance_pairs must find EVERY pair within the distance —
+    the prefix-filter + short-band union is brute-force-pinned on
+    randomized small-alphabet strings (the adversarial regime: dense
+    near-neighborhoods, many strings below the prefix theorem's length
+    floor, duplicate grams)."""
+    import itertools
+    import random
+
+    from lazy_frame_spark.operators.linkage import edit_distance_pairs
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(11)
+    strs = [""] + ["".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+                   for _ in range(60)]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    a = spark.createDataFrame(rows, "id_a long, s_a string")
+    b = spark.createDataFrame(rows, "id_b long, s_b string")
+    for k, q in ((1, 3), (2, 3), (1, 2), (0, 3)):
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in edit_distance_pairs(
+                a, b, ("s_a", "s_b"), ("id_a", "id_b"),
+                max_distance=k, q=q, antisymmetric=True,
+            ).collect()
+        }
+        want = {
+            (i, j): lev(strs[i], strs[j])
+            for i, j in itertools.combinations(range(len(strs)), 2)
+            if lev(strs[i], strs[j]) <= k
+        }
+        assert got == want, (k, q, set(want) - set(got), set(got) - set(want))
+
+
+def test_edit_distance_pairs_plan_and_hot_prefix(spark):
+    """Entity-id shaped names (a hot shared prefix in every row) must
+    stay an equi-join plan — the rare-first prefix ordering keeps the
+    boilerplate grams out of the join."""
+    from lazy_frame_spark.operators.linkage import edit_distance_pairs
+
+    rows = [(i, f"Customer#{i:09d}") for i in range(300)]
+    a = spark.createDataFrame(rows, "id_a long, s_a string")
+    b = spark.createDataFrame(rows, "id_b long, s_b string")
+    out = edit_distance_pairs(a, b, ("s_a", "s_b"), ("id_a", "id_b"),
+                              max_distance=1, antisymmetric=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # ids 0-9 differ from each other in exactly the last digit
+    for i in range(10):
+        for j in range(i + 1, 10):
+            assert (i, j) in got
+    assert (0, 11) not in got  # two digits apart
+
+
 def test_multi_pass_blocking_recovers_cross_block_pair(spark):
     from pyspark.sql import functions as F
 
