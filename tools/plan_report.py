@@ -85,6 +85,16 @@ SHOWCASE = [
      "Versioned-table incremental consume — the scan addresses ONLY "
      "the appended epochs' files (manifest file-diff; no anti-join, no "
      "old-data I/O), then one partial+final aggregate."),
+    ("sink_cluster_increment",
+     "Incremental re-clustering — the graded read addresses the carried "
+     "body files by reference plus the re-laid-out tail; the increment "
+     "itself was one quantile aggregate + one range exchange over the "
+     "tail only."),
+    ("join_fuzzy_editdist",
+     "Exact edit-distance join — prefix-gram equi-join (rare-first "
+     "order keeps the hot 'Customer#' grams out), length-band "
+     "equi-join for the short bucket, banded levenshtein verify; no "
+     "cartesian product anywhere."),
 ]
 
 
