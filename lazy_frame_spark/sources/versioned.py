@@ -84,6 +84,7 @@ __all__ = [
     "latest_version",
     "vacuum_versioned",
     "appended_since",
+    "diff_versions",
     "versioned_stream_writer",
     "last_stream_batch",
     "set_publish_arbiter",
@@ -770,6 +771,61 @@ def appended_since(
     return spark.read.parquet(
         *[os.path.join(path, rel) for rel in new_files]
     )
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Row-level diff between two versions — the general CDC read
+    (``appended_since`` is the cheap special case for append-only
+    chains; this one is exact across ANY chain: deletes, restores,
+    overwrites, compactions, re-clusterings). Returns every row of
+    ``v_to`` not in ``v_from`` tagged ``insert`` and every row of
+    ``v_from`` not in ``v_to`` tagged ``delete``, with multiset
+    semantics (a row duplicated 3× then 1× yields 2 deletes).
+
+    Scale shape — file-grain pruning: manifests carry files BY
+    REFERENCE across commits, so files present in BOTH versions
+    contribute identical rows to both sides and cancel from the
+    multiset difference EXACTLY; they are never read. Cost is
+    O(files that differ), not O(corpus) — after a file-grain
+    copy-on-write delete, only the touched files and their rewrites
+    are scanned; after a compaction (logical no-op) the compacted
+    files are read on both sides and the diff is empty. The
+    subtraction itself is ``exceptAll`` — a hash aggregation on the
+    changed subset. Schema must match between the versions
+    (schema-evolution diffs raise — reconcile explicitly)."""
+    ma = _read_manifest(path, v_from)
+    mb = _read_manifest(path, v_to)
+    if json.loads(ma["schema"]) != json.loads(mb["schema"]):
+        raise ValueError(
+            f"versions {v_from} and {v_to} have different schemas — "
+            "diff_versions requires matching schemas"
+        )
+    schema = T.StructType.fromJson(json.loads(ma["schema"]))
+    if change_col in {f.name for f in schema.fields}:
+        raise ValueError(
+            f"change column {change_col!r} collides with a table column"
+        )
+    fa, fb = set(ma["files"]), set(mb["files"])
+
+    def read_only(rels):
+        rels = sorted(rels)
+        if not rels:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, rel) for rel in rels]
+        )
+
+    old = read_only(fa - fb)
+    new = read_only(fb - fa)
+    inserted = new.exceptAll(old).withColumn(change_col, F.lit("insert"))
+    deleted = old.exceptAll(new).withColumn(change_col, F.lit("delete"))
+    return inserted.unionByName(deleted)
 
 
 def history(path: str) -> list[dict]:
