@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "ann_ivfpq_adc_topk",        # IVF-PQ residual index + ADC search
     "text_html_extract",         # HTML boilerplate extraction
     "dedup_semantic",            # SemDeDup cluster-scoped embedding dedup
+    "join_fuzzy_editdist",       # exact edit-distance join (prefix-filtered)
+    "view_versioned_diff",       # O(changed-files) CDC between versions
 ]
 
 
@@ -168,6 +170,8 @@ BUDGETS_SF01 = {
     "ann_ivfpq_adc_topk": 2.2,
     "text_html_extract": 1.4,
     "dedup_semantic": 5.5,
+    "join_fuzzy_editdist": 2.8,
+    "view_versioned_diff": 2.8,
 }
 
 

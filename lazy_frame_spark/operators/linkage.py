@@ -87,9 +87,11 @@ def edit_distance_pairs(
     ordered out of prefixes).
 
     ``text``/``ids`` name the (left, right) columns; all four must be
-    distinct. ``antisymmetric=True`` keeps only ``id_l < id_r`` (the
-    self-join convention). NULL texts pair with nothing. Returns
-    ``(ids[0], ids[1], distance)``."""
+    distinct, and ids must be UNIQUE within their side (a repeated id
+    with different texts interleaves both texts' grams in one prefix
+    window — dedupe or disambiguate ids first). ``antisymmetric=True``
+    keeps only ``id_l < id_r`` (the self-join convention). NULL texts
+    pair with nothing. Returns ``(ids[0], ids[1], distance)``."""
     lt, rt = text
     li, ri = ids
     if len({lt, rt, li, ri}) != 4:

@@ -1736,8 +1736,11 @@ class IVFPQIndex:
         attempt's prefixed files before re-ingesting (no duplicates,
         no loss). Between a crash and its retry, readers may see a
         subset of the in-flight batch — never duplicates, never
-        corruption. Single writer per (path, stream_id), like every
-        sink in this repo."""
+        corruption. ONE add at a time per path — the high-water
+        sidecar is a read-modify-write of all streams' marks, so two
+        concurrent adds (even for different stream_ids) can lose one
+        mark and re-ingest on replay; serialize adds, as every journal
+        in this repo assumes a single writer per table."""
         import json
         import os
 
