@@ -1330,7 +1330,7 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
 
     for _ in range(30):
         op = rng.choice(["append", "append", "delete", "restore",
-                         "compact"])
+                         "compact", "cluster"])
         cur = V.latest_version(t)
         if op == "append":
             n = rng.randint(1, 15)
@@ -1347,6 +1347,24 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
             target = rng.randint(1, cur)
             V.restore_versioned(t, target)
             model[cur + 1] = set(model[target])
+        elif op == "cluster":
+            # full or incremental re-layout: both are logical no-ops
+            if rng.random() < 0.5:
+                v, _ = V.cluster_versioned(spark, t, ["k"],
+                                           num_partitions=2)
+                assert v == cur + 1
+                model[v] = set(model[cur])
+            else:
+                try:
+                    v, stats = V.cluster_increment(spark, t, ["k"],
+                                                   num_partitions=2)
+                except ValueError:
+                    continue  # no prior cluster / non-append chain
+                if stats["files_tail_in"]:
+                    assert v == cur + 1
+                    model[v] = set(model[cur])
+                else:
+                    assert v == cur  # empty tail: no commit
         else:
             v, stats = V.compact_versioned(spark, t, small_mb=64)
             if stats["files_compacted"]:
@@ -1360,6 +1378,21 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
         got = {r["k"] for r in V.read_versioned(spark, t, version).collect()}
         assert got == want, f"version {version}"
         assert hist[version]["rows"] == len(want), f"rows v{version}"
+
+    # diff_versions agrees with the MODEL's set difference for every
+    # adjacent-and-random version pair (rows here are unique per key,
+    # so set difference IS the multiset difference)
+    versions = sorted(model)
+    pairs = [(versions[i], versions[i + 1])
+             for i in range(len(versions) - 1)][:8]
+    pairs += [tuple(sorted(rng.sample(versions, 2))) for _ in range(5)]
+    for va, vb in pairs:
+        d = V.diff_versions(spark, t, va, vb).collect()
+        ins = {r["k"] for r in d if r["change_type"] == "insert"}
+        dels = {r["k"] for r in d if r["change_type"] == "delete"}
+        assert ins == model[vb] - model[va], f"insert diff {va}->{vb}"
+        assert dels == model[va] - model[vb], f"delete diff {va}->{vb}"
+        assert len(d) == len(ins) + len(dels)  # no duplicate tags
 
 
 def test_versioned_crashed_commit_retries_and_vacuums(spark, tmp_path):
