@@ -1,3 +1,7 @@
+from lazy_frame_spark.operators.classifier import (
+    logreg_score,
+    train_logreg,
+)
 from lazy_frame_spark.operators.decontam import (
     contamination,
     decontaminate,
@@ -123,6 +127,8 @@ __all__ = [
     "top_k", "sample", "stratified_sample", "deterministic_sample",
     # decontamination
     "contamination", "decontaminate", "decontaminate_stream", "eval_ngrams",
+    # classifier training/inference
+    "train_logreg", "logreg_score",
     # mixing & training order
     "epoch_shuffle", "mix_corpora", "mix_temperature",
     "rates_for_target_mix", "release_rate_tables",

@@ -4307,6 +4307,56 @@ def json_extract_props(spark, sf_dir):
 
 
 @query(
+    "text_quality_train_classifier",
+    # invariant-boolean oracle (the established pattern for trained
+    # models — trained weights are float-sum-order dependent, see
+    # ann_ivfpq_trained_recall): the oracle pins the holdout size
+    # declaratively and the bars ride as literals
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           TRUE AS acc_ge_bar,
+           TRUE AS loss_below_chance
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def text_quality_train_classifier(spark, sf_dir):
+    """Distributed classifier TRAINING (operators/classifier.
+    train_logreg) — the trainer half of the quality-filter stage
+    (model_quality_score is the inference half): full-batch logistic
+    regression where every iteration is ONE Catalyst aggregate with
+    the current weights as plan literals (d+2 AVGs, partial-agg
+    map-side, a d-float driver update — no UDF, no collect). The task
+    is a planted linearly-separable rule over the engine's own
+    quality features (the synthetic corpus's metadata labels are
+    random w.r.t. the text, so a planted margin is the honest
+    convergence check); the invariants: holdout accuracy >= 0.95 and
+    final train loss below ln 2 (chance)."""
+    import math
+
+    from lazy_frame_spark.operators import classifier as _clf
+    from lazy_frame_spark.operators.text import quality_features
+
+    docs = _table(spark, sf_dir, "documents")
+    feats = ["alpha_bp", "stopword_bp", "mean_token_len_x100", "n_tokens"]
+    planted = (
+        2 * F.col("stopword_bp") + 30 * F.col("mean_token_len_x100")
+        - 90 * F.col("n_tokens") > 10000
+    ).cast("int")
+    f = quality_features(docs).withColumn("y", planted)
+    train = f.filter(F.col("doc_id") % 5 != 0)
+    test = f.filter(F.col("doc_id") % 5 == 0)
+    model = _clf.train_logreg(train, feats, "y", iters=60, lr=2.0)
+    scored = _clf.logreg_score(test, model)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (F.avg((F.col("keep").cast("int") == F.col("y")).cast("double"))
+         >= F.lit(0.95)).alias("acc_ge_bar"),
+        F.lit(bool(model["loss"] < math.log(2.0))).alias(
+            "loss_below_chance"),
+    )
+
+
+@query(
     "json_variant_shredded",
     # the oracle recomputes the extractions from the BASE columns the
     # JSON was built from — so the value check proves the whole
@@ -8922,6 +8972,11 @@ DRIVER_WINDOW: list[str] = [
     # benched-adjacent, text keeps two window reps. Its slot funds
     # json_variant_shredded below.)
     "text_script_profile",
+    # round-11 addition (zero-debt): distributed classifier TRAINING —
+    # every GD iteration is one Catalyst aggregate with literal
+    # weights; invariant-boolean oracle per the trained-model pattern
+    # (slot funded by ann_ivfpq_trained_recall)
+    "text_quality_train_classifier",
     # mergeable sketches (round-10 rotation: sketch_theta_setops past
     # the cap after green rounds 7-9 — the CMS row keeps the sketch
     # category's driver rep, theta stays locally checked — funding the
@@ -9021,10 +9076,13 @@ DRIVER_WINDOW: list[str] = [
     # journaled erasure from the served index (slot funded by
     # join_q3_revenue)
     "ann_ivfpq_delete",
-    # round-8: the trained-residual DEFAULT fit + IVFADC-refine recall
-    # invariants land in-window the round they shipped (slot funded by
-    # join_semi)
-    "ann_ivfpq_trained_recall",
+    # (ann_ivfpq_trained_recall rotated past the cap in round 11 —
+    # green rounds 8-10, and the heaviest driver row (~9 s of fit +
+    # panel); the recall floors stay pinned by
+    # test_ivfpq_trained_recall_bar_sf01 and ANN_RECALL.json, and ann
+    # keeps four window reps. Its slot funds the classifier-training
+    # row below — NEXT round-8 follow-up 1 predicted exactly this
+    # trade.)
     "embedding_near_dup",
     # sinks, multimodal (the PNG round-trip is the strongest decode
     # evidence: real zlib compression and all five scanline filters,

@@ -1098,6 +1098,48 @@ def test_perplexity_filter_and_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_train_logreg_recovers_planted_rule(spark):
+    """The Catalyst-aggregate trainer must recover a linearly-separable
+    planted rule (holdout accuracy 1.0, loss well below chance), score
+    identically through logreg_score's literal-weight inference, guard
+    divergence with an actionable error, and refuse empty input."""
+    import math
+
+    from lazy_frame_spark.operators import classifier as clf
+
+    df = spark.range(0, 1200).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("x1"),
+        ((F.col("id") * 31) % 89).cast("double").alias("x2"),
+    ).withColumn("y", (F.col("x1") - F.col("x2") > 0).cast("int"))
+    train = df.filter(F.col("id") % 4 != 0)
+    test = df.filter(F.col("id") % 4 == 0)
+    m = clf.train_logreg(train, ["x1", "x2"], "y", iters=80, lr=3.0)
+    assert m["loss"] < 0.2 < math.log(2.0)
+    assert m["n_rows"] == train.count()
+    # the planted rule is x1 - x2 > 0: opposite-signed weights
+    assert m["weights"][0] > 0 > m["weights"][1]
+    sc = clf.logreg_score(test, m)
+    acc = sc.agg(F.avg(
+        (F.col("keep").cast("int") == F.col("y")).cast("double"))).first()[0]
+    assert acc >= 0.97  # boundary rows (x1 ~ x2) eat the last point
+    # inference is plan-literal: no Python evaluation nodes
+    plan = sc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # divergence raises with the lr in the message
+    import pytest
+
+    with pytest.raises(ArithmeticError, match="lr"):
+        clf.train_logreg(train, ["x1", "x2"], "y", iters=30, lr=1e6,
+                         standardize=False)
+    with pytest.raises(ValueError, match="no labeled rows"):
+        clf.train_logreg(train.filter("id < 0"), ["x1"], "y")
+    # train_max_rows bounds the fit sample
+    m2 = clf.train_logreg(train, ["x1", "x2"], "y", iters=20, lr=3.0,
+                          train_max_rows=200)
+    assert m2["n_rows"] <= 260  # sampled down (Bernoulli, ~200 +- noise)
+
+
 def test_blocked_fuzzy_pairs_recall_and_plan(spark):
     from lazy_frame_spark.operators.linkage import blocked_fuzzy_pairs
 
