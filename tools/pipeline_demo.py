@@ -100,6 +100,28 @@ def main() -> int:
     )
     counts["quality_kept"] = kept.count()
 
+    # 2b. distill the rule gate into a TRAINED linear model (round 11):
+    #     the composite gate labels the corpus, train_logreg fits a
+    #     classifier on the engine's own quality features (one Catalyst
+    #     aggregate per GD iteration, weights as plan literals), and
+    #     the model's sigmoid score becomes the soft-filter surface a
+    #     production pipeline thresholds/tunes — the fastText-stage
+    #     pattern with the label bootstrap the published pipelines use
+    from lazy_frame_spark.operators.classifier import logreg_score, train_logreg
+    from lazy_frame_spark.operators.text import quality_features
+
+    feat_cols = ["alpha_bp", "punct_bp", "stopword_bp",
+                 "mean_token_len_x100", "n_tokens"]
+    labeled = quality_features(docs).join(
+        gated.select("doc_id", F.col("keep").cast("int").alias("y")),
+        "doc_id",
+    )
+    model = train_logreg(labeled, feat_cols, "y", iters=40, lr=2.0)
+    counts["distilled_loss_x1000"] = int(model["loss"] * 1000)
+    counts["distilled_kept"] = (
+        logreg_score(labeled, model).filter("keep").count()
+    )
+
     # 3. paragraph-grain boilerplate removal (first occurrence wins)
     from lazy_frame_spark.operators.dedup import paragraph_dedup
 
