@@ -279,11 +279,12 @@ def main() -> int:
         "sf": sf,
         # timing protocol, recorded so a reader comparing against the
         # reference baseline sees exactly what each number is: every
-        # query is a single timed wall-clock run through the noop sink
-        # after a per-query sf0.001 warmup, a full page-cache warm of
-        # the target SF, and an untimed sacrificial run of the
-        # enumeration pair; the queries listed in min_of_2 are timed
-        # twice (state released between runs) and report the minimum.
+        # query runs RUNS_DEFAULT (2) timed wall-clock passes through
+        # the noop sink and reports the minimum (the min_of_3 set gets
+        # a third pass; the enumeration pair releases its persisted
+        # state between passes), after a per-query sf0.001 warmup, a
+        # full page-cache warm of the target SF, and an untimed
+        # sacrificial run of the enumeration pair.
         "protocol": {
             "runs_default": RUNS_DEFAULT,
             "min_of_2": sorted(MIN_OF_2),

@@ -250,15 +250,25 @@ def _prune_hot_buckets(
     bucket's contribution at ~16.7M comparisons)."""
     if max_bucket_size is None:
         return banded
+    hot = _hot_buckets(banded, keys, max_bucket_size)
+    return banded.join(hot, on=list(keys), how="left_anti")
+
+
+def _hot_buckets(
+    counted: DataFrame, keys: Sequence[str], max_bucket_size: int
+) -> DataFrame:
+    """The (small) set of bucket keys whose population in ``counted``
+    exceeds the cap — the shared count→filter core of the in-corpus
+    prune (``_prune_hot_buckets``) and the incremental variant (which
+    counts the UNION of both sides before anti-joining each)."""
     if max_bucket_size < 1:
         raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
-    hot = (
-        banded.groupBy(*keys)
+    return (
+        counted.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bsz__"))
         .filter(F.col("__bsz__") > max_bucket_size)
         .select(*keys)
     )
-    return banded.join(hot, on=list(keys), how="left_anti")
 
 
 def _sig_agreement() -> Column:
@@ -633,15 +643,9 @@ def incremental_near_dups(
     ba = _banded_signatures(new_sig, id_col)
     bb_ = _banded_signatures(existing_signatures, id_col)
     if max_bucket_size is not None:
-        if max_bucket_size < 1:
-            raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
-        hot = (
-            ba.select("band", "bucket")
-            .unionAll(bb_.select("band", "bucket"))
-            .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz__"))
-            .filter(F.col("__bsz__") > max_bucket_size)
-            .select("band", "bucket")
+        hot = _hot_buckets(
+            ba.select("band", "bucket").unionAll(bb_.select("band", "bucket")),
+            ("band", "bucket"), max_bucket_size,
         )
         ba = ba.join(hot, on=["band", "bucket"], how="left_anti")
         bb_ = bb_.join(hot, on=["band", "bucket"], how="left_anti")

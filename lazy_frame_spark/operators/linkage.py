@@ -41,10 +41,13 @@ _PAD_L, _PAD_R = "\x01", "\x02"
 
 def _padded_grams(text_col: str, q: int) -> F.Column:
     """All q-grams of the sentinel-padded string — SQL-rendered so the
-    per-position substring stays one codegen'd expression."""
+    per-position substring stays one codegen'd expression. The column
+    name is backtick-quoted so names with spaces/keywords resolve the
+    same way the surrounding F.col() calls do."""
+    c = "`" + text_col.replace("`", "``") + "`"
     return F.expr(
-        f"transform(sequence(1, length({text_col}) + {q - 1}), "
-        f"i -> substring(concat('{_PAD_L * (q - 1)}', {text_col}, "
+        f"transform(sequence(1, length({c}) + {q - 1}), "
+        f"i -> substring(concat('{_PAD_L * (q - 1)}', {c}, "
         f"'{_PAD_R * (q - 1)}'), i, {q}))"
     )
 
@@ -99,6 +102,11 @@ def edit_distance_pairs(
     k = int(max_distance)
     if k < 0:
         raise ValueError(f"max_distance must be >= 0, got {k}")
+    if q < 1:
+        # q=0 grams are all empty strings: every prefix is [''] and the
+        # candidate join degenerates into the all-pairs cross product
+        # this function exists to prevent
+        raise ValueError(f"q must be >= 1, got {q}")
     a = left.select(li, lt).filter(F.col(lt).isNotNull())
     b = right.select(ri, rt).filter(F.col(rt).isNotNull())
     if k == 0:  # degenerate: exact string equality

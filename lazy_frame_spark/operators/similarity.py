@@ -1768,8 +1768,13 @@ class IVFPQIndex:
                 hw = json.load(f)
         if stream_id in hw and batch_id <= hw[stream_id]:
             return  # replayed epoch: already fully committed
-        self._sweep_add_attempt(path, stream_id, batch_id)
-        self._staged_ingest(enc, path, stream_id, batch_id)
+        # hex-encode the stream id in file names: a raw id containing
+        # '-' would make the sweep prefix ambiguous (stream 'a' batch 1
+        # sweeping would match stream 'a-1' batch 2's committed files —
+        # silent data loss); hex is unambiguous for any id
+        sid = stream_id.encode("utf-8").hex()
+        self._sweep_add_attempt(path, sid, batch_id)
+        self._staged_ingest(enc, path, sid, batch_id)
         # the renames bypassed Spark's writers, so invalidate the
         # session FileStatusCache — a stale listing would hide the new
         # files from same-session reads (sources/parquet._refresh)
@@ -1785,10 +1790,12 @@ class IVFPQIndex:
         os.replace(tmp, hw_path)  # the commit point (atomic rename)
 
     @staticmethod
-    def _sweep_add_attempt(path: str, stream_id: str, batch_id: int) -> None:
+    def _sweep_add_attempt(path: str, sid_hex: str, batch_id: int) -> None:
         """Remove files a CRASHED earlier attempt of this exact batch
         already moved into cell dirs (their name prefix identifies
-        them) — the repair that makes the retry duplicate-free."""
+        them) — the repair that makes the retry duplicate-free.
+        ``sid_hex`` is the hex-encoded stream id (see ``add``) so the
+        prefix match can never straddle field boundaries."""
         import os
 
         import glob
@@ -1798,7 +1805,7 @@ class IVFPQIndex:
         # anything matching the pattern is ours and dead)
         for stale in glob.glob(path.rstrip("/") + "__add_stage_*"):
             shutil.rmtree(stale, ignore_errors=True)
-        prefix = f"add-{stream_id}-{batch_id}-"
+        prefix = f"add-{sid_hex}-{batch_id}-"
         for entry in os.listdir(path):
             cell_dir = os.path.join(path, entry)
             if not (entry.startswith("__ivf_cell__=")
@@ -1810,7 +1817,7 @@ class IVFPQIndex:
 
     @staticmethod
     def _staged_ingest(enc: DataFrame, path: str,
-                       stream_id: str, batch_id: int) -> None:
+                       sid_hex: str, batch_id: int) -> None:
         """Write the encoded batch to an invisible sibling stage dir,
         then rename each part file into its cell dir under the
         attempt's name prefix (per-file atomic; same filesystem)."""
@@ -1837,7 +1844,7 @@ class IVFPQIndex:
                         os.path.join(src_dir, name),
                         os.path.join(
                             dst_dir,
-                            f"add-{stream_id}-{batch_id}-{n}-{name}",
+                            f"add-{sid_hex}-{batch_id}-{n}-{name}",
                         ),
                     )
                     n += 1

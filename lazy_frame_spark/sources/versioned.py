@@ -556,6 +556,34 @@ def _quantile_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
     return surrogates
 
 
+def _relayout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int,
+    scaling: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared Z-order re-layout core for ``cluster_versioned`` and
+    ``cluster_increment``: build per-column surrogates, stage them as
+    NAMED columns, interleave, range-exchange. The staging matters —
+    z_value references its input once per bit, so passing a wide
+    expression (the quantile path's flat comparison sum) inline
+    duplicates it bits× inside one tree and overflows the analyzer;
+    as attributes the tree stays flat and codegen shares the compute."""
+    from lazy_frame_spark.operators.layout import zorder_layout
+
+    if scaling not in ("quantile", "minmax"):
+        raise ValueError(f"scaling must be 'quantile' or 'minmax', got {scaling!r}")
+    surrogate_fn = (
+        _quantile_surrogates if scaling == "quantile" else _minmax_surrogates
+    )
+    surrogates = surrogate_fn(df, cols, bits)
+    names = [f"__zs{i}__" for i in range(len(surrogates))]
+    staged = df.withColumns(dict(zip(names, surrogates)))
+    return zorder_layout(staged, names, bits=bits,
+                         num_partitions=num_partitions).drop(*names)
+
+
 def cluster_versioned(
     spark: SparkSession,
     path: str,
@@ -587,10 +615,6 @@ def cluster_versioned(
     (measured: tests/test_sources_sinks.py, skewed fixture);
     ``"minmax"`` keeps the legacy linear scale (marginally cheaper
     aggregate, fine for uniform domains)."""
-    from lazy_frame_spark.operators.layout import zorder_layout
-
-    if scaling not in ("quantile", "minmax"):
-        raise ValueError(f"scaling must be 'quantile' or 'minmax', got {scaling!r}")
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -600,19 +624,7 @@ def cluster_versioned(
     df = spark.read.parquet(
         *[os.path.join(path, rel) for rel in prev["files"]]
     )
-    surrogate_fn = (
-        _quantile_surrogates if scaling == "quantile" else _minmax_surrogates
-    )
-    surrogates = surrogate_fn(df, cols, bits)
-    # materialize surrogates as NAMED columns before z_value: the
-    # interleave references its input once per bit, so passing a wide
-    # expression (the quantile path's flat comparison sum) inline
-    # duplicates it bits× inside one tree and overflows the analyzer —
-    # as attributes the tree stays flat and codegen shares the compute
-    names = [f"__zs{i}__" for i in range(len(surrogates))]
-    staged = df.withColumns(dict(zip(names, surrogates)))
-    out = zorder_layout(staged, names, bits=bits,
-                        num_partitions=num_partitions).drop(*names)
+    out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
     v = _commit(path, "cluster", new_files, prev["schema"], parent,
@@ -649,8 +661,6 @@ def cluster_increment(
     accepted trade (Delta's OPTIMIZE makes the same one) and a periodic
     full re-cluster resets it. Returns ``(version, stats)`` with
     ``files_carried`` / ``files_tail_in`` / ``files_out``."""
-    from lazy_frame_spark.operators.layout import zorder_layout
-
     if scaling not in ("quantile", "minmax"):
         raise ValueError(f"scaling must be 'quantile' or 'minmax', got {scaling!r}")
     parent = latest_version(path)
@@ -685,14 +695,7 @@ def cluster_increment(
         return parent, {"files_carried": len(carried),
                         "files_tail_in": 0, "files_out": 0}
     df = spark.read.parquet(*[os.path.join(path, rel) for rel in tail])
-    surrogate_fn = (
-        _quantile_surrogates if scaling == "quantile" else _minmax_surrogates
-    )
-    surrogates = surrogate_fn(df, cols, bits)
-    names = [f"__zs{i}__" for i in range(len(surrogates))]
-    staged = df.withColumns(dict(zip(names, surrogates)))
-    out = zorder_layout(staged, names, bits=bits,
-                        num_partitions=num_partitions).drop(*names)
+    out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
     v = _commit(path, "cluster", carried + new_files, prev["schema"], parent,

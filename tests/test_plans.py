@@ -659,7 +659,8 @@ def test_ivfpq_journaled_add_absorbs_replays_and_crashes(spark, sf_dir, tmp_path
                  if d.startswith("__ivf_cell__=")]
     victim = os.path.join(store, sorted(cell_dirs)[0])
     donor = next(f for f in os.listdir(victim) if f.endswith(".parquet"))
-    crashed = os.path.join(victim, f"add-default-1-0-{donor}")
+    sid_hex = "default".encode().hex()  # ids are hex-encoded in names
+    crashed = os.path.join(victim, f"add-{sid_hex}-1-0-{donor}")
     os.link(os.path.join(victim, donor), crashed)
     spark.catalog.refreshByPath(store)
     assert spark.read.parquet(store).count() == n1 + \
@@ -682,6 +683,13 @@ def test_ivfpq_journaled_add_absorbs_replays_and_crashes(spark, sf_dir, tmp_path
     os.makedirs(store + "__add_stage_deadbeef", exist_ok=True)
     loaded.add(b1.limit(0), store, batch_id=0, stream_id="other")
     assert not glob.glob(store + "__add_stage_*")
+    # hyphenated stream ids cannot collide in the sweep prefix: stream
+    # 'a' retrying batch 1 must NOT delete stream 'a-1' batch 2's
+    # committed files (ids are hex-encoded into file names)
+    loaded.add(b1.limit(3), store, batch_id=2, stream_id="a-1")
+    n_mid = spark.read.parquet(store).count()
+    loaded.add(b1.limit(0), store, batch_id=1, stream_id="a")
+    assert spark.read.parquet(store).count() == n_mid
 
 
 def test_ivfpq_delete_ids_is_cell_scoped(spark, sf_dir, tmp_path):

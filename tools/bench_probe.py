@@ -5,7 +5,7 @@ wall-clock. Used to bisect the r9->r10 bench drift (VERDICT r10 task 1):
 run the SAME probe at two commits (via a git worktree) and compare
 min-of-N, which removes run-to-run variance from the comparison.
 
-Usage: python tools/bench_probe.py q1 q2 ... [--reps 3] [--sf DIR]
+Usage: python tools/bench_probe.py q1 q2 ... [--reps=3] [--sf=DIR]
 """
 from __future__ import annotations
 
