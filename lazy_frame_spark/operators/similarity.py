@@ -1915,15 +1915,213 @@ class IVFPQIndex:
     def load(cls, spark, path: str) -> tuple["IVFPQIndex", DataFrame]:
         """Reopen a saved index: ``(index, encoded_frame)`` — the frame
         is the cell-partitioned store (partition-pruned by topk's probe
-        filter), the index carries the sidecar geometry."""
+        filter), the index carries the sidecar geometry. Heals any
+        interrupted journaled maintenance (delete/rebalance) first, so
+        a crash mid-swap can never serve half a commit."""
         import json
         import os
 
+        from lazy_frame_spark.sources.parquet import recover_table
+
+        recover_table(path)
         with open(os.path.join(path, cls.META_FILE)) as f:
             meta = json.load(f)
         idx = cls(meta["coarse"], meta["codebooks"],
                   rotation=meta.get("rotation"))
         return idx, spark.read.parquet(path)
+
+    @staticmethod
+    def rebalance_cells(
+        spark,
+        path: str,
+        max_cell_rows: int,
+        vec_col: str = "embedding",
+        code_col: str = "pq_codes",
+        split_iters: int = 5,
+        seed: int = 7,
+    ) -> tuple["IVFPQIndex", dict]:
+        """Split HOT cells of a saved index in place — the third leg of
+        the maintenance triad (``add`` grows it, ``delete_ids`` shrinks
+        it, this re-shapes it). Data drift concentrates new vectors in
+        a few cells; a hot cell degrades every probe that touches it
+        (per-probe cost is the probed cells' population), so the fix is
+        LOCAL: each cell above ``max_cell_rows`` splits into two
+        cosine-Lloyd sub-centroids trained on that cell's vectors only,
+        its rows re-encode against whichever sub-centroid wins
+        (CONSTRAINED to the pair — never a global reassignment, so only
+        the hot cells' partitions rewrite and the O(cells-touched)
+        maintenance cost contract of delete_ids holds), and the new
+        centroid appends to the geometry. The partition swaps AND the
+        geometry sidecar commit under ONE journal
+        (sources.parquet._swap_partitions — the sidecar rides as a
+        file-grain swap entry), so readers see old-data+old-geometry or
+        new-data+new-geometry, never a mix: stale codes against a moved
+        centroid would silently corrupt ADC distances.
+
+        Requires the store to carry ``vec_col`` (the refine-capable
+        layout): re-encoding needs the vectors; codes-only stores must
+        re-fit instead. Exactness invariant (pinned by test): full-probe
+        + exact refine is the exact kNN of the stored vectors, so it
+        returns IDENTICAL results before and after a rebalance —
+        re-encoding moves approximation quality, never truth. Returns
+        ``(new_index, stats)``."""
+        import os
+        import shutil
+        import uuid
+
+        import numpy as np
+
+        from lazy_frame_spark.sources.parquet import (
+            _escape_partition_value,
+            _refresh,
+            _swap_partitions,
+            recover_table,
+        )
+
+        recover_table(path)
+        idx, store = IVFPQIndex.load(spark, path)
+        if vec_col not in store.columns:
+            raise ValueError(
+                "rebalance_cells needs the stored vectors "
+                f"({vec_col!r} absent — a codes-only store cannot "
+                "re-encode); save the index with vectors or re-fit"
+            )
+        hot = sorted(
+            int(r["__ivf_cell__"])
+            for r in store.groupBy("__ivf_cell__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > int(max_cell_rows))
+            .collect()
+        )
+        if not hot:
+            return idx, {"cells_split": 0, "new_cells": []}
+        coarse = [[float(x) for x in c] for c in idx.coarse]
+        dim = len(coarse[0])
+        splits: list[tuple[int, int]] = []
+        for c in hot:
+            base = np.asarray(coarse[c], dtype=np.float64)
+            scale = (float(np.linalg.norm(base)) or 1.0) * 0.05
+            g = np.random.default_rng(seed * 100_003 + c)
+            delta = g.standard_normal(dim) * scale
+            sub = coarse_train_cosine(
+                store.filter(F.col("__ivf_cell__") == c).select(vec_col),
+                [[float(x) for x in base + delta],
+                 [float(x) for x in base - delta]],
+                n_iter=int(split_iters), vec_col=vec_col,
+            )
+            new_id = len(coarse)
+            coarse[c] = sub[0]
+            coarse.append(sub[1])
+            splits.append((c, new_id))
+        new_idx = IVFPQIndex(coarse, idx.codebooks, rotation=idx.rotation)
+
+        reenc = _reencode_split(
+            store.filter(F.col("__ivf_cell__").isin(hot)),
+            coarse, splits, idx.codebooks, idx._rot_np(),
+            vec_col, code_col,
+        )
+        dest = path.rstrip("/") + f"__rebalance_{uuid.uuid4().hex[:8]}"
+        shutil.rmtree(dest, ignore_errors=True)
+        reenc.write.mode("overwrite").partitionBy("__ivf_cell__").parquet(dest)
+        pdirs = []
+        for c, new_id in splits:
+            for v in (c, new_id):
+                p = f"__ivf_cell__={_escape_partition_value(v)}"
+                # a fully-one-sided split leaves one dir absent from the
+                # staged write; an EMPTY dir must still swap in (the
+                # rolled-forward state owns both names)
+                os.makedirs(os.path.join(dest, p), exist_ok=True)
+                pdirs.append(p)
+        new_sidecar = {"coarse": new_idx.coarse,
+                       "codebooks": new_idx.codebooks,
+                       "rotation": new_idx.rotation}
+        import json
+
+        with open(os.path.join(dest, IVFPQIndex.META_FILE), "w") as f:
+            json.dump(new_sidecar, f)
+            f.flush()
+            os.fsync(f.fileno())
+        _swap_partitions(path, dest, pdirs + [IVFPQIndex.META_FILE])
+        _refresh(spark, path)
+        return new_idx, {"cells_split": len(splits),
+                         "new_cells": [n for _, n in splits]}
+
+
+def _reencode_split(
+    hot_rows: DataFrame,
+    coarse: list[list[float]],
+    splits: list[tuple[int, int]],
+    codebooks: list,
+    rot,
+    vec_col: str,
+    code_col: str,
+) -> DataFrame:
+    """Re-encode a hot cell's rows against its two sub-centroids (the
+    CONSTRAINED assignment of ``rebalance_cells`` — old cell vs its new
+    sibling, never the full argmax, so no row escapes the rewritten
+    partitions). One Arrow pass: pairwise cosine pick, residual vs the
+    winner, PQ code loop — the ``encode`` shape restricted to a 2-row
+    centroid matrix per row. Non-finite vectors keep their old cell
+    with NULL codes (the encode contract)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    S, K, D = cb.shape
+    dim = len(coarse[0])
+    pos = {c: i for i, (c, _n) in enumerate(splits)}
+    C0 = np.stack([np.asarray(coarse[c], dtype=np.float64)
+                   for c, _n in splits])
+    C1 = np.stack([np.asarray(coarse[n], dtype=np.float64)
+                   for _c, n in splits])
+    ids1 = np.array([n for _c, n in splits], dtype=np.int64)
+    n0 = np.linalg.norm(C0, axis=1)
+    n1 = np.linalg.norm(C1, axis=1)
+    out_schema = hot_rows.schema
+    in_cols = list(hot_rows.columns)
+
+    def reenc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield pdf
+                continue
+            V = np.stack([
+                np.full(dim, np.nan) if v is None else np.asarray(v)
+                for v in pdf[vec_col].to_numpy()
+            ]).astype(np.float64)
+            old = pdf["__ivf_cell__"].to_numpy().astype(np.int64)
+            h = np.array([pos[int(x)] for x in old])
+            finite = np.isfinite(V).all(axis=1)
+            nv = np.linalg.norm(V, axis=1)
+            ok = finite & (nv > 0)
+            Vs = np.where(ok[:, None], V, 0.0)
+            cos0 = np.einsum("ij,ij->i", Vs, C0[h]) / np.where(
+                n0[h] * nv > 0, n0[h] * nv, 1.0)
+            cos1 = np.einsum("ij,ij->i", Vs, C1[h]) / np.where(
+                n1[h] * nv > 0, n1[h] * nv, 1.0)
+            take1 = ok & (cos1 > cos0)
+            cells = np.where(take1, ids1[h], old)
+            chosen = np.where(take1[:, None], C1[h], C0[h])
+            R = V - chosen
+            if rot is not None:
+                R = R @ rot.T
+            codes = np.empty((n, S), dtype=np.int32)
+            for s in range(S):
+                sub = np.where(ok[:, None], R[:, s * D:(s + 1) * D], 0.0)
+                acc = np.zeros((n, K))
+                for i in range(D):
+                    diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
+                    acc = acc + diff * diff
+                codes[:, s] = np.argmin(acc, axis=1) + 1
+            out = pdf[in_cols].copy()
+            out["__ivf_cell__"] = cells.astype(pdf["__ivf_cell__"].dtype)
+            out[code_col] = [
+                list(codes[r]) if ok[r] else None for r in range(n)
+            ]
+            yield out
+
+    return hot_rows.mapInPandas(reenc, out_schema)
 
 
 def pq_encode_arrow(

@@ -3783,6 +3783,62 @@ def dedup_semantic(spark, sf_dir):
 
 
 @query(
+    "ann_ivfpq_rebalance",
+    # invariant-boolean oracle (trained-model pattern): the split's
+    # sub-centroids are float-sum-order dependent, but full-probe +
+    # exact refine is the exact kNN of the stored vectors — provably
+    # IDENTICAL across the rebalance, which is the graded contract
+    oracle="""
+    SELECT TRUE AS split_happened,
+           TRUE AS exact_knn_invariant,
+           CAST(10 AS BIGINT) AS k
+    """,
+)
+def ann_ivfpq_rebalance(spark, sf_dir):
+    """Index maintenance leg 3 (similarity.IVFPQIndex.rebalance_cells):
+    a hot cell splits into two cosine-Lloyd sub-centroids trained on
+    that cell only; its rows re-encode CONSTRAINED to the pair, so
+    only the hot partitions rewrite (O(cells-touched), like
+    delete_ids) and the geometry sidecar commits under the same
+    journal as the partition swaps. The graded invariants: the split
+    happened, and full-probe + FULL-refine top-10 is bit-identical
+    before/after: with every candidate re-ranked exactly (refine >=
+    corpus), the result is the exact kNN of the stored vectors, which
+    re-encoding provably cannot move (a k-sized refine would NOT be
+    invariant — its ADC shortlist shifts with the codes)."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.operators import similarity as _s
+
+    e = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _s.IVFPQIndex.fit(e, n_cells=2, n_sub=8, k=16, seed=7,
+                            train_iters=0, train_coarse=False)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = f"/tmp/lfs_rebal_{tag}"
+    shutil.rmtree(store, ignore_errors=True)
+    idx.save(idx.encode(e), store)
+    qv = [float(x) for x in
+          e.filter("vec_id = 3").select("embedding").collect()[0][0]]
+    _, s0 = _s.IVFPQIndex.load(spark, store)
+    before = [(r["vec_id"], round(r["dist"], 9)) for r in
+              idx.topk(s0, qv, k=10, n_probe=2, refine=1_000_000).collect()]
+    sizes = {r["__ivf_cell__"]: r["n"] for r in
+             s0.groupBy("__ivf_cell__").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    _, stats = _s.IVFPQIndex.rebalance_cells(
+        spark, store, max_cell_rows=max(sizes.values()) - 1)
+    loaded, s1 = _s.IVFPQIndex.load(spark, store)
+    after = [(r["vec_id"], round(r["dist"], 9)) for r in
+             loaded.topk(s1, qv, k=10, n_probe=len(loaded.coarse),
+                         refine=1_000_000).collect()]
+    return spark.createDataFrame(
+        [(stats["cells_split"] >= 1, after == before, len(after))],
+        "split_happened boolean, exact_knn_invariant boolean, k bigint",
+    )
+
+
+@query(
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,
@@ -8882,7 +8938,11 @@ DRIVER_WINDOW: list[str] = [
     # Its slot funds sink_time_travel below.)
     # (lf_head rotated in round 9 too — green rounds 1-8; L1 is the
     # row_range(1,n) special case and stays locally checked + benched)
-    "lf_which",
+    # (lf_which rotated past the cap in round 11 — green rounds 1-10,
+    # the longest-green remaining lf_ row; the F2 WHICH scan stays
+    # locally checked AND benched, and the predicate-scan shape is
+    # driver-exercised by lf_filter_project. Its slot funds
+    # ann_ivfpq_rebalance below.)
     # locale decimal separator — the last §2.1 fine-print edge
     # (src/lazy.frame.c:516-517), landed in-window the round it shipped
     "lf_open_decimal_locale",
@@ -9076,6 +9136,11 @@ DRIVER_WINDOW: list[str] = [
     # journaled erasure from the served index (slot funded by
     # join_q3_revenue)
     "ann_ivfpq_delete",
+    # round-11 addition (zero-debt): the maintenance triad's third leg
+    # — hot-cell split with the geometry sidecar in the SAME journal as
+    # the partition swaps; graded on the full-refine exact-kNN
+    # invariance (slot funded by lf_which)
+    "ann_ivfpq_rebalance",
     # (ann_ivfpq_trained_recall rotated past the cap in round 11 —
     # green rounds 8-10, and the heaviest driver row (~9 s of fit +
     # panel); the recall floors stay pinned by

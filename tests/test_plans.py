@@ -692,6 +692,83 @@ def test_ivfpq_journaled_add_absorbs_replays_and_crashes(spark, sf_dir, tmp_path
     assert spark.read.parquet(store).count() == n_mid
 
 
+def test_ivfpq_rebalance_splits_hot_cells(spark, sf_dir, tmp_path):
+    """rebalance_cells — the maintenance triad's third leg: hot cells
+    split into two trained sub-centroids, ONLY their partitions
+    rewrite (untouched cell dirs keep their exact files), the geometry
+    sidecar commits under the same journal, row/id conservation holds,
+    and the exactness invariant pins correctness: full-probe + exact
+    refine is the exact kNN of the stored vectors, so it returns
+    IDENTICAL results before and after."""
+    import os
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    # 2 cells -> one cell is guaranteed population >= half the corpus
+    idx = sim.IVFPQIndex.fit(e, n_cells=2, n_sub=8, k=16, seed=7,
+                             train_iters=0, train_coarse=False)
+    store = str(tmp_path / "rebal")
+    idx.save(idx.encode(e), store)
+    n_rows = e.count()
+    qv = [float(x) for x in
+          e.filter("vec_id = 3").select("embedding").collect()[0][0]]
+    _, stored0 = sim.IVFPQIndex.load(spark, store)
+    before = [(r["vec_id"], round(r["dist"], 9)) for r in idx.topk(
+        stored0, qv, k=10, n_probe=2, refine=1_000_000).collect()]
+    sizes0 = {r["__ivf_cell__"]: r["n"] for r in
+              stored0.groupBy("__ivf_cell__").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    # materialize every pre-swap reading NOW: stored0's plan addresses
+    # the pre-rebalance files, which the journaled swap deletes (the
+    # delete_ids stage-to-temp note documents the same hazard)
+    n_ids0 = stored0.select("vec_id").distinct().count()
+    hot_cell = max(sizes0, key=sizes0.get)
+    cold_cell = min(sizes0, key=sizes0.get)
+    cold_dir = os.path.join(store, f"__ivf_cell__={cold_cell}")
+    cold_stamps = {
+        f: os.stat(os.path.join(cold_dir, f)).st_mtime_ns
+        for f in os.listdir(cold_dir)
+    }
+
+    new_idx, stats = sim.IVFPQIndex.rebalance_cells(
+        spark, store, max_cell_rows=sizes0[hot_cell] - 1)
+    assert stats["cells_split"] == 1 and stats["new_cells"] == [2]
+    assert len(new_idx.coarse) == 3
+    loaded, stored1 = sim.IVFPQIndex.load(spark, store)
+    assert [list(c) for c in loaded.coarse] == [list(c) for c in new_idx.coarse]
+    # conservation: same rows, same ids, hot cell actually split
+    assert stored1.count() == n_rows
+    assert stored1.select("vec_id").distinct().count() == n_ids0
+    sizes1 = {r["__ivf_cell__"]: r["n"] for r in
+              stored1.groupBy("__ivf_cell__").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes1.get(hot_cell, 0) < sizes0[hot_cell]
+    assert sizes1.get(2, 0) > 0
+    assert sizes1.get(cold_cell) == sizes0[cold_cell]
+    # partition scope: the cold cell's files were never rewritten
+    for f, stamp in cold_stamps.items():
+        assert os.stat(os.path.join(cold_dir, f)).st_mtime_ns == stamp
+    # exactness invariant: full probe + exact refine identical
+    after = [(r["vec_id"], round(r["dist"], 9)) for r in loaded.topk(
+        stored1, qv, k=10, n_probe=3, refine=1_000_000).collect()]
+    assert after == before
+    # codes-only stores refuse with an actionable error
+    import pytest as _pytest
+
+    store2 = str(tmp_path / "rebal_codes_only")
+    idx.save(idx.encode(e).select("vec_id", "pq_codes", "__ivf_cell__"),
+             store2)
+    with _pytest.raises(ValueError, match="codes-only"):
+        sim.IVFPQIndex.rebalance_cells(spark, store2, max_cell_rows=1)
+    # no hot cells: a no-op that changes nothing
+    idx2, stats2 = sim.IVFPQIndex.rebalance_cells(
+        spark, store, max_cell_rows=n_rows + 1)
+    assert stats2["cells_split"] == 0
+    assert len(idx2.coarse) == 3
+
+
 def test_ivfpq_delete_ids_is_cell_scoped(spark, sf_dir, tmp_path):
     """IVFPQIndex.delete_ids — add's inverse: deleting ids confined to
     ONE cell rewrites only that cell's partition dir (other cell dirs
