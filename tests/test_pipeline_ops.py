@@ -1204,6 +1204,47 @@ def test_edit_distance_pairs_exact_recall_vs_bruteforce(spark):
         assert got == want, (k, q, set(want) - set(got), set(got) - set(want))
 
 
+def test_edit_distance_pairs_unicode_and_awkward_names(spark):
+    """Multi-byte text (CJK/emoji/combining marks) through the padded
+    gram SQL, plus a space-containing text column name (the quoting
+    path) — recall stays brute-force-exact."""
+    import itertools
+    import random
+
+    from lazy_frame_spark.operators.linkage import edit_distance_pairs
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    alphabet = "日本語héø🙂x"
+    strs = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+            for _ in range(40)]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    a = spark.createDataFrame(rows, "id_a long, `left name` string")
+    b = spark.createDataFrame(rows, "id_b long, `right name` string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in edit_distance_pairs(
+            a, b, ("left name", "right name"), ("id_a", "id_b"),
+            max_distance=2, antisymmetric=True,
+        ).collect()
+    }
+    want = {
+        (i, j): lev(strs[i], strs[j])
+        for i, j in itertools.combinations(range(len(strs)), 2)
+        if lev(strs[i], strs[j]) <= 2
+    }
+    assert got == want, (set(want) - set(got), set(got) - set(want))
+
+
 def test_edit_distance_pairs_plan_and_hot_prefix(spark):
     """Entity-id shaped names (a hot shared prefix in every row) must
     stay an equi-join plan — the rare-first prefix ordering keeps the
