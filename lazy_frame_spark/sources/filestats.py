@@ -1,0 +1,557 @@
+"""Manifest-level data skipping for versioned tables — per-FILE column
+min/max/null-count recorded at commit time, consulted at read time to
+prune the file list BEFORE Spark ever sees it.
+
+Why this exists when parquet already has footer stats: Spark's scan
+prunes ROW GROUPS from footers, but it must still LIST, OPEN and
+SCHEDULE a task for every file to do so. On a 100 TB table that is
+millions of footer reads and task launches per query even when the
+predicate matches one file. Delta ("data skipping") and Iceberg
+(manifest column bounds) solve this by hoisting the bounds into commit
+metadata; this module is that layer for the versioned-table format in
+``sources/versioned.py``.
+
+Shape and cost:
+
+- **Write side**: ``write_dir_stats`` reads ONLY the new data
+  directory's parquet footers (pyarrow, driver-local, no Spark job —
+  the same cost class as the row counts `versioned._footer_rows`
+  already records) and writes one ``_stats.json`` sidecar into the
+  directory. Files are immutable and carried by reference across
+  commits, so the sidecar is written ONCE per directory and travels
+  with it — appending to a 100 TB table computes stats for the new
+  batch only.
+- **Read side**: ``prune_files`` loads one sidecar per *data
+  directory* (O(commits), not O(files)), evaluates the conjunctive
+  predicate against each file's bounds, and returns the survivors.
+  Everything uncertain — missing sidecar (pre-stats directories),
+  missing column, unusable parquet statistics, a type the comparator
+  doesn't understand — KEEPS the file: pruning is an optimization and
+  must never change results.
+- ``cluster_versioned`` (Z-order / Hilbert re-layout) is the natural
+  companion: after re-clustering, each file covers a compact key
+  interval, so these bounds become tight in every clustered dimension
+  and range predicates prune to a handful of files.
+
+Predicate language: a list of conjuncts ``(col, op, value)`` with ops
+``= == != < <= > >= in between isnull isnotnull`` (``between`` takes a
+``(lo, hi)`` pair, ``isnull``/``isnotnull`` take ``None``).
+Conjunction-only is deliberate — it matches what file bounds can
+decide exactly; a disjunction is two pruned reads unioned by the
+caller. ``spark_filter`` builds the EXACT same predicate as a Spark
+``Column`` so the pruned read still filters row-by-row: skipping
+removes whole files, the filter does the rest.
+
+SQL NULL semantics are preserved: comparison conjuncts never match
+NULL rows, so a file whose only candidate rows are NULL is prunable by
+bounds alone; ``isnull`` prunes on recorded null counts.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import math
+import os
+import uuid
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_dir_stats",
+    "load_dir_stats",
+    "write_dir_blooms",
+    "load_dir_blooms",
+    "prune_files",
+    "spark_filter",
+    "STATS_SIDECAR",
+    "BLOOM_SIDECAR",
+]
+
+STATS_SIDECAR = "_stats.json"
+
+_OPS = {"=", "==", "!=", "<", "<=", ">", ">=", "in", "between",
+        "isnull", "isnotnull"}
+
+
+# ---------------------------------------------------------------- encode
+
+def _encode(v):
+    """Parquet-statistics value -> JSON-safe tagged form, or None when
+    the type can't round-trip with a total order we trust (bytes,
+    NaN)."""
+    if isinstance(v, bool):
+        return {"t": "b", "v": v}
+    if isinstance(v, int):
+        return {"t": "i", "v": v}        # JSON ints are exact
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return {"t": "f", "v": v}
+    if isinstance(v, str):
+        return {"t": "s", "v": v}
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "d", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "n", "v": str(v)}
+    return None
+
+
+def _decode(tagged):
+    t, v = tagged["t"], tagged["v"]
+    if t == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if t == "d":
+        return datetime.date.fromisoformat(v)
+    if t == "n":
+        return decimal.Decimal(v)
+    return v
+
+
+def _coerce_literal(kind: str, lit):
+    """User literal -> the stats value's domain, or raise TypeError
+    when the pair has no defensible total order (caller keeps the
+    file). Numeric kinds accept numeric literals (Python compares
+    int/float/Decimal exactly across types); temporal kinds accept
+    ISO strings or the datetime objects themselves."""
+    if lit is None:
+        raise TypeError("NULL literal never matches a comparison")
+    if kind in ("i", "f", "n"):
+        if isinstance(lit, bool) or not isinstance(
+            lit, (int, float, decimal.Decimal)
+        ):
+            raise TypeError(f"non-numeric literal {lit!r}")
+        if isinstance(lit, float) and (math.isnan(lit) or math.isinf(lit)):
+            raise TypeError("NaN/inf literal")
+        return lit
+    if kind == "s":
+        if not isinstance(lit, str):
+            raise TypeError(f"non-string literal {lit!r}")
+        return lit
+    if kind == "d":
+        if isinstance(lit, datetime.datetime):
+            raise TypeError("timestamp literal against a date column")
+        if isinstance(lit, datetime.date):
+            return lit
+        return datetime.date.fromisoformat(lit)
+    if kind == "ts":
+        if isinstance(lit, datetime.datetime):
+            return lit
+        if isinstance(lit, datetime.date):
+            return datetime.datetime(lit.year, lit.month, lit.day)
+        return datetime.datetime.fromisoformat(lit)
+    if kind == "b":
+        if not isinstance(lit, bool):
+            raise TypeError(f"non-bool literal {lit!r}")
+        return lit
+    raise TypeError(f"unknown stats kind {kind!r}")
+
+
+# ----------------------------------------------------------- write side
+
+def _file_stats(abs_file: str) -> dict | None:
+    """One parquet file's per-column bounds from its footer only.
+    Returns ``{"rows": n, "cols": {name: {"lo":…,"hi":…,"nulls":…}}}``
+    or None when the footer can't be read (caller records nothing —
+    readers then keep the file unconditionally).
+
+    Only top-level leaf columns are recorded (no dot in the parquet
+    path): nested fields don't participate in the conjunct language.
+    A column appears with lo/hi only when EVERY row group has usable
+    min/max; null counts likewise only when every row group reports
+    one — partial knowledge about a file is not knowledge."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_file).metadata
+    except Exception:
+        return None
+    cols: dict[str, dict] = {}
+    per_col: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            acc = per_col.setdefault(
+                name, {"lo": None, "hi": None, "nulls": 0,
+                       "bounds_ok": True, "nulls_ok": True},
+            )
+            st = col.statistics
+            if st is None:
+                acc["bounds_ok"] = acc["nulls_ok"] = False
+                continue
+            if st.null_count is None:
+                acc["nulls_ok"] = False
+            elif acc["nulls_ok"]:
+                acc["nulls"] += st.null_count
+            # an all-null row group legitimately has no min/max; it
+            # constrains nothing, so bounds from other groups stand
+            if (st.null_count is not None
+                    and st.null_count == row_group.num_rows
+                    and not st.has_min_max):
+                continue
+            if not st.has_min_max:
+                acc["bounds_ok"] = False
+                continue
+            lo, hi = _encode(st.min), _encode(st.max)
+            if lo is None or hi is None or lo["t"] != hi["t"]:
+                acc["bounds_ok"] = False
+                continue
+            if acc["lo"] is None:
+                acc["lo"], acc["hi"] = lo, hi
+            elif acc["lo"]["t"] != lo["t"]:
+                acc["bounds_ok"] = False
+            else:
+                if _decode(lo) < _decode(acc["lo"]):
+                    acc["lo"] = lo
+                if _decode(hi) > _decode(acc["hi"]):
+                    acc["hi"] = hi
+    for name, acc in per_col.items():
+        rec: dict = {}
+        if acc["bounds_ok"] and acc["lo"] is not None:
+            rec["lo"], rec["hi"] = acc["lo"], acc["hi"]
+        if acc["nulls_ok"]:
+            rec["nulls"] = acc["nulls"]
+        if rec:
+            cols[name] = rec
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def write_dir_stats(dir_abs: str) -> dict | None:
+    """Compute and persist the ``_stats.json`` sidecar for one
+    finalized data directory. Atomic (temp + rename) so a crash
+    mid-write leaves either no sidecar (readers keep all files) or a
+    complete one — never a torn file. Returns the written doc, or
+    None if no file yielded stats (no sidecar written)."""
+    files = sorted(
+        f for f in os.listdir(dir_abs) if f.endswith(".parquet")
+    )
+    per_file = {}
+    for name in files:
+        st = _file_stats(os.path.join(dir_abs, name))
+        if st is not None:
+            per_file[name] = st
+    if not per_file:
+        return None
+    doc = {"version": 1, "files": per_file}
+    tmp = os.path.join(dir_abs, f".{STATS_SIDECAR}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(dir_abs, STATS_SIDECAR))
+    return doc
+
+
+def load_dir_stats(dir_abs: str) -> dict | None:
+    """The sidecar's per-file stats map, or None when absent/unreadable
+    (pre-stats directories: every file is kept)."""
+    try:
+        with open(os.path.join(dir_abs, STATS_SIDECAR)) as fh:
+            doc = json.load(fh)
+        return doc["files"] if doc.get("version") == 1 else None
+    except Exception:
+        return None
+
+
+# ------------------------------------------------------------ prune side
+
+def _check_where(where) -> None:
+    for conj in where:
+        if not (isinstance(conj, (tuple, list)) and len(conj) == 3):
+            raise ValueError(f"conjunct must be (col, op, value): {conj!r}")
+        col, op, val = conj
+        if not isinstance(col, str) or op not in _OPS:
+            raise ValueError(f"bad conjunct {conj!r}; ops: {sorted(_OPS)}")
+        if op == "between" and not (
+            isinstance(val, (tuple, list)) and len(val) == 2
+        ):
+            raise ValueError(f"between takes a (lo, hi) pair: {conj!r}")
+        if op == "in" and not isinstance(val, (tuple, list, set)):
+            raise ValueError(f"in takes a collection: {conj!r}")
+
+
+def _excludes(rec: dict, rows: int, op: str, val) -> bool:
+    """True only when the file PROVABLY contains no matching row."""
+    have_bounds = "lo" in rec
+    nulls = rec.get("nulls")
+    if op == "isnull":
+        return nulls == 0
+    if op == "isnotnull":
+        return nulls is not None and nulls >= rows
+    # an entirely-NULL column can't match ANY comparison (SQL
+    # three-valued logic) — decidable from the null count alone,
+    # since an all-null file records no bounds
+    if nulls is not None and nulls >= rows:
+        return True
+    if not have_bounds:
+        return False
+    lo, hi = _decode(rec["lo"]), _decode(rec["hi"])
+    kind = rec["lo"]["t"]
+    try:
+        if op == "in":
+            vs = [_coerce_literal(kind, x) for x in val if x is not None]
+            return all(x < lo or x > hi for x in vs)
+        if op == "between":
+            a = _coerce_literal(kind, val[0])
+            b = _coerce_literal(kind, val[1])
+            return b < lo or a > hi
+        v = _coerce_literal(kind, val)
+    except TypeError:
+        return False
+    if op in ("=", "=="):
+        return v < lo or v > hi
+    if op == "!=":
+        # only a constant file is excludable, and only if nothing is NULL
+        return lo == hi == v and nulls == 0
+    if op == "<":
+        return lo >= v
+    if op == "<=":
+        return lo > v
+    if op == ">":
+        return hi <= v
+    if op == ">=":
+        return hi < v
+    return False
+
+
+def prune_files(
+    path: str, rel_files: list[str], where
+) -> list[str]:
+    """The subset of ``rel_files`` that can contain rows matching the
+    conjunction ``where``, decided purely from commit-time sidecars —
+    one sidecar read per data directory, no parquet I/O. Unknown is
+    kept; order is preserved."""
+    _check_where(where)
+    sidecars: dict[str, dict | None] = {}
+    blooms: dict[str, dict | None] = {}
+    kept = []
+    has_eq = any(op in ("=", "==", "in") for _c, op, _v in where)
+    for rel in rel_files:
+        d, base = os.path.split(rel)
+        if d not in sidecars:
+            sidecars[d] = load_dir_stats(os.path.join(path, d))
+            blooms[d] = (load_dir_blooms(os.path.join(path, d))
+                         if has_eq else None)
+        stats = sidecars[d]
+        bloom = blooms[d]
+        st = stats.get(base) if stats else None
+        drop = False
+        if st is not None:
+            rows, cols = st.get("rows", 0), st.get("cols", {})
+            for col, op, val in where:
+                rec = cols.get(col)
+                if rec is None:
+                    continue
+                if _excludes(rec, rows, op, val):
+                    drop = True
+                    break
+        if not drop and bloom is not None:
+            for col, op, val in where:
+                if _bloom_excludes(bloom, base, col, op, val):
+                    drop = True
+                    break
+        if not drop:
+            kept.append(rel)
+    return kept
+
+
+def spark_filter(where) -> Column:
+    """The same conjunction as a Spark ``Column`` — applied on top of
+    the pruned scan so row-level semantics are exactly SQL's whatever
+    the pruning decided."""
+    _check_where(where)
+    cond = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        if op in ("=", "=="):
+            cur = c == F.lit(val)
+        elif op == "!=":
+            cur = c != F.lit(val)
+        elif op == "<":
+            cur = c < F.lit(val)
+        elif op == "<=":
+            cur = c <= F.lit(val)
+        elif op == ">":
+            cur = c > F.lit(val)
+        elif op == ">=":
+            cur = c >= F.lit(val)
+        elif op == "in":
+            cur = c.isin(list(val))
+        elif op == "between":
+            cur = (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+        elif op == "isnull":
+            cur = c.isNull()
+        else:  # isnotnull
+            cur = c.isNotNull()
+        cond = cond & cur
+    return cond
+
+
+# ----------------------------------------------------------- bloom side
+
+BLOOM_SIDECAR = "_blooms.json"
+
+#: default bloom geometry: 2^17 bits (16 KiB) / 7 probes gives
+#: fpp ~0.9% at 10k distinct keys per file and ~17% at 100k — size
+#: n_bits to the per-file key cardinality (m ≈ 1.44 · n · log2(1/fpp))
+BLOOM_BITS = 1 << 17
+BLOOM_K = 7
+
+
+def _bloom_positions_py(value, n_bits: int, k: int) -> list[int]:
+    """The EXACT probe positions the JVM build computes, reproduced
+    driver-side: md5 over the value's canonical string form, split into
+    two 60-bit halves (hex[0:15], hex[16:31] — matching 1-based Spark
+    ``substring(h,1,15)`` / ``substring(h,17,15)``), combined
+    Kirsch–Mitzenmacher style (h1 + i·h2 mod m). md5-of-string was
+    chosen over xxhash64 precisely because both sides can compute it
+    bit-exactly: Spark's xxhash64 is JVM-internal and re-deriving it in
+    Python would be a silent-corruption risk at every type boundary.
+    Canonical string form = Spark's CAST(x AS STRING) for the two
+    supported key types (int → decimal digits, string → identity)."""
+    import hashlib
+
+    s = str(value)
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    h1 = int(h[0:15], 16)
+    h2 = int(h[16:31], 16)
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+def _bloom_supported_literal(v) -> bool:
+    return isinstance(v, str) or (
+        isinstance(v, int) and not isinstance(v, bool)
+    )
+
+
+def write_dir_blooms(
+    spark, dir_abs: str, cols: list[str],
+    n_bits: int = BLOOM_BITS, k: int = BLOOM_K,
+    extra_cols: dict | None = None,
+) -> dict | None:
+    """Build per-FILE bloom filters for ``cols`` over one data
+    directory and persist them in a ``_blooms.json`` sidecar (atomic
+    temp+rename, advisory metadata — a missing/partial sidecar only
+    costs pruning). Complements the min/max bounds: a Z-ordered table
+    prunes RANGE predicates on the cluster keys, but equality on a
+    high-cardinality key the layout wasn't built for (doc_id, url)
+    straddles every file's [lo, hi]; the bloom answers that point
+    lookup in O(k) driver-side bit tests per file.
+
+    Cost: ONE extra Spark scan of this directory's files per column
+    (projection-pruned to the key column — parquet columnar I/O makes
+    that a fraction of the data), entirely map-side until a
+    (file, bit-position) distinct; the driver then assembles
+    n_files × n_bits/8 bytes. Only int-family and string columns are
+    accepted — the two types whose CAST-to-STRING canonical form is
+    reproducible bit-exactly in Python (see _bloom_positions_py);
+    anything else raises rather than writing a filter that would
+    diverge from the probe. ``extra_cols`` carries already-built
+    same-geometry column filters into the new sidecar unchanged
+    (incremental column addition — see ``versioned.build_blooms``)."""
+    files = sorted(
+        f for f in os.listdir(dir_abs) if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    import base64
+
+    from pyspark.sql import functions as SF
+
+    abs_files = [os.path.join(dir_abs, f) for f in files]
+    df = spark.read.parquet(*abs_files)
+    type_by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
+    out_cols: dict[str, dict[str, str]] = {}
+    for c in cols:
+        t = type_by_name.get(c)
+        if t is None:
+            raise ValueError(f"bloom column {c!r} not in table schema")
+        if t not in ok_types:
+            raise ValueError(
+                f"bloom column {c!r} has type {t} — only int-family and "
+                "string keys have a canonical cross-engine string form"
+            )
+        h = SF.md5(SF.col(c).cast("string"))
+        h1 = SF.conv(SF.substring(h, 1, 15), 16, 10).cast("bigint")
+        h2 = SF.conv(SF.substring(h, 17, 15), 16, 10).cast("bigint")
+        pos = SF.array(*[
+            SF.pmod(h1 + SF.lit(i) * h2, SF.lit(n_bits)).cast("int")
+            for i in range(k)
+        ])
+        rows = (
+            df.select(SF.input_file_name().alias("__f"), SF.col(c))
+            .filter(SF.col(c).isNotNull())
+            .select("__f", SF.explode(pos).alias("__p"))
+            .distinct()
+            .groupBy("__f")
+            .agg(SF.collect_list("__p").alias("__ps"))
+            .collect()
+        )
+        from urllib.parse import unquote
+
+        per_file: dict[str, str] = {}
+        for r in rows:
+            uri = r["__f"]
+            p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
+            base = os.path.basename(p)
+            bits = bytearray(n_bits // 8)
+            for pos_i in r["__ps"]:
+                bits[pos_i >> 3] |= 1 << (pos_i & 7)
+            per_file[base] = base64.b64encode(bytes(bits)).decode("ascii")
+        # a file whose column is entirely NULL gets an all-zero filter
+        # (no equality can match it) — record it explicitly so the
+        # probe can prune instead of treating it as unknown
+        zero = base64.b64encode(bytes(n_bits // 8)).decode("ascii")
+        for f in files:
+            per_file.setdefault(f, zero)
+        out_cols[c] = per_file
+    if extra_cols:
+        for c, per_file in extra_cols.items():
+            out_cols.setdefault(c, per_file)
+    doc = {"version": 1, "n_bits": n_bits, "k": k, "cols": out_cols}
+    tmp = os.path.join(dir_abs, f".{BLOOM_SIDECAR}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(dir_abs, BLOOM_SIDECAR))
+    return doc
+
+
+def load_dir_blooms(dir_abs: str) -> dict | None:
+    try:
+        with open(os.path.join(dir_abs, BLOOM_SIDECAR)) as fh:
+            doc = json.load(fh)
+        return doc if doc.get("version") == 1 else None
+    except Exception:
+        return None
+
+
+def _bloom_excludes(doc: dict, base: str, col: str, op: str, val) -> bool:
+    """True when the directory's bloom PROVES no row of ``base`` equals
+    the literal(s). Only equality ops are bloom-decidable."""
+    if op not in ("=", "==", "in"):
+        return False
+    b64 = doc.get("cols", {}).get(col, {}).get(base)
+    if b64 is None:
+        return False
+    import base64
+
+    bits = base64.b64decode(b64)
+    n_bits, k = doc["n_bits"], doc["k"]
+
+    def maybe_present(v) -> bool:
+        if not _bloom_supported_literal(v):
+            return True  # unknown canonical form: assume present
+        return all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions_py(v, n_bits, k)
+        )
+
+    vs = val if op == "in" else [val]
+    return not any(maybe_present(v) for v in vs if v is not None)

@@ -70,6 +70,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lazy_frame_spark.sources import filestats
+
 __all__ = [
     "VersionConflict",
     "write_versioned",
@@ -80,6 +82,8 @@ __all__ = [
     "cluster_versioned",
     "cluster_increment",
     "read_versioned",
+    "skipping_summary",
+    "build_blooms",
     "history",
     "latest_version",
     "vacuum_versioned",
@@ -202,6 +206,14 @@ def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:
     df.write.mode("overwrite").parquet(tmp)
     final = os.path.join(path, rel_final)
     os.replace(tmp, final)
+    try:
+        # data-skipping sidecar (filestats.py): per-file column bounds
+        # from the new footers only — best-effort; readers keep every
+        # file of a directory with no sidecar, so a failure here costs
+        # pruning, never correctness
+        filestats.write_dir_stats(final)
+    except Exception:
+        pass
     return sorted(
         os.path.join(rel_final, name)
         for name in os.listdir(final)
@@ -258,6 +270,51 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return _commit(path, "overwrite", files, df.schema.json(), parent)
 
 
+def _committed_schema(man_or_json) -> T.StructType:
+    """The manifest's committed schema as a StructType — every
+    maintenance read passes it explicitly so the scan NEVER resolves
+    the table schema by sampling one footer: on a schema-evolved table
+    (``append_versioned(merge_schema=True)``) a sampled footer from a
+    pre-evolution file is missing the newer columns, and a rewrite
+    based on it (delete/compact/cluster) would silently drop them."""
+    j = man_or_json if isinstance(man_or_json, str) else man_or_json["schema"]
+    return T.StructType.fromJson(json.loads(j))
+
+
+def _merge_schemas(committed_json: str, batch_json: str) -> str:
+    """Delta-style additive schema merge for
+    ``append_versioned(merge_schema=True)``: overlapping columns must
+    keep their exact type; batch-only columns are APPENDED to the
+    committed schema as nullable (older files read them as NULL);
+    committed columns the batch lacks become nullable too (the new
+    files read them as NULL). No type widening, no drops, no renames —
+    those are new-snapshot territory (``write_versioned``)."""
+    cj = json.loads(committed_json)
+    bj = json.loads(batch_json)
+    by_name = {f["name"]: f for f in cj["fields"]}
+    batch_names = {f["name"] for f in bj["fields"]}
+    merged = []
+    for f in cj["fields"]:
+        g = dict(f)
+        if f["name"] not in batch_names:
+            g["nullable"] = True
+        merged.append(g)
+    for f in bj["fields"]:
+        ex = by_name.get(f["name"])
+        if ex is None:
+            g = dict(f)
+            g["nullable"] = True
+            merged.append(g)
+        elif (json.dumps(ex["type"], sort_keys=True)
+              != json.dumps(f["type"], sort_keys=True)):
+            raise ValueError(
+                f"merge_schema: column {f['name']!r} changes type "
+                f"{ex['type']!r} -> {f['type']!r}; type changes need a "
+                "new snapshot (write_versioned)"
+            )
+    return json.dumps({"type": "struct", "fields": merged})
+
+
 def _check_append_schema(df: DataFrame, schema_json: str) -> None:
     """Refuse a batch whose (name, dataType) set diverges from the
     committed schema: parquet append never validates, and a mismatched
@@ -282,13 +339,21 @@ def _check_append_schema(df: DataFrame, schema_json: str) -> None:
 
 
 def append_versioned(df: DataFrame, path: str,
-                     extra: dict | None = None) -> int:
+                     extra: dict | None = None,
+                     merge_schema: bool = False) -> int:
     """Commit df's rows on top of the latest version (action
     ``append``): writes one new data directory and carries every parent
     file by reference — O(batch) I/O regardless of table size.
     ``extra`` lands in the manifest (e.g. a stream batch id). The
     batch's (name, type) schema must match the committed schema —
-    see ``_check_append_schema``."""
+    see ``_check_append_schema`` — unless ``merge_schema=True``, which
+    accepts ADDITIVE evolution: new batch columns join the committed
+    schema as nullable, and files on either side of the evolution read
+    their missing columns as NULL (``read_versioned`` scans with the
+    committed schema, never a sampled footer, so this is total — see
+    ``_merge_schemas`` for the exact contract). A corpus that grows a
+    ``quality_score`` or ``lang`` column mid-crawl evolves in place
+    instead of rewriting 100 TB."""
     parent = latest_version(path)
     if parent is None:
         os.makedirs(path, exist_ok=True)
@@ -296,11 +361,15 @@ def append_versioned(df: DataFrame, path: str,
         return _commit(path, "overwrite", files, df.schema.json(), None,
                        extra)
     prev = _read_manifest(path, parent)
-    _check_append_schema(df, prev["schema"])
+    if merge_schema:
+        schema_json = _merge_schemas(prev["schema"], df.schema.json())
+    else:
+        _check_append_schema(df, prev["schema"])
+        schema_json = prev["schema"]
     version = parent + 1
     new_files = _write_data_dir(df, path, version)
     return _commit(
-        path, "append", list(prev["files"]) + new_files, prev["schema"],
+        path, "append", list(prev["files"]) + new_files, schema_json,
         parent, extra,
     )
 
@@ -396,7 +465,8 @@ def delete_versioned(
     # surviving matches are the ONLY files that need rewriting
     touched_uris = [
         r[0]
-        for r in spark.read.parquet(*abs_files)
+        for r in spark.read.schema(_committed_schema(prev))
+        .parquet(*abs_files)
         .filter(pred)
         .select(F.input_file_name())
         .distinct()
@@ -420,7 +490,9 @@ def delete_versioned(
 
     carried = [f for f in files if f not in touched]
     touched_abs = [os.path.join(path, rel) for rel in sorted(touched)]
-    survivors = spark.read.parquet(*touched_abs).filter(
+    survivors = spark.read.schema(
+        _committed_schema(prev)
+    ).parquet(*touched_abs).filter(
         ~F.coalesce(pred, F.lit(False))
     )
     new_files = _write_data_dir(survivors, path, version)
@@ -471,7 +543,9 @@ def compact_versioned(
         # nothing to gain: zero or one small file coalesces to itself
         return parent, {"files_compacted": 0, "files_carried": len(files)}
     version = parent + 1
-    df = spark.read.parquet(*[os.path.join(path, rel) for rel in small])
+    df = spark.read.schema(_committed_schema(prev)).parquet(
+        *[os.path.join(path, rel) for rel in small]
+    )
     total = sum(os.path.getsize(os.path.join(path, rel)) for rel in small)
     n_out = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
     new_files = _write_data_dir(df.coalesce(n_out), path, version)
@@ -480,6 +554,54 @@ def compact_versioned(
     return v, {"files_compacted": len(small),
                "files_carried": len(healthy),
                "files_written": len(new_files)}
+
+
+def _numeric_view(df: DataFrame, c: str):
+    """An order-preserving numeric rendering of a cluster column, or
+    None for strings (which bucket by sampled cut-point comparison
+    instead — no numeric total order exists that a double can carry).
+    Temporal columns map through epoch numbers: TIMESTAMP casts to
+    double directly; TIMESTAMP_NTZ goes through unix_micros under the
+    engine's UTC session (tune_session pins UTC, so the wall-time →
+    instant mapping is monotonic — no DST folds); DATE through
+    unix_date. Without this, ``cluster_versioned(cols=["date_col"])``
+    — the single most common corpus layout — failed the cast."""
+    t = df.schema[c].dataType.simpleString()
+    col = F.col(c)
+    if t == "string":
+        return None
+    if t == "timestamp_ntz":
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if t == "date":
+        return F.unix_date(col).cast("double")
+    if t == "boolean":
+        return col.cast("int").cast("double")
+    return col.cast("double")
+
+
+def _string_cuts(df: DataFrame, c: str, nq: int,
+                 sample_rows: int = 20_000) -> list[str]:
+    """Equi-depth cut points for a STRING cluster column from a
+    bounded deterministic sample: Spark string comparison is binary
+    UTF-8 order, so ``Σ (col >= cut)`` is an order-preserving bucket
+    id — the same skew-robust shape as the numeric quantile path,
+    with sampled sorted values standing in for percentile_approx
+    (which is numeric-only). Driver cost is capped at ``sample_rows``
+    strings regardless of table size."""
+    n = df.filter(F.col(c).isNotNull()).count()
+    if n == 0:
+        return []
+    frac = min(1.0, sample_rows / max(n, 1))
+    vals = sorted(
+        r[0]
+        for r in df.select(c).filter(F.col(c).isNotNull())
+        .sample(False, frac, seed=42).collect()
+    )
+    if not vals:
+        return []
+    cuts = sorted({vals[int(len(vals) * i / nq)]
+                   for i in range(1, nq)})
+    return cuts
 
 
 def _minmax_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
@@ -492,7 +614,14 @@ def _minmax_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
     span_max = (1 << bits) - 1
     aggs = []
     for c in cols:
-        num = F.col(c).cast("double")
+        num = _numeric_view(df, c)
+        if num is None:
+            raise ValueError(
+                f"cluster column {c!r} is a string — linear min/max "
+                "scaling has no numeric view of it; use "
+                "scaling='quantile' (the default), which buckets "
+                "strings by sampled cut points"
+            )
         aggs += [F.min(num).alias(f"__lo_{c}__"),
                  F.max(num).alias(f"__hi_{c}__")]
     bounds = df.agg(*aggs).collect()[0]
@@ -500,7 +629,7 @@ def _minmax_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
     for c in cols:
         lo = bounds[f"__lo_{c}__"]
         hi = bounds[f"__hi_{c}__"]
-        num = F.col(c).cast("double")
+        num = _numeric_view(df, c)
         if lo is None or hi is None or hi <= lo:
             surrogates.append(F.lit(0).cast("bigint"))
         else:
@@ -533,18 +662,32 @@ def _quantile_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
     (ties share a bucket, which is the only honest answer)."""
     nq = min(1 << bits, 256)
     probs = F.array(*[F.lit(i / nq) for i in range(1, nq)])
+    numeric = {c: _numeric_view(df, c) for c in cols}
     aggs = [
-        F.percentile_approx(F.col(c).cast("double"), probs, 10_000).alias(
-            f"__q_{c}__"
-        )
+        F.percentile_approx(numeric[c], probs, 10_000).alias(f"__q_{c}__")
         for c in cols
+        if numeric[c] is not None
     ]
-    qrow = df.agg(*aggs).collect()[0]
+    qrow = df.agg(*aggs).collect()[0] if aggs else None
     surrogates = []
     for c in cols:
+        if numeric[c] is None:
+            # string column: sampled equi-depth cuts, compared in
+            # Spark's binary UTF-8 string order (order-preserving)
+            scuts = _string_cuts(df, c, nq)
+            if not scuts:
+                surrogates.append(F.lit(0).cast("bigint"))
+            else:
+                bucket = sum(
+                    ((F.col(c) >= F.lit(b)).cast("int") for b in scuts),
+                    F.lit(0),
+                )
+                surrogates.append(
+                    F.coalesce(bucket.cast("bigint"), F.lit(0)))
+            continue
         cuts = sorted({float(x) for x in (qrow[f"__q_{c}__"] or [])
                        if x is not None})
-        num = F.col(c).cast("double")
+        num = numeric[c]
         if not cuts:
             surrogates.append(F.lit(0).cast("bigint"))
         else:
@@ -621,7 +764,7 @@ def cluster_versioned(
     prev = _read_manifest(path, parent)
     if not prev["files"]:
         return parent, {"files_in": 0, "files_out": 0}
-    df = spark.read.parquet(
+    df = spark.read.schema(_committed_schema(prev)).parquet(
         *[os.path.join(path, rel) for rel in prev["files"]]
     )
     out = _relayout(df, cols, bits, scaling, num_partitions)
@@ -694,7 +837,9 @@ def cluster_increment(
     if not tail:
         return parent, {"files_carried": len(carried),
                         "files_tail_in": 0, "files_out": 0}
-    df = spark.read.parquet(*[os.path.join(path, rel) for rel in tail])
+    df = spark.read.schema(_committed_schema(prev)).parquet(
+        *[os.path.join(path, rel) for rel in tail]
+    )
     out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
@@ -719,21 +864,114 @@ def restore_versioned(path: str, version: int) -> int:
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    where: list | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Addresses the
     manifest's exact file list; an empty version materializes as an
-    empty frame with the committed schema."""
+    empty frame with the committed schema. The scan always carries the
+    COMMITTED schema explicitly, so the result never depends on which
+    footer Spark happens to sample (and files from older commits that
+    predate an evolved schema read their missing columns as NULL).
+
+    ``where`` — an optional conjunction ``[(col, op, value), ...]``
+    (ops ``= != < <= > >= in between isnull isnotnull``; see
+    ``filestats``) — enables **manifest-level data skipping**: files
+    whose commit-time column bounds prove no row can match are dropped
+    from the scan DRIVER-SIDE, before listing/footer I/O or task
+    scheduling, then the exact same predicate is applied as a row
+    filter. On a Z-ordered table (``cluster_versioned``) a selective
+    range predicate reduces a million-file scan to the handful of
+    files whose intervals overlap — Spark's own footer pruning can't
+    do that without opening the million footers. Semantics are
+    identical to ``read_versioned(...).filter(...)``; pruning is
+    conservative (unknown keeps the file). Disjunctions: union two
+    pruned reads."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
-    if not man["files"]:
-        schema = T.StructType.fromJson(json.loads(man["schema"]))
+    schema = T.StructType.fromJson(json.loads(man["schema"]))
+    files = list(man["files"])
+    if where is not None:
+        files = filestats.prune_files(path, files, where)
+    if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
-        *[os.path.join(path, rel) for rel in man["files"]]
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, rel) for rel in files]
     )
+    if where is not None:
+        df = df.filter(filestats.spark_filter(where))
+    return df
+
+
+def build_blooms(
+    spark: SparkSession, path: str, cols: list[str],
+    version: int | None = None,
+    n_bits: int = filestats.BLOOM_BITS, k: int = filestats.BLOOM_K,
+) -> dict:
+    """Equip the table's data directories with per-FILE bloom filters
+    on ``cols`` (point-lookup data skipping — see
+    ``filestats.write_dir_blooms``). IDEMPOTENT and INCREMENTAL: a
+    directory whose sidecar already covers every requested column (at
+    the same geometry) is skipped, so the production loop is "ingest →
+    build_blooms" and each call scans ONLY the new batch's directories
+    — one projection-pruned column scan per new dir. Blooms are
+    advisory sidecars, not manifest state: no new version is
+    committed, concurrent readers simply start pruning better once the
+    sidecar lands (atomic rename). Complements min/max skipping:
+    Z-order serves range predicates on the cluster keys; the bloom
+    serves ``=``/``in`` on a high-cardinality key the layout can't
+    (find-my-document-by-id on a date-clustered corpus). Returns
+    ``{"dirs_built": …, "dirs_skipped": …}``."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    dirs = sorted({os.path.dirname(rel) for rel in man["files"]})
+    built = skipped = 0
+    for d in dirs:
+        dir_abs = os.path.join(path, d)
+        doc = filestats.load_dir_blooms(dir_abs)
+        if (doc is not None and doc.get("n_bits") == n_bits
+                and doc.get("k") == k
+                and all(c in doc.get("cols", {}) for c in cols)):
+            skipped += 1
+            continue
+        # build the missing columns; carry existing same-geometry
+        # columns over so adding a key never discards another's work
+        want = list(cols)
+        carry = {}
+        if (doc is not None and doc.get("n_bits") == n_bits
+                and doc.get("k") == k):
+            carry = {c: v for c, v in doc["cols"].items()
+                     if c not in cols}
+            want = [c for c in cols if c not in doc["cols"]]
+        filestats.write_dir_blooms(
+            spark, dir_abs, want, n_bits=n_bits, k=k, extra_cols=carry)
+        built += 1
+    return {"dirs_built": built, "dirs_skipped": skipped}
+
+
+def skipping_summary(path: str, where: list,
+                     version: int | None = None) -> dict:
+    """Observability for the data-skipping decision: how many of the
+    version's files survive ``where`` on commit-time stats alone.
+    Pure driver-side metadata (one sidecar read per data directory) —
+    run it before a big job to see whether the layout serves the
+    predicate, or in tests to pin pruning effectiveness."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    kept = filestats.prune_files(path, list(man["files"]), where)
+    return {
+        "version": v,
+        "total_files": len(man["files"]),
+        "kept_files": len(kept),
+        "pruned_files": len(man["files"]) - len(kept),
+        "kept": kept,
+    }
 
 
 def appended_since(
@@ -771,7 +1009,7 @@ def appended_since(
     if not new_files:
         schema = T.StructType.fromJson(json.loads(cur["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
+    return spark.read.schema(_committed_schema(cur)).parquet(
         *[os.path.join(path, rel) for rel in new_files]
     )
 
@@ -931,12 +1169,19 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
                         dropped_files += 1
             os.remove(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
             dropped_manifests += 1
-        # prune now-empty data directories
+        # prune dead data directories: manifests reference ONLY
+        # .parquet files, so once a dir's last parquet file is dropped
+        # nothing retained can read it — remove it whole, including
+        # writer debris (_SUCCESS, .crc) and the stats sidecar. (The
+        # old `not listdir` check never fired: Spark's committer
+        # always leaves _SUCCESS/.crc behind the dropped parquet.)
         if os.path.isdir(data_dir):
             for name in sorted(os.listdir(data_dir)):
                 sub = os.path.join(data_dir, name)
-                if os.path.isdir(sub) and not os.listdir(sub):
-                    os.rmdir(sub)
+                if os.path.isdir(sub) and not any(
+                    f.endswith(".parquet") for f in os.listdir(sub)
+                ):
+                    shutil.rmtree(sub, ignore_errors=True)
     return {
         "orphan_tmp_dirs": removed_tmp,
         "manifests_dropped": dropped_manifests,

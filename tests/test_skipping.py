@@ -1,0 +1,523 @@
+"""Manifest-level data skipping (sources/filestats.py) and additive
+schema evolution (append_versioned(merge_schema=True)).
+
+The skipping contract under test: ``read_versioned(where=...)`` is
+EXACTLY ``read_versioned().filter(...)`` — pruning may only remove
+files that provably contain no matching row, and anything uncertain
+(missing sidecar, unknown column, untyped literal) keeps the file. The
+property test drives that from first principles: for random files and
+random conjuncts, every file containing a matching row must survive
+``prune_files``.
+"""
+
+import datetime
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lazy_frame_spark.sources import filestats, versioned as V
+
+
+def _orders(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderdate", "o_orderstatus")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    V.write_versioned(_orders(spark).repartition(8), t)
+    V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=8)
+    return t
+
+
+def _same(a, b):
+    return (a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+            and a.count() == b.count())
+
+
+class TestSkippingRead:
+    def test_sidecar_written_per_commit(self, table):
+        dirs = [d for d in os.listdir(os.path.join(table, "data"))
+                if not d.startswith(".")]
+        for d in dirs:
+            stats = filestats.load_dir_stats(
+                os.path.join(table, "data", d))
+            assert stats, f"no sidecar in {d}"
+            rec = next(iter(stats.values()))
+            assert rec["rows"] > 0
+            assert "o_orderkey" in rec["cols"]
+            assert "lo" in rec["cols"]["o_orderkey"]
+
+    def test_range_prunes_and_matches(self, spark, table):
+        w = [("o_orderkey", "between", (500, 900))]
+        s = V.skipping_summary(table, w)
+        # clustered on o_orderkey: a narrow range must prune most files
+        assert s["pruned_files"] > 0
+        assert s["kept_files"] < s["total_files"]
+        pruned = V.read_versioned(spark, table, where=w)
+        full = V.read_versioned(spark, table).filter(
+            F.col("o_orderkey").between(500, 900))
+        assert _same(pruned, full)
+
+    def test_every_op_matches_filter(self, spark, table):
+        cases = [
+            ([("o_orderkey", "<", 300)],
+             F.col("o_orderkey") < 300),
+            ([("o_orderkey", ">=", 5500)],
+             F.col("o_orderkey") >= 5500),
+            ([("o_orderkey", "=", 7)],
+             F.col("o_orderkey") == 7),
+            ([("o_orderkey", "!=", 7)],
+             F.col("o_orderkey") != 7),
+            ([("o_orderstatus", "in", ["F", "P"])],
+             F.col("o_orderstatus").isin("F", "P")),
+            ([("o_totalprice", ">", 300000.0),
+              ("o_orderkey", "<=", 2000)],
+             (F.col("o_totalprice") > 300000.0)
+             & (F.col("o_orderkey") <= 2000)),
+            ([("o_orderstatus", "isnotnull", None)],
+             F.col("o_orderstatus").isNotNull()),
+        ]
+        for w, col in cases:
+            pruned = V.read_versioned(spark, table, where=w)
+            full = V.read_versioned(spark, table).filter(col)
+            assert _same(pruned, full), f"mismatch for {w}"
+
+    def test_timestamp_literal_as_iso_string(self, spark, table):
+        # o_orderdate is a timestamp; the conjunct takes the ISO string
+        w = [("o_orderdate", "<", "1996-01-01")]
+        pruned = V.read_versioned(spark, table, where=w)
+        full = V.read_versioned(spark, table).filter(
+            F.col("o_orderdate") < F.lit("1996-01-01"))
+        assert _same(pruned, full)
+        # a predicate outside the domain prunes EVERYTHING and returns
+        # an empty frame with the committed schema
+        w0 = [("o_orderdate", "<", "1970-01-02")]
+        assert V.skipping_summary(table, w0)["kept_files"] == 0
+        empty = V.read_versioned(spark, table, where=w0)
+        assert empty.count() == 0
+        assert empty.columns == full.columns
+
+    def test_missing_sidecar_keeps_all(self, spark, table):
+        w = [("o_orderkey", "between", (500, 900))]
+        before = V.skipping_summary(table, w)
+        assert before["pruned_files"] > 0
+        for d in os.listdir(os.path.join(table, "data")):
+            p = os.path.join(table, "data", d, filestats.STATS_SIDECAR)
+            if os.path.exists(p):
+                os.remove(p)
+        after = V.skipping_summary(table, w)
+        assert after["pruned_files"] == 0  # conservative: keep all
+        pruned = V.read_versioned(spark, table, where=w)
+        full = V.read_versioned(spark, table).filter(
+            F.col("o_orderkey").between(500, 900))
+        assert _same(pruned, full)
+
+    def test_unknown_column_and_bad_literal_keep(self, table):
+        total = V.skipping_summary(
+            table, [("no_such_col", ">", 1)])["kept_files"]
+        assert total == V.skipping_summary(
+            table, [("o_orderkey", ">", 0)])["total_files"]
+        # string literal against an int column: no defensible order ->
+        # keep everything rather than guess
+        s = V.skipping_summary(table, [("o_orderkey", ">", "zzz")])
+        assert s["pruned_files"] == 0
+
+    def test_bad_conjuncts_raise(self, table):
+        with pytest.raises(ValueError):
+            V.skipping_summary(table, [("o_orderkey", "~", 1)])
+        with pytest.raises(ValueError):
+            V.skipping_summary(table, [("o_orderkey", "between", 5)])
+        with pytest.raises(ValueError):
+            V.skipping_summary(table, ["o_orderkey > 1"])
+
+    def test_null_aware_pruning(self, spark, tmp_path):
+        t = str(tmp_path / "nulls")
+        df = spark.range(0, 100).select(
+            F.col("id"),
+            F.when(F.col("id") < 50, F.col("id").cast("double"))
+            .alias("v"),
+        )
+        # two files: one all-null v, one no-null v
+        V.write_versioned(
+            df.repartitionByRange(2, "id").sortWithinPartitions("id"), t)
+        s_null = V.skipping_summary(t, [("v", "isnull", None)])
+        s_notnull = V.skipping_summary(t, [("v", "isnotnull", None)])
+        assert s_null["kept_files"] == 1
+        assert s_notnull["kept_files"] == 1
+        # comparisons never match NULL: the all-null file is prunable
+        s_cmp = V.skipping_summary(t, [("v", ">=", 0.0)])
+        assert s_cmp["kept_files"] == 1
+        assert V.read_versioned(
+            spark, t, where=[("v", ">=", 0.0)]).count() == 50
+
+
+class TestSchemaEvolution:
+    def test_additive_evolution_round_trip(self, spark, tmp_path):
+        t = str(tmp_path / "evo")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.filter(F.col("o_orderkey") <= 600), t)
+        batch = (
+            o.filter((F.col("o_orderkey") > 600)
+                     & (F.col("o_orderkey") <= 1200))
+            .withColumn("lang", F.lit("en"))
+        )
+        with pytest.raises(ValueError):
+            V.append_versioned(batch, t)  # strict by default
+        V.append_versioned(batch, t, merge_schema=True)
+        df = V.read_versioned(spark, t)
+        assert df.columns == ["o_orderkey", "o_totalprice", "lang"]
+        old = df.filter(F.col("o_orderkey") <= 600)
+        assert old.count() == old.filter(F.col("lang").isNull()).count()
+        assert df.filter(F.col("lang") == "en").count() == batch.count()
+        # a later batch may LACK the evolved column too
+        V.append_versioned(
+            o.filter((F.col("o_orderkey") > 1200)
+                     & (F.col("o_orderkey") <= 1500)),
+            t, merge_schema=True)
+        assert V.read_versioned(spark, t).columns == df.columns
+
+    def test_type_change_refused(self, spark, tmp_path):
+        t = str(tmp_path / "evo2")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(10), t)
+        bad = o.limit(5).withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("string"))
+        with pytest.raises(ValueError, match="changes type"):
+            V.append_versioned(bad, t, merge_schema=True)
+
+    def test_maintenance_preserves_evolved_columns(self, spark, tmp_path):
+        """delete/compact/cluster on an evolved table must rewrite with
+        the COMMITTED schema — a footer-sampled read that misses the
+        new column would silently erase it from the rewritten files."""
+        t = str(tmp_path / "evo3")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(
+            o.filter(F.col("o_orderkey") <= 600).repartition(4), t)
+        batch = (
+            o.filter((F.col("o_orderkey") > 600)
+                     & (F.col("o_orderkey") <= 1200))
+            .withColumn("score", F.col("o_totalprice") / 1000.0)
+        )
+        V.append_versioned(batch, t, merge_schema=True)
+        n_scored = batch.count()
+
+        V.delete_versioned(spark, t, "o_orderkey <= 100")
+        df = V.read_versioned(spark, t)
+        assert "score" in df.columns
+        assert df.filter(F.col("score").isNotNull()).count() == n_scored
+
+        V.compact_versioned(spark, t, target_mb=64, small_mb=64)
+        df = V.read_versioned(spark, t)
+        assert df.filter(F.col("score").isNotNull()).count() == n_scored
+
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=4)
+        df = V.read_versioned(spark, t)
+        assert df.filter(F.col("score").isNotNull()).count() == n_scored
+        # and the re-clustered files' sidecars cover the evolved column
+        s = V.skipping_summary(t, [("score", ">", 1e12)])
+        assert s["kept_files"] == 0
+
+    def test_appended_since_reads_committed_schema(self, spark, tmp_path):
+        t = str(tmp_path / "evo4")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.filter(F.col("o_orderkey") <= 300), t)
+        V.append_versioned(
+            o.filter((F.col("o_orderkey") > 300)
+                     & (F.col("o_orderkey") <= 700))
+            .withColumn("tag", F.lit(1)), t, merge_schema=True)
+        inc = V.appended_since(spark, t, 1)
+        assert "tag" in inc.columns
+        assert inc.filter(F.col("tag") == 1).count() == inc.count()
+
+
+class TestVacuumWithSidecars:
+    def test_vacuum_removes_dead_dirs_entirely(self, spark, tmp_path):
+        t = str(tmp_path / "vac")
+        o = _orders(spark).select("o_orderkey")
+        V.write_versioned(o.limit(100), t)      # v1
+        V.write_versioned(o.limit(200), t)      # v2 (v1's dir now dead
+        #                                          once v1 is vacuumed)
+        V.vacuum_versioned(t, keep_last=1)
+        dirs = [d for d in os.listdir(os.path.join(t, "data"))
+                if not d.startswith(".")]
+        assert len(dirs) == 1  # the dead dir is gone, sidecar and all
+        assert V.read_versioned(spark, t).count() == 200
+
+
+class TestPruneProperty:
+    def test_prune_never_drops_a_matching_file(self, tmp_path):
+        """First-principles soundness: generate files with known rows,
+        random conjunctions; every file holding >=1 matching row must
+        survive prune_files. (Completeness — pruning as much as the
+        bounds allow — is covered by the targeted cases above.)"""
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = random.Random(7)
+        root = str(tmp_path)
+        d = os.path.join(root, "data", "00000001-prop")
+        os.makedirs(d)
+        files = {}
+        for i in range(12):
+            n = rng.randint(1, 40)
+            ints = [rng.choice([None, rng.randint(-50, 50)])
+                    for _ in range(n)]
+            floats = [rng.choice([None, rng.uniform(-5, 5)])
+                      for _ in range(n)]
+            strs = [rng.choice([None, rng.choice("abcdexyz") * 3])
+                    for _ in range(n)]
+            days = [rng.choice(
+                [None, datetime.date(2020, 1, 1)
+                 + datetime.timedelta(days=rng.randint(0, 400))])
+                for _ in range(n)]
+            name = f"part-{i:05d}.parquet"
+            pq.write_table(
+                pa.table({"i": pa.array(ints, pa.int64()),
+                          "f": pa.array(floats, pa.float64()),
+                          "s": pa.array(strs, pa.string()),
+                          "d": pa.array(days, pa.date32())}),
+                os.path.join(d, name))
+            files[os.path.join("data", "00000001-prop", name)] = {
+                "i": ints, "f": floats, "s": strs, "d": days}
+        assert filestats.write_dir_stats(d) is not None
+
+        def matches(rows, col, op, val):
+            vals = rows[col]
+            if op == "isnull":
+                return any(v is None for v in vals)
+            if op == "isnotnull":
+                return any(v is not None for v in vals)
+            def coerce(x):
+                if col == "d" and isinstance(x, str):
+                    return datetime.date.fromisoformat(x)
+                return x
+            for v in vals:
+                if v is None:
+                    continue
+                if op in ("=", "=="):
+                    ok = v == coerce(val)
+                elif op == "!=":
+                    ok = v != coerce(val)
+                elif op == "<":
+                    ok = v < coerce(val)
+                elif op == "<=":
+                    ok = v <= coerce(val)
+                elif op == ">":
+                    ok = v > coerce(val)
+                elif op == ">=":
+                    ok = v >= coerce(val)
+                elif op == "in":
+                    ok = v in [coerce(x) for x in val]
+                else:  # between
+                    ok = coerce(val[0]) <= v <= coerce(val[1])
+                if ok:
+                    return True
+            return False
+
+        def rand_conjunct():
+            col = rng.choice(["i", "f", "s", "d"])
+            op = rng.choice(["=", "!=", "<", "<=", ">", ">=", "in",
+                             "between", "isnull", "isnotnull"])
+            if op in ("isnull", "isnotnull"):
+                return (col, op, None)
+            if col == "i":
+                lit = lambda: rng.randint(-60, 60)  # noqa: E731
+            elif col == "f":
+                lit = lambda: rng.uniform(-6, 6)  # noqa: E731
+            elif col == "s":
+                lit = lambda: rng.choice("abcdexyz") * 3  # noqa: E731
+            else:
+                lit = lambda: (  # noqa: E731
+                    datetime.date(2020, 1, 1)
+                    + datetime.timedelta(days=rng.randint(-20, 420))
+                ).isoformat()
+            if op == "in":
+                return (col, op, [lit() for _ in range(3)])
+            if op == "between":
+                a, b = lit(), lit()
+                return (col, op, (min(a, b), max(a, b)))
+            return (col, op, lit())
+
+        rel_files = sorted(files)
+        for trial in range(300):
+            where = [rand_conjunct()
+                     for _ in range(rng.randint(1, 3))]
+            kept = set(filestats.prune_files(root, rel_files, where))
+            for rel, rows in files.items():
+                has_match = all(
+                    matches(rows, c, o, v) for c, o, v in where)
+                if has_match:
+                    assert rel in kept, (
+                        f"trial {trial}: pruned a matching file "
+                        f"{rel} for {where}")
+
+
+class TestMergeSchemasUnit:
+    def test_merge_is_additive_and_stable(self):
+        a = json.dumps({"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": False,
+             "metadata": {}},
+            {"name": "y", "type": "double", "nullable": True,
+             "metadata": {}},
+        ]})
+        b = json.dumps({"type": "struct", "fields": [
+            {"name": "x", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "z", "type": "string", "nullable": False,
+             "metadata": {}},
+        ]})
+        merged = json.loads(V._merge_schemas(a, b))
+        names = [f["name"] for f in merged["fields"]]
+        assert names == ["x", "y", "z"]
+        by = {f["name"]: f for f in merged["fields"]}
+        # y absent from batch -> nullable; z new -> nullable
+        assert by["y"]["nullable"] is True
+        assert by["z"]["nullable"] is True
+
+
+def teardown_module(module):
+    shutil.rmtree("/tmp/lfs_skip_smoke", ignore_errors=True)
+    shutil.rmtree("/tmp/lfs_evolve_smoke", ignore_errors=True)
+
+
+class TestBloomSkipping:
+    def test_point_lookup_prunes_with_exact_results(self, spark, tmp_path):
+        """Blooms answer equality on a key the Z-order layout can't:
+        cluster by date, look up by orderkey."""
+        t = str(tmp_path / "bloom")
+        o = _orders(spark)
+        V.write_versioned(o.repartition(8), t)
+        V.cluster_versioned(spark, t, ["o_orderdate"], num_partitions=8)
+        # a MID-RANGE key: inside most files' [lo, hi] on a layout
+        # clustered by something else, so bounds alone prune little
+        key = o.approxQuantile("o_orderkey", [0.5], 0.01)[0]
+        key = int(o.filter(F.col("o_orderkey") >= key)
+                  .select(F.min("o_orderkey")).first()[0])
+        w = [("o_orderkey", "=", key)]
+        before = V.skipping_summary(t, w)["kept_files"]
+        r = V.build_blooms(spark, t, ["o_orderkey", "o_orderstatus"])
+        assert r["dirs_built"] >= 1
+        s = V.skipping_summary(t, w)
+        assert 0 < s["kept_files"] < s["total_files"]
+        assert s["kept_files"] <= before  # blooms only tighten
+        got = V.read_versioned(spark, t, where=w)
+        exp = V.read_versioned(spark, t).filter(F.col("o_orderkey") == key)
+        assert _same(got, exp)
+        # absent key (bloom has no false negatives; a miss is a proof)
+        s0 = V.skipping_summary(t, [("o_orderkey", "=", key + 999999)])
+        assert s0["kept_files"] == 0
+        # string-key bloom
+        s1 = V.skipping_summary(t, [("o_orderstatus", "=", "NO-SUCH")])
+        assert s1["kept_files"] == 0
+        # IN with one present and one absent key keeps only the
+        # present key's file(s) and returns exactly its rows
+        win = [("o_orderkey", "in", [key, key + 999999])]
+        assert V.skipping_summary(t, win)["kept_files"] == s["kept_files"]
+        assert _same(V.read_versioned(spark, t, where=win), exp)
+
+    def test_build_is_idempotent_and_incremental(self, spark, tmp_path):
+        t = str(tmp_path / "bloom2")
+        o = _orders(spark)
+        V.write_versioned(o.limit(500), t)
+        r1 = V.build_blooms(spark, t, ["o_orderkey"])
+        assert r1 == {"dirs_built": 1, "dirs_skipped": 0}
+        r2 = V.build_blooms(spark, t, ["o_orderkey"])
+        assert r2 == {"dirs_built": 0, "dirs_skipped": 1}
+        # appending adds a dir; rebuild touches ONLY the new dir
+        V.append_versioned(o.limit(100), t)
+        r3 = V.build_blooms(spark, t, ["o_orderkey"])
+        assert r3 == {"dirs_built": 1, "dirs_skipped": 1}
+        # adding a column keeps the existing one
+        r4 = V.build_blooms(spark, t, ["o_orderkey", "o_orderstatus"])
+        assert r4["dirs_built"] == 2
+        key = o.limit(1).first()[0]
+        assert V.skipping_summary(
+            t, [("o_orderkey", "=", key)])["kept_files"] >= 1
+
+    def test_unsupported_bloom_type_raises(self, spark, tmp_path):
+        t = str(tmp_path / "bloom3")
+        V.write_versioned(_orders(spark).limit(50), t)
+        with pytest.raises(ValueError, match="only int-family and"):
+            V.build_blooms(spark, t, ["o_totalprice"])  # double
+        with pytest.raises(ValueError, match="not in table schema"):
+            V.build_blooms(spark, t, ["nope"])
+
+    def test_bloom_positions_match_jvm(self, spark):
+        """The driver-side probe and the JVM build must compute the
+        SAME positions — pin the md5/substring/Kirsch-Mitzenmacher
+        pipeline across both engines for ints and strings."""
+        from lazy_frame_spark.sources import filestats as FS
+
+        vals = [0, 1, -7, 4711, 2**62, "", "a", "naïve-Ωmega", "x" * 100]
+        df = spark.createDataFrame(
+            [(str(v) if isinstance(v, str) else None,
+              v if isinstance(v, int) else None) for v in vals],
+            "s string, i long",
+        )
+        n_bits, k = FS.BLOOM_BITS, FS.BLOOM_K
+        h = F.md5(F.coalesce(F.col("s"), F.col("i").cast("string")))
+        h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint")
+        pos = F.array(*[
+            F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("int")
+            for i in range(k)
+        ])
+        jvm = [r[0] for r in df.select(pos).collect()]
+        py = [FS._bloom_positions_py(v, n_bits, k) for v in vals]
+        assert jvm == py
+
+
+class TestTemporalAndStringClustering:
+    def test_timestamp_cluster_col(self, spark, tmp_path):
+        t = str(tmp_path / "tsclust")
+        o = _orders(spark)
+        V.write_versioned(o.repartition(8), t)
+        V.cluster_versioned(spark, t, ["o_orderdate"], num_partitions=8)
+        w = [("o_orderdate", "between", ("1996-01-01", "1996-06-30"))]
+        s = V.skipping_summary(t, w)
+        assert s["pruned_files"] > 0
+        got = V.read_versioned(spark, t, where=w)
+        exp = V.read_versioned(spark, t).filter(
+            F.col("o_orderdate").between("1996-01-01", "1996-06-30"))
+        assert _same(got, exp)
+
+    def test_date_and_ntz_cluster_cols(self, spark, tmp_path):
+        t = str(tmp_path / "dateclust")
+        o = _orders(spark).select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("ntz"),
+        )
+        V.write_versioned(o.repartition(4), t)
+        # both previously failed the cast-to-double inside the
+        # quantile aggregate; now they map through epoch numbers
+        V.cluster_versioned(spark, t, ["d"], num_partitions=4)
+        V.cluster_versioned(spark, t, ["ntz"], num_partitions=4)
+        assert V.read_versioned(spark, t).count() == o.count()
+
+    def test_string_cluster_col_prunes(self, spark, tmp_path):
+        t = str(tmp_path / "strclust")
+        o = _orders(spark).withColumn(
+            "bucket", F.concat(F.lit("dom-"),
+                               (F.col("o_orderkey") % 40).cast("string")))
+        V.write_versioned(o.repartition(8), t)
+        V.cluster_versioned(spark, t, ["bucket"], num_partitions=8)
+        w = [("bucket", "=", "dom-7")]
+        s = V.skipping_summary(t, w)
+        assert s["pruned_files"] > 0
+        got = V.read_versioned(spark, t, where=w)
+        exp = V.read_versioned(spark, t).filter(F.col("bucket") == "dom-7")
+        assert _same(got, exp)
+        # minmax scaling has no string view and says so
+        with pytest.raises(ValueError, match="quantile"):
+            V.cluster_versioned(spark, t, ["bucket"], scaling="minmax")
