@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "dedup_semantic",            # SemDeDup cluster-scoped embedding dedup
     "join_fuzzy_editdist",       # exact edit-distance join (prefix-filtered)
     "view_versioned_diff",       # O(changed-files) CDC between versions
+    "view_versioned_skipping",   # stats-sidecar build + Z-order + pruned read
+    "view_versioned_evolve",     # additive schema evolution + CoW delete
+    "view_versioned_merge",      # key-based MERGE upsert + delete-by-key
 ]
 
 
@@ -172,6 +175,12 @@ BUDGETS_SF01 = {
     "dedup_semantic": 5.5,
     "join_fuzzy_editdist": 2.8,
     "view_versioned_diff": 2.8,
+    # dominated by the one-time table build + full Z-order rewrite of
+    # 150k rows (two write passes), not the pruned read it certifies —
+    # the same maintenance-cost class as lf_open_enumerate
+    "view_versioned_skipping": 14.0,
+    "view_versioned_evolve": 2.5,
+    "view_versioned_merge": 5.5,
 }
 
 

@@ -4761,6 +4761,80 @@ def view_versioned_evolve(spark, sf_dir):
 
 
 @query(
+    "view_versioned_merge",
+    # the chain: v1 = orders ≤ 3000; v2 MERGE upsert (replace band
+    # [100, 900] with doubled prices, insert band [5000, 5800]); v3
+    # MERGE delete-by-key of band [200, 300]. Reproduced declaratively:
+    # survivors ∪ replacements ∪ inserts, minus the deleted keys.
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey <= 3000 AND o_orderkey NOT BETWEEN 100 AND 900
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey BETWEEN 100 AND 900
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey BETWEEN 5000 AND 5800
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM merged WHERE o_orderkey NOT BETWEEN 200 AND 300
+    GROUP BY o_orderstatus
+    """,
+)
+def view_versioned_merge(spark, sf_dir):
+    """Key-based MERGE (``sources/versioned.merge_versioned``) — the
+    upsert/CDC verb for versioned tables, Delta's ``MERGE`` with
+    whole-row ``UPDATE SET * / INSERT *`` semantics as ONE
+    copy-on-write commit: a projection-pruned key-column scan finds
+    the exact files holding matched keys, only those rewrite (matched
+    rows swapped for source rows), untouched files carry by reference,
+    unmatched source rows insert. The second commit is
+    ``when_matched="delete"`` with a KEY-ONLY source — erasure-by-key
+    from a CDC feed. Merging a 1 GB batch into a 100 TB table costs
+    the key scan plus the touched files' rewrite."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vmerge_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 3000)
+        .repartitionByRange(8, "o_orderkey"), t
+    )                                                            # v1
+    src = (
+        o.filter(F.col("o_orderkey").between(100, 900))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter(F.col("o_orderkey").between(5000, 5800)))
+    )
+    V.merge_versioned(spark, t, src, "o_orderkey")               # v2
+    V.merge_versioned(                                           # v3
+        spark, t,
+        o.filter(F.col("o_orderkey").between(200, 300))
+        .select("o_orderkey"),
+        "o_orderkey", when_matched="delete",
+    )
+    return (
+        V.read_versioned(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
     "view_versioned_increment",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -9116,7 +9190,12 @@ DRIVER_WINDOW: list[str] = [
     # 1-9; M1 factor decode keeps its unit tests + local oracle check,
     # and the attrs surface stays driver-exercised via to_pandas in
     # every lf_ row. Its slot funds lm_perplexity below.)
-    "json_extract_props",
+    # (json_extract_props rotated past the cap in round 11 — green
+    # rounds 1-10, one of the longest-green rows; the json family keeps
+    # json_variant_shredded (a strictly richer extraction: parse_json +
+    # typed variant_get across heterogeneous payloads) and the classic
+    # get_json_object path stays locally checked. Its slot funds
+    # view_versioned_merge below.)
     # round-11 addition (zero-debt): Spark 4 VARIANT semi-structured
     # analytics — heterogeneous payload shapes through one typed
     # extraction, oracle recomputed from the base columns so the check
@@ -9244,6 +9323,10 @@ DRIVER_WINDOW: list[str] = [
     # dedup_url_canonical and text_bpe_apply)
     "view_versioned_skipping",
     "view_versioned_evolve",
+    # round-11 continuation (zero-debt): key-based MERGE — upsert +
+    # delete-by-key as copy-on-write commits, the CDC ingest verb
+    # (slot funded by json_extract_props)
+    "view_versioned_merge",
     # round-11 addition (zero-debt): general row-level CDC between two
     # table versions — O(changed files) via manifest file-diff
     # cancellation (slot funded by mix_temperature_uniform)

@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,7 +77,9 @@ __all__ = [
     "VersionConflict",
     "write_versioned",
     "append_versioned",
+    "merge_versioned",
     "delete_versioned",
+    "version_as_of",
     "restore_versioned",
     "compact_versioned",
     "cluster_versioned",
@@ -252,6 +255,11 @@ def _commit(
         "files": sorted(files),
         "schema": schema_json,
         "rows": _footer_rows(path, files),
+        # wall-clock commit stamp (epoch seconds) — powers AS-OF
+        # timestamp time travel (read_versioned(as_of=...)) and audit;
+        # version NUMBERS stay the ordering authority (clock skew
+        # between writers can't reorder history)
+        "committed_at": time.time(),
     }
     if extra:
         doc.update(extra)
@@ -866,6 +874,7 @@ def restore_versioned(path: str, version: int) -> int:
 def read_versioned(
     spark: SparkSession, path: str, version: int | None = None,
     where: list | None = None,
+    as_of=None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). Addresses the
     manifest's exact file list; an empty version materializes as an
@@ -886,7 +895,16 @@ def read_versioned(
     do that without opening the million footers. Semantics are
     identical to ``read_versioned(...).filter(...)``; pruning is
     conservative (unknown keeps the file). Disjunctions: union two
-    pruned reads."""
+    pruned reads.
+
+    ``as_of`` — a wall-clock timestamp (epoch seconds or ISO-8601
+    string, naive = UTC) — resolves to the newest version committed at
+    or before that instant (``version_as_of``); mutually exclusive
+    with ``version``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(path, as_of)
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -903,6 +921,162 @@ def read_versioned(
     if where is not None:
         df = df.filter(filestats.spark_filter(where))
     return df
+
+
+def version_as_of(path: str, ts) -> int:
+    """The newest version committed at or before ``ts`` (epoch seconds
+    or an ISO-8601 string, naive = UTC). Version numbers remain the
+    ordering authority — the scan walks versions in order and returns
+    the last one whose ``committed_at`` stamp is <= ts; manifests from
+    before stamps existed count as eligible (they are by construction
+    older than any stamped commit)."""
+    if isinstance(ts, str):
+        import datetime as _dt
+
+        dt = _dt.datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        ts = dt.timestamp()
+    best = None
+    for v in _versions(path):
+        man = _read_manifest(path, v)
+        if man.get("committed_at", 0.0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {path} existed at or before {ts}"
+        )
+    return best
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str | list[str],
+    when_matched: str = "update",
+    insert_unmatched: bool = True,
+) -> tuple[int, dict]:
+    """Key-based MERGE (upsert) as one copy-on-write commit — the
+    missing verb between ``append_versioned`` (blind add) and
+    ``delete_versioned`` (predicate erase): reconcile the table with a
+    batch keyed on ``on``. Whole-row semantics, like Delta's
+    ``UPDATE SET * / INSERT *``:
+
+    - ``when_matched="update"``: target rows whose key appears in
+      ``source`` are REPLACED by the source row; ``insert_unmatched``
+      adds source rows whose key is absent. The idempotent ingest
+      primitive — re-running the same batch converges.
+    - ``when_matched="delete"``: target rows whose key appears in
+      ``source`` are REMOVED; nothing is inserted (``source`` may
+      carry only the key columns). Erasure-by-key from a CDC/GDPR
+      feed, where ``delete_versioned`` wants a predicate.
+
+    Scale shape (the whole point): ONE key-column scan of the target
+    — projection-pruned to ``on`` + ``input_file_name()`` — semi-joined
+    with the source keys finds the exact files containing matches;
+    only those are rewritten (matched rows dropped via a null-safe-free
+    equi anti-join, SQL semantics: NULL keys never match), every other
+    file carries by reference, and the replacement/insert rows land in
+    the same single new data directory. Merging a 1 GB batch into a
+    100 TB table costs the key-column scan + a rewrite of the touched
+    files — identical cost class to ``delete_versioned``.
+
+    ``update`` mode requires source keys UNIQUE (two source rows with
+    one key make the replacement ambiguous — checked, one aggregate
+    over the source) and the source schema to match the committed
+    schema exactly; evolve first with
+    ``append_versioned(merge_schema=True)`` if the batch grew columns.
+    Returns ``(version, stats)``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be 'update' or 'delete', got {when_matched!r}"
+        )
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    schema = _committed_schema(prev)
+    names = {f.name for f in schema.fields}
+    for c in keys:
+        if c not in names:
+            raise ValueError(f"merge key {c!r} not in table schema")
+    if when_matched == "update":
+        _check_append_schema(source, prev["schema"])
+        dup = (
+            source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_versioned: source has duplicate keys on {keys} "
+                f"(e.g. {tuple(dup[0][k] for k in keys)}); the "
+                "replacement row would be ambiguous — dedupe the batch"
+            )
+    src_keys = source.select(*keys).distinct()
+
+    files = list(prev["files"])
+    stats = {"files_rewritten": 0, "files_carried": len(files)}
+    touched: set[str] = set()
+    if files:
+        abs_files = [os.path.join(path, rel) for rel in files]
+        from urllib.parse import unquote
+
+        touched_uris = [
+            r[0]
+            for r in spark.read.schema(schema).parquet(*abs_files)
+            .select(F.input_file_name().alias("__f"), *keys)
+            .join(src_keys, on=keys, how="leftsemi")
+            .select("__f").distinct().collect()
+        ]
+        for uri in touched_uris:
+            p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
+            touched.add(os.path.relpath(p, os.path.abspath(path)))
+    carried = [f for f in files if f not in touched]
+
+    parts = []
+    if touched:
+        touched_abs = [os.path.join(path, rel) for rel in sorted(touched)]
+        survivors = (
+            spark.read.schema(schema).parquet(*touched_abs)
+            .join(src_keys, on=keys, how="left_anti")
+        )
+        parts.append(survivors)
+    if when_matched == "update":
+        if insert_unmatched:
+            to_insert = source
+        elif touched:
+            # only matched source rows replace; matched targets live in
+            # the touched files BY DEFINITION, so their keys suffice
+            to_insert = source.join(
+                spark.read.schema(schema).parquet(
+                    *[os.path.join(path, rel) for rel in sorted(touched)]
+                ).select(*keys).distinct(),
+                on=keys, how="leftsemi",
+            )
+        else:
+            to_insert = None  # nothing matched, nothing to insert
+        if to_insert is not None:
+            parts.append(
+                to_insert.select(*[f.name for f in schema.fields]))
+    version = parent + 1
+    extra = {"merge_on": keys, "merge_mode": when_matched}
+    if not parts:
+        v = _commit(path, "merge", files, prev["schema"], parent, extra)
+        return v, stats
+    new_data = parts[0]
+    for p in parts[1:]:
+        new_data = new_data.unionByName(p)
+    new_files = _write_data_dir(new_data, path, version)
+    v = _commit(path, "merge", carried + new_files, prev["schema"],
+                parent, extra)
+    stats.update({
+        "files_rewritten": len(touched),
+        "files_carried": len(carried),
+        "files_written": len(new_files),
+    })
+    return v, stats
 
 
 def build_blooms(
@@ -1084,7 +1258,8 @@ def history(path: str) -> list[dict]:
             **{k: man[k] for k in ("predicate", "restored_from",
                                    "cluster_cols", "cluster_scaling",
                                    "cluster_since", "stream_batch_id",
-                                   "stream_id")
+                                   "stream_id", "committed_at",
+                                   "merge_on")
                if k in man},
         })
     return out

@@ -521,3 +521,111 @@ class TestTemporalAndStringClustering:
         # minmax scaling has no string view and says so
         with pytest.raises(ValueError, match="quantile"):
             V.cluster_versioned(spark, t, ["bucket"], scaling="minmax")
+
+
+class TestMergeVersioned:
+    def test_upsert_matches_declarative(self, spark, tmp_path):
+        t = str(tmp_path / "merge")
+        o = _orders(spark).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus")
+        base = o.filter(F.col("o_orderkey") <= 3000)
+        # range layout so the update band touches a strict file subset
+        V.write_versioned(base.repartitionByRange(6, "o_orderkey"), t)
+        upd = (o.filter(F.col("o_orderkey").between(100, 900))
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+        ins = o.filter(F.col("o_orderkey").between(5000, 5800))
+        src = upd.unionByName(ins)
+        v, st = V.merge_versioned(spark, t, src, "o_orderkey")
+        assert st["files_rewritten"] >= 1
+        assert st["files_carried"] >= 1  # untouched files carried
+        got = V.read_versioned(spark, t)
+        exp = base.join(src.select("o_orderkey"), "o_orderkey",
+                        "left_anti").unionByName(src)
+        assert _same(got, exp)
+        # idempotent: re-running the same batch converges
+        V.merge_versioned(spark, t, src, "o_orderkey")
+        assert _same(V.read_versioned(spark, t), exp)
+
+    def test_update_only_no_insert(self, spark, tmp_path):
+        t = str(tmp_path / "merge2")
+        o = _orders(spark).select("o_orderkey", "o_totalprice",
+                                  "o_orderstatus")
+        base = o.filter(F.col("o_orderkey") <= 1000)
+        V.write_versioned(base, t)
+        src = (o.filter(F.col("o_orderkey").between(500, 2000))
+               .withColumn("o_totalprice", F.lit(1.0)))
+        V.merge_versioned(spark, t, src, "o_orderkey",
+                          insert_unmatched=False)
+        got = V.read_versioned(spark, t)
+        assert got.count() == base.count()  # nothing inserted
+        n_updated = got.filter(F.col("o_totalprice") == 1.0).count()
+        assert n_updated == base.join(
+            src.select("o_orderkey"), "o_orderkey", "leftsemi").count()
+
+    def test_delete_by_key_with_key_only_source(self, spark, tmp_path):
+        t = str(tmp_path / "merge3")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        base = o.filter(F.col("o_orderkey") <= 2000)
+        V.write_versioned(base.repartition(4), t)
+        doomed = base.select("o_orderkey").limit(50)
+        n_doomed = doomed.distinct().count()
+        V.merge_versioned(spark, t, doomed, "o_orderkey",
+                          when_matched="delete")
+        assert V.read_versioned(spark, t).count() == base.count() - n_doomed
+
+    def test_duplicate_source_keys_refused(self, spark, tmp_path):
+        t = str(tmp_path / "merge4")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(100), t)
+        dup = o.limit(10).unionByName(o.limit(3))
+        with pytest.raises(ValueError, match="duplicate keys"):
+            V.merge_versioned(spark, t, dup, "o_orderkey")
+
+    def test_schema_mismatch_refused_and_null_keys_kept(
+            self, spark, tmp_path):
+        t = str(tmp_path / "merge5")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        base = o.limit(200).withColumn(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 150000.0, None)
+            .otherwise(F.col("o_orderkey")))
+        V.write_versioned(base, t)
+        with pytest.raises(ValueError):
+            V.merge_versioned(
+                spark, t, o.limit(5).withColumn("extra", F.lit(1)),
+                "o_orderkey")
+        n_null = base.filter(F.col("o_orderkey").isNull()).count()
+        assert n_null > 0
+        # SQL semantics: NULL keys never match — they survive any merge
+        src = o.limit(50).filter(F.col("o_orderkey").isNotNull())
+        V.merge_versioned(spark, t, src, "o_orderkey",
+                          when_matched="delete")
+        left = V.read_versioned(spark, t)
+        assert left.filter(F.col("o_orderkey").isNull()).count() == n_null
+
+
+class TestAsOfTimeTravel:
+    def test_as_of_resolves_between_commits(self, spark, tmp_path):
+        import time as _time
+
+        t = str(tmp_path / "asof")
+        o = _orders(spark).select("o_orderkey")
+        V.write_versioned(o.limit(100), t)
+        t1 = _time.time()
+        _time.sleep(0.05)
+        V.append_versioned(o.limit(50), t)
+        assert V.version_as_of(t, t1) == 1
+        assert V.read_versioned(spark, t, as_of=t1).count() == 100
+        assert V.read_versioned(spark, t).count() == 150
+        # ISO-string form
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(
+            t1, tz=_dt.timezone.utc).isoformat()
+        assert V.version_as_of(t, iso) == 1
+        with pytest.raises(ValueError, match="no version"):
+            V.version_as_of(t, 0.0)
+        with pytest.raises(ValueError, match="not both"):
+            V.read_versioned(spark, t, version=1, as_of=t1)
+        # history carries the stamp
+        assert all("committed_at" in h for h in V.history(t))
