@@ -973,7 +973,10 @@ def merge_versioned(
       feed, where ``delete_versioned`` wants a predicate.
 
     Scale shape (the whole point): ONE key-column scan of the target
-    — projection-pruned to ``on`` + ``input_file_name()`` — semi-joined
+    — projection-pruned to ``on`` + ``input_file_name()``, and
+    pre-cut by data skipping (files whose commit-time key bounds don't
+    intersect the source's key bounds never enter the scan:
+    ``files_scan_skipped`` in the returned stats) — semi-joined
     with the source keys finds the exact files containing matches;
     only those are rewritten (matched rows dropped via a null-safe-free
     equi anti-join, SQL semantics: NULL keys never match), every other
@@ -1020,7 +1023,33 @@ def merge_versioned(
     stats = {"files_rewritten": 0, "files_carried": len(files)}
     touched: set[str] = set()
     if files:
-        abs_files = [os.path.join(path, rel) for rel in files]
+        # data-skipping pre-cut for the discovery scan: a file whose
+        # commit-time key bounds don't intersect the SOURCE's key
+        # bounds provably contains no match — skip it before the scan.
+        # One tiny aggregate over the source buys this; on the
+        # production CDC shape (updates touch recent keys, the table
+        # is clustered or naturally ordered by them) the cold body
+        # never even enters the key-column scan. Conservative like all
+        # skipping: missing sidecars keep the file.
+        bounds = source.agg(*[
+            agg for c in keys
+            for agg in (F.min(c).alias(f"__lo_{c}__"),
+                        F.max(c).alias(f"__hi_{c}__"))
+        ]).collect()[0]
+        where_hint = []
+        for c in keys:
+            lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
+            if lo is not None and hi is not None:
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                if isinstance(lo, (int, str)) or isinstance(lo, float):
+                    where_hint.append((c, "between", (lo, hi)))
+        scan_files = (
+            filestats.prune_files(path, files, where_hint)
+            if where_hint else files
+        )
+        stats["files_scan_skipped"] = len(files) - len(scan_files)
+        abs_files = [os.path.join(path, rel) for rel in scan_files]
         from urllib.parse import unquote
 
         touched_uris = [
@@ -1029,7 +1058,7 @@ def merge_versioned(
             .select(F.input_file_name().alias("__f"), *keys)
             .join(src_keys, on=keys, how="leftsemi")
             .select("__f").distinct().collect()
-        ]
+        ] if abs_files else []
         for uri in touched_uris:
             p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
             touched.add(os.path.relpath(p, os.path.abspath(path)))

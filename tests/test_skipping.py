@@ -528,12 +528,14 @@ class TestMergeVersioned:
         t = str(tmp_path / "merge")
         o = _orders(spark).select(
             "o_orderkey", "o_totalprice", "o_orderstatus")
-        base = o.filter(F.col("o_orderkey") <= 3000)
+        # sf0.001 orderkeys are dense 0..1499; keep every band inside
+        base = o.filter(F.col("o_orderkey") <= 1000)
         # range layout so the update band touches a strict file subset
         V.write_versioned(base.repartitionByRange(6, "o_orderkey"), t)
-        upd = (o.filter(F.col("o_orderkey").between(100, 900))
+        upd = (o.filter(F.col("o_orderkey").between(100, 300))
                .withColumn("o_totalprice", F.col("o_totalprice") * 2))
-        ins = o.filter(F.col("o_orderkey").between(5000, 5800))
+        ins = o.filter(F.col("o_orderkey").between(1200, 1400))
+        assert upd.count() > 0 and ins.count() > 0
         src = upd.unionByName(ins)
         v, st = V.merge_versioned(spark, t, src, "o_orderkey")
         assert st["files_rewritten"] >= 1
@@ -550,9 +552,9 @@ class TestMergeVersioned:
         t = str(tmp_path / "merge2")
         o = _orders(spark).select("o_orderkey", "o_totalprice",
                                   "o_orderstatus")
-        base = o.filter(F.col("o_orderkey") <= 1000)
+        base = o.filter(F.col("o_orderkey") <= 700)
         V.write_versioned(base, t)
-        src = (o.filter(F.col("o_orderkey").between(500, 2000))
+        src = (o.filter(F.col("o_orderkey").between(500, 1200))
                .withColumn("o_totalprice", F.lit(1.0)))
         V.merge_versioned(spark, t, src, "o_orderkey",
                           insert_unmatched=False)
@@ -629,3 +631,30 @@ class TestAsOfTimeTravel:
             V.read_versioned(spark, t, version=1, as_of=t1)
         # history carries the stamp
         assert all("committed_at" in h for h in V.history(t))
+
+
+class TestMergeScanPreCut:
+    def test_discovery_scan_skips_cold_files(self, spark, tmp_path):
+        """The CDC shape: table clustered by key, source confined to a
+        key band — files outside the band must not even enter the
+        touched-file discovery scan, and the result stays exact."""
+        t = str(tmp_path / "mergecut")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        base = o  # full 0..1499 domain
+        V.write_versioned(base.repartitionByRange(8, "o_orderkey"), t)
+        src = (o.filter(F.col("o_orderkey") >= 1400)
+               .withColumn("o_totalprice", F.lit(42.0)))
+        assert src.count() > 0
+        v, st = V.merge_versioned(spark, t, src, "o_orderkey")
+        assert st["files_scan_skipped"] > 0
+        got = V.read_versioned(spark, t)
+        exp = base.join(src.select("o_orderkey"), "o_orderkey",
+                        "left_anti").unionByName(src)
+        assert _same(got, exp)
+        # a source spanning the whole domain skips nothing and still
+        # merges exactly
+        src2 = base.withColumn("o_totalprice", F.lit(7.0))
+        v2, st2 = V.merge_versioned(spark, t, src2, "o_orderkey")
+        assert st2["files_scan_skipped"] == 0
+        assert V.read_versioned(spark, t).filter(
+            F.col("o_totalprice") == 7.0).count() == base.count()
