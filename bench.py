@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "view_versioned_skipping",   # stats-sidecar build + Z-order + pruned read
     "view_versioned_evolve",     # additive schema evolution + CoW delete
     "view_versioned_merge",      # key-based MERGE upsert + delete-by-key
+    "view_incremental_join",     # delta-maintained JOIN view, 2 update rounds
 ]
 
 
@@ -181,6 +182,8 @@ BUDGETS_SF01 = {
     "view_versioned_skipping": 14.0,
     "view_versioned_evolve": 2.5,
     "view_versioned_merge": 5.5,
+    # builds two versioned sides + init join + two incremental updates
+    "view_incremental_join": 10.5,
 }
 
 

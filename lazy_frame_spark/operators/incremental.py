@@ -545,3 +545,164 @@ def agg_view_repair(
         buffer_extremes=buffer_extremes,
     )
     return clean.unionByName(rebuilt)
+
+
+# --------------------------------------------------------------------
+# Incremental materialized JOIN views over versioned tables
+# --------------------------------------------------------------------
+
+def _jv_check_columns(a_cols, b_cols, keys) -> None:
+    overlap = (set(a_cols) & set(b_cols)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"join_view: non-key columns {sorted(overlap)} exist on "
+            "both sides — the joined row would have ambiguous names; "
+            "rename or drop before building the view"
+        )
+    for k in keys:
+        if k not in a_cols or k not in b_cols:
+            raise ValueError(f"join key {k!r} missing from a side")
+
+
+def _jv_key_bounds_where(delta: DataFrame, keys) -> list | None:
+    """Per-key [min, max] of the delta batch as a skipping conjunction
+    for the OLD side's scan — sound for an INNER equi-join: a snapshot
+    row outside the delta's key bounds on ANY key cannot produce a
+    join match. One tiny aggregate over the delta buys file-level
+    pruning of the snapshot (same trick as merge_versioned's
+    discovery pre-cut). Returns None when unusable (empty delta /
+    NULL-only keys / un-conjunctable types)."""
+    bounds = delta.agg(*[
+        agg for c in keys
+        for agg in (F.min(c).alias(f"__lo_{c}__"),
+                    F.max(c).alias(f"__hi_{c}__"))
+    ]).collect()[0]
+    where = []
+    for c in keys:
+        lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
+        if lo is None or hi is None:
+            return None
+        if hasattr(lo, "isoformat"):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        if isinstance(lo, bool) or not isinstance(lo, (int, float, str)):
+            return None
+        where.append((c, "between", (lo, hi)))
+    return where or None
+
+
+def join_view_init(
+    spark,
+    view_path: str,
+    a_path: str,
+    b_path: str,
+    on: Sequence[str] | str,
+) -> int:
+    """Materialize ``V = A INNER JOIN B ON on`` (both sides VERSIONED
+    tables — sources/versioned.py) as a versioned table of its own,
+    recording the side versions it reflects in the commit manifest.
+    The join-view family completes the incremental-view story: agg
+    views (above) fold batches into partials; a JOIN has no partial —
+    its increment is the standard delta expansion, which
+    ``join_view_update`` maintains without ever rejoining the bodies.
+
+    INNER equi-join only, and non-key columns must be disjoint across
+    sides (checked): both restrictions are what make the delta exact
+    and the snapshot scans boundable. The view being versioned means
+    downstream jobs consume ITS increments via ``appended_since`` —
+    the whole pipeline stays O(increment) end to end."""
+    from lazy_frame_spark.sources import versioned as V
+
+    keys = [on] if isinstance(on, str) else list(on)
+    va, vb = V.latest_version(a_path), V.latest_version(b_path)
+    if va is None or vb is None:
+        raise FileNotFoundError("both sides must be versioned tables")
+    a = V.read_versioned(spark, a_path, version=va)
+    b = V.read_versioned(spark, b_path, version=vb)
+    _jv_check_columns(a.columns, b.columns, keys)
+    joined = a.join(b, on=keys, how="inner")
+    import shutil
+
+    shutil.rmtree(view_path, ignore_errors=True)  # CREATE OR REPLACE
+    V.write_versioned(joined, view_path)
+    # state rides the commit log itself (a zero-row append carrying
+    # manifest extras), so view data and state can never desynchronize
+    # — an interrupted update leaves the previous state and the retry
+    # recomputes the same delta
+    empty = V.read_versioned(spark, view_path).limit(0)
+    return V.append_versioned(
+        empty, view_path,
+        extra={"jv_on": keys, "jv_a_version": va, "jv_b_version": vb},
+    )
+
+
+def _jv_state(view_path: str) -> tuple[list, int, int]:
+    from lazy_frame_spark.sources import versioned as V
+
+    v = V.latest_version(view_path)
+    while v is not None:
+        man = V._read_manifest(view_path, v)
+        if "jv_on" in man:
+            return (list(man["jv_on"]), man["jv_a_version"],
+                    man["jv_b_version"])
+        v = man.get("parent")
+    raise ValueError(
+        f"{view_path} carries no join-view state — build it with "
+        "join_view_init"
+    )
+
+
+def join_view_update(
+    spark,
+    view_path: str,
+    a_path: str,
+    b_path: str,
+) -> dict:
+    """Fold both sides' appends into the view WITHOUT rejoining the
+    bodies: with A = A0 ∪ dA and B = B0 ∪ dB,
+
+        dV = dA⋈B0  ∪  A0⋈dB  ∪  dA⋈dB
+
+    appended to the view (multiset-exact for the inner equi-join;
+    append-only side chains are enforced by ``appended_since``, which
+    raises on delete/overwrite chains — rebuild with join_view_init
+    after a destructive side change). Snapshot terms are the cost
+    story: B0/A0 are read via ``read_versioned(where=<delta key
+    bounds>)``, so on key-clustered sides each snapshot scan prunes to
+    the files overlapping the delta's key range — the 100 TB body
+    never rescans for a tail increment. State (side versions) rides
+    the view's own commit log, so update is crash-consistent and
+    re-runnable."""
+    from lazy_frame_spark.sources import versioned as V
+
+    keys, va0, vb0 = _jv_state(view_path)
+    va1, vb1 = V.latest_version(a_path), V.latest_version(b_path)
+    dA = V.appended_since(spark, a_path, va0, version=va1)
+    dB = V.appended_since(spark, b_path, vb0, version=vb1)
+    n_da, n_db = dA.limit(1).count(), dB.limit(1).count()
+    stats = {"a_from": va0, "a_to": va1, "b_from": vb0, "b_to": vb1}
+    if n_da == 0 and n_db == 0:
+        stats["view_version"] = V.latest_version(view_path)
+        return stats
+    parts = []
+    if n_da:
+        w = _jv_key_bounds_where(dA, keys)
+        b0 = V.read_versioned(spark, b_path, version=vb0, where=w)
+        parts.append(dA.join(b0, on=keys, how="inner"))
+    if n_db:
+        w = _jv_key_bounds_where(dB, keys)
+        a0 = V.read_versioned(spark, a_path, version=va0, where=w)
+        parts.append(a0.join(dB, on=keys, how="inner"))
+    if n_da and n_db:
+        parts.append(dA.join(dB, on=keys, how="inner"))
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    view_cols = V.read_versioned(spark, view_path).columns
+    # ONE commit carries the delta AND the new state — atomic by the
+    # manifest publish, so a crash before it leaves the old state and
+    # the retry recomputes the identical delta (no double-apply)
+    stats["view_version"] = V.append_versioned(
+        delta.select(*view_cols), view_path,
+        extra={"jv_on": keys, "jv_a_version": va1, "jv_b_version": vb1},
+    )
+    return stats

@@ -4761,6 +4761,77 @@ def view_versioned_evolve(spark, sf_dir):
 
 
 @query(
+    "view_incremental_join",
+    # the view is initialized from one third of orders × even-key
+    # customers, then grown by two-sided appends until both sides are
+    # complete — so the maintained view must equal the one-shot full
+    # join, reproduced declaratively
+    oracle="""
+    SELECT o_custkey % 7 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey % 7
+    """,
+)
+def view_incremental_join(spark, sf_dir):
+    """Incremental materialized JOIN view
+    (operators/incremental.join_view_init/update): V = A ⋈ B over two
+    VERSIONED tables, maintained by the delta expansion
+    dV = dA⋈B₀ ∪ A₀⋈dB ∪ dA⋈dB — the bodies are never rejoined. The
+    snapshot terms read via ``read_versioned(where=<delta key
+    bounds>)``, so on key-clustered sides a tail increment prunes the
+    body's files from the scan (pinned by
+    test_join_view_snapshot_scan_is_bounds_pruned). State (the side
+    versions the view reflects) rides the view's own commit manifest —
+    the delta and the state publish in ONE atomic commit, so updates
+    are crash-consistent and re-runnable. The agg-view family (partial
+    folding) plus this close the incremental-view story: at 100 TB the
+    nightly join refresh costs O(increment ⋈ pruned snapshot), not
+    O(bodies)."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.operators import incremental as I
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ap = f"/tmp/lfs_jva_{tag}"
+    bp = f"/tmp/lfs_jvb_{tag}"
+    vp = f"/tmp/lfs_jvv_{tag}"
+    for p in (ap, bp, vp):
+        shutil.rmtree(p, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = (_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_acctbal")
+         .withColumnRenamed("c_custkey", "o_custkey"))
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .repartitionByRange(8, "o_custkey"), ap)
+    V.write_versioned(
+        c.filter(F.col("o_custkey") % 2 == 0)
+        .repartitionByRange(8, "o_custkey"), bp)
+    I.join_view_init(spark, vp, ap, bp, "o_custkey")
+    V.append_versioned(o.filter(F.col("o_orderkey") % 3 == 1), ap)
+    V.append_versioned(c.filter(F.col("o_custkey") % 2 == 1), bp)
+    I.join_view_update(spark, vp, ap, bp)
+    V.append_versioned(o.filter(F.col("o_orderkey") % 3 == 2), ap)
+    I.join_view_update(spark, vp, ap, bp)
+    return (
+        V.read_versioned(spark, vp)
+        .groupBy((F.col("o_custkey") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
     "view_versioned_merge",
     # the chain: v1 = orders ≤ 3000; v2 MERGE upsert (replace band
     # [100, 900] with doubled prices, insert band [5000, 5800]); v3
@@ -9139,9 +9210,10 @@ DRIVER_WINDOW: list[str] = [
     # locale decimal separator — the last §2.1 fine-print edge
     # (src/lazy.frame.c:516-517), landed in-window the round it shipped
     "lf_open_decimal_locale",
-    # M5 summary — implemented where the reference stubs it; the driver
-    # row closes the one §2.1 op previously verified only locally
-    "lf_summary",
+    # (lf_summary rotated past the cap in round 11 — green rounds 4-10;
+    # M5 is an op the REFERENCE STUBS, the summary path stays locally
+    # checked, and lf_ keeps three window reps including the flagship.
+    # Its slot funds view_incremental_join below.)
     # aggregation: partial+final (rollup/cube/grouping-set variants sit
     # past the cap, still locally checked)
     "agg_q1_pricing_summary",
@@ -9327,6 +9399,11 @@ DRIVER_WINDOW: list[str] = [
     # delete-by-key as copy-on-write commits, the CDC ingest verb
     # (slot funded by json_extract_props)
     "view_versioned_merge",
+    # round-11 continuation (zero-debt): incremental materialized JOIN
+    # view — delta expansion over versioned sides, snapshot scans
+    # bounds-pruned by the delta's key range, state atomic with the
+    # delta commit (slot funded by lf_summary)
+    "view_incremental_join",
     # round-11 addition (zero-debt): general row-level CDC between two
     # table versions — O(changed files) via manifest file-diff
     # cancellation (slot funded by mix_temperature_uniform)

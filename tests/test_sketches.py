@@ -589,3 +589,110 @@ def test_equi_depth_histogram_properties(spark):
     assert all(got[a][2] <= got[b][1] or got[a][2] == got[b][1]
                or got[a][2] <= got[b][1] for a, b in zip(bs, bs[1:]))
     assert all(got[a][2] <= got[b][2] for a, b in zip(bs, bs[1:]))
+
+
+# ------------------------------------------------------------------
+# Incremental JOIN views over versioned tables
+# ------------------------------------------------------------------
+
+def _jv_tables(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.sources import versioned as V
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select("c_custkey", "c_name", "c_acctbal")
+         .withColumnRenamed("c_custkey", "o_custkey"))
+    ap, bp = str(tmp_path / "a"), str(tmp_path / "b")
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .repartitionByRange(4, "o_custkey"), ap)
+    V.write_versioned(
+        c.filter(F.col("o_custkey") % 2 == 0)
+        .repartitionByRange(4, "o_custkey"), bp)
+    return o, c, ap, bp
+
+
+def test_join_view_incremental_equals_full_join(spark, sf_dir, tmp_path):
+    """Two rounds of two-sided appends folded via the delta expansion
+    must equal the one-shot join of the final sides, multiset-exact."""
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.operators import incremental as I
+    from lazy_frame_spark.sources import versioned as V
+
+    o, c, ap, bp = _jv_tables(spark, sf_dir, tmp_path)
+    vp = str(tmp_path / "v")
+    I.join_view_init(spark, vp, ap, bp, "o_custkey")
+    V.append_versioned(o.filter(F.col("o_orderkey") % 3 == 1), ap)
+    V.append_versioned(c.filter(F.col("o_custkey") % 2 == 1), bp)
+    I.join_view_update(spark, vp, ap, bp)
+    V.append_versioned(o.filter(F.col("o_orderkey") % 3 == 2), ap)
+    st = I.join_view_update(spark, vp, ap, bp)
+    got = V.read_versioned(spark, vp)
+    exp = o.join(c, "o_custkey", "inner").select(*got.columns)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # no-op update commits nothing new beyond state bookkeeping
+    st2 = I.join_view_update(spark, vp, ap, bp)
+    assert st2["a_from"] == st2["a_to"]
+    assert V.read_versioned(spark, vp).count() == exp.count()
+    assert st["view_version"] >= 1
+
+
+def test_join_view_snapshot_scan_is_bounds_pruned(spark, sf_dir, tmp_path):
+    """The cost story: with sides key-clustered, an update whose delta
+    sits in a narrow key band must SKIP most snapshot files (the
+    where-pruned read), not rescan the body."""
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.operators import incremental as I
+    from lazy_frame_spark.sources import versioned as V, filestats
+
+    o, c, ap, bp = _jv_tables(spark, sf_dir, tmp_path)
+    vp = str(tmp_path / "v")
+    I.join_view_init(spark, vp, ap, bp, "o_custkey")
+    # delta confined to the top of the key domain
+    hi = c.agg(F.max("o_custkey")).first()[0]
+    dB = c.filter((F.col("o_custkey") % 2 == 1)
+                  & (F.col("o_custkey") >= hi - 5))
+    assert dB.count() > 0
+    V.append_versioned(dB, bp)
+    w = I._jv_key_bounds_where(dB, ["o_custkey"])
+    assert w is not None
+    man = V._read_manifest(ap, V.latest_version(ap))
+    kept = filestats.prune_files(ap, list(man["files"]), w)
+    assert len(kept) < len(man["files"])  # body files skipped
+    I.join_view_update(spark, vp, ap, bp)
+    got = V.read_versioned(spark, vp)
+    exp = (o.filter(F.col("o_orderkey") % 3 == 0)
+           .join(c.filter((F.col("o_custkey") % 2 == 0)
+                          | ((F.col("o_custkey") % 2 == 1)
+                             & (F.col("o_custkey") >= hi - 5))),
+                 "o_custkey", "inner").select(*got.columns))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_join_view_refuses_ambiguous_and_unbuilt(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from lazy_frame_spark.operators import incremental as I
+    from lazy_frame_spark.sources import versioned as V
+
+    o, c, ap, bp = _jv_tables(spark, sf_dir, tmp_path)
+    with _pytest.raises(ValueError, match="ambiguous"):
+        I.join_view_init(spark, str(tmp_path / "v2"), ap, ap,
+                         "o_custkey")
+    # update on a plain versioned table (no jv state) is refused
+    with _pytest.raises(ValueError, match="join-view state"):
+        I.join_view_update(spark, ap, ap, bp)
+    # a destructive side chain surfaces appended_since's guard
+    vp = str(tmp_path / "v3")
+    I.join_view_init(spark, vp, ap, bp, "o_custkey")
+    V.delete_versioned(spark, ap, "o_orderkey < 10")
+    with _pytest.raises(ValueError, match="append-only"):
+        I.join_view_update(spark, vp, ap, bp)
