@@ -4906,6 +4906,72 @@ def view_versioned_merge(spark, sf_dir):
 
 
 @query(
+    "view_versioned_delete_mor",
+    # the chain: v1 = full orders slice; v2 = merge-on-read DELETE of a
+    # key band (tombstones only, zero rewrites); v3 = a second MoR
+    # delete on a different column; then purge_dvs materializes every
+    # tombstone. The graded read runs AFTER the purge, so the value
+    # check certifies DV application AND purge equivalence against the
+    # declarative double-filter. (Registered past the driver window —
+    # the versioned family already holds seven in-window reps; the
+    # full-registry sweep value-checks this row.)
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN 200 AND 900
+      AND NOT (o_custkey % 11 = 3)
+    GROUP BY o_orderstatus
+    """,
+)
+def view_versioned_delete_mor(spark, sf_dir):
+    """Merge-on-read DELETE
+    (``delete_versioned(strategy="merge-on-read")``): the matching
+    rows' (file, row_index) tombstones land as a kilobyte deletion
+    vector and NOTHING rewrites — erasing 1k rows from a 100 TB table
+    costs O(matched rows), not a rewrite of every 128 MB file they
+    touch. Reads apply DVs via one anti-join whose build side is only
+    the deleted rows; every later commit inherits the DV list so no
+    maintenance path resurrects rows; ``purge_dvs`` rewrites exactly
+    the tombstoned files and clears the list (the MoR compaction
+    trade). The row asserts the MoR commits rewrote zero files, then
+    grades the post-purge state."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vmor_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    V.write_versioned(o.repartitionByRange(8, "o_orderkey"), t)  # v1
+    _, s1 = V.delete_versioned(                                  # v2
+        spark, t, "o_orderkey BETWEEN 200 AND 900",
+        strategy="merge-on-read")
+    _, s2 = V.delete_versioned(                                  # v3
+        spark, t, "o_custkey % 11 = 3", strategy="merge-on-read")
+    if s1["files_rewritten"] or s2["files_rewritten"]:
+        raise AssertionError("merge-on-read delete rewrote files")
+    if not (s1["rows_deleted"] and s2["rows_deleted"]):
+        raise AssertionError("MoR deletes matched nothing — fixture bug")
+    V.purge_dvs(spark, t)                                        # v4
+    return (
+        V.read_versioned(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
     "view_versioned_increment",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

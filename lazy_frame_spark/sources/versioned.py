@@ -79,6 +79,7 @@ __all__ = [
     "append_versioned",
     "merge_versioned",
     "delete_versioned",
+    "purge_dvs",
     "version_as_of",
     "restore_versioned",
     "compact_versioned",
@@ -246,14 +247,29 @@ def _commit(
     schema_json: str,
     parent: int | None,
     extra: dict | None = None,
+    dvs: list[str] | None = None,
 ) -> int:
+    """``dvs`` — the commit's deletion-vector file list (merge-on-read
+    deletes, see ``delete_versioned(strategy="merge-on-read")``).
+    ``None`` INHERITS the parent's list: this default is a correctness
+    invariant, not a convenience — any commit path that forgot to
+    carry the DVs (append, merge, compaction...) would silently
+    RESURRECT merge-on-read-deleted rows. Only a commit that provably
+    supersedes them passes an explicit list (a fresh snapshot, a
+    purge, a full rewrite)."""
     version = (parent or 0) + 1
+    if dvs is None:
+        dvs = (list(_read_manifest(path, parent).get("dv_files", []))
+               if parent else [])
     doc = {
         "version": version,
         "action": action,
         "parent": parent,
         "files": sorted(files),
         "schema": schema_json,
+        # physical footer rows of the referenced files; rows masked by
+        # deletion vectors are still counted (the manifest is metadata-
+        # only by design — subtracting would need a DV scan)
         "rows": _footer_rows(path, files),
         # wall-clock commit stamp (epoch seconds) — powers AS-OF
         # timestamp time travel (read_versioned(as_of=...)) and audit;
@@ -261,6 +277,8 @@ def _commit(
         # between writers can't reorder history)
         "committed_at": time.time(),
     }
+    if dvs:
+        doc["dv_files"] = sorted(dvs)
     if extra:
         doc.update(extra)
     _publish(path, version, doc)
@@ -275,7 +293,9 @@ def write_versioned(df: DataFrame, path: str) -> int:
     parent = latest_version(path)
     version = (parent or 0) + 1
     files = _write_data_dir(df, path, version)
-    return _commit(path, "overwrite", files, df.schema.json(), parent)
+    # a fresh snapshot references only its own files — no DVs apply
+    return _commit(path, "overwrite", files, df.schema.json(), parent,
+                   dvs=[])
 
 
 def _committed_schema(man_or_json) -> T.StructType:
@@ -287,6 +307,85 @@ def _committed_schema(man_or_json) -> T.StructType:
     based on it (delete/compact/cluster) would silently drop them."""
     j = man_or_json if isinstance(man_or_json, str) else man_or_json["schema"]
     return T.StructType.fromJson(json.loads(j))
+
+
+#: table-relative path of the file a scanned row came from, derived
+#: from the parquet reader's _metadata the same way on the DV WRITE
+#: side and the DV APPLY side, so the anti-join key is consistent by
+#: construction whatever the table root or its percent-encoding looks
+#: like (data dirs are hex-named — '/data/' cannot recur below root)
+def _rel_file_expr() -> F.Column:
+    return F.concat(
+        F.lit("data/"),
+        F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+    )
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    files: list[str] | None = None,
+    where: list | None = None,
+    _with_position: bool = False,
+) -> DataFrame:
+    """THE one way any code — user reads and maintenance rewrites
+    alike — materializes a version's logical content: committed-schema
+    scan of the manifest's files (optionally a subset / a
+    skipping-pruned subset), minus the rows its deletion vectors mask
+    (one anti-join on (file, row_index); the DV side is the deleted
+    rows only, so AQE broadcasts it in practice). Bypassing this and
+    scanning raw files is how merge-on-read systems resurrect deleted
+    rows — don't."""
+    schema = _committed_schema(man)
+    flist = list(man["files"]) if files is None else list(files)
+    if where is not None:
+        flist = filestats.prune_files(path, flist, where)
+    if not flist:
+        df = spark.createDataFrame([], schema)
+        if _with_position:
+            df = df.withColumn("__file__", F.lit(None).cast("string")) \
+                   .withColumn("__pos__", F.lit(None).cast("bigint"))
+        return df
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, rel) for rel in flist]
+    )
+    dv_files = man.get("dv_files") or []
+    if dv_files or _with_position:
+        df = (
+            df.withColumn("__file__", _rel_file_expr())
+            .withColumn("__pos__", F.col("_metadata.row_index"))
+        )
+    if dv_files:
+        dv = spark.read.parquet(
+            *[os.path.join(path, rel) for rel in dv_files]
+        ).select("__file__", "__pos__")
+        df = df.join(dv, on=["__file__", "__pos__"], how="left_anti")
+        if not _with_position:
+            df = df.drop("__file__", "__pos__")
+    if where is not None:
+        df = df.filter(filestats.spark_filter(where))
+    return df
+
+
+def _write_dv_dir(dv_rows: DataFrame, path: str, version: int) -> list[str]:
+    """Persist one commit's deletion-vector rows
+    ``(__file__ string, __pos__ long)`` as an immutable parquet
+    directory under data/ (dv- prefixed), same dot-temp + rename
+    protocol as data dirs — a crash leaves an orphan dir no manifest
+    references."""
+    rel_final = os.path.join(
+        "data", f"{version:08d}-dv-{uuid.uuid4().hex[:8]}"
+    )
+    tmp = os.path.join(path, "data", f".tmp-{uuid.uuid4().hex}")
+    dv_rows.select("__file__", "__pos__").write.mode("overwrite").parquet(tmp)
+    final = os.path.join(path, rel_final)
+    os.replace(tmp, final)
+    return sorted(
+        os.path.join(rel_final, name)
+        for name in os.listdir(final)
+        if name.endswith(".parquet")
+    )
 
 
 def _merge_schemas(committed_json: str, batch_json: str) -> str:
@@ -445,15 +544,36 @@ def versioned_stream_writer(path: str, stream_id: str = "default"):
 
 
 def delete_versioned(
-    spark: SparkSession, path: str, predicate: str
+    spark: SparkSession, path: str, predicate: str,
+    strategy: str = "rewrite",
 ) -> tuple[int, dict]:
     """DELETE WHERE ``predicate`` (a Spark SQL boolean expression) as a
-    copy-on-write commit. One pushdown-pruned scan finds the exact
-    files containing matches; only those are rewritten without their
-    matching rows (NULL-predicate rows are KEPT — SQL DELETE
-    semantics); all other files carry over by reference. Returns
-    ``(version, stats)`` with files_rewritten / files_carried /
-    rows_deleted."""
+    commit. NULL-predicate rows are KEPT (SQL DELETE semantics).
+    Returns ``(version, stats)``.
+
+    ``strategy="rewrite"`` (default) is copy-on-write at FILE grain:
+    one pushdown-pruned scan finds the exact files containing matches,
+    only those are rewritten without their matching rows, every other
+    file carries by reference.
+
+    ``strategy="merge-on-read"`` writes a DELETION VECTOR instead —
+    the matching rows' (file, row_index) tombstones as one small
+    parquet directory — and rewrites NOTHING: cost is O(matched rows),
+    not O(touched files). Erasing a user's 1 000 rows from a 100 TB
+    table under the rewrite strategy rewrites every 128 MB file any of
+    them sits in; the DV commit writes kilobytes. Every read applies
+    the DVs via one (file, row_index) anti-join (``_read_snapshot`` —
+    the DV side is only the deleted rows, broadcast in practice), and
+    DV lists ride every subsequent commit by inheritance so no
+    maintenance path can resurrect rows. Rewrites eventually absorb
+    tombstones: compaction/clustering write DV-applied data, and
+    ``purge_dvs`` materializes all of them explicitly. Trade-off is
+    the classic MoR one — reads pay the anti-join until a purge; pick
+    per delete, mixing strategies on one table is fine."""
+    if strategy not in ("rewrite", "merge-on-read"):
+        raise ValueError(
+            f"strategy must be 'rewrite' or 'merge-on-read', got {strategy!r}"
+        )
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -466,30 +586,38 @@ def delete_versioned(
         return v, {"files_rewritten": 0, "files_carried": 0,
                    "rows_deleted": 0}
 
-    abs_files = [os.path.join(path, rel) for rel in files]
     pred = F.expr(predicate)
-    # exact file-grain pruning: the filtered scan's row groups are
-    # already pruned by parquet stats pushdown; distinct file names of
-    # surviving matches are the ONLY files that need rewriting
-    touched_uris = [
+
+    if strategy == "merge-on-read":
+        vis = _read_snapshot(spark, path, prev, _with_position=True)
+        dv_new = vis.filter(pred).select("__file__", "__pos__")
+        n_del = dv_new.count()
+        if n_del == 0:
+            v = _commit(path, "delete", files, prev["schema"], parent,
+                        {"predicate": predicate, "strategy": strategy})
+            return v, {"files_rewritten": 0, "files_carried": len(files),
+                       "rows_deleted": 0, "dv_files_written": 0}
+        dv_files = _write_dv_dir(dv_new.coalesce(1), path, version)
+        v = _commit(
+            path, "delete", files, prev["schema"], parent,
+            {"predicate": predicate, "strategy": strategy},
+            dvs=list(prev.get("dv_files", [])) + dv_files,
+        )
+        return v, {"files_rewritten": 0, "files_carried": len(files),
+                   "rows_deleted": n_del,
+                   "dv_files_written": len(dv_files)}
+
+    # rewrite: exact file-grain pruning — distinct origin files of the
+    # VISIBLE matching rows (DV-applied, so a tombstoned row can't
+    # force a rewrite) are the only files needing one
+    touched = {
         r[0]
-        for r in spark.read.schema(_committed_schema(prev))
-        .parquet(*abs_files)
+        for r in _read_snapshot(spark, path, prev, _with_position=True)
         .filter(pred)
-        .select(F.input_file_name())
+        .select("__file__")
         .distinct()
         .collect()
-    ]
-    touched = set()
-    for uri in touched_uris:
-        # input_file_name() returns a percent-encoded file URI; unquote
-        # before matching against manifest relpaths or a table path with
-        # a space/UTF-8 char would never match (silent full-carry, then
-        # a read of the encoded path in the rewrite)
-        from urllib.parse import unquote
-
-        p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
-        touched.add(os.path.relpath(p, os.path.abspath(path)))
+    }
     if not touched:
         v = _commit(path, "delete", files, prev["schema"], parent,
                     {"predicate": predicate})
@@ -497,12 +625,9 @@ def delete_versioned(
                    "rows_deleted": 0}
 
     carried = [f for f in files if f not in touched]
-    touched_abs = [os.path.join(path, rel) for rel in sorted(touched)]
-    survivors = spark.read.schema(
-        _committed_schema(prev)
-    ).parquet(*touched_abs).filter(
-        ~F.coalesce(pred, F.lit(False))
-    )
+    survivors = _read_snapshot(
+        spark, path, prev, files=sorted(touched)
+    ).filter(~F.coalesce(pred, F.lit(False)))
     new_files = _write_data_dir(survivors, path, version)
     before = _footer_rows(path, sorted(touched))
     after = _footer_rows(path, new_files)
@@ -513,6 +638,9 @@ def delete_versioned(
     return v, {
         "files_rewritten": len(touched),
         "files_carried": len(carried),
+        # physical rows removed from the rewritten files — includes any
+        # previously tombstoned rows those files carried, since the
+        # rewrite materializes their deletion vectors as a side effect
         "rows_deleted": (before - after)
         if before is not None and after is not None else None,
     }
@@ -551,9 +679,10 @@ def compact_versioned(
         # nothing to gain: zero or one small file coalesces to itself
         return parent, {"files_compacted": 0, "files_carried": len(files)}
     version = parent + 1
-    df = spark.read.schema(_committed_schema(prev)).parquet(
-        *[os.path.join(path, rel) for rel in small]
-    )
+    # DV-applied read: compaction MATERIALIZES the compacted files'
+    # tombstones for free (their stale DV rows then reference dead
+    # paths — harmless, reclaimed by purge/vacuum)
+    df = _read_snapshot(spark, path, prev, files=small)
     total = sum(os.path.getsize(os.path.join(path, rel)) for rel in small)
     n_out = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
     new_files = _write_data_dir(df.coalesce(n_out), path, version)
@@ -772,14 +901,15 @@ def cluster_versioned(
     prev = _read_manifest(path, parent)
     if not prev["files"]:
         return parent, {"files_in": 0, "files_out": 0}
-    df = spark.read.schema(_committed_schema(prev)).parquet(
-        *[os.path.join(path, rel) for rel in prev["files"]]
-    )
+    df = _read_snapshot(spark, path, prev)  # DV-applied full rewrite
     out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
+    # every file was rewritten with tombstones applied — DVs are all
+    # materialized, the new commit carries none
     v = _commit(path, "cluster", new_files, prev["schema"], parent,
-                {"cluster_cols": list(cols), "cluster_scaling": scaling})
+                {"cluster_cols": list(cols), "cluster_scaling": scaling},
+                dvs=[])
     return v, {"files_in": len(prev["files"]),
                "files_out": len(new_files)}
 
@@ -845,9 +975,7 @@ def cluster_increment(
     if not tail:
         return parent, {"files_carried": len(carried),
                         "files_tail_in": 0, "files_out": 0}
-    df = spark.read.schema(_committed_schema(prev)).parquet(
-        *[os.path.join(path, rel) for rel in tail]
-    )
+    df = _read_snapshot(spark, path, prev, files=tail)
     out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
@@ -868,6 +996,7 @@ def restore_versioned(path: str, version: int) -> int:
     return _commit(
         path, "restore", list(target["files"]), target["schema"], parent,
         {"restored_from": version},
+        dvs=list(target.get("dv_files", [])),  # the state being restored
     )
 
 
@@ -909,18 +1038,7 @@ def read_versioned(
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
-    schema = T.StructType.fromJson(json.loads(man["schema"]))
-    files = list(man["files"])
-    if where is not None:
-        files = filestats.prune_files(path, files, where)
-    if not files:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, rel) for rel in files]
-    )
-    if where is not None:
-        df = df.filter(filestats.spark_filter(where))
-    return df
+    return _read_snapshot(spark, path, man, where=where)
 
 
 def version_as_of(path: str, ts) -> int:
@@ -1049,26 +1167,24 @@ def merge_versioned(
             if where_hint else files
         )
         stats["files_scan_skipped"] = len(files) - len(scan_files)
-        abs_files = [os.path.join(path, rel) for rel in scan_files]
-        from urllib.parse import unquote
-
-        touched_uris = [
-            r[0]
-            for r in spark.read.schema(schema).parquet(*abs_files)
-            .select(F.input_file_name().alias("__f"), *keys)
-            .join(src_keys, on=keys, how="leftsemi")
-            .select("__f").distinct().collect()
-        ] if abs_files else []
-        for uri in touched_uris:
-            p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
-            touched.add(os.path.relpath(p, os.path.abspath(path)))
+        if scan_files:
+            # DV-applied key scan: a tombstoned row must not mark its
+            # file touched (nor count as a match)
+            touched = {
+                r[0]
+                for r in _read_snapshot(
+                    spark, path, prev, files=scan_files,
+                    _with_position=True)
+                .select(F.col("__file__"), *keys)
+                .join(src_keys, on=keys, how="leftsemi")
+                .select("__file__").distinct().collect()
+            }
     carried = [f for f in files if f not in touched]
 
     parts = []
     if touched:
-        touched_abs = [os.path.join(path, rel) for rel in sorted(touched)]
         survivors = (
-            spark.read.schema(schema).parquet(*touched_abs)
+            _read_snapshot(spark, path, prev, files=sorted(touched))
             .join(src_keys, on=keys, how="left_anti")
         )
         parts.append(survivors)
@@ -1079,9 +1195,8 @@ def merge_versioned(
             # only matched source rows replace; matched targets live in
             # the touched files BY DEFINITION, so their keys suffice
             to_insert = source.join(
-                spark.read.schema(schema).parquet(
-                    *[os.path.join(path, rel) for rel in sorted(touched)]
-                ).select(*keys).distinct(),
+                _read_snapshot(spark, path, prev, files=sorted(touched))
+                .select(*keys).distinct(),
                 on=keys, how="leftsemi",
             )
         else:
@@ -1106,6 +1221,45 @@ def merge_versioned(
         "files_written": len(new_files),
     })
     return v, stats
+
+
+def purge_dvs(spark: SparkSession, path: str) -> tuple[int, dict]:
+    """Materialize every outstanding deletion vector: rewrite exactly
+    the files that carry tombstones (DV-applied read), carry everything
+    else by reference, commit with an empty DV list. The maintenance
+    counterpart to ``delete_versioned(strategy="merge-on-read")`` —
+    run it when the read-time anti-join starts costing more than one
+    rewrite of the affected files (the classic MoR compaction
+    trade-off). Compaction and full re-clustering absorb tombstones as
+    a side effect; this does ONLY that, touching the minimum file set.
+    Returns ``(version, stats)``."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    dv_files = prev.get("dv_files") or []
+    files = list(prev["files"])
+    if not dv_files:
+        return parent, {"files_rewritten": 0, "files_carried": len(files),
+                        "dv_files_purged": 0}
+    dv = spark.read.parquet(
+        *[os.path.join(path, rel) for rel in dv_files])
+    tombstoned = {r[0] for r in dv.select("__file__").distinct().collect()}
+    affected = sorted(tombstoned & set(files))
+    carried = [f for f in files if f not in set(affected)]
+    if not affected:
+        # every DV entry references a file no longer in the list
+        v = _commit(path, "purge", files, prev["schema"], parent, dvs=[])
+        return v, {"files_rewritten": 0, "files_carried": len(files),
+                   "dv_files_purged": len(dv_files)}
+    version = parent + 1
+    rewritten = _read_snapshot(spark, path, prev, files=affected)
+    new_files = _write_data_dir(rewritten, path, version)
+    v = _commit(path, "purge", carried + new_files, prev["schema"],
+                parent, dvs=[])
+    return v, {"files_rewritten": len(affected),
+               "files_carried": len(carried),
+               "dv_files_purged": len(dv_files)}
 
 
 def build_blooms(
@@ -1242,7 +1396,17 @@ def diff_versions(
     files are read on both sides and the diff is empty. The
     subtraction itself is ``exceptAll`` — a hash aggregation on the
     changed subset. Schema must match between the versions
-    (schema-evolution diffs raise — reconcile explicitly)."""
+    (schema-evolution diffs raise — reconcile explicitly).
+
+    Deletion vectors (merge-on-read deletes) change what a shared file
+    CONTRIBUTES without changing its identity, so blanket file
+    cancellation would be unsound there. The diff stays file-pruned by
+    cancelling only shared files whose DV row-sets are IDENTICAL in
+    both versions (by DV-file identity — DV files are immutable and
+    carried by reference, so equal lists mean equal tombstones); a
+    shared file whose tombstones differ is read on both sides with its
+    own version's DVs applied, which reduces exactly to the
+    tombstone-delta rows."""
     ma = _read_manifest(path, v_from)
     mb = _read_manifest(path, v_to)
     if json.loads(ma["schema"]) != json.loads(mb["schema"]):
@@ -1256,17 +1420,25 @@ def diff_versions(
             f"change column {change_col!r} collides with a table column"
         )
     fa, fb = set(ma["files"]), set(mb["files"])
+    dva, dvb = ma.get("dv_files") or [], mb.get("dv_files") or []
+    if dva == dvb:
+        shared_cancel = fa & fb
+    else:
+        # shared files keep cancelling only if their tombstones can't
+        # differ: with differing DV lists, conservatively re-read every
+        # shared file on both sides (each under its own version's DVs)
+        shared_cancel = set()
+    a_side = fa - shared_cancel
+    b_side = fb - shared_cancel
 
-    def read_only(rels):
+    def read_side(man, rels):
         rels = sorted(rels)
         if not rels:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, rel) for rel in rels]
-        )
+        return _read_snapshot(spark, path, man, files=rels)
 
-    old = read_only(fa - fb)
-    new = read_only(fb - fa)
+    old = read_side(ma, a_side)
+    new = read_side(mb, b_side)
     inserted = new.exceptAll(old).withColumn(change_col, F.lit("insert"))
     deleted = old.exceptAll(new).withColumn(change_col, F.lit("delete"))
     return inserted.unionByName(deleted)
@@ -1284,11 +1456,13 @@ def history(path: str) -> list[dict]:
             "parent": man["parent"],
             "n_files": len(man["files"]),
             "rows": man.get("rows"),
+            **({"n_dv_files": len(man["dv_files"])}
+               if man.get("dv_files") else {}),
             **{k: man[k] for k in ("predicate", "restored_from",
                                    "cluster_cols", "cluster_scaling",
                                    "cluster_since", "stream_batch_id",
                                    "stream_id", "committed_at",
-                                   "merge_on")
+                                   "merge_on", "strategy")
                if k in man},
         })
     return out
@@ -1326,7 +1500,11 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
     data_dir = os.path.join(path, "data")
     all_referenced: set[str] = set()
     for v in vs:
-        all_referenced.update(_read_manifest(path, v)["files"])
+        man = _read_manifest(path, v)
+        all_referenced.update(man["files"])
+        # deletion-vector parquet files are manifest state too — a
+        # vacuum that reclaimed them would resurrect tombstoned rows
+        all_referenced.update(man.get("dv_files") or [])
     referenced_dirs = {rel.split(os.sep)[1] for rel in all_referenced
                        if rel.startswith("data" + os.sep)}
     removed_tmp = 0
@@ -1341,7 +1519,9 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
         keep = set(vs[-keep_last:])
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(_read_manifest(path, v)["files"])
+            man = _read_manifest(path, v)
+            referenced.update(man["files"])
+            referenced.update(man.get("dv_files") or [])
         # fold dropped manifests' stream high-water marks into the
         # sidecar BEFORE removing them
         hw: dict[str, int] = {}
@@ -1365,7 +1545,9 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
         for v in vs:
             if v in keep:
                 continue
-            for rel in _read_manifest(path, v)["files"]:
+            man = _read_manifest(path, v)
+            for rel in (list(man["files"])
+                        + list(man.get("dv_files") or [])):
                 if rel not in referenced:
                     fp = os.path.join(path, rel)
                     if os.path.exists(fp):

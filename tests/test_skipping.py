@@ -658,3 +658,120 @@ class TestMergeScanPreCut:
         assert st2["files_scan_skipped"] == 0
         assert V.read_versioned(spark, t).filter(
             F.col("o_totalprice") == 7.0).count() == base.count()
+
+
+class TestDeletionVectors:
+    def test_mor_delete_equals_rewrite_delete(self, spark, tmp_path):
+        o = _orders(spark).select("o_orderkey", "o_custkey",
+                                  "o_totalprice")
+        ta, tb = str(tmp_path / "mor"), str(tmp_path / "rw")
+        for t in (ta, tb):
+            V.write_versioned(o.repartitionByRange(4, "o_orderkey"), t)
+        pred = "o_orderkey BETWEEN 100 AND 400"
+        va, sa = V.delete_versioned(spark, ta, pred,
+                                    strategy="merge-on-read")
+        vb, sb = V.delete_versioned(spark, tb, pred)
+        assert sa["files_rewritten"] == 0 and sa["dv_files_written"] == 1
+        assert sb["files_rewritten"] >= 1
+        assert sa["rows_deleted"] == sb["rows_deleted"] > 0
+        assert _same(V.read_versioned(spark, ta),
+                     V.read_versioned(spark, tb))
+
+    def test_no_resurrection_through_any_commit(self, spark, tmp_path):
+        """Every commit type after a MoR delete must keep the
+        tombstones: append, merge, compact, cluster_increment carry
+        them by inheritance; cluster/compact materialize them."""
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        t = str(tmp_path / "nores")
+        V.write_versioned(o.repartitionByRange(4, "o_orderkey"), t)
+        V.delete_versioned(spark, t, "o_orderkey < 200",
+                           strategy="merge-on-read")
+        alive = o.filter(~(F.col("o_orderkey") < 200))
+        V.append_versioned(o.filter(F.col("o_orderkey") > 9000), t)
+        assert _same(V.read_versioned(spark, t), alive)
+        src = (o.filter(F.col("o_orderkey").between(300, 350))
+               .withColumn("o_totalprice", F.lit(5.0)))
+        V.merge_versioned(spark, t, src, "o_orderkey")
+        exp = alive.join(src.select("o_orderkey"), "o_orderkey",
+                         "left_anti").unionByName(src)
+        assert _same(V.read_versioned(spark, t), exp)
+        # full re-cluster materializes the tombstones and clears DVs
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=4)
+        man = V._read_manifest(t, V.latest_version(t))
+        assert not man.get("dv_files")
+        assert _same(V.read_versioned(spark, t), exp)
+
+    def test_mor_null_predicate_rows_kept(self, spark, tmp_path):
+        t = str(tmp_path / "mornull")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        base = o.limit(300).withColumn(
+            "flag", F.when(F.col("o_orderkey") % 3 == 0, True)
+            .when(F.col("o_orderkey") % 3 == 1, False))
+        V.write_versioned(base, t)
+        n_null = base.filter(F.col("flag").isNull()).count()
+        V.delete_versioned(spark, t, "flag", strategy="merge-on-read")
+        left = V.read_versioned(spark, t)
+        # SQL DELETE: TRUE rows go, FALSE and NULL stay
+        assert left.filter(F.col("flag").isNull()).count() == n_null
+        assert left.filter(F.col("flag") == True).count() == 0  # noqa: E712
+
+    def test_purge_materializes_and_clears(self, spark, tmp_path):
+        t = str(tmp_path / "purge")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.repartitionByRange(6, "o_orderkey"), t)
+        V.delete_versioned(spark, t, "o_orderkey BETWEEN 0 AND 120",
+                           strategy="merge-on-read")
+        V.delete_versioned(spark, t, "o_orderkey BETWEEN 1300 AND 1499",
+                           strategy="merge-on-read")
+        before = V.read_versioned(spark, t)
+        exp_rows = before.count()
+        v, st = V.purge_dvs(spark, t)
+        assert st["dv_files_purged"] == 2
+        assert 0 < st["files_rewritten"] < 6 + st["files_carried"]
+        man = V._read_manifest(t, v)
+        assert not man.get("dv_files")
+        after = V.read_versioned(spark, t)
+        assert after.count() == exp_rows
+        assert _same(after, o.filter(
+            ~F.col("o_orderkey").between(0, 120)
+            & ~F.col("o_orderkey").between(1300, 1499)))
+        # idempotent when nothing outstanding
+        v2, st2 = V.purge_dvs(spark, t)
+        assert st2 == {"files_rewritten": 0,
+                       "files_carried": st["files_carried"]
+                       + st["files_rewritten"],
+                       "dv_files_purged": 0}
+
+    def test_diff_and_time_travel_across_mor_chain(self, spark, tmp_path):
+        t = str(tmp_path / "mordiff")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o, t)                                   # v1
+        V.delete_versioned(spark, t, "o_orderkey < 100",
+                           strategy="merge-on-read")              # v2
+        d = V.diff_versions(spark, t, 1, 2)
+        n_expected = o.filter(F.col("o_orderkey") < 100).count()
+        rows = {r["change_type"]: 1 for r in d.select("change_type")
+                .distinct().collect()}
+        assert rows == {"delete": 1}
+        assert d.count() == n_expected
+        # v1 still reads complete (DVs are version-scoped state)
+        assert V.read_versioned(spark, t, version=1).count() == o.count()
+
+    def test_vacuum_preserves_dv_files(self, spark, tmp_path):
+        t = str(tmp_path / "morvac")
+        o = _orders(spark).select("o_orderkey")
+        V.write_versioned(o, t)                                   # v1
+        V.delete_versioned(spark, t, "o_orderkey < 500",
+                           strategy="merge-on-read")              # v2
+        alive = o.count() - 500
+        V.vacuum_versioned(t, keep_last=1)
+        assert V.read_versioned(spark, t).count() == alive
+        # and a purged DV's files ARE reclaimed once unreferenced
+        V.purge_dvs(spark, t)                                     # v3'
+        V.vacuum_versioned(t, keep_last=1)
+        assert V.read_versioned(spark, t).count() == alive
+        import os as _os
+
+        dv_dirs = [d for d in _os.listdir(_os.path.join(t, "data"))
+                   if "-dv-" in d]
+        assert dv_dirs == []
