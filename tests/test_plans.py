@@ -870,3 +870,52 @@ def test_versioned_increment_reads_only_appended_files(spark, tmp_path):
         f[7:] if f.startswith("file://") else f, os.path.abspath(t))
         not in base_files for f in scanned)
     assert inc.count() == 100
+
+
+def test_skipping_scan_addresses_only_surviving_files(spark, tmp_path):
+    """Data skipping is a PLAN property, not just a result property:
+    the pruned read's scan must address exactly the files the sidecar
+    bounds keep — Spark never lists, opens, or schedules the rest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "skipplan")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    V.write_versioned(o.repartition(8), t)
+    V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=8)
+    w = [("o_orderkey", "between", (100, 260))]
+    s = V.skipping_summary(t, w)
+    assert 0 < s["kept_files"] < s["total_files"]
+    df = V.read_versioned(spark, t, where=w)
+    scanned = {os.path.relpath(p[7:] if p.startswith("file://") else p,
+                               os.path.abspath(t))
+               for p in df.inputFiles()}
+    assert scanned == set(s["kept"])
+    # and the residual filter still applies row-exactly
+    assert df.count() == o.filter(
+        F.col("o_orderkey").between(100, 260)).count()
+
+
+def test_mor_read_anti_join_is_broadcast(spark, tmp_path):
+    """The deletion-vector apply must be a BroadcastHashJoin(LeftAnti)
+    — the DV side is only the deleted rows — never a shuffle of the
+    table or a nested loop."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "morplan")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    V.write_versioned(o, t)
+    V.delete_versioned(spark, t, "o_orderkey < 40",
+                       strategy="merge-on-read")
+    df = V.read_versioned(spark, t)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

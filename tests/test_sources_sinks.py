@@ -1300,11 +1300,15 @@ def test_lazyframe_open_versioned_time_travel(spark, tmp_path):
 
 
 def test_versioned_randomized_ops_vs_model(spark, tmp_path):
-    """Model-based check: a seeded 30-op sequence of
-    append/delete/restore/compact against a pure-Python model of the
+    """Model-based check: a seeded 40-op sequence of append / delete
+    (both strategies) / merge upsert / merge delete-by-key / purge /
+    restore / compact / cluster against a pure-Python model of the
     table's row-set per version; every committed version re-reads to
-    exactly its model state at the end (time travel never decays), and
-    manifest row counts match the model throughout."""
+    exactly its model state at the end (time travel never decays).
+    Rows are ``(k, k % 7)`` so the row set is a pure function of the
+    key set — merges replace rows with identical content, keeping the
+    model a set of keys. Manifest row counts match the model except
+    where deletion vectors mask rows (physical-rows contract)."""
     import random
 
     from lazy_frame_spark.sources import versioned as V
@@ -1328,8 +1332,9 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
     model[1] = set(range(20))
     next_k = 20
 
-    for _ in range(30):
-        op = rng.choice(["append", "append", "delete", "restore",
+    for _ in range(40):
+        op = rng.choice(["append", "append", "delete", "mor_delete",
+                         "merge", "merge_delete", "purge", "restore",
                          "compact", "cluster"])
         cur = V.latest_version(t)
         if op == "append":
@@ -1337,12 +1342,46 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
             V.append_versioned(mk(next_k, next_k + n), t)
             model[cur + 1] = model[cur] | set(range(next_k, next_k + n))
             next_k += n
-        elif op == "delete":
+        elif op in ("delete", "mor_delete"):
             m = rng.choice([2, 3, 5])
             r = rng.randint(0, m - 1)
-            v, _stats = V.delete_versioned(spark, t, f"k % {m} = {r}")
+            strat = ("merge-on-read" if op == "mor_delete" else "rewrite")
+            v, stats = V.delete_versioned(spark, t, f"k % {m} = {r}",
+                                          strategy=strat)
             assert v == cur + 1
             model[v] = {k for k in model[cur] if k % m != r}
+        elif op == "merge":
+            # upsert: some existing keys re-written identically, some
+            # fresh keys inserted — model = old ∪ source keys
+            existing = set(rng.sample(sorted(model[cur]),
+                                      min(5, len(model[cur]))))
+            fresh = set(range(next_k, next_k + rng.randint(0, 6)))
+            next_k += len(fresh)
+            src_keys = sorted(existing | fresh)
+            if not src_keys:
+                continue
+            src = spark.createDataFrame(
+                [(k, float(k % 7)) for k in src_keys],
+                "k long, v double")
+            v, _stats = V.merge_versioned(spark, t, src, "k")
+            assert v == cur + 1
+            model[v] = model[cur] | set(src_keys)
+        elif op == "merge_delete":
+            if not model[cur]:
+                continue
+            doomed = set(rng.sample(sorted(model[cur]),
+                                    min(4, len(model[cur]))))
+            src = spark.createDataFrame([(k,) for k in sorted(doomed)],
+                                        "k long")
+            v, _stats = V.merge_versioned(spark, t, src, "k",
+                                          when_matched="delete")
+            assert v == cur + 1
+            model[v] = model[cur] - doomed
+        elif op == "purge":
+            v, stats = V.purge_dvs(spark, t)
+            if v == cur:
+                continue  # nothing outstanding: no commit
+            model[v] = set(model[cur])
         elif op == "restore":
             target = rng.randint(1, cur)
             V.restore_versioned(t, target)
@@ -1377,7 +1416,13 @@ def test_versioned_randomized_ops_vs_model(spark, tmp_path):
     for version, want in model.items():
         got = {r["k"] for r in V.read_versioned(spark, t, version).collect()}
         assert got == want, f"version {version}"
-        assert hist[version]["rows"] == len(want), f"rows v{version}"
+        # manifest rows are PHYSICAL footer counts: exact without DVs,
+        # an over-count (never under) while deletion vectors mask rows
+        man = V._read_manifest(t, version)
+        if man.get("dv_files"):
+            assert hist[version]["rows"] >= len(want), f"rows v{version}"
+        else:
+            assert hist[version]["rows"] == len(want), f"rows v{version}"
 
     # diff_versions agrees with the MODEL's set difference for every
     # adjacent-and-random version pair (rows here are unique per key,

@@ -95,6 +95,17 @@ SHOWCASE = [
      "order keeps the hot 'Customer#' grams out), length-band "
      "equi-join for the short bucket, banded levenshtein verify; no "
      "cartesian product anywhere."),
+    ("view_versioned_skipping",
+     "Manifest-stats data skipping — the scan's file index holds ONLY "
+     "the files whose commit-time column bounds overlap the predicate "
+     "(pruned driver-side, before any footer I/O); the same predicate "
+     "re-applies as the residual Filter; tests pin inputFiles() == the "
+     "skipping_summary survivor set."),
+    ("view_incremental_join",
+     "Incremental join view — each update term is an equi-join of a "
+     "delta against a bounds-pruned snapshot read (the body's files "
+     "skipped via the delta's key range); no full-table rejoin "
+     "anywhere in the maintenance path."),
 ]
 
 
