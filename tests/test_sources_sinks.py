@@ -1225,6 +1225,40 @@ def test_versioned_stream_writer_exactly_once(spark, tmp_path):
                                        ("default", 2)]
 
 
+def test_versioned_stream_merger_upserts_exactly_once(spark, tmp_path):
+    """versioned_stream_merger: the streaming UPSERT sink — each
+    micro-batch merges by key (replace-or-insert), replays are skipped
+    by the high-water mark AND idempotent by key regardless, and the
+    batch id rides the merge commit itself (atomic with the data)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vtmerge")
+    w = V.versioned_stream_merger(t, "k")
+    w(_vt_rows(spark, 0, 10), 0)                  # bootstrap snapshot
+    w(_vt_rows(spark, 5, 14, flag="b"), 1)        # upsert 5..13 -> 'b'
+    got = {r["k"]: r["flag"]
+           for r in V.read_versioned(spark, t).collect()}
+    assert len(got) == 14
+    assert all(got[k] == "a" for k in range(0, 5))
+    assert all(got[k] == "b" for k in range(5, 14))
+    # replay after simulated restart: skipped, state unchanged
+    v_before = V.latest_version(t)
+    w2 = V.versioned_stream_merger(t, "k")
+    w2(_vt_rows(spark, 5, 14, flag="b"), 1)
+    w2(_vt_rows(spark, 0, 10), 0)
+    assert V.latest_version(t) == v_before
+    assert V.last_stream_batch(t) == 1
+    # next batch advances; the merge commit carries the stream id
+    w2(_vt_rows(spark, 12, 16, flag="c"), 2)
+    got = {r["k"]: r["flag"]
+           for r in V.read_versioned(spark, t).collect()}
+    assert len(got) == 16
+    assert all(got[k] == "c" for k in range(12, 16))
+    hist = V.history(t)
+    assert hist[-1]["action"] == "merge"
+    assert hist[-1]["stream_batch_id"] == 2
+
+
 def test_versioned_appended_since(spark, tmp_path):
     """appended_since: the incremental-consume primitive — a pure
     manifest file-diff returning exactly the rows committed after the
