@@ -568,26 +568,12 @@ def _jv_key_bounds_where(delta: DataFrame, keys) -> list | None:
     """Per-key [min, max] of the delta batch as a skipping conjunction
     for the OLD side's scan — sound for an INNER equi-join: a snapshot
     row outside the delta's key bounds on ANY key cannot produce a
-    join match. One tiny aggregate over the delta buys file-level
-    pruning of the snapshot (same trick as merge_versioned's
-    discovery pre-cut). Returns None when unusable (empty delta /
-    NULL-only keys / un-conjunctable types)."""
-    bounds = delta.agg(*[
-        agg for c in keys
-        for agg in (F.min(c).alias(f"__lo_{c}__"),
-                    F.max(c).alias(f"__hi_{c}__"))
-    ]).collect()[0]
-    where = []
-    for c in keys:
-        lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
-        if lo is None or hi is None:
-            return None
-        if hasattr(lo, "isoformat"):
-            lo, hi = lo.isoformat(), hi.isoformat()
-        if isinstance(lo, bool) or not isinstance(lo, (int, float, str)):
-            return None
-        where.append((c, "between", (lo, hi)))
-    return where or None
+    join match. Delegates to the ONE shared derivation
+    (``filestats.key_bounds_where`` — also merge_versioned's discovery
+    pre-cut) so the type guards can never drift between callers."""
+    from lazy_frame_spark.sources import filestats
+
+    return filestats.key_bounds_where(delta, keys)
 
 
 def join_view_init(

@@ -293,6 +293,10 @@ def _excludes(rec: dict, rows: int, op: str, val) -> bool:
         return False
     lo, hi = _decode(rec["lo"]), _decode(rec["hi"])
     kind = rec["lo"]["t"]
+    # EVERY comparison below stays inside the except: coercion can
+    # succeed yet the comparison itself still raise (e.g. an aware
+    # datetime literal against the naive datetimes parquet stats
+    # decode to) — unknown must KEEP the file, never crash the read
     try:
         if op == "in":
             vs = [_coerce_literal(kind, x) for x in val if x is not None]
@@ -302,21 +306,22 @@ def _excludes(rec: dict, rows: int, op: str, val) -> bool:
             b = _coerce_literal(kind, val[1])
             return b < lo or a > hi
         v = _coerce_literal(kind, val)
+        if op in ("=", "=="):
+            return v < lo or v > hi
+        if op == "!=":
+            # only a constant file is excludable, and only if nothing
+            # is NULL
+            return lo == hi == v and nulls == 0
+        if op == "<":
+            return lo >= v
+        if op == "<=":
+            return lo > v
+        if op == ">":
+            return hi <= v
+        if op == ">=":
+            return hi < v
     except TypeError:
         return False
-    if op in ("=", "=="):
-        return v < lo or v > hi
-    if op == "!=":
-        # only a constant file is excludable, and only if nothing is NULL
-        return lo == hi == v and nulls == 0
-    if op == "<":
-        return lo >= v
-    if op == "<=":
-        return lo > v
-    if op == ">":
-        return hi <= v
-    if op == ">=":
-        return hi < v
     return False
 
 
@@ -359,6 +364,34 @@ def prune_files(
         if not drop:
             kept.append(rel)
     return kept
+
+
+def key_bounds_where(df, keys) -> list | None:
+    """Per-key [min, max] of a batch as a ``prune_files`` conjunction —
+    the shared skipping pre-cut for keyed maintenance: a file whose
+    bounds don't intersect the batch's bounds on ANY key provably
+    contains no equi-join/merge match. One tiny aggregate over the
+    batch. Returns None when unusable (empty batch, NULL-only key, or
+    a type the conjunct language can't carry) — callers then scan
+    unpruned, which is merely slower, never wrong. Used by
+    ``versioned.merge_versioned`` (touched-file discovery) and
+    ``incremental.join_view_update`` (snapshot terms)."""
+    bounds = df.agg(*[
+        agg for c in keys
+        for agg in (F.min(c).alias(f"__lo_{c}__"),
+                    F.max(c).alias(f"__hi_{c}__"))
+    ]).collect()[0]
+    where = []
+    for c in keys:
+        lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
+        if lo is None or hi is None:
+            return None
+        if hasattr(lo, "isoformat"):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        if isinstance(lo, bool) or not isinstance(lo, (int, float, str)):
+            return None
+        where.append((c, "between", (lo, hi)))
+    return where or None
 
 
 def spark_filter(where) -> Column:

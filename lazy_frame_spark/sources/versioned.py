@@ -569,12 +569,24 @@ def versioned_stream_merger(path: str, on: str | list[str],
         if hw is not None and batch_id <= hw:
             return
         if latest_version(path) is None:
-            # first batch bootstraps the table (merge needs a parent)
-            os.makedirs(path, exist_ok=True)
-            files = _write_data_dir(batch_df, path, 1)
-            _commit(path, "overwrite", files, batch_df.schema.json(),
-                    None, {"stream_batch_id": int(batch_id),
-                           "stream_id": stream_id})
+            # first batch bootstraps the table (merge needs a parent) —
+            # but it must honor the same keyed-upsert contract: a
+            # duplicate key in the bootstrap batch would persist two
+            # rows under a sink documented as replace-or-insert
+            dup = (
+                batch_df.dropna(subset=keys)
+                .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                .filter(F.col("__n__") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"versioned_stream_merger: batch {batch_id} has "
+                    f"duplicate keys on {keys} — aggregate to "
+                    "latest-per-key before the sink"
+                )
+            append_versioned(batch_df, path,
+                             extra={"stream_batch_id": int(batch_id),
+                                    "stream_id": stream_id})
             return
         # the batch id rides the merge commit itself (extra=),
         # keeping the exactly-once mark atomic with the data
@@ -1170,8 +1182,12 @@ def merge_versioned(
             raise ValueError(f"merge key {c!r} not in table schema")
     if when_matched == "update":
         _check_append_schema(source, prev["schema"])
+        # NULL keys never match (SQL semantics), so two NULL-key source
+        # rows are unambiguous INSERTS, not a duplicate — the
+        # uniqueness requirement applies to matchable keys only
         dup = (
-            source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+            source.dropna(subset=keys)
+            .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
             .filter(F.col("__n__") > 1).limit(1).collect()
         )
         if dup:
@@ -1185,6 +1201,7 @@ def merge_versioned(
     files = list(prev["files"])
     stats = {"files_rewritten": 0, "files_carried": len(files)}
     touched: set[str] = set()
+    matched_keys = None  # (file, keys) of matched target rows, persisted
     if files:
         # data-skipping pre-cut for the discovery scan: a file whose
         # commit-time key bounds don't intersect the SOURCE's key
@@ -1194,19 +1211,7 @@ def merge_versioned(
         # is clustered or naturally ordered by them) the cold body
         # never even enters the key-column scan. Conservative like all
         # skipping: missing sidecars keep the file.
-        bounds = source.agg(*[
-            agg for c in keys
-            for agg in (F.min(c).alias(f"__lo_{c}__"),
-                        F.max(c).alias(f"__hi_{c}__"))
-        ]).collect()[0]
-        where_hint = []
-        for c in keys:
-            lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
-            if lo is not None and hi is not None:
-                if hasattr(lo, "isoformat"):
-                    lo, hi = lo.isoformat(), hi.isoformat()
-                if isinstance(lo, (int, str)) or isinstance(lo, float):
-                    where_hint.append((c, "between", (lo, hi)))
+        where_hint = filestats.key_bounds_where(source, keys)
         scan_files = (
             filestats.prune_files(path, files, where_hint)
             if where_hint else files
@@ -1214,15 +1219,20 @@ def merge_versioned(
         stats["files_scan_skipped"] = len(files) - len(scan_files)
         if scan_files:
             # DV-applied key scan: a tombstoned row must not mark its
-            # file touched (nor count as a match)
-            touched = {
-                r[0]
-                for r in _read_snapshot(
-                    spark, path, prev, files=scan_files,
-                    _with_position=True)
+            # file touched (nor count as a match). Persisted so the
+            # insert_unmatched=False path reuses it instead of paying
+            # a third scan of the touched files.
+            matched_keys = (
+                _read_snapshot(spark, path, prev, files=scan_files,
+                               _with_position=True)
                 .select(F.col("__file__"), *keys)
                 .join(src_keys, on=keys, how="leftsemi")
-                .select("__file__").distinct().collect()
+                .persist()
+            )
+            touched = {
+                r[0]
+                for r in matched_keys.select("__file__")
+                .distinct().collect()
             }
     carried = [f for f in files if f not in touched]
 
@@ -1237,11 +1247,10 @@ def merge_versioned(
         if insert_unmatched:
             to_insert = source
         elif touched:
-            # only matched source rows replace; matched targets live in
-            # the touched files BY DEFINITION, so their keys suffice
+            # only matched source rows replace — their keys are
+            # exactly the persisted discovery result's keys
             to_insert = source.join(
-                _read_snapshot(spark, path, prev, files=sorted(touched))
-                .select(*keys).distinct(),
+                matched_keys.select(*keys).distinct(),
                 on=keys, how="leftsemi",
             )
         else:
@@ -1253,14 +1262,18 @@ def merge_versioned(
     commit_extra = {"merge_on": keys, "merge_mode": when_matched}
     if extra:
         commit_extra.update(extra)
-    if not parts:
-        v = _commit(path, "merge", files, prev["schema"], parent,
-                    commit_extra)
-        return v, stats
-    new_data = parts[0]
-    for p in parts[1:]:
-        new_data = new_data.unionByName(p)
-    new_files = _write_data_dir(new_data, path, version)
+    try:
+        if not parts:
+            v = _commit(path, "merge", files, prev["schema"], parent,
+                        commit_extra)
+            return v, stats
+        new_data = parts[0]
+        for p in parts[1:]:
+            new_data = new_data.unionByName(p)
+        new_files = _write_data_dir(new_data, path, version)
+    finally:
+        if matched_keys is not None:
+            matched_keys.unpersist()
     v = _commit(path, "merge", carried + new_files, prev["schema"],
                 parent, commit_extra)
     stats.update({
@@ -1343,15 +1356,19 @@ def build_blooms(
                 and all(c in doc.get("cols", {}) for c in cols)):
             skipped += 1
             continue
-        # build the missing columns; carry existing same-geometry
-        # columns over so adding a key never discards another's work
+        # build ONLY the missing columns; carry every existing
+        # same-geometry column over — including requested ones already
+        # built (carrying by `not in want`, NOT `not in cols`: the
+        # latter dropped an already-built requested column from the
+        # rewritten sidecar, losing its filter and un-converging the
+        # idempotence loop)
         want = list(cols)
         carry = {}
         if (doc is not None and doc.get("n_bits") == n_bits
                 and doc.get("k") == k):
-            carry = {c: v for c, v in doc["cols"].items()
-                     if c not in cols}
             want = [c for c in cols if c not in doc["cols"]]
+            carry = {c: v for c, v in doc["cols"].items()
+                     if c not in want}
         filestats.write_dir_blooms(
             spark, dir_abs, want, n_bits=n_bits, k=k, extra_cols=carry)
         built += 1
@@ -1468,14 +1485,26 @@ def diff_versions(
             f"change column {change_col!r} collides with a table column"
         )
     fa, fb = set(ma["files"]), set(mb["files"])
-    dva, dvb = ma.get("dv_files") or [], mb.get("dv_files") or []
+    dva, dvb = set(ma.get("dv_files") or []), set(mb.get("dv_files") or [])
     if dva == dvb:
         shared_cancel = fa & fb
     else:
-        # shared files keep cancelling only if their tombstones can't
-        # differ: with differing DV lists, conservatively re-read every
-        # shared file on both sides (each under its own version's DVs)
-        shared_cancel = set()
+        # a shared file's contribution differs between the versions
+        # ONLY if a DV file present in exactly one of them references
+        # it (DV files are immutable and carried by reference, so the
+        # common DV files tombstone identically on both sides). Read
+        # the DELTA DV files — small by construction, they hold the
+        # deletes between the versions — to find exactly which shared
+        # files lose cancellation; everything else stays O(files that
+        # differ), not O(corpus).
+        delta = sorted(dva ^ dvb)
+        affected = {
+            r[0]
+            for r in spark.read.parquet(
+                *[os.path.join(path, rel) for rel in delta]
+            ).select("__file__").distinct().collect()
+        }
+        shared_cancel = (fa & fb) - affected
     a_side = fa - shared_cancel
     b_side = fb - shared_cancel
 

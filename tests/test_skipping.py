@@ -120,6 +120,23 @@ class TestSkippingRead:
             F.col("o_orderkey").between(500, 900))
         assert _same(pruned, full)
 
+    def test_incomparable_literal_keeps_not_crashes(self, spark, table):
+        """Coercion can succeed yet the comparison still raise — an
+        AWARE datetime literal against the naive datetimes parquet
+        stats decode to. Unknown must keep the file, never abort the
+        read (review finding: scalar ops compared outside the
+        try/except)."""
+        aware = datetime.datetime(1996, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
+        for w in ([("o_orderdate", ">", aware)],
+                  [("o_orderdate", "between", (aware, aware))],
+                  [("o_orderdate", "in", [aware])]):
+            s = V.skipping_summary(table, w)
+            assert s["pruned_files"] == 0, w  # conservative, no crash
+        assert V.read_versioned(
+            spark, table,
+            where=[("o_orderdate", ">", aware)]).count() >= 0
+
     def test_unknown_column_and_bad_literal_keep(self, table):
         total = V.skipping_summary(
             table, [("no_such_col", ">", 1)])["kept_files"]
@@ -437,12 +454,18 @@ class TestBloomSkipping:
         V.append_versioned(o.limit(100), t)
         r3 = V.build_blooms(spark, t, ["o_orderkey"])
         assert r3 == {"dirs_built": 1, "dirs_skipped": 1}
-        # adding a column keeps the existing one
+        # adding a column keeps the existing one: the sidecar ends up
+        # with BOTH filters (an absent-key lookup on the ORIGINAL
+        # column still prunes to zero), and a further call converges
+        # to all-skipped instead of oscillating forever
         r4 = V.build_blooms(spark, t, ["o_orderkey", "o_orderstatus"])
         assert r4["dirs_built"] == 2
-        key = o.limit(1).first()[0]
+        r5 = V.build_blooms(spark, t, ["o_orderkey", "o_orderstatus"])
+        assert r5 == {"dirs_built": 0, "dirs_skipped": 2}
         assert V.skipping_summary(
-            t, [("o_orderkey", "=", key)])["kept_files"] >= 1
+            t, [("o_orderkey", "=", 99_999_999)])["kept_files"] == 0
+        assert V.skipping_summary(
+            t, [("o_orderstatus", "=", "NO-SUCH")])["kept_files"] == 0
 
     def test_unsupported_bloom_type_raises(self, spark, tmp_path):
         t = str(tmp_path / "bloom3")
@@ -582,6 +605,16 @@ class TestMergeVersioned:
         dup = o.limit(10).unionByName(o.limit(3))
         with pytest.raises(ValueError, match="duplicate keys"):
             V.merge_versioned(spark, t, dup, "o_orderkey")
+        # ...but multiple NULL-key rows are NOT duplicates: NULL never
+        # matches, so both are unambiguous inserts (review finding:
+        # groupBy treats NULLs as equal and falsely refused the batch)
+        nulls = (o.limit(2)
+                 .withColumn("o_orderkey",
+                             F.lit(None).cast("long")))
+        v, _ = V.merge_versioned(spark, t, nulls, "o_orderkey")
+        got = V.read_versioned(spark, t)
+        assert got.filter(F.col("o_orderkey").isNull()).count() == 2
+        assert got.count() == 102
 
     def test_schema_mismatch_refused_and_null_keys_kept(
             self, spark, tmp_path):
@@ -775,3 +808,29 @@ class TestDeletionVectors:
         dv_dirs = [d for d in _os.listdir(_os.path.join(t, "data"))
                    if "-dv-" in d]
         assert dv_dirs == []
+
+
+class TestDiffDvPruning:
+    def test_diff_across_mor_delete_stays_file_pruned(
+            self, spark, tmp_path):
+        """A small MoR delete between two versions must NOT collapse
+        diff_versions to a double corpus scan: only the shared files
+        the delta DV references are re-read (review finding: any DV
+        difference used to disable all shared-file cancellation)."""
+        t = str(tmp_path / "dvdiff")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(
+            o.repartitionByRange(8, "o_orderkey"), t)          # v1
+        # delete a band confined to one file
+        V.delete_versioned(spark, t, "o_orderkey BETWEEN 0 AND 60",
+                           strategy="merge-on-read")           # v2
+        d = V.diff_versions(spark, t, 1, 2)
+        data_files = {p for p in d.inputFiles() if "-dv-" not in p}
+        total = len(V._read_manifest(t, 1)["files"])
+        assert total == 8
+        assert len(data_files) < total  # body files cancelled
+        # and the diff itself is exactly the deleted band
+        n = o.filter(F.col("o_orderkey").between(0, 60)).count()
+        assert d.count() == n
+        assert {r["change_type"] for r in
+                d.select("change_type").distinct().collect()} == {"delete"}
