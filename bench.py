@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "view_versioned_evolve",     # additive schema evolution + CoW delete
     "view_versioned_merge",      # key-based MERGE upsert + delete-by-key
     "view_incremental_join",     # delta-maintained JOIN view, 2 update rounds
+    "view_versioned_delete_mor", # merge-on-read deletes + purge materialize
 ]
 
 
@@ -184,6 +185,7 @@ BUDGETS_SF01 = {
     "view_versioned_merge": 5.5,
     # builds two versioned sides + init join + two incremental updates
     "view_incremental_join": 10.5,
+    "view_versioned_delete_mor": 5.0,
 }
 
 
