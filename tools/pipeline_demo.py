@@ -302,6 +302,61 @@ def main() -> int:
         spark, corpus_tbl, 1).count()
     counts["versioned_commits"] = len(history(corpus_tbl))
 
+    # 15. table-format maintenance (round 11 continuation): the served
+    #     corpus evolves a `lang` column IN PLACE (no body rewrite), a
+    #     re-crawl batch UPSERTS by doc_id (one copy-on-write merge
+    #     commit; discovery scan bounds-pre-cut by the batch's keys), a
+    #     GDPR request erases docs as a merge-on-read DELETION VECTOR
+    #     (O(matched rows), zero rewrites) which purge later
+    #     materializes, and a bloom-backed point lookup then finds one
+    #     document while scanning only the files that can hold it.
+    from lazy_frame_spark.sources.versioned import (
+        build_blooms,
+        delete_versioned,
+        merge_versioned,
+        purge_dvs,
+        skipping_summary,
+    )
+
+    epoch3 = (novel.select("doc_id", "text").orderBy("doc_id").limit(10)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+              .withColumn("lang", F.lit("en")))
+    append_versioned(epoch3, corpus_tbl, merge_schema=True)       # v4
+    n_v4 = read_versioned(spark, corpus_tbl).count()
+    counts["versioned_evolved_cols"] = len(
+        read_versioned(spark, corpus_tbl).columns)
+
+    snap = read_versioned(spark, corpus_tbl)
+    # materialized source batch (pre-evolution rows carry lang=NULL, so
+    # the explicit schema is required — all-None can't re-infer)
+    recrawl = spark.createDataFrame(
+        snap.orderBy("doc_id").limit(5).collect(), snap.schema
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" [recrawl]")))
+    _, mstats = merge_versioned(spark, corpus_tbl, recrawl, "doc_id")  # v5
+    counts["upsert_files_rewritten"] = mstats["files_rewritten"]
+    assert read_versioned(spark, corpus_tbl).count() == n_v4  # pure update
+
+    gdpr_ids = [r["doc_id"] for r in
+                read_versioned(spark, corpus_tbl)
+                .orderBy("doc_id").limit(2).collect()]
+    _, dstats = delete_versioned(                                 # v6
+        spark, corpus_tbl,
+        f"doc_id IN ({','.join(str(i) for i in gdpr_ids)})",
+        strategy="merge-on-read",
+    )
+    assert dstats["files_rewritten"] == 0  # tombstones only
+    counts["gdpr_tombstoned_rows"] = dstats["rows_deleted"]
+    purge_dvs(spark, corpus_tbl)                                  # v7
+    counts["after_gdpr"] = read_versioned(spark, corpus_tbl).count()
+    assert counts["after_gdpr"] == n_v4 - len(gdpr_ids)
+
+    build_blooms(spark, corpus_tbl, ["doc_id"])
+    lookup_id = int(epoch3.select(F.max("doc_id")).collect()[0][0])
+    s = skipping_summary(corpus_tbl, [("doc_id", "=", lookup_id)])
+    counts["point_lookup_files"] = s["kept_files"]
+    counts["point_lookup_rows"] = read_versioned(
+        spark, corpus_tbl, where=[("doc_id", "=", lookup_id)]).count()
+
     deduped.unpersist()
     split.unpersist()
 
