@@ -4906,6 +4906,80 @@ def view_versioned_merge(spark, sf_dir):
 
 
 @query(
+    "view_versioned_cdc_apply",
+    # the chain: v1 = orders ≤ 3000; v2 = ONE CDC commit carrying
+    # updates (band [100, 600] price doubled), inserts ((3000, 3600]),
+    # and deletes ([700, 800]) together. Declaratively: survivors ∪
+    # replacements ∪ inserts minus deletes. (Registered past the
+    # driver window like the MoR row — the full sweep value-checks it.)
+    oracle="""
+    WITH applied AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 3000
+        AND o_orderkey NOT BETWEEN 100 AND 600
+        AND o_orderkey NOT BETWEEN 700 AND 800
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 100 AND 600
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey > 3000 AND o_orderkey <= 3600
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM applied
+    """,
+)
+def view_versioned_cdc_apply(spark, sf_dir):
+    """One-commit CDC apply (``sources/versioned.apply_cdc``): a batch
+    tagged insert/update/delete reconciles in a SINGLE atomic commit —
+    two merge passes would publish an intermediate state (deletes
+    landed, upserts not) that never existed upstream. Same scale shape
+    as MERGE: bounds-pre-cut key-column discovery scan, touched files
+    rewrite once absorbing all three ops, the body carries by
+    reference. ``versioned_stream_cdc`` wraps it per micro-batch under
+    the exactly-once batch-id protocol."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vcdc_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 3000)
+        .repartitionByRange(8, "o_orderkey"), t)                 # v1
+    batch = (
+        o.filter(F.col("o_orderkey").between(100, 600))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("update"))
+        .unionByName(
+            o.filter((F.col("o_orderkey") > 3000)
+                     & (F.col("o_orderkey") <= 3600))
+            .withColumn("op", F.lit("insert")))
+        .unionByName(
+            o.filter(F.col("o_orderkey").between(700, 800))
+            .withColumn("op", F.lit("delete")))
+    )
+    v, _stats = V.apply_cdc(spark, t, batch, "o_orderkey")       # v2
+    if v != 2:
+        raise AssertionError("CDC apply must be exactly one commit")
+    return (
+        V.read_versioned(spark, t)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
     "view_versioned_delete_mor",
     # the chain: v1 = full orders slice; v2 = merge-on-read DELETE of a
     # key band (tombstones only, zero rewrites); v3 = a second MoR

@@ -78,6 +78,8 @@ __all__ = [
     "write_versioned",
     "append_versioned",
     "merge_versioned",
+    "apply_cdc",
+    "versioned_stream_cdc",
     "delete_versioned",
     "purge_dvs",
     "version_as_of",
@@ -1282,6 +1284,133 @@ def merge_versioned(
         "files_written": len(new_files),
     })
     return v, stats
+
+
+def apply_cdc(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    on: str | list[str],
+    op_col: str = "op",
+    extra: dict | None = None,
+) -> tuple[int, dict]:
+    """Apply a CDC batch — rows tagged ``insert`` / ``update`` /
+    ``delete`` (or ``I``/``U``/``D``) in ``op_col`` — as ONE atomic
+    copy-on-write commit. ``merge_versioned`` twice (delete pass, then
+    upsert pass) leaves a committed intermediate state where the
+    deletes landed but the upserts didn't — a reader between the two
+    commits sees a table that never existed upstream; this single
+    commit is the all-or-nothing CDC consumer.
+
+    Semantics: delete rows remove their key (key-only columns needed);
+    insert/update rows REPLACE their key's row or insert it (identical
+    whole-row semantics — the tag split exists for delete, and ops are
+    validated so a typo'd tag fails loudly instead of silently
+    upserting a delete). A key may appear ONCE in the batch (checked):
+    \"apply the latest state per key\" is the upstream compactor's job.
+    Same scale shape as merge: bounds-pre-cut discovery key scan,
+    touched-file rewrite, everything else carried by reference."""
+    keys = [on] if isinstance(on, str) else list(on)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    schema = _committed_schema(prev)
+
+    op_norm = F.lower(F.col(op_col).cast("string"))
+    tagged = batch.withColumn(
+        "__op__",
+        F.when(op_norm.isin("insert", "i", "update", "u"), "upsert")
+        .when(op_norm.isin("delete", "d"), "delete"),
+    )
+    bad = tagged.filter(F.col("__op__").isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"apply_cdc: unknown op {bad[0][op_col]!r} in {op_col!r} — "
+            "expected insert/update/delete (or I/U/D)"
+        )
+    dup = (
+        tagged.dropna(subset=keys)
+        .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"apply_cdc: key {tuple(dup[0][k] for k in keys)} appears "
+            "more than once in the batch — compact to latest-per-key "
+            "upstream (the batch's internal order is not a contract "
+            "this engine can see)"
+        )
+    upserts = (tagged.filter(F.col("__op__") == "upsert")
+               .drop("__op__", op_col))
+    _check_append_schema(upserts, prev["schema"])
+
+    src_keys = tagged.select(*keys).distinct()
+    files = list(prev["files"])
+    stats = {"files_rewritten": 0, "files_carried": len(files)}
+    touched: set[str] = set()
+    if files:
+        where_hint = filestats.key_bounds_where(tagged, keys)
+        scan_files = (
+            filestats.prune_files(path, files, where_hint)
+            if where_hint else files
+        )
+        stats["files_scan_skipped"] = len(files) - len(scan_files)
+        if scan_files:
+            touched = {
+                r[0]
+                for r in _read_snapshot(spark, path, prev,
+                                        files=scan_files,
+                                        _with_position=True)
+                .select(F.col("__file__"), *keys)
+                .join(src_keys, on=keys, how="leftsemi")
+                .select("__file__").distinct().collect()
+            }
+    carried = [f for f in files if f not in touched]
+    parts = []
+    if touched:
+        parts.append(
+            _read_snapshot(spark, path, prev, files=sorted(touched))
+            .join(src_keys, on=keys, how="left_anti")
+        )
+    parts.append(upserts.select(*[f.name for f in schema.fields]))
+    new_data = parts[0]
+    for p in parts[1:]:
+        new_data = new_data.unionByName(p)
+    version = parent + 1
+    new_files = _write_data_dir(new_data, path, version)
+    commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
+    if extra:
+        commit_extra.update(extra)
+    v = _commit(path, "merge", carried + new_files, prev["schema"],
+                parent, commit_extra)
+    stats.update({"files_rewritten": len(touched),
+                  "files_carried": len(carried),
+                  "files_written": len(new_files)})
+    return v, stats
+
+
+def versioned_stream_cdc(path: str, on: str | list[str],
+                         op_col: str = "op",
+                         stream_id: str = "default"):
+    """foreachBatch sink applying each micro-batch as ONE atomic CDC
+    commit (``apply_cdc``) — the streaming change-data consumer.
+    Exactly-once via the (stream_id, batch_id) high-water protocol;
+    the id rides the CDC commit itself. The table must exist (CDC is
+    change capture — bootstrap the initial snapshot with
+    ``write_versioned`` or the append writer first)."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        hw = last_stream_batch(path, stream_id)
+        if hw is not None and batch_id <= hw:
+            return
+        apply_cdc(batch_df.sparkSession, path, batch_df, keys,
+                  op_col=op_col,
+                  extra={"stream_batch_id": int(batch_id),
+                         "stream_id": stream_id})
+
+    return _write
 
 
 def purge_dvs(spark: SparkSession, path: str) -> tuple[int, dict]:

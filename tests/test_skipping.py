@@ -834,3 +834,72 @@ class TestDiffDvPruning:
         assert d.count() == n
         assert {r["change_type"] for r in
                 d.select("change_type").distinct().collect()} == {"delete"}
+
+
+class TestApplyCdc:
+    def test_single_commit_applies_all_three_ops(self, spark, tmp_path):
+        t = str(tmp_path / "cdc")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        base = o.filter(F.col("o_orderkey") <= 1000)
+        V.write_versioned(base.repartitionByRange(4, "o_orderkey"), t)
+        v0 = V.latest_version(t)
+        batch = (
+            o.filter(F.col("o_orderkey").between(100, 150))
+            .withColumn("o_totalprice", F.lit(1.0))
+            .withColumn("op", F.lit("update"))
+            .unionByName(
+                o.filter(F.col("o_orderkey").between(1200, 1250))
+                .withColumn("o_totalprice", F.lit(2.0))
+                .withColumn("op", F.lit("I")))
+            .unionByName(
+                o.filter(F.col("o_orderkey").between(200, 220))
+                .withColumn("o_totalprice", F.lit(0.0))
+                .withColumn("op", F.lit("D")))
+        )
+        v, st = V.apply_cdc(spark, t, batch, "o_orderkey")
+        assert v == v0 + 1  # ONE commit for all three ops
+        got = V.read_versioned(spark, t)
+        exp = (base.filter(~F.col("o_orderkey").between(100, 150)
+                           & ~F.col("o_orderkey").between(200, 220))
+               .unionByName(o.filter(F.col("o_orderkey")
+                                     .between(100, 150))
+                            .withColumn("o_totalprice", F.lit(1.0)))
+               .unionByName(o.filter(F.col("o_orderkey")
+                                     .between(1200, 1250))
+                            .withColumn("o_totalprice", F.lit(2.0))))
+        assert _same(got, exp)
+        assert st["files_rewritten"] >= 1
+        assert st["files_carried"] >= 1
+
+    def test_bad_op_and_conflicting_key_refused(self, spark, tmp_path):
+        t = str(tmp_path / "cdc2")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(100), t)
+        bad = o.limit(3).withColumn("op", F.lit("upsert"))  # not a tag
+        with pytest.raises(ValueError, match="unknown op"):
+            V.apply_cdc(spark, t, bad, "o_orderkey")
+        twice = (o.limit(1).withColumn("op", F.lit("update"))
+                 .unionByName(o.limit(1).withColumn("op", F.lit("D"))))
+        with pytest.raises(ValueError, match="more than once"):
+            V.apply_cdc(spark, t, twice, "o_orderkey")
+
+    def test_streaming_cdc_exactly_once(self, spark, tmp_path):
+        t = str(tmp_path / "cdc3")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.filter(F.col("o_orderkey") <= 500), t)
+        w = V.versioned_stream_cdc(t, "o_orderkey")
+        b1 = (o.filter(F.col("o_orderkey").between(100, 120))
+              .withColumn("op", F.lit("delete")))
+        w(b1, 0)
+        n1 = V.read_versioned(spark, t).count()
+        w(b1, 0)  # replay skipped
+        assert V.read_versioned(spark, t).count() == n1
+        assert V.last_stream_batch(t) == 0
+        b2 = (o.filter(F.col("o_orderkey").between(600, 650))
+              .withColumn("op", F.lit("insert")))
+        w(b2, 1)
+        n_ins = o.filter(F.col("o_orderkey").between(600, 650)).count()
+        assert V.read_versioned(spark, t).count() == n1 + n_ins
+        hist = V.history(t)
+        assert hist[-1]["action"] == "merge"
+        assert hist[-1]["stream_batch_id"] == 1
