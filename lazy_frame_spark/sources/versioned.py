@@ -82,6 +82,9 @@ __all__ = [
     "versioned_stream_cdc",
     "delete_versioned",
     "purge_dvs",
+    "add_constraint",
+    "drop_constraint",
+    "table_constraints",
     "version_as_of",
     "restore_versioned",
     "compact_versioned",
@@ -261,9 +264,13 @@ def _commit(
     supersedes them passes an explicit list (a fresh snapshot, a
     purge, a full rewrite)."""
     version = (parent or 0) + 1
+    parent_man = _read_manifest(path, parent) if parent else {}
     if dvs is None:
-        dvs = (list(_read_manifest(path, parent).get("dv_files", []))
-               if parent else [])
+        dvs = list(parent_man.get("dv_files", []))
+    # CHECK constraints are table state like DV lists: inherited by
+    # every commit (a commit that dropped them would silently stop
+    # enforcement) unless an alter commit rewrites them via extra
+    constraints = parent_man.get("constraints")
     doc = {
         "version": version,
         "action": action,
@@ -282,6 +289,8 @@ def _commit(
     }
     if dvs:
         doc["dv_files"] = sorted(dvs)
+    if constraints:
+        doc["constraints"] = constraints
     if extra:
         doc.update(extra)
     _publish(path, version, doc)
@@ -294,6 +303,10 @@ def write_versioned(df: DataFrame, path: str) -> int:
     data directory — prior versions stay readable, nothing is erased."""
     os.makedirs(path, exist_ok=True)
     parent = latest_version(path)
+    if parent is not None:
+        _validate_constraints(
+            df, _read_manifest(path, parent).get("constraints") or {},
+            "write_versioned")
     version = (parent or 0) + 1
     files = _write_data_dir(df, path, version)
     # a fresh snapshot references only its own files — no DVs apply
@@ -476,6 +489,8 @@ def append_versioned(df: DataFrame, path: str,
     else:
         _check_append_schema(df, prev["schema"])
         schema_json = prev["schema"]
+    _validate_constraints(df, prev.get("constraints") or {},
+                          "append_versioned")
     version = parent + 1
     new_files = _write_data_dir(df, path, version)
     return _commit(
@@ -1099,6 +1114,86 @@ def read_versioned(
     return _read_snapshot(spark, path, man, where=where)
 
 
+def table_constraints(path: str) -> dict:
+    """The table's CHECK constraints ``{name: sql_expr}`` as of the
+    latest version (empty dict when none)."""
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    return dict(_read_manifest(path, v).get("constraints") or {})
+
+
+def _validate_constraints(df: DataFrame, constraints: dict,
+                          context: str) -> None:
+    """SQL CHECK semantics: a row violates only when the expression is
+    FALSE — NULL (unknown) passes, like every SQL engine. One combined
+    filter finds the first violating row for the error message, so the
+    enforcement cost is one short-circuit scan of the BATCH (existing
+    data was validated by its own commit)."""
+    if not constraints:
+        return
+    bad_cond = None
+    for name, expr in constraints.items():
+        c = ~F.coalesce(F.expr(expr), F.lit(True))
+        bad_cond = c if bad_cond is None else (bad_cond | c)
+    bad = df.filter(bad_cond).limit(1).collect()
+    if bad:
+        row = bad[0].asDict()
+        for name, expr in constraints.items():
+            # re-evaluate per constraint on the one offending row to
+            # name the violated check in the error
+            one = df.sparkSession.createDataFrame([bad[0]], df.schema)
+            if one.filter(~F.coalesce(F.expr(expr), F.lit(True))).count():
+                raise ValueError(
+                    f"{context}: CHECK constraint {name!r} ({expr}) "
+                    f"violated by row {row}"
+                )
+        raise ValueError(f"{context}: CHECK constraint violated: {row}")
+
+
+def add_constraint(spark: SparkSession, path: str, name: str,
+                   expr: str, validate: bool = True) -> int:
+    """Attach CHECK constraint ``name`` (a Spark SQL boolean
+    expression) to the table as an ``alter`` commit — every subsequent
+    ingesting commit (append / merge / apply_cdc / snapshot overwrite
+    / the streaming sinks) validates its BATCH against it and refuses
+    the commit on the first violating row; a data-quality contract the
+    TABLE enforces instead of each pipeline remembering to
+    (operators/quality.py gates batches in flight; this gates the
+    storage boundary). ``validate=True`` first checks the EXISTING
+    data (one scan, DV-applied) so a constraint can't be born already
+    broken. NULL passes (SQL CHECK three-valued semantics) — combine
+    with ``col IS NOT NULL`` for NOT NULL."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    cons = dict(prev.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists "
+                         f"({cons[name]}); drop it first")
+    if validate:
+        _validate_constraints(_read_snapshot(spark, path, prev),
+                              {name: expr}, f"add_constraint({name!r})")
+    cons[name] = expr
+    return _commit(path, "alter", list(prev["files"]), prev["schema"],
+                   parent, {"constraints": cons})
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Remove CHECK constraint ``name`` as an ``alter`` commit."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    cons = dict(prev.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    return _commit(path, "alter", list(prev["files"]), prev["schema"],
+                   parent, {"constraints": cons})
+
+
 def version_as_of(path: str, ts) -> int:
     """The newest version committed at or before ``ts`` (epoch seconds
     or an ISO-8601 string, naive = UTC). Version numbers remain the
@@ -1258,6 +1353,12 @@ def merge_versioned(
         else:
             to_insert = None  # nothing matched, nothing to insert
         if to_insert is not None:
+            # constraints gate what actually LANDS (to_insert), not
+            # the whole source — an insert_unmatched=False merge may
+            # legitimately carry unmatched rows that never commit
+            _validate_constraints(
+                to_insert, prev.get("constraints") or {},
+                "merge_versioned")
             parts.append(
                 to_insert.select(*[f.name for f in schema.fields]))
     version = parent + 1
@@ -1344,6 +1445,8 @@ def apply_cdc(
     upserts = (tagged.filter(F.col("__op__") == "upsert")
                .drop("__op__", op_col))
     _check_append_schema(upserts, prev["schema"])
+    _validate_constraints(upserts, prev.get("constraints") or {},
+                          "apply_cdc")
 
     src_keys = tagged.select(*keys).distinct()
     files = list(prev["files"])
@@ -1664,6 +1767,8 @@ def history(path: str) -> list[dict]:
             "rows": man.get("rows"),
             **({"n_dv_files": len(man["dv_files"])}
                if man.get("dv_files") else {}),
+            **({"constraints": sorted(man["constraints"])}
+               if man.get("constraints") else {}),
             **{k: man[k] for k in ("predicate", "restored_from",
                                    "cluster_cols", "cluster_scaling",
                                    "cluster_since", "stream_batch_id",

@@ -903,3 +903,56 @@ class TestApplyCdc:
         hist = V.history(t)
         assert hist[-1]["action"] == "merge"
         assert hist[-1]["stream_batch_id"] == 1
+
+
+class TestConstraints:
+    def test_enforced_on_every_ingest_verb(self, spark, tmp_path):
+        t = str(tmp_path / "cons")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.filter(F.col("o_totalprice") > 0), t)
+        V.add_constraint(spark, t, "positive_price", "o_totalprice > 0")
+        assert V.table_constraints(t) == {
+            "positive_price": "o_totalprice > 0"}
+        bad = o.limit(3).withColumn("o_totalprice", F.lit(-1.0))
+        with pytest.raises(ValueError, match="positive_price"):
+            V.append_versioned(bad, t)
+        with pytest.raises(ValueError, match="positive_price"):
+            V.merge_versioned(spark, t, bad, "o_orderkey")
+        with pytest.raises(ValueError, match="positive_price"):
+            V.apply_cdc(spark, t, bad.withColumn("op", F.lit("I")),
+                        "o_orderkey")
+        with pytest.raises(ValueError, match="positive_price"):
+            V.write_versioned(bad, t)
+        n_before = V.read_versioned(spark, t).count()
+        # good batches pass, and the constraint SURVIVES every commit
+        V.append_versioned(
+            o.limit(5).withColumn("o_totalprice", F.lit(9.9)), t)
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=2)
+        assert V.table_constraints(t) == {
+            "positive_price": "o_totalprice > 0"}
+        with pytest.raises(ValueError, match="positive_price"):
+            V.append_versioned(bad, t)
+        assert V.read_versioned(spark, t).count() == n_before + 5
+
+    def test_null_passes_and_validation_on_add(self, spark, tmp_path):
+        t = str(tmp_path / "cons2")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        base = o.limit(50).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_totalprice")))
+        V.write_versioned(base, t)
+        # NULL price rows pass CHECK (three-valued SQL semantics)
+        V.add_constraint(spark, t, "pos", "o_totalprice > 0")
+        # ...but adding a constraint the EXISTING data breaks refuses
+        with pytest.raises(ValueError, match="even_key"):
+            V.add_constraint(spark, t, "even_key", "o_orderkey % 2 = 0")
+        # unvalidated add is the escape hatch (enforce-go-forward)
+        V.add_constraint(spark, t, "even_key", "o_orderkey % 2 = 0",
+                         validate=False)
+        with pytest.raises(ValueError, match="already exists"):
+            V.add_constraint(spark, t, "pos", "o_totalprice >= 0")
+        V.drop_constraint(t, "even_key")
+        assert set(V.table_constraints(t)) == {"pos"}
+        with pytest.raises(ValueError, match="no constraint"):
+            V.drop_constraint(t, "nope")
