@@ -38,6 +38,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # A duplicate registration would silently shadow the earlier row —
+        # its oracle would never run in the driver window OR the full
+        # sweep (round-11 verdict: the exact incremental-dedup row was
+        # dead for two rounds this way). Fail the import instead.
+        if name in REGISTRY:
+            raise ImportError(
+                f"duplicate parity registration: {name!r} "
+                f"(earlier: {REGISTRY[name].fn.__qualname__}, "
+                f"now: {fn.__qualname__})"
+            )
         REGISTRY[name] = QuerySpec(fn, oracle)
         return fn
 
@@ -1663,7 +1673,7 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
-    "dedup_incremental",
+    "dedup_incremental_exact",
     oracle="""
     WITH d AS (SELECT doc_id, 'c' || (doc_id % 301) AS content
                FROM documents),
@@ -1675,7 +1685,7 @@ def dedup_exact(spark, sf_dir):
     SELECT f.doc_id, f.content FROM fresh f JOIN w USING (doc_id)
     """,
 )
-def dedup_incremental(spark, sf_dir):
+def dedup_incremental_exact(spark, sf_dir):
     """Incremental exact dedup (dedup.dedup_against) — the production
     crawl shape: a new batch (even doc_ids) dedups against the corpus
     already kept (odd doc_ids) via ONE left_anti on the shared content
@@ -9464,8 +9474,12 @@ DRIVER_WINDOW: list[str] = [
     # FIRST dedup a web corpus runs) and the per-domain anti-spam cap
     # take their slots. Round-10 rotation: dedup_minhash_pairs past the
     # cap after green rounds 2-9 — the longest-green dedup row; the
-    # banded-LSH shape stays plan-pinned and locally checked — funding
-    # the incremental exact dedup that shipped post-verdict in round 9)
+    # banded-LSH shape stays plan-pinned and locally checked. This slot
+    # grades the MINHASH incremental path (incremental_near_dups) — a
+    # round-11 audit found the exact-dedup row registered under the same
+    # name was silently shadowed by this one; it now runs in the full
+    # sweep as dedup_incremental_exact, and query() raises on duplicate
+    # registrations so a shadowing can never recur.)
     "dedup_incremental",
     # (dedup_url_canonical rotated past the cap in round 11 — green
     # rounds 7-10; the canonical-URL pass stays locally checked and

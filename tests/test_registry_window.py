@@ -13,6 +13,25 @@ def test_driver_window_is_first_50_with_oracles():
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
 
+def test_every_decoration_reaches_the_registry():
+    """Decoration-count == registry-count: a duplicate @query name would
+    silently shadow the earlier row (its oracle never runs — round-11
+    verdict found exactly this). query() now raises on duplicates; this
+    pins the invariant from the other side so a future refactor of the
+    guard can't silently drop rows either."""
+    import inspect
+    import re
+
+    import lazy_frame_spark.parity as P
+
+    src = inspect.getsource(P)
+    decorations = re.findall(r"^@query\(", src, flags=re.MULTILINE)
+    assert len(decorations) == len(REGISTRY), (
+        f"{len(decorations)} @query decorations but {len(REGISTRY)} "
+        "registry rows — a registration was shadowed or lost"
+    )
+
+
 def test_driver_window_spans_every_category():
     # round-5 rotation: scalar_date_battery past the cap (the scalar
     # category stays represented by cast_/json_; dates are exercised by
