@@ -457,16 +457,12 @@ def _bloom_positions_py(value, n_bits: int, k: int) -> list[int]:
     return [(h1 + i * h2) % n_bits for i in range(k)]
 
 
-def _bloom_supported_literal(v) -> bool:
-    return isinstance(v, str) or (
-        isinstance(v, int) and not isinstance(v, bool)
-    )
-
-
 def write_dir_blooms(
     spark, dir_abs: str, cols: list[str],
     n_bits: int = BLOOM_BITS, k: int = BLOOM_K,
     extra_cols: dict | None = None,
+    extra_types: dict | None = None,
+    schema_types: dict | None = None,
 ) -> dict | None:
     """Build per-FILE bloom filters for ``cols`` over one data
     directory and persist them in a ``_blooms.json`` sidecar (atomic
@@ -502,8 +498,22 @@ def write_dir_blooms(
     type_by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
     out_cols: dict[str, dict[str, str]] = {}
+    zero = None
+    absent_types: dict[str, str] = {}
     for c in cols:
         t = type_by_name.get(c)
+        if t is None and schema_types and c in schema_types:
+            # directory predates an additive schema evolution: the
+            # column reads as all-NULL here, so no equality can ever
+            # match — record the all-zero filter (maximum pruning)
+            # instead of dying on the first pre-evolution directory
+            import base64 as _b64
+
+            if zero is None:
+                zero = _b64.b64encode(bytes(n_bits // 8)).decode("ascii")
+            out_cols[c] = {f: zero for f in files}
+            absent_types[c] = schema_types[c]
+            continue
         if t is None:
             raise ValueError(f"bloom column {c!r} not in table schema")
         if t not in ok_types:
@@ -545,10 +555,19 @@ def write_dir_blooms(
         for f in files:
             per_file.setdefault(f, zero)
         out_cols[c] = per_file
+    col_types = {
+        c: absent_types.get(c, type_by_name.get(c)) for c in cols
+    }
     if extra_cols:
         for c, per_file in extra_cols.items():
             out_cols.setdefault(c, per_file)
-    doc = {"version": 1, "n_bits": n_bits, "k": k, "cols": out_cols}
+    if extra_types:
+        for c, t in extra_types.items():
+            col_types.setdefault(c, t)
+    doc = {
+        "version": 1, "n_bits": n_bits, "k": k,
+        "cols": out_cols, "types": col_types,
+    }
     tmp = os.path.join(dir_abs, f".{BLOOM_SIDECAR}.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
@@ -565,22 +584,47 @@ def load_dir_blooms(dir_abs: str) -> dict | None:
         return None
 
 
+_INT_FAMILY = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _literal_matches_bloom_type(v, col_type: str | None) -> bool:
+    """A bloom probe is only sound when the literal's canonical string
+    form is the SAME one the build hashed — i.e. the literal's Python
+    type matches the column's Spark type family exactly. Cross-type
+    predicates go through Spark's implicit casts (``'05' = 5`` is true,
+    ``'5.0' = 5`` is true on an int column), which md5-of-CAST-to-STRING
+    cannot reproduce: the bloom stored md5("05") but would probe
+    md5("5") and silently prune a matching file. Sidecars written
+    before the ``types`` field existed return None here → never probe."""
+    if col_type is None:
+        return False
+    if col_type == "string":
+        return isinstance(v, str)
+    if col_type in _INT_FAMILY:
+        return isinstance(v, int) and not isinstance(v, bool)
+    return False
+
+
 def _bloom_excludes(doc: dict, base: str, col: str, op: str, val) -> bool:
     """True when the directory's bloom PROVES no row of ``base`` equals
-    the literal(s). Only equality ops are bloom-decidable."""
+    the literal(s). Only equality ops are bloom-decidable, and only for
+    literals whose type exactly matches the column's recorded type —
+    any mismatch is maybe-present, mirroring _coerce_literal's
+    conservatism in the min/max layer."""
     if op not in ("=", "==", "in"):
         return False
     b64 = doc.get("cols", {}).get(col, {}).get(base)
     if b64 is None:
         return False
+    col_type = doc.get("types", {}).get(col)
     import base64
 
     bits = base64.b64decode(b64)
     n_bits, k = doc["n_bits"], doc["k"]
 
     def maybe_present(v) -> bool:
-        if not _bloom_supported_literal(v):
-            return True  # unknown canonical form: assume present
+        if not _literal_matches_bloom_type(v, col_type):
+            return True  # implicit-cast semantics: assume present
         return all(
             bits[p >> 3] & (1 << (p & 7))
             for p in _bloom_positions_py(v, n_bits, k)

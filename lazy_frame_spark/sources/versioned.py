@@ -1578,14 +1578,25 @@ def build_blooms(
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
+    schema_types = {
+        f.name: f.dataType.simpleString()
+        for f in _committed_schema(man).fields
+    }
+    for c in cols:
+        if c not in schema_types:
+            raise ValueError(f"bloom column {c!r} not in table schema")
     dirs = sorted({os.path.dirname(rel) for rel in man["files"]})
     built = skipped = 0
     for d in dirs:
         dir_abs = os.path.join(path, d)
         doc = filestats.load_dir_blooms(dir_abs)
+        # a covering sidecar must also carry per-column TYPES — probes
+        # are type-gated (implicit-cast safety), so a pre-types sidecar
+        # never prunes and is worth one rebuild scan
         if (doc is not None and doc.get("n_bits") == n_bits
                 and doc.get("k") == k
-                and all(c in doc.get("cols", {}) for c in cols)):
+                and all(c in doc.get("cols", {}) for c in cols)
+                and all(c in doc.get("types", {}) for c in cols)):
             skipped += 1
             continue
         # build ONLY the missing columns; carry every existing
@@ -1593,16 +1604,24 @@ def build_blooms(
         # built (carrying by `not in want`, NOT `not in cols`: the
         # latter dropped an already-built requested column from the
         # rewritten sidecar, losing its filter and un-converging the
-        # idempotence loop)
+        # idempotence loop). Typeless carried columns keep their bits
+        # but only regain pruning once rebuilt with a type.
         want = list(cols)
-        carry = {}
+        carry: dict = {}
+        carry_types: dict = {}
         if (doc is not None and doc.get("n_bits") == n_bits
                 and doc.get("k") == k):
-            want = [c for c in cols if c not in doc["cols"]]
-            carry = {c: v for c, v in doc["cols"].items()
+            have_types = doc.get("types", {})
+            want = [c for c in cols
+                    if c not in doc["cols"] or c not in have_types]
+            carry = {c: bv for c, bv in doc["cols"].items()
                      if c not in want}
+            carry_types = {c: t for c, t in have_types.items()
+                           if c not in want}
         filestats.write_dir_blooms(
-            spark, dir_abs, want, n_bits=n_bits, k=k, extra_cols=carry)
+            spark, dir_abs, want, n_bits=n_bits, k=k,
+            extra_cols=carry, extra_types=carry_types,
+            schema_types=schema_types)
         built += 1
     return {"dirs_built": built, "dirs_skipped": skipped}
 

@@ -467,6 +467,64 @@ class TestBloomSkipping:
         assert V.skipping_summary(
             t, [("o_orderstatus", "=", "NO-SUCH")])["kept_files"] == 0
 
+    def test_cross_type_literal_never_bloom_pruned(self, spark, tmp_path):
+        """Implicit-cast safety (round-11 ADVICE): a string column
+        holding "05" matches where=[("col","=",5)] under Spark's cast
+        semantics, but the bloom hashed md5("05") and a naive probe of
+        md5("5") would prove absence and silently drop the file. A
+        literal whose type doesn't match the column's recorded type
+        must be maybe-present — pruning falls back to bounds only."""
+        t = str(tmp_path / "bloomx")
+        df = spark.createDataFrame(
+            [("05", 7), ("99", 8)], "s string, i int")
+        V.write_versioned(df, t)
+        V.build_blooms(spark, t, ["s", "i"])
+        # string column probed with an int literal: kept, and the read
+        # still equals the unpruned filter (the documented contract)
+        s = V.skipping_summary(t, [("s", "=", 5)])
+        assert s["kept_files"] == s["total_files"]
+        got = V.read_versioned(spark, t, where=[("s", "=", 5)])
+        exp = V.read_versioned(spark, t).filter(F.col("s") == 5)
+        assert _same(got, exp) and got.count() == 1
+        # int column probed with a string literal: same conservatism
+        # ("7" vs 7 happens to share a canonical form; "7.0" does not)
+        s2 = V.skipping_summary(t, [("i", "=", "7.0")])
+        assert s2["kept_files"] == s2["total_files"]
+        # matched-type probes still prune to zero on absent keys
+        assert V.skipping_summary(t, [("s", "=", "nope")])["kept_files"] == 0
+        assert V.skipping_summary(t, [("i", "=", 999)])["kept_files"] == 0
+        # the sidecar records the column types the probes are gated on
+        doc = filestats.load_dir_blooms(
+            os.path.join(t, os.path.dirname(
+                V.skipping_summary(t, [])["kept"][0])))
+        assert doc["types"] == {"s": "string", "i": "int"}
+
+    def test_build_blooms_on_evolved_table(self, spark, tmp_path):
+        """A directory written BEFORE an additive evolution lacks the
+        new column physically; build_blooms must record an all-zero
+        filter there (all-NULL ⇒ equality can never match) instead of
+        dying on the first pre-evolution directory."""
+        t = str(tmp_path / "bloomev")
+        V.write_versioned(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"),
+            t)
+        V.append_versioned(
+            spark.createDataFrame(
+                [(3, "c", 30), (4, "d", 40)], "k int, s string, extra int"),
+            t, merge_schema=True)
+        r = V.build_blooms(spark, t, ["extra"])
+        assert r["dirs_built"] == 2
+        # pre-evolution files prune away for ANY extra-key lookup;
+        # post-evolution files answer exactly
+        s = V.skipping_summary(t, [("extra", "=", 30)])
+        assert 0 < s["kept_files"] < s["total_files"]
+        got = V.read_versioned(spark, t, where=[("extra", "=", 30)])
+        assert [r2["k"] for r2 in got.collect()] == [3]
+        assert V.skipping_summary(t, [("extra", "=", 31)])["kept_files"] == 0
+        # a column absent from even the COMMITTED schema still raises
+        with pytest.raises(ValueError, match="not in table schema"):
+            V.build_blooms(spark, t, ["nope"])
+
     def test_unsupported_bloom_type_raises(self, spark, tmp_path):
         t = str(tmp_path / "bloom3")
         V.write_versioned(_orders(spark).limit(50), t)
