@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -85,6 +86,7 @@ __all__ = [
     "add_constraint",
     "drop_constraint",
     "table_constraints",
+    "revalidate_constraints",
     "version_as_of",
     "restore_versioned",
     "compact_versioned",
@@ -297,16 +299,44 @@ def _commit(
     return version
 
 
+def _check_constraints_resolve(
+    spark, constraints: dict, schema: T.StructType, context: str,
+) -> None:
+    """CHECK constraints are inherited by every commit (``_commit``), so
+    a commit that CHANGES the schema (overwrite / restore) must prove
+    the inherited expressions still resolve — otherwise the table is
+    bricked: every later ingest dies in ``_validate_constraints`` with
+    an unresolved-column AnalysisException until drop_constraint. The
+    probe is pure analysis over an empty frame (no job)."""
+    if not constraints or spark is None:
+        return
+    empty = spark.createDataFrame([], schema)
+    for name, expr in constraints.items():
+        try:
+            empty.filter(F.expr(expr))  # analysis is eager; no job runs
+        except Exception:
+            raise ValueError(
+                f"{context}: inherited CHECK constraint {name!r} "
+                f"({expr}) does not resolve against the new schema — "
+                f"constraints are table state and survive every commit; "
+                f"drop_constraint({name!r}) first, or keep the columns "
+                "it references"
+            ) from None
+
+
 def write_versioned(df: DataFrame, path: str) -> int:
     """Commit df as a full snapshot (action ``overwrite``): version 1 on
     a fresh path, else a new version whose file list is ONLY the new
-    data directory — prior versions stay readable, nothing is erased."""
+    data directory — prior versions stay readable, nothing is erased.
+    Inherited CHECK constraints must still resolve against the new
+    snapshot's schema (refused with a clear message otherwise)."""
     os.makedirs(path, exist_ok=True)
     parent = latest_version(path)
     if parent is not None:
-        _validate_constraints(
-            df, _read_manifest(path, parent).get("constraints") or {},
-            "write_versioned")
+        cons = _read_manifest(path, parent).get("constraints") or {}
+        _check_constraints_resolve(
+            df.sparkSession, cons, df.schema, "write_versioned")
+        _validate_constraints(df, cons, "write_versioned")
     version = (parent or 0) + 1
     files = _write_data_dir(df, path, version)
     # a fresh snapshot references only its own files — no DVs apply
@@ -356,7 +386,9 @@ def _read_snapshot(
     schema = _committed_schema(man)
     flist = list(man["files"]) if files is None else list(files)
     if where is not None:
-        flist = filestats.prune_files(path, flist, where)
+        # spark handed through: a >100k-file manifest prunes as a
+        # distributed job instead of a driver loop (filestats)
+        flist = filestats.prune_files(path, flist, where, spark=spark)
     if not flist:
         df = spark.createDataFrame([], schema)
         if _with_position:
@@ -438,6 +470,22 @@ def _merge_schemas(committed_json: str, batch_json: str) -> str:
     return json.dumps({"type": "struct", "fields": merged})
 
 
+def _pad_to_schema(df: DataFrame, schema_json: str) -> DataFrame:
+    """Project ``df`` onto the committed schema for VALIDATION: columns
+    the batch lacks become typed NULL literals (exactly what a reader
+    of the new files will see), so CHECK expressions over committed
+    columns resolve. The padded frame is never written — the data dir
+    keeps the raw batch; ``read_versioned`` reconciles."""
+    sch = _committed_schema(schema_json)
+    have = set(df.columns)
+    out = df
+    for f in sch.fields:
+        if f.name not in have:
+            out = out.withColumn(
+                f.name, F.lit(None).cast(f.dataType))
+    return out
+
+
 def _check_append_schema(df: DataFrame, schema_json: str) -> None:
     """Refuse a batch whose (name, dataType) set diverges from the
     committed schema: parquet append never validates, and a mismatched
@@ -489,7 +537,12 @@ def append_versioned(df: DataFrame, path: str,
     else:
         _check_append_schema(df, prev["schema"])
         schema_json = prev["schema"]
-    _validate_constraints(df, prev.get("constraints") or {},
+    # validate against the batch AS IT WILL BE READ: a merge_schema
+    # batch may legitimately omit a committed column (it reads as NULL,
+    # which passes SQL CHECK) — pad it with typed NULLs so F.expr
+    # resolves instead of dying on an unresolved column
+    _validate_constraints(_pad_to_schema(df, schema_json),
+                          prev.get("constraints") or {},
                           "append_versioned")
     version = parent + 1
     new_files = _write_data_dir(df, path, version)
@@ -1066,6 +1119,23 @@ def restore_versioned(path: str, version: int) -> int:
     states being rolled past remain in the history (audit trail)."""
     target = _read_manifest(path, version)  # FileNotFoundError if absent
     parent = latest_version(path)
+    cons = (_read_manifest(path, parent).get("constraints") or {}
+            if parent else {})
+    # constraints added AFTER the restore target may reference columns
+    # the target's schema lacks — refuse rather than brick every later
+    # ingest (the analysis probe needs a session; headless callers with
+    # none active keep today's permissive behavior)
+    sess = SparkSession.getActiveSession()
+    _check_constraints_resolve(
+        sess, cons, _committed_schema(target), "restore_versioned")
+    # the target may predate add_constraint's validate-at-add scan —
+    # re-vet it BEFORE committing, sidecar bounds first (on a clustered
+    # table a range constraint resolves as a pure metadata read; only
+    # bounds-suspect files are scanned). Headless callers with no
+    # active session keep the historical unvalidated restore.
+    if cons and sess is not None:
+        revalidate_constraints(sess, path, version=version,
+                               constraints=cons)
     return _commit(
         path, "restore", list(target["files"]), target["schema"], parent,
         {"restored_from": version},
@@ -1178,6 +1248,114 @@ def add_constraint(spark: SparkSession, path: str, name: str,
     cons[name] = expr
     return _commit(path, "alter", list(prev["files"]), prev["schema"],
                    parent, {"constraints": cons})
+
+
+_CMP_RE = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*"
+    r"(>=|<=|!=|<>|==|=|<|>)\s*(.+?)\s*$"
+)
+#: violation rows satisfy NOT(expr) under two-valued comparison
+#: semantics (NULL passes CHECK and never matches a comparison —
+#: exactly prune_files' model), so each conjunct negates structurally
+_NEG_OP = {">": "<=", ">=": "<", "<": ">=", "<=": ">",
+           "=": "!=", "==": "!=", "!=": "=", "<>": "="}
+
+
+def _parse_cmp_literal(s: str):
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+        body = s[1:-1]
+        if s[0] in body:  # embedded quotes: punt, stay conservative
+            return None
+        return body
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _constraint_suspect_files(path: str, files: list[str],
+                              expr: str) -> list[str] | None:
+    """Files that MIGHT hold a row violating CHECK ``expr``, decided
+    from commit-time sidecar bounds alone — or None when the
+    expression isn't stats-decidable (treat every file as suspect).
+    Handles the workhorse constraint shape: a top-level AND of
+    ``col <cmp> literal`` comparisons. NOT(c1 AND c2) = ¬c1 OR ¬c2,
+    so the suspect set is the UNION of files surviving each negated
+    conjunct's pruning — a file pruned under every ¬ci provably
+    contains no violating row."""
+    if re.search(r"[()]|\bor\b|\bnot\b|\bin\b|\bbetween\b|\bis\b",
+                 expr, re.IGNORECASE):
+        return None
+    conjuncts = re.split(r"\band\b", expr, flags=re.IGNORECASE)
+    negated: list[tuple] = []
+    for c in conjuncts:
+        m = _CMP_RE.match(c)
+        if not m:
+            return None
+        col, op, lit_s = m.groups()
+        lit = _parse_cmp_literal(lit_s)
+        if lit is None:
+            return None
+        negated.append((col, _NEG_OP[op], lit))
+    suspect: set[str] = set()
+    for neg in negated:
+        suspect.update(filestats.prune_files(path, files, [neg]))
+    return [f for f in files if f in suspect]
+
+
+def revalidate_constraints(
+    spark: SparkSession | None, path: str,
+    version: int | None = None,
+    constraints: dict | None = None,
+) -> dict:
+    """Re-validate CHECK constraints against a snapshot with sidecar
+    bounds doing the heavy lifting: a file whose per-column min/max
+    PROVE it cannot hold a violating row is skipped; only the suspect
+    remainder is scanned (DV-applied through ``_read_snapshot``, so
+    merge-on-read-deleted rows can't fail a check they no longer
+    belong to). On a Z-ordered 100 TB table a range constraint like
+    ``price > 0`` resolves as a pure metadata read — O(commits)
+    sidecar loads, zero parquet I/O — which is what makes re-checking
+    after a ``restore_versioned`` or schema evolution routine instead
+    of a full-table job.
+
+    ``constraints`` defaults to the snapshot's own; pass the CURRENT
+    table constraints to vet a restore target. Raises ValueError on a
+    real violation; returns per-constraint
+    ``{"total_files", "proved_clean_files", "scanned_files"}``."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    cons = (dict(man.get("constraints") or {})
+            if constraints is None else dict(constraints))
+    files = list(man["files"])
+    report: dict = {"version": v, "constraints": {}}
+    for name, expr in cons.items():
+        suspects = _constraint_suspect_files(path, files, expr)
+        if suspects is None:
+            suspects = files
+        report["constraints"][name] = {
+            "total_files": len(files),
+            "proved_clean_files": len(files) - len(suspects),
+            "scanned_files": len(suspects),
+        }
+        if suspects:
+            if spark is None:
+                raise ValueError(
+                    f"revalidate_constraints: {len(suspects)} files "
+                    f"need a scan for {name!r} but no SparkSession was "
+                    "provided"
+                )
+            _validate_constraints(
+                _read_snapshot(spark, path, man, files=suspects),
+                {name: expr}, "revalidate_constraints")
+    return report
 
 
 def drop_constraint(path: str, name: str) -> int:
@@ -1403,8 +1581,11 @@ def apply_cdc(
     commits sees a table that never existed upstream; this single
     commit is the all-or-nothing CDC consumer.
 
-    Semantics: delete rows remove their key (key-only columns needed);
-    insert/update rows REPLACE their key's row or insert it (identical
+    Semantics: delete rows remove their key — a DELETE-ONLY batch may
+    carry just the key columns (a mixed batch must carry the full
+    committed schema, NULL-padding the delete rows' non-key columns,
+    since upserts need every column); insert/update rows REPLACE their
+    key's row or insert it (identical
     whole-row semantics — the tag split exists for delete, and ops are
     validated so a typo'd tag fails loudly instead of silently
     upserting a delete). A key may appear ONCE in the batch (checked):
@@ -1444,9 +1625,23 @@ def apply_cdc(
         )
     upserts = (tagged.filter(F.col("__op__") == "upsert")
                .drop("__op__", op_col))
-    _check_append_schema(upserts, prev["schema"])
-    _validate_constraints(upserts, prev.get("constraints") or {},
-                          "apply_cdc")
+    batch_cols = set(upserts.columns)
+    committed_cols = {f.name for f in schema.fields}
+    if batch_cols == set(keys) and batch_cols != committed_cols:
+        # delete-only convenience shape: the batch carries just the key
+        # columns. Sound only if no row actually upserts — an upsert
+        # without the non-key columns would write NULL-padded rows.
+        if upserts.limit(1).collect():
+            raise ValueError(
+                "apply_cdc: batch carries only the key columns but "
+                "contains insert/update rows — upserts need the full "
+                "table schema"
+            )
+        upserts = spark.createDataFrame([], schema)
+    else:
+        _check_append_schema(upserts, prev["schema"])
+        _validate_constraints(upserts, prev.get("constraints") or {},
+                              "apply_cdc")
 
     src_keys = tagged.select(*keys).distinct()
     files = list(prev["files"])

@@ -963,6 +963,56 @@ class TestApplyCdc:
         assert hist[-1]["stream_batch_id"] == 1
 
 
+class TestDistributedPruning:
+    def _conjs(self):
+        return [
+            [("o_orderkey", "between", (1200, 3400))],
+            [("o_orderkey", "=", 777)],
+            [("o_orderkey", "in", [5, 900, 10**9])],
+            [("o_totalprice", ">", 150000.0),
+             ("o_orderkey", "<=", 2000)],
+            [("o_orderstatus", "=", "NO-SUCH")],
+            [("o_orderkey", "isnotnull", None)],
+        ]
+
+    def test_spark_path_equals_driver_loop(self, spark, tmp_path):
+        """round-11 verdict item 7: the distributed evaluation must be
+        file-for-file identical to the driver loop — both call the
+        shared _file_excluded, this pins the plumbing around it."""
+        t = str(tmp_path / "dp")
+        o = _orders(spark)
+        V.write_versioned(o.repartition(6), t)
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=6)
+        V.build_blooms(spark, t, ["o_orderkey", "o_orderstatus"])
+        man = V._read_manifest(t, V.latest_version(t))
+        files = list(man["files"])
+        for w in self._conjs():
+            a = filestats.prune_files(t, files, w)
+            b = filestats.prune_files_spark(spark, t, files, w)
+            assert a == b, f"paths diverge for {w}"
+        # at least one conjunction must actually prune for the
+        # comparison to mean anything
+        assert any(
+            len(filestats.prune_files(t, files, w)) < len(files)
+            for w in self._conjs())
+
+    def test_threshold_dispatch_preserves_read_semantics(
+            self, spark, tmp_path, monkeypatch):
+        """With the threshold forced to 0, read_versioned(where=...)
+        routes pruning through the Spark job and must still equal the
+        unpruned filter exactly."""
+        t = str(tmp_path / "dp2")
+        o = _orders(spark)
+        V.write_versioned(o.repartition(4), t)
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=4)
+        monkeypatch.setattr(filestats, "PRUNE_SPARK_THRESHOLD", 0)
+        w = [("o_orderkey", "between", (100, 900))]
+        got = V.read_versioned(spark, t, where=w)
+        exp = V.read_versioned(spark, t).filter(
+            F.col("o_orderkey").between(100, 900))
+        assert _same(got, exp)
+
+
 class TestConstraints:
     def test_enforced_on_every_ingest_verb(self, spark, tmp_path):
         t = str(tmp_path / "cons")
@@ -991,6 +1041,140 @@ class TestConstraints:
         with pytest.raises(ValueError, match="positive_price"):
             V.append_versioned(bad, t)
         assert V.read_versioned(spark, t).count() == n_before + 5
+
+    def test_merge_schema_batch_missing_constrained_column(
+            self, spark, tmp_path):
+        """round-11 ADVICE: a merge_schema batch that legitimately OMITS
+        a constrained committed column (it reads as NULL → passes SQL
+        CHECK) must commit, not die on an unresolved column."""
+        t = str(tmp_path / "cons3")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(20), t)
+        V.add_constraint(spark, t, "pos", "o_totalprice > 0")
+        batch = (o.limit(5).select("o_orderkey")
+                 .withColumn("lang", F.lit("en")))
+        V.append_versioned(batch, t, merge_schema=True)
+        got = V.read_versioned(spark, t)
+        assert got.count() == 25
+        # the omitted column reads as NULL on the new rows
+        assert got.filter(F.col("o_totalprice").isNull()).count() == 5
+        # enforcement is still live for rows that DO carry the column
+        bad = (o.limit(1).withColumn("o_totalprice", F.lit(-1.0))
+               .withColumn("lang", F.lit("en")))
+        with pytest.raises(ValueError, match="pos"):
+            V.append_versioned(bad, t, merge_schema=True)
+
+    def test_cdc_delete_only_batch_key_columns(self, spark, tmp_path):
+        """round-11 ADVICE: a delete-only CDC batch may carry just the
+        key columns (the docstring's contract); a key-only batch with
+        upsert rows is refused loudly."""
+        t = str(tmp_path / "cdc4")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.filter(F.col("o_orderkey") <= 300), t)
+        n0 = V.read_versioned(spark, t).count()
+        dels = (o.filter(F.col("o_orderkey").between(100, 120))
+                .select("o_orderkey").withColumn("op", F.lit("D")))
+        n_del = dels.count()
+        v, st = V.apply_cdc(spark, t, dels, "o_orderkey")
+        got = V.read_versioned(spark, t)
+        assert got.count() == n0 - n_del
+        assert got.filter(F.col("o_orderkey").between(100, 120)).count() == 0
+        mixed = dels.unionByName(
+            o.filter(F.col("o_orderkey") > 400).limit(1)
+            .select("o_orderkey").withColumn("op", F.lit("I")))
+        with pytest.raises(ValueError, match="only the key columns"):
+            V.apply_cdc(spark, t, mixed, "o_orderkey")
+
+    def test_schema_changing_commit_refused_if_constraints_dangle(
+            self, spark, tmp_path):
+        """round-11 ADVICE: an overwrite or restore whose schema drops a
+        constrained column would brick every later ingest — refuse it
+        with a message naming the constraint, and commit cleanly after
+        drop_constraint."""
+        t = str(tmp_path / "cons4")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(20), t)           # v1: no constraint
+        V.append_versioned(o.limit(5), t)           # v2
+        V.add_constraint(spark, t, "pos", "o_totalprice > 0")  # v3
+        with pytest.raises(ValueError, match="pos.*does not resolve"):
+            V.write_versioned(o.limit(10).select("o_orderkey"), t)
+        # restore to a version whose schema still has the column: fine
+        V.restore_versioned(t, 1)
+        assert V.read_versioned(spark, t).count() == 20
+        # drop the price column via a new snapshot AFTER dropping the
+        # constraint — then a restore to the constrained-era state is
+        # fine again because constraints travel with the LATEST commit
+        V.drop_constraint(t, "pos")
+        V.write_versioned(o.limit(10).select("o_orderkey"), t)
+        assert V.table_constraints(t) == {}
+
+    def test_restore_refused_when_target_schema_lacks_constrained_column(
+            self, spark, tmp_path):
+        t = str(tmp_path / "cons5")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(10).select("o_orderkey"), t)   # v1
+        V.write_versioned(o.limit(20), t)                        # v2
+        V.add_constraint(spark, t, "pos", "o_totalprice > 0")    # v3
+        # v1's schema lacks o_totalprice: restoring it would dangle pos
+        with pytest.raises(ValueError, match="pos.*does not resolve"):
+            V.restore_versioned(t, 1)
+        V.drop_constraint(t, "pos")
+        V.restore_versioned(t, 1)
+        assert V.read_versioned(spark, t).columns == ["o_orderkey"]
+
+    def test_revalidate_from_stats_is_metadata_only(
+            self, spark, tmp_path):
+        """round-11 verdict item 3: on a table whose sidecar bounds
+        prove every file satisfies the constraint, re-validation is a
+        pure metadata read — zero files scanned."""
+        t = str(tmp_path / "cons6")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(200).repartition(4), t)
+        V.add_constraint(spark, t, "pos", "o_totalprice > 0")
+        rep = V.revalidate_constraints(spark, t)
+        c = rep["constraints"]["pos"]
+        assert c["scanned_files"] == 0
+        assert c["proved_clean_files"] == c["total_files"] > 0
+        # metadata-only proofs don't even need a session
+        rep2 = V.revalidate_constraints(None, t)
+        assert rep2["constraints"]["pos"]["scanned_files"] == 0
+        # a conjunction of range checks stays stats-decidable
+        V.add_constraint(spark, t, "band",
+                         "o_totalprice > 0 AND o_orderkey >= 0")
+        rep3 = V.revalidate_constraints(spark, t)
+        assert rep3["constraints"]["band"]["scanned_files"] == 0
+        # a non-decidable expression falls back to scanning everything
+        V.add_constraint(spark, t, "parity_ok",
+                         "o_orderkey % 1 = 0", validate=False)
+        rep4 = V.revalidate_constraints(spark, t)
+        c4 = rep4["constraints"]["parity_ok"]
+        assert c4["scanned_files"] == c4["total_files"]
+
+    def test_restore_revalidates_target_cheaply_and_refuses_bad(
+            self, spark, tmp_path):
+        """A restore target that predates add_constraint's
+        validate-at-add scan is re-vetted BEFORE the commit: clean
+        targets restore (stats-first), violating targets are refused
+        and the table stays on its parent version."""
+        t = str(tmp_path / "cons7")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        bad = o.limit(50).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(-5.0))
+            .otherwise(F.col("o_totalprice")))
+        V.write_versioned(bad, t)                       # v1: has -5s
+        V.write_versioned(o.limit(80), t)               # v2: clean
+        V.write_versioned(o.limit(30), t)               # v3: clean
+        V.add_constraint(spark, t, "pos", "o_totalprice > 0")  # v4
+        # clean target: restores, and the vet is stats-first
+        V.restore_versioned(t, 2)
+        assert V.read_versioned(spark, t).count() == 80
+        vafter = V.latest_version(t)
+        # violating target: refused, latest version unchanged
+        with pytest.raises(ValueError, match="pos"):
+            V.restore_versioned(t, 1)
+        assert V.latest_version(t) == vafter
+        assert V.table_constraints(t) == {"pos": "o_totalprice > 0"}
 
     def test_null_passes_and_validation_on_add(self, spark, tmp_path):
         t = str(tmp_path / "cons2")
