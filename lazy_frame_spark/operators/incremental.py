@@ -565,14 +565,23 @@ def _jv_check_columns(a_cols, b_cols, keys) -> None:
 
 
 def _jv_key_bounds_where(delta: DataFrame, keys) -> list | None:
-    """Per-key [min, max] of the delta batch as a skipping conjunction
-    for the OLD side's scan — sound for an INNER equi-join: a snapshot
-    row outside the delta's key bounds on ANY key cannot produce a
-    join match. Delegates to the ONE shared derivation
-    (``filestats.key_bounds_where`` — also merge_versioned's discovery
-    pre-cut) so the type guards can never drift between callers."""
+    """The delta's key footprint as a skipping conjunction for the OLD
+    side's scan — sound for an INNER equi-join: a snapshot row outside
+    the delta's key footprint on ANY key cannot produce a join match.
+    Prefers the EXACT distinct-value form (``filestats.key_set_where``)
+    when the delta is point-like (≤1024 distinct int/str keys): ``in``
+    conjuncts let the bloom sidecars prune files the [lo, hi] interval
+    test must keep — an equality-heavy tail delta against a
+    wide-keyed snapshot prunes to the files actually holding those
+    keys, not every file the range straddles. Falls back to the shared
+    bounds derivation (``filestats.key_bounds_where`` — also
+    merge_versioned's discovery pre-cut) for big or non-probeable
+    deltas, so the type guards can never drift between callers."""
     from lazy_frame_spark.sources import filestats
 
+    w = filestats.key_set_where(delta, keys)
+    if w is not None:
+        return w
     return filestats.key_bounds_where(delta, keys)
 
 
@@ -672,10 +681,18 @@ def join_view_update(
     parts = []
     if n_da:
         w = _jv_key_bounds_where(dA, keys)
+        if w is not None:
+            s = V.skipping_summary(b_path, w, version=vb0)
+            stats["b0_files_kept"] = s["kept_files"]
+            stats["b0_files_total"] = s["total_files"]
         b0 = V.read_versioned(spark, b_path, version=vb0, where=w)
         parts.append(dA.join(b0, on=keys, how="inner"))
     if n_db:
         w = _jv_key_bounds_where(dB, keys)
+        if w is not None:
+            s = V.skipping_summary(a_path, w, version=va0)
+            stats["a0_files_kept"] = s["kept_files"]
+            stats["a0_files_total"] = s["total_files"]
         a0 = V.read_versioned(spark, a_path, version=va0, where=w)
         parts.append(a0.join(dB, on=keys, how="inner"))
     if n_da and n_db:

@@ -677,6 +677,50 @@ def test_join_view_snapshot_scan_is_bounds_pruned(spark, sf_dir, tmp_path):
     assert got.exceptAll(exp).count() == 0
 
 
+def test_join_view_point_delta_prunes_through_blooms(
+        spark, sf_dir, tmp_path):
+    """round-11 verdict item 5: an equality-heavy POINT delta must
+    prune the snapshot through the bloom sidecars, beating the
+    interval test — two keys at opposite ends of the domain make the
+    [lo, hi] form keep ~every file, while the exact ``in`` form keeps
+    only the files whose blooms admit one of the two keys."""
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.operators import incremental as I
+    from lazy_frame_spark.sources import versioned as V, filestats
+
+    o, c, ap, bp = _jv_tables(spark, sf_dir, tmp_path)
+    vp = str(tmp_path / "v")
+    I.join_view_init(spark, vp, ap, bp, "o_custkey")
+    V.build_blooms(spark, ap, ["o_custkey"])
+    # a point delta on B: the smallest and largest existing custkeys —
+    # the worst case for bounds (the between straddles everything)
+    lo_k, hi_k = c.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    dB = (c.filter(F.col("o_custkey").isin(int(lo_k), int(hi_k)))
+          .withColumn("c_name", F.lit("refresh")))
+    assert dB.count() > 0
+    V.append_versioned(dB, bp)
+    w_set = I._jv_key_bounds_where(dB, ["o_custkey"])
+    assert w_set is not None and w_set[0][1] == "in"  # exact form won
+    man = V._read_manifest(ap, V.latest_version(ap))
+    files = list(man["files"])
+    kept_set = filestats.prune_files(ap, files, w_set)
+    kept_bounds = filestats.prune_files(
+        ap, files, filestats.key_bounds_where(dB.select("o_custkey"),
+                                              ["o_custkey"]))
+    assert len(kept_set) < len(kept_bounds)  # blooms engaged
+    st = I.join_view_update(spark, vp, ap, bp)
+    assert st["a0_files_kept"] == len(kept_set)
+    assert st["a0_files_total"] == len(files)
+    # and the maintained view is still multiset-exact
+    got = V.read_versioned(spark, vp)
+    b_all = V.read_versioned(spark, bp)
+    exp = (V.read_versioned(spark, ap)
+           .join(b_all, "o_custkey", "inner").select(*got.columns))
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+
 def test_join_view_refuses_ambiguous_and_unbuilt(spark, sf_dir, tmp_path):
     import pytest as _pytest
 
