@@ -188,6 +188,14 @@ BUDGETS_SF01 = {
     "view_versioned_delete_mor": 5.0,
 }
 
+#: Phase-split rows (round-11 verdict item 6): the row's recorded time
+#: stays build+read (budget above), but each phase is ALSO timed and
+#: budgeted on its own — the pruned-READ number is the recurring cost
+#: that matters at 100× scale; the build amortizes like any OPTIMIZE.
+PHASE_BUDGETS_SF01 = {
+    "view_versioned_skipping": {"build_sec": 13.0, "pruned_read_sec": 1.5},
+}
+
 
 def release_enumeration_state(spark, name: str, sf_dir: str) -> None:
     """Drop exactly the persisted state the named enumeration run pinned
@@ -258,8 +266,30 @@ def main() -> int:
             pass
 
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
+        if name in PHASE_BUDGETS_SF01:
+            # phased row: time build and read separately (min per
+            # phase over the same number of passes); the row's
+            # recorded number stays their sum so history and the
+            # total-budget wire are unbroken
+            from lazy_frame_spark import parity as P
+
+            build = read = None
+            for _ in range(RUNS_DEFAULT):
+                t0 = time.perf_counter()
+                art = P._vskip_build(spark, sf_dir)
+                b = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                materialize(P._vskip_read(spark, *art))
+                r = time.perf_counter() - t1
+                build = b if build is None else min(build, b)
+                read = r if read is None else min(read, r)
+            phases[name] = {"build_sec": round(build, 3),
+                            "pruned_read_sec": round(read, 3)}
+            timings[name] = round(build + read, 3)
+            continue
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         elapsed = time.perf_counter() - t0
@@ -283,6 +313,12 @@ def main() -> int:
             for name, sec in timings.items()
             if name in BUDGETS_SF01 and sec > BUDGETS_SF01[name]
         }
+        for name, ph in phases.items():
+            for pname, psec in ph.items():
+                pb = PHASE_BUDGETS_SF01.get(name, {}).get(pname)
+                if pb is not None and psec > pb:
+                    violations[f"{name}:{pname}"] = {
+                        "sec": psec, "budget": pb}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -290,6 +326,11 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-phase split for the phased rows: the pruned-read number
+        # is the recurring per-query cost at scale; the build is the
+        # one-time maintenance it amortizes behind
+        "phases": phases,
+        "phase_budgets": PHASE_BUDGETS_SF01,
         "sf": sf,
         # timing protocol, recorded so a reader comparing against the
         # reference baseline sees exactly what each number is: every
