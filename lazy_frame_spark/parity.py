@@ -4607,6 +4607,73 @@ def stream_versioned_append(spark, sf_dir):
 
 
 @query(
+    "stream_versioned_feed",
+    # the read half of the versioned-streaming loop: bootstrap
+    # snapshot (keys <= 800) + two appends ((800,1100], (1100,1300])
+    # drain through readStream; the emitted multiset must equal the
+    # final snapshot — reproduced declaratively over orders
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= 1300
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_versioned_feed(spark, sf_dir):
+    """Streaming READS of versioned tables
+    (sources/versioned_stream.py — the consumption half of the
+    exactly-once loop; ``versioned_stream_writer`` is the production
+    half): offsets are VERSIONS, partitions are the FILES appended
+    between them (manifest diff, executor-side Arrow reads — no data
+    through the driver), and a destructive commit fails the chain
+    loudly. Here a bootstrap + two appends drain through a real
+    readStream (availableNow → memory sink) and the emitted rows must
+    aggregate exactly like the final snapshot. At 100 TB each
+    micro-batch schedules only the increment's files — the downstream
+    training-data consumer tails the corpus without ever rescanning
+    the body (restart exactly-once is test-pinned in
+    tests/test_streaming.py)."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vfeed_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 800), t)
+    V.append_versioned(o.filter(F.col("o_orderkey").between(801, 1100)), t)
+    V.append_versioned(o.filter(F.col("o_orderkey").between(1101, 1300)), t)
+    qname = f"t_vfeed_{tag}"
+    q = (
+        versioned_stream_read(spark, t)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
     "view_versioned_diff",
     # the chain: v1 = orders with o_orderkey <= 4000; v2 deletes
     # keys <= 1000 (file-grain copy-on-write); v3 appends (4000, 6000].
@@ -9601,7 +9668,12 @@ DRIVER_WINDOW: list[str] = [
     # locally checked. Its slot funds the incremental-add row below.)
     # (ann_cosine_topk_int8 rotated past the cap in round 9 — green
     # rounds 7-8; the quantized family keeps FOUR driver reps below)
-    "ann_ivfpq_adc_topk",
+    # (ann_ivfpq_adc_topk rotated past the cap in round 12 — green
+    # rounds 7-11, the longest-green ann row; the ADC search stays
+    # BENCHED (MIN_OF_3, budget 2.2 s) and locally checked, and ann
+    # keeps three window reps: the maintenance triad below. Its slot
+    # funds stream_versioned_feed — round 12's new capability, landing
+    # in-window the round it ships per the zero-debt policy.)
     # round-10 addition lands in-window the round it ships (zero-debt):
     # incremental index maintenance — load → encode-delta → append to
     # the cell-partitioned store, equal to a one-shot union encode
@@ -9658,6 +9730,12 @@ DRIVER_WINDOW: list[str] = [
     # by ts_sessionize_batch's twin, and streaming keeps the stateful
     # EWMA rep — the stronger bit-exact check. Its slot funds
     # view_versioned_cdc_apply above, per the round-11 verdict.)
+    # round-12 new capability lands in-window the round it ships
+    # (zero-debt): streaming READS of versioned tables — version
+    # offsets, file-grain executor partitions, a REAL readStream drain
+    # graded against the declarative snapshot (slot funded by
+    # ann_ivfpq_adc_topk)
+    "stream_versioned_feed",
     "stream_recent_ewma",
     # UDF / UDAF / UDTF
     "udf_token_count_vectorized",

@@ -1,0 +1,227 @@
+"""Streaming READS of versioned tables — ``readStream`` over the
+commit log, the consumption half of the exactly-once story
+(``versioned_stream_writer`` is the production half).
+
+Shape (the Delta "table as a stream" model, built on the Python
+DataSource stream API):
+
+- **Offsets are VERSIONS.** ``initialOffset`` = ``starting_version``
+  (default 0: replay the whole append history), ``latestOffset`` =
+  the table's newest committed version. Manifests are immutable, so
+  ``partitions(start, end)`` is deterministic — a restarted stream
+  re-plans the identical batch from its checkpointed offsets, which is
+  what makes the source exactly-once under Spark's at-least-once
+  micro-batch replay.
+- **Partitions are FILES.** The files appended between two versions
+  come straight out of the manifest diff (the same chain rules as
+  ``appended_since``: ``append`` commits contribute their new files,
+  metadata-only commits contribute none, and any destructive action —
+  delete/overwrite/merge/restore/cluster — fails the stream loudly
+  instead of silently re-emitting or dropping rows; re-seed from a
+  fresh snapshot read + a new ``starting_version`` after such a
+  commit, exactly Delta's contract). One ``InputPartition`` per file:
+  a 1000-file append fans out over the cluster, nothing flows through
+  the driver.
+- **Reads are Arrow, executor-side.** Each task reads its one parquet
+  file with pyarrow and yields RecordBatches cast/padded to the END
+  version's committed schema — files written before an additive
+  evolution stream their missing columns as typed NULLs, the same
+  rule batch reads follow.
+
+Deletion vectors: a DV commit masks rows in FILES ALREADY EMITTED by
+earlier batches — a stream cannot retract delivered rows, so DV
+commits (action ``delete`` with merge-on-read) fail the chain like any
+other destructive action. Consumers that need retractions should read
+``diff_versions`` (the CDC view) batch-wise instead.
+
+Reference parity note: the reference (bwlewis/lazy.frame) has no
+streaming surface; this module extends the engine's versioned format
+(``sources/versioned.py``) the way Structured Streaming extends any
+Spark source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = [
+    "VersionedTableDataSource",
+    "register_versioned_source",
+    "versioned_stream_read",
+]
+
+#: actions that may appear inside a streamed version range: appends
+#: carry the new files; these metadata-only actions carry none and are
+#: safe to stream across (same set appended_since treats as additive)
+_SAFE_NO_FILE_ACTIONS = {"alter"}
+
+
+def _spark_type_to_arrow(t):
+    import pyarrow as pa
+
+    s = t.simpleString()
+    table = {
+        "boolean": pa.bool_(), "tinyint": pa.int8(),
+        "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(),
+        "date": pa.date32(), "binary": pa.binary(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s in table:
+        return table[s]
+    if s.startswith("decimal"):
+        return pa.decimal128(t.precision, t.scale)
+    raise ValueError(
+        f"versioned stream source: column type {s!r} has no Arrow "
+        "mapping — supported: primitive/decimal columns"
+    )
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    abs_path: str
+    schema_json: str
+
+
+class VersionedStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        from lazy_frame_spark.sources import versioned as V
+
+        self.path = options["path"]
+        self.start_version = int(options.get("starting_version", 0))
+        # the stream's schema is FIXED at query start (Spark resolves
+        # it once): pad pre-evolution files up to it, project newer
+        # files' extra columns away — a column added mid-stream starts
+        # flowing after the consumer restarts, Delta's rule
+        v = V.latest_version(self.path)
+        if v is None:
+            raise FileNotFoundError(
+                f"no versioned table at {self.path}")
+        self.schema_json = V._read_manifest(self.path, v)["schema"]
+
+    # ---- offsets (driver) ------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from lazy_frame_spark.sources import versioned as V
+
+        v = V.latest_version(self.path)
+        if v is None:
+            raise FileNotFoundError(
+                f"no versioned table at {self.path}")
+        return {"version": max(v, self.start_version)}
+
+    # ---- planning (driver) -----------------------------------------
+    def partitions(self, start: dict, end: dict):
+        from lazy_frame_spark.sources import versioned as V
+
+        lo, hi = int(start["version"]), int(end["version"])
+        schema_json = self.schema_json
+        new_files: list[str] = []
+        prev_files = set(
+            V._read_manifest(self.path, lo)["files"]) if lo else set()
+        for v in range(lo + 1, hi + 1):
+            man = V._read_manifest(self.path, v)
+            action = man.get("action")
+            cur = set(man["files"])
+            if action == "append":
+                new_files.extend(sorted(cur - prev_files))
+            elif action == "overwrite" and v == 1:
+                # the table's BOOTSTRAP snapshot: nothing precedes it,
+                # so its files are the chain's first "append" (any
+                # later overwrite discards delivered rows and fails)
+                new_files.extend(sorted(cur))
+            elif action in _SAFE_NO_FILE_ACTIONS or cur == prev_files:
+                pass
+            else:
+                raise ValueError(
+                    f"versioned stream source: version {v} is a "
+                    f"{action!r} commit — the append-only chain is "
+                    "broken; re-seed the stream from a snapshot read "
+                    f"with starting_version={v}"
+                )
+            prev_files = cur
+        return [
+            _FilePartition(os.path.join(self.path, rel), schema_json)
+            for rel in new_files
+        ]
+
+    # ---- reading (executors) ---------------------------------------
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import types as T
+
+        sch = T.StructType.fromJson(json.loads(partition.schema_json))
+        target = pa.schema(
+            [(f.name, _spark_type_to_arrow(f.dataType)) for f in sch]
+        )
+        tbl = pq.read_table(partition.abs_path)
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl[field.name].cast(field.type))
+            else:
+                # pre-evolution file: the committed-schema read pads
+                # the missing column as typed NULL, same as batch
+                cols.append(pa.nulls(len(tbl), field.type))
+        out = pa.table(dict(zip(target.names, cols)), schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class VersionedTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lfs_table"
+
+    def schema(self) -> str:
+        from pyspark.sql import types as T
+
+        from lazy_frame_spark.sources import versioned as V
+
+        path = self.options["path"]
+        v = V.latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no versioned table at {path}")
+        sch = T.StructType.fromJson(
+            json.loads(V._read_manifest(path, v)["schema"]))
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sch)
+
+    def streamReader(self, schema) -> VersionedStreamReader:
+        return VersionedStreamReader(dict(self.options))
+
+
+def register_versioned_source(spark) -> None:
+    """Idempotent registration of the ``lfs_table`` stream format."""
+    spark.dataSource.register(VersionedTableDataSource)
+
+
+def versioned_stream_read(spark, path: str, starting_version: int = 0):
+    """``spark.readStream`` over a versioned table's append chain —
+    each micro-batch delivers the rows committed since the stream's
+    checkpointed version, exactly once, as file-grain executor
+    partitions. ``starting_version=0`` replays the full history;
+    pass the current version to consume only future appends."""
+    register_versioned_source(spark)
+    return (
+        spark.readStream.format("lfs_table")
+        .option("path", path)
+        .option("starting_version", starting_version)
+        .load()
+    )

@@ -685,3 +685,129 @@ def test_stream_into_versioned_table_exactly_once(spark, sf_dir, tmp_path):
     drain("ck2")
     assert read_versioned(spark, tbl).count() == 260
     assert last_stream_batch(tbl) > hw1
+
+
+# --------------------------------------------------------------------- #
+# streaming READS of versioned tables (sources/versioned_stream.py)
+# --------------------------------------------------------------------- #
+
+def _vsr_orders(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_totalprice", "o_orderdate",
+                    "o_orderstatus"))
+
+
+def test_versioned_stream_read_drains_append_chain(spark, sf_dir, tmp_path):
+    """readStream over the commit log: bootstrap snapshot + two appends
+    drain into a memory sink and match the batch union exactly —
+    including date and string columns through the Arrow cast path."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    t = str(tmp_path / "vsr")
+    o = _vsr_orders(spark, sf_dir)
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 500), t)
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(501, 900)), t)
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(901, 1100)), t)
+    q = (versioned_stream_read(spark, t)
+         .writeStream.format("memory").queryName("vsr_drain")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+    got = spark.sql("SELECT * FROM vsr_drain")
+    exp = o.filter(F.col("o_orderkey") <= 1100)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_versioned_stream_checkpoint_consumes_only_new_appends(
+        spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: a second availableNow run over the
+    SAME checkpoint must deliver only the rows appended in between —
+    version offsets ride the checkpoint, manifests are immutable."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    t = str(tmp_path / "vsr2")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    o = _vsr_orders(spark, sf_dir)
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 400), t)
+
+    def drain():
+        # parquet sink: the memory sink can't recover a checkpoint
+        q = (versioned_stream_read(spark, t)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        assert q.exception() is None
+        return spark.read.parquet(out)
+
+    n1 = drain().count()
+    assert n1 == o.filter(F.col("o_orderkey") <= 400).count()
+    V.append_versioned(o.filter(F.col("o_orderkey").between(401, 700)), t)
+    got = drain()  # same checkpoint: exactly the delta lands on top
+    exp = o.filter(F.col("o_orderkey") <= 700)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    # idempotent re-run with no new commits adds nothing
+    assert drain().count() == exp.count()
+
+
+def test_versioned_stream_fails_on_destructive_commit(
+        spark, sf_dir, tmp_path):
+    """A delete mid-chain must fail the stream loudly (rows already
+    delivered cannot be retracted) — never silently re-emit or skip."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "vsr3")
+    o = _vsr_orders(spark, sf_dir)
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 400), t)
+    V.append_versioned(o.filter(F.col("o_orderkey").between(401, 600)), t)
+    V.delete_versioned(spark, t, "o_orderkey <= 100")
+    r = VersionedStreamReader({"path": t})
+    with pytest.raises(ValueError, match="append-only chain"):
+        r.partitions({"version": 0}, {"version": 3})
+    # streaming only the pre-delete range still plans fine
+    assert len(r.partitions({"version": 0}, {"version": 2})) > 0
+
+
+def test_versioned_stream_pads_pre_evolution_files(
+        spark, sf_dir, tmp_path):
+    """Files written before an additive evolution stream their missing
+    column as typed NULL — the committed-schema rule, Arrow-side."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    t = str(tmp_path / "vsr4")
+    o = _vsr_orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 300), t)
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(301, 500))
+        .withColumn("lang", F.lit("en")),
+        t, merge_schema=True)
+    q = (versioned_stream_read(spark, t)
+         .writeStream.format("memory").queryName("vsr_evo")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+    got = spark.sql(
+        "SELECT COALESCE(lang, 'none') AS lang, COUNT(*) AS n "
+        "FROM vsr_evo GROUP BY 1").collect()
+    by = {r["lang"]: r["n"] for r in got}
+    assert by["none"] == o.filter(F.col("o_orderkey") <= 300).count()
+    assert by["en"] == o.filter(
+        F.col("o_orderkey").between(301, 500)).count()
