@@ -94,6 +94,7 @@ __all__ = [
     "cluster_increment",
     "read_versioned",
     "skipping_summary",
+    "metadata_aggregate",
     "build_blooms",
     "history",
     "latest_version",
@@ -1840,6 +1841,110 @@ def skipping_summary(path: str, where: list,
         "pruned_files": len(man["files"]) - len(kept),
         "kept": kept,
     }
+
+
+def metadata_aggregate(
+    path: str, cols: list[str] | None = None,
+    version: int | None = None,
+) -> dict:
+    """COUNT(*)/MIN/MAX/COUNT(col) answered from COMMIT METADATA alone —
+    manifest row counts, stats sidecars, and (for merge-on-read tables)
+    the deletion-vector files' own footers. Zero Spark jobs, zero data
+    scans: the function doesn't even take a session. This is Iceberg's
+    metadata-only query / Delta's ``COUNT(*)`` optimization — on a
+    100 TB table, ``SELECT COUNT(*)`` is a sidecar walk, not a
+    million-task scan.
+
+    Exactness rules (anything not PROVABLE is ``None``, never a guess):
+
+    - ``count``: manifest footer-row total minus DV-masked rows. DV
+      directories are small by design (O(deleted rows)), so their
+      footers are a driver-side read; a DV row whose target file left
+      the manifest (compacted away) no longer masks anything and is
+      excluded by a content read of the (small) DV files.
+    - per-column ``min``/``max``: fold of the per-file sidecar bounds —
+      exact only when EVERY referenced file has usable bounds (or is
+      provably all-NULL) for the column AND no DV touches the table
+      (a masked row could be the extremum; parquet stats ignore NULLs,
+      matching SQL MIN/MAX).
+    - per-column ``non_null``: rows minus the null-count fold, same
+      provability rules.
+
+    Returns ``{"version", "count", "cols": {c: {"min","max","non_null"}}}``.
+    """
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    files = list(man["files"])
+    file_set = set(files)
+    out: dict = {"version": v, "count": None,
+                 "cols": {c: {"min": None, "max": None,
+                              "non_null": None} for c in (cols or [])}}
+    total = man.get("rows")
+    if total is None:
+        total = _footer_rows(path, files)
+    dv_files = man.get("dv_files") or []
+    dv_masked = 0
+    if dv_files and total is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            for rel in dv_files:
+                t = pq.read_table(os.path.join(path, rel),
+                                  columns=["__file__"])
+                col = t["__file__"].to_pylist()
+                dv_masked += sum(1 for f in col if f in file_set)
+        except Exception:
+            total = None  # unreadable DV: count not provable
+    if total is not None:
+        out["count"] = total - dv_masked
+    if not cols:
+        return out
+    # per-column bounds fold (DV-free tables only — a masked row could
+    # be the extremum, so any DV makes column stats unprovable)
+    if dv_files:
+        return out
+    per_dir: dict[str, dict | None] = {}
+    for c in cols:
+        lo = hi = None
+        non_null = 0
+        provable = True
+        for rel in files:
+            d, base = os.path.split(rel)
+            if d not in per_dir:
+                per_dir[d] = filestats.load_dir_stats(
+                    os.path.join(path, d))
+            stats = per_dir[d]
+            st = stats.get(base) if stats else None
+            if st is None:
+                provable = False
+                break
+            rows = st.get("rows", 0)
+            if rows == 0:
+                continue  # empty file: no stats, nothing to prove
+            rec = st.get("cols", {}).get(c)
+            if rec is None:
+                # column missing from this file's stats: could be a
+                # pre-evolution file (all-NULL — safe) or unusable
+                # statistics (not safe) — indistinguishable here, so
+                # not provable
+                provable = False
+                break
+            nulls = rec.get("nulls")
+            if nulls is not None and nulls >= rows:
+                continue  # all-NULL file: no extremum, 0 non-nulls
+            if "lo" not in rec or nulls is None:
+                provable = False
+                break
+            flo, fhi = filestats._decode(rec["lo"]), filestats._decode(rec["hi"])
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
+            non_null += rows - nulls
+        if provable:
+            out["cols"][c] = {"min": lo, "max": hi,
+                              "non_null": non_null}
+    return out
 
 
 def appended_since(

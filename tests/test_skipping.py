@@ -963,6 +963,73 @@ class TestApplyCdc:
         assert hist[-1]["stream_batch_id"] == 1
 
 
+class TestMetadataAggregate:
+    def test_exact_on_append_chain_and_all_null(self, spark, tmp_path):
+        t = str(tmp_path / "magg")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        withnull = o.limit(300).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_totalprice")))
+        V.write_versioned(withnull.repartition(3), t)
+        V.append_versioned(
+            o.filter(F.col("o_orderkey") > 10**6)  # empty batch is fine
+            .unionByName(o.limit(50)), t)
+        m = V.metadata_aggregate(t, ["o_orderkey", "o_totalprice"])
+        exp = V.read_versioned(spark, t).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("klo"),
+            F.max("o_orderkey").alias("khi"),
+            F.min("o_totalprice").alias("plo"),
+            F.max("o_totalprice").alias("phi"),
+            F.count("o_totalprice").alias("pn")).first()
+        assert m["count"] == exp["n"]
+        k = m["cols"]["o_orderkey"]
+        p = m["cols"]["o_totalprice"]
+        assert (k["min"], k["max"]) == (exp["klo"], exp["khi"])
+        assert (p["min"], p["max"]) == (exp["plo"], exp["phi"])
+        assert p["non_null"] == exp["pn"]
+        assert k["non_null"] == exp["n"]
+
+    def test_mor_deletes_adjust_count_and_refuse_col_stats(
+            self, spark, tmp_path):
+        """DV-masked rows subtract from COUNT (exact, from the DV
+        files' own content); column stats become unprovable — a masked
+        row could be the extremum — until purge materializes."""
+        t = str(tmp_path / "magg2")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(400).repartition(2), t)
+        V.delete_versioned(spark, t, "o_orderkey % 5 = 0",
+                           strategy="merge-on-read")
+        m = V.metadata_aggregate(t, ["o_orderkey"])
+        assert m["count"] == V.read_versioned(spark, t).count()
+        assert m["cols"]["o_orderkey"]["min"] is None
+        # purge rewrites the tombstoned files: stats provable again
+        V.purge_dvs(spark, t)
+        m2 = V.metadata_aggregate(t, ["o_orderkey"])
+        exp = V.read_versioned(spark, t).agg(
+            F.count(F.lit(1)), F.min("o_orderkey"),
+            F.max("o_orderkey")).first()
+        assert m2["count"] == exp[0]
+        assert m2["cols"]["o_orderkey"]["min"] == exp[1]
+        assert m2["cols"]["o_orderkey"]["max"] == exp[2]
+
+    def test_pre_evolution_column_not_provable(self, spark, tmp_path):
+        """A column added mid-stream is missing from pre-evolution
+        sidecars — indistinguishable from unusable stats, so its
+        min/max must come back None, never a guess."""
+        t = str(tmp_path / "magg3")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(100), t)
+        V.append_versioned(
+            o.limit(40).withColumn("extra", F.col("o_orderkey") * 2),
+            t, merge_schema=True)
+        m = V.metadata_aggregate(t, ["extra", "o_orderkey"])
+        assert m["cols"]["extra"]["min"] is None
+        assert m["cols"]["o_orderkey"]["min"] is not None
+        assert m["count"] == 140
+
+
 class TestDistributedPruning:
     def _conjs(self):
         return [
