@@ -60,6 +60,7 @@ def edit_distance_pairs(
     max_distance: int = 1,
     q: int = 3,
     antisymmetric: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """EXACT edit-distance join: EVERY pair with
     ``levenshtein <= max_distance`` — 100% recall with no cross join,
@@ -161,6 +162,12 @@ def edit_distance_pairs(
         sa2.join(sb2, on="__len__").select(li, lt, ri, rt))
 
     cand = long_cand.unionAll(short_cand).distinct()
+    if stats_out is not None:
+        # measurement hook (costs one extra job — never in the hot
+        # path): candidate count before the banded verify, for
+        # verify-yield tracking (round-11 verdict item 8: the location
+        # filter is built only if a workload shows verify dominating)
+        stats_out["candidates"] = cand.count()
     dist = F.levenshtein(F.col(lt), F.col(rt), k)
     out = (
         cand.filter(F.abs(F.length(lt) - F.length(rt)) <= k)
