@@ -36,10 +36,21 @@ Design rules, and why they hold at 100 TB:
   written under a dot-prefixed temp name, renamed into place, and only
   THEN is the manifest published via hard-link-from-temp — creation of
   `_manifests/{n}.json` is the commit point, and `os.link` fails if a
-  concurrent writer took the number first (single-winner; losers get
-  VersionConflict and retry on the new parent). A crash before the
-  link leaves an orphan temp dir that no manifest references —
-  invisible to readers, reclaimed by `vacuum_versioned`.
+  concurrent writer took the number first (single-winner). A crash
+  before the link leaves an orphan temp dir that no manifest
+  references — invisible to readers, reclaimed by `vacuum_versioned`.
+- **Losers rebase optimistically** (Delta/Iceberg's concurrency
+  model): a blind APPEND commutes with any winner, so it re-validates
+  against the winner's committed state (schema, constraints, DV list)
+  and re-attempts parent+1 automatically — concurrent ingest never
+  coordinates and never loses a batch. Maintenance REWRITES
+  (compact / cluster) rebase over winners whose chain is ADDITIVE
+  (append/alter) by carrying the winners' files alongside the
+  rewrite; a winner that removed or rewrote data invalidated their
+  read-set, so they raise ``VersionConflict`` for a clean re-run.
+  Read-set-dependent writers (merge / CDC / delete) never auto-rebase:
+  their correctness depends on what they read, so conflicts always
+  surface.
 - **Row counts ride the manifest for free**: summed from parquet
   footer metadata (no scan), so `history()` answers "how big was
   version k" as a pure metadata read — the same trick as
@@ -196,6 +207,65 @@ def set_publish_arbiter(fn=None) -> None:
 
 def _publish(path: str, version: int, doc: dict) -> None:
     _PUBLISH_ARBITER(path, version, doc)
+
+
+#: bounded optimistic-concurrency retries: each loser re-reads the new
+#: latest manifest and re-attempts parent+1; livelock would need this
+#: many conflicting writers landing in the same instant, repeatedly
+_MAX_COMMIT_RETRIES = 5
+
+
+def _chain_is_additive(path: str, since: int, until: int) -> bool:
+    """True when every commit in (since, until] only ADDED files or
+    metadata (``append`` / ``alter``) — the winner set a rebasing
+    loser can commute with. Anything that removed, rewrote or masked
+    data (delete/overwrite/merge/restore/cluster/compact/purge)
+    invalidates a concurrent writer's read-set."""
+    for v in range(since + 1, until + 1):
+        if _read_manifest(path, v).get("action") not in ("append",
+                                                         "alter"):
+            return False
+    return True
+
+
+def _commit_rewrite_with_rebase(
+    path: str, action: str, parent: int, prev: dict,
+    replaced: list[str], new_files: list[str],
+    extra: dict | None = None, dvs: list[str] | None = None,
+) -> int:
+    """Commit a maintenance REWRITE (compact / cluster) that replaced
+    ``replaced`` ⊆ the read snapshot's files with ``new_files``,
+    auto-rebasing over concurrent winners whose chain is ADDITIVE:
+    OPTIMIZE must not lose the ingest that landed while it ran (and
+    must not make ingest wait for it). The rebased file list is the
+    winner's list minus ``replaced`` plus ``new_files`` — the winner's
+    appended files ride along untouched. A non-additive winner
+    (delete/merge/...) invalidated the rewrite's read-set: the loser
+    raises ``VersionConflict`` and the caller re-runs on fresh state
+    (its attempt directory is unreferenced and vacuumable)."""
+    replaced_set = set(replaced)
+    files = [f for f in prev["files"] if f not in replaced_set]
+    files += new_files
+    for _ in range(_MAX_COMMIT_RETRIES):
+        try:
+            return _commit(path, action, files, prev["schema"], parent,
+                           extra, dvs=dvs)
+        except VersionConflict:
+            new_parent = latest_version(path)
+            if not _chain_is_additive(path, parent, new_parent):
+                raise VersionConflict(
+                    f"{action} of {path} lost to a concurrent commit "
+                    "that rewrote or removed data — re-run on the new "
+                    "table state"
+                ) from None
+            winner = _read_manifest(path, new_parent)
+            files = [f for f in winner["files"]
+                     if f not in replaced_set] + new_files
+            parent, prev = new_parent, winner
+    raise VersionConflict(
+        f"{action} of {path}: exceeded {_MAX_COMMIT_RETRIES} rebase "
+        "attempts under sustained concurrent writes"
+    )
 
 
 def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:
@@ -547,9 +617,34 @@ def append_versioned(df: DataFrame, path: str,
                           "append_versioned")
     version = parent + 1
     new_files = _write_data_dir(df, path, version)
-    return _commit(
-        path, "append", list(prev["files"]) + new_files, schema_json,
-        parent, extra,
+    for _ in range(_MAX_COMMIT_RETRIES):
+        try:
+            return _commit(
+                path, "append", list(prev["files"]) + new_files,
+                schema_json, parent, extra,
+            )
+        except VersionConflict:
+            # optimistic rebase: a blind append commutes with ANY
+            # winner — its rows don't depend on what it read — so the
+            # loser re-validates against the winner's committed state
+            # (schema may have evolved, constraints may have been
+            # added, the winner's DV list rides in via _commit's
+            # inheritance) and re-attempts parent+1. Concurrent
+            # ingest never has to coordinate.
+            parent = latest_version(path)
+            prev = _read_manifest(path, parent)
+            if merge_schema:
+                schema_json = _merge_schemas(prev["schema"],
+                                             df.schema.json())
+            else:
+                _check_append_schema(df, prev["schema"])
+                schema_json = prev["schema"]
+            _validate_constraints(_pad_to_schema(df, schema_json),
+                                  prev.get("constraints") or {},
+                                  "append_versioned(rebase)")
+    raise VersionConflict(
+        f"append to {path}: exceeded {_MAX_COMMIT_RETRIES} rebase "
+        "attempts under sustained concurrent writes"
     )
 
 
@@ -813,8 +908,8 @@ def compact_versioned(
     total = sum(os.path.getsize(os.path.join(path, rel)) for rel in small)
     n_out = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
     new_files = _write_data_dir(df.coalesce(n_out), path, version)
-    v = _commit(path, "compact", healthy + new_files, prev["schema"],
-                parent)
+    v = _commit_rewrite_with_rebase(path, "compact", parent, prev,
+                                    replaced=small, new_files=new_files)
     return v, {"files_compacted": len(small),
                "files_carried": len(healthy),
                "files_written": len(new_files)}
@@ -1033,10 +1128,14 @@ def cluster_versioned(
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
     # every file was rewritten with tombstones applied — DVs are all
-    # materialized, the new commit carries none
-    v = _commit(path, "cluster", new_files, prev["schema"], parent,
-                {"cluster_cols": list(cols), "cluster_scaling": scaling},
-                dvs=[])
+    # materialized, the new commit carries none (winner appends rebased
+    # in by _commit_rewrite_with_rebase carry no DVs either: only
+    # additive chains commute)
+    v = _commit_rewrite_with_rebase(
+        path, "cluster", parent, prev,
+        replaced=list(prev["files"]), new_files=new_files,
+        extra={"cluster_cols": list(cols), "cluster_scaling": scaling},
+        dvs=[])
     return v, {"files_in": len(prev["files"]),
                "files_out": len(new_files)}
 
@@ -1106,9 +1205,11 @@ def cluster_increment(
     out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
     new_files = _write_data_dir(out, path, version)
-    v = _commit(path, "cluster", carried + new_files, prev["schema"], parent,
-                {"cluster_cols": list(cols), "cluster_scaling": scaling,
-                 "cluster_since": since})
+    v = _commit_rewrite_with_rebase(
+        path, "cluster", parent, prev,
+        replaced=tail, new_files=new_files,
+        extra={"cluster_cols": list(cols), "cluster_scaling": scaling,
+               "cluster_since": since})
     return v, {"files_carried": len(carried),
                "files_tail_in": len(tail),
                "files_out": len(new_files)}

@@ -1837,3 +1837,117 @@ def test_versioned_cluster_quantile_scaling_beats_minmax_on_skew(spark, tmp_path
     assert V.read_versioned(spark, t_q).count() == 4000
     hist = V.history(t_q)
     assert hist[-1]["action"] == "cluster"
+
+
+def test_concurrent_appends_auto_rebase_threads(spark, tmp_path):
+    """Optimistic concurrency, the real race: N threads blind-append to
+    the same table simultaneously through the default link(2) arbiter.
+    Losers rebase automatically (a blind append commutes with any
+    winner), so EVERY append lands, versions are dense, and the final
+    table is the union — no coordination, no lost updates."""
+    import threading
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vrace")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    bands = [(100, 110), (200, 215), (300, 320), (400, 430)]
+    errs: list = []
+
+    def work(lo, hi):
+        try:
+            V.append_versioned(_vt_rows(spark, lo, hi), t)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=b) for b in bands]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert V.latest_version(t) == 1 + len(bands)  # dense versions
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    exp = sorted(list(range(0, 5))
+                 + [k for lo, hi in bands for k in range(lo, hi)])
+    assert got == exp
+    # history is all appends on top of the snapshot
+    actions = [V._read_manifest(t, v)["action"]
+               for v in range(2, V.latest_version(t) + 1)]
+    assert actions == ["append"] * len(bands)
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """OPTIMIZE must not lose concurrent ingest: an append that wins
+    the version race mid-compaction is carried into the rebased commit
+    — the winner's files ride along, the compacted files are still
+    replaced, and no rows are lost or duplicated."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vcomp")
+    V.write_versioned(_vt_rows(spark, 0, 30).repartition(4), t)
+    orig = V.default_publish_arbiter
+    state = {"fired": False}
+
+    def racing_arbiter(path, version, doc):
+        if doc.get("action") == "compact" and not state["fired"]:
+            state["fired"] = True
+            # the competing writer lands an append FIRST at this number
+            V.append_versioned(_vt_rows(spark, 500, 510, flag="w"),
+                               path)
+        orig(path, version, doc)
+
+    V.set_publish_arbiter(racing_arbiter)
+    try:
+        v, stats = V.compact_versioned(spark, t, small_mb=8)
+    finally:
+        V.set_publish_arbiter(None)
+    assert state["fired"]
+    assert stats["files_compacted"] >= 2
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == sorted(list(range(0, 30)) + list(range(500, 510)))
+    # the winner's files are carried by reference in the rebased commit
+    man = V._read_manifest(t, v)
+    winner_files = set(V._read_manifest(t, v - 1)["files"]) - set(
+        V._read_manifest(t, v - 2)["files"])
+    assert winner_files and winner_files <= set(man["files"])
+
+
+def test_cluster_rebases_over_append_but_refuses_delete(
+        spark, tmp_path):
+    """The additive-chain rule both ways: a Z-order rewrite rebases
+    over a concurrent append (rows preserved), but a concurrent DELETE
+    invalidates the rewrite's read-set and must raise — committing the
+    stale rewrite would RESURRECT the deleted rows."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vclu")
+    V.write_versioned(_vt_rows(spark, 0, 40).repartition(4), t)
+    orig = V.default_publish_arbiter
+    state = {"mode": "append", "fired": False}
+
+    def racing_arbiter(path, version, doc):
+        if doc.get("action") == "cluster" and not state["fired"]:
+            state["fired"] = True
+            if state["mode"] == "append":
+                V.append_versioned(_vt_rows(spark, 600, 605), path)
+            else:
+                V.delete_versioned(spark, path, "k < 5")
+        orig(path, version, doc)
+
+    V.set_publish_arbiter(racing_arbiter)
+    try:
+        V.cluster_versioned(spark, t, ["k"], num_partitions=4)
+        got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+        assert got == sorted(list(range(0, 40)) + list(range(600, 605)))
+        # round 2: the destructive winner
+        state.update(mode="delete", fired=False)
+        with pytest.raises(V.VersionConflict, match="rewrote or removed"):
+            V.cluster_versioned(spark, t, ["k"], num_partitions=4)
+        # the delete itself committed; the failed rewrite changed nothing
+        got2 = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+        assert got2 == sorted(list(range(5, 40)) + list(range(600, 605)))
+    finally:
+        V.set_publish_arbiter(None)
