@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "view_versioned_merge",      # key-based MERGE upsert + delete-by-key
     "view_incremental_join",     # delta-maintained JOIN view, 2 update rounds
     "view_versioned_delete_mor", # merge-on-read deletes + purge materialize
+    "stream_versioned_feed",     # readStream over the commit log (round 12)
+    "view_metadata_agg",         # zero-scan COUNT/MIN/MAX from metadata
+    "view_concurrent_appends",   # 4-thread optimistic-rebase ingest race
 ]
 
 
@@ -186,6 +189,11 @@ BUDGETS_SF01 = {
     # builds two versioned sides + init join + two incremental updates
     "view_incremental_join": 10.5,
     "view_versioned_delete_mor": 5.0,
+    # round-12 rows (budgets set at ~2x the best same-machine min
+    # measured on the round-12 closing bench)
+    "stream_versioned_feed": 7.0,
+    "view_metadata_agg": 3.0,
+    "view_concurrent_appends": 8.0,
 }
 
 #: Phase-split rows (round-11 verdict item 6): the row's recorded time

@@ -4607,6 +4607,78 @@ def stream_versioned_append(spark, sf_dir):
 
 
 @query(
+    "view_concurrent_appends",
+    # four writers race blind appends of disjoint key bands onto one
+    # table with NO coordination; optimistic rebase must land every
+    # batch exactly once — the union is deterministic whatever the
+    # commit order, so the declarative twin just aggregates the bands
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= 2100
+    """,
+)
+def view_concurrent_appends(spark, sf_dir):
+    """Optimistic multi-writer concurrency
+    (sources/versioned.append_versioned + the single-winner commit
+    arbiter): four THREADS blind-append disjoint key bands to the same
+    versioned table simultaneously — losers of the version race rebase
+    automatically (re-validate against the winner's committed state,
+    re-attempt parent+1), so every batch lands exactly once with no
+    lost updates and no coordination. The row RAISES unless the
+    history shows the bootstrap plus exactly four append commits with
+    dense version numbers; n == n_keys in the graded aggregate proves
+    no batch double-landed under the race. At 100 TB this is
+    continuous ingest from independent pipelines sharing one table —
+    Delta's concurrency model, test-pinned further (incl. OPTIMIZE
+    commuting with ingest) in tests/test_sources_sinks.py."""
+    import hashlib
+    import shutil
+    import threading
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vrace_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 500), t)
+    bands = [(501, 900), (901, 1300), (1301, 1700), (1701, 2100)]
+    errs: list = []
+
+    def work(lo, hi):
+        try:
+            V.append_versioned(
+                o.filter(F.col("o_orderkey").between(lo, hi)), t)
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=b) for b in bands]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise AssertionError(f"concurrent append failed: {errs[0]}")
+    vs = V.latest_version(t)
+    actions = [V._read_manifest(t, v)["action"] for v in range(2, vs + 1)]
+    if vs != 1 + len(bands) or actions != ["append"] * len(bands):
+        raise AssertionError(
+            f"rebase protocol broke: latest={vs}, actions={actions}")
+    return V.read_versioned(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "view_metadata_agg",
     # COUNT/MIN/MAX/non-null answered from commit metadata only — the
     # declarative twin recomputes them by scanning; equality proves the
@@ -9508,7 +9580,12 @@ DRIVER_WINDOW: list[str] = [
     # aggregation: partial+final (rollup/cube/grouping-set variants sit
     # past the cap, still locally checked)
     "agg_q1_pricing_summary",
-    "search_bm25_topk",
+    # (search_bm25_topk rotated past the cap in round 12 — green rounds
+    # 1-11, the longest-green row in the whole window; BM25 ranked
+    # retrieval stays BENCHED and locally checked. Its slot funds
+    # view_concurrent_appends — round 12's optimistic-concurrency
+    # protocol earning a driver row the round it ships.)
+    "view_concurrent_appends",
     # joins: semi, as-of, shuffled multi-join, and the TPC-H Q2
     # capstone (correlated-MIN decorrelation over the derived partsupp).
     # Round-5 rotation: join_broadcast_dims moved past the cap — the
