@@ -4951,7 +4951,12 @@ def view_versioned_evolve(spark, sf_dir):
     schema, never a sampled footer), and a file-grain copy-on-write
     DELETE across the evolution boundary rewrites with the evolved
     schema so the new column survives maintenance. The graded
-    aggregate covers both sides of the boundary plus the delete."""
+    aggregate covers both sides of the boundary plus the delete.
+    Round 12 also routes TYPE WIDENING through the same check: v1
+    writes o_orderkey as INT (narrow), v2's bigint batch widens the
+    committed type in place — the narrow v1 files read up natively on
+    every later scan (and through the v3 rewrite), so the aggregate's
+    min/max over the full key range also certifies the widening."""
     import hashlib
     import shutil
 
@@ -4963,13 +4968,18 @@ def view_versioned_evolve(spark, sf_dir):
     o = _table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    V.write_versioned(o.filter(F.col("o_orderkey") <= 3000), t)  # v1
+    V.write_versioned(                                            # v1
+        o.filter(F.col("o_orderkey") <= 3000)
+        .withColumn("o_orderkey", F.col("o_orderkey").cast("int")), t)
     V.append_versioned(                                           # v2
         o.filter((F.col("o_orderkey") > 3000)
                  & (F.col("o_orderkey") <= 4500))
         .withColumn("lang", F.lit("en")),
         t, merge_schema=True,
     )
+    sch = dict(V.read_versioned(spark, t).dtypes)
+    if sch["o_orderkey"] != "bigint":
+        raise AssertionError(f"widening did not evolve the table: {sch}")
     V.delete_versioned(spark, t, "o_orderkey <= 500")             # v3
     return (
         V.read_versioned(spark, t)

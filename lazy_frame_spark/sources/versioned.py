@@ -507,37 +507,69 @@ def _write_dv_dir(dv_rows: DataFrame, path: str, version: int) -> list[str]:
     )
 
 
+#: lossless widening lattice (schema-JSON type names): every promotion
+#: here is one Spark 4's parquet readers perform natively on scan
+#: (SPARK-40876), so NARROW files under a WIDE committed schema read
+#: correctly with zero rewrite — Delta's type-widening feature
+_WIDEN_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widened_type(a, b):
+    """The wider of two schema-JSON primitive types when (a, b) is a
+    lossless widening pair, else None. Only string-named primitives
+    participate (complex types never widen)."""
+    if not (isinstance(a, str) and isinstance(b, str)):
+        return None
+    if a == b:
+        return a
+    if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+        return a if _WIDEN_ORDER[a] >= _WIDEN_ORDER[b] else b
+    if {a, b} == {"float", "double"}:
+        return "double"
+    return None
+
+
 def _merge_schemas(committed_json: str, batch_json: str) -> str:
-    """Delta-style additive schema merge for
-    ``append_versioned(merge_schema=True)``: overlapping columns must
-    keep their exact type; batch-only columns are APPENDED to the
-    committed schema as nullable (older files read them as NULL);
-    committed columns the batch lacks become nullable too (the new
-    files read them as NULL). No type widening, no drops, no renames —
-    those are new-snapshot territory (``write_versioned``)."""
+    """Delta-style schema merge for
+    ``append_versioned(merge_schema=True)``: batch-only columns are
+    APPENDED to the committed schema as nullable (older files read
+    them as NULL); committed columns the batch lacks become nullable
+    too (the new files read them as NULL); an overlapping column may
+    WIDEN losslessly (byte→short→int→long, float→double — the
+    committed type becomes the wider one, and every file on either
+    side keeps reading correctly because the scan always carries the
+    committed schema and Spark's parquet readers upcast narrow
+    physical types natively). Anything else — narrowing the TABLE is
+    never needed (a narrow batch under a wide schema is just accepted,
+    see ``_check_append_schema``), string↔numeric, drops, renames —
+    is new-snapshot territory (``write_versioned``)."""
     cj = json.loads(committed_json)
     bj = json.loads(batch_json)
     by_name = {f["name"]: f for f in cj["fields"]}
-    batch_names = {f["name"] for f in bj["fields"]}
+    batch_by_name = {f["name"]: f for f in bj["fields"]}
     merged = []
     for f in cj["fields"]:
         g = dict(f)
-        if f["name"] not in batch_names:
+        bf = batch_by_name.get(f["name"])
+        if bf is None:
             g["nullable"] = True
+        elif (json.dumps(f["type"], sort_keys=True)
+              != json.dumps(bf["type"], sort_keys=True)):
+            w = _widened_type(f["type"], bf["type"])
+            if w is None:
+                raise ValueError(
+                    f"merge_schema: column {f['name']!r} changes type "
+                    f"{f['type']!r} -> {bf['type']!r}, which is not a "
+                    "lossless widening; incompatible type changes need "
+                    "a new snapshot (write_versioned)"
+                )
+            g["type"] = w
         merged.append(g)
     for f in bj["fields"]:
-        ex = by_name.get(f["name"])
-        if ex is None:
+        if f["name"] not in by_name:
             g = dict(f)
             g["nullable"] = True
             merged.append(g)
-        elif (json.dumps(ex["type"], sort_keys=True)
-              != json.dumps(f["type"], sort_keys=True)):
-            raise ValueError(
-                f"merge_schema: column {f['name']!r} changes type "
-                f"{ex['type']!r} -> {f['type']!r}; type changes need a "
-                "new snapshot (write_versioned)"
-            )
     return json.dumps({"type": "struct", "fields": merged})
 
 
@@ -562,21 +594,40 @@ def _check_append_schema(df: DataFrame, schema_json: str) -> None:
     committed schema: parquet append never validates, and a mismatched
     file list makes later reads resolve the table schema from whichever
     footer Spark samples — missing columns silently read as NULL (the
-    same hazard IVFPQIndex.add refuses). Nullability may differ."""
+    same hazard IVFPQIndex.add refuses). Nullability may differ, and a
+    batch column NARROWER than the committed type is accepted (its
+    files read up to the committed type on scan — the widening
+    lattice); a WIDER batch column must evolve the table explicitly
+    via ``merge_schema=True``."""
     committed = {
-        (f["name"], json.dumps(f["type"], sort_keys=True))
+        f["name"]: f["type"]
         for f in json.loads(schema_json)["fields"]
     }
     batch = {
-        (f["name"], json.dumps(f["type"], sort_keys=True))
+        f["name"]: f["type"]
         for f in json.loads(df.schema.json())["fields"]
     }
-    if committed != batch:
+
+    def compatible(name) -> bool:
+        ct, bt = committed.get(name), batch.get(name)
+        if name not in committed or name not in batch:
+            return False
+        if json.dumps(ct, sort_keys=True) == json.dumps(bt, sort_keys=True):
+            return True
+        # narrow batch under wide committed type: reads up natively
+        return _widened_type(ct, bt) == ct
+    names = set(committed) | set(batch)
+    bad = sorted(n for n in names if not compatible(n))
+    if bad:
+        detail = [
+            (n, committed.get(n, "<absent>"), batch.get(n, "<absent>"))
+            for n in bad
+        ]
         raise ValueError(
             "append_versioned: batch schema diverges from the committed "
-            f"table schema — committed-only {sorted(committed - batch)}, "
-            f"batch-only {sorted(batch - committed)}; align the batch "
-            "(or commit a new snapshot with write_versioned)"
+            f"table schema — (column, committed, batch): {detail}; "
+            "align the batch, widen via merge_schema=True, or commit a "
+            "new snapshot with write_versioned"
         )
 
 

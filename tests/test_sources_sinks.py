@@ -1951,3 +1951,51 @@ def test_cluster_rebases_over_append_but_refuses_delete(
         assert got2 == sorted(list(range(5, 40)) + list(range(600, 605)))
     finally:
         V.set_publish_arbiter(None)
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """Lossless type widening (Delta-style, on Spark 4's native parquet
+    upcast reads): a merge_schema append with a WIDER column type
+    evolves the committed type in place; pre-widening narrow files read
+    up on every later scan — values exact, no rewrite. Narrow batches
+    under the wide schema keep appending without merge_schema; a
+    non-widenable change stays refused."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vwiden")
+    narrow = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "k int, x float")
+    V.write_versioned(narrow, t)
+    wide = spark.createDataFrame(
+        [(3_000_000_000, 3.5), (4, 4.5)], "k long, x double")
+    # without merge_schema, a WIDER batch is refused with guidance
+    with pytest.raises(ValueError, match="merge_schema"):
+        V.append_versioned(wide, t)
+    V.append_versioned(wide, t, merge_schema=True)
+    got = V.read_versioned(spark, t)
+    assert dict(got.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 4, 3_000_000_000]
+    assert sorted(r["x"] for r in got.collect()) == [1.5, 2.5, 3.5, 4.5]
+    # narrow batches keep flowing WITHOUT merge_schema (they read up)
+    V.append_versioned(
+        spark.createDataFrame([(7, 7.5)], "k int, x float"), t)
+    got2 = V.read_versioned(spark, t)
+    assert got2.count() == 5
+    assert dict(got2.dtypes) == {"k": "bigint", "x": "double"}
+    # maintenance across the widening boundary carries the wide schema
+    V.delete_versioned(spark, t, "k = 2")
+    got3 = V.read_versioned(spark, t)
+    assert sorted(r["k"] for r in got3.collect()) == [1, 4, 7, 3_000_000_000]
+    assert dict(got3.dtypes) == {"k": "bigint", "x": "double"}
+    # string -> numeric stays a refused, non-widenable change
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        V.append_versioned(
+            spark.createDataFrame([("s", 1.0)], "k string, x double"),
+            t, merge_schema=True)
+    # metadata aggregates stay exact across the mixed physical types
+    m = V.metadata_aggregate(t, ["k"])
+    assert m["count"] == 4
+    assert m["cols"]["k"]["min"] == 1
+    assert m["cols"]["k"]["max"] == 3_000_000_000
