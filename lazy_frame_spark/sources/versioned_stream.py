@@ -98,7 +98,23 @@ class VersionedStreamReader(DataSourceStreamReader):
         from lazy_frame_spark.sources import versioned as V
 
         self.path = options["path"]
-        self.start_version = int(options.get("starting_version", 0))
+        if "starting_timestamp" in options:
+            if "starting_version" in options:
+                raise ValueError(
+                    "versioned stream source: starting_version and "
+                    "starting_timestamp are mutually exclusive")
+            # AS-OF resolution: consume appends AFTER the newest
+            # version committed at or before the timestamp. Options
+            # arrive stringly-typed; recover the epoch-seconds domain
+            # before handing to version_as_of (ISO strings pass as-is)
+            ts = options["starting_timestamp"]
+            try:
+                ts = float(ts)
+            except (TypeError, ValueError):
+                pass
+            self.start_version = int(V.version_as_of(self.path, ts))
+        else:
+            self.start_version = int(options.get("starting_version", 0))
         # the stream's schema is FIXED at query start (Spark resolves
         # it once): pad pre-evolution files up to it, project newer
         # files' extra columns away — a column added mid-stream starts
@@ -212,16 +228,25 @@ def register_versioned_source(spark) -> None:
     spark.dataSource.register(VersionedTableDataSource)
 
 
-def versioned_stream_read(spark, path: str, starting_version: int = 0):
+def versioned_stream_read(spark, path: str,
+                          starting_version: int | None = None,
+                          starting_timestamp=None):
     """``spark.readStream`` over a versioned table's append chain —
     each micro-batch delivers the rows committed since the stream's
     checkpointed version, exactly once, as file-grain executor
-    partitions. ``starting_version=0`` replays the full history;
-    pass the current version to consume only future appends."""
+    partitions. ``starting_version=0`` (the default) replays the full
+    history; pass the current version to consume only future appends,
+    or ``starting_timestamp`` (epoch seconds / ISO-8601, the same
+    domain as ``read_versioned(as_of=...)``) to start after the
+    newest version committed at or before that instant."""
+    if starting_version is not None and starting_timestamp is not None:
+        raise ValueError(
+            "starting_version and starting_timestamp are mutually "
+            "exclusive")
     register_versioned_source(spark)
-    return (
-        spark.readStream.format("lfs_table")
-        .option("path", path)
-        .option("starting_version", starting_version)
-        .load()
-    )
+    r = (spark.readStream.format("lfs_table").option("path", path))
+    if starting_timestamp is not None:
+        r = r.option("starting_timestamp", str(starting_timestamp))
+    else:
+        r = r.option("starting_version", starting_version or 0)
+    return r.load()

@@ -811,3 +811,46 @@ def test_versioned_stream_pads_pre_evolution_files(
     assert by["none"] == o.filter(F.col("o_orderkey") <= 300).count()
     assert by["en"] == o.filter(
         F.col("o_orderkey").between(301, 500)).count()
+
+
+def test_versioned_stream_starting_timestamp_and_widened_files(
+        spark, sf_dir, tmp_path):
+    """starting_timestamp resolves like read_versioned(as_of=...), and
+    narrow pre-widening files stream up-cast to the evolved schema."""
+    import time as _time
+
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    t = str(tmp_path / "vsr5")
+    o = _vsr_orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    narrow = o.withColumn("o_orderkey", F.col("o_orderkey").cast("int"))
+    V.write_versioned(narrow.filter(F.col("o_orderkey") <= 200), t)
+    cut = _time.time()
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(201, 400)), t,
+        merge_schema=True)  # widens int -> bigint
+    # start AFTER the snapshot taken at `cut`: only the append streams
+    q = (versioned_stream_read(spark, t, starting_timestamp=cut)
+         .writeStream.format("memory").queryName("vsr_ts")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+    got = spark.sql("SELECT * FROM vsr_ts")
+    assert dict(got.dtypes)["o_orderkey"] == "bigint"
+    assert got.count() == o.filter(
+        F.col("o_orderkey").between(201, 400)).count()
+    # full replay also casts the narrow v1 files up to bigint
+    q2 = (versioned_stream_read(spark, t)
+          .writeStream.format("memory").queryName("vsr_ts_full")
+          .outputMode("append").trigger(availableNow=True).start())
+    assert q2.awaitTermination(180)
+    assert q2.exception() is None
+    full = spark.sql("SELECT * FROM vsr_ts_full")
+    assert full.count() == o.filter(F.col("o_orderkey") <= 400).count()
+    assert dict(full.dtypes)["o_orderkey"] == "bigint"
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        versioned_stream_read(spark, t, starting_version=1,
+                              starting_timestamp=cut)
