@@ -23,10 +23,15 @@ DataSource stream API):
   a 1000-file append fans out over the cluster, nothing flows through
   the driver.
 - **Reads are Arrow, executor-side.** Each task reads its one parquet
-  file with pyarrow and yields RecordBatches cast/padded to the END
-  version's committed schema — files written before an additive
-  evolution stream their missing columns as typed NULLs, the same
-  rule batch reads follow.
+  file with pyarrow and yields RecordBatches cast/padded to the schema
+  FIXED AT STREAM START — files written before an additive evolution
+  stream their missing columns as typed NULLs, narrow pre-widening
+  files up-cast, and a column added mid-stream starts flowing after
+  the consumer restarts (Delta's rule).
+
+Start position: ``starting_version`` (default 0 = full history, with
+the v1 bootstrap overwrite counting as the chain's first append) or
+``starting_timestamp`` (AS-OF resolution via ``version_as_of``).
 
 Deletion vectors: a DV commit masks rows in FILES ALREADY EMITTED by
 earlier batches — a stream cannot retract delivered rows, so DV
