@@ -335,6 +335,8 @@ def _file_excluded(stats: dict | None, bloom: dict | None,
     st = stats.get(base) if stats else None
     if st is not None:
         rows, cols = st.get("rows", 0), st.get("cols", {})
+        if rows == 0:
+            return True  # a zero-row file matches nothing, provably
         for col, op, val in where:
             rec = cols.get(col)
             if rec is None:

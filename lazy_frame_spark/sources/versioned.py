@@ -48,9 +48,11 @@ Design rules, and why they hold at 100 TB:
   (append/alter) by carrying the winners' files alongside the
   rewrite; a winner that removed or rewrote data invalidated their
   read-set, so they raise ``VersionConflict`` for a clean re-run.
-  Read-set-dependent writers (merge / CDC / delete) never auto-rebase:
-  their correctness depends on what they read, so conflicts always
-  surface.
+  Read-set-dependent writers (merge / CDC apply) rebase only under
+  the one proof they can still make — the winner's new files are
+  key-DISJOINT from the source by commit-time bounds (Delta's
+  ConcurrentAppendException waiver); delete never rebases. Anything
+  unprovable surfaces.
 - **Row counts ride the manifest for free**: summed from parquet
   footer metadata (no scan), so `history()` answers "how big was
   version k" as a pure metadata read — the same trick as
@@ -261,6 +263,57 @@ def _commit_rewrite_with_rebase(
             winner = _read_manifest(path, new_parent)
             files = [f for f in winner["files"]
                      if f not in replaced_set] + new_files
+            parent, prev = new_parent, winner
+    raise VersionConflict(
+        f"{action} of {path}: exceeded {_MAX_COMMIT_RETRIES} rebase "
+        "attempts under sustained concurrent writes"
+    )
+
+
+def _commit_keyed_with_rebase(
+    path: str, action: str, parent: int, prev: dict,
+    files: list[str], extra: dict | None, src_where: list | None,
+) -> int:
+    """Commit a KEYED rewrite (merge / CDC apply) with the narrow
+    commutation a read-set-dependent writer can still prove: a
+    conflict is survivable only when the winner chain is ADDITIVE and
+    the winner's new files PROVABLY contain no row matching the
+    source's keys — decided from the winners' commit-time bounds
+    sidecars against the source's key footprint (``src_where``), the
+    same proof Delta demands before waiving its
+    ConcurrentAppendException. Then the winner's files ride along and
+    the commit re-attempts on the winner's schema (it may have
+    evolved additively or widened; the rewrite's files read up/pad).
+    Anything unprovable surfaces as ``VersionConflict`` for a clean
+    re-run — never a silent serializability hole."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        try:
+            return _commit(path, action, files, prev["schema"], parent,
+                           extra)
+        except VersionConflict:
+            new_parent = latest_version(path)
+            if (src_where is None
+                    or not _chain_is_additive(path, parent, new_parent)):
+                raise VersionConflict(
+                    f"{action} of {path} lost to a concurrent commit "
+                    "it cannot commute with — re-run on the new table "
+                    "state"
+                ) from None
+            winner = _read_manifest(path, new_parent)
+            prev_set = set(prev["files"])
+            winner_new = [f for f in winner["files"]
+                          if f not in prev_set]
+            not_disjoint = filestats.prune_files(path, winner_new,
+                                                 src_where)
+            if not_disjoint:
+                raise VersionConflict(
+                    f"{action} of {path}: a concurrent append may "
+                    f"contain rows matching the source keys "
+                    f"({len(not_disjoint)} file(s) not provably "
+                    "disjoint by commit-time bounds) — re-run on the "
+                    "new table state"
+                ) from None
+            files = files + winner_new
             parent, prev = new_parent, winner
     raise VersionConflict(
         f"{action} of {path}: exceeded {_MAX_COMMIT_RETRIES} rebase "
@@ -1630,16 +1683,18 @@ def merge_versioned(
     stats = {"files_rewritten": 0, "files_carried": len(files)}
     touched: set[str] = set()
     matched_keys = None  # (file, keys) of matched target rows, persisted
+    # data-skipping pre-cut for the discovery scan: a file whose
+    # commit-time key bounds don't intersect the SOURCE's key
+    # bounds provably contains no match — skip it before the scan.
+    # One tiny aggregate over the source buys this; on the
+    # production CDC shape (updates touch recent keys, the table
+    # is clustered or naturally ordered by them) the cold body
+    # never even enters the key-column scan. Conservative like all
+    # skipping: missing sidecars keep the file. The same footprint is
+    # the commit-time disjointness proof for rebasing over concurrent
+    # appends (_commit_keyed_with_rebase).
+    where_hint = filestats.key_bounds_where(source, keys)
     if files:
-        # data-skipping pre-cut for the discovery scan: a file whose
-        # commit-time key bounds don't intersect the SOURCE's key
-        # bounds provably contains no match — skip it before the scan.
-        # One tiny aggregate over the source buys this; on the
-        # production CDC shape (updates touch recent keys, the table
-        # is clustered or naturally ordered by them) the cold body
-        # never even enters the key-column scan. Conservative like all
-        # skipping: missing sidecars keep the file.
-        where_hint = filestats.key_bounds_where(source, keys)
         scan_files = (
             filestats.prune_files(path, files, where_hint)
             if where_hint else files
@@ -1698,8 +1753,9 @@ def merge_versioned(
         commit_extra.update(extra)
     try:
         if not parts:
-            v = _commit(path, "merge", files, prev["schema"], parent,
-                        commit_extra)
+            v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                          files, commit_extra,
+                                          where_hint)
             return v, stats
         new_data = parts[0]
         for p in parts[1:]:
@@ -1708,8 +1764,9 @@ def merge_versioned(
     finally:
         if matched_keys is not None:
             matched_keys.unpersist()
-    v = _commit(path, "merge", carried + new_files, prev["schema"],
-                parent, commit_extra)
+    v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                  carried + new_files, commit_extra,
+                                  where_hint)
     stats.update({
         "files_rewritten": len(touched),
         "files_carried": len(carried),
@@ -1800,8 +1857,10 @@ def apply_cdc(
     files = list(prev["files"])
     stats = {"files_rewritten": 0, "files_carried": len(files)}
     touched: set[str] = set()
+    # key footprint: discovery pre-cut AND the concurrent-append
+    # disjointness proof for the rebasing commit below
+    where_hint = filestats.key_bounds_where(tagged, keys)
     if files:
-        where_hint = filestats.key_bounds_where(tagged, keys)
         scan_files = (
             filestats.prune_files(path, files, where_hint)
             if where_hint else files
@@ -1833,8 +1892,9 @@ def apply_cdc(
     commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
     if extra:
         commit_extra.update(extra)
-    v = _commit(path, "merge", carried + new_files, prev["schema"],
-                parent, commit_extra)
+    v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                  carried + new_files, commit_extra,
+                                  where_hint)
     stats.update({"files_rewritten": len(touched),
                   "files_carried": len(carried),
                   "files_written": len(new_files)})

@@ -476,7 +476,7 @@ class TestBloomSkipping:
         must be maybe-present — pruning falls back to bounds only."""
         t = str(tmp_path / "bloomx")
         df = spark.createDataFrame(
-            [("05", 7), ("99", 8)], "s string, i int")
+            [("05", 7), ("99", 8)], "s string, i int").coalesce(1)
         V.write_versioned(df, t)
         V.build_blooms(spark, t, ["s", "i"])
         # string column probed with an int literal: kept, and the read

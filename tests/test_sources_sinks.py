@@ -1999,3 +1999,82 @@ def test_type_widening_evolution(spark, tmp_path):
     assert m["count"] == 4
     assert m["cols"]["k"]["min"] == 1
     assert m["cols"]["k"]["max"] == 3_000_000_000
+
+
+def test_merge_rebases_over_disjoint_append_refuses_overlap(
+        spark, tmp_path):
+    """The keyed-writer row of the concurrency table: a MERGE losing
+    the version race to an append whose files are PROVABLY key-disjoint
+    (commit-time bounds) rebases — winner rows ride along untouched;
+    an overlapping append surfaces VersionConflict, because silently
+    committing would skip rows the merge should have reconciled."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vmrace")
+    V.write_versioned(_vt_rows(spark, 0, 40).repartition(2), t)
+    orig = V.default_publish_arbiter
+    state = {"band": None, "fired": False}
+
+    def racing_arbiter(path, version, doc):
+        if doc.get("action") == "merge" and not state["fired"]:
+            state["fired"] = True
+            V.append_versioned(_vt_rows(spark, *state["band"]), path)
+        orig(path, version, doc)
+
+    V.set_publish_arbiter(racing_arbiter)
+    try:
+        # round 1: winner appends keys 9000+, merge touches 0..9 —
+        # bounds-disjoint, rebase carries the winner's rows
+        state.update(band=(9000, 9010), fired=False)
+        upd = _vt_rows(spark, 0, 10, flag="merged")
+        v, st = V.merge_versioned(spark, t, upd, "k")
+        got = V.read_versioned(spark, t)
+        assert got.count() == 40 + 10
+        assert got.filter((F.col("k") < 10)
+                          & (F.col("flag") == "merged")).count() == 10
+        assert got.filter(F.col("k") >= 9000).count() == 10
+        # round 2: winner appends keys 0..5 — overlaps the merge's key
+        # footprint; the stale merge must NOT commit
+        state.update(band=(0, 5), fired=False)
+        with pytest.raises(V.VersionConflict, match="not provably"):
+            V.merge_versioned(spark, t,
+                              _vt_rows(spark, 3, 8, flag="late"), "k")
+        # the winner's append itself landed; the merge changed nothing
+        assert V.read_versioned(spark, t).count() == 50 + 5
+    finally:
+        V.set_publish_arbiter(None)
+
+
+def test_cdc_apply_rebases_over_disjoint_append(spark, tmp_path):
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vcrace")
+    V.write_versioned(_vt_rows(spark, 0, 30).repartition(2), t)
+    orig = V.default_publish_arbiter
+    state = {"fired": False}
+
+    def racing_arbiter(path, version, doc):
+        if (doc.get("action") == "merge"
+                and doc.get("merge_mode") == "cdc"
+                and not state["fired"]):
+            state["fired"] = True
+            V.append_versioned(_vt_rows(spark, 7000, 7005), path)
+        orig(path, version, doc)
+
+    batch = (_vt_rows(spark, 0, 3, flag="upd")
+             .withColumn("op", F.lit("U"))
+             .unionByName(_vt_rows(spark, 10, 12)
+                          .withColumn("op", F.lit("D"))))
+    V.set_publish_arbiter(racing_arbiter)
+    try:
+        V.apply_cdc(spark, t, batch, "k")
+    finally:
+        V.set_publish_arbiter(None)
+    assert state["fired"]
+    got = V.read_versioned(spark, t)
+    assert got.count() == 30 - 2 + 5  # deletes applied, winner carried
+    assert got.filter(F.col("flag") == "upd").count() == 3
+    assert got.filter(F.col("k").between(10, 11)).count() == 0
+    assert got.filter(F.col("k") >= 7000).count() == 5
