@@ -4607,6 +4607,80 @@ def stream_versioned_append(spark, sf_dir):
 
 
 @query(
+    "view_versioned_replicate",
+    # src chain: snapshot keys<=2000 → append (2000,3000] → keyed
+    # update of keys<=100 (price zeroed... no: price*0+1.0) → delete
+    # of keys in (500,600]. The relay folds all of it into dst; the
+    # graded aggregate is over DST and must equal the declarative
+    # recomputation of the final source state
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 100 THEN 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey <= 3000
+        AND NOT (o_orderkey > 500 AND o_orderkey <= 600)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM final
+    """,
+)
+def view_versioned_replicate(spark, sf_dir):
+    """Incremental table replication over the change feed
+    (sources/versioned.replicate_versioned): bootstrap snapshot, then
+    each relay folds the source's row-level diff — O(changed files)
+    via manifest file-diff cancellation — into the destination as ONE
+    keyed CDC commit, with the relayed source version riding the same
+    commit (crash-consistent, exactly-once; a no-change relay
+    no-ops). Unlike the streaming source, destructive source commits
+    (keyed update-merge, predicate delete) replicate exactly. The
+    graded aggregate reads the DESTINATION after a
+    snapshot→append→merge→delete source chain and two relays; the
+    row RAISES unless the second relay actually moved ops and a third
+    relay no-ops. Cross-region mirroring at changed-files cost."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_vrepl_src_{tag}"
+    dst = f"/tmp/lfs_vrepl_dst_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 2000).repartition(4), src)
+    V.replicate_versioned(spark, src, dst, "o_orderkey")
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(2001, 3000)), src)
+    V.merge_versioned(
+        spark, src,
+        o.filter(F.col("o_orderkey") <= 100)
+        .withColumn("o_totalprice", F.lit(1.0)),
+        "o_orderkey")
+    V.delete_versioned(
+        spark, src, "o_orderkey > 500 AND o_orderkey <= 600")
+    _, st = V.replicate_versioned(spark, src, dst, "o_orderkey")
+    if not st["ops"]:
+        raise AssertionError(f"relay moved nothing: {st}")
+    _, st3 = V.replicate_versioned(spark, src, dst, "o_orderkey")
+    if st3["ops"] != 0:
+        raise AssertionError(f"no-change relay was not a no-op: {st3}")
+    return V.read_versioned(spark, dst).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "view_concurrent_appends",
     # four writers race blind appends of disjoint key bands onto one
     # table with NO coordination; optimistic rebase must land every
@@ -9748,13 +9822,20 @@ DRIVER_WINDOW: list[str] = [
     # 7-9; the anti-spam cap is exercised at token grain by
     # mix_token_budget and stays locally checked. Its slot funds
     # pipeline_incremental_curate below.)
-    # the round-9 scale rewrite's own row: the 65k-domain
-    # broadcast-join mix that proves the high-cardinality path
+    # (mix_high_cardinality rotated past the cap in round 12 — green
+    # rounds 9-11; the 65k-domain broadcast-join mix stays locally
+    # checked and plan-pinned, and mixing keeps mix_token_budget plus
+    # the two pipeline_ rows' mix stages in-window. Its slot funds
+    # view_versioned_replicate — round 12's CDF-relay replication,
+    # landing in-window the round it ships.)
     # (mix_temperature_uniform rotated past the cap in round 11 —
     # green rounds 8-10; temperature rates stay exercised through
     # pipeline_mix_curate's mix stage and locally checked. Its slot
     # funds view_versioned_diff below.)
-    "mix_high_cardinality",
+    # round-12 addition in mix_high_cardinality's slot (zero-debt):
+    # CDF-relay replication — bootstrap + O(changed-files) diff folded
+    # as one keyed CDC commit per relay, exactly-once state in-commit
+    "view_versioned_replicate",
     # round-9 post-verdict additions earn driver rows the round after
     # they ship (zero-debt policy): token-budget capping with the
     # earliest-dropped-order repair, and the capstone gate → dedup →

@@ -108,6 +108,7 @@ __all__ = [
     "read_versioned",
     "skipping_summary",
     "metadata_aggregate",
+    "replicate_versioned",
     "build_blooms",
     "history",
     "latest_version",
@@ -2197,6 +2198,95 @@ def appended_since(
     return spark.read.schema(_committed_schema(cur)).parquet(
         *[os.path.join(path, rel) for rel in new_files]
     )
+
+
+def _relay_state(path: str, stream_id: str) -> int | None:
+    """Newest ``relay_src_version`` committed to ``path`` for this
+    relay stream — walked newest-first like the stream high-water
+    mark, O(1) in the steady state (the latest commit is the relay's
+    own)."""
+    v = latest_version(path)
+    while v is not None:
+        man = _read_manifest(path, v)
+        if man.get("relay_stream") == stream_id:
+            return man.get("relay_src_version")
+        v = man.get("parent")
+    return None
+
+
+def replicate_versioned(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    on: str | list[str],
+    stream_id: str = "cdf_relay",
+) -> tuple[int, dict]:
+    """One-call INCREMENTAL table replication: fold the source table's
+    row-level changes since the last relay into ``dst_path`` as ONE
+    atomic CDC commit — the change-data-feed consumer loop, closed.
+    First call bootstraps dst as a full snapshot; every later call
+    computes ``diff_versions(src, last_relayed, latest)`` — O(changed
+    files), never O(corpus) — compacts the diff to per-key I/U/D ops
+    (a key that both deleted and inserted is an Update carrying the
+    new row) and applies it through ``apply_cdc``. The relayed source
+    version rides the SAME commit (``relay_src_version`` in the
+    manifest), so the loop is crash-consistent and exactly-once: a
+    replay sees the recorded state equals the source head and no-ops.
+
+    Requires ``on`` to be a unique key of the source (the diff
+    compaction and CDC apply are keyed; apply_cdc's duplicate check
+    enforces it). Unlike the streaming source
+    (``versioned_stream_read``), the relay survives DESTRUCTIVE
+    source commits — deletes, merges, restores, GDPR erasure all
+    replicate, because the diff is exact over any chain. At 100 TB
+    this is cross-region mirroring / downstream-copy maintenance at
+    the cost of the changed files only. Returns ``(dst_version,
+    stats)``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    src_v = latest_version(src_path)
+    if src_v is None:
+        raise FileNotFoundError(f"no versioned table at {src_path}")
+    state = _relay_state(dst_path, stream_id)
+    if state is None:
+        snap = read_versioned(spark, src_path, version=src_v)
+        write_versioned(snap, dst_path)
+        empty = read_versioned(spark, dst_path).limit(0)
+        v = append_versioned(
+            empty, dst_path,
+            extra={"relay_stream": stream_id,
+                   "relay_src_version": src_v})
+        return v, {"bootstrap": True, "src_version": src_v}
+    if state == src_v:
+        return latest_version(dst_path), {
+            "bootstrap": False, "src_version": src_v, "ops": 0}
+    d = diff_versions(spark, src_path, state, src_v)
+    ins = d.filter(F.col("change_type") == "insert").drop("change_type")
+    dels = d.filter(F.col("change_type") == "delete").drop("change_type")
+    del_keys = dels.select(*keys).distinct()
+    ops = (
+        ins.join(del_keys.withColumn("__upd__", F.lit(True)),
+                 on=keys, how="left")
+        .withColumn("op", F.when(F.col("__upd__"), "U").otherwise("I"))
+        .drop("__upd__")
+        .unionByName(
+            dels.join(ins.select(*keys).distinct(), on=keys,
+                      how="left_anti")
+            .withColumn("op", F.lit("D")))
+    )
+    n_ops = ops.count()
+    if n_ops == 0:
+        # logical no-op chain (e.g. a compaction): just advance state
+        empty = read_versioned(spark, dst_path).limit(0)
+        v = append_versioned(
+            empty, dst_path,
+            extra={"relay_stream": stream_id,
+                   "relay_src_version": src_v})
+        return v, {"bootstrap": False, "src_version": src_v, "ops": 0}
+    v, st = apply_cdc(
+        spark, dst_path, ops, keys,
+        extra={"relay_stream": stream_id, "relay_src_version": src_v})
+    st.update({"bootstrap": False, "src_version": src_v, "ops": n_ops})
+    return v, st
 
 
 def diff_versions(

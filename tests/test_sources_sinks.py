@@ -2078,3 +2078,50 @@ def test_cdc_apply_rebases_over_disjoint_append(spark, tmp_path):
     assert got.filter(F.col("flag") == "upd").count() == 3
     assert got.filter(F.col("k").between(10, 11)).count() == 0
     assert got.filter(F.col("k") >= 7000).count() == 5
+
+
+def test_replicate_versioned_full_lifecycle(spark, tmp_path):
+    """The CDF relay loop: bootstrap snapshot, then appends / keyed
+    merges / predicate deletes / MoR erasure on the SOURCE all fold
+    into dst as single CDC commits; dst equals src after every relay;
+    a relay with no source changes no-ops (exactly-once)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    V.write_versioned(_vt_rows(spark, 0, 20).repartition(2), src)
+
+    def synced():
+        a = V.read_versioned(spark, src)
+        b = V.read_versioned(spark, dst)
+        return (a.count() == b.count()
+                and a.exceptAll(b).count() == 0
+                and b.exceptAll(a).count() == 0)
+
+    v, st = V.replicate_versioned(spark, src, dst, "k")
+    assert st["bootstrap"] and synced()
+    # appends + an update-merge on the source
+    V.append_versioned(_vt_rows(spark, 20, 30), src)
+    V.merge_versioned(spark, src,
+                      _vt_rows(spark, 5, 8, flag="upd"), "k")
+    v2, st2 = V.replicate_versioned(spark, src, dst, "k")
+    assert st2["ops"] > 0 and synced()
+    assert V.read_versioned(spark, dst).filter(
+        F.col("flag") == "upd").count() == 3
+    # destructive source commits replicate too (the streaming source
+    # would refuse these — the relay is the retraction-bearing path)
+    V.delete_versioned(spark, src, "k >= 25")
+    V.delete_versioned(spark, src, "k = 0",
+                       strategy="merge-on-read")
+    v3, st3 = V.replicate_versioned(spark, src, dst, "k")
+    assert synced()
+    assert V.read_versioned(spark, dst).filter(F.col("k") == 0).count() == 0
+    # no-change relay no-ops but is still callable (exactly-once)
+    n_before = V.read_versioned(spark, dst).count()
+    v4, st4 = V.replicate_versioned(spark, src, dst, "k")
+    assert st4["ops"] == 0
+    assert V.read_versioned(spark, dst).count() == n_before
+    # compaction on src is a logical no-op: state advances, zero ops
+    V.compact_versioned(spark, src, small_mb=64)
+    v5, st5 = V.replicate_versioned(spark, src, dst, "k")
+    assert st5["ops"] == 0 and synced()
