@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "stream_versioned_feed",     # readStream over the commit log (round 12)
     "view_metadata_agg",         # zero-scan COUNT/MIN/MAX from metadata
     "view_concurrent_appends",   # 4-thread optimistic-rebase ingest race
+    "view_versioned_replicate",  # CDF relay: diff -> keyed CDC commit
 ]
 
 
@@ -194,6 +195,7 @@ BUDGETS_SF01 = {
     "stream_versioned_feed": 4.5,
     "view_metadata_agg": 1.5,
     "view_concurrent_appends": 2.5,
+    "view_versioned_replicate": 9.0,
 }
 
 #: Phase-split rows (round-11 verdict item 6): the row's recorded time

@@ -150,10 +150,40 @@ def latest_version(path: str) -> int | None:
     return vs[-1] if vs else None
 
 
+#: above this many files a commit offloads its file list from the JSON
+#: manifest into a columnar MANIFEST-LIST parquet (Iceberg's move): a
+#: 10M-entry list is ~600 MB of JSON the driver would re-parse on every
+#: read, vs a 1-2 s pyarrow columnar load — and the distributed prune
+#: path can scan it as a DataFrame without the driver ever
+#: materializing it. Module attribute: tests lower it to force the path.
+_MANIFEST_PARQUET_THRESHOLD = 50_000
+
+#: reconstituted manifest-list cache — manifests are immutable once
+#: published, so (path, version) is a sound key; bounded small
+_MANIFEST_LIST_CACHE: dict = {}
+_MANIFEST_LIST_CACHE_MAX = 32
+
+
 def _read_manifest(path: str, version: int) -> dict:
     mf = os.path.join(_manifest_dir(path), f"{version:08d}.json")
     with open(mf) as f:
-        return json.load(f)
+        doc = json.load(f)
+    rel = doc.get("files_parquet")
+    if rel and not doc.get("files"):
+        key = (path, version)
+        files = _MANIFEST_LIST_CACHE.get(key)
+        if files is None:
+            import pyarrow.parquet as pq
+
+            files = pq.read_table(
+                os.path.join(_manifest_dir(path), rel)
+            )["file"].to_pylist()
+            while len(_MANIFEST_LIST_CACHE) >= _MANIFEST_LIST_CACHE_MAX:
+                _MANIFEST_LIST_CACHE.pop(
+                    next(iter(_MANIFEST_LIST_CACHE)))
+            _MANIFEST_LIST_CACHE[key] = files
+        doc["files"] = list(files)
+    return doc
 
 
 def default_publish_arbiter(path: str, version: int, doc: dict) -> None:
@@ -420,6 +450,24 @@ def _commit(
         doc["constraints"] = constraints
     if extra:
         doc.update(extra)
+    if len(doc["files"]) > _MANIFEST_PARQUET_THRESHOLD:
+        # offload the file list to a columnar manifest-list sidecar
+        # BEFORE the manifest publish (the publish is the commit point
+        # and references it). Per-attempt uuid in the name: a conflict
+        # loser writing the same version number must never overwrite
+        # the winner's published list — its orphan is vacuumed.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = _manifest_dir(path)
+        os.makedirs(d, exist_ok=True)
+        rel = f"{version:08d}-files-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table({"file": doc["files"]}), tmp)
+        os.replace(tmp, os.path.join(d, rel))
+        doc["files_parquet"] = rel
+        doc["files_count"] = len(doc["files"])
+        doc["files"] = []
     _publish(path, version, doc)
     return version
 
@@ -2446,6 +2494,25 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
                 shutil.rmtree(os.path.join(data_dir, name),
                               ignore_errors=True)
                 removed_tmp += 1
+    # orphan manifest-list sidecars: written by a crashed or
+    # conflict-losing commit whose manifest never published
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        referenced_lists = set()
+        for v in vs:
+            rel = _read_manifest(path, v).get("files_parquet")
+            if rel:
+                referenced_lists.add(rel)
+        for name in os.listdir(mdir):
+            if ((name.endswith(".parquet")
+                 and "-files-" in name
+                 and name not in referenced_lists)
+                    or name.startswith(".tmp-")):
+                try:
+                    os.remove(os.path.join(mdir, name))
+                    removed_tmp += 1
+                except OSError:
+                    pass
     dropped_manifests, dropped_files = 0, 0
     if keep_last is not None and len(vs) > keep_last:
         keep = set(vs[-keep_last:])
@@ -2485,6 +2552,13 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
                     if os.path.exists(fp):
                         os.remove(fp)
                         dropped_files += 1
+            fp_rel = man.get("files_parquet")
+            if fp_rel:
+                try:
+                    os.remove(os.path.join(_manifest_dir(path), fp_rel))
+                except OSError:
+                    pass
+                _MANIFEST_LIST_CACHE.pop((path, v), None)
             os.remove(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
             dropped_manifests += 1
         # prune dead data directories: manifests reference ONLY

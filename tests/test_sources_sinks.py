@@ -2125,3 +2125,58 @@ def test_replicate_versioned_full_lifecycle(spark, tmp_path):
     V.compact_versioned(spark, src, small_mb=64)
     v5, st5 = V.replicate_versioned(spark, src, dst, "k")
     assert st5["ops"] == 0 and synced()
+
+
+def test_manifest_list_parquet_offload(spark, tmp_path, monkeypatch):
+    """Columnar manifest lists: above the threshold a commit offloads
+    its file list to a parquet sidecar (the JSON manifest stays small);
+    every verb — append, keyed merge, delete, cluster, where-pruned and
+    time-travel reads, metadata aggregates, vacuum — behaves
+    identically, and vacuum reclaims dropped versions' sidecars plus
+    conflict-loser orphans."""
+    import json as _json
+    import os
+
+    from lazy_frame_spark.sources import versioned as V
+
+    monkeypatch.setattr(V, "_MANIFEST_PARQUET_THRESHOLD", 0)
+    V._MANIFEST_LIST_CACHE.clear()
+    t = str(tmp_path / "vmlp")
+    V.write_versioned(_vt_rows(spark, 0, 30).repartition(3), t)
+    V.append_versioned(_vt_rows(spark, 30, 40), t)
+    V.merge_versioned(spark, t, _vt_rows(spark, 0, 5, flag="m"), "k")
+    V.delete_versioned(spark, t, "k >= 35")
+    V.cluster_versioned(spark, t, ["k"], num_partitions=2)
+    # every manifest offloaded: raw JSON carries no file list
+    for v in V._versions(t):
+        with open(os.path.join(V._manifest_dir(t),
+                               f"{v:08d}.json")) as f:
+            raw = _json.load(f)
+        assert raw.get("files") == [] and raw.get("files_parquet"), v
+        assert raw["files_count"] == len(V._read_manifest(t, v)["files"])
+    got = sorted((r["k"], r["flag"])
+                 for r in V.read_versioned(spark, t).collect())
+    exp = sorted([(k, "m") for k in range(5)]
+                 + [(k, "a") for k in range(5, 35)])
+    assert got == exp
+    # where-pruned + time-travel reads work off the parquet lists
+    assert V.read_versioned(
+        spark, t, where=[("k", "between", (10, 12))]).count() == 3
+    assert V.read_versioned(spark, t, version=1).count() == 30
+    m = V.metadata_aggregate(t, ["k"])
+    assert m["count"] == 35 and m["cols"]["k"]["max"] == 34
+    # plant a conflict-loser orphan; vacuum reclaims it AND dropped
+    # versions' sidecars, and the table stays readable
+    orphan = os.path.join(V._manifest_dir(t),
+                          "00000099-files-deadbeef.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"file": ["data/x/y.parquet"]}), orphan)
+    stats = V.vacuum_versioned(t, keep_last=2)
+    assert not os.path.exists(orphan)
+    assert stats["manifests_dropped"] >= 1
+    leftovers = [n for n in os.listdir(V._manifest_dir(t))
+                 if "-files-" in n]
+    kept_vs = V._versions(t)
+    assert len(leftovers) == len(kept_vs)
+    assert V.read_versioned(spark, t).count() == 35
