@@ -164,10 +164,20 @@ _MANIFEST_LIST_CACHE: dict = {}
 _MANIFEST_LIST_CACHE_MAX = 32
 
 
-def _read_manifest(path: str, version: int) -> dict:
+def _read_manifest_meta(path: str, version: int) -> dict:
+    """The manifest WITHOUT reconstituting an offloaded file list —
+    for metadata-only consumers (history, chain walks, stream/relay
+    state, AS-OF resolution): on a 10M-file table each reconstitution
+    is a parquet load, and a history walk touches every version.
+    ``files`` may be empty here when ``files_parquet`` is set; use
+    ``files_count`` for sizes and ``_read_manifest`` for the list."""
     mf = os.path.join(_manifest_dir(path), f"{version:08d}.json")
     with open(mf) as f:
-        doc = json.load(f)
+        return json.load(f)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    doc = _read_manifest_meta(path, version)
     rel = doc.get("files_parquet")
     if rel and not doc.get("files"):
         key = (path, version)
@@ -255,8 +265,8 @@ def _chain_is_additive(path: str, since: int, until: int) -> bool:
     data (delete/overwrite/merge/restore/cluster/compact/purge)
     invalidates a concurrent writer's read-set."""
     for v in range(since + 1, until + 1):
-        if _read_manifest(path, v).get("action") not in ("append",
-                                                         "alter"):
+        if _read_manifest_meta(path, v).get("action") not in ("append",
+                                                              "alter"):
             return False
     return True
 
@@ -821,7 +831,7 @@ def last_stream_batch(path: str, stream_id: str = "default") -> int | None:
         with open(sidecar) as f:
             best = json.load(f).get(stream_id)
     for v in reversed(_versions(path)):
-        man = _read_manifest(path, v)
+        man = _read_manifest_meta(path, v)
         if man.get("stream_id", "default") == stream_id:
             b = man.get("stream_batch_id")
             if b is not None:
@@ -1643,7 +1653,7 @@ def version_as_of(path: str, ts) -> int:
         ts = dt.timestamp()
     best = None
     for v in _versions(path):
-        man = _read_manifest(path, v)
+        man = _read_manifest_meta(path, v)
         if man.get("committed_at", 0.0) <= ts:
             best = v
     if best is None:
@@ -2255,7 +2265,7 @@ def _relay_state(path: str, stream_id: str) -> int | None:
     own)."""
     v = latest_version(path)
     while v is not None:
-        man = _read_manifest(path, v)
+        man = _read_manifest_meta(path, v)
         if man.get("relay_stream") == stream_id:
             return man.get("relay_src_version")
         v = man.get("parent")
@@ -2427,12 +2437,12 @@ def history(path: str) -> list[dict]:
     footer row count, and action extras (predicate / restored_from)."""
     out = []
     for v in _versions(path):
-        man = _read_manifest(path, v)
+        man = _read_manifest_meta(path, v)
         out.append({
             "version": man["version"],
             "action": man["action"],
             "parent": man["parent"],
-            "n_files": len(man["files"]),
+            "n_files": man.get("files_count", len(man["files"])),
             "rows": man.get("rows"),
             **({"n_dv_files": len(man["dv_files"])}
                if man.get("dv_files") else {}),
