@@ -350,6 +350,59 @@ def _file_excluded(stats: dict | None, bloom: dict | None,
     return False
 
 
+def _file_all_match(st: dict, where) -> bool:
+    """True when EVERY row of the file provably satisfies the
+    conjunction — the dual of ``_excludes`` (which proves NO row can).
+    Powers metadata-only COUNT bounds: a file fully inside the
+    predicate contributes its whole row count without being read.
+    Conservative like all stats proofs: unknown → False."""
+    rows = st.get("rows", 0)
+    if rows == 0:
+        return True  # vacuously: contributes 0 rows either way
+    cols = st.get("cols", {})
+    for col, op, val in where:
+        rec = cols.get(col)
+        if rec is None:
+            return False
+        nulls = rec.get("nulls")
+        if op == "isnull":
+            if nulls is None or nulls < rows:
+                return False
+            continue
+        # every other op needs ALL rows non-null (NULL fails any
+        # comparison and isnotnull alike)
+        if nulls is None or nulls > 0:
+            return False
+        if op == "isnotnull":
+            continue
+        if "lo" not in rec:
+            return False
+        lo, hi = _decode(rec["lo"]), _decode(rec["hi"])
+        kind = rec["lo"]["t"]
+        try:
+            if op == "between":
+                a = _coerce_literal(kind, val[0])
+                b = _coerce_literal(kind, val[1])
+                ok = lo >= a and hi <= b
+            elif op == "in":
+                vs = {_coerce_literal(kind, x) for x in val
+                      if x is not None}
+                ok = lo == hi and lo in vs
+            else:
+                v = _coerce_literal(kind, val)
+                ok = {
+                    "=": lo == hi == v, "==": lo == hi == v,
+                    "!=": hi < v or lo > v,
+                    "<": hi < v, "<=": hi <= v,
+                    ">": lo > v, ">=": lo >= v,
+                }[op]
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
 #: Above this many manifest files the per-file driver loop becomes the
 #: bottleneck (~1-2 µs of bound checks per file is fine at 100k files,
 #: driver-CPU-bound at 10M) and ``prune_files`` — when handed a session

@@ -108,6 +108,7 @@ __all__ = [
     "read_versioned",
     "skipping_summary",
     "metadata_aggregate",
+    "metadata_count_where",
     "replicate_versioned",
     "build_blooms",
     "history",
@@ -2216,6 +2217,59 @@ def metadata_aggregate(
             out["cols"][c] = {"min": lo, "max": hi,
                               "non_null": non_null}
     return out
+
+
+def metadata_count_where(
+    path: str, where: list, version: int | None = None,
+) -> dict:
+    """COUNT(*) BOUNDS under a conjunction, from commit metadata alone
+    (the ``where`` extension of ``metadata_aggregate``): files whose
+    bounds prove NO row matches contribute 0, files whose bounds prove
+    EVERY row matches contribute their whole footer count
+    (``filestats._file_all_match`` — the dual proof), and only the
+    boundary files in between are uncertain. Returns ``{"count_min",
+    "count_max", "exact"}`` — exact (min == max) whenever the
+    predicate aligns with the clustering, e.g. a date-range COUNT on a
+    date-clustered corpus resolves as a pure sidecar walk. DV-masked
+    rows subtract from ``count_min`` (they might all sit in fully-
+    matching files) and never from ``count_max``; a kept file with no
+    usable sidecar makes ``count_max`` None (its size is unknown)."""
+    filestats._check_where(where)
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    files = list(man["files"])
+    kept = set(filestats.prune_files(path, files, where))
+    per_dir: dict[str, dict | None] = {}
+    cmin = 0
+    cmax: int | None = 0
+    for rel in files:
+        if rel not in kept:
+            continue
+        d, base = os.path.split(rel)
+        if d not in per_dir:
+            per_dir[d] = filestats.load_dir_stats(os.path.join(path, d))
+        stats = per_dir[d]
+        st = stats.get(base) if stats else None
+        if st is None or "rows" not in st:
+            cmax = None  # unknown file size: no upper bound
+            continue
+        rows = st["rows"]
+        if cmax is not None:
+            cmax += rows
+        if filestats._file_all_match(st, where):
+            cmin += rows
+    dv_files = man.get("dv_files") or []
+    dv_rows = 0
+    if dv_files:
+        n = _footer_rows(path, dv_files)
+        if n is None:  # unreadable DV sidecars: no sound lower bound
+            return {"count_min": 0, "count_max": cmax, "exact": False}
+        dv_rows = n
+    cmin = max(0, cmin - dv_rows)
+    exact = (cmax is not None and cmin == cmax and not dv_files)
+    return {"count_min": cmin, "count_max": cmax, "exact": exact}
 
 
 def appended_since(

@@ -1265,3 +1265,52 @@ class TestConstraints:
         assert set(V.table_constraints(t)) == {"pos"}
         with pytest.raises(ValueError, match="no constraint"):
             V.drop_constraint(t, "nope")
+
+
+class TestMetadataCountWhere:
+    def test_bounds_contain_truth_and_align_to_exact(
+            self, spark, tmp_path):
+        """COUNT(*) bounds from sidecars: bounds always contain the
+        true count; on a clustered table a range aligned with file
+        boundaries resolves EXACTLY with zero scan; out-of-domain
+        predicates give (0, 0)."""
+        t = str(tmp_path / "mcw")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.repartition(8), t)
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=8)
+        for w, col in [
+            ([("o_orderkey", "between", (200, 900))],
+             F.col("o_orderkey").between(200, 900)),
+            ([("o_orderkey", "<=", 700)], F.col("o_orderkey") <= 700),
+            ([("o_totalprice", ">", 100000.0)],
+             F.col("o_totalprice") > 100000.0),
+            ([("o_orderkey", "=", 42)], F.col("o_orderkey") == 42),
+        ]:
+            b = V.metadata_count_where(t, w)
+            truth = V.read_versioned(spark, t).filter(col).count()
+            assert b["count_min"] <= truth <= b["count_max"], (w, b)
+        # the full domain is exact: every file fully matches
+        n = V.read_versioned(spark, t).count()
+        b_all = V.metadata_count_where(t, [("o_orderkey", ">=", 0)])
+        assert b_all == {"count_min": n, "count_max": n, "exact": True}
+        # out-of-domain: pruned to nothing, exactly zero
+        b0 = V.metadata_count_where(t, [("o_orderkey", "<", -1)])
+        assert b0 == {"count_min": 0, "count_max": 0, "exact": True}
+
+    def test_dv_masks_weaken_min_only(self, spark, tmp_path):
+        t = str(tmp_path / "mcw2")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.limit(400), t)
+        V.delete_versioned(spark, t, "o_orderkey % 7 = 0",
+                           strategy="merge-on-read")
+        w = [("o_orderkey", ">=", 0)]
+        b = V.metadata_count_where(t, w)
+        truth = V.read_versioned(spark, t).count()
+        assert b["count_min"] <= truth <= b["count_max"]
+        assert b["exact"] is False
+        # purge materializes: exact again
+        V.purge_dvs(spark, t)
+        b2 = V.metadata_count_where(t, w)
+        truth2 = V.read_versioned(spark, t).count()
+        assert b2 == {"count_min": truth2, "count_max": truth2,
+                      "exact": True}
