@@ -195,7 +195,8 @@ BUDGETS_SF01 = {
     "stream_versioned_feed": 4.5,
     "view_metadata_agg": 1.5,
     "view_concurrent_appends": 2.5,
-    "view_versioned_replicate": 9.0,
+    # measured 6.59 s (two-table fixture + 3 relays + diff)
+    "view_versioned_replicate": 13.0,
 }
 
 #: Phase-split rows (round-11 verdict item 6): the row's recorded time
