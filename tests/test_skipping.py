@@ -1314,3 +1314,56 @@ class TestMetadataCountWhere:
         truth2 = V.read_versioned(spark, t).count()
         assert b2 == {"count_min": truth2, "count_max": truth2,
                       "exact": True}
+
+
+def test_exclude_and_all_match_proofs_are_consistent(spark, tmp_path):
+    """Property over random conjuncts on a real clustered table: the
+    two sidecar proofs can never both fire for one file (excluded =
+    no row matches, all-match = every row matches, and files are
+    non-empty here), and each proof is individually TRUE against the
+    scanned data — the foundation under both read pruning and the
+    metadata COUNT bounds."""
+    import random
+
+    rng = random.Random(12)
+    t = str(tmp_path / "dual")
+    o = _orders(spark)
+    V.write_versioned(o.repartition(6), t)
+    V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=6)
+    man = V._read_manifest(t, V.latest_version(t))
+    files = list(man["files"])
+    per_dir = {}
+    hi_key = o.agg(F.max("o_orderkey")).first()[0]
+    for _ in range(25):
+        col, domain = rng.choice([
+            ("o_orderkey", lambda: rng.randint(-5, int(hi_key) + 5)),
+            ("o_totalprice", lambda: rng.uniform(0, 600000.0)),
+        ])
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!=", "between"])
+        if op == "between":
+            a, b = sorted((domain(), domain()))
+            w = [(col, op, (a, b))]
+            pred = F.col(col).between(a, b)
+        else:
+            v = domain()
+            w = [(col, op, v)]
+            pred = {"<": F.col(col) < v, "<=": F.col(col) <= v,
+                    ">": F.col(col) > v, ">=": F.col(col) >= v,
+                    "=": F.col(col) == v, "!=": F.col(col) != v}[op]
+        for rel in files:
+            d, base = os.path.split(rel)
+            if d not in per_dir:
+                per_dir[d] = filestats.load_dir_stats(
+                    os.path.join(t, d))
+            st = per_dir[d][base]
+            excluded = filestats._file_excluded(per_dir[d], None,
+                                                base, w)
+            allmatch = filestats._file_all_match(st, w)
+            assert not (excluded and allmatch), (rel, w)
+            if excluded or allmatch:
+                fdf = spark.read.parquet(os.path.join(t, rel))
+                n, m = fdf.count(), fdf.filter(pred).count()
+                if excluded:
+                    assert m == 0, (rel, w)
+                if allmatch:
+                    assert m == n > 0, (rel, w)
