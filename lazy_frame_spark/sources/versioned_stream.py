@@ -150,12 +150,33 @@ class VersionedStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         schema_json = self.schema_json
         new_files: list[str] = []
-        prev_files = set(
-            V._read_manifest(self.path, lo)["files"]) if lo else set()
+        if lo:
+            base = V._read_manifest(self.path, lo)
+            prev_files = set(base["files"])
+            prev_dvs = set(base.get("dv_files") or [])
+        else:
+            prev_files, prev_dvs = set(), set()
         for v in range(lo + 1, hi + 1):
             man = V._read_manifest(self.path, v)
             action = man.get("action")
             cur = set(man["files"])
+            cur_dvs = set(man.get("dv_files") or [])
+            if cur_dvs != prev_dvs:
+                # a merge-on-read delete keeps the FILE list identical
+                # (only dv_files grows, versioned.py delete_versioned)
+                # — but it masks rows in files already emitted by
+                # earlier batches, which a stream cannot retract. Any
+                # DV change is therefore as destructive to the chain
+                # as a rewrite; an inherited-unchanged DV list (carried
+                # by reference across appends) is fine.
+                raise ValueError(
+                    f"versioned stream source: version {v} changed the "
+                    "table's deletion vectors (merge-on-read delete) — "
+                    "the append-only chain is broken; re-seed the "
+                    "stream from a snapshot read with "
+                    f"starting_version={v}, or consume retractions via "
+                    "relay_changes/diff_versions (the CDC view)"
+                )
             if action == "append":
                 new_files.extend(sorted(cur - prev_files))
             elif action == "overwrite" and v == 1:
@@ -173,6 +194,7 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"with starting_version={v}"
                 )
             prev_files = cur
+            prev_dvs = cur_dvs
         return [
             _FilePartition(os.path.join(self.path, rel), schema_json)
             for rel in new_files

@@ -783,6 +783,86 @@ def test_versioned_stream_fails_on_destructive_commit(
     assert len(r.partitions({"version": 0}, {"version": 2})) > 0
 
 
+def test_versioned_stream_fails_on_merge_on_read_delete(
+        spark, sf_dir, tmp_path):
+    """The destructive-commit gate's merge-on-read twin: a DV delete
+    keeps the FILE list identical (only dv_files grows), so the
+    file-diff test alone would silently stream across rows the table
+    has logically erased — the gate must track the DV list too. An
+    append AFTER the delete inherits the DV list unchanged, so a
+    re-seeded stream starting past the delete plans fine."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "vsr_mor")
+    o = _vsr_orders(spark, sf_dir)
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 400), t)            # v1
+    V.append_versioned(o.filter(F.col("o_orderkey").between(401, 600)),
+                       t)                                                 # v2
+    _, st = V.delete_versioned(spark, t, "o_orderkey <= 100",
+                               strategy="merge-on-read")                  # v3
+    assert st["rows_deleted"] > 0 and st["files_rewritten"] == 0
+    V.append_versioned(o.filter(F.col("o_orderkey").between(601, 800)),
+                       t)                                                 # v4
+    r = VersionedStreamReader({"path": t})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        r.partitions({"version": 0}, {"version": 3})
+    with pytest.raises(ValueError, match="append-only chain"):
+        r.partitions({"version": 2}, {"version": 4})
+    # pre-delete range still plans; re-seeding PAST the delete plans
+    # (the appends after v3 carry the DV list by reference, unchanged)
+    assert len(r.partitions({"version": 0}, {"version": 2})) > 0
+    assert len(r.partitions({"version": 3}, {"version": 4})) > 0
+
+
+def test_versioned_stream_drains_rebased_concurrent_appends(
+        spark, sf_dir, tmp_path):
+    """Concurrency × streaming: a chain containing REBASED concurrent
+    appends (losers re-committed on top of winners, so each commit's
+    file list is the winner's plus its own) must stream exactly-once —
+    the per-version file diff attributes every file to exactly the
+    commit that introduced it, no double-emits, no drops."""
+    import threading
+
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    t = str(tmp_path / "vsr_race")
+    o = _vsr_orders(spark, sf_dir)
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 200), t)
+    bands = [(201, 400), (401, 600), (601, 800), (801, 1000)]
+    errs: list = []
+
+    def work(lo, hi):
+        try:
+            V.append_versioned(
+                o.filter(F.col("o_orderkey").between(lo, hi)), t)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=b) for b in bands]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert V.latest_version(t) == 1 + len(bands)  # dense: rebases won
+    q = (versioned_stream_read(spark, t)
+         .writeStream.format("memory").queryName("vsr_race_drain")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    assert q.exception() is None
+    got = spark.sql("SELECT * FROM vsr_race_drain")
+    exp = o.filter(F.col("o_orderkey") <= 1000)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
 def test_versioned_stream_pads_pre_evolution_files(
         spark, sf_dir, tmp_path):
     """Files written before an additive evolution stream their missing
