@@ -564,7 +564,16 @@ def _jv_check_columns(a_cols, b_cols, keys) -> None:
             raise ValueError(f"join key {k!r} missing from a side")
 
 
-def _jv_key_bounds_where(delta: DataFrame, keys) -> list | None:
+#: deltas at or below this many rows attempt the exact-set probe
+#: unconditionally (the per-key distinct is a tiny job there); bigger
+#: deltas first ask ONE approx_count_distinct aggregate whether any key
+#: is clearly above key_set_where's cap, so a large update never pays
+#: N distinct-collect shuffle jobs just to fall back to bounds
+_JV_EXACT_PROBE_ROWS = 8192
+
+
+def _jv_key_bounds_where(delta: DataFrame, keys,
+                         n_rows: int | None = None) -> list | None:
     """The delta's key footprint as a skipping conjunction for the OLD
     side's scan — sound for an INNER equi-join: a snapshot row outside
     the delta's key footprint on ANY key cannot produce a join match.
@@ -576,9 +585,23 @@ def _jv_key_bounds_where(delta: DataFrame, keys) -> list | None:
     keys, not every file the range straddles. Falls back to the shared
     bounds derivation (``filestats.key_bounds_where`` — also
     merge_versioned's discovery pre-cut) for big or non-probeable
-    deltas, so the type guards can never drift between callers."""
+    deltas, so the type guards can never drift between callers.
+
+    ``n_rows`` (a capped count the caller already computed) gates the
+    probe: above ``_JV_EXACT_PROBE_ROWS`` one approx_count_distinct
+    aggregate decides whether the exact set can fit before any per-key
+    distinct job runs — approximation error only ever costs pruning
+    sharpness (either path is sound), never correctness."""
     from lazy_frame_spark.sources import filestats
 
+    if n_rows is not None and n_rows > _JV_EXACT_PROBE_ROWS:
+        apx = delta.agg(*[
+            F.approx_count_distinct(c).alias(f"__d_{c}__") for c in keys
+        ]).collect()[0]
+        # 1.25x headroom over key_set_where's 1024 cap absorbs the
+        # sketch's relative error; a clear exceedance skips the probe
+        if any(apx[f"__d_{c}__"] > 1280 for c in keys):
+            return filestats.key_bounds_where(delta, keys)
     w = filestats.key_set_where(delta, keys)
     if w is not None:
         return w
@@ -673,14 +696,17 @@ def join_view_update(
     va1, vb1 = V.latest_version(a_path), V.latest_version(b_path)
     dA = V.appended_since(spark, a_path, va0, version=va1)
     dB = V.appended_since(spark, b_path, vb0, version=vb1)
-    n_da, n_db = dA.limit(1).count(), dB.limit(1).count()
+    # capped counts double as the exact-set probe gate (the existence
+    # check was a limit(1) job anyway; the cap keeps it bounded)
+    cap = _JV_EXACT_PROBE_ROWS + 1
+    n_da, n_db = dA.limit(cap).count(), dB.limit(cap).count()
     stats = {"a_from": va0, "a_to": va1, "b_from": vb0, "b_to": vb1}
     if n_da == 0 and n_db == 0:
         stats["view_version"] = V.latest_version(view_path)
         return stats
     parts = []
     if n_da:
-        w = _jv_key_bounds_where(dA, keys)
+        w = _jv_key_bounds_where(dA, keys, n_rows=n_da)
         if w is not None:
             s = V.skipping_summary(b_path, w, version=vb0)
             stats["b0_files_kept"] = s["kept_files"]
@@ -688,7 +714,7 @@ def join_view_update(
         b0 = V.read_versioned(spark, b_path, version=vb0, where=w)
         parts.append(dA.join(b0, on=keys, how="inner"))
     if n_db:
-        w = _jv_key_bounds_where(dB, keys)
+        w = _jv_key_bounds_where(dB, keys, n_rows=n_db)
         if w is not None:
             s = V.skipping_summary(a_path, w, version=va0)
             stats["a0_files_kept"] = s["kept_files"]

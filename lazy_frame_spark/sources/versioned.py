@@ -315,6 +315,8 @@ def _commit_rewrite_with_rebase(
 def _commit_keyed_with_rebase(
     path: str, action: str, parent: int, prev: dict,
     files: list[str], extra: dict | None, src_where: list | None,
+    spark: SparkSession | None = None,
+    new_files: list[str] | None = None,
 ) -> int:
     """Commit a KEYED rewrite (merge / CDC apply) with the narrow
     commutation a read-set-dependent writer can still prove: a
@@ -326,8 +328,15 @@ def _commit_keyed_with_rebase(
     ConcurrentAppendException. Then the winner's files ride along and
     the commit re-attempts on the winner's schema (it may have
     evolved additively or widened; the rewrite's files read up/pad).
-    Anything unprovable surfaces as ``VersionConflict`` for a clean
-    re-run — never a silent serializability hole."""
+    A winner chain that ADDED a CHECK constraint (``alter`` is in the
+    additive set) re-validates this commit's ``new_files`` against the
+    added constraints before retrying — the commit's rows were
+    validated against the PRE-rebase constraint set only, and skipping
+    the re-check would be exactly the silent serializability hole this
+    docstring promises never happens (``spark`` handed through by the
+    callers for that read; without it a constraint change surfaces as
+    ``VersionConflict`` instead). Anything unprovable surfaces as
+    ``VersionConflict`` for a clean re-run."""
     for _ in range(_MAX_COMMIT_RETRIES):
         try:
             return _commit(path, action, files, prev["schema"], parent,
@@ -342,6 +351,30 @@ def _commit_keyed_with_rebase(
                     "state"
                 ) from None
             winner = _read_manifest(path, new_parent)
+            prev_cons = prev.get("constraints") or {}
+            winner_cons = winner.get("constraints") or {}
+            added_cons = {k: v for k, v in winner_cons.items()
+                          if prev_cons.get(k) != v}
+            if added_cons:
+                if spark is None:
+                    raise VersionConflict(
+                        f"{action} of {path}: a concurrent commit "
+                        f"added CHECK constraint(s) "
+                        f"{sorted(added_cons)} this commit was not "
+                        "validated against — re-run on the new table "
+                        "state"
+                    ) from None
+                if new_files:
+                    # winner's committed schema: pads columns the
+                    # rebased files lack as NULL (NULL passes CHECK)
+                    # and up-casts narrow pre-widening files
+                    batch = spark.read.schema(
+                        _committed_schema(winner)).parquet(
+                        *[os.path.join(path, rel) for rel in new_files])
+                    _validate_constraints(
+                        batch, added_cons,
+                        f"{action} (rebased over concurrent "
+                        f"add_constraint)")
             prev_set = set(prev["files"])
             winner_new = [f for f in winner["files"]
                           if f not in prev_set]
@@ -1340,7 +1373,7 @@ def cluster_increment(
     if since is None:
         since = next(
             (v for v in reversed(_versions(path))
-             if _read_manifest(path, v)["action"] == "cluster"),
+             if _read_manifest_meta(path, v)["action"] == "cluster"),
             None,
         )
         if since is None:
@@ -1352,12 +1385,16 @@ def cluster_increment(
     prev = _read_manifest(path, parent)
     base = _read_manifest(path, since)
     for mid in range(since + 1, parent + 1):
-        action = _read_manifest(path, mid)["action"]
-        if action != "append":
+        # metadata-only walk (no offloaded-list reconstitution), and
+        # the same additive set appended_since accepts: an alter
+        # carries its parent's files by reference, so the tail diff
+        # stays exact across it
+        action = _read_manifest_meta(path, mid)["action"]
+        if action not in ("append", "alter"):
             raise ValueError(
                 f"version {mid} is a '{action}' commit — the tail file "
-                "diff is only exact over append-only chains; run a full "
-                "cluster_versioned instead"
+                "diff is only exact over additive (append/alter) "
+                "chains; run a full cluster_versioned instead"
             )
     base_set = set(base["files"])
     carried = [f for f in prev["files"] if f in base_set]
@@ -1813,9 +1850,11 @@ def merge_versioned(
         commit_extra.update(extra)
     try:
         if not parts:
+            # no new rows land — nothing for a concurrently added
+            # constraint to gate, so no new_files handed through
             v = _commit_keyed_with_rebase(path, "merge", parent, prev,
                                           files, commit_extra,
-                                          where_hint)
+                                          where_hint, spark=spark)
             return v, stats
         new_data = parts[0]
         for p in parts[1:]:
@@ -1826,7 +1865,8 @@ def merge_versioned(
             matched_keys.unpersist()
     v = _commit_keyed_with_rebase(path, "merge", parent, prev,
                                   carried + new_files, commit_extra,
-                                  where_hint)
+                                  where_hint, spark=spark,
+                                  new_files=new_files)
     stats.update({
         "files_rewritten": len(touched),
         "files_carried": len(carried),
@@ -1954,7 +1994,8 @@ def apply_cdc(
         commit_extra.update(extra)
     v = _commit_keyed_with_rebase(path, "merge", parent, prev,
                                   carried + new_files, commit_extra,
-                                  where_hint)
+                                  where_hint, spark=spark,
+                                  new_files=new_files)
     stats.update({"files_rewritten": len(touched),
                   "files_carried": len(carried),
                   "files_written": len(new_files)})
@@ -2162,11 +2203,18 @@ def metadata_aggregate(
         try:
             import pyarrow.parquet as pq
 
+            # distinct (file, pos): today's writers never tombstone
+            # one row twice, but this function's exactness contract
+            # must not rest on an invariant enforced elsewhere — a
+            # replayed commit double-masking a row would otherwise
+            # silently undercount
+            seen: set = set()
             for rel in dv_files:
                 t = pq.read_table(os.path.join(path, rel),
-                                  columns=["__file__"])
-                col = t["__file__"].to_pylist()
-                dv_masked += sum(1 for f in col if f in file_set)
+                                  columns=["__file__", "__pos__"])
+                seen.update(zip(t["__file__"].to_pylist(),
+                                t["__pos__"].to_pylist()))
+            dv_masked = sum(1 for f, _pos in seen if f in file_set)
         except Exception:
             total = None  # unreadable DV: count not provable
     if total is not None:
@@ -2230,10 +2278,18 @@ def metadata_count_where(
     boundary files in between are uncertain. Returns ``{"count_min",
     "count_max", "exact"}`` — exact (min == max) whenever the
     predicate aligns with the clustering, e.g. a date-range COUNT on a
-    date-clustered corpus resolves as a pure sidecar walk. DV-masked
-    rows subtract from ``count_min`` (they might all sit in fully-
-    matching files) and never from ``count_max``; a kept file with no
-    usable sidecar makes ``count_max`` None (its size is unknown)."""
+    date-clustered corpus resolves as a pure sidecar walk.
+
+    Deletion vectors subtract PER KEPT FILE, from a content read of
+    the (small, O(deleted rows)) DV files deduplicated on
+    ``(file, pos)``: a kept file's matching rows are a subset of its
+    LOGICAL rows, so ``rows - tombstones`` bounds it above — and
+    equals it exactly when the file is all-match. Tombstones whose
+    target file was pruned out (or compacted away) mask nothing this
+    count can see and never loosen the bounds, so a DV-bearing table
+    whose tombstones all sit in excluded files still resolves exact.
+    A kept file with no usable sidecar makes ``count_max`` None (its
+    size is unknown); unreadable DV files make both bounds trivial."""
     filestats._check_where(where)
     v = latest_version(path) if version is None else version
     if v is None:
@@ -2241,6 +2297,24 @@ def metadata_count_where(
     man = _read_manifest(path, v)
     files = list(man["files"])
     kept = set(filestats.prune_files(path, files, where))
+    dv_per_file: dict[str, int] = {}
+    if man.get("dv_files"):
+        try:
+            import pyarrow.parquet as pq
+
+            seen: set = set()
+            for rel in man["dv_files"]:
+                t = pq.read_table(os.path.join(path, rel),
+                                  columns=["__file__", "__pos__"])
+                seen.update(zip(t["__file__"].to_pylist(),
+                                t["__pos__"].to_pylist()))
+            for f, _pos in seen:
+                if f in kept:
+                    dv_per_file[f] = dv_per_file.get(f, 0) + 1
+        except Exception:
+            # unreadable DV sidecars: masked-row placement unknown —
+            # no sound bound in either direction
+            return {"count_min": 0, "count_max": None, "exact": False}
     per_dir: dict[str, dict | None] = {}
     cmin = 0
     cmax: int | None = 0
@@ -2255,20 +2329,12 @@ def metadata_count_where(
         if st is None or "rows" not in st:
             cmax = None  # unknown file size: no upper bound
             continue
-        rows = st["rows"]
+        logical = max(0, st["rows"] - dv_per_file.get(rel, 0))
         if cmax is not None:
-            cmax += rows
+            cmax += logical
         if filestats._file_all_match(st, where):
-            cmin += rows
-    dv_files = man.get("dv_files") or []
-    dv_rows = 0
-    if dv_files:
-        n = _footer_rows(path, dv_files)
-        if n is None:  # unreadable DV sidecars: no sound lower bound
-            return {"count_min": 0, "count_max": cmax, "exact": False}
-        dv_rows = n
-    cmin = max(0, cmin - dv_rows)
-    exact = (cmax is not None and cmin == cmax and not dv_files)
+            cmin += logical
+    exact = cmax is not None and cmin == cmax
     return {"count_min": cmin, "count_max": cmax, "exact": exact}
 
 
@@ -2281,7 +2347,10 @@ def appended_since(
     primitive: a downstream job records the version it last processed
     and reads ONLY what arrived since, as a pure manifest-level file
     diff (no scan of old data, no anti-join). Exact precisely when
-    every intervening commit is an ``append``; any other action
+    every intervening commit only ADDED files or metadata (``append``
+    / ``alter`` — the same additive set ``_chain_is_additive`` and the
+    stream reader accept: an ``add_constraint`` between appends keeps
+    the file diff exact); any other action
     (delete/overwrite/restore/compact) moves or removes OLD rows, so
     file-set difference would mis-report them as new — those chains
     raise ValueError and the caller reconciles against the snapshot
@@ -2296,12 +2365,16 @@ def appended_since(
     base = _read_manifest(path, since)  # FileNotFoundError if vacuumed
     cur = _read_manifest(path, v)
     for mid in range(since + 1, v + 1):
-        action = _read_manifest(path, mid)["action"]
-        if action != "append":
+        # action-only walk: _read_manifest_meta never reconstitutes an
+        # offloaded manifest LIST — on a 10M-file table each needless
+        # reconstitution is a parquet load, and this loop touches
+        # every intervening version
+        action = _read_manifest_meta(path, mid)["action"]
+        if action not in ("append", "alter"):
             raise ValueError(
                 f"version {mid} is a '{action}' commit — the file diff "
-                "is only exact over append-only chains; reconcile "
-                "against the snapshot instead"
+                "is only exact over additive (append/alter) chains; "
+                "reconcile against the snapshot instead"
             )
     new_files = sorted(set(cur["files"]) - set(base["files"]))
     if not new_files:

@@ -738,5 +738,5 @@ def test_join_view_refuses_ambiguous_and_unbuilt(spark, sf_dir, tmp_path):
     vp = str(tmp_path / "v3")
     I.join_view_init(spark, vp, ap, bp, "o_custkey")
     V.delete_versioned(spark, ap, "o_orderkey < 10")
-    with _pytest.raises(ValueError, match="append-only"):
+    with _pytest.raises(ValueError, match="additive"):
         I.join_view_update(spark, vp, ap, bp)

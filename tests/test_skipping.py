@@ -1297,23 +1297,43 @@ class TestMetadataCountWhere:
         b0 = V.metadata_count_where(t, [("o_orderkey", "<", -1)])
         assert b0 == {"count_min": 0, "count_max": 0, "exact": True}
 
-    def test_dv_masks_weaken_min_only(self, spark, tmp_path):
+    def test_dv_masks_subtract_per_kept_file(self, spark, tmp_path):
+        """Tombstones subtract PER KEPT FILE from BOTH bounds (matching
+        rows are a subset of a file's logical rows): a full-domain
+        COUNT on a DV-bearing table is exact, and tombstones whose
+        target file is pruned out never loosen the bounds — a
+        DV-bearing table whose DVs all sit in excluded files still
+        resolves exact (the r12 fix: the old code subtracted EVERY DV
+        row from count_min)."""
         t = str(tmp_path / "mcw2")
-        o = _orders(spark).select("o_orderkey", "o_totalprice")
-        V.write_versioned(o.limit(400), t)
-        V.delete_versioned(spark, t, "o_orderkey % 7 = 0",
-                           strategy="merge-on-read")
-        w = [("o_orderkey", ">=", 0)]
-        b = V.metadata_count_where(t, w)
-        truth = V.read_versioned(spark, t).count()
-        assert b["count_min"] <= truth <= b["count_max"]
-        assert b["exact"] is False
-        # purge materializes: exact again
+        lo = spark.createDataFrame(
+            [(i, float(i)) for i in range(0, 500)], "k long, v double")
+        hi = spark.createDataFrame(
+            [(i, float(i)) for i in range(500, 1000)], "k long, v double")
+        V.write_versioned(lo.coalesce(1), t)
+        V.append_versioned(hi.coalesce(1), t)
+        _, st = V.delete_versioned(spark, t, "k < 50",
+                                   strategy="merge-on-read")
+        assert st["rows_deleted"] == 50
+        # full domain: both files all-match, tombstones counted where
+        # they land -> exact despite the DVs
+        b = V.metadata_count_where(t, [("k", ">=", 0)])
+        assert b == {"count_min": 950, "count_max": 950, "exact": True}
+        # every tombstone targets the pruned-out low file: the high
+        # range is exact and UNDIMINISHED
+        b_hi = V.metadata_count_where(t, [("k", ">=", 500)])
+        assert b_hi == {"count_min": 500, "count_max": 500,
+                        "exact": True}
+        # boundary predicate inside the tombstoned file: bounds still
+        # contain the truth, upper bound uses logical (DV-applied) rows
+        b_mid = V.metadata_count_where(t, [("k", "<=", 200)])
+        truth_mid = V.read_versioned(spark, t).filter("k <= 200").count()
+        assert b_mid["count_min"] <= truth_mid <= b_mid["count_max"]
+        assert b_mid["count_max"] == 450  # 500 physical - 50 tombstones
+        # purge materializes the tombstones: still exact
         V.purge_dvs(spark, t)
-        b2 = V.metadata_count_where(t, w)
-        truth2 = V.read_versioned(spark, t).count()
-        assert b2 == {"count_min": truth2, "count_max": truth2,
-                      "exact": True}
+        b2 = V.metadata_count_where(t, [("k", ">=", 0)])
+        assert b2 == {"count_min": 950, "count_max": 950, "exact": True}
 
 
 def test_exclude_and_all_match_proofs_are_consistent(spark, tmp_path):

@@ -1293,6 +1293,77 @@ def test_versioned_appended_since(spark, tmp_path):
         V.appended_since(spark, t, 9)
 
 
+def test_appended_since_accepts_alter_and_walks_meta_only(
+        spark, tmp_path, monkeypatch):
+    """An add_constraint between appends keeps the file diff exact
+    (``alter`` commits carry their parent's files by reference), so
+    appended_since must accept it — the same additive set the rebase
+    protocol and the stream reader use; refusing needlessly broke
+    every incremental consumer on a constrained table. And the
+    intervening-action walk must never reconstitute an offloaded
+    manifest LIST: only the base and head manifests (whose file lists
+    the diff genuinely needs) may pay that read."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vinc_alter")
+    # force every commit's file list into the columnar sidecar so a
+    # full-manifest read is observable
+    monkeypatch.setattr(V, "_MANIFEST_PARQUET_THRESHOLD", 0)
+    V.write_versioned(_vt_rows(spark, 0, 10), t)              # v1
+    V.append_versioned(_vt_rows(spark, 10, 15), t)            # v2
+    V.add_constraint(spark, t, "nonneg", "k >= 0")            # v3 alter
+    V.append_versioned(_vt_rows(spark, 15, 18), t)            # v4
+
+    full_reads: list[int] = []
+    orig = V._read_manifest
+
+    def counting(path, version):
+        full_reads.append(version)
+        return orig(path, version)
+
+    monkeypatch.setattr(V, "_read_manifest", counting)
+    V._MANIFEST_LIST_CACHE.clear()
+    inc = V.appended_since(spark, t, 1)
+    assert sorted(r["k"] for r in inc.collect()) == list(range(10, 18))
+    # only base (1) and head (4) reconstitute; v2/v3 walk as metadata
+    assert sorted(full_reads) == [1, 4]
+    # the constraint is live on the chain the increments rode over
+    with pytest.raises(ValueError, match="nonneg"):
+        V.append_versioned(_vt_rows(spark, -5, -1), t)
+    # a destructive action still refuses through the alter chain
+    V.delete_versioned(spark, t, "k >= 16")
+    with pytest.raises(ValueError, match="delete"):
+        V.appended_since(spark, t, 2)
+
+
+def test_join_view_update_survives_add_constraint_between_appends(
+        spark, tmp_path):
+    """The incremental-consumer integration of the alter fix: a CHECK
+    constraint added to a side table between appends must not break
+    join_view_update (its deltas ride appended_since)."""
+    from lazy_frame_spark.operators.incremental import (
+        join_view_init,
+        join_view_update,
+    )
+    from lazy_frame_spark.sources import versioned as V
+
+    a, b, view = (str(tmp_path / n) for n in ("jv_a", "jv_b", "jv_v"))
+    V.write_versioned(_vt_rows(spark, 0, 10).select("k", "v"), a)
+    V.write_versioned(
+        _vt_rows(spark, 0, 10).select("k", "flag"), b)
+    join_view_init(spark, view, a, b, on="k")
+    V.add_constraint(spark, a, "nonneg", "k >= 0")
+    V.append_versioned(_vt_rows(spark, 10, 14).select("k", "v"), a)
+    V.append_versioned(_vt_rows(spark, 10, 14).select("k", "flag"), b)
+    join_view_update(spark, view, a, b)
+    got = V.read_versioned(spark, view)
+    exp = _vt_rows(spark, 0, 14).select("k", "v", "flag")
+    assert got.count() == 14
+    assert got.exceptAll(exp.select(*got.columns)).count() == 0
+
+
 def test_versioned_delete_in_path_with_space(spark, tmp_path):
     """input_file_name() percent-encodes URIs: a table path containing a
     space must still file-match (regression: encoded paths never hit
@@ -2078,6 +2149,58 @@ def test_cdc_apply_rebases_over_disjoint_append(spark, tmp_path):
     assert got.filter(F.col("flag") == "upd").count() == 3
     assert got.filter(F.col("k").between(10, 11)).count() == 0
     assert got.filter(F.col("k") >= 7000).count() == 5
+
+
+def test_merge_rebase_revalidates_concurrent_constraint(spark, tmp_path):
+    """A merge that loses the version race to a concurrent
+    add_constraint must re-validate its NEW files against the added
+    constraint before the rebased commit: the merge's rows were
+    validated against the pre-rebase (empty) constraint set only, and
+    committing unchecked would be a silent serializability hole —
+    rows landing in a table whose constraint they violate. Satisfying
+    rows rebase and land; violating rows surface the named CHECK
+    error and nothing commits."""
+    import pytest
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vconrace")
+    V.write_versioned(_vt_rows(spark, 0, 40).repartition(2), t)
+    orig = V.default_publish_arbiter
+    state = {"fired": False}
+
+    def racing_arbiter(path, version, doc):
+        if doc.get("action") == "merge" and not state["fired"]:
+            state["fired"] = True
+            # lands FIRST at this version number: v <= 1000 holds on
+            # all existing data (v = k*10, k < 40)
+            V.add_constraint(spark, path, "v_cap", "v <= 1000")
+        orig(path, version, doc)
+
+    V.set_publish_arbiter(racing_arbiter)
+    try:
+        # round 1: merge rows satisfy the concurrently added check —
+        # the rebase re-validates and commits
+        state["fired"] = False
+        v, _ = V.merge_versioned(
+            spark, t, _vt_rows(spark, 0, 5, flag="m"), "k")
+        got = V.read_versioned(spark, t)
+        assert got.filter((F.col("k") < 5)
+                          & (F.col("flag") == "m")).count() == 5
+        assert "v_cap" in V.table_constraints(t)
+        # round 2: drop, then race a fresh constraint the merge's new
+        # rows VIOLATE — the rebase must refuse with the named check
+        V.drop_constraint(t, "v_cap")
+        state["fired"] = False
+        bad = spark.createDataFrame(
+            [(100, 5000.0, "big")], "k long, v double, flag string")
+        with pytest.raises(ValueError, match="v_cap"):
+            V.merge_versioned(spark, t, bad, "k")
+        # the winner's constraint landed; the violating merge did not
+        assert "v_cap" in V.table_constraints(t)
+        assert V.read_versioned(spark, t).filter("k = 100").count() == 0
+    finally:
+        V.set_publish_arbiter(None)
 
 
 def test_replicate_versioned_full_lifecycle(spark, tmp_path):
