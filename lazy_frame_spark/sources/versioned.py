@@ -110,6 +110,7 @@ __all__ = [
     "metadata_aggregate",
     "metadata_count_where",
     "replicate_versioned",
+    "relay_changes",
     "build_blooms",
     "history",
     "latest_version",
@@ -2399,6 +2400,104 @@ def _relay_state(path: str, stream_id: str) -> int | None:
     return None
 
 
+def _ops_from_diff(d: DataFrame, keys: list[str]) -> DataFrame:
+    """Compact a ``diff_versions`` result to per-key I/U/D ops: a key
+    appearing on both sides is an Update carrying the NEW row, an
+    insert-only key an Insert, a delete-only key a Delete carrying the
+    OLD row (the retraction preimage). Requires ``keys`` to be unique
+    per side — the contract both consumers (``replicate_versioned``'s
+    apply_cdc and the change feed) already demand."""
+    ins = d.filter(F.col("change_type") == "insert").drop("change_type")
+    dels = d.filter(F.col("change_type") == "delete").drop("change_type")
+    del_keys = dels.select(*keys).distinct()
+    return (
+        ins.join(del_keys.withColumn("__upd__", F.lit(True)),
+                 on=keys, how="left")
+        .withColumn("op", F.when(F.col("__upd__"), "U").otherwise("I"))
+        .drop("__upd__")
+        .unionByName(
+            dels.join(ins.select(*keys).distinct(), on=keys,
+                      how="left_anti")
+            .withColumn("op", F.lit("D")))
+    )
+
+
+def relay_changes(
+    spark: SparkSession,
+    src_path: str,
+    feed_path: str,
+    on: str | list[str],
+    stream_id: str = "cdf_feed",
+) -> tuple[int, dict]:
+    """Materialize the source table's row-level changes since the last
+    relay as an APPEND to a change-feed table — the streaming CDF
+    closure. The stream source (``versioned_stream_read``) rightly
+    refuses destructive source commits: a stream cannot retract rows
+    it already delivered. This relay is the legal answer — changes
+    become DATA instead of history: each call folds
+    ``diff_versions(src, last_relayed, latest)`` (O(changed files),
+    exact over ANY chain — deletes, merge-on-read GDPR erasure,
+    restores, compactions) into per-key I/U/D op rows, appended to
+    ``feed_path`` with the new row for I/U, the deleted row (the
+    retraction preimage) for D, and the source version in
+    ``_src_version``. The feed is append-only BY CONSTRUCTION, so
+    ``versioned_stream_read(spark, feed_path)`` is a true Structured
+    Streaming retraction-bearing change feed: a DV delete mid-chain on
+    the SOURCE arrives as appended D rows downstream instead of
+    killing the consumer, and the stream source's destructive gate
+    never fires. The first call bootstraps the feed with the full
+    snapshot as I ops (Delta's CDF-from-version-0 contract); the
+    relayed source version rides the SAME commit
+    (``relay_src_version``), so the loop is crash-consistent and
+    exactly-once — a replayed relay sees recorded state == source
+    head and no-ops. Requires ``on`` unique per source version (the
+    op compaction is keyed). Returns ``(feed_version, stats)``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    src_v = latest_version(src_path)
+    if src_v is None:
+        raise FileNotFoundError(f"no versioned table at {src_path}")
+    src_man = _read_manifest_meta(src_path, src_v)
+    src_cols = [f["name"]
+                for f in json.loads(src_man["schema"])["fields"]]
+    for reserved in ("op", "_src_version"):
+        if reserved in src_cols:
+            raise ValueError(
+                f"source column {reserved!r} collides with a change-"
+                "feed column; rename it before relaying"
+            )
+    state = _relay_state(feed_path, stream_id)
+    if state is None:
+        snap = read_versioned(spark, src_path, version=src_v)
+        ops = (snap.withColumn("op", F.lit("I"))
+               .withColumn("_src_version", F.lit(src_v)))
+        write_versioned(ops, feed_path)
+        empty = read_versioned(spark, feed_path).limit(0)
+        v = append_versioned(
+            empty, feed_path,
+            extra={"relay_stream": stream_id,
+                   "relay_src_version": src_v})
+        return v, {"bootstrap": True, "src_version": src_v}
+    if state == src_v:
+        return latest_version(feed_path), {
+            "bootstrap": False, "src_version": src_v, "ops": 0}
+    d = diff_versions(spark, src_path, state, src_v)
+    ops = (_ops_from_diff(d, keys)
+           .withColumn("_src_version", F.lit(src_v))
+           .select(*src_cols, "op", "_src_version"))
+    v = append_versioned(
+        ops, feed_path,
+        extra={"relay_stream": stream_id, "relay_src_version": src_v})
+    # op count from commit metadata (manifest rows are cumulative
+    # footer totals; the append's own contribution is the difference)
+    man_v = _read_manifest_meta(feed_path, v)
+    man_p = _read_manifest_meta(feed_path, man_v["parent"])
+    n_ops = (man_v["rows"] - man_p["rows"]
+             if man_v.get("rows") is not None
+             and man_p.get("rows") is not None else None)
+    return v, {"bootstrap": False, "src_version": src_v,
+               "ops": n_ops}
+
+
 def replicate_versioned(
     spark: SparkSession,
     src_path: str,
@@ -2445,19 +2544,7 @@ def replicate_versioned(
         return latest_version(dst_path), {
             "bootstrap": False, "src_version": src_v, "ops": 0}
     d = diff_versions(spark, src_path, state, src_v)
-    ins = d.filter(F.col("change_type") == "insert").drop("change_type")
-    dels = d.filter(F.col("change_type") == "delete").drop("change_type")
-    del_keys = dels.select(*keys).distinct()
-    ops = (
-        ins.join(del_keys.withColumn("__upd__", F.lit(True)),
-                 on=keys, how="left")
-        .withColumn("op", F.when(F.col("__upd__"), "U").otherwise("I"))
-        .drop("__upd__")
-        .unionByName(
-            dels.join(ins.select(*keys).distinct(), on=keys,
-                      how="left_anti")
-            .withColumn("op", F.lit("D")))
-    )
+    ops = _ops_from_diff(d, keys)
     n_ops = ops.count()
     if n_ops == 0:
         # logical no-op chain (e.g. a compaction): just advance state

@@ -934,3 +934,75 @@ def test_versioned_stream_starting_timestamp_and_widened_files(
     with pytest.raises(ValueError, match="mutually exclusive"):
         versioned_stream_read(spark, t, starting_version=1,
                               starting_timestamp=cut)
+
+
+def test_relay_changes_streaming_cdf(spark, sf_dir, tmp_path):
+    """The streaming change-data-feed closure (relay_changes): the
+    stream source refuses destructive commits, so changes become DATA
+    — each relay appends compacted I/U/D op rows to an append-only
+    feed table the stream source CAN tail. A consumer drains the
+    bootstrap, the source then takes an append + a merge-on-read
+    delete + a keyed update-merge, and the SAME checkpointed consumer
+    drains the relayed ops without breaking: the DV delete arrives as
+    D rows carrying the retraction preimage."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    src = str(tmp_path / "cdf_src")
+    feed = str(tmp_path / "cdf_feed")
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+    o = _vsr_orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 400), src)
+    _, st1 = V.relay_changes(spark, src, feed, "o_orderkey")
+    assert st1["bootstrap"]
+
+    def drain():
+        q = (versioned_stream_read(spark, feed)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        assert q.exception() is None
+        return spark.read.parquet(out)
+
+    n0 = o.filter(F.col("o_orderkey") <= 400).count()
+    got = drain()
+    assert got.count() == n0
+    assert got.filter("op != 'I'").count() == 0
+
+    V.append_versioned(o.filter(F.col("o_orderkey").between(401, 600)),
+                       src)
+    V.delete_versioned(spark, src, "o_orderkey <= 50",
+                       strategy="merge-on-read")
+    V.merge_versioned(
+        spark, src,
+        o.filter(F.col("o_orderkey").between(101, 150))
+        .withColumn("o_totalprice", F.lit(1.0)),
+        "o_orderkey")
+    _, st2 = V.relay_changes(spark, src, feed, "o_orderkey")
+    assert st2["ops"] and st2["ops"] > 0
+    got = drain()  # same checkpoint: consumer survives the chain
+    d = got.filter("op = 'D'").select("o_orderkey", "o_totalprice")
+    u = got.filter("op = 'U'")
+    i2 = got.filter("op = 'I' AND _src_version > 1")
+    exp_del = o.filter(F.col("o_orderkey") <= 50)
+    assert d.count() == exp_del.count()
+    assert d.exceptAll(exp_del).count() == 0  # preimage rides the D
+    assert (sorted(r["o_orderkey"] for r in u.collect())
+            == sorted(r["o_orderkey"] for r in
+                      o.filter(F.col("o_orderkey").between(101, 150))
+                      .collect()))
+    assert u.filter("o_totalprice != 1.0").count() == 0
+    assert i2.count() == o.filter(
+        F.col("o_orderkey").between(401, 600)).count()
+    # no-change relay no-ops; draining again adds nothing
+    total = got.count()
+    _, st3 = V.relay_changes(spark, src, feed, "o_orderkey")
+    assert st3["ops"] == 0
+    assert drain().count() == total
+    # reserved-column collision is refused up front
+    with pytest.raises(ValueError, match="op"):
+        V.relay_changes(spark, feed, str(tmp_path / "f2"), "o_orderkey")
