@@ -66,6 +66,7 @@ __all__ = [
     "load_dir_blooms",
     "prune_files",
     "prune_files_spark",
+    "prune_manifest_spark",
     "key_set_where",
     "spark_filter",
     "STATS_SIDECAR",
@@ -327,22 +328,29 @@ def _excludes(rec: dict, rows: int, op: str, val) -> bool:
     return False
 
 
+def _st_excluded(st: dict | None, where) -> bool:
+    """ONE file's keep/drop decision from its stats RECORD — the single
+    bounds evaluation every pruning path (driver loop, per-dir Spark
+    job, embedded-manifest Spark job) shares, so they cannot drift."""
+    if st is None:
+        return False
+    rows, cols = st.get("rows", 0), st.get("cols", {})
+    if rows == 0:
+        return True  # a zero-row file matches nothing, provably
+    for col, op, val in where:
+        rec = cols.get(col)
+        if rec is None:
+            continue
+        if _excludes(rec, rows, op, val):
+            return True
+    return False
+
+
 def _file_excluded(stats: dict | None, bloom: dict | None,
                    base: str, where) -> bool:
-    """ONE file's keep/drop decision from its directory's sidecars —
-    the single evaluation both pruning paths (driver loop and Spark
-    job) share, so they cannot drift."""
-    st = stats.get(base) if stats else None
-    if st is not None:
-        rows, cols = st.get("rows", 0), st.get("cols", {})
-        if rows == 0:
-            return True  # a zero-row file matches nothing, provably
-        for col, op, val in where:
-            rec = cols.get(col)
-            if rec is None:
-                continue
-            if _excludes(rec, rows, op, val):
-                return True
+    """Keep/drop from a DIRECTORY's sidecars (stats map + blooms)."""
+    if _st_excluded(stats.get(base) if stats else None, where):
+        return True
     if bloom is not None:
         for col, op, val in where:
             if _bloom_excludes(bloom, base, col, op, val):
@@ -454,6 +462,64 @@ def prune_files_spark(spark, path: str, rel_files: list[str],
     kept = {r["rel"] for r in df.mapInPandas(_eval, "rel string")
             .collect()}
     return [f for f in rel_files if f in kept]
+
+
+def prune_manifest_spark(spark, path: str, manifest_parquet_abs: str,
+                         where) -> list[str]:
+    """Prune an OFFLOADED manifest without the driver ever
+    materializing the full file list: the commit's columnar manifest
+    list ``(file, stats)`` is scanned as a DataFrame, every file's
+    bounds decision runs executor-side against its EMBEDDED stats
+    (copied from the per-directory sidecars at commit time — one table
+    read replaces O(dirs) JSON loads), and only the (small) surviving
+    list returns to the driver. Bloom sidecars stay by REFERENCE: when
+    the conjunction carries equality probes, each task loads its
+    directory's bloom document once (tasks are partitioned by
+    directory for cache locality), exactly like ``prune_files_spark``.
+    Files with no embedded stats are kept — pruning is an optimization
+    and must never change results. Returns the kept relative paths,
+    sorted."""
+    _check_where(where)
+    import pandas as pd
+
+    df = spark.read.parquet(manifest_parquet_abs)
+    if "stats" not in df.columns:
+        # pre-stats manifest list (older commit): the names-only list
+        # must be materialized once to reach the per-dir sidecar path
+        rels = [r["file"] for r in df.select("file").collect()]
+        return sorted(prune_files_spark(spark, path, rels, where))
+    has_eq = any(op in ("=", "==", "in") for _c, op, _v in where)
+    where_local = [tuple(c) for c in where]
+
+    def _eval(batches):
+        blooms: dict[str, dict | None] = {}
+        for pdf in batches:
+            out = []
+            for rel, st_json in zip(pdf["file"], pdf["stats"]):
+                st = json.loads(st_json) if st_json else None
+                if _st_excluded(st, where_local):
+                    continue
+                if has_eq:
+                    d, base = os.path.split(rel)
+                    if d not in blooms:
+                        blooms[d] = load_dir_blooms(
+                            os.path.join(path, d))
+                    bl = blooms[d]
+                    if bl is not None and any(
+                        _bloom_excludes(bl, base, c, op, v)
+                        for c, op, v in where_local
+                    ):
+                        continue
+                out.append(rel)
+            yield pd.DataFrame({"rel": out})
+
+    if has_eq:
+        # co-locate a directory's files so each task loads its bloom
+        # document once
+        df = df.repartition(
+            F.substring_index(F.col("file"), "/", 2))
+    kept = df.mapInPandas(_eval, "rel string").collect()
+    return sorted(r["rel"] for r in kept)
 
 
 def prune_files(

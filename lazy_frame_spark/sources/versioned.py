@@ -466,7 +466,9 @@ def _commit(
     supersedes them passes an explicit list (a fresh snapshot, a
     purge, a full rewrite)."""
     version = (parent or 0) + 1
-    parent_man = _read_manifest(path, parent) if parent else {}
+    # meta read: inheritance needs dv_files/constraints/files_parquet
+    # only — never the parent's (possibly offloaded) file LIST
+    parent_man = _read_manifest_meta(path, parent) if parent else {}
     if dvs is None:
         dvs = list(parent_man.get("dv_files", []))
     # CHECK constraints are table state like DV lists: inherited by
@@ -501,6 +503,12 @@ def _commit(
         # and references it). Per-attempt uuid in the name: a conflict
         # loser writing the same version number must never overwrite
         # the winner's published list — its orphan is vacuumed.
+        # Each row also EMBEDS the file's stats record (copied from the
+        # per-directory sidecars, carried forward from the parent's
+        # list for files the commit didn't touch), so the distributed
+        # prune reads ONE table instead of O(dirs) JSON sidecars and
+        # the driver never materializes the list (Iceberg's
+        # manifest-with-column-bounds move).
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -508,13 +516,56 @@ def _commit(
         os.makedirs(d, exist_ok=True)
         rel = f"{version:08d}-files-{uuid.uuid4().hex[:8]}.parquet"
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.table({"file": doc["files"]}), tmp)
+        pq.write_table(
+            pa.table({
+                "file": doc["files"],
+                "stats": _manifest_stats_column(
+                    path, parent_man, doc["files"]),
+            }),
+            tmp,
+        )
         os.replace(tmp, os.path.join(d, rel))
         doc["files_parquet"] = rel
         doc["files_count"] = len(doc["files"])
         doc["files"] = []
     _publish(path, version, doc)
     return version
+
+
+def _manifest_stats_column(path: str, parent_man: dict,
+                           files: list[str]) -> list:
+    """Per-file stats (JSON strings, None when unknown) for an
+    offloaded manifest list. Incremental in the steady state: files
+    already in the PARENT's offloaded list reuse its embedded stats
+    (one columnar read), only new directories pay a sidecar load —
+    O(changed dirs) per commit, never O(files). Best-effort: a missing
+    record keeps the file at prune time, costing pruning, never
+    correctness."""
+    seed: dict[str, str | None] = {}
+    prel = parent_man.get("files_parquet") if parent_man else None
+    if prel:
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(_manifest_dir(path), prel))
+            if "stats" in t.column_names:
+                seed = dict(zip(t["file"].to_pylist(),
+                                t["stats"].to_pylist()))
+        except Exception:
+            seed = {}
+    out: list = []
+    per_dir: dict[str, dict | None] = {}
+    for rel in files:
+        got = seed.get(rel)
+        if got is not None:
+            out.append(got)
+            continue
+        d, base = os.path.split(rel)
+        if d not in per_dir:
+            per_dir[d] = filestats.load_dir_stats(os.path.join(path, d))
+        st = (per_dir[d] or {}).get(base)
+        out.append(json.dumps(st) if st is not None else None)
+    return out
 
 
 def _check_constraints_resolve(
@@ -604,9 +655,20 @@ def _read_snapshot(
     schema = _committed_schema(man)
     flist = list(man["files"]) if files is None else list(files)
     if where is not None:
-        # spark handed through: a >100k-file manifest prunes as a
-        # distributed job instead of a driver loop (filestats)
-        flist = filestats.prune_files(path, flist, where, spark=spark)
+        if files is None and not flist and man.get("files_parquet"):
+            # OFFLOADED manifest handed through as a meta doc: prune
+            # straight from the columnar list with its embedded stats —
+            # the driver materializes only the (small) kept list, never
+            # the full one
+            flist = filestats.prune_manifest_spark(
+                spark, path,
+                os.path.join(_manifest_dir(path), man["files_parquet"]),
+                where)
+        else:
+            # spark handed through: a >100k-file manifest prunes as a
+            # distributed job instead of a driver loop (filestats)
+            flist = filestats.prune_files(path, flist, where,
+                                          spark=spark)
     if not flist:
         df = spark.createDataFrame([], schema)
         if _with_position:
@@ -1484,6 +1546,14 @@ def read_versioned(
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
+    if where is not None:
+        # a pruned read of an OFFLOADED manifest never reconstitutes
+        # the full file list on the driver: the meta doc carries
+        # schema/DVs/the manifest-table reference, and _read_snapshot
+        # prunes from the columnar list directly
+        meta = _read_manifest_meta(path, v)
+        if meta.get("files_parquet") and not meta.get("files"):
+            return _read_snapshot(spark, path, meta, where=where)
     man = _read_manifest(path, v)
     return _read_snapshot(spark, path, man, where=where)
 

@@ -1063,6 +1063,59 @@ class TestDistributedPruning:
             len(filestats.prune_files(t, files, w)) < len(files)
             for w in self._conjs())
 
+    def test_offloaded_manifest_prunes_without_driver_list(
+            self, spark, tmp_path, monkeypatch):
+        """round-12 verdict item 4 (manifest-as-parquet completion):
+        an offloaded commit embeds each file's stats record in the
+        columnar manifest list, so the distributed prune reads ONE
+        table (blooms stay by reference and still compose) and is
+        file-for-file identical to the driver loop — and a pruned
+        read_versioned never reconstitutes the full file list on the
+        driver (counting monkeypatch proves zero _read_manifest calls
+        end-to-end)."""
+        import os as _os
+
+        t = str(tmp_path / "dp3")
+        o = _orders(spark)
+        monkeypatch.setattr(V, "_MANIFEST_PARQUET_THRESHOLD", 0)
+        V._MANIFEST_LIST_CACHE.clear()
+        V.write_versioned(o.repartition(6), t)
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=6)
+        V.build_blooms(spark, t, ["o_orderkey", "o_orderstatus"])
+        v = V.latest_version(t)
+        files = list(V._read_manifest(t, v)["files"])
+        meta = V._read_manifest_meta(t, v)
+        assert meta.get("files_parquet") and not meta.get("files")
+        pabs = _os.path.join(V._manifest_dir(t), meta["files_parquet"])
+        # the embedded stats column exists and covers every file
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(pabs)
+        assert set(tbl.column_names) == {"file", "stats"}
+        assert all(s is not None for s in tbl["stats"].to_pylist())
+        for w in self._conjs():
+            a = sorted(filestats.prune_files(t, files, w))
+            b = filestats.prune_manifest_spark(spark, t, pabs, w)
+            assert a == b, f"paths diverge for {w}"
+        # end-to-end pruned read: values equal the unpruned filter,
+        # with ZERO full-manifest reconstitutions on the driver
+        truth = V.read_versioned(spark, t).filter(
+            F.col("o_orderkey").between(100, 900)).collect()
+        full_reads: list[int] = []
+        orig = V._read_manifest
+
+        def counting(path, version):
+            full_reads.append(version)
+            return orig(path, version)
+
+        monkeypatch.setattr(V, "_read_manifest", counting)
+        V._MANIFEST_LIST_CACHE.clear()
+        got = V.read_versioned(
+            spark, t, where=[("o_orderkey", "between", (100, 900))]
+        ).collect()
+        assert full_reads == []
+        assert sorted(map(tuple, got)) == sorted(map(tuple, truth))
+
     def test_threshold_dispatch_preserves_read_semantics(
             self, spark, tmp_path, monkeypatch):
         """With the threshold forced to 0, read_versioned(where=...)
