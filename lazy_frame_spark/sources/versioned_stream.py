@@ -36,8 +36,13 @@ the v1 bootstrap overwrite counting as the chain's first append) or
 Deletion vectors: a DV commit masks rows in FILES ALREADY EMITTED by
 earlier batches — a stream cannot retract delivered rows, so DV
 commits (action ``delete`` with merge-on-read) fail the chain like any
-other destructive action. Consumers that need retractions should read
-``diff_versions`` (the CDC view) batch-wise instead.
+other destructive action even though the FILE list stays identical:
+``partitions()`` tracks the manifest's ``dv_files`` across the version
+walk and raises on any change. Consumers that need retractions stream
+a ``relay_changes`` feed instead (``versioned.relay_changes`` — the
+change feed is append-only by construction, so this source can tail
+it; upstream deletes arrive as D op rows), or read ``diff_versions``
+batch-wise.
 
 Reference parity note: the reference (bwlewis/lazy.frame) has no
 streaming surface; this module extends the engine's versioned format
