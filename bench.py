@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "view_concurrent_appends",   # 4-thread optimistic-rebase ingest race
     "view_versioned_replicate",  # CDF relay: diff -> keyed CDC commit
     "stream_versioned_cdf",      # streaming change feed: relay + 2 drains
+    "view_metadata_ndv",         # zero-scan COUNT(DISTINCT) from sidecars
 ]
 
 
@@ -202,6 +203,10 @@ BUDGETS_SF01 = {
     # bootstrap + 3 relays + TWO checkpointed streaming drains — the
     # second drain across the MoR-delete chain is the graded claim)
     "stream_versioned_cdf": 17.0,
+    # round-13 row: measured warm min 4.62 s (fixture build + 3-col
+    # sketch build + exact-distinct verification scans; the graded
+    # metadata_ndv call itself is a driver-side sidecar walk)
+    "view_metadata_ndv": 9.0,
 }
 
 #: Phase-split rows (round-11 verdict item 6): the row's recorded time

@@ -4875,6 +4875,86 @@ def stream_versioned_feed(spark, sf_dir):
 
 
 @query(
+    "view_metadata_ndv",
+    # zero-scan COUNT(DISTINCT): per-file HLL registers built once per
+    # immutable directory, merged driver-side (elementwise max — a
+    # lossless union) across exactly the version's files. The oracle is
+    # the invariant: every estimate lands within 6% (>3.5 sigma at
+    # p=12) of the exact distinct count, at the head AND time-travelled
+    # to v1 — the row itself RAISES on non-idempotent rebuilds, a
+    # non-refusing DV read, or any out-of-bound estimate
+    oracle="""
+    SELECT col, within_bound FROM (
+      SELECT 'head:o_custkey' AS col, TRUE AS within_bound
+      UNION ALL SELECT 'head:o_orderkey', TRUE
+      UNION ALL SELECT 'head:o_orderstatus', TRUE
+      UNION ALL SELECT 'v1:o_orderkey', TRUE
+    )
+    """,
+)
+def view_metadata_ndv(spark, sf_dir):
+    """Zero-scan COUNT(DISTINCT) from commit metadata
+    (sources/versioned.build_ndv + metadata_ndv — Iceberg's puffin ndv
+    statistic, Delta's ANALYZE): ``build_ndv`` writes per-FILE dense
+    HyperLogLog registers (md5 canonical-string hashing, the same
+    cross-engine scheme as the bloom sidecars) once per immutable data
+    directory — an append-only table only ever sketches its NEW
+    directories — and ``metadata_ndv`` merges registers by elementwise
+    max across exactly the version's referenced files: associative,
+    commutative, LOSSLESS, so the estimate respects time travel and
+    carried-by-reference compactions, with no SparkSession parameter
+    (zero jobs by construction). Unprovable refuses: a deletion vector
+    (HLL cannot subtract) or a missing per-file array returns None,
+    never a guess. At 100 TB this turns ANALYZE-grade NDV — join
+    planning, cardinality sanity checks, dedup sizing — into a sidecar
+    walk instead of a shuffle-heavy COUNT(DISTINCT) scan."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vndv_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 1000).repartition(4), t)
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(1001, 1400)), t)
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus"]
+    st = V.build_ndv(spark, t, cols)
+    if st["dirs_built"] == 0:
+        raise AssertionError(f"ndv build touched nothing: {st}")
+    st2 = V.build_ndv(spark, t, cols)
+    if st2 != {"dirs_built": 0, "dirs_skipped": st["dirs_built"]
+               + st["dirs_skipped"]}:
+        raise AssertionError(f"ndv rebuild not idempotent: {st2}")
+    checks: list[tuple[str, bool]] = []
+    est = V.metadata_ndv(t, cols)
+    snap = V.read_versioned(spark, t)
+    for c in cols:
+        exact = snap.select(c).distinct().count()
+        if est[c] is None:
+            raise AssertionError(f"ndv unprovable for {c}")
+        checks.append((f"head:{c}",
+                       abs(est[c] - exact) / max(exact, 1) <= 0.06))
+    # time travel: the v1 estimate merges ONLY v1's files
+    est1 = V.metadata_ndv(t, ["o_orderkey"], version=1)["o_orderkey"]
+    exact1 = (V.read_versioned(spark, t, version=1)
+              .select("o_orderkey").distinct().count())
+    checks.append(("v1:o_orderkey",
+                   abs(est1 - exact1) / max(exact1, 1) <= 0.06))
+    # a deletion vector must REFUSE (HLL cannot subtract masked rows)
+    V.delete_versioned(spark, t, "o_orderkey <= 10",
+                       strategy="merge-on-read")
+    if V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"] is not None:
+        raise AssertionError("ndv did not refuse under deletion vectors")
+    return spark.createDataFrame(checks, "col string, within_bound boolean")
+
+
+@query(
     "stream_versioned_cdf",
     # the retraction-bearing change feed AS A STREAM: bootstrap
     # snapshot (keys <= 800) relays as I ops and is drained; the source
@@ -9961,7 +10041,15 @@ DRIVER_WINDOW: list[str] = [
     # and O(increment) consumption of a versioned corpus (manifest
     # file-diff, no old-data I/O)
     "pipeline_incremental_curate",
-    "view_versioned_increment",
+    # (view_versioned_increment rotated past the cap in round 13 —
+    # green rounds 10-12; O(increment) consumption stays
+    # driver-exercised by pipeline_incremental_curate (its epoch-2
+    # append-only consume), view_incremental_join's deltas, and the
+    # relay/stream rows, and stays locally checked. Its slot funds
+    # view_metadata_ndv below — round 13's zero-scan COUNT(DISTINCT)
+    # statistic, landing in-window the round it ships per the
+    # zero-debt policy.)
+    "view_metadata_ndv",
     # round-11 continuation additions land in-window the round they
     # ship (zero-debt): manifest-level data skipping — per-file column
     # bounds recorded at commit, file list pruned driver-side before

@@ -64,6 +64,10 @@ __all__ = [
     "load_dir_stats",
     "write_dir_blooms",
     "load_dir_blooms",
+    "write_dir_ndv",
+    "load_dir_ndv",
+    "ndv_estimate",
+    "NDV_SIDECAR",
     "prune_files",
     "prune_files_spark",
     "prune_manifest_spark",
@@ -799,6 +803,138 @@ def load_dir_blooms(dir_abs: str) -> dict | None:
         return doc if doc.get("version") == 1 else None
     except Exception:
         return None
+
+
+# ----------------------------------------------------- NDV sketch sidecars
+
+NDV_SIDECAR = "_ndv.json"
+
+#: default HLL precision: m = 2^12 = 4096 registers per (file, column)
+#: — ~5.5 KB base64 in the sidecar, standard error 1.04/sqrt(m) = 1.6%
+NDV_P = 12
+
+
+def write_dir_ndv(
+    spark, dir_abs: str, cols: list[str], p: int = NDV_P,
+    extra_cols: dict | None = None,
+    schema_types: dict | None = None,
+) -> dict | None:
+    """Build per-FILE dense HLL registers for ``cols`` over one data
+    directory and persist them in an ``_ndv.json`` sidecar (atomic
+    temp+rename, advisory metadata) — the zero-scan COUNT(DISTINCT)
+    layer (Iceberg records the same statistic in puffin files). The
+    union of HLL register arrays is elementwise max — associative,
+    commutative, LOSSLESS — so per-file sketches written once at build
+    time merge into an exact-union table/partition/version estimate
+    driver-side with no Spark job and no rescan, and stay correct
+    across compactions that carry files by reference.
+
+    Hashing is the same md5-based canonical-string scheme as the bloom
+    sidecars (``_bloom_positions_py``): Spark's xxhash64 is
+    JVM-internal, md5-of-CAST(x AS STRING) both engines compute
+    bit-exactly. The 60-bit half splits as low ``p`` bits → register
+    index, remaining ``60-p`` bits → rank via ``length(bin(w))``
+    (exact integer log2 — no float edge cases). Only int-family and
+    string columns are accepted, like the blooms. Registers are capped
+    at 255 trivially (rank ≤ 60-p+1). Cost: one projection-pruned scan
+    of the directory per build; output is O(m) per (file, column)."""
+    files = sorted(
+        f for f in os.listdir(dir_abs) if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    import base64
+
+    from pyspark.sql import functions as SF
+
+    m = 1 << p
+    wbits = 60 - p
+    abs_files = [os.path.join(dir_abs, f) for f in files]
+    df = spark.read.parquet(*abs_files)
+    type_by_name = {f.name: f.dataType.simpleString()
+                    for f in df.schema.fields}
+    ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
+    out_cols: dict[str, dict[str, str]] = {}
+    zero = base64.b64encode(bytes(m)).decode("ascii")
+    for c in cols:
+        t = type_by_name.get(c)
+        if t is None and schema_types and c in schema_types:
+            # pre-evolution directory: all-NULL column distinct-counts
+            # nothing — record empty registers so merges stay exact
+            out_cols[c] = {f: zero for f in files}
+            continue
+        if t is None:
+            raise ValueError(f"ndv column {c!r} not in table schema")
+        if t not in ok_types:
+            raise ValueError(
+                f"ndv column {c!r} has type {t} — only int-family and "
+                "string keys have a canonical cross-engine string form"
+            )
+        h = SF.md5(SF.col(c).cast("string"))
+        h1 = SF.conv(SF.substring(h, 1, 15), 16, 10).cast("bigint")
+        bucket = h1.bitwiseAND(SF.lit(m - 1))
+        w = SF.shiftrightunsigned(h1, p)
+        rho = SF.when(w == 0, SF.lit(wbits + 1)).otherwise(
+            SF.lit(wbits + 1) - SF.length(SF.bin(w)))
+        rows = (
+            df.select(SF.input_file_name().alias("__f"), SF.col(c))
+            .filter(SF.col(c).isNotNull())
+            .select("__f", bucket.alias("__b"), rho.alias("__r"))
+            .groupBy("__f", "__b")
+            .agg(SF.max("__r").alias("__r"))
+            .groupBy("__f")
+            .agg(SF.collect_list(SF.struct("__b", "__r")).alias("__brs"))
+            .collect()
+        )
+        from urllib.parse import unquote
+
+        per_file: dict[str, str] = {}
+        for r in rows:
+            uri = r["__f"]
+            pth = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
+            base = os.path.basename(pth)
+            regs = bytearray(m)
+            for br in r["__brs"]:
+                regs[br["__b"]] = br["__r"]
+            per_file[base] = base64.b64encode(bytes(regs)).decode("ascii")
+        for f in files:
+            per_file.setdefault(f, zero)  # all-NULL file: empty regs
+        out_cols[c] = per_file
+    if extra_cols:
+        for c, per_file in extra_cols.items():
+            out_cols.setdefault(c, per_file)
+    doc = {"version": 1, "p": p, "cols": out_cols}
+    tmp = os.path.join(dir_abs, f".{NDV_SIDECAR}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(dir_abs, NDV_SIDECAR))
+    return doc
+
+
+def load_dir_ndv(dir_abs: str) -> dict | None:
+    try:
+        with open(os.path.join(dir_abs, NDV_SIDECAR)) as fh:
+            doc = json.load(fh)
+        return doc if doc.get("version") == 1 else None
+    except Exception:
+        return None
+
+
+def ndv_estimate(registers: bytes | bytearray) -> float:
+    """The standard HyperLogLog estimator over one dense register
+    array: bias-corrected harmonic mean, with linear counting in the
+    small range (E ≤ 2.5m with empty registers) — the regime where it
+    is strictly MORE accurate. No large-range correction is needed:
+    the 60-bit hash space exceeds any table this library will meet."""
+    import math as _math
+
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / sum(2.0 ** -r for r in registers)
+    zeros = sum(1 for r in registers if r == 0)
+    if e <= 2.5 * m and zeros:
+        return m * _math.log(m / zeros)
+    return e
 
 
 _INT_FAMILY = {"tinyint", "smallint", "int", "bigint"}

@@ -109,6 +109,8 @@ __all__ = [
     "skipping_summary",
     "metadata_aggregate",
     "metadata_count_where",
+    "build_ndv",
+    "metadata_ndv",
     "replicate_versioned",
     "relay_changes",
     "build_blooms",
@@ -2204,6 +2206,112 @@ def build_blooms(
             schema_types=schema_types)
         built += 1
     return {"dirs_built": built, "dirs_skipped": skipped}
+
+
+def build_ndv(
+    spark: SparkSession, path: str, cols: list[str],
+    p: int = None, version: int | None = None,
+) -> dict:
+    """Build per-file NDV (HyperLogLog register) sidecars for ``cols``
+    across the version's data directories — the zero-scan
+    COUNT(DISTINCT) statistic (Iceberg's puffin ndv, Delta's ANALYZE).
+    Like ``build_blooms`` this is advisory sidecar metadata, not
+    manifest state: idempotent per directory (a covering sidecar is
+    skipped; new columns merge into an existing one), written once per
+    immutable directory so an append-only table only ever sketches its
+    NEW directories. Register unions are elementwise max — lossless —
+    so ``metadata_ndv`` answers table-level COUNT(DISTINCT) from the
+    sidecars alone, at any file subset, with no Spark job. Returns
+    ``{"dirs_built", "dirs_skipped"}``."""
+    if p is None:
+        p = filestats.NDV_P
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    schema_types = {
+        f.name: f.dataType.simpleString()
+        for f in _committed_schema(man).fields
+    }
+    for c in cols:
+        if c not in schema_types:
+            raise ValueError(f"ndv column {c!r} not in table schema")
+    dirs = sorted({os.path.dirname(rel) for rel in man["files"]})
+    built = skipped = 0
+    for d in dirs:
+        dir_abs = os.path.join(path, d)
+        doc = filestats.load_dir_ndv(dir_abs)
+        if (doc is not None and doc.get("p") == p
+                and all(c in doc.get("cols", {}) for c in cols)):
+            skipped += 1
+            continue
+        want = list(cols)
+        carry: dict = {}
+        if doc is not None and doc.get("p") == p:
+            want = [c for c in cols if c not in doc["cols"]]
+            carry = {c: regs for c, regs in doc["cols"].items()
+                     if c not in want}
+        filestats.write_dir_ndv(
+            spark, dir_abs, want, p=p, extra_cols=carry,
+            schema_types=schema_types)
+        built += 1
+    return {"dirs_built": built, "dirs_skipped": skipped}
+
+
+def metadata_ndv(
+    path: str, cols: list[str], version: int | None = None,
+) -> dict:
+    """COUNT(DISTINCT col) estimated from commit metadata alone — the
+    NDV extension of ``metadata_aggregate``: per-file HLL registers
+    (``build_ndv``) merge by elementwise max across exactly the
+    version's referenced files, so the answer respects time travel and
+    carried-by-reference compactions, with zero Spark jobs and zero
+    data scans (no session parameter, by construction). Provability
+    rules match the column-stats ones: every referenced file must have
+    a same-precision register array for the column (None otherwise),
+    and any deletion vector refuses the estimate (HLL cannot subtract
+    a masked row — run ``purge_dvs`` first). Standard error is
+    1.04/sqrt(2^p) ≈ 1.6% at the default precision; the small range
+    uses linear counting and is tighter. Returns ``{col: float|None}``.
+    """
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    man = _read_manifest(path, v)
+    out: dict = {c: None for c in cols}
+    if man.get("dv_files"):
+        return out  # masked rows can't be subtracted from a sketch
+    files = list(man["files"])
+    per_dir: dict[str, dict | None] = {}
+    import base64
+
+    for c in cols:
+        merged: bytearray | None = None
+        provable = True
+        for rel in files:
+            d, base = os.path.split(rel)
+            if d not in per_dir:
+                per_dir[d] = filestats.load_dir_ndv(
+                    os.path.join(path, d))
+            doc = per_dir[d]
+            b64 = (doc or {}).get("cols", {}).get(c, {}).get(base)
+            if b64 is None:
+                provable = False
+                break
+            regs = base64.b64decode(b64)
+            if merged is None:
+                merged = bytearray(regs)
+            elif len(regs) != len(merged):
+                provable = False  # mixed precisions don't union
+                break
+            else:
+                for i, r in enumerate(regs):
+                    if r > merged[i]:
+                        merged[i] = r
+        if provable:
+            out[c] = (0.0 if merged is None
+                      else filestats.ndv_estimate(merged))
+    return out
 
 
 def skipping_summary(path: str, where: list,

@@ -963,6 +963,88 @@ class TestApplyCdc:
         assert hist[-1]["stream_batch_id"] == 1
 
 
+class TestMetadataNdv:
+    def test_estimates_merge_losslessly_and_respect_versions(
+            self, spark, tmp_path):
+        """Zero-scan COUNT(DISTINCT): per-file register unions are
+        lossless, so (a) the table estimate lands within the sketch's
+        error of the exact distinct count for low- AND high-cardinality
+        columns, (b) a time-travel read merges only that version's
+        files, (c) a compaction (files carried/rewritten, same rows)
+        leaves the estimate derivable after a sidecar build of the new
+        dirs, and (d) all-NULL pre-evolution directories contribute
+        empty registers, keeping the union exact."""
+        t = str(tmp_path / "ndv")
+        o = _orders(spark).select(
+            "o_orderkey", "o_custkey", "o_orderstatus")
+        V.write_versioned(
+            o.filter(F.col("o_orderkey") <= 900).repartition(3), t)
+        V.append_versioned(
+            o.filter(F.col("o_orderkey") > 900)
+            .withColumn("lang", F.lit("en")), t, merge_schema=True)
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "lang"]
+        st = V.build_ndv(spark, t, cols)
+        assert st["dirs_built"] == 2
+        assert V.build_ndv(spark, t, cols) == {
+            "dirs_built": 0, "dirs_skipped": 2}
+        est = V.metadata_ndv(t, cols)
+        snap = V.read_versioned(spark, t)
+        for c in cols:
+            exact = snap.filter(F.col(c).isNotNull()) \
+                        .select(c).distinct().count()
+            assert est[c] is not None
+            assert abs(est[c] - exact) <= max(1.0, 0.06 * exact), (
+                c, est[c], exact)
+        # time travel: v1's merge covers only v1's files
+        est1 = V.metadata_ndv(t, ["o_orderkey"], version=1)
+        ex1 = (V.read_versioned(spark, t, version=1)
+               .select("o_orderkey").distinct().count())
+        assert abs(est1["o_orderkey"] - ex1) <= 0.06 * ex1
+        # the pre-evolution dir's all-NULL lang column must not
+        # disturb the union: v1 lang ndv is exactly 0
+        assert V.metadata_ndv(t, ["lang"], version=1)["lang"] == 0.0
+        # compaction rewrites files: new dirs need a build, then the
+        # estimate still tracks the same (unchanged) logical rows
+        V.compact_versioned(spark, t, small_mb=64)
+        assert V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"] is None
+        V.build_ndv(spark, t, ["o_orderkey"])
+        est2 = V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"]
+        ex2 = snap.select("o_orderkey").distinct().count()
+        assert abs(est2 - ex2) <= 0.06 * ex2
+
+    def test_refusals_are_explicit(self, spark, tmp_path):
+        """None, never a guess: deletion vectors refuse (HLL cannot
+        subtract), a file without a register array refuses, and
+        unsupported column types refuse at BUILD time."""
+        t = str(tmp_path / "ndv2")
+        o = _orders(spark)
+        V.write_versioned(o.limit(300), t)
+        with pytest.raises(ValueError, match="canonical"):
+            V.build_ndv(spark, t, ["o_totalprice"])  # double: no form
+        with pytest.raises(ValueError, match="not in table schema"):
+            V.build_ndv(spark, t, ["nope"])
+        # no sidecar yet: unprovable
+        assert V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"] is None
+        V.build_ndv(spark, t, ["o_orderkey"])
+        assert V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"] is not None
+        # an append WITHOUT a fresh build leaves the new file uncovered
+        V.append_versioned(o.limit(350).subtract(o.limit(300)), t)
+        assert V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"] is None
+        V.build_ndv(spark, t, ["o_orderkey"])
+        est = V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"]
+        assert est is not None
+        # DVs refuse; purge re-enables after a rebuild of new dirs
+        V.delete_versioned(spark, t, "o_orderkey < 5",
+                           strategy="merge-on-read")
+        assert V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"] is None
+        V.purge_dvs(spark, t)
+        V.build_ndv(spark, t, ["o_orderkey"])
+        est3 = V.metadata_ndv(t, ["o_orderkey"])["o_orderkey"]
+        ex3 = (V.read_versioned(spark, t)
+               .select("o_orderkey").distinct().count())
+        assert abs(est3 - ex3) <= max(1.0, 0.06 * ex3)
+
+
 class TestMetadataAggregate:
     def test_exact_on_append_chain_and_all_null(self, spark, tmp_path):
         t = str(tmp_path / "magg")
