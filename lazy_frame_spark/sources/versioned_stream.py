@@ -125,6 +125,28 @@ class VersionedStreamReader(DataSourceStreamReader):
             self.start_version = int(V.version_as_of(self.path, ts))
         else:
             self.start_version = int(options.get("starting_version", 0))
+        # admission control (Delta's maxFilesPerTrigger, steady-state
+        # half): from a run's SECOND micro-batch on, each batch admits
+        # whole VERSIONS until the next would exceed this many files
+        # (always >= 1 version, so progress is guaranteed), decided
+        # from manifest META counts only. A run's FIRST batch cannot be
+        # capped on this API: the engine asks latestOffset before
+        # initialOffset and never reveals the checkpointed start, so a
+        # blind cap could return an offset behind a resumed query's
+        # checkpoint and stall it permanently (probed, recorded in
+        # NEXT.md). Bounding a cold backfill therefore needs
+        # starting_version; the cap's value is steady-state tailing —
+        # a burst of appends lands as bounded batches, not one giant
+        # one.
+        mfpb = options.get("max_files_per_batch")
+        self.max_files_per_batch = int(mfpb) if mfpb is not None else None
+        if self.max_files_per_batch is not None \
+                and self.max_files_per_batch < 1:
+            raise ValueError("max_files_per_batch must be >= 1")
+        self._hwm = self.start_version
+        # anchored by the first partitions()/commit() of the run — only
+        # then does the mark reflect the query's true position
+        self._hwm_known = False
         # the stream's schema is FIXED at query start (Spark resolves
         # it once): pad pre-evolution files up to it, project newer
         # files' extra columns away — a column added mid-stream starts
@@ -146,7 +168,34 @@ class VersionedStreamReader(DataSourceStreamReader):
         if v is None:
             raise FileNotFoundError(
                 f"no versioned table at {self.path}")
-        return {"version": max(v, self.start_version)}
+        head = max(v, self.start_version)
+        if (self.max_files_per_batch is None or self._hwm >= head
+                or not self._hwm_known):
+            # no cap, nothing new, or a run's FIRST batch: the engine
+            # calls latestOffset before initialOffset (probed — even on
+            # fresh queries), and never shows this method the
+            # checkpointed start, so capping here could hand back an
+            # offset BEHIND a resumed query's checkpoint and stall it
+            # forever. The first batch therefore runs uncapped;
+            # partitions()/commit() anchor the mark and the cap
+            # engages from the second micro-batch of the run.
+            return {"version": head}
+
+        def n_files(u: int) -> int:
+            man = V._read_manifest_meta(self.path, u)
+            return man.get("files_count", len(man.get("files") or []))
+
+        cur, admitted, prev_n = self._hwm, 0, (
+            n_files(self._hwm) if self._hwm else 0)
+        for u in range(self._hwm + 1, head + 1):
+            nn = n_files(u)
+            n = max(0, nn - prev_n)
+            prev_n = nn
+            if cur > self._hwm and admitted + n > self.max_files_per_batch:
+                break
+            admitted += n
+            cur = u
+        return {"version": cur}
 
     # ---- planning (driver) -----------------------------------------
     def partitions(self, start: dict, end: dict):
@@ -200,6 +249,8 @@ class VersionedStreamReader(DataSourceStreamReader):
                 )
             prev_files = cur
             prev_dvs = cur_dvs
+        self._hwm = max(self._hwm, hi)
+        self._hwm_known = True
         return [
             _FilePartition(os.path.join(self.path, rel), schema_json)
             for rel in new_files
@@ -229,7 +280,8 @@ class VersionedStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._hwm = max(self._hwm, int(end["version"]))
+        self._hwm_known = True
 
 
 class VersionedTableDataSource(DataSource):
@@ -262,7 +314,8 @@ def register_versioned_source(spark) -> None:
 
 def versioned_stream_read(spark, path: str,
                           starting_version: int | None = None,
-                          starting_timestamp=None):
+                          starting_timestamp=None,
+                          max_files_per_batch: int | None = None):
     """``spark.readStream`` over a versioned table's append chain —
     each micro-batch delivers the rows committed since the stream's
     checkpointed version, exactly once, as file-grain executor
@@ -270,7 +323,15 @@ def versioned_stream_read(spark, path: str,
     history; pass the current version to consume only future appends,
     or ``starting_timestamp`` (epoch seconds / ISO-8601, the same
     domain as ``read_versioned(as_of=...)``) to start after the
-    newest version committed at or before that instant."""
+    newest version committed at or before that instant.
+    ``max_files_per_batch`` (Delta's maxFilesPerTrigger) bounds every
+    micro-batch AFTER a run's first to whole versions totalling at
+    most that many files (always >= 1 version) — steady-state
+    admission control for continuous tailing, so a burst of appends
+    lands as bounded batches. A run's first batch is uncapped by API
+    constraint (the engine asks latestOffset before initialOffset and
+    hides the checkpointed start — a blind cap would stall resumed
+    queries); bound a cold backfill with ``starting_version``."""
     if starting_version is not None and starting_timestamp is not None:
         raise ValueError(
             "starting_version and starting_timestamp are mutually "
@@ -281,4 +342,6 @@ def versioned_stream_read(spark, path: str,
         r = r.option("starting_timestamp", str(starting_timestamp))
     else:
         r = r.option("starting_version", starting_version or 0)
+    if max_files_per_batch is not None:
+        r = r.option("max_files_per_batch", int(max_files_per_batch))
     return r.load()

@@ -936,7 +936,76 @@ def test_versioned_stream_starting_timestamp_and_widened_files(
                               starting_timestamp=cut)
 
 
-def test_relay_changes_streaming_cdf(spark, sf_dir, tmp_path):
+def test_versioned_stream_max_files_per_batch_admission_control(
+        spark, sf_dir, tmp_path):
+    """Steady-state admission control: from a run's second micro-batch
+    on, each batch admits whole versions totalling at most the cap's
+    files (>= 1 version, so progress is guaranteed). The unit drives
+    the reader through the engine's PROBED call order — latestOffset
+    BEFORE initialOffset, even on fresh queries — which is exactly why
+    a run's first batch must stay uncapped: the API hides the
+    checkpointed start, and a blind cap could hand back an offset
+    behind it and stall a resumed stream forever. The e2e run proves
+    the option plumbs through without changing delivered rows."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+        versioned_stream_read,
+    )
+
+    t = str(tmp_path / "vsr_cap")
+    out = str(tmp_path / "cap_out")
+    ckpt = str(tmp_path / "cap_ckpt")
+    o = _vsr_orders(spark, sf_dir)
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 200).coalesce(1), t)   # v1: 1 file
+    bands = [(201, 300), (301, 400), (401, 500)]
+    for lo, hi in bands:                                       # v2-v4
+        V.append_versioned(
+            o.filter(F.col("o_orderkey").between(lo, hi)).coalesce(1), t)
+
+    # engine call order (probed): latest -> initial -> partitions ->
+    # commit -> latest -> ... First batch uncapped, then capped.
+    r = VersionedStreamReader({"path": t, "max_files_per_batch": 1})
+    assert r.latestOffset() == {"version": 4}      # first batch: uncapped
+    r.initialOffset()
+    r.partitions({"version": 0}, {"version": 1})   # engine planned [0,1]
+    r.commit({"version": 1})
+    V.append_versioned(                                        # v5
+        o.filter(F.col("o_orderkey").between(501, 600)).coalesce(1), t)
+    V.append_versioned(                                        # v6
+        o.filter(F.col("o_orderkey").between(601, 700)).coalesce(1), t)
+    assert r.latestOffset() == {"version": 2}      # capped: 1 version
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 3}
+    # a bigger budget admits whole versions while it lasts
+    r2 = VersionedStreamReader({"path": t, "max_files_per_batch": 2})
+    r2.partitions({"version": 0}, {"version": 2})
+    r2.commit({"version": 2})
+    assert r2.latestOffset() == {"version": 4}     # v3(1) + v4(1) fit
+    # progress even when one version alone exceeds the cap
+    r3 = VersionedStreamReader({"path": t, "max_files_per_batch": 1})
+    big = o.filter(F.col("o_orderkey") > 700).repartition(4)
+    V.append_versioned(big, t)                                 # v7: 4 files
+    r3.commit({"version": 6})
+    assert r3.latestOffset() == {"version": 7}     # >=1 version always
+    with pytest.raises(ValueError, match="max_files_per_batch"):
+        VersionedStreamReader({"path": t, "max_files_per_batch": 0})
+
+    # e2e: the option plumbs through; an availableNow run (single
+    # uncapped batch) delivers the same rows, and a re-run is a no-op
+    def drain():
+        q = (versioned_stream_read(spark, t, max_files_per_batch=1)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+        assert q.exception() is None
+        return spark.read.parquet(out).count()
+
+    full = o.count()
+    assert drain() == full
+    assert drain() == full
     """The streaming change-data-feed closure (relay_changes): the
     stream source refuses destructive commits, so changes become DATA
     — each relay appends compacted I/U/D op rows to an append-only
