@@ -1135,6 +1135,7 @@ def compact_versioned(
     path: str,
     target_mb: int = 128,
     small_mb: int = 8,
+    where: list | None = None,
 ) -> tuple[int, dict]:
     """Small-file compaction as a COMMIT (action ``compact``): coalesce
     data files smaller than ``small_mb`` into ~``target_mb`` files in
@@ -1146,14 +1147,31 @@ def compact_versioned(
     ingestion accretes KB-sized files whose per-file open/footer/task
     overhead dominates scans; compaction is periodic maintenance, and
     doing it as a manifest commit makes it crash-safe and auditable for
-    free. Returns ``(version, stats)``."""
+    free.
+
+    ``where`` (a ``prune_files`` conjunction, e.g. the current ingest
+    partition ``[("day", "=", "2026-08-16")]``) SCOPES the candidate
+    set: only small files whose stats sidecars say they can hold
+    matching rows are rewritten — Delta's ``OPTIMIZE WHERE``. The
+    rewrite itself still copies those files' rows COMPLETELY (the
+    conjunction selects files, never rows — a compaction must stay a
+    logical no-op), so scoping is purely a maintenance-cost lever: a
+    hot-partition OPTIMIZE on a 100 TB table touches that partition's
+    small files, not every small file ever written. Returns
+    ``(version, stats)``."""
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     prev = _read_manifest(path, parent)
     files = list(prev["files"])
+    in_scope = set(
+        filestats.prune_files(path, files, where, spark=spark)
+        if where is not None else files)
     small, healthy = [], []
     for rel in files:
+        if rel not in in_scope:
+            healthy.append(rel)
+            continue
         try:
             sz = os.path.getsize(os.path.join(path, rel))
         except OSError:
@@ -2578,17 +2596,21 @@ def _relay_state(path: str, stream_id: str) -> int | None:
     return None
 
 
-def _ops_from_diff(d: DataFrame, keys: list[str]) -> DataFrame:
+def _ops_from_diff(d: DataFrame, keys: list[str],
+                   preimages: bool = False) -> DataFrame:
     """Compact a ``diff_versions`` result to per-key I/U/D ops: a key
     appearing on both sides is an Update carrying the NEW row, an
     insert-only key an Insert, a delete-only key a Delete carrying the
     OLD row (the retraction preimage). Requires ``keys`` to be unique
     per side — the contract both consumers (``replicate_versioned``'s
-    apply_cdc and the change feed) already demand."""
+    apply_cdc and the change feed) already demand. ``preimages=True``
+    additionally emits each updated key's OLD row as ``U_pre`` (Delta
+    CDF's update_preimage) — apply-style consumers don't need it, but
+    audit/diff-style ones read what the update replaced."""
     ins = d.filter(F.col("change_type") == "insert").drop("change_type")
     dels = d.filter(F.col("change_type") == "delete").drop("change_type")
     del_keys = dels.select(*keys).distinct()
-    return (
+    ops = (
         ins.join(del_keys.withColumn("__upd__", F.lit(True)),
                  on=keys, how="left")
         .withColumn("op", F.when(F.col("__upd__"), "U").otherwise("I"))
@@ -2598,6 +2620,12 @@ def _ops_from_diff(d: DataFrame, keys: list[str]) -> DataFrame:
                       how="left_anti")
             .withColumn("op", F.lit("D")))
     )
+    if preimages:
+        ops = ops.unionByName(
+            dels.join(ins.select(*keys).distinct(), on=keys,
+                      how="left_semi")
+            .withColumn("op", F.lit("U_pre")))
+    return ops
 
 
 def relay_changes(
@@ -2606,6 +2634,7 @@ def relay_changes(
     feed_path: str,
     on: str | list[str],
     stream_id: str = "cdf_feed",
+    include_preimages: bool = False,
 ) -> tuple[int, dict]:
     """Materialize the source table's row-level changes since the last
     relay as an APPEND to a change-feed table — the streaming CDF
@@ -2629,7 +2658,10 @@ def relay_changes(
     (``relay_src_version``), so the loop is crash-consistent and
     exactly-once — a replayed relay sees recorded state == source
     head and no-ops. Requires ``on`` unique per source version (the
-    op compaction is keyed). Returns ``(feed_version, stats)``."""
+    op compaction is keyed). ``include_preimages=True`` additionally
+    appends each updated key's OLD row tagged ``U_pre`` (Delta CDF's
+    update_preimage) for audit/diff consumers. Returns
+    ``(feed_version, stats)``."""
     keys = [on] if isinstance(on, str) else list(on)
     src_v = latest_version(src_path)
     if src_v is None:
@@ -2659,7 +2691,7 @@ def relay_changes(
         return latest_version(feed_path), {
             "bootstrap": False, "src_version": src_v, "ops": 0}
     d = diff_versions(spark, src_path, state, src_v)
-    ops = (_ops_from_diff(d, keys)
+    ops = (_ops_from_diff(d, keys, preimages=include_preimages)
            .withColumn("_src_version", F.lit(src_v))
            .select(*src_cols, "op", "_src_version"))
     v = append_versioned(

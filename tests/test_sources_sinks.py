@@ -2151,6 +2151,63 @@ def test_cdc_apply_rebases_over_disjoint_append(spark, tmp_path):
     assert got.filter(F.col("k") >= 7000).count() == 5
 
 
+def test_compact_where_scopes_candidates(spark, tmp_path):
+    """OPTIMIZE WHERE: a prune_files conjunction scopes the candidate
+    set to small files whose stats can hold matching rows — a
+    hot-partition compaction rewrites that partition's small files
+    only, stays a logical no-op, and leaves out-of-scope small files
+    for a later unscoped pass."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "vcw")
+    lo = _vt_rows(spark, 0, 40).repartition(4)       # dir 1: k in [0,40)
+    hi = _vt_rows(spark, 1000, 1040).repartition(4)  # dir 2: k >= 1000
+    V.write_versioned(lo, t)
+    V.append_versioned(hi, t)
+    before = set(V._read_manifest(t, 2)["files"])
+    v, st = V.compact_versioned(spark, t, small_mb=8,
+                                where=[("k", ">=", 1000)])
+    assert st["files_compacted"] == 4  # only the hot band's files
+    after = set(V._read_manifest(t, v)["files"])
+    # the low band's small files all carry by reference
+    lo_files = {f for f in before
+                if f in after}
+    assert len(lo_files) == 4
+    # logical no-op: same rows
+    got = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got == sorted(list(range(0, 40)) + list(range(1000, 1040)))
+    # a later unscoped pass compacts the rest (the low band's 4 plus
+    # the scoped pass's own still-small output)
+    v2, st2 = V.compact_versioned(spark, t, small_mb=8)
+    assert st2["files_compacted"] == 5
+    got2 = sorted(r["k"] for r in V.read_versioned(spark, t).collect())
+    assert got2 == got
+
+
+def test_relay_changes_update_preimages(spark, tmp_path):
+    """include_preimages=True: each updated key's OLD row rides the
+    feed as U_pre (Delta CDF's update_preimage) alongside the U
+    postimage; I and D rows are unaffected."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "pre_src")
+    feed = str(tmp_path / "pre_feed")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)
+    V.relay_changes(spark, src, feed, "k", include_preimages=True)
+    V.merge_versioned(spark, src, _vt_rows(spark, 3, 6, flag="new"), "k")
+    V.delete_versioned(spark, src, "k >= 8")
+    V.append_versioned(_vt_rows(spark, 20, 22), src)
+    V.relay_changes(spark, src, feed, "k", include_preimages=True)
+    ops = V.read_versioned(spark, feed).filter("_src_version > 1")
+    rows = {(r["op"], r["k"]): r["flag"] for r in ops.collect()}
+    assert {op for op, _k in rows} == {"U", "U_pre", "D", "I"}
+    for k in (3, 4, 5):
+        assert rows[("U", k)] == "new"      # postimage
+        assert rows[("U_pre", k)] == "a"    # what it replaced
+    assert {k for op, k in rows if op == "D"} == {8, 9}
+    assert {k for op, k in rows if op == "I"} == {20, 21}
+
+
 def test_merge_rebase_revalidates_concurrent_constraint(spark, tmp_path):
     """A merge that loses the version race to a concurrent
     add_constraint must re-validate its NEW files against the added
