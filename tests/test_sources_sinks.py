@@ -2208,6 +2208,69 @@ def test_relay_changes_update_preimages(spark, tmp_path):
     assert {k for op, k in rows if op == "I"} == {20, 21}
 
 
+def test_relay_changes_feed_reconstructs_source(spark, tmp_path):
+    """Property (seeded randomized chains): replaying the change feed
+    in _src_version order — I/U set the key, D removes it — always
+    reconstructs the source snapshot exactly, whatever mix of appends,
+    keyed merges, predicate deletes (both strategies) and compactions
+    the source took between relays. This is the consumer-side
+    correctness contract of relay_changes: the feed IS the table."""
+    import random
+
+    from lazy_frame_spark.sources import versioned as V
+
+    rng = random.Random(13)
+    src = str(tmp_path / "rc_src")
+    feed = str(tmp_path / "rc_feed")
+    V.write_versioned(_vt_rows(spark, 0, 20), src)
+    V.relay_changes(spark, src, feed, "k")
+    next_key = 100
+
+    def live_keys():
+        return sorted(r["k"] for r in
+                      V.read_versioned(spark, src).select("k").collect())
+
+    for step in range(6):
+        action = rng.choice(["append", "merge", "delete", "mor",
+                             "compact"])
+        if action == "append":
+            n = rng.randint(1, 8)
+            V.append_versioned(
+                _vt_rows(spark, next_key, next_key + n), src)
+            next_key += 20
+        elif action == "merge":
+            ks = live_keys()
+            band = rng.sample(ks, min(4, len(ks)))
+            upd = _vt_rows(spark, 0, 0).sparkSession.createDataFrame(
+                [(k, float(k), f"s{step}") for k in band],
+                "k long, v double, flag string")
+            V.merge_versioned(spark, src, upd, "k")
+        elif action in ("delete", "mor"):
+            ks = live_keys()
+            if not ks:
+                continue
+            cut = rng.choice(ks)
+            V.delete_versioned(
+                spark, src, f"k >= {cut}",
+                strategy="merge-on-read" if action == "mor"
+                else "rewrite")
+        else:
+            V.compact_versioned(spark, src, small_mb=8)
+        if rng.random() < 0.7 or step == 5:
+            V.relay_changes(spark, src, feed, "k")
+    V.relay_changes(spark, src, feed, "k")  # drain any tail
+    state: dict = {}
+    ops = V.read_versioned(spark, feed).collect()
+    for r in sorted(ops, key=lambda r: r["_src_version"]):
+        if r["op"] in ("I", "U"):
+            state[r["k"]] = (r["v"], r["flag"])
+        elif r["op"] == "D":
+            state.pop(r["k"], None)
+    truth = {r["k"]: (r["v"], r["flag"])
+             for r in V.read_versioned(spark, src).collect()}
+    assert state == truth
+
+
 def test_merge_rebase_revalidates_concurrent_constraint(spark, tmp_path):
     """A merge that loses the version race to a concurrent
     add_constraint must re-validate its NEW files against the added
