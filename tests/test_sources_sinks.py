@@ -2208,6 +2208,46 @@ def test_relay_changes_update_preimages(spark, tmp_path):
     assert {k for op, k in rows if op == "I"} == {20, 21}
 
 
+def test_table_changes_per_commit_feed(spark, tmp_path):
+    """table_changes: per-COMMIT granularity (a key updated in two
+    commits appears twice, stamped with each commit's version) where
+    diff_versions nets them out; alter and compaction commits
+    contribute nothing; the concatenation over the range replays to
+    the same net diff."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "tc")
+    V.write_versioned(_vt_rows(spark, 0, 10), t)                    # v1
+    V.merge_versioned(spark, t, _vt_rows(spark, 3, 5, flag="x"), "k")  # v2
+    V.add_constraint(spark, t, "nonneg", "k >= 0")                  # v3
+    V.merge_versioned(spark, t, _vt_rows(spark, 3, 5, flag="y"), "k")  # v4
+    V.delete_versioned(spark, t, "k >= 8")                          # v5
+    tc = V.table_changes(spark, t, 1).collect()
+    by_ver: dict = {}
+    for r in tc:
+        by_ver.setdefault(r["_commit_version"], []).append(
+            (r["change_type"], r["k"], r["flag"]))
+    assert 3 not in by_ver  # alter contributes nothing
+    # key 3 updated twice: appears in v2 (a->x) AND v4 (x->y)
+    assert ("insert", 3, "x") in by_ver[2]
+    assert ("delete", 3, "a") in by_ver[2]
+    assert ("insert", 3, "y") in by_ver[4]
+    assert ("delete", 3, "x") in by_ver[4]
+    assert sorted(k for ct, k, _f in by_ver[5] if ct == "delete") == [8, 9]
+    assert not any(ct == "insert" for ct, _k, _f in by_ver[5])
+    # the per-commit feed nets to diff_versions(1, 5)
+    net = {(r["change_type"], r["k"], r["flag"])
+           for r in V.diff_versions(spark, t, 1, 5).collect()}
+    exp_net = {("insert", 3, "y"), ("insert", 4, "y"),
+               ("delete", 3, "a"), ("delete", 4, "a"),
+               ("delete", 8, "a"), ("delete", 9, "a")}
+    assert net == exp_net
+    # empty range and bounds checks
+    assert V.table_changes(spark, t, 5).count() == 0
+    with pytest.raises(ValueError, match="newer"):
+        V.table_changes(spark, t, 9)
+
+
 def test_relay_changes_feed_reconstructs_source(spark, tmp_path):
     """Property (seeded randomized chains): replaying the change feed
     in _src_version order — I/U set the key, D removes it — always
