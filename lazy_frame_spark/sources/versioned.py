@@ -123,6 +123,7 @@ __all__ = [
     "versioned_stream_writer",
     "versioned_stream_merger",
     "last_stream_batch",
+    "last_txn_version",
     "set_publish_arbiter",
     "default_publish_arbiter",
 ]
@@ -845,7 +846,8 @@ def _check_append_schema(df: DataFrame, schema_json: str) -> None:
 
 def append_versioned(df: DataFrame, path: str,
                      extra: dict | None = None,
-                     merge_schema: bool = False) -> int:
+                     merge_schema: bool = False,
+                     txn: tuple[str, int] | None = None) -> int:
     """Commit df's rows on top of the latest version (action
     ``append``): writes one new data directory and carries every parent
     file by reference — O(batch) I/O regardless of table size.
@@ -858,8 +860,32 @@ def append_versioned(df: DataFrame, path: str,
     committed schema, never a sampled footer, so this is total — see
     ``_merge_schemas`` for the exact contract). A corpus that grows a
     ``quality_score`` or ``lang`` column mid-crawl evolves in place
-    instead of rewriting 100 TB."""
+    instead of rewriting 100 TB.
+
+    ``txn=(app_id, txn_version)`` — Delta's transaction identifiers:
+    the commit records the pair, and the append becomes IDEMPOTENT per
+    app — if the table already carries ``txn_version >=`` this one for
+    ``app_id`` (a replayed job, or a concurrent twin that won the
+    race), the call returns the current version WITHOUT committing.
+    The check runs before any write and again inside the
+    optimistic-rebase loop, where the racing-twin case actually
+    surfaces: the auto-rebase that makes blind appends coordination-
+    free would otherwise happily commit the same logical work twice."""
+    def _applied(as_of: int | None) -> bool:
+        if txn is None or as_of is None:
+            return False
+        last = last_txn_version(path, txn[0], version=as_of)
+        return last is not None and last >= int(txn[1])
+
+    if txn is not None:
+        extra = {**(extra or {}), "txn_app": txn[0],
+                 "txn_version": int(txn[1])}
     parent = latest_version(path)
+    if _applied(parent):
+        # checked against the exact chain the commit would extend:
+        # already-applied replays and racing twins return without
+        # writing anything
+        return parent
     if parent is None:
         os.makedirs(path, exist_ok=True)
         files = _write_data_dir(df, path, 1)
@@ -895,6 +921,11 @@ def append_versioned(df: DataFrame, path: str,
             # inheritance) and re-attempts parent+1. Concurrent
             # ingest never has to coordinate.
             parent = latest_version(path)
+            if _applied(parent):
+                # the winner WAS this transaction (a racing twin or a
+                # replayed job): committing again would double-apply —
+                # the orphan data dir is unreferenced and vacuumable
+                return parent
             prev = _read_manifest(path, parent)
             if merge_schema:
                 schema_json = _merge_schemas(prev["schema"],
@@ -909,6 +940,29 @@ def append_versioned(df: DataFrame, path: str,
         f"append to {path}: exceeded {_MAX_COMMIT_RETRIES} rebase "
         "attempts under sustained concurrent writes"
     )
+
+
+def last_txn_version(path: str, app: str,
+                     version: int | None = None) -> int | None:
+    """Delta-style transaction-identifier state (``txnAppId`` /
+    ``txnVersion``): the newest ``txn_version`` committed by writer
+    ``app`` as of ``version`` (default: latest), walked newest-first
+    through commit parents — O(1) in the steady state where the latest
+    commit is the app's own. None when the app never committed.
+
+    The ``version`` anchor is what makes the idempotence check in
+    ``append_versioned`` race-free: checked against the exact parent
+    the commit will attempt on, any same-app commit either already
+    sits in that chain (check catches it) or lands concurrently at
+    parent+1 (the attempt then raises VersionConflict and the rebase
+    loop re-checks on the new chain) — there is no window."""
+    v = latest_version(path) if version is None else version
+    while v is not None:
+        man = _read_manifest_meta(path, v)
+        if man.get("txn_app") == app:
+            return man.get("txn_version")
+        v = man.get("parent")
+    return None
 
 
 _STREAM_HW_FILE = "_stream_hw.json"
@@ -2695,9 +2749,15 @@ def relay_changes(
     ops = (_ops_from_diff(d, keys, preimages=include_preimages)
            .withColumn("_src_version", F.lit(src_v))
            .select(*src_cols, "op", "_src_version"))
+    # txn identifiers make the relay append idempotent under RACES,
+    # not just replays: two relays of the same stream started together
+    # both compute the same ops, but the loser's auto-rebased append
+    # aborts when it finds the winner already carried this
+    # (stream, src_version) — the feed never holds an op twice
     v = append_versioned(
         ops, feed_path,
-        extra={"relay_stream": stream_id, "relay_src_version": src_v})
+        extra={"relay_stream": stream_id, "relay_src_version": src_v},
+        txn=(f"cdf:{stream_id}", src_v))
     # op count from commit metadata (manifest rows are cumulative
     # footer totals; the append's own contribution is the difference)
     man_v = _read_manifest_meta(feed_path, v)

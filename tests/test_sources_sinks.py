@@ -2208,6 +2208,61 @@ def test_relay_changes_update_preimages(spark, tmp_path):
     assert {k for op, k in rows if op == "I"} == {20, 21}
 
 
+def test_txn_identifiers_make_appends_idempotent(spark, tmp_path):
+    """Delta-style transaction identifiers: an append carrying
+    txn=(app, version) is idempotent per app — a replayed job returns
+    the current version without committing, a NEWER txn version
+    commits, and racing twins of the same relay never double-append
+    (the loser's rebase finds the winner's txn in the chain)."""
+    import threading
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "txn")
+    V.write_versioned(_vt_rows(spark, 0, 10), t)
+    v1 = V.append_versioned(_vt_rows(spark, 10, 15), t,
+                            txn=("jobA", 1))
+    assert V.last_txn_version(t, "jobA") == 1
+    # replay of the same txn: no new version, no new rows
+    v2 = V.append_versioned(_vt_rows(spark, 10, 15), t,
+                            txn=("jobA", 1))
+    assert v2 == v1
+    assert V.read_versioned(spark, t).count() == 15
+    # a newer txn version commits; another app is independent
+    v3 = V.append_versioned(_vt_rows(spark, 15, 18), t, txn=("jobA", 2))
+    assert v3 == v1 + 1
+    v4 = V.append_versioned(_vt_rows(spark, 18, 20), t, txn=("jobB", 1))
+    assert v4 == v3 + 1
+    assert V.read_versioned(spark, t).count() == 20
+    assert V.last_txn_version(t, "jobA") == 2
+    assert V.last_txn_version(t, "nope") is None
+
+    # racing relay twins: same stream, same source state, started
+    # together — the feed must hold each op exactly once
+    src = str(tmp_path / "txn_src")
+    feed = str(tmp_path / "txn_feed")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)
+    V.relay_changes(spark, src, feed, "k")
+    V.append_versioned(_vt_rows(spark, 100, 120), src)
+    errs: list = []
+
+    def relay():
+        try:
+            V.relay_changes(spark, src, feed, "k")
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=relay) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    ops = V.read_versioned(spark, feed).filter("_src_version > 1")
+    assert ops.count() == 20  # each appended row relayed exactly once
+    assert ops.groupBy("k").count().filter("count > 1").count() == 0
+
+
 def test_table_changes_per_commit_feed(spark, tmp_path):
     """table_changes: per-COMMIT granularity (a key updated in two
     commits appears twice, stamped with each commit's version) where
