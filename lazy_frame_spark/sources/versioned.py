@@ -942,6 +942,9 @@ def append_versioned(df: DataFrame, path: str,
     )
 
 
+_TXN_HW_FILE = "_txn_hw.json"
+
+
 def last_txn_version(path: str, app: str,
                      version: int | None = None) -> int | None:
     """Delta-style transaction-identifier state (``txnAppId`` /
@@ -955,14 +958,29 @@ def last_txn_version(path: str, app: str,
     the commit will attempt on, any same-app commit either already
     sits in that chain (check catches it) or lands concurrently at
     parent+1 (the attempt then raises VersionConflict and the rebase
-    loop re-checks on the new chain) — there is no window."""
+    loop re-checks on the new chain) — there is no window.
+
+    A vacuum that dropped every manifest carrying the app's txn would
+    silently reset the mark (a very late replay would then re-apply),
+    so ``vacuum_versioned`` preserves each app's max in a
+    ``_txn_hw.json`` sidecar, folded in here — the same protection the
+    stream batch high-water marks get."""
+    best = None
+    sidecar = os.path.join(path, _TXN_HW_FILE)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            best = json.load(f).get(app)
     v = latest_version(path) if version is None else version
     while v is not None:
-        man = _read_manifest_meta(path, v)
+        try:
+            man = _read_manifest_meta(path, v)
+        except FileNotFoundError:
+            break  # vacuumed tail: the sidecar carries its marks
         if man.get("txn_app") == app:
-            return man.get("txn_version")
+            t = man.get("txn_version")
+            return t if best is None else max(t, best)
         v = man.get("parent")
-    return None
+    return best
 
 
 _STREAM_HW_FILE = "_stream_hw.json"
@@ -1020,9 +1038,14 @@ def versioned_stream_writer(path: str, stream_id: str = "default"):
         hw = last_stream_batch(path, stream_id)
         if hw is not None and batch_id <= hw:
             return
+        # txn identifiers back the high-water check under RACES: two
+        # queries accidentally sharing a stream_id both pass the hw
+        # read, but the loser's auto-rebased append then finds the
+        # winner's (app, batch) in the chain and aborts idempotently
         append_versioned(batch_df, path,
                          extra={"stream_batch_id": int(batch_id),
-                                "stream_id": stream_id})
+                                "stream_id": stream_id},
+                         txn=(f"stream:{stream_id}", int(batch_id)))
 
     return _write
 
@@ -2644,7 +2667,13 @@ def _relay_state(path: str, stream_id: str) -> int | None:
     own)."""
     v = latest_version(path)
     while v is not None:
-        man = _read_manifest_meta(path, v)
+        try:
+            man = _read_manifest_meta(path, v)
+        except FileNotFoundError:
+            # vacuumed tail: no relay commit survives in the retained
+            # window — the caller re-bootstraps (the txn identifiers
+            # on relay appends prevent double-apply regardless)
+            return None
         if man.get("relay_stream") == stream_id:
             return man.get("relay_src_version")
         v = man.get("parent")
@@ -3079,6 +3108,11 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
         if os.path.exists(sidecar):
             with open(sidecar) as f:
                 hw = json.load(f)
+        txn_hw: dict[str, int] = {}
+        txn_sidecar = os.path.join(path, _TXN_HW_FILE)
+        if os.path.exists(txn_sidecar):
+            with open(txn_sidecar) as f:
+                txn_hw = json.load(f)
         for v in vs:
             if v in keep:
                 continue
@@ -3087,11 +3121,20 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
             if b is not None:
                 sid = man.get("stream_id", "default")
                 hw[sid] = max(b, hw.get(sid, b))
+            # transaction identifiers get the same drop protection
+            app, tver = man.get("txn_app"), man.get("txn_version")
+            if app is not None and tver is not None:
+                txn_hw[app] = max(tver, txn_hw.get(app, tver))
         if hw:
             tmp = sidecar + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(hw, f)
             os.replace(tmp, sidecar)
+        if txn_hw:
+            tmp = txn_sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(txn_hw, f)
+            os.replace(tmp, txn_sidecar)
         for v in vs:
             if v in keep:
                 continue

@@ -2236,6 +2236,14 @@ def test_txn_identifiers_make_appends_idempotent(spark, tmp_path):
     assert V.read_versioned(spark, t).count() == 20
     assert V.last_txn_version(t, "jobA") == 2
     assert V.last_txn_version(t, "nope") is None
+    # vacuum drops the manifests carrying the txns — the mark must
+    # survive via the sidecar or a very late replay would re-apply
+    V.vacuum_versioned(t, keep_last=1)
+    assert V.last_txn_version(t, "jobA") == 2
+    n = V.read_versioned(spark, t).count()
+    assert V.append_versioned(_vt_rows(spark, 15, 18), t,
+                              txn=("jobA", 2)) == V.latest_version(t)
+    assert V.read_versioned(spark, t).count() == n
 
     # racing relay twins: same stream, same source state, started
     # together — the feed must hold each op exactly once
