@@ -348,6 +348,13 @@ def _commit_keyed_with_rebase(
                            extra)
         except VersionConflict:
             new_parent = latest_version(path)
+            if extra and "txn_app" in extra:
+                # the winner may BE this transaction (racing twin /
+                # replayed job): committing again would double-apply
+                last = last_txn_version(path, extra["txn_app"],
+                                        version=new_parent)
+                if last is not None and last >= extra["txn_version"]:
+                    return new_parent
             if (src_where is None
                     or not _chain_is_additive(path, parent, new_parent)):
                 raise VersionConflict(
@@ -1092,14 +1099,17 @@ def versioned_stream_merger(path: str, on: str | list[str],
                 )
             append_versioned(batch_df, path,
                              extra={"stream_batch_id": int(batch_id),
-                                    "stream_id": stream_id})
+                                    "stream_id": stream_id},
+                             txn=(f"stream:{stream_id}", int(batch_id)))
             return
         # the batch id rides the merge commit itself (extra=),
-        # keeping the exactly-once mark atomic with the data
+        # keeping the exactly-once mark atomic with the data; the txn
+        # identifiers back it under races (two queries sharing an id)
         merge_versioned(
             batch_df.sparkSession, path, batch_df, keys,
             extra={"stream_batch_id": int(batch_id),
                    "stream_id": stream_id},
+            txn=(f"stream:{stream_id}", int(batch_id)),
         )
 
     return _write
@@ -1878,6 +1888,7 @@ def merge_versioned(
     when_matched: str = "update",
     insert_unmatched: bool = True,
     extra: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> tuple[int, dict]:
     """Key-based MERGE (upsert) as one copy-on-write commit — the
     missing verb between ``append_versioned`` (blind add) and
@@ -1912,7 +1923,11 @@ def merge_versioned(
     over the source) and the source schema to match the committed
     schema exactly; evolve first with
     ``append_versioned(merge_schema=True)`` if the batch grew columns.
-    Returns ``(version, stats)``."""
+    ``txn=(app_id, txn_version)`` makes the merge IDEMPOTENT per app
+    exactly like ``append_versioned``'s transaction identifiers — an
+    already-applied replay (or a racing twin that lost the commit) is
+    skipped before any scan, and the keyed rebase loop re-checks on
+    every conflict. Returns ``(version, stats)``."""
     keys = [on] if isinstance(on, str) else list(on)
     if when_matched not in ("update", "delete"):
         raise ValueError(
@@ -1921,6 +1936,12 @@ def merge_versioned(
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")
+    if txn is not None:
+        extra = {**(extra or {}), "txn_app": txn[0],
+                 "txn_version": int(txn[1])}
+        last = last_txn_version(path, txn[0], version=parent)
+        if last is not None and last >= int(txn[1]):
+            return parent, {"skipped_txn": True}
     prev = _read_manifest(path, parent)
     schema = _committed_schema(prev)
     names = {f.name for f in schema.fields}
@@ -2051,6 +2072,7 @@ def apply_cdc(
     on: str | list[str],
     op_col: str = "op",
     extra: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> tuple[int, dict]:
     """Apply a CDC batch — rows tagged ``insert`` / ``update`` /
     ``delete`` (or ``I``/``U``/``D``) in ``op_col`` — as ONE atomic
@@ -2070,11 +2092,19 @@ def apply_cdc(
     upserting a delete). A key may appear ONCE in the batch (checked):
     \"apply the latest state per key\" is the upstream compactor's job.
     Same scale shape as merge: bounds-pre-cut discovery key scan,
-    touched-file rewrite, everything else carried by reference."""
+    touched-file rewrite, everything else carried by reference.
+    ``txn=(app_id, txn_version)`` — idempotence per app, exactly as in
+    ``merge_versioned``/``append_versioned``."""
     keys = [on] if isinstance(on, str) else list(on)
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")
+    if txn is not None:
+        extra = {**(extra or {}), "txn_app": txn[0],
+                 "txn_version": int(txn[1])}
+        last = last_txn_version(path, txn[0], version=parent)
+        if last is not None and last >= int(txn[1]):
+            return parent, {"skipped_txn": True}
     prev = _read_manifest(path, parent)
     schema = _committed_schema(prev)
 
@@ -2189,7 +2219,8 @@ def versioned_stream_cdc(path: str, on: str | list[str],
         apply_cdc(batch_df.sparkSession, path, batch_df, keys,
                   op_col=op_col,
                   extra={"stream_batch_id": int(batch_id),
-                         "stream_id": stream_id})
+                         "stream_id": stream_id},
+                  txn=(f"stream:{stream_id}", int(batch_id)))
 
     return _write
 

@@ -2270,6 +2270,23 @@ def test_txn_identifiers_make_appends_idempotent(spark, tmp_path):
     assert ops.count() == 20  # each appended row relayed exactly once
     assert ops.groupBy("k").count().filter("count > 1").count() == 0
 
+    # keyed verbs honor txn too: a replayed merge/apply_cdc no-ops
+    v_m, st_m = V.merge_versioned(
+        spark, t, _vt_rows(spark, 0, 2, flag="m1"), "k", txn=("etl", 7))
+    v_m2, st_m2 = V.merge_versioned(
+        spark, t, _vt_rows(spark, 0, 2, flag="m2"), "k", txn=("etl", 7))
+    assert v_m2 == v_m and st_m2 == {"skipped_txn": True}
+    got = V.read_versioned(spark, t).filter("k < 2")
+    assert got.filter("flag != 'm1'").count() == 0
+    batch = _vt_rows(spark, 0, 1, flag="c1").withColumn("op", F.lit("U"))
+    v_c, _ = V.apply_cdc(spark, t, batch, "k", txn=("etl", 8))
+    v_c2, st_c2 = V.apply_cdc(
+        spark, t, batch.withColumn("flag", F.lit("c2")), "k",
+        txn=("etl", 8))
+    assert v_c2 == v_c and st_c2 == {"skipped_txn": True}
+    assert V.read_versioned(spark, t).filter(
+        "k = 0 AND flag != 'c1'").count() == 0
+
 
 def test_table_changes_per_commit_feed(spark, tmp_path):
     """table_changes: per-COMMIT granularity (a key updated in two
