@@ -113,6 +113,7 @@ __all__ = [
     "metadata_ndv",
     "replicate_versioned",
     "relay_changes",
+    "truncate_changes",
     "build_blooms",
     "history",
     "latest_version",
@@ -2890,6 +2891,70 @@ def replicate_versioned(
         extra={"relay_stream": stream_id, "relay_src_version": src_v})
     st.update({"bootstrap": False, "src_version": src_v, "ops": n_ops})
     return v, st
+
+
+def truncate_changes(
+    spark: SparkSession,
+    feed_path: str,
+    keep_from_src_version: int,
+    stream_id: str = "cdf_feed",
+) -> tuple[int, dict]:
+    """Retention for a ``relay_changes`` feed — the feed is an
+    append-only table and would otherwise grow forever. Drops every op
+    row with ``_src_version < keep_from_src_version`` as ONE snapshot
+    overwrite commit, re-stamping the relay state on the new chain so
+    the producer continues seamlessly (its next call still diffs from
+    the last relayed source version).
+
+    Consumer protocol (Delta's CDF-retention shape, stated here
+    because the truncation is DESTRUCTIVE by design):
+
+    - **Tailing streams** (``versioned_stream_read`` over the feed)
+      see the overwrite and fail with the re-seed error — correct, the
+      history they were replaying is gone. Restart them with
+      ``starting_version`` at the feed's new head.
+    - **New consumers** can no longer reconstruct from the feed alone:
+      bootstrap from the SOURCE table at the returned
+      ``base_src_version`` — the newest DROPPED op's source version,
+      i.e. exactly the state the first retained relay batch diffed
+      from (``read_versioned(src, version=base)``; keep that source
+      version vacuum-retained, or snapshot-export it) — and replay the
+      retained ops on top. The retained suffix composes exactly
+      because each relay batch is a complete diff from its
+      predecessor's recorded source version.
+
+    Requires the cutoff to be at or below the feed's relayed state
+    (you cannot retain ops the relay hasn't produced). Returns
+    ``(feed_version, stats)``."""
+    state = _relay_state(feed_path, stream_id)
+    if state is None:
+        raise ValueError(
+            f"{feed_path} carries no relay state for stream "
+            f"{stream_id!r} — not a relay_changes feed, or the state "
+            "was vacuumed"
+        )
+    if keep_from_src_version > state:
+        raise ValueError(
+            f"keep_from_src_version={keep_from_src_version} is newer "
+            f"than the relayed source version {state}"
+        )
+    feed = read_versioned(spark, feed_path)
+    before = feed.count()
+    dropped = feed.filter(
+        F.col("_src_version") < F.lit(keep_from_src_version))
+    base = dropped.agg(F.max("_src_version")).collect()[0][0]
+    kept = feed.filter(
+        F.col("_src_version") >= F.lit(keep_from_src_version))
+    write_versioned(kept, feed_path)
+    empty = read_versioned(spark, feed_path).limit(0)
+    v = append_versioned(
+        empty, feed_path,
+        extra={"relay_stream": stream_id, "relay_src_version": state,
+               "truncated_below": int(keep_from_src_version)})
+    after = kept.count()
+    return v, {"ops_dropped": before - after, "ops_retained": after,
+               "relay_src_version": state,
+               "base_src_version": base}
 
 
 def diff_versions(

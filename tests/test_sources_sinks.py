@@ -2288,6 +2288,64 @@ def test_txn_identifiers_make_appends_idempotent(spark, tmp_path):
         "k = 0 AND flag != 'c1'").count() == 0
 
 
+def test_truncate_changes_retention_protocol(spark, tmp_path):
+    """Feed retention: truncation drops ops below the cutoff as one
+    snapshot overwrite, the relay continues from its preserved state,
+    a tailing stream fails with the re-seed error (destructive by
+    design), and a new consumer reconstructs the source head from
+    source@cutoff + the retained suffix."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    src = str(tmp_path / "tr_src")
+    feed = str(tmp_path / "tr_feed")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)                # v1
+    V.relay_changes(spark, src, feed, "k")
+    V.append_versioned(_vt_rows(spark, 10, 15), src)              # v2
+    V.relay_changes(spark, src, feed, "k")
+    V.merge_versioned(spark, src, _vt_rows(spark, 0, 3, flag="m"),
+                      "k")                                        # v3
+    V.delete_versioned(spark, src, "k >= 13")                     # v4
+    V.relay_changes(spark, src, feed, "k")
+    # a consumer was mid-tail; capture the pre-truncation feed head
+    r = VersionedStreamReader({"path": feed})
+    pre_head = r.latestOffset()["version"]
+    # retain only ops from source v2 on (drop the bootstrap I ops)
+    v, st = V.truncate_changes(spark, feed, keep_from_src_version=2)
+    assert st["ops_dropped"] == 10 and st["relay_src_version"] == 4
+    assert st["base_src_version"] == 1  # the state retained ops diff from
+    assert V.read_versioned(spark, feed).filter(
+        "_src_version < 2").count() == 0
+    # the tailing stream fails loudly across the overwrite
+    with pytest.raises(ValueError, match="append-only chain"):
+        r.partitions({"version": pre_head},
+                     {"version": V.latest_version(feed)})
+    # the relay continues from the preserved state
+    V.append_versioned(_vt_rows(spark, 20, 23), src)              # v5
+    _, st2 = V.relay_changes(spark, src, feed, "k")
+    assert st2["ops"] == 3
+    # new-consumer protocol: source@base + retained suffix == head
+    state = {r2["k"]: (r2["v"], r2["flag"]) for r2 in
+             V.read_versioned(spark, src,
+                              version=st["base_src_version"]).collect()}
+    ops = V.read_versioned(spark, feed).collect()
+    for r2 in sorted(ops, key=lambda r3: r3["_src_version"]):
+        if r2["op"] in ("I", "U"):
+            state[r2["k"]] = (r2["v"], r2["flag"])
+        elif r2["op"] == "D":
+            state.pop(r2["k"], None)
+    truth = {r2["k"]: (r2["v"], r2["flag"]) for r2 in
+             V.read_versioned(spark, src).collect()}
+    assert state == truth
+    # cutoff past the relayed state refuses
+    with pytest.raises(ValueError, match="newer"):
+        V.truncate_changes(spark, feed, keep_from_src_version=99)
+    with pytest.raises(ValueError, match="relay state"):
+        V.truncate_changes(spark, src, keep_from_src_version=1)
+
+
 def test_table_changes_per_commit_feed(spark, tmp_path):
     """table_changes: per-COMMIT granularity (a key updated in two
     commits appears twice, stamped with each commit's version) where
