@@ -658,7 +658,10 @@ def _jv_state(view_path: str) -> tuple[list, int, int]:
 
     v = V.latest_version(view_path)
     while v is not None:
-        man = V._read_manifest(view_path, v)
+        try:
+            man = V._read_manifest_meta(view_path, v)
+        except FileNotFoundError:
+            break  # vacuumed tail: no state survives in the window
         if "jv_on" in man:
             return (list(man["jv_on"]), man["jv_a_version"],
                     man["jv_b_version"])

@@ -5068,6 +5068,150 @@ def stream_versioned_cdf(spark, sf_dir):
 
 
 @query(
+    "view_table_changes",
+    # per-COMMIT change feed (registered past the window by choice —
+    # the versioned family already holds 12+ in-window reps; the full
+    # sweep value-checks it every round): chain = snapshot keys<=800,
+    # append (800,1100], alter (contributes nothing), CoW delete of
+    # keys<=150, keyed merge of (300,350] price->2.0 — each commit's
+    # diff is stamped with its version, so the update shows BOTH sides
+    # at v5 where diff_versions would net them
+    oracle="""
+    WITH feed AS (
+      SELECT 2 AS commit_v, 'insert' AS change_type,
+             o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1100
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey <= 150
+      UNION ALL
+      SELECT 5, 'insert', o_orderkey, 2.0
+      FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 350
+      UNION ALL
+      SELECT 5, 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 350
+    )
+    SELECT commit_v, change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM feed GROUP BY commit_v, change_type
+    """,
+)
+def view_table_changes(spark, sf_dir):
+    """Per-commit change-data feed (sources/versioned.table_changes —
+    Delta's ``table_changes``): every commit in the range contributes
+    its OWN ``diff_versions`` rows stamped ``_commit_version``, so
+    consumers see the order changes landed — a keyed merge shows both
+    its insert and delete sides at its commit, where the net diff
+    would cancel them against other commits. Metadata-only commits
+    (the alter here) are skipped from commit metadata alone; cost is
+    the sum of per-commit changed files, never a corpus rescan."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vtc_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 800).repartition(4), t)   # v1
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(801, 1100)), t)      # v2
+    V.add_constraint(spark, t, "nonneg", "o_orderkey >= 0")       # v3
+    V.delete_versioned(spark, t, "o_orderkey <= 150")             # v4
+    V.merge_versioned(                                            # v5
+        spark, t,
+        V.read_versioned(spark, t)
+        .filter(F.col("o_orderkey").between(301, 350))
+        .withColumn("o_totalprice", F.lit(2.0)),
+        "o_orderkey")
+    tc = V.table_changes(spark, t, 1)
+    return (
+        tc.groupBy(F.col("_commit_version").alias("commit_v"),
+                   "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "view_feed_retention",
+    # truncate_changes (past-window like view_table_changes): after
+    # dropping the bootstrap ops, the retained feed holds exactly the
+    # two append relays' I ops, grouped by relayed source version —
+    # the row itself RAISES unless the drop count, the base version,
+    # and the relay's continuation all hold
+    oracle="""
+    WITH feed AS (
+      SELECT 'I' AS op, 2 AS src_v, o_orderkey
+      FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 900
+      UNION ALL
+      SELECT 'I', 3, o_orderkey
+      FROM orders WHERE o_orderkey > 900 AND o_orderkey <= 1000
+    )
+    SELECT op, src_v, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM feed GROUP BY op, src_v
+    """,
+)
+def view_feed_retention(spark, sf_dir):
+    """Change-feed retention (sources/versioned.truncate_changes): a
+    relay feed is append-only and grows forever; truncation drops ops
+    below a source-version cutoff as ONE snapshot overwrite and
+    re-stamps the relay state, so the producer continues seamlessly —
+    the stated consumer protocol (tailing streams re-seed; new
+    consumers bootstrap from source@base_src_version + the retained
+    suffix) is what makes the destructive commit safe to take. The
+    row RAISES unless the truncation dropped exactly the bootstrap,
+    reported the right base, and a post-truncation relay still moved
+    ops."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_vfr_src_{tag}"
+    feed = f"/tmp/lfs_vfr_feed_{tag}"
+    for p in (src, feed):
+        shutil.rmtree(p, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 600), src)  # v1
+    V.relay_changes(spark, src, feed, "o_orderkey")
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(601, 900)), src)     # v2
+    V.relay_changes(spark, src, feed, "o_orderkey")
+    _, st = V.truncate_changes(spark, feed, keep_from_src_version=2)
+    n_boot = o.filter(F.col("o_orderkey") <= 600).count()
+    if st["ops_dropped"] != n_boot or st["base_src_version"] != 1:
+        raise AssertionError(f"retention mis-dropped: {st}")
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(901, 1000)), src)    # v3
+    _, st2 = V.relay_changes(spark, src, feed, "o_orderkey")
+    if not st2["ops"]:
+        raise AssertionError(f"post-truncation relay moved nothing: {st2}")
+    return (
+        V.read_versioned(spark, feed)
+        .groupBy("op", F.col("_src_version").alias("src_v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
     "view_versioned_diff",
     # the chain: v1 = orders with o_orderkey <= 4000; v2 deletes
     # keys <= 1000 (file-grain copy-on-write); v3 appends (4000, 6000].
