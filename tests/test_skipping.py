@@ -963,6 +963,46 @@ class TestApplyCdc:
         assert hist[-1]["stream_batch_id"] == 1
 
 
+def test_ndv_estimator_properties_pure_python():
+    """The HLL register scheme, modeled end-to-end in pure Python with
+    the SAME md5 canonical-string hashing the Spark build uses
+    (h1 = hex[0:15], bucket = low p bits, rank = 49 - len(bin(w))):
+    (a) estimates land within 5 sigma of truth from tiny to 50k
+    distincts, (b) the union of two value sets' registers is exactly
+    the elementwise max — the losslessness every metadata_ndv merge
+    rests on, (c) duplicates never change a register array."""
+    import hashlib
+
+    from lazy_frame_spark.sources.filestats import NDV_P, ndv_estimate
+
+    m = 1 << NDV_P
+    wbits = 60 - NDV_P
+
+    def regs_for(values):
+        regs = bytearray(m)
+        for v in values:
+            h = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            h1 = int(h[0:15], 16)
+            b = h1 & (m - 1)
+            w = h1 >> NDV_P
+            rho = (wbits + 1) if w == 0 else (wbits - w.bit_length() + 1)
+            if rho > regs[b]:
+                regs[b] = rho
+        return regs
+
+    sigma = 1.04 / (m ** 0.5)
+    for n in (10, 500, 5000, 50000):
+        est = ndv_estimate(regs_for(range(n)))
+        assert abs(est - n) <= max(2.0, 5 * sigma * n), (n, est)
+    # lossless union: max-merge == sketch of the union
+    a = regs_for(range(0, 3000))
+    b = regs_for(range(2000, 6000))
+    u = bytearray(max(x, y) for x, y in zip(a, b))
+    assert u == regs_for(range(0, 6000))
+    # duplicates are invisible
+    assert regs_for(list(range(100)) * 7) == regs_for(range(100))
+
+
 class TestMetadataNdv:
     def test_estimates_merge_losslessly_and_respect_versions(
             self, spark, tmp_path):
