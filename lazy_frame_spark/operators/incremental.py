@@ -641,14 +641,11 @@ def join_view_init(
     import shutil
 
     shutil.rmtree(view_path, ignore_errors=True)  # CREATE OR REPLACE
-    V.write_versioned(joined, view_path)
-    # state rides the commit log itself (a zero-row append carrying
-    # manifest extras), so view data and state can never desynchronize
-    # — an interrupted update leaves the previous state and the retry
-    # recomputes the same delta
-    empty = V.read_versioned(spark, view_path).limit(0)
-    return V.append_versioned(
-        empty, view_path,
+    # state rides the SAME commit as the data (manifest extras on the
+    # snapshot), so view data and state can never desynchronize — an
+    # interrupted init leaves nothing, a retry rebuilds from scratch
+    return V.write_versioned(
+        joined, view_path,
         extra={"jv_on": keys, "jv_a_version": va, "jv_b_version": vb},
     )
 

@@ -890,14 +890,20 @@ def script_profile(
         for label, java_re, _ in SCRIPTS
     }
     out = df.select(F.col(id_col), *counts.values())
-    best = F.lit("none")
-    best_n = F.lit(0).cast("bigint")
-    # first-listed wins ties: iterate REVERSED so an earlier script
-    # (processed later) OVERWRITES an equal count ('>=', guarded by
-    # n > 0 so all-zero rows keep 'none')
-    for label, _j, _r in reversed(SCRIPTS):
-        n = F.col(f"n_{label}")
-        take = (n >= best_n) & (n > 0)
-        best = F.when(take, F.lit(label)).otherwise(best)
-        best_n = F.when(take, n).otherwise(best_n)
+    # argmax as GREATEST over (count, -list_index, label) structs —
+    # struct comparison is lexicographic, so the highest count wins
+    # and ties resolve to the FIRST-listed script. One linear-size
+    # expression: the previous fold of nested whens doubled the tree
+    # per script (best_n fed both the predicate and the otherwise), so
+    # 9 scripts compiled to >64 KB of generated code and janino
+    # silently dropped the projection out of whole-stage codegen.
+    top = F.greatest(*[
+        F.struct(
+            F.col(f"n_{label}").alias("n"),
+            F.lit(-i).alias("pri"),
+            F.lit(label).alias("s"),
+        )
+        for i, (label, _j, _r) in enumerate(SCRIPTS)
+    ])
+    best = F.when(top["n"] > 0, top["s"]).otherwise(F.lit("none"))
     return out.withColumn("dominant_script", best)

@@ -478,6 +478,26 @@ def _commit(
     supersedes them passes an explicit list (a fresh snapshot, a
     purge, a full rewrite)."""
     version = (parent or 0) + 1
+    if extra and extra.get("txn_app") is not None \
+            and extra.get("txn_version") is not None:
+        # Delta-parity monotonicity contract, enforced at the choke
+        # point: per app, txn_version must strictly increase along the
+        # commit chain. Every shipped caller checks _applied first and
+        # never trips this; the guard is what makes "walk newest-first,
+        # stop at the app's first manifest" in last_txn_version an
+        # INVARIANT rather than a convention — a bypassing caller that
+        # commits an out-of-order txn would otherwise silently regress
+        # the idempotence mark and let a very late replay double-apply.
+        last = last_txn_version(path, extra["txn_app"], version=parent)
+        if last is not None and int(extra["txn_version"]) <= last:
+            raise ValueError(
+                f"commit to {path}: txn_version "
+                f"{extra['txn_version']} for app "
+                f"{extra['txn_app']!r} is not above the app's current "
+                f"mark {last} — per-app transaction versions must "
+                "strictly increase (an already-applied replay should "
+                "no-op via the idempotence check, never re-commit)"
+            )
     # meta read: inheritance needs dv_files/constraints/files_parquet
     # only — never the parent's (possibly offloaded) file LIST
     parent_man = _read_manifest_meta(path, parent) if parent else {}
@@ -605,14 +625,37 @@ def _check_constraints_resolve(
             ) from None
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(df: DataFrame, path: str,
+                    extra: dict | None = None,
+                    txn: tuple[str, int] | None = None) -> int:
     """Commit df as a full snapshot (action ``overwrite``): version 1 on
     a fresh path, else a new version whose file list is ONLY the new
     data directory — prior versions stay readable, nothing is erased.
     Inherited CHECK constraints must still resolve against the new
-    snapshot's schema (refused with a clear message otherwise)."""
+    snapshot's schema (refused with a clear message otherwise).
+
+    ``extra`` lands in the manifest — this is what lets a consumer
+    stamp its state ON the snapshot commit itself (``relay_changes``'
+    bootstrap, ``truncate_changes``' retention rewrite, the
+    incremental views' init) so data + state are ONE atomic commit
+    with no crash window between them. ``txn=(app_id, txn_version)``
+    gives the snapshot the same per-app idempotence contract as
+    ``append_versioned``: an already-applied replay — or a racing twin
+    that lost the table-creation or overwrite race — returns the
+    current version WITHOUT committing."""
+    def _applied(as_of: int | None) -> bool:
+        if txn is None or as_of is None:
+            return False
+        last = last_txn_version(path, txn[0], version=as_of)
+        return last is not None and last >= int(txn[1])
+
+    if txn is not None:
+        extra = {**(extra or {}), "txn_app": txn[0],
+                 "txn_version": int(txn[1])}
     os.makedirs(path, exist_ok=True)
     parent = latest_version(path)
+    if _applied(parent):
+        return parent
     if parent is not None:
         cons = _read_manifest(path, parent).get("constraints") or {}
         _check_constraints_resolve(
@@ -620,9 +663,20 @@ def write_versioned(df: DataFrame, path: str) -> int:
         _validate_constraints(df, cons, "write_versioned")
     version = (parent or 0) + 1
     files = _write_data_dir(df, path, version)
-    # a fresh snapshot references only its own files — no DVs apply
-    return _commit(path, "overwrite", files, df.schema.json(), parent,
-                   dvs=[])
+    try:
+        # a fresh snapshot references only its own files — no DVs apply
+        return _commit(path, "overwrite", files, df.schema.json(), parent,
+                       extra, dvs=[])
+    except VersionConflict:
+        new_parent = latest_version(path)
+        if _applied(new_parent):
+            # the winner WAS this transaction (a racing twin / replayed
+            # job): committing again would double-apply — the orphan
+            # data dir is unreferenced and vacuumable
+            return new_parent
+        # a snapshot REPLACES table state, so unlike a blind append it
+        # does not commute with an unknown winner — surface the race
+        raise
 
 
 def _committed_schema(man_or_json) -> T.StructType:
@@ -878,7 +932,12 @@ def append_versioned(df: DataFrame, path: str,
     The check runs before any write and again inside the
     optimistic-rebase loop, where the racing-twin case actually
     surfaces: the auto-rebase that makes blind appends coordination-
-    free would otherwise happily commit the same logical work twice."""
+    free would otherwise happily commit the same logical work twice.
+    Delta-parity contract: per app, ``txn_version`` is strictly
+    MONOTONE along the commit chain — a replay at or below the current
+    mark no-ops here, and ``_commit`` itself refuses an out-of-order
+    txn so the mark can never regress (which is what keeps the
+    newest-first O(1) walk in ``last_txn_version`` exact)."""
     def _applied(as_of: int | None) -> bool:
         if txn is None or as_of is None:
             return False
@@ -894,11 +953,25 @@ def append_versioned(df: DataFrame, path: str,
         # already-applied replays and racing twins return without
         # writing anything
         return parent
+    new_files: list[str] | None = None
     if parent is None:
         os.makedirs(path, exist_ok=True)
-        files = _write_data_dir(df, path, 1)
-        return _commit(path, "overwrite", files, df.schema.json(), None,
-                       extra)
+        new_files = _write_data_dir(df, path, 1)
+        try:
+            return _commit(path, "overwrite", new_files,
+                           df.schema.json(), None, extra)
+        except VersionConflict:
+            # the TABLE-CREATION race: another writer committed v1
+            # first. The idempotence contract holds here too — if the
+            # winner WAS this transaction (a duplicated stream's first
+            # micro-batch, a racing twin), return its version without
+            # committing; otherwise fall through to the ordinary
+            # append path and land these rows ON TOP of the winner's
+            # (a blind append commutes with any winner), reusing the
+            # already-written data dir.
+            parent = latest_version(path)
+            if _applied(parent):
+                return parent
     prev = _read_manifest(path, parent)
     if merge_schema:
         schema_json = _merge_schemas(prev["schema"], df.schema.json())
@@ -913,7 +986,8 @@ def append_versioned(df: DataFrame, path: str,
                           prev.get("constraints") or {},
                           "append_versioned")
     version = parent + 1
-    new_files = _write_data_dir(df, path, version)
+    if new_files is None:
+        new_files = _write_data_dir(df, path, version)
     for _ in range(_MAX_COMMIT_RETRIES):
         try:
             return _commit(
@@ -2703,13 +2777,28 @@ def _relay_state(path: str, stream_id: str) -> int | None:
             man = _read_manifest_meta(path, v)
         except FileNotFoundError:
             # vacuumed tail: no relay commit survives in the retained
-            # window — the caller re-bootstraps (the txn identifiers
-            # on relay appends prevent double-apply regardless)
+            # window — callers go through _relay_state_recovered, which
+            # falls back to the txn high-water sidecar (and REFUSES to
+            # re-bootstrap an existing feed if that is lost too)
             return None
         if man.get("relay_stream") == stream_id:
             return man.get("relay_src_version")
         v = man.get("parent")
     return None
+
+
+def _relay_state_recovered(path: str, stream_id: str) -> int | None:
+    """Relay state with the vacuum fallback: when no retained manifest
+    carries the relay mark, the txn high-water sidecar still does —
+    every relay commit (bootstrap included) rides txn
+    ``(cdf:<stream_id>, src_version)``, and ``vacuum_versioned`` folds
+    each app's max into ``_txn_hw.json`` before dropping manifests. So
+    a fully-vacuumed feed tail degrades to CONTINUING from the
+    preserved mark instead of forcing a bootstrap decision."""
+    state = _relay_state(path, stream_id)
+    if state is None:
+        state = last_txn_version(path, f"cdf:{stream_id}")
+    return state
 
 
 def _ops_from_diff(d: DataFrame, keys: list[str],
@@ -2791,17 +2880,35 @@ def relay_changes(
                 f"source column {reserved!r} collides with a change-"
                 "feed column; rename it before relaying"
             )
-    state = _relay_state(feed_path, stream_id)
+    state = _relay_state_recovered(feed_path, stream_id)
     if state is None:
+        if latest_version(feed_path) is not None:
+            # an existing feed with NO recoverable relay state (both
+            # the retained manifests and the txn sidecar lost it) is
+            # not a bootstrap situation — overwriting would silently
+            # destroy the retained history that truncate_changes'
+            # consumer protocol depends on. Bootstrap only writes to
+            # fresh paths.
+            raise ValueError(
+                f"{feed_path} already holds data but carries no relay "
+                f"state for stream {stream_id!r} — refusing to "
+                "re-bootstrap over an existing feed (its retained "
+                "history would be destroyed); relay to a fresh "
+                "feed_path, or restore the feed's commit chain"
+            )
         snap = read_versioned(spark, src_path, version=src_v)
         ops = (snap.withColumn("op", F.lit("I"))
                .withColumn("_src_version", F.lit(src_v)))
-        write_versioned(ops, feed_path)
-        empty = read_versioned(spark, feed_path).limit(0)
-        v = append_versioned(
-            empty, feed_path,
+        # data + relay state + txn identifier ride ONE commit: a crash
+        # can never leave a bootstrapped feed without its state (the
+        # old two-commit shape re-bootstrapped on that crash,
+        # destroying the feed under checkpointed consumers), and a
+        # racing twin's write_versioned no-ops on the txn
+        v = write_versioned(
+            ops, feed_path,
             extra={"relay_stream": stream_id,
-                   "relay_src_version": src_v})
+                   "relay_src_version": src_v},
+            txn=(f"cdf:{stream_id}", src_v))
         return v, {"bootstrap": True, "src_version": src_v}
     if state == src_v:
         return latest_version(feed_path), {
@@ -2862,15 +2969,24 @@ def replicate_versioned(
     src_v = latest_version(src_path)
     if src_v is None:
         raise FileNotFoundError(f"no versioned table at {src_path}")
-    state = _relay_state(dst_path, stream_id)
+    state = _relay_state_recovered(dst_path, stream_id)
     if state is None:
+        if latest_version(dst_path) is not None:
+            raise ValueError(
+                f"{dst_path} already holds data but carries no relay "
+                f"state for stream {stream_id!r} — refusing to "
+                "re-bootstrap over an existing replica (its committed "
+                "state would be destroyed); replicate to a fresh "
+                "dst_path, or restore the replica's commit chain"
+            )
         snap = read_versioned(spark, src_path, version=src_v)
-        write_versioned(snap, dst_path)
-        empty = read_versioned(spark, dst_path).limit(0)
-        v = append_versioned(
-            empty, dst_path,
+        # snapshot + relay state + txn identifier as ONE commit — no
+        # crash window between replica data and its resume position
+        v = write_versioned(
+            snap, dst_path,
             extra={"relay_stream": stream_id,
-                   "relay_src_version": src_v})
+                   "relay_src_version": src_v},
+            txn=(f"cdf:{stream_id}", src_v))
         return v, {"bootstrap": True, "src_version": src_v}
     if state == src_v:
         return latest_version(dst_path), {
@@ -2884,11 +3000,13 @@ def replicate_versioned(
         v = append_versioned(
             empty, dst_path,
             extra={"relay_stream": stream_id,
-                   "relay_src_version": src_v})
+                   "relay_src_version": src_v},
+            txn=(f"cdf:{stream_id}", src_v))
         return v, {"bootstrap": False, "src_version": src_v, "ops": 0}
     v, st = apply_cdc(
         spark, dst_path, ops, keys,
-        extra={"relay_stream": stream_id, "relay_src_version": src_v})
+        extra={"relay_stream": stream_id, "relay_src_version": src_v},
+        txn=(f"cdf:{stream_id}", src_v))
     st.update({"bootstrap": False, "src_version": src_v, "ops": n_ops})
     return v, st
 
@@ -2926,7 +3044,7 @@ def truncate_changes(
     Requires the cutoff to be at or below the feed's relayed state
     (you cannot retain ops the relay hasn't produced). Returns
     ``(feed_version, stats)``."""
-    state = _relay_state(feed_path, stream_id)
+    state = _relay_state_recovered(feed_path, stream_id)
     if state is None:
         raise ValueError(
             f"{feed_path} carries no relay state for stream "
@@ -2945,10 +3063,11 @@ def truncate_changes(
     base = dropped.agg(F.max("_src_version")).collect()[0][0]
     kept = feed.filter(
         F.col("_src_version") >= F.lit(keep_from_src_version))
-    write_versioned(kept, feed_path)
-    empty = read_versioned(spark, feed_path).limit(0)
-    v = append_versioned(
-        empty, feed_path,
+    # retained rows + re-stamped relay state ride ONE snapshot commit
+    # — "rides the SAME commit" holds for every relay path, so a crash
+    # mid-truncate can never leave the feed without its state
+    v = write_versioned(
+        kept, feed_path,
         extra={"relay_stream": stream_id, "relay_src_version": state,
                "truncated_below": int(keep_from_src_version)})
     after = kept.count()
@@ -3065,13 +3184,33 @@ def table_changes(
     hi = latest_version(path) if v_to is None else v_to
     if hi is None:
         raise FileNotFoundError(f"no versioned table at {path}")
+    if v_from < 0:
+        raise ValueError(f"v_from={v_from} must be >= 0")
     if v_from > hi:
         raise ValueError(f"v_from={v_from} is newer than {hi}")
-    schema = _committed_schema(_read_manifest_meta(path, hi))
+    man_hi = _read_manifest_meta(path, hi)
+    schema = _committed_schema(man_hi)
     out_schema = (schema
                   .add(change_col, T.StringType())
                   .add(version_col, T.LongType()))
     parts = []
+    if v_from == 0 and hi >= 1:
+        # "from table creation" (Delta's starting version 0): nothing
+        # precedes v1, so the bootstrap commit's full content IS its
+        # change set — every row an insert stamped _commit_version=1.
+        # (The generic loop below would try to diff against manifest
+        # 00000000.json, which never exists.)
+        man1 = _read_manifest(path, 1)
+        if json.loads(man1["schema"]) != json.loads(man_hi["schema"]):
+            raise ValueError(
+                "table_changes: schema changed across the requested "
+                "range — evolution diffs must be reconciled explicitly "
+                "(same contract as diff_versions)"
+            )
+        d1 = (_read_snapshot(spark, path, man1)
+              .withColumn(change_col, F.lit("insert")))
+        parts.append(d1.withColumn(version_col, F.lit(1)))
+        v_from = 1
     for v in range(v_from + 1, hi + 1):
         man = _read_manifest_meta(path, v)
         prev = _read_manifest_meta(path, v - 1)

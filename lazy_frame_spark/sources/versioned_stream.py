@@ -185,16 +185,32 @@ class VersionedStreamReader(DataSourceStreamReader):
             man = V._read_manifest_meta(self.path, u)
             return man.get("files_count", len(man.get("files") or []))
 
-        cur, admitted, prev_n = self._hwm, 0, (
-            n_files(self._hwm) if self._hwm else 0)
-        for u in range(self._hwm + 1, head + 1):
-            nn = n_files(u)
-            n = max(0, nn - prev_n)
-            prev_n = nn
-            if cur > self._hwm and admitted + n > self.max_files_per_batch:
-                break
-            admitted += n
-            cur = u
+        try:
+            cur, admitted, prev_n = self._hwm, 0, (
+                n_files(self._hwm) if self._hwm else 0)
+            for u in range(self._hwm + 1, head + 1):
+                nn = n_files(u)
+                n = max(0, nn - prev_n)
+                prev_n = nn
+                if cur > self._hwm \
+                        and admitted + n > self.max_files_per_batch:
+                    break
+                admitted += n
+                cur = u
+        except FileNotFoundError:
+            # a vacuum dropped a manifest in (hwm, head] mid-run: the
+            # cap math can't see the chain, but the chain itself is
+            # gone too — give the standard re-seed guidance instead of
+            # a raw FileNotFoundError (partitions() would hit the same
+            # wall; failing here is just earlier and clearer)
+            raise ValueError(
+                "versioned stream source: a manifest in "
+                f"({self._hwm}, {head}] of {self.path} was vacuumed "
+                "out from under the running stream — the version chain "
+                "can no longer be replayed; re-seed the stream from a "
+                "snapshot read with a fresh checkpoint and "
+                f"starting_version={head}"
+            ) from None
         return {"version": cur}
 
     # ---- planning (driver) -----------------------------------------
@@ -204,14 +220,33 @@ class VersionedStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         schema_json = self.schema_json
         new_files: list[str] = []
-        if lo:
-            base = V._read_manifest(self.path, lo)
-            prev_files = set(base["files"])
-            prev_dvs = set(base.get("dv_files") or [])
-        else:
-            prev_files, prev_dvs = set(), set()
+        try:
+            if lo:
+                base = V._read_manifest(self.path, lo)
+                prev_files = set(base["files"])
+                prev_dvs = set(base.get("dv_files") or [])
+            else:
+                prev_files, prev_dvs = set(), set()
+        except FileNotFoundError:
+            raise ValueError(
+                f"versioned stream source: manifest {lo} of "
+                f"{self.path} was vacuumed out from under the running "
+                "stream — the checkpointed position can no longer be "
+                "replayed; re-seed the stream from a snapshot read "
+                f"with a fresh checkpoint and starting_version={hi}"
+            ) from None
         for v in range(lo + 1, hi + 1):
-            man = V._read_manifest(self.path, v)
+            try:
+                man = V._read_manifest(self.path, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"versioned stream source: manifest {v} of "
+                    f"{self.path} was vacuumed out from under the "
+                    "running stream — the version chain can no longer "
+                    "be replayed; re-seed the stream from a snapshot "
+                    "read with a fresh checkpoint and "
+                    f"starting_version={hi}"
+                ) from None
             action = man.get("action")
             cur = set(man["files"])
             cur_dvs = set(man.get("dv_files") or [])

@@ -3337,3 +3337,52 @@ def test_semantic_dedup_against_frozen_geometry(spark):
         ).collect()
     )
     assert out == [13, 15]
+
+
+def test_z_value_dilation_all_widths(spark):
+    """The O(log bits) bit-dilation form of z_value is bit-for-bit the
+    per-bit interleave at every supported (n_cols, bits) shape the
+    engine uses — including the 3-column and single-column edges."""
+    import random
+
+    from lazy_frame_spark.operators.layout import z_value
+
+    rng = random.Random(7)
+
+    def ref(vals, bits):
+        n = len(vals)
+        return sum(((v >> i) & 1) << (i * n + c)
+                   for c, v in enumerate(vals) for i in range(bits))
+
+    for n, bits in [(1, 16), (2, 16), (3, 16), (3, 21), (2, 31)]:
+        rows = [tuple(rng.getrandbits(bits) for _ in range(n))
+                for _ in range(50)]
+        cols = [f"c{i}" for i in range(n)]
+        df = spark.createDataFrame(rows, cols)
+        got = df.select(*cols, z_value(cols, bits=bits).alias("z")).collect()
+        for r in got:
+            assert r["z"] == ref([r[c] for c in cols], bits), (n, bits, r)
+
+
+def test_codegen_gate_on_previously_fallen_queries(sf_dir):
+    """Regression wire for the silent janino 64 KB fallbacks: run the
+    queries that used to compile-fail (text_script_profile's
+    exponential when-fold; the cluster rows' per-bit z interleave)
+    through the sweep harness in a subprocess and assert the JVM
+    logged ZERO 'Failed to compile' lines. Spark answers such queries
+    correctly in interpreted mode, so only the stderr signal catches
+    the regression."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from codegen_gate import run_gate
+
+    code, n_fail, tail = run_gate(
+        sf_dir, ["text_script_profile", "sink_cluster_layout"])
+    assert code == 0, f"sweep failed under the gate: {tail}"
+    assert n_fail == 0, (
+        f"{n_fail} whole-stage codegen compile failure(s) — an "
+        "expression grew past janino's method limit again")

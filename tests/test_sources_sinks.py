@@ -2601,3 +2601,244 @@ def test_manifest_list_parquet_offload(spark, tmp_path, monkeypatch):
     kept_vs = V._versions(t)
     assert len(leftovers) == len(kept_vs)
     assert V.read_versioned(spark, t).count() == 35
+
+
+def test_relay_bootstrap_is_single_commit(spark, tmp_path):
+    """The CDF bootstrap rides ONE commit: snapshot rows, relay state,
+    and the txn identifier all land on feed v1 — there is no window in
+    which the feed exists without its state (the old two-commit shape
+    re-bootstrapped destructively after a crash between them)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "sb_src")
+    feed = str(tmp_path / "sb_feed")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)
+    v, st = V.relay_changes(spark, src, feed, "k")
+    assert st["bootstrap"] and v == 1
+    assert V.latest_version(feed) == 1
+    man = V._read_manifest_meta(feed, 1)
+    assert man["relay_stream"] == "cdf_feed"
+    assert man["relay_src_version"] == 1
+    assert man["txn_app"] == "cdf:cdf_feed" and man["txn_version"] == 1
+    assert V._relay_state(feed, "cdf_feed") == 1
+    # replicate's bootstrap has the same single-commit shape
+    dst = str(tmp_path / "sb_dst")
+    v2, st2 = V.replicate_versioned(spark, src, dst, "k")
+    assert st2["bootstrap"] and v2 == 1 and V.latest_version(dst) == 1
+    assert V._read_manifest_meta(dst, 1)["relay_stream"] == "cdf_relay"
+
+
+def test_relay_refuses_destructive_rebootstrap(spark, tmp_path):
+    """A feed (or replica) that already holds data but carries no
+    recoverable relay state is NOT overwritten — re-bootstrapping
+    would silently destroy the retained history truncate_changes'
+    consumer protocol depends on."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "rb_src")
+    feed = str(tmp_path / "rb_feed")
+    V.write_versioned(_vt_rows(spark, 0, 5), src)
+    # a pre-existing table with no relay state at the feed path
+    V.write_versioned(_vt_rows(spark, 100, 105), feed)
+    with pytest.raises(ValueError, match="refusing to re-bootstrap"):
+        V.relay_changes(spark, src, feed, "k")
+    # untouched — the refusal wrote nothing
+    assert V.latest_version(feed) == 1
+    assert V.read_versioned(spark, feed).count() == 5
+    dst = str(tmp_path / "rb_dst")
+    V.write_versioned(_vt_rows(spark, 100, 105), dst)
+    with pytest.raises(ValueError, match="refusing to re-bootstrap"):
+        V.replicate_versioned(spark, src, dst, "k")
+
+
+def test_relay_state_recovers_from_txn_sidecar(spark, tmp_path):
+    """A vacuum that drops every state-bearing manifest does not force
+    a bootstrap decision: the relay's txn high-water sidecar preserves
+    the last relayed source version, and the next relay CONTINUES from
+    it (appending only the new changes)."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "rc_src")
+    feed = str(tmp_path / "rc_feed")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)                # v1
+    V.relay_changes(spark, src, feed, "k")
+    V.append_versioned(_vt_rows(spark, 10, 14), src)              # v2
+    V.relay_changes(spark, src, feed, "k")
+    # a feed-side compaction commit carries no relay state; vacuuming
+    # to it drops every manifest that did (sidecar keeps the txn mark)
+    V.compact_versioned(spark, feed)
+    V.vacuum_versioned(feed, keep_last=1)
+    assert V._relay_state(feed, "cdf_feed") is None
+    assert V._relay_state_recovered(feed, "cdf_feed") == 2
+    V.append_versioned(_vt_rows(spark, 20, 23), src)              # v3
+    v, st = V.relay_changes(spark, src, feed, "k")
+    assert not st["bootstrap"] and st["ops"] == 3
+    ops = V.read_versioned(spark, feed)
+    assert ops.count() == 17  # 10 bootstrap + 4 + 3, never re-seeded
+    assert ops.filter("_src_version = 3").count() == 3
+
+
+def test_truncate_changes_is_single_commit(spark, tmp_path):
+    """Retention = ONE snapshot commit carrying both the retained rows
+    and the re-stamped relay state."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "ts_src")
+    feed = str(tmp_path / "ts_feed")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)                # v1
+    V.relay_changes(spark, src, feed, "k")
+    V.append_versioned(_vt_rows(spark, 10, 14), src)              # v2
+    V.relay_changes(spark, src, feed, "k")
+    before = V.latest_version(feed)
+    v, st = V.truncate_changes(spark, feed, keep_from_src_version=2)
+    assert v == before + 1  # exactly one commit
+    man = V._read_manifest_meta(feed, v)
+    assert man["action"] == "overwrite"
+    assert man["relay_stream"] == "cdf_feed"
+    assert man["relay_src_version"] == 2
+    assert man["truncated_below"] == 2
+
+
+def test_write_versioned_txn_idempotent(spark, tmp_path):
+    """write_versioned carries the same per-app idempotence contract
+    as append_versioned: a replayed snapshot commit with an
+    already-applied txn returns the current version without writing."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "wv_txn")
+    v1 = V.write_versioned(_vt_rows(spark, 0, 5), t, txn=("snap", 7))
+    assert v1 == 1
+    v2 = V.write_versioned(_vt_rows(spark, 0, 5), t, txn=("snap", 7))
+    assert v2 == 1 and V.latest_version(t) == 1
+    # a newer txn version commits a new snapshot
+    v3 = V.write_versioned(_vt_rows(spark, 0, 3), t, txn=("snap", 8))
+    assert v3 == 2 and V.read_versioned(spark, t).count() == 3
+
+
+def test_commit_rejects_out_of_order_txn(spark, tmp_path):
+    """Defense in depth at the commit choke point: per app,
+    txn_version must strictly increase along the chain — a bypassing
+    caller committing an out-of-order txn is refused, so the
+    newest-first O(1) mark walk in last_txn_version stays exact."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "mono")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    V.append_versioned(_vt_rows(spark, 5, 8), t, txn=("app", 5))
+    files = list(V._read_manifest(t, 2)["files"])
+    with pytest.raises(ValueError, match="strictly increase"):
+        V._commit(t, "append", files,
+                  V._read_manifest(t, 2)["schema"], 2,
+                  extra={"txn_app": "app", "txn_version": 5})
+    with pytest.raises(ValueError, match="strictly increase"):
+        V._commit(t, "append", files,
+                  V._read_manifest(t, 2)["schema"], 2,
+                  extra={"txn_app": "app", "txn_version": 3})
+    # the public path treats the same replay as a no-op, not an error
+    assert V.append_versioned(_vt_rows(spark, 5, 8), t,
+                              txn=("app", 3)) == 2
+
+
+def test_append_creation_race_idempotent_and_rebased(spark, tmp_path):
+    """The table-CREATION race honors the txn contract: a racing twin
+    whose winner already committed v1 with the same txn no-ops instead
+    of surfacing VersionConflict; a non-twin creation race rebases as
+    an ordinary append on top of the winner."""
+    from lazy_frame_spark.sources import versioned as V
+
+    # --- twin case: winner commits v1 with the SAME txn mid-race ----
+    t = str(tmp_path / "race_twin")
+    real_commit = V._commit
+    state = {"fired": False}
+
+    def inject_twin(path, action, files, schema_json, parent,
+                    extra=None, dvs=None):
+        if not state["fired"]:
+            state["fired"] = True
+            winner = _vt_rows(spark, 0, 6)
+            wfiles = V._write_data_dir(winner, path, 1)
+            real_commit(path, "overwrite", wfiles, winner.schema.json(),
+                        None, {"txn_app": "stream:s", "txn_version": 0})
+            raise V.VersionConflict("injected creation race")
+        return real_commit(path, action, files, schema_json, parent,
+                           extra, dvs)
+
+    V._commit = inject_twin
+    try:
+        v = V.append_versioned(_vt_rows(spark, 0, 6), t,
+                               txn=("stream:s", 0))
+    finally:
+        V._commit = real_commit
+    assert v == 1 and V.latest_version(t) == 1
+    assert V.read_versioned(spark, t).count() == 6  # never doubled
+
+    # --- non-twin case: a different writer created the table --------
+    t2 = str(tmp_path / "race_other")
+    state["fired"] = False
+
+    def inject_other(path, action, files, schema_json, parent,
+                     extra=None, dvs=None):
+        if not state["fired"]:
+            state["fired"] = True
+            winner = _vt_rows(spark, 100, 104)
+            wfiles = V._write_data_dir(winner, path, 1)
+            real_commit(path, "overwrite", wfiles,
+                        winner.schema.json(), None)
+            raise V.VersionConflict("injected creation race")
+        return real_commit(path, action, files, schema_json, parent,
+                           extra, dvs)
+
+    V._commit = inject_other
+    try:
+        v2 = V.append_versioned(_vt_rows(spark, 0, 6), t2)
+    finally:
+        V._commit = real_commit
+    assert v2 == 2  # rebased on top of the winner's v1
+    got = V.read_versioned(spark, t2)
+    assert got.count() == 10  # winner's 4 + loser's 6, nothing lost
+    assert got.filter("k >= 100").count() == 4
+
+
+def test_table_changes_from_version_zero(spark, tmp_path):
+    """table_changes(path, 0) — Delta's 'from table creation' — emits
+    the bootstrap commit's rows as inserts stamped _commit_version=1
+    instead of dying on the never-existing manifest 0."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "tc0")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)                   # v1
+    V.append_versioned(_vt_rows(spark, 5, 8), t)                  # v2
+    V.delete_versioned(spark, t, "k = 0")                         # v3
+    ch = V.table_changes(spark, t, 0)
+    rows = {(r["_commit_version"], r["change_type"], r["k"])
+            for r in ch.collect()}
+    assert {(1, "insert", k) for k in range(5)} <= rows
+    assert {(2, "insert", k) for k in (5, 6, 7)} <= rows
+    assert (3, "delete", 0) in rows
+    assert len(rows) == 9
+    with pytest.raises(ValueError, match=">= 0"):
+        V.table_changes(spark, t, -1)
+
+
+def test_stream_vacuumed_manifest_gives_reseed_error(spark, tmp_path):
+    """A vacuum that drops a manifest the running stream still needs
+    surfaces the standard re-seed guidance (naming starting_version),
+    never a raw FileNotFoundError — in both the capped latestOffset
+    math and partitions()."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "vac_stream")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)                   # v1
+    V.append_versioned(_vt_rows(spark, 5, 10), t)                 # v2
+    V.append_versioned(_vt_rows(spark, 10, 15), t)                # v3
+    r = VersionedStreamReader({"path": t, "max_files_per_batch": 1})
+    r._hwm, r._hwm_known = 1, True
+    V.vacuum_versioned(t, keep_last=1)  # drops manifests 1 and 2
+    with pytest.raises(ValueError, match="starting_version=3"):
+        r.latestOffset()
+    r2 = VersionedStreamReader({"path": t})
+    with pytest.raises(ValueError, match="starting_version"):
+        r2.partitions({"version": 1}, {"version": 3})
