@@ -468,6 +468,49 @@ def prune_files_spark(spark, path: str, rel_files: list[str],
     return [f for f in rel_files if f in kept]
 
 
+#: count of names-only manifest-list reconstitutions (the legacy
+#: driver-materialize fallback) — tests pin that an upgraded list never
+#: reconstitutes again
+RECONSTITUTIONS = 0
+
+
+def upgrade_manifest_list(path: str, manifest_parquet_abs: str) -> bool:
+    """Self-heal a NAMES-ONLY offloaded manifest list (written before
+    lists embedded per-file stats) by rewriting it in place WITH the
+    stats column, copied from the per-directory sidecars — O(dirs)
+    sidecar loads, once per legacy list, after which every prune takes
+    the distributed embedded-stats path and children commits seed
+    their lists from this one incrementally. In-place is safe: the
+    list's CONTENT (the file set) is immutable commit state, the stats
+    column is best-effort metadata (missing entries keep files at
+    prune time), and the swap is an atomic os.replace — a concurrent
+    reader sees either version, both correct. Returns False (and
+    changes nothing) when the rewrite cannot proceed (read-only
+    storage, missing sidecars are fine — they become None stats)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(manifest_parquet_abs)
+        if "stats" in t.column_names:
+            return True
+        files = t["file"].to_pylist()
+        per_dir: dict[str, dict] = {}
+        stats: list[str | None] = []
+        for rel in files:
+            d, base = os.path.split(rel)
+            if d not in per_dir:
+                per_dir[d] = load_dir_stats(os.path.join(path, d)) or {}
+            st = per_dir[d].get(base)
+            stats.append(json.dumps(st) if st is not None else None)
+        tmp = manifest_parquet_abs + f".up-{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(pa.table({"file": files, "stats": stats}), tmp)
+        os.replace(tmp, manifest_parquet_abs)
+        return True
+    except Exception:
+        return False
+
+
 def prune_manifest_spark(spark, path: str, manifest_parquet_abs: str,
                          where) -> list[str]:
     """Prune an OFFLOADED manifest without the driver ever
@@ -488,10 +531,19 @@ def prune_manifest_spark(spark, path: str, manifest_parquet_abs: str,
 
     df = spark.read.parquet(manifest_parquet_abs)
     if "stats" not in df.columns:
-        # pre-stats manifest list (older commit): the names-only list
-        # must be materialized once to reach the per-dir sidecar path
-        rels = [r["file"] for r in df.select("file").collect()]
-        return sorted(prune_files_spark(spark, path, rels, where))
+        # pre-stats manifest list (older commit): self-heal it in
+        # place — after the one-time upgrade this list (and every
+        # child list seeded from it) prunes on the distributed
+        # embedded-stats path and the driver never materializes the
+        # full file set again
+        if upgrade_manifest_list(path, manifest_parquet_abs):
+            df = spark.read.parquet(manifest_parquet_abs)
+        else:
+            # unwritable storage: legacy driver-materialize fallback
+            global RECONSTITUTIONS
+            RECONSTITUTIONS += 1
+            rels = [r["file"] for r in df.select("file").collect()]
+            return sorted(prune_files_spark(spark, path, rels, where))
     has_eq = any(op in ("=", "==", "in") for _c, op, _v in where)
     where_local = [tuple(c) for c in where]
 

@@ -1238,6 +1238,58 @@ class TestDistributedPruning:
         assert full_reads == []
         assert sorted(map(tuple, got)) == sorted(map(tuple, truth))
 
+    def test_legacy_names_only_manifest_self_heals(
+            self, spark, tmp_path, monkeypatch):
+        """A pre-stats (names-only) offloaded manifest list upgrades
+        ITSELF on first pruned read: the list is rewritten in place
+        with the embedded stats column (O(dirs) sidecar loads, once),
+        after which every prune takes the distributed path — zero
+        driver reconstitutions, pinned by the module counter — and
+        results stay file-for-file identical to the driver loop."""
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        t = str(tmp_path / "legacy")
+        o = _orders(spark)
+        monkeypatch.setattr(V, "_MANIFEST_PARQUET_THRESHOLD", 0)
+        V._MANIFEST_LIST_CACHE.clear()
+        V.write_versioned(o.repartition(6), t)
+        V.cluster_versioned(spark, t, ["o_orderkey"], num_partitions=6)
+        v = V.latest_version(t)
+        meta = V._read_manifest_meta(t, v)
+        pabs = _os.path.join(V._manifest_dir(t), meta["files_parquet"])
+        # simulate the legacy format: strip the stats column
+        tbl = _pq.read_table(pabs)
+        _pq.write_table(_pa.table({"file": tbl["file"]}), pabs)
+        files = list(V._read_manifest(t, v)["files"])
+        w = [("o_orderkey", "between", (100, 900))]
+        before = filestats.RECONSTITUTIONS
+        got = filestats.prune_manifest_spark(spark, t, pabs, w)
+        assert got == sorted(filestats.prune_files(t, files, w))
+        assert len(got) < len(files)  # the prune actually pruned
+        # healed in place: stats column present and populated
+        tbl2 = _pq.read_table(pabs)
+        assert set(tbl2.column_names) == {"file", "stats"}
+        assert all(s is not None for s in tbl2["stats"].to_pylist())
+        # no driver reconstitution happened, then or ever again
+        got2 = filestats.prune_manifest_spark(spark, t, pabs, w)
+        assert got2 == got
+        assert filestats.RECONSTITUTIONS == before
+        # a CHILD commit seeds its list from the healed parent's stats
+        V.append_versioned(o.limit(50), t)
+        meta2 = V._read_manifest_meta(t, V.latest_version(t))
+        pabs2 = _os.path.join(V._manifest_dir(t),
+                              meta2["files_parquet"])
+        tbl3 = _pq.read_table(pabs2)
+        assert "stats" in tbl3.column_names
+        inherited = dict(zip(tbl3["file"].to_pylist(),
+                             tbl3["stats"].to_pylist()))
+        for f, s in zip(tbl2["file"].to_pylist(),
+                        tbl2["stats"].to_pylist()):
+            assert inherited[f] == s
+
     def test_threshold_dispatch_preserves_read_semantics(
             self, spark, tmp_path, monkeypatch):
         """With the threshold forced to 0, read_versioned(where=...)
