@@ -9,6 +9,7 @@ from lazy_frame_spark.sources.versioned import (
     delete_versioned,
     history,
     read_versioned,
+    rename_column,
     restore_versioned,
     vacuum_versioned,
     versioned_stream_writer,
@@ -19,6 +20,7 @@ __all__ = [
     "open_csv", "ingest_gzip", "load_tables", "register_views",
     "TABLE_NAMES",
     "write_versioned", "append_versioned", "delete_versioned",
-    "restore_versioned", "read_versioned", "history", "vacuum_versioned",
+    "restore_versioned", "read_versioned", "rename_column",
+    "history", "vacuum_versioned",
     "compact_versioned", "cluster_versioned", "versioned_stream_writer", "appended_since",
 ]

@@ -409,11 +409,15 @@ def _commit_keyed_with_rebase(
     )
 
 
-def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:
+def _write_data_dir(df: DataFrame, path: str, version: int,
+                    mapping: dict | None = None) -> list[str]:
     """Write df's rows as one immutable data directory; returns the new
     parquet files' table-relative paths. The directory appears under
     its final name only when complete (write to dot-temp, one rename),
-    so readers/vacuum never see a partial directory.
+    so readers/vacuum never see a partial directory. ``mapping`` is
+    the table's logical→physical column mapping: batches arrive with
+    LOGICAL names and every data file stores PHYSICAL names, so files
+    written before and after a ``rename_column`` are interchangeable.
 
     The final name carries a per-ATTEMPT uuid suffix, not just the
     version number: two attempts at the same version (a crashed commit
@@ -423,6 +427,8 @@ def _write_data_dir(df: DataFrame, path: str, version: int) -> list[str]:
     version fail os.replace with ENOTEMPTY, bricking the table. An
     orphan attempt dir is referenced by no manifest and is reclaimed
     by vacuum_versioned."""
+    if mapping:
+        df = _to_physical(df, mapping)
     rel_final = os.path.join(
         "data", f"{version:08d}-{uuid.uuid4().hex[:8]}"
     )
@@ -507,6 +513,12 @@ def _commit(
     # every commit (a commit that dropped them would silently stop
     # enforcement) unless an alter commit rewrites them via extra
     constraints = parent_man.get("constraints")
+    # the logical→physical column mapping is table state the same way
+    # — EXCEPT for a fresh snapshot overwrite, whose files are written
+    # under the new frame's own names (identity mapping); restore
+    # passes the TARGET's mapping explicitly via extra
+    col_mapping = (parent_man.get("column_mapping")
+                   if action != "overwrite" else None)
     doc = {
         "version": version,
         "action": action,
@@ -527,8 +539,12 @@ def _commit(
         doc["dv_files"] = sorted(dvs)
     if constraints:
         doc["constraints"] = constraints
+    if col_mapping:
+        doc["column_mapping"] = col_mapping
     if extra:
         doc.update(extra)
+    if not doc.get("column_mapping"):
+        doc.pop("column_mapping", None)  # identity: keep manifests lean
     if len(doc["files"]) > _MANIFEST_PARQUET_THRESHOLD:
         # offload the file list to a columnar manifest-list sidecar
         # BEFORE the manifest publish (the publish is the commit point
@@ -692,6 +708,52 @@ def _committed_schema(man_or_json) -> T.StructType:
 
 #: table-relative path of the file a scanned row came from, derived
 #: from the parquet reader's _metadata the same way on the DV WRITE
+def _col_mapping(man: dict) -> dict:
+    """The manifest's logical→PHYSICAL column-name mapping (Delta's
+    columnMapping 'name' mode): empty for every table that never ran
+    ``rename_column``. Physical names are what parquet files and every
+    per-file sidecar (stats/blooms/NDV) are keyed by — they are the
+    column's stable identity; the logical name is presentation-layer
+    manifest state, re-writable as a metadata-only ``alter`` commit.
+    Reference parity: the frame facade's ``rename`` (op M2,
+    R/lazy.frame.R:217-232) renames in-memory attributes; this is the
+    same operation durable at the storage layer."""
+    return man.get("column_mapping") or {}
+
+
+def _phys_name(mapping: dict, col: str) -> str:
+    return mapping.get(col, col)
+
+
+def _phys_where(mapping: dict, where):
+    """Translate a prune conjunction's LOGICAL column names to the
+    physical names the stats/bloom sidecars are keyed by."""
+    if not mapping or where is None:
+        return where
+    return [(mapping.get(c, c), op, v) for c, op, v in where]
+
+
+def _phys_schema(schema: T.StructType, mapping: dict) -> T.StructType:
+    if not mapping:
+        return schema
+    return T.StructType([
+        T.StructField(mapping.get(f.name, f.name), f.dataType,
+                      f.nullable, f.metadata)
+        for f in schema.fields
+    ])
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename a LOGICAL-schema batch to physical names for writing —
+    every data file always stores physical names, so old files keep
+    reading across any number of renames."""
+    if not mapping:
+        return df
+    return df.select(*[
+        F.col(c).alias(mapping.get(c, c)) for c in df.columns
+    ])
+
+
 #: side and the DV APPLY side, so the anti-join key is consistent by
 #: construction whatever the table root or its percent-encoding looks
 #: like (data dirs are hex-named — '/data/' cannot recur below root)
@@ -719,6 +781,10 @@ def _read_snapshot(
     scanning raw files is how merge-on-read systems resurrect deleted
     rows — don't."""
     schema = _committed_schema(man)
+    mapping = _col_mapping(man)
+    # sidecars, file footers, and the residual filter all see PHYSICAL
+    # names; the caller's conjunction arrives logical
+    where = _phys_where(mapping, where)
     flist = list(man["files"]) if files is None else list(files)
     if where is not None:
         if files is None and not flist and man.get("files_parquet"):
@@ -741,7 +807,7 @@ def _read_snapshot(
             df = df.withColumn("__file__", F.lit(None).cast("string")) \
                    .withColumn("__pos__", F.lit(None).cast("bigint"))
         return df
-    df = spark.read.schema(schema).parquet(
+    df = spark.read.schema(_phys_schema(schema, mapping)).parquet(
         *[os.path.join(path, rel) for rel in flist]
     )
     dv_files = man.get("dv_files") or []
@@ -759,6 +825,15 @@ def _read_snapshot(
             df = df.drop("__file__", "__pos__")
     if where is not None:
         df = df.filter(filestats.spark_filter(where))
+    if mapping:
+        # present the LOGICAL names — a pure Project over the scan, so
+        # pushdown/pruning flow through it untouched
+        phys_to_log = [(mapping.get(f.name, f.name), f.name)
+                       for f in schema.fields]
+        keep = (["__file__", "__pos__"]
+                if _with_position and "__file__" in df.columns else [])
+        df = df.select(*[F.col(p).alias(l) for p, l in phys_to_log],
+                       *keep)
     return df
 
 
@@ -906,6 +981,30 @@ def _check_append_schema(df: DataFrame, schema_json: str) -> None:
         )
 
 
+def _guard_added_columns(prev: dict, schema_json: str) -> None:
+    """Additive evolution composing with column mapping: a NEW logical
+    column gets its own physical slot (its own name — batches write it
+    directly), which is only sound if that name isn't the PHYSICAL
+    slot of an already-renamed column. rename a→b then add a new 'a'
+    would make two physical 'a' columns in new files; refuse loudly."""
+    mapping = _col_mapping(prev)
+    if not mapping:
+        return
+    old_names = {f["name"] for f in json.loads(prev["schema"])["fields"]}
+    added = [f["name"] for f in json.loads(schema_json)["fields"]
+             if f["name"] not in old_names]
+    bad = sorted(set(added) & set(mapping.values()))
+    if bad:
+        owners = {p: l for l, p in mapping.items()}
+        raise ValueError(
+            "append_versioned(merge_schema): new column(s) "
+            f"{bad} collide with the PHYSICAL slot of renamed "
+            f"column(s) {[owners[b] for b in bad]} — a retired "
+            "spelling still names the storage; pick a different "
+            "column name"
+        )
+
+
 def append_versioned(df: DataFrame, path: str,
                      extra: dict | None = None,
                      merge_schema: bool = False,
@@ -975,6 +1074,7 @@ def append_versioned(df: DataFrame, path: str,
     prev = _read_manifest(path, parent)
     if merge_schema:
         schema_json = _merge_schemas(prev["schema"], df.schema.json())
+        _guard_added_columns(prev, schema_json)
     else:
         _check_append_schema(df, prev["schema"])
         schema_json = prev["schema"]
@@ -987,7 +1087,8 @@ def append_versioned(df: DataFrame, path: str,
                           "append_versioned")
     version = parent + 1
     if new_files is None:
-        new_files = _write_data_dir(df, path, version)
+        new_files = _write_data_dir(df, path, version,
+                                    mapping=_col_mapping(prev))
     for _ in range(_MAX_COMMIT_RETRIES):
         try:
             return _commit(
@@ -1012,6 +1113,7 @@ def append_versioned(df: DataFrame, path: str,
             if merge_schema:
                 schema_json = _merge_schemas(prev["schema"],
                                              df.schema.json())
+                _guard_added_columns(prev, schema_json)
             else:
                 _check_append_schema(df, prev["schema"])
                 schema_json = prev["schema"]
@@ -1275,7 +1377,8 @@ def delete_versioned(
     survivors = _read_snapshot(
         spark, path, prev, files=sorted(touched)
     ).filter(~F.coalesce(pred, F.lit(False)))
-    new_files = _write_data_dir(survivors, path, version)
+    new_files = _write_data_dir(survivors, path, version,
+                                mapping=_col_mapping(prev))
     before = _footer_rows(path, sorted(touched))
     after = _footer_rows(path, new_files)
     v = _commit(
@@ -1328,7 +1431,9 @@ def compact_versioned(
     prev = _read_manifest(path, parent)
     files = list(prev["files"])
     in_scope = set(
-        filestats.prune_files(path, files, where, spark=spark)
+        filestats.prune_files(path, files,
+                              _phys_where(_col_mapping(prev), where),
+                              spark=spark)
         if where is not None else files)
     small, healthy = [], []
     for rel in files:
@@ -1350,7 +1455,8 @@ def compact_versioned(
     df = _read_snapshot(spark, path, prev, files=small)
     total = sum(os.path.getsize(os.path.join(path, rel)) for rel in small)
     n_out = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
-    new_files = _write_data_dir(df.coalesce(n_out), path, version)
+    new_files = _write_data_dir(df.coalesce(n_out), path, version,
+                                mapping=_col_mapping(prev))
     v = _commit_rewrite_with_rebase(path, "compact", parent, prev,
                                     replaced=small, new_files=new_files)
     return v, {"files_compacted": len(small),
@@ -1569,7 +1675,8 @@ def cluster_versioned(
     df = _read_snapshot(spark, path, prev)  # DV-applied full rewrite
     out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
-    new_files = _write_data_dir(out, path, version)
+    new_files = _write_data_dir(out, path, version,
+                                mapping=_col_mapping(prev))
     # every file was rewritten with tombstones applied — DVs are all
     # materialized, the new commit carries none (winner appends rebased
     # in by _commit_rewrite_with_rebase carry no DVs either: only
@@ -1651,7 +1758,8 @@ def cluster_increment(
     df = _read_snapshot(spark, path, prev, files=tail)
     out = _relayout(df, cols, bits, scaling, num_partitions)
     version = parent + 1
-    new_files = _write_data_dir(out, path, version)
+    new_files = _write_data_dir(out, path, version,
+                                mapping=_col_mapping(prev))
     v = _commit_rewrite_with_rebase(
         path, "cluster", parent, prev,
         replaced=tail, new_files=new_files,
@@ -1687,7 +1795,11 @@ def restore_versioned(path: str, version: int) -> int:
                                constraints=cons)
     return _commit(
         path, "restore", list(target["files"]), target["schema"], parent,
-        {"restored_from": version},
+        # the TARGET's column mapping rides along (explicitly, even
+        # when empty — the restored schema's spellings must resolve
+        # against the restored files, not the parent's later renames)
+        {"restored_from": version,
+         "column_mapping": _col_mapping(target)},
         dvs=list(target.get("dv_files", [])),  # the state being restored
     )
 
@@ -1836,7 +1948,9 @@ def _parse_cmp_literal(s: str):
 
 
 def _constraint_suspect_files(path: str, files: list[str],
-                              expr: str) -> list[str] | None:
+                              expr: str,
+                              mapping: dict | None = None,
+                              ) -> list[str] | None:
     """Files that MIGHT hold a row violating CHECK ``expr``, decided
     from commit-time sidecar bounds alone — or None when the
     expression isn't stats-decidable (treat every file as suspect).
@@ -1861,7 +1975,9 @@ def _constraint_suspect_files(path: str, files: list[str],
         negated.append((col, _NEG_OP[op], lit))
     suspect: set[str] = set()
     for neg in negated:
-        suspect.update(filestats.prune_files(path, files, [neg]))
+        # constraint SQL names LOGICAL columns; sidecars key physical
+        suspect.update(filestats.prune_files(
+            path, files, _phys_where(mapping or {}, [neg])))
     return [f for f in files if f in suspect]
 
 
@@ -1894,7 +2010,8 @@ def revalidate_constraints(
     files = list(man["files"])
     report: dict = {"version": v, "constraints": {}}
     for name, expr in cons.items():
-        suspects = _constraint_suspect_files(path, files, expr)
+        suspects = _constraint_suspect_files(path, files, expr,
+                                             mapping=_col_mapping(man))
         if suspects is None:
             suspects = files
         report["constraints"][name] = {
@@ -1913,6 +2030,80 @@ def revalidate_constraints(
                 _read_snapshot(spark, path, man, files=suspects),
                 {name: expr}, "revalidate_constraints")
     return report
+
+
+def rename_column(spark: SparkSession | None, path: str,
+                  existing: str, new: str) -> int:
+    """RENAME COLUMN as a METADATA-ONLY ``alter`` commit — Delta/
+    Iceberg column mapping ('name' mode): the manifest's schema gets
+    the new LOGICAL name while the column's PHYSICAL name (what every
+    data file and per-file sidecar is keyed by) stays what it always
+    was, so zero bytes of a 100 TB table move and old files keep
+    reading. Time travel is exact per spelling: versions at or before
+    the rename present the old name, versions after present the new
+    one, values identical. Running streams fail LOUDLY at the rename
+    commit (their schema is fixed at query start — Delta's rule);
+    restart them with the new schema. Non-additive by design where it
+    must be: a CHECK constraint referencing the column refuses the
+    rename (drop it first — silently breaking enforcement or
+    rewriting user SQL are both worse), and the rename composes with
+    additive evolution + type widening (new columns after a rename
+    get fresh physical slots; a physical-name collision with a
+    retired spelling is refused at append time).
+
+    Reference parity: op M2 ``names<-`` (R/lazy.frame.R:217-232) —
+    the reference renames the in-memory frame attributes; this is the
+    same operation made durable at the storage layer."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    sch = json.loads(prev["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if existing not in names:
+        raise ValueError(
+            f"rename_column: no column {existing!r} in {names}")
+    if new == existing:
+        raise ValueError("rename_column: old and new names are equal")
+    if new in names:
+        raise ValueError(
+            f"rename_column: column {new!r} already exists")
+    new_fields = [
+        {**f, "name": new} if f["name"] == existing else f
+        for f in sch["fields"]
+    ]
+    new_schema = json.dumps({**sch, "fields": new_fields})
+    cons = prev.get("constraints") or {}
+    if cons:
+        sess = spark or SparkSession.getActiveSession()
+        if sess is None:
+            raise ValueError(
+                "rename_column: table has CHECK constraints "
+                f"({sorted(cons)}) — a session is required to prove "
+                "none references the renamed column"
+            )
+        try:
+            _check_constraints_resolve(
+                sess, cons,
+                T.StructType.fromJson(json.loads(new_schema)),
+                "rename_column")
+        except ValueError:
+            raise ValueError(
+                f"rename_column: a CHECK constraint references "
+                f"{existing!r} — constraints are enforced by SQL text "
+                f"and would silently stop resolving; drop_constraint "
+                "first, then re-add it against the new name"
+            ) from None
+    mapping = dict(_col_mapping(prev))
+    phys = mapping.pop(existing, existing)
+    if phys != new:
+        mapping[new] = phys
+    # (phys == new means the column went BACK to its physical name —
+    # the identity entry is dropped and the manifest stays lean)
+    return _commit(
+        path, "alter", list(prev["files"]), new_schema, parent,
+        {"column_mapping": mapping,
+         "renamed": {"from": existing, "to": new}})
 
 
 def drop_constraint(path: str, name: str) -> int:
@@ -2055,7 +2246,8 @@ def merge_versioned(
     # skipping: missing sidecars keep the file. The same footprint is
     # the commit-time disjointness proof for rebasing over concurrent
     # appends (_commit_keyed_with_rebase).
-    where_hint = filestats.key_bounds_where(source, keys)
+    where_hint = _phys_where(_col_mapping(prev),
+                             filestats.key_bounds_where(source, keys))
     if files:
         scan_files = (
             filestats.prune_files(path, files, where_hint)
@@ -2124,7 +2316,8 @@ def merge_versioned(
         new_data = parts[0]
         for p in parts[1:]:
             new_data = new_data.unionByName(p)
-        new_files = _write_data_dir(new_data, path, version)
+        new_files = _write_data_dir(new_data, path, version,
+                                     mapping=_col_mapping(prev))
     finally:
         if matched_keys is not None:
             matched_keys.unpersist()
@@ -2233,7 +2426,8 @@ def apply_cdc(
     touched: set[str] = set()
     # key footprint: discovery pre-cut AND the concurrent-append
     # disjointness proof for the rebasing commit below
-    where_hint = filestats.key_bounds_where(tagged, keys)
+    where_hint = _phys_where(_col_mapping(prev),
+                             filestats.key_bounds_where(tagged, keys))
     if files:
         scan_files = (
             filestats.prune_files(path, files, where_hint)
@@ -2262,7 +2456,8 @@ def apply_cdc(
     for p in parts[1:]:
         new_data = new_data.unionByName(p)
     version = parent + 1
-    new_files = _write_data_dir(new_data, path, version)
+    new_files = _write_data_dir(new_data, path, version,
+                                mapping=_col_mapping(prev))
     commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
     if extra:
         commit_extra.update(extra)
@@ -2331,7 +2526,8 @@ def purge_dvs(spark: SparkSession, path: str) -> tuple[int, dict]:
                    "dv_files_purged": len(dv_files)}
     version = parent + 1
     rewritten = _read_snapshot(spark, path, prev, files=affected)
-    new_files = _write_data_dir(rewritten, path, version)
+    new_files = _write_data_dir(rewritten, path, version,
+                                mapping=_col_mapping(prev))
     v = _commit(path, "purge", carried + new_files, prev["schema"],
                 parent, dvs=[])
     return v, {"files_rewritten": len(affected),
@@ -2362,13 +2558,18 @@ def build_blooms(
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
+    mapping = _col_mapping(man)
+    names = {f.name for f in _committed_schema(man).fields}
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"bloom column {c!r} not in table schema")
+    # sidecars key by the PHYSICAL name (they are built by scanning
+    # the files themselves), so a rename never invalidates them
     schema_types = {
-        f.name: f.dataType.simpleString()
+        _phys_name(mapping, f.name): f.dataType.simpleString()
         for f in _committed_schema(man).fields
     }
-    for c in cols:
-        if c not in schema_types:
-            raise ValueError(f"bloom column {c!r} not in table schema")
+    cols = [_phys_name(mapping, c) for c in cols]
     dirs = sorted({os.path.dirname(rel) for rel in man["files"]})
     built = skipped = 0
     for d in dirs:
@@ -2431,13 +2632,16 @@ def build_ndv(
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
+    mapping = _col_mapping(man)
+    names = {f.name for f in _committed_schema(man).fields}
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"ndv column {c!r} not in table schema")
     schema_types = {
-        f.name: f.dataType.simpleString()
+        _phys_name(mapping, f.name): f.dataType.simpleString()
         for f in _committed_schema(man).fields
     }
-    for c in cols:
-        if c not in schema_types:
-            raise ValueError(f"ndv column {c!r} not in table schema")
+    cols = [_phys_name(mapping, c) for c in cols]
     dirs = sorted({os.path.dirname(rel) for rel in man["files"]})
     built = skipped = 0
     for d in dirs:
@@ -2485,9 +2689,11 @@ def metadata_ndv(
         return out  # masked rows can't be subtracted from a sketch
     files = list(man["files"])
     per_dir: dict[str, dict | None] = {}
+    mapping = _col_mapping(man)
     import base64
 
     for c in cols:
+        c_phys = _phys_name(mapping, c)
         merged: bytearray | None = None
         provable = True
         for rel in files:
@@ -2496,7 +2702,7 @@ def metadata_ndv(
                 per_dir[d] = filestats.load_dir_ndv(
                     os.path.join(path, d))
             doc = per_dir[d]
-            b64 = (doc or {}).get("cols", {}).get(c, {}).get(base)
+            b64 = (doc or {}).get("cols", {}).get(c_phys, {}).get(base)
             if b64 is None:
                 provable = False
                 break
@@ -2527,7 +2733,8 @@ def skipping_summary(path: str, where: list,
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
-    kept = filestats.prune_files(path, list(man["files"]), where)
+    kept = filestats.prune_files(
+        path, list(man["files"]), _phys_where(_col_mapping(man), where))
     return {
         "version": v,
         "total_files": len(man["files"]),
@@ -2607,7 +2814,9 @@ def metadata_aggregate(
     if dv_files:
         return out
     per_dir: dict[str, dict | None] = {}
+    mapping = _col_mapping(man)
     for c in cols:
+        c_phys = _phys_name(mapping, c)
         lo = hi = None
         non_null = 0
         provable = True
@@ -2624,7 +2833,7 @@ def metadata_aggregate(
             rows = st.get("rows", 0)
             if rows == 0:
                 continue  # empty file: no stats, nothing to prove
-            rec = st.get("cols", {}).get(c)
+            rec = st.get("cols", {}).get(c_phys)
             if rec is None:
                 # column missing from this file's stats: could be a
                 # pre-evolution file (all-NULL — safe) or unusable
@@ -2677,6 +2886,7 @@ def metadata_count_where(
         raise FileNotFoundError(f"no versioned table at {path}")
     man = _read_manifest(path, v)
     files = list(man["files"])
+    where = _phys_where(_col_mapping(man), where)
     kept = set(filestats.prune_files(path, files, where))
     dv_per_file: dict[str, int] = {}
     if man.get("dv_files"):
@@ -2761,9 +2971,19 @@ def appended_since(
     if not new_files:
         schema = T.StructType.fromJson(json.loads(cur["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.schema(_committed_schema(cur)).parquet(
+    schema = _committed_schema(cur)
+    mapping = _col_mapping(cur)
+    df = spark.read.schema(_phys_schema(schema, mapping)).parquet(
         *[os.path.join(path, rel) for rel in new_files]
     )
+    if mapping:
+        # a rename in the (additive) chain: increments present the
+        # LATEST logical names, exactly like a snapshot read at `v`
+        df = df.select(*[
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ])
+    return df
 
 
 def _relay_state(path: str, stream_id: str) -> int | None:

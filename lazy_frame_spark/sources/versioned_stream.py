@@ -101,6 +101,7 @@ def _spark_type_to_arrow(t):
 class _FilePartition(InputPartition):
     abs_path: str
     schema_json: str
+    mapping_json: str = "{}"
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -155,7 +156,17 @@ class VersionedStreamReader(DataSourceStreamReader):
         if v is None:
             raise FileNotFoundError(
                 f"no versioned table at {self.path}")
-        self.schema_json = V._read_manifest(self.path, v)["schema"]
+        man0 = V._read_manifest(self.path, v)
+        self.schema_json = man0["schema"]
+        # the version whose schema this query fixed: rename commits AT
+        # OR BEFORE it are history already folded into the fixed
+        # schema and replay safely; one AFTER it breaks the run
+        self.schema_version = v
+        # logical→physical column mapping, fixed at stream start like
+        # the schema: files always store PHYSICAL names, so a table
+        # renamed BEFORE the stream started reads seamlessly (a rename
+        # DURING the run fails the chain in partitions())
+        self.mapping_json = json.dumps(V._col_mapping(man0))
 
     # ---- offsets (driver) ------------------------------------------
     def initialOffset(self) -> dict:
@@ -248,6 +259,19 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"starting_version={hi}"
                 ) from None
             action = man.get("action")
+            if man.get("renamed") and v > self.schema_version:
+                # a RENAME COLUMN landed mid-stream: this query's
+                # schema was fixed at start (Delta's rule) and would
+                # keep emitting the retired spelling — fail loudly
+                # instead of silently presenting stale names
+                r = man["renamed"]
+                raise ValueError(
+                    f"versioned stream source: version {v} renamed "
+                    f"column {r['from']!r} to {r['to']!r} — the "
+                    "stream's schema is fixed at query start; restart "
+                    "the stream (new checkpoint) to pick up the new "
+                    "schema"
+                )
             cur = set(man["files"])
             cur_dvs = set(man.get("dv_files") or [])
             if cur_dvs != prev_dvs:
@@ -287,7 +311,8 @@ class VersionedStreamReader(DataSourceStreamReader):
         self._hwm = max(self._hwm, hi)
         self._hwm_known = True
         return [
-            _FilePartition(os.path.join(self.path, rel), schema_json)
+            _FilePartition(os.path.join(self.path, rel), schema_json,
+                           self.mapping_json)
             for rel in new_files
         ]
 
@@ -299,14 +324,16 @@ class VersionedStreamReader(DataSourceStreamReader):
         from pyspark.sql import types as T
 
         sch = T.StructType.fromJson(json.loads(partition.schema_json))
+        mapping = json.loads(partition.mapping_json or "{}")
         target = pa.schema(
             [(f.name, _spark_type_to_arrow(f.dataType)) for f in sch]
         )
         tbl = pq.read_table(partition.abs_path)
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl[field.name].cast(field.type))
+            phys = mapping.get(field.name, field.name)
+            if phys in tbl.column_names:
+                cols.append(tbl[phys].cast(field.type))
             else:
                 # pre-evolution file: the committed-schema read pads
                 # the missing column as typed NULL, same as batch

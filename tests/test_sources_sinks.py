@@ -2842,3 +2842,170 @@ def test_stream_vacuumed_manifest_gives_reseed_error(spark, tmp_path):
     r2 = VersionedStreamReader({"path": t})
     with pytest.raises(ValueError, match="starting_version"):
         r2.partitions({"version": 1}, {"version": 3})
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """RENAME COLUMN commits no data: same file list, new logical
+    name; every read surface presents the right spelling per version
+    (time travel is exact), values identical throughout; ingest and
+    maintenance after the rename keep working against physical names
+    under the hood."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "ren")
+    V.write_versioned(_vt_rows(spark, 0, 10), t)                  # v1
+    V.append_versioned(_vt_rows(spark, 10, 15), t)                # v2
+    files_v2 = sorted(V._read_manifest(t, 2)["files"])
+    v3 = V.rename_column(spark, t, "k", "key")
+    assert v3 == 3
+    man3 = V._read_manifest(t, 3)
+    assert man3["action"] == "alter"
+    assert sorted(man3["files"]) == files_v2          # zero data moved
+    assert man3["column_mapping"] == {"key": "k"}
+    # latest read: new spelling, same values
+    got = V.read_versioned(spark, t)
+    assert set(got.columns) == {"key", "v", "flag"}
+    assert sorted(r["key"] for r in got.collect()) == list(range(15))
+    # time travel: the old spelling, same values
+    old = V.read_versioned(spark, t, version=2)
+    assert set(old.columns) == {"k", "v", "flag"}
+    assert old.count() == 15
+    # pruned read by the NEW name goes through the physical sidecars
+    sub = V.read_versioned(spark, t, where=[("key", "between", (3, 7))])
+    assert sorted(r["key"] for r in sub.collect()) == [3, 4, 5, 6, 7]
+    # ingest AFTER the rename writes physical names: an appended batch
+    # (logical schema) and all 15+5 rows read back as one table
+    batch = _vt_rows(spark, 20, 25).withColumnRenamed("k", "key")
+    V.append_versioned(batch, t)                                  # v4
+    assert V.read_versioned(spark, t).count() == 20
+    # maintenance across the rename: delete + compact + cluster
+    V.delete_versioned(spark, t, "key >= 23")                     # v5
+    assert V.read_versioned(spark, t).count() == 18
+    V.cluster_versioned(spark, t, ["key"], num_partitions=2)      # v6
+    got = V.read_versioned(spark, t, where=[("key", "<", 3)])
+    assert sorted(r["key"] for r in got.collect()) == [0, 1, 2]
+    # restore to the PRE-rename state: old spelling again
+    V.restore_versioned(t, 2)                                     # v7
+    back = V.read_versioned(spark, t)
+    assert set(back.columns) == {"k", "v", "flag"} and back.count() == 15
+    # rename forward again, then BACK to the physical name: the
+    # identity mapping entry is dropped, reads still exact
+    V.rename_column(spark, t, "k", "key2")                        # v8
+    V.rename_column(spark, t, "key2", "k")                        # v9
+    man9 = V._read_manifest_meta(t, 9)
+    assert "column_mapping" not in man9
+    assert V.read_versioned(spark, t).count() == 15
+
+
+def test_rename_column_refusals_and_guards(spark, tmp_path):
+    """The non-additive edges fail loudly: unknown/duplicate names, a
+    CHECK constraint referencing the renamed column, and a post-rename
+    merge_schema column that collides with the retired physical
+    slot."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "ren_g")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    with pytest.raises(ValueError, match="no column"):
+        V.rename_column(spark, t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        V.rename_column(spark, t, "k", "v")
+    with pytest.raises(ValueError, match="equal"):
+        V.rename_column(spark, t, "k", "k")
+    V.add_constraint(spark, t, "k_pos", "k >= 0")
+    with pytest.raises(ValueError, match="drop_constraint"):
+        V.rename_column(spark, t, "k", "key")
+    # a constraint on ANOTHER column doesn't block the rename
+    V.rename_column(spark, t, "flag", "tag")
+    assert set(V.read_versioned(spark, t).columns) == {"k", "v", "tag"}
+    # adding a column named like the retired spelling is refused —
+    # the physical slot 'flag' is still occupied by logical 'tag'
+    import pyspark.sql.functions as _F
+
+    batch = (_vt_rows(spark, 5, 8).withColumnRenamed("k", "k")
+             .withColumnRenamed("flag", "tag")
+             .withColumn("flag", _F.lit("fresh")))
+    with pytest.raises(ValueError, match="PHYSICAL slot"):
+        V.append_versioned(batch, t, merge_schema=True)
+    # a differently-named new column evolves fine across the rename
+    batch2 = (_vt_rows(spark, 5, 8).withColumnRenamed("flag", "tag")
+              .withColumn("quality", _F.lit(1.0)))
+    V.append_versioned(batch2, t, merge_schema=True)
+    got = V.read_versioned(spark, t)
+    assert "quality" in got.columns and got.count() == 8
+    # pre-evolution rows read the new column as NULL, renamed column intact
+    assert got.filter("quality IS NULL").count() == 5
+    assert got.filter("tag IS NOT NULL").count() == 8
+
+
+def test_rename_column_stream_contract(spark, tmp_path):
+    """Streams: a rename BEFORE query start reads seamlessly (old
+    physical files under the new logical schema); a rename DURING the
+    run fails the chain loudly with restart guidance."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "ren_s")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)                   # v1
+    V.append_versioned(_vt_rows(spark, 5, 8), t)                  # v2
+    V.rename_column(spark, t, "k", "key")                         # v3
+    # started AFTER the rename: full history streams under new names
+    r = VersionedStreamReader({"path": t})
+    parts = r.partitions({"version": 0}, {"version": 3})
+    import pyarrow as pa
+
+    rows = []
+    for p in parts:
+        for b in r.read(p):
+            rows.extend(pa.Table.from_batches([b]).to_pylist())
+    assert sorted(x["key"] for x in rows) == list(range(8))
+    # rename DURING the run: the reader fixed its schema at v4, the
+    # rename lands at v5 — the chain fails with restart guidance
+    V.append_versioned(
+        _vt_rows(spark, 8, 10).withColumnRenamed("k", "key"), t)  # v4
+    r2 = VersionedStreamReader({"path": t})
+    V.rename_column(spark, t, "key", "kk")                        # v5
+    with pytest.raises(ValueError, match="restart the stream"):
+        r2.partitions({"version": 3}, {"version": 5})
+    # a FRESH reader (restarted query, new checkpoint) replays the
+    # whole chain under the newest spelling without complaint
+    r3 = VersionedStreamReader({"path": t})
+    parts3 = r3.partitions({"version": 0}, {"version": 5})
+    rows3 = []
+    for p in parts3:
+        for b in r3.read(p):
+            rows3.extend(pa.Table.from_batches([b]).to_pylist())
+    assert sorted(x["kk"] for x in rows3) == list(range(10))
+
+
+def test_rename_column_metadata_surfaces(spark, tmp_path):
+    """Zero-scan metadata answers by the CURRENT logical name after a
+    rename: metadata_aggregate, metadata_ndv, metadata_count_where,
+    skipping_summary, and bloom/ndv builds all translate through the
+    mapping to the physically-keyed sidecars."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "ren_m")
+    V.write_versioned(_vt_rows(spark, 0, 20), t)
+    V.build_ndv(spark, t, ["k"])
+    V.rename_column(spark, t, "k", "key")
+    m = V.metadata_aggregate(t, ["key"])
+    assert m["count"] == 20
+    assert m["cols"]["key"]["min"] == 0 and m["cols"]["key"]["max"] == 19
+    nd = V.metadata_ndv(t, ["key"])
+    assert nd["key"] is not None and abs(nd["key"] - 20) < 2
+    # building by the NEW name after the rename is idempotent with the
+    # pre-rename build (physical sidecars already cover the column)
+    st = V.build_ndv(spark, t, ["key"])
+    assert st["dirs_built"] == 0
+    V.build_blooms(spark, t, ["key"])
+    ss = V.skipping_summary(t, [("key", "between", (0, 5))])
+    assert ss["total_files"] >= 1
+    n = V.metadata_count_where(t, [("key", "<", 10)])
+    assert n["exact"] and n["count_min"] == 10
+    # constraints still enforce and revalidate across the rename
+    V.add_constraint(spark, t, "key_pos", "key >= 0")
+    rep = V.revalidate_constraints(spark, t)
+    assert rep["constraints"]["key_pos"]["total_files"] >= 1
