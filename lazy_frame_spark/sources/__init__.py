@@ -7,6 +7,7 @@ from lazy_frame_spark.sources.versioned import (
     cluster_versioned,
     compact_versioned,
     delete_versioned,
+    drop_column,
     history,
     read_versioned,
     rename_column,
@@ -20,6 +21,7 @@ __all__ = [
     "open_csv", "ingest_gzip", "load_tables", "register_views",
     "TABLE_NAMES",
     "write_versioned", "append_versioned", "delete_versioned",
+    "drop_column",
     "restore_versioned", "read_versioned", "rename_column",
     "history", "vacuum_versioned",
     "compact_versioned", "cluster_versioned", "versioned_stream_writer", "appended_since",

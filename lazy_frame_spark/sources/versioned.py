@@ -519,6 +519,8 @@ def _commit(
     # passes the TARGET's mapping explicitly via extra
     col_mapping = (parent_man.get("column_mapping")
                    if action != "overwrite" else None)
+    retired = (parent_man.get("retired_columns")
+               if action != "overwrite" else None)
     doc = {
         "version": version,
         "action": action,
@@ -541,10 +543,14 @@ def _commit(
         doc["constraints"] = constraints
     if col_mapping:
         doc["column_mapping"] = col_mapping
+    if retired:
+        doc["retired_columns"] = retired
     if extra:
         doc.update(extra)
     if not doc.get("column_mapping"):
         doc.pop("column_mapping", None)  # identity: keep manifests lean
+    if not doc.get("retired_columns"):
+        doc.pop("retired_columns", None)
     if len(doc["files"]) > _MANIFEST_PARQUET_THRESHOLD:
         # offload the file list to a columnar manifest-list sidecar
         # BEFORE the manifest publish (the publish is the commit point
@@ -981,28 +987,46 @@ def _check_append_schema(df: DataFrame, schema_json: str) -> None:
         )
 
 
-def _guard_added_columns(prev: dict, schema_json: str) -> None:
-    """Additive evolution composing with column mapping: a NEW logical
-    column gets its own physical slot (its own name — batches write it
-    directly), which is only sound if that name isn't the PHYSICAL
-    slot of an already-renamed column. rename a→b then add a new 'a'
-    would make two physical 'a' columns in new files; refuse loudly."""
+def _occupied_slots(prev: dict) -> set[str]:
+    """Every physical column name this table has EVER used under the
+    current chain: live columns' slots plus retired (dropped/renamed-
+    away) slots recorded in the manifest. A new logical column may not
+    write into any of them — old files still hold that storage, and a
+    scan would resurrect stale values as the new column's data."""
     mapping = _col_mapping(prev)
-    if not mapping:
-        return
+    live = {f["name"] for f in json.loads(prev["schema"])["fields"]}
+    return ({mapping.get(n, n) for n in live}
+            | set(prev.get("retired_columns") or []))
+
+
+def _assign_physical_slots(prev: dict, schema_json: str) -> dict:
+    """Physical slots for columns NEW in ``schema_json`` vs the
+    committed schema (additive evolution composing with column
+    mapping): a fresh column normally writes under its own name, but
+    when that name is an occupied slot — a renamed column's storage,
+    or a DROPPED column's old data — it gets a fresh unique physical
+    slot instead (Delta's field-id move, spelled with a name suffix).
+    Old files lack the fresh slot and read the column as NULL, which
+    is exactly the re-add-after-drop semantics: the recycled NAME is a
+    new column, never a window onto the dropped one's stale values.
+    Returns only the {logical: physical} ADDITIONS (empty when every
+    new name is free)."""
+    occupied = _occupied_slots(prev)
     old_names = {f["name"] for f in json.loads(prev["schema"])["fields"]}
-    added = [f["name"] for f in json.loads(schema_json)["fields"]
-             if f["name"] not in old_names]
-    bad = sorted(set(added) & set(mapping.values()))
-    if bad:
-        owners = {p: l for l, p in mapping.items()}
-        raise ValueError(
-            "append_versioned(merge_schema): new column(s) "
-            f"{bad} collide with the PHYSICAL slot of renamed "
-            f"column(s) {[owners[b] for b in bad]} — a retired "
-            "spelling still names the storage; pick a different "
-            "column name"
-        )
+    assigned: dict = {}
+    for f in json.loads(schema_json)["fields"]:
+        name = f["name"]
+        if name in old_names:
+            continue
+        if name in occupied:
+            slot = f"{name}__s{uuid.uuid4().hex[:6]}"
+            while slot in occupied:
+                slot = f"{name}__s{uuid.uuid4().hex[:6]}"
+            assigned[name] = slot
+            occupied.add(slot)
+        else:
+            occupied.add(name)
+    return assigned
 
 
 def append_versioned(df: DataFrame, path: str,
@@ -1072,12 +1096,25 @@ def append_versioned(df: DataFrame, path: str,
             if _applied(parent):
                 return parent
     prev = _read_manifest(path, parent)
+    if new_files is not None and _col_mapping(prev):
+        # creation-race fallback: the batch's data dir was written
+        # under its own (logical) names before we knew the winner's
+        # state — a mapped winner table would misread those files
+        raise VersionConflict(
+            f"append to {path}: lost the table-creation race to a "
+            "winner with a column mapping — re-run on the new state"
+        )
+    assigned: dict = {}
     if merge_schema:
         schema_json = _merge_schemas(prev["schema"], df.schema.json())
-        _guard_added_columns(prev, schema_json)
+        # new columns get physical slots (fresh ones when the name is
+        # occupied by a renamed/dropped column's storage) — fixed HERE,
+        # before the write, and carried unchanged through any rebase
+        assigned = _assign_physical_slots(prev, schema_json)
     else:
         _check_append_schema(df, prev["schema"])
         schema_json = prev["schema"]
+    mapping_now = {**_col_mapping(prev), **assigned}
     # validate against the batch AS IT WILL BE READ: a merge_schema
     # batch may legitimately omit a committed column (it reads as NULL,
     # which passes SQL CHECK) — pad it with typed NULLs so F.expr
@@ -1088,12 +1125,14 @@ def append_versioned(df: DataFrame, path: str,
     version = parent + 1
     if new_files is None:
         new_files = _write_data_dir(df, path, version,
-                                    mapping=_col_mapping(prev))
+                                    mapping=mapping_now)
+    commit_extra = ({**(extra or {}), "column_mapping": mapping_now}
+                    if assigned else extra)
     for _ in range(_MAX_COMMIT_RETRIES):
         try:
             return _commit(
                 path, "append", list(prev["files"]) + new_files,
-                schema_json, parent, extra,
+                schema_json, parent, commit_extra,
             )
         except VersionConflict:
             # optimistic rebase: a blind append commutes with ANY
@@ -1113,10 +1152,22 @@ def append_versioned(df: DataFrame, path: str,
             if merge_schema:
                 schema_json = _merge_schemas(prev["schema"],
                                              df.schema.json())
-                _guard_added_columns(prev, schema_json)
+                if assigned and (set(assigned.values())
+                                 & _occupied_slots(prev)):
+                    # the winner occupied a slot these already-written
+                    # files use — vanishingly rare (uuid slots); the
+                    # orphan dir is vacuumable
+                    raise VersionConflict(
+                        f"append to {path}: a concurrent commit took "
+                        "a physical slot this batch wrote — re-run"
+                    ) from None
             else:
                 _check_append_schema(df, prev["schema"])
                 schema_json = prev["schema"]
+            mapping_now = {**_col_mapping(prev), **assigned}
+            commit_extra = (
+                {**(extra or {}), "column_mapping": mapping_now}
+                if assigned else extra)
             _validate_constraints(_pad_to_schema(df, schema_json),
                                   prev.get("constraints") or {},
                                   "append_versioned(rebase)")
@@ -1799,7 +1850,8 @@ def restore_versioned(path: str, version: int) -> int:
         # when empty — the restored schema's spellings must resolve
         # against the restored files, not the parent's later renames)
         {"restored_from": version,
-         "column_mapping": _col_mapping(target)},
+         "column_mapping": _col_mapping(target),
+         "retired_columns": target.get("retired_columns") or []},
         dvs=list(target.get("dv_files", [])),  # the state being restored
     )
 
@@ -2104,6 +2156,63 @@ def rename_column(spark: SparkSession | None, path: str,
         path, "alter", list(prev["files"]), new_schema, parent,
         {"column_mapping": mapping,
          "renamed": {"from": existing, "to": new}})
+
+
+def drop_column(spark: SparkSession | None, path: str,
+                name: str) -> int:
+    """DROP COLUMN as a METADATA-ONLY ``alter`` commit — the column
+    mapping's second verb: the logical schema loses the field, zero
+    bytes move, and the column's PHYSICAL slot is recorded in the
+    manifest's ``retired_columns`` so no later column can ever write
+    into (or read out of) its stale storage. Time travel still
+    presents the column at versions before the drop. Re-ADDING the
+    same name later (``append_versioned(merge_schema=True)``) is safe
+    by construction: ``_assign_physical_slots`` gives the recycled
+    name a FRESH physical slot, so old files read the new column as
+    NULL instead of resurrecting the dropped one's values — Delta's
+    field-id semantics. Running streams fail loudly at the drop
+    commit (schema fixed at start), same contract as
+    ``rename_column``. A CHECK constraint referencing the column
+    refuses the drop (drop_constraint first)."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    prev = _read_manifest(path, parent)
+    sch = json.loads(prev["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if name not in names:
+        raise ValueError(f"drop_column: no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError(
+            "drop_column: cannot drop the table's only column")
+    new_fields = [f for f in sch["fields"] if f["name"] != name]
+    new_schema = json.dumps({**sch, "fields": new_fields})
+    cons = prev.get("constraints") or {}
+    if cons:
+        sess = spark or SparkSession.getActiveSession()
+        if sess is None:
+            raise ValueError(
+                "drop_column: table has CHECK constraints "
+                f"({sorted(cons)}) — a session is required to prove "
+                "none references the dropped column"
+            )
+        try:
+            _check_constraints_resolve(
+                sess, cons,
+                T.StructType.fromJson(json.loads(new_schema)),
+                "drop_column")
+        except ValueError:
+            raise ValueError(
+                f"drop_column: a CHECK constraint references {name!r} "
+                "— drop_constraint first"
+            ) from None
+    mapping = dict(_col_mapping(prev))
+    phys = mapping.pop(name, name)
+    retired = sorted(set(prev.get("retired_columns") or []) | {phys})
+    return _commit(
+        path, "alter", list(prev["files"]), new_schema, parent,
+        {"column_mapping": mapping, "retired_columns": retired,
+         "dropped": {"name": name, "physical": phys}})
 
 
 def drop_constraint(path: str, name: str) -> int:

@@ -272,6 +272,14 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "the stream (new checkpoint) to pick up the new "
                     "schema"
                 )
+            if man.get("dropped") and v > self.schema_version:
+                d = man["dropped"]
+                raise ValueError(
+                    f"versioned stream source: version {v} dropped "
+                    f"column {d['name']!r} — the stream's schema is "
+                    "fixed at query start; restart the stream (new "
+                    "checkpoint) to pick up the new schema"
+                )
             cur = set(man["files"])
             cur_dvs = set(man.get("dv_files") or [])
             if cur_dvs != prev_dvs:

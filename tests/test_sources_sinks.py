@@ -2918,24 +2918,33 @@ def test_rename_column_refusals_and_guards(spark, tmp_path):
     # a constraint on ANOTHER column doesn't block the rename
     V.rename_column(spark, t, "flag", "tag")
     assert set(V.read_versioned(spark, t).columns) == {"k", "v", "tag"}
-    # adding a column named like the retired spelling is refused —
-    # the physical slot 'flag' is still occupied by logical 'tag'
+    # adding a column named like the retired spelling gets a FRESH
+    # physical slot: the physical 'flag' storage (now logical 'tag')
+    # is never written into or read out of — old rows see NULL, and
+    # 'tag' keeps its own values
     import pyspark.sql.functions as _F
 
-    batch = (_vt_rows(spark, 5, 8).withColumnRenamed("k", "k")
+    batch = (_vt_rows(spark, 5, 8)
              .withColumnRenamed("flag", "tag")
              .withColumn("flag", _F.lit("fresh")))
-    with pytest.raises(ValueError, match="PHYSICAL slot"):
-        V.append_versioned(batch, t, merge_schema=True)
+    V.append_versioned(batch, t, merge_schema=True)
+    man = V._read_manifest_meta(t, V.latest_version(t))
+    slot = man["column_mapping"]["flag"]
+    assert slot != "flag" and slot.startswith("flag__s")
+    got = V.read_versioned(spark, t)
+    assert got.filter("flag = 'fresh'").count() == 3
+    assert got.filter("flag IS NULL").count() == 5   # old rows: NULL
+    assert got.filter("tag IS NOT NULL").count() == 8  # never clobbered
     # a differently-named new column evolves fine across the rename
-    batch2 = (_vt_rows(spark, 5, 8).withColumnRenamed("flag", "tag")
+    batch2 = (_vt_rows(spark, 8, 10).withColumnRenamed("flag", "tag")
+              .withColumn("flag", _F.lit("fresh"))
               .withColumn("quality", _F.lit(1.0)))
     V.append_versioned(batch2, t, merge_schema=True)
     got = V.read_versioned(spark, t)
-    assert "quality" in got.columns and got.count() == 8
+    assert "quality" in got.columns and got.count() == 10
     # pre-evolution rows read the new column as NULL, renamed column intact
-    assert got.filter("quality IS NULL").count() == 5
-    assert got.filter("tag IS NOT NULL").count() == 8
+    assert got.filter("quality IS NULL").count() == 8
+    assert got.filter("tag IS NOT NULL").count() == 10
 
 
 def test_rename_column_stream_contract(spark, tmp_path):
@@ -3009,3 +3018,87 @@ def test_rename_column_metadata_surfaces(spark, tmp_path):
     V.add_constraint(spark, t, "key_pos", "key >= 0")
     rep = V.revalidate_constraints(spark, t)
     assert rep["constraints"]["key_pos"]["total_files"] >= 1
+
+
+def test_drop_column_metadata_only_and_safe_readd(spark, tmp_path):
+    """DROP COLUMN commits no data, retires the physical slot, time
+    travel still shows the column, and RE-ADDING the same name later
+    is a NEW column (fresh physical slot): old rows read NULL, the
+    dropped column's stale storage is never resurrected."""
+    import pyspark.sql.functions as _F
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "dropc")
+    V.write_versioned(_vt_rows(spark, 0, 6), t)                   # v1
+    files_v1 = sorted(V._read_manifest(t, 1)["files"])
+    v2 = V.drop_column(spark, t, "flag")
+    man2 = V._read_manifest(t, 2)
+    assert v2 == 2 and man2["action"] == "alter"
+    assert sorted(man2["files"]) == files_v1          # zero data moved
+    assert man2["retired_columns"] == ["flag"]
+    got = V.read_versioned(spark, t)
+    assert set(got.columns) == {"k", "v"} and got.count() == 6
+    # time travel: the column is still there at v1
+    assert set(V.read_versioned(spark, t, version=1).columns) == \
+        {"k", "v", "flag"}
+    # re-add the same NAME: fresh slot, old rows NULL — never the
+    # dropped column's 'a' values
+    batch = _vt_rows(spark, 6, 9).withColumn("flag", _F.lit("NEW"))
+    V.append_versioned(batch, t, merge_schema=True)               # v3
+    man3 = V._read_manifest_meta(t, 3)
+    assert man3["column_mapping"]["flag"].startswith("flag__s")
+    assert man3["retired_columns"] == ["flag"]        # still guarded
+    cur = V.read_versioned(spark, t)
+    vals = {r["k"]: r["flag"] for r in cur.collect()}
+    assert all(vals[k] is None for k in range(6))     # NOT 'a'
+    assert all(vals[k] == "NEW" for k in (6, 7, 8))
+    # rewrites (delete) keep the retired guard and the fresh slot
+    V.delete_versioned(spark, t, "k = 0")                         # v4
+    man4 = V._read_manifest_meta(t, 4)
+    assert man4["retired_columns"] == ["flag"]
+    cur = V.read_versioned(spark, t)
+    assert cur.count() == 8 and cur.filter("flag = 'NEW'").count() == 3
+    # restore to v1 revives the ORIGINAL column and clears the retire
+    V.restore_versioned(t, 1)                                     # v5
+    back = V.read_versioned(spark, t)
+    assert set(back.columns) == {"k", "v", "flag"}
+    assert back.filter("flag = 'a'").count() == 6
+    assert "retired_columns" not in V._read_manifest_meta(t, 5)
+    # refusals: unknown, last-column, constraint-referenced
+    with pytest.raises(ValueError, match="no column"):
+        V.drop_column(spark, t, "nope")
+    V.add_constraint(spark, t, "fl", "flag IS NOT NULL",
+                     validate=False)
+    with pytest.raises(ValueError, match="drop_constraint first"):
+        V.drop_column(spark, t, "flag")
+    one = str(tmp_path / "one")
+    V.write_versioned(_vt_rows(spark, 0, 3).select("k"), one)
+    with pytest.raises(ValueError, match="only column"):
+        V.drop_column(spark, one, "k")
+
+
+def test_drop_column_stream_contract(spark, tmp_path):
+    """A drop DURING the run fails the chain with restart guidance; a
+    restarted query streams the reduced schema."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    t = str(tmp_path / "drop_s")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)                   # v1
+    r = VersionedStreamReader({"path": t})
+    V.drop_column(spark, t, "flag")                               # v2
+    with pytest.raises(ValueError, match="restart the stream"):
+        r.partitions({"version": 0}, {"version": 2})
+    r2 = VersionedStreamReader({"path": t})
+    parts = r2.partitions({"version": 0}, {"version": 2})
+    import pyarrow as pa
+
+    rows = []
+    for p in parts:
+        for b in r2.read(p):
+            rows.extend(pa.Table.from_batches([b]).to_pylist())
+    assert sorted(x["k"] for x in rows) == list(range(5))
+    assert all(set(x) == {"k", "v"} for x in rows)
