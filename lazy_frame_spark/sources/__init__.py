@@ -12,6 +12,7 @@ from lazy_frame_spark.sources.versioned import (
     read_versioned,
     rename_column,
     restore_versioned,
+    upgrade_manifest_lists,
     vacuum_versioned,
     versioned_stream_writer,
     write_versioned,
@@ -23,6 +24,6 @@ __all__ = [
     "write_versioned", "append_versioned", "delete_versioned",
     "drop_column",
     "restore_versioned", "read_versioned", "rename_column",
-    "history", "vacuum_versioned",
+    "history", "vacuum_versioned", "upgrade_manifest_lists",
     "compact_versioned", "cluster_versioned", "versioned_stream_writer", "appended_since",
 ]

@@ -3592,6 +3592,40 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def upgrade_manifest_lists(path: str) -> dict:
+    """One-shot maintenance: self-heal EVERY retained version's
+    names-only (pre-stats) offloaded manifest list in place
+    (``filestats.upgrade_manifest_list``), so no future pruned read —
+    of any version, time travel included — ever pays the legacy
+    driver-materialize fallback. Idempotent; per-list cost is O(dirs)
+    sidecar loads, exactly once. The lazy path heals the list a read
+    actually touches; this verb front-loads the whole table during a
+    maintenance window. Returns ``{"upgraded", "already_ok",
+    "failed"}``."""
+    upgraded = ok = failed = 0
+    for v in _versions(path):
+        meta = _read_manifest_meta(path, v)
+        rel = meta.get("files_parquet")
+        if not rel:
+            continue
+        abs_list = os.path.join(_manifest_dir(path), rel)
+        try:
+            import pyarrow.parquet as pq
+
+            has = "stats" in pq.read_schema(abs_list).names
+        except Exception:
+            failed += 1
+            continue
+        if has:
+            ok += 1
+        elif filestats.upgrade_manifest_list(path, abs_list):
+            upgraded += 1
+            _MANIFEST_LIST_CACHE.pop((path, v), None)
+        else:
+            failed += 1
+    return {"upgraded": upgraded, "already_ok": ok, "failed": failed}
+
+
 def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
     """Reclaim storage. Always removes commit debris no manifest
     references: dot-temp write dirs AND orphan attempt dirs (a crashed

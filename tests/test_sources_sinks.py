@@ -3102,3 +3102,143 @@ def test_drop_column_stream_contract(spark, tmp_path):
             rows.extend(pa.Table.from_batches([b]).to_pylist())
     assert sorted(x["k"] for x in rows) == list(range(5))
     assert all(set(x) == {"k", "v"} for x in rows)
+
+
+def test_evolution_chain_matches_model(spark, tmp_path):
+    """Model-based chain test for the column-mapping verbs: a seeded
+    random interleaving of append / rename / drop / re-add
+    (merge_schema) / delete, checked after EVERY step against a plain
+    Python model, plus time travel against recorded snapshots — the
+    mapping machinery can never drift from rename-is-just-a-label
+    semantics."""
+    import random
+
+    import pyspark.sql.functions as _F
+    from pyspark.sql import types as _T
+
+    from lazy_frame_spark.sources import versioned as V
+
+    rng = random.Random(2024)
+    t = str(tmp_path / "chain")
+    cols = ["k", "a"]          # logical names, k is the key
+    rows = {k: {"k": k, "a": k * 10} for k in range(8)}
+    schema = _T.StructType([
+        _T.StructField("k", _T.LongType()),
+        _T.StructField("a", _T.LongType()),
+    ])
+    V.write_versioned(
+        spark.createDataFrame(list(rows.values()), schema), t)
+    snapshots = {1: ({k: dict(r) for k, r in rows.items()}, list(cols))}
+    next_key = 8
+    dropped_gen = 0
+
+    def check():
+        got = {r["k"]: r.asDict() for r in
+               V.read_versioned(spark, t).collect()}
+        assert got == rows, f"divergence after v{V.latest_version(t)}"
+
+    for _step in range(14):
+        op = rng.choice(["append", "rename", "drop", "readd", "delete"])
+        non_key = [c for c in cols if c != "k"]
+        if op == "append":
+            batch = []
+            for _ in range(3):
+                r = {"k": next_key}
+                for c in non_key:
+                    r[c] = next_key * 10
+                rows[next_key] = dict(r)
+                batch.append(r)
+                next_key += 1
+            bdf = spark.createDataFrame(
+                [[r.get(c) for c in cols] for r in batch],
+                _T.StructType([_T.StructField(c, _T.LongType())
+                               for c in cols]))
+            V.append_versioned(bdf, t)
+        elif op == "rename" and non_key:
+            c = rng.choice(non_key)
+            new = f"{c.split('_r')[0]}_r{rng.randrange(100)}"
+            if new in cols:
+                continue
+            V.rename_column(spark, t, c, new)
+            cols[cols.index(c)] = new
+            for r in rows.values():
+                r[new] = r.pop(c)
+        elif op == "drop" and len(non_key) >= 2:
+            c = rng.choice(non_key)
+            V.drop_column(spark, t, c)
+            cols.remove(c)
+            for r in rows.values():
+                r.pop(c, None)
+        elif op == "readd":
+            dropped_gen += 1
+            c = f"g{dropped_gen}"
+            if c in cols:
+                continue
+            batch = []
+            for _ in range(2):
+                r = {"k": next_key}
+                for cc in non_key:
+                    r[cc] = next_key * 10
+                r[c] = next_key * 100
+                rows[next_key] = dict(r)
+                batch.append(r)
+                next_key += 1
+            for r in rows.values():
+                r.setdefault(c, None)
+            cols.append(c)
+            bdf = spark.createDataFrame(
+                [[r.get(cc) for cc in cols] for r in batch],
+                _T.StructType([_T.StructField(cc, _T.LongType())
+                               for cc in cols]))
+            V.append_versioned(bdf, t, merge_schema=True)
+        elif op == "delete" and len(rows) > 4:
+            cut = rng.choice(sorted(rows))
+            V.delete_versioned(spark, t, f"k = {cut}")
+            rows.pop(cut, None)
+        else:
+            continue
+        check()
+        snapshots[V.latest_version(t)] = (
+            {k: dict(r) for k, r in rows.items()}, list(cols))
+
+    # time travel: every recorded snapshot reads back exactly, under
+    # ITS OWN spelling of the columns
+    for v, (snap, vcols) in snapshots.items():
+        got = {r["k"]: r.asDict() for r in
+               V.read_versioned(spark, t, version=v).collect()}
+        assert got == snap, f"time travel diverged at v{v}"
+        assert set(next(iter(got.values())).keys()) == set(vcols) \
+            if got else True
+
+
+def test_upgrade_manifest_lists_table_verb(spark, tmp_path, monkeypatch):
+    """The one-shot table-wide upgrade heals every retained version's
+    names-only offloaded list; idempotent."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "upg")
+    monkeypatch.setattr(V, "_MANIFEST_PARQUET_THRESHOLD", 0)
+    V._MANIFEST_LIST_CACHE.clear()
+    V.write_versioned(_vt_rows(spark, 0, 10), t)
+    V.append_versioned(_vt_rows(spark, 10, 14), t)
+    # strip stats from BOTH versions' lists (simulate legacy)
+    for v in (1, 2):
+        rel = V._read_manifest_meta(t, v)["files_parquet"]
+        pabs = _os.path.join(V._manifest_dir(t), rel)
+        tbl = _pq.read_table(pabs)
+        _pq.write_table(_pa.table({"file": tbl["file"]}), pabs)
+    st = V.upgrade_manifest_lists(t)
+    assert st == {"upgraded": 2, "already_ok": 0, "failed": 0}
+    st2 = V.upgrade_manifest_lists(t)
+    assert st2 == {"upgraded": 0, "already_ok": 2, "failed": 0}
+    # both versions now prune distributed; values stay exact
+    got = V.read_versioned(spark, t, where=[("k", "<", 5)])
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]
+    got1 = V.read_versioned(spark, t, version=1,
+                            where=[("k", ">=", 8)])
+    assert sorted(r["k"] for r in got1.collect()) == [8, 9]
