@@ -1668,10 +1668,11 @@ def _relayout(
     """Shared Z-order re-layout core for ``cluster_versioned`` and
     ``cluster_increment``: build per-column surrogates, stage them as
     NAMED columns, interleave, range-exchange. The staging matters —
-    z_value references its input once per bit, so passing a wide
-    expression (the quantile path's flat comparison sum) inline
-    duplicates it bits× inside one tree and overflows the analyzer;
-    as attributes the tree stays flat and codegen shares the compute."""
+    z_value references its input several times (the O(log bits)
+    dilation stages), so passing a wide expression (the quantile
+    path's flat comparison sum) inline duplicates it inside one tree
+    and bloats the generated code; as attributes the tree stays flat
+    and codegen shares the compute."""
     from lazy_frame_spark.operators.layout import zorder_layout
 
     if scaling not in ("quantile", "minmax"):
@@ -3586,7 +3587,9 @@ def history(path: str) -> list[dict]:
                                    "cluster_cols", "cluster_scaling",
                                    "cluster_since", "stream_batch_id",
                                    "stream_id", "committed_at",
-                                   "merge_on", "strategy")
+                                   "merge_on", "strategy",
+                                   "renamed", "dropped",
+                                   "truncated_below")
                if k in man},
         })
     return out
