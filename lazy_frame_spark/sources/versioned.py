@@ -727,6 +727,20 @@ def _col_mapping(man: dict) -> dict:
     return man.get("column_mapping") or {}
 
 
+def _phys_fields(man: dict) -> list:
+    """The manifest's PHYSICAL field sequence ``[(slot, type), ...]``
+    — the storage identity a rename never changes. Two versions with
+    equal physical sequences differ at most by logical SPELLING, so
+    row-level diffs between them are exact after a positional
+    re-label; anything else (add/drop/widen) is real evolution."""
+    m = _col_mapping(man)
+    return [
+        (m.get(f["name"], f["name"]),
+         json.dumps(f["type"], sort_keys=True))
+        for f in json.loads(man["schema"])["fields"]
+    ]
+
+
 def _phys_name(mapping: dict, col: str) -> str:
     return mapping.get(col, col)
 
@@ -3163,6 +3177,40 @@ def _ops_from_diff(d: DataFrame, keys: list[str],
     return ops
 
 
+def _follow_renames(spark, path: str, want: list[str],
+                    reserved: tuple = ()) -> int:
+    """Rename ``path``'s data columns positionally to ``want`` — how a
+    relay feed / replica FOLLOWS an upstream rename_column so its
+    schema keeps matching the ops it ingests. Metadata-only (each step
+    is a rename_column alter commit); a two-phase pass through temp
+    names makes arbitrary permutations (a<->b swaps) safe. Tailing
+    streams over the feed fail loudly at these alters with the
+    standard restart guidance — the spelling they were emitting is
+    gone, exactly the rename contract. Returns the number of columns
+    renamed."""
+    v = latest_version(path)
+    man = _read_manifest_meta(path, v)
+    cur = [f["name"] for f in json.loads(man["schema"])["fields"]
+           if f["name"] not in reserved]
+    if cur == list(want):
+        return 0
+    if len(cur) != len(want):
+        raise ValueError(
+            f"relay: upstream schema changed shape ({len(cur)} vs "
+            f"{len(want)} data columns) — not just renames; "
+            "re-bootstrap to a fresh path"
+        )
+    pairs = [(a, b) for a, b in zip(cur, want) if a != b]
+    tmps = []
+    for i, (a, b) in enumerate(pairs):
+        tmp = f"__relay_tmp_{i}__"
+        rename_column(spark, path, a, tmp)
+        tmps.append((tmp, b))
+    for tmp, b in tmps:
+        rename_column(spark, path, tmp, b)
+    return len(pairs)
+
+
 def relay_changes(
     spark: SparkSession,
     src_path: str,
@@ -3193,7 +3241,13 @@ def relay_changes(
     (``relay_src_version``), so the loop is crash-consistent and
     exactly-once — a replayed relay sees recorded state == source
     head and no-ops. Requires ``on`` unique per source version (the
-    op compaction is keyed). ``include_preimages=True`` additionally
+    op compaction is keyed; pass the key's CURRENT spelling). The
+    relay survives source RENAMES: the diff re-labels across them and
+    the feed follows with its own metadata-only rename commits
+    (``_follow_renames``), so ops and feed schema stay aligned —
+    tailing feed streams fail at those alters with the standard
+    restart guidance, new consumers just see the new spelling.
+    ``include_preimages=True`` additionally
     appends each updated key's OLD row tagged ``U_pre`` (Delta CDF's
     update_preimage) for audit/diff consumers. Returns
     ``(feed_version, stats)``."""
@@ -3243,7 +3297,12 @@ def relay_changes(
     if state == src_v:
         return latest_version(feed_path), {
             "bootstrap": False, "src_version": src_v, "ops": 0}
+    # diff validates the chain is at most RENAMES away and presents
+    # src_v's spelling; the feed then FOLLOWS the renames (metadata-
+    # only alters) so its schema matches the ops it is about to ingest
     d = diff_versions(spark, src_path, state, src_v)
+    _follow_renames(spark, feed_path, src_cols,
+                    reserved=("op", "_src_version"))
     ops = (_ops_from_diff(d, keys, preimages=include_preimages)
            .withColumn("_src_version", F.lit(src_v))
            .select(*src_cols, "op", "_src_version"))
@@ -3322,6 +3381,10 @@ def replicate_versioned(
         return latest_version(dst_path), {
             "bootstrap": False, "src_version": src_v, "ops": 0}
     d = diff_versions(spark, src_path, state, src_v)
+    src_man = _read_manifest_meta(src_path, src_v)
+    _follow_renames(
+        spark, dst_path,
+        [f["name"] for f in json.loads(src_man["schema"])["fields"]])
     ops = _ops_from_diff(d, keys)
     n_ops = ops.count()
     if n_ops == 0:
@@ -3430,8 +3493,10 @@ def diff_versions(
     are scanned; after a compaction (logical no-op) the compacted
     files are read on both sides and the diff is empty. The
     subtraction itself is ``exceptAll`` — a hash aggregation on the
-    changed subset. Schema must match between the versions
-    (schema-evolution diffs raise — reconcile explicitly).
+    changed subset. Schemas must match between the versions UP TO
+    COLUMN RENAMES (equal physical sequences — the diff then presents
+    ``v_to``'s spelling); real evolution (add/drop/widen) raises —
+    reconcile explicitly.
 
     Deletion vectors (merge-on-read deletes) change what a shared file
     CONTRIBUTES without changing its identity, so blanket file
@@ -3444,13 +3509,26 @@ def diff_versions(
     tombstone-delta rows."""
     ma = _read_manifest(path, v_from)
     mb = _read_manifest(path, v_to)
+    relabel = False
     if json.loads(ma["schema"]) != json.loads(mb["schema"]):
-        raise ValueError(
-            f"versions {v_from} and {v_to} have different schemas — "
-            "diff_versions requires matching schemas"
-        )
-    schema = T.StructType.fromJson(json.loads(ma["schema"]))
-    if change_col in {f.name for f in schema.fields}:
+        if _phys_fields(ma) == _phys_fields(mb):
+            # the versions differ ONLY in logical spelling (renames —
+            # same physical slots, same types, same order): the diff
+            # is exact after re-labeling the old side positionally,
+            # and it PRESENTS v_to's spelling
+            relabel = True
+        else:
+            raise ValueError(
+                f"versions {v_from} and {v_to} have different schemas "
+                "(beyond column renames) — diff_versions requires "
+                "matching physical schemas; reconcile the evolution "
+                "explicitly"
+            )
+    schema_a = _committed_schema(ma)
+    schema = _committed_schema(mb)  # the diff presents v_to's names
+    clash = {f.name for f in schema.fields} \
+        | {f.name for f in schema_a.fields}
+    if change_col in clash:
         raise ValueError(
             f"change column {change_col!r} collides with a table column"
         )
@@ -3478,14 +3556,18 @@ def diff_versions(
     a_side = fa - shared_cancel
     b_side = fb - shared_cancel
 
-    def read_side(man, rels):
+    def read_side(man, rels, sch):
         rels = sorted(rels)
         if not rels:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], sch)
         return _read_snapshot(spark, path, man, files=rels)
 
-    old = read_side(ma, a_side)
-    new = read_side(mb, b_side)
+    old = read_side(ma, a_side, schema_a)
+    new = read_side(mb, b_side, schema)
+    if relabel:
+        # positional re-label is exact: both sides project the SAME
+        # physical slots in the same order (checked above)
+        old = old.toDF(*[f.name for f in schema.fields])
     inserted = new.exceptAll(old).withColumn(change_col, F.lit("insert"))
     deleted = old.exceptAll(new).withColumn(change_col, F.lit("delete"))
     return inserted.unionByName(deleted)
@@ -3520,6 +3602,8 @@ def table_changes(
         raise ValueError(f"v_from={v_from} is newer than {hi}")
     man_hi = _read_manifest_meta(path, hi)
     schema = _committed_schema(man_hi)
+    hi_names = [f.name for f in schema.fields]
+    f_hi = _phys_fields(man_hi)
     out_schema = (schema
                   .add(change_col, T.StringType())
                   .add(version_col, T.LongType()))
@@ -3531,19 +3615,27 @@ def table_changes(
         # (The generic loop below would try to diff against manifest
         # 00000000.json, which never exists.)
         man1 = _read_manifest(path, 1)
-        if json.loads(man1["schema"]) != json.loads(man_hi["schema"]):
+        if _phys_fields(man1) != f_hi:
             raise ValueError(
                 "table_changes: schema changed across the requested "
-                "range — evolution diffs must be reconciled explicitly "
-                "(same contract as diff_versions)"
+                "range (beyond column renames) — evolution diffs must "
+                "be reconciled explicitly (same contract as "
+                "diff_versions)"
             )
-        d1 = (_read_snapshot(spark, path, man1)
+        # renames in the range only re-spell; present hi's names
+        d1 = (_read_snapshot(spark, path, man1).toDF(*hi_names)
               .withColumn(change_col, F.lit("insert")))
         parts.append(d1.withColumn(version_col, F.lit(1)))
         v_from = 1
     for v in range(v_from + 1, hi + 1):
         man = _read_manifest_meta(path, v)
         prev = _read_manifest_meta(path, v - 1)
+        if _phys_fields(man) != f_hi:
+            raise ValueError(
+                f"table_changes: version {v} changes the physical "
+                "schema (beyond column renames) — evolution diffs "
+                "must be reconciled explicitly"
+            )
         # metadata-only commit (alter, empty append, no-op delete with
         # unchanged DVs): provably empty diff, skipped without a scan.
         # Offloaded manifests carry empty `files` in the meta doc, so
@@ -3558,7 +3650,11 @@ def table_changes(
                                                     or [])):
             continue
         d = diff_versions(spark, path, v - 1, v, change_col=change_col)
-        parts.append(d.withColumn(version_col, F.lit(v)))
+        # per-commit diffs present their own commit's spelling; the
+        # feed presents ONE spelling — the newest — via positional
+        # re-label (physical sequences proved equal above)
+        parts.append(d.toDF(*hi_names, change_col)
+                     .withColumn(version_col, F.lit(v)))
     if not parts:
         return spark.createDataFrame([], out_schema)
     out = parts[0]

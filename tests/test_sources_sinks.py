@@ -3242,3 +3242,118 @@ def test_upgrade_manifest_lists_table_verb(spark, tmp_path, monkeypatch):
     got1 = V.read_versioned(spark, t, version=1,
                             where=[("k", ">=", 8)])
     assert sorted(r["k"] for r in got1.collect()) == [8, 9]
+
+
+def test_diff_and_table_changes_across_renames(spark, tmp_path):
+    """diff_versions / table_changes survive column RENAMES in the
+    range (equal physical sequences): per-commit changes stay exact
+    and present the newest spelling; real evolution still raises."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "cdf_ren")
+    V.write_versioned(_vt_rows(spark, 0, 6), t)                   # v1
+    V.append_versioned(_vt_rows(spark, 6, 9), t)                  # v2
+    V.rename_column(spark, t, "v", "value")                       # v3
+    V.delete_versioned(spark, t, "k = 0")                         # v4
+    d = V.diff_versions(spark, t, 2, 4)
+    assert "value" in d.columns and "v" not in d.columns
+    rows = {(r["change_type"], r["k"]) for r in d.collect()}
+    assert rows == {("delete", 0)}
+    ch = V.table_changes(spark, t, 0)
+    assert "value" in ch.columns
+    got = {(r["_commit_version"], r["change_type"], r["k"])
+           for r in ch.collect()}
+    assert {(1, "insert", k) for k in range(6)} <= got
+    assert {(2, "insert", k) for k in (6, 7, 8)} <= got
+    assert (4, "delete", 0) in got and len(got) == 10  # v3 contributes 0
+    # real evolution still refuses
+    V.drop_column(spark, t, "flag")                               # v5
+    with pytest.raises(ValueError, match="beyond column renames"):
+        V.diff_versions(spark, t, 2, 5)
+    with pytest.raises(ValueError, match="beyond column renames"):
+        V.table_changes(spark, t, 0)
+
+
+def test_relay_survives_source_rename(spark, tmp_path):
+    """relay_changes across a source rename_column: the feed FOLLOWS
+    the rename (metadata-only alters), ops land under the new
+    spelling, state reconstruction stays exact, and a tailing feed
+    stream fails at the feed's rename with restart guidance."""
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        VersionedStreamReader,
+    )
+
+    src = str(tmp_path / "rr_src")
+    feed = str(tmp_path / "rr_feed")
+    V.write_versioned(_vt_rows(spark, 0, 8), src)                 # v1
+    V.relay_changes(spark, src, feed, "k")
+    r = VersionedStreamReader({"path": feed})  # tailing consumer
+    pre_head = r.latestOffset()["version"]
+    V.rename_column(spark, src, "v", "value")                     # v2
+    V.merge_versioned(
+        spark, src,
+        _vt_rows(spark, 2, 4, flag="new")
+        .withColumnRenamed("v", "value"), "k")                    # v3
+    V.append_versioned(
+        _vt_rows(spark, 8, 10).withColumnRenamed("v", "value"),
+        src)                                                      # v4
+    _, st = V.relay_changes(spark, src, feed, "k")
+    assert st["ops"] == 4  # 2 U + 2 I (U_pre off)
+    got = V.read_versioned(spark, feed)
+    assert "value" in got.columns and "v" not in got.columns
+    ops = {(r["op"], r["k"]) for r in
+           got.filter("_src_version = 4").collect()}
+    assert ops == {("U", 2), ("U", 3), ("I", 8), ("I", 9)}
+    # the tailing consumer hits the feed's rename alter and re-seeds
+    with pytest.raises(ValueError, match="restart the stream"):
+        r.partitions({"version": pre_head},
+                     {"version": V.latest_version(feed)})
+    # reconstruct source head from the feed (new spelling throughout)
+    state = {}
+    for r2 in sorted(V.read_versioned(spark, feed).collect(),
+                     key=lambda x: x["_src_version"]):
+        if r2["op"] in ("I", "U"):
+            state[r2["k"]] = (r2["value"], r2["flag"])
+        elif r2["op"] == "D":
+            state.pop(r2["k"], None)
+    truth = {r2["k"]: (r2["value"], r2["flag"]) for r2 in
+             V.read_versioned(spark, src).collect()}
+    assert state == truth
+    # a second relay with no source change is a clean no-op
+    _, st2 = V.relay_changes(spark, src, feed, "k")
+    assert st2["ops"] == 0
+
+
+def test_replicate_survives_key_rename_and_swap(spark, tmp_path):
+    """replicate_versioned across a KEY rename and an a<->b column
+    SWAP on the source: the replica follows via two-phase renames and
+    stays row-identical."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "sw_src")
+    dst = str(tmp_path / "sw_dst")
+    V.write_versioned(_vt_rows(spark, 0, 6), src)                 # v1
+    V.replicate_versioned(spark, src, dst, "k")
+    V.rename_column(spark, src, "k", "id")                        # v2
+    V.append_versioned(
+        _vt_rows(spark, 6, 8).withColumnRenamed("k", "id"), src)  # v3
+    _, st = V.replicate_versioned(spark, src, dst, "id")
+    assert st["ops"] == 2
+    got = V.read_versioned(spark, dst)
+    assert "id" in got.columns and got.count() == 8
+    # swap two columns' names on the source (v <-> flag, via temp)
+    V.rename_column(spark, src, "v", "__t__")
+    V.rename_column(spark, src, "flag", "v")
+    V.rename_column(spark, src, "__t__", "flag")
+    V.delete_versioned(spark, src, "id = 0")
+    _, st2 = V.replicate_versioned(spark, src, dst, "id")
+    assert st2["ops"] == 1
+    got = V.read_versioned(spark, dst)
+    # renames preserve POSITION: the source's field order is now
+    # [id, flag, v] (each slot kept its place) and the replica matches
+    src_now = V.read_versioned(spark, src)
+    assert list(got.columns) == list(src_now.columns) == \
+        ["id", "flag", "v"]
+    truth = {tuple(r) for r in src_now.collect()}
+    assert {tuple(r) for r in got.collect()} == truth
