@@ -3201,6 +3201,30 @@ def _follow_renames(spark, path: str, want: list[str],
             "re-bootstrap to a fresh path"
         )
     pairs = [(a, b) for a, b in zip(cur, want) if a != b]
+    cons = man.get("constraints") or {}
+    if pairs and cons:
+        # prove the WHOLE follow will succeed BEFORE the first commit:
+        # a constraint referencing a changed column would otherwise
+        # refuse mid-permutation and strand the feed under temp names
+        # (an interrupted follow self-heals on retry, but a constraint
+        # refusal would persist across every retry)
+        ren = dict(pairs)
+        sch = json.loads(man["schema"])
+        final = json.dumps({**sch, "fields": [
+            {**f, "name": ren.get(f["name"], f["name"])}
+            for f in sch["fields"]
+        ]})
+        try:
+            _check_constraints_resolve(
+                spark, cons, T.StructType.fromJson(json.loads(final)),
+                "relay rename follow")
+        except ValueError:
+            raise ValueError(
+                f"relay: a CHECK constraint on {path} references a "
+                f"column the upstream renamed ({sorted(cons)}) — "
+                "drop_constraint and re-add it against the new "
+                "spelling, then re-run the relay"
+            ) from None
     tmps = []
     for i, (a, b) in enumerate(pairs):
         tmp = f"__relay_tmp_{i}__"

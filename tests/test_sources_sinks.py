@@ -3357,3 +3357,33 @@ def test_replicate_survives_key_rename_and_swap(spark, tmp_path):
         ["id", "flag", "v"]
     truth = {tuple(r) for r in src_now.collect()}
     assert {tuple(r) for r in got.collect()} == truth
+
+
+def test_relay_follow_constraint_probe_is_atomic(spark, tmp_path):
+    """A feed CHECK constraint referencing a column the upstream
+    renamed refuses the follow BEFORE any commit (no temp-name
+    stranding); a constraint on an unchanged column rides through."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "cp_src")
+    feed = str(tmp_path / "cp_feed")
+    V.write_versioned(_vt_rows(spark, 0, 5), src)
+    V.relay_changes(spark, src, feed, "k")
+    V.add_constraint(spark, feed, "k_pos", "k >= 0")
+    V.add_constraint(spark, feed, "v_pos", "v >= 0")
+    pre_v = V.latest_version(feed)
+    V.rename_column(spark, src, "v", "value")
+    V.append_versioned(
+        _vt_rows(spark, 5, 7).withColumnRenamed("v", "value"), src)
+    with pytest.raises(ValueError, match="drop_constraint"):
+        V.relay_changes(spark, src, feed, "k")
+    # refused upfront: zero commits landed, no temp columns stranded
+    assert V.latest_version(feed) == pre_v
+    assert set(V.read_versioned(spark, feed).columns) == \
+        {"k", "v", "flag", "op", "_src_version"}
+    V.drop_constraint(feed, "v_pos")
+    _, st = V.relay_changes(spark, src, feed, "k")
+    assert st["ops"] == 2
+    assert "value" in V.read_versioned(spark, feed).columns
+    # the surviving constraint on the unchanged column still enforces
+    assert "k_pos" in V.table_constraints(feed)
