@@ -4,6 +4,7 @@ from lazy_frame_spark.sources.registry import TABLE_NAMES, load_tables, register
 from lazy_frame_spark.sources.versioned import (
     append_versioned,
     appended_since,
+    clone_versioned,
     cluster_versioned,
     compact_versioned,
     delete_versioned,
@@ -25,5 +26,5 @@ __all__ = [
     "drop_column",
     "restore_versioned", "read_versioned", "rename_column",
     "history", "vacuum_versioned", "upgrade_manifest_lists",
-    "compact_versioned", "cluster_versioned", "versioned_stream_writer", "appended_since",
+    "compact_versioned", "cluster_versioned", "clone_versioned", "versioned_stream_writer", "appended_since",
 ]

@@ -3387,3 +3387,62 @@ def test_relay_follow_constraint_probe_is_atomic(spark, tmp_path):
     assert "value" in V.read_versioned(spark, feed).columns
     # the surviving constraint on the unchanged column still enforces
     assert "k_pos" in V.table_constraints(feed)
+
+
+def test_clone_versioned_zero_copy_independent(spark, tmp_path):
+    """Hardlink clone: value-identical at the cloned version, fully
+    independent afterward (appends don't cross, a source vacuum can't
+    break the clone), carries DVs + mapping + constraints + sidecars."""
+    import os as _os
+
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "cl_src")
+    dst = str(tmp_path / "cl_dst")
+    V.write_versioned(_vt_rows(spark, 0, 10), src)                # v1
+    V.append_versioned(_vt_rows(spark, 10, 14), src)              # v2
+    V.delete_versioned(spark, src, "k = 3",
+                       strategy="merge-on-read")                  # v3 (DV)
+    V.rename_column(spark, src, "v", "value")                     # v4
+    V.add_constraint(spark, src, "k_pos", "k >= 0")               # v5
+    V.build_ndv(spark, src, ["k"])
+    v = V.clone_versioned(src, dst)
+    assert v == 1
+    got = V.read_versioned(spark, dst)
+    assert set(got.columns) == {"k", "value", "flag"}
+    assert got.count() == 13  # DV respected (k=3 masked)
+    truth = {tuple(r) for r in V.read_versioned(spark, src).collect()}
+    assert {tuple(r) for r in got.collect()} == truth
+    # zero-copy: data files are the same inode
+    rel = V._read_manifest(dst, 1)["files"][0]
+    assert _os.stat(_os.path.join(src, rel)).st_ino == \
+        _os.stat(_os.path.join(dst, rel)).st_ino
+    # metadata rides along: mapping, constraints, NDV sidecars
+    assert V._col_mapping(V._read_manifest_meta(dst, 1)) == \
+        {"value": "v"}
+    assert "k_pos" in V.table_constraints(dst)
+    nd = V.metadata_ndv(src, ["k"])  # src has DVs -> None; clone too
+    assert nd["k"] is None
+    # constraint enforces on the CLONE's own ingest
+    with pytest.raises(ValueError, match="k_pos"):
+        V.append_versioned(
+            _vt_rows(spark, -5, -2).withColumnRenamed("v", "value"),
+            dst)
+    # independence: clone-side append, then source-side vacuum
+    V.append_versioned(
+        _vt_rows(spark, 20, 22).withColumnRenamed("v", "value"), dst)
+    V.write_versioned(_vt_rows(spark, 0, 2), src)   # src moves on
+    V.vacuum_versioned(src, keep_last=1)            # drops old src files
+    assert V.read_versioned(spark, dst).count() == 15
+    assert V.read_versioned(spark, src).count() == 2
+    # pruned read on the clone uses the linked sidecars
+    sub = V.read_versioned(spark, dst, where=[("k", "<", 2)])
+    assert sorted(r["k"] for r in sub.collect()) == [0, 1]
+    # time-travel clone (of the CLONE, whose v1 is retained) + refusals
+    dst2 = str(tmp_path / "cl_dst2")
+    V.clone_versioned(dst, dst2, version=1)
+    assert V.read_versioned(spark, dst2).count() == 13
+    assert set(V.read_versioned(spark, dst2).columns) == \
+        {"k", "value", "flag"}
+    with pytest.raises(ValueError, match="fresh path"):
+        V.clone_versioned(src, dst)
