@@ -10055,6 +10055,145 @@ def sketch_kll_quantiles(spark, sf_dir):
 # oracles. Redundant per-comparator/set-op/fingerprint variants and the
 # rows-only sampling/sketch queries stay registered (and locally checked
 # by tools/check_oracle.py) past position 50.
+@query(
+    "view_versioned_clone",
+    # clone the source at its MoR-delete state, then diverge both
+    # sides; the graded read proves the clone froze the cloned state
+    # (minus tombstones) plus only ITS OWN appends, while the source
+    # moved on independently
+    oracle="""
+    WITH cl AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 1200 AND o_orderkey > 100
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey > 1300 AND o_orderkey <= 1400
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM cl
+    """,
+)
+def view_versioned_clone(spark, sf_dir):
+    """Zero-copy CLONE (sources/versioned.clone_versioned — Delta's
+    CLONE shape): hardlink the chosen version's immutable files into
+    an independent table carrying schema, column mapping, DVs,
+    constraints, and skipping sidecars. The row PROVES zero-copy
+    (same inode), DV carry (the source's merge-on-read delete masks
+    rows in the clone too), and independence (source and clone
+    diverge; a source overwrite doesn't touch the clone)."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_vclone_src_{tag}"
+    dst = f"/tmp/lfs_vclone_dst_{tag}"
+    for p2 in (src, dst):
+        shutil.rmtree(p2, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 1200), src)
+    _, st = V.delete_versioned(spark, src, "o_orderkey <= 100",
+                               strategy="merge-on-read")
+    if st["files_rewritten"] != 0:
+        raise AssertionError(f"MoR delete rewrote files: {st}")
+    V.clone_versioned(src, dst)
+    rel = V._read_manifest(dst, 1)["files"][0]
+    if _os.stat(_os.path.join(src, rel)).st_ino !=             _os.stat(_os.path.join(dst, rel)).st_ino:
+        raise AssertionError("clone copied bytes — not zero-copy")
+    # diverge: clone gains a band the source never sees; the source
+    # is then overwritten entirely — the clone must not notice
+    V.append_versioned(
+        o.filter((F.col("o_orderkey") > 1300)
+                 & (F.col("o_orderkey") <= 1400)), dst)
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 50), src)
+    if V.read_versioned(spark, src).count() >=             V.read_versioned(spark, dst).count():
+        raise AssertionError("source overwrite leaked into the clone")
+    return V.read_versioned(spark, dst).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "view_feed_rename_follow",
+    # the source renames o_totalprice -> price between two relays; the
+    # feed follows with metadata-only alters and every op row (both
+    # epochs) reads under the NEW spelling
+    oracle="""
+    WITH feed AS (
+      SELECT 'I' AS op, 1 AS src_v, o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 900
+      UNION ALL
+      SELECT 'I', 3, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey > 900 AND o_orderkey <= 1100
+    )
+    SELECT op, src_v, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(price), 2) AS total
+    FROM feed GROUP BY op, src_v
+    """,
+)
+def view_feed_rename_follow(spark, sf_dir):
+    """CDF across a RENAME (sources/versioned._follow_renames +
+    the rename-aware diff_versions): the relay's diff re-labels across
+    the source's column-mapping alter and the FEED follows with its
+    own metadata-only rename commits, so the append-only change feed
+    survives the rename — its whole history (pre- and post-rename
+    epochs) reads under the newest spelling. The row RAISES unless
+    the follow was metadata-only and the relay moved exactly the new
+    band."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_vfrf_src_{tag}"
+    feed = f"/tmp/lfs_vfrf_feed_{tag}"
+    for p2 in (src, feed):
+        shutil.rmtree(p2, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(o.filter(F.col("o_orderkey") <= 900), src)  # v1
+    V.relay_changes(spark, src, feed, "o_orderkey")
+    V.rename_column(spark, src, "o_totalprice", "price")          # v2
+    V.append_versioned(
+        o.filter((F.col("o_orderkey") > 900)
+                 & (F.col("o_orderkey") <= 1100))
+        .withColumnRenamed("o_totalprice", "price"), src)         # v3
+    feed_files_before = sorted(
+        V._read_manifest(feed, V.latest_version(feed))["files"])
+    _, st = V.relay_changes(spark, src, feed, "o_orderkey")
+    got = V.read_versioned(spark, feed)
+    if "price" not in got.columns or "o_totalprice" in got.columns:
+        raise AssertionError(f"feed did not follow: {got.columns}")
+    # the follow itself moved no data: only the relay's append added
+    # files on top of the pre-follow list
+    feed_files_after = sorted(
+        V._read_manifest(feed, V.latest_version(feed))["files"])
+    if not set(feed_files_before) <= set(feed_files_after):
+        raise AssertionError("rename follow rewrote feed data")
+    _, st2 = V.relay_changes(spark, src, feed, "o_orderkey")
+    if st2["ops"] != 0:
+        raise AssertionError(f"post-follow relay not a no-op: {st2}")
+    return got.groupBy(
+        "op", F.col("_src_version").cast("int").alias("src_v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("price"), 2).alias("total"),
+    )
+
+
 # ===================================================================== #
 
 DRIVER_WINDOW: list[str] = [
