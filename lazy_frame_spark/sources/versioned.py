@@ -3736,7 +3736,11 @@ def clone_versioned(src_path: str, dst_path: str,
     (experiment, backfill-rehearsal, migration test) for the cost of
     its manifest — Delta/Iceberg shallow-clone economics WITHOUT the
     dangling-reference hazard (a vacuum on the source can never break
-    the clone, because the clone holds its own links). Returns the
+    the clone, because the clone holds its own links). Stream batch /
+    transaction high-water marks are deliberately NOT carried: the
+    clone is a NEW table — point a stream at it with a fresh
+    checkpoint (re-pointing an existing exactly-once writer at a clone
+    and expecting its marks is the classic CLONE footgun). Returns the
     clone's version (always 1)."""
     import shutil
 
