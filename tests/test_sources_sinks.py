@@ -3446,3 +3446,62 @@ def test_clone_versioned_zero_copy_independent(spark, tmp_path):
         {"k", "value", "flag"}
     with pytest.raises(ValueError, match="fresh path"):
         V.clone_versioned(src, dst)
+
+
+def test_append_racing_a_rename_fails_loudly(spark, tmp_path):
+    """A blind append whose batch still carries the OLD spelling,
+    racing a rename_column: the rebase re-validates against the
+    winner's renamed schema and fails LOUDLY (Delta's behavior) — it
+    never silently writes the old spelling into a renamed table."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "race_ren")
+    V.write_versioned(_vt_rows(spark, 0, 5), t)
+    real_commit = V._commit
+    state = {"fired": False}
+
+    def inject(path, action, files, schema_json, parent,
+               extra=None, dvs=None):
+        if not state["fired"] and action == "append":
+            state["fired"] = True
+            V._commit = real_commit
+            V.rename_column(spark, path, "v", "value")  # winner: alter
+            V._commit = inject
+            raise V.VersionConflict("injected rename race")
+        return real_commit(path, action, files, schema_json, parent,
+                           extra, dvs)
+
+    V._commit = inject
+    try:
+        with pytest.raises(ValueError, match="diverges"):
+            V.append_versioned(_vt_rows(spark, 5, 8), t)
+    finally:
+        V._commit = real_commit
+    # the table is intact under the NEW spelling; the correctly-
+    # spelled retry lands
+    assert set(V.read_versioned(spark, t).columns) == \
+        {"k", "value", "flag"}
+    V.append_versioned(
+        _vt_rows(spark, 5, 8).withColumnRenamed("v", "value"), t)
+    assert V.read_versioned(spark, t).count() == 8
+
+
+def test_clone_metadata_surfaces(spark, tmp_path):
+    """Zero-scan metadata works on a clone from the first read: the
+    linked stats/NDV sidecars serve metadata_aggregate/metadata_ndv
+    under the clone's (possibly renamed) logical names."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "cm_src")
+    dst = str(tmp_path / "cm_dst")
+    V.write_versioned(_vt_rows(spark, 0, 12), src)
+    V.build_ndv(spark, src, ["k"])
+    V.rename_column(spark, src, "k", "key")
+    V.clone_versioned(src, dst)
+    m = V.metadata_aggregate(dst, ["key"])
+    assert m["count"] == 12
+    assert m["cols"]["key"]["min"] == 0 and m["cols"]["key"]["max"] == 11
+    nd = V.metadata_ndv(dst, ["key"])
+    assert nd["key"] is not None and abs(nd["key"] - 12) < 2
+    n = V.metadata_count_where(dst, [("key", "<", 6)])
+    assert n["exact"] and n["count_min"] == 6
