@@ -148,3 +148,76 @@ def test_row_range_inclusive(small_lf, lo, span):
     hi = min(lo + span, 40)
     n = small_lf.row_range(lo, hi).nrow()
     assert n == hi - lo + 1
+
+
+def test_physical_slot_assignment_invariants():
+    """Pure-python property test for _assign_physical_slots: across
+    random rename/drop/add histories, (1) live physical slots stay
+    unique, (2) a new column never lands in a retired or live slot,
+    (3) columns that keep their name keep their slot."""
+    import json
+    import random
+
+    from lazy_frame_spark.sources.versioned import (
+        _assign_physical_slots,
+        _col_mapping,
+        _occupied_slots,
+    )
+
+    rng = random.Random(99)
+    for _trial in range(200):
+        # synthetic manifest state after a random history
+        n_live = rng.randint(1, 6)
+        live = [f"c{i}" for i in range(n_live)]
+        mapping = {}
+        retired = set()
+        # random renames: some live columns point at other slots
+        for c in list(live):
+            if rng.random() < 0.4:
+                slot = f"p{rng.randrange(10)}"
+                if slot not in {mapping.get(x, x) for x in live} \
+                        and slot not in retired:
+                    mapping[c] = slot
+        # random retired slots (dropped columns' storage)
+        for _ in range(rng.randrange(3)):
+            slot = f"r{rng.randrange(10)}"
+            if slot not in {mapping.get(x, x) for x in live}:
+                retired.add(slot)
+        man = {
+            "schema": json.dumps({"type": "struct", "fields": [
+                {"name": c, "type": "long", "nullable": True,
+                 "metadata": {}} for c in live
+            ]}),
+            "column_mapping": mapping,
+            "retired_columns": sorted(retired),
+        }
+        # batch adds 1-3 new columns, names drawn to collide sometimes
+        pool = (live + list(retired)
+                + [mapping.get(c, c) for c in live]
+                + [f"new{i}" for i in range(4)])
+        added = []
+        for nm in rng.sample(pool, k=min(len(pool), rng.randint(1, 3))):
+            if nm not in live and nm not in added:
+                added.append(nm)
+        merged = {
+            "type": "struct", "fields": [
+                {"name": c, "type": "long", "nullable": True,
+                 "metadata": {}} for c in live + added
+            ]
+        }
+        assigned = _assign_physical_slots(man, json.dumps(merged))
+        final_map = {**_col_mapping(man), **assigned}
+        slots = [final_map.get(c, c) for c in live + added]
+        # (1) uniqueness of live physical slots
+        assert len(slots) == len(set(slots)), (mapping, retired, added)
+        # (2) new columns avoid retired AND pre-existing live slots
+        pre_occupied = _occupied_slots(man)
+        for a in added:
+            got = final_map.get(a, a)
+            if a in pre_occupied:
+                assert got != a and got not in pre_occupied
+            else:
+                assert got == a  # free name: writes under itself
+        # (3) survivors keep their slots
+        for c in live:
+            assert final_map.get(c, c) == mapping.get(c, c)
