@@ -3505,3 +3505,33 @@ def test_clone_metadata_surfaces(spark, tmp_path):
     assert nd["key"] is not None and abs(nd["key"] - 12) < 2
     n = V.metadata_count_where(dst, [("key", "<", 6)])
     assert n["exact"] and n["count_min"] == 6
+
+
+def test_stream_sinks_into_renamed_table(spark, tmp_path):
+    """The exactly-once streaming sinks (append + merge writers) keep
+    working after a rename_column: batches arrive under the CURRENT
+    logical spelling and land in physical slots; replays still skip."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "sw_ren")
+    V.write_versioned(_vt_rows(spark, 0, 4), t)
+    V.rename_column(spark, t, "v", "value")
+    w = V.versioned_stream_writer(t, stream_id="s1")
+    b1 = _vt_rows(spark, 4, 7).withColumnRenamed("v", "value")
+    w(b1, 0)
+    assert V.read_versioned(spark, t).count() == 7
+    w(b1, 0)  # replayed epoch: skipped by the high-water mark
+    assert V.read_versioned(spark, t).count() == 7
+    # keyed merge sink across the rename
+    m = V.versioned_stream_merger(t, on="k", stream_id="s2")
+    b2 = (_vt_rows(spark, 5, 9, flag="up")
+          .withColumnRenamed("v", "value"))
+    m(b2, 0)
+    got = V.read_versioned(spark, t)
+    assert got.count() == 9
+    assert got.filter("flag = 'up'").count() == 4
+    assert set(got.columns) == {"k", "value", "flag"}
+    # batches still spelling the OLD name fail loudly, never mis-land
+    bad = _vt_rows(spark, 20, 22)
+    with pytest.raises(ValueError, match="diverges"):
+        w(bad, 1)
