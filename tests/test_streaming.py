@@ -1075,3 +1075,65 @@ def test_versioned_stream_max_files_per_batch_admission_control(
     # reserved-column collision is refused up front
     with pytest.raises(ValueError, match="op"):
         V.relay_changes(spark, feed, str(tmp_path / "f2"), "o_orderkey")
+
+
+def test_feed_stream_restart_across_rename_follow(spark, tmp_path):
+    """End-to-end: a checkpointed Structured Streaming consumer of a
+    relay feed across the feed's rename-follow. The schema is fixed
+    per RUN (mid-run renames fail loudly — reader-level test); a
+    RESTART re-resolves it, so the resumed run ADOPTS the new
+    spelling and delivers the pending rows exactly once with correct
+    values — physical identity makes the adoption sound. A fresh
+    checkpoint replays the whole feed under the new spelling."""
+    import pyspark.sql.functions as F
+
+    from lazy_frame_spark.sources import versioned as V
+    from lazy_frame_spark.sources.versioned_stream import (
+        versioned_stream_read,
+    )
+
+    src = str(tmp_path / "fs_src")
+    feed = str(tmp_path / "fs_feed")
+    out1 = str(tmp_path / "out1")
+    ck1 = str(tmp_path / "ck1")
+    rows = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    V.write_versioned(rows, src)
+    V.relay_changes(spark, src, feed, "k")
+
+    def drain(outp, ckp):
+        q = (versioned_stream_read(spark, feed)
+             .writeStream.format("parquet").option("path", outp)
+             .option("checkpointLocation", ckp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    q = drain(out1, ck1)
+    assert q.exception() is None
+    assert spark.read.parquet(out1).count() == 6
+    # source renames; the next relay makes the feed follow
+    V.rename_column(spark, src, "v", "value")
+    V.append_versioned(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("value")), src)
+    V.relay_changes(spark, src, feed, "k")
+    # the SAME checkpoint resumes: the new run re-resolves the schema
+    # (post-rename), the alter commits in the pending range are
+    # history already folded in, and ONLY the pending rows land —
+    # exactly once, under the new spelling
+    q2 = drain(out1, ck1)
+    assert q2.exception() is None
+    merged = spark.read.option("mergeSchema", "true").parquet(out1)
+    assert merged.count() == 9
+    assert {"v", "value"} <= set(merged.columns)  # sink saw both runs
+    assert merged.filter("value IS NOT NULL").count() == 3
+    # a FRESH checkpoint replays the whole feed under the new spelling
+    out2 = str(tmp_path / "out2")
+    ck2 = str(tmp_path / "ck2")
+    q3 = drain(out2, ck2)
+    assert q3.exception() is None
+    got = spark.read.parquet(out2)
+    assert "value" in got.columns and got.count() == 9
+    assert sorted(r["k"] for r in got.collect()) == list(range(9))
