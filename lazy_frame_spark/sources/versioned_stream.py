@@ -162,10 +162,17 @@ class VersionedStreamReader(DataSourceStreamReader):
         # OR BEFORE it are history already folded into the fixed
         # schema and replay safely; one AFTER it breaks the run
         self.schema_version = v
-        # logical→physical column mapping, fixed at stream start like
-        # the schema: files always store PHYSICAL names, so a table
-        # renamed BEFORE the stream started reads seamlessly (a rename
-        # DURING the run fails the chain in partitions())
+        # logical→physical column mapping, fixed PER RUN like the
+        # schema: files always store PHYSICAL names, so a table
+        # renamed BEFORE the run started reads seamlessly; a rename
+        # DURING the run fails the chain in partitions(). A RESTART
+        # rebuilds this reader and re-resolves both, so a resumed
+        # query ADOPTS a rename that landed between runs and delivers
+        # its pending rows under the new spelling — values exact by
+        # physical identity. (Delta fails that restart unless schema
+        # tracking is configured; adoption is this source's stated
+        # contract, pinned end-to-end in tests — the sink sees the
+        # spelling change.)
         self.mapping_json = json.dumps(V._col_mapping(man0))
 
     # ---- offsets (driver) ------------------------------------------
