@@ -3535,3 +3535,24 @@ def test_stream_sinks_into_renamed_table(spark, tmp_path):
     bad = _vt_rows(spark, 20, 22)
     with pytest.raises(ValueError, match="diverges"):
         w(bad, 1)
+
+
+def test_clone_offloaded_manifest(spark, tmp_path, monkeypatch):
+    """Cloning a table whose manifest is OFFLOADED (columnar file
+    list): the clone re-offloads its own list with embedded stats and
+    pruned reads work from the first query."""
+    from lazy_frame_spark.sources import versioned as V
+
+    src = str(tmp_path / "co_src")
+    dst = str(tmp_path / "co_dst")
+    monkeypatch.setattr(V, "_MANIFEST_PARQUET_THRESHOLD", 0)
+    V._MANIFEST_LIST_CACHE.clear()
+    V.write_versioned(_vt_rows(spark, 0, 20).repartition(4), src)
+    V.cluster_versioned(spark, src, ["k"], num_partitions=4)
+    assert V._read_manifest_meta(src, 2)["files_parquet"]
+    V.clone_versioned(src, dst)
+    meta = V._read_manifest_meta(dst, 1)
+    assert meta["files_parquet"] and not meta["files"]
+    got = V.read_versioned(spark, dst, where=[("k", "between", (5, 9))])
+    assert sorted(r["k"] for r in got.collect()) == [5, 6, 7, 8, 9]
+    assert V.read_versioned(spark, dst).count() == 20
