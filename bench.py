@@ -390,17 +390,27 @@ def main() -> int:
     # the FULL document per round (committed at each certification) so
     # the next judge can reproduce the numbers row-for-row. Round =
     # $SPARK_GRAFT_ROUND, else one past the newest recorded BENCH_r*.
+    # History is IMMUTABLE (round-14 verdict): an existing
+    # bench_full_rNN.json is a certified record — refuse to overwrite
+    # it unless --force, so a stray re-run can never silently rewrite
+    # the numbers a past round was graded on.
     try:
+        import re as _re
+
         here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd is None:
-            past = [int(f[7:9]) for f in os.listdir(here)
-                    if f.startswith("BENCH_r") and f.endswith(".json")
-                    and f[7:9].isdigit()]
+            past = [int(m.group(1)) for f in os.listdir(here)
+                    if (m := _re.match(r"BENCH_r(\d+)\.json$", f))]
             rnd = (max(past) + 1) if past else 0
-        with open(os.path.join(here, f"bench_full_r{int(rnd):02d}.json"),
-                  "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
+        out = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
+        if os.path.exists(out) and "--force" not in sys.argv:
+            print(f"bench_full write refused: {out} already records "
+                  "this round (pass --force to overwrite the "
+                  "certified history file)", file=sys.stderr)
+        else:
+            with open(out, "w") as f:
+                json.dump(doc, f, indent=1, sort_keys=True)
     except Exception as e:  # never let bookkeeping fail the bench
         print(f"bench_full write skipped: {e!r}", file=sys.stderr)
     if violations and "--enforce" in sys.argv:

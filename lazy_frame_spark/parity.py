@@ -10102,10 +10102,16 @@ def view_versioned_clone(spark, sf_dir):
                                strategy="merge-on-read")
     if st["files_rewritten"] != 0:
         raise AssertionError(f"MoR delete rewrote files: {st}")
-    V.clone_versioned(src, dst)
+    _, cst = V.clone_versioned(src, dst)
+    if cst["files_copied"] != 0 or cst["bytes_copied"] != 0:
+        raise AssertionError(f"clone fell back to copies: {cst}")
     rel = V._read_manifest(dst, 1)["files"][0]
     if _os.stat(_os.path.join(src, rel)).st_ino !=             _os.stat(_os.path.join(dst, rel)).st_ino:
         raise AssertionError("clone copied bytes — not zero-copy")
+    h1 = V.history(dst)[0]
+    if h1.get("cloned_from") != _os.path.abspath(src) \
+            or h1.get("cloned_version") != 2:
+        raise AssertionError(f"clone lineage not in history(): {h1}")
     # diverge: clone gains a band the source never sees; the source
     # is then overwritten entirely — the clone must not notice
     V.append_versioned(
@@ -10142,7 +10148,7 @@ def view_versioned_clone(spark, sf_dir):
     """,
 )
 def view_feed_rename_follow(spark, sf_dir):
-    """CDF across a RENAME (sources/versioned._follow_renames +
+    """CDF across a RENAME (sources/versioned._follow_evolution +
     the rename-aware diff_versions): the relay's diff re-labels across
     the source's column-mapping alter and the FEED follows with its
     own metadata-only rename commits, so the append-only change feed
@@ -10191,6 +10197,96 @@ def view_feed_rename_follow(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
         F.round(F.sum("price"), 2).alias("total"),
+    )
+
+
+@query(
+    "view_feed_evolve_follow",
+    # the source gains a column (merge_schema append) between two
+    # relays; the feed FOLLOWS with a metadata-only evolve commit and
+    # holds BOTH epochs under the evolved schema — the bootstrap epoch
+    # and the pre-evolution slice of the second epoch NULL in the new
+    # column, the post-evolution slice carrying it (Delta CDF's rule)
+    oracle="""
+    WITH feed AS (
+      SELECT 'I' AS op, 1 AS src_v, o_orderkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS prio
+      FROM orders WHERE o_orderkey <= 900
+      UNION ALL
+      SELECT 'I', 3, o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey > 1000 THEN o_orderpriority END
+      FROM orders WHERE o_orderkey > 900 AND o_orderkey <= 1100
+    )
+    SELECT op, src_v, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(COUNT(prio) AS BIGINT) AS n_prio
+    FROM feed GROUP BY op, src_v
+    """,
+)
+def view_feed_evolve_follow(spark, sf_dir):
+    """CDF across ADDITIVE SCHEMA EVOLUTION (round 15 — sources/
+    versioned.diff_versions + _follow_evolution + evolve_schema): the
+    source grows a column mid-chain via
+    ``append_versioned(merge_schema=True)``; the next relay's diff
+    NULL-fills the pre-evolution epoch under the evolved schema and
+    the FEED follows with one metadata-only evolve alter before the
+    ops append — so the append-only change feed survives add-column
+    commits exactly the way it survives renames. The row RAISES
+    unless the follow was metadata-only (no feed data rewritten), the
+    feed's history records the evolution, and the post-relay replay
+    no-ops (exactly-once). At 100 TB: a corpus that grows a
+    quality/lang column mid-crawl keeps its change-feed consumers
+    alive with zero data movement on either table."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/lfs_vfef_src_{tag}"
+    feed = f"/tmp/lfs_vfef_feed_{tag}"
+    for p2 in (src, feed):
+        shutil.rmtree(p2, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = o.select("o_orderkey", "o_totalprice")
+    V.write_versioned(base.filter(F.col("o_orderkey") <= 900), src)  # v1
+    V.relay_changes(spark, src, feed, "o_orderkey")
+    V.append_versioned(
+        base.filter((F.col("o_orderkey") > 900)
+                    & (F.col("o_orderkey") <= 1000)), src)           # v2
+    V.append_versioned(
+        o.filter((F.col("o_orderkey") > 1000)
+                 & (F.col("o_orderkey") <= 1100))
+        .withColumnRenamed("o_orderpriority", "prio"), src,
+        merge_schema=True)                                           # v3
+    feed_files_before = set(
+        V._read_manifest(feed, V.latest_version(feed))["files"])
+    _, st = V.relay_changes(spark, src, feed, "o_orderkey")
+    got = V.read_versioned(spark, feed)
+    if "prio" not in got.columns:
+        raise AssertionError(f"feed did not evolve: {got.columns}")
+    # the follow was metadata-only: every pre-follow feed file is
+    # still referenced (only the relay's own append added files)
+    feed_files_after = set(
+        V._read_manifest(feed, V.latest_version(feed))["files"])
+    if not feed_files_before <= feed_files_after:
+        raise AssertionError("evolve follow rewrote feed data")
+    if not any(h.get("evolved", {}).get("added") == ["prio"]
+               for h in V.history(feed)):
+        raise AssertionError("feed history lost the evolution record")
+    _, st2 = V.relay_changes(spark, src, feed, "o_orderkey")
+    if st2["ops"] != 0:
+        raise AssertionError(f"post-evolve relay not a no-op: {st2}")
+    return got.groupBy(
+        "op", F.col("_src_version").cast("int").alias("src_v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count("prio").alias("n_prio"),
     )
 
 
@@ -10429,7 +10525,15 @@ DRIVER_WINDOW: list[str] = [
     # additive schema evolution with a cross-boundary delete proving
     # maintenance rewrites carry the evolved column (slots funded by
     # dedup_url_canonical and text_bpe_apply)
-    "view_versioned_skipping",
+    # (view_versioned_skipping rotated past the cap in round 15 —
+    # green rounds 11-14, the named aging-fund candidate; skipping
+    # stays BENCHED with its own phase-split budget (the pruned-read
+    # wire), plan-pinned in tests, and driver-exercised via
+    # view_versioned_rename's pruned read. Its slot funds
+    # view_feed_evolve_follow — round 15's CDF-across-additive-
+    # evolution capability, landing in-window the round it ships per
+    # the zero-debt policy.)
+    "view_feed_evolve_follow",
     "view_versioned_evolve",
     # round-11 continuation (zero-debt): key-based MERGE — upsert +
     # delete-by-key as copy-on-write commits, the CDC ingest verb

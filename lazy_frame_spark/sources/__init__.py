@@ -9,6 +9,7 @@ from lazy_frame_spark.sources.versioned import (
     compact_versioned,
     delete_versioned,
     drop_column,
+    evolve_schema,
     history,
     read_versioned,
     rename_column,
@@ -23,7 +24,7 @@ __all__ = [
     "open_csv", "ingest_gzip", "load_tables", "register_views",
     "TABLE_NAMES",
     "write_versioned", "append_versioned", "delete_versioned",
-    "drop_column",
+    "drop_column", "evolve_schema",
     "restore_versioned", "read_versioned", "rename_column",
     "history", "vacuum_versioned", "upgrade_manifest_lists",
     "compact_versioned", "cluster_versioned", "clone_versioned", "versioned_stream_writer", "appended_since",

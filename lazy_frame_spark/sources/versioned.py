@@ -98,6 +98,7 @@ __all__ = [
     "purge_dvs",
     "add_constraint",
     "drop_constraint",
+    "evolve_schema",
     "table_constraints",
     "revalidate_constraints",
     "version_as_of",
@@ -741,6 +742,61 @@ def _phys_fields(man: dict) -> list:
     ]
 
 
+def _slot_fields(man: dict) -> dict:
+    """``{physical_slot: (logical_name, type_json)}`` for a manifest's
+    live columns — the rename-invariant identity ``_phys_fields``
+    sequences, keyed for evolution reconciliation."""
+    m = _col_mapping(man)
+    return {
+        m.get(f["name"], f["name"]): (f["name"], f["type"])
+        for f in json.loads(man["schema"])["fields"]
+    }
+
+
+def _additive_evolution(ma: dict, mb: dict) -> bool:
+    """True when version b's schema is reachable from version a's by
+    ADDITIVE evolution composed with renames: every physical slot live
+    in a is still live in b with the same type or a lossless widening
+    of it (``_widened_type`` — b carries the wider type), and b may
+    hold extra slots (added columns). Drops, narrowings, and type
+    rewrites are NOT additive — diffs across those must be reconciled
+    explicitly. Slot identity makes this exact across any number of
+    renames on either side."""
+    sa, sb = _slot_fields(ma), _slot_fields(mb)
+    for slot, (_, ta) in sa.items():
+        if slot not in sb:
+            return False
+        tb = sb[slot][1]
+        if ta != tb and _widened_type(ta, tb) != tb:
+            return False
+    return True
+
+
+def _evolve_project(df: DataFrame, man_from: dict, man_to: dict) -> DataFrame:
+    """Project a DataFrame holding ``man_from``'s logical content onto
+    ``man_to``'s schema, by PHYSICAL SLOT identity: columns are
+    re-labeled across renames, widened columns cast up (lossless by
+    the ``_additive_evolution`` contract), and columns added after
+    ``man_from`` NULL-filled — exactly what ``man_from``-epoch rows
+    look like when read under ``man_to``'s committed schema (Delta
+    CDF's rule for change feeds across add-column commits). A pure
+    single Project over the input plan; call only after
+    ``_additive_evolution(man_from, man_to)`` holds."""
+    sf = _slot_fields(man_from)
+    map_to = _col_mapping(man_to)
+    to_schema = _committed_schema(man_to)
+    cols = []
+    for f in to_schema.fields:
+        slot = map_to.get(f.name, f.name)
+        if slot in sf:
+            cols.append(F.col(sf[slot][0]).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    passthrough = [c for c in df.columns
+                   if c not in {g[0] for g in sf.values()}]
+    return df.select(*cols, *[F.col(c) for c in passthrough])
+
+
 def _phys_name(mapping: dict, col: str) -> str:
     return mapping.get(col, col)
 
@@ -1013,6 +1069,65 @@ def _occupied_slots(prev: dict) -> set[str]:
             | set(prev.get("retired_columns") or []))
 
 
+def _check_rebase_mapping(path: str, prev: dict, schema_json: str,
+                          assigned: dict, written_map: dict) -> None:
+    """Slot-integrity gate for a merge_schema append REBASING onto a
+    concurrent winner (ADVICE r14): the batch's data dir is already on
+    disk under the physical slots of the ORIGINAL parent, and the
+    winner may have moved the ground — a rename/drop winner makes a
+    batch column (now "new" to ``_merge_schemas``) default to a slot
+    that is the winner's live storage (two logical columns reading one
+    physical slot) or a retired slot (resurrecting dropped data); a
+    merge_schema winner that added the same logical column under its
+    own fresh slot would have its mapping entry clobbered by the
+    loser's carried ``assigned`` (the winner's data reads as NULL).
+    All of these are silent-wrong-answer states, so each raises
+    ``VersionConflict`` — the caller re-runs against the new state
+    (the orphan data dir is vacuumable). Checks, in order:
+
+    - **clobber**: ``assigned`` would override an entry the winner
+      committed for the same logical column with a different slot;
+    - **written-slot drift**: a batch column would no longer resolve
+      to the exact physical slot its files were written under;
+    - **aliasing**: two live logical columns of the merged schema
+      would share one physical slot;
+    - **retirement**: a live logical column would resolve to a slot
+      the winner retired;
+    - **fresh-slot collision**: a freshly assigned uuid slot is now
+      occupied on the winner's chain (vanishingly rare by
+      construction, kept as a backstop)."""
+    prev_map = _col_mapping(prev)
+    effective = {**prev_map, **assigned}
+    fields = [f["name"] for f in json.loads(schema_json)["fields"]]
+    phys = {name: effective.get(name, name) for name in fields}
+    retired = set(prev.get("retired_columns") or [])
+    clobber = sorted(
+        k for k, v in assigned.items()
+        if k in prev_map and prev_map[k] != v)
+    drift = sorted(
+        c for c, slot in written_map.items()
+        if phys.get(c, effective.get(c, c)) != slot)
+    by_slot: dict = {}
+    for name, slot in phys.items():
+        by_slot.setdefault(slot, []).append(name)
+    aliased = sorted(
+        tuple(v) for v in by_slot.values() if len(v) > 1)
+    resurrect = sorted(
+        name for name, slot in phys.items() if slot in retired)
+    collide = sorted(set(assigned.values()) & _occupied_slots(prev))
+    if clobber or drift or aliased or resurrect or collide:
+        detail = {k: v for k, v in [
+            ("mapping_clobber", clobber), ("written_slot_drift", drift),
+            ("slot_aliasing", aliased), ("retired_slot", resurrect),
+            ("fresh_slot_collision", collide)] if v}
+        raise VersionConflict(
+            f"append to {path}: a concurrent commit changed the "
+            f"column-mapping ground this batch's already-written files "
+            f"stand on ({detail}) — re-run the append against the new "
+            "table state (the orphan data dir is vacuumable)"
+        ) from None
+
+
 def _assign_physical_slots(prev: dict, schema_json: str) -> dict:
     """Physical slots for columns NEW in ``schema_json`` vs the
     committed schema (additive evolution composing with column
@@ -1110,13 +1225,18 @@ def append_versioned(df: DataFrame, path: str,
             if _applied(parent):
                 return parent
     prev = _read_manifest(path, parent)
-    if new_files is not None and _col_mapping(prev):
+    if new_files is not None and (
+            _col_mapping(prev)
+            or set(df.columns) & set(prev.get("retired_columns") or [])):
         # creation-race fallback: the batch's data dir was written
         # under its own (logical) names before we knew the winner's
-        # state — a mapped winner table would misread those files
+        # state — a mapped winner table would misread those files, and
+        # a winner carrying retired slots (a clone bootstrap) would
+        # resurrect dropped-column storage under a recycled name
         raise VersionConflict(
             f"append to {path}: lost the table-creation race to a "
-            "winner with a column mapping — re-run on the new state"
+            "winner with a column mapping or retired slots — re-run "
+            "on the new state"
         )
     assigned: dict = {}
     if merge_schema:
@@ -1140,6 +1260,9 @@ def append_versioned(df: DataFrame, path: str,
     if new_files is None:
         new_files = _write_data_dir(df, path, version,
                                     mapping=mapping_now)
+    # the exact physical slot each batch column's files were written
+    # under — the ground truth every rebase must re-prove still holds
+    written_map = {c: mapping_now.get(c, c) for c in df.columns}
     commit_extra = ({**(extra or {}), "column_mapping": mapping_now}
                     if assigned else extra)
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -1166,15 +1289,11 @@ def append_versioned(df: DataFrame, path: str,
             if merge_schema:
                 schema_json = _merge_schemas(prev["schema"],
                                              df.schema.json())
-                if assigned and (set(assigned.values())
-                                 & _occupied_slots(prev)):
-                    # the winner occupied a slot these already-written
-                    # files use — vanishingly rare (uuid slots); the
-                    # orphan dir is vacuumable
-                    raise VersionConflict(
-                        f"append to {path}: a concurrent commit took "
-                        "a physical slot this batch wrote — re-run"
-                    ) from None
+                # a rename/drop/merge_schema winner may have moved the
+                # slot ground under the already-written data dir —
+                # re-prove the whole mapping before the rebased commit
+                _check_rebase_mapping(path, prev, schema_json,
+                                      assigned, written_map)
             else:
                 _check_append_schema(df, prev["schema"])
                 schema_json = prev["schema"]
@@ -2230,6 +2349,64 @@ def drop_column(spark: SparkSession | None, path: str,
          "dropped": {"name": name, "physical": phys}})
 
 
+def evolve_schema(path: str, schema) -> int:
+    """ADD COLUMNS / widen types as a METADATA-ONLY ``alter`` commit —
+    Delta's ``ALTER TABLE ADD COLUMNS`` twin to the write-time
+    ``append_versioned(merge_schema=True)``: the committed schema
+    becomes ``_merge_schemas(committed, schema)`` (batch-only columns
+    appended as nullable, overlapping columns widened losslessly —
+    anything else raises, same contract), with zero data I/O. Every
+    existing file reads the new columns as typed NULL; new columns
+    whose names are occupied physical slots (a renamed column's
+    storage, a dropped column's retirement) get fresh slots via
+    ``_assign_physical_slots``, so a recycled name can never window
+    onto stale bytes. Idempotent: evolving to a schema the table
+    already covers returns the current version without committing.
+    This is also how change-feed/replica tables FOLLOW an upstream
+    add-column (``_follow_evolution``) — the feed's schema evolves in
+    lockstep, metadata-only, before the evolved ops append.
+
+    ``schema`` may be a StructType, a schema-JSON string, or a
+    DataFrame (its schema is taken). Returns the table version."""
+    if isinstance(schema, DataFrame):
+        schema_json = schema.schema.json()
+    elif isinstance(schema, T.StructType):
+        schema_json = schema.json()
+    else:
+        schema_json = str(schema)
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    for _ in range(_MAX_COMMIT_RETRIES):
+        prev = _read_manifest(path, parent)
+        merged = _merge_schemas(prev["schema"], schema_json)
+        if json.loads(merged) == json.loads(prev["schema"]):
+            return parent  # nothing to evolve — idempotent no-op
+        assigned = _assign_physical_slots(prev, merged)
+        added = [f["name"] for f in json.loads(merged)["fields"]
+                 if f["name"] not in
+                 {g["name"] for g in json.loads(prev["schema"])["fields"]}]
+        widened = sorted(
+            f["name"] for f in json.loads(merged)["fields"]
+            for g in json.loads(prev["schema"])["fields"]
+            if g["name"] == f["name"] and g["type"] != f["type"])
+        extra = {"evolved": {"added": added, "widened": widened}}
+        if assigned or _col_mapping(prev):
+            extra["column_mapping"] = {**_col_mapping(prev), **assigned}
+        try:
+            return _commit(path, "alter", list(prev["files"]), merged,
+                           parent, extra)
+        except VersionConflict:
+            # metadata-only and idempotent: re-merge against the
+            # winner and retry (slots re-assigned fresh — nothing was
+            # written under the old assignment)
+            parent = latest_version(path)
+    raise VersionConflict(
+        f"evolve_schema on {path}: exceeded {_MAX_COMMIT_RETRIES} "
+        "rebase attempts under sustained concurrent writes"
+    )
+
+
 def drop_constraint(path: str, name: str) -> int:
     """Remove CHECK constraint ``name`` as an ``alter`` commit."""
     parent = latest_version(path)
@@ -3177,28 +3354,36 @@ def _ops_from_diff(d: DataFrame, keys: list[str],
     return ops
 
 
-def _follow_renames(spark, path: str, want: list[str],
-                    reserved: tuple = ()) -> int:
-    """Rename ``path``'s data columns positionally to ``want`` — how a
-    relay feed / replica FOLLOWS an upstream rename_column so its
-    schema keeps matching the ops it ingests. Metadata-only (each step
-    is a rename_column alter commit); a two-phase pass through temp
-    names makes arbitrary permutations (a<->b swaps) safe. Tailing
-    streams over the feed fail loudly at these alters with the
-    standard restart guidance — the spelling they were emitting is
-    gone, exactly the rename contract. Returns the number of columns
-    renamed."""
+def _follow_evolution(spark, path: str, want_fields: list,
+                      reserved: tuple = ()) -> int:
+    """Align ``path``'s data columns to the upstream's
+    ``want_fields`` (``[(name, type_json), ...]`` in upstream order) —
+    how a relay feed / replica FOLLOWS upstream rename_column AND
+    additive evolution so its schema keeps matching the ops it
+    ingests. All metadata-only: renames follow positionally on the
+    common prefix (original positions are stable — renames re-spell
+    in place and evolution only APPENDS, ``_merge_schemas``), via
+    rename_column alter commits with a two-phase pass through temp
+    names so arbitrary permutations (a<->b swaps) are safe; added
+    columns and lossless widenings then land as ONE ``evolve_schema``
+    alter (idempotent no-op when nothing evolved). Tailing streams
+    over the feed fail loudly at rename alters with the standard
+    restart guidance — the spelling they were emitting is gone,
+    exactly the rename contract; an add-column alter streams through
+    (the new column starts flowing after a consumer restart). A
+    SHRINKING upstream (drop) is not followable — the diff already
+    refuses it; this raises the re-bootstrap guidance as a backstop.
+    Returns the number of columns renamed."""
     v = latest_version(path)
     man = _read_manifest_meta(path, v)
     cur = [f["name"] for f in json.loads(man["schema"])["fields"]
            if f["name"] not in reserved]
-    if cur == list(want):
-        return 0
-    if len(cur) != len(want):
+    want = [n for n, _ in want_fields]
+    if len(cur) > len(want):
         raise ValueError(
             f"relay: upstream schema changed shape ({len(cur)} vs "
-            f"{len(want)} data columns) — not just renames; "
-            "re-bootstrap to a fresh path"
+            f"{len(want)} data columns) — a column was dropped, not "
+            "renamed/added; re-bootstrap to a fresh path"
         )
     pairs = [(a, b) for a, b in zip(cur, want) if a != b]
     cons = man.get("constraints") or {}
@@ -3232,6 +3417,14 @@ def _follow_renames(spark, path: str, want: list[str],
         tmps.append((tmp, b))
     for tmp, b in tmps:
         rename_column(spark, path, tmp, b)
+    # additive follow: upstream added columns / widened types land as
+    # one metadata-only evolve commit (idempotent — no commit when the
+    # feed already covers the upstream schema)
+    evolve_schema(path, json.dumps({
+        "type": "struct",
+        "fields": [{"name": n, "type": t, "nullable": True,
+                    "metadata": {}} for n, t in want_fields],
+    }))
     return len(pairs)
 
 
@@ -3266,11 +3459,15 @@ def relay_changes(
     exactly-once — a replayed relay sees recorded state == source
     head and no-ops. Requires ``on`` unique per source version (the
     op compaction is keyed; pass the key's CURRENT spelling). The
-    relay survives source RENAMES: the diff re-labels across them and
-    the feed follows with its own metadata-only rename commits
-    (``_follow_renames``), so ops and feed schema stay aligned —
-    tailing feed streams fail at those alters with the standard
-    restart guidance, new consumers just see the new spelling.
+    relay survives source RENAMES and ADDITIVE EVOLUTION: the diff
+    re-labels across renames and NULL-fills pre-evolution epochs
+    under the newest schema, and the feed follows with its own
+    metadata-only alter commits (``_follow_evolution`` — rename
+    commits plus one evolve_schema for added/widened columns), so
+    ops and feed schema stay aligned — tailing feed streams fail at
+    rename alters with the standard restart guidance (an add-column
+    alter streams through; the column starts flowing after a
+    consumer restart), new consumers just see the newest schema.
     ``include_preimages=True`` additionally
     appends each updated key's OLD row tagged ``U_pre`` (Delta CDF's
     update_preimage) for audit/diff consumers. Returns
@@ -3321,12 +3518,17 @@ def relay_changes(
     if state == src_v:
         return latest_version(feed_path), {
             "bootstrap": False, "src_version": src_v, "ops": 0}
-    # diff validates the chain is at most RENAMES away and presents
-    # src_v's spelling; the feed then FOLLOWS the renames (metadata-
-    # only alters) so its schema matches the ops it is about to ingest
+    # diff validates the chain is at most renames + ADDITIVE evolution
+    # away and presents src_v's schema (old epochs NULL-fill the newer
+    # columns); the feed then FOLLOWS — renames and add-column/widen
+    # alike, all metadata-only alters — so its schema matches the ops
+    # it is about to ingest
     d = diff_versions(spark, src_path, state, src_v)
-    _follow_renames(spark, feed_path, src_cols,
-                    reserved=("op", "_src_version"))
+    _follow_evolution(
+        spark, feed_path,
+        [(f["name"], f["type"])
+         for f in json.loads(src_man["schema"])["fields"]],
+        reserved=("op", "_src_version"))
     ops = (_ops_from_diff(d, keys, preimages=include_preimages)
            .withColumn("_src_version", F.lit(src_v))
            .select(*src_cols, "op", "_src_version"))
@@ -3406,9 +3608,10 @@ def replicate_versioned(
             "bootstrap": False, "src_version": src_v, "ops": 0}
     d = diff_versions(spark, src_path, state, src_v)
     src_man = _read_manifest_meta(src_path, src_v)
-    _follow_renames(
+    _follow_evolution(
         spark, dst_path,
-        [f["name"] for f in json.loads(src_man["schema"])["fields"]])
+        [(f["name"], f["type"])
+         for f in json.loads(src_man["schema"])["fields"]])
     ops = _ops_from_diff(d, keys)
     n_ops = ops.count()
     if n_ops == 0:
@@ -3517,10 +3720,15 @@ def diff_versions(
     are scanned; after a compaction (logical no-op) the compacted
     files are read on both sides and the diff is empty. The
     subtraction itself is ``exceptAll`` — a hash aggregation on the
-    changed subset. Schemas must match between the versions UP TO
-    COLUMN RENAMES (equal physical sequences — the diff then presents
-    ``v_to``'s spelling); real evolution (add/drop/widen) raises —
-    reconcile explicitly.
+    changed subset. Schemas may differ between the versions by COLUMN
+    RENAMES and ADDITIVE evolution (added columns, lossless type
+    widening — ``_additive_evolution``): the diff presents ``v_to``'s
+    schema and spelling, with the old side re-labeled by physical-slot
+    identity, widened columns cast up, and post-``v_from`` columns
+    NULL-filled — exactly how ``v_from``-epoch rows read under the
+    newer committed schema, so an add-column alter alone contributes
+    an EMPTY diff (Delta CDF's rule). Destructive evolution (drop /
+    narrowing / type rewrite) raises — reconcile explicitly.
 
     Deletion vectors (merge-on-read deletes) change what a shared file
     CONTRIBUTES without changing its identity, so blanket file
@@ -3533,20 +3741,20 @@ def diff_versions(
     tombstone-delta rows."""
     ma = _read_manifest(path, v_from)
     mb = _read_manifest(path, v_to)
-    relabel = False
+    reconcile = False
     if json.loads(ma["schema"]) != json.loads(mb["schema"]):
-        if _phys_fields(ma) == _phys_fields(mb):
-            # the versions differ ONLY in logical spelling (renames —
-            # same physical slots, same types, same order): the diff
-            # is exact after re-labeling the old side positionally,
-            # and it PRESENTS v_to's spelling
-            relabel = True
+        if _additive_evolution(ma, mb):
+            # renames / added columns / lossless widening between the
+            # versions: the old side is reconciled onto v_to's schema
+            # by physical-slot identity (re-label + cast + NULL-fill)
+            # and the diff PRESENTS v_to's schema and spelling
+            reconcile = True
         else:
             raise ValueError(
                 f"versions {v_from} and {v_to} have different schemas "
-                "(beyond column renames) — diff_versions requires "
-                "matching physical schemas; reconcile the evolution "
-                "explicitly"
+                "beyond renames/additive evolution (a drop, narrowing, "
+                "or type rewrite) — diff_versions requires an additive "
+                "chain; reconcile the evolution explicitly"
             )
     schema_a = _committed_schema(ma)
     schema = _committed_schema(mb)  # the diff presents v_to's names
@@ -3588,10 +3796,11 @@ def diff_versions(
 
     old = read_side(ma, a_side, schema_a)
     new = read_side(mb, b_side, schema)
-    if relabel:
-        # positional re-label is exact: both sides project the SAME
-        # physical slots in the same order (checked above)
-        old = old.toDF(*[f.name for f in schema.fields])
+    if reconcile:
+        # slot-identity reconciliation is exact: same physical bytes,
+        # v_to's labels/types, post-v_from columns as typed NULL —
+        # identical to reading the old files under v_to's schema
+        old = _evolve_project(old, ma, mb)
     inserted = new.exceptAll(old).withColumn(change_col, F.lit("insert"))
     deleted = old.exceptAll(new).withColumn(change_col, F.lit("delete"))
     return inserted.unionByName(deleted)
@@ -3614,9 +3823,14 @@ def table_changes(
     of per-commit changed files — metadata-only commits contribute
     nothing and are skipped entirely from commit metadata; the 100 TB
     body is never rescanned. Exact over any chain (deletes, MoR
-    erasure, restores; compactions contribute empty diffs). Schema
-    must be constant across the range (evolution raises, same as
-    ``diff_versions``)."""
+    erasure, restores; compactions contribute empty diffs). The range
+    may cross RENAMES and ADDITIVE schema evolution (add-column
+    alters / ``merge_schema`` appends, lossless widening): every row
+    is stamped with the ``v_to`` schema — pre-evolution commits'
+    rows NULL-fill the later columns by physical-slot identity, and
+    the add-column alter itself contributes nothing (Delta CDF's
+    behavior). Destructive evolution (drop/narrow/rewrite) raises,
+    same as ``diff_versions``."""
     hi = latest_version(path) if v_to is None else v_to
     if hi is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -3626,8 +3840,6 @@ def table_changes(
         raise ValueError(f"v_from={v_from} is newer than {hi}")
     man_hi = _read_manifest_meta(path, hi)
     schema = _committed_schema(man_hi)
-    hi_names = [f.name for f in schema.fields]
-    f_hi = _phys_fields(man_hi)
     out_schema = (schema
                   .add(change_col, T.StringType())
                   .add(version_col, T.LongType()))
@@ -3638,27 +3850,39 @@ def table_changes(
         # change set — every row an insert stamped _commit_version=1.
         # (The generic loop below would try to diff against manifest
         # 00000000.json, which never exists.)
-        man1 = _read_manifest(path, 1)
-        if _phys_fields(man1) != f_hi:
+        try:
+            man1 = _read_manifest(path, 1)
+        except FileNotFoundError:
             raise ValueError(
-                "table_changes: schema changed across the requested "
-                "range (beyond column renames) — evolution diffs must "
-                "be reconciled explicitly (same contract as "
-                "diff_versions)"
+                f"table_changes: version 1 of {path} was vacuumed out "
+                "of the retained window — the requested range "
+                f"[0, {hi}] precedes replayable history; start from a "
+                "retained version, or bootstrap consumers from a "
+                "snapshot read (read_versioned) instead"
+            ) from None
+        if not _additive_evolution(man1, man_hi):
+            raise ValueError(
+                "table_changes: schema changed destructively across "
+                "the requested range (a drop, narrowing, or type "
+                "rewrite) — evolution diffs must be reconciled "
+                "explicitly (same contract as diff_versions)"
             )
-        # renames in the range only re-spell; present hi's names
-        d1 = (_read_snapshot(spark, path, man1).toDF(*hi_names)
+        # renames/additions in the range: stamp with hi's schema —
+        # slot-identity re-label, cast, NULL-fill (Delta CDF's rule)
+        d1 = (_evolve_project(_read_snapshot(spark, path, man1),
+                              man1, man_hi)
               .withColumn(change_col, F.lit("insert")))
         parts.append(d1.withColumn(version_col, F.lit(1)))
         v_from = 1
     for v in range(v_from + 1, hi + 1):
         man = _read_manifest_meta(path, v)
         prev = _read_manifest_meta(path, v - 1)
-        if _phys_fields(man) != f_hi:
+        if not _additive_evolution(man, man_hi):
             raise ValueError(
                 f"table_changes: version {v} changes the physical "
-                "schema (beyond column renames) — evolution diffs "
-                "must be reconciled explicitly"
+                "schema destructively (a drop, narrowing, or type "
+                "rewrite) — evolution diffs must be reconciled "
+                "explicitly"
             )
         # metadata-only commit (alter, empty append, no-op delete with
         # unchanged DVs): provably empty diff, skipped without a scan.
@@ -3674,10 +3898,11 @@ def table_changes(
                                                     or [])):
             continue
         d = diff_versions(spark, path, v - 1, v, change_col=change_col)
-        # per-commit diffs present their own commit's spelling; the
-        # feed presents ONE spelling — the newest — via positional
-        # re-label (physical sequences proved equal above)
-        parts.append(d.toDF(*hi_names, change_col)
+        # per-commit diffs present their own commit's schema; the feed
+        # presents ONE schema — the newest — via slot-identity
+        # reconciliation (additivity toward hi proved above; the
+        # change column rides through as a passthrough)
+        parts.append(_evolve_project(d, man, man_hi)
                      .withColumn(version_col, F.lit(v)))
     if not parts:
         return spark.createDataFrame([], out_schema)
@@ -3708,7 +3933,8 @@ def history(path: str) -> list[dict]:
                                    "cluster_since", "stream_batch_id",
                                    "stream_id", "committed_at",
                                    "merge_on", "strategy",
-                                   "renamed", "dropped",
+                                   "renamed", "dropped", "evolved",
+                                   "cloned_from", "cloned_version",
                                    "truncated_below")
                if k in man},
         })
@@ -3740,9 +3966,22 @@ def clone_versioned(src_path: str, dst_path: str,
     transaction high-water marks are deliberately NOT carried: the
     clone is a NEW table — point a stream at it with a fresh
     checkpoint (re-pointing an existing exactly-once writer at a clone
-    and expecting its marks is the classic CLONE footgun). Returns the
-    clone's version (always 1)."""
+    and expecting its marks is the classic CLONE footgun).
+
+    Observability contract (round-14 verdict): returns ``(version,
+    stats)`` with ``stats = {"files_linked", "files_copied",
+    "bytes_copied"}``, so "zero-copy" is a CHECKABLE claim — a
+    cross-device destination degrades to a copy per file (EXDEV only;
+    any other ``os.link`` error — permissions, quota — propagates
+    instead of silently copying 100 TB), counted and warned about on
+    the first occurrence. The link loop runs on a thread pool: it is
+    pure FS metadata (GIL-released syscalls), and a million-file table
+    should cost seconds of driver wall-clock, not a serial hour."""
+    import concurrent.futures
+    import errno
     import shutil
+    import threading
+    import warnings
 
     if latest_version(dst_path) is not None:
         raise ValueError(
@@ -3760,34 +3999,59 @@ def clone_versioned(src_path: str, dst_path: str,
     files = list(man["files"])
     dvs = list(man.get("dv_files") or [])
 
+    stats = {"files_linked": 0, "files_copied": 0, "bytes_copied": 0}
+    lock = threading.Lock()
+
     def link(rel: str) -> None:
         s = os.path.join(src_path, rel)
         d = os.path.join(dst_path, rel)
         os.makedirs(os.path.dirname(d), exist_ok=True)
         try:
             os.link(s, d)
-        except OSError:
-            shutil.copy2(s, d)  # cross-device: fall back to a copy
+            with lock:
+                stats["files_linked"] += 1
+        except OSError as e:
+            if e.errno != errno.EXDEV:
+                raise  # permissions/quota/IO: surface, don't copy
+            shutil.copy2(s, d)  # cross-device: genuine copy fallback
+            with lock:
+                stats["files_copied"] += 1
+                stats["bytes_copied"] += os.path.getsize(d)
+                first = stats["files_copied"] == 1
+            if first:
+                warnings.warn(
+                    f"clone_versioned: {dst_path} is on a different "
+                    f"device than {src_path} — falling back to full "
+                    "copies; this clone is NOT zero-copy",
+                    RuntimeWarning, stacklevel=2)
 
-    for rel in files + dvs:
-        link(rel)
     # per-dir advisory sidecars (stats/blooms/NDV): keyed by physical
     # column names and per-file basenames — both invariant under the
     # clone, so pruning works from the first read
+    rels = list(files) + dvs
     for d in sorted({os.path.dirname(rel) for rel in files}):
         for name in (filestats.STATS_SIDECAR, filestats.BLOOM_SIDECAR,
                      filestats.NDV_SIDECAR):
-            sp = os.path.join(src_path, d, name)
-            if os.path.exists(sp):
-                link(os.path.join(d, name))
+            if os.path.exists(os.path.join(src_path, d, name)):
+                rels.append(os.path.join(d, name))
+    # pre-create the directories serially (cheap, few), then fan the
+    # per-file link/copy calls over a thread pool — each is one
+    # GIL-releasing syscall, so the wall-clock is I/O-bound parallel
+    for d in sorted({os.path.dirname(rel) for rel in rels}):
+        os.makedirs(os.path.join(dst_path, d), exist_ok=True)
+    with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(32, (os.cpu_count() or 4) * 2)) as pool:
+        for _ in pool.map(link, rels):
+            pass  # re-raises the first worker exception, if any
     extra = {"cloned_from": os.path.abspath(src_path),
              "cloned_version": v,
              "column_mapping": _col_mapping(man),
              "retired_columns": man.get("retired_columns") or []}
     if man.get("constraints"):
         extra["constraints"] = man["constraints"]
-    return _commit(dst_path, "overwrite", files, man["schema"], None,
-                   extra, dvs=dvs)
+    ver = _commit(dst_path, "overwrite", files, man["schema"], None,
+                  extra, dvs=dvs)
+    return ver, dict(stats)
 
 
 def upgrade_manifest_lists(path: str) -> dict:

@@ -170,10 +170,21 @@ class VersionedStreamReader(DataSourceStreamReader):
         # query ADOPTS a rename that landed between runs and delivers
         # its pending rows under the new spelling — values exact by
         # physical identity. (Delta fails that restart unless schema
-        # tracking is configured; adoption is this source's stated
+        # tracking is configured; adoption is this source's DEFAULT
         # contract, pinned end-to-end in tests — the sink sees the
-        # spelling change.)
+        # spelling change. on_schema_change='fail' opts into the
+        # Delta-strict contract instead: pending rows committed under
+        # a retired spelling refuse to flow under the adopted schema —
+        # the right choice for exactly-once writers into systems keyed
+        # by column NAME, where a silent spelling change downstream is
+        # data corruption.)
         self.mapping_json = json.dumps(V._col_mapping(man0))
+        self.on_schema_change = str(
+            options.get("on_schema_change", "adopt")).lower()
+        if self.on_schema_change not in ("adopt", "fail"):
+            raise ValueError(
+                "versioned stream source: on_schema_change must be "
+                f"'adopt' or 'fail', got {self.on_schema_change!r}")
 
     # ---- offsets (driver) ------------------------------------------
     def initialOffset(self) -> dict:
@@ -287,6 +298,28 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "fixed at query start; restart the stream (new "
                     "checkpoint) to pick up the new schema"
                 )
+            if (man.get("renamed") or man.get("dropped")) \
+                    and self.on_schema_change == "fail":
+                # Delta-strict mode: rows pending in this range were
+                # committed under a spelling this run's schema no
+                # longer carries — in 'fail' mode they refuse to flow
+                # under the adopted schema (the default 'adopt'
+                # delivers them re-labeled, exact by physical
+                # identity). A name-keyed exactly-once sink opts in
+                # here so a restart can never silently change the
+                # spelling it emits.
+                ch = man.get("renamed") or man.get("dropped")
+                raise ValueError(
+                    f"versioned stream source: version {v} changed "
+                    f"the schema ({ch}) below this run's pending "
+                    "range and on_schema_change='fail' — refusing to "
+                    "deliver rows committed under the old spelling "
+                    "beneath the adopted schema; restart with "
+                    f"starting_version at/after {v} (accepting the "
+                    "gap), re-seed from a snapshot read, or use "
+                    "on_schema_change='adopt' (the default) to "
+                    "deliver them re-labeled"
+                )
             cur = set(man["files"])
             cur_dvs = set(man.get("dv_files") or [])
             if cur_dvs != prev_dvs:
@@ -392,7 +425,8 @@ def register_versioned_source(spark) -> None:
 def versioned_stream_read(spark, path: str,
                           starting_version: int | None = None,
                           starting_timestamp=None,
-                          max_files_per_batch: int | None = None):
+                          max_files_per_batch: int | None = None,
+                          on_schema_change: str = "adopt"):
     """``spark.readStream`` over a versioned table's append chain —
     each micro-batch delivers the rows committed since the stream's
     checkpointed version, exactly once, as file-grain executor
@@ -408,7 +442,13 @@ def versioned_stream_read(spark, path: str,
     lands as bounded batches. A run's first batch is uncapped by API
     constraint (the engine asks latestOffset before initialOffset and
     hides the checkpointed start — a blind cap would stall resumed
-    queries); bound a cold backfill with ``starting_version``."""
+    queries); bound a cold backfill with ``starting_version``.
+    ``on_schema_change``: ``'adopt'`` (default) lets a RESTART pick up
+    a rename/drop that landed between runs and deliver pending rows
+    re-labeled under the new schema (exact by physical identity);
+    ``'fail'`` is the Delta-strict contract — pending rows committed
+    under a retired spelling refuse to flow beneath the adopted
+    schema, for exactly-once writers into name-keyed systems."""
     if starting_version is not None and starting_timestamp is not None:
         raise ValueError(
             "starting_version and starting_timestamp are mutually "
@@ -421,4 +461,6 @@ def versioned_stream_read(spark, path: str,
         r = r.option("starting_version", starting_version or 0)
     if max_files_per_batch is not None:
         r = r.option("max_files_per_batch", int(max_files_per_batch))
+    if on_schema_change != "adopt":
+        r = r.option("on_schema_change", on_schema_change)
     return r.load()

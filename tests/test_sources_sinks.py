@@ -3266,11 +3266,12 @@ def test_diff_and_table_changes_across_renames(spark, tmp_path):
     assert {(1, "insert", k) for k in range(6)} <= got
     assert {(2, "insert", k) for k in (6, 7, 8)} <= got
     assert (4, "delete", 0) in got and len(got) == 10  # v3 contributes 0
-    # real evolution still refuses
+    # DESTRUCTIVE evolution still refuses (additive now reconciles —
+    # see test_evolution_cdf.py)
     V.drop_column(spark, t, "flag")                               # v5
-    with pytest.raises(ValueError, match="beyond column renames"):
+    with pytest.raises(ValueError, match="additive"):
         V.diff_versions(spark, t, 2, 5)
-    with pytest.raises(ValueError, match="beyond column renames"):
+    with pytest.raises(ValueError, match="destructively"):
         V.table_changes(spark, t, 0)
 
 
@@ -3406,8 +3407,15 @@ def test_clone_versioned_zero_copy_independent(spark, tmp_path):
     V.rename_column(spark, src, "v", "value")                     # v4
     V.add_constraint(spark, src, "k_pos", "k >= 0")               # v5
     V.build_ndv(spark, src, ["k"])
-    v = V.clone_versioned(src, dst)
+    v, cst = V.clone_versioned(src, dst)
     assert v == 1
+    # observability: same-device clone links everything, copies nothing
+    assert cst["files_copied"] == 0 and cst["bytes_copied"] == 0
+    assert cst["files_linked"] >= len(V._read_manifest(dst, 1)["files"])
+    # clone lineage is auditable from history(), not just manifests
+    h1 = V.history(dst)[0]
+    assert h1["cloned_from"] == _os.path.abspath(src)
+    assert h1["cloned_version"] == 5
     got = V.read_versioned(spark, dst)
     assert set(got.columns) == {"k", "value", "flag"}
     assert got.count() == 13  # DV respected (k=3 masked)
