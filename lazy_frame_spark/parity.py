@@ -5143,6 +5143,86 @@ def view_table_changes(spark, sf_dir):
 
 
 @query(
+    "view_table_changes_evolve",
+    # per-commit change feed ACROSS additive evolution (round 15,
+    # past-window like view_table_changes — the relay twin
+    # view_feed_evolve_follow holds the in-window slot): chain =
+    # snapshot <=600, append (600,900], merge_schema append (900,1000]
+    # adding prio, rename o_totalprice->price, CoW delete <=100. Every
+    # row is stamped with the NEWEST schema: pre-evolution commits
+    # NULL in prio, the rename alter contributes nothing, the delete's
+    # rows (v1 epoch) present under the new spelling with prio NULL
+    oracle="""
+    WITH ch AS (
+      SELECT 1 AS commit_v, 'insert' AS change_type, o_orderkey,
+             o_totalprice AS price, CAST(NULL AS VARCHAR) AS prio
+      FROM orders WHERE o_orderkey <= 600
+      UNION ALL
+      SELECT 2, 'insert', o_orderkey, o_totalprice, NULL
+      FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 900
+      UNION ALL
+      SELECT 3, 'insert', o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey > 900 AND o_orderkey <= 1000
+      UNION ALL
+      SELECT 5, 'delete', o_orderkey, o_totalprice, NULL
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT commit_v, change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           ROUND(SUM(price), 2) AS total,
+           CAST(COUNT(prio) AS BIGINT) AS n_prio
+    FROM ch GROUP BY commit_v, change_type
+    """,
+)
+def view_table_changes_evolve(spark, sf_dir):
+    """Per-commit change feed across ADDITIVE SCHEMA EVOLUTION
+    (round 15 — versioned.table_changes + _evolve_project): the range
+    crosses a merge_schema add-column AND a rename, and every row is
+    stamped with the v_to schema by physical-slot identity —
+    pre-evolution epochs NULL-fill the added column, the rename alter
+    contributes nothing, and a post-evolution CoW delete presents its
+    v1-epoch rows under the newest spelling (Delta CDF across ALTER
+    TABLE ADD COLUMNS). The row RAISES unless the rename commit
+    contributed zero rows."""
+    import hashlib
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vtce_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = o.select("o_orderkey", "o_totalprice")
+    V.write_versioned(
+        base.filter(F.col("o_orderkey") <= 600).repartition(4), t)  # v1
+    V.append_versioned(
+        base.filter(F.col("o_orderkey").between(601, 900)), t)      # v2
+    V.append_versioned(
+        o.filter(F.col("o_orderkey").between(901, 1000))
+        .withColumnRenamed("o_orderpriority", "prio"), t,
+        merge_schema=True)                                          # v3
+    V.rename_column(spark, t, "o_totalprice", "price")              # v4
+    V.delete_versioned(spark, t, "o_orderkey <= 100")               # v5
+    tc = V.table_changes(spark, t, 0)
+    if tc.filter(F.col("_commit_version") == 4).limit(1).count():
+        raise AssertionError("metadata-only rename contributed rows")
+    return (
+        tc.groupBy(F.col("_commit_version").alias("commit_v"),
+                   "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.sum("price"), 2).alias("total"),
+            F.count("prio").alias("n_prio"),
+        )
+    )
+
+
+@query(
     "view_feed_retention",
     # truncate_changes (past-window like view_table_changes): after
     # dropping the bootstrap ops, the retained feed holds exactly the
