@@ -193,6 +193,36 @@ def test_table_changes_from_zero_vacuumed_gives_guidance(spark, tmp_path):
         V.table_changes(spark, t, 0)
 
 
+def test_diff_and_relay_across_type_widening(spark, tmp_path):
+    """A lossless widening (int -> long via merge_schema) mid-range:
+    the diff casts the narrow epoch up under v_to's schema and the
+    relay feed FOLLOWS the widening with a metadata-only evolve."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "dv_widen")
+    feed = str(tmp_path / "dv_widen_feed")
+    narrow = spark.createDataFrame(
+        [(i, i * 2) for i in range(4)], "k long, n int")
+    wide = spark.createDataFrame(
+        [(i, i * 2) for i in range(4, 6)], "k long, n long")
+    V.write_versioned(narrow, t)                                 # v1
+    V.relay_changes(spark, t, feed, "k")
+    V.append_versioned(wide, t, merge_schema=True)               # v2 widens
+    assert V._committed_schema(
+        V._read_manifest_meta(t, 2))["n"].dataType.typeName() == "long"
+    d = V.diff_versions(spark, t, 1, 2)
+    assert d.schema["n"].dataType.typeName() == "long"
+    assert {(r["k"], r["n"]) for r in d.collect()} == {(4, 8), (5, 10)}
+    _, st = V.relay_changes(spark, t, feed, "k")
+    assert st["ops"] == 2
+    got = V.read_versioned(spark, feed)
+    assert got.schema["n"].dataType.typeName() == "long"         # followed
+    assert any(h.get("evolved", {}).get("widened") == ["n"]
+               for h in V.history(feed))
+    assert {(r["k"], r["n"]) for r in got.collect()} == \
+        {(i, i * 2) for i in range(6)}
+
+
 # ---------------------------------------------------------------------------
 # relays across evolution
 # ---------------------------------------------------------------------------
