@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "view_versioned_replicate",  # CDF relay: diff -> keyed CDC commit
     "stream_versioned_cdf",      # streaming change feed: relay + 2 drains
     "view_metadata_ndv",         # zero-scan COUNT(DISTINCT) from sidecars
+    "view_feed_evolve_follow",   # CDF relay across add-column evolution (r15)
 ]
 
 
@@ -207,6 +208,10 @@ BUDGETS_SF01 = {
     # sketch build + exact-distinct verification scans; the graded
     # metadata_ndv call itself is a driver-side sidecar walk)
     "view_metadata_ndv": 9.0,
+    # round-15 row: measured warm min 3.95 s (source fixture + feed
+    # bootstrap + merge_schema append + evolve-following relay + the
+    # no-op replay; the graded follow itself is metadata-only)
+    "view_feed_evolve_follow": 8.0,
 }
 
 #: Phase-split rows (round-11 verdict item 6): the row's recorded time
