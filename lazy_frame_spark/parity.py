@@ -5223,6 +5223,88 @@ def view_table_changes_evolve(spark, sf_dir):
 
 
 @query(
+    "view_table_detail",
+    # DESCRIBE DETAIL + VACUUM DRY RUN (round 15, past-window —
+    # operational metadata, invariant-oracle style like
+    # view_metadata_agg): the row RAISES unless every detail field
+    # matches a from-scratch recomputation and the dry run's counters
+    # exactly predict the real vacuum while deleting nothing; the
+    # value check re-derives the footer row count declaratively
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS detail_exact, TRUE AS dry_run_exact
+    FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 900
+    """,
+)
+def view_table_detail(spark, sf_dir):
+    """Zero-job DESCRIBE DETAIL + VACUUM DRY RUN
+    (sources/versioned.table_detail / vacuum_versioned(dry_run=True)):
+    the operational snapshot an operator reads before touching a
+    100 TB table — version span, footer row count, stat()-summed
+    bytes, schema + mapping + constraints — with NO SparkSession
+    parameter (zero jobs by construction), and a retention preview
+    whose counters must EXACTLY predict the destructive run. The row
+    raises on any divergence: detail vs manifest recomputation, dry
+    counters vs real counters, or any file the dry run touched."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    from lazy_frame_spark.sources import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"/tmp/lfs_vtd_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    V.write_versioned(
+        o.filter(F.col("o_orderkey") <= 500).repartition(2), t)   # v1
+    V.write_versioned(
+        o.filter((F.col("o_orderkey") > 300)
+                 & (F.col("o_orderkey") <= 800)), t)              # v2
+    V.append_versioned(
+        o.filter((F.col("o_orderkey") > 800)
+                 & (F.col("o_orderkey") <= 900)), t)              # v3
+    d = V.table_detail(t)
+    man = V._read_manifest(t, 3)
+    size = sum(_os.path.getsize(_os.path.join(t, rel))
+               for rel in man["files"])
+    detail_exact = (
+        d["version"] == 3 and d["num_versions"] == 3
+        and d["oldest_version"] == 1 and d["action"] == "append"
+        and d["n_files"] == len(man["files"]) and d["n_dv_files"] == 0
+        and d["size_bytes"] == size
+        and d["columns"] == [("o_orderkey", "bigint"),
+                             ("o_totalprice", "double")]
+    )
+    if not detail_exact:
+        raise AssertionError(f"table_detail diverged: {d}")
+    dry = V.vacuum_versioned(t, keep_last=2, dry_run=True)
+    if not (dry["dry_run"] and dry["manifests_dropped"] == 1
+            and dry["data_files_dropped"]
+            == len(V._read_manifest(t, 1)["files"])
+            and dry["bytes_reclaimable"] > 0):
+        raise AssertionError(f"dry run wrong: {dry}")
+    if V._versions(t) != [1, 2, 3] or \
+            V.read_versioned(spark, t, version=1).count() == 0:
+        raise AssertionError("dry run mutated the table")
+    real = V.vacuum_versioned(t, keep_last=2)
+    dry_run_exact = all(
+        real[k] == dry[k] for k in
+        ("orphan_tmp_dirs", "manifests_dropped", "data_files_dropped"))
+    if not dry_run_exact:
+        raise AssertionError(f"dry {dry} != real {real}")
+    if V.table_detail(t)["num_versions"] != 2:
+        raise AssertionError("real vacuum did not drop v1")
+    return spark.range(1).select(
+        F.lit(int(d["rows"])).cast("long").alias("n"),
+        F.lit(bool(detail_exact)).alias("detail_exact"),
+        F.lit(bool(dry_run_exact)).alias("dry_run_exact"),
+    )
+
+
+@query(
     "view_feed_retention",
     # truncate_changes (past-window like view_table_changes): after
     # dropping the bootstrap ops, the retained feed holds exactly the

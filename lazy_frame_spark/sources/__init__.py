@@ -14,6 +14,7 @@ from lazy_frame_spark.sources.versioned import (
     read_versioned,
     rename_column,
     restore_versioned,
+    table_detail,
     upgrade_manifest_lists,
     vacuum_versioned,
     versioned_stream_writer,
@@ -26,6 +27,6 @@ __all__ = [
     "write_versioned", "append_versioned", "delete_versioned",
     "drop_column", "evolve_schema",
     "restore_versioned", "read_versioned", "rename_column",
-    "history", "vacuum_versioned", "upgrade_manifest_lists",
+    "history", "table_detail", "vacuum_versioned", "upgrade_manifest_lists",
     "compact_versioned", "cluster_versioned", "clone_versioned", "versioned_stream_writer", "appended_since",
 ]

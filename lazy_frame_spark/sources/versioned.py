@@ -117,6 +117,7 @@ __all__ = [
     "truncate_changes",
     "build_blooms",
     "history",
+    "table_detail",
     "latest_version",
     "vacuum_versioned",
     "appended_since",
@@ -3941,9 +3942,59 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def table_detail(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL from pure metadata (Delta's ``DESCRIBE DETAIL``
+    / Iceberg's table summary) — the one-call operational snapshot an
+    operator reads before touching a 100 TB table: NO SparkSession
+    parameter, so by construction it runs zero jobs and scans zero
+    data. Row count comes from the manifest's footer totals (tombstones
+    NOT subtracted — stated, like ``history()``); ``size_bytes`` is a
+    stat() walk over the chosen version's file list (O(files) metadata
+    calls, the same cost class as planning a scan). Reports the commit
+    chain's span (``num_versions``, ``oldest_version`` — what a
+    time-travel or CDF read can still reach after vacuums), schema,
+    column mapping + retired slots, constraints, DV presence, clone
+    lineage, and the newest commit's action/timestamp. Pair with
+    ``vacuum_versioned(dry_run=True)`` to preview retention changes
+    before committing to them."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    v = vs[-1] if version is None else version
+    man = _read_manifest(path, v)
+    size = 0
+    for rel in list(man["files"]) + list(man.get("dv_files") or []):
+        try:
+            size += os.path.getsize(os.path.join(path, rel))
+        except OSError:
+            pass  # best-effort: a racing vacuum can't fail DESCRIBE
+    schema = _committed_schema(man)
+    out = {
+        "path": os.path.abspath(path),
+        "version": v,
+        "action": man.get("action"),
+        "committed_at": man.get("committed_at"),
+        "num_versions": len(vs),
+        "oldest_version": vs[0],
+        "n_files": man.get("files_count", len(man["files"])),
+        "n_dv_files": len(man.get("dv_files") or []),
+        "rows": man.get("rows"),
+        "size_bytes": size,
+        "columns": [(f.name, f.dataType.simpleString())
+                    for f in schema.fields],
+        "column_mapping": _col_mapping(man),
+        "retired_columns": man.get("retired_columns") or [],
+        "constraints": man.get("constraints") or {},
+    }
+    for k in ("cloned_from", "cloned_version"):
+        if k in man:
+            out[k] = man[k]
+    return out
+
+
 def clone_versioned(src_path: str, dst_path: str,
                     version: int | None = None,
-                    as_of=None) -> int:
+                    as_of=None) -> tuple[int, dict]:
     """ZERO-COPY table clone (Delta's CLONE): materialize ``version``
     of ``src_path`` (default latest; or ``as_of`` a timestamp) as a
     brand-new independent table at ``dst_path`` whose data files are
@@ -4088,7 +4139,19 @@ def upgrade_manifest_lists(path: str) -> dict:
     return {"upgraded": upgraded, "already_ok": ok, "failed": failed}
 
 
-def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
+def _tree_bytes(p: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(p):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def vacuum_versioned(path: str, keep_last: int | None = None,
+                     dry_run: bool = False) -> dict:
     """Reclaim storage. Always removes commit debris no manifest
     references: dot-temp write dirs AND orphan attempt dirs (a crashed
     or conflict-losing commit renames its data dir into place but never
@@ -4100,6 +4163,13 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
     batch high-water mark in a ``_stream_hw.json`` sidecar before its
     manifests drop (otherwise a post-vacuum restart would re-ingest the
     replayed epoch — duplicate rows under an exactly-once contract).
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN): report EXACTLY what a
+    real run would reclaim — same counters, same walk — plus
+    ``bytes_reclaimable``, deleting nothing and writing nothing (the
+    high-water sidecar folds are skipped too). At 100 TB you preview a
+    retention change's blast radius before committing to it; the
+    destructive run is a second, explicit call.
 
     Run with NO CONCURRENT WRITER: an in-flight commit that has renamed
     its attempt dir but not yet published looks exactly like debris.
@@ -4128,11 +4198,15 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
     referenced_dirs = {rel.split(os.sep)[1] for rel in all_referenced
                        if rel.startswith("data" + os.sep)}
     removed_tmp = 0
+    reclaimable = 0
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
             if name.startswith(".tmp-") or name not in referenced_dirs:
-                shutil.rmtree(os.path.join(data_dir, name),
-                              ignore_errors=True)
+                sub = os.path.join(data_dir, name)
+                if dry_run:
+                    reclaimable += _tree_bytes(sub)
+                else:
+                    shutil.rmtree(sub, ignore_errors=True)
                 removed_tmp += 1
     # orphan manifest-list sidecars: written by a crashed or
     # conflict-losing commit whose manifest never published
@@ -4149,7 +4223,11 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
                  and name not in referenced_lists)
                     or name.startswith(".tmp-")):
                 try:
-                    os.remove(os.path.join(mdir, name))
+                    if dry_run:
+                        reclaimable += os.path.getsize(
+                            os.path.join(mdir, name))
+                    else:
+                        os.remove(os.path.join(mdir, name))
                     removed_tmp += 1
                 except OSError:
                     pass
@@ -4185,35 +4263,54 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
             app, tver = man.get("txn_app"), man.get("txn_version")
             if app is not None and tver is not None:
                 txn_hw[app] = max(tver, txn_hw.get(app, tver))
-        if hw:
+        if hw and not dry_run:
             tmp = sidecar + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(hw, f)
             os.replace(tmp, sidecar)
-        if txn_hw:
+        if txn_hw and not dry_run:
             tmp = txn_sidecar + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(txn_hw, f)
             os.replace(tmp, txn_sidecar)
+        dropping: set[str] = set()
         for v in vs:
             if v in keep:
                 continue
             man = _read_manifest(path, v)
             for rel in (list(man["files"])
                         + list(man.get("dv_files") or [])):
-                if rel not in referenced:
+                if rel not in referenced and rel not in dropping:
                     fp = os.path.join(path, rel)
                     if os.path.exists(fp):
-                        os.remove(fp)
+                        dropping.add(rel)
+                        if dry_run:
+                            reclaimable += os.path.getsize(fp)
+                        else:
+                            os.remove(fp)
                         dropped_files += 1
             fp_rel = man.get("files_parquet")
             if fp_rel:
+                abs_list = os.path.join(_manifest_dir(path), fp_rel)
+                if dry_run:
+                    try:
+                        reclaimable += os.path.getsize(abs_list)
+                    except OSError:
+                        pass
+                else:
+                    try:
+                        os.remove(abs_list)
+                    except OSError:
+                        pass
+                    _MANIFEST_LIST_CACHE.pop((path, v), None)
+            mpath = os.path.join(_manifest_dir(path), f"{v:08d}.json")
+            if dry_run:
                 try:
-                    os.remove(os.path.join(_manifest_dir(path), fp_rel))
+                    reclaimable += os.path.getsize(mpath)
                 except OSError:
                     pass
-                _MANIFEST_LIST_CACHE.pop((path, v), None)
-            os.remove(os.path.join(_manifest_dir(path), f"{v:08d}.json"))
+            else:
+                os.remove(mpath)
             dropped_manifests += 1
         # prune dead data directories: manifests reference ONLY
         # .parquet files, so once a dir's last parquet file is dropped
@@ -4224,12 +4321,30 @@ def vacuum_versioned(path: str, keep_last: int | None = None) -> dict:
         if os.path.isdir(data_dir):
             for name in sorted(os.listdir(data_dir)):
                 sub = os.path.join(data_dir, name)
-                if os.path.isdir(sub) and not any(
-                    f.endswith(".parquet") for f in os.listdir(sub)
-                ):
+                if not os.path.isdir(sub):
+                    continue
+                live = [f for f in os.listdir(sub)
+                        if f.endswith(".parquet")]
+                if dry_run:
+                    # a dir is dead AFTER the simulated drops if every
+                    # parquet it holds is in the dropping set — its
+                    # writer debris (sidecars, _SUCCESS, .crc) goes too
+                    rels = {os.path.join("data", name, f) for f in live}
+                    if rels and rels <= dropping:
+                        reclaimable += sum(
+                            _tree_bytes(os.path.join(sub, f))
+                            if os.path.isdir(os.path.join(sub, f))
+                            else os.path.getsize(os.path.join(sub, f))
+                            for f in os.listdir(sub)
+                            if not f.endswith(".parquet"))
+                elif not live:
                     shutil.rmtree(sub, ignore_errors=True)
-    return {
+    out = {
         "orphan_tmp_dirs": removed_tmp,
         "manifests_dropped": dropped_manifests,
         "data_files_dropped": dropped_files,
     }
+    if dry_run:
+        out["dry_run"] = True
+        out["bytes_reclaimable"] = reclaimable
+    return out

@@ -550,3 +550,60 @@ def test_stream_passes_evolve_alter_even_in_fail_mode(spark, tmp_path):
     assert got.count() == 7
     assert got.filter("q IS NOT NULL").count() == 2              # k=5,6
     assert got.filter("k = 4").collect()[0]["q"] is None         # padded
+
+
+# ---------------------------------------------------------------------------
+# operational metadata: DESCRIBE DETAIL + VACUUM DRY RUN
+# ---------------------------------------------------------------------------
+
+
+def test_table_detail_and_vacuum_dry_run(spark, tmp_path):
+    """table_detail is a zero-job DESCRIBE DETAIL (no SparkSession
+    parameter), and vacuum dry_run reports EXACTLY what the real run
+    then reclaims while deleting and writing nothing."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "td")
+    V.write_versioned(_rows(spark, 0, 6).repartition(2), t)      # v1
+    V.write_versioned(_rows(spark, 0, 4), t)                     # v2 overwrite
+    V.append_versioned(_rows(spark, 4, 7), t)                    # v3
+    V.rename_column(spark, t, "k", "key")                        # v4
+    man4 = V._read_manifest(t, 4)
+    d = V.table_detail(t)
+    assert d["version"] == 4 and d["action"] == "alter"
+    assert d["num_versions"] == 4 and d["oldest_version"] == 1
+    assert d["rows"] == 7
+    assert d["n_files"] == len(man4["files"]) and d["n_dv_files"] == 0
+    assert d["size_bytes"] == sum(
+        os.path.getsize(os.path.join(t, rel)) for rel in man4["files"])
+    assert ("key", "bigint") in d["columns"]
+    assert d["column_mapping"] == {"key": "k"}
+    d1 = V.table_detail(t, version=1)
+    assert d1["rows"] == 6 and ("k", "bigint") in d1["columns"]
+    # plant commit debris so the orphan counter has something to see
+    os.makedirs(os.path.join(t, "data", ".tmp-debris"))
+    with open(os.path.join(t, "data", ".tmp-debris", "x.bin"), "wb") as f:
+        f.write(b"\0" * 512)
+    before = V._versions(t)
+    dry = V.vacuum_versioned(t, keep_last=2, dry_run=True)
+    assert dry["dry_run"] is True and dry["bytes_reclaimable"] > 0
+    assert dry["manifests_dropped"] == 2                          # v1, v2
+    assert dry["data_files_dropped"] == len(V._read_manifest(t, 1)["files"])
+    assert dry["orphan_tmp_dirs"] == 1
+    # NOTHING moved: same versions, v1 still readable, debris intact
+    assert V._versions(t) == before
+    assert V.read_versioned(spark, t, version=1).count() == 6
+    assert os.path.exists(os.path.join(t, "data", ".tmp-debris", "x.bin"))
+    real = V.vacuum_versioned(t, keep_last=2)
+    assert {k: real[k] for k in dry if k in real} == \
+        {k: v for k, v in dry.items()
+         if k not in ("dry_run", "bytes_reclaimable")}
+    d2 = V.table_detail(t)
+    assert d2["num_versions"] == 2 and d2["oldest_version"] == 3
+    assert V.read_versioned(spark, t).count() == 7
+    # clone lineage surfaces in detail too
+    dst = str(tmp_path / "td_clone")
+    V.clone_versioned(t, dst)
+    dc = V.table_detail(dst)
+    assert dc["cloned_from"] == os.path.abspath(t)
+    assert dc["cloned_version"] == 4 and dc["column_mapping"] == {"key": "k"}
