@@ -607,3 +607,155 @@ def test_table_detail_and_vacuum_dry_run(spark, tmp_path):
     dc = V.table_detail(dst)
     assert dc["cloned_from"] == os.path.abspath(t)
     assert dc["cloned_version"] == 4 and dc["column_mapping"] == {"key": "k"}
+
+
+# ---------------------------------------------------------------------------
+# property: evolution-crossing diff vs a pure-Python ground truth
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_NAME_POOL = ["na", "nb", "nc", "nd", "ne", "nf", "ng", "nh", "ni", "nj"]
+
+_EVO_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(2, 4)),
+    st.tuples(st.just("rename"), st.integers(0, 9), st.integers(0, 9)),
+    st.tuples(st.just("add"), st.integers(0, 9)),
+    st.tuples(st.just("ms_append"), st.integers(2, 4), st.integers(0, 9)),
+    st.tuples(st.just("delete"), st.integers(1, 3)),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_EVO_OP, min_size=2, max_size=5))
+def test_evolution_diff_matches_python_ground_truth(spark, ops):
+    """Random chains of append / rename / evolve-add / merge_schema
+    append / CoW delete, then diff_versions over additive spans,
+    checked against a pure-Python slot-identity replay: the diff must
+    present v_to's schema and NULL-fill exactly the columns younger
+    than each row's epoch. Exercises rename-after-add, add-after-
+    rename (occupied-name fresh slots), and deletes mid-chain."""
+    import shutil
+    import tempfile
+
+    from lazy_frame_spark.sources import versioned as V
+    from pyspark.sql import types as T
+
+    t = tempfile.mkdtemp(prefix="lfs_evo_prop_")
+    shutil.rmtree(t, ignore_errors=True)
+    try:
+        # ground truth: columns as (logical, slot) in schema order; the
+        # key column "k" is never renamed; rows keyed by k hold values
+        # BY SLOT (slot identity is what survives renames)
+        cols = [("k", "k"), ("v1", "v1")]
+        rows: dict[int, dict] = {}
+        snaps: dict[int, tuple] = {}
+        next_key = 0
+        slot_ctr = 0
+
+        def df_for(keys, with_col=None):
+            names = [l for l, _ in cols] + ([with_col] if with_col else [])
+            data = []
+            for k in keys:
+                vals = {s: k * 100 + i for i, (_, s) in enumerate(cols)}
+                vals["k"] = k
+                row = [vals[s] for _, s in cols]
+                if with_col:
+                    row.append(k * 100 + 99)
+                data.append(tuple(row))
+            return spark.createDataFrame(
+                data, ", ".join(f"{n} long" for n in names))
+
+        def record(keys, with_slot=None):
+            for k in keys:
+                d = {s: k * 100 + i for i, (_, s) in enumerate(cols)}
+                d["k"] = k
+                if with_slot:
+                    d[with_slot] = k * 100 + 99
+                rows[k] = d
+
+        def snap():
+            v = V.latest_version(t)
+            snaps[v] = ([tuple(c) for c in cols],
+                        {k: dict(d) for k, d in rows.items()})
+
+        keys0 = list(range(next_key, next_key + 3))
+        next_key += 3
+        V.write_versioned(df_for(keys0), t)
+        record(keys0)
+        snap()
+
+        for op in ops:
+            live = {l for l, _ in cols}
+            if op[0] == "append":
+                ks = list(range(next_key, next_key + op[1]))
+                next_key += op[1]
+                V.append_versioned(df_for(ks), t)
+                record(ks)
+            elif op[0] == "rename":
+                cands = [i for i in range(1, len(cols))]
+                src_l, src_s = cols[cands[op[1] % len(cands)]]
+                new = _NAME_POOL[op[2] % len(_NAME_POOL)]
+                if new in live:
+                    continue
+                V.rename_column(spark, t, src_l, new)
+                cols[[l for l, _ in cols].index(src_l)] = (new, src_s)
+            elif op[0] == "add":
+                new = _NAME_POOL[op[1] % len(_NAME_POOL)]
+                if new in live:
+                    continue
+                V.evolve_schema(t, T.StructType(
+                    [T.StructField(new, T.LongType(), True)]))
+                slot_ctr += 1
+                cols.append((new, f"__slot{slot_ctr}"))
+            elif op[0] == "ms_append":
+                new = _NAME_POOL[op[2] % len(_NAME_POOL)]
+                ks = list(range(next_key, next_key + op[1]))
+                next_key += op[1]
+                if new in live:
+                    V.append_versioned(df_for(ks), t)
+                    record(ks)
+                else:
+                    V.append_versioned(df_for(ks, with_col=new), t,
+                                       merge_schema=True)
+                    slot_ctr += 1
+                    s = f"__slot{slot_ctr}"
+                    record(ks, with_slot=s)
+                    cols.append((new, s))
+            elif op[0] == "delete":
+                if not rows:
+                    continue
+                thr = sorted(rows)[min(op[1], len(rows)) - 1]
+                V.delete_versioned(spark, t, f"k <= {thr}")
+                for k in [k for k in rows if k <= thr]:
+                    del rows[k]
+            snap()
+
+        vs = sorted(snaps)
+        last = vs[-1]
+        pairs = {(vs[0], last), (vs[len(vs) // 2], last)}
+        for lo, hi in pairs:
+            if lo >= hi:
+                continue
+            cols_j, rows_j = snaps[hi]
+            _, rows_i = snaps[lo]
+            slots_j = [s for _, s in cols_j]
+
+            def tup(d):
+                return tuple(d.get(s) for s in slots_j)
+
+            want = sorted(
+                [tup(rows_j[k]) + ("insert",) for k in rows_j
+                 if k not in rows_i or tup(rows_i[k]) != tup(rows_j[k])]
+                + [tup(rows_i[k]) + ("delete",) for k in rows_i
+                   if k not in rows_j or tup(rows_i[k]) != tup(rows_j[k])]
+            )
+            d = V.diff_versions(spark, t, lo, hi)
+            assert d.columns == [l for l, _ in cols_j] + ["change_type"]
+            got = sorted(tuple(r) for r in d.collect())
+            assert got == want, (lo, hi, got, want)
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
