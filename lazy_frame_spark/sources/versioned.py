@@ -2367,14 +2367,20 @@ def evolve_schema(path: str, schema) -> int:
     add-column (``_follow_evolution``) — the feed's schema evolves in
     lockstep, metadata-only, before the evolved ops append.
 
-    ``schema`` may be a StructType, a schema-JSON string, or a
-    DataFrame (its schema is taken). Returns the table version."""
+    ``schema`` may be a StructType, a DDL string (``"q long, lang
+    string"``), a schema-JSON string, or a DataFrame (its schema is
+    taken). Returns the table version."""
     if isinstance(schema, DataFrame):
         schema_json = schema.schema.json()
     elif isinstance(schema, T.StructType):
         schema_json = schema.json()
     else:
-        schema_json = str(schema)
+        try:
+            json.loads(str(schema))
+            schema_json = str(schema)
+        except ValueError:
+            # DDL form — the same surface spark.createDataFrame takes
+            schema_json = T.StructType.fromDDL(str(schema)).json()
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")

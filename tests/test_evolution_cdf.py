@@ -63,9 +63,8 @@ def test_evolve_schema_metadata_only_add_and_widen(spark, tmp_path):
     assert V.evolve_schema(t, T.StructType([
         T.StructField("q", T.IntegerType(), True)])) == 2
     assert V.latest_version(t) == 2
-    # lossless widening via the same verb
-    v3 = V.evolve_schema(t, T.StructType([
-        T.StructField("q", T.LongType(), True)]))                # v3
+    # lossless widening via the same verb — DDL string form
+    v3 = V.evolve_schema(t, "q long")                            # v3
     assert v3 == 3
     assert V.history(t)[-1]["evolved"] == {"added": [], "widened": ["q"]}
     # post-evolution append under the evolved schema reads seamlessly
