@@ -2463,6 +2463,7 @@ def merge_versioned(
     insert_unmatched: bool = True,
     extra: dict | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> tuple[int, dict]:
     """Key-based MERGE (upsert) as one copy-on-write commit — the
     missing verb between ``append_versioned`` (blind add) and
@@ -2495,8 +2496,15 @@ def merge_versioned(
     ``update`` mode requires source keys UNIQUE (two source rows with
     one key make the replacement ambiguous — checked, one aggregate
     over the source) and the source schema to match the committed
-    schema exactly; evolve first with
-    ``append_versioned(merge_schema=True)`` if the batch grew columns.
+    schema exactly. ``merge_schema=True`` is Delta's
+    ``MERGE ... withSchemaEvolution``: the table additively evolves to
+    cover the source FIRST (one metadata-only ``evolve_schema`` alter
+    — idempotent, so a crash between it and the merge commit is
+    harmless and the retry converges), then the merge lands under the
+    evolved schema; existing rows read the new columns as NULL. The
+    source must still carry every committed column (whole-row
+    REPLACE semantics — a narrower source would silently NULL the
+    columns it lacks, so it stays refused).
     ``txn=(app_id, txn_version)`` makes the merge IDEMPOTENT per app
     exactly like ``append_versioned``'s transaction identifiers — an
     already-applied replay (or a racing twin that lost the commit) is
@@ -2507,6 +2515,12 @@ def merge_versioned(
         raise ValueError(
             f"when_matched must be 'update' or 'delete', got {when_matched!r}"
         )
+    if merge_schema and when_matched == "update":
+        # withSchemaEvolution: additive evolution rides a separate
+        # metadata-only alter BEFORE the merge — idempotent, so the
+        # two-commit shape has no bad crash window (delete mode's
+        # keys-only source never evolves anything)
+        evolve_schema(path, source.schema.json())
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")
@@ -2649,6 +2663,7 @@ def apply_cdc(
     op_col: str = "op",
     extra: dict | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> tuple[int, dict]:
     """Apply a CDC batch — rows tagged ``insert`` / ``update`` /
     ``delete`` (or ``I``/``U``/``D``) in ``op_col`` — as ONE atomic
@@ -2670,8 +2685,16 @@ def apply_cdc(
     Same scale shape as merge: bounds-pre-cut discovery key scan,
     touched-file rewrite, everything else carried by reference.
     ``txn=(app_id, txn_version)`` — idempotence per app, exactly as in
-    ``merge_versioned``/``append_versioned``."""
+    ``merge_versioned``/``append_versioned``. ``merge_schema=True``
+    evolves the table additively to cover the batch (minus the op
+    column) before applying — the CDC twin of Delta's MERGE
+    withSchemaEvolution, same idempotent two-commit shape as
+    ``merge_versioned``."""
     keys = [on] if isinstance(on, str) else list(on)
+    if merge_schema:
+        data_fields = [f for f in batch.schema.fields
+                       if f.name != op_col]
+        evolve_schema(path, T.StructType(data_fields).json())
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {path}")

@@ -758,3 +758,66 @@ def test_evolution_diff_matches_python_ground_truth(spark, ops):
             assert got == want, (lo, hi, got, want)
     finally:
         shutil.rmtree(t, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / CDC apply with schema evolution (withSchemaEvolution)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_versioned_with_schema_evolution(spark, tmp_path):
+    """merge_versioned(merge_schema=True) — Delta's MERGE
+    withSchemaEvolution: the table evolves additively to cover the
+    source (metadata-only alter), matched rows are replaced carrying
+    the new column, unmatched old rows read it as NULL; without the
+    flag the widened source still refuses."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "mse")
+    V.write_versioned(_rows(spark, 0, 5), t)                     # v1
+    src = _rows_q(spark, 3, 7, flag="upd")                       # 3,4 match
+    with pytest.raises(ValueError, match="diverges"):
+        V.merge_versioned(spark, t, src, "k")
+    v, st = V.merge_versioned(spark, t, src, "k", merge_schema=True)
+    assert v == 3  # v2 = evolve alter, v3 = the merge commit
+    assert V.history(t)[1]["evolved"] == {"added": ["q"], "widened": []}
+    got = V.read_versioned(spark, t)
+    assert got.columns == ["k", "v", "flag", "q"]
+    assert got.count() == 7
+    rows = {r["k"]: (r["flag"], r["q"]) for r in got.collect()}
+    assert rows[0] == ("a", None) and rows[2] == ("a", None)
+    assert rows[3] == ("upd", 3) and rows[6] == ("upd", 1)
+    # idempotent replay converges (same source, evolve no-ops)
+    v2, _ = V.merge_versioned(spark, t, src, "k", merge_schema=True)
+    assert v2 == 4 and V.read_versioned(spark, t).count() == 7
+    # delete mode with keys-only source: merge_schema is a no-op
+    v3, _ = V.merge_versioned(
+        spark, t, spark.createDataFrame([(0,)], "k long"), "k",
+        when_matched="delete", merge_schema=True)
+    assert V.read_versioned(spark, t).count() == 6
+
+
+def test_apply_cdc_with_schema_evolution(spark, tmp_path):
+    """apply_cdc(merge_schema=True): an I/U/D batch carrying a new
+    column evolves the table first (op column excluded from the
+    evolution), then applies as ONE CoW commit."""
+    from lazy_frame_spark.sources import versioned as V
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "cse")
+    V.write_versioned(_rows(spark, 0, 5), t)                     # v1
+    batch = (
+        _rows_q(spark, 4, 7, flag="x")
+        .withColumn("op", F.when(F.col("k") == 4, "U").otherwise("I"))
+        .unionByName(
+            _rows_q(spark, 0, 1).withColumn("op", F.lit("D")))
+    )
+    with pytest.raises(ValueError, match="diverges"):
+        V.apply_cdc(spark, t, batch, "k")
+    v, st = V.apply_cdc(spark, t, batch, "k", merge_schema=True)
+    got = V.read_versioned(spark, t)
+    assert got.columns == ["k", "v", "flag", "q"]
+    rows = {r["k"]: (r["flag"], r["q"]) for r in got.collect()}
+    assert 0 not in rows and len(rows) == 6    # 5 - 1 D + 2 I, 1 U in place
+    assert rows[4] == ("x", 4) and rows[1] == ("a", None)
+    assert "op" not in got.columns and "q" in got.columns
