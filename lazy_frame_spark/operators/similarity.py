@@ -43,6 +43,148 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def _fixed_dim(df: DataFrame, col: str) -> int | None:
+    """The array width when every non-NULL vector in ``col`` has the
+    same one — ONE column-pruned min/max-of-size aggregate — else
+    None. This probe gates the Arrow pair stages: proving the data
+    fixed-width up front is what lets the numpy screen stack vectors
+    into a matrix with nothing silently truncated or padded (ragged
+    or empty inputs keep the all-Catalyst path). The probe is linear
+    in the corpus; the pair stages it unblocks are quadratic per
+    cell."""
+    row = df.agg(F.min(F.size(F.col(col))).alias("__lo__"),
+                 F.max(F.size(F.col(col))).alias("__hi__")).collect()[0]
+    lo, hi = row["__lo__"], row["__hi__"]
+    return int(lo) if lo is not None and lo == hi and lo > 0 else None
+
+
+def _pair_candidates_arrow(
+    cells: DataFrame,
+    id_col: str,
+    dim: int,
+    threshold: float,
+    cell_col: str = "__ivf_cell__",
+    vec_col: str = "__sd_v__",
+    norm_col: str = "__sd_n__",
+) -> DataFrame:
+    """Within-cell near-duplicate CANDIDATE pairs in ONE Arrow pass
+    per cell — the quadratic pair stage of SemDeDup vectorized. Emits
+    ``(doomed id, both vectors, both norms)`` for every ordered pair
+    (lower id → higher id) whose cosine clears ``threshold`` minus a
+    paranoid fp margin; the caller re-applies the EXACT Catalyst
+    predicate (``round(fold-dot/(na*nb), 4) >= threshold``) to this
+    tiny candidate set, so the final verdict is evaluated by the
+    identical expression as the all-Catalyst path.
+
+    Bit-identity of the screen: the dot matrix accumulates with an
+    ORDERED per-dimension loop (``C += outer(V[:,k], V[:,k])`` for k
+    ascending — the same scalar IEEE op sequence as the interpreted
+    fold's left-to-right accumulation, no reassociation), and norms
+    come in from the caller's staged column, so the screening cosine
+    equals the Catalyst pair cosine bit-for-bit where both are
+    defined; the margin exists only as belt-and-braces. Rows with
+    NULL/zero/non-finite norms or malformed vectors never emit — the
+    Catalyst path maps those to NULL cosines, which never pass the
+    threshold either.
+
+    Why Arrow here: the fold is an interpreted higher-order function
+    evaluated once per PAIR (the measured dominant cost — guide §4's
+    vectorize-the-Python-boundary advice applied to an interpreted
+    JVM boundary); unrolling it into flat codegen was measured SLOWER
+    (the generated method exceeds HotSpot's JIT size threshold). One
+    numpy pass per cell does the n²/cells work at matrix speed while
+    the exact predicate still runs where it always did."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    id_field = cells.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("__pc_pv__", ArrayType(DoubleType())),
+        StructField("__pc_v__", ArrayType(DoubleType())),
+        StructField("__pc_nb__", DoubleType()),
+        StructField("__pc_na__", DoubleType()),
+    ])
+    screen = float(threshold) - 1e-9
+
+    def pairs(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                "__pc_pv__": pd.Series([], dtype="object"),
+                "__pc_v__": pd.Series([], dtype="object"),
+                "__pc_nb__": pd.Series([], dtype="float64"),
+                "__pc_na__": pd.Series([], dtype="float64"),
+            })
+        raw_v = pdf[vec_col].to_numpy()
+        raw_n = pdf[norm_col].to_numpy(dtype="float64", na_value=np.nan)
+        id_ok = pdf[id_col].notna().to_numpy()
+        valid = np.array([
+            id_ok[i]
+            and raw_v[i] is not None and len(raw_v[i]) == dim
+            and np.isfinite(raw_n[i]) and raw_n[i] != 0.0
+            for i in range(m)
+        ])
+        vi = np.flatnonzero(valid)
+        if len(vi) < 2:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                "__pc_pv__": pd.Series([], dtype="object"),
+                "__pc_v__": pd.Series([], dtype="object"),
+                "__pc_nb__": pd.Series([], dtype="float64"),
+                "__pc_na__": pd.Series([], dtype="float64"),
+            })
+        V = np.stack([np.asarray(raw_v[i], dtype=np.float64)
+                      for i in vi])
+        n = raw_n[vi]
+        ids = pdf[id_col].to_numpy()[vi]
+        k = len(vi)
+        # ordered accumulation: same IEEE op sequence as the fold
+        C = np.zeros((k, k))
+        for d in range(dim):
+            col = V[:, d]
+            C += np.outer(col, col)
+        denom = np.outer(n, n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = C / denom
+        lo = np.less.outer(ids, ids)  # [b, a]: id_b < id_a → a doomed
+        hit = lo & (cos >= screen)
+        bi, ai = np.nonzero(hit)
+        return pd.DataFrame({
+            id_col: pd.Series(ids[ai], dtype=pdf[id_col].dtype),
+            "__pc_pv__": pd.Series([V[b].tolist() for b in bi],
+                                   dtype="object"),
+            "__pc_v__": pd.Series([V[a].tolist() for a in ai],
+                                  dtype="object"),
+            "__pc_nb__": n[bi],
+            "__pc_na__": n[ai],
+        })
+
+    return (cells.select(id_col, vec_col, norm_col, cell_col)
+            .groupBy(cell_col).applyInPandas(pairs, out_schema))
+
+
+def _doomed_exact(cand: DataFrame, id_col: str,
+                  threshold: float) -> DataFrame:
+    """Phase 2 of the Arrow pair stage: the EXACT Catalyst predicate
+    — identical expression to the all-Catalyst path — over the
+    candidate pairs, yielding the distinct doomed ids."""
+    exact = F.try_divide(
+        dot(F.col("__pc_pv__"), F.col("__pc_v__")),
+        F.col("__pc_nb__") * F.col("__pc_na__"),
+    )
+    return (cand.filter(F.round(exact, 4) >= threshold)
+            .select(id_col).distinct())
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -244,10 +386,15 @@ def embedding_near_dup_pairs(
     small/verification runs)."""
     # per-vector norm hoisted out of the (quadratic) candidate join —
     # same dot/(na*nb) grouping as cosine(), bit-identical, but two of
-    # the three interpreted array folds run once per VECTOR not pair
+    # the three interpreted array folds run once per VECTOR not pair.
+    # The double cast is staged per VECTOR too (replacing the column
+    # in place): the old per-pair cast materialized a fresh double
+    # array per pair side — quadratic allocation for a linear need.
+    # Cast-then-fold equals fold-of-cast element for element.
     v = df.select(
-        F.col(id_col), F.col(vec_col)
-    ).withColumn("__nd_n__", norm(F.col(vec_col).cast("array<double>")))
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).withColumn("__nd_n__", norm(F.col(vec_col)))
     if lsh is not None:
         b = lsh.with_buckets(v, vec_col)
         a2, b2 = b.alias("a"), b.alias("b")
@@ -402,6 +549,11 @@ def semantic_dedup(
     n_centroids = len(idx.centroids)
     base = df.select(id_col, F.col(vec_col).cast("array<double>")
                      .alias("__sd_v__"))
+    # fixed-width probe (one column-pruned aggregate): when every
+    # vector is the same length, the quadratic pair stage runs as one
+    # Arrow pass per cell instead of an interpreted-fold self-join —
+    # see _pair_candidates_arrow for the bit-identity argument.
+    dim = _fixed_dim(base, "__sd_v__")
     if n_centroids > 32:
         cells = _with_cells_arrow(base, idx.centroids, "__sd_v__")
     else:
@@ -418,6 +570,16 @@ def semantic_dedup(
         # lifecycle (spark.catalog.clearCache() or a surrounding
         # persist manager).
         cells = cells.persist()
+    if dim is not None:
+        # fixed-width corpus: the quadratic runs as ONE Arrow pass per
+        # cell (ordered accumulation — bit-identical screening cosine),
+        # and the exact Catalyst predicate re-judges the tiny candidate
+        # set, so the verdict expression is unchanged. Also halves the
+        # assignment work: the pandas stage consumes the assigned frame
+        # ONCE instead of a self-join evaluating it per side.
+        cand = _pair_candidates_arrow(cells, id_col, dim, threshold)
+        doomed = _doomed_exact(cand, id_col, threshold)
+        return df.join(doomed, on=id_col, how="left_anti")
     a = cells.select(
         F.col(id_col).alias("__sd_id__"), "__sd_v__",
         F.col("__sd_n__").alias("__sd_na__"), "__ivf_cell__",
@@ -500,6 +662,11 @@ def semantic_dedup_against(
     if persist_cells:
         new_cells = new_cells.persist()
         corp_cells = corp_cells.persist()
+    # both pair legs stay all-Catalyst here — the Arrow pair pass that
+    # serves semantic_dedup was MEASURED SLOWER on this shape (9.0 vs
+    # 5.8 s at sf0.1): `doomed` feeds both stage 2's input and the
+    # final anti-join, so a Python pair stage inside it re-runs per
+    # consumer, where the broadcast equi-join recomputes cheaply.
     pair_cos = F.try_divide(
         dot(F.col("__sd_cv__"), F.col("__sd_v__")),
         F.col("__sd_cn__") * F.col("__sd_n__"),

@@ -607,21 +607,22 @@ def prune_files(
     return kept
 
 
-def key_bounds_where(df, keys) -> list | None:
-    """Per-key [min, max] of a batch as a ``prune_files`` conjunction —
-    the shared skipping pre-cut for keyed maintenance: a file whose
-    bounds don't intersect the batch's bounds on ANY key provably
-    contains no equi-join/merge match. One tiny aggregate over the
-    batch. Returns None when unusable (empty batch, NULL-only key, or
-    a type the conjunct language can't carry) — callers then scan
-    unpruned, which is merely slower, never wrong. Used by
-    ``versioned.merge_versioned`` (touched-file discovery) and
-    ``incremental.join_view_update`` (snapshot terms)."""
-    bounds = df.agg(*[
+def key_bounds_aggs(keys) -> list:
+    """The aggregate expressions ``key_bounds_where`` collects —
+    exposed so a caller that already runs a validation aggregate over
+    the batch (``versioned.apply_cdc`` / ``merge_versioned``) can fold
+    the bounds into THAT job instead of paying a second full pass."""
+    return [
         agg for c in keys
         for agg in (F.min(c).alias(f"__lo_{c}__"),
                     F.max(c).alias(f"__hi_{c}__"))
-    ]).collect()[0]
+    ]
+
+
+def key_bounds_from_row(bounds, keys) -> list | None:
+    """Convert one collected row of ``key_bounds_aggs`` columns into
+    the ``prune_files`` conjunction (None when unusable — empty batch,
+    NULL-only key, or a type the conjunct language can't carry)."""
     where = []
     for c in keys:
         lo, hi = bounds[f"__lo_{c}__"], bounds[f"__hi_{c}__"]
@@ -633,6 +634,20 @@ def key_bounds_where(df, keys) -> list | None:
             return None
         where.append((c, "between", (lo, hi)))
     return where or None
+
+
+def key_bounds_where(df, keys) -> list | None:
+    """Per-key [min, max] of a batch as a ``prune_files`` conjunction —
+    the shared skipping pre-cut for keyed maintenance: a file whose
+    bounds don't intersect the batch's bounds on ANY key provably
+    contains no equi-join/merge match. One tiny aggregate over the
+    batch. Returns None when unusable (empty batch, NULL-only key, or
+    a type the conjunct language can't carry) — callers then scan
+    unpruned, which is merely slower, never wrong. Used by
+    ``versioned.merge_versioned`` (touched-file discovery) and
+    ``incremental.join_view_update`` (snapshot terms)."""
+    bounds = df.agg(*key_bounds_aggs(keys)).collect()[0]
+    return key_bounds_from_row(bounds, keys)
 
 
 def key_set_where(df, keys, max_keys: int = 1024) -> list | None:
@@ -908,6 +923,7 @@ def write_dir_ndv(
     ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
     out_cols: dict[str, dict[str, str]] = {}
     zero = base64.b64encode(bytes(m)).decode("ascii")
+    sketch_cols: list[str] = []
     for c in cols:
         t = type_by_name.get(c)
         if t is None and schema_types and c in schema_types:
@@ -922,25 +938,43 @@ def write_dir_ndv(
                 f"ndv column {c!r} has type {t} — only int-family and "
                 "string keys have a canonical cross-engine string form"
             )
-        h = SF.md5(SF.col(c).cast("string"))
-        h1 = SF.conv(SF.substring(h, 1, 15), 16, 10).cast("bigint")
-        bucket = h1.bitwiseAND(SF.lit(m - 1))
-        w = SF.shiftrightunsigned(h1, p)
-        rho = SF.when(w == 0, SF.lit(wbits + 1)).otherwise(
-            SF.lit(wbits + 1) - SF.length(SF.bin(w)))
+        sketch_cols.append(c)
+    if sketch_cols:
+        # ONE job for every column: melt each row into per-column
+        # (col, bucket, rho) entries and aggregate them together —
+        # the directory is scanned once instead of once per column
+        # (same md5 hashing, same registers; a NULL value hashes to a
+        # NULL bucket and is filtered exactly like the old per-column
+        # isNotNull gate). Partial aggregation caps the exploded
+        # stream at m entries per (file, column) before the shuffle.
+        entries = []
+        for c in sketch_cols:
+            h = SF.md5(SF.col(c).cast("string"))
+            h1 = SF.conv(SF.substring(h, 1, 15), 16, 10).cast("bigint")
+            bucket = h1.bitwiseAND(SF.lit(m - 1))
+            w = SF.shiftrightunsigned(h1, p)
+            rho = SF.when(w == 0, SF.lit(wbits + 1)).otherwise(
+                SF.lit(wbits + 1) - SF.length(SF.bin(w)))
+            entries.append(SF.struct(
+                SF.lit(c).alias("__c"),
+                bucket.alias("__b"),
+                rho.alias("__r")))
         rows = (
-            df.select(SF.input_file_name().alias("__f"), SF.col(c))
-            .filter(SF.col(c).isNotNull())
-            .select("__f", bucket.alias("__b"), rho.alias("__r"))
-            .groupBy("__f", "__b")
+            df.select(SF.input_file_name().alias("__f"),
+                      SF.explode(SF.array(*entries)).alias("__e"))
+            .select("__f", SF.col("__e.__c").alias("__c"),
+                    SF.col("__e.__b").alias("__b"),
+                    SF.col("__e.__r").alias("__r"))
+            .filter(SF.col("__b").isNotNull())
+            .groupBy("__f", "__c", "__b")
             .agg(SF.max("__r").alias("__r"))
-            .groupBy("__f")
+            .groupBy("__f", "__c")
             .agg(SF.collect_list(SF.struct("__b", "__r")).alias("__brs"))
             .collect()
         )
         from urllib.parse import unquote
 
-        per_file: dict[str, str] = {}
+        per_col: dict[str, dict[str, str]] = {c: {} for c in sketch_cols}
         for r in rows:
             uri = r["__f"]
             pth = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
@@ -948,10 +982,12 @@ def write_dir_ndv(
             regs = bytearray(m)
             for br in r["__brs"]:
                 regs[br["__b"]] = br["__r"]
-            per_file[base] = base64.b64encode(bytes(regs)).decode("ascii")
-        for f in files:
-            per_file.setdefault(f, zero)  # all-NULL file: empty regs
-        out_cols[c] = per_file
+            per_col[r["__c"]][base] = (
+                base64.b64encode(bytes(regs)).decode("ascii"))
+        for c in sketch_cols:
+            for f in files:
+                per_col[c].setdefault(f, zero)  # all-NULL file
+            out_cols[c] = per_col[c]
     if extra_cols:
         for c, per_file in extra_cols.items():
             out_cols.setdefault(c, per_file)

@@ -76,6 +76,7 @@ journaled sink's assumptions (sources/parquet.py).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import time
@@ -1697,13 +1698,15 @@ def _string_cuts(df: DataFrame, c: str, nq: int,
     return cuts
 
 
-def _minmax_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
+def _minmax_surrogates(
+        df: DataFrame, cols: list[str], bits: int) -> tuple[dict, list]:
     """Legacy linear scaling of each column into [0, 2^bits) from its
     min/max — ONE aggregate, a 1-row driver scalar. Correct but
     skew-blind: one outlier stretches the domain so the dense mass
     collapses into a handful of buckets and the z-interval tightening
     silently degrades (the quantile path is the default for exactly
-    this reason)."""
+    this reason). Returns ``({}, surrogates)`` — same shape as the
+    quantile builder; linear scaling has no staged columns."""
     span_max = (1 << bits) - 1
     aggs = []
     for c in cols:
@@ -1737,24 +1740,36 @@ def _minmax_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
                     F.lit(0),
                 )
             )
-    return surrogates
+    return {}, surrogates
 
 
-def _quantile_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
+def _quantile_surrogates(
+        df: DataFrame, cols: list[str], bits: int) -> tuple[dict, list]:
     """Sampled-quantile bucketing (the Delta OPTIMIZE approach): each
     column maps to its equi-DEPTH bucket id, so buckets hold near-equal
     row counts regardless of value skew — an outlier gets its own top
     bucket instead of stretching everyone else's into bucket 0. One
     ``percentile_approx`` aggregate covers every column (1-row driver
     scalar, same cost class as the min/max pass); the per-row mapping
-    is a FLAT codegen'd sum of boundary comparisons
-    (``Σ (v >= b_i)`` — no when-chain, no higher-order function, so it
-    stays inside whole-stage codegen). 256 buckets per column bound the
-    expression at 255 compares/row — resolution far above any real
-    file count, and duplicate quantiles on heavy values dedupe away
-    (ties share a bucket, which is the only honest answer)."""
+    is ``Σ (v >= b_i)`` over the sorted boundaries, evaluated as an
+    O(log n) binary-search expression (``_bisect_bucket_expr`` — same
+    bucket id for every input, 8 compares/row instead of 255). 256
+    buckets per column bound the boundary count — resolution far above
+    any real file count, and duplicate quantiles on heavy values
+    dedupe away (ties share a bucket, which is the only honest
+    answer).
+
+    Returns ``(staging, surrogates)``: the numeric bucket expressions
+    are built as ONE parsed SQL string over a STAGED numeric column
+    (``staging`` maps name → numeric view) instead of hundreds of
+    separate Column operations — the py4j round trips of per-boundary
+    ``F.lit``/``>=``/``cast``/``+`` chatter dominated plan construction
+    (measured ~2-3 s per cluster call at 255 cuts; one ``F.expr`` parse
+    is milliseconds), and referencing the staged ATTRIBUTE also stops
+    the cast-of-column subtree being copied into every comparison.
+    Bucket ids — and therefore the layout — are unchanged."""
     nq = min(1 << bits, 256)
-    probs = F.array(*[F.lit(i / nq) for i in range(1, nq)])
+    probs = F.lit([i / nq for i in range(1, nq)])  # ONE array literal
     numeric = {c: _numeric_view(df, c) for c in cols}
     aggs = [
         F.percentile_approx(numeric[c], probs, 10_000).alias(f"__q_{c}__")
@@ -1762,11 +1777,14 @@ def _quantile_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
         if numeric[c] is not None
     ]
     qrow = df.agg(*aggs).collect()[0] if aggs else None
+    staging: dict = {}
     surrogates = []
-    for c in cols:
+    for i, c in enumerate(cols):
         if numeric[c] is None:
             # string column: sampled equi-depth cuts, compared in
-            # Spark's binary UTF-8 string order (order-preserving)
+            # Spark's binary UTF-8 string order (order-preserving).
+            # Stays on the Column path — arbitrary string values do
+            # not belong inside a parsed SQL string.
             scuts = _string_cuts(df, c, nq)
             if not scuts:
                 surrogates.append(F.lit(0).cast("bigint"))
@@ -1780,16 +1798,45 @@ def _quantile_surrogates(df: DataFrame, cols: list[str], bits: int) -> list:
             continue
         cuts = sorted({float(x) for x in (qrow[f"__q_{c}__"] or [])
                        if x is not None})
-        num = numeric[c]
         if not cuts:
             surrogates.append(F.lit(0).cast("bigint"))
+        elif all(math.isfinite(b) for b in cuts):
+            name = f"__zq{i}__"
+            staging[name] = numeric[c]
+            surrogates.append(
+                F.coalesce(_bisect_bucket_expr(name, cuts)
+                           .cast("bigint"), F.lit(0)))
         else:
+            # non-finite boundary (NaN/inf in the data): keep the
+            # Column-built sum — ±inf/NaN have no SQL literal spelling
             bucket = sum(
-                ((num >= F.lit(b)).cast("int") for b in cuts),
+                ((numeric[c] >= F.lit(b)).cast("int") for b in cuts),
                 F.lit(0),
             )
             surrogates.append(F.coalesce(bucket.cast("bigint"), F.lit(0)))
-    return surrogates
+    return staging, surrogates
+
+
+def _bisect_bucket_expr(name: str, cuts: list[float]):
+    """``Σ (v >= b_i)`` over SORTED cuts as a nested-IF binary search —
+    the same bucket id for EVERY input (it is searchsorted-right, which
+    the monotone compare-sum also computes; a NULL value's NULL
+    comparisons take every else-branch down to leaf 0, matching the
+    old sum's NULL→coalesce→0; Spark orders NaN above everything, so
+    NaN descends right to leaf ``len(cuts)``, exactly the all-true
+    sum) — but evaluated in O(log n) comparisons per row instead of n.
+    The flat n-term sum was measured 30× slower than the scan it rode
+    on: its generated method exceeds HotSpot's JIT size threshold, so
+    every row paid n bytecode-interpreted compare+cast+adds. One
+    parsed expression, double literals via the exact ``D`` spelling."""
+    def node(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (f"IF(`{name}` >= {cuts[mid]!r}D, "
+                f"{node(mid + 1, hi)}, {node(lo, mid)})")
+
+    return F.expr(node(0, len(cuts)))
 
 
 def _relayout(
@@ -1814,11 +1861,13 @@ def _relayout(
     surrogate_fn = (
         _quantile_surrogates if scaling == "quantile" else _minmax_surrogates
     )
-    surrogates = surrogate_fn(df, cols, bits)
+    staging, surrogates = surrogate_fn(df, cols, bits)
     names = [f"__zs{i}__" for i in range(len(surrogates))]
-    staged = df.withColumns(dict(zip(names, surrogates)))
+    staged = df.withColumns(staging) if staging else df
+    staged = staged.withColumns(dict(zip(names, surrogates)))
     return zorder_layout(staged, names, bits=bits,
-                         num_partitions=num_partitions).drop(*names)
+                         num_partitions=num_partitions).drop(
+                             *names, *staging.keys())
 
 
 def cluster_versioned(
@@ -2538,121 +2587,144 @@ def merge_versioned(
             raise ValueError(f"merge key {c!r} not in table schema")
     if when_matched == "update":
         _check_append_schema(source, prev["schema"])
-        # NULL keys never match (SQL semantics), so two NULL-key source
-        # rows are unambiguous INSERTS, not a duplicate — the
-        # uniqueness requirement applies to matchable keys only
-        dup = (
-            source.dropna(subset=keys)
-            .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") > 1).limit(1).collect()
+        # ONE probe job: the duplicate-key check (NULL keys never match
+        # — SQL semantics — so two NULL-key source rows are unambiguous
+        # INSERTS and the uniqueness contract applies to fully-non-NULL
+        # keys only) and the data-skipping key bounds ride the same
+        # per-key aggregate instead of two separate source scans. The
+        # failure path re-probes to name an offending key — errors may
+        # pay one extra job; the happy path never does.
+        keys_nonnull = F.col(keys[0]).isNotNull()
+        for k in keys[1:]:
+            keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+        probe = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .agg(F.max(F.when(keys_nonnull, F.col("__n__")))
+                 .alias("__dup__"),
+                 *filestats.key_bounds_aggs(keys))
+            .collect()[0]
         )
-        if dup:
+        if (probe["__dup__"] or 0) > 1:
+            dup = (
+                source.dropna(subset=keys)
+                .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                .filter(F.col("__n__") > 1).limit(1).collect()
+            )
             raise ValueError(
                 f"merge_versioned: source has duplicate keys on {keys} "
                 f"(e.g. {tuple(dup[0][k] for k in keys)}); the "
                 "replacement row would be ambiguous — dedupe the batch"
             )
-    src_keys = source.select(*keys).distinct()
-
-    files = list(prev["files"])
-    stats = {"files_rewritten": 0, "files_carried": len(files)}
-    touched: set[str] = set()
-    matched_keys = None  # (file, keys) of matched target rows, persisted
-    # data-skipping pre-cut for the discovery scan: a file whose
-    # commit-time key bounds don't intersect the SOURCE's key
-    # bounds provably contains no match — skip it before the scan.
-    # One tiny aggregate over the source buys this; on the
-    # production CDC shape (updates touch recent keys, the table
-    # is clustered or naturally ordered by them) the cold body
-    # never even enters the key-column scan. Conservative like all
-    # skipping: missing sidecars keep the file. The same footprint is
-    # the commit-time disjointness proof for rebasing over concurrent
-    # appends (_commit_keyed_with_rebase).
-    where_hint = _phys_where(_col_mapping(prev),
-                             filestats.key_bounds_where(source, keys))
-    if files:
-        scan_files = (
-            filestats.prune_files(path, files, where_hint)
-            if where_hint else files
-        )
-        stats["files_scan_skipped"] = len(files) - len(scan_files)
-        if scan_files:
-            # DV-applied key scan: a tombstoned row must not mark its
-            # file touched (nor count as a match). Persisted so the
-            # insert_unmatched=False path reuses it instead of paying
-            # a third scan of the touched files.
-            matched_keys = (
-                _read_snapshot(spark, path, prev, files=scan_files,
-                               _with_position=True)
-                .select(F.col("__file__"), *keys)
-                .join(src_keys, on=keys, how="leftsemi")
-                .persist()
-            )
-            touched = {
-                r[0]
-                for r in matched_keys.select("__file__")
-                .distinct().collect()
-            }
-    carried = [f for f in files if f not in touched]
-
-    parts = []
-    if touched:
-        survivors = (
-            _read_snapshot(spark, path, prev, files=sorted(touched))
-            .join(src_keys, on=keys, how="left_anti")
-        )
-        parts.append(survivors)
-    if when_matched == "update":
-        if insert_unmatched:
-            to_insert = source
-        elif touched:
-            # only matched source rows replace — their keys are
-            # exactly the persisted discovery result's keys
-            to_insert = source.join(
-                matched_keys.select(*keys).distinct(),
-                on=keys, how="leftsemi",
-            )
-        else:
-            to_insert = None  # nothing matched, nothing to insert
-        if to_insert is not None:
-            # constraints gate what actually LANDS (to_insert), not
-            # the whole source — an insert_unmatched=False merge may
-            # legitimately carry unmatched rows that never commit
-            _validate_constraints(
-                to_insert, prev.get("constraints") or {},
-                "merge_versioned")
-            parts.append(
-                to_insert.select(*[f.name for f in schema.fields]))
-    version = parent + 1
-    commit_extra = {"merge_on": keys, "merge_mode": when_matched}
-    if extra:
-        commit_extra.update(extra)
+        bounds = filestats.key_bounds_from_row(probe, keys)
+    else:
+        bounds = filestats.key_bounds_where(source, keys)
+    # the distinct source-key set drives the discovery semi-join AND
+    # the write's anti/semi joins — pin it so each action reuses one
+    # materialization instead of re-shuffling the source. O(batch keys).
+    src_keys = source.select(*keys).distinct().persist()
     try:
-        if not parts:
-            # no new rows land — nothing for a concurrently added
-            # constraint to gate, so no new_files handed through
-            v = _commit_keyed_with_rebase(path, "merge", parent, prev,
-                                          files, commit_extra,
-                                          where_hint, spark=spark)
-            return v, stats
-        new_data = parts[0]
-        for p in parts[1:]:
-            new_data = new_data.unionByName(p)
-        new_files = _write_data_dir(new_data, path, version,
-                                     mapping=_col_mapping(prev))
+
+        files = list(prev["files"])
+        stats = {"files_rewritten": 0, "files_carried": len(files)}
+        touched: set[str] = set()
+        matched_keys = None  # (file, keys) of matched target rows, persisted
+        # data-skipping pre-cut for the discovery scan: a file whose
+        # commit-time key bounds don't intersect the SOURCE's key
+        # bounds provably contains no match — skip it before the scan.
+        # One tiny aggregate over the source buys this; on the
+        # production CDC shape (updates touch recent keys, the table
+        # is clustered or naturally ordered by them) the cold body
+        # never even enters the key-column scan. Conservative like all
+        # skipping: missing sidecars keep the file. The same footprint is
+        # the commit-time disjointness proof for rebasing over concurrent
+        # appends (_commit_keyed_with_rebase).
+        where_hint = _phys_where(_col_mapping(prev), bounds)
+        if files:
+            scan_files = (
+                filestats.prune_files(path, files, where_hint)
+                if where_hint else files
+            )
+            stats["files_scan_skipped"] = len(files) - len(scan_files)
+            if scan_files:
+                # DV-applied key scan: a tombstoned row must not mark its
+                # file touched (nor count as a match). Persisted so the
+                # insert_unmatched=False path reuses it instead of paying
+                # a third scan of the touched files.
+                matched_keys = (
+                    _read_snapshot(spark, path, prev, files=scan_files,
+                                   _with_position=True)
+                    .select(F.col("__file__"), *keys)
+                    .join(src_keys, on=keys, how="leftsemi")
+                    .persist()
+                )
+                touched = {
+                    r[0]
+                    for r in matched_keys.select("__file__")
+                    .distinct().collect()
+                }
+        carried = [f for f in files if f not in touched]
+
+        parts = []
+        if touched:
+            survivors = (
+                _read_snapshot(spark, path, prev, files=sorted(touched))
+                .join(src_keys, on=keys, how="left_anti")
+            )
+            parts.append(survivors)
+        if when_matched == "update":
+            if insert_unmatched:
+                to_insert = source
+            elif touched:
+                # only matched source rows replace — their keys are
+                # exactly the persisted discovery result's keys
+                to_insert = source.join(
+                    matched_keys.select(*keys).distinct(),
+                    on=keys, how="leftsemi",
+                )
+            else:
+                to_insert = None  # nothing matched, nothing to insert
+            if to_insert is not None:
+                # constraints gate what actually LANDS (to_insert), not
+                # the whole source — an insert_unmatched=False merge may
+                # legitimately carry unmatched rows that never commit
+                _validate_constraints(
+                    to_insert, prev.get("constraints") or {},
+                    "merge_versioned")
+                parts.append(
+                    to_insert.select(*[f.name for f in schema.fields]))
+        version = parent + 1
+        commit_extra = {"merge_on": keys, "merge_mode": when_matched}
+        if extra:
+            commit_extra.update(extra)
+        try:
+            if not parts:
+                # no new rows land — nothing for a concurrently added
+                # constraint to gate, so no new_files handed through
+                v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                              files, commit_extra,
+                                              where_hint, spark=spark)
+                return v, stats
+            new_data = parts[0]
+            for p in parts[1:]:
+                new_data = new_data.unionByName(p)
+            new_files = _write_data_dir(new_data, path, version,
+                                         mapping=_col_mapping(prev))
+        finally:
+            if matched_keys is not None:
+                matched_keys.unpersist()
+        v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                      carried + new_files, commit_extra,
+                                      where_hint, spark=spark,
+                                      new_files=new_files)
+        stats.update({
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+            "files_written": len(new_files),
+        })
+        return v, stats
     finally:
-        if matched_keys is not None:
-            matched_keys.unpersist()
-    v = _commit_keyed_with_rebase(path, "merge", parent, prev,
-                                  carried + new_files, commit_extra,
-                                  where_hint, spark=spark,
-                                  new_files=new_files)
-    stats.update({
-        "files_rewritten": len(touched),
-        "files_carried": len(carried),
-        "files_written": len(new_files),
-    })
-    return v, stats
+        src_keys.unpersist()
 
 
 def apply_cdc(
@@ -2708,98 +2780,128 @@ def apply_cdc(
     schema = _committed_schema(prev)
 
     op_norm = F.lower(F.col(op_col).cast("string"))
+    # the batch is re-read by every probe below AND by the write (anti-
+    # join + upsert projection) — pin it so the plan upstream of the
+    # tag (often a relay diff or a stream source) computes ONCE. O(batch).
     tagged = batch.withColumn(
         "__op__",
         F.when(op_norm.isin("insert", "i", "update", "u"), "upsert")
         .when(op_norm.isin("delete", "d"), "delete"),
-    )
-    bad = tagged.filter(F.col("__op__").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"apply_cdc: unknown op {bad[0][op_col]!r} in {op_col!r} — "
-            "expected insert/update/delete (or I/U/D)"
+    ).persist()
+    try:
+        # ONE validation job instead of three probes + a bounds aggregate:
+        # per-key group counts feed a single-row rollup carrying (a) any
+        # unknown op, (b) max multiplicity over fully-non-NULL keys (the
+        # dup contract — NULL keys never match, SQL semantics), (c) any
+        # upsert row (the delete-only-shape gate), (d) per-key min/max
+        # (the data-skipping pre-cut + rebase disjointness footprint,
+        # min/max over group keys == min/max over rows). The failure paths
+        # re-probe to name the offending value — errors may pay one extra
+        # job; the happy path never does.
+        keys_nonnull = F.col(keys[0]).isNotNull()
+        for k in keys[1:]:
+            keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+        probe = (
+            tagged.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n__"),
+                 F.max(F.col("__op__").isNull().cast("int")).alias("__bad__"),
+                 F.max((F.col("__op__") == "upsert").cast("int"))
+                 .alias("__ups__"))
+            .agg(F.max("__bad__").alias("__bad__"),
+                 F.max(F.when(keys_nonnull, F.col("__n__"))).alias("__dup__"),
+                 F.max("__ups__").alias("__ups__"),
+                 *filestats.key_bounds_aggs(keys))
+            .collect()[0]
         )
-    dup = (
-        tagged.dropna(subset=keys)
-        .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
-        .filter(F.col("__n__") > 1).limit(1).collect()
-    )
-    if dup:
-        raise ValueError(
-            f"apply_cdc: key {tuple(dup[0][k] for k in keys)} appears "
-            "more than once in the batch — compact to latest-per-key "
-            "upstream (the batch's internal order is not a contract "
-            "this engine can see)"
-        )
-    upserts = (tagged.filter(F.col("__op__") == "upsert")
-               .drop("__op__", op_col))
-    batch_cols = set(upserts.columns)
-    committed_cols = {f.name for f in schema.fields}
-    if batch_cols == set(keys) and batch_cols != committed_cols:
-        # delete-only convenience shape: the batch carries just the key
-        # columns. Sound only if no row actually upserts — an upsert
-        # without the non-key columns would write NULL-padded rows.
-        if upserts.limit(1).collect():
+        if probe["__bad__"]:
+            bad = tagged.filter(F.col("__op__").isNull()).limit(1).collect()
             raise ValueError(
-                "apply_cdc: batch carries only the key columns but "
-                "contains insert/update rows — upserts need the full "
-                "table schema"
+                f"apply_cdc: unknown op {bad[0][op_col]!r} in {op_col!r} — "
+                "expected insert/update/delete (or I/U/D)"
             )
-        upserts = spark.createDataFrame([], schema)
-    else:
-        _check_append_schema(upserts, prev["schema"])
-        _validate_constraints(upserts, prev.get("constraints") or {},
-                              "apply_cdc")
+        if (probe["__dup__"] or 0) > 1:
+            dup = (
+                tagged.dropna(subset=keys)
+                .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                .filter(F.col("__n__") > 1).limit(1).collect()
+            )
+            raise ValueError(
+                f"apply_cdc: key {tuple(dup[0][k] for k in keys)} appears "
+                "more than once in the batch — compact to latest-per-key "
+                "upstream (the batch's internal order is not a contract "
+                "this engine can see)"
+            )
+        upserts = (tagged.filter(F.col("__op__") == "upsert")
+                   .drop("__op__", op_col))
+        batch_cols = set(upserts.columns)
+        committed_cols = {f.name for f in schema.fields}
+        if batch_cols == set(keys) and batch_cols != committed_cols:
+            # delete-only convenience shape: the batch carries just the key
+            # columns. Sound only if no row actually upserts — an upsert
+            # without the non-key columns would write NULL-padded rows.
+            if probe["__ups__"]:
+                raise ValueError(
+                    "apply_cdc: batch carries only the key columns but "
+                    "contains insert/update rows — upserts need the full "
+                    "table schema"
+                )
+            upserts = spark.createDataFrame([], schema)
+        else:
+            _check_append_schema(upserts, prev["schema"])
+            _validate_constraints(upserts, prev.get("constraints") or {},
+                                  "apply_cdc")
 
-    src_keys = tagged.select(*keys).distinct()
-    files = list(prev["files"])
-    stats = {"files_rewritten": 0, "files_carried": len(files)}
-    touched: set[str] = set()
-    # key footprint: discovery pre-cut AND the concurrent-append
-    # disjointness proof for the rebasing commit below
-    where_hint = _phys_where(_col_mapping(prev),
-                             filestats.key_bounds_where(tagged, keys))
-    if files:
-        scan_files = (
-            filestats.prune_files(path, files, where_hint)
-            if where_hint else files
-        )
-        stats["files_scan_skipped"] = len(files) - len(scan_files)
-        if scan_files:
-            touched = {
-                r[0]
-                for r in _read_snapshot(spark, path, prev,
-                                        files=scan_files,
-                                        _with_position=True)
-                .select(F.col("__file__"), *keys)
-                .join(src_keys, on=keys, how="leftsemi")
-                .select("__file__").distinct().collect()
-            }
-    carried = [f for f in files if f not in touched]
-    parts = []
-    if touched:
-        parts.append(
-            _read_snapshot(spark, path, prev, files=sorted(touched))
-            .join(src_keys, on=keys, how="left_anti")
-        )
-    parts.append(upserts.select(*[f.name for f in schema.fields]))
-    new_data = parts[0]
-    for p in parts[1:]:
-        new_data = new_data.unionByName(p)
-    version = parent + 1
-    new_files = _write_data_dir(new_data, path, version,
-                                mapping=_col_mapping(prev))
-    commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
-    if extra:
-        commit_extra.update(extra)
-    v = _commit_keyed_with_rebase(path, "merge", parent, prev,
-                                  carried + new_files, commit_extra,
-                                  where_hint, spark=spark,
-                                  new_files=new_files)
-    stats.update({"files_rewritten": len(touched),
-                  "files_carried": len(carried),
-                  "files_written": len(new_files)})
-    return v, stats
+        src_keys = tagged.select(*keys).distinct()
+        files = list(prev["files"])
+        stats = {"files_rewritten": 0, "files_carried": len(files)}
+        touched: set[str] = set()
+        # key footprint: discovery pre-cut AND the concurrent-append
+        # disjointness proof for the rebasing commit below
+        where_hint = _phys_where(_col_mapping(prev),
+                                 filestats.key_bounds_from_row(probe, keys))
+        if files:
+            scan_files = (
+                filestats.prune_files(path, files, where_hint)
+                if where_hint else files
+            )
+            stats["files_scan_skipped"] = len(files) - len(scan_files)
+            if scan_files:
+                touched = {
+                    r[0]
+                    for r in _read_snapshot(spark, path, prev,
+                                            files=scan_files,
+                                            _with_position=True)
+                    .select(F.col("__file__"), *keys)
+                    .join(src_keys, on=keys, how="leftsemi")
+                    .select("__file__").distinct().collect()
+                }
+        carried = [f for f in files if f not in touched]
+        parts = []
+        if touched:
+            parts.append(
+                _read_snapshot(spark, path, prev, files=sorted(touched))
+                .join(src_keys, on=keys, how="left_anti")
+            )
+        parts.append(upserts.select(*[f.name for f in schema.fields]))
+        new_data = parts[0]
+        for p in parts[1:]:
+            new_data = new_data.unionByName(p)
+        version = parent + 1
+        new_files = _write_data_dir(new_data, path, version,
+                                    mapping=_col_mapping(prev))
+        commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
+        if extra:
+            commit_extra.update(extra)
+        v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                      carried + new_files, commit_extra,
+                                      where_hint, spark=spark,
+                                      new_files=new_files)
+        stats.update({"files_rewritten": len(touched),
+                      "files_carried": len(carried),
+                      "files_written": len(new_files)})
+        return v, stats
+    finally:
+        tagged.unpersist()
 
 
 def versioned_stream_cdc(path: str, on: str | list[str],
@@ -3552,8 +3654,12 @@ def relay_changes(
     # away and presents src_v's schema (old epochs NULL-fill the newer
     # columns); the feed then FOLLOWS — renames and add-column/widen
     # alike, all metadata-only alters — so its schema matches the ops
-    # it is about to ingest
-    d = diff_versions(spark, src_path, state, src_v)
+    # it is about to ingest. The diff is PERSISTED for the append's
+    # duration: the I/U/D compaction references it from several join
+    # branches, so even the single write action would otherwise scan
+    # every changed file 4× (the delta is O(changed rows) — caching it
+    # is bounded by the change set, never the table).
+    d = diff_versions(spark, src_path, state, src_v).persist()
     _follow_evolution(
         spark, feed_path,
         [(f["name"], f["type"])
@@ -3567,10 +3673,14 @@ def relay_changes(
     # both compute the same ops, but the loser's auto-rebased append
     # aborts when it finds the winner already carried this
     # (stream, src_version) — the feed never holds an op twice
-    v = append_versioned(
-        ops, feed_path,
-        extra={"relay_stream": stream_id, "relay_src_version": src_v},
-        txn=(f"cdf:{stream_id}", src_v))
+    try:
+        v = append_versioned(
+            ops, feed_path,
+            extra={"relay_stream": stream_id,
+                   "relay_src_version": src_v},
+            txn=(f"cdf:{stream_id}", src_v))
+    finally:
+        d.unpersist()
     # op count from commit metadata (manifest rows are cumulative
     # footer totals; the append's own contribution is the difference)
     man_v = _read_manifest_meta(feed_path, v)
@@ -3636,27 +3746,41 @@ def replicate_versioned(
     if state == src_v:
         return latest_version(dst_path), {
             "bootstrap": False, "src_version": src_v, "ops": 0}
-    d = diff_versions(spark, src_path, state, src_v)
+    # MATERIALIZE the delta once (Delta materializes its MERGE source
+    # for the same reason): the ops plan references the diff several
+    # times (the I/U/D compaction joins), and apply_cdc's validation /
+    # discovery / write actions would otherwise each recompute the
+    # whole changed-file diff — measured 16 parquet scans and 16
+    # exchanges PER ACTION on the bench relay before this. The delta
+    # is O(changed rows) by construction, so caching it is bounded by
+    # the change set, never the table.
+    d = diff_versions(spark, src_path, state, src_v).persist()
     src_man = _read_manifest_meta(src_path, src_v)
     _follow_evolution(
         spark, dst_path,
         [(f["name"], f["type"])
          for f in json.loads(src_man["schema"])["fields"]])
-    ops = _ops_from_diff(d, keys)
-    n_ops = ops.count()
-    if n_ops == 0:
-        # logical no-op chain (e.g. a compaction): just advance state
-        empty = read_versioned(spark, dst_path).limit(0)
-        v = append_versioned(
-            empty, dst_path,
+    ops = _ops_from_diff(d, keys).persist()
+    try:
+        n_ops = ops.count()
+        if n_ops == 0:
+            # logical no-op chain (e.g. a compaction): just advance state
+            empty = read_versioned(spark, dst_path).limit(0)
+            v = append_versioned(
+                empty, dst_path,
+                extra={"relay_stream": stream_id,
+                       "relay_src_version": src_v},
+                txn=(f"cdf:{stream_id}", src_v))
+            return v, {"bootstrap": False, "src_version": src_v,
+                       "ops": 0}
+        v, st = apply_cdc(
+            spark, dst_path, ops, keys,
             extra={"relay_stream": stream_id,
                    "relay_src_version": src_v},
             txn=(f"cdf:{stream_id}", src_v))
-        return v, {"bootstrap": False, "src_version": src_v, "ops": 0}
-    v, st = apply_cdc(
-        spark, dst_path, ops, keys,
-        extra={"relay_stream": stream_id, "relay_src_version": src_v},
-        txn=(f"cdf:{stream_id}", src_v))
+    finally:
+        ops.unpersist()
+        d.unpersist()
     st.update({"bootstrap": False, "src_version": src_v, "ops": n_ops})
     return v, st
 
@@ -3831,9 +3955,29 @@ def diff_versions(
         # v_to's labels/types, post-v_from columns as typed NULL —
         # identical to reading the old files under v_to's schema
         old = _evolve_project(old, ma, mb)
-    inserted = new.exceptAll(old).withColumn(change_col, F.lit("insert"))
-    deleted = old.exceptAll(new).withColumn(change_col, F.lit("delete"))
-    return inserted.unionByName(deleted)
+    # ONE-PASS multiset difference: tag each side ±1, aggregate the
+    # signed count per distinct row, and replicate |Δ| rows tagged by
+    # the sign. Exactly `new.exceptAll(old) ∪ old.exceptAll(new)` (the
+    # same union-count-replicate pipeline Spark's RewriteExceptAll
+    # lowers exceptAll to, and the same NULL-equality grouping) — but
+    # both directions share ONE shuffle and each side is SCANNED ONCE,
+    # where the two exceptAll branches cost two shuffles and read every
+    # changed file twice. At 100 TB the diff's cost is the changed-file
+    # scan; this halves it.
+    cols = [f.name for f in schema.fields]
+    both = (new.withColumn("__w__", F.lit(1))
+            .unionByName(old.withColumn("__w__", F.lit(-1))))
+    delta = (both.groupBy(*cols)
+             .agg(F.sum("__w__").alias("__d__"))
+             .filter(F.col("__d__") != 0))
+    return (delta
+            .withColumn(change_col,
+                        F.when(F.col("__d__") > 0, F.lit("insert"))
+                        .otherwise(F.lit("delete")))
+            .withColumn("__r__",
+                        F.explode(F.sequence(F.lit(1).cast("long"),
+                                             F.abs(F.col("__d__")))))
+            .drop("__d__", "__r__"))
 
 
 def table_changes(
