@@ -694,14 +694,20 @@ def join_view_update(
 
     keys, va0, vb0 = _jv_state(view_path)
     va1, vb1 = V.latest_version(a_path), V.latest_version(b_path)
-    dA = V.appended_since(spark, a_path, va0, version=va1)
-    dB = V.appended_since(spark, b_path, vb0, version=vb1)
+    # each delta feeds up to FOUR evaluations (capped count, key-probe
+    # aggregate, its snapshot-join term, the dA⋈dB term) — pin it for
+    # the update's duration so the delta files are scanned once, not
+    # per consumer. O(increment) state, released before returning.
+    dA = V.appended_since(spark, a_path, va0, version=va1).persist()
+    dB = V.appended_since(spark, b_path, vb0, version=vb1).persist()
     # capped counts double as the exact-set probe gate (the existence
     # check was a limit(1) job anyway; the cap keeps it bounded)
     cap = _JV_EXACT_PROBE_ROWS + 1
     n_da, n_db = dA.limit(cap).count(), dB.limit(cap).count()
     stats = {"a_from": va0, "a_to": va1, "b_from": vb0, "b_to": vb1}
     if n_da == 0 and n_db == 0:
+        dA.unpersist()
+        dB.unpersist()
         stats["view_version"] = V.latest_version(view_path)
         return stats
     parts = []
@@ -730,8 +736,13 @@ def join_view_update(
     # ONE commit carries the delta AND the new state — atomic by the
     # manifest publish, so a crash before it leaves the old state and
     # the retry recomputes the identical delta (no double-apply)
-    stats["view_version"] = V.append_versioned(
-        delta.select(*view_cols), view_path,
-        extra={"jv_on": keys, "jv_a_version": va1, "jv_b_version": vb1},
-    )
+    try:
+        stats["view_version"] = V.append_versioned(
+            delta.select(*view_cols), view_path,
+            extra={"jv_on": keys, "jv_a_version": va1,
+                   "jv_b_version": vb1},
+        )
+    finally:
+        dA.unpersist()
+        dB.unpersist()
     return stats

@@ -162,11 +162,43 @@ def _offset_lookup(offsets: dict[int, int], idx):
     return F.element_at(arr, idx.cast("int") + F.lit(1))
 
 
+def _bisect_gt_expr(name: str, cuts: list[float]):
+    """``Σ (v > b_i)`` over SORTED distinct cuts as a nested-IF binary
+    search — identical bucket ids to the flat compare-sum for EVERY
+    input (strict-``>`` searchsorted by monotonicity; a NULL value's
+    NULL comparisons take every else-branch down to leaf 0, matching
+    the old per-term ``otherwise(0)``; Spark compares NaN above
+    everything, so NaN descends right to leaf ``len(cuts)``, exactly
+    the all-true sum) — but O(log n) comparisons per row instead of n,
+    and O(log n) plan text per evaluation path. Same rationale as
+    ``versioned._bisect_bucket_expr`` (its ``>=`` twin): the flat sum
+    grows linearly in bucket count, and bucket counts scale with the
+    cluster, not the laptop."""
+    def node(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (f"IF(`{name}` > {cuts[mid]!r}D, "
+                f"{node(mid + 1, hi)}, {node(lo, mid)})")
+
+    return F.expr(node(0, len(cuts)))
+
+
 def _bucketed(df: DataFrame, lead_expr, bounds: list[float]) -> DataFrame:
-    bkt = F.lit(0)
-    for bound in bounds:  # monotone: equal values always share a bucket
-        bkt = bkt + F.when(lead_expr > F.lit(float(bound)), 1).otherwise(0)
-    return df.withColumn("__bkt__", bkt)
+    import math
+
+    # non-finite cuts can't be spelled as SQL double literals; dropping
+    # them keeps the bucketing monotone (a ±inf cut splits nothing
+    # meaningful), and bucketing is balance-only — ids are invariant
+    cuts = sorted({float(b) for b in bounds if math.isfinite(b)})
+    if not cuts:
+        return df.withColumn("__bkt__", F.lit(0))
+    # stage the (possibly compound — string surrogates) lead expression
+    # as a named attribute so the bisection tree references an
+    # attribute, not n-1 inlined copies of the surrogate expression
+    return (df.withColumn("__lfb_lead__", lead_expr)
+            .withColumn("__bkt__", _bisect_gt_expr("__lfb_lead__", cuts))
+            .drop("__lfb_lead__"))
 
 
 def _with_ordered_ids(
