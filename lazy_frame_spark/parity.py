@@ -4934,8 +4934,17 @@ def view_metadata_ndv(spark, sf_dir):
     checks: list[tuple[str, bool]] = []
     est = V.metadata_ndv(t, cols)
     snap = V.read_versioned(spark, t)
+    # ONE aggregate job for all verification columns instead of one
+    # distinct().count() scan per column; + max(isNull) keeps the
+    # NULL-counts-as-a-distinct-value semantics of distinct().count()
+    exact_row = snap.agg(*[
+        (F.count_distinct(F.col(c))
+         + F.coalesce(F.max(F.col(c).isNull().cast("int")), F.lit(0))
+         ).alias(c)
+        for c in cols
+    ]).collect()[0]
     for c in cols:
-        exact = snap.select(c).distinct().count()
+        exact = exact_row[c]
         if est[c] is None:
             raise AssertionError(f"ndv unprovable for {c}")
         checks.append((f"head:{c}",
