@@ -422,6 +422,17 @@ def _commit_keyed_with_rebase(
 _REBALANCE_MAX_BYTES = int(os.environ.get(
     "SPARK_GRAFT_REBALANCE_MAX_MB", "16384")) * 1024 * 1024
 
+#: keyed-maintenance batches whose validation probe counted at most
+#: this many rows get an explicit broadcast hint on their distinct-key
+#: side (distinct keys ≤ batch rows, and key tuples are narrow), so
+#: the discovery semi-join and the write's anti/semi joins never plan
+#: an exchange of the TABLE side at all — instead of shuffling first
+#: and hoping AQE's runtime rewrite converts the join. 2M key tuples
+#: is tens of MB framed, far under the broadcast caps; bulk backfill
+#: batches above the gate keep the planner's estimate-driven choice.
+_KEYS_BCAST_MAX_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_KEYS_BCAST_MAX_ROWS", "2000000"))
+
 
 def _local_bytes(path: str, rel_files: list[str] | set) -> int:
     """Total on-disk bytes of table-relative files — the driver-side
@@ -2650,13 +2661,24 @@ def merge_versioned(
                 "replacement row would be ambiguous — dedupe the batch"
             )
         bounds = filestats.key_bounds_from_row(probe, keys)
+        n_batch = batch_rows
     else:
-        bounds = filestats.key_bounds_where(source, keys)
+        # fold the broadcast-gate count into the bounds aggregate —
+        # same single probe job as before, one extra counter
+        dprobe = source.agg(
+            F.count(F.lit(1)).alias("__rows__"),
+            *filestats.key_bounds_aggs(keys)).collect()[0]
+        bounds = filestats.key_bounds_from_row(dprobe, keys)
+        n_batch = int(dprobe["__rows__"] or 0)
         batch_rows = 0  # delete-mode writes survivors only (⊆ touched)
     # the distinct source-key set drives the discovery semi-join AND
     # the write's anti/semi joins — pin it so each action reuses one
     # materialization instead of re-shuffling the source. O(batch keys).
     src_keys = source.select(*keys).distinct().persist()
+    # probe-proven small batch: broadcast the key side outright (see
+    # _KEYS_BCAST_MAX_ROWS) instead of waiting for an AQE conversion
+    jkeys = (F.broadcast(src_keys)
+             if 0 < n_batch <= _KEYS_BCAST_MAX_ROWS else src_keys)
     try:
 
         files = list(prev["files"])
@@ -2689,7 +2711,7 @@ def merge_versioned(
                     _read_snapshot(spark, path, prev, files=scan_files,
                                    _with_position=True)
                     .select(F.col("__file__"), *keys)
-                    .join(src_keys, on=keys, how="leftsemi")
+                    .join(jkeys, on=keys, how="leftsemi")
                     .persist()
                 )
                 touched = {
@@ -2703,7 +2725,7 @@ def merge_versioned(
         if touched:
             survivors = (
                 _read_snapshot(spark, path, prev, files=sorted(touched))
-                .join(src_keys, on=keys, how="left_anti")
+                .join(jkeys, on=keys, how="left_anti")
             )
             parts.append(survivors)
         if when_matched == "update":
@@ -2712,10 +2734,10 @@ def merge_versioned(
             elif touched:
                 # only matched source rows replace — their keys are
                 # exactly the persisted discovery result's keys
-                to_insert = source.join(
-                    matched_keys.select(*keys).distinct(),
-                    on=keys, how="leftsemi",
-                )
+                mk = matched_keys.select(*keys).distinct()
+                if 0 < n_batch <= _KEYS_BCAST_MAX_ROWS:
+                    mk = F.broadcast(mk)  # matched keys ⊆ batch keys
+                to_insert = source.join(mk, on=keys, how="leftsemi")
             else:
                 to_insert = None  # nothing matched, nothing to insert
             if to_insert is not None:
@@ -2894,6 +2916,9 @@ def apply_cdc(
                                   "apply_cdc")
 
         src_keys = tagged.select(*keys).distinct()
+        if 0 < int(probe["__rows__"] or 0) <= _KEYS_BCAST_MAX_ROWS:
+            # probe-proven small batch: broadcast the key side outright
+            src_keys = F.broadcast(src_keys)
         files = list(prev["files"])
         stats = {"files_rewritten": 0, "files_carried": len(files)}
         touched: set[str] = set()
