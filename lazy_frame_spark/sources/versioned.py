@@ -1605,8 +1605,12 @@ def delete_versioned(
     survivors = _read_snapshot(
         spark, path, prev, files=sorted(touched)
     ).filter(~F.coalesce(pred, F.lit(False)))
+    # CoW rewrite size is bounded by the touched files themselves
+    # (survivors ⊆ touched rows) — same right-sizing rationale as the
+    # MERGE/CDC writes (_write_data_dir size_hint)
     new_files = _write_data_dir(survivors, path, version,
-                                mapping=_col_mapping(prev))
+                                mapping=_col_mapping(prev),
+                                size_hint=_local_bytes(path, touched))
     before = _footer_rows(path, sorted(touched))
     after = _footer_rows(path, new_files)
     v = _commit(
@@ -3034,8 +3038,11 @@ def purge_dvs(spark: SparkSession, path: str) -> tuple[int, dict]:
                    "dv_files_purged": len(dv_files)}
     version = parent + 1
     rewritten = _read_snapshot(spark, path, prev, files=affected)
+    # purge rewrite size is bounded by the affected files (survivors
+    # ⊆ affected rows) — same right-sizing as the MERGE/CDC writes
     new_files = _write_data_dir(rewritten, path, version,
-                                mapping=_col_mapping(prev))
+                                mapping=_col_mapping(prev),
+                                size_hint=_local_bytes(path, affected))
     v = _commit(path, "purge", carried + new_files, prev["schema"],
                 parent, dvs=[])
     return v, {"files_rewritten": len(affected),
