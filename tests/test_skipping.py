@@ -826,11 +826,16 @@ class TestDeletionVectors:
         assert _same(after, o.filter(
             ~F.col("o_orderkey").between(0, 120)
             & ~F.col("o_orderkey").between(1300, 1499)))
-        # idempotent when nothing outstanding
+        # right-sized materialize: the rewrite may coalesce the
+        # affected files (size-gated AQE rebalance), so the table's
+        # file count can only shrink — never one-output-per-input
+        assert len(man["files"]) <= 6
+        # idempotent when nothing outstanding: carries exactly the
+        # files the purge commit left (rewrite output, not input,
+        # counts — the rebalance makes the two differ)
         v2, st2 = V.purge_dvs(spark, t)
         assert st2 == {"files_rewritten": 0,
-                       "files_carried": st["files_carried"]
-                       + st["files_rewritten"],
+                       "files_carried": len(man["files"]),
                        "dv_files_purged": 0}
 
     def test_diff_and_time_travel_across_mor_chain(self, spark, tmp_path):
