@@ -3543,28 +3543,66 @@ def _ops_from_diff(d: DataFrame, keys: list[str],
     insert-only key an Insert, a delete-only key a Delete carrying the
     OLD row (the retraction preimage). Requires ``keys`` to be unique
     per side — the contract both consumers (``replicate_versioned``'s
-    apply_cdc and the change feed) already demand. ``preimages=True``
-    additionally emits each updated key's OLD row as ``U_pre`` (Delta
-    CDF's update_preimage) — apply-style consumers don't need it, but
-    audit/diff-style ones read what the update replaced."""
-    ins = d.filter(F.col("change_type") == "insert").drop("change_type")
-    dels = d.filter(F.col("change_type") == "delete").drop("change_type")
-    del_keys = dels.select(*keys).distinct()
-    ops = (
-        ins.join(del_keys.withColumn("__upd__", F.lit(True)),
-                 on=keys, how="left")
-        .withColumn("op", F.when(F.col("__upd__"), "U").otherwise("I"))
-        .drop("__upd__")
-        .unionByName(
-            dels.join(ins.select(*keys).distinct(), on=keys,
-                      how="left_anti")
-            .withColumn("op", F.lit("D")))
+    apply_cdc and the change feed) already demand; a violating diff
+    raises at evaluation (in-plan guard) instead of silently collapsing
+    to one op per key. ``preimages=True`` additionally emits each
+    updated key's OLD row as ``U_pre`` (Delta CDF's update_preimage) —
+    apply-style consumers don't need it, but audit/diff-style ones read
+    what the update replaced.
+
+    Shape: ONE hash aggregate on the key — each group holds at most
+    one insert and one delete row (the uniqueness contract), so a
+    single ``groupBy(keys)`` pairs the sides where the old
+    formulation's I/U left-join + D anti-join shuffled the persisted
+    diff three times (measured 12 exchanges in the relay ops plan; 6
+    after). NULL-keyed rows ride a map-only side branch tagged by
+    their own side (NULL keys never equi-join, so the old shape
+    always emitted them as I/D, never paired into a U — the group-by,
+    which treats NULLs as equal, must not pair them either)."""
+    cols = [c for c in d.columns if c != "change_type"]
+    out_cols = list(keys) + [c for c in cols if c not in keys]
+    is_ins = F.col("change_type") == "insert"
+    keys_nonnull = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+    row = F.struct(*[F.col(c) for c in cols])
+    agged = d.filter(keys_nonnull).groupBy(*keys).agg(
+        F.max(F.when(is_ins, row)).alias("__new__"),
+        F.max(F.when(~is_ins, row)).alias("__old__"),
+        F.sum(is_ins.cast("int")).alias("__ni__"),
+        F.sum((~is_ins).cast("int")).alias("__nd__"),
     )
+    # uniqueness guard folded INTO the consumed op expression (a
+    # separate probe job would cost a pass; an unconsumed column would
+    # be pruned): >1 insert or >1 delete for one key means the relay
+    # key is not unique per source version — the max() pick would
+    # silently drop rows, so fail loudly instead
+    op = F.when(
+        (F.col("__ni__") > 1) | (F.col("__nd__") > 1),
+        F.raise_error(F.concat(
+            F.lit("relay op compaction: key ("),
+            F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+            F.lit(") appears more than once per diff side — the relay "
+                  "key must be unique per source version"),
+        )),
+    ).otherwise(
+        F.when(F.col("__ni__").eqNullSafe(0), "D")
+        .when(F.col("__nd__").eqNullSafe(0), "I")
+        .otherwise("U")
+    )
+    picked = F.coalesce(F.col("__new__"), F.col("__old__"))
+    ops = agged.select(
+        *[picked[c].alias(c) for c in out_cols], op.alias("op"))
+    nulls = d.filter(~keys_nonnull).select(
+        *out_cols,
+        F.when(is_ins, "I").otherwise("D").alias("op"))
+    ops = ops.unionByName(nulls)
     if preimages:
         ops = ops.unionByName(
-            dels.join(ins.select(*keys).distinct(), on=keys,
-                      how="left_semi")
-            .withColumn("op", F.lit("U_pre")))
+            agged.filter(F.col("__new__").isNotNull()
+                         & F.col("__old__").isNotNull())
+            .select(*[F.col("__old__")[c].alias(c) for c in out_cols],
+                    F.lit("U_pre").alias("op")))
     return ops
 
 

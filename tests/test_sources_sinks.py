@@ -2208,6 +2208,51 @@ def test_relay_changes_update_preimages(spark, tmp_path):
     assert {k for op, k in rows if op == "I"} == {20, 21}
 
 
+def test_ops_compaction_null_keys_and_unique_guard(spark):
+    """The one-aggregate I/U/D compaction (r15 optimization of
+    _ops_from_diff) keeps the join formulation's exact semantics:
+    NULL-keyed diff rows never pair into a U (NULL keys never
+    equi-join — an insert and a delete under a NULL key stay I + D),
+    and a diff violating the unique-key-per-side contract raises at
+    evaluation instead of silently collapsing to one op per key."""
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.sources import versioned as V
+
+    d = spark.createDataFrame(
+        [(None, 333.0, "insert"), (None, 111.0, "delete"),
+         (7, 1.0, "insert"), (7, 0.5, "delete"), (8, 2.0, "insert"),
+         (9, 3.0, "delete")],
+        "k bigint, v double, change_type string")
+    got = {(r["op"], r["k"], r["v"])
+           for r in V._ops_from_diff(d, ["k"]).collect()}
+    assert got == {("I", None, 333.0), ("D", None, 111.0),
+                   ("U", 7, 1.0), ("I", 8, 2.0), ("D", 9, 3.0)}
+    pre = {(r["op"], r["k"], r["v"])
+           for r in V._ops_from_diff(d, ["k"], preimages=True).collect()}
+    assert pre == got | {("U_pre", 7, 0.5)}
+    dup = spark.createDataFrame(
+        [(1, 1.0, "insert"), (1, 2.0, "insert")],
+        "k bigint, v double, change_type string")
+    try:
+        V._ops_from_diff(dup, ["k"]).collect()
+        raise AssertionError("duplicate-key diff did not raise")
+    except Exception as e:
+        assert "unique per source version" in str(e)
+    # NULL keys may repeat per side (they never joined before either):
+    # two NULL-key inserts stay two I rows, no guard trip
+    nn = spark.createDataFrame(
+        [(None, 1.0, "insert"), (None, 2.0, "insert")],
+        "k bigint, v double, change_type string")
+    ops = V._ops_from_diff(nn, ["k"]).collect()
+    assert sorted(r["v"] for r in ops) == [1.0, 2.0]
+    assert {r["op"] for r in ops} == {"I"}
+    # and the plan carries no join: one aggregate, map-side branch
+    plan = V._ops_from_diff(d, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_txn_identifiers_make_appends_idempotent(spark, tmp_path):
     """Delta-style transaction identifiers: an append carrying
     txn=(app, version) is idempotent per app — a replayed job returns
