@@ -564,16 +564,25 @@ def _jv_check_columns(a_cols, b_cols, keys) -> None:
             raise ValueError(f"join key {k!r} missing from a side")
 
 
-#: deltas at or below this many rows attempt the exact-set probe
-#: unconditionally (the per-key distinct is a tiny job there); bigger
-#: deltas first ask ONE approx_count_distinct aggregate whether any key
-#: is clearly above key_set_where's cap, so a large update never pays
-#: N distinct-collect shuffle jobs just to fall back to bounds
-_JV_EXACT_PROBE_ROWS = 8192
+def _jv_probe_delta(delta: DataFrame, keys):
+    """ONE aggregate job per delta — row count, per-key [min, max]
+    bounds and approx NDV together. The count gates emptiness, the NDV
+    gates the exact-set probe, and the bounds double as the free
+    fallback conjunction, so the old shape's three separate probe jobs
+    (capped count, approx_count_distinct gate, bounds aggregate) fold
+    into one pass over the (persisted, O(increment)) delta. Returns
+    ``(n_rows, probe_row)``."""
+    from lazy_frame_spark.sources import filestats
+
+    row = delta.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *filestats.key_bounds_aggs(keys),
+        *[F.approx_count_distinct(c).alias(f"__d_{c}__") for c in keys],
+    ).collect()[0]
+    return int(row["__n__"]), row
 
 
-def _jv_key_bounds_where(delta: DataFrame, keys,
-                         n_rows: int | None = None) -> list | None:
+def _jv_where_from_probe(delta: DataFrame, keys, row) -> list | None:
     """The delta's key footprint as a skipping conjunction for the OLD
     side's scan — sound for an INNER equi-join: a snapshot row outside
     the delta's key footprint on ANY key cannot produce a join match.
@@ -582,30 +591,30 @@ def _jv_key_bounds_where(delta: DataFrame, keys,
     conjuncts let the bloom sidecars prune files the [lo, hi] interval
     test must keep — an equality-heavy tail delta against a
     wide-keyed snapshot prunes to the files actually holding those
-    keys, not every file the range straddles. Falls back to the shared
-    bounds derivation (``filestats.key_bounds_where`` — also
-    merge_versioned's discovery pre-cut) for big or non-probeable
-    deltas, so the type guards can never drift between callers.
-
-    ``n_rows`` (a capped count the caller already computed) gates the
-    probe: above ``_JV_EXACT_PROBE_ROWS`` one approx_count_distinct
-    aggregate decides whether the exact set can fit before any per-key
-    distinct job runs — approximation error only ever costs pruning
-    sharpness (either path is sound), never correctness."""
+    keys, not every file the range straddles. The probe row's
+    approx_count_distinct gates that per-key distinct job (1.25x
+    headroom over key_set_where's 1024 cap absorbs the sketch's
+    relative error — approximation error only ever costs pruning
+    sharpness, either path is sound, never correctness); big or
+    non-probeable deltas fall back to the bounds ALREADY collected in
+    the probe row (``filestats.key_bounds_from_row`` — the same
+    derivation as merge_versioned's discovery pre-cut), costing no
+    further job."""
     from lazy_frame_spark.sources import filestats
 
-    if n_rows is not None and n_rows > _JV_EXACT_PROBE_ROWS:
-        apx = delta.agg(*[
-            F.approx_count_distinct(c).alias(f"__d_{c}__") for c in keys
-        ]).collect()[0]
-        # 1.25x headroom over key_set_where's 1024 cap absorbs the
-        # sketch's relative error; a clear exceedance skips the probe
-        if any(apx[f"__d_{c}__"] > 1280 for c in keys):
-            return filestats.key_bounds_where(delta, keys)
-    w = filestats.key_set_where(delta, keys)
-    if w is not None:
-        return w
-    return filestats.key_bounds_where(delta, keys)
+    if all((row[f"__d_{c}__"] or 0) <= 1280 for c in keys):
+        w = filestats.key_set_where(delta, keys)
+        if w is not None:
+            return w
+    return filestats.key_bounds_from_row(row, keys)
+
+
+def _jv_key_bounds_where(delta: DataFrame, keys) -> list | None:
+    """Standalone form of the footprint derivation (probe + where in
+    one call) for callers outside ``join_view_update``'s folded-probe
+    flow."""
+    _n, row = _jv_probe_delta(delta, keys)
+    return _jv_where_from_probe(delta, keys, row)
 
 
 def join_view_init(
@@ -694,16 +703,18 @@ def join_view_update(
 
     keys, va0, vb0 = _jv_state(view_path)
     va1, vb1 = V.latest_version(a_path), V.latest_version(b_path)
-    # each delta feeds up to FOUR evaluations (capped count, key-probe
+    # each delta feeds up to THREE evaluations (the folded probe
     # aggregate, its snapshot-join term, the dA⋈dB term) — pin it for
     # the update's duration so the delta files are scanned once, not
     # per consumer. O(increment) state, released before returning.
     dA = V.appended_since(spark, a_path, va0, version=va1).persist()
     dB = V.appended_since(spark, b_path, vb0, version=vb1).persist()
-    # capped counts double as the exact-set probe gate (the existence
-    # check was a limit(1) job anyway; the cap keeps it bounded)
-    cap = _JV_EXACT_PROBE_ROWS + 1
-    n_da, n_db = dA.limit(cap).count(), dB.limit(cap).count()
+    # ONE probe job per delta: count (the emptiness gate) + key bounds
+    # + approx NDV ride the same aggregate (_jv_probe_delta) — the old
+    # shape paid a capped count, then an approx gate, then a bounds
+    # aggregate, each its own pass over the delta
+    n_da, probe_a = _jv_probe_delta(dA, keys)
+    n_db, probe_b = _jv_probe_delta(dB, keys)
     stats = {"a_from": va0, "a_to": va1, "b_from": vb0, "b_to": vb1}
     if n_da == 0 and n_db == 0:
         dA.unpersist()
@@ -712,7 +723,7 @@ def join_view_update(
         return stats
     parts = []
     if n_da:
-        w = _jv_key_bounds_where(dA, keys, n_rows=n_da)
+        w = _jv_where_from_probe(dA, keys, probe_a)
         if w is not None:
             s = V.skipping_summary(b_path, w, version=vb0)
             stats["b0_files_kept"] = s["kept_files"]
@@ -720,7 +731,7 @@ def join_view_update(
         b0 = V.read_versioned(spark, b_path, version=vb0, where=w)
         parts.append(dA.join(b0, on=keys, how="inner"))
     if n_db:
-        w = _jv_key_bounds_where(dB, keys, n_rows=n_db)
+        w = _jv_where_from_probe(dB, keys, probe_b)
         if w is not None:
             s = V.skipping_summary(a_path, w, version=va0)
             stats["a0_files_kept"] = s["kept_files"]

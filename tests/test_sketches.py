@@ -721,6 +721,37 @@ def test_join_view_point_delta_prunes_through_blooms(
     assert got.exceptAll(exp).count() == 0
 
 
+def test_join_view_folded_probe_one_aggregate(spark):
+    """r15 optimization: join_view_update's per-delta probes (capped
+    count, approx-NDV gate, bounds aggregate) fold into ONE aggregate
+    job — _jv_probe_delta returns count + bounds + NDV together, and
+    _jv_where_from_probe reuses the collected bounds as the free
+    fallback. Point-like deltas still pick the exact ``in`` form; wide
+    deltas get the ``between`` bounds without a distinct-collect."""
+    from pyspark.sql import functions as F
+
+    from lazy_frame_spark.operators import incremental as I
+
+    point = spark.range(0, 5).select(F.col("id").alias("k"))
+    n, row = I._jv_probe_delta(point, ["k"])
+    assert n == 5
+    assert row["__lo_k__"] == 0 and row["__hi_k__"] == 4
+    w = I._jv_where_from_probe(point, ["k"], row)
+    assert w == [("k", "in", [0, 1, 2, 3, 4])]
+    wide = spark.range(0, 20000).select(F.col("id").alias("k"))
+    n, row = I._jv_probe_delta(wide, ["k"])
+    assert n == 20000
+    w = I._jv_where_from_probe(wide, ["k"], row)
+    assert w == [("k", "between", (0, 19999))]
+    empty = spark.range(0, 0).select(F.col("id").alias("k"))
+    n, row = I._jv_probe_delta(empty, ["k"])
+    assert n == 0
+    # NULL-only key: bounds unusable, standalone form degrades to None
+    nulls = spark.range(0, 3).select(
+        F.lit(None).cast("bigint").alias("k"))
+    assert I._jv_key_bounds_where(nulls, ["k"]) is None
+
+
 def test_join_view_refuses_ambiguous_and_unbuilt(spark, sf_dir, tmp_path):
     import pytest as _pytest
 
