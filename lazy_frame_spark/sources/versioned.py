@@ -2631,167 +2631,176 @@ def merge_versioned(
     for c in keys:
         if c not in names:
             raise ValueError(f"merge key {c!r} not in table schema")
-    if when_matched == "update":
-        _check_append_schema(source, prev["schema"])
-        # ONE probe job: the duplicate-key check (NULL keys never match
-        # — SQL semantics — so two NULL-key source rows are unambiguous
-        # INSERTS and the uniqueness contract applies to fully-non-NULL
-        # keys only) and the data-skipping key bounds ride the same
-        # per-key aggregate instead of two separate source scans. The
-        # failure path re-probes to name an offending key — errors may
-        # pay one extra job; the happy path never does.
-        keys_nonnull = F.col(keys[0]).isNotNull()
-        for k in keys[1:]:
-            keys_nonnull = keys_nonnull & F.col(k).isNotNull()
-        probe = (
-            source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .agg(F.max(F.when(keys_nonnull, F.col("__n__")))
-                 .alias("__dup__"),
-                 F.sum("__n__").alias("__rows__"),
-                 *filestats.key_bounds_aggs(keys))
-            .collect()[0]
-        )
-        batch_rows = int(probe["__rows__"] or 0)
-        if (probe["__dup__"] or 0) > 1:
-            dup = (
-                source.dropna(subset=keys)
-                .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
-                .filter(F.col("__n__") > 1).limit(1).collect()
-            )
-            raise ValueError(
-                f"merge_versioned: source has duplicate keys on {keys} "
-                f"(e.g. {tuple(dup[0][k] for k in keys)}); the "
-                "replacement row would be ambiguous — dedupe the batch"
-            )
-        bounds = filestats.key_bounds_from_row(probe, keys)
-        n_batch = batch_rows
-    else:
-        # fold the broadcast-gate count into the bounds aggregate —
-        # same single probe job as before, one extra counter
-        dprobe = source.agg(
-            F.count(F.lit(1)).alias("__rows__"),
-            *filestats.key_bounds_aggs(keys)).collect()[0]
-        bounds = filestats.key_bounds_from_row(dprobe, keys)
-        n_batch = int(dprobe["__rows__"] or 0)
-        batch_rows = 0  # delete-mode writes survivors only (⊆ touched)
-    # the distinct source-key set drives the discovery semi-join AND
-    # the write's anti/semi joins — pin it so each action reuses one
-    # materialization instead of re-shuffling the source. O(batch keys).
-    src_keys = source.select(*keys).distinct().persist()
-    # probe-proven small batch: broadcast the key side outright (see
-    # _KEYS_BCAST_MAX_ROWS) instead of waiting for an AQE conversion
-    jkeys = (F.broadcast(src_keys)
-             if 0 < n_batch <= _KEYS_BCAST_MAX_ROWS else src_keys)
+    # pin the batch for the merge's duration (same rationale as
+    # apply_cdc's tagged pin, and Delta materializes its MERGE source):
+    # the plan upstream of `source` — often a CDC diff or a filtered
+    # table read — otherwise re-evaluates for the validation probe, the
+    # distinct-key build, and the write. O(batch), released in finally.
+    source = source.persist()
     try:
-
-        files = list(prev["files"])
-        stats = {"files_rewritten": 0, "files_carried": len(files)}
-        touched: set[str] = set()
-        matched_keys = None  # (file, keys) of matched target rows, persisted
-        # data-skipping pre-cut for the discovery scan: a file whose
-        # commit-time key bounds don't intersect the SOURCE's key
-        # bounds provably contains no match — skip it before the scan.
-        # One tiny aggregate over the source buys this; on the
-        # production CDC shape (updates touch recent keys, the table
-        # is clustered or naturally ordered by them) the cold body
-        # never even enters the key-column scan. Conservative like all
-        # skipping: missing sidecars keep the file. The same footprint is
-        # the commit-time disjointness proof for rebasing over concurrent
-        # appends (_commit_keyed_with_rebase).
-        where_hint = _phys_where(_col_mapping(prev), bounds)
-        if files:
-            scan_files = (
-                filestats.prune_files(path, files, where_hint)
-                if where_hint else files
-            )
-            stats["files_scan_skipped"] = len(files) - len(scan_files)
-            if scan_files:
-                # DV-applied key scan: a tombstoned row must not mark its
-                # file touched (nor count as a match). Persisted so the
-                # insert_unmatched=False path reuses it instead of paying
-                # a third scan of the touched files.
-                matched_keys = (
-                    _read_snapshot(spark, path, prev, files=scan_files,
-                                   _with_position=True)
-                    .select(F.col("__file__"), *keys)
-                    .join(jkeys, on=keys, how="leftsemi")
-                    .persist()
-                )
-                touched = {
-                    r[0]
-                    for r in matched_keys.select("__file__")
-                    .distinct().collect()
-                }
-        carried = [f for f in files if f not in touched]
-
-        parts = []
-        if touched:
-            survivors = (
-                _read_snapshot(spark, path, prev, files=sorted(touched))
-                .join(jkeys, on=keys, how="left_anti")
-            )
-            parts.append(survivors)
         if when_matched == "update":
-            if insert_unmatched:
-                to_insert = source
-            elif touched:
-                # only matched source rows replace — their keys are
-                # exactly the persisted discovery result's keys
-                mk = matched_keys.select(*keys).distinct()
-                if 0 < n_batch <= _KEYS_BCAST_MAX_ROWS:
-                    mk = F.broadcast(mk)  # matched keys ⊆ batch keys
-                to_insert = source.join(mk, on=keys, how="leftsemi")
-            else:
-                to_insert = None  # nothing matched, nothing to insert
-            if to_insert is not None:
-                # constraints gate what actually LANDS (to_insert), not
-                # the whole source — an insert_unmatched=False merge may
-                # legitimately carry unmatched rows that never commit
-                _validate_constraints(
-                    to_insert, prev.get("constraints") or {},
-                    "merge_versioned")
-                parts.append(
-                    to_insert.select(*[f.name for f in schema.fields]))
-        version = parent + 1
-        commit_extra = {"merge_on": keys, "merge_mode": when_matched}
-        if extra:
-            commit_extra.update(extra)
+            _check_append_schema(source, prev["schema"])
+            # ONE probe job: the duplicate-key check (NULL keys never match
+            # — SQL semantics — so two NULL-key source rows are unambiguous
+            # INSERTS and the uniqueness contract applies to fully-non-NULL
+            # keys only) and the data-skipping key bounds ride the same
+            # per-key aggregate instead of two separate source scans. The
+            # failure path re-probes to name an offending key — errors may
+            # pay one extra job; the happy path never does.
+            keys_nonnull = F.col(keys[0]).isNotNull()
+            for k in keys[1:]:
+                keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+            probe = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .agg(F.max(F.when(keys_nonnull, F.col("__n__")))
+                     .alias("__dup__"),
+                     F.sum("__n__").alias("__rows__"),
+                     *filestats.key_bounds_aggs(keys))
+                .collect()[0]
+            )
+            batch_rows = int(probe["__rows__"] or 0)
+            if (probe["__dup__"] or 0) > 1:
+                dup = (
+                    source.dropna(subset=keys)
+                    .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                    .filter(F.col("__n__") > 1).limit(1).collect()
+                )
+                raise ValueError(
+                    f"merge_versioned: source has duplicate keys on {keys} "
+                    f"(e.g. {tuple(dup[0][k] for k in keys)}); the "
+                    "replacement row would be ambiguous — dedupe the batch"
+                )
+            bounds = filestats.key_bounds_from_row(probe, keys)
+            n_batch = batch_rows
+        else:
+            # fold the broadcast-gate count into the bounds aggregate —
+            # same single probe job as before, one extra counter
+            dprobe = source.agg(
+                F.count(F.lit(1)).alias("__rows__"),
+                *filestats.key_bounds_aggs(keys)).collect()[0]
+            bounds = filestats.key_bounds_from_row(dprobe, keys)
+            n_batch = int(dprobe["__rows__"] or 0)
+            batch_rows = 0  # delete-mode writes survivors only (⊆ touched)
+        # the distinct source-key set drives the discovery semi-join AND
+        # the write's anti/semi joins — pin it so each action reuses one
+        # materialization instead of re-shuffling the source. O(batch keys).
+        src_keys = source.select(*keys).distinct().persist()
+        # probe-proven small batch: broadcast the key side outright (see
+        # _KEYS_BCAST_MAX_ROWS) instead of waiting for an AQE conversion
+        jkeys = (F.broadcast(src_keys)
+                 if 0 < n_batch <= _KEYS_BCAST_MAX_ROWS else src_keys)
         try:
-            if not parts:
-                # no new rows land — nothing for a concurrently added
-                # constraint to gate, so no new_files handed through
-                v = _commit_keyed_with_rebase(path, "merge", parent, prev,
-                                              files, commit_extra,
-                                              where_hint, spark=spark)
-                return v, stats
-            new_data = parts[0]
-            for p in parts[1:]:
-                new_data = new_data.unionByName(p)
-            # rewrite size ≈ touched files (survivors ⊆ touched, 2×
-            # margin for the replace rows) + the batch at a
-            # conservative 256 B/row from the probe's row total, so a
-            # bulk insert-only merge at scale keeps its input
-            # partitioning instead of paying a full extra shuffle
-            new_files = _write_data_dir(
-                new_data, path, version, mapping=_col_mapping(prev),
-                size_hint=2 * _local_bytes(path, touched)
-                + 256 * batch_rows)
+
+            files = list(prev["files"])
+            stats = {"files_rewritten": 0, "files_carried": len(files)}
+            touched: set[str] = set()
+            matched_keys = None  # (file, keys) of matched target rows, persisted
+            # data-skipping pre-cut for the discovery scan: a file whose
+            # commit-time key bounds don't intersect the SOURCE's key
+            # bounds provably contains no match — skip it before the scan.
+            # One tiny aggregate over the source buys this; on the
+            # production CDC shape (updates touch recent keys, the table
+            # is clustered or naturally ordered by them) the cold body
+            # never even enters the key-column scan. Conservative like all
+            # skipping: missing sidecars keep the file. The same footprint is
+            # the commit-time disjointness proof for rebasing over concurrent
+            # appends (_commit_keyed_with_rebase).
+            where_hint = _phys_where(_col_mapping(prev), bounds)
+            if files:
+                scan_files = (
+                    filestats.prune_files(path, files, where_hint)
+                    if where_hint else files
+                )
+                stats["files_scan_skipped"] = len(files) - len(scan_files)
+                if scan_files:
+                    # DV-applied key scan: a tombstoned row must not mark its
+                    # file touched (nor count as a match). Persisted so the
+                    # insert_unmatched=False path reuses it instead of paying
+                    # a third scan of the touched files.
+                    matched_keys = (
+                        _read_snapshot(spark, path, prev, files=scan_files,
+                                       _with_position=True)
+                        .select(F.col("__file__"), *keys)
+                        .join(jkeys, on=keys, how="leftsemi")
+                        .persist()
+                    )
+                    touched = {
+                        r[0]
+                        for r in matched_keys.select("__file__")
+                        .distinct().collect()
+                    }
+            carried = [f for f in files if f not in touched]
+
+            parts = []
+            if touched:
+                survivors = (
+                    _read_snapshot(spark, path, prev, files=sorted(touched))
+                    .join(jkeys, on=keys, how="left_anti")
+                )
+                parts.append(survivors)
+            if when_matched == "update":
+                if insert_unmatched:
+                    to_insert = source
+                elif touched:
+                    # only matched source rows replace — their keys are
+                    # exactly the persisted discovery result's keys
+                    mk = matched_keys.select(*keys).distinct()
+                    if 0 < n_batch <= _KEYS_BCAST_MAX_ROWS:
+                        mk = F.broadcast(mk)  # matched keys ⊆ batch keys
+                    to_insert = source.join(mk, on=keys, how="leftsemi")
+                else:
+                    to_insert = None  # nothing matched, nothing to insert
+                if to_insert is not None:
+                    # constraints gate what actually LANDS (to_insert), not
+                    # the whole source — an insert_unmatched=False merge may
+                    # legitimately carry unmatched rows that never commit
+                    _validate_constraints(
+                        to_insert, prev.get("constraints") or {},
+                        "merge_versioned")
+                    parts.append(
+                        to_insert.select(*[f.name for f in schema.fields]))
+            version = parent + 1
+            commit_extra = {"merge_on": keys, "merge_mode": when_matched}
+            if extra:
+                commit_extra.update(extra)
+            try:
+                if not parts:
+                    # no new rows land — nothing for a concurrently added
+                    # constraint to gate, so no new_files handed through
+                    v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                                  files, commit_extra,
+                                                  where_hint, spark=spark)
+                    return v, stats
+                new_data = parts[0]
+                for p in parts[1:]:
+                    new_data = new_data.unionByName(p)
+                # rewrite size ≈ touched files (survivors ⊆ touched, 2×
+                # margin for the replace rows) + the batch at a
+                # conservative 256 B/row from the probe's row total, so a
+                # bulk insert-only merge at scale keeps its input
+                # partitioning instead of paying a full extra shuffle
+                new_files = _write_data_dir(
+                    new_data, path, version, mapping=_col_mapping(prev),
+                    size_hint=2 * _local_bytes(path, touched)
+                    + 256 * batch_rows)
+            finally:
+                if matched_keys is not None:
+                    matched_keys.unpersist()
+            v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                          carried + new_files, commit_extra,
+                                          where_hint, spark=spark,
+                                          new_files=new_files)
+            stats.update({
+                "files_rewritten": len(touched),
+                "files_carried": len(carried),
+                "files_written": len(new_files),
+            })
+            return v, stats
         finally:
-            if matched_keys is not None:
-                matched_keys.unpersist()
-        v = _commit_keyed_with_rebase(path, "merge", parent, prev,
-                                      carried + new_files, commit_extra,
-                                      where_hint, spark=spark,
-                                      new_files=new_files)
-        stats.update({
-            "files_rewritten": len(touched),
-            "files_carried": len(carried),
-            "files_written": len(new_files),
-        })
-        return v, stats
+            src_keys.unpersist()
     finally:
-        src_keys.unpersist()
+        source.unpersist()
 
 
 def apply_cdc(
