@@ -1568,13 +1568,19 @@ def delete_versioned(
     if strategy == "merge-on-read":
         vis = _read_snapshot(spark, path, prev, _with_position=True)
         dv_new = vis.filter(pred).select("__file__", "__pos__")
-        n_del = dv_new.count()
+        # ONE predicate scan: write the tombstones first and take the
+        # count from the written files' parquet footers (no job) — the
+        # old count-then-write shape scanned the table twice per MoR
+        # delete. An empty result leaves a tiny orphan dir that the
+        # no-op commit never references (vacuum reclaims it, same as
+        # any crashed attempt).
+        dv_files = _write_dv_dir(dv_new.coalesce(1), path, version)
+        n_del = _footer_rows(path, dv_files) or 0
         if n_del == 0:
             v = _commit(path, "delete", files, prev["schema"], parent,
                         {"predicate": predicate, "strategy": strategy})
             return v, {"files_rewritten": 0, "files_carried": len(files),
                        "rows_deleted": 0, "dv_files_written": 0}
-        dv_files = _write_dv_dir(dv_new.coalesce(1), path, version)
         v = _commit(
             path, "delete", files, prev["schema"], parent,
             {"predicate": predicate, "strategy": strategy},

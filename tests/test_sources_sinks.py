@@ -2208,6 +2208,32 @@ def test_relay_changes_update_preimages(spark, tmp_path):
     assert {k for op, k in rows if op == "I"} == {20, 21}
 
 
+def test_mor_delete_one_scan_no_match_commits_no_dv(spark, tmp_path):
+    """r15 optimization: the MoR delete writes tombstones first and
+    counts them from the written parquet footers (one predicate scan,
+    not count-then-write). A no-match delete must still commit a clean
+    no-op — zero rows deleted, NO dv_files referenced by the commit —
+    and the unreferenced attempt dir is reclaimed by vacuum like any
+    crashed attempt."""
+    from lazy_frame_spark.sources import versioned as V
+
+    t = str(tmp_path / "mor1scan")
+    V.write_versioned(_vt_rows(spark, 0, 20), t)
+    v, st = V.delete_versioned(spark, t, "k > 999",
+                               strategy="merge-on-read")
+    assert st["rows_deleted"] == 0 and st["dv_files_written"] == 0
+    assert not V._read_manifest(t, v).get("dv_files")
+    assert V.read_versioned(spark, t).count() == 20
+    # the real delete still works and counts exactly from footers
+    v2, st2 = V.delete_versioned(spark, t, "k < 5",
+                                 strategy="merge-on-read")
+    assert st2["rows_deleted"] == 5 and st2["dv_files_written"] >= 1
+    assert V.read_versioned(spark, t).count() == 15
+    # vacuum reclaims the no-match attempt's orphan dir
+    V.vacuum_versioned(t, keep_last=1)
+    assert V.read_versioned(spark, t).count() == 15
+
+
 def test_ops_compaction_null_keys_and_unique_guard(spark):
     """The one-aggregate I/U/D compaction (r15 optimization of
     _ops_from_diff) keeps the join formulation's exact semantics:
