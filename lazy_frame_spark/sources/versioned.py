@@ -3966,10 +3966,19 @@ def truncate_changes(
             f"than the relayed source version {state}"
         )
     feed = read_versioned(spark, feed_path)
-    before = feed.count()
-    dropped = feed.filter(
-        F.col("_src_version") < F.lit(keep_from_src_version))
-    base = dropped.agg(F.max("_src_version")).collect()[0][0]
+    # ONE probe job (the feed's row count + the newest dropped op's
+    # source version together) instead of a count job plus a separate
+    # max aggregate; the retained count then comes from the snapshot
+    # commit's own manifest footer total — feeds are append-only by
+    # construction (never DV-masked), so physical rows == visible rows
+    # — making the write the only other scan. 4 feed passes → 2.
+    probe = feed.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.max(F.when(
+            F.col("_src_version") < F.lit(keep_from_src_version),
+            F.col("_src_version"))).alias("__base__"),
+    ).collect()[0]
+    before, base = int(probe["__n__"]), probe["__base__"]
     kept = feed.filter(
         F.col("_src_version") >= F.lit(keep_from_src_version))
     # retained rows + re-stamped relay state ride ONE snapshot commit
@@ -3979,7 +3988,9 @@ def truncate_changes(
         kept, feed_path,
         extra={"relay_stream": stream_id, "relay_src_version": state,
                "truncated_below": int(keep_from_src_version)})
-    after = kept.count()
+    after = _read_manifest_meta(feed_path, v).get("rows")
+    if after is None:  # footer count unavailable: pay the scan
+        after = kept.count()
     return v, {"ops_dropped": before - after, "ops_retained": after,
                "relay_src_version": state,
                "base_src_version": base}
