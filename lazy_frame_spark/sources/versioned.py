@@ -3794,7 +3794,8 @@ def relay_changes(
     # branches, so even the single write action would otherwise scan
     # every changed file 4× (the delta is O(changed rows) — caching it
     # is bounded by the change set, never the table).
-    d = diff_versions(spark, src_path, state, src_v).persist()
+    d = diff_versions(spark, src_path, state, src_v,
+                      cluster_by=keys).persist()
     _follow_evolution(
         spark, feed_path,
         [(f["name"], f["type"])
@@ -3889,7 +3890,8 @@ def replicate_versioned(
     # exchanges PER ACTION on the bench relay before this. The delta
     # is O(changed rows) by construction, so caching it is bounded by
     # the change set, never the table.
-    d = diff_versions(spark, src_path, state, src_v).persist()
+    d = diff_versions(spark, src_path, state, src_v,
+                      cluster_by=keys).persist()
     src_man = _read_manifest_meta(src_path, src_v)
     _follow_evolution(
         spark, dst_path,
@@ -4002,6 +4004,7 @@ def diff_versions(
     v_from: int,
     v_to: int,
     change_col: str = "change_type",
+    cluster_by: list | None = None,
 ) -> DataFrame:
     """Row-level diff between two versions — the general CDC read
     (``appended_since`` is the cheap special case for append-only
@@ -4113,6 +4116,15 @@ def diff_versions(
     cols = [f.name for f in schema.fields]
     both = (new.withColumn("__w__", F.lit(1))
             .unionByName(old.withColumn("__w__", F.lit(-1))))
+    if cluster_by and all(k in cols for k in cluster_by):
+        # share ONE exchange with the caller's downstream per-key
+        # aggregation (the relay's I/U/D op compaction): hash
+        # partitioning on the key SUBSET satisfies the all-columns
+        # clustered distribution this groupBy needs, and the persisted
+        # diff then feeds groupBy(keys) with no second shuffle. Skew-
+        # safe by the relay contract (keys unique per side → ≤2 rows
+        # per key). Row content is untouched — layout only.
+        both = both.repartition(*[F.col(k) for k in cluster_by])
     delta = (both.groupBy(*cols)
              .agg(F.sum("__w__").alias("__d__"))
              .filter(F.col("__d__") != 0))
