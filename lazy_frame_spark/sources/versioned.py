@@ -497,17 +497,40 @@ def _write_data_dir(df: DataFrame, path: str, version: int,
 
 
 def _footer_rows(path: str, rel_files: list[str]) -> int | None:
-    """Total row count from parquet footers only — no Spark job."""
-    try:
-        import pyarrow.parquet as pq
-    except Exception:
-        return None
-    n = 0
+    """Total row count from commit metadata only — no Spark job.
+    Sidecar-first: the ``_stats.json`` each data directory already
+    carries records every file's footer row count, so the usual cost
+    is ONE JSON read per directory instead of one parquet footer open
+    per file (O(dirs), not O(files), on the driver — a 100k-file
+    commit stops paying 100k footer opens twice per commit). Files a
+    sidecar doesn't know (DV dirs, pre-stats directories) fall back to
+    their own footers; any unreadable file degrades the whole count to
+    None, exactly as before."""
+    by_dir: dict[str, list[str]] = {}
     for rel in rel_files:
+        d, base = os.path.split(rel)
+        by_dir.setdefault(d, []).append(base)
+    n = 0
+    misses: list[str] = []
+    for d, names in by_dir.items():
+        stats = filestats.load_dir_stats(os.path.join(path, d)) or {}
+        for base in names:
+            rows = (stats.get(base) or {}).get("rows")
+            if isinstance(rows, int):
+                n += rows
+            else:
+                misses.append(os.path.join(d, base))
+    if misses:
         try:
-            n += pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+            import pyarrow.parquet as pq
         except Exception:
             return None
+        for rel in misses:
+            try:
+                n += pq.ParquetFile(
+                    os.path.join(path, rel)).metadata.num_rows
+            except Exception:
+                return None
     return n
 
 
