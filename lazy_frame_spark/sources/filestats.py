@@ -786,8 +786,9 @@ def write_dir_blooms(
     type_by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
     out_cols: dict[str, dict[str, str]] = {}
-    zero = None
+    zero = base64.b64encode(bytes(n_bits // 8)).decode("ascii")
     absent_types: dict[str, str] = {}
+    build_cols: list[str] = []
     for c in cols:
         t = type_by_name.get(c)
         if t is None and schema_types and c in schema_types:
@@ -795,10 +796,6 @@ def write_dir_blooms(
             # column reads as all-NULL here, so no equality can ever
             # match — record the all-zero filter (maximum pruning)
             # instead of dying on the first pre-evolution directory
-            import base64 as _b64
-
-            if zero is None:
-                zero = _b64.b64encode(bytes(n_bits // 8)).decode("ascii")
             out_cols[c] = {f: zero for f in files}
             absent_types[c] = schema_types[c]
             continue
@@ -809,25 +806,45 @@ def write_dir_blooms(
                 f"bloom column {c!r} has type {t} — only int-family and "
                 "string keys have a canonical cross-engine string form"
             )
-        h = SF.md5(SF.col(c).cast("string"))
-        h1 = SF.conv(SF.substring(h, 1, 15), 16, 10).cast("bigint")
-        h2 = SF.conv(SF.substring(h, 17, 15), 16, 10).cast("bigint")
-        pos = SF.array(*[
-            SF.pmod(h1 + SF.lit(i) * h2, SF.lit(n_bits)).cast("int")
-            for i in range(k)
+        build_cols.append(c)
+    if build_cols:
+        # ALL requested columns ride ONE scan of the directory (the
+        # same melt-explode shape as the NDV sidecar build): per row,
+        # each non-NULL column contributes a (col, positions) struct;
+        # the exploded (file, col, position) stream dedupes and groups
+        # per (file, col). One job instead of one scan per column —
+        # the per-column hashing expressions are unchanged, so the
+        # resulting bitmaps are byte-identical.
+        def _pos(c):
+            h = SF.md5(SF.col(c).cast("string"))
+            h1 = SF.conv(SF.substring(h, 1, 15), 16, 10).cast("bigint")
+            h2 = SF.conv(SF.substring(h, 17, 15), 16, 10).cast("bigint")
+            return SF.array(*[
+                SF.pmod(h1 + SF.lit(i) * h2, SF.lit(n_bits)).cast("int")
+                for i in range(k)
+            ])
+
+        entries = SF.array(*[
+            SF.when(SF.col(c).isNotNull(),
+                    SF.struct(SF.lit(c).alias("__c"),
+                              _pos(c).alias("__pp")))
+            for c in build_cols
         ])
         rows = (
-            df.select(SF.input_file_name().alias("__f"), SF.col(c))
-            .filter(SF.col(c).isNotNull())
-            .select("__f", SF.explode(pos).alias("__p"))
+            df.select(SF.input_file_name().alias("__f"), *build_cols)
+            .select("__f",
+                    SF.explode(SF.filter(
+                        entries, lambda e: e.isNotNull())).alias("__e"))
+            .select("__f", SF.col("__e.__c").alias("__c"),
+                    SF.explode("__e.__pp").alias("__p"))
             .distinct()
-            .groupBy("__f")
+            .groupBy("__f", "__c")
             .agg(SF.collect_list("__p").alias("__ps"))
             .collect()
         )
         from urllib.parse import unquote
 
-        per_file: dict[str, str] = {}
+        built: dict[str, dict[str, str]] = {c: {} for c in build_cols}
         for r in rows:
             uri = r["__f"]
             p = unquote(uri[7:]) if uri.startswith("file://") else unquote(uri)
@@ -835,14 +852,16 @@ def write_dir_blooms(
             bits = bytearray(n_bits // 8)
             for pos_i in r["__ps"]:
                 bits[pos_i >> 3] |= 1 << (pos_i & 7)
-            per_file[base] = base64.b64encode(bytes(bits)).decode("ascii")
-        # a file whose column is entirely NULL gets an all-zero filter
-        # (no equality can match it) — record it explicitly so the
-        # probe can prune instead of treating it as unknown
-        zero = base64.b64encode(bytes(n_bits // 8)).decode("ascii")
-        for f in files:
-            per_file.setdefault(f, zero)
-        out_cols[c] = per_file
+            built[r["__c"]][base] = (
+                base64.b64encode(bytes(bits)).decode("ascii"))
+        for c in build_cols:
+            # a file whose column is entirely NULL gets an all-zero
+            # filter (no equality can match it) — record it explicitly
+            # so the probe can prune instead of treating it as unknown
+            per_file = built[c]
+            for f in files:
+                per_file.setdefault(f, zero)
+            out_cols[c] = per_file
     col_types = {
         c: absent_types.get(c, type_by_name.get(c)) for c in cols
     }

@@ -525,6 +525,49 @@ class TestBloomSkipping:
         with pytest.raises(ValueError, match="not in table schema"):
             V.build_blooms(spark, t, ["nope"])
 
+    def test_bloom_melt_build_matches_per_column(self, spark, tmp_path):
+        """r15 optimization: building N bloom columns is ONE directory
+        scan (melt-explode, the build_ndv shape), not one scan per
+        column. The sidecar must be identical whichever way the
+        columns arrive — all at once, or one at a time through the
+        incremental carry path — including a file whose column is
+        entirely NULL (explicit all-zero filter)."""
+        import os as _os
+
+        from lazy_frame_spark.sources import filestats as FS
+
+        t1 = str(tmp_path / "bl_all")
+        t2 = str(tmp_path / "bl_onebyone")
+        rows = spark.createDataFrame(
+            [(1, "a", None), (2, "b", None), (3, None, None)],
+            "k int, s string, z string")
+        for t in (t1, t2):
+            V.write_versioned(rows, t)
+        V.build_blooms(spark, t1, ["k", "s", "z"])
+        for c in ("k", "s", "z"):
+            V.build_blooms(spark, t2, [c])
+        docs = []
+        for t in (t1, t2):
+            man = V._read_manifest(t, V.latest_version(t))
+            d = {_os.path.dirname(rel) for rel in man["files"]}.pop()
+            docs.append(FS.load_dir_blooms(_os.path.join(t, d)))
+        # filenames embed per-write uuids: compare filters by sorted
+        # file POSITION (identical data + partitioning on both tables)
+        assert docs[0]["n_bits"] == docs[1]["n_bits"]
+        assert docs[0]["types"] == docs[1]["types"]
+        for c in ("k", "s", "z"):
+            a = [v for _f, v in sorted(docs[0]["cols"][c].items())]
+            b = [v for _f, v in sorted(docs[1]["cols"][c].items())]
+            assert a == b, f"column {c} filters differ"
+        # the all-NULL column carries an explicit all-zero filter
+        import base64 as _b64
+        for per_file in docs[0]["cols"]["z"].values():
+            assert set(_b64.b64decode(per_file)) == {0}
+        # and equality probes behave: s='a' keeps its file(s); the
+        # all-NULL z prunes everything (no equality can ever match)
+        assert V.skipping_summary(t1, [("s", "=", "a")])["kept_files"] >= 1
+        assert V.skipping_summary(t1, [("z", "=", "x")])["kept_files"] == 0
+
     def test_unsupported_bloom_type_raises(self, spark, tmp_path):
         t = str(tmp_path / "bloom3")
         V.write_versioned(_orders(spark).limit(50), t)
