@@ -70,22 +70,24 @@ def _pair_candidates_arrow(
     """Within-cell near-duplicate CANDIDATE pairs in ONE Arrow pass
     per cell — the quadratic pair stage of SemDeDup vectorized. Emits
     ``(doomed id, both vectors, both norms)`` for every ordered pair
-    (lower id → higher id) whose cosine clears ``threshold`` minus a
-    paranoid fp margin; the caller re-applies the EXACT Catalyst
-    predicate (``round(fold-dot/(na*nb), 4) >= threshold``) to this
-    tiny candidate set, so the final verdict is evaluated by the
-    identical expression as the all-Catalyst path.
+    (lower id → higher id) whose cosine clears the SCREEN bound; the
+    caller re-applies the EXACT Catalyst predicate
+    (``round(fold-dot/(na*nb), 4) >= threshold``) to this tiny
+    candidate set, so the final verdict is evaluated by the identical
+    expression as the all-Catalyst path.
 
-    Bit-identity of the screen: the dot matrix accumulates with an
-    ORDERED per-dimension loop (``C += outer(V[:,k], V[:,k])`` for k
-    ascending — the same scalar IEEE op sequence as the interpreted
-    fold's left-to-right accumulation, no reassociation), and norms
-    come in from the caller's staged column, so the screening cosine
-    equals the Catalyst pair cosine bit-for-bit where both are
-    defined; the margin exists only as belt-and-braces. Rows with
-    NULL/zero/non-finite norms or malformed vectors never emit — the
-    Catalyst path maps those to NULL cosines, which never pass the
-    threshold either.
+    Screen soundness (must be a SUPERSET of the verdict, never a
+    subset): the verdict rounds half-up at 4 decimals, so the lowest
+    exact cosine it accepts is ``threshold - 5e-5``; the screen bound
+    is that minus a further 1e-6 fp margin. The dot matrix is one BLAS
+    ``V @ V.T`` — its accumulation order differs from the interpreted
+    fold's left-to-right sequence, but the float64 reassociation error
+    of a dim-length dot is bounded by ~dim·eps·na·nb (≈1e-13 of the
+    cosine at dim 4096), eight orders below the margin, so no pair the
+    verdict would accept can be screened out; extra candidates only
+    cost the exact re-judge a few rows. Rows with NULL/zero/non-finite
+    norms or malformed vectors never emit — the Catalyst path maps
+    those to NULL cosines, which never pass the threshold either.
 
     Why Arrow here: the fold is an interpreted higher-order function
     evaluated once per PAIR (the measured dominant cost — guide §4's
@@ -110,7 +112,9 @@ def _pair_candidates_arrow(
         StructField("__pc_nb__", DoubleType()),
         StructField("__pc_na__", DoubleType()),
     ])
-    screen = float(threshold) - 1e-9
+    # round-half-up admission boundary of the exact verdict, minus an
+    # fp margin that dominates BLAS reassociation error by 7+ orders
+    screen = float(threshold) - 5e-5 - 1e-6
 
     def pairs(pdf):
         import pandas as pd
@@ -146,12 +150,12 @@ def _pair_candidates_arrow(
                       for i in vi])
         n = raw_n[vi]
         ids = pdf[id_col].to_numpy()[vi]
-        k = len(vi)
-        # ordered accumulation: same IEEE op sequence as the fold
-        C = np.zeros((k, k))
-        for d in range(dim):
-            col = V[:, d]
-            C += np.outer(col, col)
+        # one BLAS gemm for the k×k dot matrix: the per-dimension
+        # outer-product loop it replaces wrote dim k×k temporaries
+        # (O(dim·k²) memory traffic — at the paper's 100k-vector cells
+        # that is the stage's wall, not the flops); reassociation
+        # error is covered by the screen margin (docstring)
+        C = V @ V.T
         denom = np.outer(n, n)
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = C / denom
@@ -552,7 +556,7 @@ def semantic_dedup(
     # fixed-width probe (one column-pruned aggregate): when every
     # vector is the same length, the quadratic pair stage runs as one
     # Arrow pass per cell instead of an interpreted-fold self-join —
-    # see _pair_candidates_arrow for the bit-identity argument.
+    # see _pair_candidates_arrow for the screen-soundness argument.
     dim = _fixed_dim(base, "__sd_v__")
     if n_centroids > 32:
         cells = _with_cells_arrow(base, idx.centroids, "__sd_v__")
@@ -572,7 +576,7 @@ def semantic_dedup(
         cells = cells.persist()
     if dim is not None:
         # fixed-width corpus: the quadratic runs as ONE Arrow pass per
-        # cell (ordered accumulation — bit-identical screening cosine),
+        # cell (one BLAS gemm behind a provably-superset screen),
         # and the exact Catalyst predicate re-judges the tiny candidate
         # set, so the verdict expression is unchanged. Also halves the
         # assignment work: the pandas stage consumes the assigned frame

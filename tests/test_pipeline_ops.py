@@ -3238,6 +3238,31 @@ def test_semantic_dedup_rules_and_cell_scoping(spark):
     assert out == [0, 3, 5, 6]
 
 
+def test_semantic_dedup_arrow_screen_round_boundary(spark):
+    """The Arrow pair screen must admit every pair the exact verdict
+    (round(cos,4) >= threshold) accepts — including cosines JUST UNDER
+    the threshold that round up to it. cos = 0.89996 at threshold 0.9
+    rounds to 0.9 and must drop the higher id; a screen bound tighter
+    than the round-half-up boundary (threshold - 5e-5) silently keeps
+    it, diverging from the all-Catalyst path and the SQL oracle rule."""
+    import math
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    c = 0.89996  # in [0.9 - 5e-5, 0.9): round(c, 4) == 0.9
+    s = math.sqrt(1.0 - c * c)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [c, s, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = sim.IVFIndex([[1.0, 0.0, 0.0, 0.0]])  # one cell: pair meets
+    out = sorted(
+        r["vec_id"]
+        for r in sim.semantic_dedup(df, threshold=0.9, index=idx).collect()
+    )
+    assert out == [0], f"knife-edge pair not dropped: survivors {out}"
+
+
 def test_packing_efficiency_spans_and_fill(spark):
     """bin_stats: docs charge the bin they START in, fills are exact
     basis points vs the budget (overflow >10000 allowed), and
