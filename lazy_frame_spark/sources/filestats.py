@@ -240,11 +240,21 @@ def write_dir_stats(dir_abs: str) -> dict | None:
     files = sorted(
         f for f in os.listdir(dir_abs) if f.endswith(".parquet")
     )
-    per_file = {}
-    for name in files:
-        st = _file_stats(os.path.join(dir_abs, name))
-        if st is not None:
-            per_file[name] = st
+    # footer opens fan over a thread pool (pyarrow releases the GIL on
+    # I/O) — a 10k-file commit's sidecar build stops being 10k serial
+    # driver-side opens, the same class of fix as clone_versioned's
+    # link loop; key order stays sorted(files), so the sidecar is
+    # byte-identical to the serial build
+    if len(files) > 8:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(32, (os.cpu_count() or 4) * 2)) as pool:
+            stats = list(pool.map(
+                lambda n: _file_stats(os.path.join(dir_abs, n)), files))
+    else:
+        stats = [_file_stats(os.path.join(dir_abs, n)) for n in files]
+    per_file = {n: st for n, st in zip(files, stats) if st is not None}
     if not per_file:
         return None
     doc = {"version": 1, "files": per_file}

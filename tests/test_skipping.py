@@ -105,6 +105,33 @@ class TestSkippingRead:
         assert empty.count() == 0
         assert empty.columns == full.columns
 
+    def test_parallel_sidecar_build_matches_serial(self, tmp_path):
+        """write_dir_stats fans footer opens over a thread pool above
+        8 files — the sidecar must be identical (same keys, same key
+        ORDER, same stats) to the serial per-file construction."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = str(tmp_path / "data" / "00000001-par")
+        os.makedirs(d)
+        for i in range(12):  # > 8: exercises the pool path
+            pq.write_table(
+                pa.table({"k": pa.array([i * 10 + j for j in range(5)],
+                                        pa.int64()),
+                          "s": pa.array([f"v{i}-{j}" for j in range(5)],
+                                        pa.string())}),
+                os.path.join(d, f"part-{i:05d}.parquet"))
+        doc = filestats.write_dir_stats(d)
+        names = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        serial = {n: filestats._file_stats(os.path.join(d, n))
+                  for n in names}
+        serial = {n: st for n, st in serial.items() if st is not None}
+        assert doc["files"] == serial
+        assert list(doc["files"].keys()) == list(serial.keys())
+        with open(os.path.join(d, filestats.STATS_SIDECAR)) as fh:
+            on_disk = json.load(fh)
+        assert on_disk["files"] == serial
+
     def test_missing_sidecar_keeps_all(self, spark, table):
         w = [("o_orderkey", "between", (500, 900))]
         before = V.skipping_summary(table, w)
