@@ -394,22 +394,21 @@ def main() -> int:
     # so per-query history across rounds was irrecoverable — persist
     # the FULL document per round (committed at each certification) so
     # the next judge can reproduce the numbers row-for-row. Round =
-    # $SPARK_GRAFT_ROUND, else one past the newest recorded BENCH_r*.
+    # $SPARK_GRAFT_ROUND; without it the write goes to a SCRATCH name
+    # (round-15 verdict: the old max(past)+1 default let a probe run
+    # pre-claim the NEXT round's history slot, which the overwrite
+    # refusal below would then silently honor against the real record).
     # History is IMMUTABLE (round-14 verdict): an existing
     # bench_full_rNN.json is a certified record — refuse to overwrite
     # it unless --force, so a stray re-run can never silently rewrite
     # the numbers a past round was graded on.
     try:
-        import re as _re
-
         here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            past = [int(m.group(1)) for f in os.listdir(here)
-                    if (m := _re.match(r"BENCH_r(\d+)\.json$", f))]
-            rnd = (max(past) + 1) if past else 0
-        out = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
-        if os.path.exists(out) and "--force" not in sys.argv:
+        name = (f"bench_full_r{int(rnd):02d}.json" if rnd is not None
+                else "bench_full_scratch.json")
+        out = os.path.join(here, name)
+        if rnd is not None and os.path.exists(out) and "--force" not in sys.argv:
             print(f"bench_full write refused: {out} already records "
                   "this round (pass --force to overwrite the "
                   "certified history file)", file=sys.stderr)
