@@ -97,6 +97,23 @@ def _spark_type_to_arrow(t):
     )
 
 
+def _manifest_schema_ddl(schema_json: str) -> str:
+    """Render a manifest's schema JSON as the DDL string handed to
+    ``readStream.schema()`` / declared by ``DataSource.schema()``. ONE
+    shared renderer: the driver-side fast path in
+    ``versioned_stream_read`` and the worker-side declaration in
+    ``VersionedTableDataSource.schema()`` must never diverge (quoting,
+    nullability, type rendering — they describe the same manifest).
+    Backticks in field names are escaped per SQL identifier-quoting
+    rules (`` ` `` doubles to ```` `` ````)."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType.fromJson(json.loads(schema_json))
+    return ", ".join(
+        f"`{f.name.replace('`', '``')}` {f.dataType.simpleString()}"
+        for f in sch.fields)
+
+
 @dataclass
 class _FilePartition(InputPartition):
     abs_path: str
@@ -400,18 +417,13 @@ class VersionedTableDataSource(DataSource):
         return "lfs_table"
 
     def schema(self) -> str:
-        from pyspark.sql import types as T
-
         from lazy_frame_spark.sources import versioned as V
 
         path = self.options["path"]
         v = V.latest_version(path)
         if v is None:
             raise FileNotFoundError(f"no versioned table at {path}")
-        sch = T.StructType.fromJson(
-            json.loads(V._read_manifest(path, v)["schema"]))
-        return ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in sch)
+        return _manifest_schema_ddl(V._read_manifest(path, v)["schema"])
 
     def streamReader(self, schema) -> VersionedStreamReader:
         return VersionedStreamReader(dict(self.options))
@@ -461,17 +473,12 @@ def versioned_stream_read(spark, path: str,
     # ~0.1-0.2 s per drain). The reader re-fixes its own schema from
     # the newest manifest at query start exactly as before — this only
     # skips Spark asking a subprocess for a string the driver knows.
-    from pyspark.sql import types as T
-
     from lazy_frame_spark.sources import versioned as V
 
     v = V.latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no versioned table at {path}")
-    sch = T.StructType.fromJson(
-        json.loads(V._read_manifest_meta(path, v)["schema"]))
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields)
+    ddl = _manifest_schema_ddl(V._read_manifest_meta(path, v)["schema"])
     r = (spark.readStream.format("lfs_table").schema(ddl)
          .option("path", path))
     if starting_timestamp is not None:

@@ -1137,3 +1137,30 @@ def test_feed_stream_restart_across_rename_follow(spark, tmp_path):
     got = spark.read.parquet(out2)
     assert "value" in got.columns and got.count() == 9
     assert sorted(r["k"] for r in got.collect()) == list(range(9))
+
+
+def test_manifest_schema_ddl_shared_and_backtick_safe(spark):
+    """schema() and the driver-side readStream fast path render their
+    DDL through ONE helper (a diverging copy would let the worker
+    declare a different schema than the driver pinned), and a field
+    name containing a backtick escapes to valid DDL instead of
+    producing an unparseable string."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from lazy_frame_spark.sources.versioned_stream import (
+        _manifest_schema_ddl,
+    )
+
+    sch = T.StructType([
+        T.StructField("plain", T.LongType()),
+        T.StructField("weird`name", T.StringType()),
+    ])
+    ddl = _manifest_schema_ddl(_json.dumps(sch.jsonValue()))
+    assert "`weird``name`" in ddl
+    # the escaped DDL round-trips to the original field names
+    back = T._parse_datatype_string(ddl)
+    assert [f.name for f in back.fields] == ["plain", "weird`name"]
+    assert [f.dataType for f in back.fields] == [
+        T.LongType(), T.StringType()]
