@@ -2667,21 +2667,28 @@ def merge_versioned(
     # distinct-key build, and the write. O(batch), released in finally.
     source = source.persist()
     try:
+        # ONE probe job, and the per-key frame it rolls up IS the
+        # distinct-key side: the duplicate-key check (NULL keys never
+        # match — SQL semantics — so two NULL-key source rows are
+        # unambiguous INSERTS and the uniqueness contract applies to
+        # fully-non-NULL keys only), the row count, the broadcast gate
+        # and the data-skipping key bounds all ride one per-key
+        # aggregate, and PERSISTING that per-key frame means the
+        # discovery semi-join and the write's anti/semi joins reuse its
+        # materialization instead of re-aggregating the source a second
+        # time for `distinct()` (same shuffle, computed once — §2.4).
+        # O(batch keys), released in finally. The failure path
+        # re-probes to name an offending key — errors may pay one
+        # extra job; the happy path never does.
+        per_key = (source.groupBy(*keys)
+                   .agg(F.count(F.lit(1)).alias("__n__")).persist())
         if when_matched == "update":
             _check_append_schema(source, prev["schema"])
-            # ONE probe job: the duplicate-key check (NULL keys never match
-            # — SQL semantics — so two NULL-key source rows are unambiguous
-            # INSERTS and the uniqueness contract applies to fully-non-NULL
-            # keys only) and the data-skipping key bounds ride the same
-            # per-key aggregate instead of two separate source scans. The
-            # failure path re-probes to name an offending key — errors may
-            # pay one extra job; the happy path never does.
             keys_nonnull = F.col(keys[0]).isNotNull()
             for k in keys[1:]:
                 keys_nonnull = keys_nonnull & F.col(k).isNotNull()
             probe = (
-                source.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("__n__"))
+                per_key
                 .agg(F.max(F.when(keys_nonnull, F.col("__n__")))
                      .alias("__dup__"),
                      F.sum("__n__").alias("__rows__"),
@@ -2691,8 +2698,7 @@ def merge_versioned(
             batch_rows = int(probe["__rows__"] or 0)
             if (probe["__dup__"] or 0) > 1:
                 dup = (
-                    source.dropna(subset=keys)
-                    .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                    per_key.dropna(subset=keys)
                     .filter(F.col("__n__") > 1).limit(1).collect()
                 )
                 raise ValueError(
@@ -2703,18 +2709,15 @@ def merge_versioned(
             bounds = filestats.key_bounds_from_row(probe, keys)
             n_batch = batch_rows
         else:
-            # fold the broadcast-gate count into the bounds aggregate —
-            # same single probe job as before, one extra counter
-            dprobe = source.agg(
-                F.count(F.lit(1)).alias("__rows__"),
+            # delete mode allows duplicate keys; count + bounds over the
+            # per-key groups equal count + bounds over the rows
+            dprobe = per_key.agg(
+                F.sum("__n__").alias("__rows__"),
                 *filestats.key_bounds_aggs(keys)).collect()[0]
             bounds = filestats.key_bounds_from_row(dprobe, keys)
             n_batch = int(dprobe["__rows__"] or 0)
             batch_rows = 0  # delete-mode writes survivors only (⊆ touched)
-        # the distinct source-key set drives the discovery semi-join AND
-        # the write's anti/semi joins — pin it so each action reuses one
-        # materialization instead of re-shuffling the source. O(batch keys).
-        src_keys = source.select(*keys).distinct().persist()
+        src_keys = per_key.select(*keys)
         # probe-proven small batch: broadcast the key side outright (see
         # _KEYS_BCAST_MAX_ROWS) instead of waiting for an AQE conversion
         jkeys = (F.broadcast(src_keys)
@@ -2722,7 +2725,11 @@ def merge_versioned(
         try:
 
             files = list(prev["files"])
-            stats = {"files_rewritten": 0, "files_carried": len(files)}
+            # probe_jobs: driver-side VALIDATION collects the happy path
+            # ran (the dup/bounds/count rollup) — pinned by tests so the
+            # one-aggregate probe contract is an assert, not an anecdote
+            stats = {"files_rewritten": 0, "files_carried": len(files),
+                     "files_written": 0, "probe_jobs": 1}
             touched: set[str] = set()
             matched_keys = None  # (file, keys) of matched target rows, persisted
             # data-skipping pre-cut for the discovery scan: a file whose
@@ -2744,19 +2751,23 @@ def merge_versioned(
                 stats["files_scan_skipped"] = len(files) - len(scan_files)
                 if scan_files:
                     # DV-applied key scan: a tombstoned row must not mark its
-                    # file touched (nor count as a match). Persisted so the
-                    # insert_unmatched=False path reuses it instead of paying
-                    # a third scan of the touched files.
-                    matched_keys = (
+                    # file touched (nor count as a match). Persisted ONLY
+                    # when the insert_unmatched=False path will reuse it
+                    # (saving a third scan of the touched files) — on the
+                    # common paths the cache build would be pure overhead,
+                    # since only the distinct __file__ set is consumed.
+                    mscan = (
                         _read_snapshot(spark, path, prev, files=scan_files,
                                        _with_position=True)
                         .select(F.col("__file__"), *keys)
                         .join(jkeys, on=keys, how="leftsemi")
-                        .persist()
                     )
+                    if when_matched == "update" and not insert_unmatched:
+                        matched_keys = mscan.persist()
+                        mscan = matched_keys
                     touched = {
                         r[0]
-                        for r in matched_keys.select("__file__")
+                        for r in mscan.select("__file__")
                         .distinct().collect()
                     }
             carried = [f for f in files if f not in touched]
@@ -2827,8 +2838,11 @@ def merge_versioned(
             })
             return v, stats
         finally:
-            src_keys.unpersist()
+            per_key.unpersist()
     finally:
+        # idempotent second release: covers the probe/validation exits
+        # that raise before the inner try is entered
+        per_key.unpersist()
         source.unpersist()
 
 
@@ -2900,18 +2914,26 @@ def apply_cdc(
         # dup contract — NULL keys never match, SQL semantics), (c) any
         # upsert row (the delete-only-shape gate), (d) per-key min/max
         # (the data-skipping pre-cut + rebase disjointness footprint,
-        # min/max over group keys == min/max over rows). The failure paths
-        # re-probe to name the offending value — errors may pay one extra
-        # job; the happy path never does.
+        # min/max over group keys == min/max over rows). The per-key
+        # frame is PERSISTED as the distinct-key side: the discovery
+        # semi-join and the write's anti-join reuse its materialization
+        # instead of re-aggregating the batch for ``distinct()`` (same
+        # shuffle, computed once — §2.4). O(batch keys), released in
+        # finally. The failure paths re-probe to name the offending
+        # value — errors may pay one extra job; the happy path never
+        # does.
         keys_nonnull = F.col(keys[0]).isNotNull()
         for k in keys[1:]:
             keys_nonnull = keys_nonnull & F.col(k).isNotNull()
-        probe = (
+        per_key = (
             tagged.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__n__"),
                  F.max(F.col("__op__").isNull().cast("int")).alias("__bad__"),
                  F.max((F.col("__op__") == "upsert").cast("int"))
                  .alias("__ups__"))
+            .persist())
+        probe = (
+            per_key
             .agg(F.max("__bad__").alias("__bad__"),
                  F.max(F.when(keys_nonnull, F.col("__n__"))).alias("__dup__"),
                  F.max("__ups__").alias("__ups__"),
@@ -2927,8 +2949,7 @@ def apply_cdc(
             )
         if (probe["__dup__"] or 0) > 1:
             dup = (
-                tagged.dropna(subset=keys)
-                .groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                per_key.dropna(subset=keys)
                 .filter(F.col("__n__") > 1).limit(1).collect()
             )
             raise ValueError(
@@ -2957,12 +2978,31 @@ def apply_cdc(
             _validate_constraints(upserts, prev.get("constraints") or {},
                                   "apply_cdc")
 
-        src_keys = tagged.select(*keys).distinct()
-        if 0 < int(probe["__rows__"] or 0) <= _KEYS_BCAST_MAX_ROWS:
+        batch_rows = int(probe["__rows__"] or 0)
+        files = list(prev["files"])
+        commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
+        if extra:
+            commit_extra.update(extra)
+        if batch_rows == 0:
+            # EMPTY batch (a relay over a logical no-op chain, an idle
+            # micro-batch): nothing to discover, rewrite or insert —
+            # commit metadata-only (extra/txn still ride it, so relay
+            # state and idempotence advance exactly as a data commit
+            # would) instead of paying a discovery scan plus an empty
+            # data-directory write
+            v = _commit_keyed_with_rebase(path, "merge", parent, prev,
+                                          files, commit_extra,
+                                          None, spark=spark)
+            return v, {"files_rewritten": 0, "files_carried": len(files),
+                       "files_written": 0, "rows_applied": 0,
+                       "probe_jobs": 1}
+        src_keys = per_key.select(*keys)
+        if 0 < batch_rows <= _KEYS_BCAST_MAX_ROWS:
             # probe-proven small batch: broadcast the key side outright
             src_keys = F.broadcast(src_keys)
-        files = list(prev["files"])
-        stats = {"files_rewritten": 0, "files_carried": len(files)}
+        stats = {"files_rewritten": 0, "files_carried": len(files),
+                 "files_written": 0, "rows_applied": batch_rows,
+                 "probe_jobs": 1}
         touched: set[str] = set()
         # key footprint: discovery pre-cut AND the concurrent-append
         # disjointness proof for the rebasing commit below
@@ -3005,10 +3045,7 @@ def apply_cdc(
         new_files = _write_data_dir(
             new_data, path, version, mapping=_col_mapping(prev),
             size_hint=2 * _local_bytes(path, touched)
-            + 256 * int(probe["__rows__"] or 0))
-        commit_extra = {"merge_on": keys, "merge_mode": "cdc"}
-        if extra:
-            commit_extra.update(extra)
+            + 256 * batch_rows)
         v = _commit_keyed_with_rebase(path, "merge", parent, prev,
                                       carried + new_files, commit_extra,
                                       where_hint, spark=spark,
@@ -3018,6 +3055,7 @@ def apply_cdc(
                       "files_written": len(new_files)})
         return v, stats
     finally:
+        per_key.unpersist()
         tagged.unpersist()
 
 
@@ -3912,7 +3950,14 @@ def replicate_versioned(
     # whole changed-file diff — measured 16 parquet scans and 16
     # exchanges PER ACTION on the bench relay before this. The delta
     # is O(changed rows) by construction, so caching it is bounded by
-    # the change set, never the table.
+    # the change set, never the table. The ops frame itself is NOT
+    # separately counted or pinned here: apply_cdc pins the tagged
+    # batch and its validation probe already counts the rows
+    # (``rows_applied``), so the old ``ops.count()`` was a whole extra
+    # job per relay re-aggregating what the probe measures anyway, and
+    # an empty ops set (logical no-op chain, e.g. a compaction) takes
+    # apply_cdc's metadata-only fast path — relay state and txn ride
+    # that commit exactly as they rode the old empty append.
     d = diff_versions(spark, src_path, state, src_v,
                       cluster_by=keys).persist()
     src_man = _read_manifest_meta(src_path, src_v)
@@ -3920,28 +3965,17 @@ def replicate_versioned(
         spark, dst_path,
         [(f["name"], f["type"])
          for f in json.loads(src_man["schema"])["fields"]])
-    ops = _ops_from_diff(d, keys).persist()
+    ops = _ops_from_diff(d, keys)
     try:
-        n_ops = ops.count()
-        if n_ops == 0:
-            # logical no-op chain (e.g. a compaction): just advance state
-            empty = read_versioned(spark, dst_path).limit(0)
-            v = append_versioned(
-                empty, dst_path,
-                extra={"relay_stream": stream_id,
-                       "relay_src_version": src_v},
-                txn=(f"cdf:{stream_id}", src_v))
-            return v, {"bootstrap": False, "src_version": src_v,
-                       "ops": 0}
         v, st = apply_cdc(
             spark, dst_path, ops, keys,
             extra={"relay_stream": stream_id,
                    "relay_src_version": src_v},
             txn=(f"cdf:{stream_id}", src_v))
     finally:
-        ops.unpersist()
         d.unpersist()
-    st.update({"bootstrap": False, "src_version": src_v, "ops": n_ops})
+    st.update({"bootstrap": False, "src_version": src_v,
+               "ops": st.get("rows_applied", 0)})
     return v, st
 
 
