@@ -176,6 +176,107 @@ def _pair_candidates_arrow(
             .groupBy(cell_col).applyInPandas(pairs, out_schema))
 
 
+def _pair_candidates_arrow_against(
+    new_cells: DataFrame,
+    corp_cells: DataFrame,
+    id_col: str,
+    dim: int,
+    threshold: float,
+    cell_col: str = "__ivf_cell__",
+) -> DataFrame:
+    """CROSS-pair candidates (new batch × corpus, within each cell) in
+    ONE Arrow pass per cell — ``_pair_candidates_arrow``'s incremental
+    twin for ``semantic_dedup_against``'s stage 1. Both sides ride one
+    union tagged by side, grouped by cell; inside the group a single
+    BLAS gemm (``V_new @ V_corp.T``) screens every cross pair, and the
+    emitted candidates reuse the self-pair column convention
+    (``__pc_pv__`` = corpus vector, ``__pc_v__`` = new vector) so
+    ``_doomed_exact`` re-judges them with the IDENTICAL Catalyst
+    expression the all-Catalyst path evaluates
+    (``dot(cv, v) / (cn * n)`` — element order, not operand order,
+    fixes the fold's bits, so pv/v naming is immaterial). Screen
+    soundness is inherited unchanged: the bound is the round-half-up
+    admission boundary minus the same 1e-6 margin, 7+ orders above
+    gemm reassociation error; invalid rows (NULL/ragged vectors,
+    non-finite or zero norms) never emit, exactly the rows whose
+    Catalyst cosine is NULL and fails every threshold."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    id_field = new_cells.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("__pc_pv__", ArrayType(DoubleType())),
+        StructField("__pc_v__", ArrayType(DoubleType())),
+        StructField("__pc_nb__", DoubleType()),
+        StructField("__pc_na__", DoubleType()),
+    ])
+    screen = float(threshold) - 5e-5 - 1e-6
+
+    u = (new_cells.select(
+            F.col(id_col), F.col("__sd_v__").alias("__pc_vv__"),
+            F.col("__sd_n__").alias("__pc_nn__"), F.col(cell_col),
+            F.lit(1).alias("__side__"))
+         .unionByName(corp_cells.select(
+            F.lit(None).cast(id_field.dataType).alias(id_col),
+            F.col("__sd_cv__").alias("__pc_vv__"),
+            F.col("__sd_cn__").alias("__pc_nn__"), F.col(cell_col),
+            F.lit(0).alias("__side__"))))
+
+    def pairs(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=pdf[id_col].dtype),
+            "__pc_pv__": pd.Series([], dtype="object"),
+            "__pc_v__": pd.Series([], dtype="object"),
+            "__pc_nb__": pd.Series([], dtype="float64"),
+            "__pc_na__": pd.Series([], dtype="float64"),
+        })
+        side = pdf["__side__"].to_numpy()
+        raw_v = pdf["__pc_vv__"].to_numpy()
+        raw_n = pdf["__pc_nn__"].to_numpy(dtype="float64", na_value=np.nan)
+        id_ok = pdf[id_col].notna().to_numpy()
+        m = len(pdf)
+        valid = np.array([
+            raw_v[i] is not None and len(raw_v[i]) == dim
+            and np.isfinite(raw_n[i]) and raw_n[i] != 0.0
+            and (side[i] == 0 or id_ok[i])
+            for i in range(m)
+        ])
+        ni = np.flatnonzero(valid & (side == 1))
+        ci = np.flatnonzero(valid & (side == 0))
+        if len(ni) == 0 or len(ci) == 0:
+            return empty
+        Vn = np.stack([np.asarray(raw_v[i], dtype=np.float64)
+                       for i in ni])
+        Vc = np.stack([np.asarray(raw_v[i], dtype=np.float64)
+                       for i in ci])
+        nn, nc = raw_n[ni], raw_n[ci]
+        ids = pdf[id_col].to_numpy()[ni]
+        C = Vn @ Vc.T
+        denom = np.outer(nn, nc)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = C / denom
+        ai, bi = np.nonzero(cos >= screen)  # ai: new index, bi: corpus
+        return pd.DataFrame({
+            id_col: pd.Series(ids[ai], dtype=pdf[id_col].dtype),
+            "__pc_pv__": pd.Series([Vc[b].tolist() for b in bi],
+                                   dtype="object"),
+            "__pc_v__": pd.Series([Vn[a].tolist() for a in ai],
+                                  dtype="object"),
+            "__pc_nb__": nc[bi],
+            "__pc_na__": nn[ai],
+        })
+
+    return u.groupBy(cell_col).applyInPandas(pairs, out_schema)
+
+
 def _doomed_exact(cand: DataFrame, id_col: str,
                   threshold: float) -> DataFrame:
     """Phase 2 of the Arrow pair stage: the EXACT Catalyst predicate
@@ -666,11 +767,42 @@ def semantic_dedup_against(
     if persist_cells:
         new_cells = new_cells.persist()
         corp_cells = corp_cells.persist()
-    # both pair legs stay all-Catalyst here — the Arrow pair pass that
-    # serves semantic_dedup was MEASURED SLOWER on this shape (9.0 vs
-    # 5.8 s at sf0.1): `doomed` feeds both stage 2's input and the
-    # final anti-join, so a Python pair stage inside it re-runs per
-    # consumer, where the broadcast equi-join recomputes cheaply.
+    # fixed-width probe over BOTH sides in one aggregate: a single
+    # fixed dim across batch ∪ corpus is what lets both pair stages
+    # run as Arrow gemm passes (ragged or mismatched widths keep the
+    # all-Catalyst fallback below)
+    dim = _fixed_dim(
+        df_new.select(F.col(vec_col).cast("array<double>")
+                      .alias("__sd_v__"))
+        .unionByName(corpus.select(F.col(vec_col).cast("array<double>")
+                                   .alias("__sd_v__"))),
+        "__sd_v__")
+    if dim is not None:
+        # Arrow pair passes for BOTH stages (the same vectorization
+        # that serves semantic_dedup; the exact Catalyst predicate
+        # re-judges each candidate set, so verdicts are unchanged).
+        # Round 15 measured the Arrow pass SLOWER here (9.0 vs 5.8 s
+        # at sf0.1) because `doomed` feeds two consumers — stage 2's
+        # input and the final anti-join — and an unpinned Python stage
+        # re-executes per consumer. PERSISTING doomed (ids only, tiny)
+        # runs each Arrow stage once; the pin follows the same
+        # caller-released lifecycle as persist_cells. Round-16 re-A/B
+        # with the pin (6 interleaved reps each, sf0.1): Arrow mins
+        # 4.45-5.46 s vs Catalyst 4.38-9.10 s — a LOCAL tie (means
+        # 4.95 vs 5.59), adopted for the paper-regime shape where the
+        # per-pair interpreted fold is the measured wall (the
+        # semantic_dedup self-join case won 3.8 -> 1.5 s on the same
+        # switch; cells here are corpus x batch, the same quadratic).
+        cand = _pair_candidates_arrow_against(
+            new_cells, corp_cells, id_col, dim, threshold)
+        doomed_a = _doomed_exact(cand, id_col, threshold).persist()
+        fresh_a = new_cells.join(doomed_a, on=id_col, how="left_anti")
+        cand2 = _pair_candidates_arrow(fresh_a, id_col, dim, threshold)
+        doomed2_a = _doomed_exact(cand2, id_col, threshold)
+        return (
+            df_new.join(doomed_a, on=id_col, how="left_anti")
+            .join(doomed2_a, on=id_col, how="left_anti")
+        )
     pair_cos = F.try_divide(
         dot(F.col("__sd_cv__"), F.col("__sd_v__")),
         F.col("__sd_cn__") * F.col("__sd_n__"),

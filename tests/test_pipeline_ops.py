@@ -3411,3 +3411,49 @@ def test_codegen_gate_on_previously_fallen_queries(sf_dir):
     assert n_fail == 0, (
         f"{n_fail} whole-stage codegen compile failure(s) — an "
         "expression grew past janino's method limit again")
+
+
+def test_semantic_dedup_against_arrow_equals_catalyst(spark, monkeypatch):
+    """The incremental (against) shape's Arrow pair stages must return
+    EXACTLY the all-Catalyst survivors — same frozen geometry, same
+    round(cos,4) verdicts, both drop stages — including a knife-edge
+    corpus pair that only rounds up to the threshold."""
+    import math
+
+    import numpy as np
+
+    from lazy_frame_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 6)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # a knife-edge batch row: cos vs row 0's direction in
+    # [0.9 - 5e-5, 0.9) so round(cos, 4) == 0.9 exactly
+    base = vecs[0] / np.linalg.norm(vecs[0])
+    perp = vecs[1] - (vecs[1] @ base) * base
+    perp = perp / np.linalg.norm(perp)
+    c = 0.89996
+    knife = c * base + math.sqrt(1 - c * c) * perp
+    rows.append((41, [float(x) for x in knife]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter("vec_id % 2 = 0")
+    batch = df.filter("vec_id % 2 = 1")
+
+    def run():
+        return sorted(
+            r["vec_id"]
+            for r in sim.semantic_dedup_against(
+                batch, corpus, n_cells=3, threshold=0.9).collect()
+        )
+
+    got_arrow = run()
+    real = sim._fixed_dim
+    monkeypatch.setattr(sim, "_fixed_dim", lambda df, c: None)
+    got_catalyst = run()
+    monkeypatch.setattr(sim, "_fixed_dim", real)
+    assert got_arrow == got_catalyst
+    # the knife-edge batch row shares cell 0 with corpus row 0
+    # (verified against the deterministic pick), and its cosine rounds
+    # UP to the threshold — a screen tighter than the round-half-up
+    # boundary would keep it and diverge from the Catalyst path
+    assert 41 not in got_arrow
