@@ -2744,8 +2744,13 @@ def merge_versioned(
             # appends (_commit_keyed_with_rebase).
             where_hint = _phys_where(_col_mapping(prev), bounds)
             if files:
+                # spark handed through: a >100k-file manifest pre-cuts
+                # as a distributed job instead of a driver loop
+                # (measured 0.8 s per 100k files driver-side —
+                # DRIVER_FILES_AUDIT.json)
                 scan_files = (
-                    filestats.prune_files(path, files, where_hint)
+                    filestats.prune_files(path, files, where_hint,
+                                          spark=spark)
                     if where_hint else files
                 )
                 stats["files_scan_skipped"] = len(files) - len(scan_files)
@@ -3009,8 +3014,12 @@ def apply_cdc(
         where_hint = _phys_where(_col_mapping(prev),
                                  filestats.key_bounds_from_row(probe, keys))
         if files:
+            # spark handed through: a >100k-file manifest pre-cuts as a
+            # distributed job instead of a driver loop (measured 0.8 s
+            # per 100k files driver-side — DRIVER_FILES_AUDIT.json)
             scan_files = (
-                filestats.prune_files(path, files, where_hint)
+                filestats.prune_files(path, files, where_hint,
+                                      spark=spark)
                 if where_hint else files
             )
             stats["files_scan_skipped"] = len(files) - len(scan_files)
