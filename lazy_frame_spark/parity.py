@@ -5711,15 +5711,31 @@ def view_incremental_join(spark, sf_dir):
     c = (_table(spark, sf_dir, "customer")
          .select("c_custkey", "c_name", "c_acctbal")
          .withColumnRenamed("c_custkey", "o_custkey"))
-    V.write_versioned(
-        o.filter(F.col("o_orderkey") % 3 == 0)
-        .repartitionByRange(8, "o_custkey"), ap)
-    V.write_versioned(
-        c.filter(F.col("o_custkey") % 2 == 0)
-        .repartitionByRange(8, "o_custkey"), bp)
+    # the two sides are INDEPENDENT tables — build and later append
+    # them as overlapped jobs (guide §2.6: the scheduler back-fills one
+    # job's task tail with the other's tasks; this is also the
+    # production shape, two upstream ingest pipelines writing
+    # concurrently). Same commits, same versions per table — only the
+    # wall-clock serialization between unrelated tables goes away.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            V.write_versioned,
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .repartitionByRange(8, "o_custkey"), ap)
+        fb = pool.submit(
+            V.write_versioned,
+            c.filter(F.col("o_custkey") % 2 == 0)
+            .repartitionByRange(8, "o_custkey"), bp)
+        fa.result(), fb.result()
     I.join_view_init(spark, vp, ap, bp, "o_custkey")
-    V.append_versioned(o.filter(F.col("o_orderkey") % 3 == 1), ap)
-    V.append_versioned(c.filter(F.col("o_custkey") % 2 == 1), bp)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(V.append_versioned,
+                         o.filter(F.col("o_orderkey") % 3 == 1), ap)
+        fb = pool.submit(V.append_versioned,
+                         c.filter(F.col("o_custkey") % 2 == 1), bp)
+        fa.result(), fb.result()
     I.join_view_update(spark, vp, ap, bp)
     V.append_versioned(o.filter(F.col("o_orderkey") % 3 == 2), ap)
     I.join_view_update(spark, vp, ap, bp)

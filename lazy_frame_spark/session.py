@@ -70,6 +70,16 @@ def get_spark(app_name: str = "lazy_frame_spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/spill codec (guide §2.3: zstd trades CPU for ratio —
+        # "there is no universal answer, measure both"). Measured on
+        # this engine's bench at sf0.1, 32 AND 8 cores (round 16,
+        # OPTIMIZATION_r16.md): totals within the session-noise band in
+        # both directions — the shuffles here are small enough that
+        # codec CPU/ratio is not a lever, so the Spark default stays.
+        # Parameterized for clusters, where multi-TB shuffles on
+        # network-bound nodes usually favor zstd.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.sql.warehouse.dir", "/tmp/lazy_frame_spark-warehouse")
         # Columnar-cache compression costs ~3× on cache BUILD (measured:
         # enumerate+persist of sf0.1 lineitem 8.0 s → 2.8 s) and the open →
