@@ -394,8 +394,13 @@ def _commit_keyed_with_rebase(
             prev_set = set(prev["files"])
             winner_new = [f for f in winner["files"]
                           if f not in prev_set]
-            not_disjoint = filestats.prune_files(path, winner_new,
-                                                 src_where)
+            # src_where == [] is the EMPTY footprint (a zero-row batch):
+            # it provably matches no row anywhere, so every additive
+            # winner is disjoint by definition — distinct from None,
+            # which means "footprint unknown" and already raised above
+            not_disjoint = (
+                [] if not src_where
+                else filestats.prune_files(path, winner_new, src_where))
             if not_disjoint:
                 raise VersionConflict(
                     f"{action} of {path}: a concurrent append may "
@@ -2994,10 +2999,12 @@ def apply_cdc(
             # commit metadata-only (extra/txn still ride it, so relay
             # state and idempotence advance exactly as a data commit
             # would) instead of paying a discovery scan plus an empty
-            # data-directory write
+            # data-directory write. The [] footprint tells the rebase
+            # an additive winner always commutes (the old empty-append
+            # path rebased the same way).
             v = _commit_keyed_with_rebase(path, "merge", parent, prev,
                                           files, commit_extra,
-                                          None, spark=spark)
+                                          [], spark=spark)
             return v, {"files_rewritten": 0, "files_carried": len(files),
                        "files_written": 0, "rows_applied": 0,
                        "probe_jobs": 1}

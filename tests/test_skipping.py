@@ -1752,3 +1752,28 @@ class TestKeyedMaintenanceStats:
         assert man2["files"] == man1["files"]
         assert _same(V.read_versioned(spark, t),
                      V.read_versioned(spark, t, 1))
+
+    def test_empty_footprint_rebases_over_concurrent_append(self, spark,
+                                                            tmp_path):
+        """A zero-row keyed commit (the relay no-op fast path) must
+        REBASE over a concurrent additive winner exactly like the
+        empty append it replaced — its [] footprint provably matches
+        nothing, so every additive winner commutes."""
+        t = str(tmp_path / "ks_race")
+        o = _orders(spark).select("o_orderkey", "o_totalprice")
+        V.write_versioned(o.filter("o_orderkey <= 500"), t)      # v1
+        parent = V.latest_version(t)
+        prev = V._read_manifest(t, parent)
+        # a concurrent append claims version 2 while the empty commit
+        # still holds version-1 state
+        V.append_versioned(o.filter("o_orderkey > 1000"), t)     # v2
+        v = V._commit_keyed_with_rebase(
+            t, "merge", parent, prev, list(prev["files"]),
+            {"merge_on": ["o_orderkey"], "merge_mode": "cdc"}, [],
+            spark=spark)
+        assert v == 3
+        man = V._read_manifest(t, v)
+        # the winner's appended files ride along — nothing lost
+        assert set(V._read_manifest(t, 2)["files"]) <= set(man["files"])
+        assert (V.read_versioned(spark, t, v).count()
+                == V.read_versioned(spark, t, 2).count())
